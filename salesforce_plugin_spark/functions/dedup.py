@@ -1,0 +1,261 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine (SURVEY §2 F1/F2).
+
+Design for 100 TB:
+- Exact dedup is a hash shuffle on the dedup key only (`row_number` window,
+  partial aggregation applies); never a global sort.
+- MinHash/LSH avoids the O(N²) pairwise wall: shingle → K min-hashes →
+  B bands → shuffle on (band, bucket-hash) so only colliding docs ever meet.
+- n-gram Jaccard is the *verifier* for candidate pairs (exact measure, used
+  after LSH pruning at scale; the conformance query runs it directly at
+  fixture scale via a shingle-equijoin which is itself shuffle-bounded by
+  shared shingles, not by N²).
+- All hashing is Spark's built-in xxhash64/hash (JVM, codegen) — no UDFs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from salesforce_plugin_spark.functions.text import tokens
+from salesforce_plugin_spark.functions.vector import as_double, cosine
+
+
+# ---------------------------------------------------------------------------
+# F1: exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
+    """Keep exactly one row per ``keys``, the first under ``order_by``.
+
+    Deterministic alternative to ``dropDuplicates`` (which keeps an arbitrary
+    row and therefore can't be oracle-checked). One shuffle on ``keys``.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by MinHash / Jaccard)
+# ---------------------------------------------------------------------------
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles (space-joined) of the lowercased text."""
+    toks = F.transform(tokens(text), F.lower)
+    # element_at is 1-based; sequence(1, size-n+1) enumerates shingle starts.
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(starts, shingle))
+
+
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2: MinHash + LSH near-dedup
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One row per document: ``id_col`` + minhash signature columns mh_0..mh_K.
+
+    K seeded hash families via ``hash(shingle, seed)`` (JVM Murmur3); the
+    min per family is a classic MinHash. Single shuffle (groupBy id) with
+    map-side partial mins.
+    """
+    ex = exploded_shingles(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.hash(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Banding: docs sharing any band-hash become candidate pairs (a < b).
+
+    The only join is an equijoin on (band, bucket) — i.e. data volume per
+    reducer is bounded by bucket population, never N².
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), band_cols[b].alias("bucket")) for b in range(bands)])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bucket") == F.col(f"b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def near_dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Assign every document a cluster id: the min doc id over all LSH buckets
+    it lands in (single-hop approximation of connected components — the
+    standard first pass of a web-scale dedup pipeline). Always returns one row
+    per input document: (id, cluster_id).
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    rows_per_band = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    bucket_min = banded.groupBy("band", "bucket").agg(F.min(id_col).alias("bucket_min"))
+    return (
+        banded.join(bucket_min, ["band", "bucket"])
+        .groupBy(id_col)
+        .agg(F.min("bucket_min").alias("cluster_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: Column | str, bits: int = 64) -> Column:
+    """64-bit SimHash over whitespace tokens (term frequency weighted by
+    occurrence, standard Charikar construction): for each bit, sum +1/-1 over
+    token hashes, take the sign. Pure column expressions — the per-row cost is
+    bits × tokens, embarrassingly parallel, no shuffle at all.
+    """
+    hashes = F.transform(F.transform(tokens(text), F.lower), F.xxhash64)
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        out = out + F.when(vote >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise measure)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard for all pairs sharing ≥1 shingle.
+
+    inter/(|A|+|B|-inter) with integer counts, one double divide at the end
+    (stable hashes). At 100 TB this runs *after* LSH candidate pruning; the
+    shingle equijoin shape is identical, just on a pruned id set.
+    """
+    sh = exploded_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.round(
+        F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Pairs (a < b) with cosine ≥ threshold.
+
+    ``block_col`` prunes the cross product to same-block pairs (at scale,
+    block on an LSH sign-bucket — functions/vector.sign_bucket — so the join
+    is an equijoin, not a cartesian)."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        as_double(F.col(vec_col)).alias("v_a"),
+        *( [F.col(block_col).alias("blk_a")] if block_col else [] ),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        as_double(F.col(vec_col)).alias("v_b"),
+        *( [F.col(block_col).alias("blk_b")] if block_col else [] ),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        joined = a.join(b, (F.col("blk_a") == F.col("blk_b")) & cond)
+    else:
+        joined = a.join(b, cond)
+    sim = F.round(cosine(F.col("v_a"), F.col("v_b")), 6)
+    return (
+        joined.select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,115 @@
+"""Text-analysis column expressions for the ``documents`` table: tokenization,
+language ID, quality scoring, fingerprinting (SURVEY §2 F5).
+
+Everything is built from JVM-side regexp/string functions so the hot path
+stays inside whole-stage codegen — no Python UDFs. Each helper returns a
+Column, composable into any plan; the conformance queries wire them up.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+#: Whitespace tokenizer (matches the reference era's CSV-ish text handling).
+WS_SPLIT_RE = r"\s+"
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks —
+#: the standard GPT-2-style pre-split shape, minus unicode categories.
+BPE_TOKEN_RE = r"(?:[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
+
+#: Marker stopwords per language for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"(?:the|and|of|to|in)",
+    "es": r"(?:el|los|las|que|una)",
+    "fr": r"(?:les|des|une|est|dans)",
+    "de": r"(?:der|die|und|das|ist)",
+}
+
+#: English stopword subset for quality scoring.
+STOPWORDS_RE = r"(?:the|a|an|and|or|of|to|in|is|it|that|this|for|on|with|as)"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of trimmed text."""
+    return F.split(F.trim(text), WS_SPLIT_RE)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(F.transform(tokens(text), F.lower))).cast("long")
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Token count under the BPE-ish pre-tokenizer regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)).cast("long")
+
+
+def _marker_count(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(rf"\b{pattern}\b"), 0))
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts."""
+    text = F.col(text) if isinstance(text, str) else text
+    return {lang: _marker_count(text, pat) for lang, pat in LANG_MARKERS.items()}
+
+
+def lang_id(text: Column | str) -> Column:
+    """Argmax of marker counts with a fixed priority order on ties
+    (en > es > fr > de); 'und' when nothing matches."""
+    s = lang_scores(text)
+    en, es, fr, de = s["en"], s["es"], s["fr"], s["de"]
+    return (
+        F.when((en > 0) & (en >= es) & (en >= fr) & (en >= de), F.lit("en"))
+        .when((es > 0) & (es >= fr) & (es >= de), F.lit("es"))
+        .when((fr > 0) & (fr >= de), F.lit("fr"))
+        .when(de > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def punct_count(text: Column | str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+
+
+def stopword_count(text: Column | str) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(rf"\b{STOPWORDS_RE}\b"), 0))
+
+
+def quality_metrics(text: Column | str) -> dict[str, Column]:
+    """Length/punctuation/stopword quality signals, all as deterministic
+    double ratios (computed sum-then-single-divide so they hash stably)."""
+    text = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(text).cast("long")
+    n_tokens = token_count(text)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": F.round(n_chars.cast("double") / n_tokens, 6),
+        "punct_ratio": F.round(punct_count(text).cast("double") / n_chars, 6),
+        "stopword_ratio": F.round(stopword_count(text).cast("double") / n_tokens, 6),
+    }
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Whitespace-collapsed lowercase form used for fingerprints/dedup keys."""
+    return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    (The reference era would call this a content hash; rolling/simhash
+    variants live in functions/dedup.py.)
+    """
+    return F.md5(normalized_text(text).cast("binary"))
+
+
+def scrub_newlines(text: Column | str) -> Column:
+    """C4: strip CR/LF so CSV rows stay single-line (contrib
+    ``write_object_to_file``; call site salesforce_to_s3_operator.py:84-90,210)."""
+    return F.regexp_replace(text, r"[\r\n]+", "")

@@ -1,0 +1,97 @@
+"""Named-table catalog over parquet directories.
+
+Plays the role of the reference's "Salesforce object" namespace
+(``salesforce_to_s3_operator.py:44,137``): a table is addressed by name and its
+schema is discovered from storage, not declared by the caller (SURVEY §1.3,
+A3/A4). Column names are normalized to lowercase on load, matching the
+reference's destination normalization
+(``salesforce_schema_to_redshift_operator.py:97`` — B9).
+
+Scale notes: ``load_table`` is a plain ``spark.read.parquet`` so Catalyst keeps
+column pruning and predicate pushdown; nothing is cached or collected here. The
+nanos-timestamp repair reads only the parquet *footer* (driver-side, O(1) per
+table regardless of data size) to learn which columns need the
+long→timestamp_micros conversion forced by ``spark.sql.legacy.parquet.nanosAsLong``.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from salesforce_plugin_spark.session import ensure_runtime_conf
+
+#: The fixture universe (TESTDATA.md). Mirrors the reference's notion of the
+#: set of extractable Salesforce objects.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@lru_cache(maxsize=256)
+def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
+    """Column names stored as parquet TIMESTAMP(NANOS) under ``path``.
+
+    Footer-only read; returns () when pyarrow is unavailable or the path is
+    not locally inspectable (in that case no repair is attempted).
+    """
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow as pa
+
+        schema = ds.dataset(path, format="parquet").schema
+        return tuple(
+            name
+            for name, typ in zip(schema.names, schema.types)
+            if isinstance(typ, pa.TimestampType) and typ.unit == "ns"
+        )
+    except Exception:
+        return ()
+
+
+def lowercase_columns(df: DataFrame) -> DataFrame:
+    """B9: normalize column names to lowercase (reference :97)."""
+    lowered = [c.lower() for c in df.columns]
+    if lowered == list(df.columns):
+        return df
+    return df.toDF(*lowered)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a named table from ``{sf_dir}/{name}.parquet``.
+
+    Equivalent of the reference's generated full-object scan (A3,
+    ``salesforce_to_s3_operator.py:186-188,201-202``): schema from storage,
+    all columns available, pruning left to the optimizer.
+    """
+    ensure_runtime_conf(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = lowercase_columns(spark.read.parquet(path))
+    # Repair TIMESTAMP(NANOS) columns read as raw longs (see session.py):
+    # integer-divide to micros (truncation, matching a ns→us timestamp cast)
+    # and rebuild the timestamp. Stays in whole-stage codegen.
+    for col in _nanos_timestamp_columns(path):
+        col = col.lower()
+        if col in df.columns:
+            # `div` (integer division) — ns epochs exceed double's 2^53 exact
+            # range, so a float divide would corrupt the low-order digits.
+            df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register each table as a temp view so ``spark.sql`` can address it."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
