@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` is the flagship smoke query; ``queries()`` /
+``oracle_sql()`` are the declared conformance surface (SURVEY.md §2),
+implemented in ``salesforce_plugin_spark/conformance.py`` and checked by
+the driver against DuckDB at sf=0.01 (row-count + schema +
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+from salesforce_plugin_spark.conformance import ORACLES, QUERIES
+from salesforce_plugin_spark.sources.catalog import load_table
+
+SMOKE_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (SURVEY §3.1 restatement): scan → broadcast parent
+    lookup join → filter → hash agg → top-k. Runs on sf0.001; driver
+    checks rows > 0 and a stable schema."""
+    li = load_table(spark, SMOKE_DIR, "lineitem")
+    o = load_table(spark, SMOKE_DIR, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-01-01").cast("timestamp"))
+        .join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.sum(revenue.cast("decimal(18,4)")).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderpriority", "l_returnflag")
+        .limit(20)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query; names omitted here (the
+    nondeterministic / hash-family-specific ops) get rows-only checks."""
+    return dict(ORACLES)

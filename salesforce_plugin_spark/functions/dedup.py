@@ -45,14 +45,22 @@ def dedup_exact(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFram
 # ---------------------------------------------------------------------------
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct n-word shingles (space-joined) of the lowercased text."""
+    """Distinct n-word shingles (space-joined) of the lowercased text.
+
+    Documents with fewer than ``n`` tokens (including empty text, which
+    tokenizes to ``[""]``) yield an empty array — a descending
+    ``sequence(1, 0)`` would otherwise drive ``element_at(toks, 0)`` into
+    INVALID_INDEX_OF_ZERO at runtime.
+    """
     toks = F.transform(tokens(text), F.lower)
     # element_at is 1-based; sequence(1, size-n+1) enumerates shingle starts.
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     shingle = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + j) for j in range(n)]
     )
-    return F.array_distinct(F.transform(starts, shingle))
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(F.transform(starts, shingle))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -150,10 +158,21 @@ def near_dedup_clusters(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
     bucket_min = banded.groupBy("band", "bucket").agg(F.min(id_col).alias("bucket_min"))
-    return (
+    assigned = (
         banded.join(bucket_min, ["band", "bucket"])
         .groupBy(id_col)
         .agg(F.min("bucket_min").alias("cluster_id"))
+    )
+    # Shingle-less documents (empty/short text) produce no signature and
+    # would vanish in the explode→groupBy chain; left-join the assignment
+    # back onto the full id set so they come out as singleton clusters.
+    return (
+        df.select(id_col)
+        .join(assigned, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
     )
 
 
@@ -167,7 +186,7 @@ def simhash64(text: Column | str, bits: int = 64) -> Column:
     token hashes, take the sign. Pure column expressions — the per-row cost is
     bits × tokens, embarrassingly parallel, no shuffle at all.
     """
-    hashes = F.transform(F.transform(tokens(text), F.lower), F.xxhash64)
+    hashes = F.transform(tokens(text), lambda t: F.xxhash64(F.lower(t)))
     out = F.lit(0).cast("long")
     for b in range(bits):
         vote = F.aggregate(

@@ -1,0 +1,123 @@
+"""Multimodal column plumbing (SURVEY §2 F4): image/audio/video payloads as
+opaque ``binary`` columns with typed metadata, processed through
+Arrow-batched ``mapInPandas`` pipelines.
+
+The container ships no media libraries, so the actual decode step is STUBBED:
+``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless a
+decoder callable is injected, and the conformance path uses the deterministic
+``payload_stats`` (byte length + md5) fake. Everything around the stub — the
+schema contract, Arrow batch shape, UDF signature, partition behavior — is
+real and tested (tests/test_multimodal.py).
+
+Scale notes: ``mapInPandas`` streams Arrow record batches through one Python
+worker per core with no shuffle; payload bytes never visit the driver. For
+100 TB of media, pair this with ``spark.sql.files.maxPartitionBytes`` tuned
+so one task's batch of payloads fits executor memory, and keep metadata-only
+predicates (mime/size filters) *outside* the pandas stage so they push into
+the parquet scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+#: Typed metadata carried alongside every opaque payload column.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("payload_md5", T.StringType()),
+    ]
+)
+
+
+def decode_image(payload: bytes, decoder: Callable[[bytes], object] | None = None):
+    """Decode an image payload. STUB: no image library ships in this
+    environment — callers must inject ``decoder`` (e.g. PIL.Image.open)."""
+    if decoder is None:
+        raise NotImplementedError(
+            "image decoding requires an injected decoder (no media libs here)"
+        )
+    return decoder(payload)
+
+
+def decode_audio(payload: bytes, decoder: Callable[[bytes], object] | None = None):
+    """Decode an audio payload. STUB — see decode_image."""
+    if decoder is None:
+        raise NotImplementedError(
+            "audio decoding requires an injected decoder (no media libs here)"
+        )
+    return decoder(payload)
+
+
+def payload_stats(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Deterministic per-payload stats via mapInPandas — the fake 'decode'
+    used to exercise the full Arrow-batched binary pipeline end to end."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "byte_len": payloads.map(len).astype("int64"),
+                    "payload_md5": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        compute, STATS_SCHEMA
+    )
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    every_nth: int = 30,
+    decoder: Callable[[bytes], list[bytes]] | None = None,
+) -> DataFrame:
+    """Video frame-sampling pipeline shape: payload → frames (1:N explode
+    inside the pandas stage, so frame bytes never concatenate into one row).
+    Decoder stubbed like the rest of F4."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frame_nos, frames = [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                all_frames = decode_image(bytes(payload), decoder)  # list[bytes]
+                for n, fr in enumerate(all_frames[::every_nth]):
+                    ids.append(i)
+                    frame_nos.append(n)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": frame_nos, "frame": frames}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        sample, out_schema
+    )

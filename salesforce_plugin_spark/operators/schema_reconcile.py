@@ -76,7 +76,12 @@ class FieldDescriptor:
     def spark_type(self) -> T.DataType:
         if self.soap_type == "double" and self.precision:
             return T.DecimalType(self.precision, self.scale or 0)
-        return SOAP_TO_SPARK[self.soap_type]
+        # Unmapped SOAP types (reference, currency, percent, multipicklist,
+        # combobox, address, time, base64, …) fall back to StringType — the
+        # reference's dt_conv would KeyError here (same gap,
+        # salesforce_schema_to_redshift_operator.py:41-55); a string column
+        # is always loadable and preserves the raw value.
+        return SOAP_TO_SPARK.get(self.soap_type, T.StringType())
 
     def ddl_type(self) -> str:
         """Type string for CREATE/ALTER DDL, carrying the reference's varchar
@@ -90,11 +95,19 @@ class FieldDescriptor:
         return t.simpleString().upper()
 
     def effective_length(self) -> int | None:
-        """Length used for C7 truncation-on-load."""
+        """Length used for C7 truncation-on-load.
+
+        Over-cap lengths clamp to VARCHAR_MAX rather than disabling
+        truncation: the reference's varchar(MAX) + TRUNCATECOLUMNS
+        (salesforce_schema_to_redshift_operator.py:50,283) still truncates
+        oversize textarea/string values at the 65535 cap.
+        """
+        if not isinstance(self.spark_type(), T.StringType):
+            return None
         n = FIXED_LENGTHS.get(self.soap_type, self.length)
-        if n and n <= VARCHAR_MAX:
-            return n
-        return None
+        if not n:
+            return None
+        return min(n, VARCHAR_MAX)
 
 
 def strip_soap_namespace(soap_type: str) -> str:

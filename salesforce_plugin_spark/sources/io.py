@@ -55,12 +55,22 @@ def write_ndjson(df: DataFrame, path: str, **opts) -> None:
     _prepare(df, **opts).write.mode("overwrite").json(path)
 
 
-def write_json_array(df: DataFrame, path: str, **opts) -> None:
+def write_json_array(
+    df: DataFrame, path: str, order_by: list[str] | None = None, **opts
+) -> None:
     """A12: single JSON array of records. Deliberately small-result-only (the
     one non-scalable format, kept for parity with ``fmt='json'``): collapses
-    to one file via a single-partition write. Do not point this at 100 TB."""
+    to one file via a single-partition write. Do not point this at 100 TB.
+
+    Record order is made deterministic by sorting within the single output
+    partition on ``order_by`` (default: all columns) before concatenation —
+    ``collect_list`` alone would inherit partition arrival order, which
+    varies run to run, unlike the reference's ordered ``json.dumps`` spool.
+    """
     prepared = _prepare(df, **opts)
-    arr = prepared.agg(
+    keys = order_by if order_by is not None else list(prepared.columns)
+    single = prepared.coalesce(1).sortWithinPartitions(*keys)
+    arr = single.agg(
         F.concat(
             F.lit("["),
             F.concat_ws(",", F.collect_list(F.to_json(F.struct(*prepared.columns)))),
