@@ -1,0 +1,75 @@
+"""Benchmark harness (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is forced end-to-end with a ``noop`` write (full plan executes
+on the executors, nothing materializes on the driver — the honest analog
+of writing to object storage at scale). Wall time per query includes
+planning + execution, excluding session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from salesforce_plugin_spark.conformance import QUERIES
+from salesforce_plugin_spark.session import get_spark
+
+#: The headline set: one per operator family, weighted toward the plans
+#: whose shape matters at scale (shuffle-heavy aggs/joins, window state,
+#: LSH dedup, text/vector pipelines).
+HEADLINE = [
+    "q_agg_groupby",        # partial-agg hash groupBy (TPC-H Q1 shape)
+    "q_parent_lookup_join", # broadcast fact-dim join
+    "q_child_flatten_join", # nest + explode relationship round-trip
+    "q_agg_cube",           # Expand-based multi-grouping
+    "q_agg_count_distinct", # exact distinct (shuffle on distinct keys)
+    "q_dedup_exact",        # window row_number dedup
+    "q_event_window",       # tumbling event-time window
+    "q_event_session",      # session windows (stateful gap merge)
+    "q_text_tokens",        # regex-heavy codegen text pipeline
+    "q_near_dedup",         # minhash + LSH banding + self-join
+    "q_embed_topk",         # brute-force cosine top-k
+    "q_multimodal_bytes",   # Arrow-batched mapInPandas binary path
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_spark("bench")
+    # Warm the JVM + parquet footers with one tiny action so per-query
+    # numbers measure the plan, not first-touch overheads.
+    spark.range(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

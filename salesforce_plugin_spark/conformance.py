@@ -43,7 +43,7 @@ from salesforce_plugin_spark.functions import text as X
 from salesforce_plugin_spark.functions import vector as V
 from salesforce_plugin_spark.operators import transforms as TR
 from salesforce_plugin_spark.operators.schema_reconcile import align_to_destination
-from salesforce_plugin_spark.sources.catalog import load_table
+from salesforce_plugin_spark.sources.catalog import load_table, parallelized
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -354,7 +354,7 @@ def q_dedup_exact(spark, sf_dir):
 def q_dedup_fingerprint(spark, sf_dir):
     """F1 (content form): md5-fingerprint hash-groupBy dedup — survivor id +
     duplicate count per distinct normalized text."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelized(load_table(spark, sf_dir, "documents"))
     return (
         d.select(X.fingerprint(F.col("text")).alias("fp"), "doc_id")
         .groupBy("fp")
@@ -364,13 +364,13 @@ def q_dedup_fingerprint(spark, sf_dir):
 
 def q_near_dedup(spark, sf_dir):
     """F2: MinHash+LSH near-dup clusters (hash-family specific → rows-only)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelized(load_table(spark, sf_dir, "documents"))
     return D.near_dedup_clusters(d, "doc_id", "text")
 
 
 def q_text_tokens(spark, sf_dir):
     """F5: token counting — whitespace, distinct, BPE-ish regex."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelized(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         X.token_count(F.col("text")).alias("n_tokens"),
@@ -382,13 +382,13 @@ def q_text_tokens(spark, sf_dir):
 
 def q_lang_id(spark, sf_dir):
     """F5: n-gram/stopword-marker language ID heuristic."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelized(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", "lang", X.lang_id(F.col("text")).alias("lang_pred"))
 
 
 def q_quality_score(spark, sf_dir):
     """F5: length/punct/stopword quality signals (counts — exact integers)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelized(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         X.token_count(F.col("text")).alias("n_tokens"),
@@ -399,8 +399,8 @@ def q_quality_score(spark, sf_dir):
 
 def q_simhash(spark, sf_dir):
     """F2/F5: 64-bit SimHash fingerprint (xxhash64 family → rows-only)."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", D.simhash64(F.col("text")).alias("simhash"))
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    return D.simhash_table(d, "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------
@@ -436,8 +436,10 @@ def q_multimodal_bytes(spark, sf_dir):
     Arrow batching, UDF signature) is the real deliverable."""
     from salesforce_plugin_spark.functions.multimodal import payload_stats
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
+    d = parallelized(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").cast("binary").alias("payload")
+        )
     )
     return payload_stats(d, "doc_id", "payload")
 

@@ -44,28 +44,41 @@ def dedup_exact(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFram
 # Shingling (shared by MinHash / Jaccard)
 # ---------------------------------------------------------------------------
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct n-word shingles (space-joined) of the lowercased text.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingles (space-joined) over a *materialized* token
+    array column.
+
+    ``toks`` MUST be a plain column reference, not an expression: Spark does
+    no common-subexpression elimination inside higher-order-function lambdas,
+    so an inline ``split(...)`` subtree here would re-tokenize the document
+    once per shingle (measured 10×+ slowdown at sf0.1).
 
     Documents with fewer than ``n`` tokens (including empty text, which
     tokenizes to ``[""]``) yield an empty array — a descending
-    ``sequence(1, 0)`` would otherwise drive ``element_at(toks, 0)`` into
-    INVALID_INDEX_OF_ZERO at runtime.
+    ``sequence(1, 0)`` would otherwise drive 0-index array access into a
+    runtime error.
     """
-    toks = F.transform(tokens(text), F.lower)
-    # element_at is 1-based; sequence(1, size-n+1) enumerates shingle starts.
     starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(n)]
-    )
+    shingle = lambda i: F.array_join(F.slice(toks, i, n), " ")  # noqa: E731
     return F.when(
         F.size(toks) >= n, F.array_distinct(F.transform(starts, shingle))
     ).otherwise(F.array().cast("array<string>"))
 
 
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles of the lowercased text. For hot paths over a
+    DataFrame prefer ``exploded_shingles`` (materializes tokens first)."""
+    return shingles_from_tokens(F.transform(tokens(text), F.lower), n)
+
+
 def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    return df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    """(id, shingle) rows. Tokenizes in one projection, shingles in the next,
+    so the token array is computed exactly once per document."""
+    toked = df.select(
+        F.col(id_col), F.transform(tokens(F.col(text_col)), F.lower).alias("__toks")
+    )
+    return toked.select(
+        F.col(id_col), F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("shingle")
     )
 
 
@@ -157,9 +170,12 @@ def near_dedup_clusters(
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
-    bucket_min = banded.groupBy("band", "bucket").agg(F.min(id_col).alias("bucket_min"))
+    # min-id per bucket as a window over the banded rows: one pass over the
+    # minhash pipeline and two shuffles total — the groupBy+self-join
+    # formulation recomputes the entire shingle→minhash subtree twice.
+    w = Window.partitionBy("band", "bucket")
     assigned = (
-        banded.join(bucket_min, ["band", "bucket"])
+        banded.withColumn("bucket_min", F.min(id_col).over(w))
         .groupBy(id_col)
         .agg(F.min("bucket_min").alias("cluster_id"))
     )
@@ -180,13 +196,26 @@ def near_dedup_clusters(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(text: Column | str, bits: int = 64) -> Column:
-    """64-bit SimHash over whitespace tokens (term frequency weighted by
-    occurrence, standard Charikar construction): for each bit, sum +1/-1 over
-    token hashes, take the sign. Pure column expressions — the per-row cost is
-    bits × tokens, embarrassingly parallel, no shuffle at all.
-    """
-    hashes = F.transform(tokens(text), lambda t: F.xxhash64(F.lower(t)))
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """(id, simhash) per document — the hot-path form: token hashes are
+    materialized in one projection so the ``bits`` per-bit vote aggregates
+    scan a concrete array instead of re-tokenizing per bit (see
+    shingles_from_tokens on lambda subexpression elimination)."""
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(F.lower(t))).alias(
+            "__h"
+        ),
+    )
+    return hashed.select(
+        F.col(id_col), simhash_from_hashes(F.col("__h"), bits).alias("simhash")
+    )
+
+
+def simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
+    """SimHash from a *materialized* array<long> of token hashes."""
     out = F.lit(0).cast("long")
     for b in range(bits):
         vote = F.aggregate(
@@ -197,6 +226,16 @@ def simhash64(text: Column | str, bits: int = 64) -> Column:
         )
         out = out + F.when(vote >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
     return out
+
+
+def simhash64(text: Column | str, bits: int = 64) -> Column:
+    """Column-expression SimHash (Charikar construction: per bit, sum +1/-1
+    over token hashes, take the sign). Convenience form for one-off use —
+    the inline token-hash subtree re-evaluates per bit, so for whole-table
+    fingerprinting use ``simhash_table`` instead."""
+    return simhash_from_hashes(
+        F.transform(tokens(text), lambda t: F.xxhash64(F.lower(t))), bits
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -91,6 +91,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallelized(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a scan whose input splits are coarser than the
+    available cores.
+
+    Parquet can't split below a row group, so a small-but-CPU-heavy input
+    (text corpus, media payloads) stored as one row group pins the whole
+    pipeline to one task. The repartition is applied ONLY when the scan has
+    fewer partitions than requested — at real scale (many row groups/files)
+    this is a no-op and no shuffle is added.
+    """
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     """Register each table as a temp view so ``spark.sql`` can address it."""
     for name in names:
