@@ -1,0 +1,106 @@
+"""Catalog layer + property-style checks (SURVEY §5.4/§5.5): fixture loads,
+lowercase normalization, nanos-timestamp repair, reconcile convergence,
+serialization round-trip."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from salesforce_plugin_spark.operators.schema_reconcile import (
+    FieldDescriptor,
+    reconcile_table,
+)
+from salesforce_plugin_spark.sources.catalog import (
+    TABLES,
+    load_table,
+    lowercase_columns,
+    parallelized,
+    register_views,
+)
+
+SF = "/root/testdata/sf0.001"
+needs_fixtures = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver fixtures not present"
+)
+
+
+@needs_fixtures
+def test_all_fixture_tables_load(spark):
+    for t in TABLES:
+        df = load_table(spark, SF, t)
+        assert df.columns == [c.lower() for c in df.columns]
+        assert df.limit(1).count() == 1
+
+
+@needs_fixtures
+def test_events_nanos_timestamp_repair(spark):
+    e = load_table(spark, SF, "events")
+    assert dict(e.dtypes)["ts"] == "timestamp"
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).collect()[0]
+    assert lo.year == 2024 and hi.year == 2024
+
+
+@needs_fixtures
+def test_register_views_sql_addressable(spark):
+    register_views(spark, SF, ["region", "nation"])
+    n = spark.sql(
+        "SELECT count(*) AS n FROM nation JOIN region ON n_regionkey = r_regionkey"
+    ).collect()[0].n
+    assert n == 25
+
+
+def test_lowercase_columns_noop_when_already_lower(spark):
+    df = spark.createDataFrame([(1,)], ["already_lower"])
+    assert lowercase_columns(df) is df
+
+
+def test_parallelized_raises_partitions(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], ["x"]).coalesce(1)
+    out = parallelized(df, min_partitions=4)
+    assert out.rdd.getNumPartitions() == 4
+    # no-op when already parallel enough
+    assert parallelized(out, min_partitions=2) is out
+
+
+def test_reconcile_converges_under_random_add_only_evolution(spark):
+    """Property: any sequence of add-only field evolutions converges — the
+    destination accumulates the union of fields and re-runs are no-ops."""
+    import random
+
+    rng = random.Random(42)
+    pool = [
+        FieldDescriptor(sf_name=f"f{i}", soap_type=t, length=20)
+        for i, t in enumerate(
+            ["string", "int", "boolean", "dateTime", "double", "email"] * 3
+        )
+    ]
+    spark.sql("DROP TABLE IF EXISTS t_converge")
+    seen: list[FieldDescriptor] = []
+    for _ in range(5):
+        new = rng.sample([d for d in pool if d not in seen], k=2)
+        seen.extend(new)
+        reconcile_table(spark, "t_converge", list(seen))
+    # converged: one more reconcile with the full set is a no-op
+    assert reconcile_table(spark, "t_converge", list(seen)) == []
+    cols = {c.name for c in spark.catalog.listColumns("t_converge")}
+    assert {d.name for d in seen} <= cols
+    spark.sql("DROP TABLE t_converge")
+
+
+def test_ndjson_roundtrip_preserves_values(spark, tmp_path):
+    """Property: df → ndjson → read back is value-identical (modulo column
+    order) for flat schemas."""
+    from salesforce_plugin_spark.sources.io import write_ndjson
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -0.25)], "id long, s string, v double"
+    )
+    out = str(tmp_path / "rt")
+    write_ndjson(df, out)
+    back = spark.read.json(out)
+    a = sorted(df.select("id", "s", "v").collect())
+    b = sorted(back.select("id", "s", "v").collect())
+    assert a == b

@@ -1,0 +1,112 @@
+"""F1/F2 dedup operators: exact survivor selection, shingles (short-doc
+guard), minhash/LSH clustering invariants, jaccard, simhash, cosine pairs."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from salesforce_plugin_spark.functions.dedup import (
+    dedup_exact,
+    embedding_cosine_pairs,
+    hamming64,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    near_dedup_clusters,
+    ngram_jaccard_pairs,
+    simhash_table,
+    word_shingles,
+)
+
+
+def test_dedup_exact_keeps_first_by_order(spark):
+    df = spark.createDataFrame(
+        [(1, "k", 3), (2, "k", 1), (3, "k", 2), (4, "j", 9)],
+        ["id", "key", "seq"],
+    )
+    out = dedup_exact(df, ["key"], ["seq", "id"])
+    assert sorted(r.id for r in out.collect()) == [2, 4]
+
+
+def test_word_shingles_short_doc_guard(spark):
+    df = spark.createDataFrame([("",), ("one",), ("two words",), ("a b c d",)], ["t"])
+    rows = df.select(word_shingles(F.col("t"), 3).alias("s")).collect()
+    assert [r.s for r in rows[:3]] == [[], [], []]  # < n tokens → empty, no crash
+    assert rows[3].s == ["a b c", "b c d"]
+
+
+def test_shingles_are_distinct_and_lowercased(spark):
+    df = spark.createDataFrame([("A b A b A b",)], ["t"])
+    rows = df.select(word_shingles(F.col("t"), 2).alias("s")).collect()[0].s
+    assert sorted(rows) == ["a b", "b a"]
+
+
+def test_minhash_signature_shape_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps")],
+        ["id", "t"],
+    )
+    sigs = minhash_signatures(df, "id", "t", num_hashes=8).collect()
+    a, b = sorted(sigs, key=lambda r: r.id)
+    # identical text → identical signature
+    assert [a[f"mh_{i}"] for i in range(8)] == [b[f"mh_{i}"] for i in range(8)]
+
+
+def test_lsh_candidates_find_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " ok"), (3, "completely different words entirely here now")],
+        ["id", "t"],
+    )
+    sigs = minhash_signatures(df, "id", "t", num_hashes=16)
+    pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, "id").collect()}
+    assert (1, 2) in pairs
+    assert all(p[0] < p[1] for p in pairs)
+
+
+def test_near_dedup_clusters_cover_all_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, ""), (4, "zz")],
+        ["id", "t"],
+    )
+    rows = near_dedup_clusters(df, "id", "t").collect()
+    got = {r.id: r.cluster_id for r in rows}
+    assert set(got) == {1, 2, 3, 4}          # one row per input doc
+    assert got[1] == got[2] == 1             # exact dupes share a cluster
+    assert got[3] == 3 and got[4] == 4       # shingle-less → singleton
+
+
+def test_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], ["id", "t"]
+    )
+    # 2-shingles: {ab,bc,cd} vs {ab,bc,ce} → inter=2, union=4 → 0.5
+    out = ngram_jaccard_pairs(df, "id", "t", n=2, threshold=0.0).collect()
+    assert len(out) == 1 and out[0].jaccard == 0.5
+
+
+def test_simhash_similar_docs_close_in_hamming(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark makes big data processing fast and simple today"),
+            (2, "spark makes big data processing fast and simple tonight"),
+            (3, "quantum chromodynamics lattice gauge theory computations"),
+        ],
+        ["id", "t"],
+    )
+    sh = {r.id: r.simhash for r in simhash_table(df, "id", "t").collect()}
+    pairs = spark.createDataFrame(
+        [(sh[1], sh[2]), (sh[1], sh[3])], "a long, b long"
+    ).select(hamming64(F.col("a"), F.col("b")).alias("h")).collect()
+    near, far = pairs[0].h, pairs[1].h
+    assert near < far
+
+
+def test_embedding_cosine_pairs_threshold_and_blocking(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.999, 0.01], 0), (3, [0.0, 1.0], 1)],
+        "id long, v array<float>, blk int",
+    )
+    out = embedding_cosine_pairs(df, "id", "v", threshold=0.95).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+    blocked = embedding_cosine_pairs(df, "id", "v", threshold=-1.0, block_col="blk")
+    assert {(r.id_a, r.id_b) for r in blocked.collect()} == {(1, 2)}  # cross-block pruned

@@ -1,0 +1,108 @@
+"""A5-A13 sinks (csv/ndjson/json-array round-trips, deterministic order) and
+F4 multimodal plumbing (payload stats, stubbed decoders)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import tempfile
+
+import pytest
+
+from salesforce_plugin_spark.functions.multimodal import (
+    decode_audio,
+    decode_image,
+    frame_sample_plan,
+    payload_stats,
+)
+from salesforce_plugin_spark.sources.io import (
+    write_csv,
+    write_json_array,
+    write_ndjson,
+)
+
+
+def sample_df(spark):
+    return spark.createDataFrame(
+        [(2, "B\nB", {"type": "T"}), (1, "a", {"type": "T"})],
+        "ID long, Txt string, attributes map<string,string>",
+    )
+
+
+def read_text(path):
+    parts = sorted(glob.glob(os.path.join(path, "part-*")))
+    return "".join(open(p).read() for p in parts)
+
+
+def test_write_csv_scrubs_newlines_and_lowercases(spark, tmp_path):
+    out = str(tmp_path / "csv")
+    write_csv(sample_df(spark), out)
+    text = read_text(out)
+    header = text.splitlines()[0]
+    assert header == "id,txt"           # attributes dropped, names lowercased
+    assert "BB" in text and "B\nB" not in text
+
+
+def test_write_ndjson_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "nd")
+    write_ndjson(sample_df(spark), out)
+    lines = [json.loads(x) for x in read_text(out).strip().splitlines()]
+    assert sorted(x["id"] for x in lines) == [1, 2]
+    assert all("attributes" not in x for x in lines)
+
+
+def test_write_json_array_deterministic_order(spark, tmp_path):
+    df = sample_df(spark).repartition(4)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_json_array(df, a, order_by=["id"])
+    write_json_array(df, b, order_by=["id"])
+    ja, jb = read_text(a), read_text(b)
+    assert ja == jb                      # run-to-run deterministic
+    arr = json.loads(ja)
+    assert [x["id"] for x in arr] == [1, 2]
+
+
+def test_write_csv_overwrite_idempotent(spark, tmp_path):
+    out = str(tmp_path / "ow")
+    write_csv(sample_df(spark), out)
+    write_csv(sample_df(spark), out)     # E5: replace=True analog
+    assert read_text(out).splitlines()[0] == "id,txt"
+
+
+# --- F4 multimodal ----------------------------------------------------------
+
+def test_payload_stats_real_pipeline(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(1, "hello"), (2, "")], ["doc_id", "t"]).select(
+        "doc_id", F.col("t").cast("binary").alias("payload")
+    )
+    rows = {r.doc_id: r for r in payload_stats(df, "doc_id", "payload").collect()}
+    assert rows[1].byte_len == 5
+    assert rows[1].payload_md5 == "5d41402abc4b2a76b9719d911017c592"  # md5('hello')
+    assert rows[2].byte_len == 0
+
+
+def test_decoders_are_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF")
+    # injected decoder passes through
+    assert decode_image(b"x", decoder=lambda b: ("img", len(b))) == ("img", 1)
+
+
+def test_frame_sample_plan_with_fake_decoder(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(1, "abcdef")], ["doc_id", "t"]).select(
+        "doc_id", F.col("t").cast("binary").alias("payload")
+    )
+    # fake decoder: one "frame" per byte
+    out = frame_sample_plan(
+        df, "doc_id", "payload", every_nth=2,
+        decoder=lambda b: [bytes([x]) for x in b],
+    ).collect()
+    assert [bytes(r.frame) for r in out] == [b"a", b"c", b"e"]
+    assert [r.frame_no for r in out] == [0, 1, 2]
