@@ -483,6 +483,28 @@ def q_event_session(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# D21/§7: the SOQL string front door end-to-end
+# ---------------------------------------------------------------------------
+
+def q_soql_front_door(spark, sf_dir):
+    """D1-D17 via the string entry point: a SOQL query parsed and lowered to
+    a DataFrame plan (plans/soql.py), honoring the reference's free-form
+    ``soql``/``query`` params (salesforce_to_s3_operator.py:29,127)."""
+    from salesforce_plugin_spark.plans import soql_to_df
+
+    def resolve(name):
+        return load_table(spark, sf_dir, name.lower())
+
+    return soql_to_df(
+        spark,
+        "SELECT o_orderpriority, COUNT() n, MAX(o_totalprice) max_price "
+        "FROM Orders WHERE o_orderstatus IN ('F', 'O') AND o_totalprice > 1000 "
+        "GROUP BY o_orderpriority",
+        resolve=resolve,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -522,6 +544,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_multimodal_bytes": q_multimodal_bytes,
     "q_event_window": q_event_window,
     "q_event_session": q_event_session,
+    "q_soql_front_door": q_soql_front_door,
 }
 
 _BPE_RE = r"(?:[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
@@ -739,6 +762,12 @@ ORACLES: dict[str, str] = {
         SELECT user_id, epoch_us(min(ts)) AS session_start_us,
                count(*) AS n_events
         FROM sessions GROUP BY user_id, sid
+    """,
+    "q_soql_front_door": """
+        SELECT o_orderpriority, count(*) AS n, max(o_totalprice) AS max_price
+        FROM orders
+        WHERE o_orderstatus IN ('F', 'O') AND o_totalprice > 1000
+        GROUP BY o_orderpriority
     """,
     # rows-only (no oracle): q_fetch_time_added (current_timestamp),
     # q_near_dedup + q_simhash (xxhash64 family has no DuckDB equivalent).

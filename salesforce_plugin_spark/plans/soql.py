@@ -1,0 +1,544 @@
+"""SOQL front door (SURVEY §2 D, §7 phase 4): a small parser that turns the
+reference's string-query entry points (``soql`` param
+salesforce_to_s3_operator.py:29, ``query`` :127, generated projection
+:201-202) into DataFrame plans. Strictly a front-end — every construct
+lowers to DataFrame calls and Catalyst owns optimization from there.
+
+Supported surface (the D-rows of SURVEY §2):
+
+- ``SELECT f1, f2 | agg(f)`` projection and aggregates
+  (COUNT()/COUNT(f)/COUNT_DISTINCT(f)/SUM/AVG/MIN/MAX) — D1, D10
+- date functions in SELECT/GROUP BY: CALENDAR_YEAR/CALENDAR_MONTH/
+  CALENDAR_QUARTER/DAY_ONLY/HOUR_IN_DAY — D19
+- ``WHERE`` with ``= != < <= > >= LIKE IN NOT IN``, AND/OR/NOT, parens,
+  semi/anti subqueries ``[NOT] IN (SELECT ...)`` — D2-D7
+- SOQL semantic shims: LIKE is case-insensitive (D3); ``= NULL`` /
+  ``!= NULL`` are null tests, not ANSI unknown (D20)
+- ``GROUP BY`` (+ ROLLUP/CUBE), ``HAVING`` — D11-D14
+- ``ORDER BY ... [ASC|DESC] [NULLS FIRST|LAST]`` (SOQL default ASC NULLS
+  FIRST = Spark's default) — D15
+- ``LIMIT`` / ``OFFSET`` — D16, D17
+- date literals TODAY/YESTERDAY/LAST_N_DAYS:n/NEXT_N_DAYS:n — D18
+
+Not supported (not needed for the conformance surface): dot-path
+relationship traversal in the string form (use the DataFrame API's joins),
+nested parent-to-child subselects in SELECT, FOR UPDATE/VIEW.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+
+class SoqlError(ValueError):
+    """Raised on any parse or lowering failure, with position context."""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s*(?:
+      (?P<string>'(?:[^'\\]|\\.)*')
+    | (?P<number>-?\d+(?:\.\d+)?)
+    | (?P<datelit>(?:LAST_N_DAYS|NEXT_N_DAYS):\d+)
+    | (?P<word>[A-Za-z_][A-Za-z0-9_.]*)
+    | (?P<op><=|>=|!=|=|<|>)
+    | (?P<punct>[(),*])
+    )
+    """,
+    re.X,
+)
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+    pos: int
+
+
+def tokenize(s: str) -> list[Tok]:
+    out, i = [], 0
+    while i < len(s):
+        if s[i].isspace():
+            i += 1
+            continue
+        m = _TOKEN_RE.match(s, i)
+        if not m:
+            raise SoqlError(f"SOQL: unexpected character {s[i]!r} at {i}")
+        out.append(Tok(m.lastgroup, m.group(m.lastgroup), i))
+        i = m.end()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Parser (recursive descent over the token list)
+# ---------------------------------------------------------------------------
+
+_AGGS = {"COUNT", "COUNT_DISTINCT", "SUM", "AVG", "MIN", "MAX"}
+_DATE_FNS: dict[str, Callable[[Column], Column]] = {
+    "CALENDAR_YEAR": F.year,
+    "CALENDAR_MONTH": F.month,
+    "CALENDAR_QUARTER": F.quarter,
+    "DAY_ONLY": F.to_date,
+    "HOUR_IN_DAY": F.hour,
+}
+_KEYWORDS = {
+    "SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER", "LIMIT",
+    "OFFSET", "AND", "OR", "NOT", "IN", "LIKE", "ASC", "DESC", "NULLS",
+    "FIRST", "LAST", "TRUE", "FALSE", "NULL", "ROLLUP", "CUBE", "TODAY",
+    "YESTERDAY",
+}
+
+
+class _Parser:
+    def __init__(self, toks: list[Tok], source: str):
+        self.toks, self.i, self.src = toks, 0, source
+
+    # -- token plumbing ----------------------------------------------------
+    def peek(self, k: int = 0) -> Tok | None:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def next(self) -> Tok:
+        t = self.peek()
+        if t is None:
+            raise SoqlError("SOQL: unexpected end of query")
+        self.i += 1
+        return t
+
+    def kw(self, *words: str) -> bool:
+        """Consume the keyword sequence if present."""
+        for k, w in enumerate(words):
+            t = self.peek(k)
+            if t is None or t.kind != "word" or t.text.upper() != w:
+                return False
+        self.i += len(words)
+        return True
+
+    def expect(self, text: str) -> None:
+        t = self.next()
+        if t.text.upper() != text.upper():
+            raise SoqlError(f"SOQL: expected {text!r}, got {t.text!r} at {t.pos}")
+
+    # -- grammar -----------------------------------------------------------
+    def parse_query(self) -> dict:
+        self.expect("SELECT")
+        items = [self.parse_select_item()]
+        while self.peek() and self.peek().text == ",":
+            self.next()
+            items.append(self.parse_select_item())
+        self.expect("FROM")
+        obj = self.next()
+        if obj.kind != "word":
+            raise SoqlError(f"SOQL: expected object name at {obj.pos}")
+        q = {"select": items, "from": obj.text, "where": None, "group": None,
+             "grouping": "plain", "having": None, "order": [], "limit": None,
+             "offset": None}
+        if self.kw("WHERE"):
+            q["where"] = self.parse_or()
+        if self.kw("GROUP", "BY"):
+            if self.kw("ROLLUP"):
+                q["grouping"] = "rollup"
+                self.expect("(")
+                q["group"] = self.parse_expr_list(until=")")
+                self.expect(")")
+            elif self.kw("CUBE"):
+                q["grouping"] = "cube"
+                self.expect("(")
+                q["group"] = self.parse_expr_list(until=")")
+                self.expect(")")
+            else:
+                q["group"] = self.parse_expr_list()
+        if self.kw("HAVING"):
+            q["having"] = self.parse_or()
+        if self.kw("ORDER", "BY"):
+            q["order"] = self.parse_order_list()
+        if self.kw("LIMIT"):
+            q["limit"] = int(self.next().text)
+        if self.kw("OFFSET"):
+            q["offset"] = int(self.next().text)
+        if self.peek() is not None:
+            t = self.peek()
+            raise SoqlError(f"SOQL: trailing input {t.text!r} at {t.pos}")
+        return q
+
+    def parse_expr_list(self, until: str | None = None) -> list[dict]:
+        items = [self.parse_value_expr()]
+        while self.peek() and self.peek().text == ",":
+            self.next()
+            items.append(self.parse_value_expr())
+        return items
+
+    def parse_order_list(self) -> list[dict]:
+        out = []
+        while True:
+            e = self.parse_value_expr()
+            desc = False
+            nulls = None
+            if self.kw("ASC"):
+                pass
+            elif self.kw("DESC"):
+                desc = True
+            if self.kw("NULLS", "FIRST"):
+                nulls = "first"
+            elif self.kw("NULLS", "LAST"):
+                nulls = "last"
+            out.append({"expr": e, "desc": desc, "nulls": nulls})
+            if self.peek() and self.peek().text == ",":
+                self.next()
+                continue
+            return out
+
+    def parse_select_item(self) -> dict:
+        t = self.peek()
+        if t.kind == "word" and t.text.upper() == "COUNT" and \
+                self.peek(1) and self.peek(1).text == "(" and \
+                self.peek(2) and self.peek(2).text == ")":
+            self.i += 3
+            return {"kind": "agg", "fn": "COUNT", "arg": None,
+                    "alias": self.maybe_alias("expr0")}
+        e = self.parse_value_expr()
+        return {**e, "alias": self.maybe_alias(default_alias(e))}
+
+    def maybe_alias(self, default: str) -> str:
+        t = self.peek()
+        if (
+            t is not None
+            and t.kind == "word"
+            and t.text.upper() not in _KEYWORDS
+            and not (t.text.upper() in _AGGS or t.text.upper() in _DATE_FNS)
+        ):
+            self.next()
+            return t.text
+        return default
+
+    def parse_value_expr(self) -> dict:
+        t = self.next()
+        if t.kind != "word":
+            raise SoqlError(f"SOQL: expected field or function at {t.pos}")
+        up = t.text.upper()
+        if up in _AGGS and self.peek() and self.peek().text == "(":
+            self.next()
+            if self.peek() and self.peek().text == ")":  # COUNT()
+                self.next()
+                return {"kind": "agg", "fn": "COUNT", "arg": None}
+            inner = self.parse_value_expr()
+            self.expect(")")
+            return {"kind": "agg", "fn": up, "arg": inner}
+        if up in _DATE_FNS and self.peek() and self.peek().text == "(":
+            self.next()
+            inner = self.parse_value_expr()
+            self.expect(")")
+            return {"kind": "datefn", "fn": up, "arg": inner}
+        return {"kind": "field", "name": t.text}
+
+    # WHERE grammar: or := and (OR and)* ; and := unary (AND unary)* ;
+    # unary := NOT unary | ( or ) | comparison
+    def parse_or(self) -> dict:
+        left = self.parse_and()
+        while self.kw("OR"):
+            left = {"kind": "or", "l": left, "r": self.parse_and()}
+        return left
+
+    def parse_and(self) -> dict:
+        left = self.parse_unary()
+        while self.kw("AND"):
+            left = {"kind": "and", "l": left, "r": self.parse_unary()}
+        return left
+
+    def parse_unary(self) -> dict:
+        if self.kw("NOT"):
+            return {"kind": "not", "e": self.parse_unary()}
+        if self.peek() and self.peek().text == "(":
+            # lookahead: grouped boolean, not an IN-list
+            self.next()
+            e = self.parse_or()
+            self.expect(")")
+            return e
+        return self.parse_comparison()
+
+    def parse_comparison(self) -> dict:
+        lhs = self.parse_value_expr()
+        if self.kw("NOT", "IN"):
+            return {"kind": "in", "neg": True, "l": lhs, "r": self.parse_in_rhs()}
+        if self.kw("IN"):
+            return {"kind": "in", "neg": False, "l": lhs, "r": self.parse_in_rhs()}
+        if self.kw("LIKE"):
+            pat = self.next()
+            if pat.kind != "string":
+                raise SoqlError(f"SOQL: LIKE needs a string literal at {pat.pos}")
+            return {"kind": "like", "l": lhs, "pat": unquote(pat.text)}
+        t = self.next()
+        if t.kind != "op":
+            raise SoqlError(f"SOQL: expected comparison operator at {t.pos}")
+        return {"kind": "cmp", "op": t.text, "l": lhs, "r": self.parse_literal()}
+
+    def parse_in_rhs(self) -> dict:
+        self.expect("(")
+        if self.peek() and self.peek().kind == "word" and \
+                self.peek().text.upper() == "SELECT":
+            sub = _Parser(self.toks[self.i:], self.src)
+            # re-parse the subquery from the remaining tokens up to its ')'
+            depth, j = 0, self.i
+            while j < len(self.toks):
+                if self.toks[j].text == "(":
+                    depth += 1
+                elif self.toks[j].text == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                j += 1
+            sub = _Parser(self.toks[self.i:j], self.src).parse_query()
+            self.i = j
+            self.expect(")")
+            return {"kind": "subquery", "q": sub}
+        vals = [self.parse_literal()]
+        while self.peek() and self.peek().text == ",":
+            self.next()
+            vals.append(self.parse_literal())
+        self.expect(")")
+        return {"kind": "list", "vals": vals}
+
+    def parse_literal(self) -> dict:
+        t = self.next()
+        if t.kind == "string":
+            return {"kind": "lit", "v": unquote(t.text)}
+        if t.kind == "number":
+            v = float(t.text) if "." in t.text else int(t.text)
+            return {"kind": "lit", "v": v}
+        if t.kind == "datelit":
+            fn, n = t.text.split(":")
+            return {"kind": "datelit", "fn": fn, "n": int(n)}
+        up = t.text.upper()
+        if up == "TRUE":
+            return {"kind": "lit", "v": True}
+        if up == "FALSE":
+            return {"kind": "lit", "v": False}
+        if up == "NULL":
+            return {"kind": "null"}
+        if up in ("TODAY", "YESTERDAY"):
+            return {"kind": "datelit", "fn": up, "n": 0}
+        # bare word: SOQL allows ISO date/datetime literals unquoted
+        if re.fullmatch(r"\d{4}-\d{2}-\d{2}(T[\d:.+Zz-]+)?", t.text):
+            return {"kind": "lit", "v": t.text}
+        raise SoqlError(f"SOQL: bad literal {t.text!r} at {t.pos}")
+
+
+def unquote(s: str) -> str:
+    return s[1:-1].replace("\\'", "'").replace('\\"', '"')
+
+
+def default_alias(e: dict) -> str:
+    if e["kind"] == "field":
+        return e["name"].lower()
+    if e["kind"] == "agg":
+        arg = e["arg"]["name"].lower() if e.get("arg") else ""
+        return f"{e['fn'].lower()}_{arg}".rstrip("_")
+    if e["kind"] == "datefn":
+        return f"{e['fn'].lower()}_{e['arg']['name'].lower()}"
+    raise SoqlError(f"no alias for {e}")
+
+
+# ---------------------------------------------------------------------------
+# Lowering to DataFrame plans
+# ---------------------------------------------------------------------------
+
+def _value_col(e: dict) -> Column:
+    if e["kind"] == "field":
+        return F.col(e["name"].lower())
+    if e["kind"] == "datefn":
+        return _DATE_FNS[e["fn"]](_value_col(e["arg"]))
+    if e["kind"] == "agg":
+        raise SoqlError("aggregate not allowed here")
+    raise SoqlError(f"bad value expr {e}")
+
+
+def _agg_col(e: dict) -> Column:
+    fn, arg = e["fn"], e.get("arg")
+    if fn == "COUNT":
+        return F.count(_value_col(arg)) if arg else F.count(F.lit(1))
+    if fn == "COUNT_DISTINCT":
+        return F.countDistinct(_value_col(arg))
+    return {"SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max}[fn](
+        _value_col(arg)
+    )
+
+
+def _literal_col(e: dict) -> Column:
+    if e["kind"] == "lit":
+        return F.lit(e["v"])
+    if e["kind"] == "datelit":
+        fn = e["fn"]
+        if fn == "TODAY":
+            return F.current_date()
+        if fn == "YESTERDAY":
+            return F.date_sub(F.current_date(), 1)
+        if fn == "LAST_N_DAYS":
+            return F.date_sub(F.current_date(), e["n"])
+        if fn == "NEXT_N_DAYS":
+            return F.date_add(F.current_date(), e["n"])
+    raise SoqlError(f"bad literal {e}")
+
+
+class _Lowerer:
+    def __init__(self, resolve: Callable[[str], DataFrame]):
+        self.resolve = resolve
+
+    def lower(self, q: dict) -> DataFrame:
+        df = self.resolve(q["from"])
+        if q["where"] is not None:
+            df = self._apply_where(df, q["where"])
+
+        items = q["select"]
+        aggs = [it for it in items if it["kind"] == "agg"]
+        if q["group"] is not None:
+            keys = [_value_col(g).alias(default_alias(g)) for g in q["group"]]
+            key_names = [default_alias(g) for g in q["group"]]
+            pre = df.select("*", *[
+                _value_col(g).alias(default_alias(g))
+                for g in q["group"] if g["kind"] == "datefn"
+            ])
+            grouped = {
+                "plain": pre.groupBy(*key_names),
+                "rollup": pre.rollup(*key_names),
+                "cube": pre.cube(*key_names),
+            }[q["grouping"]]
+            agg_cols = [_agg_col(it).alias(it["alias"]) for it in aggs]
+            if not agg_cols:
+                agg_cols = [F.count(F.lit(1)).alias("count")]
+            df = grouped.agg(*agg_cols)
+            proj = []
+            for it in items:
+                if it["kind"] == "agg":
+                    proj.append(F.col(it["alias"]))
+                else:
+                    proj.append(F.col(default_alias(it)).alias(it["alias"]))
+            post_agg = df
+            if q["having"] is not None:
+                post_agg = post_agg.filter(self._bool(q["having"], agg_ok=True))
+            df = post_agg.select(*proj)
+        elif aggs:
+            df = df.agg(*[_agg_col(it).alias(it["alias"]) for it in items])
+        else:
+            df = df.select(
+                *[_value_col(it).alias(it["alias"]) for it in items]
+            )
+
+        if q["order"]:
+            cols = []
+            for o in q["order"]:
+                c = _value_col(o["expr"]) if o["expr"]["kind"] != "agg" else \
+                    _agg_col(o["expr"])
+                name = default_alias(o["expr"])
+                if name in df.columns:
+                    c = F.col(name)
+                if o["desc"]:
+                    c = c.desc_nulls_last() if o["nulls"] == "last" else \
+                        c.desc_nulls_first() if o["nulls"] == "first" else c.desc()
+                else:
+                    c = c.asc_nulls_last() if o["nulls"] == "last" else \
+                        c.asc_nulls_first()  # SOQL default: ASC NULLS FIRST
+                cols.append(c)
+            df = df.orderBy(*cols)
+        if q["offset"]:
+            df = df.offset(q["offset"])
+        if q["limit"] is not None:
+            df = df.limit(q["limit"])
+        return df
+
+    def _apply_where(self, df: DataFrame, e: dict) -> DataFrame:
+        """Split top-level AND into plain predicates and subquery joins so
+        semi/anti conditions lower to left_semi/left_anti joins."""
+        conjuncts = self._split_and(e)
+        plain = [c for c in conjuncts if not self._is_subquery(c)]
+        subs = [c for c in conjuncts if self._is_subquery(c)]
+        if plain:
+            pred = plain[0]
+            for p in plain[1:]:
+                pred = {"kind": "and", "l": pred, "r": p}
+            df = df.filter(self._bool(pred))
+        for s in subs:
+            key = _value_col(s["l"])
+            sub_df = self.lower(s["r"]["q"])
+            sub_key = sub_df.columns[0]
+            how = "left_anti" if s["neg"] else "left_semi"
+            df = df.join(sub_df, key == sub_df[sub_key], how)
+        return df
+
+    @staticmethod
+    def _split_and(e: dict) -> list[dict]:
+        if e["kind"] == "and":
+            return _Lowerer._split_and(e["l"]) + _Lowerer._split_and(e["r"])
+        return [e]
+
+    @staticmethod
+    def _is_subquery(e: dict) -> bool:
+        return e["kind"] == "in" and e["r"]["kind"] == "subquery"
+
+    def _bool(self, e: dict, agg_ok: bool = False) -> Column:
+        k = e["kind"]
+        if k == "and":
+            return self._bool(e["l"], agg_ok) & self._bool(e["r"], agg_ok)
+        if k == "or":
+            return self._bool(e["l"], agg_ok) | self._bool(e["r"], agg_ok)
+        if k == "not":
+            return ~self._bool(e["e"], agg_ok)
+        if k == "like":
+            # D3: SOQL LIKE is case-insensitive
+            return F.lower(_value_col(e["l"])).like(e["pat"].lower())
+        if k == "in":
+            if e["r"]["kind"] == "subquery":
+                raise SoqlError(
+                    "SOQL: [NOT] IN (SELECT ...) only supported as a "
+                    "top-level AND conjunct of WHERE"
+                )
+            vals = [v["v"] for v in e["r"]["vals"]]
+            c = _value_col(e["l"]).isin(vals)
+            return ~c if e["neg"] else c
+        if k == "cmp":
+            lhs = (
+                _agg_col(e["l"]) if agg_ok and e["l"]["kind"] == "agg"
+                else _value_col(e["l"])
+            )
+            if e["r"]["kind"] == "null":
+                # D20: SOQL '= NULL' is a null test, not ANSI unknown
+                if e["op"] == "=":
+                    return lhs.isNull()
+                if e["op"] == "!=":
+                    return lhs.isNotNull()
+                raise SoqlError(f"SOQL: operator {e['op']} with NULL")
+            rhs = _literal_col(e["r"])
+            return {
+                "=": lhs == rhs, "!=": lhs != rhs, "<": lhs < rhs,
+                "<=": lhs <= rhs, ">": lhs > rhs, ">=": lhs >= rhs,
+            }[e["op"]]
+        raise SoqlError(f"SOQL: bad boolean expr {e}")
+
+
+def soql_to_df(
+    spark: SparkSession,
+    soql: str,
+    resolve: Callable[[str], DataFrame] | None = None,
+) -> DataFrame:
+    """Parse a SOQL string and return the equivalent DataFrame plan.
+
+    ``resolve`` maps an object name to its DataFrame; the default resolves
+    case-insensitively against the session catalog's temp views (use
+    ``sources.catalog.register_views`` first), replacing the reference's
+    CamelCase-mangling normalizer (C6) with case-insensitive lookup.
+    """
+    if resolve is None:
+        def resolve(name: str) -> DataFrame:  # noqa: F811
+            return spark.table(name.lower())
+
+    q = _Parser(tokenize(soql), soql).parse_query()
+    return _Lowerer(resolve).lower(q)

@@ -1,0 +1,15 @@
+from salesforce_plugin_spark.streaming.windows import (
+    dedup_stream,
+    incremental_predicate,
+    sessionized_events,
+    stream_events,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "stream_events",
+    "windowed_event_counts",
+    "sessionized_events",
+    "dedup_stream",
+    "incremental_predicate",
+]

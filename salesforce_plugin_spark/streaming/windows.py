@@ -1,0 +1,132 @@
+"""Structured Streaming formulation of the event pipeline (SURVEY §2 F6).
+
+The reference's incremental idiom is a Jinja-templated watermark predicate —
+``WHERE SystemModstamp > {{ prev_execution_date }}`` re-rendered per run
+(``template_fields``, salesforce_to_s3_operator.py:25,115-116). Structured
+Streaming is that idiom made continuous: the watermark tracks progress
+instead of the scheduler, and the same windowed aggregations run as the
+batch forms in conformance.py (q_event_window / q_event_session share these
+plan shapes — Spark's unified batch/streaming semantics guarantee the same
+results for the same input data).
+
+Scale posture: streaming state (window + session stores) is partitioned by
+grouping key across executors; watermarks bound state size by evicting
+windows older than the allowed lateness. At 100 TB/day ingest, the knobs
+that matter are ``spark.sql.shuffle.partitions`` (state store count),
+watermark delay (state retention), and RocksDB state backend
+(``spark.sql.streaming.stateStore.providerClass``) for state > heap.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import Column, DataFrame, SparkSession
+
+#: events fixture schema (FIXTURES.md) — streaming file sources need an
+#: explicit schema (no inference mid-stream). ts is TimestampType after the
+#: catalog's nanos repair; raw streaming reads get it as long nanos under
+#: spark.sql.legacy.parquet.nanosAsLong and repair below.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, path: str, watermark: str = "30 minutes"
+) -> DataFrame:
+    """readStream over an events parquet directory with event-time watermark.
+
+    The watermark is the late-data bound: rows later than it are dropped
+    from stateful aggregations, which is what lets state be evicted instead
+    of growing forever.
+
+    ``path`` may be a directory, a glob, or a single parquet file — the file
+    streaming source itself only accepts directories/globs, so a plain file
+    path is rewritten to a glob matching exactly that file.
+    """
+    import os
+
+    if os.path.isfile(path):
+        path = path + "*" if not path.endswith("*") else path
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)  # bounded batches on backfill
+        .parquet(path)
+    )
+    return raw.withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    ).withWatermark("ts", watermark)
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling event-time aggregation — streaming form of q_event_window."""
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_events(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Session windows (inactivity gap) per user — streaming form of
+    q_event_session. Sessions merge as events arrive; a session closes when
+    the watermark passes its end."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Streaming exact dedup within the watermark horizon (F1, streaming
+    form): duplicate event_ids arriving within the late-data bound are
+    dropped; state for ids older than the watermark is evicted."""
+    return events.dropDuplicatesWithinWatermark(keys or ["event_id"])
+
+
+def incremental_predicate(ts_col: str | Column, since) -> Column:
+    """The reference's templated-watermark idiom (D21) as a plain predicate:
+    ``WHERE ts > {{ prev_execution_date }}`` for batch incremental runs —
+    the degenerate, scheduler-driven form of the streaming watermark."""
+    col = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    return col > F.lit(since).cast("timestamp")
+
+
+def run_to_memory_sink(
+    stream: DataFrame, name: str, mode: str = "append"
+) -> "DataFrame":
+    """Drain all currently-available input through the streaming plan into an
+    in-memory table (test/debug helper; production sinks are files/Kafka).
+    Returns the sink table DataFrame after the stream finishes."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream.sparkSession.table(name)

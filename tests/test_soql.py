@@ -1,0 +1,134 @@
+"""SOQL front door: string queries lower to DataFrame plans with SOQL
+semantics (case-insensitive LIKE, = NULL as null test, semi/anti subqueries,
+aggregates, rollup/cube, order/limit/offset)."""
+
+from __future__ import annotations
+
+import pytest
+
+from salesforce_plugin_spark.plans import SoqlError, soql_to_df
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    spark.createDataFrame(
+        [
+            (1, "Alice", "NY", 100.0, 1),
+            (2, "bob", "CA", 50.0, 1),
+            (3, "Carol", None, 75.0, 2),
+            (4, "dave", "NY", None, 2),
+        ],
+        ["id", "name", "state", "amount", "grp"],
+    ).createOrReplaceTempView("account")
+    spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 3)], ["oid", "account_id"]
+    ).createOrReplaceTempView("orders_t")
+    return spark
+
+
+def run(spark, q):
+    return soql_to_df(spark, q)
+
+
+def test_projection_and_filter(tables):
+    out = run(tables, "SELECT Id, Name FROM Account WHERE amount > 60").collect()
+    assert sorted(r.id for r in out) == [1, 3]
+    assert run(tables, "SELECT id FROM account").count() == 4
+
+
+def test_like_is_case_insensitive(tables):
+    out = run(tables, "SELECT id FROM account WHERE name LIKE 'a%'").collect()
+    assert sorted(r.id for r in out) == [1]  # Alice matches a% case-insensitively
+    out2 = run(tables, "SELECT id FROM account WHERE name LIKE '%O%'").collect()
+    assert sorted(r.id for r in out2) == [2, 3]  # bob, Carol
+
+
+def test_null_equality_is_null_test(tables):
+    assert [r.id for r in run(tables, "SELECT id FROM account WHERE state = NULL").collect()] == [3]
+    out = run(tables, "SELECT id FROM account WHERE amount != NULL ORDER BY id").collect()
+    assert [r.id for r in out] == [1, 2, 3]
+
+
+def test_in_list_and_not_in(tables):
+    assert sorted(
+        r.id for r in run(tables, "SELECT id FROM account WHERE state IN ('NY')").collect()
+    ) == [1, 4]
+    assert sorted(
+        r.id for r in run(
+            tables, "SELECT id FROM account WHERE id NOT IN (1, 2, 3)"
+        ).collect()
+    ) == [4]
+
+
+def test_boolean_composition(tables):
+    q = "SELECT id FROM account WHERE (state = 'NY' OR state = 'CA') AND NOT amount < 60"
+    assert sorted(r.id for r in run(tables, q).collect()) == [1]
+
+
+def test_semi_and_anti_subquery(tables):
+    semi = run(
+        tables,
+        "SELECT id FROM account WHERE Id IN (SELECT account_id FROM orders_t)",
+    ).collect()
+    assert sorted(r.id for r in semi) == [1, 3]
+    anti = run(
+        tables,
+        "SELECT id FROM account WHERE Id NOT IN (SELECT account_id FROM orders_t)",
+    ).collect()
+    assert sorted(r.id for r in anti) == [2, 4]
+
+
+def test_aggregates_global_and_grouped(tables):
+    row = run(
+        tables,
+        "SELECT COUNT(), SUM(amount) total, COUNT_DISTINCT(state) nstates FROM account",
+    ).collect()[0]
+    assert row[0] == 4 and row.total == 225.0 and row.nstates == 2
+    grouped = run(
+        tables,
+        "SELECT grp, COUNT(amount) n FROM account GROUP BY grp HAVING COUNT(amount) >= 2",
+    ).collect()
+    assert len(grouped) == 1 and grouped[0].grp == 1 and grouped[0].n == 2
+
+
+def test_rollup(tables):
+    out = run(
+        tables, "SELECT grp, COUNT() n FROM account GROUP BY ROLLUP(grp)"
+    ).collect()
+    totals = {r.grp: r.n for r in out}
+    assert totals[None] == 4 and totals[1] == 2 and totals[2] == 2
+
+
+def test_order_limit_offset(tables):
+    out = run(
+        tables, "SELECT id FROM account ORDER BY amount DESC NULLS LAST LIMIT 2"
+    ).collect()
+    assert [r.id for r in out] == [1, 3]
+    page = run(
+        tables, "SELECT id FROM account ORDER BY id LIMIT 2 OFFSET 1"
+    ).collect()
+    assert [r.id for r in page] == [2, 3]
+    # SOQL default sort: ASC NULLS FIRST
+    first = run(tables, "SELECT id FROM account ORDER BY amount").collect()[0]
+    assert first.id == 4
+
+
+def test_date_function_group(tables, spark):
+    spark.sql(
+        "SELECT 1 AS k, TIMESTAMP '2020-05-01 10:00:00' AS ts "
+        "UNION ALL SELECT 2, TIMESTAMP '2021-05-01 11:00:00'"
+    ).createOrReplaceTempView("evts")
+    out = run(
+        spark,
+        "SELECT CALENDAR_YEAR(ts) yr, COUNT() n FROM evts GROUP BY CALENDAR_YEAR(ts)",
+    ).collect()
+    assert {r.yr: r.n for r in out} == {2020: 1, 2021: 1}
+
+
+def test_parse_errors_are_descriptive(tables):
+    with pytest.raises(SoqlError, match="expected"):
+        run(tables, "SELECT FROM account")
+    with pytest.raises(SoqlError, match="trailing"):
+        run(tables, "SELECT id FROM account LIMIT 1 bogus extra")
+    with pytest.raises(SoqlError, match="unexpected character"):
+        run(tables, "SELECT id FROM account WHERE name ~ 'x'")

@@ -1,0 +1,87 @@
+"""F6 streaming: the readStream event pipeline produces the same results as
+the batch conformance queries on the same input (Spark's unified semantics),
+and streaming dedup/watermark plumbing works end to end."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from salesforce_plugin_spark.streaming.windows import (
+    dedup_stream,
+    incremental_predicate,
+    run_to_memory_sink,
+    sessionized_events,
+    stream_events,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """A small parquet events directory, written with the fixture's nanos
+    encoding shape (timestamps as long ns, repaired by stream_events)."""
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(100):
+        ts = base + dt.timedelta(minutes=i * 7)  # 7-min spacing → session splits
+        rows.append((i, int(ts.timestamp() * 1_000_000_000), i % 3,
+                     ["view", "click"][i % 2], float(i), "{}"))
+    # duplicate event ids to exercise streaming dedup
+    rows += rows[:5]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, "
+              "value double, props string"
+    )
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    df.write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_windowed_counts_match_batch(spark, events_dir):
+    # complete mode: append would hold back the final windows (the watermark
+    # never advances past end-of-input, so they never "close")
+    stream = windowed_event_counts(stream_events(spark, events_dir))
+    got = run_to_memory_sink(stream, "t_win", mode="complete")
+    batch = (
+        spark.read.parquet(events_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    s = {(r.w_start, r.event_type): r.n for r in got.collect()}
+    b = {(r.w["start"], r.event_type): r.n for r in batch.collect()}
+    assert s == b and len(s) > 0
+
+
+def test_sessionization_streaming(spark, events_dir):
+    got = run_to_memory_sink(
+        sessionized_events(stream_events(spark, events_dir), gap="10 minutes"),
+        "t_sess",
+    )
+    rows = got.collect()
+    assert len(rows) > 0
+    # per-user event spacing is 21 min > 10-min gap → every distinct event
+    # time is its own session; the 5 duplicated events double their session
+    per_user = [r for r in rows if r.user_id == 0]
+    assert all(r.n_events in (1, 2) for r in per_user)
+    assert sum(r.n_events == 2 for r in per_user) == 2  # dup ids 0 and 3
+
+
+def test_streaming_dedup_drops_duplicate_ids(spark, events_dir):
+    got = run_to_memory_sink(
+        dedup_stream(stream_events(spark, events_dir)).select("event_id"),
+        "t_dedup",
+    )
+    ids = [r.event_id for r in got.collect()]
+    assert len(ids) == len(set(ids)) == 100  # 105 input rows, 5 dupes dropped
+
+
+def test_incremental_predicate(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1),), (dt.datetime(2024, 2, 1),)], "ts timestamp"
+    )
+    out = df.filter(incremental_predicate("ts", "2024-01-15 00:00:00")).collect()
+    assert len(out) == 1 and out[0].ts.month == 2
