@@ -1,0 +1,119 @@
+"""End-to-end ELT facades: the three reference-operator counterparts run
+their full lifecycle (scan/query → transforms → sink / reconcile → load)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from salesforce_plugin_spark.operators.elt import (
+    BulkQueryExtract,
+    ObjectExtract,
+    SchemaReconcileLoad,
+)
+
+
+@pytest.fixture(scope="module")
+def views(spark):
+    spark.createDataFrame(
+        [
+            (1, "Alice", "a@x.com", [(10, "open"), (11, "won")]),
+            (2, "Bob", "b@x.com", []),
+        ],
+        "Id long, Name string, Email string, "
+        "Opportunities array<struct<OppId:long, Stage:string>>",
+    ).createOrReplaceTempView("lead")
+    return spark
+
+
+def read_parts(path):
+    return "".join(
+        open(p).read() for p in sorted(glob.glob(os.path.join(path, "part-*")))
+    )
+
+
+def test_bulk_query_extract(views, tmp_path):
+    out = str(tmp_path / "bulk")
+    BulkQueryExtract(
+        soql="SELECT Id, Name FROM Lead WHERE Id > 0", dest=out
+    ).execute(views)
+    lines = [json.loads(x) for x in read_parts(out).strip().splitlines()]
+    assert sorted(x["id"] for x in lines) == [1, 2]
+
+
+def test_object_extract_full_scan_csv(views, tmp_path):
+    out = str(tmp_path / "full")
+    ObjectExtract(
+        object_name="Lead", dest=out, fields=["Id", "Email"], fmt="csv"
+    ).execute(views)
+    text = read_parts(out)
+    assert text.splitlines()[0] == "id,email"
+    assert "a@x.com" in text
+
+
+def test_object_extract_relationship_flatten(views, tmp_path):
+    out = str(tmp_path / "rel")
+    ObjectExtract(
+        object_name="Lead",
+        dest=out,
+        relationship_object="Opportunities",
+        fmt="ndjson",
+    ).execute(views)
+    lines = [json.loads(x) for x in read_parts(out).strip().splitlines()]
+    # child rows replace parents; childless Bob contributes nothing
+    assert sorted(x["oppid"] for x in lines) == [10, 11]
+
+
+def test_object_extract_soql_passthrough(views, tmp_path):
+    out = str(tmp_path / "soql")
+    ObjectExtract(
+        object_name="Lead",
+        dest=out,
+        query="SELECT Id FROM Lead WHERE Name LIKE 'a%'",
+        fmt="ndjson",
+    ).execute(views)
+    lines = [json.loads(x) for x in read_parts(out).strip().splitlines()]
+    assert [x["id"] for x in lines] == [1]
+
+
+def test_object_extract_bad_fmt(views, tmp_path):
+    with pytest.raises(ValueError, match="fmt must be"):
+        ObjectExtract(object_name="Lead", dest="x", fmt="parquetish").execute(views)
+
+
+def test_schema_reconcile_load_end_to_end(spark):
+    describe = [
+        {"name": "Id", "soapType": "tns:ID"},
+        {"name": "Name", "soapType": "xsd:string", "length": 5},
+        {"name": "Score", "soapType": "xsd:double"},
+        {"name": "FullAddr", "soapType": "xsd:address"},
+        {"name": "City", "soapType": "xsd:string", "length": 20,
+         "compoundFieldName": "FullAddr"},
+    ]
+    spark.sql("DROP TABLE IF EXISTS t_elt_load")
+    op = SchemaReconcileLoad(table="t_elt_load", describe_fields=describe)
+    df = spark.createDataFrame(
+        [("a1", "Toolongname", 1.5, "Springfield")],
+        ["Id", "Name", "Score", "City"],
+    )
+    op.execute(spark, df)
+    got = spark.table("t_elt_load").collect()[0]
+    assert got.name == "Toolo"            # C7: truncated to declared length 5
+    assert got.city == "Springfield"      # compound component kept
+    cols = [c.name for c in spark.catalog.listColumns("t_elt_load")]
+    assert "fulladdr" not in cols         # compound parent pruned
+
+    # drift: second load with a new field → add-only ALTER + old rows null
+    describe2 = describe + [{"name": "Tier", "soapType": "xsd:int"}]
+    op2 = SchemaReconcileLoad(table="t_elt_load", describe_fields=describe2)
+    df2 = spark.createDataFrame(
+        [("a2", "ok", 2.0, "Shelbyville", 3)],
+        ["Id", "Name", "Score", "City", "Tier"],
+    )
+    op2.execute(spark, df2)
+    rows = {r.id: r for r in spark.table("t_elt_load").collect()}
+    assert rows["a2"].tier == 3 and rows["a1"].tier is None
+    spark.sql("DROP TABLE t_elt_load")
