@@ -265,12 +265,11 @@ def q_date_parts(spark, sf_dir):
 
 def q_date_range(spark, sf_dir):
     """D18: relative date literals pinned to fixed cutoffs; epoch-µs output
-    (events.ts is ns in parquet — both engines compare at µs, lossless here)."""
-    e = load_table(spark, sf_dir, "events")
-    return e.filter(
-        (F.col("ts") >= F.lit(EVENTS_LO).cast("timestamp"))
-        & (F.col("ts") < F.lit(EVENTS_HI).cast("timestamp"))
-    ).select(
+    (events.ts is ns in parquet — both engines compare at µs, lossless here).
+    The range rides ``ts_range`` so it filters the raw nanos long scan-side
+    (parquet row-group pruning) instead of the post-repair timestamp."""
+    e = load_table(spark, sf_dir, "events", ts_range=("ts", EVENTS_LO, EVENTS_HI))
+    return e.select(
         "event_id",
         "user_id",
         "event_type",
@@ -415,6 +414,24 @@ def q_embed_topk(spark, sf_dir):
     return V.cosine_topk(e, "vec_id", "embedding", q, k=10)
 
 
+def q_cosine_pairs(spark, sf_dir):
+    """F2 (embedding near-dup): all pairs with cosine ≥ 0.5, ids ordered.
+
+    At fixture scale the join is the raw a<b cross form so the oracle can
+    mirror it exactly; the scale path blocks both sides on sign_bucket
+    (embedding_cosine_pairs(block_col=...)) turning it into an equijoin."""
+    e = parallelized(load_table(spark, sf_dir, "embeddings"))
+    return D.embedding_cosine_pairs(e, "vec_id", "embedding", threshold=0.5)
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """F2: exact n-gram Jaccard over pairs sharing ≥1 shingle (the verifier
+    stage of a near-dedup pipeline; rows-only — shingling in SQL is not
+    reasonably expressible)."""
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    return D.ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.5)
+
+
 def q_embed_bucket(spark, sf_dir):
     """F3 scale path: LSH sign-bucket assignment (the partitioner for
     bucketed ANN search — deterministic, engine-portable)."""
@@ -540,6 +557,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_quality_score": q_quality_score,
     "q_simhash": q_simhash,
     "q_embed_topk": q_embed_topk,
+    "q_cosine_pairs": q_cosine_pairs,
+    "q_jaccard_pairs": q_jaccard_pairs,
     "q_embed_bucket": q_embed_bucket,
     "q_multimodal_bytes": q_multimodal_bytes,
     "q_event_window": q_event_window,
@@ -762,6 +781,14 @@ ORACLES: dict[str, str] = {
         SELECT user_id, epoch_us(min(ts)) AS session_start_us,
                count(*) AS n_events
         FROM sessions GROUP BY user_id, sid
+    """,
+    "q_cosine_pairs": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.5
     """,
     "q_soql_front_door": """
         SELECT o_orderpriority, count(*) AS n, max(o_totalprice) AS max_price

@@ -69,21 +69,51 @@ def lowercase_columns(df: DataFrame) -> DataFrame:
     return df.toDF(*lowered)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_range: tuple[str, str | None, str | None] | None = None,
+) -> DataFrame:
     """Load a named table from ``{sf_dir}/{name}.parquet``.
 
     Equivalent of the reference's generated full-object scan (A3,
     ``salesforce_to_s3_operator.py:186-188,201-202``): schema from storage,
     all columns available, pruning left to the optimizer.
+
+    ``ts_range=(col, lo, hi)`` applies an event-time half-open range
+    ``lo <= col < hi`` (either bound may be None) *scan-side*. This exists
+    because nanos-encoded timestamp columns are repaired from raw longs
+    (below), and a predicate on the repaired expression cannot push past the
+    projection into the parquet scan — filtering the raw long against the
+    epoch-nanos bounds keeps row-group min/max pruning, which at 100 TB of
+    time-ordered events is the difference between scanning one day and
+    scanning the table. For plain timestamp columns the same API applies an
+    ordinary (pushable) timestamp predicate.
     """
     ensure_runtime_conf(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = lowercase_columns(spark.read.parquet(path))
+    nanos_cols = [c.lower() for c in _nanos_timestamp_columns(path)]
+
+    if ts_range is not None:
+        col, lo, hi = ts_range
+        col = col.lower()
+        if col in nanos_cols:
+            to_ns = lambda s: F.unix_micros(F.lit(s).cast("timestamp")) * 1000  # noqa: E731
+            raw = F.col(col)
+        else:
+            to_ns = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+            raw = F.col(col)
+        if lo is not None:
+            df = df.filter(raw >= to_ns(lo))
+        if hi is not None:
+            df = df.filter(raw < to_ns(hi))
+
     # Repair TIMESTAMP(NANOS) columns read as raw longs (see session.py):
     # integer-divide to micros (truncation, matching a ns→us timestamp cast)
     # and rebuild the timestamp. Stays in whole-stage codegen.
-    for col in _nanos_timestamp_columns(path):
-        col = col.lower()
+    for col in nanos_cols:
         if col in df.columns:
             # `div` (integer division) — ns epochs exceed double's 2^53 exact
             # range, so a float divide would corrupt the low-order digits.
