@@ -368,12 +368,21 @@ def q_near_dedup(spark, sf_dir):
 
 
 def q_text_tokens(spark, sf_dir):
-    """F5: token counting — whitespace, distinct, BPE-ish regex."""
+    """F5: token counting — whitespace, distinct, BPE-ish regex. Tokens are
+    materialized once per document, then each metric reads the array (the
+    HOF-lambda no-CSE pitfall, SCALE.md)."""
     d = parallelized(load_table(spark, sf_dir, "documents"))
-    return d.select(
+    toked = d.select(
         "doc_id",
-        X.token_count(F.col("text")).alias("n_tokens"),
-        X.distinct_token_count(F.col("text")).alias("n_distinct"),
+        F.col("text"),
+        X.tokens(F.col("text")).alias("__toks"),
+    )
+    return toked.select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(F.transform(F.col("__toks"), F.lower)))
+        .cast("long")
+        .alias("n_distinct"),
         X.bpe_token_count(F.col("text")).alias("n_bpe"),
         F.length("text").cast("long").alias("n_chars"),
     )
