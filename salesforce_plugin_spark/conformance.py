@@ -36,7 +36,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from salesforce_plugin_spark.functions import dedup as D
 from salesforce_plugin_spark.functions import text as X
@@ -509,6 +509,57 @@ def q_event_session(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Beyond-SOQL relational surface (free in Spark; SURVEY §2 non-goal list)
+# ---------------------------------------------------------------------------
+
+def q_topk_per_group(spark, sf_dir):
+    """Window functions: top-3 orders by price per priority — the per-group
+    top-k every training-data pipeline needs (sample selection), planned as
+    a single windowed sort per partition, no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """Set operations: customers with both fulfilled and open orders
+    (INTERSECT), minus the top-balance cohort (EXCEPT)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    rich = c.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return (
+        f_cust.intersect(o_cust)
+        .exceptAll(rich)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+def q_embed_ivf(spark, sf_dir):
+    """F3 scale path: IVF (KMeans inverted lists + nprobe search). Probed
+    top-k is approximate by construction → rows-only check; recall against
+    the exact brute-force top-k is asserted in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = V.ivf_index(e, "vec_id", "embedding", nlist=8)
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    return V.ivf_topk(
+        assigned, centroids, qvec, "vec_id", "embedding", k=10, nprobe=3
+    )
+
+
+# ---------------------------------------------------------------------------
 # D21/§7: the SOQL string front door end-to-end
 # ---------------------------------------------------------------------------
 
@@ -572,6 +623,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_multimodal_bytes": q_multimodal_bytes,
     "q_event_window": q_event_window,
     "q_event_session": q_event_session,
+    "q_topk_per_group": q_topk_per_group,
+    "q_set_ops": q_set_ops,
+    "q_embed_ivf": q_embed_ivf,
     "q_soql_front_door": q_soql_front_door,
 }
 
@@ -798,6 +852,23 @@ ORACLES: dict[str, str] = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(
                    CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.5
+    """,
+    "q_topk_per_group": """
+        SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+            FROM orders
+        ) WHERE rnk <= 3
+    """,
+    "q_set_ops": """
+        SELECT o_custkey AS custkey FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        )
+        EXCEPT ALL
+        SELECT c_custkey FROM customer WHERE c_acctbal > 9000
     """,
     "q_soql_front_door": """
         SELECT o_orderpriority, count(*) AS n, max(o_totalprice) AS max_price

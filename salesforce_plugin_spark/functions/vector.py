@@ -61,6 +61,80 @@ def cosine_topk(
     )
 
 
+def ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nlist: int = 16,
+    seed: int = 42,
+):
+    """Build an IVF (inverted-file) index: KMeans centroids + per-vector
+    nearest-centroid assignment — the standard ANN scale path (F3).
+
+    Returns ``(assigned, centroids)`` where ``assigned`` is the input plus a
+    ``centroid_id`` int column (partition/cluster key for the search), and
+    ``centroids`` is a list of (centroid_id, center_vector) — index
+    *metadata*, O(nlist·dim), intentionally driver-side like any index
+    catalog. Training is one MLlib KMeans pass (seeded → deterministic);
+    at 100 TB you train on a sample and assign with the broadcast model.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(as_double(F.col(vec_col))).alias("__features"),
+    )
+    model = KMeans(
+        k=nlist, seed=seed, featuresCol="__features", predictionCol="centroid_id"
+    ).fit(feats)
+    assigned = model.transform(feats).drop("__features")
+    centroids = [(i, c.tolist()) for i, c in enumerate(model.clusterCenters())]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list,
+    query_vec: list,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF probe search: rank centroids against the query (driver-side —
+    nlist rows of metadata), scan only the ``nprobe`` nearest inverted
+    lists, brute-force cosine within them. Cuts the scan to ~nprobe/nlist
+    of the data at some recall cost; exact within probed lists.
+    """
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    probe_ids = [
+        cid for cid, _ in sorted(
+            centroids, key=lambda c: -cos(c[1], query_vec)
+        )[:nprobe]
+    ]
+    spark = assigned.sparkSession
+    q = spark.createDataFrame([(query_vec,)], f"q_vec array<double>")
+    sim = F.round(
+        cosine(as_double(F.col(vec_col)), F.col("q_vec")), 6
+    )
+    return (
+        assigned.filter(F.col("centroid_id").isin(probe_ids))
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def sign_bucket(vec: Column, bits: int = 8) -> Column:
     """LSH-style bucket id from the sign pattern of the first ``bits`` dims.
 
