@@ -1,0 +1,88 @@
+"""Partitioning strategies for the 100 TB posture (SCALE.md): salted joins
+for skewed keys, bucketed tables for co-located (shuffle-free) joins,
+range-partitioned writes for time-ordered data.
+
+AQE (enabled in ``session.RUNTIME_CONF``) handles moderate skew by
+splitting oversized partitions at runtime; explicit salting is the
+escape hatch when one key dominates so heavily that even split partitions
+bottleneck a single join task (the classic null-key / power-law fact-dim
+join). Bucketing removes the shuffle from *repeated* equi-joins on the
+same key — pay one clustered write, join free afterwards.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join a skew-keyed fact against a (broadcastable-or-small) dim by
+    exploding the dim ``salt`` ways and salting the fact uniformly.
+
+    Each fact row gets ``salt = hash-uniform ∈ [0, salt)``; the dim is
+    replicated once per salt value, so every (key, salt) reducer sees
+    1/salt of the hot key's rows. Join keys become (key, __salt) — a plain
+    shuffle equi-join with the hot key spread over ``salt`` tasks.
+
+    Column contract: output = fact columns + dim columns minus the dim's
+    join key (like a plain ``join(dim, key)``).
+    """
+    if salt < 2:
+        return skewed.join(dim, key, how)
+    salted_fact = skewed.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+    )
+    replicated_dim = dim.withColumn(
+        SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return salted_fact.join(replicated_dim, [key, SALT_COL], how).drop(SALT_COL)
+
+
+def explain_skew(df: DataFrame, key: str, top: int = 5) -> DataFrame:
+    """Key-frequency profile (top-N heavy hitters + their share) — the
+    measurement step before choosing AQE-only vs salted."""
+    total = df.count()
+    return (
+        df.groupBy(key)
+        .agg(F.count("*").alias("n"))
+        .withColumn("share", F.round(F.col("n") / F.lit(total), 4))
+        .orderBy(F.col("n").desc())
+        .limit(top)
+    )
+
+
+def write_bucketed(
+    df: DataFrame, table: str, keys: list[str], num_buckets: int = 32
+) -> None:
+    """Persist as a bucketed (hash-clustered) catalog table: joins and
+    aggregations on ``keys`` between tables bucketed the same way skip the
+    exchange entirely (observe: no Exchange under the SortMergeJoin in
+    ``.explain``). The write itself shuffles once — amortized over every
+    subsequent co-located join."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, *keys)
+        .sortBy(*keys)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def repartition_by_time(
+    df: DataFrame, ts_col: str, granularity: str = "day"
+) -> DataFrame:
+    """Cluster rows by time bucket before a partitioned write
+    (``.write.partitionBy(granularity col)``) so each output partition is
+    written by few tasks — the layout that makes ``ts_range`` scan pruning
+    (sources/catalog.py) effective at 100 TB."""
+    bucket = F.date_trunc(granularity, F.col(ts_col)).alias("__tbucket")
+    return df.repartition(bucket).sortWithinPartitions(ts_col)
