@@ -47,6 +47,7 @@ _TOKEN_RE = re.compile(
     r"""
     \s*(?:
       (?P<string>'(?:[^'\\]|\\.)*')
+    | (?P<isodate>\d{4}-\d{2}-\d{2}(?:T[\d:.]+(?:Z|[+-]\d{2}:?\d{2})?)?)
     | (?P<number>-?\d+(?:\.\d+)?)
     | (?P<datelit>(?:LAST_N_DAYS|NEXT_N_DAYS):\d+)
     | (?P<word>[A-Za-z_][A-Za-z0-9_.]*)
@@ -312,6 +313,10 @@ class _Parser:
         t = self.next()
         if t.kind == "string":
             return {"kind": "lit", "v": unquote(t.text)}
+        if t.kind == "isodate":
+            # D20: unquoted ISO date/datetime literal; the 'T' separator
+            # becomes a space for Spark/DuckDB timestamp casts
+            return {"kind": "lit", "v": t.text.replace("T", " ")}
         if t.kind == "number":
             v = float(t.text) if "." in t.text else int(t.text)
             return {"kind": "lit", "v": v}
@@ -389,14 +394,76 @@ def _literal_col(e: dict) -> Column:
     raise SoqlError(f"bad literal {e}")
 
 
+#: dataType.typeName() → comparison category for lowering-time typecheck.
+_TYPE_CATEGORY = {
+    "byte": "num", "short": "num", "integer": "num", "long": "num",
+    "float": "num", "double": "num", "decimal": "num",
+    "string": "str", "varchar": "str", "char": "str",
+    "boolean": "bool",
+    "date": "date", "timestamp": "date", "timestamp_ntz": "date",
+}
+
+_ISO_DATE_RE = re.compile(r"\d{4}-\d{2}-\d{2}([T ][\d:.+Zz-]+)?")
+
+
+def _literal_category(e: dict) -> str | None:
+    if e["kind"] == "datelit":
+        return "date"
+    if e["kind"] == "null":
+        return None  # NULL compares with anything (as a null test)
+    v = e["v"]
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, (int, float)):
+        return "num"
+    if isinstance(v, str):
+        # ISO date/datetime literals are parsed as strings (SOQL unquoted)
+        return "date" if _ISO_DATE_RE.fullmatch(v) else "str"
+    return None
+
+
 class _Lowerer:
     def __init__(self, resolve: Callable[[str], DataFrame]):
         self.resolve = resolve
+        self._schema_cats: dict[str, str] = {}
+
+    def _field_category(self, e: dict) -> str | None:
+        """Comparison category of a value expr, from the resolved schema."""
+        if e["kind"] == "field":
+            return self._schema_cats.get(e["name"].lower())
+        if e["kind"] == "datefn":
+            return "date" if e["fn"] == "DAY_ONLY" else "num"
+        return None  # aggregates etc.: skip the check
+
+    def _check_comparable(self, lhs: dict, rhs: dict, op: str) -> None:
+        """D20 discipline: SOQL rejects type-mismatched comparisons
+        (MALFORMED_QUERY) — surface them as SoqlError at plan-build time
+        instead of leaking an engine cast failure at runtime."""
+        lcat, rcat = self._field_category(lhs), _literal_category(rhs)
+        if lcat is None or rcat is None:
+            return
+        ok = lcat == rcat or (lcat == "date" and rcat in ("date", "str")) or (
+            lcat == "str" and rcat == "date"  # ISO-looking string vs varchar
+        )
+        if not ok:
+            name = lhs.get("name", "?")
+            raise SoqlError(
+                f"SOQL: cannot compare {lcat} field {name!r} {op} {rcat} literal"
+            )
 
     def lower(self, q: dict) -> DataFrame:
         df = self.resolve(q["from"])
+        self._schema_cats = {
+            f.name.lower(): _TYPE_CATEGORY.get(f.dataType.typeName(), "other")
+            for f in df.schema.fields
+        }
         if q["where"] is not None:
             df = self._apply_where(df, q["where"])
+            # subquery lowering overwrote the category map; restore for HAVING
+            self._schema_cats = {
+                f.name.lower(): _TYPE_CATEGORY.get(f.dataType.typeName(), "other")
+                for f in df.schema.fields
+            }
 
         items = q["select"]
         aggs = [it for it in items if it["kind"] == "agg"]
@@ -493,7 +560,12 @@ class _Lowerer:
         if k == "not":
             return ~self._bool(e["e"], agg_ok)
         if k == "like":
-            # D3: SOQL LIKE is case-insensitive
+            # D3: SOQL LIKE is case-insensitive; only string fields
+            lcat = self._field_category(e["l"])
+            if lcat not in (None, "str"):
+                raise SoqlError(
+                    f"SOQL: LIKE requires a string field, got {lcat}"
+                )
             return F.lower(_value_col(e["l"])).like(e["pat"].lower())
         if k == "in":
             if e["r"]["kind"] == "subquery":
@@ -501,10 +573,14 @@ class _Lowerer:
                     "SOQL: [NOT] IN (SELECT ...) only supported as a "
                     "top-level AND conjunct of WHERE"
                 )
+            for v in e["r"]["vals"]:
+                self._check_comparable(e["l"], v, "IN")
             vals = [v["v"] for v in e["r"]["vals"]]
             c = _value_col(e["l"]).isin(vals)
             return ~c if e["neg"] else c
         if k == "cmp":
+            if not (agg_ok and e["l"]["kind"] == "agg"):
+                self._check_comparable(e["l"], e["r"], e["op"])
             lhs = (
                 _agg_col(e["l"]) if agg_ok and e["l"]["kind"] == "agg"
                 else _value_col(e["l"])

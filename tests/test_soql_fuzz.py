@@ -1,0 +1,82 @@
+"""Property-based SOQL front-door robustness (SURVEY §5.5): generated
+queries either lower to a runnable plan or raise SoqlError — never any
+other exception, and never a silently wrong shape."""
+
+from __future__ import annotations
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from salesforce_plugin_spark.plans import SoqlError, soql_to_df
+
+FIELDS = ["id", "name", "amount"]
+LITS = ["1", "2.5", "'x'", "TRUE", "NULL", "2020-01-02", "LAST_N_DAYS:7"]
+OPS = ["=", "!=", "<", "<=", ">", ">="]
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None)], ["id", "name", "amount"]
+    ).createOrReplaceTempView("fuzz_t")
+    return spark
+
+
+pred = st.builds(
+    lambda f, o, v: f"{f} {o} {v}",
+    st.sampled_from(FIELDS),
+    st.sampled_from(OPS),
+    st.sampled_from(LITS),
+)
+where = st.one_of(
+    pred,
+    st.builds(lambda a, b: f"{a} AND {b}", pred, pred),
+    st.builds(lambda a, b: f"({a}) OR NOT ({b})", pred, pred),
+    st.builds(lambda f: f"{f} IN (1, 2, 3)", st.sampled_from(["id", "amount"])),
+    st.builds(lambda: "name LIKE '%a%'"),
+)
+query = st.builds(
+    lambda fs, w, lim: (
+        f"SELECT {', '.join(fs)} FROM fuzz_t"
+        + (f" WHERE {w}" if w else "")
+        + f" ORDER BY {fs[0]} LIMIT {lim}"
+    ),
+    st.lists(st.sampled_from(FIELDS), min_size=1, max_size=3, unique=True),
+    st.one_of(st.none(), where),
+    st.integers(min_value=0, max_value=5),
+)
+
+
+@given(q=query)
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+def test_generated_soql_lowers_and_runs(base, q):
+    """Every generated query either runs (bounded by its LIMIT) or is
+    rejected at plan-build time with SoqlError (type-mismatched comparisons
+    — SOQL MALFORMED_QUERY semantics). Never an engine runtime error."""
+    try:
+        df = soql_to_df(base, q)
+    except SoqlError:
+        return  # typed rejection is a valid outcome (e.g. id = 'x')
+    rows = df.collect()
+    assert len(rows) <= 5
+
+
+@given(s=st.text(max_size=40))
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+def test_arbitrary_text_never_raises_foreign_errors(base, s):
+    try:
+        soql_to_df(base, s)
+    except SoqlError:
+        pass  # the contract: parse/lowering failures are always SoqlError
+    except Exception as e:  # noqa: BLE001
+        # analysis errors from Spark (unknown table/column) are acceptable
+        # only for syntactically-valid queries; random text must not get
+        # that far often — but if it does, it must be an AnalysisException
+        from pyspark.errors import AnalysisException
+
+        assert isinstance(e, AnalysisException), f"foreign error for {s!r}: {e!r}"
