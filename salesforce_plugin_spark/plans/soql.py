@@ -443,7 +443,9 @@ class _Lowerer:
         if lcat is None or rcat is None:
             return
         ok = lcat == rcat or (lcat == "date" and rcat in ("date", "str")) or (
-            lcat == "str" and rcat == "date"  # ISO-looking string vs varchar
+            # ISO-looking *string literal* vs varchar is plain string equality;
+            # a relative date expression (TODAY, LAST_N_DAYS) vs varchar is not
+            lcat == "str" and rcat == "date" and rhs["kind"] == "lit"
         )
         if not ok:
             name = lhs.get("name", "?")
