@@ -134,6 +134,47 @@ def from_describe(fields: list[dict]) -> list[FieldDescriptor]:
     ]
 
 
+#: Spark type name → SOAP type for the reverse mapping (A4's describe output
+#: synthesized from a Spark schema — lets any DataFrame play the role of a
+#: described Salesforce object in the reconciliation lifecycle).
+_SPARK_TO_SOAP = {
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "dateTime",
+    "double": "double",
+    "float": "double",
+    "integer": "int",
+    "short": "int",
+    "byte": "int",
+    "long": "int",
+    "string": "string",
+}
+
+
+def to_describe(schema: T.StructType) -> list[dict]:
+    """A4 inverse: synthesize describe()-shaped field dicts from a Spark
+    schema (name/soapType/length/precision), so sources without a Salesforce
+    describe endpoint (parquet, JDBC) enter the same reconcile lifecycle.
+    Length/precision ride along from field metadata when present."""
+    out = []
+    for f in schema.fields:
+        if isinstance(f.dataType, T.DecimalType):
+            soap, precision, scale = "double", f.dataType.precision, f.dataType.scale
+        else:
+            soap = _SPARK_TO_SOAP.get(f.dataType.typeName(), "string")
+            precision = f.metadata.get("precision") if f.metadata else None
+            scale = f.metadata.get("scale") if f.metadata else None
+        entry = {"name": f.name, "soapType": f"xsd:{soap}"}
+        if f.metadata and "length" in f.metadata:
+            entry["length"] = f.metadata["length"]
+        if precision is not None:
+            entry["precision"] = precision
+        if scale is not None:
+            entry["scale"] = scale
+        out.append(entry)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # B4-B6: DDL generation + drift detection against the Spark catalog
 # ---------------------------------------------------------------------------

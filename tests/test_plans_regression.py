@@ -1,0 +1,86 @@
+"""Physical-plan regression guards (SCALE.md): the properties that make
+these queries survive 100× scale-up must stay in the plan — pushdown,
+broadcast strategies, bounded top-k, partial aggregation, scan-side
+event-time ranges."""
+
+from __future__ import annotations
+
+import io
+import os
+from contextlib import redirect_stdout
+
+import pytest
+
+from salesforce_plugin_spark.conformance import QUERIES
+
+SF = "/root/testdata/sf0.001"
+needs_fixtures = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver fixtures not present"
+)
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+@needs_fixtures
+def test_filter_pushes_all_predicates(spark):
+    plan = formatted_plan(QUERIES["q_filter_compare"](spark, SF))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "GreaterThan(l_quantity" in pushed and "Not(EqualTo(l_returnflag" in pushed
+
+
+@needs_fixtures
+def test_scan_prunes_columns(spark):
+    plan = formatted_plan(QUERIES["q_filter_compare"](spark, SF))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # 5 of 11 lineitem columns — no full-width scan for a 5-column query
+    assert read.count(":") - 1 == 5 or read.count(",") == 4
+
+
+@needs_fixtures
+def test_lookup_join_broadcasts_dimension(spark):
+    plan = formatted_plan(QUERIES["q_parent_lookup_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+@needs_fixtures
+def test_semi_join_pushes_dim_filter_and_broadcasts(spark):
+    plan = formatted_plan(QUERIES["q_semi_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "GreaterThan(o_totalprice" in plan
+
+
+@needs_fixtures
+def test_topk_is_bounded_not_global_sort(spark):
+    for name in ("q_sort_limit", "q_embed_topk"):
+        plan = formatted_plan(QUERIES[name](spark, SF))
+        assert "TakeOrderedAndProject" in plan, name
+
+
+@needs_fixtures
+def test_groupby_keeps_partial_aggregation(spark):
+    plan = formatted_plan(QUERIES["q_agg_groupby"](spark, SF))
+    assert "partial_sum" in plan and "HashAggregate" in plan
+
+
+@needs_fixtures
+def test_event_range_pushes_raw_nanos_bounds(spark):
+    plan = formatted_plan(QUERIES["q_date_range"](spark, SF))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "GreaterThanOrEqual(ts," in pushed and "LessThan(ts," in pushed
+
+
+@needs_fixtures
+def test_no_cartesian_products_anywhere(spark):
+    """Every registry plan must be free of unintended cross joins (the
+    broadcast-query-vector crossJoin in top-k is a 1-row broadcast, which
+    Spark plans as BroadcastNestedLoopJoin — bounded, allowed)."""
+    for name, fn in QUERIES.items():
+        if name == "q_embed_ivf":
+            continue  # KMeans fit is expensive; covered by its own test
+        plan = formatted_plan(fn(spark, SF))
+        assert "CartesianProduct" not in plan, name

@@ -144,6 +144,29 @@ def test_ddl_generation_strings():
 
 # --- B7-B9: aligned projection ---------------------------------------------
 
+def test_to_describe_roundtrips_through_from_describe(spark):
+    import pyspark.sql.types as T2
+
+    from salesforce_plugin_spark.operators.schema_reconcile import to_describe
+
+    schema = T2.StructType(
+        [
+            T2.StructField("Id", T2.LongType()),
+            T2.StructField("Name", T2.StringType(), metadata={"length": 40}),
+            T2.StructField("Score", T2.DecimalType(12, 2)),
+            T2.StructField("When", T2.TimestampType()),
+            T2.StructField("Ok", T2.BooleanType()),
+        ]
+    )
+    descs = from_describe(to_describe(schema))
+    by_name = {d.sf_name: d for d in descs}
+    assert by_name["Id"].spark_type() == T.IntegerType()  # SOAP int
+    assert by_name["Name"].ddl_type() == "VARCHAR(40)"
+    assert by_name["Score"].spark_type() == T.DecimalType(12, 2)
+    assert by_name["When"].spark_type() == T.TimestampType()
+    assert by_name["Ok"].spark_type() == T.BooleanType()
+
+
 def test_align_to_destination_orders_and_null_fills(spark):
     df = spark.createDataFrame([(1, "x")], ["B", "A"])  # uppercase, wrong order
     out = align_to_destination(df, ["a", "b", "c"])
