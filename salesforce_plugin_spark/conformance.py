@@ -210,6 +210,18 @@ def q_agg_cube(spark, sf_dir):
     )
 
 
+def q_agg_percentile(spark, sf_dir):
+    """D10 extension: exact median / 90th percentile per group (single-pass
+    sort-based exact percentiles; at extreme scale swap for approx_percentile
+    and accept the error bound — documented, not silently substituted)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").alias("med_price"),
+        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_agg_having(spark, sf_dir):
     """D14: HAVING → post-aggregation filter."""
     o = load_table(spark, sf_dir, "orders")
@@ -599,6 +611,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_agg_count_distinct": q_agg_count_distinct,
     "q_agg_rollup": q_agg_rollup,
     "q_agg_cube": q_agg_cube,
+    "q_agg_percentile": q_agg_percentile,
     "q_agg_having": q_agg_having,
     "q_sort_limit": q_sort_limit,
     "q_offset_page": q_offset_page,
@@ -700,6 +713,13 @@ ORACLES: dict[str, str] = {
                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
                count(*) AS n
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "q_agg_percentile": """
+        SELECT l_returnflag,
+               median(l_extendedprice) AS med_price,
+               quantile_cont(l_extendedprice, 0.9) AS p90_price,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
     """,
     "q_agg_having": """
         SELECT o_custkey, count(*) AS n_orders,

@@ -1,0 +1,51 @@
+from salesforce_plugin_spark.operators.elt import (
+    BulkQueryExtract,
+    ObjectExtract,
+    SchemaReconcileLoad,
+)
+from salesforce_plugin_spark.operators.partitioning import (
+    explain_skew,
+    repartition_by_time,
+    salted_join,
+    write_bucketed,
+)
+from salesforce_plugin_spark.operators.schema_reconcile import (
+    FieldDescriptor,
+    from_describe,
+    load_with_reconciliation,
+    reconcile_table,
+    to_describe,
+)
+from salesforce_plugin_spark.operators.transforms import (
+    add_fetch_time,
+    coerce_to_epoch_seconds,
+    decode_epoch_millis,
+    drop_attributes,
+    flatten_relationship,
+    nest_children,
+    scrub_newlines,
+    truncate_varchar,
+)
+
+__all__ = [
+    "BulkQueryExtract",
+    "ObjectExtract",
+    "SchemaReconcileLoad",
+    "explain_skew",
+    "repartition_by_time",
+    "salted_join",
+    "write_bucketed",
+    "FieldDescriptor",
+    "from_describe",
+    "to_describe",
+    "reconcile_table",
+    "load_with_reconciliation",
+    "flatten_relationship",
+    "nest_children",
+    "drop_attributes",
+    "coerce_to_epoch_seconds",
+    "decode_epoch_millis",
+    "scrub_newlines",
+    "add_fetch_time",
+    "truncate_varchar",
+]
