@@ -593,6 +593,26 @@ def q_soql_front_door(spark, sf_dir):
     )
 
 
+def q_soql_relationship(spark, sf_dir):
+    """D8 via the string front door: a two-level child-to-parent dot path
+    (customer.nation.n_name from orders) lowered to broadcast lookup joins
+    by the relationship registry."""
+    from salesforce_plugin_spark.plans import soql_to_df
+    from salesforce_plugin_spark.sources.catalog import fixture_relationships
+
+    def resolve(name):
+        return load_table(spark, sf_dir, name.lower())
+
+    return soql_to_df(
+        spark,
+        "SELECT o_orderkey, customer.c_name cust_name, "
+        "customer.nation.n_name nation_name "
+        "FROM orders WHERE o_totalprice > 300000",
+        resolve=resolve,
+        relationships=fixture_relationships(),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -640,6 +660,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_set_ops": q_set_ops,
     "q_embed_ivf": q_embed_ivf,
     "q_soql_front_door": q_soql_front_door,
+    "q_soql_relationship": q_soql_relationship,
 }
 
 _BPE_RE = r"(?:[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
@@ -895,6 +916,13 @@ ORACLES: dict[str, str] = {
         FROM orders
         WHERE o_orderstatus IN ('F', 'O') AND o_totalprice > 1000
         GROUP BY o_orderpriority
+    """,
+    "q_soql_relationship": """
+        SELECT o_orderkey, c_name AS cust_name, n_name AS nation_name
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_totalprice > 300000
     """,
     # rows-only (no oracle): q_fetch_time_added (current_timestamp),
     # q_near_dedup + q_simhash (xxhash64 family has no DuckDB equivalent).

@@ -1,3 +1,7 @@
-from salesforce_plugin_spark.plans.soql import SoqlError, soql_to_df
+from salesforce_plugin_spark.plans.soql import (
+    RelationshipRegistry,
+    SoqlError,
+    soql_to_df,
+)
 
-__all__ = ["soql_to_df", "SoqlError"]
+__all__ = ["soql_to_df", "SoqlError", "RelationshipRegistry"]

@@ -201,6 +201,28 @@ class _Parser:
 
     def parse_select_item(self) -> dict:
         t = self.peek()
+        if t is not None and t.text == "(":
+            # D9: parent-to-child nested subselect — (SELECT … FROM RelName)
+            self.next()
+            if not (self.peek() and self.peek().kind == "word"
+                    and self.peek().text.upper() == "SELECT"):
+                raise SoqlError(
+                    f"SOQL: expected nested SELECT at {t.pos}"
+                )
+            depth, j = 0, self.i
+            while j < len(self.toks):
+                if self.toks[j].text == "(":
+                    depth += 1
+                elif self.toks[j].text == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                j += 1
+            sub = _Parser(self.toks[self.i:j], self.src).parse_query()
+            self.i = j
+            self.expect(")")
+            return {"kind": "child_sub", "q": sub,
+                    "alias": self.maybe_alias(sub["from"].lower())}
         if t.kind == "word" and t.text.upper() == "COUNT" and \
                 self.peek(1) and self.peek(1).text == "(" and \
                 self.peek(2) and self.peek(2).text == ")":
@@ -344,7 +366,8 @@ def unquote(s: str) -> str:
 
 def default_alias(e: dict) -> str:
     if e["kind"] == "field":
-        return e["name"].lower()
+        # dotted traversal paths flatten to underscore-joined output names
+        return e["name"].lower().replace(".", "_")
     if e["kind"] == "agg":
         arg = e["arg"]["name"].lower() if e.get("arg") else ""
         return f"{e['fn'].lower()}_{arg}".rstrip("_")
@@ -394,6 +417,26 @@ def _literal_col(e: dict) -> Column:
     raise SoqlError(f"bad literal {e}")
 
 
+class RelationshipRegistry:
+    """Join metadata for SOQL relationship traversal (D8/D9).
+
+    ``lookups[(table, rel_name)] = (parent_table, fk, pk)`` resolves
+    child-to-parent dot paths (``SELECT rel.col FROM table``);
+    ``children[(table, rel_name)] = (child_table, fk, pk)`` resolves
+    parent-to-child nested subselects (``SELECT (SELECT … FROM RelName)``).
+    Plays the role of Salesforce's relationship metadata from describe() —
+    the engine-side registry a deployment declares once per schema.
+    """
+
+    def __init__(self, lookups: dict | None = None, children: dict | None = None):
+        self.lookups = {
+            (t.lower(), r.lower()): v for (t, r), v in (lookups or {}).items()
+        }
+        self.children = {
+            (t.lower(), r.lower()): v for (t, r), v in (children or {}).items()
+        }
+
+
 #: dataType.typeName() → comparison category for lowering-time typecheck.
 _TYPE_CATEGORY = {
     "byte": "num", "short": "num", "integer": "num", "long": "num",
@@ -423,9 +466,125 @@ def _literal_category(e: dict) -> str | None:
 
 
 class _Lowerer:
-    def __init__(self, resolve: Callable[[str], DataFrame]):
+    def __init__(
+        self,
+        resolve: Callable[[str], DataFrame],
+        registry: RelationshipRegistry | None = None,
+    ):
         self.resolve = resolve
+        self.registry = registry or RelationshipRegistry()
         self._schema_cats: dict[str, str] = {}
+
+    # -- D8: dot-path lookup joins -----------------------------------------
+
+    @staticmethod
+    def _walk_fields(node, fn):
+        """Apply fn to every field node, skipping nested query contexts
+        (IN-subqueries and child subselects resolve on their own tables)."""
+        if isinstance(node, dict):
+            k = node.get("kind")
+            if k in ("subquery", "child_sub"):
+                return
+            if k == "field":
+                fn(node)
+            for v in node.values():
+                _Lowerer._walk_fields(v, fn)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                _Lowerer._walk_fields(v, fn)
+
+    def _apply_lookups(self, df: DataFrame, q: dict) -> DataFrame:
+        """Resolve every dotted field path with broadcast lookup joins
+        (≤5 levels like SOQL) and rewrite the AST to the joined columns."""
+        dotted: set[str] = set()
+        scope = [q["select"], q["where"], q["group"], q["having"],
+                 [o["expr"] for o in q["order"]]]
+        self._walk_fields(scope, lambda n: "." in n["name"] and dotted.add(n["name"]))
+        if not dotted:
+            return df
+        base_table = q["from"].lower()
+        chain_table: dict[tuple, str] = {}
+        mapping: dict[str, str] = {}
+        for name in sorted(dotted):
+            segs = name.lower().split(".")
+            if len(segs) > 6:
+                raise SoqlError(f"SOQL: relationship path too deep: {name!r}")
+            path: tuple = ()
+            cur_table = base_table
+            for seg in segs[:-1]:
+                parent_path = path
+                path = path + (seg,)
+                if path not in chain_table:
+                    rel = self.registry.lookups.get((cur_table, seg))
+                    if rel is None:
+                        raise SoqlError(
+                            f"SOQL: unknown relationship {seg!r} on {cur_table!r}"
+                        )
+                    parent_table, fk, pk = rel
+                    prefix = "__" + "__".join(path) + "__"
+                    pdf = self.resolve(parent_table)
+                    pdf = pdf.select(
+                        *[F.col(c).alias(prefix + c.lower()) for c in pdf.columns]
+                    )
+                    fk_col = (
+                        "__" + "__".join(parent_path) + "__" + fk.lower()
+                        if parent_path
+                        else fk.lower()
+                    )
+                    df = df.join(
+                        F.broadcast(pdf),
+                        F.col(fk_col) == F.col(prefix + pk.lower()),
+                        "left",
+                    )
+                    chain_table[path] = parent_table.lower()
+                cur_table = chain_table[path]
+            mapping[name.lower()] = "__" + "__".join(segs[:-1]) + "__" + segs[-1]
+
+        def rewrite(n):
+            n["name"] = mapping.get(n["name"].lower(), n["name"])
+
+        self._walk_fields(scope, rewrite)
+        return df
+
+    # -- D9: parent-to-child nested subselects -----------------------------
+
+    def _apply_child_subs(self, df: DataFrame, q: dict) -> DataFrame:
+        base_table = q["from"].lower()
+        for it in q["select"]:
+            if it["kind"] != "child_sub":
+                continue
+            sub = it["q"]
+            rel = self.registry.children.get((base_table, sub["from"].lower()))
+            if rel is None:
+                raise SoqlError(
+                    f"SOQL: unknown child relationship {sub['from']!r} "
+                    f"on {base_table!r}"
+                )
+            child_table, fk, pk = rel
+            if sub["group"] is not None or any(
+                s["kind"] == "agg" for s in sub["select"]
+            ):
+                raise SoqlError(
+                    "SOQL: aggregates are not allowed in child subselects"
+                )
+            inner = _Lowerer(self.resolve, self.registry)
+            cdf = self.resolve(child_table)
+            inner._schema_cats = {
+                f.name.lower(): _TYPE_CATEGORY.get(f.dataType.typeName(), "other")
+                for f in cdf.schema.fields
+            }
+            if sub["where"] is not None:
+                cdf = cdf.filter(inner._bool(sub["where"]))
+            sel = [
+                _value_col(s).alias(s["alias"]) for s in sub["select"]
+            ]
+            nested = cdf.groupBy(F.col(fk.lower()).alias("__child_fk")).agg(
+                F.collect_list(F.struct(*sel)).alias(it["alias"])
+            )
+            df = df.join(
+                nested, F.col(pk.lower()) == F.col("__child_fk"), "left"
+            ).drop("__child_fk")
+        return df
 
     def _field_category(self, e: dict) -> str | None:
         """Comparison category of a value expr, from the resolved schema."""
@@ -453,23 +612,29 @@ class _Lowerer:
                 f"SOQL: cannot compare {lcat} field {name!r} {op} {rcat} literal"
             )
 
-    def lower(self, q: dict) -> DataFrame:
-        df = self.resolve(q["from"])
+    def _reset_cats(self, df: DataFrame) -> None:
         self._schema_cats = {
             f.name.lower(): _TYPE_CATEGORY.get(f.dataType.typeName(), "other")
             for f in df.schema.fields
         }
+
+    def lower(self, q: dict) -> DataFrame:
+        df = self.resolve(q["from"])
+        df = self._apply_lookups(df, q)
+        df = self._apply_child_subs(df, q)
+        self._reset_cats(df)
         if q["where"] is not None:
             df = self._apply_where(df, q["where"])
             # subquery lowering overwrote the category map; restore for HAVING
-            self._schema_cats = {
-                f.name.lower(): _TYPE_CATEGORY.get(f.dataType.typeName(), "other")
-                for f in df.schema.fields
-            }
+            self._reset_cats(df)
 
         items = q["select"]
         aggs = [it for it in items if it["kind"] == "agg"]
         if q["group"] is not None:
+            if any(it["kind"] == "child_sub" for it in items):
+                raise SoqlError(
+                    "SOQL: child subselects cannot mix with GROUP BY"
+                )
             keys = [_value_col(g).alias(default_alias(g)) for g in q["group"]]
             key_names = [default_alias(g) for g in q["group"]]
             pre = df.select("*", *[
@@ -496,10 +661,18 @@ class _Lowerer:
                 post_agg = post_agg.filter(self._bool(q["having"], agg_ok=True))
             df = post_agg.select(*proj)
         elif aggs:
+            if any(it["kind"] == "child_sub" for it in items):
+                raise SoqlError(
+                    "SOQL: child subselects cannot mix with aggregates"
+                )
             df = df.agg(*[_agg_col(it).alias(it["alias"]) for it in items])
         else:
             df = df.select(
-                *[_value_col(it).alias(it["alias"]) for it in items]
+                *[
+                    F.col(it["alias"]) if it["kind"] == "child_sub"
+                    else _value_col(it).alias(it["alias"])
+                    for it in items
+                ]
             )
 
         if q["order"]:
@@ -606,6 +779,7 @@ def soql_to_df(
     spark: SparkSession,
     soql: str,
     resolve: Callable[[str], DataFrame] | None = None,
+    relationships: RelationshipRegistry | None = None,
 ) -> DataFrame:
     """Parse a SOQL string and return the equivalent DataFrame plan.
 
@@ -613,10 +787,14 @@ def soql_to_df(
     case-insensitively against the session catalog's temp views (use
     ``sources.catalog.register_views`` first), replacing the reference's
     CamelCase-mangling normalizer (C6) with case-insensitive lookup.
+
+    ``relationships`` enables D8 dot-path lookups and D9 nested child
+    subselects (see :class:`RelationshipRegistry`); the fixture schema's
+    registry ships as ``sources.catalog.FIXTURE_RELATIONSHIPS``.
     """
     if resolve is None:
         def resolve(name: str) -> DataFrame:  # noqa: F811
             return spark.table(name.lower())
 
     q = _Parser(tokenize(soql), soql).parse_query()
-    return _Lowerer(resolve).lower(q)
+    return _Lowerer(resolve, relationships).lower(q)

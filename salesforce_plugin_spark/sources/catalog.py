@@ -121,6 +121,30 @@ def load_table(
     return df
 
 
+def fixture_relationships():
+    """D8/D9 relationship metadata for the fixture star schema — the
+    engine-side analog of Salesforce's describe() relationship info, used by
+    the SOQL front door for dot-path lookups and nested child subselects."""
+    from salesforce_plugin_spark.plans.soql import RelationshipRegistry
+
+    return RelationshipRegistry(
+        lookups={
+            ("lineitem", "order"): ("orders", "l_orderkey", "o_orderkey"),
+            ("lineitem", "part"): ("part", "l_partkey", "p_partkey"),
+            ("lineitem", "supplier"): ("supplier", "l_suppkey", "s_suppkey"),
+            ("orders", "customer"): ("customer", "o_custkey", "c_custkey"),
+            ("customer", "nation"): ("nation", "c_nationkey", "n_nationkey"),
+            ("supplier", "nation"): ("nation", "s_nationkey", "n_nationkey"),
+            ("nation", "region"): ("region", "n_regionkey", "r_regionkey"),
+        },
+        children={
+            ("orders", "lineitems"): ("lineitem", "l_orderkey", "o_orderkey"),
+            ("customer", "orders"): ("orders", "o_custkey", "c_custkey"),
+            ("nation", "customers"): ("customer", "c_nationkey", "n_nationkey"),
+        },
+    )
+
+
 def parallelized(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition a scan whose input splits are coarser than the
     available cores.

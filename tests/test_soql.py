@@ -125,6 +125,86 @@ def test_date_function_group(tables, spark):
     assert {r.yr: r.n for r in out} == {2020: 1, 2021: 1}
 
 
+@pytest.fixture(scope="module")
+def rels():
+    from salesforce_plugin_spark.plans import RelationshipRegistry
+
+    return RelationshipRegistry(
+        lookups={
+            ("contact", "account"): ("account_t", "account_id", "aid"),
+            ("account_t", "owner"): ("owner_t", "owner_id", "oid"),
+        },
+        children={("account_t", "contacts"): ("contact", "account_id", "aid")},
+    )
+
+
+@pytest.fixture(scope="module")
+def rel_tables(spark):
+    spark.createDataFrame(
+        [(1, "c1", 10), (2, "c2", 10), (3, "c3", 20), (4, "c4", None)],
+        "cid long, cname string, account_id long",
+    ).createOrReplaceTempView("contact")
+    spark.createDataFrame(
+        [(10, "Acme", 100), (20, "Globex", 200)],
+        "aid long, aname string, owner_id long",
+    ).createOrReplaceTempView("account_t")
+    spark.createDataFrame(
+        [(100, "Pat"), (200, "Sam")], "oid long, oname string"
+    ).createOrReplaceTempView("owner_t")
+    return spark
+
+
+def test_dot_path_lookup_join(rel_tables, rels):
+    out = soql_to_df(
+        rel_tables,
+        "SELECT cid, account.aname FROM contact ORDER BY cid",
+        relationships=rels,
+    ).collect()
+    assert [(r.cid, r.account_aname) for r in out] == [
+        (1, "Acme"), (2, "Acme"), (3, "Globex"), (4, None),  # left join semantics
+    ]
+
+
+def test_two_level_dot_path(rel_tables, rels):
+    out = soql_to_df(
+        rel_tables,
+        "SELECT cid, account.owner.oname who FROM contact WHERE cid <= 3 ORDER BY cid",
+        relationships=rels,
+    ).collect()
+    assert [(r.cid, r.who) for r in out] == [(1, "Pat"), (2, "Pat"), (3, "Sam")]
+
+
+def test_dot_path_in_where(rel_tables, rels):
+    out = soql_to_df(
+        rel_tables,
+        "SELECT cid FROM contact WHERE account.aname = 'Acme' ORDER BY cid",
+        relationships=rels,
+    ).collect()
+    assert [r.cid for r in out] == [1, 2]
+
+
+def test_child_subselect_nests_arrays(rel_tables, rels):
+    out = soql_to_df(
+        rel_tables,
+        "SELECT aid, (SELECT cid FROM Contacts WHERE cid != 2) kids "
+        "FROM account_t ORDER BY aid",
+        relationships=rels,
+    ).collect()
+    by_aid = {r.aid: r.kids for r in out}
+    assert [k.cid for k in by_aid[10]] == [1]      # cid 2 filtered inside the sub
+    assert [k.cid for k in by_aid[20]] == [3]
+
+
+def test_unknown_relationship_is_typed_error(rel_tables, rels):
+    with pytest.raises(SoqlError, match="unknown relationship"):
+        soql_to_df(rel_tables, "SELECT bogus.x FROM contact", relationships=rels)
+    with pytest.raises(SoqlError, match="unknown child relationship"):
+        soql_to_df(
+            rel_tables, "SELECT (SELECT cid FROM Nope) FROM account_t",
+            relationships=rels,
+        )
+
+
 def test_parse_errors_are_descriptive(tables):
     with pytest.raises(SoqlError, match="expected"):
         run(tables, "SELECT FROM account")
