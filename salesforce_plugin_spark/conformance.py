@@ -575,6 +575,33 @@ def q_embed_ivf(spark, sf_dir):
 # D21/§7: the SOQL string front door end-to-end
 # ---------------------------------------------------------------------------
 
+def q_data_quality(spark, sf_dir):
+    """North-star validation: a 5-expectation suite over documents in one
+    aggregate pass (counts are exact integers → oracle-checkable)."""
+    from salesforce_plugin_spark.operators.validate import Expectation, validate
+
+    d = load_table(spark, sf_dir, "documents")
+    return validate(
+        d,
+        [
+            Expectation.not_null("text"),
+            Expectation.min_length("text", 20),
+            Expectation.one_of("lang", ["en", "es", "fr", "de"]),
+            Expectation.in_range("n_chars", 1, 100000),
+            Expectation.matches("source", r"^src\d+$"),
+        ],
+    )
+
+
+def q_unique_keys(spark, sf_dir):
+    """North-star validation: exact duplicate-key profile on the events
+    stream's (user_id, event_type, ts) natural key."""
+    from salesforce_plugin_spark.operators.validate import uniqueness_report
+
+    e = load_table(spark, sf_dir, "events")
+    return uniqueness_report(e, ["user_id", "event_type", "ts"])
+
+
 def q_soql_front_door(spark, sf_dir):
     """D1-D17 via the string entry point: a SOQL query parsed and lowered to
     a DataFrame plan (plans/soql.py), honoring the reference's free-form
@@ -659,6 +686,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_topk_per_group": q_topk_per_group,
     "q_set_ops": q_set_ops,
     "q_embed_ivf": q_embed_ivf,
+    "q_data_quality": q_data_quality,
+    "q_unique_keys": q_unique_keys,
     "q_soql_front_door": q_soql_front_door,
     "q_soql_relationship": q_soql_relationship,
 }
@@ -910,6 +939,22 @@ ORACLES: dict[str, str] = {
         )
         EXCEPT ALL
         SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    """,
+    "q_data_quality": """
+        SELECT count(*) AS n_rows,
+               sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS viol_not_null_text,
+               sum(CASE WHEN length(text) < 20 THEN 1 ELSE 0 END) AS viol_min_length_text,
+               sum(CASE WHEN lang NOT IN ('en','es','fr','de') THEN 1 ELSE 0 END) AS viol_one_of_lang,
+               sum(CASE WHEN n_chars < 1 OR n_chars > 100000 THEN 1 ELSE 0 END) AS viol_in_range_n_chars,
+               sum(CASE WHEN NOT regexp_matches(source, '^src\d+$') OR source IS NULL THEN 1 ELSE 0 END) AS viol_matches_source
+        FROM documents
+    """,
+    "q_unique_keys": """
+        SELECT count(*) AS n_keys,
+               sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_keys,
+               sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS n_dup_rows
+        FROM (SELECT user_id, event_type, ts, count(*) AS n
+              FROM events GROUP BY 1, 2, 3)
     """,
     "q_soql_front_door": """
         SELECT o_orderpriority, count(*) AS n, max(o_totalprice) AS max_price

@@ -1,0 +1,93 @@
+"""Data-quality validation: declarative expectations evaluated in ONE
+aggregate pass over the data (training-data pipelines gate ingestion on
+these before anything touches a 100 TB corpus).
+
+Each expectation compiles to a conditional-count column expression, so a
+suite of N checks costs a single scan + single (tiny) aggregate row — not
+N jobs. The report is exact, not sampled.
+
+The reference has no validation layer (its correctness strategy is
+delegation, SURVEY §5); this is part of the north-star extension surface
+alongside dedup/quality-scoring (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One named check; ``violated`` is a boolean Column over a row."""
+
+    name: str
+    violated: Column
+
+    @staticmethod
+    def not_null(col: str) -> "Expectation":
+        return Expectation(f"not_null_{col}", F.col(col).isNull())
+
+    @staticmethod
+    def in_range(col: str, lo=None, hi=None) -> "Expectation":
+        cond = F.lit(False)
+        if lo is not None:
+            cond = cond | (F.col(col) < lo)
+        if hi is not None:
+            cond = cond | (F.col(col) > hi)
+        return Expectation(f"in_range_{col}", cond)
+
+    @staticmethod
+    def matches(col: str, pattern: str) -> "Expectation":
+        return Expectation(
+            f"matches_{col}", ~F.col(col).rlike(pattern) | F.col(col).isNull()
+        )
+
+    @staticmethod
+    def one_of(col: str, values: list) -> "Expectation":
+        return Expectation(f"one_of_{col}", ~F.col(col).isin(values))
+
+    @staticmethod
+    def min_length(col: str, n: int) -> "Expectation":
+        return Expectation(f"min_length_{col}", F.length(col) < n)
+
+
+def validate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """One row: total row count + one violation count per expectation.
+    Single scan, map-side partial aggregation, constant-size output."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.when(e.violated, 1).otherwise(0)).alias(f"viol_{e.name}")
+        for e in expectations
+    ]
+    return df.agg(*aggs)
+
+
+def validate_or_raise(
+    df: DataFrame, expectations: list[Expectation], max_violation_ratio: float = 0.0
+) -> dict:
+    """Run the suite; raise ValueError naming every failed expectation whose
+    violation ratio exceeds the budget. Returns the report dict on success.
+    (The one intentional driver-side action — the report is a single row.)"""
+    row = validate(df, expectations).collect()[0].asDict()
+    n = row["n_rows"] or 1
+    failed = {
+        k: v for k, v in row.items()
+        if k != "n_rows" and (v or 0) / n > max_violation_ratio
+    }
+    if failed:
+        detail = ", ".join(f"{k}={v}/{n}" for k, v in sorted(failed.items()))
+        raise ValueError(f"data-quality violations over budget: {detail}")
+    return row
+
+
+def uniqueness_report(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Exact duplicate-key profile: (n_keys, n_dup_keys, n_dup_rows). One
+    shuffle on the key — the check you run before declaring a primary key."""
+    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("__n") > 1, 1).otherwise(0)).alias("n_dup_keys"),
+        F.sum(F.when(F.col("__n") > 1, F.col("__n")).otherwise(0)).alias("n_dup_rows"),
+    )

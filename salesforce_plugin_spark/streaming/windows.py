@@ -115,6 +115,32 @@ def incremental_predicate(ts_col: str | Column, since) -> Column:
     return col > F.lit(since).cast("timestamp")
 
 
+def run_to_parquet_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+):
+    """Production file sink: exactly-once parquet output with a checkpoint
+    directory (offsets + state), restartable mid-stream. ``partition_by``
+    should be a coarse time bucket so partitioned reads prune (SCALE.md /
+    partitioning.repartition_by_time). Drains available input and returns
+    the finished StreamingQuery."""
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    q = writer.start()
+    q.awaitTermination()
+    return q
+
+
 def run_to_memory_sink(
     stream: DataFrame, name: str, mode: str = "append"
 ) -> "DataFrame":

@@ -1,0 +1,102 @@
+"""Data-quality validation suite: single-pass expectation counts,
+budget-gated raise, duplicate-key profiling, and the checkpointed
+streaming parquet sink (restart resumes, no duplication)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from salesforce_plugin_spark.operators.validate import (
+    Expectation,
+    uniqueness_report,
+    validate,
+    validate_or_raise,
+)
+
+
+@pytest.fixture()
+def messy(spark):
+    return spark.createDataFrame(
+        [
+            (1, "hello world, long enough", "en", 10.0),
+            (2, None, "en", -5.0),
+            (3, "short", "xx", 2.0),
+        ],
+        "id long, text string, lang string, score double",
+    )
+
+
+def test_validate_counts_each_expectation(messy):
+    row = validate(
+        messy,
+        [
+            Expectation.not_null("text"),
+            Expectation.min_length("text", 10),
+            Expectation.one_of("lang", ["en", "es"]),
+            Expectation.in_range("score", 0, 100),
+        ],
+    ).collect()[0]
+    assert row.n_rows == 3
+    assert row.viol_not_null_text == 1
+    assert row.viol_min_length_text == 1  # null row doesn't count as short
+    assert row.viol_one_of_lang == 1
+    assert row.viol_in_range_score == 1
+
+
+def test_validate_or_raise_names_failures(messy):
+    with pytest.raises(ValueError, match="viol_not_null_text=1/3"):
+        validate_or_raise(messy, [Expectation.not_null("text")])
+    # within budget → returns the report
+    report = validate_or_raise(
+        messy, [Expectation.not_null("text")], max_violation_ratio=0.5
+    )
+    assert report["n_rows"] == 3
+
+
+def test_uniqueness_report(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    row = uniqueness_report(df, ["k", "v"]).collect()[0]
+    assert (row.n_keys, row.n_dup_keys, row.n_dup_rows) == (3, 1, 3)
+
+
+def test_streaming_parquet_sink_checkpoint_resume(spark, tmp_path):
+    """Restarting from the same checkpoint must not re-emit processed
+    input (exactly-once file sink semantics)."""
+    import pyspark.sql.functions as F
+
+    from salesforce_plugin_spark.streaming.windows import (
+        run_to_parquet_sink,
+        stream_events,
+    )
+
+    base = dt.datetime(2024, 5, 1)
+    def write_batch(ids):
+        rows = [
+            (i, int((base + dt.timedelta(minutes=i)).timestamp() * 1e9),
+             0, "e", float(i), "{}")
+            for i in ids
+        ]
+        spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string, "
+                  "value double, props string"
+        ).write.mode("append").parquet(str(tmp_path / "src"))
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    write_batch(range(5))
+    run_to_parquet_sink(
+        stream_events(spark, src).select("event_id", "ts", "value"), out, ckpt
+    )
+    assert spark.read.parquet(out).count() == 5
+
+    # restart with the same checkpoint: old files skipped, new file picked up
+    write_batch(range(5, 8))
+    run_to_parquet_sink(
+        stream_events(spark, src).select("event_id", "ts", "value"), out, ckpt
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == 8
+    assert got.agg(F.countDistinct("event_id")).collect()[0][0] == 8
