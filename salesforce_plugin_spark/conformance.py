@@ -417,6 +417,18 @@ def q_quality_score(spark, sf_dir):
     )
 
 
+def q_sample_split(spark, sf_dir):
+    """North-star: reproducible train/val/test split by md5 hash bucket —
+    assignment is a pure function of the document id (stable under
+    re-partitioning, appends, and engine changes; oracle proves it)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.split_assign(F.col("doc_id")).alias("split"),
+        X.hash_bucket(F.col("doc_id"), 100).cast("long").alias("bucket"),
+    )
+
+
 def q_simhash(spark, sf_dir):
     """F2/F5: 64-bit SimHash fingerprint (xxhash64 family → rows-only)."""
     d = parallelized(load_table(spark, sf_dir, "documents"))
@@ -675,6 +687,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_text_tokens": q_text_tokens,
     "q_lang_id": q_lang_id,
     "q_quality_score": q_quality_score,
+    "q_sample_split": q_sample_split,
     "q_simhash": q_simhash,
     "q_embed_topk": q_embed_topk,
     "q_cosine_pairs": q_cosine_pairs,
@@ -863,6 +876,19 @@ ORACLES: dict[str, str] = {
                CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
                CAST(len(regexp_extract_all(lower(text), '{_STOP_RE}')) AS BIGINT) AS n_stopwords
         FROM documents
+    """,
+    "q_sample_split": """
+        WITH b AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               bucket
+        FROM b
     """,
     "q_embed_topk": """
         SELECT e.vec_id,

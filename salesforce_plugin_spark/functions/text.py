@@ -109,6 +109,34 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalized_text(text).cast("binary"))
 
 
+def hash_bucket(key: Column | str, n_buckets: int = 100) -> Column:
+    """Deterministic, engine-portable bucket in [0, n_buckets) from the md5
+    of the key's string form — the standard mechanism for reproducible
+    train/val/test splits and percentage sampling at corpus scale: stable
+    across runs, partitionings, engines, and appends (a new document's
+    split never depends on what else is in the batch)."""
+    key = F.col(key) if isinstance(key, str) else key
+    # first 8 hex chars → 32-bit int → modulo. conv() returns a string.
+    return (
+        F.conv(F.substring(F.md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % n_buckets
+    )
+
+
+def split_assign(
+    key: Column | str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> Column:
+    """'train' / 'val' / 'test' assignment from hash_bucket(key, 100)."""
+    b = hash_bucket(key, 100)
+    return (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def scrub_newlines(text: Column | str) -> Column:
     """C4: strip CR/LF so CSV rows stay single-line (contrib
     ``write_object_to_file``; call site salesforce_to_s3_operator.py:84-90,210)."""
