@@ -587,6 +587,18 @@ def q_embed_ivf(spark, sf_dir):
 # D21/§7: the SOQL string front door end-to-end
 # ---------------------------------------------------------------------------
 
+def q_training_corpus(spark, sf_dir):
+    """North-star capstone: the full clean→dedup→filter→split pipeline as
+    one plan, every stage deterministic and reproduced by the oracle."""
+    from salesforce_plugin_spark.operators.pipeline import build_training_corpus
+
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    corpus = build_training_corpus(
+        d, min_tokens=10, max_punct_ratio=0.5, langs=("en", "es")
+    )
+    return corpus.select("doc_id", "fp", "n_tokens", "lang_pred", "split")
+
+
 def q_data_quality(spark, sf_dir):
     """North-star validation: a 5-expectation suite over documents in one
     aggregate pass (counts are exact integers → oracle-checkable)."""
@@ -699,6 +711,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_topk_per_group": q_topk_per_group,
     "q_set_ops": q_set_ops,
     "q_embed_ivf": q_embed_ivf,
+    "q_training_corpus": q_training_corpus,
     "q_data_quality": q_data_quality,
     "q_unique_keys": q_unique_keys,
     "q_soql_front_door": q_soql_front_door,
@@ -965,6 +978,49 @@ ORACLES: dict[str, str] = {
         )
         EXCEPT ALL
         SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    """,
+    "q_training_corpus": r"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0
+        ), deduped AS (
+            SELECT * FROM (
+                SELECT doc_id, text, fp,
+                       row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM base
+            ) WHERE rn = 1
+        ), enriched AS (
+            SELECT doc_id, text, fp,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+                   len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|in)\b')) AS en,
+                   len(regexp_extract_all(lower(text), '\b(?:el|los|las|que|una)\b')) AS es,
+                   len(regexp_extract_all(lower(text), '\b(?:les|des|une|est|dans)\b')) AS fr,
+                   len(regexp_extract_all(lower(text), '\b(?:der|die|und|das|ist)\b')) AS de
+            FROM deduped
+        ), lang AS (
+            SELECT *,
+                   CASE WHEN en > 0 AND en >= es AND en >= fr AND en >= de THEN 'en'
+                        WHEN es > 0 AND es >= fr AND es >= de THEN 'es'
+                        WHEN fr > 0 AND fr >= de THEN 'fr'
+                        WHEN de > 0 THEN 'de'
+                        ELSE 'und' END AS lang_pred
+            FROM enriched
+        )
+        SELECT doc_id, fp, n_tokens, lang_pred,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT *,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+            FROM lang
+            WHERE n_tokens >= 10
+              AND CAST(n_punct AS DOUBLE) / length(text) <= 0.5
+              AND lang_pred IN ('en', 'es')
+        )
     """,
     "q_data_quality": """
         SELECT count(*) AS n_rows,

@@ -1,0 +1,94 @@
+"""The end-to-end training-corpus pipeline (north star, BASELINE.json):
+clean → exact-dedup → quality/language filter → reproducible split, as ONE
+lazy DataFrame plan.
+
+This is the composition the individual operators exist for. Shape at
+100 TB: a scan, one shuffle (fingerprint dedup), then pure map-side
+filtering and split assignment — no collect, no second pass. Near-dup
+removal (minhash/LSH, functions/dedup.py) slots in between dedup and
+filtering when semantic dedup is wanted; it's kept out of the default
+pipeline so the whole thing stays exactly reproducible and
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from salesforce_plugin_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    punct_count,
+    split_assign,
+    token_count,
+)
+
+
+def build_training_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.3,
+    langs: tuple[str, ...] = ("en",),
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Returns (id, text, fp, n_tokens, lang_pred, split) for the surviving
+    documents:
+
+    1. drop null/empty text;
+    2. exact content dedup — one deterministic survivor (min id) per
+       normalized-text fingerprint (hash-groupBy via window, one shuffle);
+    3. quality gate — token count ≥ min_tokens and punctuation ratio ≤
+       max_punct_ratio;
+    4. language gate — marker-heuristic language ID ∈ ``langs``;
+    5. reproducible split — md5 hash-bucket of the id (engine-portable).
+
+    Every step is a pure function of the row (plus the dedup shuffle), so
+    the same corpus always produces the same output set — the property a
+    training-data pipeline needs to be auditable.
+    """
+    text = F.col(text_col)
+    base = df.filter(text.isNotNull() & (F.length(F.trim(text)) > 0)).select(
+        F.col(id_col), text.alias("text"), fingerprint(text).alias("fp")
+    )
+    w = Window.partitionBy("fp").orderBy(F.col(id_col))
+    deduped = (
+        base.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    enriched = deduped.select(
+        F.col(id_col),
+        "text",
+        "fp",
+        token_count(F.col("text")).alias("n_tokens"),
+        punct_count(F.col("text")).cast("long").alias("n_punct"),
+        lang_id(F.col("text")).alias("lang_pred"),
+    )
+    gated = enriched.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (
+            F.col("n_punct").cast("double") / F.length("text")
+            <= max_punct_ratio
+        )
+        & F.col("lang_pred").isin(*langs)
+    )
+    return gated.select(
+        F.col(id_col),
+        "text",
+        "fp",
+        "n_tokens",
+        "lang_pred",
+        split_assign(F.col(id_col), train_pct, val_pct).alias("split"),
+    )
+
+
+def corpus_stats(corpus: DataFrame) -> DataFrame:
+    """Per-split size/token report for the built corpus (one tiny agg)."""
+    return corpus.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
