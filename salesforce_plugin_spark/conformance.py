@@ -498,6 +498,29 @@ def q_multimodal_bytes(spark, sf_dir):
 # F6: windowed event processing (batch form of the streaming plan)
 # ---------------------------------------------------------------------------
 
+def q_asof_join(spark, sf_dir):
+    """Custom operator (SURVEY §4): backward as-of join — for every click
+    event, the user's latest view event at-or-before it. Union + carry-
+    forward window construction; DuckDB's native ASOF JOIN is the oracle."""
+    from salesforce_plugin_spark.operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts"
+    )
+    out = asof_join(clicks, views, "ts", by=["user_id"])
+    return out.select(
+        "user_id",
+        "click_id",
+        F.unix_micros(F.col("ts")).alias("click_us"),
+        "view_id_r",
+        F.unix_micros(F.col("ts_r")).alias("view_us"),
+    )
+
+
 def q_event_window(spark, sf_dir):
     """F6: tumbling 1-hour event-time window (batch mode of the streaming
     aggregation; the readStream form is streaming/windows.py)."""
@@ -706,6 +729,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_embed_bucket": q_embed_bucket,
     "q_multimodal_bytes": q_multimodal_bytes,
+    "q_asof_join": q_asof_join,
     "q_event_window": q_event_window,
     "q_event_session": q_event_session,
     "q_topk_per_group": q_topk_per_group,
@@ -928,6 +952,13 @@ ORACLES: dict[str, str] = {
                CAST(strlen(text) AS BIGINT) AS byte_len,
                md5(text) AS payload_md5
         FROM documents
+    """,
+    "q_asof_join": """
+        SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_us,
+               v.event_id AS view_id_r, epoch_us(v.ts) AS view_us
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
     """,
     "q_event_window": """
         SELECT epoch_ms(date_trunc('hour', ts)) // 1000 AS w_start_s,

@@ -1,0 +1,116 @@
+"""Custom join operators Spark's API lacks natively (SURVEY §4 "custom
+operators" rubric): as-of join and bucketed range join, built as
+compositions of existing DataFrame ops — no UDFs, no mapPartitions.
+
+As-of join (the time-series enrichment primitive): for each left row,
+attach the latest right row with ``right.time <= left.time`` per key.
+Implemented with the union-and-carry-forward construction: tag both
+inputs, sort each key partition by (time, side), and carry the last seen
+right row forward with an ``ignorenulls`` window ``last``. One shuffle on
+the key, one intra-partition sort — the same shape a dedicated
+time-series engine uses, and it scales with the shuffle, not with pairs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str,
+    by: list[str],
+    tolerance: str | None = None,
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of join: latest right row at-or-before each left row's
+    ``time_col``, matched on the ``by`` keys. Left rows with no prior right
+    row get nulls. ``tolerance`` (an INTERVAL string like '2 hours') bounds
+    how stale the match may be.
+
+    Output columns: all of ``left``'s, plus each right non-key column
+    suffixed with ``right_suffix`` (including the right row's time).
+    """
+    r_val_cols = [c for c in right.columns if c not in by]
+    l_struct = F.struct(*[F.col(c) for c in left.columns]).alias("__l")
+    r_struct = F.struct(*[F.col(c) for c in r_val_cols]).alias("__r")
+    l_type = left.select(l_struct).schema["__l"].dataType
+    r_type = right.select(r_struct).schema["__r"].dataType
+
+    tagged_l = left.select(
+        *[F.col(c) for c in by],
+        F.col(time_col).alias("__t"),
+        l_struct,
+        F.lit(None).cast(r_type).alias("__r"),
+        F.lit(1).alias("__side"),
+    )
+    tagged_r = right.select(
+        *[F.col(c) for c in by],
+        F.col(time_col).alias("__t"),
+        F.lit(None).cast(l_type).alias("__l"),
+        r_struct,
+        F.lit(0).alias("__side"),
+    )
+    # right rows sort before left rows at equal timestamps → "at or before"
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__t"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    combined = tagged_l.unionByName(tagged_r).withColumn(
+        "__match", F.last("__r", ignorenulls=True).over(w)
+    )
+    out = combined.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        fresh = F.col("__match").getField(time_col) >= (
+            F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+        )
+        out = out.withColumn(
+            "__match", F.when(fresh, F.col("__match")).otherwise(F.lit(None))
+        )
+    return out.select(
+        *[F.col("__l").getField(c).alias(c) for c in left.columns],
+        *[
+            F.col("__match").getField(c).alias(f"{c}{right_suffix}")
+            for c in r_val_cols
+        ],
+    )
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-interval join without a cartesian: both sides are exploded
+    onto fixed-width buckets (epoch-second units), joined on (bucket, keys)
+    as a plain equi-join, then exact-filtered. Reducer load is bounded by
+    rows-per-bucket, never |points|×|intervals|.
+
+    Intervals longer than ``bucket_width`` replicate once per covered
+    bucket — pick the width near the median interval length.
+    """
+    keys = extra_keys or []
+    p = points.withColumn(
+        "__bucket", (F.unix_seconds(F.col(point_col)) / bucket_width).cast("long")
+    )
+    i = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_seconds(F.col(start_col)) / bucket_width).cast("long"),
+                (F.unix_seconds(F.col(end_col)) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(i, ["__bucket", *keys])
+    return joined.filter(
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) <= F.col(end_col))
+    ).drop("__bucket")

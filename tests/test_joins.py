@@ -1,0 +1,67 @@
+"""Custom joins: as-of (backward, tolerance, equal-ts inclusivity) and
+bucketed range join (equivalence to the naive inequality join)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from salesforce_plugin_spark.operators.joins import asof_join, range_join_bucketed
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_asof_backward_basic(spark):
+    trades = spark.createDataFrame(
+        [("A", ts(10), 1), ("A", ts(30), 2), ("B", ts(5), 3)],
+        "sym string, ts timestamp, trade_id int",
+    )
+    quotes = spark.createDataFrame(
+        [("A", ts(0), 100.0), ("A", ts(25), 105.0), ("B", ts(50), 42.0)],
+        "sym string, ts timestamp, px double",
+    )
+    out = {r.trade_id: r for r in asof_join(trades, quotes, "ts", ["sym"]).collect()}
+    assert out[1].px_r == 100.0          # latest quote before min 10 is min 0
+    assert out[2].px_r == 105.0
+    assert out[3].px_r is None           # B's only quote is in the future
+
+
+def test_asof_equal_timestamp_is_inclusive(spark):
+    l = spark.createDataFrame([("A", ts(10), 1)], "k string, ts timestamp, i int")
+    r = spark.createDataFrame([("A", ts(10), 7.0)], "k string, ts timestamp, v double")
+    out = asof_join(l, r, "ts", ["k"]).collect()[0]
+    assert out.v_r == 7.0                # "at or before" includes equal ts
+
+
+def test_asof_tolerance_drops_stale_matches(spark):
+    l = spark.createDataFrame([("A", ts(120), 1)], "k string, ts timestamp, i int")
+    r = spark.createDataFrame([("A", ts(0), 9.0)], "k string, ts timestamp, v double")
+    fresh = asof_join(l, r, "ts", ["k"], tolerance="3 HOURS").collect()[0]
+    assert fresh.v_r == 9.0
+    stale = asof_join(l, r, "ts", ["k"], tolerance="1 HOUR").collect()[0]
+    assert stale.v_r is None
+
+
+def test_range_join_bucketed_matches_naive(spark):
+    points = spark.createDataFrame(
+        [(i, ts(i * 7)) for i in range(40)], "pid long, pt timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(100, ts(0), ts(30)), (200, ts(25), ts(120)), (300, ts(500), ts(600))],
+        "iid long, lo timestamp, hi timestamp",
+    )
+    naive = points.join(
+        intervals, (F.col("pt") >= F.col("lo")) & (F.col("pt") <= F.col("hi"))
+    ).select("pid", "iid")
+    bucketed = range_join_bucketed(
+        points, intervals, "pt", "lo", "hi", bucket_width=600
+    ).select("pid", "iid")
+    assert sorted(map(tuple, bucketed.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+    assert bucketed.count() > 0
