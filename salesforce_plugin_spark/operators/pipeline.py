@@ -86,6 +86,77 @@ def build_training_corpus(
     )
 
 
+def mix_corpora(
+    sources: list[tuple[DataFrame, float]],
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Weighted dataset mixing by deterministic subsampling: each source
+    keeps the fraction of rows whose md5 hash-bucket falls under its rate
+    (rate > 1.0 keeps everything — upsampling is a training-loader concern,
+    not a storage concern). Selection is a pure function of (source order,
+    id): reproducible across runs and engines, no RNG, no shuffle — the
+    standard way to hit a target corpus blend (e.g. 70% web, 20% code,
+    10% reference) at 100 TB without a sampling pass.
+    """
+    from salesforce_plugin_spark.functions.text import hash_bucket
+
+    if not sources:
+        raise ValueError("mix_corpora needs at least one (df, rate) source")
+    parts = []
+    for i, (df, rate) in enumerate(sources):
+        tagged = df.withColumn("mix_source", F.lit(i))
+        if rate < 1.0:
+            # salt the bucket with the source index so the same id can be
+            # kept in one source and dropped in another
+            bucket = hash_bucket(
+                F.concat_ws(":", F.lit(str(i)), F.col(id_col).cast("string")),
+                n_buckets,
+            )
+            tagged = tagged.filter(bucket < int(rate * n_buckets))
+        parts.append(tagged)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 256,
+    out_path: str | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files of
+    roughly ``target_file_mb`` (streaming sinks and fine-grained partitions
+    accumulate KB-scale files whose per-file open/footer cost dominates
+    scans at 100 TB). Returns the number of output partitions. Writes to
+    ``out_path`` (default: in-place via overwrite) with a single
+    round-robin repartition — no skew, no sort assumed."""
+    import os as _os
+
+    total_bytes = 0
+    for dp, _, fs in _os.walk(path):
+        total_bytes += sum(
+            _os.path.getsize(_os.path.join(dp, f))
+            for f in fs
+            if f.endswith(".parquet") or f.startswith("part-")
+        )
+    n = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if out_path is None:
+        # Spark cannot overwrite a path it is reading from; stage + swap.
+        import shutil as _shutil
+
+        staging = path.rstrip("/") + "__compacting"
+        df.repartition(n).write.mode("overwrite").parquet(staging)
+        _shutil.rmtree(path)
+        _os.rename(staging, path)
+    else:
+        df.repartition(n).write.mode("overwrite").parquet(out_path)
+    return n
+
+
 def corpus_stats(corpus: DataFrame) -> DataFrame:
     """Per-split size/token report for the built corpus (one tiny agg)."""
     return corpus.groupBy("split").agg(

@@ -107,6 +107,22 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
     return events.dropDuplicatesWithinWatermark(keys or ["event_id"])
 
 
+def dedup_stream_by_content(
+    events: DataFrame, text_col: str, keys: list[str] | None = None
+) -> DataFrame:
+    """Streaming exact *content* dedup: fingerprint the payload (normalized
+    md5, functions/text.fingerprint) and drop repeats within the watermark
+    horizon — the streaming form of the training pipeline's dedup stage.
+    State holds one fingerprint per distinct content until the watermark
+    passes (bounded, evicted)."""
+    from salesforce_plugin_spark.functions.text import fingerprint
+
+    with_fp = events.withColumn("__fp", fingerprint(F.col(text_col)))
+    return with_fp.dropDuplicatesWithinWatermark((keys or []) + ["__fp"]).drop(
+        "__fp"
+    )
+
+
 def incremental_predicate(ts_col: str | Column, since) -> Column:
     """The reference's templated-watermark idiom (D21) as a plain predicate:
     ``WHERE ts > {{ prev_execution_date }}`` for batch incremental runs —
