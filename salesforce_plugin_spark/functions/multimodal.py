@@ -87,6 +87,87 @@ def payload_stats(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     )
 
 
+def byte_histogram(
+    df: DataFrame, id_col: str, payload_col: str, n_bins: int = 16
+) -> DataFrame:
+    """Per-payload byte histogram (``array<long>`` of ``n_bins``) — a real,
+    deterministic feature-extraction stage over opaque binary (the shape of
+    MFCC/embedding extraction once a decoder is injected): numpy over Arrow
+    batches, no shuffle, features stay columnar."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("histogram", T.ArrayType(T.LongType())),
+        ]
+    )
+    width = 256 // n_bins
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hists = [
+                np.bincount(
+                    np.frombuffer(bytes(p), dtype=np.uint8) // width,
+                    minlength=n_bins,
+                )[:n_bins].tolist()
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "histogram": hists}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        extract, out_schema
+    )
+
+
+def resize_image_plan(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    size: tuple[int, int] = (224, 224),
+    decoder: Callable[[bytes], object] | None = None,
+    resizer: Callable[[object, tuple[int, int]], bytes] | None = None,
+) -> DataFrame:
+    """Image resize pipeline shape: decode → resize → re-encode per payload,
+    streamed through Arrow batches. Decode/resize are STUBBED (inject e.g.
+    PIL.Image.open / a thumbnail+save closure); the Spark-side plumbing —
+    schema, batching, partition behavior — is real and tested."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("resized", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    if resizer is None:
+        def resizer(img, sz):  # noqa: ARG001
+            raise NotImplementedError(
+                "image resizing requires an injected resizer (no media libs here)"
+            )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                resizer(decode_image(bytes(p), decoder), size)
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "resized": resized,
+                    "width": size[0],
+                    "height": size[1],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        process, out_schema
+    )
+
+
 def frame_sample_plan(
     df: DataFrame,
     id_col: str,

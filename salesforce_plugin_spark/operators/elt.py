@@ -36,7 +36,11 @@ from salesforce_plugin_spark.operators.transforms import (
     flatten_relationship,
     truncate_varchar,
 )
-from salesforce_plugin_spark.sources.io import write_csv, write_json_array, write_ndjson
+
+# NOTE: sources.io imports operators.transforms, and importing any
+# operators submodule runs operators/__init__ which imports this module —
+# so io sinks are imported lazily inside execute() to keep the package
+# import-order independent.
 
 Resolver = Callable[[str], DataFrame]
 
@@ -64,6 +68,7 @@ class BulkQueryExtract:
 
     def execute(self, spark: SparkSession) -> None:
         from salesforce_plugin_spark.plans import soql_to_df
+        from salesforce_plugin_spark.sources.io import write_ndjson
 
         df = soql_to_df(spark, self.soql, resolve=self.resolve or _default_resolver(spark))
         write_ndjson(df, self.dest)
@@ -111,6 +116,12 @@ class ObjectExtract:
         return df
 
     def execute(self, spark: SparkSession) -> None:
+        from salesforce_plugin_spark.sources.io import (
+            write_csv,
+            write_json_array,
+            write_ndjson,
+        )
+
         df = self.build(spark)
         writer = {
             "csv": write_csv,

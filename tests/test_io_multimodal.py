@@ -93,6 +93,40 @@ def test_decoders_are_stubbed():
     assert decode_image(b"x", decoder=lambda b: ("img", len(b))) == ("img", 1)
 
 
+def test_byte_histogram_features(spark):
+    import pyspark.sql.functions as F
+
+    from salesforce_plugin_spark.functions.multimodal import byte_histogram
+
+    df = spark.createDataFrame([(1, bytes([0, 0, 16, 255]))], ["doc_id", "p"])
+    row = byte_histogram(df, "doc_id", "p", n_bins=16).collect()[0]
+    # bytes 0,0 → bin 0; 16 → bin 1; 255 → bin 15
+    assert row.histogram[0] == 2 and row.histogram[1] == 1 and row.histogram[15] == 1
+    assert sum(row.histogram) == 4 and len(row.histogram) == 16
+
+
+def test_resize_plan_with_fake_decoder_and_resizer(spark):
+    import pyspark.sql.functions as F
+
+    from salesforce_plugin_spark.functions.multimodal import resize_image_plan
+
+    df = spark.createDataFrame([(1, b"imagebytes")], ["doc_id", "p"])
+    out = resize_image_plan(
+        df, "doc_id", "p", size=(4, 2),
+        decoder=lambda b: b.upper(),                # fake "decoded image"
+        resizer=lambda img, sz: img[: sz[0] * sz[1]],  # fake "resize"
+    ).collect()[0]
+    assert bytes(out.resized) == b"IMAGEBYT"
+    assert (out.width, out.height) == (4, 2)
+    # without an injected resizer the stub refuses loudly
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|resiz"):
+        resize_image_plan(
+            df, "doc_id", "p", decoder=lambda b: b
+        ).collect()
+
+
 def test_frame_sample_plan_with_fake_decoder(spark):
     import pyspark.sql.functions as F
 
