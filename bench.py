@@ -36,6 +36,9 @@ HEADLINE = [
     "q_near_dedup",         # minhash + LSH banding + self-join
     "q_embed_topk",         # brute-force cosine top-k
     "q_multimodal_bytes",   # Arrow-batched mapInPandas binary path
+    "q_asof_join",          # union + carry-forward window as-of join
+    "q_training_corpus",    # full clean→dedup→filter→split pipeline
+    "q_soql_relationship",  # SOQL front door: chained broadcast lookups
 ]
 
 

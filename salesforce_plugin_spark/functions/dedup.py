@@ -157,6 +157,11 @@ def near_dedup_clusters(
     it lands in (single-hop approximation of connected components — the
     standard first pass of a web-scale dedup pipeline). Always returns one row
     per input document: (id, cluster_id).
+
+    Skew note: the window-min over (band, bucket) sorts each bucket in one
+    task; a pathologically hot bucket (boilerplate text shingles) is handled
+    by raising bucket granularity — more bands / more rows per band — rather
+    than salting, which would change cluster semantics.
     """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     rows_per_band = num_hashes // bands
