@@ -210,6 +210,20 @@ def q_agg_cube(spark, sf_dir):
     )
 
 
+def q_agg_collect(spark, sf_dir):
+    """D10 extension: collected-value aggregation — the sorted distinct set
+    per group, rendered as a delimited string so the cross-engine hash is
+    order-insensitive by construction (collect_set order is partition-
+    dependent; array_sort canonicalizes it)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias(
+            "statuses"
+        ),
+        F.countDistinct("l_linestatus").alias("n_status"),
+    )
+
+
 def q_agg_percentile(spark, sf_dir):
     """D10 extension: exact median / 90th percentile per group (single-pass
     sort-based exact percentiles; at extreme scale swap for approx_percentile
@@ -705,6 +719,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_agg_count_distinct": q_agg_count_distinct,
     "q_agg_rollup": q_agg_rollup,
     "q_agg_cube": q_agg_cube,
+    "q_agg_collect": q_agg_collect,
     "q_agg_percentile": q_agg_percentile,
     "q_agg_having": q_agg_having,
     "q_sort_limit": q_sort_limit,
@@ -813,6 +828,12 @@ ORACLES: dict[str, str] = {
                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
                count(*) AS n
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "q_agg_collect": """
+        SELECT l_returnflag,
+               string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+               count(DISTINCT l_linestatus) AS n_status
+        FROM lineitem GROUP BY l_returnflag
     """,
     "q_agg_percentile": """
         SELECT l_returnflag,
