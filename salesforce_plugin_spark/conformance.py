@@ -249,6 +249,80 @@ def q_agg_having(spark, sf_dir):
     )
 
 
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape: segment-filtered customer ⨝ orders ⨝ lineitem,
+    revenue per order, top 10 — the canonical multi-join topk. Customer is
+    broadcast (dimension); lineitem joins orders on the shuffle."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(ORDERS_CUTOFF).cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    revenue = F.sum(
+        _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4)
+    ).alias("revenue")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(revenue)
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape: full star join (region→nation→customer→orders→
+    lineitem→supplier) with the local-supplier condition, revenue per
+    nation. All dimensions broadcast; the fact chain shuffles once."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(ORDERS_CUTOFF).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.sum(
+        _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4)
+    ).alias("revenue")
+    return (
+        li.join(F.broadcast(o.select("o_orderkey", "o_custkey")),
+                li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              (li["l_suppkey"] == s["s_suppkey"])
+              & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
+              s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r.select("r_regionkey")),
+              n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(revenue)
+    )
+
+
+def q_percent_rank(spark, sf_dir):
+    """Window normalization: percent_rank of order value within its
+    priority class — exact rational (rank-1)/(n-1) values, the
+    float-determinism-safe alternative to z-scores for cross-engine
+    feature normalization."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # D15-D19: sort / limit / offset / date functions
 # ---------------------------------------------------------------------------
@@ -722,6 +796,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_agg_collect": q_agg_collect,
     "q_agg_percentile": q_agg_percentile,
     "q_agg_having": q_agg_having,
+    "q_tpch_q3": q_tpch_q3,
+    "q_tpch_q5": q_tpch_q5,
+    "q_percent_rank": q_percent_rank,
     "q_sort_limit": q_sort_limit,
     "q_offset_page": q_offset_page,
     "q_date_parts": q_date_parts,
@@ -846,6 +923,36 @@ ORACLES: dict[str, str] = {
         SELECT o_custkey, count(*) AS n_orders,
                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
         FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+    """,
+    "q_tpch_q3": f"""
+        SELECT o_orderkey, o_orderpriority,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '{ORDERS_CUTOFF}'
+        GROUP BY o_orderkey, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    "q_tpch_q5": f"""
+        SELECT n_name,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND o_orderdate < TIMESTAMP '{ORDERS_CUTOFF}'
+        GROUP BY n_name
+    """,
+    "q_percent_rank": """
+        SELECT o_orderkey, o_orderpriority,
+               round(percent_rank() OVER (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey), 8) AS pct_rank
+        FROM orders
     """,
     "q_sort_limit": """
         SELECT p_partkey, p_name, p_retailprice FROM part
