@@ -236,6 +236,55 @@ def q_agg_percentile(spark, sf_dir):
     )
 
 
+def q_grouping_sets(spark, sf_dir):
+    """D12/D13 generalized: explicit GROUPING SETS with grouping()
+    indicators distinguishing subtotal nulls from data nulls."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status,
+               count(*) AS n
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        """,
+        li=li,
+    )
+
+
+def q_pivot(spark, sf_dir):
+    """Reshaping: order counts pivoted by status into columns (oracle uses
+    conditional aggregation — the portable formulation of PIVOT)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("n_f"),
+            F.col("O").alias("n_o"),
+            F.col("P").alias("n_p"),
+        )
+    )
+
+
+def q_unpivot(spark, sf_dir):
+    """Reshaping: wide → long (melt) over customer numeric attributes —
+    the feature-table normalization step of a training pipeline."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_acctbal", "c_nationkey").unpivot(
+        "c_custkey",
+        ["c_acctbal", "c_nationkey"],
+        "feature",
+        "value",
+    ).select(
+        "c_custkey", "feature", F.col("value").cast("double").alias("value")
+    )
+
+
 def q_agg_having(spark, sf_dir):
     """D14: HAVING → post-aggregation filter."""
     o = load_table(spark, sf_dir, "orders")
@@ -795,6 +844,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_agg_cube": q_agg_cube,
     "q_agg_collect": q_agg_collect,
     "q_agg_percentile": q_agg_percentile,
+    "q_grouping_sets": q_grouping_sets,
+    "q_pivot": q_pivot,
+    "q_unpivot": q_unpivot,
     "q_agg_having": q_agg_having,
     "q_tpch_q3": q_tpch_q3,
     "q_tpch_q5": q_tpch_q5,
@@ -918,6 +970,28 @@ ORACLES: dict[str, str] = {
                quantile_cont(l_extendedprice, 0.9) AS p90_price,
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
+               CAST(grouping(l_linestatus) AS TINYINT) AS g_status,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+    """,
+    "q_pivot": """
+        SELECT o_orderpriority,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "q_unpivot": """
+        SELECT c_custkey, 'c_acctbal' AS feature, CAST(c_acctbal AS DOUBLE) AS value
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
     """,
     "q_agg_having": """
         SELECT o_custkey, count(*) AS n_orders,
