@@ -1255,7 +1255,7 @@ ORACLES: dict[str, str] = {
               AND lang_pred IN ('en', 'es')
         )
     """,
-    "q_data_quality": """
+    "q_data_quality": r"""
         SELECT count(*) AS n_rows,
                sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS viol_not_null_text,
                sum(CASE WHEN length(text) < 20 THEN 1 ELSE 0 END) AS viol_min_length_text,
