@@ -824,6 +824,48 @@ def q_soql_relationship(spark, sf_dir):
     )
 
 
+def q_soql_date_literal(spark, sf_dir):
+    """D18 through the front door with SOQL *range* semantics, anchored to
+    an injected today=2024-01-20 for deterministic replay: ``= LAST_N_DAYS:7``
+    is containment in the half-open day range [2024-01-13, 2024-01-21) and
+    ``< THIS_WEEK`` means strictly before Monday 2024-01-15."""
+    import datetime
+
+    from salesforce_plugin_spark.plans import soql_to_df
+
+    def resolve(name):
+        return load_table(spark, sf_dir, name.lower())
+
+    return soql_to_df(
+        spark,
+        "SELECT event_type, COUNT() n, COUNT_DISTINCT(user_id) users "
+        "FROM events WHERE ts = LAST_N_DAYS:7 AND NOT ts < THIS_WEEK "
+        "GROUP BY event_type ORDER BY event_type",
+        resolve=resolve,
+        today=datetime.date(2024, 1, 20),
+    )
+
+
+def q_soql_fiscal(spark, sf_dir):
+    """D19 fiscal functions through the front door under a February
+    fiscal-year start (fiscal year named by its ending calendar year —
+    Salesforce's default convention)."""
+    from salesforce_plugin_spark.plans import soql_to_df
+
+    def resolve(name):
+        return load_table(spark, sf_dir, name.lower())
+
+    return soql_to_df(
+        spark,
+        "SELECT FISCAL_YEAR(o_orderdate) fy, FISCAL_QUARTER(o_orderdate) fq, "
+        "COUNT() n, MAX(o_totalprice) max_total "
+        "FROM orders GROUP BY FISCAL_YEAR(o_orderdate), FISCAL_QUARTER(o_orderdate) "
+        "ORDER BY fy, fq",
+        resolve=resolve,
+        fiscal_start_month=2,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -884,6 +926,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_unique_keys": q_unique_keys,
     "q_soql_front_door": q_soql_front_door,
     "q_soql_relationship": q_soql_relationship,
+    "q_soql_date_literal": q_soql_date_literal,
+    "q_soql_fiscal": q_soql_fiscal,
 }
 
 _BPE_RE = r"(?:[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
@@ -1283,6 +1327,24 @@ ORACLES: dict[str, str] = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         WHERE o_totalprice > 300000
+    """,
+    "q_soql_date_literal": """
+        SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-13 00:00:00'
+          AND ts < TIMESTAMP '2024-01-21 00:00:00'
+          AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "q_soql_fiscal": """
+        SELECT year(o_orderdate)
+                 + CASE WHEN month(o_orderdate) >= 2 THEN 1 ELSE 0 END AS fy,
+               ((month(o_orderdate) - 2 + 12) % 12) // 3 + 1 AS fq,
+               count(*) AS n, max(o_totalprice) AS max_total
+        FROM orders
+        GROUP BY 1, 2
+        ORDER BY fy, fq
     """,
     # rows-only (no oracle): q_fetch_time_added (current_timestamp),
     # q_near_dedup + q_simhash (xxhash64 family has no DuckDB equivalent).

@@ -9,7 +9,9 @@ Supported surface (the D-rows of SURVEY §2):
 - ``SELECT f1, f2 | agg(f)`` projection and aggregates
   (COUNT()/COUNT(f)/COUNT_DISTINCT(f)/SUM/AVG/MIN/MAX) — D1, D10
 - date functions in SELECT/GROUP BY: CALENDAR_YEAR/CALENDAR_MONTH/
-  CALENDAR_QUARTER/DAY_ONLY/HOUR_IN_DAY — D19
+  CALENDAR_QUARTER/DAY_ONLY/HOUR_IN_DAY/DAY_IN_WEEK/DAY_IN_MONTH/
+  DAY_IN_YEAR/WEEK_IN_YEAR/WEEK_IN_MONTH and FISCAL_YEAR/FISCAL_QUARTER/
+  FISCAL_MONTH under a configurable fiscal-year start month — D19
 - ``WHERE`` with ``= != < <= > >= LIKE IN NOT IN``, AND/OR/NOT, parens,
   semi/anti subqueries ``[NOT] IN (SELECT ...)`` — D2-D7
 - SOQL semantic shims: LIKE is case-insensitive (D3); ``= NULL`` /
@@ -18,7 +20,12 @@ Supported surface (the D-rows of SURVEY §2):
 - ``ORDER BY ... [ASC|DESC] [NULLS FIRST|LAST]`` (SOQL default ASC NULLS
   FIRST = Spark's default) — D15
 - ``LIMIT`` / ``OFFSET`` — D16, D17
-- date literals TODAY/YESTERDAY/LAST_N_DAYS:n/NEXT_N_DAYS:n — D18
+- date literals with SOQL *range* semantics (``=`` is containment, ``<``
+  precedes the range, ``>`` follows it): TODAY/YESTERDAY/TOMORROW,
+  THIS|LAST|NEXT_WEEK/MONTH/QUARTER/YEAR, LAST|NEXT_90_DAYS, and the
+  parameterized LAST|NEXT_N_DAYS/WEEKS/MONTHS/QUARTERS/YEARS:n and
+  N_DAYS_AGO:n — anchored to an injectable ``today`` for deterministic
+  replay — D18
 
 Not supported (not needed for the conformance surface): dot-path
 relationship traversal in the string form (use the DataFrame API's joins),
@@ -49,7 +56,9 @@ _TOKEN_RE = re.compile(
       (?P<string>'(?:[^'\\]|\\.)*')
     | (?P<isodate>\d{4}-\d{2}-\d{2}(?:T[\d:.]+(?:Z|[+-]\d{2}:?\d{2})?)?)
     | (?P<number>-?\d+(?:\.\d+)?)
-    | (?P<datelit>(?:LAST_N_DAYS|NEXT_N_DAYS):\d+)
+    | (?P<datelit>(?:LAST_N_DAYS|NEXT_N_DAYS|LAST_N_WEEKS|NEXT_N_WEEKS
+                     |LAST_N_MONTHS|NEXT_N_MONTHS|LAST_N_QUARTERS|NEXT_N_QUARTERS
+                     |LAST_N_YEARS|NEXT_N_YEARS|N_DAYS_AGO):\d+)
     | (?P<word>[A-Za-z_][A-Za-z0-9_.]*)
     | (?P<op><=|>=|!=|=|<|>)
     | (?P<punct>[(),*])
@@ -91,13 +100,35 @@ _DATE_FNS: dict[str, Callable[[Column], Column]] = {
     "CALENDAR_QUARTER": F.quarter,
     "DAY_ONLY": F.to_date,
     "HOUR_IN_DAY": F.hour,
+    # D19 extensions. DAY_IN_WEEK: 1=Sunday in both SOQL and Spark's
+    # dayofweek — a direct match. WEEK_IN_YEAR / WEEK_IN_MONTH use SOQL's
+    # simple 7-day blocks from Jan 1 / the 1st (NOT ISO weeks — Spark's
+    # weekofyear is ISO and diverges at year boundaries).
+    "DAY_IN_WEEK": F.dayofweek,
+    "DAY_IN_MONTH": F.dayofmonth,
+    "DAY_IN_YEAR": F.dayofyear,
+    "WEEK_IN_YEAR": lambda c: ((F.dayofyear(c) - 1) / 7 + 1).cast("int"),
+    "WEEK_IN_MONTH": lambda c: ((F.dayofmonth(c) - 1) / 7 + 1).cast("int"),
+}
+#: Fiscal D19 functions — need the org's fiscal-year start month, so they are
+#: built per-query (see ``_fiscal_col``); keys listed here for parse-time
+#: recognition alongside _DATE_FNS.
+_FISCAL_FNS = {"FISCAL_YEAR", "FISCAL_QUARTER", "FISCAL_MONTH"}
+#: D18 keyword range literals (value-less; the N-parameterized family is
+#: tokenized as ``datelit``). Each denotes a [start, end) date range.
+_RANGE_KEYWORDS = {
+    "TODAY", "YESTERDAY", "TOMORROW",
+    "THIS_WEEK", "LAST_WEEK", "NEXT_WEEK",
+    "THIS_MONTH", "LAST_MONTH", "NEXT_MONTH",
+    "THIS_QUARTER", "LAST_QUARTER", "NEXT_QUARTER",
+    "THIS_YEAR", "LAST_YEAR", "NEXT_YEAR",
+    "LAST_90_DAYS", "NEXT_90_DAYS",
 }
 _KEYWORDS = {
     "SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER", "LIMIT",
     "OFFSET", "AND", "OR", "NOT", "IN", "LIKE", "ASC", "DESC", "NULLS",
-    "FIRST", "LAST", "TRUE", "FALSE", "NULL", "ROLLUP", "CUBE", "TODAY",
-    "YESTERDAY",
-}
+    "FIRST", "LAST", "TRUE", "FALSE", "NULL", "ROLLUP", "CUBE",
+} | _RANGE_KEYWORDS
 
 
 class _Parser:
@@ -238,7 +269,8 @@ class _Parser:
             t is not None
             and t.kind == "word"
             and t.text.upper() not in _KEYWORDS
-            and not (t.text.upper() in _AGGS or t.text.upper() in _DATE_FNS)
+            and not (t.text.upper() in _AGGS or t.text.upper() in _DATE_FNS
+                     or t.text.upper() in _FISCAL_FNS)
         ):
             self.next()
             return t.text
@@ -257,7 +289,8 @@ class _Parser:
             inner = self.parse_value_expr()
             self.expect(")")
             return {"kind": "agg", "fn": up, "arg": inner}
-        if up in _DATE_FNS and self.peek() and self.peek().text == "(":
+        if (up in _DATE_FNS or up in _FISCAL_FNS) and self.peek() and \
+                self.peek().text == "(":
             self.next()
             inner = self.parse_value_expr()
             self.expect(")")
@@ -352,7 +385,7 @@ class _Parser:
             return {"kind": "lit", "v": False}
         if up == "NULL":
             return {"kind": "null"}
-        if up in ("TODAY", "YESTERDAY"):
+        if up in _RANGE_KEYWORDS:
             return {"kind": "datelit", "fn": up, "n": 0}
         # bare word: SOQL allows ISO date/datetime literals unquoted
         if re.fullmatch(r"\d{4}-\d{2}-\d{2}(T[\d:.+Zz-]+)?", t.text):
@@ -380,41 +413,100 @@ def default_alias(e: dict) -> str:
 # Lowering to DataFrame plans
 # ---------------------------------------------------------------------------
 
-def _value_col(e: dict) -> Column:
+def _fiscal_col(fn: str, c: Column, start_month: int) -> Column:
+    """FISCAL_* (D19) under the org's fiscal-year start month.
+
+    Convention (Salesforce default): fiscal month 1 is ``start_month``; the
+    fiscal year is named by the calendar year in which it *ends* (with
+    start_month=2, Jan-2020 is FY2020, Feb-2020 opens FY2021).
+    ``start_month=1`` collapses to the calendar functions.
+    """
+    fm = (F.month(c) - start_month + 12) % 12 + 1
+    if fn == "FISCAL_MONTH":
+        return fm
+    if fn == "FISCAL_QUARTER":
+        return ((fm - 1) / 3 + 1).cast("int")
+    if start_month == 1:
+        return F.year(c)
+    return F.year(c) + F.when(F.month(c) >= start_month, 1).otherwise(0)
+
+
+def _value_col(e: dict, fsm: int = 1) -> Column:
     if e["kind"] == "field":
         return F.col(e["name"].lower())
     if e["kind"] == "datefn":
-        return _DATE_FNS[e["fn"]](_value_col(e["arg"]))
+        if e["fn"] in _FISCAL_FNS:
+            return _fiscal_col(e["fn"], _value_col(e["arg"], fsm), fsm)
+        return _DATE_FNS[e["fn"]](_value_col(e["arg"], fsm))
     if e["kind"] == "agg":
         raise SoqlError("aggregate not allowed here")
     raise SoqlError(f"bad value expr {e}")
 
 
-def _agg_col(e: dict) -> Column:
+def _agg_col(e: dict, fsm: int = 1) -> Column:
     fn, arg = e["fn"], e.get("arg")
     if fn == "COUNT":
-        return F.count(_value_col(arg)) if arg else F.count(F.lit(1))
+        return F.count(_value_col(arg, fsm)) if arg else F.count(F.lit(1))
     if fn == "COUNT_DISTINCT":
-        return F.countDistinct(_value_col(arg))
+        return F.countDistinct(_value_col(arg, fsm))
     return {"SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max}[fn](
-        _value_col(arg)
+        _value_col(arg, fsm)
     )
 
 
 def _literal_col(e: dict) -> Column:
     if e["kind"] == "lit":
         return F.lit(e["v"])
-    if e["kind"] == "datelit":
-        fn = e["fn"]
-        if fn == "TODAY":
-            return F.current_date()
-        if fn == "YESTERDAY":
-            return F.date_sub(F.current_date(), 1)
-        if fn == "LAST_N_DAYS":
-            return F.date_sub(F.current_date(), e["n"])
-        if fn == "NEXT_N_DAYS":
-            return F.date_add(F.current_date(), e["n"])
     raise SoqlError(f"bad literal {e}")
+
+
+def _datelit_range(e: dict, today: Column) -> tuple[Column, Column]:
+    """D18: a SOQL date literal denotes a half-open **[start, end) date
+    range** relative to ``today`` — ``=`` means "within", ``<`` "before the
+    start", ``>`` "after the end" (lowered in ``_Lowerer._bool``). Weeks
+    start Monday (Spark's ``date_trunc('week')``); SOQL's locale-dependent
+    week start is out of scope.
+    """
+    fn, n = e["fn"], e.get("n", 0)
+    week0 = F.date_trunc("week", today).cast("date")
+    month0 = F.trunc(today, "month")
+    quarter0 = F.trunc(today, "quarter")
+    year0 = F.trunc(today, "year")
+    ranges: dict[str, tuple[Column, Column]] = {
+        "TODAY": (today, F.date_add(today, 1)),
+        "YESTERDAY": (F.date_sub(today, 1), today),
+        "TOMORROW": (F.date_add(today, 1), F.date_add(today, 2)),
+        "THIS_WEEK": (week0, F.date_add(week0, 7)),
+        "LAST_WEEK": (F.date_sub(week0, 7), week0),
+        "NEXT_WEEK": (F.date_add(week0, 7), F.date_add(week0, 14)),
+        "THIS_MONTH": (month0, F.add_months(month0, 1)),
+        "LAST_MONTH": (F.add_months(month0, -1), month0),
+        "NEXT_MONTH": (F.add_months(month0, 1), F.add_months(month0, 2)),
+        "THIS_QUARTER": (quarter0, F.add_months(quarter0, 3)),
+        "LAST_QUARTER": (F.add_months(quarter0, -3), quarter0),
+        "NEXT_QUARTER": (F.add_months(quarter0, 3), F.add_months(quarter0, 6)),
+        "THIS_YEAR": (year0, F.add_months(year0, 12)),
+        "LAST_YEAR": (F.add_months(year0, -12), year0),
+        "NEXT_YEAR": (F.add_months(year0, 12), F.add_months(year0, 24)),
+        # the LAST_* day families include today (public SOQL semantics:
+        # "continues up to the current second")
+        "LAST_90_DAYS": (F.date_sub(today, 90), F.date_add(today, 1)),
+        "NEXT_90_DAYS": (F.date_add(today, 1), F.date_add(today, 91)),
+        "LAST_N_DAYS": (F.date_sub(today, n), F.date_add(today, 1)),
+        "NEXT_N_DAYS": (F.date_add(today, 1), F.date_add(today, n + 1)),
+        "N_DAYS_AGO": (F.date_sub(today, n), F.date_sub(today, n - 1)),
+        "LAST_N_WEEKS": (F.date_sub(week0, 7 * n), week0),
+        "NEXT_N_WEEKS": (F.date_add(week0, 7), F.date_add(week0, 7 * (n + 1))),
+        "LAST_N_MONTHS": (F.add_months(month0, -n), month0),
+        "NEXT_N_MONTHS": (F.add_months(month0, 1), F.add_months(month0, n + 1)),
+        "LAST_N_QUARTERS": (F.add_months(quarter0, -3 * n), quarter0),
+        "NEXT_N_QUARTERS": (F.add_months(quarter0, 3), F.add_months(quarter0, 3 * (n + 1))),
+        "LAST_N_YEARS": (F.add_months(year0, -12 * n), year0),
+        "NEXT_N_YEARS": (F.add_months(year0, 12), F.add_months(year0, 12 * (n + 1))),
+    }
+    if fn not in ranges:
+        raise SoqlError(f"SOQL: unknown date literal {fn}")
+    return ranges[fn]
 
 
 class RelationshipRegistry:
@@ -470,10 +562,16 @@ class _Lowerer:
         self,
         resolve: Callable[[str], DataFrame],
         registry: RelationshipRegistry | None = None,
+        today=None,
+        fiscal_start_month: int = 1,
     ):
         self.resolve = resolve
         self.registry = registry or RelationshipRegistry()
         self._schema_cats: dict[str, str] = {}
+        # D18 anchor: a datetime.date pins relative date literals for
+        # deterministic replay; None = the engine clock (current_date).
+        self.today = F.lit(today) if today is not None else F.current_date()
+        self.fsm = fiscal_start_month
 
     # -- D8: dot-path lookup joins -----------------------------------------
 
@@ -568,6 +666,7 @@ class _Lowerer:
                     "SOQL: aggregates are not allowed in child subselects"
                 )
             inner = _Lowerer(self.resolve, self.registry)
+            inner.today, inner.fsm = self.today, self.fsm
             cdf = self.resolve(child_table)
             inner._schema_cats = {
                 f.name.lower(): _TYPE_CATEGORY.get(f.dataType.typeName(), "other")
@@ -576,7 +675,7 @@ class _Lowerer:
             if sub["where"] is not None:
                 cdf = cdf.filter(inner._bool(sub["where"]))
             sel = [
-                _value_col(s).alias(s["alias"]) for s in sub["select"]
+                _value_col(s, self.fsm).alias(s["alias"]) for s in sub["select"]
             ]
             nested = cdf.groupBy(F.col(fk.lower()).alias("__child_fk")).agg(
                 F.collect_list(F.struct(*sel)).alias(it["alias"])
@@ -635,10 +734,10 @@ class _Lowerer:
                 raise SoqlError(
                     "SOQL: child subselects cannot mix with GROUP BY"
                 )
-            keys = [_value_col(g).alias(default_alias(g)) for g in q["group"]]
+            keys = [_value_col(g, self.fsm).alias(default_alias(g)) for g in q["group"]]
             key_names = [default_alias(g) for g in q["group"]]
             pre = df.select("*", *[
-                _value_col(g).alias(default_alias(g))
+                _value_col(g, self.fsm).alias(default_alias(g))
                 for g in q["group"] if g["kind"] == "datefn"
             ])
             grouped = {
@@ -646,7 +745,7 @@ class _Lowerer:
                 "rollup": pre.rollup(*key_names),
                 "cube": pre.cube(*key_names),
             }[q["grouping"]]
-            agg_cols = [_agg_col(it).alias(it["alias"]) for it in aggs]
+            agg_cols = [_agg_col(it, self.fsm).alias(it["alias"]) for it in aggs]
             if not agg_cols:
                 agg_cols = [F.count(F.lit(1)).alias("count")]
             df = grouped.agg(*agg_cols)
@@ -665,12 +764,12 @@ class _Lowerer:
                 raise SoqlError(
                     "SOQL: child subselects cannot mix with aggregates"
                 )
-            df = df.agg(*[_agg_col(it).alias(it["alias"]) for it in items])
+            df = df.agg(*[_agg_col(it, self.fsm).alias(it["alias"]) for it in items])
         else:
             df = df.select(
                 *[
                     F.col(it["alias"]) if it["kind"] == "child_sub"
-                    else _value_col(it).alias(it["alias"])
+                    else _value_col(it, self.fsm).alias(it["alias"])
                     for it in items
                 ]
             )
@@ -678,8 +777,8 @@ class _Lowerer:
         if q["order"]:
             cols = []
             for o in q["order"]:
-                c = _value_col(o["expr"]) if o["expr"]["kind"] != "agg" else \
-                    _agg_col(o["expr"])
+                c = _value_col(o["expr"], self.fsm) if o["expr"]["kind"] != "agg" \
+                    else _agg_col(o["expr"], self.fsm)
                 name = default_alias(o["expr"])
                 if name in df.columns:
                     c = F.col(name)
@@ -709,7 +808,7 @@ class _Lowerer:
                 pred = {"kind": "and", "l": pred, "r": p}
             df = df.filter(self._bool(pred))
         for s in subs:
-            key = _value_col(s["l"])
+            key = _value_col(s["l"], self.fsm)
             sub_df = self.lower(s["r"]["q"])
             sub_key = sub_df.columns[0]
             how = "left_anti" if s["neg"] else "left_semi"
@@ -741,7 +840,7 @@ class _Lowerer:
                 raise SoqlError(
                     f"SOQL: LIKE requires a string field, got {lcat}"
                 )
-            return F.lower(_value_col(e["l"])).like(e["pat"].lower())
+            return F.lower(_value_col(e["l"], self.fsm)).like(e["pat"].lower())
         if k == "in":
             if e["r"]["kind"] == "subquery":
                 raise SoqlError(
@@ -749,17 +848,34 @@ class _Lowerer:
                     "top-level AND conjunct of WHERE"
                 )
             for v in e["r"]["vals"]:
+                if v["kind"] == "datelit":
+                    raise SoqlError(
+                        "SOQL: date literals are ranges and cannot appear "
+                        "in IN lists; use range comparisons instead"
+                    )
                 self._check_comparable(e["l"], v, "IN")
             vals = [v["v"] for v in e["r"]["vals"]]
-            c = _value_col(e["l"]).isin(vals)
+            c = _value_col(e["l"], self.fsm).isin(vals)
             return ~c if e["neg"] else c
         if k == "cmp":
             if not (agg_ok and e["l"]["kind"] == "agg"):
                 self._check_comparable(e["l"], e["r"], e["op"])
             lhs = (
-                _agg_col(e["l"]) if agg_ok and e["l"]["kind"] == "agg"
-                else _value_col(e["l"])
+                _agg_col(e["l"], self.fsm) if agg_ok and e["l"]["kind"] == "agg"
+                else _value_col(e["l"], self.fsm)
             )
+            if e["r"]["kind"] == "datelit":
+                # D18: range semantics — '=' is containment, '<' precedes
+                # the range start, '>' follows the range end
+                start, end = _datelit_range(e["r"], self.today)
+                return {
+                    "=": (lhs >= start) & (lhs < end),
+                    "!=": (lhs < start) | (lhs >= end),
+                    "<": lhs < start,
+                    "<=": lhs < end,
+                    ">": lhs >= end,
+                    ">=": lhs >= start,
+                }[e["op"]]
             if e["r"]["kind"] == "null":
                 # D20: SOQL '= NULL' is a null test, not ANSI unknown
                 if e["op"] == "=":
@@ -780,6 +896,8 @@ def soql_to_df(
     soql: str,
     resolve: Callable[[str], DataFrame] | None = None,
     relationships: RelationshipRegistry | None = None,
+    today=None,
+    fiscal_start_month: int = 1,
 ) -> DataFrame:
     """Parse a SOQL string and return the equivalent DataFrame plan.
 
@@ -797,4 +915,4 @@ def soql_to_df(
             return spark.table(name.lower())
 
     q = _Parser(tokenize(soql), soql).parse_query()
-    return _Lowerer(resolve, relationships).lower(q)
+    return _Lowerer(resolve, relationships, today, fiscal_start_month).lower(q)

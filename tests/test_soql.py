@@ -212,3 +212,108 @@ def test_parse_errors_are_descriptive(tables):
         run(tables, "SELECT id FROM account LIMIT 1 bogus extra")
     with pytest.raises(SoqlError, match="unexpected character"):
         run(tables, "SELECT id FROM account WHERE name ~ 'x'")
+
+
+# ---------------------------------------------------------------------------
+# D18 range literals / D19 extended date functions
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def dated(spark):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 12)),    # THIS_MONTH, LAST_WEEK-ish
+        (2, dt.datetime(2024, 1, 14, 23)),   # day before this week (Sun)
+        (3, dt.datetime(2024, 1, 15, 0)),    # Monday = start of THIS_WEEK
+        (4, dt.datetime(2024, 1, 20, 9)),    # today
+        (5, dt.datetime(2024, 1, 21, 0)),    # tomorrow
+        (6, dt.datetime(2023, 12, 31, 23)),  # LAST_MONTH / LAST_YEAR
+        (7, dt.datetime(2024, 2, 5, 0)),     # NEXT_MONTH
+    ]
+    spark.createDataFrame(rows, ["id", "ts"]).createOrReplaceTempView("evt")
+    return spark
+
+
+TODAY = __import__("datetime").date(2024, 1, 20)  # a Saturday
+
+
+def dsel(spark, where, **kw):
+    df = soql_to_df(
+        spark, f"SELECT id FROM evt WHERE {where} ORDER BY id", today=TODAY, **kw
+    )
+    return [r.id for r in df.collect()]
+
+
+def test_range_literal_containment(dated):
+    assert dsel(dated, "ts = TODAY") == [4]
+    assert dsel(dated, "ts = TOMORROW") == [5]
+    assert dsel(dated, "ts = THIS_WEEK") == [3, 4, 5]        # Mon 15 .. Sun 21
+    assert dsel(dated, "ts = LAST_WEEK") == [2]              # Mon 8 .. Sun 14
+    assert dsel(dated, "ts = THIS_MONTH") == [1, 2, 3, 4, 5]
+    assert dsel(dated, "ts = LAST_MONTH") == [6]
+    assert dsel(dated, "ts = NEXT_MONTH") == [7]
+    assert dsel(dated, "ts = LAST_YEAR") == [6]
+    assert dsel(dated, "ts = N_DAYS_AGO:6") == [2]           # exactly Jan 14
+
+
+def test_range_literal_inequalities(dated):
+    # '<' precedes the range start; '>' follows the range end
+    assert dsel(dated, "ts < THIS_WEEK") == [1, 2, 6]
+    assert dsel(dated, "ts > THIS_WEEK") == [7]
+    assert dsel(dated, "ts >= THIS_MONTH") == [1, 2, 3, 4, 5, 7]
+    assert dsel(dated, "ts != TODAY") == [1, 2, 3, 5, 6, 7]
+    # LAST_N_DAYS includes today (public SOQL semantics)
+    assert dsel(dated, "ts = LAST_N_DAYS:7") == [2, 3, 4]
+    assert dsel(dated, "ts = NEXT_N_DAYS:3") == [5]
+
+
+def test_date_literal_rejected_in_in_list(dated):
+    with pytest.raises(SoqlError, match="range"):
+        dsel(dated, "ts IN (TODAY, YESTERDAY)")
+
+
+def test_extended_date_functions(dated):
+    df = soql_to_df(
+        dated,
+        "SELECT DAY_IN_WEEK(ts) dw, DAY_IN_YEAR(ts) dy, WEEK_IN_YEAR(ts) wy, "
+        "WEEK_IN_MONTH(ts) wm FROM evt WHERE id = 4",
+        today=TODAY,
+    ).collect()[0]
+    # Jan 20 2024 is a Saturday (SOQL/Spark: 1=Sunday → 7), day 20 of the year,
+    # 7-day-block week 3, week 3 of the month
+    assert (df.dw, df.dy, df.wy, df.wm) == (7, 20, 3, 3)
+
+
+def test_fiscal_functions_with_feb_start(dated):
+    out = soql_to_df(
+        dated,
+        "SELECT id, FISCAL_YEAR(ts) fy, FISCAL_QUARTER(ts) fq, "
+        "FISCAL_MONTH(ts) fm FROM evt WHERE id IN (4, 7) ORDER BY id",
+        today=TODAY,
+        fiscal_start_month=2,
+    ).collect()
+    jan, feb = out[0], out[1]
+    # Jan 2024: fiscal month 12 of FY2024 (ends Jan 31); Feb 2024 opens FY2025
+    assert (jan.fy, jan.fq, jan.fm) == (2024, 4, 12)
+    assert (feb.fy, feb.fq, feb.fm) == (2025, 1, 1)
+
+
+def test_fiscal_defaults_match_calendar(dated):
+    out = soql_to_df(
+        dated,
+        "SELECT FISCAL_YEAR(ts) fy, FISCAL_QUARTER(ts) fq FROM evt "
+        "WHERE id = 1",
+        today=TODAY,
+    ).collect()[0]
+    assert (out.fy, out.fq) == (2024, 1)
+
+
+def test_group_by_fiscal_quarter(dated):
+    out = soql_to_df(
+        dated,
+        "SELECT FISCAL_QUARTER(ts) fq, COUNT() n FROM evt "
+        "GROUP BY FISCAL_QUARTER(ts) ORDER BY fq",
+        fiscal_start_month=2,
+    ).collect()
+    assert [(r.fq, r.n) for r in out] == [(1, 1), (4, 6)]
