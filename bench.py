@@ -41,6 +41,8 @@ HEADLINE = [
     "q_soql_relationship",  # SOQL front door: chained broadcast lookups
     "q_tpch_q3",            # segment-filtered 3-way join top-k
     "q_tpch_q5",            # 6-table star join revenue rollup
+    "q_tpch_q10",           # returned-item revenue, wide-key group + top-k
+    "q_tpch_q18",           # HAVING-derived key set semi-joined onto facts
 ]
 
 

@@ -300,8 +300,10 @@ def q_agg_having(spark, sf_dir):
 
 def q_tpch_q3(spark, sf_dir):
     """TPC-H Q3 shape: segment-filtered customer ⨝ orders ⨝ lineitem,
-    revenue per order, top 10 — the canonical multi-join topk. Customer is
-    broadcast (dimension); lineitem joins orders on the shuffle."""
+    revenue per order, top 10 — the canonical multi-join topk. No forced
+    broadcasts: customer is a fact-sized table at real scale, so the join
+    strategy is left to the auto-broadcast threshold + AQE (which still
+    picks broadcast at fixture/bench scale)."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     ).select("c_custkey")
@@ -315,7 +317,7 @@ def q_tpch_q3(spark, sf_dir):
         _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4)
     ).alias("revenue")
     return (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(li, o["o_orderkey"] == li["l_orderkey"])
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(revenue)
@@ -327,7 +329,10 @@ def q_tpch_q3(spark, sf_dir):
 def q_tpch_q5(spark, sf_dir):
     """TPC-H Q5 shape: full star join (region→nation→customer→orders→
     lineitem→supplier) with the local-supplier condition, revenue per
-    nation. All dimensions broadcast; the fact chain shuffles once."""
+    nation. Only the always-tiny dimensions (nation, region) are forced
+    broadcast; orders/customer/supplier are fact-scale tables at 100 TB, so
+    their join strategy is left to the auto-broadcast threshold + AQE
+    (still broadcast at fixture/bench scale, sort-merge at real scale)."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -340,11 +345,11 @@ def q_tpch_q5(spark, sf_dir):
         _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4)
     ).alias("revenue")
     return (
-        li.join(F.broadcast(o.select("o_orderkey", "o_custkey")),
+        li.join(o.select("o_orderkey", "o_custkey"),
                 li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+        .join(c.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == c["c_custkey"])
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        .join(s.select("s_suppkey", "s_nationkey"),
               (li["l_suppkey"] == s["s_suppkey"])
               & (c["c_nationkey"] == s["s_nationkey"]))
         .join(F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
@@ -353,6 +358,64 @@ def q_tpch_q5(spark, sf_dir):
               n["n_regionkey"] == r["r_regionkey"])
         .groupBy("n_name")
         .agg(revenue)
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20 — the
+    canonical "group by a wide composite key then topk" plan. The lineitem
+    filter (l_returnflag = 'R') sits on the scan so it pushes into parquet;
+    nation is broadcast; customer⨝orders⨝lineitem resolve via the
+    auto-broadcast threshold + AQE (sort-merge at real scale)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = F.sum(
+        _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4)
+    ).alias("revenue")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue)
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders — an aggregate-derived key set
+    (HAVING sum(qty) > cutoff) drives a semi-join back onto the fact chain.
+    The inner aggregate is a single shuffle on l_orderkey with map-side
+    partial sums; the outer joins then only see the tiny qualifying set
+    (broadcast by AQE at any scale where the cutoff is selective)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_totalprice", "sum_qty"
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
     )
 
 
@@ -892,6 +955,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_agg_having": q_agg_having,
     "q_tpch_q3": q_tpch_q3,
     "q_tpch_q5": q_tpch_q5,
+    "q_tpch_q10": q_tpch_q10,
+    "q_tpch_q18": q_tpch_q18,
     "q_percent_rank": q_percent_rank,
     "q_sort_limit": q_sort_limit,
     "q_offset_page": q_offset_page,
@@ -1065,6 +1130,33 @@ ORACLES: dict[str, str] = {
         JOIN region   ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA' AND o_orderdate < TIMESTAMP '{ORDERS_CUTOFF}'
         GROUP BY n_name
+    """,
+    "q_tpch_q10": """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "q_tpch_q18": """
+        WITH big AS (
+            SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_totalprice, sum_qty
+        FROM orders
+        JOIN big ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
     """,
     "q_percent_rank": """
         SELECT o_orderkey, o_orderpriority,
