@@ -573,6 +573,16 @@ def q_dedup_fingerprint(spark, sf_dir):
     )
 
 
+def q_winnow_fingerprint(spark, sf_dir):
+    """F2/F5: winnowed rolling-hash fingerprints (SIGMOD'03 winnowing) with
+    the engine-portable md5 hash so DuckDB can replay it exactly — (doc_id,
+    fp) rows, k=3-token grams, window w=4."""
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    return D.winnow_fingerprints(
+        d, "doc_id", "text", k=3, w=4, hash_fn=D.portable_hash32
+    )
+
+
 def q_near_dedup(spark, sf_dir):
     """F2: MinHash+LSH near-dup clusters (hash-family specific → rows-only)."""
     d = parallelized(load_table(spark, sf_dir, "documents"))
@@ -969,6 +979,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_fetch_time_added": q_fetch_time_added,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_fingerprint": q_dedup_fingerprint,
+    "q_winnow_fingerprint": q_winnow_fingerprint,
     "q_near_dedup": q_near_dedup,
     "q_text_tokens": q_text_tokens,
     "q_lang_id": q_lang_id,
@@ -1437,6 +1448,26 @@ ORACLES: dict[str, str] = {
         FROM orders
         GROUP BY 1, 2
         ORDER BY fy, fq
+    """,
+    "q_winnow_fingerprint": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+            FROM documents
+        ), kg AS (
+            SELECT doc_id, g.i AS i,
+                   CAST(('0x' || substr(md5(array_to_string(t[g.i:g.i+2], ' ')), 1, 8)) AS BIGINT) AS h
+            FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+            WHERE len(t) >= 3
+        ), win AS (
+            SELECT doc_id, i,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                   count(*) OVER (PARTITION BY doc_id) AS nh
+            FROM kg
+        )
+        SELECT DISTINCT doc_id, fp FROM win WHERE nh >= 4 AND i <= nh - 3
+        UNION
+        SELECT doc_id, min(h) AS fp FROM kg GROUP BY doc_id HAVING count(*) < 4
     """,
     # rows-only (no oracle): q_fetch_time_added (current_timestamp),
     # q_near_dedup + q_simhash (xxhash64 family has no DuckDB equivalent).

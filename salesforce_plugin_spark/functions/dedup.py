@@ -15,6 +15,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+from typing import Callable
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -194,6 +196,78 @@ def near_dedup_clusters(
             F.col(id_col),
             F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (rolling-hash document fingerprints)
+# ---------------------------------------------------------------------------
+
+def portable_hash32(c: Column) -> Column:
+    """Engine-portable 32-bit hash (first 8 hex chars of md5 → long) — the
+    same construction as text.hash_bucket, reproducible in any engine with
+    md5. Slower than xxhash64; use only where cross-engine determinism
+    matters (conformance oracles, cross-system dedup handoffs)."""
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    hash_fn: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """(id, fp) rows: winnowed rolling-hash fingerprints (Schleimer,
+    Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+    Fingerprinting", SIGMOD'03).
+
+    Hash every k-token gram, slide a w-wide window over the hash sequence,
+    keep each window's minimum, emit the distinct set. Guarantee: two
+    documents sharing a token run of ≥ w+k-1 tokens share ≥1 fingerprint —
+    the standard plagiarism/near-dup detector with a *bounded* fingerprint
+    density (~2/(w+1) of positions), unlike full shingle sets.
+
+    All stages are JVM higher-order functions over materialized arrays (no
+    Python UDFs, no explode of the full k-gram set — only the winnowed
+    survivors are exploded, so the shuffle volume is w-fold smaller than a
+    shingle equijoin). Documents with < k tokens emit no fingerprints;
+    documents with < w k-grams emit one (the global min), preserving the
+    "every non-trivial document is findable" property.
+
+    ``hash_fn`` defaults to xxhash64 (fastest, JVM); pass
+    :func:`portable_hash32` when the fingerprints must match another
+    engine's md5-based computation bit-for-bit.
+    """
+    hf = hash_fn or F.xxhash64
+    toked = df.select(
+        F.col(id_col), F.transform(tokens(F.col(text_col)), F.lower).alias("__toks")
+    )
+    kstarts = F.sequence(F.lit(1), F.size(F.col("__toks")) - (k - 1))
+    hashed = toked.select(
+        F.col(id_col),
+        F.when(
+            F.size(F.col("__toks")) >= k,
+            F.transform(
+                kstarts,
+                lambda i: hf(F.array_join(F.slice(F.col("__toks"), i, k), " ")),
+            ),
+        ).otherwise(F.array().cast("array<long>")).alias("__hs"),
+    )
+    wstarts = F.sequence(F.lit(1), F.size(F.col("__hs")) - (w - 1))
+    fps = hashed.select(
+        F.col(id_col),
+        F.when(
+            F.size(F.col("__hs")) >= w,
+            F.transform(wstarts, lambda j: F.array_min(F.slice(F.col("__hs"), j, w))),
+        )
+        .when(F.size(F.col("__hs")) > 0, F.array(F.array_min(F.col("__hs"))))
+        .otherwise(F.array().cast("array<long>"))
+        .alias("__fps"),
+    )
+    return fps.select(
+        F.col(id_col), F.explode(F.array_distinct(F.col("__fps"))).alias("fp")
     )
 
 

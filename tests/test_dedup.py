@@ -143,3 +143,62 @@ def test_embedding_cosine_pairs_threshold_and_blocking(spark):
     assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
     blocked = embedding_cosine_pairs(df, "id", "v", threshold=-1.0, block_col="blk")
     assert {(r.id_a, r.id_b) for r in blocked.collect()} == {(1, 2)}  # cross-block pruned
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+def test_winnow_guarantee_shared_run(spark):
+    """SIGMOD'03 guarantee: a shared token run of >= w+k-1 tokens (here 6)
+    forces at least one common fingerprint."""
+    from salesforce_plugin_spark.functions.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+    df = spark.createDataFrame(
+        [
+            (1, f"intro one two {shared} tail xyz"),
+            (2, f"completely different prefix {shared}"),
+            (3, "no overlap here at all whatsoever truly"),
+        ],
+        ["id", "t"],
+    )
+    fps = winnow_fingerprints(df, "id", "t", k=3, w=4)
+    by_id = {
+        i: {r.fp for r in rows}
+        for i, rows in __import__("itertools").groupby(
+            sorted(fps.collect(), key=lambda r: r.id), key=lambda r: r.id
+        )
+    }
+    assert by_id[1] & by_id[2], "docs sharing a 6-token run must share a fp"
+    assert not (by_id[1] & by_id[3])
+
+
+def test_winnow_short_docs(spark):
+    from salesforce_plugin_spark.functions.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "only two"),               # < k tokens: no k-grams, no fps
+            (2, "exactly three tokens"),   # 1 k-gram < w: single global-min fp
+            (3, ""),                       # empty: tokenizes to [""], no fps
+        ],
+        ["id", "t"],
+    )
+    out = winnow_fingerprints(df, "id", "t", k=3, w=4).collect()
+    assert {r.id for r in out} == {2}
+    assert len(out) == 1
+
+
+def test_winnow_density_bounded(spark):
+    """Winnowing keeps far fewer fingerprints than the full k-gram set
+    (expected density ~ 2/(w+1)) while staying deterministic."""
+    from salesforce_plugin_spark.functions.dedup import winnow_fingerprints
+
+    text = " ".join(f"tok{i % 37}x{i % 11}" for i in range(400))
+    df = spark.createDataFrame([(1, text)], ["id", "t"])
+    n_fp = winnow_fingerprints(df, "id", "t", k=3, w=8).count()
+    n_grams = 400 - 2
+    assert n_fp < n_grams / 2
+    again = winnow_fingerprints(df, "id", "t", k=3, w=8).count()
+    assert again == n_fp
