@@ -1,5 +1,7 @@
 from salesforce_plugin_spark.streaming.windows import (
     dedup_stream,
+    dedup_stream_by_content,
+    enrich_stream,
     incremental_predicate,
     sessionized_events,
     stream_events,
@@ -11,5 +13,7 @@ __all__ = [
     "windowed_event_counts",
     "sessionized_events",
     "dedup_stream",
+    "dedup_stream_by_content",
+    "enrich_stream",
     "incremental_predicate",
 ]

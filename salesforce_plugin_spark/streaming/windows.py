@@ -123,6 +123,27 @@ def dedup_stream_by_content(
     )
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: Column | str | list[str],
+    how: str = "left",
+    select: list[str] | None = None,
+) -> DataFrame:
+    """Stream-static enrichment join: decorate the event stream with a
+    static dimension (user/account attributes) — the streaming form of the
+    D8 parent-lookup join.
+
+    The static side is broadcast, so the stream side never shuffles and no
+    join state accumulates (stream-static joins are stateless by
+    construction; the dimension is re-resolved per micro-batch, which is
+    also what picks up slowly-changing dimension updates between batches).
+    At 100 TB/day the dimension must stay broadcast-sized or be pre-bucketed
+    to the stream's partitioning."""
+    joined = events.join(F.broadcast(dim), on, how)
+    return joined.select(*select) if select else joined
+
+
 def incremental_predicate(ts_col: str | Column, since) -> Column:
     """The reference's templated-watermark idiom (D21) as a plain predicate:
     ``WHERE ts > {{ prev_execution_date }}`` for batch incremental runs —

@@ -85,3 +85,34 @@ def test_incremental_predicate(spark):
     )
     out = df.filter(incremental_predicate("ts", "2024-01-15 00:00:00")).collect()
     assert len(out) == 1 and out[0].ts.month == 2
+
+
+def test_stream_static_enrichment_join(spark, events_dir):
+    from salesforce_plugin_spark.streaming.windows import enrich_stream
+
+    users = spark.createDataFrame(
+        [(0, "basic"), (1, "pro"), (2, "basic")], "user_id long, tier string"
+    )
+    stream = enrich_stream(
+        stream_events(spark, events_dir),
+        users,
+        "user_id",
+        select=["event_id", "tier"],
+    )
+    got = run_to_memory_sink(stream, "t_enrich")
+    rows = got.collect()
+    assert len(rows) == 105  # left join preserves every stream row
+    tiers = {r.tier for r in rows}
+    assert tiers == {"basic", "pro"}  # every user id resolved
+
+
+def test_stream_static_join_is_stateless(spark, events_dir):
+    """Stream-static joins must not require watermark state: the plan
+    carries no stateful join operator, so an unbounded run can't OOM on
+    join state."""
+    from salesforce_plugin_spark.streaming.windows import enrich_stream
+
+    users = spark.createDataFrame([(0, "x")], "user_id long, tag string")
+    stream = enrich_stream(stream_events(spark, events_dir), users, "user_id")
+    plan = stream._jdf.queryExecution().analyzed().toString()
+    assert "Join" in plan
