@@ -832,6 +832,20 @@ def q_training_corpus(spark, sf_dir):
     return corpus.select("doc_id", "fp", "n_tokens", "lang_pred", "split")
 
 
+def q_corpus_mix(spark, sf_dir):
+    """North-star: weighted corpus blending via deterministic md5-bucket
+    subsampling (operators/pipeline.mix_corpora) — en docs at 50%, non-en at
+    25%; selection is a pure function of (source index, doc_id), so the
+    oracle replays it exactly."""
+    from salesforce_plugin_spark.operators.pipeline import mix_corpora
+
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    en = d.filter(F.col("lang") == "en")
+    rest = d.filter(F.col("lang") != "en")
+    mixed = mix_corpora([(en, 0.5), (rest, 0.25)], id_col="doc_id")
+    return mixed.select("doc_id", "mix_source")
+
+
 def q_data_quality(spark, sf_dir):
     """North-star validation: a 5-expectation suite over documents in one
     aggregate pass (counts are exact integers → oracle-checkable)."""
@@ -998,6 +1012,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_set_ops": q_set_ops,
     "q_embed_ivf": q_embed_ivf,
     "q_training_corpus": q_training_corpus,
+    "q_corpus_mix": q_corpus_mix,
     "q_data_quality": q_data_quality,
     "q_unique_keys": q_unique_keys,
     "q_soql_front_door": q_soql_front_door,
@@ -1468,6 +1483,15 @@ ORACLES: dict[str, str] = {
         SELECT DISTINCT doc_id, fp FROM win WHERE nh >= 4 AND i <= nh - 3
         UNION
         SELECT doc_id, min(h) AS fp FROM kg GROUP BY doc_id HAVING count(*) < 4
+    """,
+    "q_corpus_mix": """
+        SELECT doc_id, 0 AS mix_source FROM documents
+        WHERE lang = 'en'
+          AND CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 5000
+        UNION ALL
+        SELECT doc_id, 1 AS mix_source FROM documents
+        WHERE lang <> 'en'
+          AND CAST(('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 2500
     """,
     # rows-only (no oracle): q_fetch_time_added (current_timestamp),
     # q_near_dedup + q_simhash (xxhash64 family has no DuckDB equivalent).
