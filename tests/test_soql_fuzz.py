@@ -14,15 +14,23 @@ except ImportError:  # pragma: no cover
 
 from salesforce_plugin_spark.plans import SoqlError, soql_to_df
 
-FIELDS = ["id", "name", "amount"]
-LITS = ["1", "2.5", "'x'", "TRUE", "NULL", "2020-01-02", "LAST_N_DAYS:7"]
+FIELDS = ["id", "name", "amount", "ts"]
+LITS = ["1", "2.5", "'x'", "TRUE", "NULL", "2020-01-02", "LAST_N_DAYS:7",
+        "THIS_MONTH", "TODAY", "LAST_N_WEEKS:2", "N_DAYS_AGO:3",
+        "THIS_QUARTER", "NEXT_90_DAYS", "LAST_N_YEARS:1"]
 OPS = ["=", "!=", "<", "<=", ">", ">="]
 
 
 @pytest.fixture(scope="module")
 def base(spark):
+    import datetime as dt
+
     spark.createDataFrame(
-        [(1, "a", 1.0), (2, "b", None)], ["id", "name", "amount"]
+        [
+            (1, "a", 1.0, dt.datetime(2024, 1, 10)),
+            (2, "b", None, dt.datetime(2025, 6, 1)),
+        ],
+        ["id", "name", "amount", "ts"],
     ).createOrReplaceTempView("fuzz_t")
     return spark
 
@@ -76,7 +84,8 @@ grouped_query = st.builds(
         + f" GROUP BY {key}"
         + (" HAVING COUNT() >= 0" if having else "")
     ),
-    st.sampled_from(["id", "name", "amount"]),
+    st.sampled_from(["id", "name", "amount", "CALENDAR_YEAR(ts)",
+                     "FISCAL_QUARTER(ts)", "WEEK_IN_YEAR(ts)", "DAY_ONLY(ts)"]),
     st.lists(agg_fn, min_size=1, max_size=3, unique=True),
     st.one_of(st.none(), pred),
     st.booleans(),
