@@ -84,3 +84,45 @@ def test_no_cartesian_products_anywhere(spark):
             continue  # KMeans fit is expensive; covered by its own test
         plan = formatted_plan(fn(spark, SF))
         assert "CartesianProduct" not in plan, name
+
+
+@needs_fixtures
+def test_tpch_q10_pushdown_and_bounded_topk(spark):
+    plan = formatted_plan(QUERIES["q_tpch_q10"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan  # filter reached the scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+@needs_fixtures
+def test_tpch_q18_partial_agg_before_join(spark):
+    plan = formatted_plan(QUERIES["q_tpch_q18"](spark, SF))
+    assert "partial_sum" in plan  # HAVING set built with map-side combine
+    assert "TakeOrderedAndProject" in plan
+
+
+@needs_fixtures
+def test_winnow_single_shuffle(spark):
+    """Winnowing is projections + one explode — the only Exchange is the
+    conformance fixture's parallelize repartition, never a data shuffle."""
+    plan = formatted_plan(QUERIES["q_winnow_fingerprint"](spark, SF))
+    assert plan.count("Exchange") <= 2  # RoundRobin fan-out only
+    assert "hashpartitioning" not in plan
+
+
+@needs_fixtures
+def test_corpus_mix_is_shuffle_free(spark):
+    """md5-bucket sampling + union must stay a pure scan-side pipeline."""
+    plan = formatted_plan(QUERIES["q_corpus_mix"](spark, SF))
+    assert "hashpartitioning" not in plan
+
+
+@needs_fixtures
+def test_soql_date_literal_folds_to_constant_bounds(spark):
+    """With an injected 'today', range bounds are constant-foldable — the
+    filter must not evaluate date arithmetic per row (no date_add/trunc in
+    the final predicate)."""
+    plan = formatted_plan(QUERIES["q_soql_date_literal"](spark, SF))
+    cond = [l for l in plan.splitlines() if "Condition" in l or "Filter" in l]
+    txt = " ".join(cond)
+    assert "date_add" not in txt and "date_trunc" not in txt
