@@ -915,13 +915,16 @@ def q_soql_date_literal(spark, sf_dir):
     """D18 through the front door with SOQL *range* semantics, anchored to
     an injected today=2024-01-20 for deterministic replay: ``= LAST_N_DAYS:7``
     is containment in the half-open day range [2024-01-13, 2024-01-21) and
-    ``< THIS_WEEK`` means strictly before Monday 2024-01-15."""
+    ``< THIS_WEEK`` means strictly before Monday 2024-01-15. The resolver
+    accepts ts_range, so the parser's static-bound extraction pushes the
+    range onto the raw nanos scan (row-group pruning survives the
+    timestamp repair — see _Lowerer._static_ts_range / SCALE.md)."""
     import datetime
 
     from salesforce_plugin_spark.plans import soql_to_df
 
-    def resolve(name):
-        return load_table(spark, sf_dir, name.lower())
+    def resolve(name, ts_range=None):
+        return load_table(spark, sf_dir, name.lower(), ts_range=ts_range)
 
     return soql_to_df(
         spark,

@@ -509,6 +509,55 @@ def _datelit_range(e: dict, today: Column) -> tuple[Column, Column]:
     return ranges[fn]
 
 
+def _datelit_range_py(e: dict, today) -> tuple:
+    """Python mirror of :func:`_datelit_range` for a *static* ``today`` —
+    used to derive scan-side pushdown bounds at plan-build time (the Column
+    form stays the source of truth for the actual filter)."""
+    import datetime as _dt
+
+    def add_months(d: _dt.date, n: int) -> _dt.date:
+        m = d.month - 1 + n
+        return _dt.date(d.year + m // 12, m % 12 + 1, 1)
+
+    fn, n = e["fn"], e.get("n", 0)
+    day = _dt.timedelta(days=1)
+    week0 = today - _dt.timedelta(days=today.weekday())
+    month0 = today.replace(day=1)
+    quarter0 = _dt.date(today.year, ((today.month - 1) // 3) * 3 + 1, 1)
+    year0 = _dt.date(today.year, 1, 1)
+    ranges = {
+        "TODAY": (today, today + day),
+        "YESTERDAY": (today - day, today),
+        "TOMORROW": (today + day, today + 2 * day),
+        "THIS_WEEK": (week0, week0 + 7 * day),
+        "LAST_WEEK": (week0 - 7 * day, week0),
+        "NEXT_WEEK": (week0 + 7 * day, week0 + 14 * day),
+        "THIS_MONTH": (month0, add_months(month0, 1)),
+        "LAST_MONTH": (add_months(month0, -1), month0),
+        "NEXT_MONTH": (add_months(month0, 1), add_months(month0, 2)),
+        "THIS_QUARTER": (quarter0, add_months(quarter0, 3)),
+        "LAST_QUARTER": (add_months(quarter0, -3), quarter0),
+        "NEXT_QUARTER": (add_months(quarter0, 3), add_months(quarter0, 6)),
+        "THIS_YEAR": (year0, add_months(year0, 12)),
+        "LAST_YEAR": (add_months(year0, -12), year0),
+        "NEXT_YEAR": (add_months(year0, 12), add_months(year0, 24)),
+        "LAST_90_DAYS": (today - 90 * day, today + day),
+        "NEXT_90_DAYS": (today + day, today + 91 * day),
+        "LAST_N_DAYS": (today - n * day, today + day),
+        "NEXT_N_DAYS": (today + day, today + (n + 1) * day),
+        "N_DAYS_AGO": (today - n * day, today - (n - 1) * day),
+        "LAST_N_WEEKS": (week0 - 7 * n * day, week0),
+        "NEXT_N_WEEKS": (week0 + 7 * day, week0 + 7 * (n + 1) * day),
+        "LAST_N_MONTHS": (add_months(month0, -n), month0),
+        "NEXT_N_MONTHS": (add_months(month0, 1), add_months(month0, n + 1)),
+        "LAST_N_QUARTERS": (add_months(quarter0, -3 * n), quarter0),
+        "NEXT_N_QUARTERS": (add_months(quarter0, 3), add_months(quarter0, 3 * (n + 1))),
+        "LAST_N_YEARS": (add_months(year0, -12 * n), year0),
+        "NEXT_N_YEARS": (add_months(year0, 12), add_months(year0, 12 * (n + 1))),
+    }
+    return ranges.get(fn, (None, None))
+
+
 class RelationshipRegistry:
     """Join metadata for SOQL relationship traversal (D8/D9).
 
@@ -565,13 +614,26 @@ class _Lowerer:
         today=None,
         fiscal_start_month: int = 1,
     ):
+        import inspect
+
         self.resolve = resolve
         self.registry = registry or RelationshipRegistry()
         self._schema_cats: dict[str, str] = {}
         # D18 anchor: a datetime.date pins relative date literals for
         # deterministic replay; None = the engine clock (current_date).
         self.today = F.lit(today) if today is not None else F.current_date()
+        self.today_raw = today
         self.fsm = fiscal_start_month
+        # Resolvers that accept ts_range= get scan-side event-time pushdown
+        # (see _static_ts_range); detected by signature, never by trial call.
+        try:
+            params = inspect.signature(resolve).parameters.values()
+            self._accepts_ts_range = any(
+                p.name == "ts_range" or p.kind == inspect.Parameter.VAR_KEYWORD
+                for p in params
+            )
+        except (TypeError, ValueError):
+            self._accepts_ts_range = False
 
     # -- D8: dot-path lookup joins -----------------------------------------
 
@@ -667,6 +729,7 @@ class _Lowerer:
                 )
             inner = _Lowerer(self.resolve, self.registry)
             inner.today, inner.fsm = self.today, self.fsm
+            inner.today_raw = self.today_raw
             cdf = self.resolve(child_table)
             inner._schema_cats = {
                 f.name.lower(): _TYPE_CATEGORY.get(f.dataType.typeName(), "other")
@@ -717,8 +780,95 @@ class _Lowerer:
             for f in df.schema.fields
         }
 
+    # -- scan-side event-time pushdown -------------------------------------
+
+    def _static_ts_range(self, q: dict):
+        """Derive a conservative (superset) [lo, hi) bound per date column
+        from the top-level AND conjuncts of WHERE, when the bounds are
+        static at plan-build time (ISO literals always; relative date
+        literals only under an injected ``today``). The real filter still
+        applies — this range exists solely so the resolver can prune the
+        scan (catalog.load_table(ts_range=…) filters raw nanos longs ahead
+        of the timestamp repair, re-enabling row-group min/max skipping
+        that the repair projection otherwise blocks — SCALE.md)."""
+        import datetime as _dt
+
+        if q["where"] is None:
+            return None
+
+        def parse_iso(v: str):
+            try:
+                if len(v) <= 10:
+                    return _dt.datetime.strptime(v, "%Y-%m-%d")
+                return _dt.datetime.fromisoformat(v.replace("Z", "+00:00")).replace(
+                    tzinfo=None
+                )
+            except ValueError:
+                return None
+
+        def bounds(r: dict, op: str):
+            """(lo, hi) datetimes — a superset of values passing `col op r`."""
+            day = _dt.timedelta(days=1)
+            if r["kind"] == "datelit":
+                if self.today_raw is None:
+                    return None
+                s, e = _datelit_range_py(r, self.today_raw)
+                if s is None:
+                    return None
+                s = _dt.datetime.combine(s, _dt.time())
+                e = _dt.datetime.combine(e, _dt.time())
+                return {
+                    "=": (s, e), ">=": (s, None), ">": (e, None),
+                    "<": (None, s), "<=": (None, e),
+                }.get(op)
+            if r["kind"] == "lit" and isinstance(r["v"], str):
+                p = parse_iso(r["v"])
+                if p is None:
+                    return None
+                return {
+                    "=": (p, p + day), ">=": (p, None), ">": (p, None),
+                    "<": (None, p), "<=": (None, p + day),
+                }.get(op)
+            return None
+
+        cands: dict[str, list] = {}
+        for c in self._split_and(q["where"]):
+            if c.get("kind") != "cmp":
+                continue
+            l = c["l"]
+            if l.get("kind") != "field" or "." in l["name"]:
+                continue
+            name = l["name"].lower()
+            if self._schema_cats.get(name) != "date":
+                continue
+            b = bounds(c["r"], c["op"])
+            if b is None:
+                continue
+            lo, hi = cands.get(name, [None, None])
+            nlo, nhi = b
+            cands[name] = [
+                max(filter(None, [lo, nlo]), default=None),
+                min(filter(None, [hi, nhi]), default=None),
+            ]
+
+        def score(item):
+            _, (lo, hi) = item
+            return (lo is not None) + (hi is not None)
+
+        best = max(cands.items(), key=score, default=None)
+        if best is None or score(best) == 0:
+            return None
+        col, (lo, hi) = best
+        fmt = lambda d: d.strftime("%Y-%m-%d %H:%M:%S") if d else None  # noqa: E731
+        return (col, fmt(lo), fmt(hi))
+
     def lower(self, q: dict) -> DataFrame:
         df = self.resolve(q["from"])
+        if self._accepts_ts_range:
+            self._reset_cats(df)
+            rng = self._static_ts_range(q)
+            if rng is not None:
+                df = self.resolve(q["from"], ts_range=rng)
         df = self._apply_lookups(df, q)
         df = self._apply_child_subs(df, q)
         self._reset_cats(df)

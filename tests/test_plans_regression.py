@@ -126,3 +126,13 @@ def test_soql_date_literal_folds_to_constant_bounds(spark):
     cond = [l for l in plan.splitlines() if "Condition" in l or "Filter" in l]
     txt = " ".join(cond)
     assert "date_add" not in txt and "date_trunc" not in txt
+
+
+@needs_fixtures
+def test_soql_date_literal_pushes_raw_nanos_range(spark):
+    """The front door's static-bound extraction must reach the parquet scan
+    as raw epoch-nanos bounds (through the nanos repair projection)."""
+    plan = formatted_plan(QUERIES["q_soql_date_literal"](spark, SF))
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "GreaterThanOrEqual(ts,1705104000000000000)" in pushed
+    assert "LessThan(ts,1705795200000000000)" in pushed

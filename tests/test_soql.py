@@ -317,3 +317,45 @@ def test_group_by_fiscal_quarter(dated):
         fiscal_start_month=2,
     ).collect()
     assert [(r.fq, r.n) for r in out] == [(1, 1), (4, 6)]
+
+
+def test_iso_literal_bounds_push_to_resolver(dated):
+    """Static ISO-date bounds reach a ts_range-capable resolver even
+    without an injected today (scan-side pushdown contract)."""
+    seen = {}
+
+    def resolve(name, ts_range=None):
+        if ts_range is not None:
+            seen["rng"] = ts_range
+        return dated.table(name)
+
+    out = soql_to_df(
+        dated,
+        "SELECT id FROM evt WHERE ts >= 2024-01-14 AND ts < 2024-01-21 "
+        "ORDER BY id",
+        resolve=resolve,
+    ).collect()
+    assert [r.id for r in out] == [2, 3, 4]
+    assert seen["rng"] == ("ts", "2024-01-14 00:00:00", "2024-01-21 00:00:00")
+
+
+def test_datelit_bounds_require_injected_today(dated):
+    """Without a static today, relative literals must NOT push a stale
+    range; with one, the intersection of conjuncts is pushed."""
+    calls = []
+
+    def resolve(name, ts_range=None):
+        calls.append(ts_range)
+        return dated.table(name)
+
+    soql_to_df(dated, "SELECT id FROM evt WHERE ts = THIS_WEEK", resolve=resolve)
+    assert all(r is None for r in calls)
+
+    calls.clear()
+    soql_to_df(
+        dated,
+        "SELECT id FROM evt WHERE ts = THIS_WEEK AND ts >= 2024-01-17",
+        resolve=resolve,
+        today=TODAY,
+    )
+    assert ("ts", "2024-01-17 00:00:00", "2024-01-22 00:00:00") in calls
