@@ -12,8 +12,10 @@ from salesforce_plugin_spark.operators.partitioning import (
 from salesforce_plugin_spark.operators.schema_reconcile import (
     FieldDescriptor,
     from_describe,
+    jsonpaths_document,
     load_with_reconciliation,
     reconcile_table,
+    redshift_copy_command,
     to_describe,
 )
 from salesforce_plugin_spark.operators.transforms import (
@@ -39,6 +41,8 @@ __all__ = [
     "from_describe",
     "to_describe",
     "reconcile_table",
+    "jsonpaths_document",
+    "redshift_copy_command",
     "load_with_reconciliation",
     "flatten_relationship",
     "nest_children",

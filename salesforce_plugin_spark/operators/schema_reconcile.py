@@ -234,6 +234,54 @@ def align_to_destination(df: DataFrame, dest_order: list[str]) -> DataFrame:
     return df.select(*cols)
 
 
+def jsonpaths_document(
+    dest_order: list[str], sf_names: dict[str, str]
+) -> str:
+    """B7: the Redshift JSONPath mapping document (reference :217-269) —
+    ``{"jsonpaths": ["$['Field']", …]}`` ordered by destination ordinal
+    position, skipping destination columns with no source path. Needed only
+    when driving a *real* Redshift COPY; Spark-side loads use
+    ``align_to_destination`` instead. The reference's trailing-comma bug
+    (:245 strips the *first* comma of the last path) is not reproduced.
+
+    ``sf_names`` maps destination (lowercase) name → source-JSON field name.
+    """
+    import json
+
+    paths = [
+        f"$['{sf_names[c]}']"
+        for c in (c.lower() for c in dest_order)
+        if c in sf_names
+    ]
+    return json.dumps({"jsonpaths": paths})
+
+
+def redshift_copy_command(
+    schema: str,
+    table: str,
+    columns: list[str],
+    s3_key: str,
+    jsonpath_key: str,
+) -> str:
+    """A10/E4: the COPY command the reference builds and XCom-pushes
+    (salesforce_schema_to_redshift_operator.py:271-294,328-336) for a
+    downstream task to execute — column list = dest ∩ source in dest order
+    (B8, :322-326), epoch-millis timestamps (C8, :282), TRUNCATECOLUMNS
+    (C7, :283), stats/compression analysis off (:284-285). Credentials stay
+    ``{creds}`` placeholders exactly like the reference's double-templating
+    (:276-279), so the rendered artifact is secret-free until the executing
+    task formats it."""
+    cols = ", ".join(c.lower() for c in columns)
+    return (
+        f"COPY {schema}.{table} ({cols})\n"
+        f"FROM 's3://{s3_key}'\n"
+        "credentials 'aws_access_key_id={creds};aws_secret_access_key={creds}'\n"
+        f"JSON 's3://{jsonpath_key}'\n"
+        "TIMEFORMAT 'epochmillisecs'\n"
+        "TRUNCATECOLUMNS COMPUPDATE OFF STATUPDATE OFF"
+    )
+
+
 def load_with_reconciliation(
     spark: SparkSession, df: DataFrame, table: str, descs: list[FieldDescriptor]
 ) -> None:

@@ -173,3 +173,31 @@ def test_align_to_destination_orders_and_null_fills(spark):
     assert out.columns == ["a", "b", "c"]
     row = out.collect()[0]
     assert (row.a, row.b, row.c) == ("x", 1, None)
+
+
+def test_jsonpaths_document_ordered_and_skips_unmapped():
+    from salesforce_plugin_spark.operators.schema_reconcile import jsonpaths_document
+    import json
+
+    doc = jsonpaths_document(
+        ["id", "name", "legacy_only", "email"],
+        {"id": "Id", "name": "Name", "email": "Email"},
+    )
+    parsed = json.loads(doc)
+    # dest order preserved; dest-only column skipped (B7 reference :250-269)
+    assert parsed == {"jsonpaths": ["$['Id']", "$['Name']", "$['Email']"]}
+
+
+def test_redshift_copy_command_shape():
+    from salesforce_plugin_spark.operators.schema_reconcile import (
+        redshift_copy_command,
+    )
+
+    cmd = redshift_copy_command(
+        "analytics", "lead", ["Id", "Name"], "bkt/lead.json", "bkt/lead.jsonpath"
+    )
+    assert cmd.startswith("COPY analytics.lead (id, name)\nFROM 's3://bkt/lead.json'")
+    # secrets hygiene: creds stay double-templated placeholders (E4)
+    assert "{creds}" in cmd and "aws_secret_access_key={creds}" in cmd
+    assert "TIMEFORMAT 'epochmillisecs'" in cmd
+    assert "TRUNCATECOLUMNS COMPUPDATE OFF STATUPDATE OFF" in cmd
