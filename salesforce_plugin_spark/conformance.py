@@ -911,6 +911,30 @@ def q_soql_relationship(spark, sf_dir):
     )
 
 
+def q_soql_child_sub(spark, sf_dir):
+    """D9 via the string front door: a nested parent-to-child subselect
+    produces an array-of-structs column per parent; serialized to sorted
+    JSON so the nested shape itself is oracle-checked (DuckDB builds the
+    same arrays with list(struct_pack(...)))."""
+    from salesforce_plugin_spark.plans import soql_to_df
+    from salesforce_plugin_spark.sources.catalog import fixture_relationships
+
+    def resolve(name):
+        return load_table(spark, sf_dir, name.lower())
+
+    df = soql_to_df(
+        spark,
+        "SELECT o_orderkey, (SELECT l_linenumber FROM lineitems "
+        "WHERE l_quantity > 45) FROM orders WHERE o_totalprice > 400000",
+        resolve=resolve,
+        relationships=fixture_relationships(),
+    )
+    return df.select(
+        "o_orderkey",
+        F.to_json(F.sort_array(F.col("lineitems"))).alias("kids"),
+    )
+
+
 def q_soql_date_literal(spark, sf_dir):
     """D18 through the front door with SOQL *range* semantics, anchored to
     an injected today=2024-01-20 for deterministic replay: ``= LAST_N_DAYS:7``
@@ -1020,6 +1044,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_unique_keys": q_unique_keys,
     "q_soql_front_door": q_soql_front_door,
     "q_soql_relationship": q_soql_relationship,
+    "q_soql_child_sub": q_soql_child_sub,
     "q_soql_date_literal": q_soql_date_literal,
     "q_soql_fiscal": q_soql_fiscal,
 }
@@ -1495,6 +1520,16 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, 1 AS mix_source FROM documents
         WHERE lang <> 'en'
           AND CAST(('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 2500
+    """,
+    "q_soql_child_sub": """
+        WITH kids AS (
+            SELECT l_orderkey,
+                   to_json(list_sort(list(struct_pack(l_linenumber := l_linenumber)))) AS kids
+            FROM lineitem WHERE l_quantity > 45 GROUP BY l_orderkey
+        )
+        SELECT o_orderkey, kids::VARCHAR AS kids
+        FROM orders LEFT JOIN kids ON o_orderkey = l_orderkey
+        WHERE o_totalprice > 400000
     """,
     # rows-only (no oracle): q_fetch_time_added (current_timestamp),
     # q_near_dedup + q_simhash (xxhash64 family has no DuckDB equivalent).
