@@ -769,6 +769,54 @@ def q_event_session(spark, sf_dir):
 # Beyond-SOQL relational surface (free in Spark; SURVEY §2 non-goal list)
 # ---------------------------------------------------------------------------
 
+def q_stream_window(spark, sf_dir):
+    """F6 through the *actual* readStream path: the streaming tumbling
+    window aggregation drained to completion (availableNow trigger) and
+    hash-checked against the same SQL oracle as the batch form — Spark's
+    unified batch/streaming semantics, demonstrated at the driver gate.
+    The memory sink is the test harness' observation point, not the
+    production sink (that is run_to_parquet_sink)."""
+    import os
+    import uuid
+
+    from salesforce_plugin_spark.streaming.windows import (
+        run_to_memory_sink,
+        stream_events,
+        windowed_event_counts,
+    )
+
+    stream = windowed_event_counts(
+        stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+    )
+    sink = run_to_memory_sink(
+        stream, "t_conf_stream_" + uuid.uuid4().hex[:8], mode="complete"
+    )
+    return sink.select(
+        F.unix_seconds(F.col("w_start")).alias("w_start_s"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+def q_skew_join(spark, sf_dir):
+    """Skew-mitigation correctness under the gate: the salted fact⨝dim
+    join (operators/partitioning.salted_join — dim replicated per salt,
+    hot keys spread over `salt` reducers) must be row-identical to the
+    plain join the oracle runs."""
+    from salesforce_plugin_spark.operators.partitioning import salted_join
+
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(e, c, "user_id", salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec(F.col("value"), 18, 4)).alias("sum_value"),
+    )
+
+
 def q_topk_per_group(spark, sf_dir):
     """Window functions: top-3 orders by price per priority — the per-group
     top-k every training-data pipeline needs (sample selection), planned as
@@ -1034,6 +1082,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_multimodal_bytes": q_multimodal_bytes,
     "q_asof_join": q_asof_join,
     "q_event_window": q_event_window,
+    "q_stream_window": q_stream_window,
+    "q_skew_join": q_skew_join,
     "q_event_session": q_event_session,
     "q_topk_per_group": q_topk_per_group,
     "q_set_ops": q_set_ops,
@@ -1530,6 +1580,19 @@ ORACLES: dict[str, str] = {
         SELECT o_orderkey, kids::VARCHAR AS kids
         FROM orders LEFT JOIN kids ON o_orderkey = l_orderkey
         WHERE o_totalprice > 400000
+    """,
+    "q_stream_window": """
+        SELECT epoch_ms(date_trunc('hour', ts)) // 1000 AS w_start_s,
+               event_type,
+               count(*) AS n,
+               sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "q_skew_join": """
+        SELECT c_mktsegment, count(*) AS n,
+               sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
     """,
     # rows-only (no oracle): q_fetch_time_added (current_timestamp),
     # q_near_dedup + q_simhash (xxhash64 family has no DuckDB equivalent).
