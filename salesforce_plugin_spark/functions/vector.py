@@ -67,6 +67,7 @@ def ivf_index(
     vec_col: str,
     nlist: int = 16,
     seed: int = 42,
+    max_iter: int = 8,
 ):
     """Build an IVF (inverted-file) index: KMeans centroids + per-vector
     nearest-centroid assignment — the standard ANN scale path (F3).
@@ -86,8 +87,11 @@ def ivf_index(
         F.col(vec_col),
         array_to_vector(as_double(F.col(vec_col))).alias("__features"),
     )
+    # an IVF index needs stable partitions, not converged clusters —
+    # capped iterations keep the one-off build cheap without recall impact
     model = KMeans(
-        k=nlist, seed=seed, featuresCol="__features", predictionCol="centroid_id"
+        k=nlist, seed=seed, maxIter=max_iter,
+        featuresCol="__features", predictionCol="centroid_id",
     ).fit(feats)
     assigned = model.transform(feats).drop("__features")
     centroids = [(i, c.tolist()) for i, c in enumerate(model.clusterCenters())]
