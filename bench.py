@@ -43,6 +43,10 @@ HEADLINE = [
     "q_tpch_q5",            # 6-table star join revenue rollup
     "q_tpch_q10",           # returned-item revenue, wide-key group + top-k
     "q_tpch_q18",           # HAVING-derived key set semi-joined onto facts
+    "q_tpch_q6",            # all-predicates-pushed single-scan forecast
+    "q_tpch_q7",            # dual-nation broadcast chain + disjunctive pair
+    "q_tpch_q14",           # conditional-agg promo share over fact-dim join
+    "q_tpch_q19",           # per-side-factored OR-of-ANDs band join
 ]
 
 

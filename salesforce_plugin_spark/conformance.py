@@ -419,6 +419,133 @@ def q_tpch_q18(spark, sf_dir):
     )
 
 
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-side revenue forecast — every predicate
+    (date range, discount band, quantity cap) is a parquet-pushable
+    comparison on one table, so the whole query is a filtered columnar
+    scan feeding one map-side partial sum. The plan to look for:
+    PushedFilters carrying all three ranges, zero joins, one exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice") * F.col("l_discount"), 18, 4)
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape: volume shipping between two nations — the nation
+    dimension participates TWICE (supplier side and customer side), with a
+    disjunctive pair predicate and a year(l_shipdate) rollup. Both nation
+    joins are broadcasts (25-row dim at any scale); the pair filter is
+    applied after the second lookup so Catalyst can still prune the fact
+    scan columns to the five used."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4)
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 shape: promo-revenue share — conditional aggregation over
+    a fact⨝dim join. Both branches sum to exact decimals first; the ratio
+    divides those two exact totals as doubles at the very end, so the
+    result is order-insensitive (no float accumulation across rows). The
+    part join is broadcast-eligible; only (l_partkey, price, discount)
+    survive the scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4)
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)"))
+    ).alias("promo_revenue")
+    total = F.sum(rev).alias("total_revenue")
+    agg = li.join(p, li["l_partkey"] == p["p_partkey"]).agg(promo, total)
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (
+            F.col("promo_revenue").cast("double")
+            / F.col("total_revenue").cast("double")
+            * F.lit(100.0)
+        ).alias("promo_pct"),
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive multi-column predicate join — three
+    OR'd brand/size/quantity bands spanning BOTH sides of the lineitem⨝part
+    join. Catalyst factors the disjunction per side: the full OR of the
+    quantity bands pushes into the lineitem scan and the OR of the
+    brand/size bands into the part scan, with the exact cross-table band
+    predicate kept as the join condition — both scans shrink before any
+    row crosses the exchange."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    band = (
+        ((brand == "Brand#1") & size.between(1, 5) & qty.between(1, 11))
+        | ((brand == "Brand#2") & size.between(1, 10) & qty.between(10, 20))
+        | ((brand == "Brand#3") & size.between(1, 15) & qty.between(20, 30))
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .filter(band)
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4)
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def q_percent_rank(spark, sf_dir):
     """Window normalization: percent_rank of order value within its
     priority class — exact rational (rank-1)/(n-1) values, the
@@ -1056,6 +1183,10 @@ QUERIES: dict[str, QueryFn] = {
     "q_tpch_q5": q_tpch_q5,
     "q_tpch_q10": q_tpch_q10,
     "q_tpch_q18": q_tpch_q18,
+    "q_tpch_q6": q_tpch_q6,
+    "q_tpch_q7": q_tpch_q7,
+    "q_tpch_q14": q_tpch_q14,
+    "q_tpch_q19": q_tpch_q19,
     "q_percent_rank": q_percent_rank,
     "q_sort_limit": q_sort_limit,
     "q_offset_page": q_offset_page,
@@ -1261,6 +1392,65 @@ ORACLES: dict[str, str] = {
         JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 100
+    """,
+    "q_tpch_q6": """
+        SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.02 AND l_discount <= 0.04
+          AND l_quantity < 24
+    """,
+    "q_tpch_q7": """
+        SELECT supp_nation, cust_nation, l_year,
+               sum(CAST(volume AS DECIMAL(18,4))) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "q_tpch_q14": """
+        WITH agg AS (
+            SELECT
+                sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo_revenue,
+                sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                    AS total_revenue
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+        )
+        SELECT promo_revenue, total_revenue,
+               CAST(promo_revenue AS DOUBLE) / CAST(total_revenue AS DOUBLE)
+                   * 100.0 AS promo_pct
+        FROM agg
+    """,
+    "q_tpch_q19": """
+        SELECT sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                   AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
     """,
     "q_percent_rank": """
         SELECT o_orderkey, o_orderpriority,

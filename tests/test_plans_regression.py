@@ -102,6 +102,39 @@ def test_tpch_q18_partial_agg_before_join(spark):
 
 
 @needs_fixtures
+def test_tpch_q6_is_pure_pushdown_scan(spark):
+    """Q6 shape: every predicate reaches the parquet scan; no joins."""
+    plan = formatted_plan(QUERIES["q_tpch_q6"](spark, SF))
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "GreaterThanOrEqual(l_discount,0.02)" in pushed
+    assert "LessThan(l_quantity,24.0)" in pushed
+    assert "Join" not in plan
+    assert "partial_sum" in plan
+
+
+@needs_fixtures
+def test_tpch_q19_distributes_disjunction_per_side(spark):
+    """Q19 shape: Catalyst factors the OR-of-ANDs so each side's scan
+    receives its own disjunctive filter before the join."""
+    plan = formatted_plan(QUERIES["q_tpch_q19"](spark, SF))
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in pushed  # lineitem side
+    assert "EqualTo(p_brand,Brand#1)" in pushed            # part side
+    assert "BroadcastHashJoin" in plan
+
+
+@needs_fixtures
+def test_tpch_q7_pushes_nation_pair_filter_to_both_scans(spark):
+    """Q7 shape: the disjunctive nation-pair predicate reaches BOTH copies
+    of the nation dimension scan, and every dim join is a broadcast."""
+    plan = formatted_plan(QUERIES["q_tpch_q7"](spark, SF))
+    pushed = [l for l in plan.splitlines() if "Or(EqualTo(n_name" in l]
+    assert len(pushed) == 2
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+
+
+@needs_fixtures
 def test_winnow_single_shuffle(spark):
     """Winnowing is projections + one explode — the only Exchange is the
     conformance fixture's parallelize repartition, never a data shuffle."""
