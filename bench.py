@@ -47,6 +47,10 @@ HEADLINE = [
     "q_tpch_q7",            # dual-nation broadcast chain + disjunctive pair
     "q_tpch_q14",           # conditional-agg promo share over fact-dim join
     "q_tpch_q19",           # per-side-factored OR-of-ANDs band join
+    "q_tpch_q4",            # EXISTS → semi join with non-equi residual
+    "q_tpch_q13",           # outer-join count distribution (two-level agg)
+    "q_tpch_q17",           # correlated AVG → window decorrelation
+    "q_tpch_q21",           # EXISTS+NOT-EXISTS → grouped-count decorrelation
 ]
 
 

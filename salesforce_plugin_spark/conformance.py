@@ -546,6 +546,202 @@ def q_tpch_q19(spark, sf_dir):
     )
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join with a
+    mixed equi + non-equi condition (late shipment: any lineitem shipped
+    more than 60 days after its order date). Spark plans the equi part as
+    the join key and evaluates the cross-table comparison as the join
+    residual — no row explosion, orders pass through at most once."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(ORDERS_CUTOFF).cast("timestamp")
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 shape: groups filtered against a global aggregate — parts
+    whose revenue exceeds 1.1× the mean per-part revenue (scale-invariant
+    restatement of Q11's fraction-of-total HAVING, which hard-codes a
+    fraction that only works at one SF). The per-part aggregate subtree
+    feeds BOTH the threshold and the probe side; Spark's ReuseExchange
+    recognizes the identical shuffle and runs it once. Threshold is a
+    1-row broadcast — no second pass over the fact table."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4)
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("value"))
+    thr = per_part.agg(
+        (
+            F.lit(1.1)
+            * F.sum("value").cast("double")
+            / F.count("*")
+        ).alias("__thr")
+    )
+    return (
+        per_part.join(F.broadcast(thr), F.col("value").cast("double") > F.col("__thr"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), F.col("l_partkey"))
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution — a LEFT outer
+    join that must keep zero-order customers, a per-customer count that
+    skips nulls (COUNT(col) semantics), then a second aggregation over the
+    counts. Two shuffles are inherent (custkey, then count value); the
+    second one moves only #customers rows."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 shape: argmax of an aggregate — top supplier(s) by
+    quarterly revenue, kept by joining the per-supplier rollup against its
+    own 1-row max (broadcast). The rollup subtree appears twice and is NOT
+    exchange-reused (the probe side's pushed ``isnotnull`` de-canonicalizes
+    it) — the recomputed side is a pruned 3-column scan; at real scale,
+    persist/checkpoint the rollup. A single-partition window would avoid
+    the recompute but serializes #suppliers rows through one task, which
+    breaks first at 100 TB. No global sort over the fact table."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4)
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_revenue"))
+    mx = per_supp.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        per_supp.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-group average decorrelated as a
+    window — lineitems of one brand's parts priced below half their part's
+    mean quantity. The brand filter broadcasts into the fact scan; the
+    correlated AVG becomes sum/count over a partkey window on the already
+    joined rows (exact decimal sum ÷ count, so the threshold is
+    bit-identical across engines and aggregation orders — a raw double
+    AVG could flip rows at the comparison boundary)."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    avg_qty = (
+        F.sum(_dec(F.col("l_quantity"))).over(w).cast("double")
+        / F.count("*").over(w)
+    )
+    return (
+        joined.withColumn("__avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < 0.5 * F.col("__avg_qty"))
+        .agg(
+            (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape: EXISTS + NOT-EXISTS double correlation, decorrelated
+    into one per-(order, supplier) rollup — suppliers who were the SOLE
+    late shipper on a multi-supplier finished order. ``exists(other
+    supplier)`` ≡ n_supp > 1 and ``not exists(other late supplier)`` ≡
+    n_late_supp == 1 for a late row, so two grouped counts replace two
+    correlated self-joins — O(rows) grouped work instead of per-row
+    subquery probes. The orders⨝lineitem subtree feeds both the stats and
+    probe sides and is recomputed (pruned differently per side); persist
+    it at real scale."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lo = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(late, 1).otherwise(0)).alias("__is_late")
+    )
+    stats = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("__n_supp"),
+        F.sum("__is_late").alias("__n_late_supp"),
+    )
+    qualifying = stats.filter(
+        (F.col("__n_supp") > 1) & (F.col("__n_late_supp") == 1)
+    ).select("l_orderkey")
+    waiting = lo.filter(late).join(qualifying, "l_orderkey", "left_semi")
+    return (
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape: scalar subquery + NOT-EXISTS — customers above the
+    global positive-balance average with no recent orders, rolled up by
+    segment. The global average is a 1-row broadcast (exact decimal sum ÷
+    count, like Q17's threshold); the NOT EXISTS is a left-anti join
+    against the date-pruned orders scan."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count("*")
+        ).alias("__avg_bal")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp")
+    ).select("o_custkey")
+    rich = c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("__avg_bal"))
+    return (
+        rich.join(recent, rich["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec(F.col("c_acctbal"))).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def q_percent_rank(spark, sf_dir):
     """Window normalization: percent_rank of order value within its
     priority class — exact rational (rank-1)/(n-1) values, the
@@ -1187,6 +1383,13 @@ QUERIES: dict[str, QueryFn] = {
     "q_tpch_q7": q_tpch_q7,
     "q_tpch_q14": q_tpch_q14,
     "q_tpch_q19": q_tpch_q19,
+    "q_tpch_q4": q_tpch_q4,
+    "q_tpch_q11": q_tpch_q11,
+    "q_tpch_q13": q_tpch_q13,
+    "q_tpch_q15": q_tpch_q15,
+    "q_tpch_q17": q_tpch_q17,
+    "q_tpch_q21": q_tpch_q21,
+    "q_tpch_q22": q_tpch_q22,
     "q_percent_rank": q_percent_rank,
     "q_sort_limit": q_sort_limit,
     "q_offset_page": q_offset_page,
@@ -1451,6 +1654,111 @@ ORACLES: dict[str, str] = {
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q_tpch_q4": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q_tpch_q11": """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                       AS value
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, value
+        FROM per_part
+        WHERE CAST(value AS DOUBLE) >
+              (SELECT (1.1 * CAST(sum(value) AS DOUBLE)) / count(*) FROM per_part)
+        ORDER BY value DESC, l_partkey
+    """,
+    "q_tpch_q13": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN (
+                SELECT o_custkey, o_orderkey FROM orders
+                WHERE o_orderpriority <> '1-URGENT'
+            ) o ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "q_tpch_q15": """
+        WITH per_supp AS (
+            SELECT l_suppkey,
+                   sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM per_supp)
+        ORDER BY s_suppkey
+    """,
+    "q_tpch_q17": """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                   AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < 0.5 * (
+            SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*)
+            FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+          )
+    """,
+    "q_tpch_q21": """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """,
+    "q_tpch_q22": """
+        SELECT c_mktsegment, count(*) AS numcust,
+               sum(CAST(c_acctbal AS DECIMAL(18,2))) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*)
+            FROM customer WHERE c_acctbal > 0
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00'
+          )
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
     """,
     "q_percent_rank": """
         SELECT o_orderkey, o_orderpriority,

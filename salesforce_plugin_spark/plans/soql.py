@@ -27,9 +27,12 @@ Supported surface (the D-rows of SURVEY §2):
   N_DAYS_AGO:n — anchored to an injectable ``today`` for deterministic
   replay — D18
 
-Not supported (not needed for the conformance surface): dot-path
-relationship traversal in the string form (use the DataFrame API's joins),
-nested parent-to-child subselects in SELECT, FOR UPDATE/VIEW.
+- dot-path relationship traversal (D8) and nested parent-to-child
+  subselects in SELECT (D9), given a ``RelationshipRegistry`` mapping
+  relationship names to join keys (plays describe()'s metadata role)
+
+Not supported: FOR UPDATE/VIEW/REFERENCE, WITH (SECURITY_ENFORCED),
+TYPEOF.
 """
 
 from __future__ import annotations

@@ -169,3 +169,66 @@ def test_soql_date_literal_pushes_raw_nanos_range(spark):
     pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
     assert "GreaterThanOrEqual(ts,1705104000000000000)" in pushed
     assert "LessThan(ts,1705795200000000000)" in pushed
+
+
+@needs_fixtures
+def test_tpch_q4_exists_is_semi_join_with_residual(spark):
+    """Q4 shape: EXISTS lowers to ONE left-semi join (no row explosion, no
+    distinct-then-inner rewrite) carrying the cross-table date comparison
+    as the join residual, and the orders date filter reaches the scan."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_tpch_q4"](spark, SF))
+    assert "LeftSemi" in plan
+    # exactly one join operator in the tree — no added dedup join
+    assert len(re.findall(r"\(\d+\) \w*Join", plan)) == 1
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "LessThan(o_orderdate" in pushed
+
+
+@needs_fixtures
+def test_tpch_q11_reuses_per_part_exchange(spark):
+    """Q11 shape: the per-part rollup feeds both the threshold and probe
+    sides; after AQE the duplicate shuffle must collapse to a
+    ReusedExchange so the fact table is aggregated once."""
+    df = QUERIES["q_tpch_q11"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "ReusedExchange" in plan
+
+
+@needs_fixtures
+def test_tpch_q17_correlated_avg_is_single_window(spark):
+    """Q17 shape: the correlated per-part AVG lowers to one window over the
+    joined rows — two scans total (part + lineitem), brand side broadcast,
+    no third scan for the subquery."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_tpch_q17"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert "Window" in plan and "BroadcastHashJoin" in plan
+
+
+@needs_fixtures
+def test_tpch_q21_double_correlation_is_grouped_not_self_joined(spark):
+    """Q21 shape: EXISTS + NOT-EXISTS lower to grouped counts — exactly one
+    semi join (probe vs qualifying orders), no per-row correlated joins on
+    top of it."""
+    plan = formatted_plan(QUERIES["q_tpch_q21"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan  # bounded top-k, no global sort
+
+
+@needs_fixtures
+def test_tpch_q22_scalar_subquery_is_one_row_broadcast(spark):
+    """Q22 shape: the global average joins as a 1-row broadcast (nested-loop
+    is fine at that cardinality) and NOT EXISTS is a left-anti join; the
+    orders date filter reaches the scan."""
+    plan = formatted_plan(QUERIES["q_tpch_q22"](spark, SF))
+    assert "LeftAnti" in plan
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "GreaterThanOrEqual(o_orderdate" in pushed
