@@ -681,9 +681,11 @@ def q_tpch_q21(spark, sf_dir):
     supplier)`` ≡ n_supp > 1 and ``not exists(other late supplier)`` ≡
     n_late_supp == 1 for a late row, so two grouped counts replace two
     correlated self-joins — O(rows) grouped work instead of per-row
-    subquery probes. The orders⨝lineitem subtree feeds both the stats and
-    probe sides and is recomputed (pruned differently per side); persist
-    it at real scale."""
+    subquery probes. The fact join is consumed ONCE: the per-(order,
+    supplier) rollup carries both the late flag and the late row count, so
+    the probe side reuses the rollup instead of re-scanning the fact
+    tables (the count(*) over l1 rows in the classic form = sum of
+    per-supplier late row counts)."""
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
@@ -694,20 +696,23 @@ def q_tpch_q21(spark, sf_dir):
     lo = li.join(o, li["l_orderkey"] == o["o_orderkey"])
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
     per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(F.when(late, 1).otherwise(0)).alias("__is_late")
+        F.sum(F.when(late, 1).otherwise(0)).alias("__n_late_rows")
     )
-    stats = per_os.groupBy("l_orderkey").agg(
-        F.count("*").alias("__n_supp"),
-        F.sum("__is_late").alias("__n_late_supp"),
+    w = Window.partitionBy("l_orderkey")
+    qualifying_os = per_os.withColumn(
+        "__n_supp", F.count("*").over(w)
+    ).withColumn(
+        "__n_late_supp",
+        F.sum(F.when(F.col("__n_late_rows") > 0, 1).otherwise(0)).over(w),
+    ).filter(
+        (F.col("__n_supp") > 1)
+        & (F.col("__n_late_supp") == 1)
+        & (F.col("__n_late_rows") > 0)
     )
-    qualifying = stats.filter(
-        (F.col("__n_supp") > 1) & (F.col("__n_late_supp") == 1)
-    ).select("l_orderkey")
-    waiting = lo.filter(late).join(qualifying, "l_orderkey", "left_semi")
     return (
-        waiting.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        qualifying_os.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("__n_late_rows").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(100)
     )

@@ -215,11 +215,15 @@ def test_tpch_q17_correlated_avg_is_single_window(spark):
 
 @needs_fixtures
 def test_tpch_q21_double_correlation_is_grouped_not_self_joined(spark):
-    """Q21 shape: EXISTS + NOT-EXISTS lower to grouped counts — exactly one
-    semi join (probe vs qualifying orders), no per-row correlated joins on
-    top of it."""
+    """Q21 shape: EXISTS + NOT-EXISTS lower to one rollup + per-order
+    window — the fact tables are scanned ONCE (no correlated self-joins,
+    no recompute of the orders⨝lineitem subtree for a probe side)."""
+    import re
+
     plan = formatted_plan(QUERIES["q_tpch_q21"](spark, SF))
-    assert "LeftSemi" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3  # li, o, s
+    assert "Window" in plan
+    assert len(re.findall(r"\(\d+\) \w*Join", plan)) == 2  # fact join + dim
     assert "TakeOrderedAndProject" in plan  # bounded top-k, no global sort
 
 
