@@ -1127,6 +1127,41 @@ def q_stream_window(spark, sf_dir):
     )
 
 
+def q_stream_stateful(spark, sf_dir):
+    """F6 custom stateful operator through the real readStream path:
+    ``applyInPandasWithState`` per-user running totals drained with an
+    availableNow trigger, final state per user hash-checked against a
+    plain batch aggregate. Exactness comes from the integer-micros
+    accumulator (see streaming/stateful.py) — a double accumulator would
+    be batch-order-dependent and unverifiable. In update mode each user
+    emits one row per micro-batch it appears in; ``n_events`` is strictly
+    increasing, so the final state is the max-``n_events`` row."""
+    import os
+    import uuid
+
+    from salesforce_plugin_spark.streaming.stateful import running_user_totals
+    from salesforce_plugin_spark.streaming.windows import (
+        run_to_memory_sink,
+        stream_events,
+    )
+
+    sink = run_to_memory_sink(
+        running_user_totals(
+            stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+        ),
+        "t_conf_state_" + uuid.uuid4().hex[:8],
+        mode="update",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id", "n_events", "total_value_micros", "total_value", "last_ts_us"
+        )
+    )
+
+
 def q_skew_join(spark, sf_dir):
     """Skew-mitigation correctness under the gate: the salted fact⨝dim
     join (operators/partitioning.salted_join — dim replicated per salt,
@@ -1422,6 +1457,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_asof_join": q_asof_join,
     "q_event_window": q_event_window,
     "q_stream_window": q_stream_window,
+    "q_stream_stateful": q_stream_stateful,
     "q_skew_join": q_skew_join,
     "q_event_session": q_event_session,
     "q_topk_per_group": q_topk_per_group,
@@ -1904,6 +1940,17 @@ ORACLES: dict[str, str] = {
         FROM (SELECT * FROM events WHERE event_type = 'click') c
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+    "q_stream_stateful": """
+        SELECT user_id,
+               count(*) AS n_events,
+               sum(CAST(floor(value * 1000000.0) AS BIGINT))
+                   AS total_value_micros,
+               CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+                   / 1000000.0 AS total_value,
+               max(epoch_us(ts)) AS last_ts_us
+        FROM events
+        GROUP BY user_id
     """,
     "q_event_window": """
         SELECT epoch_ms(date_trunc('hour', ts)) // 1000 AS w_start_s,
