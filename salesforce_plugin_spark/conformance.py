@@ -1302,6 +1302,31 @@ def q_soql_front_door(spark, sf_dir):
     )
 
 
+def q_soql_rollup_having(spark, sf_dir):
+    """D6+D12+D14+D19 composed through the string front door: semi-join
+    subquery, ROLLUP over a date-function key, HAVING, and ordered LIMIT —
+    the densest single SOQL statement the reference could forward. Exact
+    aggregates only (COUNT/MAX), so the rollup levels hash identically
+    across engines."""
+    from salesforce_plugin_spark.plans import soql_to_df
+
+    def resolve(name):
+        return load_table(spark, sf_dir, name.lower())
+
+    return soql_to_df(
+        spark,
+        "SELECT o_orderstatus, CALENDAR_YEAR(o_orderdate) yr, "
+        "COUNT() n, MAX(o_totalprice) mx "
+        "FROM Orders "
+        "WHERE o_custkey IN (SELECT c_custkey FROM Customer "
+        "WHERE c_acctbal > 5000) "
+        "GROUP BY ROLLUP(o_orderstatus, CALENDAR_YEAR(o_orderdate)) "
+        "HAVING COUNT() > 2 "
+        "ORDER BY o_orderstatus NULLS FIRST, yr LIMIT 50",
+        resolve=resolve,
+    )
+
+
 def q_soql_relationship(spark, sf_dir):
     """D8 via the string front door: a two-level child-to-parent dot path
     (customer.nation.n_name from orders) lowered to broadcast lookup joins
@@ -1468,6 +1493,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_data_quality": q_data_quality,
     "q_unique_keys": q_unique_keys,
     "q_soql_front_door": q_soql_front_door,
+    "q_soql_rollup_having": q_soql_rollup_having,
     "q_soql_relationship": q_soql_relationship,
     "q_soql_child_sub": q_soql_child_sub,
     "q_soql_date_literal": q_soql_date_literal,
@@ -2066,6 +2092,17 @@ ORACLES: dict[str, str] = {
         FROM orders
         WHERE o_orderstatus IN ('F', 'O') AND o_totalprice > 1000
         GROUP BY o_orderpriority
+    """,
+    "q_soql_rollup_having": """
+        SELECT o_orderstatus, CAST(year(o_orderdate) AS INTEGER) AS yr,
+               count(*) AS n, max(o_totalprice) AS mx
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_acctbal > 5000)
+        GROUP BY ROLLUP(o_orderstatus, CAST(year(o_orderdate) AS INTEGER))
+        HAVING count(*) > 2
+        ORDER BY o_orderstatus NULLS FIRST, yr NULLS FIRST
+        LIMIT 50
     """,
     "q_soql_relationship": """
         SELECT o_orderkey, c_name AS cust_name, n_name AS nation_name
