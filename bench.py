@@ -51,6 +51,9 @@ HEADLINE = [
     "q_tpch_q13",           # outer-join count distribution (two-level agg)
     "q_tpch_q17",           # correlated AVG → window decorrelation
     "q_tpch_q21",           # EXISTS+NOT-EXISTS → grouped-count decorrelation
+    "q_tpch_q8",            # 6-table market-share conditional ratio
+    "q_tpch_q16",           # count-distinct per class + blacklist anti-join
+    "q_tpch_q20",           # rollup → window fraction → distinct semi-join
 ]
 
 

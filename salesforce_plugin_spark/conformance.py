@@ -747,6 +747,143 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 shape: market share — the share of yearly revenue supplied
+    by one nation, as a ratio of two conditional exact-decimal sums with a
+    single double divide at the end (order-insensitive; a running double
+    ratio would not hash-match). Nation/region dims broadcast; the
+    customer-side region filter prunes before the fact join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n_cust = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n_supp = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4)
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cr_key") == F.col("r_regionkey"))
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(target).alias("nation_volume"),
+            F.sum(vol).alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            "nation_volume",
+            "total_volume",
+            (
+                F.col("nation_volume").cast("double")
+                / F.col("total_volume").cast("double")
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape: conditional counting across a fact⨝parent join —
+    per line status, how many lineitems belong to urgent/high- vs
+    lower-priority orders, over a ship-date year. Both CASE branches are
+    integer counts (exact); the orders side carries only (key, priority)
+    through the join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-suppliers-per-part-class with a supplier
+    blacklist — COUNT(DISTINCT) per (brand, type, size) after an anti-join
+    (NOT IN subquery) removes negative-balance suppliers. The lineitem
+    part↔supplier pairs play partsupp's role; the blacklist is a tiny
+    broadcast anti-join, applied BEFORE the distinct aggregation so
+    excluded pairs never shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") <= 20
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 shape: qualifying-key chain — suppliers who shipped more
+    than 3× their fair share of some part's total quantity (the correlated
+    fraction-of-total threshold, decorrelated and made scale-invariant:
+    Q20's fixed 50% is unreachable once a part has many suppliers). One
+    rollup to (part, supplier) quantities, a per-part window for the total
+    and supplier count, then a distinct-supplier semi-join up to the
+    supplier dimension — each stage shrinks the data before the next
+    shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("ps_qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        per_ps.withColumn("part_qty", F.sum("ps_qty").over(w))
+        .withColumn("n_supp", F.count("*").over(w))
+        .filter(
+            F.col("ps_qty").cast("double")
+            > F.lit(3.0) * F.col("part_qty").cast("double") / F.col("n_supp")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dominant, s["s_suppkey"] == dominant["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 def q_percent_rank(spark, sf_dir):
     """Window normalization: percent_rank of order value within its
     priority class — exact rational (rank-1)/(n-1) values, the
@@ -1449,6 +1586,10 @@ QUERIES: dict[str, QueryFn] = {
     "q_tpch_q14": q_tpch_q14,
     "q_tpch_q19": q_tpch_q19,
     "q_tpch_q4": q_tpch_q4,
+    "q_tpch_q8": q_tpch_q8,
+    "q_tpch_q12": q_tpch_q12,
+    "q_tpch_q16": q_tpch_q16,
+    "q_tpch_q20": q_tpch_q20,
     "q_tpch_q11": q_tpch_q11,
     "q_tpch_q13": q_tpch_q13,
     "q_tpch_q15": q_tpch_q15,
@@ -1809,6 +1950,77 @@ ORACLES: dict[str, str] = {
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
         LIMIT 100
+    """,
+    "q_tpch_q8": """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               sum(CASE WHEN n2.n_name = 'NATION_3'
+                   THEN CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))
+                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS nation_volume,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                   AS total_volume,
+               CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                   THEN CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))
+                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY year(o_orderdate)
+        ORDER BY o_year
+    """,
+    "q_tpch_q12": """
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    "q_tpch_q16": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_size <= 20
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "q_tpch_q20": """
+        WITH per_ps AS (
+            SELECT l_partkey, l_suppkey,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS ps_qty
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), part_tot AS (
+            SELECT l_partkey, sum(ps_qty) AS part_qty, count(*) AS n_supp
+            FROM per_ps GROUP BY l_partkey
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT DISTINCT per_ps.l_suppkey
+            FROM per_ps JOIN part_tot ON per_ps.l_partkey = part_tot.l_partkey
+            WHERE CAST(ps_qty AS DOUBLE)
+                  > (3.0 * CAST(part_qty AS DOUBLE)) / n_supp
+        )
+        ORDER BY s_suppkey
     """,
     "q_tpch_q22": """
         SELECT c_mktsegment, count(*) AS numcust,

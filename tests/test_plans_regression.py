@@ -236,3 +236,25 @@ def test_tpch_q22_scalar_subquery_is_one_row_broadcast(spark):
     assert "LeftAnti" in plan
     pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
     assert "GreaterThanOrEqual(o_orderdate" in pushed
+
+
+@needs_fixtures
+def test_tpch_q16_anti_join_precedes_distinct_agg(spark):
+    """Q16 shape: the blacklist anti-join is a broadcast and sits BELOW the
+    distinct aggregation, so excluded pairs never enter the shuffle."""
+    plan = formatted_plan(QUERIES["q_tpch_q16"](spark, SF))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    # anti join appears before (deeper than) the first HashAggregate
+    tree = plan.split("\n\n")[0]
+    assert tree.rindex("LeftAnti") > tree.index("HashAggregate")
+
+
+@needs_fixtures
+def test_tpch_q20_chain_shrinks_before_each_shuffle(spark):
+    """Q20 shape: one rollup + per-part window + distinct + semi join —
+    the fact table is scanned once and never re-joined."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_tpch_q20"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2  # li + s
+    assert "Window" in plan and "LeftSemi" in plan
