@@ -1264,6 +1264,71 @@ def q_stream_window(spark, sf_dir):
     )
 
 
+def q_doc_chunks(spark, sf_dir):
+    """F5 context-window chunking: overlapping 64-token windows, stride 48,
+    one pass over a materialized token array, chunks md5'd for a compact
+    cross-engine hash (functions/text.chunk_documents)."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = X.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, stride=48)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "n_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
+def q_token_pack(spark, sf_dir):
+    """F5 sequence packing: chunks from q_doc_chunks greedily packed into
+    256-token training bins per source under (doc_id, chunk_id) order —
+    bin id is a pure window cumsum (operators/pipeline.pack_token_bins),
+    aggregated here to per-bin occupancy."""
+    from salesforce_plugin_spark.operators.pipeline import pack_token_bins
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = X.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=64, stride=48
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    packed = pack_token_bins(
+        chunks, 256, ["source"], ["doc_id", "chunk_id"]
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+def q_embed_quantize(spark, sf_dir):
+    """F3 int8 symmetric quantization of embeddings — per vector: the
+    127/max|x| scale and exact integer stats of the quantized values
+    (functions/vector.quantize_int8; floor semantics, no tie rule)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = V.as_double(F.col("embedding"))
+    df = e.select(
+        "vec_id",
+        F.size(F.col("embedding")).alias("n_dims"),
+        V.int8_scale(v).alias("scale"),
+        V.quantize_int8(v, V.int8_scale(v)).alias("__q"),
+    )
+    return df.select(
+        "vec_id",
+        "n_dims",
+        # no rounding: the scale is bit-identical across engines (exact
+        # float→double widening, one max, one divide), and rounding a
+        # double is itself engine-dependent at ties
+        F.col("scale"),
+        F.aggregate(
+            F.col("__q"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_sum"),
+        F.array_min("__q").alias("q_min"),
+        F.array_max("__q").alias("q_max"),
+    )
+
+
 def q_stream_stateful(spark, sf_dir):
     """F6 custom stateful operator through the real readStream path:
     ``applyInPandasWithState`` per-user running totals drained with an
@@ -1624,6 +1689,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_event_window": q_event_window,
     "q_stream_window": q_stream_window,
     "q_stream_stateful": q_stream_stateful,
+    "q_doc_chunks": q_doc_chunks,
+    "q_token_pack": q_token_pack,
+    "q_embed_quantize": q_embed_quantize,
     "q_skew_join": q_skew_join,
     "q_event_session": q_event_session,
     "q_topk_per_group": q_topk_per_group,
@@ -2178,6 +2246,75 @@ ORACLES: dict[str, str] = {
         FROM (SELECT * FROM events WHERE event_type = 'click') c
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+    "q_doc_chunks": r"""
+        WITH toked AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents
+        ), spans AS (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t), 1), 48)) AS s
+            FROM toked
+        )
+        SELECT doc_id,
+               CAST((s - 1) // 48 AS INTEGER) AS chunk_id,
+               CAST(len(list_slice(t, s, s + 63)) AS BIGINT) AS n_tokens,
+               md5(array_to_string(list_slice(t, s, s + 63), ' ')) AS chunk_md5
+        FROM spans
+    """,
+    "q_token_pack": r"""
+        WITH toked AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents
+        ), spans AS (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t), 1), 48)) AS s
+            FROM toked
+        ), chunks AS (
+            SELECT doc_id,
+                   CAST((s - 1) // 48 AS INTEGER) AS chunk_id,
+                   CAST(len(list_slice(t, s, s + 63)) AS BIGINT) AS n_tokens
+            FROM spans
+        ), j AS (
+            SELECT c.*, d.source
+            FROM chunks c JOIN documents d USING (doc_id)
+        ), p AS (
+            SELECT source, n_tokens,
+                   CAST(floor(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id, chunk_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / 256) AS BIGINT) AS bin_id
+            FROM j
+        )
+        SELECT source, bin_id, count(*) AS n_chunks,
+               sum(n_tokens) AS bin_tokens
+        FROM p GROUP BY source, bin_id
+        ORDER BY source, bin_id
+    """,
+    "q_embed_quantize": """
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+            FROM embeddings
+        ), sc AS (
+            SELECT vec_id, vd,
+                   CASE WHEN list_max(list_transform(vd, x -> abs(x))) > 0
+                        THEN 127.0 / list_max(list_transform(vd, x -> abs(x)))
+                        ELSE 0.0 END AS scale
+            FROM v
+        ), q AS (
+            SELECT vec_id, CAST(len(vd) AS INTEGER) AS n_dims, scale,
+                   list_transform(vd, x -> CAST(floor(x * scale) AS INTEGER))
+                       AS qv
+            FROM sc
+        )
+        SELECT vec_id, n_dims, scale,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum,
+               list_min(qv) AS q_min,
+               list_max(qv) AS q_max
+        FROM q
     """,
     "q_stream_stateful": """
         SELECT user_id,

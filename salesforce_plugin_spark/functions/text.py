@@ -141,3 +141,46 @@ def scrub_newlines(text: Column | str) -> Column:
     """C4: strip CR/LF so CSV rows stay single-line (contrib
     ``write_object_to_file``; call site salesforce_to_s3_operator.py:84-90,210)."""
     return F.regexp_replace(text, r"[\r\n]+", "")
+
+
+def chunk_starts(toks: Column, stride: int) -> Column:
+    """1-based window start positions every ``stride`` tokens (always at
+    least [1], so every document — even empty — yields one chunk)."""
+    return F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride)
+    )
+
+
+def chunk_documents(
+    df,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+):
+    """(id, chunk_id, n_tokens, chunk_text) — overlapping token windows, the
+    standard context-window chunking for training/retrieval corpora
+    (overlap = chunk_tokens - stride).
+
+    All array work happens on a token array materialized ONCE per document
+    (see dedup.shingles_from_tokens on the absence of common-subexpression
+    elimination in HOF lambdas); only the chunk structs are exploded, so
+    shuffle volume is
+    O(chunks), not O(tokens × chunks). Embarrassingly parallel — no shuffle
+    at all until a downstream op needs one.
+    """
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    spans = toked.select(
+        F.col(id_col),
+        F.posexplode(chunk_starts(F.col("__toks"), stride)).alias(
+            "chunk_id", "__start"
+        ),
+        F.col("__toks"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("__start"), chunk_tokens)
+    return spans.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

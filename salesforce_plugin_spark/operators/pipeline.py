@@ -163,3 +163,31 @@ def corpus_stats(corpus: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
     )
+
+
+def pack_token_bins(
+    chunks: DataFrame,
+    seq_len: int,
+    partition_cols: list[str],
+    order_cols: list[str],
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign each chunk to a fixed-token-budget training bin: bin id =
+    floor(cumulative-tokens-before / seq_len) under a total order within
+    each partition — the streaming analog of greedy sequence packing, as a
+    pure window expression (exact integer arithmetic, no Python).
+
+    One shuffle on ``partition_cols``; per-key state is the running sum the
+    window computes. Bins can overflow seq_len by at most one chunk (the
+    chunk that crosses the boundary starts the next bin) — the same
+    guarantee as greedy first-fit-in-order packing.
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return chunks.withColumn(
+        "bin_id", F.floor(cum_before / F.lit(seq_len)).cast("long")
+    )

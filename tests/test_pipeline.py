@@ -52,3 +52,47 @@ def test_corpus_stats(spark):
     )
     stats = {r.split: (r.n_docs, r.n_tokens) for r in corpus_stats(corpus).collect()}
     assert sum(n for n, _ in stats.values()) == 2
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    from salesforce_plugin_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(100))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, "doc_id", "text", chunk_tokens=64, stride=48)
+    got = {(r.doc_id, r.chunk_id): r for r in rows.collect()}
+    # doc 1: starts at tokens 1, 49, 97 → 3 chunks; stride < chunk → the
+    # 16-token overlap means every 64-token window is fully inside a chunk
+    assert {(1, 0), (1, 1), (1, 2)} <= set(got)
+    assert got[(1, 0)].n_tokens == 64 and got[(1, 2)].n_tokens == 4
+    assert got[(1, 1)].chunk_text.split()[0] == "t48"  # 1-based start 49
+    # short and empty docs still produce exactly one chunk
+    assert got[(2, 0)].n_tokens == 2 and (3, 0) in got
+
+
+def test_pack_token_bins_first_fit_bound(spark):
+    from salesforce_plugin_spark.functions.text import chunk_documents
+    from salesforce_plugin_spark.operators.pipeline import pack_token_bins
+
+    docs = spark.createDataFrame(
+        [(i, "src", " ".join("w" for _ in range(37))) for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    chunks = chunk_documents(docs, "doc_id", "text", 64, 48).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    packed = pack_token_bins(chunks, 256, ["source"], ["doc_id", "chunk_id"])
+    per_bin = (
+        packed.groupBy("bin_id").sum("n_tokens").withColumnRenamed(
+            "sum(n_tokens)", "tot"
+        )
+    ).collect()
+    max_chunk = 64
+    # first-fit-in-order guarantee: a bin holds < seq_len before its last
+    # chunk, so it can overflow by at most one chunk
+    assert all(r.tot < 256 + max_chunk for r in per_bin)
+    # and bins are dense: every bin except possibly the last is ≥ seq_len
+    tots = [r.tot for r in sorted(per_bin, key=lambda r: r.bin_id)]
+    assert all(t >= 256 for t in tots[:-1])
