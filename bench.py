@@ -104,9 +104,45 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # same-box single-node columnar reference point for the
+                # BASELINE 2× criterion; see SCALE.md "Bench vs single-node
+                # columnar baseline" for why the gap is fixed per-query cost
+                "duckdb_oracle": _duckdb_baseline(sf_dir),
             }
         )
     )
+
+
+def _duckdb_baseline(sf_dir: str) -> dict:
+    """Run the DuckDB oracle SQL of every oracle-expressible headline query
+    on the same parquet (32 threads) and report the same timing shape."""
+    try:
+        import duckdb
+
+        from salesforce_plugin_spark.conformance import ORACLES
+        from salesforce_plugin_spark.sources.catalog import TABLES
+
+        con = duckdb.connect()
+        con.execute("SET threads TO " + os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        for t in TABLES:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+            )
+        out: dict[str, float] = {}
+        for name in HEADLINE:
+            sql = ORACLES.get(name)
+            if sql is None:
+                continue
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.sql(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+        return {"total": round(sum(out.values()), 3), "queries": out}
+    except Exception as e:  # baseline is informational; never fail the bench
+        return {"error": str(e)[:200]}
 
 
 if __name__ == "__main__":
