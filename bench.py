@@ -38,6 +38,7 @@ HEADLINE = [
     "q_multimodal_bytes",   # Arrow-batched mapInPandas binary path
     "q_asof_join",          # union + carry-forward window as-of join
     "q_training_corpus",    # full clean→dedup→filter→split pipeline
+    "q_training_sequences", # …extended through chunk→pack sequences
     "q_soql_relationship",  # SOQL front door: chained broadcast lookups
     "q_tpch_q3",            # segment-filtered 3-way join top-k
     "q_tpch_q5",            # 6-table star join revenue rollup

@@ -1445,6 +1445,32 @@ def q_training_corpus(spark, sf_dir):
     return corpus.select("doc_id", "fp", "n_tokens", "lang_pred", "split")
 
 
+def q_training_sequences(spark, sf_dir):
+    """North-star capstone, extended to the dataloader boundary: clean →
+    dedup → filter → split → context-window chunk → pack into 256-token
+    sequences, all one lazy plan (operators/pipeline.corpus_to_sequences),
+    aggregated to per-bin occupancy for a compact cross-engine hash."""
+    from salesforce_plugin_spark.operators.pipeline import (
+        build_training_corpus,
+        corpus_to_sequences,
+    )
+
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    corpus = build_training_corpus(
+        d, min_tokens=10, max_punct_ratio=0.5, langs=("en", "es")
+    )
+    packed = corpus_to_sequences(corpus)
+    return (
+        packed.groupBy("split", "bin_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("split", "bin_id")
+    )
+
+
 def q_corpus_mix(spark, sf_dir):
     """North-star: weighted corpus blending via deterministic md5-bucket
     subsampling (operators/pipeline.mix_corpora) — en docs at 50%, non-en at
@@ -1698,6 +1724,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_set_ops": q_set_ops,
     "q_embed_ivf": q_embed_ivf,
     "q_training_corpus": q_training_corpus,
+    "q_training_sequences": q_training_sequences,
     "q_corpus_mix": q_corpus_mix,
     "q_data_quality": q_data_quality,
     "q_unique_keys": q_unique_keys,
@@ -2419,6 +2446,75 @@ ORACLES: dict[str, str] = {
               AND CAST(n_punct AS DOUBLE) / length(text) <= 0.5
               AND lang_pred IN ('en', 'es')
         )
+    """,
+    "q_training_sequences": r"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0
+        ), deduped AS (
+            SELECT * FROM (
+                SELECT doc_id, text, fp,
+                       row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM base
+            ) WHERE rn = 1
+        ), enriched AS (
+            SELECT doc_id, text, fp,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+                   len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|in)\b')) AS en,
+                   len(regexp_extract_all(lower(text), '\b(?:el|los|las|que|una)\b')) AS es,
+                   len(regexp_extract_all(lower(text), '\b(?:les|des|une|est|dans)\b')) AS fr,
+                   len(regexp_extract_all(lower(text), '\b(?:der|die|und|das|ist)\b')) AS de
+            FROM deduped
+        ), lang AS (
+            SELECT *,
+                   CASE WHEN en > 0 AND en >= es AND en >= fr AND en >= de THEN 'en'
+                        WHEN es > 0 AND es >= fr AND es >= de THEN 'es'
+                        WHEN fr > 0 AND fr >= de THEN 'fr'
+                        WHEN de > 0 THEN 'de'
+                        ELSE 'und' END AS lang_pred
+            FROM enriched
+        ), corpus AS (
+            SELECT doc_id, text,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT *,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+                FROM lang
+                WHERE n_tokens >= 10
+                  AND CAST(n_punct AS DOUBLE) / length(text) <= 0.5
+                  AND lang_pred IN ('en', 'es')
+            )
+        ), toked AS (
+            SELECT doc_id, split,
+                   regexp_split_to_array(trim(text), '\s+') AS t
+            FROM corpus
+        ), spans AS (
+            SELECT doc_id, split, t,
+                   unnest(generate_series(1, greatest(len(t), 1), 48)) AS s
+            FROM toked
+        ), chunks AS (
+            SELECT doc_id, split,
+                   CAST((s - 1) // 48 AS INTEGER) AS chunk_id,
+                   CAST(len(list_slice(t, s, s + 63)) AS BIGINT) AS n_tokens
+            FROM spans
+        ), packed AS (
+            SELECT doc_id, split, n_tokens,
+                   CAST(floor(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY split ORDER BY doc_id, chunk_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / 256) AS BIGINT) AS bin_id
+            FROM chunks
+        )
+        SELECT split, bin_id, count(*) AS n_chunks,
+               sum(n_tokens) AS bin_tokens,
+               count(DISTINCT doc_id) AS n_docs
+        FROM packed GROUP BY split, bin_id
+        ORDER BY split, bin_id
     """,
     "q_data_quality": r"""
         SELECT count(*) AS n_rows,

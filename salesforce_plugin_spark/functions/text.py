@@ -157,6 +157,7 @@ def chunk_documents(
     text_col: str,
     chunk_tokens: int = 64,
     stride: int = 48,
+    carry: tuple[str, ...] = (),
 ):
     """(id, chunk_id, n_tokens, chunk_text) — overlapping token windows, the
     standard context-window chunking for training/retrieval corpora
@@ -168,14 +169,22 @@ def chunk_documents(
     shuffle volume is
     O(chunks), not O(tokens × chunks). Embarrassingly parallel — no shuffle
     at all until a downstream op needs one.
+
+    ``carry`` names columns to pass through per chunk (e.g. a split or
+    source label) — cheaper than re-joining the (possibly expensive)
+    source plan back onto its own chunks.
     """
-    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    carry_cols = [F.col(c) for c in carry]
+    toked = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks"), *carry_cols
+    )
     spans = toked.select(
         F.col(id_col),
         F.posexplode(chunk_starts(F.col("__toks"), stride)).alias(
             "chunk_id", "__start"
         ),
         F.col("__toks"),
+        *carry_cols,
     )
     piece = F.slice(F.col("__toks"), F.col("__start"), chunk_tokens)
     return spans.select(
@@ -183,4 +192,5 @@ def chunk_documents(
         F.col("chunk_id"),
         F.size(piece).cast("long").alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
+        *carry_cols,
     )

@@ -191,3 +191,32 @@ def pack_token_bins(
     return chunks.withColumn(
         "bin_id", F.floor(cum_before / F.lit(seq_len)).cast("long")
     )
+
+
+def corpus_to_sequences(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_col: str = "split",
+    seq_len: int = 256,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Corpus → packed training sequences: overlapping context-window chunks
+    (text.chunk_documents) packed into fixed-token bins per split
+    (pack_token_bins) — the last mile from a cleaned corpus to
+    dataloader-shaped units.
+
+    Partitioning note: packing here windows over each split in one task,
+    which is the oracle-checkable form; at real scale add a shard column to
+    the partition key (e.g. hash_bucket(id) % n_shards) — packing quality
+    is per-shard-local either way.
+    """
+    from salesforce_plugin_spark.functions.text import chunk_documents
+
+    chunks = chunk_documents(
+        corpus, id_col, text_col, chunk_tokens, stride, carry=(split_col,)
+    )
+    return pack_token_bins(
+        chunks, seq_len, [split_col], [id_col, "chunk_id"]
+    )
