@@ -116,3 +116,58 @@ def test_stream_static_join_is_stateless(spark, events_dir):
     stream = enrich_stream(stream_events(spark, events_dir), users, "user_id")
     plan = stream._jdf.queryExecution().analyzed().toString()
     assert "Join" in plan
+
+
+def test_stream_upsert_latest_row_wins_across_batches(spark, tmp_path):
+    """Two micro-batches with overlapping keys: the upsert sink must keep
+    exactly one row per key — the newest by version — and only rewrite
+    the touched partitions."""
+    import datetime as dt
+
+    from salesforce_plugin_spark.streaming.upsert import run_stream_upsert
+    from salesforce_plugin_spark.streaming.windows import stream_events
+
+    base = dt.datetime(2024, 3, 1)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        )
+
+    ns = lambda m: int((base + dt.timedelta(minutes=m)).timestamp() * 1e9)  # noqa: E731
+    src = str(tmp_path / "src")
+    # file 1: keys 0-9 version-minute 0..9 ; file 2: keys 5-14, minutes 10..19
+    mk([(i, ns(i), i, "v1", 1.0, "{}") for i in range(10)]).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    mk([(i, ns(10 + i - 5), i, "v2", 2.0, "{}") for i in range(5, 15)]).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    # one file per trigger → the overlapping keys genuinely cross batches
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream = raw.withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    ).withColumn("day", F.to_date("ts"))
+    table = str(tmp_path / "table")
+    run_stream_upsert(
+        stream,
+        table,
+        str(tmp_path / "ckpt"),
+        key_cols=["event_id"],
+        version_col="ts",
+        partition_col="day",
+    )
+    got = {r.event_id: r for r in spark.read.parquet(table).collect()}
+    assert len(got) == 15
+    assert got[3].event_type == "v1" and got[7].event_type == "v2"
+    assert got[14].event_type == "v2"
