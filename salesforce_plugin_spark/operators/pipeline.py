@@ -178,9 +178,11 @@ def pack_token_bins(
     pure window expression (exact integer arithmetic, no Python).
 
     One shuffle on ``partition_cols``; per-key state is the running sum the
-    window computes. Bins can overflow seq_len by at most one chunk (the
-    chunk that crosses the boundary starts the next bin) — the same
-    guarantee as greedy first-fit-in-order packing.
+    window computes. A chunk that crosses a bin boundary stays in the bin
+    where it started, so a bin overflows seq_len by at most one chunk (and
+    a single chunk larger than seq_len spans several bin widths, leaving
+    the skipped ids empty) — the exact behavior of a sequential greedy
+    packer folding over the same order, property-tested against one.
     """
     w = (
         Window.partitionBy(*partition_cols)
