@@ -766,7 +766,11 @@ class _Lowerer:
         lcat, rcat = self._field_category(lhs), _literal_category(rhs)
         if lcat is None or rcat is None:
             return
-        ok = lcat == rcat or (lcat == "date" and rcat in ("date", "str")) or (
+        # date fields accept only ISO-parseable values (rcat "date") — a
+        # non-ISO quoted string vs a date field is Salesforce's
+        # MALFORMED_QUERY, and letting it through becomes an ANSI cast
+        # crash at runtime (found by fuzzing: ``WHERE ts = 'x'``)
+        ok = lcat == rcat or (
             # ISO-looking *string literal* vs varchar is plain string equality;
             # a relative date expression (TODAY, LAST_N_DAYS) vs varchar is not
             lcat == "str" and rcat == "date" and rhs["kind"] == "lit"
