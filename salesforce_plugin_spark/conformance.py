@@ -1555,6 +1555,32 @@ def q_soql_rollup_having(spark, sf_dir):
     )
 
 
+def q_soql_date_parts(spark, sf_dir):
+    """D19 beyond the ISO-week trap: WEEK_IN_YEAR / WEEK_IN_MONTH are
+    SOQL's simple 7-day blocks from Jan 1 / the 1st (NOT ISO weeks — they
+    diverge at year boundaries), and DAY_IN_WEEK is 1=Sunday; all three
+    verified value-for-value against the oracle's explicit arithmetic."""
+    from salesforce_plugin_spark.plans import soql_to_df
+
+    def resolve(name):
+        return load_table(spark, sf_dir, name.lower())
+
+    return soql_to_df(
+        spark,
+        "SELECT CALENDAR_YEAR(o_orderdate) yr, "
+        "WEEK_IN_YEAR(o_orderdate) wk, "
+        "WEEK_IN_MONTH(o_orderdate) wm, "
+        "DAY_IN_WEEK(o_orderdate) dw, "
+        "DAY_IN_YEAR(o_orderdate) dy, COUNT() n "
+        "FROM Orders "
+        "GROUP BY CALENDAR_YEAR(o_orderdate), WEEK_IN_YEAR(o_orderdate), "
+        "WEEK_IN_MONTH(o_orderdate), DAY_IN_WEEK(o_orderdate), "
+        "DAY_IN_YEAR(o_orderdate) "
+        "ORDER BY yr, dy",
+        resolve=resolve,
+    )
+
+
 def q_soql_relationship(spark, sf_dir):
     """D8 via the string front door: a two-level child-to-parent dot path
     (customer.nation.n_name from orders) lowered to broadcast lookup joins
@@ -1730,6 +1756,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_unique_keys": q_unique_keys,
     "q_soql_front_door": q_soql_front_door,
     "q_soql_rollup_having": q_soql_rollup_having,
+    "q_soql_date_parts": q_soql_date_parts,
     "q_soql_relationship": q_soql_relationship,
     "q_soql_child_sub": q_soql_child_sub,
     "q_soql_date_literal": q_soql_date_literal,
@@ -2548,6 +2575,17 @@ ORACLES: dict[str, str] = {
         HAVING count(*) > 2
         ORDER BY o_orderstatus NULLS FIRST, yr NULLS FIRST
         LIMIT 50
+    """,
+    "q_soql_date_parts": """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST((dayofyear(o_orderdate) - 1) // 7 + 1 AS INTEGER) AS wk,
+               CAST((dayofmonth(o_orderdate) - 1) // 7 + 1 AS INTEGER) AS wm,
+               CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dw,
+               CAST(dayofyear(o_orderdate) AS INTEGER) AS dy,
+               count(*) AS n
+        FROM orders
+        GROUP BY yr, wk, wm, dw, dy
+        ORDER BY yr, dy
     """,
     "q_soql_relationship": """
         SELECT o_orderkey, c_name AS cust_name, n_name AS nation_name
