@@ -91,3 +91,34 @@ def uniqueness_report(df: DataFrame, keys: list[str]) -> DataFrame:
         F.sum(F.when(F.col("__n") > 1, 1).otherwise(0)).alias("n_dup_keys"),
         F.sum(F.when(F.col("__n") > 1, F.col("__n")).otherwise(0)).alias("n_dup_rows"),
     )
+
+
+def approx_profile(
+    df: DataFrame,
+    distinct_cols: list[str],
+    quantile_cols: list[str] | None = None,
+    rsd: float = 0.05,
+    quantile_error: float = 0.01,
+) -> DataFrame:
+    """Sketch-based column profile for 100 TB-scale data exploration: one
+    row with HyperLogLog++ distinct estimates and approximate quantiles.
+
+    This is the scale alternative to the EXACT aggregates the query
+    surface must keep (SOQL COUNT_DISTINCT is exact — D10): HLL++ and
+    quantile sketches are mergeable, so the profile is ONE map-side pass
+    plus a constant-size combine — no distinct shuffle, no sort, state
+    O(1/rsd² per column) regardless of cardinality. Estimates, not oracle
+    material: guaranteed only within their error bounds (HLL relative
+    ``rsd``; quantile rank error ``quantile_error``).
+    """
+    aggs = [
+        F.approx_count_distinct(c, rsd=rsd).alias(f"{c}_approx_distinct")
+        for c in distinct_cols
+    ]
+    for c in quantile_cols or []:
+        aggs.append(
+            F.percentile_approx(
+                c, [0.5, 0.95, 0.99], int(1.0 / quantile_error)
+            ).alias(f"{c}_q50_95_99")
+        )
+    return df.agg(*aggs)

@@ -100,3 +100,29 @@ def test_streaming_parquet_sink_checkpoint_resume(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 8
     assert got.agg(F.countDistinct("event_id")).collect()[0][0] == 8
+
+
+def test_approx_profile_within_error_bounds(spark):
+    from salesforce_plugin_spark.operators.validate import approx_profile
+
+    sf = "/root/testdata/sf0.01"
+    if not __import__("os").path.isdir(sf):
+        import pytest
+
+        pytest.skip("fixtures not present")
+    from salesforce_plugin_spark.sources.catalog import load_table
+
+    o = load_table(spark, sf, "orders")
+    prof = approx_profile(
+        o, ["o_custkey", "o_orderkey"], ["o_totalprice"], rsd=0.02
+    ).collect()[0]
+    exact_cust = o.select("o_custkey").distinct().count()
+    exact_orders = o.count()  # o_orderkey is unique
+    # HLL++ guarantees rsd as a standard deviation; 5 sigma is a safe gate
+    assert abs(prof.o_custkey_approx_distinct - exact_cust) <= 5 * 0.02 * exact_cust
+    assert abs(prof.o_orderkey_approx_distinct - exact_orders) <= 5 * 0.02 * exact_orders
+    q50, q95, q99 = prof.o_totalprice_q50_95_99
+    # quantile sketch: rank error ⇒ value between neighboring true quantiles
+    lo, hi = o.approxQuantile("o_totalprice", [0.45, 0.55], 0.001)
+    assert lo <= q50 <= hi
+    assert q50 < q95 < q99
