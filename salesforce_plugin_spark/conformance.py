@@ -1134,8 +1134,9 @@ def q_cosine_pairs(spark, sf_dir):
 
 def q_jaccard_pairs(spark, sf_dir):
     """F2: exact n-gram Jaccard over pairs sharing ≥1 shingle (the verifier
-    stage of a near-dedup pipeline; rows-only — shingling in SQL is not
-    reasonably expressible)."""
+    stage of a near-dedup pipeline) — integer intersection/union counts
+    with one rounded double divide, mirrored shingle-for-shingle by the
+    DuckDB oracle."""
     d = parallelized(load_table(spark, sf_dir, "documents"))
     return D.ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.5)
 
@@ -2275,6 +2276,37 @@ ORACLES: dict[str, str] = {
         FROM embeddings e,
              (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         ORDER BY sim DESC, e.vec_id LIMIT 10
+    """,
+    "q_jaccard_pairs": r"""
+        WITH toked AS (
+            SELECT doc_id,
+                   list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> lower(x)) AS t
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(t, s, s + 4), ' ') AS shingle
+            FROM (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - 4)) AS s
+                FROM toked WHERE len(t) >= 5
+            )
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_int
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(CAST(n_int AS DOUBLE)
+                     / (sa.n_sh + sb.n_sh - n_int), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(CAST(n_int AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - n_int), 6) >= 0.5
     """,
     "q_embed_bucket": """
         SELECT vec_id, CAST(
