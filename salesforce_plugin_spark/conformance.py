@@ -1105,9 +1105,19 @@ def q_sample_split(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """F2/F5: 64-bit SimHash fingerprint (xxhash64 family → rows-only)."""
+    """F2/F5: SimHash fingerprint in its engine-portable form — 32-bit,
+    md5-derived token hashes (functions/dedup.portable_hash32) so the
+    oracle reproduces every bit vote; the default xxhash64/64-bit variant
+    is the production fast path (JVM-only hash family, tested in
+    tests/test_dedup.py)."""
     d = parallelized(load_table(spark, sf_dir, "documents"))
-    return D.simhash_table(d, "doc_id", "text")
+    return D.simhash_table(
+        d,
+        "doc_id",
+        "text",
+        bits=32,
+        hash_fn=lambda t: D.portable_hash32(F.lower(t)),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2697,5 +2707,40 @@ ORACLES: dict[str, str] = {
         GROUP BY c_mktsegment
     """,
     # rows-only (no oracle): q_fetch_time_added (current_timestamp),
-    # q_near_dedup + q_simhash (xxhash64 family has no DuckDB equivalent).
+    # q_near_dedup (xxhash64 LSH banding has no DuckDB equivalent),
+    # q_embed_ivf (approximate by construction).
 }
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    """Generate the q_simhash oracle: per-bit ±1 votes over md5-derived
+    32-bit token hashes — the exact mirror of simhash_from_hashes with
+    portable_hash32, one vote column per bit."""
+    votes = ",\n                   ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    combine = "\n                 + ".join(
+        f"(CASE WHEN v{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return rf"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+            FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(lower(w)), 1, 8)) AS BIGINT) AS hv
+            FROM tok
+        ), votes AS (
+            SELECT doc_id, {votes}
+            FROM h GROUP BY doc_id
+        )
+        SELECT doc_id,
+               {combine} AS simhash
+        FROM votes
+    """
+
+
+ORACLES["q_simhash"] = _simhash_oracle()

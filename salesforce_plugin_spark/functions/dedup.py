@@ -276,17 +276,26 @@ def winnow_fingerprints(
 # ---------------------------------------------------------------------------
 
 def simhash_table(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    hash_fn: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """(id, simhash) per document — the hot-path form: token hashes are
     materialized in one projection so the ``bits`` per-bit vote aggregates
     scan a concrete array instead of re-tokenizing per bit (see
-    shingles_from_tokens on lambda subexpression elimination)."""
+    shingles_from_tokens on lambda subexpression elimination).
+
+    ``hash_fn`` maps a token Column to its hash (default: xxhash64 of the
+    lowercased token — fastest, JVM-only). Pass
+    ``lambda t: portable_hash32(F.lower(t))`` with ``bits=32`` when the
+    fingerprints must be reproducible in another engine (conformance
+    oracle, cross-system dedup)."""
+    hf = hash_fn or (lambda t: F.xxhash64(F.lower(t)))
     hashed = df.select(
         F.col(id_col),
-        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(F.lower(t))).alias(
-            "__h"
-        ),
+        F.transform(tokens(F.col(text_col)), hf).alias("__h"),
     )
     return hashed.select(
         F.col(id_col), simhash_from_hashes(F.col("__h"), bits).alias("simhash")
