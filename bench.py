@@ -64,14 +64,15 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else None
 
     spark = get_spark("bench")
-    # Warm-up: exercise each execution path once (parquet scan, hash agg +
-    # exchange codegen, broadcast join, Python/Arrow workers) on the sf0.001
-    # smoke fixtures so per-query numbers measure steady-state throughput,
-    # not JIT/codegen/worker first-touch. Standard JMH-style discipline —
-    # on a long-lived cluster these costs amortize to zero.
+    # Warm-up: run EVERY headline query once on the sf0.001 smoke fixtures.
+    # Whole-stage-codegen compiles per plan shape (not per data size), so
+    # this pre-compiles each headline plan at negligible data cost and the
+    # timed runs measure steady-state throughput, not JIT/codegen/Arrow
+    # worker first-touch. Standard JMH-style discipline — on a long-lived
+    # cluster these one-time costs amortize to zero.
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(warm_dir):
-        for wname in ("q_agg_groupby", "q_parent_lookup_join", "q_multimodal_bytes"):
+        for wname in HEADLINE:
             try:
                 QUERIES[wname](spark, warm_dir).write.format("noop").mode(
                     "overwrite"
