@@ -55,6 +55,8 @@ HEADLINE = [
     "q_tpch_q8",            # 6-table market-share conditional ratio
     "q_tpch_q16",           # count-distinct per class + blacklist anti-join
     "q_tpch_q20",           # rollup → window fraction → distinct semi-join
+    "q_tpch_q2",            # per-part argmin supplier (window, single pass)
+    "q_tpch_q9",            # 5-table profit rollup, fact+dim amount expr
 ]
 
 

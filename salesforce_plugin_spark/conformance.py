@@ -747,6 +747,100 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape: minimum-cost supplier — a correlated scalar MIN
+    decorrelated as groupBy-min + equality join-back (per-group argmin;
+    contrast q_tpch_q15's global 1-row broadcast max). The fixtures have
+    no partsupp table, so the supply relation is derived: distinct
+    (part, supplier) pairs from lineitem with unit cost
+    min(extendedprice/quantity) — same join topology as the real Q2
+    (supply ⨝ part ⨝ supplier ⨝ nation ⨝ region). All four dimension
+    joins broadcast. The argmin uses a partkey-window min rather than
+    groupBy-min + join-back: the join-back form evaluates the whole
+    eligible subtree TWICE (two full fact scans at 100 TB — measured in
+    the executed plan, no ReuseExchange because the probe side
+    de-canonicalizes), while the window is one pass and one shuffle on
+    partkey, bounded per partition by suppliers-per-part. Cost stays a
+    raw double end to end (identical IEEE ops in any engine); no decimal
+    rounding at the equality comparison."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey", "p_name")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    ).select("r_regionkey")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    eligible = (
+        supply.join(F.broadcast(p), supply["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), supply["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "cost")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("__min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("__min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.col("cost").alias("min_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape: product-type profit by nation and year — a 5-table
+    join where the aggregated amount expression references BOTH fact and
+    dimension columns (price × discount from lineitem, retail cost from
+    part), grouped on a dimension attribute and a derived year. The
+    fixtures have no partsupp, so ps_supplycost is stood in by
+    p_retailprice — identical plan shape: LIKE-filtered part broadcast
+    pre-shrinks the fact scan, supplier/nation broadcast, and the only
+    shuffle joins are orders⨝lineitem on orderkey plus the final group
+    on (nation, year). Per-row amounts cast to exact decimal before the
+    sum so accumulation order can't flip low bits."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", "p_retailprice")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = _dec(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity"),
+        18, 4,
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
 def q_tpch_q8(spark, sf_dir):
     """TPC-H Q8 shape: market share — the share of yearly revenue supplied
     by one nation, as a ratio of two conditional exact-decimal sums with a
@@ -1724,6 +1818,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_tpch_q17": q_tpch_q17,
     "q_tpch_q21": q_tpch_q21,
     "q_tpch_q22": q_tpch_q22,
+    "q_tpch_q2": q_tpch_q2,
+    "q_tpch_q9": q_tpch_q9,
     "q_percent_rank": q_percent_rank,
     "q_sort_limit": q_sort_limit,
     "q_offset_page": q_offset_page,
@@ -2171,6 +2267,47 @@ ORACLES: dict[str, str] = {
           )
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
+    """,
+    "q_tpch_q2": """
+        WITH supply AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), eligible AS (
+            SELECT p_partkey, p_name, s_name, s_acctbal, n_name, cost
+            FROM supply
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               cost AS min_cost
+        FROM eligible e
+        WHERE cost = (
+            SELECT min(cost) FROM eligible e2
+            WHERE e2.p_partkey = e.p_partkey
+        )
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    "q_tpch_q9": """
+        SELECT nation, o_year, sum(amount) AS sum_profit
+        FROM (
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(l_extendedprice * (1 - l_discount)
+                        - p_retailprice * l_quantity AS DECIMAL(18,4)) AS amount
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%red%'
+        ) profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
     """,
     "q_percent_rank": """
         SELECT o_orderkey, o_orderpriority,

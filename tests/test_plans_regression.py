@@ -258,3 +258,32 @@ def test_tpch_q20_chain_shrinks_before_each_shuffle(spark):
     plan = formatted_plan(QUERIES["q_tpch_q20"](spark, SF))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2  # li + s
     assert "Window" in plan and "LeftSemi" in plan
+
+
+@needs_fixtures
+def test_tpch_q2_single_pass_window_argmin(spark):
+    """Q2 shape: the per-part argmin must be a window over ONE pass of the
+    supply rollup — the groupBy+join-back form scans lineitem twice (no
+    ReuseExchange: the probe side de-canonicalizes the subtree)."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_tpch_q2"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 5  # li,p,s,n,r
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan  # all dim joins broadcast
+
+
+@needs_fixtures
+def test_tpch_q9_pushes_like_and_broadcasts_dims(spark):
+    """Q9 shape: the part LIKE filter must reach the part scan (so the
+    broadcast pre-shrinks the fact join), aggregation stays partial→final,
+    and each table is scanned exactly once."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_tpch_q9"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 5  # li,p,s,n,o
+    assert "StringContains(p_name,red)" in plan.replace(" ", "").replace(
+        "'", ""
+    ) or "Contains" in plan
+    assert "partial_sum" in plan
