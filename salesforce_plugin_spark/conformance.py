@@ -1469,6 +1469,56 @@ def q_stream_stateful(spark, sf_dir):
     )
 
 
+def q_stream_upsert(spark, sf_dir):
+    """E5/F6 streaming upsert through the real foreachBatch path: drain
+    the events stream into a key-bucketed parquet table where the newest
+    row per user wins (streaming/upsert.run_stream_upsert), then return
+    the final table — hash-checked against a batch last-writer-wins
+    window. Version is a (ts, event_id) struct so ties in ts are broken
+    deterministically in any engine; the partition column is a hash
+    bucket OF THE KEY so every version of a user lives in one partition
+    and per-batch dynamic partition overwrite can never strand a stale
+    row in an untouched partition (a time-partitioned layout would —
+    that layout is for append+late-data tails, not keyed upserts)."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.streaming.upsert import run_stream_upsert
+    from salesforce_plugin_spark.streaming.windows import stream_events
+
+    stream = (
+        stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+        .withColumn("__ver", F.struct(F.col("ts"), F.col("event_id")))
+        .withColumn("__bucket", F.pmod(F.col("user_id"), F.lit(16)))
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_upsert_")
+    table = os.path.join(tmp, "latest")
+    try:
+        run_stream_upsert(
+            stream,
+            table,
+            os.path.join(tmp, "ckpt"),
+            key_cols=["user_id"],
+            version_col="__ver",
+            partition_col="__bucket",
+        )
+        out = (
+            spark.read.parquet(table)
+            .select(
+                "user_id",
+                "event_id",
+                "event_type",
+                "value",
+                F.unix_micros(F.col("ts")).alias("ts_us"),
+            )
+            .localCheckpoint(eager=True)  # detach from the tmp path
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_skew_join(spark, sf_dir):
     """Skew-mitigation correctness under the gate: the salted fact⨝dim
     join (operators/partitioning.salted_join — dim replicated per salt,
@@ -1848,6 +1898,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_event_window": q_event_window,
     "q_stream_window": q_stream_window,
     "q_stream_stateful": q_stream_stateful,
+    "q_stream_upsert": q_stream_upsert,
     "q_doc_chunks": q_doc_chunks,
     "q_token_pack": q_token_pack,
     "q_embed_quantize": q_embed_quantize,
@@ -2559,6 +2610,16 @@ ORACLES: dict[str, str] = {
                max(epoch_us(ts)) AS last_ts_us
         FROM events
         GROUP BY user_id
+    """,
+    "q_stream_upsert": """
+        SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS __rn
+            FROM events
+        )
+        WHERE __rn = 1
     """,
     "q_event_window": """
         SELECT epoch_ms(date_trunc('hour', ts)) // 1000 AS w_start_s,
