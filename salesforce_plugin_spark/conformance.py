@@ -1186,6 +1186,71 @@ def q_quality_score(spark, sf_dir):
     )
 
 
+def q_pii_redact(spark, sf_dir):
+    """F5 north-star: PII scrubbing (functions/text.pii_redact) — the
+    standard pre-training privacy pass. The fixture text is deliberately
+    PII-free, so the query seeds each document with deterministic fake
+    PII derived from its id (an email, a phone, an IPv4), then redacts;
+    the oracle rebuilds the identical seeded input and applies the same
+    RE2-subset regex chain in the same order, so the redacted text must
+    hash-match byte for byte. Counts are taken pre-redaction (audit
+    signal). Single codegen'd projection over the scan — no shuffle."""
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel +1-555-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+            F.lit(" host 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7 end"),
+        ).alias("__seeded"),
+    )
+    counts = X.pii_counts(F.col("__seeded"))
+    return seeded.select(
+        "doc_id",
+        *[c.alias(k) for k, c in counts.items()],
+        X.pii_redact(F.col("__seeded")).alias("redacted"),
+    )
+
+
+def q_repetition(spark, sf_dir):
+    """F5 north-star: within-document repetition signals (Gopher-style
+    quality rules): duplicate 2-/3-gram fractions via higher-order
+    functions over one materialized token array (no shuffle), plus the
+    top-token fraction via the explode→two-level-aggregate shape (shuffle
+    on (doc, token) then doc — both with map-side partial aggregation;
+    the HOF form of top-token would be O(tokens²) per row, the exploded
+    form is linear and scales out)."""
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    toked = d.select(
+        "doc_id",
+        F.transform(X.tokens(F.col("text")), F.lower).alias("__toks"),
+    )
+    s2 = X.ngram_repetition_stats(F.col("__toks"), 2)
+    s3 = X.ngram_repetition_stats(F.col("__toks"), 3)
+    hof = toked.select(
+        "doc_id",
+        F.size(F.col("__toks")).cast("long").alias("n_tokens"),
+        s2["dup_2gram_frac"].alias("dup_2gram_frac"),
+        s3["dup_3gram_frac"].alias("dup_3gram_frac"),
+    )
+    per_tok = (
+        toked.select("doc_id", F.explode(F.col("__toks")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    top = per_tok.groupBy("doc_id").agg(
+        F.round(
+            F.max("c").cast("double") / F.sum("c").cast("double"), 6
+        ).alias("top_token_frac")
+    )
+    return hof.join(top, "doc_id")
+
+
 def q_sample_split(spark, sf_dir):
     """North-star: reproducible train/val/test split by md5 hash bucket —
     assignment is a pure function of the document id (stable under
@@ -1887,6 +1952,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_text_tokens": q_text_tokens,
     "q_lang_id": q_lang_id,
     "q_quality_score": q_quality_score,
+    "q_pii_redact": q_pii_redact,
+    "q_repetition": q_repetition,
     "q_sample_split": q_sample_split,
     "q_simhash": q_simhash,
     "q_embed_topk": q_embed_topk,
@@ -2453,6 +2520,79 @@ ORACLES: dict[str, str] = {
                CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
                CAST(len(regexp_extract_all(lower(text), '{_STOP_RE}')) AS BIGINT) AS n_stopwords
         FROM documents
+    """,
+    "q_pii_redact": r"""
+        WITH seeded AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com tel +1-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.7 end' AS s
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(s,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                   AS n_email,
+               CAST(len(regexp_extract_all(s,
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+                   AS n_ip,
+               CAST(len(regexp_extract_all(s,
+                   '\+?\d{1,3}[-.\s]?\d{3}[-.\s]?\d{3,4}\b')) AS BIGINT)
+                   AS n_phone,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(s,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                   '\+?\d{1,3}[-.\s]?\d{3}[-.\s]?\d{3,4}\b', '<PHONE>', 'g')
+                   AS redacted
+        FROM seeded
+    """,
+    "q_repetition": r"""
+        WITH toked AS (
+            SELECT doc_id,
+                   list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> lower(x)) AS t
+            FROM documents
+        ), g2 AS (
+            SELECT doc_id, array_to_string(list_slice(t, s, s + 1), ' ') AS g
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS s
+                  FROM toked WHERE len(t) >= 2)
+        ), g3 AS (
+            SELECT doc_id, array_to_string(list_slice(t, s, s + 2), ' ') AS g
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS s
+                  FROM toked WHERE len(t) >= 3)
+        ), d2 AS (
+            SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist
+            FROM g2 GROUP BY doc_id
+        ), d3 AS (
+            SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist
+            FROM g3 GROUP BY doc_id
+        ), pt AS (
+            SELECT doc_id, tok, count(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS tok FROM toked)
+            GROUP BY doc_id, tok
+        ), top AS (
+            SELECT doc_id,
+                   round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_token_frac
+            FROM pt GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               CAST(len(b.t) AS BIGINT) AS n_tokens,
+               CASE WHEN d2.total IS NULL THEN 0.0
+                    ELSE round(1.0 - CAST(d2.dist AS DOUBLE) / d2.total, 6)
+               END AS dup_2gram_frac,
+               CASE WHEN d3.total IS NULL THEN 0.0
+                    ELSE round(1.0 - CAST(d3.dist AS DOUBLE) / d3.total, 6)
+               END AS dup_3gram_frac,
+               top.top_token_frac
+        FROM toked b
+        LEFT JOIN d2 ON d2.doc_id = b.doc_id
+        LEFT JOIN d3 ON d3.doc_id = b.doc_id
+        JOIN top ON top.doc_id = b.doc_id
     """,
     "q_sample_split": """
         WITH b AS (

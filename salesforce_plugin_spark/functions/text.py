@@ -95,6 +95,69 @@ def quality_metrics(text: Column | str) -> dict[str, Column]:
     }
 
 
+#: PII patterns in redaction order (emails first — they contain dots and
+#: digits that the later patterns could partially shadow; IPs before phones
+#: so dotted octet runs are gone before the looser phone pattern scans).
+#: Every regex is in the RE2-compatible subset (no lookaround, no
+#: backreferences) so an external engine (DuckDB, Go, Rust) applying the
+#: same chain produces byte-identical output — redaction must be
+#: reproducible across the systems that share a corpus.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{1,3}[-.\s]?\d{3}[-.\s]?\d{3,4}\b", "<PHONE>"),
+]
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Pre-redaction match counts per PII kind (for audit/quality stats)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return {
+        f"n_{kind}": F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("long")
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_redact(text: Column | str) -> Column:
+    """Replace every PII match with its placeholder, in PII_PATTERNS order
+    (order is part of the contract: patterns may overlap, so a different
+    order is a different function). All JVM-side regexp_replace — codegen
+    keeps this a single projection over the scan."""
+    out = F.col(text) if isinstance(text, str) else text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def ngram_repetition_stats(toks: Column, n: int) -> dict[str, Column]:
+    """Duplicate n-gram fraction (Gopher-style repetition signal) over a
+    *materialized* lowercased token array: fraction of n-gram occurrences
+    that are repeats of an earlier occurrence, 0.0 for docs with < n
+    tokens. Pure higher-order functions — no explode, no shuffle; the
+    distinct count happens per row inside codegen.
+
+    ``toks`` MUST be a plain column reference (see shingles_from_tokens on
+    the absence of common-subexpression elimination in HOF lambdas).
+    """
+    total = F.greatest(F.size(toks) - (n - 1), F.lit(0)).cast("long")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    distinct = F.when(
+        total > 0, F.size(F.array_distinct(grams)).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    frac = F.when(
+        total > 0,
+        F.round(1.0 - distinct.cast("double") / total.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    return {
+        f"n_{n}grams": total,
+        f"distinct_{n}grams": distinct,
+        f"dup_{n}gram_frac": frac,
+    }
+
+
 def normalized_text(text: Column | str) -> Column:
     """Whitespace-collapsed lowercase form used for fingerprints/dedup keys."""
     return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))

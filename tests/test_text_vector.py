@@ -90,3 +90,38 @@ def test_sign_bucket_deterministic(spark):
     )
     # bits: dim1>=0→1, dim2<0→0, dim3>=0→4, ... = 1+4+16+32+64+128 = 245
     assert df.select(sign_bucket(F.col("v"), 8).alias("b")).collect()[0].b == 245
+
+
+def test_pii_redact_kinds_and_order(spark):
+    from salesforce_plugin_spark.functions.text import pii_counts, pii_redact
+
+    s = "mail a.b+c@ex-1.org, host 10.0.255.7, tel +1-555-0042, clean text"
+    out = one(spark, s, pii_redact(F.col("t")))
+    assert out == "mail <EMAIL>, host <IP>, tel <PHONE>, clean text"
+    counts = {
+        k: one(spark, s, c) for k, c in pii_counts(F.col("t")).items()
+    }
+    assert counts == {"n_email": 1, "n_ip": 1, "n_phone": 1}
+    # no PII → identity
+    assert one(spark, "nothing to see", pii_redact(F.col("t"))) == "nothing to see"
+
+
+def test_ngram_repetition_short_and_repeated(spark):
+    from salesforce_plugin_spark.functions.text import ngram_repetition_stats, tokens
+
+    def stats(text, n):
+        df = spark.createDataFrame([(text,)], ["t"]).select(
+            F.transform(tokens(F.col("t")), F.lower).alias("__toks")
+        )
+        d = ngram_repetition_stats(F.col("__toks"), n)
+        row = df.select(*[c.alias(k) for k, c in d.items()]).collect()[0]
+        return row.asDict()
+
+    # "a b a b a" → 2-grams: ab ba ab ba → total 4, distinct 2, frac 0.5
+    r = stats("a b a b a", 2)
+    assert r == {"n_2grams": 4, "distinct_2grams": 2, "dup_2gram_frac": 0.5}
+    # fewer tokens than n → zero counts, zero fraction (no 0-index crash)
+    assert stats("solo", 2) == {
+        "n_2grams": 0, "distinct_2grams": 0, "dup_2gram_frac": 0.0
+    }
+    assert stats("", 3)["dup_3gram_frac"] == 0.0
