@@ -1251,6 +1251,39 @@ def q_repetition(spark, sf_dir):
     return hof.join(top, "doc_id")
 
 
+def q_contamination(spark, sf_dir):
+    """F5/F2 north-star: benchmark-contamination detection — training
+    documents sharing ≥ 3 distinct 5-gram shingles with the eval set
+    (source 'src0' plays the held-out benchmark). The eval side of the
+    join is the DISTINCT shingle set of a benchmark — thousands of docs
+    even at production scale — so it is broadcast: the training corpus
+    is scanned once, shingled in-codegen (one projection materializes
+    tokens, the next shingles — no HOF re-evaluation), and probed against
+    the broadcast hash relation with zero shuffle of the corpus side;
+    the only exchange is the per-doc count aggregation on doc_id."""
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    toked = d.select(
+        "doc_id",
+        "source",
+        F.transform(X.tokens(F.col("text")), F.lower).alias("__toks"),
+    )
+    sh = toked.select(
+        "doc_id",
+        "source",
+        F.explode(D.shingles_from_tokens(F.col("__toks"), 5)).alias("shingle"),
+    )
+    eval_sh = (
+        sh.filter(F.col("source") == "src0").select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("source") != "src0")
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+
+
 def q_sample_split(spark, sf_dir):
     """North-star: reproducible train/val/test split by md5 hash bucket —
     assignment is a pure function of the document id (stable under
@@ -1954,6 +1987,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_quality_score": q_quality_score,
     "q_pii_redact": q_pii_redact,
     "q_repetition": q_repetition,
+    "q_contamination": q_contamination,
     "q_sample_split": q_sample_split,
     "q_simhash": q_simhash,
     "q_embed_topk": q_embed_topk,
@@ -2614,6 +2648,29 @@ ORACLES: dict[str, str] = {
         FROM embeddings e,
              (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         ORDER BY sim DESC, e.vec_id LIMIT 10
+    """,
+    "q_contamination": r"""
+        WITH toked AS (
+            SELECT doc_id, source,
+                   list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> lower(x)) AS t
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, source,
+                   array_to_string(list_slice(t, s, s + 4), ' ') AS shingle
+            FROM (
+                SELECT doc_id, source, t,
+                       unnest(generate_series(1, len(t) - 4)) AS s
+                FROM toked WHERE len(t) >= 5
+            )
+        ), eval_sh AS (
+            SELECT DISTINCT shingle FROM sh WHERE source = 'src0'
+        )
+        SELECT s.doc_id, count(*) AS n_shared
+        FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
+        WHERE s.source <> 'src0'
+        GROUP BY s.doc_id
+        HAVING count(*) >= 3
     """,
     "q_jaccard_pairs": r"""
         WITH toked AS (
