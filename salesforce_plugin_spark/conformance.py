@@ -1148,6 +1148,20 @@ def q_near_dedup(spark, sf_dir):
     return D.near_dedup_clusters(d, "doc_id", "text")
 
 
+def q_minhash_clusters(spark, sf_dir):
+    """F2: the full MinHash+LSH near-dedup pipeline (shingle → 8-family
+    minhash → 4-band md5 buckets → bucket-min cluster assignment) over the
+    portable hash family, so every intermediate value is engine-reproducible
+    and the whole pipeline sits under the value-hash gate (q_near_dedup
+    keeps the murmur/xxhash fast path under the rows-only check). Plan
+    shape is identical: one explode+groupBy shuffle for signatures, one
+    window+groupBy for assignment, left join back for singletons."""
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    return D.near_dedup_clusters_portable(
+        d, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3
+    )
+
+
 def q_text_tokens(spark, sf_dir):
     """F5: token counting — whitespace, distinct, BPE-ish regex. Tokens are
     materialized once per document, then each metric reads the array (the
@@ -1982,6 +1996,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_dedup_fingerprint": q_dedup_fingerprint,
     "q_winnow_fingerprint": q_winnow_fingerprint,
     "q_near_dedup": q_near_dedup,
+    "q_minhash_clusters": q_minhash_clusters,
     "q_text_tokens": q_text_tokens,
     "q_lang_id": q_lang_id,
     "q_quality_score": q_quality_score,
@@ -2648,6 +2663,54 @@ ORACLES: dict[str, str] = {
         FROM embeddings e,
              (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         ORDER BY sim DESC, e.vec_id LIMIT 10
+    """,
+    "q_minhash_clusters": r"""
+        WITH toked AS (
+            SELECT doc_id,
+                   list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> lower(x)) AS t
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(t, s, s + 2), ' ') AS shingle
+            FROM (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - 2)) AS s
+                FROM toked WHERE len(t) >= 3
+            )
+        ), mh AS (
+            SELECT doc_id,
+                   min(CAST(('0x' || substr(md5('0:' || shingle), 1, 8)) AS BIGINT)) AS mh_0,
+                   min(CAST(('0x' || substr(md5('1:' || shingle), 1, 8)) AS BIGINT)) AS mh_1,
+                   min(CAST(('0x' || substr(md5('2:' || shingle), 1, 8)) AS BIGINT)) AS mh_2,
+                   min(CAST(('0x' || substr(md5('3:' || shingle), 1, 8)) AS BIGINT)) AS mh_3,
+                   min(CAST(('0x' || substr(md5('4:' || shingle), 1, 8)) AS BIGINT)) AS mh_4,
+                   min(CAST(('0x' || substr(md5('5:' || shingle), 1, 8)) AS BIGINT)) AS mh_5,
+                   min(CAST(('0x' || substr(md5('6:' || shingle), 1, 8)) AS BIGINT)) AS mh_6,
+                   min(CAST(('0x' || substr(md5('7:' || shingle), 1, 8)) AS BIGINT)) AS mh_7
+            FROM sh GROUP BY doc_id
+        ), banded AS (
+            SELECT doc_id, 0 AS band,
+                   md5(CAST(mh_0 AS VARCHAR) || '|' || CAST(mh_1 AS VARCHAR)) AS bucket FROM mh
+            UNION ALL
+            SELECT doc_id, 1,
+                   md5(CAST(mh_2 AS VARCHAR) || '|' || CAST(mh_3 AS VARCHAR)) FROM mh
+            UNION ALL
+            SELECT doc_id, 2,
+                   md5(CAST(mh_4 AS VARCHAR) || '|' || CAST(mh_5 AS VARCHAR)) FROM mh
+            UNION ALL
+            SELECT doc_id, 3,
+                   md5(CAST(mh_6 AS VARCHAR) || '|' || CAST(mh_7 AS VARCHAR)) FROM mh
+        ), bmin AS (
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY band, bucket) AS bucket_min
+            FROM banded
+        ), assigned AS (
+            SELECT doc_id, min(bucket_min) AS cluster_id
+            FROM bmin GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(a.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN assigned a ON d.doc_id = a.doc_id
     """,
     "q_contamination": r"""
         WITH toked AS (

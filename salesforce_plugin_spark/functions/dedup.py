@@ -177,9 +177,16 @@ def near_dedup_clusters(
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
-    # min-id per bucket as a window over the banded rows: one pass over the
-    # minhash pipeline and two shuffles total — the groupBy+self-join
-    # formulation recomputes the entire shingle→minhash subtree twice.
+    return _assign_clusters(df, id_col, banded)
+
+
+def _assign_clusters(df: DataFrame, id_col: str, banded: DataFrame) -> DataFrame:
+    """(id, band, bucket) rows → (id, cluster_id), one row per input doc.
+
+    Min-id per bucket as a window over the banded rows: one pass over the
+    minhash pipeline and two shuffles total — the groupBy+self-join
+    formulation recomputes the entire shingle→minhash subtree twice.
+    """
     w = Window.partitionBy("band", "bucket")
     assigned = (
         banded.withColumn("bucket_min", F.min(id_col).over(w))
@@ -197,6 +204,64 @@ def near_dedup_clusters(
             F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
         )
     )
+
+
+def minhash_signatures_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-engine-deterministic MinHash: ``mh_i = min(portable_hash32(
+    'i:' || shingle))``. Same plan shape as ``minhash_signatures`` (one
+    shuffle, map-side partial mins) but the hash family is md5-derived, so
+    any engine can reproduce the exact signatures — used for conformance
+    gating and cross-system dedup handoffs. ~3× slower than the
+    murmur/xxhash fast path; prefer ``minhash_signatures`` in production."""
+    ex = exploded_shingles(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(
+            portable_hash32(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def near_dedup_clusters_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """``near_dedup_clusters`` over the portable hash family, with md5 band
+    buckets — every stage reproducible in any md5-capable engine, so the
+    full LSH pipeline (shingle → minhash → band → bucket-min cluster) can
+    be differentially verified value-by-value rather than rows-only."""
+    sigs = minhash_signatures_portable(df, id_col, text_col, num_hashes, shingle_n)
+    rows_per_band = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).cast("binary")
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    return _assign_clusters(df, id_col, banded)
 
 
 # ---------------------------------------------------------------------------

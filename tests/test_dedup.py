@@ -75,6 +75,20 @@ def test_near_dedup_clusters_cover_all_docs(spark):
     assert got[3] == 3 and got[4] == 4       # shingle-less → singleton
 
 
+def test_near_dedup_clusters_portable_matches_semantics(spark):
+    from salesforce_plugin_spark.functions.dedup import near_dedup_clusters_portable
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, ""), (4, "zz")],
+        ["id", "t"],
+    )
+    rows = near_dedup_clusters_portable(df, "id", "t").collect()
+    got = {r.id: r.cluster_id for r in rows}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] == got[2] == 1
+    assert got[3] == 3 and got[4] == 4
+
+
 def test_lsh_recall_on_synthetic_near_duplicates(spark):
     """Recall check: documents that differ by one word in twenty have
     3-shingle jaccard ≈ 0.71 (3 changed shingles of ~18, union ~21). At
