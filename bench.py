@@ -33,6 +33,8 @@ HEADLINE = [
     "q_event_window",       # tumbling event-time window
     "q_event_session",      # session windows (stateful gap merge)
     "q_text_tokens",        # regex-heavy codegen text pipeline
+    "q_tfidf",              # explode→two-level agg→broadcast→window top-k
+    "q_contamination",      # broadcast shingle-set probe (no corpus shuffle)
     "q_near_dedup",         # minhash + LSH banding + self-join
     "q_embed_topk",         # brute-force cosine top-k
     "q_multimodal_bytes",   # Arrow-batched mapInPandas binary path

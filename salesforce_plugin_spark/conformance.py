@@ -1148,6 +1148,65 @@ def q_near_dedup(spark, sf_dir):
     return D.near_dedup_clusters(d, "doc_id", "text")
 
 
+def q_vocab(spark, sf_dir):
+    """F5 north-star: tokenizer-vocabulary building — corpus-wide term
+    frequency + document frequency, min-count floor, deterministic top-k
+    by (tf desc, token). Partial aggregation keeps the token groupBy
+    map-combined; the top-k is TakeOrderedAndProject (no full sort). At
+    100 TB the token key space is Zipf-skewed but the heavy hitters are
+    exactly the rows partial agg collapses map-side, so no salting is
+    needed."""
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    ex = d.select(
+        "doc_id",
+        F.explode(F.transform(X.tokens(F.col("text")), F.lower)).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        ex.groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .filter(F.col("tf") >= 5)
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(100)
+    )
+
+
+def q_tfidf(spark, sf_dir):
+    """F5 north-star: per-document top-3 terms by tf-idf. The idf is kept
+    rational — round((tf * n_docs)::double / doc_freq, 6) — so no
+    transcendental (ln) whose last-ulp behavior differs across engines
+    enters the hash gate; ranking is made total with the token as
+    tie-break. doc_freq is a broadcastable token-level dim (vocab-sized,
+    not corpus-sized) joined onto per-doc term counts."""
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    ex = d.select(
+        "doc_id",
+        F.explode(F.transform(X.tokens(F.col("text")), F.lower)).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = ex.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = ex.groupBy("token").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("tf") * F.col("n_docs")).cast("double") / F.col("doc_freq"),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("doc_id", "token", "tfidf")
+    )
+
+
 def q_minhash_clusters(spark, sf_dir):
     """F2: the full MinHash+LSH near-dedup pipeline (shingle → 8-family
     minhash → 4-band md5 buckets → bucket-min cluster assignment) over the
@@ -1998,6 +2057,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_near_dedup": q_near_dedup,
     "q_minhash_clusters": q_minhash_clusters,
     "q_text_tokens": q_text_tokens,
+    "q_vocab": q_vocab,
+    "q_tfidf": q_tfidf,
     "q_lang_id": q_lang_id,
     "q_quality_score": q_quality_score,
     "q_pii_redact": q_pii_redact,
@@ -2663,6 +2724,42 @@ ORACLES: dict[str, str] = {
         FROM embeddings e,
              (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         ORDER BY sim DESC, e.vec_id LIMIT 10
+    """,
+    "q_vocab": r"""
+        WITH ex AS (
+            SELECT doc_id,
+                   lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS token
+            FROM documents
+        )
+        SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS doc_freq
+        FROM ex WHERE token <> ''
+        GROUP BY token HAVING count(*) >= 5
+        ORDER BY tf DESC, token LIMIT 100
+    """,
+    "q_tfidf": r"""
+        WITH ex AS (
+            SELECT doc_id,
+                   lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS token
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM ex WHERE token <> '' GROUP BY doc_id, token
+        ), dfreq AS (
+            SELECT token, count(DISTINCT doc_id) AS doc_freq
+            FROM ex WHERE token <> '' GROUP BY token
+        ), n AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+            SELECT doc_id, tf.token AS token,
+                   round(CAST(tf * n_docs AS DOUBLE) / doc_freq, 6) AS tfidf
+            FROM tf JOIN dfreq ON tf.token = dfreq.token, n
+        )
+        SELECT doc_id, token, tfidf FROM (
+            SELECT doc_id, token, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, token) AS rn
+            FROM scored
+        ) WHERE rn <= 3
     """,
     "q_minhash_clusters": r"""
         WITH toked AS (
