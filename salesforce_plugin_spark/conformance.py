@@ -1540,6 +1540,33 @@ def q_stream_window(spark, sf_dir):
     )
 
 
+def q_stream_dedup(spark, sf_dir):
+    """F1/F6: streaming exact dedup (dropDuplicatesWithinWatermark state
+    store) drained through the real readStream path. The fixture stream is
+    unique on event_id, so the gate asserts losslessness — the streaming
+    dedup emits exactly the distinct set, no rows dropped by state
+    eviction or double-emitted across micro-batches. (The duplicate-
+    dropping direction is pinned by tests/test_streaming.py with injected
+    dupes.) Dedup state is partitioned by key and evicted at the
+    watermark, so state size is bounded by the late-data horizon, not the
+    stream length."""
+    import os
+    import uuid
+
+    from salesforce_plugin_spark.streaming.windows import (
+        dedup_stream,
+        run_to_memory_sink,
+        stream_events,
+    )
+
+    stream = dedup_stream(
+        stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+    ).select("event_id", F.unix_micros(F.col("ts")).alias("ts_us"))
+    return run_to_memory_sink(
+        stream, "t_conf_sdedup_" + uuid.uuid4().hex[:8], mode="append"
+    )
+
+
 def q_doc_chunks(spark, sf_dir):
     """F5 context-window chunking: overlapping 64-token windows, stride 48,
     one pass over a materialized token array, chunks md5'd for a compact
@@ -2076,6 +2103,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_stream_window": q_stream_window,
     "q_stream_stateful": q_stream_stateful,
     "q_stream_upsert": q_stream_upsert,
+    "q_stream_dedup": q_stream_dedup,
     "q_doc_chunks": q_doc_chunks,
     "q_token_pack": q_token_pack,
     "q_embed_quantize": q_embed_quantize,
@@ -2967,6 +2995,9 @@ ORACLES: dict[str, str] = {
                max(epoch_us(ts)) AS last_ts_us
         FROM events
         GROUP BY user_id
+    """,
+    "q_stream_dedup": """
+        SELECT event_id, epoch_us(ts) AS ts_us FROM events
     """,
     "q_stream_upsert": """
         SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
