@@ -1540,6 +1540,57 @@ def q_stream_window(spark, sf_dir):
     )
 
 
+def q_ndjson_roundtrip(spark, sf_dir):
+    """A13/A5-A7/E5 end to end: write documents through the ndjson sink
+    (executor-parallel, overwrite-idempotent — the Bulk-path serialization,
+    salesforce_to_s3_operator.py:53-57) and read the files back; the gate
+    hashes the read-back against the source-of-truth table, so encoding,
+    escaping, and null handling of the sink are all under the oracle. The
+    write is many-files parallel (no driver spool) — the read-back scan
+    parallelizes over the same files."""
+    import os
+    import tempfile
+
+    from salesforce_plugin_spark.sources import io as IO
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    out = os.path.join(tempfile.gettempdir(), "conf_ndjson_roundtrip")
+    IO.write_ndjson(d, out)
+    back = spark.read.schema("doc_id long, text string, lang string").json(out)
+    return back.select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias("text_md5"),
+        "lang",
+    )
+
+
+def q_csv_roundtrip(spark, sf_dir):
+    """A11+C4 end to end: documents through the CSV sink (header, quoted
+    cells, newline-scrubbed strings) and back with an explicit read schema.
+    Empty strings surface as null on read-back (Spark CSV default) —
+    normalized with coalesce on both sides of the gate; the oracle applies
+    the same [\\r\\n]+ scrub, so the hash pins the full serialize→parse
+    contract."""
+    import os
+    import tempfile
+
+    from salesforce_plugin_spark.sources import io as IO
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    out = os.path.join(tempfile.gettempdir(), "conf_csv_roundtrip")
+    IO.write_csv(d, out)
+    back = (
+        spark.read.schema("doc_id long, text string, lang string")
+        .option("header", True)
+        .csv(out)
+    )
+    return back.select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias("text_md5"),
+        "lang",
+    )
+
+
 def q_stream_dedup(spark, sf_dir):
     """F1/F6: streaming exact dedup (dropDuplicatesWithinWatermark state
     store) drained through the real readStream path. The fixture stream is
@@ -2104,6 +2155,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_stream_stateful": q_stream_stateful,
     "q_stream_upsert": q_stream_upsert,
     "q_stream_dedup": q_stream_dedup,
+    "q_ndjson_roundtrip": q_ndjson_roundtrip,
+    "q_csv_roundtrip": q_csv_roundtrip,
     "q_doc_chunks": q_doc_chunks,
     "q_token_pack": q_token_pack,
     "q_embed_quantize": q_embed_quantize,
@@ -2998,6 +3051,15 @@ ORACLES: dict[str, str] = {
     """,
     "q_stream_dedup": """
         SELECT event_id, epoch_us(ts) AS ts_us FROM events
+    """,
+    "q_ndjson_roundtrip": """
+        SELECT doc_id, md5(coalesce(text, '')) AS text_md5, lang FROM documents
+    """,
+    "q_csv_roundtrip": r"""
+        SELECT doc_id,
+               md5(regexp_replace(coalesce(text, ''), '[\r\n]+', '', 'g')) AS text_md5,
+               lang
+        FROM documents
     """,
     "q_stream_upsert": """
         SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
