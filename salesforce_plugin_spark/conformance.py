@@ -1491,6 +1491,31 @@ def q_event_window(spark, sf_dir):
     )
 
 
+def q_event_sliding(spark, sf_dir):
+    """F6: sliding 1-hour/15-minute event-time windows — each event lands
+    in exactly window/slide = 4 overlapping windows (Spark plans this as
+    an Expand of factor 4 before the hash agg, so the input scans once and
+    only the 4× expanded rows shuffle on the window keys; partial agg
+    collapses them map-side first). Oracle mirrors the window-assignment
+    arithmetic: start_k = 15-min-bucket(ts) - k*900s, k = 0..3."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec(F.col("value"), 18, 4)).alias("sum_value"),
+        )
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("w_start_s"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def q_event_session(spark, sf_dir):
     """F6: session windows (10-min inactivity gap) per user — batch
     session_window; oracle reproduces the gap semantics with lag+cumsum."""
@@ -2151,6 +2176,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_multimodal_bytes": q_multimodal_bytes,
     "q_asof_join": q_asof_join,
     "q_event_window": q_event_window,
+    "q_event_sliding": q_event_sliding,
     "q_stream_window": q_stream_window,
     "q_stream_stateful": q_stream_stateful,
     "q_stream_upsert": q_stream_upsert,
@@ -3077,6 +3103,14 @@ ORACLES: dict[str, str] = {
                count(*) AS n,
                sum(CAST(value AS DECIMAL(18,4))) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    "q_event_sliding": """
+        SELECT (epoch_us(ts) // 1000000 // 900) * 900 - 900 * k AS w_start_s,
+               event_type,
+               count(*) AS n,
+               sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+        FROM events, unnest(generate_series(0, 3)) AS g(k)
+        GROUP BY 1, 2
     """,
     "q_event_session": """
         WITH gaps AS (

@@ -66,10 +66,16 @@ def stream_events(
     ).withWatermark("ts", watermark)
 
 
-def windowed_event_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
-    """Tumbling event-time aggregation — streaming form of q_event_window."""
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", slide: str | None = None
+) -> DataFrame:
+    """Tumbling (default) or sliding (``slide`` < ``window``) event-time
+    aggregation — streaming form of q_event_window / q_event_sliding. A
+    sliding window assigns each event to window/slide overlapping windows
+    (state and output scale by that factor; the input is read once)."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
-        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        events.groupBy(w.alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
