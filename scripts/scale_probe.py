@@ -1,0 +1,104 @@
+"""Reproducible 10× fact-scale probe (SCALE.md "10× fact-scale probe").
+
+Builds ``.scratch/facts10x/`` holding each FACT table as a directory of 10
+copies of the sf0.1 parquet file (6M lineitem rows) while DIMENSIONS stay
+at 1× — the closer analog of a real scale-up step than scaling everything
+— then times each probe query min-of-2 with a noop sink at both scales in
+the same session and prints the ratio table.
+
+Usage: python scripts/scale_probe.py [sf_dir]   (default /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from salesforce_plugin_spark.conformance import QUERIES  # noqa: E402
+from salesforce_plugin_spark.session import get_spark  # noqa: E402
+
+FACTS = ["orders", "lineitem", "events", "documents", "embeddings"]
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+COPIES = 10
+
+PROBE = [
+    "q_agg_groupby",
+    "q_tpch_q2",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q9",
+    "q_tpch_q13",
+    "q_tpch_q18",
+    "q_tpch_q21",
+    "q_dedup_exact",
+    "q_near_dedup",
+    "q_minhash_clusters",
+    "q_tfidf",
+    "q_contamination",
+    "q_training_corpus",
+    "q_training_sequences",
+    "q_event_session",
+    "q_event_sliding",
+]
+
+
+def build_scaled_dir(sf_dir: str, out_dir: str) -> str:
+    """Fact tables become directories of COPIES identical parquet files
+    (Spark treats a directory of files as one table with that many input
+    splits); dimensions are single-copy directories."""
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    for t in FACTS + DIMS:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        os.makedirs(dst)
+        n = COPIES if t in FACTS else 1
+        for i in range(n):
+            shutil.copy(src, os.path.join(dst, f"part-{i:05d}.parquet"))
+    return out_dir
+
+
+def time_query(fn, spark, sf_dir: str, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        "facts10x",
+    )
+    print(f"building {scratch} from {sf_dir} (facts ×{COPIES}) ...")
+    build_scaled_dir(sf_dir, scratch)
+
+    spark = get_spark("scale-probe")
+    # warm both plan shapes once so the timed runs are steady-state
+    for name in PROBE:
+        for d in (sf_dir, scratch):
+            try:
+                QUERIES[name](spark, "/root/testdata/sf0.001").write.format(
+                    "noop"
+                ).mode("overwrite").save()
+            except Exception:
+                pass
+
+    print(f"\n| query | 1x facts | {COPIES}x facts | ratio |")
+    print("|---|---|---|---|")
+    for name in PROBE:
+        t1 = time_query(QUERIES[name], spark, sf_dir)
+        t10 = time_query(QUERIES[name], spark, scratch)
+        print(f"| {name} | {t1:.2f} s | {t10:.2f} s | {t10 / t1:.1f}x |")
+
+
+if __name__ == "__main__":
+    main()
