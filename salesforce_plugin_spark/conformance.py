@@ -1397,6 +1397,17 @@ def q_embed_topk(spark, sf_dir):
     return V.cosine_topk(e, "vec_id", "embedding", q, k=10)
 
 
+def q_embed_batch_topk(spark, sf_dir):
+    """F3: batched brute-force ANN — 5 query vectors answered in one
+    corpus scan (broadcast query batch, in-codegen similarities, per-query
+    window top-5). Self-matches stay in (sim = 1.0, deterministic)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return V.cosine_topk_batch(e, "vec_id", "embedding", q, k=5)
+
+
 def q_cosine_pairs(spark, sf_dir):
     """F2 (embedding near-dup): all pairs with cosine ≥ 0.5, ids ordered.
 
@@ -2170,6 +2181,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_sample_split": q_sample_split,
     "q_simhash": q_simhash,
     "q_embed_topk": q_embed_topk,
+    "q_embed_batch_topk": q_embed_batch_topk,
     "q_cosine_pairs": q_cosine_pairs,
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_embed_bucket": q_embed_bucket,
@@ -2938,6 +2950,22 @@ ORACLES: dict[str, str] = {
         WHERE s.source <> 'src0'
         GROUP BY s.doc_id
         HAVING count(*) >= 3
+    """,
+    "q_embed_batch_topk": """
+        SELECT q_id, vec_id, sim FROM (
+            SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])), 6) AS sim,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[])), 6) DESC,
+                                e.vec_id) AS rn
+            FROM embeddings e,
+                 (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+        ) WHERE rn <= 5
     """,
     "q_jaccard_pairs": r"""
         WITH toked AS (

@@ -11,7 +11,7 @@ the operators scale with the scan; only top-k adds a (tiny, k-bounded) shuffle.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 
 def as_double(vec: Column | str) -> Column:
@@ -58,6 +58,35 @@ def cosine_topk(
         .select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def cosine_topk_batch(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    k: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Batched brute-force cosine top-k: Q query vectors answered in ONE
+    corpus scan (the ANN serving/eval shape — embedding-dedup sweeps,
+    retrieval eval sets). ``query_df`` holds (q_id, q_vec) rows and is
+    broadcast; similarities evaluate in-codegen per (candidate, query)
+    pair, and the only shuffle is the per-q_id window top-k — rows are
+    pruned to k per query before anything wide moves. Self-matches are the
+    caller's policy: filter ``q_id != id_col`` downstream if unwanted."""
+    sim = F.round(
+        cosine(as_double(F.col(vec_col)), as_double(F.col("q_vec"))),
+        round_digits,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        df.crossJoin(F.broadcast(query_df))
+        .select("q_id", F.col(id_col), sim.alias("sim"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )
 
 
