@@ -226,3 +226,104 @@ def test_int8_quantization_error_bound(spark, vec):
         # exact mirror of the engine arithmetic — same double product,
         # same floor; no epsilon needed
         assert q == int(math.floor(float(x) * row.scale))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    corpus=st.lists(
+        st.lists(st.floats(0.125, 8.0, allow_nan=False, width=32),
+                 min_size=4, max_size=4),
+        min_size=3, max_size=12,
+    ),
+    n_queries=st.integers(1, 3),
+    k=st.integers(1, 4),
+)
+def test_batched_topk_matches_scalar_reference(spark, corpus, n_queries, k):
+    """cosine_topk_batch ≡ a per-query scalar loop: same rounded sims, same
+    (sim desc, id asc) ranking, exactly min(k, N) rows per query."""
+    import math
+
+    from salesforce_plugin_spark.functions.vector import cosine_topk_batch
+
+    n_queries = min(n_queries, len(corpus))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(corpus)], "vec_id long, embedding array<float>"
+    )
+    q = df.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = {
+        (r.q_id, r.vec_id): r.sim
+        for r in cosine_topk_batch(df, "vec_id", "embedding", q, k=k).collect()
+    }
+
+    def cos(a, b):
+        af = [float(np_x) for np_x in a]
+        bf = [float(np_x) for np_x in b]
+        dot = 0.0
+        for x, y in zip(af, bf):
+            dot += x * y
+        na = math.sqrt(sum(x * x for x in af))
+        nb = math.sqrt(sum(x * x for x in bf))
+        return round(dot / (na * nb), 6)
+
+    # float32 storage: round-trip the literals through Spark's float cast
+    stored = [
+        r.embedding for r in df.orderBy("vec_id").collect()
+    ]
+    expect = {}
+    for qi in range(n_queries):
+        sims = sorted(
+            ((cos(v, stored[qi]), i) for i, v in enumerate(stored)),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        for s, i in sims:
+            expect[(qi, i)] = s
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12).map(
+            lambda cs: " ".join(cs)
+        ),
+        min_size=1, max_size=6,
+    )
+)
+def test_portable_minhash_matches_pure_python(spark, docs):
+    """minhash_signatures_portable ≡ min(int(md5(f'{i}:{shingle}')[:8], 16))
+    over the doc's distinct lowercased 3-gram shingles — bit-exact, the
+    property that lets any engine reproduce the signatures."""
+    import hashlib
+
+    from salesforce_plugin_spark.functions.dedup import (
+        minhash_signatures_portable,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "id long, t string"
+    )
+    rows = {
+        r.id: r
+        for r in minhash_signatures_portable(
+            df, "id", "t", num_hashes=4, shingle_n=3
+        ).collect()
+    }
+
+    for i, text in enumerate(docs):
+        toks = [w.lower() for w in text.strip().split()] if text.strip() else [""]
+        sh = {
+            " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+        if not sh:
+            assert i not in rows  # no shingles → no signature row
+            continue
+        for h in range(4):
+            expect = min(
+                int(hashlib.md5(f"{h}:{s}".encode()).hexdigest()[:8], 16)
+                for s in sh
+            )
+            assert getattr(rows[i], f"mh_{h}") == expect
