@@ -287,3 +287,47 @@ def test_tpch_q9_pushes_like_and_broadcasts_dims(spark):
         "'", ""
     ) or "Contains" in plan
     assert "partial_sum" in plan
+
+
+@needs_fixtures
+def test_contamination_probes_broadcast_eval_set(spark):
+    """The training corpus must probe a broadcast of the eval shingle set —
+    a corpus-side hash shuffle before the join would move 100 TB; the only
+    hashpartitioning allowed is the per-doc count aggregation (plus the
+    eval-side distinct feeding the broadcast)."""
+    plan = formatted_plan(QUERIES["q_contamination"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    join_pos = plan.index("BroadcastHashJoin")
+    # the corpus side (text above the join in the formatted tree) carries
+    # no exchange other than the fixture fan-out
+    assert "SortMergeJoin" not in plan
+
+
+@needs_fixtures
+def test_vocab_topk_is_bounded_and_partial_agged(spark):
+    """Vocabulary build: Zipf token keys must collapse map-side (partial
+    HashAggregate) and the top-k must be TakeOrderedAndProject, not a
+    global sort."""
+    plan = formatted_plan(QUERIES["q_vocab"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+@needs_fixtures
+def test_tfidf_broadcasts_doc_freq(spark):
+    """tf-idf joins per-doc term counts against the vocab-sized doc-freq
+    relation — that side must broadcast (corpus-side shuffle only for the
+    per-doc window)."""
+    plan = formatted_plan(QUERIES["q_tfidf"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+@needs_fixtures
+def test_batched_topk_broadcasts_queries_and_prunes_per_query(spark):
+    """Batched ANN: the query batch is a broadcast nested-loop against one
+    corpus scan; ranking happens in a per-q_id window, so only top-k rows
+    per query survive the (single) exchange."""
+    plan = formatted_plan(QUERIES["q_embed_batch_topk"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" in plan
