@@ -1221,6 +1221,33 @@ def q_minhash_clusters(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    """F2 (iterative): exact connected components over the portable-LSH
+    candidate graph — the multi-hop closure of q_minhash_clusters (a ~ b,
+    b ~ c ⇒ one component even when a, c share no bucket). Min-label
+    propagation, one shuffle join per iteration, driver sees only the
+    changed-count; oracle is a recursive-CTE transitive closure over the
+    identical edge set."""
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    banded = D.portable_bands(
+        D.minhash_signatures_portable(d, "doc_id", "text", 8, 3), "doc_id", 8, 4
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    return D.connected_components(
+        d.select("doc_id"), edges, id_col="doc_id"
+    )
+
+
 def q_text_tokens(spark, sf_dir):
     """F5: token counting — whitespace, distinct, BPE-ish regex. Tokens are
     materialized once per document, then each metric reads the array (the
@@ -2170,6 +2197,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_winnow_fingerprint": q_winnow_fingerprint,
     "q_near_dedup": q_near_dedup,
     "q_minhash_clusters": q_minhash_clusters,
+    "q_dedup_components": q_dedup_components,
     "q_text_tokens": q_text_tokens,
     "q_vocab": q_vocab,
     "q_tfidf": q_tfidf,
@@ -2927,6 +2955,55 @@ ORACLES: dict[str, str] = {
         )
         SELECT d.doc_id, coalesce(a.cluster_id, d.doc_id) AS cluster_id
         FROM documents d LEFT JOIN assigned a ON d.doc_id = a.doc_id
+    """,
+    "q_dedup_components": r"""
+        WITH RECURSIVE toked AS (
+            SELECT doc_id,
+                   list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> lower(x)) AS t
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(t, s, s + 2), ' ') AS shingle
+            FROM (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - 2)) AS s
+                FROM toked WHERE len(t) >= 3
+            )
+        ), mh AS (
+            SELECT doc_id,
+                   min(CAST(('0x' || substr(md5('0:' || shingle), 1, 8)) AS BIGINT)) AS mh_0,
+                   min(CAST(('0x' || substr(md5('1:' || shingle), 1, 8)) AS BIGINT)) AS mh_1,
+                   min(CAST(('0x' || substr(md5('2:' || shingle), 1, 8)) AS BIGINT)) AS mh_2,
+                   min(CAST(('0x' || substr(md5('3:' || shingle), 1, 8)) AS BIGINT)) AS mh_3,
+                   min(CAST(('0x' || substr(md5('4:' || shingle), 1, 8)) AS BIGINT)) AS mh_4,
+                   min(CAST(('0x' || substr(md5('5:' || shingle), 1, 8)) AS BIGINT)) AS mh_5,
+                   min(CAST(('0x' || substr(md5('6:' || shingle), 1, 8)) AS BIGINT)) AS mh_6,
+                   min(CAST(('0x' || substr(md5('7:' || shingle), 1, 8)) AS BIGINT)) AS mh_7
+            FROM sh GROUP BY doc_id
+        ), banded AS (
+            SELECT doc_id, 0 AS band,
+                   md5(CAST(mh_0 AS VARCHAR) || '|' || CAST(mh_1 AS VARCHAR)) AS bucket FROM mh
+            UNION ALL
+            SELECT doc_id, 1,
+                   md5(CAST(mh_2 AS VARCHAR) || '|' || CAST(mh_3 AS VARCHAR)) FROM mh
+            UNION ALL
+            SELECT doc_id, 2,
+                   md5(CAST(mh_4 AS VARCHAR) || '|' || CAST(mh_5 AS VARCHAR)) FROM mh
+            UNION ALL
+            SELECT doc_id, 3,
+                   md5(CAST(mh_6 AS VARCHAR) || '|' || CAST(mh_7 AS VARCHAR)) FROM mh
+        ), edges AS (
+            SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id <> b.doc_id
+        ), reach AS (
+            SELECT doc_id AS id, doc_id AS r FROM documents
+            UNION
+            SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        )
+        SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY id
     """,
     "q_contamination": r"""
         WITH toked AS (

@@ -241,7 +241,20 @@ def near_dedup_clusters_portable(
     buckets — every stage reproducible in any md5-capable engine, so the
     full LSH pipeline (shingle → minhash → band → bucket-min cluster) can
     be differentially verified value-by-value rather than rows-only."""
-    sigs = minhash_signatures_portable(df, id_col, text_col, num_hashes, shingle_n)
+    banded = portable_bands(
+        minhash_signatures_portable(df, id_col, text_col, num_hashes, shingle_n),
+        id_col,
+        num_hashes,
+        bands,
+    )
+    return _assign_clusters(df, id_col, banded)
+
+
+def portable_bands(
+    sigs: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """(id, band, bucket) rows from portable signatures; buckets are md5 of
+    the band's minhash values, so bucket identity is engine-reproducible."""
     rows_per_band = num_hashes // bands
     band_structs = [
         F.struct(
@@ -258,10 +271,70 @@ def near_dedup_clusters_portable(
         )
         for b in range(bands)
     ]
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
-    return _assign_clusters(df, id_col, banded)
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Exact connected components by min-label propagation: every node
+    starts labeled with its own id; each iteration takes
+    ``label = min(label, min(neighbor labels))`` until a fixpoint —
+    convergence in O(graph diameter) iterations, which for dedup graphs
+    (near-clique clusters of duplicates) is 2-3. This is the multi-hop
+    closure of ``near_dedup_clusters``' single-hop bucket-min pass.
+
+    Distribution: each iteration is one shuffle join (labels ⨝ symmetrized
+    edges) + a groupBy min; the driver reads only a 1-row changed-count per
+    iteration (no data collect). Lineage is truncated per iteration with
+    ``localCheckpoint`` — at 100 TB use a reliable ``checkpoint`` dir
+    instead, and for power-law graphs with large diameter switch to the
+    large-star/small-star alternation (Kiveris et al.), which converges in
+    O(log n) rounds; duplicate clusters don't need it.
+
+    Returns one row per node: (``id_col``, component_id), component_id =
+    min node id in the component. Deterministic — oracle-checkable against
+    a recursive-CTE transitive closure.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component_id"))
 
 
 # ---------------------------------------------------------------------------

@@ -89,6 +89,21 @@ def test_near_dedup_clusters_portable_matches_semantics(spark):
     assert got[3] == 3 and got[4] == 4
 
 
+def test_connected_components_closes_multi_hop_chains(spark):
+    from salesforce_plugin_spark.functions.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["id"])
+    # chain 1-2-3-4 (diameter 3, needs >1 iteration), pair 5-6, isolate 7
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], ["id_a", "id_b"]
+    )
+    got = {
+        r.id: r.component_id
+        for r in connected_components(nodes, edges, id_col="id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
 def test_lsh_recall_on_synthetic_near_duplicates(spark):
     """Recall check: documents that differ by one word in twenty have
     3-shingle jaccard ≈ 0.71 (3 changed shingles of ~18, union ~21). At
