@@ -1938,6 +1938,79 @@ def q_training_sequences(spark, sf_dir):
     )
 
 
+def q_training_decontaminated(spark, sf_dir):
+    """North-star capstone, hardest form: clean → exact-dedup → quality/
+    lang filter → split (build_training_corpus), then near-dup collapse to
+    one canonical survivor per LSH connected component, then benchmark
+    decontamination (drop the eval source itself and every doc sharing ≥ 3
+    distinct eval 5-gram shingles) — all the flagship F2/F5 operators
+    composed into ONE lazy plan and still verified value-by-value. Scale
+    shape: the corpus is scanned once per independent signal (shingles ×2,
+    quality); everything joins back on doc_id; the only broadcast is the
+    benchmark shingle set; components iterate on the (tiny) candidate
+    graph, not the corpus."""
+    from salesforce_plugin_spark.operators.pipeline import build_training_corpus
+
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    corpus = build_training_corpus(
+        d, min_tokens=10, max_punct_ratio=0.5, langs=("en", "es")
+    )
+
+    banded = D.portable_bands(
+        D.minhash_signatures_portable(d, "doc_id", "text", 8, 3), "doc_id", 8, 4
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    comp = D.connected_components(d.select("doc_id"), edges, id_col="doc_id")
+    canon = (
+        corpus.select("doc_id")
+        .join(comp, "doc_id")
+        .groupBy("component_id")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+    toked = d.select(
+        "doc_id",
+        "source",
+        F.transform(X.tokens(F.col("text")), F.lower).alias("__toks"),
+    )
+    sh = toked.select(
+        "doc_id",
+        "source",
+        F.explode(D.shingles_from_tokens(F.col("__toks"), 5)).alias("shingle"),
+    )
+    eval_sh = sh.filter(F.col("source") == "src0").select("shingle").distinct()
+    contaminated = (
+        sh.filter(F.col("source") != "src0")
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .select("doc_id")
+    )
+
+    return (
+        corpus.join(canon, "doc_id", "left_semi")
+        .join(
+            d.filter(F.col("source") != "src0").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", "lang_pred", "split")
+    )
+
+
 def q_corpus_mix(spark, sf_dir):
     """North-star: weighted corpus blending via deterministic md5-bucket
     subsampling (operators/pipeline.mix_corpora) — en docs at 50%, non-en at
@@ -2233,6 +2306,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_embed_ivf": q_embed_ivf,
     "q_training_corpus": q_training_corpus,
     "q_training_sequences": q_training_sequences,
+    "q_training_decontaminated": q_training_decontaminated,
     "q_corpus_mix": q_corpus_mix,
     "q_data_quality": q_data_quality,
     "q_unique_keys": q_unique_keys,
@@ -3460,6 +3534,127 @@ ORACLES: dict[str, str] = {
         SELECT DISTINCT doc_id, fp FROM win WHERE nh >= 4 AND i <= nh - 3
         UNION
         SELECT doc_id, min(h) AS fp FROM kg GROUP BY doc_id HAVING count(*) < 4
+    """,
+    "q_training_decontaminated": r"""
+        WITH RECURSIVE base AS (
+            SELECT doc_id, text,
+                   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0
+        ), deduped AS (
+            SELECT * FROM (
+                SELECT doc_id, text, fp,
+                       row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM base
+            ) WHERE rn = 1
+        ), enriched AS (
+            SELECT doc_id, text, fp,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+                   len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|in)\b')) AS en,
+                   len(regexp_extract_all(lower(text), '\b(?:el|los|las|que|una)\b')) AS es,
+                   len(regexp_extract_all(lower(text), '\b(?:les|des|une|est|dans)\b')) AS fr,
+                   len(regexp_extract_all(lower(text), '\b(?:der|die|und|das|ist)\b')) AS de
+            FROM deduped
+        ), lang AS (
+            SELECT *,
+                   CASE WHEN en > 0 AND en >= es AND en >= fr AND en >= de THEN 'en'
+                        WHEN es > 0 AND es >= fr AND es >= de THEN 'es'
+                        WHEN fr > 0 AND fr >= de THEN 'fr'
+                        WHEN de > 0 THEN 'de'
+                        ELSE 'und' END AS lang_pred
+            FROM enriched
+        ), corpus AS (
+            SELECT doc_id, n_tokens, lang_pred,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT *,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+                FROM lang
+                WHERE n_tokens >= 10
+                  AND CAST(n_punct AS DOUBLE) / length(text) <= 0.5
+                  AND lang_pred IN ('en', 'es')
+            )
+        ), toked3 AS (
+            SELECT doc_id,
+                   list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> lower(x)) AS t
+            FROM documents
+        ), sh3 AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(t, s, s + 2), ' ') AS shingle
+            FROM (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - 2)) AS s
+                FROM toked3 WHERE len(t) >= 3
+            )
+        ), mh AS (
+            SELECT doc_id,
+                   min(CAST(('0x' || substr(md5('0:' || shingle), 1, 8)) AS BIGINT)) AS mh_0,
+                   min(CAST(('0x' || substr(md5('1:' || shingle), 1, 8)) AS BIGINT)) AS mh_1,
+                   min(CAST(('0x' || substr(md5('2:' || shingle), 1, 8)) AS BIGINT)) AS mh_2,
+                   min(CAST(('0x' || substr(md5('3:' || shingle), 1, 8)) AS BIGINT)) AS mh_3,
+                   min(CAST(('0x' || substr(md5('4:' || shingle), 1, 8)) AS BIGINT)) AS mh_4,
+                   min(CAST(('0x' || substr(md5('5:' || shingle), 1, 8)) AS BIGINT)) AS mh_5,
+                   min(CAST(('0x' || substr(md5('6:' || shingle), 1, 8)) AS BIGINT)) AS mh_6,
+                   min(CAST(('0x' || substr(md5('7:' || shingle), 1, 8)) AS BIGINT)) AS mh_7
+            FROM sh3 GROUP BY doc_id
+        ), banded AS (
+            SELECT doc_id, 0 AS band,
+                   md5(CAST(mh_0 AS VARCHAR) || '|' || CAST(mh_1 AS VARCHAR)) AS bucket FROM mh
+            UNION ALL
+            SELECT doc_id, 1,
+                   md5(CAST(mh_2 AS VARCHAR) || '|' || CAST(mh_3 AS VARCHAR)) FROM mh
+            UNION ALL
+            SELECT doc_id, 2,
+                   md5(CAST(mh_4 AS VARCHAR) || '|' || CAST(mh_5 AS VARCHAR)) FROM mh
+            UNION ALL
+            SELECT doc_id, 3,
+                   md5(CAST(mh_6 AS VARCHAR) || '|' || CAST(mh_7 AS VARCHAR)) FROM mh
+        ), cedges AS (
+            SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id <> b.doc_id
+        ), reach AS (
+            SELECT doc_id AS id, doc_id AS r FROM documents
+            UNION
+            SELECT reach.id, e.dst FROM reach JOIN cedges e ON reach.r = e.src
+        ), comp AS (
+            SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY id
+        ), canon AS (
+            SELECT min(c.doc_id) AS doc_id
+            FROM corpus c JOIN comp ON c.doc_id = comp.doc_id
+            GROUP BY comp.component_id
+        ), toked5 AS (
+            SELECT doc_id, source,
+                   list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> lower(x)) AS t
+            FROM documents
+        ), sh5 AS (
+            SELECT DISTINCT doc_id, source,
+                   array_to_string(list_slice(t, s, s + 4), ' ') AS shingle
+            FROM (
+                SELECT doc_id, source, t,
+                       unnest(generate_series(1, len(t) - 4)) AS s
+                FROM toked5 WHERE len(t) >= 5
+            )
+        ), eval_sh AS (
+            SELECT DISTINCT shingle FROM sh5 WHERE source = 'src0'
+        ), contaminated AS (
+            SELECT s.doc_id
+            FROM sh5 s JOIN eval_sh e ON s.shingle = e.shingle
+            WHERE s.source <> 'src0'
+            GROUP BY s.doc_id
+            HAVING count(*) >= 3
+        )
+        SELECT c.doc_id, c.n_tokens, c.lang_pred, c.split
+        FROM corpus c
+        JOIN canon ON canon.doc_id = c.doc_id
+        JOIN documents dd ON dd.doc_id = c.doc_id AND dd.source <> 'src0'
+        WHERE c.doc_id NOT IN (SELECT doc_id FROM contaminated)
     """,
     "q_corpus_mix": """
         SELECT doc_id, 0 AS mix_source FROM documents
