@@ -1510,6 +1510,45 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_range_join(spark, sf_dir):
+    """Custom-operator rubric (SURVEY §4): point-in-interval range join
+    without a cartesian — clicks attributed to purchases of the same user
+    within the 2 hours before the purchase. Both sides explode onto
+    fixed-width time buckets and equi-join on (bucket, user), so reducer
+    load is bounded by rows-per-bucket, never |points|×|intervals|; the
+    exact containment predicate filters after. The oracle is the naive
+    inequality join — same result, quadratic per user (fine at sf0.01,
+    not at 100 TB; that asymmetry is the point of the operator)."""
+    from salesforce_plugin_spark.operators.joins import range_join_bucketed
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 2 HOURS")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    joined = range_join_bucketed(
+        clicks,
+        purchases,
+        point_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_width=7200,
+        extra_keys=["user_id"],
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        F.unix_micros(F.col("ts")).alias("click_us"),
+        "purchase_id",
+        F.unix_micros(F.col("w_end")).alias("purchase_us"),
+    )
+
+
 def q_event_window(spark, sf_dir):
     """F6: tumbling 1-hour event-time window (batch mode of the streaming
     aggregation; the readStream form is streaming/windows.py)."""
@@ -2288,6 +2327,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_embed_bucket": q_embed_bucket,
     "q_multimodal_bytes": q_multimodal_bytes,
     "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
     "q_event_window": q_event_window,
     "q_event_sliding": q_event_sliding,
     "q_stream_window": q_stream_window,
@@ -3275,6 +3315,17 @@ ORACLES: dict[str, str] = {
             FROM events
         )
         WHERE __rn = 1
+    """,
+    "q_range_join": """
+        SELECT c.user_id AS user_id,
+               c.event_id AS click_id,
+               epoch_us(c.ts) AS click_us,
+               p.event_id AS purchase_id,
+               epoch_us(p.ts) AS purchase_us
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts
     """,
     "q_event_window": """
         SELECT epoch_ms(date_trunc('hour', ts)) // 1000 AS w_start_s,
