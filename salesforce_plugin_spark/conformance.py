@@ -1510,6 +1510,23 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_multimodal_histogram(spark, sf_dir):
+    """F4: per-payload byte histogram (16 bins) via numpy over Arrow
+    batches — the deterministic stand-in for real feature extraction
+    (MFCC/embeddings once a decoder is injected). Rows-only at the driver
+    gate (binary feature extraction has no DuckDB mirror); the exact
+    values are pinned by tests/test_io_multimodal.py against Python
+    references."""
+    from salesforce_plugin_spark.functions.multimodal import byte_histogram
+
+    d = parallelized(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").cast("binary").alias("payload")
+        )
+    )
+    return byte_histogram(d, "doc_id", "payload", n_bins=16)
+
+
 def q_range_join(spark, sf_dir):
     """Custom-operator rubric (SURVEY §4): point-in-interval range join
     without a cartesian — clicks attributed to purchases of the same user
@@ -2326,6 +2343,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_embed_bucket": q_embed_bucket,
     "q_multimodal_bytes": q_multimodal_bytes,
+    "q_multimodal_histogram": q_multimodal_histogram,
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
     "q_event_window": q_event_window,
