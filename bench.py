@@ -39,6 +39,7 @@ HEADLINE = [
     "q_embed_topk",         # brute-force cosine top-k
     "q_multimodal_bytes",   # Arrow-batched mapInPandas binary path
     "q_asof_join",          # union + carry-forward window as-of join
+    "q_range_join",         # bucketed point-in-interval join (no cartesian)
     "q_training_corpus",    # full clean→dedup→filter→split pipeline
     "q_training_sequences", # …extended through chunk→pack sequences
     "q_soql_relationship",  # SOQL front door: chained broadcast lookups
