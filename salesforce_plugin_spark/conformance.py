@@ -1510,6 +1510,24 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_json_extract(spark, sf_dir):
+    """Record-model edge (A12/A13 inverse): the reference moves rows as
+    JSON dicts; this is schema-on-read parsing of a semi-structured JSON
+    column — ONE typed ``from_json`` parse per row (codegen struct, reused
+    by every downstream reference) rather than repeated
+    ``get_json_object`` string scans, then a grouped rollup of the
+    extracted field."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type", F.from_json(F.col("props"), "k int").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("p.k").cast("long")).alias("sum_k"),
+        F.sum(F.when(F.col("p.k") > 50, 1).otherwise(0)).alias("n_high"),
+    )
+
+
 def q_multimodal_histogram(spark, sf_dir):
     """F4: per-payload byte histogram (16 bins) via numpy over Arrow
     batches — the deterministic stand-in for real feature extraction
@@ -2344,6 +2362,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_embed_bucket": q_embed_bucket,
     "q_multimodal_bytes": q_multimodal_bytes,
     "q_multimodal_histogram": q_multimodal_histogram,
+    "q_json_extract": q_json_extract,
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
     "q_event_window": q_event_window,
@@ -3333,6 +3352,14 @@ ORACLES: dict[str, str] = {
             FROM events
         )
         WHERE __rn = 1
+    """,
+    "q_json_extract": """
+        SELECT event_type,
+               count(*) AS n,
+               sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+               sum(CASE WHEN CAST(props->>'k' AS BIGINT) > 50
+                        THEN 1 ELSE 0 END) AS n_high
+        FROM events GROUP BY event_type
     """,
     "q_range_join": """
         SELECT c.user_id AS user_id,
