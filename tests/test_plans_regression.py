@@ -162,13 +162,22 @@ def test_soql_date_literal_folds_to_constant_bounds(spark):
 
 
 @needs_fixtures
-def test_soql_date_literal_pushes_raw_nanos_range(spark):
+def test_soql_date_literal_pushes_range_to_scan(spark):
     """The front door's static-bound extraction must reach the parquet scan
-    as raw epoch-nanos bounds (through the nanos repair projection)."""
+    as constant range bounds. Encoding depends on how the fixture stores
+    ``ts``: raw epoch-nanos longs (legacy nanos parquet, repaired post-scan)
+    or native timestamps — both are fully pushed row-group-prunable forms."""
     plan = formatted_plan(QUERIES["q_soql_date_literal"](spark, SF))
     pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
-    assert "GreaterThanOrEqual(ts,1705104000000000000)" in pushed
-    assert "LessThan(ts,1705795200000000000)" in pushed
+    nanos_form = (
+        "GreaterThanOrEqual(ts,1705104000000000000)" in pushed
+        and "LessThan(ts,1705795200000000000)" in pushed
+    )
+    ts_form = (
+        "GreaterThanOrEqual(ts,2024-01-13 00:00:00" in pushed
+        and "LessThan(ts,2024-01-21 00:00:00" in pushed
+    )
+    assert nanos_form or ts_form, pushed
 
 
 @needs_fixtures
