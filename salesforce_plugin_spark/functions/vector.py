@@ -168,6 +168,40 @@ def ivf_topk(
     )
 
 
+def ivf_assign_deterministic(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    seeds_df: DataFrame,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Deterministic IVF quantizer: assign every vector to its nearest seed
+    centroid by (rounded) cosine, ties broken on ``centroid_id``.
+
+    ``seeds_df`` holds ``(centroid_id, c_vec array<double>)`` — e.g. the
+    first nlist corpus vectors by id, a data-derived codebook any engine can
+    reproduce (unlike trained KMeans centers, whose values depend on the
+    trainer). The seeds are broadcast and the per-vector argmax is a window
+    over an nlist-factor expansion that is pruned back to one row before
+    anything shuffles — the same shape as the batched top-k. Production
+    indexes use :func:`ivf_index` (seeded KMeans, better-balanced lists);
+    this variant exists for cross-engine-verifiable builds.
+    """
+    sim = F.round(
+        cosine(as_double(F.col(vec_col)), F.col("c_vec")), round_digits
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__csim").desc(), F.col("centroid_id")
+    )
+    return (
+        df.crossJoin(F.broadcast(seeds_df))
+        .withColumn("__csim", sim)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__csim", "c_vec")
+    )
+
+
 def sign_bucket(vec: Column, bits: int = 8) -> Column:
     """LSH-style bucket id from the sign pattern of the first ``bits`` dims.
 
