@@ -20,8 +20,10 @@ Determinism discipline (what makes value-hashes match across two engines):
 - **Timestamps** leave the plan as epoch integers (``unix_millis`` /
   ``unix_micros`` ↔ ``epoch_ms`` / ``epoch_us``) or formatted strings,
   never raw timestamp objects, sidestepping ns/µs/ms precision and
-  tz-naivety differences between engines (events.ts is TIMESTAMP(NANOS)
-  in parquet; FIXTURES.md "Harness notes").
+  tz-naivety differences between engines. The fixtures' physical unit is
+  NOT assumed anywhere — the catalog and streaming source sniff the
+  parquet footer (currently ``timestamp[us]``; see FIXTURES.md "Harness
+  notes" and tests/test_fixture_precision.py).
 - **Every computed column is aliased identically** in the Spark plan and
   the oracle SQL — the driver sorts columns by name before hashing.
 
@@ -2288,8 +2290,11 @@ def q_soql_date_literal(spark, sf_dir):
     is containment in the half-open day range [2024-01-13, 2024-01-21) and
     ``< THIS_WEEK`` means strictly before Monday 2024-01-15. The resolver
     accepts ts_range, so the parser's static-bound extraction pushes the
-    range onto the raw nanos scan (row-group pruning survives the
-    timestamp repair — see _Lowerer._static_ts_range / SCALE.md)."""
+    range into the parquet scan whichever way the fixture encodes ``ts`` —
+    as epoch-nanos bounds on a raw-long legacy-nanos column, or as plain
+    timestamp bounds on a native µs/ms column; both forms are row-group
+    prunable (see _Lowerer._static_ts_range / SCALE.md;
+    tests/test_plans_regression.py asserts the form matching the footer)."""
     import datetime
 
     from salesforce_plugin_spark.plans import soql_to_df

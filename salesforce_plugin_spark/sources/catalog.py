@@ -41,6 +41,44 @@ TABLES = (
 
 
 @lru_cache(maxsize=256)
+def timestamp_unit(path: str, col: str) -> str | None:
+    """Physical parquet timestamp unit ('s'/'ms'/'us'/'ns') of ``col`` under
+    ``path``, or None if the column is not a timestamp or the footer cannot
+    be inspected. Footer-only read — O(1) per table regardless of data
+    size. This is the single source of truth for whether a timestamp column
+    needs the legacy nanos→long repair (the fixtures have historically
+    shipped both encodings; hardcoding either one is how time units break)."""
+    try:
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+
+        schema = ds.dataset(path, format="parquet").schema
+        for name, typ in zip(schema.names, schema.types):
+            if name.lower() == col.lower():
+                return typ.unit if isinstance(typ, pa.TimestampType) else None
+        return None
+    except Exception:
+        return None
+
+
+@lru_cache(maxsize=256)
+def column_arrow_type(path: str, col: str) -> str | None:
+    """Arrow type string (e.g. ``'timestamp[us]'``, ``'int64'``) of ``col``
+    under ``path``, or None if absent / footer not inspectable. Footer-only
+    read, like :func:`timestamp_unit`."""
+    try:
+        import pyarrow.dataset as ds
+
+        schema = ds.dataset(path, format="parquet").schema
+        for name, typ in zip(schema.names, schema.types):
+            if name.lower() == col.lower():
+                return str(typ)
+        return None
+    except Exception:
+        return None
+
+
+@lru_cache(maxsize=256)
 def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
     """Column names stored as parquet TIMESTAMP(NANOS) under ``path``.
 

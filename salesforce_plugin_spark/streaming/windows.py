@@ -23,20 +23,24 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import Column, DataFrame, SparkSession
 
-#: events fixture schema (FIXTURES.md) — streaming file sources need an
-#: explicit schema (no inference mid-stream). ts is TimestampType after the
-#: catalog's nanos repair; raw streaming reads get it as long nanos under
-#: spark.sql.legacy.parquet.nanosAsLong and repair below.
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def events_schema(ts_is_raw_nanos: bool) -> T.StructType:
+    """events fixture schema (FIXTURES.md) — streaming file sources need an
+    explicit schema (no inference mid-stream). ``ts`` is declared LongType
+    only when the parquet physically stores TIMESTAMP(NANOS) (which the
+    session-wide ``spark.sql.legacy.parquet.nanosAsLong`` surfaces as raw
+    epoch-nanos longs); for µs/ms/s encodings it is a plain TimestampType."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField(
+                "ts", T.LongType() if ts_is_raw_nanos else T.TimestampType()
+            ),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def stream_events(
@@ -51,19 +55,31 @@ def stream_events(
     ``path`` may be a directory, a glob, or a single parquet file — the file
     streaming source itself only accepts directories/globs, so a plain file
     path is rewritten to a glob matching exactly that file.
+
+    The ``ts`` encoding is sniffed from the parquet footer exactly like the
+    batch path (catalog.timestamp_unit): only genuine TIMESTAMP(NANOS)
+    columns are read as raw longs and repaired with ``timestamp_micros(ts
+    div 1000)``. Native µs/ms timestamps pass through untouched — dividing
+    those again compresses event time 1000× (the round-2 streaming bug).
     """
     import os
 
+    from salesforce_plugin_spark.sources.catalog import column_arrow_type
+
+    # raw-nanos shapes: genuine TIMESTAMP(NANOS) (surfaced as long under the
+    # session's nanosAsLong conf) or an already-long epoch-nanos column (the
+    # shape a legacy extract lands). Native timestamp units pass through.
+    ts_is_raw_nanos = column_arrow_type(path, "ts") in ("timestamp[ns]", "int64")
     if os.path.isfile(path):
         path = path + "*" if not path.endswith("*") else path
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(events_schema(ts_is_raw_nanos))
         .option("maxFilesPerTrigger", 8)  # bounded batches on backfill
         .parquet(path)
     )
-    return raw.withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    ).withWatermark("ts", watermark)
+    if ts_is_raw_nanos:
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withWatermark("ts", watermark)
 
 
 def windowed_event_counts(

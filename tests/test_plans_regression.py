@@ -164,20 +164,26 @@ def test_soql_date_literal_folds_to_constant_bounds(spark):
 @needs_fixtures
 def test_soql_date_literal_pushes_range_to_scan(spark):
     """The front door's static-bound extraction must reach the parquet scan
-    as constant range bounds. Encoding depends on how the fixture stores
-    ``ts``: raw epoch-nanos longs (legacy nanos parquet, repaired post-scan)
-    or native timestamps — both are fully pushed row-group-prunable forms."""
+    as constant range bounds, in the ONE form matching the fixture's
+    physical ``ts`` encoding (sniffed from the footer, like the engine
+    does): epoch-nanos bounds for a legacy raw-nanos column, timestamp
+    bounds for a native unit. Asserting the footer-specific form keeps the
+    nanos-repair pushdown property exactly guarded across fixture
+    regenerations (an either-or assert silently lost that coverage when
+    the fixtures went native-µs)."""
+    import os
+
+    from salesforce_plugin_spark.sources.catalog import timestamp_unit
+
     plan = formatted_plan(QUERIES["q_soql_date_literal"](spark, SF))
     pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
-    nanos_form = (
-        "GreaterThanOrEqual(ts,1705104000000000000)" in pushed
-        and "LessThan(ts,1705795200000000000)" in pushed
-    )
-    ts_form = (
-        "GreaterThanOrEqual(ts,2024-01-13 00:00:00" in pushed
-        and "LessThan(ts,2024-01-21 00:00:00" in pushed
-    )
-    assert nanos_form or ts_form, pushed
+    unit = timestamp_unit(os.path.join(SF, "events.parquet"), "ts")
+    if unit == "ns":
+        assert "GreaterThanOrEqual(ts,1705104000000000000)" in pushed, pushed
+        assert "LessThan(ts,1705795200000000000)" in pushed, pushed
+    else:
+        assert "GreaterThanOrEqual(ts,2024-01-13 00:00:00" in pushed, pushed
+        assert "LessThan(ts,2024-01-21 00:00:00" in pushed, pushed
 
 
 @needs_fixtures
