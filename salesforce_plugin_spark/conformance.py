@@ -1469,9 +1469,13 @@ def q_jaccard_pairs(spark, sf_dir):
     """F2: exact n-gram Jaccard over pairs sharing ≥1 shingle (the verifier
     stage of a near-dedup pipeline) — integer intersection/union counts
     with one rounded double divide, mirrored shingle-for-shingle by the
-    DuckDB oracle."""
+    DuckDB oracle. ``prune=None`` = the exhaustive form the SQL oracle can
+    express; the production default is LSH-pruned (prune="lsh"), pinned
+    equal to this form on the fixture by tests/test_dedup.py."""
     d = parallelized(load_table(spark, sf_dir, "documents"))
-    return D.ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.5)
+    return D.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=5, threshold=0.5, prune=None
+    )
 
 
 def q_embed_bucket(spark, sf_dir):
@@ -2035,7 +2039,13 @@ def q_training_sequences(spark, sf_dir):
     """North-star capstone, extended to the dataloader boundary: clean →
     dedup → filter → split → context-window chunk → pack into 256-token
     sequences, all one lazy plan (operators/pipeline.corpus_to_sequences),
-    aggregated to per-bin occupancy for a compact cross-engine hash."""
+    aggregated to per-bin occupancy for a compact cross-engine hash.
+
+    This gates the PRODUCTION sharded packing (default n_shards=8): the
+    pack window partitions on (split, md5-shard) so parallelism scales
+    with the shard count instead of pinning each split to one task — and
+    because the shard key is the engine-portable md5 bucket, the oracle
+    reproduces the sharded bin assignment value-for-value."""
     from salesforce_plugin_spark.operators.pipeline import (
         build_training_corpus,
         corpus_to_sequences,
@@ -2047,13 +2057,13 @@ def q_training_sequences(spark, sf_dir):
     )
     packed = corpus_to_sequences(corpus)
     return (
-        packed.groupBy("split", "bin_id")
+        packed.groupBy("split", "shard", "bin_id")
         .agg(
             F.count("*").alias("n_chunks"),
             F.sum("n_tokens").alias("bin_tokens"),
             F.countDistinct("doc_id").alias("n_docs"),
         )
-        .orderBy("split", "bin_id")
+        .orderBy("split", "shard", "bin_id")
     )
 
 
@@ -3642,19 +3652,23 @@ ORACLES: dict[str, str] = {
                    CAST((s - 1) // 48 AS INTEGER) AS chunk_id,
                    CAST(len(list_slice(t, s, s + 63)) AS BIGINT) AS n_tokens
             FROM spans
+        ), sharded AS (
+            SELECT doc_id, split, chunk_id, n_tokens,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard
+            FROM chunks
         ), packed AS (
-            SELECT doc_id, split, n_tokens,
+            SELECT doc_id, split, shard, n_tokens,
                    CAST(floor(coalesce(sum(n_tokens) OVER (
-                       PARTITION BY split ORDER BY doc_id, chunk_id
+                       PARTITION BY split, shard ORDER BY doc_id, chunk_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ), 0) / 256) AS BIGINT) AS bin_id
-            FROM chunks
+            FROM sharded
         )
-        SELECT split, bin_id, count(*) AS n_chunks,
+        SELECT split, shard, bin_id, count(*) AS n_chunks,
                CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
                count(DISTINCT doc_id) AS n_docs
-        FROM packed GROUP BY split, bin_id
-        ORDER BY split, bin_id
+        FROM packed GROUP BY split, shard, bin_id
+        ORDER BY split, shard, bin_id
     """,
     "q_data_quality": r"""
         SELECT count(*) AS n_rows,

@@ -479,21 +479,52 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.2,
+    prune: str | None = "lsh",
+    num_hashes: int = 16,
+    bands: int = 8,
 ) -> DataFrame:
-    """Exact n-gram-shingle Jaccard for all pairs sharing ≥1 shingle.
+    """Exact n-gram-shingle Jaccard: inter/(|A|+|B|-inter) with integer
+    counts, one rounded double divide at the end.
 
-    inter/(|A|+|B|-inter) with integer counts, one double divide at the end
-    (stable hashes). At 100 TB this runs *after* LSH candidate pruning; the
-    shingle equijoin shape is identical, just on a pruned id set.
+    ``prune="lsh"`` (the DEFAULT) verifies only MinHash/LSH candidate pairs:
+    the pair space comes from :func:`lsh_candidate_pairs` and the
+    intersection counts from two bounded equijoins (candidates ⨝ A-side
+    shingles on id, then ⨝ B-side shingles on (id, shingle)) — reducer load
+    is candidates × shingles/doc. ``prune=None`` is the exhaustive form —
+    every pair sharing ≥1 shingle via a shingle self-equijoin. That join is
+    quadratic in the hottest shingle's bucket (one boilerplate shingle
+    shared by k docs makes a k² reducer), which is a scale-killer on web
+    corpora — reserve it for oracle mirroring and small candidate sets.
+    Note LSH recall is probabilistic below the banding threshold
+    (~(1/bands)^(bands/num_hashes)); tune (num_hashes, bands) to the target
+    ``threshold``. Both forms agree on the fixtures (pinned in tests).
     """
     sh = exploded_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
+    if prune == "lsh":
+        cands = lsh_candidate_pairs(
+            minhash_signatures(df, id_col, text_col, num_hashes, n),
+            id_col,
+            num_hashes,
+            bands,
+        )
+        sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            cands.join(sha, "id_a")
+            .join(shb, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    elif prune is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        raise ValueError(f"unknown prune mode: {prune!r}")
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.round(

@@ -68,8 +68,13 @@ class BulkQueryExtract:
 
     def execute(self, spark: SparkSession) -> None:
         from salesforce_plugin_spark.plans import soql_to_df
+        from salesforce_plugin_spark.plans.soql import assert_bulk_compatible
         from salesforce_plugin_spark.sources.io import write_ndjson
 
+        # Bulk-API fidelity: aggregates / GROUP BY / OFFSET are REST-only
+        # (reference Bulk semantics, salesforce_to_s3_operator.py:50) —
+        # rejected here with a typed error instead of server-side.
+        assert_bulk_compatible(self.soql)
         df = soql_to_df(spark, self.soql, resolve=self.resolve or _default_resolver(spark))
         write_ndjson(df, self.dest)
 

@@ -1048,6 +1048,22 @@ class _Lowerer:
         raise SoqlError(f"SOQL: bad boolean expr {e}")
 
 
+def assert_bulk_compatible(soql: str) -> None:
+    """Raise :class:`SoqlError` if ``soql`` uses constructs the Salesforce
+    Bulk API rejects: aggregate functions, GROUP BY (and therefore HAVING),
+    or OFFSET (SURVEY §2D pre-amble; the reference's Bulk path forwards the
+    string unchecked and would fail server-side,
+    salesforce_to_s3_operator.py:50 — we fail fast at plan-build instead).
+    The REST path (ObjectExtract / soql_to_df) supports them all."""
+    q = _Parser(tokenize(soql), soql).parse_query()
+    if q["group"] is not None or q["having"] is not None:
+        raise SoqlError("SOQL: Bulk API does not support GROUP BY / HAVING")
+    if q["offset"] is not None:
+        raise SoqlError("SOQL: Bulk API does not support OFFSET")
+    if any(item.get("kind") == "agg" for item in q["select"]):
+        raise SoqlError("SOQL: Bulk API does not support aggregate functions")
+
+
 def soql_to_df(
     spark: SparkSession,
     soql: str,

@@ -142,8 +142,43 @@ def test_jaccard_exact_values(spark):
         [(1, "a b c d"), (2, "a b c e")], ["id", "t"]
     )
     # 2-shingles: {ab,bc,cd} vs {ab,bc,ce} → inter=2, union=4 → 0.5
-    out = ngram_jaccard_pairs(df, "id", "t", n=2, threshold=0.0).collect()
+    # prune=None: this test pins the exact exhaustive semantics (threshold
+    # 0.0 is far below any sane LSH banding threshold)
+    out = ngram_jaccard_pairs(
+        df, "id", "t", n=2, threshold=0.0, prune=None
+    ).collect()
     assert len(out) == 1 and out[0].jaccard == 0.5
+
+
+def test_jaccard_lsh_pruned_matches_exhaustive_on_fixture(spark):
+    """The default LSH-pruned verifier must produce the same pairs as the
+    exhaustive shingle self-join at the conformance operating point (n=5,
+    threshold 0.5) — near-dup fixture pairs sit far above the 16-hash /
+    8-band candidate threshold, so pruning costs no recall here. The plan
+    difference is the point: the pruned form joins candidates on
+    (band-bucket) then (id, shingle); the raw form self-joins shingles."""
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        import pytest
+
+        pytest.skip("driver fixtures not present")
+    from salesforce_plugin_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf, "documents")
+    pruned = ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.5)
+    raw = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=5, threshold=0.5, prune=None
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, raw.collect())
+    )
+    # plan shape: the pruned form goes through the xxhash64 banding join
+    pruned_plan = pruned._jdf.queryExecution().toString()
+    raw_plan = raw._jdf.queryExecution().toString()
+    assert "xxhash64" in pruned_plan
+    assert "xxhash64" not in raw_plan
 
 
 def test_simhash_similar_docs_close_in_hamming(spark):

@@ -117,3 +117,34 @@ def test_schema_reconcile_load_end_to_end(spark):
     rows = {r.id: r for r in spark.table("t_elt_load").collect()}
     assert rows["a2"].tier == 3 and rows["a1"].tier is None
     spark.sql("DROP TABLE t_elt_load")
+
+
+def test_bulk_extract_rejects_rest_only_soql(spark, tmp_path):
+    """Bulk-API fidelity: the reference's Bulk path rejects aggregates,
+    GROUP BY, and OFFSET server-side (salesforce_to_s3_operator.py:50);
+    BulkQueryExtract raises the typed SoqlError at plan-build instead."""
+    import pytest as _pytest
+
+    from salesforce_plugin_spark.operators.elt import BulkQueryExtract
+    from salesforce_plugin_spark.plans import SoqlError
+
+    spark.createDataFrame(
+        [(1, "F", 10.0)], ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    ).createOrReplaceTempView("bulkorders")
+
+    for bad in (
+        "SELECT COUNT() FROM bulkorders",
+        "SELECT MAX(o_totalprice) FROM bulkorders",
+        "SELECT o_orderstatus FROM bulkorders GROUP BY o_orderstatus",
+        "SELECT o_orderkey FROM bulkorders LIMIT 5 OFFSET 5",
+    ):
+        with _pytest.raises(SoqlError):
+            BulkQueryExtract(soql=bad, dest=str(tmp_path / "x")).execute(spark)
+
+    # plain projections/filters still flow through to the ndjson sink
+    ok = BulkQueryExtract(
+        soql="SELECT o_orderkey FROM bulkorders WHERE o_totalprice > 5",
+        dest=str(tmp_path / "ok"),
+    )
+    ok.execute(spark)
+    assert spark.read.json(str(tmp_path / "ok")).count() == 1

@@ -80,8 +80,6 @@ def test_no_cartesian_products_anywhere(spark):
     broadcast-query-vector crossJoin in top-k is a 1-row broadcast, which
     Spark plans as BroadcastNestedLoopJoin — bounded, allowed)."""
     for name, fn in QUERIES.items():
-        if name == "q_embed_ivf":
-            continue  # KMeans fit is expensive; covered by its own test
         plan = formatted_plan(fn(spark, SF))
         assert "CartesianProduct" not in plan, name
 
@@ -346,3 +344,32 @@ def test_batched_topk_broadcasts_queries_and_prunes_per_query(spark):
     plan = formatted_plan(QUERIES["q_embed_batch_topk"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan
     assert "Window" in plan
+
+
+@needs_fixtures
+def test_sequence_packing_window_is_sharded(spark):
+    """The pack window must partition on (split, shard), not split alone —
+    per-split-only packing sorts each split's whole chunk set in ONE task
+    (3 window partitions at any data size, the round-2 scale-killer). The
+    md5 shard key keeps the sharded form oracle-reproducible."""
+    plan = formatted_plan(QUERIES["q_training_sequences"](spark, SF))
+    window_lines = " ".join(
+        l for l in plan.splitlines() if "windowspecdefinition" in l.lower()
+    )
+    assert "shard" in window_lines, window_lines
+    # and the shard fan-out is real: >3 distinct pack partitions at sf0.001
+    from salesforce_plugin_spark.operators.pipeline import (
+        build_training_corpus,
+        corpus_to_sequences,
+    )
+    from salesforce_plugin_spark.sources.catalog import load_table
+
+    corpus = build_training_corpus(
+        load_table(spark, SF, "documents"),
+        min_tokens=10, max_punct_ratio=0.5, langs=("en", "es"),
+    )
+    n_parts = (
+        corpus_to_sequences(corpus)
+        .select("split", "shard").distinct().count()
+    )
+    assert n_parts > 3, n_parts
