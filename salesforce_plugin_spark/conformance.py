@@ -61,6 +61,30 @@ def _dec(col, prec: int = 18, scale: int = 2):
     return col.cast(f"decimal({prec},{scale})")
 
 
+def _sumd(col, scale: int = 2, prec: int = 14, when=None):
+    """Exact decimal-semantics SUM on the primitive fast path, emitted as
+    DOUBLE. The per-row value is rounded half-up to ``scale`` digits by a
+    compact decimal cast (the same value the oracle's CAST(x AS
+    DECIMAL(18,s)) produces), carried as a scaled BIGINT, summed as longs
+    (whole-stage-codegen primitive) and divided once by 10^scale. Spark's
+    DECIMAL SUM widens its result past 18 digits, falling off the
+    compact-long decimal representation onto per-row BigDecimal — measured
+    ~1.5× slower on the Q1 shape at sf0.1 — whereas the scaled-long sum is
+    the integer-accumulator scheme columnar engines use for decimals
+    internally. Value equivalence to the decimal form (and the DuckDB
+    oracle): the long total is the exact scaled sum, so dividing by
+    10^scale and DuckDB's decimal→double cast are both correctly-rounded
+    conversions of the same rational number. Bounds: per-row |x| <
+    10^(prec-scale) (fixture money columns < 1.1e5) and the accumulator
+    holds |Σ|·10^scale < 2^63 — beyond ~1e13 money-scale rows per group,
+    use plain decimal sums instead. ``when`` makes it a conditional sum
+    (CASE WHEN … THEN x ELSE 0)."""
+    scaled = (col.cast(f"decimal({prec},{scale})") * (10 ** scale)).cast("long")
+    if when is not None:
+        scaled = F.when(when, scaled).otherwise(F.lit(0))
+    return F.sum(scaled) / F.lit(float(10 ** scale))
+
+
 # ---------------------------------------------------------------------------
 # D1-D5: projection & predicates
 # ---------------------------------------------------------------------------
@@ -156,15 +180,15 @@ def q_child_flatten_join(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_agg_global(spark, sf_dir):
-    """D10: global aggregates (COUNT/SUM/MIN/MAX/AVG), decimal-exact sums."""
+    """D10: global aggregates (COUNT/SUM/MIN/MAX/AVG), exact sums via the
+    scaled-long fast path (_sumd)."""
     li = load_table(spark, sf_dir, "lineitem")
-    sum_qty = F.sum(_dec(F.col("l_quantity"))).alias("sum_qty")
     return li.agg(
         F.count("*").alias("n_rows"),
-        sum_qty,
+        _sumd(F.col("l_quantity")).alias("sum_qty"),
         F.max("l_extendedprice").alias("max_price"),
         F.min(F.unix_millis(F.col("l_shipdate"))).alias("min_ship_ms"),
-        (F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count("*")).alias("avg_qty"),
+        (_sumd(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
     )
 
 
@@ -177,11 +201,11 @@ def q_agg_groupby(spark, sf_dir):
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"),
-            F.sum(_dec(F.col("l_extendedprice"))).alias("sum_base_price"),
-            F.sum(_dec(disc_price, 18, 4)).alias("sum_disc_price"),
+            _sumd(F.col("l_quantity")).alias("sum_qty"),
+            _sumd(F.col("l_extendedprice")).alias("sum_base_price"),
+            _sumd(disc_price, 4).alias("sum_disc_price"),
             F.count("*").alias("count_order"),
-            (F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count("*")).alias("avg_qty"),
+            (_sumd(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
         )
     )
 
@@ -207,7 +231,7 @@ def q_agg_cube(spark, sf_dir):
     """D13: GROUP BY CUBE."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"),
+        _sumd(F.col("l_quantity")).alias("sum_qty"),
         F.count("*").alias("n"),
     )
 
@@ -294,7 +318,7 @@ def q_agg_having(spark, sf_dir):
         o.groupBy("o_custkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(_dec(F.col("o_totalprice"))).alias("sum_price"),
+            _sumd(F.col("o_totalprice")).alias("sum_price"),
         )
         .filter(F.col("n_orders") >= 12)
     )
@@ -315,8 +339,8 @@ def q_tpch_q3(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    revenue = F.sum(
-        _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4)
+    revenue = _sumd(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
     ).alias("revenue")
     return (
         o.join(c, o["o_custkey"] == c["c_custkey"])
@@ -343,8 +367,8 @@ def q_tpch_q5(spark, sf_dir):
         F.col("o_orderdate") < F.lit(ORDERS_CUTOFF).cast("timestamp")
     )
     li = load_table(spark, sf_dir, "lineitem")
-    revenue = F.sum(
-        _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4)
+    revenue = _sumd(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
     ).alias("revenue")
     return (
         li.join(o.select("o_orderkey", "o_custkey"),
@@ -380,8 +404,8 @@ def q_tpch_q10(spark, sf_dir):
         F.col("l_returnflag") == "R"
     ).select("l_orderkey", "l_extendedprice", "l_discount")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    revenue = F.sum(
-        _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4)
+    revenue = _sumd(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
     ).alias("revenue")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
@@ -405,10 +429,12 @@ def q_tpch_q18(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    qty_cents = (F.col("l_quantity").cast("decimal(14,2)") * 100).cast("long")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"))
-        .filter(F.col("sum_qty") > 150)
+        .agg(F.sum(qty_cents).alias("__qc"))
+        .filter(F.col("__qc") > 150 * 100)  # exact: Σqty > 150 in cents
+        .select("l_orderkey", (F.col("__qc") / F.lit(100.0)).alias("sum_qty"))
     )
     return (
         o.join(big, o["o_orderkey"] == big["l_orderkey"])
@@ -437,9 +463,9 @@ def q_tpch_q6(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(
-                _dec(F.col("l_extendedprice") * F.col("l_discount"), 18, 4)
-            ).alias("revenue"),
+            _sumd(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+                "revenue"
+            ),
             F.count("*").alias("n_items"),
         )
     )
@@ -481,8 +507,8 @@ def q_tpch_q7(spark, sf_dir):
             F.year("l_shipdate").alias("l_year"),
         )
         .agg(
-            F.sum(
-                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4)
+            _sumd(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
@@ -501,19 +527,17 @@ def q_tpch_q14(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
     ).select("l_partkey", "l_extendedprice", "l_discount")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4)
-    promo = F.sum(
-        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)"))
-    ).alias("promo_revenue")
-    total = F.sum(rev).alias("total_revenue")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = _sumd(rev, 4, when=(F.col("p_type") == "PROMO")).alias(
+        "promo_revenue"
+    )
+    total = _sumd(rev, 4).alias("total_revenue")
     agg = li.join(p, li["l_partkey"] == p["p_partkey"]).agg(promo, total)
     return agg.select(
         "promo_revenue",
         "total_revenue",
         (
-            F.col("promo_revenue").cast("double")
-            / F.col("total_revenue").cast("double")
-            * F.lit(100.0)
+            F.col("promo_revenue") / F.col("total_revenue") * F.lit(100.0)
         ).alias("promo_pct"),
     )
 
@@ -540,8 +564,8 @@ def q_tpch_q19(spark, sf_dir):
         li.join(p, li["l_partkey"] == p["p_partkey"])
         .filter(band)
         .agg(
-            F.sum(
-                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4)
+            _sumd(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -824,10 +848,9 @@ def q_tpch_q9(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    amount = _dec(
+    amount = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - F.col("p_retailprice") * F.col("l_quantity"),
-        18, 4,
+        - F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
@@ -838,7 +861,7 @@ def q_tpch_q9(spark, sf_dir):
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.sum(amount).alias("sum_profit"))
+        .agg(_sumd(amount, 4).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -867,7 +890,7 @@ def q_tpch_q8(spark, sf_dir):
     n_supp = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    vol = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4)
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
@@ -876,23 +899,19 @@ def q_tpch_q8(spark, sf_dir):
         .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
     )
-    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
-        F.lit(0).cast("decimal(18,4)")
-    )
     return (
         joined.groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.sum(target).alias("nation_volume"),
-            F.sum(vol).alias("total_volume"),
+            _sumd(vol, 4, when=(F.col("supp_nation") == "NATION_3")).alias(
+                "nation_volume"
+            ),
+            _sumd(vol, 4).alias("total_volume"),
         )
         .select(
             "o_year",
             "nation_volume",
             "total_volume",
-            (
-                F.col("nation_volume").cast("double")
-                / F.col("total_volume").cast("double")
-            ).alias("mkt_share"),
+            (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
         )
         .orderBy("o_year")
     )
@@ -959,16 +978,17 @@ def q_tpch_q20(spark, sf_dir):
         "l_partkey", "l_suppkey", "l_quantity"
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    qty_cents = (F.col("l_quantity").cast("decimal(14,2)") * 100).cast("long")
     per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(_dec(F.col("l_quantity"))).alias("ps_qty")
+        F.sum(qty_cents).alias("__pc")
     )
     w = Window.partitionBy("l_partkey")
     dominant = (
-        per_ps.withColumn("part_qty", F.sum("ps_qty").over(w))
+        per_ps.withColumn("__partc", F.sum("__pc").over(w))
         .withColumn("n_supp", F.count("*").over(w))
         .filter(
-            F.col("ps_qty").cast("double")
-            > F.lit(3.0) * F.col("part_qty").cast("double") / F.col("n_supp")
+            (F.col("__pc") / F.lit(100.0))
+            > F.lit(3.0) * (F.col("__partc") / F.lit(100.0)) / F.col("n_supp")
         )
         .select("l_suppkey")
         .distinct()
@@ -1206,7 +1226,11 @@ def q_tfidf(spark, sf_dir):
         F.explode(F.transform(X.tokens(F.col("text")), F.lower)).alias("token"),
     ).filter(F.col("token") != "")
     tf = ex.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dfreq = ex.groupBy("token").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    # doc-freq from the already-grouped tf relation: tf is unique per
+    # (doc, token), so count(*) == countDistinct(doc_id) over the raw
+    # explode — but reading tf avoids tokenizing/exploding the corpus a
+    # second time (and lets AQE reuse the tf exchange)
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
     n_docs = d.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(dfreq), "token")
@@ -1232,9 +1256,10 @@ def q_minhash_clusters(spark, sf_dir):
     minhash → 4-band md5 buckets → bucket-min cluster assignment) over the
     portable hash family, so every intermediate value is engine-reproducible
     and the whole pipeline sits under the value-hash gate (q_near_dedup
-    keeps the murmur/xxhash fast path under the rows-only check). Plan
-    shape is identical: one explode+groupBy shuffle for signatures, one
-    window+groupBy for assignment, left join back for singletons."""
+    gates the same pipeline at 2×4 banding; the murmur/xxhash fast path is
+    plan-identical and covered by unit tests). Plan shape: one
+    explode+groupBy shuffle for signatures, one window+groupBy for
+    assignment, left join back for singletons."""
     d = parallelized(load_table(spark, sf_dir, "documents"))
     return D.near_dedup_clusters_portable(
         d, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3
@@ -1616,7 +1641,7 @@ def q_event_window(spark, sf_dir):
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(_dec(F.col("value"), 18, 4)).alias("sum_value"),
+            _sumd(F.col("value"), 4).alias("sum_value"),
         )
         .select(
             F.unix_seconds(F.col("w.start")).alias("w_start_s"),

