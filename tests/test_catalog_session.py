@@ -104,3 +104,17 @@ def test_ndjson_roundtrip_preserves_values(spark, tmp_path):
     a = sorted(df.select("id", "s", "v").collect())
     b = sorted(back.select("id", "s", "v").collect())
     assert a == b
+
+
+def test_configure_s3_sets_credentials_and_committer(spark):
+    from salesforce_plugin_spark.session import configure_s3
+
+    configure_s3(spark, access_key="AK", secret_key="SK", endpoint="s3.local")
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.access.key") == "AK"
+    assert hconf.get("fs.s3a.secret.key") == "SK"
+    assert hconf.get("fs.s3a.endpoint") == "s3.local"
+    assert hconf.get("fs.s3a.committer.name") == "magic"
+
+    configure_s3(spark, role_arn="arn:aws:iam::1:role/x")
+    assert "AssumedRole" in hconf.get("fs.s3a.aws.credentials.provider")
