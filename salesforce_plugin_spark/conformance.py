@@ -804,14 +804,33 @@ def q_tpch_q2(spark, sf_dir):
     r = load_table(spark, sf_dir, "region").filter(
         F.col("r_name") == "EUROPE"
     ).select("r_regionkey")
-    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+    # Pre-filter the fact scan with broadcast semi-joins BEFORE the rollup:
+    # the rollup key includes the supplier, so dropping non-STANDARD parts
+    # and non-EUROPE suppliers early removes whole (part, supplier) groups
+    # without changing any surviving group's min — the eligible set is
+    # identical, but the shuffle aggregates only the qualifying slice of
+    # the fact table (the win that matters at 100 TB: Catalyst cannot push
+    # a post-aggregation join filter below the groupBy on its own).
+    eu = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li_f = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li["l_partkey"] == F.col("p_partkey"),
+        "left_semi",
+    ).join(
+        F.broadcast(eu.select(F.col("s_suppkey").alias("__eu_key"))),
+        li["l_suppkey"] == F.col("__eu_key"),
+        "left_semi",
+    )
+    supply = li_f.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
     )
     eligible = (
         supply.join(F.broadcast(p), supply["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), supply["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(eu), supply["l_suppkey"] == eu["s_suppkey"])
         .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "cost")
     )
     w = Window.partitionBy("p_partkey")

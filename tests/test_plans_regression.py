@@ -277,14 +277,18 @@ def test_tpch_q20_chain_shrinks_before_each_shuffle(spark):
 def test_tpch_q2_single_pass_window_argmin(spark):
     """Q2 shape: the per-part argmin must be a window over ONE pass of the
     supply rollup — the groupBy+join-back form scans lineitem twice (no
-    ReuseExchange: the probe side de-canonicalizes the subtree)."""
-    import re
-
+    ReuseExchange: the probe side de-canonicalizes the subtree). The FACT
+    table is scanned exactly once; the tiny dimensions may be re-scanned
+    (the broadcast semi-join pre-filter below the rollup trades duplicate
+    dim scans for aggregating only the qualifying fact slice — the right
+    direction at 100 TB). Semi-join key pruning must reach the fact scan."""
     plan = formatted_plan(QUERIES["q_tpch_q2"](spark, SF))
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 5  # li,p,s,n,r
+    assert plan.count("lineitem.parquet") == 1  # fact scanned once
     assert "Window" in plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan  # all dim joins broadcast
+    # the rollup input is the semi-filtered fact, not the raw scan
+    assert plan.count("LeftSemi") >= 2
 
 
 @needs_fixtures
