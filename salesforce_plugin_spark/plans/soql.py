@@ -31,8 +31,24 @@ Supported surface (the D-rows of SURVEY §2):
   subselects in SELECT (D9), given a ``RelationshipRegistry`` mapping
   relationship names to join keys (plays describe()'s metadata role)
 
-Not supported: FOR UPDATE/VIEW/REFERENCE, WITH (SECURITY_ENFORCED),
-TYPEOF.
+Accepted-and-inert (parsed, recorded on the statement, no effect on the
+result set — semantics are server-side bookkeeping with no analog in an
+analytics replica):
+
+- ``FOR VIEW`` / ``FOR REFERENCE`` — update Salesforce's "recently
+  viewed/referenced" MRU lists server-side; result rows are unchanged.
+- ``FOR UPDATE`` — row locking for a subsequent DML transaction; an
+  analytics engine reads an immutable snapshot, so there is nothing to
+  lock (recorded so callers can reject it if they need DML fidelity).
+- ``WITH SECURITY_ENFORCED`` — field-level-security enforcement. The
+  extracted replica is single-tenant (every field the extract ran with is
+  present by construction), so enforcement is vacuous here; the flag is
+  recorded on the parsed statement for callers that layer their own
+  column-level policy.
+
+Not supported: TYPEOF (polymorphic field branching needs polymorphic
+relationship metadata the fixture schema does not model; raises a typed
+SoqlError naming the construct).
 """
 
 from __future__ import annotations
@@ -177,9 +193,17 @@ class _Parser:
             raise SoqlError(f"SOQL: expected object name at {obj.pos}")
         q = {"select": items, "from": obj.text, "where": None, "group": None,
              "grouping": "plain", "having": None, "order": [], "limit": None,
-             "offset": None}
+             "offset": None, "security_enforced": False, "for_clause": None}
         if self.kw("WHERE"):
             q["where"] = self.parse_or()
+        if self.kw("WITH"):
+            if not self.kw("SECURITY_ENFORCED"):
+                t = self.peek()
+                raise SoqlError(
+                    f"SOQL: only WITH SECURITY_ENFORCED is supported at "
+                    f"{t.pos if t else 'end'}"
+                )
+            q["security_enforced"] = True
         if self.kw("GROUP", "BY"):
             if self.kw("ROLLUP"):
                 q["grouping"] = "rollup"
@@ -201,6 +225,15 @@ class _Parser:
             q["limit"] = int(self.next().text)
         if self.kw("OFFSET"):
             q["offset"] = int(self.next().text)
+        if self.kw("FOR"):
+            t = self.next() if self.peek() else None
+            mode = t.text.upper() if t is not None and t.kind == "word" else None
+            if mode not in ("VIEW", "REFERENCE", "UPDATE"):
+                raise SoqlError(
+                    f"SOQL: expected VIEW, REFERENCE or UPDATE after FOR at "
+                    f"{t.pos if t else 'end'}"
+                )
+            q["for_clause"] = mode
         if self.peek() is not None:
             t = self.peek()
             raise SoqlError(f"SOQL: trailing input {t.text!r} at {t.pos}")
@@ -235,6 +268,12 @@ class _Parser:
 
     def parse_select_item(self) -> dict:
         t = self.peek()
+        if t is not None and t.kind == "word" and t.text.upper() == "TYPEOF":
+            raise SoqlError(
+                f"SOQL: TYPEOF is not supported at {t.pos} — polymorphic "
+                "field branching needs polymorphic relationship metadata "
+                "this engine's schema registry does not model"
+            )
         if t is not None and t.text == "(":
             # D9: parent-to-child nested subselect — (SELECT … FROM RelName)
             self.next()

@@ -359,3 +359,57 @@ def test_datelit_bounds_require_injected_today(dated):
         today=TODAY,
     )
     assert ("ts", "2024-01-17 00:00:00", "2024-01-22 00:00:00") in calls
+
+
+def test_trailing_clauses_parse_and_are_inert(spark):
+    """FOR VIEW/REFERENCE/UPDATE and WITH SECURITY_ENFORCED are accepted
+    (the reference forwards any SOQL string); their semantics are
+    server-side bookkeeping with no analog on an analytics replica, so the
+    result set is identical to the bare query."""
+    from salesforce_plugin_spark.plans import SoqlError, soql_to_df
+    from salesforce_plugin_spark.plans.soql import _Parser, tokenize
+
+    spark.createDataFrame(
+        [(1, "F", 10.0), (2, "O", 20.0)],
+        ["o_orderkey", "o_orderstatus", "o_totalprice"],
+    ).createOrReplaceTempView("soqlt_orders")
+    resolve = lambda name: spark.table(name.lower())  # noqa: E731
+
+    base = soql_to_df(
+        spark, "SELECT o_orderkey FROM soqlt_orders WHERE o_totalprice > 5",
+        resolve=resolve,
+    ).collect()
+    for suffix in (" FOR VIEW", " FOR REFERENCE", " FOR UPDATE",
+                   " ORDER BY o_orderkey LIMIT 10 FOR VIEW"):
+        got = soql_to_df(
+            spark,
+            "SELECT o_orderkey FROM soqlt_orders WHERE o_totalprice > 5"
+            + suffix,
+            resolve=resolve,
+        ).collect()
+        assert sorted(got) == sorted(base), suffix
+    got = soql_to_df(
+        spark,
+        "SELECT o_orderkey FROM soqlt_orders WHERE o_totalprice > 5 "
+        "WITH SECURITY_ENFORCED ORDER BY o_orderkey",
+        resolve=resolve,
+    ).collect()
+    assert sorted(got) == sorted(base)
+
+    # the flags are recorded on the parsed statement
+    q = _Parser(
+        tokenize("SELECT a FROM t WITH SECURITY_ENFORCED FOR UPDATE"),
+        "",
+    ).parse_query()
+    assert q["security_enforced"] is True and q["for_clause"] == "UPDATE"
+
+    # malformed trailing clauses and TYPEOF raise typed errors
+    import pytest as _pytest
+
+    for bad in (
+        "SELECT a FROM t FOR DELETE",
+        "SELECT a FROM t WITH BANANAS",
+        "SELECT TYPEOF What WHEN x THEN y END FROM t",
+    ):
+        with _pytest.raises(SoqlError):
+            _Parser(tokenize(bad), bad).parse_query()
