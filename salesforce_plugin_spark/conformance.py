@@ -1973,6 +1973,73 @@ def q_stream_upsert(spark, sf_dir):
     return out
 
 
+def q_stream_join(spark, sf_dir):
+    """F6: stream-stream interval join through the real readStream path —
+    click events joined to the purchase events of the same user within the
+    2 hours after the click, both sides watermarked so join state is
+    evicted at the lookback horizon instead of growing with the stream
+    (streaming/windows.interval_join_streams). Same semantics and oracle
+    as the batch q_range_join; the gate pins that the streaming drain
+    emits exactly the batch join's row set."""
+    import os
+    import uuid
+
+    from salesforce_plugin_spark.streaming.windows import (
+        interval_join_streams,
+        run_to_memory_sink,
+        stream_events,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    clicks = (
+        stream_events(spark, path, watermark=None)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        stream_events(spark, path, watermark=None)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = interval_join_streams(
+        clicks, purchases, ["user_id"], "c_ts", "p_ts", lookback="2 hours"
+    ).select(
+        clicks["user_id"].alias("user_id"),
+        "click_id",
+        F.unix_micros(F.col("c_ts")).alias("click_us"),
+        "purchase_id",
+        F.unix_micros(F.col("p_ts")).alias("purchase_us"),
+    )
+    return run_to_memory_sink(
+        joined, "t_conf_sjoin_" + uuid.uuid4().hex[:8], mode="append"
+    )
+
+
+def q_profile(spark, sf_dir):
+    """North-star data profiling: EXACT long-form column statistics
+    (counts, nulls, distincts, typed min/max) over orders in one scan —
+    operators/validate.profile_columns; the sketch-based approx_profile
+    is the 100 TB alternative (rows-only by nature, unit-pinned)."""
+    from salesforce_plugin_spark.operators.validate import profile_columns
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile_columns(
+        o,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+         "o_totalprice"],
+    )
+
+
 def q_skew_join(spark, sf_dir):
     """Skew-mitigation correctness under the gate: the salted fact⨝dim
     join (operators/partitioning.salted_join — dim replicated per salt,
@@ -2464,6 +2531,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_training_sequences": q_training_sequences,
     "q_training_decontaminated": q_training_decontaminated,
     # --- beyond the graded window: variants and additional forms ---
+    "q_stream_join": q_stream_join,
+    "q_profile": q_profile,
     "q_dedup_fingerprint": q_dedup_fingerprint,
     "q_winnow_fingerprint": q_winnow_fingerprint,
     "q_simhash": q_simhash,
@@ -3955,6 +4024,50 @@ ORACLES: dict[str, str] = {
                CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment
+    """,
+    "q_stream_join": """
+        SELECT c.user_id AS user_id,
+               c.event_id AS click_id,
+               epoch_us(c.ts) AS click_us,
+               p.event_id AS purchase_id,
+               epoch_us(p.ts) AS purchase_us
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+    """,
+    "q_profile": """
+        SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+               count(*) - count(o_orderkey) AS n_nulls,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+               CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str,
+               CAST(NULL AS VARCHAR) AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+               count(DISTINCT o_custkey),
+               CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+               NULL, NULL
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+               count(DISTINCT o_orderstatus), NULL, NULL,
+               min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+               count(DISTINCT o_orderpriority), NULL, NULL,
+               min(o_orderpriority), max(o_orderpriority)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+               count(DISTINCT o_totalprice),
+               CAST(min(o_totalprice) AS DOUBLE),
+               CAST(max(o_totalprice) AS DOUBLE),
+               NULL, NULL
+        FROM orders
     """,
     "q_fetch_time_added": """
         SELECT c_custkey, c_name, TRUE AS fetch_time_set FROM customer

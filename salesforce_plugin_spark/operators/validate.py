@@ -122,3 +122,59 @@ def approx_profile(
             ).alias(f"{c}_q50_95_99")
         )
     return df.agg(*aggs)
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """EXACT per-column table profile in long form — one output row per
+    profiled column: (column_name, n_rows, n_nulls, n_distinct, min_num,
+    max_num, min_str, max_str). Numeric columns report min/max as DOUBLE
+    (an actual data value — exact in any engine); string columns report
+    min/max as binary-collation strings (Spark and DuckDB both compare
+    strings bytewise by default); each family NULLs the other's slots.
+
+    Execution shape: ONE scan — all aggregates evaluate in a single
+    global aggregation (the exact-distincts expand the input k ways for k
+    profiled columns, the standard cost of exact multi-column distinct;
+    use :func:`approx_profile` when sketch accuracy is acceptable at
+    100 TB), then the 1×(6k) row is exploded to long form driver-free.
+    This is the engine-side analog of the reference's describe()-driven
+    schema introspection (A4) extended with data statistics.
+    """
+    from pyspark.sql.types import NumericType
+
+    numeric = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    }
+    aggs, structs = [], []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__rows_{c}"),
+            F.count(c).alias(f"__nonnull_{c}"),
+            F.countDistinct(c).alias(f"__dist_{c}"),
+        ]
+        if c in numeric:
+            aggs += [
+                F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
+            ]
+        else:
+            aggs += [
+                F.min(c).alias(f"__min_{c}"),
+                F.max(c).alias(f"__max_{c}"),
+            ]
+    prof = df.agg(*aggs)
+    for c in cols:
+        is_num = c in numeric
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"__rows_{c}").alias("n_rows"),
+                (F.col(f"__rows_{c}") - F.col(f"__nonnull_{c}")).alias("n_nulls"),
+                F.col(f"__dist_{c}").alias("n_distinct"),
+                (F.col(f"__min_{c}") if is_num else F.lit(None).cast("double")).alias("min_num"),
+                (F.col(f"__max_{c}") if is_num else F.lit(None).cast("double")).alias("max_num"),
+                (F.lit(None).cast("string") if is_num else F.col(f"__min_{c}")).alias("min_str"),
+                (F.lit(None).cast("string") if is_num else F.col(f"__max_{c}")).alias("max_str"),
+            )
+        )
+    return prof.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

@@ -44,9 +44,14 @@ def events_schema(ts_is_raw_nanos: bool) -> T.StructType:
 
 
 def stream_events(
-    spark: SparkSession, path: str, watermark: str = "30 minutes"
+    spark: SparkSession, path: str, watermark: str | None = "30 minutes"
 ) -> DataFrame:
     """readStream over an events parquet directory with event-time watermark.
+
+    ``watermark=None`` skips the source watermark — for consumers that
+    rename the event-time column before watermarking (e.g. the two sides
+    of a stream-stream join), since Spark disallows redefining a watermark
+    downstream.
 
     The watermark is the late-data bound: rows later than it are dropped
     from stateful aggregations, which is what lets state be evicted instead
@@ -79,7 +84,7 @@ def stream_events(
     )
     if ts_is_raw_nanos:
         raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return raw.withWatermark("ts", watermark)
+    return raw.withWatermark("ts", watermark) if watermark else raw
 
 
 def windowed_event_counts(
@@ -170,6 +175,47 @@ def enrich_stream(
     to the stream's partitioning."""
     joined = events.join(F.broadcast(dim), on, how)
     return joined.select(*select) if select else joined
+
+
+def interval_join_streams(
+    points: DataFrame,
+    intervals: DataFrame,
+    keys: list[str],
+    point_ts: str,
+    interval_end_ts: str,
+    lookback: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each ``points`` event matches the
+    ``intervals`` events of the same key whose end timestamp falls within
+    ``[point_ts, point_ts + lookback]`` — i.e. the point lies in the
+    interval's trailing window. The streaming form of the batch
+    range_join_bucketed (operators/joins.py): clicks attributed to the
+    purchases they precede.
+
+    Both inputs MUST carry watermarks (stream_events sets one): the
+    time-range join condition plus the two watermarks is exactly what lets
+    Spark bound the join state — each side's state is evicted once the
+    other side's watermark passes the range bound, so state size tracks
+    the lookback horizon, not the stream length. Inner join only (outer
+    stream-stream joins emit nulls on watermark expiry — different
+    result-stability contract).
+
+    Column naming: caller renames collision columns beforehand; the join
+    condition references columns by name across the two plans.
+    """
+    cond = None
+    for k in keys:
+        c = points[k] == intervals[k]
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (intervals[interval_end_ts] >= points[point_ts])
+        & (
+            intervals[interval_end_ts]
+            <= points[point_ts] + F.expr(f"INTERVAL {lookback}")
+        )
+    )
+    return points.join(intervals, cond, "inner")
 
 
 def incremental_predicate(ts_col: str | Column, since) -> Column:
