@@ -721,8 +721,12 @@ def q_tpch_q21(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     lo = li.join(o, li["l_orderkey"] == o["o_orderkey"])
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
-    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
-        F.sum(F.when(late, 1).otherwise(0)).alias("__n_late_rows")
+    # one exchange on l_orderkey serves the (orderkey, suppkey) rollup
+    # (subset rule) and the per-order window below
+    per_os = (
+        lo.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.when(late, 1).otherwise(0)).alias("__n_late_rows"))
     )
     w = Window.partitionBy("l_orderkey")
     qualifying_os = per_os.withColumn(
@@ -998,8 +1002,14 @@ def q_tpch_q20(spark, sf_dir):
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     qty_cents = (F.col("l_quantity").cast("decimal(14,2)") * 100).cast("long")
-    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(qty_cents).alias("__pc")
+    # One exchange serves both stateful stages: hash-partitioning on
+    # l_partkey alone satisfies the (l_partkey, l_suppkey) groupBy's
+    # clustering requirement (subset rule) AND the per-part window's, so
+    # the rollup and the window share a single shuffle instead of two.
+    per_ps = (
+        li.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(qty_cents).alias("__pc"))
     )
     w = Window.partitionBy("l_partkey")
     dominant = (
@@ -1244,11 +1254,17 @@ def q_tfidf(spark, sf_dir):
         "doc_id",
         F.explode(F.transform(X.tokens(F.col("text")), F.lower)).alias("token"),
     ).filter(F.col("token") != "")
-    tf = ex.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # one exchange on doc_id serves the (doc_id, token) term-count rollup
+    # (subset rule) and the per-doc top-k window at the end of the plan
+    tf = (
+        ex.repartition("doc_id")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
     # doc-freq from the already-grouped tf relation: tf is unique per
     # (doc, token), so count(*) == countDistinct(doc_id) over the raw
     # explode — but reading tf avoids tokenizing/exploding the corpus a
-    # second time (and lets AQE reuse the tf exchange)
+    # second time
     dfreq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
     n_docs = d.agg(F.count("*").alias("n_docs"))
     scored = (

@@ -377,3 +377,23 @@ def test_sequence_packing_window_is_sharded(spark):
         .select("split", "shard").distinct().count()
     )
     assert n_parts > 3, n_parts
+
+
+@needs_fixtures
+def test_rollup_then_window_share_one_exchange(spark):
+    """Q20/Q21 shape: the (key, subkey) rollup and the per-key window must
+    share ONE exchange — hash-partitioning on the key alone satisfies both
+    stages' clustering requirement (subset rule). A second hashpartitioning
+    on the composite rollup key in the plan means the shuffle doubled."""
+    for name, composite in (
+        ("q_tpch_q20", "l_partkey#"),
+        ("q_tpch_q21", "l_orderkey#"),
+    ):
+        plan = formatted_plan(QUERIES[name](spark, SF))
+        # the explicit key repartition feeds both stateful stages
+        assert "REPARTITION_BY_COL" in plan, name
+        # no exchange keyed on the composite (partkey, suppkey) /
+        # (orderkey, suppkey) rollup key anywhere in the plan
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and composite in line:
+                assert "l_suppkey" not in line, (name, line)
