@@ -22,7 +22,11 @@ Layout:
     conformance    the declared query registry checked against the DuckDB oracle
 """
 
-from salesforce_plugin_spark.session import get_spark, ensure_runtime_conf
+from salesforce_plugin_spark.session import (
+    configure_s3,
+    ensure_runtime_conf,
+    get_spark,
+)
 
-__all__ = ["get_spark", "ensure_runtime_conf"]
+__all__ = ["get_spark", "ensure_runtime_conf", "configure_s3"]
 __version__ = "0.1.0"

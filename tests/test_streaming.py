@@ -171,3 +171,72 @@ def test_stream_upsert_latest_row_wins_across_batches(spark, tmp_path):
     assert len(got) == 15
     assert got[3].event_type == "v1" and got[7].event_type == "v2"
     assert got[14].event_type == "v2"
+
+
+def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
+    """The bounded-state contract, observed end to end: once the watermark
+    has passed a window and append mode emitted it, a later micro-batch's
+    event falling into that window is DROPPED — the window is not
+    resurrected and no duplicate append row appears. (Note the deliberate
+    3-batch shape: Spark's late filter compares against the watermark
+    computed from prior batches, so a late row arriving in the same batch
+    that closes its window still merges — the drop guarantee applies to
+    windows already finalized, which is what this pins.)"""
+    import os
+    import shutil as _sh
+    import time
+
+    import pyspark.sql.functions as F
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def stage(rows, name):
+        src = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        return src
+
+    rows_a = [  # on-time through 15:00 -> watermark 14:30 after this batch
+        (1, base, 7, "view", 1.0, "{}"),
+        (2, base + dt.timedelta(hours=1), 7, "view", 1.0, "{}"),
+        (3, base + dt.timedelta(hours=3), 7, "view", 1.0, "{}"),
+    ]
+    rows_b = [  # advances watermark to 15:30; 12:00-14:00 windows finalize
+        (5, base + dt.timedelta(hours=4), 7, "view", 1.0, "{}"),
+    ]
+    rows_c = [  # LATE: 12:10 vs watermark 15:30 -> must be dropped
+        (9, base + dt.timedelta(minutes=10), 7, "view", 100.0, "{}"),
+    ]
+    d = tmp_path / "events_late"
+    d.mkdir()
+    for name, rows in (("a", rows_a), ("b", rows_b), ("c", rows_c)):
+        src = stage(rows, name)
+        part = next(p for p in os.listdir(src) if p.endswith(".parquet"))
+        _sh.copy(os.path.join(src, part), str(d / f"{name}.parquet"))
+        time.sleep(1.1)  # distinct mtimes: the file source batches in order
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withWatermark("ts", "30 minutes")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.sum("value").alias("sv"), F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "sv", "n")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("t_late")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = [(r.ws, r.sv, r.n) for r in spark.table("t_late").collect()]
+    noon = base.replace(tzinfo=None)
+    # exactly ONE append row for the 12:00 window, without the late value
+    assert [(sv, n) for ws, sv, n in rows if ws == noon] == [(1.0, 1)], rows
