@@ -2056,6 +2056,40 @@ def q_profile(spark, sf_dir):
     )
 
 
+def q_partitioned_scan(spark, sf_dir):
+    """Scale layout under the gate: events rewritten into a day-partitioned
+    parquet layout (partitioning.repartition_by_time clusters rows so each
+    day directory is written by few tasks), then a day-range query over the
+    partitioned copy. Partition pruning turns the range scan into a
+    directory listing of only the matching days — the layout that makes
+    time-range queries touch 1/365th of a year of data at 100 TB
+    (tests/test_plans_regression.py asserts the PartitionFilters). Values
+    are gated against the flat source table."""
+    import os
+    import tempfile
+
+    from salesforce_plugin_spark.operators.partitioning import (
+        repartition_by_time,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out = os.path.join(tempfile.gettempdir(), "conf_part_events")
+    clustered = repartition_by_time(e, "ts", "day").withColumn(
+        "event_day", F.date_format(F.col("ts"), "yyyy-MM-dd")
+    )
+    clustered.write.mode("overwrite").partitionBy("event_day").parquet(out)
+    back = spark.read.parquet(out).filter(
+        (F.col("event_day") >= F.lit("2024-01-05").cast("date"))
+        & (F.col("event_day") < F.lit("2024-01-15").cast("date"))
+    )
+    return back.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+
+
 def q_schema_reconcile(spark, sf_dir):
     """B1-B9 + A8/A9 + C7 + E5 under the value gate: the reference's full
     §3.3 lifecycle — describe-driven CREATE TABLE, compound-field pruning,
@@ -2601,6 +2635,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_csv_roundtrip": q_csv_roundtrip,
     "q_stream_join": q_stream_join,
     "q_profile": q_profile,
+    "q_partitioned_scan": q_partitioned_scan,
     "q_dedup_fingerprint": q_dedup_fingerprint,
     "q_winnow_fingerprint": q_winnow_fingerprint,
     "q_simhash": q_simhash,
@@ -4092,6 +4127,12 @@ ORACLES: dict[str, str] = {
                CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment
+    """,
+    "q_partitioned_scan": """
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-15 00:00:00'
     """,
     "q_schema_reconcile": """
         SELECT c_custkey, substr(c_name, 1, 12) AS c_name, c_acctbal,

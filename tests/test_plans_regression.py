@@ -397,3 +397,14 @@ def test_rollup_then_window_share_one_exchange(spark):
         for line in plan.splitlines():
             if "Exchange hashpartitioning" in line and composite in line:
                 assert "l_suppkey" not in line, (name, line)
+
+
+@needs_fixtures
+def test_partitioned_scan_prunes_day_directories(spark):
+    """The day-partitioned rewrite must turn the range filter into
+    PartitionFilters on event_day — at scale this is directory-level
+    pruning, not row filtering."""
+    plan = formatted_plan(QUERIES["q_partitioned_scan"](spark, SF))
+    part = " ".join(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "event_day" in part, plan
+    assert "2024-01-05" in part and "2024-01-15" in part, part
