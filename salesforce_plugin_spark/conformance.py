@@ -2056,6 +2056,42 @@ def q_profile(spark, sf_dir):
     )
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Scale layout under the gate: orders and customer persisted as
+    hash-bucketed catalog tables on the customer key, then joined with a
+    merge hint — bucketed-on-the-join-key tables with equal bucket counts
+    sort-merge-join WITHOUT an exchange (the no-shuffle co-located join
+    that amortizes one bucketing write over every subsequent join; the
+    plan property is pinned by tests/test_partitioning.py). The gate
+    hashes the bucketed round trip's join result against the plain join
+    on the source tables."""
+    import uuid
+
+    from salesforce_plugin_spark.operators.partitioning import write_bucketed
+
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"t_conf_bko_{suffix}", f"t_conf_bkc_{suffix}"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    try:
+        write_bucketed(o, ta, ["o_custkey"], num_buckets=8)
+        write_bucketed(c, tb, ["c_custkey"], num_buckets=8)
+        joined = (
+            spark.table(ta)
+            .join(
+                spark.table(tb).hint("merge"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+        )
+        return joined.localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
 def q_partitioned_scan(spark, sf_dir):
     """Scale layout under the gate: events rewritten into a day-partitioned
     parquet layout (partitioning.repartition_by_time clusters rows so each
@@ -2636,6 +2672,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_stream_join": q_stream_join,
     "q_profile": q_profile,
     "q_partitioned_scan": q_partitioned_scan,
+    "q_bucketed_join": q_bucketed_join,
     "q_dedup_fingerprint": q_dedup_fingerprint,
     "q_winnow_fingerprint": q_winnow_fingerprint,
     "q_simhash": q_simhash,
@@ -4127,6 +4164,10 @@ ORACLES: dict[str, str] = {
                CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment
+    """,
+    "q_bucketed_join": """
+        SELECT o_orderkey, o_custkey, c_name, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
     """,
     "q_partitioned_scan": """
         SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
