@@ -69,8 +69,13 @@ def stream_events(
     """
     import os
 
+    from salesforce_plugin_spark.session import ensure_runtime_conf
     from salesforce_plugin_spark.sources.catalog import column_arrow_type
 
+    # normalize the session like the batch catalog does — a caller driving
+    # ONLY the streaming path on a fresh session still needs UTC time and
+    # the parquet confs (batch queries get this via load_table)
+    ensure_runtime_conf(spark)
     # raw-nanos shapes: genuine TIMESTAMP(NANOS) (surfaced as long under the
     # session's nanosAsLong conf) or an already-long epoch-nanos column (the
     # shape a legacy extract lands). Native timestamp units pass through.

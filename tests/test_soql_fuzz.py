@@ -49,14 +49,18 @@ where = st.one_of(
     st.builds(lambda: "name LIKE '%a%'"),
 )
 query = st.builds(
-    lambda fs, w, lim: (
+    lambda fs, w, sec, lim, trail: (
         f"SELECT {', '.join(fs)} FROM fuzz_t"
         + (f" WHERE {w}" if w else "")
+        + (" WITH SECURITY_ENFORCED" if sec and w else "")
         + f" ORDER BY {fs[0]} LIMIT {lim}"
+        + trail
     ),
     st.lists(st.sampled_from(FIELDS), min_size=1, max_size=3, unique=True),
     st.one_of(st.none(), where),
+    st.booleans(),
     st.integers(min_value=0, max_value=5),
+    st.sampled_from(["", " FOR VIEW", " FOR REFERENCE", " FOR UPDATE"]),
 )
 
 
