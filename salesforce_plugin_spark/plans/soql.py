@@ -655,11 +655,13 @@ class _Lowerer:
         registry: RelationshipRegistry | None = None,
         today=None,
         fiscal_start_month: int = 1,
+        ci_strings: bool = False,
     ):
         import inspect
 
         self.resolve = resolve
         self.registry = registry or RelationshipRegistry()
+        self.ci_strings = ci_strings
         self._schema_cats: dict[str, str] = {}
         # D18 anchor: a datetime.date pins relative date literals for
         # deterministic replay; None = the engine clock (current_date).
@@ -1051,7 +1053,13 @@ class _Lowerer:
                     )
                 self._check_comparable(e["l"], v, "IN")
             vals = [v["v"] for v in e["r"]["vals"]]
-            c = _value_col(e["l"], self.fsm).isin(vals)
+            lhs_in = _value_col(e["l"], self.fsm)
+            if self.ci_strings and all(
+                _literal_category(v) == "str" for v in e["r"]["vals"]
+            ):
+                lhs_in = F.lower(lhs_in)
+                vals = [v.lower() for v in vals]
+            c = lhs_in.isin(vals)
             return ~c if e["neg"] else c
         if k == "cmp":
             if not (agg_ok and e["l"]["kind"] == "agg"):
@@ -1080,6 +1088,13 @@ class _Lowerer:
                     return lhs.isNotNull()
                 raise SoqlError(f"SOQL: operator {e['op']} with NULL")
             rhs = _literal_col(e["r"])
+            if self.ci_strings and _literal_category(e["r"]) == "str":
+                # Salesforce text collation: string comparisons are
+                # case-insensitive (like D3's LIKE). Folding BOTH sides
+                # through lower() keeps ordering comparisons consistent
+                # with equality under the same collation.
+                lhs = F.lower(lhs)
+                rhs = F.lower(rhs)
             return {
                 "=": lhs == rhs, "!=": lhs != rhs, "<": lhs < rhs,
                 "<=": lhs <= rhs, ">": lhs > rhs, ">=": lhs >= rhs,
@@ -1110,6 +1125,7 @@ def soql_to_df(
     relationships: RelationshipRegistry | None = None,
     today=None,
     fiscal_start_month: int = 1,
+    ci_strings: bool = False,
 ) -> DataFrame:
     """Parse a SOQL string and return the equivalent DataFrame plan.
 
@@ -1121,10 +1137,18 @@ def soql_to_df(
     ``relationships`` enables D8 dot-path lookups and D9 nested child
     subselects (see :class:`RelationshipRegistry`); the fixture schema's
     registry ships as ``sources.catalog.FIXTURE_RELATIONSHIPS``.
+
+    ``ci_strings=True`` applies Salesforce's case-insensitive text
+    collation to string comparisons and IN lists (LIKE is always
+    case-insensitive, D3). Default False: the conformance contract
+    compares strings bytewise like the DuckDB oracle; enable it when
+    replaying queries whose source of truth was Salesforce itself.
     """
     if resolve is None:
         def resolve(name: str) -> DataFrame:  # noqa: F811
             return spark.table(name.lower())
 
     q = _Parser(tokenize(soql), soql).parse_query()
-    return _Lowerer(resolve, relationships, today, fiscal_start_month).lower(q)
+    return _Lowerer(
+        resolve, relationships, today, fiscal_start_month, ci_strings
+    ).lower(q)

@@ -413,3 +413,31 @@ def test_trailing_clauses_parse_and_are_inert(spark):
     ):
         with _pytest.raises(SoqlError):
             _Parser(tokenize(bad), bad).parse_query()
+
+
+def test_ci_strings_collation(spark):
+    """ci_strings=True replays Salesforce's case-insensitive text
+    collation for =, !=, IN (LIKE is always case-insensitive); default
+    stays bytewise like the oracle contract."""
+    from salesforce_plugin_spark.plans import soql_to_df
+
+    spark.createDataFrame(
+        [(1, "Alpha"), (2, "ALPHA"), (3, "beta")], ["id", "name"]
+    ).createOrReplaceTempView("ci_t")
+    resolve = lambda n: spark.table(n.lower())  # noqa: E731
+
+    q = "SELECT id FROM ci_t WHERE name = 'alpha'"
+    assert [r.id for r in soql_to_df(spark, q, resolve=resolve).collect()] == []
+    assert sorted(
+        r.id for r in soql_to_df(spark, q, resolve=resolve, ci_strings=True).collect()
+    ) == [1, 2]
+    q_in = "SELECT id FROM ci_t WHERE name IN ('ALPHA', 'BETA')"
+    assert sorted(
+        r.id
+        for r in soql_to_df(spark, q_in, resolve=resolve, ci_strings=True).collect()
+    ) == [1, 2, 3]
+    q_ne = "SELECT id FROM ci_t WHERE name != 'Beta'"
+    assert sorted(
+        r.id
+        for r in soql_to_df(spark, q_ne, resolve=resolve, ci_strings=True).collect()
+    ) == [1, 2]
