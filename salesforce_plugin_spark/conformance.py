@@ -2056,6 +2056,50 @@ def q_profile(spark, sf_dir):
     )
 
 
+def q_incremental_extract(spark, sf_dir):
+    """D21 under the gate: the reference's templated watermark idiom —
+    ``soql``/``query`` are Jinja template_fields re-rendered per run with
+    the scheduler's execution dates (salesforce_to_s3_operator.py:25,
+    115-116); here the same string is parameter-bound with the previous
+    run's high-water mark and executed through the SOQL front door. The
+    half-open (prev, now] slice is what makes scheduled re-runs
+    partition-exact (no row lost or double-extracted across runs)."""
+    from salesforce_plugin_spark.plans import soql_to_df
+
+    def resolve(name):
+        return load_table(spark, sf_dir, name.lower())
+
+    template = (
+        "SELECT event_id, user_id, event_type FROM events "
+        "WHERE ts > {prev_execution_date} AND ts <= {execution_date}"
+    )
+    bound = template.format(
+        prev_execution_date="2024-01-10T00:00:00",
+        execution_date="2024-01-20T00:00:00",
+    )
+    return soql_to_df(spark, bound, resolve=resolve)
+
+
+def q_object_extract(spark, sf_dir):
+    """§3.1 flagship facade under the gate: ObjectExtract.build — the
+    reference's SalesforceToS3Operator lifecycle stages 3-7 (object
+    resolution with case-insensitive lookup replacing the C6 mangler,
+    field-list projection A3, attributes drop C2, lowercase B9) as one
+    lazy plan."""
+    from salesforce_plugin_spark.operators.elt import ObjectExtract
+
+    def resolve(name):
+        return load_table(spark, sf_dir, name.lower())
+
+    op = ObjectExtract(
+        object_name="ORDERS",  # case-insensitive resolution (C6 fixed)
+        dest="",
+        fields=["O_OrderKey", "O_OrderStatus", "O_TotalPrice"],
+        resolve=resolve,
+    )
+    return op.build(spark)
+
+
 def q_bucketed_join(spark, sf_dir):
     """Scale layout under the gate: orders and customer persisted as
     hash-bucketed catalog tables on the customer key, then joined with a
@@ -2673,6 +2717,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_profile": q_profile,
     "q_partitioned_scan": q_partitioned_scan,
     "q_bucketed_join": q_bucketed_join,
+    "q_incremental_extract": q_incremental_extract,
+    "q_object_extract": q_object_extract,
     "q_dedup_fingerprint": q_dedup_fingerprint,
     "q_winnow_fingerprint": q_winnow_fingerprint,
     "q_simhash": q_simhash,
@@ -4168,6 +4214,14 @@ ORACLES: dict[str, str] = {
     "q_bucketed_join": """
         SELECT o_orderkey, o_custkey, c_name, o_totalprice
         FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "q_incremental_extract": """
+        SELECT event_id, user_id, event_type FROM events
+        WHERE ts > TIMESTAMP '2024-01-10 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+    """,
+    "q_object_extract": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
     """,
     "q_partitioned_scan": """
         SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
