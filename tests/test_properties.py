@@ -327,3 +327,97 @@ def test_portable_minhash_matches_pure_python(spark, docs):
                 for s in sh
             )
             assert getattr(rows[i], f"mh_{h}") == expect
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.floats(min_value=-1e5, max_value=1e5, allow_nan=False),
+            st.none(),
+        ),
+        min_size=1, max_size=40,
+    ),
+    scale=st.sampled_from([2, 4]),
+)
+def test_sumd_matches_exact_decimal_reference(spark, vals, scale):
+    """conformance._sumd ≡ sum of half-up-rounded decimals emitted as the
+    correctly-rounded double — against an exact Python Decimal reference.
+    This is the money-sum fast path every headline aggregate rides on."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from salesforce_plugin_spark.conformance import _sumd
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.agg(_sumd(F.col("x"), scale).alias("s")).collect()[0].s
+
+    quant = Decimal(1).scaleb(-scale)
+    ref_vals = [
+        Decimal(v).quantize(quant, rounding=ROUND_HALF_UP)
+        for v in vals
+        if v is not None
+    ]
+    if not ref_vals:
+        assert got is None
+    else:
+        assert got == float(sum(ref_vals))
+
+
+def test_ivf_assign_deterministic_matches_python_argmax(spark):
+    """Seeded-codebook IVF assignment ≡ per-vector argmax of rounded
+    cosine with centroid-id tie-break, against a scalar reference."""
+    import math
+    import random
+
+    from salesforce_plugin_spark.functions.vector import (
+        as_double,
+        ivf_assign_deterministic,
+    )
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(6)] for _ in range(40)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    seeds_py = {cid: vecs[cid] for cid in range(4)}
+    seeds = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("c_vec"),
+    )
+    got = {
+        r.vec_id: r.centroid_id
+        for r in ivf_assign_deterministic(df, "vec_id", "embedding", seeds).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    for i, v in enumerate(vecs):
+        best = min(
+            ((-round(cos(v, c), 6), cid) for cid, c in seeds_py.items())
+        )[1]
+        assert got[i] == best, i
+
+
+def test_profile_columns_matches_pandas_reference(spark):
+    """Exact profiler ≡ pandas-side counts/nulls/distincts/min/max."""
+    from salesforce_plugin_spark.operators.validate import profile_columns
+
+    rows = [
+        (1, "a", 2.5), (2, "b", None), (3, None, 1.0),
+        (3, "a", 2.5), (None, "c", -1.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, s string, x double")
+    got = {r.column_name: r for r in profile_columns(df, ["k", "s", "x"]).collect()}
+
+    assert (got["k"].n_rows, got["k"].n_nulls, got["k"].n_distinct) == (5, 1, 3)
+    assert (got["k"].min_num, got["k"].max_num) == (1.0, 3.0)
+    assert got["k"].min_str is None
+    assert (got["s"].n_nulls, got["s"].n_distinct) == (1, 3)
+    assert (got["s"].min_str, got["s"].max_str) == ("a", "c")
+    assert got["s"].min_num is None
+    assert (got["x"].n_nulls, got["x"].n_distinct) == (1, 3)
+    assert (got["x"].min_num, got["x"].max_num) == (-1.0, 2.5)
