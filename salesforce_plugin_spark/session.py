@@ -28,10 +28,12 @@ RUNTIME_CONF: dict[str, str] = {
     # Read parquet naive timestamps as TimestampType (session-tz) rather than
     # TIMESTAMP_NTZ so unix_seconds/unix_millis/unix_micros apply directly.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
-    # The events fixture stores TIMESTAMP(NANOS) which Spark's vectorized
-    # reader rejects; read as raw nanos longs and convert in the catalog layer
-    # (sources/catalog.py) — keeps the scan vectorized instead of falling back
-    # to a driver-side decode.
+    # Fixtures have shipped timestamps as TIMESTAMP(NANOS) (round 1), which
+    # Spark's vectorized reader rejects; with this conf any nanos column
+    # reads as raw longs and the catalog layer repairs it (sources/
+    # catalog.py, footer-sniffed — native-unit columns are untouched).
+    # Keeps the scan vectorized instead of falling back to a driver-side
+    # decode, and is inert on the current all-µs fixtures.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Runtime adaptivity: re-plan joins from runtime stats, coalesce tiny
     # shuffle partitions, split skewed ones. Essential at scale, harmless small.
