@@ -29,16 +29,27 @@ from salesforce_plugin_spark.functions.vector import as_double, cosine
 # ---------------------------------------------------------------------------
 
 def dedup_exact(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
-    """Keep exactly one row per ``keys``, the first under ``order_by``.
+    """Keep exactly one row per ``keys``, the first under ``order_by``
+    (lexicographic; the tuple should be unique within a key for a fully
+    deterministic survivor — same requirement the window form had).
 
-    Deterministic alternative to ``dropDuplicates`` (which keeps an arbitrary
-    row and therefore can't be oracle-checked). One shuffle on ``keys``.
+    Deterministic alternative to ``dropDuplicates`` (which keeps an
+    arbitrary row and therefore can't be oracle-checked). Shaped as a
+    ``min_by`` hash aggregation rather than a ``row_number`` window: still
+    one shuffle on ``keys``, but the aggregate partial-combines map-side —
+    with duplication ratio r the exchange carries ~1/r of the rows, where
+    the window form shuffles every duplicate to sort it, and a hot key
+    no longer sorts one whole partition.
     """
-    w = Window.partitionBy(*keys).orderBy(*order_by)
+    ord_struct = F.struct(*[F.col(c) for c in order_by])
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(*[F.col(k) for k in keys])
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(c) for c in df.columns]), ord_struct
+            ).alias("__survivor")
+        )
+        .select("__survivor.*")
     )
 
 
