@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; names omitted here (the
-    nondeterministic / hash-family-specific ops) get rows-only checks."""
+    """DuckDB-equivalent SQL per query. Every declared query carries an
+    oracle (since round 3 there are no rows-only entries: nondeterministic
+    ops project deterministic evidence, hash-family-specific ops use the
+    engine-portable md5 family, and approximate ops pin a deterministic
+    seeded variant)."""
     return dict(ORACLES)
