@@ -2056,6 +2056,27 @@ def q_profile(spark, sf_dir):
     )
 
 
+def q_embed_dedup(spark, sf_dir):
+    """F2/F3 composition capstone: embedding-level near-dup collapse —
+    sign-LSH blocking (vector.sign_bucket, an equijoin not a cartesian) →
+    rounded-cosine pair verification (dedup.embedding_cosine_pairs) →
+    exact connected components (dedup.connected_components) assigning
+    every vector its duplicate-cluster id. The standard semantic-dedup
+    stage of an embedding-indexed corpus, each stage engine-reproducible:
+    the oracle mirrors bucket, pair set, and the transitive closure
+    (recursive CTE)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.withColumn(
+        "bucket", V.sign_bucket(V.as_double(F.col("embedding")), 8)
+    )
+    pairs = D.embedding_cosine_pairs(
+        b, "vec_id", "embedding", threshold=0.5, block_col="bucket"
+    )
+    return D.connected_components(
+        e.select("vec_id"), pairs, id_col="vec_id", src="id_a", dst="id_b"
+    ).withColumnRenamed("component_id", "cluster_id")
+
+
 def q_incremental_extract(spark, sf_dir):
     """D21 under the gate: the reference's templated watermark idiom —
     ``soql``/``query`` are Jinja template_fields re-rendered per run with
@@ -2719,6 +2740,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_bucketed_join": q_bucketed_join,
     "q_incremental_extract": q_incremental_extract,
     "q_object_extract": q_object_extract,
+    "q_embed_dedup": q_embed_dedup,
     "q_dedup_fingerprint": q_dedup_fingerprint,
     "q_winnow_fingerprint": q_winnow_fingerprint,
     "q_simhash": q_simhash,
@@ -4214,6 +4236,34 @@ ORACLES: dict[str, str] = {
     "q_bucketed_join": """
         SELECT o_orderkey, o_custkey, c_name, o_totalprice
         FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "q_embed_dedup": """
+        WITH RECURSIVE b AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) +
+                   (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
+                   (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) +
+                   (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) +
+                   (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END) +
+                   (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END) +
+                   (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END) +
+                   (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+            FROM embeddings
+        ), edges AS (
+            SELECT a.vec_id AS src, b2.vec_id AS dst
+            FROM b a JOIN b b2
+              ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+            WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= 0.5
+        ), sym AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT dst, src FROM edges
+        ), reach AS (
+            SELECT vec_id AS id, vec_id AS r FROM embeddings
+            UNION
+            SELECT reach.id, e.dst FROM reach JOIN sym e ON reach.r = e.src
+        )
+        SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id
     """,
     "q_incremental_extract": """
         SELECT event_id, user_id, event_type FROM events
