@@ -1615,10 +1615,12 @@ def q_json_extract(spark, sf_dir):
 def q_multimodal_histogram(spark, sf_dir):
     """F4: per-payload byte histogram (16 bins) via numpy over Arrow
     batches — the deterministic stand-in for real feature extraction
-    (MFCC/embeddings once a decoder is injected). Rows-only at the driver
-    gate (binary feature extraction has no DuckDB mirror); the exact
-    values are pinned by tests/test_io_multimodal.py against Python
-    references."""
+    (MFCC/embeddings once a decoder is injected). Emitted in exploded
+    long form (doc_id, bin, n) — scalar-only output schema, so any
+    pandas-based canonicalizer can hash it (array<long> outputs cannot
+    be factorized; same discipline as the no-DECIMAL rule). Fully
+    oracled: the DuckDB mirror recovers payload bytes via hex-pair
+    parsing and bins them identically."""
     from salesforce_plugin_spark.functions.multimodal import byte_histogram
 
     d = parallelized(
@@ -4455,15 +4457,10 @@ ORACLES["q_simhash"] = _simhash_oracle()
 def _byte_histogram_oracle(n_bins: int = 16) -> str:
     """Generate the q_multimodal_histogram oracle: the UTF-8 payload bytes
     recovered byte-exactly via hex-pair parsing, binned to 256//n_bins-wide
-    buckets, assembled into the same ordered array<long> the Arrow-batched
-    numpy stage emits. Docs whose payload is empty still get a zero
-    histogram (left join back onto documents)."""
+    buckets, emitted in the same exploded (doc_id, bin, n) long form the
+    Arrow-batched numpy stage produces — every (doc, bin) pair present,
+    zero counts included (documents × bins scaffold, left join counts)."""
     width = 256 // n_bins
-    bins = ",\n                    ".join(
-        f"CAST(sum(CASE WHEN bin = {b} THEN 1 ELSE 0 END) AS BIGINT)"
-        for b in range(n_bins)
-    )
-    zeros = ", ".join("0" for _ in range(n_bins))
     return f"""
         WITH hx AS (
             SELECT doc_id, hex(encode(text)) AS h,
@@ -4474,13 +4471,17 @@ def _byte_histogram_oracle(n_bins: int = 16) -> str:
                    CAST(('0x' || substr(h, 2 * i - 1, 2)) AS INTEGER) // {width} AS bin
             FROM hx, unnest(generate_series(1, nb)) AS g(i)
         ), counts AS (
-            SELECT doc_id,
-                   [{bins}] AS histogram
-            FROM bytes GROUP BY doc_id
+            SELECT doc_id, bin, count(*) AS n
+            FROM bytes GROUP BY doc_id, bin
+        ), bins AS (
+            SELECT unnest(generate_series(0, {n_bins - 1})) AS bin
         )
         SELECT d.doc_id,
-               coalesce(c.histogram, CAST([{zeros}] AS BIGINT[])) AS histogram
-        FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
+               CAST(b.bin AS INTEGER) AS bin,
+               CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        FROM documents d
+        CROSS JOIN bins b
+        LEFT JOIN counts c ON d.doc_id = c.doc_id AND b.bin = c.bin
     """
 
 

@@ -90,31 +90,50 @@ def payload_stats(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
 def byte_histogram(
     df: DataFrame, id_col: str, payload_col: str, n_bins: int = 16
 ) -> DataFrame:
-    """Per-payload byte histogram (``array<long>`` of ``n_bins``) — a real,
-    deterministic feature-extraction stage over opaque binary (the shape of
-    MFCC/embedding extraction once a decoder is injected): numpy over Arrow
-    batches, no shuffle, features stay columnar."""
+    """Per-payload byte histogram in exploded long form — one row per
+    ``(doc_id, bin)`` carrying the byte count ``n``, with all ``n_bins``
+    rows emitted per payload (zero bins included, so the shape is
+    deterministic). A real feature-extraction stage over opaque binary
+    (the shape of MFCC/embedding extraction once a decoder is injected):
+    numpy over Arrow batches, no shuffle, the 1:n_bins explode happens
+    inside the pandas stage.
+
+    Long form is deliberate: result schemas stay scalar-only (array-typed
+    output columns break pandas-based canonicalizers downstream — the
+    conformance output discipline, same family as the no-DECIMAL rule)."""
     import numpy as np
 
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
-            T.StructField("histogram", T.ArrayType(T.LongType())),
+            T.StructField("bin", T.IntegerType()),
+            T.StructField("n", T.LongType()),
         ]
     )
     width = 256 // n_bins
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bins = np.arange(n_bins, dtype=np.int32)
         for pdf in batches:
-            hists = [
-                np.bincount(
-                    np.frombuffer(bytes(p), dtype=np.uint8) // width,
-                    minlength=n_bins,
-                )[:n_bins].tolist()
-                for p in pdf[payload_col]
-            ]
+            ids = pdf[id_col].astype("int64").to_numpy()
+            if len(ids):
+                counts = np.vstack(
+                    [
+                        np.bincount(
+                            np.frombuffer(bytes(p), dtype=np.uint8) // width,
+                            minlength=n_bins,
+                        )[:n_bins]
+                        for p in pdf[payload_col]
+                    ]
+                )
+            else:
+                counts = np.zeros((0, n_bins), dtype=np.int64)
             yield pd.DataFrame(
-                {"doc_id": pdf[id_col].astype("int64"), "histogram": hists}
+                {
+                    "doc_id": np.repeat(ids, n_bins),
+                    "bin": np.tile(bins, len(ids)),
+                    "n": counts.reshape(-1).astype("int64"),
+                }
             )
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(

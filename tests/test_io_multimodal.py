@@ -98,11 +98,19 @@ def test_byte_histogram_features(spark):
 
     from salesforce_plugin_spark.functions.multimodal import byte_histogram
 
-    df = spark.createDataFrame([(1, bytes([0, 0, 16, 255]))], ["doc_id", "p"])
-    row = byte_histogram(df, "doc_id", "p", n_bins=16).collect()[0]
+    df = spark.createDataFrame(
+        [(1, bytes([0, 0, 16, 255])), (2, b"")], ["doc_id", "p"]
+    )
+    out = byte_histogram(df, "doc_id", "p", n_bins=16)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "bin", "n"]
+    rows = {(r.doc_id, r.bin): r.n for r in out.collect()}
+    # exploded long form: all 16 bins per doc, zeros included
+    assert len(rows) == 32
     # bytes 0,0 → bin 0; 16 → bin 1; 255 → bin 15
-    assert row.histogram[0] == 2 and row.histogram[1] == 1 and row.histogram[15] == 1
-    assert sum(row.histogram) == 4 and len(row.histogram) == 16
+    assert rows[(1, 0)] == 2 and rows[(1, 1)] == 1 and rows[(1, 15)] == 1
+    assert sum(n for (d, _), n in rows.items() if d == 1) == 4
+    # empty payload → all-zero bins, still 16 rows
+    assert all(rows[(2, b)] == 0 for b in range(16))
 
 
 def test_resize_plan_with_fake_decoder_and_resizer(spark):

@@ -75,6 +75,24 @@ def test_event_range_pushes_raw_nanos_bounds(spark):
 
 
 @needs_fixtures
+def test_output_schemas_are_scalar_only(spark):
+    """Driver-canonicalizer safety sweep over the whole registry: no
+    DECIMAL (round-2 failure class: Spark DECIMAL(28) vs DuckDB HUGEINT
+    canonicalize differently) and no Array/Struct/Map (round-3 failure
+    class: a pandas-based canonicalizer cannot factorize numpy arrays)
+    in any query's FINAL output schema. Nested/array data may flow
+    freely inside plans — only the result surface must be scalar."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+    banned = (ArrayType, DecimalType, MapType, StructType)
+    for name, fn in QUERIES.items():
+        for f in fn(spark, SF).schema.fields:
+            assert not isinstance(f.dataType, banned), (
+                f"{name}.{f.name} has non-scalar/decimal type {f.dataType}"
+            )
+
+
+@needs_fixtures
 def test_no_cartesian_products_anywhere(spark):
     """Every registry plan must be free of unintended cross joins (the
     broadcast-query-vector crossJoin in top-k is a 1-row broadcast, which
