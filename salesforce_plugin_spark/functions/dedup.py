@@ -484,6 +484,39 @@ def hamming64(a: Column, b: Column) -> Column:
 # n-gram Jaccard (exact pairwise measure)
 # ---------------------------------------------------------------------------
 
+def derive_banding(
+    threshold: float, max_hashes: int = 256, target_recall: float = 0.9
+) -> tuple[int, int]:
+    """Pick a self-consistent ``(num_hashes, bands)`` for LSH pruning at a
+    given Jaccard ``threshold``: with ``b`` bands of ``r`` rows each, a pair
+    of similarity ``s`` becomes a candidate with probability
+    ``1-(1-s^r)^b``; we choose the largest ``r`` (fewer false-positive
+    candidates) whose band count keeps candidate recall at
+    ``s = threshold`` above ``target_recall`` within the ``max_hashes``
+    signature budget. Fixing the banding while the threshold moves is the
+    classic silent-recall bug (a 16-hash/8-band scheme has a ~0.35 banding
+    threshold — at threshold 0.2 it finds ~28% of true pairs)."""
+    import math
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            "LSH pruning needs 0 < threshold <= 1; use prune=None instead"
+        )
+    need = math.log(1.0 - target_recall)
+    for r in (8, 6, 5, 4, 3, 2, 1):
+        p = threshold**r
+        if p >= 1.0:
+            return (r, 1)
+        b = math.ceil(need / math.log1p(-p))  # log1p: exact for tiny p
+        if b * r <= max_hashes:
+            return (b * r, b)
+    raise ValueError(
+        f"threshold={threshold} needs more than {max_hashes} minhashes for "
+        f"{target_recall:.0%} candidate recall; use prune=None or pass an "
+        "explicit (num_hashes, bands)"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -491,8 +524,8 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     prune: str | None = "lsh",
-    num_hashes: int = 16,
-    bands: int = 8,
+    num_hashes: int | None = None,
+    bands: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard: inter/(|A|+|B|-inter) with integer
     counts, one rounded double divide at the end.
@@ -506,13 +539,25 @@ def ngram_jaccard_pairs(
     quadratic in the hottest shingle's bucket (one boilerplate shingle
     shared by k docs makes a k² reducer), which is a scale-killer on web
     corpora — reserve it for oracle mirroring and small candidate sets.
-    Note LSH recall is probabilistic below the banding threshold
-    (~(1/bands)^(bands/num_hashes)); tune (num_hashes, bands) to the target
-    ``threshold``. Both forms agree on the fixtures (pinned in tests).
+
+    By default ``(num_hashes, bands)`` are DERIVED from ``threshold`` via
+    :func:`derive_banding`, so candidate recall at the operating threshold
+    stays ≥90% no matter what threshold the caller picks (a fixed banding
+    silently loses recall when the threshold drops below its banding
+    threshold). Pass both explicitly to pin a custom trade-off — passing
+    only one is an error. Both forms agree on the fixtures (pinned in
+    tests).
     """
     sh = exploded_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     if prune == "lsh":
+        if (num_hashes is None) != (bands is None):
+            raise ValueError(
+                "pass both num_hashes and bands or neither (derived from "
+                "threshold)"
+            )
+        if num_hashes is None:
+            num_hashes, bands = derive_banding(threshold)
         cands = lsh_candidate_pairs(
             minhash_signatures(df, id_col, text_col, num_hashes, n),
             id_col,

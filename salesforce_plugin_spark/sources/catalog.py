@@ -40,7 +40,62 @@ TABLES = (
 )
 
 
+def _resolve_footer_path(path: str) -> str | None:
+    """Resolve ``path`` (file, directory, or glob) to a concrete path that
+    ``pyarrow.dataset`` can inspect. Globs are resolved to their first
+    match (``ds.dataset`` raises on glob patterns — previously the column
+    was silently treated as a native timestamp); None when nothing
+    matches."""
+    if any(ch in path for ch in "*?["):
+        import glob
+
+        matches = sorted(glob.glob(path))
+        return matches[0] if matches else None
+    return path
+
+
+def _footer_mtime_ns(path: str) -> int:
+    """Freshness key for footer-schema caching: the file's mtime, or for a
+    directory the max of its own and its direct children's mtimes (fixture
+    regeneration rewrites the part files). -1 when not stat-able."""
+    try:
+        st = os.stat(path)
+        m = st.st_mtime_ns
+        if os.path.isdir(path):
+            for entry in os.scandir(path):
+                m = max(m, entry.stat().st_mtime_ns)
+        return m
+    except OSError:
+        return -1
+
+
 @lru_cache(maxsize=256)
+def _footer_schema_at(path: str, mtime_ns: int):
+    try:
+        import pyarrow.dataset as ds
+
+        return ds.dataset(path, format="parquet").schema
+    except Exception:
+        return None
+
+
+def footer_schema(path: str):
+    """Arrow schema from the parquet footer(s) under ``path`` (file, dir,
+    or glob), or None if not inspectable. Cached on ``(path, mtime)`` so a
+    path whose fixtures are regenerated between reads — the exact
+    between-rounds hazard — is re-sniffed instead of served a stale schema
+    decision."""
+    resolved = _resolve_footer_path(path)
+    if resolved is None:
+        return None
+    return _footer_schema_at(resolved, _footer_mtime_ns(resolved))
+
+
+def clear_schema_cache() -> None:
+    """Drop all cached footer schemas (test/ops hook)."""
+    _footer_schema_at.cache_clear()
+
+
 def timestamp_unit(path: str, col: str) -> str | None:
     """Physical parquet timestamp unit ('s'/'ms'/'us'/'ns') of ``col`` under
     ``path``, or None if the column is not a timestamp or the footer cannot
@@ -48,55 +103,97 @@ def timestamp_unit(path: str, col: str) -> str | None:
     size. This is the single source of truth for whether a timestamp column
     needs the legacy nanos→long repair (the fixtures have historically
     shipped both encodings; hardcoding either one is how time units break)."""
-    try:
-        import pyarrow as pa
-        import pyarrow.dataset as ds
+    import pyarrow as pa
 
-        schema = ds.dataset(path, format="parquet").schema
-        for name, typ in zip(schema.names, schema.types):
-            if name.lower() == col.lower():
-                return typ.unit if isinstance(typ, pa.TimestampType) else None
+    schema = footer_schema(path)
+    if schema is None:
         return None
-    except Exception:
-        return None
+    for name, typ in zip(schema.names, schema.types):
+        if name.lower() == col.lower():
+            return typ.unit if isinstance(typ, pa.TimestampType) else None
+    return None
 
 
-@lru_cache(maxsize=256)
 def column_arrow_type(path: str, col: str) -> str | None:
     """Arrow type string (e.g. ``'timestamp[us]'``, ``'int64'``) of ``col``
     under ``path``, or None if absent / footer not inspectable. Footer-only
     read, like :func:`timestamp_unit`."""
-    try:
-        import pyarrow.dataset as ds
-
-        schema = ds.dataset(path, format="parquet").schema
-        for name, typ in zip(schema.names, schema.types):
-            if name.lower() == col.lower():
-                return str(typ)
+    schema = footer_schema(path)
+    if schema is None:
         return None
-    except Exception:
-        return None
+    for name, typ in zip(schema.names, schema.types):
+        if name.lower() == col.lower():
+            return str(typ)
+    return None
 
 
-@lru_cache(maxsize=256)
 def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
     """Column names stored as parquet TIMESTAMP(NANOS) under ``path``.
 
     Footer-only read; returns () when pyarrow is unavailable or the path is
     not locally inspectable (in that case no repair is attempted).
     """
-    try:
-        import pyarrow.dataset as ds
-        import pyarrow as pa
+    import pyarrow as pa
 
-        schema = ds.dataset(path, format="parquet").schema
-        return tuple(
-            name
-            for name, typ in zip(schema.names, schema.types)
-            if isinstance(typ, pa.TimestampType) and typ.unit == "ns"
-        )
-    except Exception:
+    schema = footer_schema(path)
+    if schema is None:
         return ()
+    return tuple(
+        name
+        for name, typ in zip(schema.names, schema.types)
+        if isinstance(typ, pa.TimestampType) and typ.unit == "ns"
+    )
+
+
+def epoch_unit_of(value: int) -> str:
+    """Infer the epoch unit of an integer timestamp by magnitude: for any
+    date between 1971 and 2262, epoch seconds are ~1e8-1e10, millis
+    ~1e11-1e13, micros ~1e14-1e16, nanos ≥1e17 — the decades between the
+    ranges make the inference unambiguous for plausible event times."""
+    v = abs(int(value))
+    if v >= 10**17:
+        return "ns"
+    if v >= 10**14:
+        return "us"
+    if v >= 10**11:
+        return "ms"
+    return "s"
+
+
+def int64_epoch_unit(path: str, col: str) -> str | None:
+    """Epoch unit ('s'/'ms'/'us'/'ns') of an int64 column under ``path``,
+    sniffed from parquet row-group *statistics* (footer-only; no data pages
+    read) via :func:`epoch_unit_of`. None when no row group publishes
+    min/max for the column. An int64 event-time column is ambiguous by
+    type alone — assuming one unit silently compresses/expands event time
+    1000× when a legacy extract used another (the round-2 failure class)."""
+    try:
+        import pyarrow.parquet as pq
+
+        resolved = _resolve_footer_path(path)
+        if resolved is None:
+            return None
+        if os.path.isdir(resolved):
+            parts = sorted(
+                e.path
+                for e in os.scandir(resolved)
+                if e.name.endswith(".parquet")
+            )
+            if not parts:
+                return None
+            resolved = parts[0]
+        md = pq.ParquetFile(resolved).metadata
+        names = [n.lower() for n in md.schema.to_arrow_schema().names]
+        if col.lower() not in names:
+            return None
+        idx = names.index(col.lower())
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max and st.max is not None:
+                return epoch_unit_of(st.max)
+        return None
+    except Exception:
+        return None
 
 
 def lowercase_columns(df: DataFrame) -> DataFrame:

@@ -23,17 +23,18 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import Column, DataFrame, SparkSession
 
-def events_schema(ts_is_raw_nanos: bool) -> T.StructType:
+def events_schema(ts_is_raw_long: bool) -> T.StructType:
     """events fixture schema (FIXTURES.md) — streaming file sources need an
     explicit schema (no inference mid-stream). ``ts`` is declared LongType
-    only when the parquet physically stores TIMESTAMP(NANOS) (which the
+    when the parquet physically stores TIMESTAMP(NANOS) (which the
     session-wide ``spark.sql.legacy.parquet.nanosAsLong`` surfaces as raw
-    epoch-nanos longs); for µs/ms/s encodings it is a plain TimestampType."""
+    epoch-nanos longs) or a plain int64 epoch column; for µs/ms/s timestamp
+    encodings it is a plain TimestampType."""
     return T.StructType(
         [
             T.StructField("event_id", T.LongType()),
             T.StructField(
-                "ts", T.LongType() if ts_is_raw_nanos else T.TimestampType()
+                "ts", T.LongType() if ts_is_raw_long else T.TimestampType()
             ),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
@@ -43,8 +44,21 @@ def events_schema(ts_is_raw_nanos: bool) -> T.StructType:
     )
 
 
+#: repair expression per raw-long epoch unit (all integer arithmetic —
+#: epoch nanos exceed double's 2^53 exact range, so no float divides)
+_EPOCH_REPAIR = {
+    "ns": "timestamp_micros(ts div 1000)",
+    "us": "timestamp_micros(ts)",
+    "ms": "timestamp_millis(ts)",
+    "s": "timestamp_seconds(ts)",
+}
+
+
 def stream_events(
-    spark: SparkSession, path: str, watermark: str | None = "30 minutes"
+    spark: SparkSession,
+    path: str,
+    watermark: str | None = "30 minutes",
+    ts_unit: str | None = None,
 ) -> DataFrame:
     """readStream over an events parquet directory with event-time watermark.
 
@@ -62,33 +76,51 @@ def stream_events(
     path is rewritten to a glob matching exactly that file.
 
     The ``ts`` encoding is sniffed from the parquet footer exactly like the
-    batch path (catalog.timestamp_unit): only genuine TIMESTAMP(NANOS)
-    columns are read as raw longs and repaired with ``timestamp_micros(ts
-    div 1000)``. Native µs/ms timestamps pass through untouched — dividing
+    batch path (catalog.timestamp_unit): genuine TIMESTAMP(NANOS) columns
+    are read as raw longs and repaired with ``timestamp_micros(ts div
+    1000)``; native µs/ms timestamps pass through untouched — dividing
     those again compresses event time 1000× (the round-2 streaming bug).
+    A plain int64 ``ts`` is ambiguous by type alone (epoch-s/ms/us/ns are
+    all plausible legacy-extract shapes), so its unit is sniffed from
+    row-group statistics by magnitude (catalog.int64_epoch_unit); pass
+    ``ts_unit`` explicitly to override, and if neither sniff nor caller
+    determines the unit this raises rather than guessing.
     """
     import os
 
     from salesforce_plugin_spark.session import ensure_runtime_conf
-    from salesforce_plugin_spark.sources.catalog import column_arrow_type
+    from salesforce_plugin_spark.sources.catalog import (
+        column_arrow_type,
+        int64_epoch_unit,
+    )
 
     # normalize the session like the batch catalog does — a caller driving
     # ONLY the streaming path on a fresh session still needs UTC time and
     # the parquet confs (batch queries get this via load_table)
     ensure_runtime_conf(spark)
-    # raw-nanos shapes: genuine TIMESTAMP(NANOS) (surfaced as long under the
-    # session's nanosAsLong conf) or an already-long epoch-nanos column (the
-    # shape a legacy extract lands). Native timestamp units pass through.
-    ts_is_raw_nanos = column_arrow_type(path, "ts") in ("timestamp[ns]", "int64")
+    arrow_t = column_arrow_type(path, "ts")
+    if arrow_t == "timestamp[ns]":
+        ts_unit = ts_unit or "ns"
+    elif arrow_t == "int64":
+        ts_unit = ts_unit or int64_epoch_unit(path, "ts")
+        if ts_unit is None:
+            raise ValueError(
+                f"int64 ts column under {path} has no row-group statistics "
+                "to infer its epoch unit from; pass ts_unit='s'|'ms'|'us'|'ns'"
+            )
+    else:
+        ts_unit = None  # native timestamp — no repair
+    if ts_unit is not None and ts_unit not in _EPOCH_REPAIR:
+        raise ValueError(f"unknown ts_unit {ts_unit!r}")
     if os.path.isfile(path):
         path = path + "*" if not path.endswith("*") else path
     raw = (
-        spark.readStream.schema(events_schema(ts_is_raw_nanos))
+        spark.readStream.schema(events_schema(ts_unit is not None))
         .option("maxFilesPerTrigger", 8)  # bounded batches on backfill
         .parquet(path)
     )
-    if ts_is_raw_nanos:
-        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_unit is not None:
+        raw = raw.withColumn("ts", F.expr(_EPOCH_REPAIR[ts_unit]))
     return raw.withWatermark("ts", watermark) if watermark else raw
 
 
@@ -104,8 +136,12 @@ def windowed_event_counts(
     # rounded to 4 digits by a compact decimal cast, carried as a scaled
     # BIGINT in the window state (cheaper per-update than a widening
     # decimal accumulator), divided back once on emit — value-identical to
-    # a decimal sum cast to double (see conformance._sumd)
-    scaled = (F.col("value").cast("decimal(14,4)") * 10000).cast("long")
+    # a decimal sum cast to double (see conformance._sumd). Bounds (same
+    # contract as _sumd): per-row |value| < 1e14 (decimal(18,4) headroom —
+    # larger values fail the cast loudly under ANSI mode rather than
+    # silently dropping out of the sum), the long accumulator holds
+    # |Σ|·1e4 < 2^63, and the final divide is exact while |Σ|·1e4 < 2^53.
+    scaled = (F.col("value").cast("decimal(18,4)") * 10000).cast("long")
     return (
         events.groupBy(w.alias("w"), "event_type")
         .agg(

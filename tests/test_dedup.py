@@ -18,6 +18,36 @@ from salesforce_plugin_spark.functions.dedup import (
 )
 
 
+def test_derive_banding_recall_holds_at_threshold():
+    """The derived (num_hashes, bands) must give >= 90% candidate recall
+    AT the operating threshold — the ADVICE regression was a fixed
+    16-hash/8-band scheme whose banding threshold (~0.35) sat far above
+    the default threshold (0.2), silently finding ~28% of true pairs."""
+    from salesforce_plugin_spark.functions.dedup import derive_banding
+
+    for t in (0.05, 0.1, 0.2, 0.35, 0.5, 0.8):
+        num_hashes, bands = derive_banding(t)
+        r = num_hashes // bands
+        assert num_hashes == bands * r and num_hashes <= 256
+        recall = 1.0 - (1.0 - t**r) ** bands
+        assert recall >= 0.9, (t, num_hashes, bands, recall)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        derive_banding(0.0)
+    with pytest.raises(ValueError):
+        derive_banding(0.001)  # needs >256 hashes
+
+
+def test_jaccard_lsh_mismatched_banding_args_raise(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c")], ["id", "t"])
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(df, "id", "t", num_hashes=16)  # bands missing
+
+
 def test_dedup_exact_keeps_first_by_order(spark):
     df = spark.createDataFrame(
         [(1, "k", 3), (2, "k", 1), (3, "k", 2), (4, "j", 9)],

@@ -65,6 +65,72 @@ def test_nanos_repair_set_is_consistent_with_units(sf_dir):
         assert nanos == expected, (table, nanos)
 
 
+def test_epoch_unit_of_magnitudes():
+    """Magnitude bands for int64 epoch inference: 2024-ish instants in each
+    unit land in the right band, and the bands are decades apart."""
+    from salesforce_plugin_spark.sources.catalog import epoch_unit_of
+
+    t = 1_700_000_000  # 2023-11-14 in seconds
+    assert epoch_unit_of(t) == "s"
+    assert epoch_unit_of(t * 1_000) == "ms"
+    assert epoch_unit_of(t * 1_000_000) == "us"
+    assert epoch_unit_of(t * 1_000_000_000) == "ns"
+
+
+def test_int64_epoch_unit_from_statistics(tmp_path):
+    """int64_epoch_unit reads row-group stats only — a millis-encoded int64
+    ts must sniff as 'ms' (the exact shape the nanos assumption broke on)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from salesforce_plugin_spark.sources.catalog import int64_epoch_unit
+
+    path = str(tmp_path / "ev.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array([1_700_000_000_000, 1_700_000_100_000])}),
+        path,
+    )
+    assert int64_epoch_unit(path, "ts") == "ms"
+    assert int64_epoch_unit(path, "missing") is None
+
+
+def test_footer_cache_invalidates_on_rewrite(tmp_path):
+    """The footer-schema cache keys on (path, mtime): regenerating a file at
+    the same path with a different unit must re-sniff, not serve the stale
+    decision (the between-rounds fixture hazard)."""
+    import os as _os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from salesforce_plugin_spark.sources.catalog import timestamp_unit
+
+    path = str(tmp_path / "t.parquet")
+    ts = pa.array([1_700_000_000_000_000], type=pa.timestamp("us"))
+    pq.write_table(pa.table({"ts": ts}), path)
+    assert timestamp_unit(path, "ts") == "us"
+    time.sleep(0.01)
+    ts_ns = pa.array([1_700_000_000_000_000_000], type=pa.timestamp("ns"))
+    pq.write_table(pa.table({"ts": ts_ns}), path)
+    _os.utime(path)  # ensure the mtime tick is visible on coarse filesystems
+    assert timestamp_unit(path, "ts") == "ns"
+
+
+def test_footer_sniff_resolves_globs(tmp_path):
+    """A glob path (the shape stream_events hands the source) must resolve
+    to a sample file for footer inspection instead of silently failing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from salesforce_plugin_spark.sources.catalog import column_arrow_type
+
+    path = str(tmp_path / "g.parquet")
+    pq.write_table(pa.table({"ts": pa.array([1], type=pa.int64())}), path)
+    assert column_arrow_type(path + "*", "ts") == "int64"
+    assert column_arrow_type(str(tmp_path / "nope*"), "ts") is None
+
+
 @needs_fixtures
 def test_stream_schema_tracks_footer_unit():
     """The streaming source must declare ``ts`` LongType only for genuine
