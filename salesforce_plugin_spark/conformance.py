@@ -2584,6 +2584,32 @@ def q_soql_relationship(spark, sf_dir):
     )
 
 
+def q_soql_relationship3(spark, sf_dir):
+    """D8, 3-hop form through the string front door: a three-level
+    child-to-parent dot path (order.customer.nation.n_name from lineitem)
+    exercising the ≤5-level SOQL relationship contract
+    (reference: salesforce_to_s3_operator.py:29 forwards such paths
+    verbatim to the API). Each hop lowers to one broadcast lookup join
+    via the relationship registry — the chain shares the orders hop
+    between the 2-segment and 3-segment paths (chain_table memoization in
+    plans/soql.py), so three distinct paths cost three joins, not five."""
+    from salesforce_plugin_spark.plans import soql_to_df
+    from salesforce_plugin_spark.sources.catalog import fixture_relationships
+
+    def resolve(name):
+        return load_table(spark, sf_dir, name.lower())
+
+    return soql_to_df(
+        spark,
+        "SELECT l_orderkey, l_linenumber, order.o_orderpriority prio, "
+        "order.customer.c_name cust_name, "
+        "order.customer.nation.n_name nation_name "
+        "FROM lineitem WHERE l_quantity > 49",
+        resolve=resolve,
+        relationships=fixture_relationships(),
+    )
+
+
 def q_soql_child_sub(spark, sf_dir):
     """D9 via the string front door: a nested parent-to-child subselect
     produces an array-of-structs column per parent; serialized to sorted
@@ -2798,6 +2824,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_tpch_q22": q_tpch_q22,
     "q_tpch_q2": q_tpch_q2,
     "q_tpch_q9": q_tpch_q9,
+    "q_soql_relationship3": q_soql_relationship3,
 }
 
 
@@ -4043,6 +4070,15 @@ ORACLES: dict[str, str] = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         WHERE o_totalprice > 300000
+    """,
+    "q_soql_relationship3": """
+        SELECT l_orderkey, l_linenumber, o_orderpriority AS prio,
+               c_name AS cust_name, n_name AS nation_name
+        FROM lineitem
+        LEFT JOIN orders ON l_orderkey = o_orderkey
+        LEFT JOIN customer ON o_custkey = c_custkey
+        LEFT JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_quantity > 49
     """,
     "q_soql_date_literal": """
         SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users

@@ -294,26 +294,35 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    method: str = "propagation",
 ) -> DataFrame:
-    """Exact connected components by min-label propagation: every node
-    starts labeled with its own id; each iteration takes
-    ``label = min(label, min(neighbor labels))`` until a fixpoint —
-    convergence in O(graph diameter) iterations, which for dedup graphs
-    (near-clique clusters of duplicates) is 2-3. This is the multi-hop
-    closure of ``near_dedup_clusters``' single-hop bucket-min pass.
+    """Exact connected components. ``method="propagation"`` (default) is
+    min-label propagation: every node starts labeled with its own id; each
+    iteration takes ``label = min(label, min(neighbor labels))`` until a
+    fixpoint — convergence in O(graph diameter) iterations, which for
+    dedup graphs (near-clique clusters of duplicates) is 2-3. This is the
+    multi-hop closure of ``near_dedup_clusters``' single-hop bucket-min
+    pass. ``method="star"`` is the large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    converging in O(log² n) rounds independent of diameter — use it when
+    dup-clusters chain (long-diameter graphs: A≈B≈C≈… at corpus scale),
+    where propagation would need diameter-many shuffles.
 
-    Distribution: each iteration is one shuffle join (labels ⨝ symmetrized
-    edges) + a groupBy min; the driver reads only a 1-row changed-count per
-    iteration (no data collect). Lineage is truncated per iteration with
-    ``localCheckpoint`` — at 100 TB use a reliable ``checkpoint`` dir
-    instead, and for power-law graphs with large diameter switch to the
-    large-star/small-star alternation (Kiveris et al.), which converges in
-    O(log n) rounds; duplicate clusters don't need it.
+    Distribution: each iteration is one shuffle join + a groupBy min; the
+    driver reads only a 1-row changed-count per iteration (no data
+    collect). Lineage is truncated per iteration with ``localCheckpoint``
+    — at 100 TB use a reliable ``checkpoint`` dir instead.
 
     Returns one row per node: (``id_col``, component_id), component_id =
     min node id in the component. Deterministic — oracle-checkable against
     a recursive-CTE transitive closure.
     """
+    if method == "star":
+        return _connected_components_star(
+            nodes, edges, id_col, src, dst, max_iter
+        )
+    if method != "propagation":
+        raise ValueError(f"unknown method: {method!r}")
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
@@ -346,6 +355,81 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component_id"))
+
+
+def _connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    src: str,
+    dst: str,
+    max_iter: int,
+) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al. 2014). Each round:
+
+    - **large-star**: per node u over its full neighborhood, connect every
+      strictly-larger neighbor v > u to m = min(Γ(u) ∪ {u}) — long chains
+      short-circuit toward the minimum without waiting for labels to walk.
+    - **small-star**: on the resulting bigger→smaller directed edges, per
+      node u re-point every smaller neighbor (and u itself) at
+      m = min(Γ(u) ∪ {u}) — flattens partial stars.
+
+    Rounds repeat until the edge set is a fixpoint (every edge points a
+    node at its component minimum) — O(log² n) rounds on any graph,
+    independent of diameter, each round two shuffle joins. The fixpoint
+    check is an exact multiset difference (``exceptAll`` count — 1-row
+    driver read, like propagation's changed-count)."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # large-star over the symmetrized neighborhood
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        nbr_min = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        with_m = sym.join(nbr_min, "u").withColumn(
+            "m", F.least(F.col("u"), F.col("mn"))
+        )
+        large = (
+            with_m.filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on bigger→smaller edges (large-star output guarantees
+        # v < u: m ≤ u < v for every emitted (v, m))
+        nbr_min2 = large.groupBy("u").agg(F.min("v").alias("m2"))
+        small = (
+            large.join(nbr_min2, "u")
+            .select(
+                F.when(F.col("v") == F.col("m2"), F.col("u"))
+                .otherwise(F.col("v"))
+                .alias("u"),
+                F.col("m2").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (
+            small.exceptAll(e).count() + e.exceptAll(small).count()
+        )
+        e = small
+        if changed == 0:
+            break
+    # at the fixpoint each non-min node carries exactly one (node, min)
+    # edge; the min agg also makes a truncated run (max_iter hit before
+    # convergence) return a deterministic best-so-far labeling
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(e, F.col("node") == F.col("u"), "left")
+        .groupBy(F.col("node").alias(id_col))
+        .agg(
+            F.min(F.coalesce(F.col("v"), F.col("node"))).alias("component_id")
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

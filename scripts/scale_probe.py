@@ -1,10 +1,21 @@
 """Reproducible 10× fact-scale probe (SCALE.md "10× fact-scale probe").
 
 Builds ``.scratch/facts10x/`` holding each FACT table as a directory of 10
-copies of the sf0.1 parquet file (6M lineitem rows) while DIMENSIONS stay
-at 1× — the closer analog of a real scale-up step than scaling everything
-— then times each probe query min-of-2 with a noop sink at both scales in
-the same session and prints the ratio table.
+key-shifted copies of the sf0.1 parquet file (6M lineitem rows) while
+DIMENSIONS stay at 1× — the closer analog of a real scale-up step than
+scaling everything — then times each probe query min-of-2 with a noop sink
+at both scales in the same session and prints the ratio table.
+
+Key shifting matters: naive identical copies give every fact row 10
+same-key twins, so a fact-fact join (lineitem⨝orders on orderkey) matches
+each of 10 lineitem copies against 10 orders copies — 100× the join
+output, not 10× — and the probe then reports join explosion, not scaling
+(the round-3 q5 "2.6× at 10×" was exactly this artifact). Copy ``i`` adds
+``i·10⁹`` to the fact-fact join keys (orderkey on both sides; row-identity
+ids) so the join structure is preserved: 10× rows, each matching exactly
+as at 1×. Dimension foreign keys (custkey/partkey/suppkey/nationkey,
+user_id) are NOT shifted — all copies share the 1× dimension population,
+which is what a real 10× data growth over a stable entity base looks like.
 
 Usage: python scripts/scale_probe.py [sf_dir]   (default /root/testdata/sf0.1)
 """
@@ -25,6 +36,17 @@ FACTS = ["orders", "lineitem", "events", "documents", "embeddings"]
 DIMS = ["region", "nation", "customer", "supplier", "part"]
 COPIES = 10
 
+#: per-table columns shifted by i*KEY_OFFSET in copy i — the fact-side join
+#: keys and row-identity ids; dimension FKs stay on the 1× population.
+SHIFT_KEYS = {
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+KEY_OFFSET = 10**9
+
 PROBE = [
     "q_agg_groupby",
     "q_tpch_q2",
@@ -43,22 +65,37 @@ PROBE = [
     "q_training_sequences",
     "q_event_session",
     "q_event_sliding",
+    "q_range_join",
+    "q_asof_join",
 ]
 
 
 def build_scaled_dir(sf_dir: str, out_dir: str) -> str:
-    """Fact tables become directories of COPIES identical parquet files
+    """Fact tables become directories of COPIES key-shifted parquet files
     (Spark treats a directory of files as one table with that many input
     splits); dimensions are single-copy directories."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     for t in FACTS + DIMS:
         src = os.path.join(sf_dir, f"{t}.parquet")
         dst = os.path.join(out_dir, f"{t}.parquet")
         os.makedirs(dst)
-        n = COPIES if t in FACTS else 1
-        for i in range(n):
-            shutil.copy(src, os.path.join(dst, f"part-{i:05d}.parquet"))
+        if t in DIMS:
+            shutil.copy(src, os.path.join(dst, "part-00000.parquet"))
+            continue
+        base = pq.read_table(src)
+        shift_cols = SHIFT_KEYS[t]
+        for i in range(COPIES):
+            tbl = base
+            if i:  # copy 0 keeps original keys
+                for col in shift_cols:
+                    idx = tbl.schema.get_field_index(col)
+                    shifted = pc.add(tbl.column(col), i * KEY_OFFSET)
+                    tbl = tbl.set_column(idx, col, shifted)
+            pq.write_table(tbl, os.path.join(dst, f"part-{i:05d}.parquet"))
     return out_dir
 
 

@@ -134,6 +134,67 @@ def test_connected_components_closes_multi_hop_chains(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
 
 
+def test_star_components_match_propagation_on_path_graph(spark):
+    """Large-star/small-star converges on a long-diameter path graph in
+    O(log² n) rounds — a 30-node path (diameter 29) must fully collapse
+    within far fewer than 29 iterations, and the labeling must equal the
+    propagation method's (given enough iterations for the latter)."""
+    from salesforce_plugin_spark.functions.dedup import connected_components
+
+    n = 30
+    nodes = spark.createDataFrame([(i,) for i in range(n + 3)], ["id"])
+    # path 0-1-...-29, plus pair (30, 31), isolate 32
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(n, n + 1)], ["id_a", "id_b"]
+    )
+    star = {
+        r.id: r.component_id
+        for r in connected_components(
+            nodes, edges, id_col="id", max_iter=10, method="star"
+        ).collect()
+    }
+    prop = {
+        r.id: r.component_id
+        for r in connected_components(
+            nodes, edges, id_col="id", max_iter=40
+        ).collect()
+    }
+    expected = {i: 0 for i in range(n)} | {n: n, n + 1: n, n + 2: n + 2}
+    assert star == expected and prop == expected
+
+
+def test_star_components_on_random_graphs_match_propagation(spark):
+    """Cross-method equivalence on seeded random graphs (the property that
+    matters: both methods compute the same exact partition)."""
+    import random
+
+    from salesforce_plugin_spark.functions.dedup import connected_components
+
+    rng = random.Random(7)
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame(
+        [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(30)
+        ],
+        ["id_a", "id_b"],
+    )
+    star = {
+        r.id: r.component_id
+        for r in connected_components(
+            nodes, edges, id_col="id", method="star"
+        ).collect()
+    }
+    prop = {
+        r.id: r.component_id
+        for r in connected_components(
+            nodes, edges, id_col="id", max_iter=40
+        ).collect()
+    }
+    assert star == prop
+
+
 def test_lsh_recall_on_synthetic_near_duplicates(spark):
     """Recall check: documents that differ by one word in twenty have
     3-shingle jaccard ≈ 0.71 (3 changed shingles of ~18, union ~21). At
