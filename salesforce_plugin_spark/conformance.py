@@ -2585,14 +2585,15 @@ def q_soql_relationship(spark, sf_dir):
 
 
 def q_soql_relationship3(spark, sf_dir):
-    """D8, 3-hop form through the string front door: a three-level
-    child-to-parent dot path (order.customer.nation.n_name from lineitem)
-    exercising the ≤5-level SOQL relationship contract
-    (reference: salesforce_to_s3_operator.py:29 forwards such paths
-    verbatim to the API). Each hop lowers to one broadcast lookup join
-    via the relationship registry — the chain shares the orders hop
-    between the 2-segment and 3-segment paths (chain_table memoization in
-    plans/soql.py), so three distinct paths cost three joins, not five."""
+    """D8, deep-traversal form through the string front door: three- and
+    four-level child-to-parent dot paths (order.customer.nation.n_name
+    and order.customer.nation.region.r_name from lineitem) exercising the
+    ≤5-level SOQL relationship contract (reference:
+    salesforce_to_s3_operator.py:29 forwards such paths verbatim to the
+    API). Each hop lowers to one broadcast lookup join via the
+    relationship registry — the chain shares every common prefix
+    (chain_table memoization in plans/soql.py), so the four distinct
+    paths here cost four joins total, not ten."""
     from salesforce_plugin_spark.plans import soql_to_df
     from salesforce_plugin_spark.sources.catalog import fixture_relationships
 
@@ -2603,7 +2604,8 @@ def q_soql_relationship3(spark, sf_dir):
         spark,
         "SELECT l_orderkey, l_linenumber, order.o_orderpriority prio, "
         "order.customer.c_name cust_name, "
-        "order.customer.nation.n_name nation_name "
+        "order.customer.nation.n_name nation_name, "
+        "order.customer.nation.region.r_name region_name "
         "FROM lineitem WHERE l_quantity > 49",
         resolve=resolve,
         relationships=fixture_relationships(),
@@ -4073,11 +4075,13 @@ ORACLES: dict[str, str] = {
     """,
     "q_soql_relationship3": """
         SELECT l_orderkey, l_linenumber, o_orderpriority AS prio,
-               c_name AS cust_name, n_name AS nation_name
+               c_name AS cust_name, n_name AS nation_name,
+               r_name AS region_name
         FROM lineitem
         LEFT JOIN orders ON l_orderkey = o_orderkey
         LEFT JOIN customer ON o_custkey = c_custkey
         LEFT JOIN nation ON c_nationkey = n_nationkey
+        LEFT JOIN region ON n_regionkey = r_regionkey
         WHERE l_quantity > 49
     """,
     "q_soql_date_literal": """

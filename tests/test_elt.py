@@ -148,3 +148,75 @@ def test_bulk_extract_rejects_rest_only_soql(spark, tmp_path):
     )
     ok.execute(spark)
     assert spark.read.json(str(tmp_path / "ok")).count() == 1
+
+
+def test_auth_kwargs_password_and_direct_modes():
+    """E2: the reference hook's auth dispatch (salesforce_hook.py:47-62) —
+    password mode (default) builds username/password/security_token/
+    instance_url; direct mode maps host→instance_url, password→session_id."""
+    import pytest
+
+    from salesforce_plugin_spark.sources.salesforce_auth import (
+        SalesforceConnection,
+        auth_kwargs,
+    )
+
+    pw = SalesforceConnection(
+        login="u@example.com",
+        password="pw",
+        host="https://x.my.salesforce.com",
+        extras={"security_token": "tok"},
+    )
+    assert auth_kwargs(pw) == {
+        "username": "u@example.com",
+        "password": "pw",
+        "security_token": "tok",
+        "instance_url": "https://x.my.salesforce.com",
+    }
+    direct = SalesforceConnection(
+        password="SESSION_ID",
+        host="https://x.my.salesforce.com",
+        extras={"auth_type": "direct"},
+    )
+    assert auth_kwargs(direct) == {
+        "instance_url": "https://x.my.salesforce.com",
+        "session_id": "SESSION_ID",
+    }
+    # token may legitimately be absent (hook passes None through)
+    assert auth_kwargs(
+        SalesforceConnection(login="u", password="p")
+    )["security_token"] is None
+    with pytest.raises(ValueError):
+        auth_kwargs(SalesforceConnection(login="u"))  # no password
+    with pytest.raises(ValueError):
+        auth_kwargs(
+            SalesforceConnection(extras={"auth_type": "direct"})
+        )  # no host/session
+
+
+def test_salesforce_session_memoizes_and_requires_factory():
+    """E2/E3: get_conn memoization (salesforce_hook.py:44-46) — one
+    factory call for many client() calls; reset() re-authenticates; no
+    injected factory raises the documented seam error."""
+    import pytest
+
+    from salesforce_plugin_spark.sources.salesforce_auth import (
+        SalesforceConnection,
+        SalesforceSession,
+    )
+
+    calls = []
+
+    def factory(**kwargs):
+        calls.append(kwargs)
+        return object()
+
+    conn = SalesforceConnection(login="u", password="p")
+    sess = SalesforceSession(conn, client_factory=factory)
+    c1 = sess.client()
+    assert sess.client() is c1 and len(calls) == 1
+    sess.reset()
+    assert sess.client() is not c1 and len(calls) == 2
+
+    with pytest.raises(NotImplementedError):
+        SalesforceSession(conn).client()

@@ -113,6 +113,26 @@ def test_byte_histogram_features(spark):
     assert all(rows[(2, b)] == 0 for b in range(16))
 
 
+def test_histogram_output_survives_pandas_canonicalization(spark):
+    """Replica of the driver's failure mode: its checker canonicalizes the
+    result as a pandas frame (sort_values over all columns). The round-3
+    array<long> output crashed that with 'unhashable type: numpy.ndarray';
+    the exploded long form must sort/factorize cleanly."""
+    import pandas as pd
+
+    from salesforce_plugin_spark.functions.multimodal import byte_histogram
+
+    df = spark.createDataFrame(
+        [(2, b"ab"), (1, bytes([255, 0]))], ["doc_id", "p"]
+    )
+    pdf = byte_histogram(df, "doc_id", "p", n_bins=16).toPandas()
+    out = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+    # factorize every column — what a hash-based canonicalizer does
+    for c in out.columns:
+        pd.factorize(out[c])
+    assert len(out) == 32 and out["n"].sum() == 4
+
+
 def test_resize_plan_with_fake_decoder_and_resizer(spark):
     import pyspark.sql.functions as F
 
