@@ -1328,6 +1328,32 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
+def q_dedup_components_star(spark, sf_dir):
+    """F2 (iterative, scale variant): the same component closure as
+    q_dedup_components but via the large-star/small-star alternation
+    (Kiveris et al.) — O(log² n) rounds independent of graph diameter,
+    for corpora whose near-dup clusters chain instead of forming
+    near-cliques. Same edge set, same oracle, identical labeling."""
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    banded = D.portable_bands(
+        D.minhash_signatures_portable(d, "doc_id", "text", 8, 3), "doc_id", 8, 4
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    return D.connected_components(
+        d.select("doc_id"), edges, id_col="doc_id", method="star"
+    )
+
+
 def q_text_tokens(spark, sf_dir):
     """F5: token counting — whitespace, distinct, BPE-ish regex. Tokens are
     materialized once per document, then each metric reads the array (the
@@ -2827,6 +2853,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_tpch_q2": q_tpch_q2,
     "q_tpch_q9": q_tpch_q9,
     "q_soql_relationship3": q_soql_relationship3,
+    "q_dedup_components_star": q_dedup_components_star,
 }
 
 
@@ -4492,6 +4519,10 @@ def _simhash_oracle(bits: int = 32) -> str:
 
 
 ORACLES["q_simhash"] = _simhash_oracle()
+
+# the star-method closure computes the identical partition over the
+# identical candidate graph — same recursive-CTE oracle by construction
+ORACLES["q_dedup_components_star"] = ORACLES["q_dedup_components"]
 
 
 def _byte_histogram_oracle(n_bins: int = 16) -> str:
