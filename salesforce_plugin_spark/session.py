@@ -45,13 +45,28 @@ RUNTIME_CONF: dict[str, str] = {
 }
 
 
+_conf_applied: "weakref.WeakSet" = None  # type: ignore[assignment]
+
+
 def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
-    """Apply RUNTIME_CONF to an existing session (idempotent, cheap)."""
+    """Apply RUNTIME_CONF to an existing session (idempotent). Memoized
+    per session object: this runs on every ``load_table``/``stream_events``
+    call, and each ``conf.set`` is a py4j round trip — 7 of them per call
+    add up across a multi-table query. A session seen before is returned
+    untouched; ``_conf_applied`` holds weak refs so sessions can be GC'd."""
+    global _conf_applied
+    import weakref
+
+    if _conf_applied is None:
+        _conf_applied = weakref.WeakSet()
+    if spark in _conf_applied:
+        return spark
     for key, value in RUNTIME_CONF.items():
         try:
             spark.conf.set(key, value)
         except Exception:  # pragma: no cover - a static conf on some build
             pass
+    _conf_applied.add(spark)
     return spark
 
 

@@ -204,6 +204,26 @@ def lowercase_columns(df: DataFrame) -> DataFrame:
     return df.toDF(*lowered)
 
 
+#: analyzed base-scan plans keyed on (session, path, mtime) — a DataFrame
+#: is an immutable logical plan, so reusing one across queries is safe,
+#: and re-resolving a parquet source costs a file listing + footer schema
+#: read per call (0.03-0.08s × tables × queries — the dominant
+#: plan-construction cost in multi-table workloads). The mtime key gives
+#: the same regenerated-fixture freshness contract as footer_schema.
+_scan_cache: dict[tuple[int, str, int], DataFrame] = {}
+
+
+def _base_scan(spark: SparkSession, path: str) -> DataFrame:
+    key = (id(spark), path, _footer_mtime_ns(path))
+    df = _scan_cache.get(key)
+    if df is None:
+        if len(_scan_cache) > 256:  # bound growth across many dirs/sessions
+            _scan_cache.clear()
+        df = lowercase_columns(spark.read.parquet(path))
+        _scan_cache[key] = df
+    return df
+
+
 def load_table(
     spark: SparkSession,
     sf_dir: str,
@@ -214,7 +234,10 @@ def load_table(
 
     Equivalent of the reference's generated full-object scan (A3,
     ``salesforce_to_s3_operator.py:186-188,201-202``): schema from storage,
-    all columns available, pruning left to the optimizer.
+    all columns available, pruning left to the optimizer. The analyzed
+    base scan is memoized per (session, path, mtime) — the long-lived
+    cluster's cached-catalog behavior — so repeated queries don't re-list
+    and re-infer the same source.
 
     ``ts_range=(col, lo, hi)`` applies an event-time half-open range
     ``lo <= col < hi`` (either bound may be None) *scan-side*. This exists
@@ -228,7 +251,7 @@ def load_table(
     """
     ensure_runtime_conf(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = lowercase_columns(spark.read.parquet(path))
+    df = _base_scan(spark, path)
     nanos_cols = [c.lower() for c in _nanos_timestamp_columns(path)]
 
     if ts_range is not None:
