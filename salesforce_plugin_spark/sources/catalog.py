@@ -174,23 +174,25 @@ def int64_epoch_unit(path: str, col: str) -> str | None:
         if resolved is None:
             return None
         if os.path.isdir(resolved):
+            # try every part until one publishes stats — a multi-partition
+            # write commonly leads with EMPTY part files (0 row groups)
             parts = sorted(
                 e.path
                 for e in os.scandir(resolved)
                 if e.name.endswith(".parquet")
             )
-            if not parts:
+        else:
+            parts = [resolved]
+        for part in parts:
+            md = pq.ParquetFile(part).metadata
+            names = [n.lower() for n in md.schema.to_arrow_schema().names]
+            if col.lower() not in names:
                 return None
-            resolved = parts[0]
-        md = pq.ParquetFile(resolved).metadata
-        names = [n.lower() for n in md.schema.to_arrow_schema().names]
-        if col.lower() not in names:
-            return None
-        idx = names.index(col.lower())
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is not None and st.has_min_max and st.max is not None:
-                return epoch_unit_of(st.max)
+            idx = names.index(col.lower())
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max and st.max is not None:
+                    return epoch_unit_of(st.max)
         return None
     except Exception:
         return None

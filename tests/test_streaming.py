@@ -240,3 +240,31 @@ def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
     noon = base.replace(tzinfo=None)
     # exactly ONE append row for the 12:00 window, without the late value
     assert [(sv, n) for ws, sv, n in rows if ws == noon] == [(1.0, 1)], rows
+
+
+def test_stream_events_sniffs_int64_millis(spark, tmp_path):
+    """An int64 ts column holding epoch-MILLIS (the legacy-extract shape
+    the old nanos assumption silently compressed 1000×) must sniff as ms
+    from row-group stats and decode to the right instants end-to-end."""
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        (i, int((base + dt.timedelta(hours=i)).timestamp() * 1000),
+         1, "view", 1.0, "{}")
+        for i in range(3)
+    ]
+    out = str(tmp_path / "ev_ms")
+    spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, "
+              "value double, props string"
+    ).write.mode("overwrite").parquet(out)
+
+    got = run_to_memory_sink(stream_events(spark, out), "ms_sniff")
+    ts = sorted(r.ts for r in got.select("ts").collect())
+    assert ts[0] == dt.datetime(2024, 1, 1, 0, 0) and len(ts) == 3
+    assert (ts[1] - ts[0]) == dt.timedelta(hours=1)
+
+    # explicit override beats the sniff (caller knows the unit)
+    got2 = run_to_memory_sink(
+        stream_events(spark, out, ts_unit="ms"), "ms_explicit"
+    )
+    assert sorted(r.ts for r in got2.select("ts").collect()) == ts
