@@ -86,13 +86,15 @@ def main() -> None:
         except Exception:
             pass
 
-    # Timed: two further executions per query, report the min — the
-    # steady-state throughput the 100 TB posture cares about.
+    # Timed: three further executions per query, report the min — the
+    # steady-state throughput the 100 TB posture cares about. (min-of-3:
+    # a single GC pause or machine-load blip on a min-of-2 once recorded
+    # a 5x outlier on the first timed query.)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
