@@ -118,3 +118,27 @@ def test_configure_s3_sets_credentials_and_committer(spark):
 
     configure_s3(spark, role_arn="arn:aws:iam::1:role/x")
     assert "AssumedRole" in hconf.get("fs.s3a.aws.credentials.provider")
+
+
+def test_scan_cache_invalidates_on_fixture_rewrite(spark, tmp_path):
+    """The base-scan memo keys on (session, path, mtime): rewriting a
+    table at the same path (the between-rounds regeneration hazard) must
+    re-resolve the source, not serve the stale plan/values — and while
+    the file is unchanged, repeated loads return the SAME cached plan."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"x": [1, 2]}), path)
+    d1 = load_table(spark, str(tmp_path), "t")
+    assert d1.count() == 2
+    assert load_table(spark, str(tmp_path), "t") is d1  # memo hit
+
+    time.sleep(0.01)
+    pq.write_table(pa.table({"x": [10, 20, 30]}), path)
+    os.utime(path)
+    d2 = load_table(spark, str(tmp_path), "t")
+    assert d2 is not d1
+    assert d2.count() == 3 and sorted(r.x for r in d2.collect()) == [10, 20, 30]
