@@ -305,6 +305,12 @@ def fixture_relationships():
     )
 
 
+#: partition counts memoized per DataFrame object — the ``.rdd`` probe
+#: forces plan analysis + an RDD conversion (tens of ms over py4j), and
+#: with base scans memoized the same plan object recurs across queries.
+_partition_count_cache: "weakref.WeakKeyDictionary" = None  # type: ignore
+
+
 def parallelized(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition a scan whose input splits are coarser than the
     available cores.
@@ -315,9 +321,21 @@ def parallelized(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     fewer partitions than requested — at real scale (many row groups/files)
     this is a no-op and no shuffle is added.
     """
+    global _partition_count_cache
+    import weakref
+
+    if _partition_count_cache is None:
+        _partition_count_cache = weakref.WeakKeyDictionary()
     if min_partitions is None:
         min_partitions = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min_partitions:
+    n = _partition_count_cache.get(df)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        try:
+            _partition_count_cache[df] = n
+        except TypeError:  # pragma: no cover — non-weakref-able df
+            pass
+    if n < min_partitions:
         return df.repartition(min_partitions)
     return df
 
