@@ -1328,6 +1328,30 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
+def q_line_clean(spark, sf_dir):
+    """F5: C4-style line-level cleaning — wrap each document into
+    deterministic 12-word lines (the fixture corpus is single-line;
+    wrap_words gives it an engine-portable line structure), drop lines
+    with <5 words or containing a blacklisted term, gate documents on ≥3
+    surviving lines. Emits (doc_id, n_lines, n_kept, cleaned) with the
+    surviving lines rejoined in order — the cleaned text itself is
+    hash-checked, not just the counts. All JVM HOFs, no shuffle."""
+    from salesforce_plugin_spark.functions.text import line_filter, wrap_words
+
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    lines = wrap_words(F.col("text"), 12)
+    kept = line_filter(lines, min_words=5, blacklist=("slow", "merge"))
+    return (
+        d.select(
+            "doc_id",
+            F.size(lines).cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_kept"),
+            F.array_join(kept, "\n").alias("cleaned"),
+        )
+        .filter(F.col("n_kept") >= 3)
+    )
+
+
 def q_dedup_components_star(spark, sf_dir):
     """F2 (iterative, scale variant): the same component closure as
     q_dedup_components but via the large-star/small-star alternation
@@ -2854,6 +2878,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_tpch_q9": q_tpch_q9,
     "q_soql_relationship3": q_soql_relationship3,
     "q_dedup_components_star": q_dedup_components_star,
+    "q_line_clean": q_line_clean,
 }
 
 
@@ -4523,6 +4548,38 @@ ORACLES["q_simhash"] = _simhash_oracle()
 # the star-method closure computes the identical partition over the
 # identical candidate graph — same recursive-CTE oracle by construction
 ORACLES["q_dedup_components_star"] = ORACLES["q_dedup_components"]
+
+ORACLES["q_line_clean"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents
+    ), lines AS (
+        SELECT doc_id, c,
+               array_to_string(list_slice(w, c*12 + 1, c*12 + 12), ' ') AS line
+        FROM (
+            SELECT doc_id, w,
+                   unnest(generate_series(
+                       0, CAST(ceil(len(w) / 12.0) AS INT) - 1)) AS c
+            FROM toks WHERE len(array_to_string(w, '')) > 0
+        )
+    ), marked AS (
+        SELECT doc_id, c, line,
+               len(string_split(line, ' ')) >= 5
+               AND NOT list_has_any(string_split(lower(line), ' '),
+                                    ['slow', 'merge']) AS keep
+        FROM lines
+    ), agg AS (
+        SELECT doc_id,
+               count(*) AS n_lines,
+               count(*) FILTER (keep) AS n_kept,
+               coalesce(string_agg(line, chr(10) ORDER BY c)
+                            FILTER (keep), '') AS cleaned
+        FROM marked GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_kept AS BIGINT) AS n_kept, cleaned
+    FROM agg WHERE n_kept >= 3
+"""
 
 
 def _byte_histogram_oracle(n_bins: int = 16) -> str:

@@ -257,3 +257,46 @@ def chunk_documents(
         F.array_join(piece, " ").alias("chunk_text"),
         *carry_cols,
     )
+
+
+def wrap_words(text: Column | str, words_per_line: int = 12) -> Column:
+    """Deterministic word-wrap: re-chunk whitespace tokens into fixed-width
+    ``array<string>`` lines. The line-level cleaning operators
+    (:func:`line_filter`) act on a document's line structure; corpora that
+    arrive single-line (including the fixture documents) get one from this
+    pure, engine-portable transform. All JVM HOFs — the token array is
+    materialized once, sliced per line, no shuffle."""
+    text = F.col(text) if isinstance(text, str) else text
+    w = F.split(F.trim(text), r"\s+")
+    n_lines = F.ceil(F.size(w) / F.lit(words_per_line)).cast("int")
+    # split('') yields [''] — gate on trimmed LENGTH, not array size
+    return F.when(F.length(F.trim(text)) > 0, F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda c: F.array_join(
+            F.slice(w, c * words_per_line + 1, words_per_line), " "
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def line_filter(
+    lines: Column,
+    min_words: int = 5,
+    blacklist: tuple[str, ...] = (),
+) -> Column:
+    """C4-style line-level cleaning over an ``array<string>`` of lines:
+    keep lines with ≥ ``min_words`` space-separated words whose word set
+    does not intersect ``blacklist`` (the boilerplate/banned-term rule —
+    C4 drops lines with citation/javascript/lorem-ipsum markers). Line
+    order is preserved; pair with a doc-level gate on the surviving-line
+    count. One HOF filter, no shuffle, no Python in the row path."""
+
+    def keep(l):
+        p = F.size(F.split(l, " ")) >= min_words
+        if blacklist:
+            p = p & ~F.arrays_overlap(
+                F.split(F.lower(l), " "),
+                F.array(*[F.lit(b) for b in blacklist]),
+            )
+        return p
+
+    return F.filter(lines, keep)

@@ -125,3 +125,40 @@ def test_ngram_repetition_short_and_repeated(spark):
         "n_2grams": 0, "distinct_2grams": 0, "dup_2gram_frac": 0.0
     }
     assert stats("", 3)["dup_3gram_frac"] == 0.0
+
+
+def test_wrap_words_and_line_filter(spark):
+    """wrap_words: fixed-width word lines, empty-safe; line_filter: short
+    lines and blacklisted-term lines drop, order preserved."""
+    import pyspark.sql.functions as F
+
+    from salesforce_plugin_spark.functions.text import line_filter, wrap_words
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),   # 8 words → lines of 3: [abc, def, gh]
+            (2, ""),                   # empty → no lines
+            (3, "   "),                # whitespace only → no lines
+            (4, "keep me here now ok BAD word line two three"),
+        ],
+        ["id", "t"],
+    )
+    wrapped = df.select(
+        "id", wrap_words(F.col("t"), 3).alias("lines")
+    )
+    rows = {r.id: r.lines for r in wrapped.collect()}
+    assert rows[1] == ["a b c", "d e f", "g h"]
+    assert rows[2] == [] and rows[3] == []
+
+    kept = df.select(
+        "id",
+        line_filter(
+            wrap_words(F.col("t"), 5), min_words=5, blacklist=("bad",)
+        ).alias("k"),
+    )
+    krows = {r.id: r.k for r in kept.collect()}
+    # doc 4: line1 "keep me here now ok" survives; line2 has 'BAD'
+    # (blacklist is case-insensitive via lower) → dropped
+    assert krows[4] == ["keep me here now ok"]
+    # doc 1: lines of 5 → ["a b c d e", "f g h"]; second too short
+    assert krows[1] == ["a b c d e"]
