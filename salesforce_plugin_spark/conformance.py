@@ -1352,6 +1352,23 @@ def q_line_clean(spark, sf_dir):
     )
 
 
+def q_global_line_dedup(spark, sf_dir):
+    """F1/F5 (corpus-global): C4-style exact line-level dedup — wrap each
+    document into deterministic 3-word lines (the fixture-scale analog of
+    C4's three-sentence span), keep only the FIRST occurrence of each
+    normalized line across the whole corpus (first = lowest
+    (doc_id, line_no)), reassemble each document's surviving lines in
+    order. ~19% of lines are corpus-duplicates at sf0.01, so the rebuilt
+    text — hash-checked, not just the counts — genuinely exercises the
+    keeper election. Two exchanges: window-min on the md5 line key (no
+    secondary sort), then reassembly on doc_id. Oracle replays keeper
+    election with a row_number window over the normalized line."""
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    return D.global_line_dedup(
+        d, "doc_id", "text", words_per_line=3, min_kept=1
+    )
+
+
 def q_dedup_components_star(spark, sf_dir):
     """F2 (iterative, scale variant): the same component closure as
     q_dedup_components but via the large-star/small-star alternation
@@ -2879,6 +2896,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_soql_relationship3": q_soql_relationship3,
     "q_dedup_components_star": q_dedup_components_star,
     "q_line_clean": q_line_clean,
+    "q_global_line_dedup": q_global_line_dedup,
 }
 
 
@@ -4579,6 +4597,38 @@ ORACLES["q_line_clean"] = r"""
     SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
            CAST(n_kept AS BIGINT) AS n_kept, cleaned
     FROM agg WHERE n_kept >= 3
+"""
+
+ORACLES["q_global_line_dedup"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents
+    ), lines AS (
+        SELECT doc_id, c,
+               array_to_string(list_slice(w, c*3 + 1, c*3 + 3), ' ') AS line
+        FROM (
+            SELECT doc_id, w,
+                   unnest(generate_series(
+                       0, CAST(ceil(len(w) / 3.0) AS INT) - 1)) AS c
+            FROM toks WHERE len(array_to_string(w, '')) > 0
+        )
+    ), marked AS (
+        SELECT doc_id, c, line,
+               row_number() OVER (
+                   PARTITION BY lower(trim(line)) ORDER BY doc_id, c
+               ) = 1 AS kept
+        FROM lines
+    ), agg AS (
+        SELECT doc_id,
+               count(*) AS n_lines,
+               count(*) FILTER (kept) AS n_kept,
+               coalesce(string_agg(line, chr(10) ORDER BY c)
+                            FILTER (kept), '') AS cleaned
+        FROM marked GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_kept AS BIGINT) AS n_kept, cleaned
+    FROM agg WHERE n_kept >= 1
 """
 
 

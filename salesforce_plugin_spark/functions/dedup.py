@@ -53,6 +53,85 @@ def dedup_exact(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFram
     )
 
 
+def global_line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words_per_line: int = 12,
+    min_kept: int = 1,
+) -> DataFrame:
+    """Corpus-global exact line dedup (the C4 rule: any span that occurs
+    more than once in the corpus is kept only at its first occurrence —
+    C4 uses three-sentence spans; here the span is a deterministic
+    ``words_per_line``-word line from :func:`text.wrap_words`).
+
+    Keeper election is "first occurrence": lowest ``(id, line_no)`` per
+    normalized (lowercased, trimmed) line. Documents are reassembled from
+    their surviving lines in order; documents keeping fewer than
+    ``min_kept`` lines are dropped. Returns
+    ``(id, n_lines long, n_kept long, cleaned string)``.
+
+    Scale shape (the op is corpus-global, so per-line verdicts are
+    inherently one shuffle wide):
+
+    - lines are ``posexplode``'d straight off the scan — no pre-shuffle;
+    - ONE exchange on the md5 of the normalized line (32-byte key, not
+      the line text) marks keepers via a window ``min(struct(id, pos))``
+      — a window *aggregate*, so WindowExec sorts each partition by the
+      key only (no secondary sort, unlike a ``row_number`` formulation)
+      and every line gets its verdict without a join back;
+    - ONE exchange on ``id`` reassembles documents; ``collect_list`` is
+      bounded by a single document's line count.
+
+    md5 (engine-portable, oracle-replayable) is the comparison key; a
+    collision would merge two distinct lines (~2^-64 at corpus scale —
+    the standard exact-dedup-by-hash tradeoff, same as ``fingerprint``).
+    """
+    from salesforce_plugin_spark.functions.text import wrap_words
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(wrap_words(F.col(text_col), words_per_line)).alias(
+            "__pos", "__line"
+        ),
+    )
+    key = F.md5(F.lower(F.trim(F.col("__line"))).cast("binary"))
+    first = F.min(F.struct(F.col(id_col), F.col("__pos"))).over(
+        Window.partitionBy("__key")
+    )
+    marked = (
+        lines.withColumn("__key", key)
+        .withColumn("__first", first)
+        .withColumn(
+            "__kept",
+            (F.col(id_col) == F.col("__first")[id_col])
+            & (F.col("__pos") == F.col("__first")["__pos"]),
+        )
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("__kept").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__kept"),
+                                F.struct(F.col("__pos"), F.col("__line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["__line"],
+                ),
+                "\n",
+            ).alias("cleaned"),
+        )
+        .filter(F.col("n_kept") >= min_kept)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shingling (shared by MinHash / Jaccard)
 # ---------------------------------------------------------------------------

@@ -357,3 +357,44 @@ def test_winnow_density_bounded(spark):
     assert n_fp < n_grams / 2
     again = winnow_fingerprints(df, "id", "t", k=3, w=8).count()
     assert again == n_fp
+
+
+def test_global_line_dedup_keeper_and_reassembly(spark):
+    """First occurrence (lowest (id, line_no)) survives corpus-wide;
+    later occurrences drop; documents reassemble in line order; a fully
+    duplicated document disappears under min_kept=1."""
+    from salesforce_plugin_spark.functions.dedup import global_line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),          # lines: "a b c", "x y z"
+            (2, "x y z q r s"),          # "x y z" duped from doc 1
+            (3, "A B C x y z"),          # both lines dupes (case-insens.)
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in global_line_dedup(df, "doc_id", "text", words_per_line=3).collect()
+    }
+    assert set(out) == {1, 2}  # doc 3 fully deduplicated away
+    assert out[1]["n_lines"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["cleaned"] == "a b c\nx y z"
+    assert out[2]["n_lines"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["cleaned"] == "q r s"
+
+
+def test_global_line_dedup_min_kept_gate(spark):
+    """min_kept=2 drops documents that keep only one line."""
+    from salesforce_plugin_spark.functions.dedup import global_line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d e f")],
+        ["doc_id", "text"],
+    )
+    out = global_line_dedup(
+        df, "doc_id", "text", words_per_line=3, min_kept=2
+    ).collect()
+    # doc 2's first line "a b c" loses to doc 1's (lower doc_id);
+    # doc 2 keeps only "d e f" -> dropped; doc 1 keeps 1 line -> dropped
+    assert out == []
