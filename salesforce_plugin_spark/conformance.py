@@ -1369,6 +1369,27 @@ def q_global_line_dedup(spark, sf_dir):
     )
 
 
+def q_quality_classifier(spark, sf_dir):
+    """F5: hashed linear quality classifier — fasttext-shape model under
+    the hashing trick (token → portable 32-bit hash → one of 256 buckets
+    → integer weight in [-1000,1000] derived from md5 → exact BIGINT sum
+    → single divide → threshold label). The per-document score is the
+    cheap learned-quality gate a corpus pipeline runs before expensive
+    stages; integer weights make the mean reproducible bit-for-bit in
+    any engine with md5. All HOFs over the materialized token array —
+    per-row in codegen, no explode, no shuffle. Oracle replays the
+    double-md5 chain (token hash → bucket → bucket-seeded weight)."""
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    s = X.hashed_linear_score(F.col("text"), n_features=256, seed="w")
+    return d.select(
+        "doc_id",
+        s["n_tokens"].alias("n_tokens"),
+        s["score_raw"].alias("score_raw"),
+        s["score"].alias("score"),
+        s["label"].alias("label"),
+    )
+
+
 def q_dedup_components_star(spark, sf_dir):
     """F2 (iterative, scale variant): the same component closure as
     q_dedup_components but via the large-star/small-star alternation
@@ -2897,6 +2918,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_dedup_components_star": q_dedup_components_star,
     "q_line_clean": q_line_clean,
     "q_global_line_dedup": q_global_line_dedup,
+    "q_quality_classifier": q_quality_classifier,
 }
 
 
@@ -4629,6 +4651,32 @@ ORACLES["q_global_line_dedup"] = r"""
     SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
            CAST(n_kept AS BIGINT) AS n_kept, cleaned
     FROM agg WHERE n_kept >= 1
+"""
+
+ORACLES["q_quality_classifier"] = r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        FROM documents
+        WHERE len(trim(text)) > 0
+    ), weighted AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('w:' || CAST(
+                   CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 256
+               AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000 AS w
+        FROM tok
+    ), scored AS (
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               sum(w) AS score_raw
+        FROM weighted GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(s.score_raw AS BIGINT) AS score_raw,
+           round(s.score_raw / (1000.0 * s.n_tokens), 6) AS score,
+           CASE WHEN s.score_raw / (1000.0 * s.n_tokens) > 0.0
+                THEN 'keep' ELSE 'drop' END AS label
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
 
 

@@ -200,6 +200,79 @@ def split_assign(
     )
 
 
+def hashed_linear_score(
+    text: Column | str,
+    n_features: int = 256,
+    weights: list[float] | None = None,
+    seed: str = "w",
+    threshold: float = 0.0,
+) -> dict[str, Column]:
+    """fasttext-style linear text classifier under the hashing trick:
+    token → portable 32-bit hash → bucket in ``[0, n_features)`` → weight
+    → sum → mean → threshold label. The standard cheap quality gate for
+    corpus filtering (a learned linear model over hashed bag-of-words;
+    the sigmoid is monotone, so thresholding the mean IS thresholding the
+    probability).
+
+    Two weight sources:
+
+    - ``weights`` given: a learned model — the list becomes a broadcast
+      array literal, looked up per bucket (``element_at``). Floating sums
+      run left-to-right over the token array (deterministic per row).
+    - ``weights`` None: deterministic pseudo-weights derived per bucket
+      from the engine-portable md5 hash, as scaled INTEGERS in
+      [-1000, 1000] — the sum is exact (BIGINT) in any engine, and the
+      mean does a single divide at the end, so a DuckDB/Trino oracle
+      reproduces the score bit-for-bit. Stands in for a learned model
+      where cross-engine reproducibility is the point (conformance;
+      corpus handoffs between engines).
+
+    Everything is higher-order functions over the materialized token
+    array — per-row, inside codegen, no explode, no shuffle, no Python.
+    Returns ``{"n_tokens", "score_raw", "score", "label"}``; ``score`` is
+    ``round(mean, 6)``, ``label`` is 'keep'/'drop' at ``mean >
+    threshold``, and empty/whitespace docs score NULL → 'drop'.
+    """
+    from salesforce_plugin_spark.functions.dedup import portable_hash32
+
+    text = F.col(text) if isinstance(text, str) else text
+    toks = tokens(text)
+    bucket = lambda t: portable_hash32(t) % n_features  # noqa: E731
+
+    if weights is not None:
+        if len(weights) != n_features:
+            raise ValueError(
+                f"weights has {len(weights)} entries, n_features={n_features}"
+            )
+        warr = F.array(*[F.lit(float(w)) for w in weights])
+        score_raw = F.aggregate(
+            toks,
+            F.lit(0.0),
+            lambda acc, t: acc + F.element_at(warr, bucket(t).cast("int") + 1),
+        )
+        mean = score_raw / F.size(toks)
+    else:
+        w = lambda t: (  # noqa: E731
+            portable_hash32(F.concat(F.lit(f"{seed}:"), bucket(t).cast("string")))
+            % 2001
+            - 1000
+        )
+        score_raw = F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + w(t)
+        )
+        mean = score_raw / (1000.0 * F.size(toks))
+
+    n_tokens = F.when(F.length(F.trim(text)) > 0, F.size(toks)).otherwise(0)
+    guard = n_tokens > 0
+    mean = F.when(guard, mean)
+    return {
+        "n_tokens": n_tokens.cast("long"),
+        "score_raw": F.when(guard, score_raw),
+        "score": F.round(mean, 6),
+        "label": F.when(mean > threshold, F.lit("keep")).otherwise(F.lit("drop")),
+    }
+
+
 def scrub_newlines(text: Column | str) -> Column:
     """C4: strip CR/LF so CSV rows stay single-line (contrib
     ``write_object_to_file``; call site salesforce_to_s3_operator.py:84-90,210)."""

@@ -162,3 +162,50 @@ def test_wrap_words_and_line_filter(spark):
     assert krows[4] == ["keep me here now ok"]
     # doc 1: lines of 5 → ["a b c d e", "f g h"]; second too short
     assert krows[1] == ["a b c d e"]
+
+
+def test_hashed_linear_score_learned_weights(spark):
+    """Learned-weights path: score is the mean of element_at lookups on
+    the broadcast weight array; mismatched lengths fail fast."""
+    import pytest
+
+    from salesforce_plugin_spark.functions.text import hashed_linear_score
+
+    # all-equal weights make the expected mean independent of hashing
+    w = [0.25] * 8
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    s = hashed_linear_score("text", n_features=8, weights=w)
+    row = df.select(
+        s["n_tokens"].alias("n"), s["score"].alias("sc"), s["label"].alias("lb")
+    ).first()
+    assert row["n"] == 4 and row["sc"] == 0.25 and row["lb"] == "keep"
+
+    with pytest.raises(ValueError):
+        hashed_linear_score("text", n_features=16, weights=w)
+
+
+def test_hashed_linear_score_empty_doc_drops(spark):
+    """Empty/whitespace docs: n_tokens 0, NULL score, label 'drop';
+    derived-weight scores are deterministic across invocations."""
+    from salesforce_plugin_spark.functions.text import hashed_linear_score
+
+    df = spark.createDataFrame(
+        [(1, "   "), (2, "quick brown fox")], ["doc_id", "text"]
+    )
+    s = hashed_linear_score("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            s["n_tokens"].alias("n"),
+            s["score_raw"].alias("raw"),
+            s["score"].alias("sc"),
+            s["label"].alias("lb"),
+        ).collect()
+    }
+    assert out[1]["n"] == 0 and out[1]["raw"] is None and out[1]["sc"] is None
+    assert out[1]["lb"] == "drop"
+    assert out[2]["n"] == 3 and out[2]["raw"] is not None
+    s2 = hashed_linear_score("text")
+    again = df.select(s2["score_raw"].alias("raw")).collect()[1]["raw"]
+    assert again == out[2]["raw"]
