@@ -1390,6 +1390,34 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_soql_typeof(spark, sf_dir):
+    """SOQL TYPEOF through the string front door: events.who is a
+    polymorphic lookup (event_type is the runtime-type discriminator —
+    'click' rows reference a customer, 'error' a supplier, 'signup' a
+    nation). Each WHEN branch lowers to a discriminator-guarded broadcast
+    left join, so a row only joins the table its runtime type selects;
+    ELSE coalesces over the types no WHEN names (nation here). Flattened
+    contract: WHEN fields emit {type}_{field}, ELSE fields else_{field}.
+    Oracle: one LEFT JOIN per registered type with the discriminator in
+    the join condition."""
+    from salesforce_plugin_spark.plans import soql_to_df
+    from salesforce_plugin_spark.sources.catalog import fixture_relationships
+
+    def resolve(name):
+        return load_table(spark, sf_dir, name.lower())
+
+    return soql_to_df(
+        spark,
+        "SELECT event_id, event_type, TYPEOF who "
+        "WHEN Customer THEN c_name, c_mktsegment "
+        "WHEN Supplier THEN s_name "
+        "ELSE n_name END "
+        "FROM events WHERE value > 5.0",
+        resolve=resolve,
+        relationships=fixture_relationships(),
+    )
+
+
 def q_dedup_components_star(spark, sf_dir):
     """F2 (iterative, scale variant): the same component closure as
     q_dedup_components but via the large-star/small-star alternation
@@ -2919,6 +2947,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_line_clean": q_line_clean,
     "q_global_line_dedup": q_global_line_dedup,
     "q_quality_classifier": q_quality_classifier,
+    "q_soql_typeof": q_soql_typeof,
 }
 
 
@@ -4677,6 +4706,22 @@ ORACLES["q_quality_classifier"] = r"""
            CASE WHEN s.score_raw / (1000.0 * s.n_tokens) > 0.0
                 THEN 'keep' ELSE 'drop' END AS label
     FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+ORACLES["q_soql_typeof"] = """
+    SELECT e.event_id, e.event_type,
+           c.c_name AS customer_c_name,
+           c.c_mktsegment AS customer_c_mktsegment,
+           s.s_name AS supplier_s_name,
+           n.n_name AS else_n_name
+    FROM events e
+    LEFT JOIN customer c ON e.event_type = 'click'
+                        AND e.user_id = c.c_custkey
+    LEFT JOIN supplier s ON e.event_type = 'error'
+                        AND e.user_id = s.s_suppkey
+    LEFT JOIN nation n ON e.event_type = 'signup'
+                      AND e.user_id = n.n_nationkey
+    WHERE e.value > 5.0
 """
 
 

@@ -46,9 +46,15 @@ analytics replica):
   recorded on the parsed statement for callers that layer their own
   column-level policy.
 
-Not supported: TYPEOF (polymorphic field branching needs polymorphic
-relationship metadata the fixture schema does not model; raises a typed
-SoqlError naming the construct).
+- ``TYPEOF rel WHEN Type THEN f… [ELSE f…] END`` — polymorphic field
+  branching, lowered to discriminator-guarded broadcast left joins per
+  branch against ``RelationshipRegistry.poly`` metadata (the describe()
+  analog for polymorphic lookups). Flattened contract: WHEN fields emit
+  ``{type}_{field}`` columns, ELSE fields ``else_{field}`` (a coalesce
+  over the types no WHEN names). REST-path only — the Bulk API rejects
+  TYPEOF (assert_bulk_compatible fails fast, mirroring the server-side
+  error the reference's forwarded string would hit,
+  salesforce_to_s3_operator.py:47-50).
 """
 
 from __future__ import annotations
@@ -147,6 +153,7 @@ _KEYWORDS = {
     "SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER", "LIMIT",
     "OFFSET", "AND", "OR", "NOT", "IN", "LIKE", "ASC", "DESC", "NULLS",
     "FIRST", "LAST", "TRUE", "FALSE", "NULL", "ROLLUP", "CUBE",
+    "TYPEOF", "WHEN", "THEN", "ELSE", "END",
 } | _RANGE_KEYWORDS
 
 
@@ -269,11 +276,54 @@ class _Parser:
     def parse_select_item(self) -> dict:
         t = self.peek()
         if t is not None and t.kind == "word" and t.text.upper() == "TYPEOF":
-            raise SoqlError(
-                f"SOQL: TYPEOF is not supported at {t.pos} — polymorphic "
-                "field branching needs polymorphic relationship metadata "
-                "this engine's schema registry does not model"
-            )
+            # SOQL polymorphic branching:
+            #   TYPEOF rel WHEN Type THEN f1, f2 [WHEN …] [ELSE f…] END
+            # Lowered against the registry's polymorphic relationship
+            # metadata (RelationshipRegistry.poly — the describe()-analog
+            # a deployment declares once per schema).
+            self.next()
+            rel = self.next()
+            if rel.kind != "word" or rel.text.upper() in _KEYWORDS:
+                raise SoqlError(
+                    f"SOQL: expected polymorphic field after TYPEOF at {rel.pos}"
+                )
+            if "." in rel.text:
+                raise SoqlError(
+                    f"SOQL: TYPEOF field must be a direct relationship "
+                    f"({rel.text!r} at {rel.pos})"
+                )
+            branches: list[tuple[str, list[str]]] = []
+            while self.kw("WHEN"):
+                ty = self.next()
+                if ty.kind != "word" or ty.text.upper() in _KEYWORDS:
+                    raise SoqlError(
+                        f"SOQL: expected object type after WHEN at {ty.pos}"
+                    )
+                if not self.kw("THEN"):
+                    nt = self.peek()
+                    raise SoqlError(
+                        f"SOQL: expected THEN in TYPEOF branch at "
+                        f"{nt.pos if nt else 'end'}"
+                    )
+                branches.append((ty.text, self._typeof_field_list()))
+            else_fields: list[str] = []
+            if self.kw("ELSE"):
+                else_fields = self._typeof_field_list()
+            if not self.kw("END"):
+                nt = self.peek()
+                raise SoqlError(
+                    f"SOQL: expected END closing TYPEOF at "
+                    f"{nt.pos if nt else 'end'}"
+                )
+            if not branches:
+                raise SoqlError("SOQL: TYPEOF needs at least one WHEN branch")
+            return {
+                "kind": "typeof",
+                "rel": rel.text,
+                "branches": branches,
+                "else": else_fields,
+                "alias": rel.text.lower(),
+            }
         if t is not None and t.text == "(":
             # D9: parent-to-child nested subselect — (SELECT … FROM RelName)
             self.next()
@@ -304,6 +354,27 @@ class _Parser:
                     "alias": self.maybe_alias("expr0")}
         e = self.parse_value_expr()
         return {**e, "alias": self.maybe_alias(default_alias(e))}
+
+    def _typeof_field_list(self) -> list[str]:
+        """Comma-separated plain field names inside a TYPEOF branch
+        (terminated by WHEN / ELSE / END, which are keywords)."""
+        fields: list[str] = []
+        while True:
+            t = self.next()
+            if t.kind != "word" or t.text.upper() in _KEYWORDS:
+                raise SoqlError(
+                    f"SOQL: expected field name in TYPEOF branch at {t.pos}"
+                )
+            if "." in t.text:
+                raise SoqlError(
+                    f"SOQL: dotted paths are not supported inside TYPEOF "
+                    f"branches ({t.text!r} at {t.pos})"
+                )
+            fields.append(t.text)
+            if self.peek() and self.peek().text == ",":
+                self.next()
+                continue
+            return fields
 
     def maybe_alias(self, default: str) -> str:
         t = self.peek()
@@ -606,18 +677,36 @@ class RelationshipRegistry:
     ``lookups[(table, rel_name)] = (parent_table, fk, pk)`` resolves
     child-to-parent dot paths (``SELECT rel.col FROM table``);
     ``children[(table, rel_name)] = (child_table, fk, pk)`` resolves
-    parent-to-child nested subselects (``SELECT (SELECT … FROM RelName)``).
+    parent-to-child nested subselects (``SELECT (SELECT … FROM RelName)``);
+    ``poly[(table, rel_name)] = (fk, type_col, {TypeName: (parent_table,
+    pk[, disc_value])})`` resolves TYPEOF polymorphic branching: ``fk`` is
+    the polymorphic id field, ``type_col`` the discriminator column on the
+    base table (Salesforce's ``<rel>.Type``), and each registered object
+    type maps to its parent table, join key, and the discriminator value
+    denoting it (defaults to the type name).
     Plays the role of Salesforce's relationship metadata from describe() —
     the engine-side registry a deployment declares once per schema.
     """
 
-    def __init__(self, lookups: dict | None = None, children: dict | None = None):
+    def __init__(
+        self,
+        lookups: dict | None = None,
+        children: dict | None = None,
+        poly: dict | None = None,
+    ):
         self.lookups = {
             (t.lower(), r.lower()): v for (t, r), v in (lookups or {}).items()
         }
         self.children = {
             (t.lower(), r.lower()): v for (t, r), v in (children or {}).items()
         }
+        self.poly = {}
+        for (t, r), (fk, type_col, types) in (poly or {}).items():
+            norm = {}
+            for ty, spec in types.items():
+                pt, pk, disc = spec if len(spec) == 3 else (*spec, ty)
+                norm[ty.lower()] = (pt.lower(), pk, disc)
+            self.poly[(t.lower(), r.lower())] = (fk, type_col, norm)
 
 
 #: dataType.typeName() → comparison category for lowering-time typecheck.
@@ -748,6 +837,92 @@ class _Lowerer:
             n["name"] = mapping.get(n["name"].lower(), n["name"])
 
         self._walk_fields(scope, rewrite)
+        return df
+
+    # -- TYPEOF: polymorphic branch joins ----------------------------------
+
+    def _apply_typeof(self, df: DataFrame, q: dict) -> DataFrame:
+        """Lower each ``TYPEOF rel WHEN Type THEN fields … END`` select item
+        to one broadcast left join per branch, guarded by the discriminator
+        (``type_col = disc AND fk = pk``) so a row only ever matches the
+        branch its runtime type selects — the relational reading of
+        Salesforce's polymorphic field dispatch. Flattened output contract:
+        each WHEN field becomes ``{type}_{field}``; each ELSE field becomes
+        ``else_{field}``, a coalesce over the registered types NOT named in
+        any WHEN (the fields must exist on all of them — Salesforce's
+        common-``Name``-object restriction, engine-checked)."""
+        for it in q["select"]:
+            if it["kind"] != "typeof":
+                continue
+            base_table = q["from"].lower()
+            rel = it["rel"].lower()
+            spec = self.registry.poly.get((base_table, rel))
+            if spec is None:
+                raise SoqlError(
+                    f"SOQL: unknown polymorphic relationship {it['rel']!r} "
+                    f"on {base_table!r}"
+                )
+            fk, type_col, types = spec
+            out: list[tuple] = []
+            named: list[str] = []
+
+            def join_branch(ty: str) -> str:
+                parent_table, pk, disc = types[ty]
+                prefix = f"__typeof__{rel}__{ty}__"
+                pdf = self.resolve(parent_table)
+                pdf = pdf.select(
+                    *[F.col(c).alias(prefix + c.lower()) for c in pdf.columns]
+                )
+                nonlocal df
+                df = df.join(
+                    F.broadcast(pdf),
+                    (F.col(type_col) == F.lit(disc))
+                    & (F.col(fk.lower()) == F.col(prefix + pk.lower())),
+                    "left",
+                )
+                return prefix
+
+            def check_fields(ty: str, fields: list[str]) -> None:
+                parent_table = types[ty][0]
+                cols = {c.lower() for c in self.resolve(parent_table).columns}
+                for f_ in fields:
+                    if f_.lower() not in cols:
+                        raise SoqlError(
+                            f"SOQL: TYPEOF field {f_!r} does not exist on "
+                            f"{parent_table!r}"
+                        )
+
+            for ty_name, fields in it["branches"]:
+                ty = ty_name.lower()
+                if ty not in types:
+                    raise SoqlError(
+                        f"SOQL: unknown TYPEOF type {ty_name!r} for "
+                        f"{it['rel']!r} (registered: {sorted(types)})"
+                    )
+                check_fields(ty, fields)
+                prefix = join_branch(ty)
+                named.append(ty)
+                for f_ in fields:
+                    out.append(
+                        (F.col(prefix + f_.lower()), f"{ty}_{f_.lower()}")
+                    )
+            if it["else"]:
+                rest = [ty for ty in types if ty not in named]
+                if not rest:
+                    raise SoqlError(
+                        "SOQL: TYPEOF ELSE has no remaining registered types "
+                        f"for {it['rel']!r} — every type is named in a WHEN"
+                    )
+                for ty in rest:
+                    check_fields(ty, it["else"])
+                    join_branch(ty)
+                for f_ in it["else"]:
+                    refs = [
+                        F.col(f"__typeof__{rel}__{ty}__{f_.lower()}")
+                        for ty in rest
+                    ]
+                    out.append((F.coalesce(*refs), f"else_{f_.lower()}"))
+            it["cols"] = out
         return df
 
     # -- D9: parent-to-child nested subselects -----------------------------
@@ -918,6 +1093,7 @@ class _Lowerer:
             if rng is not None:
                 df = self.resolve(q["from"], ts_range=rng)
         df = self._apply_lookups(df, q)
+        df = self._apply_typeof(df, q)
         df = self._apply_child_subs(df, q)
         self._reset_cats(df)
         if q["where"] is not None:
@@ -927,6 +1103,12 @@ class _Lowerer:
 
         items = q["select"]
         aggs = [it for it in items if it["kind"] == "agg"]
+        if any(it["kind"] == "typeof" for it in items) and (
+            q["group"] is not None or aggs
+        ):
+            raise SoqlError(
+                "SOQL: TYPEOF cannot mix with GROUP BY or aggregates"
+            )
         if q["group"] is not None:
             if any(it["kind"] == "child_sub" for it in items):
                 raise SoqlError(
@@ -964,13 +1146,15 @@ class _Lowerer:
                 )
             df = df.agg(*[_agg_col(it, self.fsm).alias(it["alias"]) for it in items])
         else:
-            df = df.select(
-                *[
-                    F.col(it["alias"]) if it["kind"] == "child_sub"
-                    else _value_col(it, self.fsm).alias(it["alias"])
-                    for it in items
-                ]
-            )
+            proj = []
+            for it in items:
+                if it["kind"] == "child_sub":
+                    proj.append(F.col(it["alias"]))
+                elif it["kind"] == "typeof":
+                    proj.extend(c.alias(a) for c, a in it["cols"])
+                else:
+                    proj.append(_value_col(it, self.fsm).alias(it["alias"]))
+            df = df.select(*proj)
 
         if q["order"]:
             cols = []
@@ -1116,6 +1300,8 @@ def assert_bulk_compatible(soql: str) -> None:
         raise SoqlError("SOQL: Bulk API does not support OFFSET")
     if any(item.get("kind") == "agg" for item in q["select"]):
         raise SoqlError("SOQL: Bulk API does not support aggregate functions")
+    if any(item.get("kind") == "typeof" for item in q["select"]):
+        raise SoqlError("SOQL: Bulk API does not support TYPEOF")
 
 
 def soql_to_df(

@@ -302,6 +302,22 @@ def fixture_relationships():
             ("customer", "orders"): ("orders", "o_custkey", "c_custkey"),
             ("nation", "customers"): ("customer", "c_nationkey", "n_nationkey"),
         },
+        # TYPEOF metadata: events.user_id is modeled as a polymorphic
+        # lookup ("who") whose runtime type is denoted by event_type —
+        # 'click' rows reference a customer, 'error' rows a supplier,
+        # 'signup' rows a nation (other event types resolve to no branch,
+        # like an unregistered Salesforce object type).
+        poly={
+            ("events", "who"): (
+                "user_id",
+                "event_type",
+                {
+                    "customer": ("customer", "c_custkey", "click"),
+                    "supplier": ("supplier", "s_suppkey", "error"),
+                    "nation": ("nation", "n_nationkey", "signup"),
+                },
+            ),
+        },
     )
 
 

@@ -403,13 +403,15 @@ def test_trailing_clauses_parse_and_are_inert(spark):
     ).parse_query()
     assert q["security_enforced"] is True and q["for_clause"] == "UPDATE"
 
-    # malformed trailing clauses and TYPEOF raise typed errors
+    # malformed trailing clauses and malformed TYPEOF raise typed errors
     import pytest as _pytest
 
     for bad in (
         "SELECT a FROM t FOR DELETE",
         "SELECT a FROM t WITH BANANAS",
-        "SELECT TYPEOF What WHEN x THEN y END FROM t",
+        "SELECT TYPEOF What WHEN x THEN y FROM t",    # missing END
+        "SELECT TYPEOF What END FROM t",              # no WHEN branch
+        "SELECT TYPEOF What WHEN x THEN END FROM t",  # empty field list
     ):
         with _pytest.raises(SoqlError):
             _Parser(tokenize(bad), bad).parse_query()
@@ -441,3 +443,101 @@ def test_ci_strings_collation(spark):
         r.id
         for r in soql_to_df(spark, q_ne, resolve=resolve, ci_strings=True).collect()
     ) == [1, 2]
+
+
+def test_typeof_parse_and_bulk_restriction():
+    """TYPEOF parses into branch structure; the Bulk API path rejects it
+    (Salesforce Bulk SOQL does not support TYPEOF)."""
+    import pytest as _pytest
+
+    from salesforce_plugin_spark.plans.soql import (
+        _Parser,
+        assert_bulk_compatible,
+        tokenize,
+    )
+
+    soql = (
+        "SELECT id, TYPEOF who WHEN Customer THEN a, b "
+        "WHEN Supplier THEN c ELSE d END FROM events"
+    )
+    q = _Parser(tokenize(soql), soql).parse_query()
+    (item,) = [it for it in q["select"] if it["kind"] == "typeof"]
+    assert item["rel"] == "who"
+    assert item["branches"] == [("Customer", ["a", "b"]), ("Supplier", ["c"])]
+    assert item["else"] == ["d"]
+
+    with _pytest.raises(SoqlError, match="Bulk API does not support TYPEOF"):
+        assert_bulk_compatible(soql)
+
+
+def test_typeof_lowering_semantics(spark):
+    """Each WHEN branch joins only rows whose discriminator selects it;
+    ELSE coalesces over the un-named types; unknown rel/type/field and
+    exhaustive-WHEN-with-ELSE raise typed errors."""
+    import pytest as _pytest
+
+    from salesforce_plugin_spark.plans import soql_to_df
+    from salesforce_plugin_spark.plans.soql import RelationshipRegistry
+
+    spark.createDataFrame(
+        [(1, "acct", 10), (2, "opp", 20), (3, "lead", 30), (4, "acct", 99)],
+        ["id", "kind", "ref"],
+    ).createOrReplaceTempView("tasks")
+    spark.createDataFrame(
+        [(10, "A10", "p10")], ["a_id", "a_name", "a_phone"]
+    ).createOrReplaceTempView("accounts")
+    spark.createDataFrame(
+        [(20, "O20")], ["o_id", "o_name"]
+    ).createOrReplaceTempView("opps")
+    spark.createDataFrame(
+        [(30, "L30")], ["l_id", "l_name"]
+    ).createOrReplaceTempView("leads")
+
+    reg = RelationshipRegistry(
+        poly={
+            ("tasks", "what"): (
+                "ref",
+                "kind",
+                {
+                    "Account": ("accounts", "a_id", "acct"),
+                    "Opportunity": ("opps", "o_id", "opp"),
+                    "Lead": ("leads", "l_id", "lead"),
+                },
+            )
+        }
+    )
+    resolve = lambda n: spark.table(n.lower())  # noqa: E731
+
+    out = soql_to_df(
+        spark,
+        "SELECT id, TYPEOF what WHEN Account THEN a_name, a_phone "
+        "WHEN Opportunity THEN o_name ELSE l_name END FROM tasks",
+        resolve=resolve,
+        relationships=reg,
+    )
+    assert out.columns == [
+        "id", "account_a_name", "account_a_phone",
+        "opportunity_o_name", "else_l_name",
+    ]
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["account_a_name"] == "A10" and rows[1]["o" "pportunity_o_name"] is None
+    assert rows[2]["opportunity_o_name"] == "O20" and rows[2]["account_a_name"] is None
+    assert rows[3]["else_l_name"] == "L30"
+    # unresolved FK (ref=99) -> all branch columns null
+    assert rows[4]["account_a_name"] is None and rows[4]["else_l_name"] is None
+
+    for bad, msg in (
+        ("SELECT TYPEOF nope WHEN Account THEN a_name END FROM tasks",
+         "unknown polymorphic relationship"),
+        ("SELECT TYPEOF what WHEN Banana THEN a_name END FROM tasks",
+         "unknown TYPEOF type"),
+        ("SELECT TYPEOF what WHEN Account THEN missing_col END FROM tasks",
+         "does not exist"),
+        ("SELECT TYPEOF what WHEN Account THEN a_name WHEN Opportunity "
+         "THEN o_name WHEN Lead THEN l_name ELSE x END FROM tasks",
+         "no remaining registered types"),
+        ("SELECT COUNT(id), TYPEOF what WHEN Account THEN a_name END "
+         "FROM tasks", "cannot mix"),
+    ):
+        with _pytest.raises(SoqlError, match=msg):
+            soql_to_df(spark, bad, resolve=resolve, relationships=reg)
