@@ -1390,6 +1390,21 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_bigram_fluency(spark, sf_dir):
+    """F5 (corpus-level LM filter, CCNet shape): fit a bigram
+    conditional-probability model on the corpus itself, score every
+    document by the MEAN conditional probability of its bigrams, label
+    fluent/disfluent at the corpus median (~0.0345 at sf0.01). The mean
+    stays rational — each bigram's probability is the scaled-integer
+    (c_bigram * 1e6) div c_prefix, summed as exact BIGINTs with one final
+    divide + round(6) — so no transcendental enters the hash gate (same
+    discipline as q_tfidf). Model is a vocab²-bounded aggregate,
+    un-hinted (AQE broadcasts it when small); prefix counts derive from
+    the bigram table, not a second corpus pass."""
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    return X.bigram_fluency(d, "doc_id", "text")
+
+
 def q_soql_typeof(spark, sf_dir):
     """SOQL TYPEOF through the string front door: events.who is a
     polymorphic lookup (event_type is the runtime-type discriminator —
@@ -2948,6 +2963,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_global_line_dedup": q_global_line_dedup,
     "q_quality_classifier": q_quality_classifier,
     "q_soql_typeof": q_soql_typeof,
+    "q_bigram_fluency": q_bigram_fluency,
 }
 
 
@@ -4706,6 +4722,38 @@ ORACLES["q_quality_classifier"] = r"""
            CASE WHEN s.score_raw / (1000.0 * s.n_tokens) > 0.0
                 THEN 'keep' ELSE 'drop' END AS label
     FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+ORACLES["q_bigram_fluency"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> lower(t)) AS w
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM (
+            SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM toks WHERE len(w) >= 2
+        )
+    ), cbg AS (
+        SELECT w1, w2, count(*) AS c_bg FROM grams GROUP BY w1, w2
+    ), cpre AS (
+        SELECT w1, sum(c_bg) AS c_w1 FROM cbg GROUP BY w1
+    ), model AS (
+        SELECT w1, w2, (c_bg * 1000000) // c_w1 AS term
+        FROM cbg JOIN cpre USING (w1)
+    ), scored AS (
+        SELECT g.doc_id, sum(m.term) AS s, count(*) AS n
+        FROM grams g JOIN model m USING (w1, w2)
+        GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(sc.n, 0) AS BIGINT) AS n_bigrams,
+           round(sc.s / (1000000.0 * sc.n), 6) AS fluency,
+           CASE WHEN sc.s / (1000000.0 * sc.n) > 0.0345
+                THEN 'fluent' ELSE 'disfluent' END AS label
+    FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id
 """
 
 ORACLES["q_soql_typeof"] = """

@@ -9,7 +9,7 @@ Column, composable into any plan; the conformance queries wire them up.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 
 #: Whitespace tokenizer (matches the reference era's CSV-ish text handling).
 WS_SPLIT_RE = r"\s+"
@@ -271,6 +271,90 @@ def hashed_linear_score(
         "score": F.round(mean, 6),
         "label": F.when(mean > threshold, F.lit("keep")).otherwise(F.lit("drop")),
     }
+
+
+def bigram_fluency(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+    threshold: float = 0.0345,
+) -> DataFrame:
+    """Self-supervised language-model fluency gate (the CCNet shape: fit a
+    cheap LM on the corpus itself, score every document, filter the
+    tail). The model is a bigram conditional-probability table counted
+    from the corpus; a document's score is the MEAN conditional
+    probability of its bigrams — high for text whose word transitions are
+    typical of the corpus, low for disfluent/outlier text.
+
+    Unlike perplexity (a geometric mean needing ``ln``, whose last-ulp
+    behavior differs across engines) the arithmetic mean stays exactly
+    reproducible: each bigram's probability is kept as the scaled-integer
+    ``(c_bigram * scale) div c_prefix``, the per-document sum is an exact
+    BIGINT, and one final divide + round(6) produces the double — the
+    same no-transcendentals discipline as the tf-idf query. Monotone in
+    the same direction as a probability mean, so thresholding is the same
+    filter.
+
+    Scale shape: one explode of per-document bigram pairs off the scan;
+    the model is a vocab²-bounded aggregate (partial map-side combine),
+    deliberately un-hinted so small models runtime-broadcast under AQE
+    and genuinely large ones degrade to a shuffle join instead of OOM;
+    one aggregation on ``id`` for the per-document sum; a final left join
+    keeps under-2-token documents in the output (NULL score → 'disfluent').
+    Prefix counts derive from the bigram table (sum over first word), not
+    a second corpus pass.
+
+    Returns ``(id, n_bigrams long, fluency double, label string)``.
+    """
+    toked = df.select(
+        F.col(id_col), F.transform(tokens(F.col(text_col)), F.lower).alias("__toks")
+    )
+    grams = (
+        toked.filter(F.size("__toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("__toks", i).alias("w1"),
+                        F.element_at("__toks", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("__bg"),
+        )
+        .select(F.col(id_col), F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    )
+    cbg = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    cpre = cbg.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
+    model = cbg.join(cpre, "w1").select(
+        "w1", "w2", F.expr(f"(c_bg * {scale}L) div c_w1").alias("__term")
+    )
+    scored = (
+        grams.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("__term").alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    fluency = F.round(F.col("__s") / (float(scale) * F.col("__n")), 6)
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_bigrams"),
+            fluency.alias("fluency"),
+            F.when(
+                F.col("__s") / (float(scale) * F.col("__n")) > threshold,
+                F.lit("fluent"),
+            )
+            .otherwise(F.lit("disfluent"))
+            .alias("label"),
+        )
+    )
 
 
 def scrub_newlines(text: Column | str) -> Column:

@@ -209,3 +209,23 @@ def test_hashed_linear_score_empty_doc_drops(spark):
     s2 = hashed_linear_score("text")
     again = df.select(s2["score_raw"].alias("raw")).collect()[1]["raw"]
     assert again == out[2]["raw"]
+
+
+def test_bigram_fluency_hand_computed(spark):
+    """Scaled-integer mean conditional probability, exact per hand
+    calculation; <2-token docs stay in the output with NULL score."""
+    from salesforce_plugin_spark.functions.text import bigram_fluency
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "solo")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in bigram_fluency(df, threshold=0.5).collect()}
+    # counts: (a,b)=2 (b,a)=1 (a,c)=1; prefixes: a=3, b=1
+    # terms: (a,b)=666666 (b,a)=1000000 (a,c)=333333
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["fluency"] == round((666666 + 1000000 + 666666) / 3e6, 6)
+    assert out[1]["label"] == "fluent"
+    assert out[2]["n_bigrams"] == 1 and out[2]["fluency"] == 0.333333
+    assert out[2]["label"] == "disfluent"
+    assert out[3]["n_bigrams"] == 0 and out[3]["fluency"] is None
+    assert out[3]["label"] == "disfluent"
