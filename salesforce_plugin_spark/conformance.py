@@ -1390,6 +1390,20 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_sample_per_group(spark, sf_dir):
+    """F5/E-family (eval-set construction): deterministic stratified
+    sample — exactly 3 documents per (lang, source) cell, selected by
+    md5-hash order of doc_id (engine-portable unbiased draw, id as
+    tie-break). One shuffle on the stratum keys; the oracle replays the
+    identical row_number window, hex-string hash order included."""
+    from salesforce_plugin_spark.operators.pipeline import sample_per_group
+
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    return sample_per_group(d, ["lang", "source"], "doc_id", 3).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def q_bigram_fluency(spark, sf_dir):
     """F5 (corpus-level LM filter, CCNet shape): fit a bigram
     conditional-probability model on the corpus itself, score every
@@ -2964,6 +2978,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_quality_classifier": q_quality_classifier,
     "q_soql_typeof": q_soql_typeof,
     "q_bigram_fluency": q_bigram_fluency,
+    "q_sample_per_group": q_sample_per_group,
 }
 
 
@@ -4722,6 +4737,18 @@ ORACLES["q_quality_classifier"] = r"""
            CASE WHEN s.score_raw / (1000.0 * s.n_tokens) > 0.0
                 THEN 'keep' ELSE 'drop' END AS label
     FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+ORACLES["q_sample_per_group"] = """
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+        SELECT doc_id, lang, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 3
 """
 
 ORACLES["q_bigram_fluency"] = r"""

@@ -133,6 +133,37 @@ def mix_corpora(
     return out
 
 
+def sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    n: int,
+) -> DataFrame:
+    """Deterministic stratified sample: exactly ``min(n, |group|)`` rows
+    per group, selected by md5-hash order of the id with the id itself as
+    tie-break — the balanced eval-set / per-stratum-quota construction
+    (e.g. "300 documents per (lang, source) cell"). Selection is a pure
+    function of the group's id set: reproducible across runs, engines,
+    and partitionings (no RNG seed to drift), and the hash order makes it
+    an unbiased draw rather than "first n by id".
+
+    Scale shape: ONE shuffle on the group keys; rank-based selection must
+    sort each group, so a hot group sorts one partition (row_number
+    window). That is inherent to exact-n quotas — when approximate quotas
+    suffice at scale, prefer rate-based ``hash_bucket`` thresholding
+    (:func:`mix_corpora`), which selects map-side with no shuffle at all.
+    Unlike rate-based selection, exact-n membership is NOT append-stable:
+    new rows can displace earlier picks by hash order (quota semantics).
+    """
+    order = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w = Window.partitionBy(*group_cols).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
 def compact_parquet(
     spark,
     path: str,

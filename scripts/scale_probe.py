@@ -67,6 +67,9 @@ PROBE = [
     "q_event_sliding",
     "q_range_join",
     "q_asof_join",
+    "q_global_line_dedup",
+    "q_bigram_fluency",
+    "q_quality_classifier",
 ]
 
 

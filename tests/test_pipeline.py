@@ -96,3 +96,25 @@ def test_pack_token_bins_first_fit_bound(spark):
     # and bins are dense: every bin except possibly the last is ≥ seq_len
     tots = [r.tot for r in sorted(per_bin, key=lambda r: r.bin_id)]
     assert all(t >= 256 for t in tots[:-1])
+
+
+def test_sample_per_group_quota_and_determinism(spark):
+    """Exactly min(n, group size) rows per group; selection is a pure
+    function of the group's id set (same picks on re-run and under a
+    different input partitioning)."""
+    from salesforce_plugin_spark.operators.pipeline import sample_per_group
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(30)] + [(100, "tiny")]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    out = sample_per_group(df, ["grp"], "id", 4)
+    sizes = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert sizes == {"g0": 4, "g1": 4, "g2": 4, "tiny": 1}
+
+    picks = sorted((r["grp"], r["id"]) for r in out.collect())
+    again = sorted(
+        (r["grp"], r["id"])
+        for r in sample_per_group(df.repartition(7), ["grp"], "id", 4).collect()
+    )
+    assert picks == again
