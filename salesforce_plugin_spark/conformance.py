@@ -1390,6 +1390,18 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_embed_centroids(spark, sf_dir):
+    """F3 (clustering primitive): per-label embedding centroid in
+    exploded (label, dim, centroid, n) long form — the mean step under
+    k-means / per-class embeddings / drift monitoring. Components are
+    quantized to scaled longs BEFORE aggregation so the per-(label,dim)
+    sum is exact in any engine (float accumulation order never enters the
+    hash gate); one map-side-combined exchange bounded by labels × dims.
+    Oracle replays the same quantize-then-sum over unnested components."""
+    e = parallelized(load_table(spark, sf_dir, "embeddings"))
+    return V.centroids_long(e, "label", "embedding")
+
+
 def q_sample_per_group(spark, sf_dir):
     """F5/E-family (eval-set construction): deterministic stratified
     sample — exactly 3 documents per (lang, source) cell, selected by
@@ -2979,6 +2991,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_soql_typeof": q_soql_typeof,
     "q_bigram_fluency": q_bigram_fluency,
     "q_sample_per_group": q_sample_per_group,
+    "q_embed_centroids": q_embed_centroids,
 }
 
 
@@ -4737,6 +4750,21 @@ ORACLES["q_quality_classifier"] = r"""
            CASE WHEN s.score_raw / (1000.0 * s.n_tokens) > 0.0
                 THEN 'keep' ELSE 'drop' END AS label
     FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+ORACLES["q_embed_centroids"] = """
+    SELECT label,
+           CAST(i - 1 AS INTEGER) AS dim,
+           round(sum(CAST(round(CAST(e[i] AS DOUBLE) * 1000000.0)
+                          AS BIGINT)) / (1000000.0 * count(*)), 6)
+               AS centroid,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT label, embedding AS e,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+    )
+    GROUP BY label, i
 """
 
 ORACLES["q_sample_per_group"] = """

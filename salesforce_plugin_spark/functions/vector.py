@@ -238,3 +238,51 @@ def quantize_int8(vec: Column, scale: Column) -> Column:
     two-stage retrieval layout).
     """
     return F.transform(vec, lambda x: F.floor(x * scale).cast("int"))
+
+
+def centroids_long(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-label centroid of an embedding column, in exploded long form
+    ``(label, dim int, centroid double, n long)`` — the shared primitive
+    under k-means steps, per-class mean embeddings, and cluster drift
+    monitoring. Long form keeps the output schema scalar-only (no array
+    columns cross an engine boundary).
+
+    Determinism: each component is widened to double (exact) and
+    quantized to a scaled long (``round(v * scale)``) BEFORE aggregation,
+    so the per-(label, dim) sum is an exact BIGINT in any engine and the
+    mean is one final divide + round(6) — float accumulation order never
+    enters the result. The quantization (≤ 0.5/scale per component) is
+    the documented price of cross-engine exactness.
+
+    Scale shape: ``posexplode`` emits (label, dim, q) straight off the
+    scan; the groupBy partial-combines map-side, so the ONE exchange
+    carries at most ``labels × dims`` rows per map partition — never the
+    corpus. No window, no collect, no Python.
+    """
+    ex = df.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col)).alias("dim", "__v"),
+    ).select(
+        F.col(label_col),
+        F.col("dim"),
+        F.round(F.col("__v").cast("double") * float(scale), 0)
+        .cast("long")
+        .alias("__q"),
+    )
+    return (
+        ex.groupBy(label_col, "dim")
+        .agg(F.sum("__q").alias("__s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col(label_col),
+            F.col("dim").cast("int").alias("dim"),
+            F.round(F.col("__s") / (float(scale) * F.col("n")), 6).alias(
+                "centroid"
+            ),
+            F.col("n").cast("long").alias("n"),
+        )
+    )

@@ -229,3 +229,18 @@ def test_bigram_fluency_hand_computed(spark):
     assert out[2]["label"] == "disfluent"
     assert out[3]["n_bigrams"] == 0 and out[3]["fluency"] is None
     assert out[3]["label"] == "disfluent"
+
+
+def test_centroids_long_exact_mean(spark):
+    """Quantized-long mean matches hand math; one row per (label, dim)."""
+    from salesforce_plugin_spark.functions.vector import centroids_long
+
+    df = spark.createDataFrame(
+        [("a", [1.0, -2.0]), ("a", [2.0, 4.0]), ("b", [0.5, 0.25])],
+        ["label", "embedding"],
+    )
+    out = {(r["label"], r["dim"]): r for r in centroids_long(df, "label", "embedding").collect()}
+    assert len(out) == 4
+    assert out[("a", 0)]["centroid"] == 1.5 and out[("a", 0)]["n"] == 2
+    assert out[("a", 1)]["centroid"] == 1.0
+    assert out[("b", 0)]["centroid"] == 0.5 and out[("b", 1)]["centroid"] == 0.25
