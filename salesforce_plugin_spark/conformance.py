@@ -1402,6 +1402,41 @@ def q_embed_centroids(spark, sf_dir):
     return V.centroids_long(e, "label", "embedding")
 
 
+def q_kmeans_assign(spark, sf_dir):
+    """F3 (clustering, assignment step): each embedding goes to its
+    nearest of 8 deterministic seed centroids (the vec_id < 8 vectors).
+    Distances are exact integers — per-dim diffs widened to double,
+    quantized to scaled longs, squared and integer-summed — so the
+    argmin is engine-exact with no float accumulation order or sqrt.
+    Seeds broadcast; the k-way scores reduce per-vector via a
+    partial-combined min(struct) aggregate (exchange carries one row per
+    vector, not k). Oracle replays quantize → integer sum → window-min."""
+    e = parallelized(load_table(spark, sf_dir, "embeddings"))
+    seeds = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("centroid")
+    )
+    return V.kmeans_assign(e, seeds)
+
+
+def q_kmeans_step(spark, sf_dir):
+    """F3 (clustering, full Lloyd iteration): the q_kmeans_assign
+    assignment joined back to the vectors, then per-cluster quantized
+    centroid means in exploded (cluster, dim, centroid, n) long form —
+    assign + update composed end-to-end, both stages integer-exact, so
+    the whole iteration is reproducible across engines (the property an
+    iterative algorithm needs for checkpointed resume at scale). One
+    broadcast assign, one join on vec_id, one map-side-combined centroid
+    exchange bounded by k × dims."""
+    e = parallelized(load_table(spark, sf_dir, "embeddings"))
+    seeds = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("centroid")
+    )
+    assigned = V.kmeans_assign(e, seeds).select("vec_id", "cluster")
+    return V.centroids_long(
+        e.join(assigned, "vec_id"), "cluster", "embedding"
+    ).withColumn("cluster", F.col("cluster").cast("long"))
+
+
 def q_sample_per_group(spark, sf_dir):
     """F5/E-family (eval-set construction): deterministic stratified
     sample — exactly 3 documents per (lang, source) cell, selected by
@@ -2992,6 +3027,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_bigram_fluency": q_bigram_fluency,
     "q_sample_per_group": q_sample_per_group,
     "q_embed_centroids": q_embed_centroids,
+    "q_kmeans_assign": q_kmeans_assign,
+    "q_kmeans_step": q_kmeans_step,
 }
 
 
@@ -4750,6 +4787,58 @@ ORACLES["q_quality_classifier"] = r"""
            CASE WHEN s.score_raw / (1000.0 * s.n_tokens) > 0.0
                 THEN 'keep' ELSE 'drop' END AS label
     FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+#: shared CTE prefix: quantized-integer distances to the 8 deterministic
+#: seeds, per-vector argmin (ties to lowest cluster) — both kmeans oracles
+#: replay the identical assignment.
+_KMEANS_ASSIGN_CTES = """
+    WITH seeds AS (
+        SELECT vec_id AS cluster, embedding AS centroid
+        FROM embeddings WHERE vec_id < 8
+    ), comp AS (
+        SELECT e.vec_id, s.cluster,
+               CAST(round((CAST(e.embedding[g.i] AS DOUBLE)
+                           - CAST(s.centroid[g.i] AS DOUBLE)) * 1000)
+                    AS BIGINT) AS p
+        FROM embeddings e
+        CROSS JOIN seeds s
+        CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(1, len(e.embedding))) AS i
+        ) g
+    ), dists AS (
+        SELECT vec_id, cluster, sum(p * p) AS dist2
+        FROM comp GROUP BY vec_id, cluster
+    ), ranked AS (
+        SELECT vec_id, cluster, dist2,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY dist2, cluster
+               ) AS rn
+        FROM dists
+    )
+"""
+
+ORACLES["q_kmeans_assign"] = _KMEANS_ASSIGN_CTES + """
+    SELECT vec_id, cluster, CAST(dist2 AS BIGINT) AS dist2
+    FROM ranked WHERE rn = 1
+"""
+
+ORACLES["q_kmeans_step"] = _KMEANS_ASSIGN_CTES + """
+    , assign AS (SELECT vec_id, cluster FROM ranked WHERE rn = 1)
+    , ex AS (
+        SELECT a.cluster, g.i - 1 AS dim,
+               CAST(round(CAST(e.embedding[g.i] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS q
+        FROM embeddings e JOIN assign a USING (vec_id)
+        CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(1, len(e.embedding))) AS i
+        ) g
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(dim AS INTEGER) AS dim,
+           round(sum(q) / (1000000.0 * count(*)), 6) AS centroid,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ex GROUP BY cluster, dim
 """
 
 ORACLES["q_embed_centroids"] = """

@@ -286,3 +286,54 @@ def centroids_long(
             F.col("n").cast("long").alias("n"),
         )
     )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    centroid_col: str = "centroid",
+    quant: int = 1000,
+) -> DataFrame:
+    """One k-means assignment step: each vector goes to its nearest seed
+    centroid, ties broken by lowest cluster id. Returns
+    ``(id, cluster, dist2 long)``.
+
+    Distances are EXACT integers: per-dimension differences are widened
+    to double (exact), quantized to scaled longs (``round(d * quant)``),
+    and the squared distance is an integer sum — so the argmin is fully
+    deterministic in any engine, with no float-accumulation-order or
+    sqrt in sight (squared distance is monotone in distance). The
+    quantization (≤ 0.5/quant per dimension) is the documented price,
+    same contract as :func:`centroids_long` — and because both steps
+    quantize identically, an assign → centroid → assign loop is exactly
+    reproducible end-to-end.
+
+    Scale shape: seeds are k rows — broadcast; the k-way scored rows
+    reduce per-id with a ``min(struct)`` partial-combined aggregate, so
+    the exchange carries one row per vector, not k. The corpus is
+    scanned once; nothing collects on the driver.
+    """
+    sel = seeds.select(
+        F.col(cluster_col).alias("__cl"),
+        as_double(centroid_col).alias("__cv"),
+    )
+    diff = F.zip_with(
+        as_double(vec_col),
+        F.col("__cv"),
+        lambda x, y: F.round((x - y) * quant, 0).cast("long"),
+    )
+    dist2 = F.aggregate(diff, F.lit(0).cast("long"), lambda acc, z: acc + z * z)
+    return (
+        df.crossJoin(F.broadcast(sel))
+        .select(F.col(id_col), F.col("__cl"), dist2.alias("__d2"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct(F.col("__d2"), F.col("__cl"))).alias("__m"))
+        .select(
+            F.col(id_col),
+            F.col("__m.__cl").alias(cluster_col),
+            F.col("__m.__d2").alias("dist2"),
+        )
+    )

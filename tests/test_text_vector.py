@@ -244,3 +244,22 @@ def test_centroids_long_exact_mean(spark):
     assert out[("a", 0)]["centroid"] == 1.5 and out[("a", 0)]["n"] == 2
     assert out[("a", 1)]["centroid"] == 1.0
     assert out[("b", 0)]["centroid"] == 0.5 and out[("b", 1)]["centroid"] == 0.25
+
+
+def test_kmeans_assign_exact_argmin_and_ties(spark):
+    """Integer quantized distances; nearest seed wins; exact ties go to
+    the lowest cluster id."""
+    from salesforce_plugin_spark.functions.vector import kmeans_assign
+
+    vecs = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [0.6, 0.6]), (4, [0.5, 0.5])],
+        ["vec_id", "embedding"],
+    )
+    seeds = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])], ["cluster", "centroid"]
+    )
+    out = {r["vec_id"]: r for r in kmeans_assign(vecs, seeds).collect()}
+    assert out[1]["cluster"] == 0 and out[1]["dist2"] == 0
+    assert out[2]["cluster"] == 1 and out[2]["dist2"] == 0
+    assert out[3]["cluster"] == 1 and out[3]["dist2"] == 2 * 400 * 400
+    assert out[4]["cluster"] == 0 and out[4]["dist2"] == 2 * 500 * 500  # tie
