@@ -2876,6 +2876,168 @@ def q_soql_fiscal(spark, sf_dir):
     )
 
 
+def q_scd2(spark, sf_dir):
+    """Warehouse-modeling parity: SCD Type-2 validity intervals built from
+    the events change feed (operators/scd.py) — per user, each run of a
+    stable event_type becomes one ``[valid_from, valid_to)`` interval, the
+    open interval flagged current. The reference lands extracts for exactly
+    this downstream step (salesforce_to_redshift_operator.py's upsert
+    tables); here the history build is engine-side: one exchange on the
+    key, lag-elected change rows, lead-closed intervals (the second window
+    reuses the first's partitioning+sort — no second shuffle)."""
+    from salesforce_plugin_spark.operators.scd import scd2_intervals
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    iv = scd2_intervals(
+        e,
+        key_cols=["user_id"],
+        attr_cols=["event_type"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+    return iv.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("__valid_from")).alias("valid_from_us"),
+        F.unix_micros(F.col("__valid_to")).alias("valid_to_us"),
+        F.col("__is_current").alias("is_current"),
+    )
+
+
+def q_funnel(spark, sf_dir):
+    """Event-sequence analytics: ordered funnel view → click → purchase
+    per user (operators/analytics.py). Stage k's time is the earliest
+    qualifying event at-or-after stage k-1 (conditional min, so a user
+    whose clicks all precede their first view surfaces with NULL rather
+    than vanishing). Every exchange is keyed on user_id — one hash
+    partitioning reused down the whole chain."""
+    from salesforce_plugin_spark.operators.analytics import funnel
+
+    e = load_table(spark, sf_dir, "events")
+    f_ = funnel(e, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+    return f_.select(
+        "user_id",
+        F.unix_micros(F.col("t_view")).alias("t_view_us"),
+        F.unix_micros(F.col("t_click")).alias("t_click_us"),
+        F.unix_micros(F.col("t_purchase")).alias("t_purchase_us"),
+        "depth",
+    )
+
+
+def q_retention(spark, sf_dir):
+    """Cohort retention: users bucketed by first-activity day, exact
+    distinct-user counts per (cohort, day-offset) cell
+    (operators/analytics.py). First-activity and the activity join share
+    the user_id partitioning; the final aggregate is bounded by
+    cohorts × offsets, never event volume."""
+    from salesforce_plugin_spark.operators.analytics import cohort_retention
+
+    e = load_table(spark, sf_dir, "events")
+    r = cohort_retention(e, "user_id", "ts", period="day")
+    return r.select(
+        F.date_format(F.col("cohort"), "yyyy-MM-dd").alias("cohort_day"),
+        "period_offset",
+        "n_users",
+    )
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """Distributed cardinality sketch: per-event-type KMV distinct-user
+    estimate (functions/sketch.py) joined against the exact count so the
+    result exhibits the estimator's error. KMV is the sketch that can sit
+    under a cross-engine differential gate: md5-derived hashes, a
+    k-smallest election, and an integer floor divide are all
+    bit-reproducible in DuckDB, unlike HLL register layouts
+    (approx_count_distinct stays the non-gated prod fast path)."""
+    from salesforce_plugin_spark.functions.sketch import kmv_distinct
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid"), "user_id"
+    )
+    sk = kmv_distinct(e, "uid", k=64, group_cols=["event_type"])
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return sk.join(exact, "event_type")
+
+
+def q_interval_overlap(spark, sf_dir):
+    """Custom-operator rubric (SURVEY §4): interval×interval overlap join
+    without a cartesian — 2-hour purchase-attribution windows matched to
+    1-hour view-engagement windows of the same user wherever they overlap.
+    Both sides explode onto 1-hour buckets and equi-join; each surviving
+    pair is kept only in the bucket containing the overlap's start, so no
+    distinct/dedup exchange ever sees the join output. The oracle is the
+    naive inequality join — quadratic per user, fine at sf0.01, not at
+    100 TB; that asymmetry is the operator's point."""
+    from salesforce_plugin_spark.operators.joins import interval_overlap_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 2 HOURS")).alias("p_start"),
+        F.col("ts").alias("p_end"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOURS")).alias("v_end"),
+    )
+    out = interval_overlap_join(
+        purchases,
+        views,
+        l_start="p_start",
+        l_end="p_end",
+        r_start="v_start",
+        r_end="v_end",
+        bucket_width=3600,
+        extra_keys=["user_id"],
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "view_id",
+        F.unix_micros(F.col("p_start")).alias("p_start_us"),
+        F.unix_micros(F.col("p_end")).alias("p_end_us"),
+        F.unix_micros(F.col("v_start")).alias("v_start_us"),
+        F.unix_micros(F.col("v_end")).alias("v_end_us"),
+    )
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """F4: video frame-sampling plumbing (functions/multimodal.py
+    frame_sample_plan) under the oracle gate. The decoder is the documented
+    injection seam — here a deterministic fake that slices the payload into
+    16-byte 'frames' (no media libs ship in this container); every_nth=4
+    keeps every 4th frame. The 1:N explode happens INSIDE the Arrow stage
+    so frame bytes never concatenate into one row; the gated output carries
+    md5+length per sampled frame, byte-for-byte replayable in SQL."""
+    from salesforce_plugin_spark.functions.multimodal import frame_sample_plan
+
+    d = parallelized(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").cast("binary").alias("payload")
+        )
+    )
+
+    def fake_decoder(payload: bytes) -> list[bytes]:
+        return [payload[i : i + 16] for i in range(0, len(payload), 16)]
+
+    frames = frame_sample_plan(
+        d, "doc_id", "payload", every_nth=4, decoder=fake_decoder
+    )
+    return frames.select(
+        "doc_id",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        F.md5(F.col("frame")).alias("frame_md5"),
+        F.length(F.col("frame")).cast("long").alias("frame_len"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3029,6 +3191,12 @@ QUERIES: dict[str, QueryFn] = {
     "q_embed_centroids": q_embed_centroids,
     "q_kmeans_assign": q_kmeans_assign,
     "q_kmeans_step": q_kmeans_step,
+    "q_scd2": q_scd2,
+    "q_funnel": q_funnel,
+    "q_retention": q_retention,
+    "q_kmv_distinct": q_kmv_distinct,
+    "q_interval_overlap": q_interval_overlap,
+    "q_multimodal_frames": q_multimodal_frames,
 }
 
 
@@ -4949,3 +5117,123 @@ def _byte_histogram_oracle(n_bins: int = 16) -> str:
 
 
 ORACLES["q_multimodal_histogram"] = _byte_histogram_oracle()
+
+
+ORACLES["q_scd2"] = """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev_attr,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM ordered
+        WHERE rn = 1 OR prev_attr IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER w) AS valid_to_us,
+           (lead(ts) OVER w) IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+ORACLES["q_funnel"] = """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT s1.user_id, s1.t1,
+               min(e.ts) FILTER (WHERE e.ts >= s1.t1) AS t2
+        FROM s1
+        LEFT JOIN events e
+          ON e.user_id = s1.user_id AND e.event_type = 'click'
+        GROUP BY s1.user_id, s1.t1
+    ), s3 AS (
+        SELECT s2.user_id, s2.t1, s2.t2,
+               min(e.ts) FILTER (WHERE e.ts >= s2.t2) AS t3
+        FROM s2
+        LEFT JOIN events e
+          ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        GROUP BY s2.user_id, s2.t1, s2.t2
+    )
+    SELECT user_id,
+           epoch_us(t1) AS t_view_us,
+           epoch_us(t2) AS t_click_us,
+           epoch_us(t3) AS t_purchase_us,
+           CAST((t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT
+                + (t3 IS NOT NULL)::INT AS INT) AS depth
+    FROM s3
+"""
+
+ORACLES["q_retention"] = """
+    WITH firsts AS (
+        SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort
+        FROM events GROUP BY user_id
+    ), active AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS p
+        FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.cohort, a.p) AS INT) AS period_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM firsts f JOIN active a USING (user_id)
+    GROUP BY 1, 2
+"""
+
+ORACLES["q_kmv_distinct"] = """
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS hh
+        FROM events
+    ), ranked AS (
+        SELECT event_type, hh,
+               row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rn
+        FROM h
+    ), agg AS (
+        SELECT event_type, CAST(count(*) AS INT) AS n_kept,
+               max(hh) AS kth_hash
+        FROM ranked WHERE rn <= 64 GROUP BY event_type
+    ), exact AS (
+        SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY event_type
+    )
+    SELECT a.event_type, 64 AS k, a.n_kept, a.kth_hash,
+           CASE WHEN a.n_kept < 64 THEN CAST(a.n_kept AS BIGINT)
+                ELSE 270582939648 // a.kth_hash END AS est_distinct,
+           e.exact_distinct
+    FROM agg a JOIN exact e USING (event_type)
+"""
+
+ORACLES["q_interval_overlap"] = """
+    WITH p AS (
+        SELECT user_id, event_id AS purchase_id,
+               ts - INTERVAL 2 HOUR AS p_start, ts AS p_end
+        FROM events WHERE event_type = 'purchase'
+    ), v AS (
+        SELECT user_id, event_id AS view_id,
+               ts AS v_start, ts + INTERVAL 1 HOUR AS v_end
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT p.user_id, p.purchase_id, v.view_id,
+           epoch_us(p.p_start) AS p_start_us,
+           epoch_us(p.p_end) AS p_end_us,
+           epoch_us(v.v_start) AS v_start_us,
+           epoch_us(v.v_end) AS v_end_us
+    FROM p JOIN v
+      ON p.user_id = v.user_id
+     AND p.p_start <= v.v_end AND v.v_start <= p.p_end
+"""
+
+ORACLES["q_multimodal_frames"] = """
+    SELECT d.doc_id,
+           CAST(t.m AS INT) AS frame_no,
+           md5(substr(d.text, 64 * t.m + 1, 16)) AS frame_md5,
+           CAST(length(substr(d.text, 64 * t.m + 1, 16)) AS BIGINT)
+               AS frame_len
+    FROM documents d,
+         unnest(generate_series(0, ((strlen(d.text) + 15) // 16 - 1) // 4))
+             AS t(m)
+"""

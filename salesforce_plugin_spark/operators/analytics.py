@@ -1,0 +1,101 @@
+"""Event-sequence analytics: funnel conversion and cohort retention.
+
+The reference ships raw event extracts into a warehouse and leaves the
+analytics to SQL; these are the two queries every such event table ends
+up feeding, expressed as Spark plans that scale with the event volume:
+
+- **funnel**: per user, the earliest time each ordered stage was reached
+  (stage k counts only at-or-after stage k-1). Built as a chain of
+  min-aggregates and left joins, ALL keyed on the user column — every
+  exchange reuses the same hash partitioning, and each stage's input is
+  pre-filtered to that stage's event type so the join sides shrink
+  monotonically down the funnel. No windows over the full event set,
+  no cartesian, no state.
+- **cohort_retention**: users bucketed by their first-activity period,
+  counted per (cohort, offset) cell. First-activity is a min-aggregate
+  on user; the join back to activity rows is on the same key; the final
+  aggregate is bounded by cohorts × offsets.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def funnel(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Ordered-funnel times: one row per user who reached stage 1, with
+    ``t_<stage>`` (earliest qualifying event time) per stage — NULL once
+    the user drops out — and ``depth``, the number of stages reached.
+
+    Stage k qualifies only at-or-after the user's stage-(k-1) time, so a
+    purchase before any view does not count as funnel progress.
+    """
+    if not stages:
+        raise ValueError("funnel requires at least one stage")
+
+    out = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias(f"t_{stages[0]}"))
+    )
+    prev = f"t_{stages[0]}"
+    for stage in stages[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == stage)
+            .select(user_col, F.col(ts_col).alias("__ts"))
+        )
+        # conditional min, not filter-then-min: a user whose stage-k events
+        # all precede stage k-1 must surface with NULL, not vanish
+        qual = F.when(F.col("__ts") >= F.col(prev), F.col("__ts"))
+        out = (
+            out.join(nxt, user_col, "left")
+            .groupBy(*out.columns)
+            .agg(F.min(qual).alias(f"t_{stage}"))
+        )
+        prev = f"t_{stage}"
+
+    depth = sum(
+        (F.col(f"t_{s}").isNotNull().cast("int") for s in stages), F.lit(0)
+    )
+    return out.withColumn("depth", depth)
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention counts: ``(cohort, period_offset, n_users)``.
+
+    ``cohort`` is the truncated period of the user's first event;
+    ``period_offset`` counts periods between cohort and each active
+    period (0 = the cohort period itself). ``n_users`` is exact.
+    """
+    first = events.groupBy(user_col).agg(F.min(ts_col).alias("__first_ts"))
+    cohort = F.date_trunc(period, F.col("__first_ts")).cast("date")
+    active = events.select(
+        user_col, F.date_trunc(period, F.col(ts_col)).cast("date").alias("__p")
+    ).distinct()
+    per_days = {"week": 7, "day": 1}
+    if period not in per_days:
+        raise ValueError(f"unsupported retention period: {period!r}")
+    offset = (
+        F.datediff(F.col("__p"), F.col("__cohort")) / per_days[period]
+    ).cast("int")
+    return (
+        first.withColumn("__cohort", cohort)
+        .join(active, user_col)
+        .select(F.col("__cohort"), offset.alias("__offset"), F.col(user_col))
+        .groupBy("__cohort", "__offset")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+        .withColumnRenamed("__cohort", "cohort")
+        .withColumnRenamed("__offset", "period_offset")
+    )

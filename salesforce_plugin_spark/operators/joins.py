@@ -114,3 +114,53 @@ def range_join_bucketed(
         (F.col(point_col) >= F.col(start_col))
         & (F.col(point_col) <= F.col(end_col))
     ).drop("__bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width: int,
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Interval×interval overlap join without a cartesian (the general
+    form of :func:`range_join_bucketed`, whose points are zero-width
+    intervals): both sides explode onto fixed-width epoch-second buckets,
+    equi-join on (bucket, keys), then exact-filter the closed-interval
+    overlap predicate ``l_start <= r_end AND r_start <= l_end``.
+
+    A pair of long intervals can share MANY buckets; emitting the pair
+    once per shared bucket and ``distinct``-ing after would re-shuffle
+    the entire join output. Instead each surviving pair is kept only in
+    the bucket containing the overlap's start (``greatest(l_start,
+    r_start)``) — a post-join scalar predicate, so every pair appears
+    exactly once with NO dedup exchange.
+    """
+    keys = extra_keys or []
+
+    def bucketed(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    (F.unix_seconds(F.col(start)) / bucket_width).cast("long"),
+                    (F.unix_seconds(F.col(end)) / bucket_width).cast("long"),
+                )
+            ),
+        )
+
+    joined = bucketed(left, l_start, l_end).join(
+        bucketed(right, r_start, r_end), ["__bucket", *keys]
+    )
+    overlap_start = F.greatest(F.col(l_start), F.col(r_start))
+    return joined.filter(
+        (F.col(l_start) <= F.col(r_end))
+        & (F.col(r_start) <= F.col(l_end))
+        & (
+            F.col("__bucket")
+            == (F.unix_seconds(overlap_start) / bucket_width).cast("long")
+        )
+    ).drop("__bucket")

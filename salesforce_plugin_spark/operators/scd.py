@@ -1,0 +1,73 @@
+"""Slowly-changing-dimension (SCD Type 2) interval builder.
+
+The reference plugin's whole purpose is landing object extracts into a
+warehouse (S3 → Redshift COPY, ``salesforce_to_redshift_operator.py``);
+the canonical downstream modeling step for those extracts is SCD2 —
+collapsing a change feed (one row per observed state) into validity
+intervals ``[valid_from, valid_to)`` per business key, with the open
+interval marking the current state. This module implements that step
+engine-side as a pure window-function plan:
+
+1. one hash exchange on the business key, one intra-partition sort on
+   ``(ts, *tiebreak)``;
+2. ``lag`` over the tracked attributes elects *change rows* (null-safe,
+   so NULL→value and value→NULL transitions are real changes);
+3. ``lead(ts)`` over the surviving change rows closes each interval.
+
+The filter between the two windows preserves both the hash partitioning
+and the sort order, so Catalyst elides the second exchange/sort — the
+whole operator is ONE shuffle regardless of input size, and scales with
+rows-per-key, never pairs. No UDFs, no collect.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Collapse a change feed into SCD2 validity intervals.
+
+    Parameters
+    ----------
+    df : change feed, one row per observed state of a key.
+    key_cols : business key (the dimension's natural key).
+    attr_cols : tracked attributes — a new interval starts whenever any
+        of them differs (null-safely) from the previous observation.
+    ts_col : observation time.
+    tiebreak_cols : deterministic ordering within equal ``ts_col`` values
+        (e.g. a monotonically increasing change id). Required for
+        reproducible output when timestamps can tie.
+
+    Returns the change rows only, with three added columns:
+    ``__valid_from`` (= ``ts_col``), ``__valid_to`` (next change's ts,
+    NULL for the current state) and ``__is_current``.
+    """
+    tiebreak = tiebreak_cols or []
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+    # lag(first row) is NULL for every attr; eqNullSafe makes a genuine
+    # NULL attribute on row 1 look unchanged, so force-open the first
+    # interval explicitly.
+    first = F.row_number().over(w) == 1
+
+    runs = df.withColumn("__chg", changed | first).filter(F.col("__chg"))
+    # same partitioning+ordering: the filter preserved both, no new shuffle
+    valid_to = F.lead(F.col(ts_col)).over(w)
+    return (
+        runs.withColumn("__valid_from", F.col(ts_col))
+        .withColumn("__valid_to", valid_to)
+        .withColumn("__is_current", F.col("__valid_to").isNull())
+        .drop("__chg")
+    )

@@ -70,6 +70,12 @@ PROBE = [
     "q_global_line_dedup",
     "q_bigram_fluency",
     "q_quality_classifier",
+    "q_scd2",
+    "q_funnel",
+    "q_retention",
+    "q_kmv_distinct",
+    "q_interval_overlap",
+    "q_multimodal_frames",
 ]
 
 

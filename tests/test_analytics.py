@@ -1,0 +1,201 @@
+"""SCD2 intervals, funnel, cohort retention, KMV sketch, interval-overlap
+join: unit semantics on hand-built inputs (the sf0.01 differential gate
+covers the fixture-scale behavior)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from salesforce_plugin_spark.functions.sketch import kmv_distinct
+from salesforce_plugin_spark.operators.analytics import cohort_retention, funnel
+from salesforce_plugin_spark.operators.joins import interval_overlap_join
+from salesforce_plugin_spark.operators.scd import scd2_intervals
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+# --- SCD2 ---
+
+def test_scd2_collapses_runs_and_marks_current(spark):
+    feed = spark.createDataFrame(
+        [
+            (1, "a", ts(0), 100),
+            (1, "a", ts(10), 101),   # same state → same interval
+            (1, "b", ts(20), 102),   # change
+            (1, "a", ts(30), 103),   # change back → NEW interval (not merged)
+            (2, "x", ts(5), 104),
+        ],
+        "k int, attr string, ts timestamp, chg_id int",
+    )
+    out = scd2_intervals(feed, ["k"], ["attr"], "ts", ["chg_id"])
+    rows = sorted(out.collect(), key=lambda r: (r.k, r["__valid_from"]))
+    assert [(r.k, r.attr) for r in rows] == [(1, "a"), (1, "b"), (1, "a"), (2, "x")]
+    assert rows[0]["__valid_from"] == ts(0) and rows[0]["__valid_to"] == ts(20)
+    assert rows[1]["__valid_to"] == ts(30)
+    assert rows[2]["__valid_to"] is None and rows[2]["__is_current"]
+    assert rows[3]["__is_current"]
+
+
+def test_scd2_null_transitions_are_changes(spark):
+    feed = spark.createDataFrame(
+        [(1, "a", ts(0), 1), (1, None, ts(10), 2), (1, None, ts(20), 3),
+         (1, "a", ts(30), 4)],
+        "k int, attr string, ts timestamp, chg_id int",
+    )
+    out = scd2_intervals(feed, ["k"], ["attr"], "ts", ["chg_id"]).collect()
+    # a → NULL → a: three intervals, the NULL run collapsed to one
+    assert sorted(
+        ((r["__valid_from"], r.attr) for r in out)
+    ) == [(ts(0), "a"), (ts(10), None), (ts(30), "a")]
+
+
+def test_scd2_single_shuffle_plan(spark):
+    feed = spark.createDataFrame(
+        [(1, "a", ts(0), 1)], "k int, attr string, ts timestamp, chg_id int"
+    )
+    plan = (
+        scd2_intervals(feed, ["k"], ["attr"], "ts", ["chg_id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the lead() window must reuse the lag() window's exchange
+    assert plan.count("Exchange") == 1
+
+
+# --- funnel ---
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "u int, ts timestamp, et string")
+
+
+def test_funnel_ordered_stages(spark):
+    e = _events(
+        spark,
+        [
+            (1, ts(0), "view"), (1, ts(5), "click"), (1, ts(9), "buy"),
+            # user 2: click BEFORE the first view → not funnel progress
+            (2, ts(0), "click"), (2, ts(5), "view"),
+            # user 3 never views → absent entirely
+            (3, ts(0), "buy"),
+        ],
+    )
+    out = {r.u: r for r in funnel(e, "u", "ts", "et", ["view", "click", "buy"]).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].depth == 3 and out[1].t_buy == ts(9)
+    assert out[2].depth == 1 and out[2].t_click is None and out[2].t_buy is None
+
+
+def test_funnel_equal_ts_counts(spark):
+    e = _events(spark, [(1, ts(0), "view"), (1, ts(0), "click")])
+    out = funnel(e, "u", "ts", "et", ["view", "click"]).collect()[0]
+    assert out.depth == 2          # at-or-after: equal timestamps qualify
+
+
+def test_funnel_requires_stages(spark):
+    with pytest.raises(ValueError):
+        funnel(_events(spark, [(1, ts(0), "v")]), "u", "ts", "et", [])
+
+
+# --- retention ---
+
+def test_cohort_retention_counts(spark):
+    day = 24 * 60
+    e = _events(
+        spark,
+        [
+            (1, ts(0), "x"), (1, ts(day), "x"), (1, ts(2 * day), "x"),
+            (2, ts(0), "x"), (2, ts(2 * day), "x"),
+            (3, ts(day), "x"),                      # later cohort
+        ],
+    )
+    out = {
+        (r.cohort, r.period_offset): r.n_users
+        for r in cohort_retention(e, "u", "ts", period="day").collect()
+    }
+    d0 = T0.date()
+    d1 = (T0 + dt.timedelta(days=1)).date()
+    assert out[(d0, 0)] == 2 and out[(d0, 1)] == 1 and out[(d0, 2)] == 2
+    assert out[(d1, 0)] == 1
+
+
+def test_cohort_retention_rejects_unknown_period(spark):
+    with pytest.raises(ValueError):
+        cohort_retention(_events(spark, [(1, ts(0), "x")]), "u", "ts", "month")
+
+
+# --- KMV ---
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame([(str(i),) for i in range(10)], "v string")
+    row = kmv_distinct(df, "v", k=64).collect()[0]
+    assert row.n_kept == 10 and row.est_distinct == 10
+
+
+def test_kmv_estimate_within_error(spark):
+    n = 2000
+    df = spark.createDataFrame([(str(i),) for i in range(n)], "v string")
+    row = kmv_distinct(df, "v", k=256).collect()[0]
+    assert row.n_kept == 256
+    # std err ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    assert abs(row.est_distinct - n) / n < 0.25
+
+
+def test_kmv_duplicates_do_not_inflate(spark):
+    df = spark.createDataFrame([(str(i % 50),) for i in range(5000)], "v string")
+    row = kmv_distinct(df, "v", k=64).collect()[0]
+    assert row.est_distinct == 50          # exact: only 50 distinct hashes
+
+
+def test_kmv_rejects_tiny_k(spark):
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError):
+        kmv_distinct(df, "v", k=1)
+
+
+# --- interval overlap join ---
+
+def test_interval_overlap_matches_naive(spark):
+    import random
+
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [
+            (i, rng.randrange(3), ts(s := rng.randrange(0, 300)), ts(s + rng.randrange(1, 90)))
+            for i in range(40)
+        ],
+        "lid int, k int, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (i, rng.randrange(3), ts(s := rng.randrange(0, 300)), ts(s + rng.randrange(1, 90)))
+            for i in range(40)
+        ],
+        "rid int, k int, rs timestamp, re timestamp",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_width=600, extra_keys=["k"]
+        ).collect()
+    )
+    naive = sorted(
+        (r.lid, r.rid)
+        for r in left.join(right, "k")
+        .filter((F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le")))
+        .collect()
+    )
+    assert got == naive and len(got) > 0
+
+
+def test_interval_overlap_emits_each_pair_once(spark):
+    # two long intervals sharing many buckets must still pair exactly once
+    left = spark.createDataFrame([(1, ts(0), ts(600))], "lid int, ls timestamp, le timestamp")
+    right = spark.createDataFrame([(2, ts(10), ts(590))], "rid int, rs timestamp, re timestamp")
+    out = interval_overlap_join(left, right, "ls", "le", "rs", "re", bucket_width=60).collect()
+    assert len(out) == 1
