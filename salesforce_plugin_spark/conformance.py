@@ -3038,6 +3038,21 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
+def q_span_dedup(spark, sf_dir):
+    """F1/F5: corpus-global exact repeated-span removal — the
+    distributable form of Lee et al. 2022's suffix-array exact-substring
+    dedup (functions/dedup.py span_dedup): every 8-token span occurring
+    more than once corpus-wide is removed at all but its first
+    occurrence, tokens survive iff uncovered. One exchange on the span
+    md5 (count + first-election as window aggregates), one fold of
+    flagged starts per doc, HOF coverage rebuild — no token-level
+    shuffle. ~9% of the fixture's 8-gram occurrences are corpus dups
+    (planted near-dup docs), so the hash-checked rebuilt text genuinely
+    exercises the removal path."""
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    return D.span_dedup(d, "doc_id", "text", span_tokens=8)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3197,6 +3212,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_kmv_distinct": q_kmv_distinct,
     "q_interval_overlap": q_interval_overlap,
     "q_multimodal_frames": q_multimodal_frames,
+    "q_span_dedup": q_span_dedup,
 }
 
 
@@ -5236,4 +5252,46 @@ ORACLES["q_multimodal_frames"] = """
     FROM documents d,
          unnest(generate_series(0, ((strlen(d.text) + 15) // 16 - 1) // 4))
              AS t(m)
+"""
+
+
+ORACLES["q_span_dedup"] = r"""
+    WITH toked AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ), occ AS (
+        SELECT doc_id, s AS spos,
+               md5(array_to_string(list_slice(t, s, s + 7), ' ')) AS key
+        FROM (
+            SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS s
+            FROM toked WHERE len(t) >= 8
+        )
+    ), marked AS (
+        SELECT doc_id, spos,
+               count(*) OVER (PARTITION BY key) AS cnt,
+               row_number() OVER (PARTITION BY key ORDER BY doc_id, spos)
+                   AS rn
+        FROM occ
+    ), covered AS (
+        SELECT DISTINCT m.doc_id, m.spos + g.o AS j
+        FROM marked m, unnest(generate_series(0, 7)) AS g(o)
+        WHERE m.cnt > 1 AND m.rn > 1
+    ), toks AS (
+        SELECT doc_id, j, t[j] AS tok
+        FROM (
+            SELECT doc_id, t, unnest(generate_series(1, len(t))) AS j
+            FROM toked
+        )
+    ), kept AS (
+        SELECT k.doc_id, k.j, k.tok
+        FROM toks k
+        LEFT JOIN covered c ON k.doc_id = c.doc_id AND k.j = c.j
+        WHERE c.j IS NULL
+    )
+    SELECT d.doc_id,
+           CAST(len(d.t) AS BIGINT) AS n_tokens,
+           CAST(len(d.t) - count(k.j) AS BIGINT) AS n_removed,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.j), '') AS cleaned
+    FROM toked d LEFT JOIN kept k USING (doc_id)
+    GROUP BY d.doc_id, len(d.t)
 """

@@ -793,3 +793,104 @@ def embedding_cosine_pairs(
         joined.select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Corpus-global exact repeated-span removal — the token-level form of
+    the exact-substring deduplication Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better") run with a suffix array.
+    A suffix array is a single-machine construction; the distributable
+    equivalent is fixed-length span hashing: every ``span_tokens``-token
+    shingle occurrence is keyed by md5, any key occurring more than once
+    corpus-wide is removed at every occurrence EXCEPT its first
+    (lowest ``(id, start)``), and a token survives iff no removed span
+    covers it. Spans overlapping a duplicated region chain naturally:
+    consecutive duplicated shingles merge into one maximal removed span,
+    approximating the suffix-array maximal-match semantics at fixed
+    granularity.
+
+    Scale shape:
+
+    - shingle occurrences explode straight off the token array (no
+      pre-shuffle; the array is materialized ONCE per doc — HOF lambdas
+      get a column reference, see :func:`shingles_from_tokens`);
+    - ONE exchange on the 32-byte md5 key; count + first-occurrence
+      election are both window *aggregates* over that key (no secondary
+      sort);
+    - flagged starts fold back per doc (exchange bounded by flagged
+      occurrences, ~dup-rate × corpus shingles);
+    - the rebuild is a single HOF projection per doc — coverage test is
+      ``exists(spans, sp -> sp <= j < sp+n)``, O(tokens × flagged spans
+      per doc), no token-level shuffle.
+
+    Returns ``(id, n_tokens long, n_removed long, cleaned string)``;
+    ``cleaned`` is whitespace-normalized (tokens re-joined with single
+    spaces). Documents shorter than ``span_tokens`` pass through intact.
+    """
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    n = span_tokens
+    starts = F.sequence(F.lit(1), F.size(F.col("__toks")) - (n - 1))
+    occ_structs = F.when(
+        F.size(F.col("__toks")) >= n,
+        F.transform(
+            starts,
+            lambda i: F.struct(
+                i.alias("spos"),
+                F.md5(
+                    F.array_join(F.slice(F.col("__toks"), i, n), " ").cast(
+                        "binary"
+                    )
+                ).alias("__key"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<spos:int,__key:string>>"))
+    occ = toked.select(
+        F.col(id_col), F.explode(occ_structs).alias("__s")
+    ).select(
+        F.col(id_col),
+        F.col("__s.spos").alias("__spos"),
+        F.col("__s.__key").alias("__key"),
+    )
+
+    w = Window.partitionBy("__key")
+    cnt = F.count(F.lit(1)).over(w)
+    first = F.min(F.struct(F.col(id_col), F.col("__spos"))).over(w)
+    flagged = (
+        occ.withColumn("__cnt", cnt)
+        .withColumn("__first", first)
+        .filter(
+            (F.col("__cnt") > 1)
+            & ~(
+                (F.col(id_col) == F.col("__first")[id_col])
+                & (F.col("__spos") == F.col("__first")["__spos"])
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("__spos").alias("__spans"))
+    )
+
+    joined = toked.join(flagged, id_col, "left")
+    indexed = F.transform(
+        F.col("__toks"),
+        lambda t, i: F.struct(t.alias("t"), (i + 1).alias("j")),
+    )
+    keep = lambda s: F.col("__spans").isNull() | ~F.exists(  # noqa: E731
+        F.col("__spans"),
+        lambda sp: (sp <= s["j"]) & (s["j"] < sp + n),
+    )
+    kept = F.filter(indexed, keep)
+    return joined.select(
+        F.col(id_col),
+        F.size(F.col("__toks")).cast("long").alias("n_tokens"),
+        (F.size(F.col("__toks")) - F.size(kept)).cast("long").alias(
+            "n_removed"
+        ),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias(
+            "cleaned"
+        ),
+    )

@@ -199,3 +199,58 @@ def test_interval_overlap_emits_each_pair_once(spark):
     right = spark.createDataFrame([(2, ts(10), ts(590))], "rid int, rs timestamp, re timestamp")
     out = interval_overlap_join(left, right, "ls", "le", "rs", "re", bucket_width=60).collect()
     assert len(out) == 1
+
+
+# --- span dedup (Lee et al. shape) ---
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_span_dedup_removes_later_occurrences(spark):
+    from salesforce_plugin_spark.functions.dedup import span_dedup
+
+    span = "a b c d"  # 4-token span, span_tokens=4
+    docs = _docs(
+        spark,
+        [
+            (1, f"{span} tail1 tail2"),
+            (2, f"head1 head2 {span}"),   # later occurrence → removed
+            (3, "x y z w v"),             # untouched
+        ],
+    )
+    out = {r.doc_id: r for r in span_dedup(docs, span_tokens=4).collect()}
+    assert out[1].cleaned == "a b c d tail1 tail2" and out[1].n_removed == 0
+    assert out[2].cleaned == "head1 head2" and out[2].n_removed == 4
+    assert out[3].cleaned == "x y z w v" and out[3].n_removed == 0
+
+
+def test_span_dedup_overlapping_spans_merge(spark):
+    from salesforce_plugin_spark.functions.dedup import span_dedup
+
+    # 5-token duplicated region with span_tokens=4 → two overlapping
+    # flagged shingles chain into one maximal removed region
+    region = "p q r s t"
+    docs = _docs(spark, [(1, f"{region} u"), (2, f"z {region} z2")])
+    out = {r.doc_id: r for r in span_dedup(docs, span_tokens=4).collect()}
+    assert out[1].n_removed == 0
+    assert out[2].cleaned == "z z2" and out[2].n_removed == 5
+
+
+def test_span_dedup_short_docs_pass_through(spark):
+    from salesforce_plugin_spark.functions.dedup import span_dedup
+
+    docs = _docs(spark, [(1, "  only   three  tokens "), (2, "only three tokens")])
+    out = {r.doc_id: r for r in span_dedup(docs, span_tokens=8).collect()}
+    # below span length: never flagged even though identical; whitespace
+    # normalized on rebuild
+    assert out[1].cleaned == "only three tokens"
+    assert out[2].cleaned == "only three tokens"
+
+
+def test_span_dedup_within_doc_duplicates(spark):
+    from salesforce_plugin_spark.functions.dedup import span_dedup
+
+    docs = _docs(spark, [(1, "a b c a b c")])  # span_tokens=3: "a b c" twice
+    out = span_dedup(docs, span_tokens=3).collect()[0]
+    assert out.cleaned == "a b c" and out.n_removed == 3
