@@ -3053,6 +3053,73 @@ def q_span_dedup(spark, sf_dir):
     return D.span_dedup(d, "doc_id", "text", span_tokens=8)
 
 
+def q_cdc_merge(spark, sf_dir):
+    """E5/A10 batch form: CDC apply — merge an upsert+delete change feed
+    into a snapshot (operators/merge.py), the engine-side equivalent of
+    the reference's staging-table upsert load (DELETE matching keys +
+    COPY, salesforce_to_redshift_operator.py). The feed is derived
+    deterministically from orders so the oracle can rebuild it: snapshot
+    = keys with orderkey%10<=7; change batch 1 updates %10∈{6,7,8}
+    (price×2; 8 is an insert) and deletes %10=9 (absent → no-op); change
+    batch 2 re-updates %20=6 later (price×3) so latest-wins is
+    exercised. Two exchanges: max_by winner election (map-side partial),
+    one full-outer equi-join."""
+    from salesforce_plugin_spark.operators.merge import apply_changes
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    key10 = F.col("o_orderkey") % 10
+    snapshot = o.filter(key10 <= 7)
+    c1 = o.filter(key10.isin(6, 7, 8, 9)).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.when(key10 == 9, F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice") * 2)
+        .alias("o_totalprice"),
+        F.when(key10 == 9, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+        F.lit(1).alias("chg_seq"),
+    )
+    c2 = o.filter(F.col("o_orderkey") % 20 == 6).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 3).alias("o_totalprice"),
+        F.lit("u").alias("op"),
+        F.lit(2).alias("chg_seq"),
+    )
+    merged = apply_changes(
+        snapshot,
+        c1.unionByName(c2),
+        keys=["o_orderkey"],
+        order_by=["chg_seq"],
+        op_col="op",
+    )
+    return merged.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").alias("total_price"),
+    )
+
+
+def q_quantile_sketch(spark, sf_dir):
+    """Distributed quantile sketching: single-pass equi-width-histogram
+    quantiles (functions/sketch.py binned_quantiles) over events.value —
+    the deterministic, engine-replayable alternative to GK/t-digest
+    (whose merge order is nondeterministic) and to rank interpolation
+    (whose tie/interp arithmetic differs between engines; the exact form
+    is gated separately by q_agg_percentile). lo/hi/n_bins chosen so the
+    bin width is an exact binary double (0.5), making every estimate
+    arithmetic bit-identical cross-engine. One map-side-combined
+    exchange on the bin id; nothing downstream scales with data."""
+    from salesforce_plugin_spark.functions.sketch import binned_quantiles
+
+    e = load_table(spark, sf_dir, "events")
+    return binned_quantiles(
+        e, "value", qs=[0.5, 0.9, 0.99], lo=0.0, hi=500.0, n_bins=1000
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3213,6 +3280,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_interval_overlap": q_interval_overlap,
     "q_multimodal_frames": q_multimodal_frames,
     "q_span_dedup": q_span_dedup,
+    "q_cdc_merge": q_cdc_merge,
+    "q_quantile_sketch": q_quantile_sketch,
 }
 
 
@@ -5294,4 +5363,70 @@ ORACLES["q_span_dedup"] = r"""
            coalesce(string_agg(k.tok, ' ' ORDER BY k.j), '') AS cleaned
     FROM toked d LEFT JOIN kept k USING (doc_id)
     GROUP BY d.doc_id, len(d.t)
+"""
+
+
+ORACLES["q_cdc_merge"] = """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders
+    ), snap AS (
+        SELECT * FROM base WHERE o_orderkey % 10 <= 7
+    ), c1 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 9 THEN o_totalprice
+                    ELSE o_totalprice * 2 END AS o_totalprice,
+               CASE WHEN o_orderkey % 10 = 9 THEN 'd' ELSE 'u' END AS op,
+               1 AS chg_seq
+        FROM base WHERE o_orderkey % 10 IN (6, 7, 8, 9)
+    ), c2 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice * 3 AS o_totalprice, 'u' AS op, 2 AS chg_seq
+        FROM base WHERE o_orderkey % 20 = 6
+    ), ch AS (
+        SELECT * FROM c1 UNION ALL SELECT * FROM c2
+    ), winner AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, op
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_orderkey ORDER BY chg_seq DESC
+            ) AS rn FROM ch
+        ) WHERE rn = 1
+    )
+    SELECT coalesce(s.o_orderkey, c.o_orderkey) AS o_orderkey,
+           CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_custkey
+                ELSE s.o_custkey END AS o_custkey,
+           CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderstatus
+                ELSE s.o_orderstatus END AS o_orderstatus,
+           CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_totalprice
+                ELSE s.o_totalprice END AS total_price
+    FROM snap s
+    FULL OUTER JOIN winner c ON s.o_orderkey = c.o_orderkey
+    WHERE c.op IS NULL OR c.op <> 'd'
+"""
+
+ORACLES["q_quantile_sketch"] = """
+    WITH binned AS (
+        SELECT least(999, greatest(0,
+                   CAST(floor(value / 0.5) AS BIGINT))) AS bin
+        FROM events WHERE value IS NOT NULL
+    ), counts AS (
+        SELECT bin, count(*) AS cnt FROM binned GROUP BY bin
+    ), cum AS (
+        SELECT bin, cnt,
+               sum(cnt) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+               sum(cnt) OVER () AS n
+        FROM counts
+    ), qs AS (
+        SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                       CAST(0.99 AS DOUBLE)]) AS q
+    )
+    SELECT q,
+           CAST(min(bin) AS INT) AS bin,
+           CAST(0.0 AS DOUBLE) + (min(bin) + 1) * CAST(0.5 AS DOUBLE) AS est,
+           CAST(max(n) AS BIGINT) AS n_total
+    FROM cum, qs
+    WHERE c >= ceil(q * n)
+    GROUP BY q
 """

@@ -87,3 +87,75 @@ def kmv_distinct(
         "kth_hash",
         est.alias("est_distinct"),
     )
+
+
+def binned_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Single-pass approximate quantiles via a fixed equi-width histogram
+    — the distributed-quantile pattern whose every step is deterministic
+    and engine-replayable (unlike rank-interpolation over doubles, where
+    tie-breaking and interpolation arithmetic differ between engines, or
+    GK/t-digest sketches, whose merge order is nondeterministic).
+
+    Values clamp into ``n_bins`` equal bins over ``[lo, hi)``; the
+    q-quantile estimate is the UPPER EDGE of the first bin whose
+    cumulative count reaches ``ceil(q * n)``. Error is bounded by one bin
+    width — size ``n_bins`` to the precision the consumer needs.
+
+    Plan: one map-side-combined exchange on the bin id (≤ ``n_bins``
+    rows survive), a cumulative-sum window over those rows, then a tiny
+    broadcast cross join against the quantile list and a ``min_by``
+    aggregate per q. Nothing after the first aggregate scales with the
+    data.
+
+    Output: ``(q double, bin int, est double, n_total long)``; ``est``
+    is computed with one multiply + one add over exact operands, so it
+    is bit-identical across engines.
+    """
+    if not qs:
+        raise ValueError("binned_quantiles requires at least one quantile")
+    if not lo < hi:
+        raise ValueError("binned_quantiles requires lo < hi")
+    width = (hi - lo) / n_bins
+    raw_bin = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    bin_ = F.least(
+        F.lit(n_bins - 1), F.greatest(F.lit(0), raw_bin)
+    ).cast("int")
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(bin_.alias("__bin"))
+        .groupBy("__bin")
+        .agg(F.count("*").alias("__cnt"))
+    )
+    w = (
+        Window.orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("__cum", F.sum("__cnt").over(w)).withColumn(
+        "__n", F.sum("__cnt").over(Window.partitionBy())
+    )
+    q_df = df.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    hit = cum.crossJoin(F.broadcast(q_df)).filter(
+        F.col("__cum") >= F.ceil(F.col("q") * F.col("__n"))
+    )
+    return (
+        hit.groupBy("q")
+        .agg(
+            F.min("__bin").alias("bin"),
+            F.max("__n").alias("n_total"),
+        )
+        .select(
+            "q",
+            "bin",
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("est"),
+            "n_total",
+        )
+    )

@@ -1,0 +1,71 @@
+"""Batch CDC apply: merge a change feed (upserts + deletes) into a
+snapshot — the engine-side form of the reference's load pattern
+(`salesforce_to_redshift_operator.py`'s staging-table upsert: DELETE
+matching keys, then COPY the fresh extract; streaming/upsert.py is the
+continuous variant, this is the batch one).
+
+Plan shape: the change feed first reduces to ONE winning change per key
+(``max_by`` over the event order — a hash aggregate, partial-combining
+map-side, so the exchange carries ~1/r rows at change-ratio r), then a
+single full-outer equi-join against the snapshot applies the verdict:
+
+- key only in snapshot → row passes through;
+- winning change is a delete → key dropped (even if absent: no-op);
+- otherwise the change row replaces/inserts.
+
+Two exchanges total (changes reduce + join); both sides hash on the same
+key so the join itself adds one sort/exchange on the snapshot side only.
+Deletes of absent keys and updates of absent keys (= inserts) need no
+special casing — the outer join's null pattern encodes them.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    op_col: str = "op",
+    delete_op: str = "d",
+) -> DataFrame:
+    """Apply a CDC change feed to a snapshot; returns the new snapshot
+    with the snapshot's columns.
+
+    ``changes`` must carry the snapshot's columns plus ``op_col`` and the
+    ``order_by`` columns (which may overlap the value columns). The
+    winning change per key is the LAST under ``order_by`` (lexicographic
+    struct order — make the tuple unique per key for a deterministic
+    winner, same contract as ``dedup_exact``).
+    """
+    val_cols = snapshot.columns
+    ord_struct = F.struct(*[F.col(c) for c in order_by])
+    winner = changes.groupBy(*[F.col(k) for k in keys]).agg(
+        F.max_by(
+            F.struct(
+                *[F.col(c) for c in val_cols if c not in keys],
+                F.col(op_col).alias("__op"),
+            ),
+            ord_struct,
+        ).alias("__w")
+    )
+    joined = snapshot.alias("s").join(
+        winner.alias("c"), on=keys, how="full_outer"
+    )
+    is_delete = F.col("c.__w.__op") == delete_op
+    take_change = F.col("c.__w").isNotNull() & ~is_delete
+    keep_snapshot = F.col("c.__w").isNull()
+    return joined.filter(keep_snapshot | take_change).select(
+        *[F.col(k) for k in keys],
+        *[
+            F.when(take_change, F.col(f"c.__w.{c}"))
+            .otherwise(F.col(f"s.{c}"))
+            .alias(c)
+            for c in val_cols
+            if c not in keys
+        ],
+    )

@@ -76,6 +76,9 @@ PROBE = [
     "q_kmv_distinct",
     "q_interval_overlap",
     "q_multimodal_frames",
+    "q_span_dedup",
+    "q_cdc_merge",
+    "q_quantile_sketch",
 ]
 
 

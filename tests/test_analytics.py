@@ -254,3 +254,79 @@ def test_span_dedup_within_doc_duplicates(spark):
     docs = _docs(spark, [(1, "a b c a b c")])  # span_tokens=3: "a b c" twice
     out = span_dedup(docs, span_tokens=3).collect()[0]
     assert out.cleaned == "a b c" and out.n_removed == 3
+
+
+# --- CDC merge ---
+
+def test_apply_changes_upsert_delete_latest_wins(spark):
+    from salesforce_plugin_spark.operators.merge import apply_changes
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, s string, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, "u", 1),
+            (2, "b3", 22.0, "u", 2),     # later → wins
+            (3, "c", 30.0, "d", 1),      # delete existing
+            (4, "d", 40.0, "u", 1),      # insert
+            (5, "e", 50.0, "d", 1),      # delete absent → no-op
+        ],
+        "k int, s string, v double, op string, seq int",
+    )
+    out = {
+        r.k: r
+        for r in apply_changes(snap, changes, ["k"], ["seq"], "op").collect()
+    }
+    assert set(out) == {1, 2, 4}
+    assert out[1].s == "a" and out[1].v == 10.0      # untouched passthrough
+    assert out[2].s == "b3" and out[2].v == 22.0     # latest change wins
+    assert out[4].s == "d"                           # upsert-insert
+
+
+def test_apply_changes_delete_then_reinsert(spark):
+    from salesforce_plugin_spark.operators.merge import apply_changes
+
+    snap = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    changes = spark.createDataFrame(
+        [(1, 0.0, "d", 1), (1, 9.0, "u", 2)], "k int, v double, op string, seq int"
+    )
+    out = apply_changes(snap, changes, ["k"], ["seq"], "op").collect()
+    assert len(out) == 1 and out[0].v == 9.0         # later upsert overrides delete
+
+
+# --- binned quantiles ---
+
+def test_binned_quantiles_exact_bins(spark):
+    from salesforce_plugin_spark.functions.sketch import binned_quantiles
+
+    # 100 values 0.5..99.5 over [0,100) with 100 bins → bin i has 1 value
+    df = spark.createDataFrame([(i + 0.5,) for i in range(100)], "v double")
+    out = {
+        r.q: r
+        for r in binned_quantiles(df, "v", [0.5, 0.99], 0.0, 100.0, 100).collect()
+    }
+    # ceil(0.5*100)=50 → bin 49, upper edge 50.0
+    assert out[0.5].bin == 49 and out[0.5].est == 50.0
+    assert out[0.99].bin == 98 and out[0.99].est == 99.0
+    assert out[0.5].n_total == 100
+
+
+def test_binned_quantiles_clamps_outliers(spark):
+    from salesforce_plugin_spark.functions.sketch import binned_quantiles
+
+    df = spark.createDataFrame([(-5.0,), (0.5,), (999.0,)], "v double")
+    out = {r.q: r for r in binned_quantiles(df, "v", [0.5, 1.0], 0.0, 10.0, 10).collect()}
+    assert out[0.5].bin == 0          # -5 clamps into bin 0
+    assert out[1.0].bin == 9          # 999 clamps into the last bin
+
+
+def test_binned_quantiles_validates_args(spark):
+    from salesforce_plugin_spark.functions.sketch import binned_quantiles
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        binned_quantiles(df, "v", [], 0.0, 1.0)
+    with pytest.raises(ValueError):
+        binned_quantiles(df, "v", [0.5], 5.0, 5.0)
