@@ -3120,6 +3120,21 @@ def q_quantile_sketch(spark, sf_dir):
     )
 
 
+def q_bm25(spark, sf_dir):
+    """F5/IR: exact-arithmetic BM25 (functions/ir.py) — the lexical
+    retrieval scorer for query-based corpus selection, made
+    hash-gateable by keeping every partial an integer ratio (idf's +0.5
+    smoothing cleared to (2N-2df+1)/(2df+1), dl/avgdl pre-quantized by
+    integer division) and floor-scaling ONCE before an exact BIGINT sum
+    — associative under any aggregation order, unlike float BM25. One
+    exchange on (doc, term) for tf; df and corpus stats are tiny
+    broadcast sides; final per-doc sum partial-combines."""
+    from salesforce_plugin_spark.functions.ir import bm25_scores
+
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    return bm25_scores(d, "doc_id", "text", terms=["key", "row", "table"])
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3282,6 +3297,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_span_dedup": q_span_dedup,
     "q_cdc_merge": q_cdc_merge,
     "q_quantile_sketch": q_quantile_sketch,
+    "q_bm25": q_bm25,
 }
 
 
@@ -5429,4 +5445,47 @@ ORACLES["q_quantile_sketch"] = """
     FROM cum, qs
     WHERE c >= ceil(q * n)
     GROUP BY q
+"""
+
+
+#: q_bm25 integer coefficients for k1=6/5, b=3/4, rel_dl quantum 10^4,
+#: scale 10^6 — mirrors functions/ir.py bm25_scores exactly.
+ORACLES["q_bm25"] = r"""
+    WITH toked AS (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              x -> lower(x)) AS t
+        FROM documents
+    ), lens AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toked
+    ), corpus AS (
+        SELECT CAST(count(*) AS BIGINT) AS d_docs,
+               CAST(sum(dl) AS BIGINT) AS t_toks
+        FROM lens
+    ), hits AS (
+        SELECT doc_id, tok AS term
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toked)
+        WHERE tok IN ('key', 'row', 'table')
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM hits GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), parts AS (
+        SELECT tf.doc_id,
+               ((2 * c.d_docs - 2 * d.df + 1) * tf.tf * 440000 * 1000000)
+               // ((2 * d.df + 1)
+                   * (200000 * tf.tf + 60000
+                      + 18 * ((l.dl * c.d_docs * 10000) // c.t_toks)))
+                   AS part
+        FROM tf
+        JOIN lens l USING (doc_id)
+        JOIN dfreq d USING (term)
+        CROSS JOIN corpus c
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_terms,
+           CAST(sum(part) AS BIGINT) AS score_scaled,
+           CAST(CAST(sum(part) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
+    FROM parts GROUP BY doc_id
 """

@@ -79,6 +79,7 @@ PROBE = [
     "q_span_dedup",
     "q_cdc_merge",
     "q_quantile_sketch",
+    "q_bm25",
 ]
 
 

@@ -330,3 +330,41 @@ def test_binned_quantiles_validates_args(spark):
         binned_quantiles(df, "v", [], 0.0, 1.0)
     with pytest.raises(ValueError):
         binned_quantiles(df, "v", [0.5], 5.0, 5.0)
+
+
+# --- BM25 ---
+
+def test_bm25_rewards_tf_and_rarity(spark):
+    from salesforce_plugin_spark.functions.ir import bm25_scores
+
+    docs = _docs(
+        spark,
+        [
+            (1, "apple apple apple pear pear plum plum plum"),
+            (2, "apple pear pear plum plum plum plum plum"),
+            (3, "plum plum plum plum plum plum plum plum"),   # no apple/pear
+            (4, "kiwi apple plum plum plum plum plum plum"),  # kiwi: df=1
+        ],
+    )
+    out = {r.doc_id: r for r in bm25_scores(docs, "doc_id", "text", ["apple", "kiwi"]).collect()}
+    assert set(out) == {1, 2, 4}              # doc 3 matches nothing
+    assert out[1].score > out[2].score        # tf(apple)=3 beats tf=1 (equal dl)
+    # kiwi (df=1) outweighs apple (df=3) at equal tf and dl
+    assert out[4].score > out[2].score
+    assert out[1].n_terms == 1 and out[4].n_terms == 2
+
+
+def test_bm25_score_is_exact_sum_of_scaled_parts(spark):
+    from salesforce_plugin_spark.functions.ir import bm25_scores
+
+    docs = _docs(spark, [(1, "a b c"), (2, "a a b")])
+    out = bm25_scores(docs, "doc_id", "text", ["a", "b", "c"]).collect()
+    for r in out:
+        assert r.score == r.score_scaled / 10**6
+
+
+def test_bm25_requires_terms(spark):
+    from salesforce_plugin_spark.functions.ir import bm25_scores
+
+    with pytest.raises(ValueError):
+        bm25_scores(_docs(spark, [(1, "x")]), "doc_id", "text", [])
