@@ -1,8 +1,15 @@
+from salesforce_plugin_spark.operators.analytics import cohort_retention, funnel
 from salesforce_plugin_spark.operators.elt import (
     BulkQueryExtract,
     ObjectExtract,
     SchemaReconcileLoad,
 )
+from salesforce_plugin_spark.operators.joins import (
+    asof_join,
+    interval_overlap_join,
+    range_join_bucketed,
+)
+from salesforce_plugin_spark.operators.merge import apply_changes
 from salesforce_plugin_spark.operators.partitioning import (
     explain_skew,
     repartition_by_time,
@@ -18,6 +25,7 @@ from salesforce_plugin_spark.operators.schema_reconcile import (
     redshift_copy_command,
     to_describe,
 )
+from salesforce_plugin_spark.operators.scd import scd2_intervals
 from salesforce_plugin_spark.operators.transforms import (
     add_fetch_time,
     coerce_to_epoch_seconds,
@@ -30,6 +38,13 @@ from salesforce_plugin_spark.operators.transforms import (
 )
 
 __all__ = [
+    "funnel",
+    "cohort_retention",
+    "asof_join",
+    "range_join_bucketed",
+    "interval_overlap_join",
+    "apply_changes",
+    "scd2_intervals",
     "BulkQueryExtract",
     "ObjectExtract",
     "SchemaReconcileLoad",
