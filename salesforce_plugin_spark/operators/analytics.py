@@ -29,13 +29,17 @@ def funnel(
     ts_col: str,
     type_col: str,
     stages: list[str],
+    within: str | None = None,
 ) -> DataFrame:
     """Ordered-funnel times: one row per user who reached stage 1, with
     ``t_<stage>`` (earliest qualifying event time) per stage — NULL once
     the user drops out — and ``depth``, the number of stages reached.
 
     Stage k qualifies only at-or-after the user's stage-(k-1) time, so a
-    purchase before any view does not count as funnel progress.
+    purchase before any view does not count as funnel progress. With
+    ``within`` (an INTERVAL string like ``'7 days'``) each transition
+    must additionally happen within that horizon of the previous stage —
+    the standard conversion-window semantics.
     """
     if not stages:
         raise ValueError("funnel requires at least one stage")
@@ -53,7 +57,12 @@ def funnel(
         )
         # conditional min, not filter-then-min: a user whose stage-k events
         # all precede stage k-1 must surface with NULL, not vanish
-        qual = F.when(F.col("__ts") >= F.col(prev), F.col("__ts"))
+        cond = F.col("__ts") >= F.col(prev)
+        if within is not None:
+            cond = cond & (
+                F.col("__ts") <= F.col(prev) + F.expr(f"INTERVAL {within}")
+            )
+        qual = F.when(cond, F.col("__ts"))
         out = (
             out.join(nxt, user_col, "left")
             .groupBy(*out.columns)

@@ -368,3 +368,18 @@ def test_bm25_requires_terms(spark):
 
     with pytest.raises(ValueError):
         bm25_scores(_docs(spark, [(1, "x")]), "doc_id", "text", [])
+
+
+def test_funnel_conversion_window(spark):
+    from salesforce_plugin_spark.operators.analytics import funnel
+
+    e = _events(
+        spark,
+        [
+            (1, ts(0), "view"), (1, ts(30), "click"),   # within 1 hour
+            (2, ts(0), "view"), (2, ts(90), "click"),   # beyond 1 hour
+        ],
+    )
+    out = {r.u: r for r in funnel(e, "u", "ts", "et", ["view", "click"], within="1 hour").collect()}
+    assert out[1].depth == 2
+    assert out[2].depth == 1 and out[2].t_click is None
