@@ -3135,6 +3135,35 @@ def q_bm25(spark, sf_dir):
     return bm25_scores(d, "doc_id", "text", terms=["key", "row", "table"])
 
 
+def q_url_dedup(spark, sf_dir):
+    """Web-corpus stage one: URL-level dedup (functions/web.py) — CCNet/
+    RefinedWeb/Dolma all collapse by normalized URL before any content
+    work. The fixture has no URL column, so each document seeds a
+    deterministic fake URL from its id (same discipline as q_pii_redact's
+    seeded PII): mixed case, optional www., utm tracking params, optional
+    fragment — every branch of the RE2-subset normalization chain
+    (URL_NORMALIZE_CHAIN, replayed verbatim in the oracle) fires. One
+    codegen projection + one min_by hash aggregate; ~154 normalized keys
+    absorb 500 docs at sf0.01 (2-5-way dups)."""
+    from salesforce_plugin_spark.functions.web import url_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(did % 4 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("Site"),
+        (did % 7).cast("string"),
+        F.lit(".example.com/p/"),
+        (did % 11).cast("string"),
+        F.when(did % 3 == 0, F.lit("?utm_source=feed&x=1"))
+        .when(did % 3 == 1, F.lit("?x=1"))
+        .otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return url_dedup(d.select("doc_id", url.alias("url")), "doc_id", "url")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3298,6 +3327,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_cdc_merge": q_cdc_merge,
     "q_quantile_sketch": q_quantile_sketch,
     "q_bm25": q_bm25,
+    "q_url_dedup": q_url_dedup,
 }
 
 
@@ -5488,4 +5518,35 @@ ORACLES["q_bm25"] = r"""
            CAST(sum(part) AS BIGINT) AS score_scaled,
            CAST(CAST(sum(part) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
     FROM parts GROUP BY doc_id
+"""
+
+
+ORACLES["q_url_dedup"] = r"""
+    WITH seeded AS (
+        SELECT doc_id,
+               'https://'
+               || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+               || 'Site' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id % 11 AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&x=1'
+                       WHEN doc_id % 3 = 1 THEN '?x=1' ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END AS url
+        FROM documents
+    ), normed AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(
+                   lower(trim(url)),
+                   '#.*$', '', 'g'),
+                   '^https?://', '', 'g'),
+                   '^www\.', '', 'g'),
+                   '(utm_[a-z]+|gclid|fbclid)=[^&]*&?', '', 'g'),
+                   '\?&', '?', 'g'),
+                   '[?&]$', '', 'g'),
+                   '/$', '', 'g') AS url_norm
+        FROM seeded
+    )
+    SELECT min(doc_id) AS doc_id, url_norm,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM normed GROUP BY url_norm
 """

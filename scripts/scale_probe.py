@@ -80,6 +80,7 @@ PROBE = [
     "q_cdc_merge",
     "q_quantile_sketch",
     "q_bm25",
+    "q_url_dedup",
 ]
 
 

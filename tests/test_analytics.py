@@ -383,3 +383,36 @@ def test_funnel_conversion_window(spark):
     out = {r.u: r for r in funnel(e, "u", "ts", "et", ["view", "click"], within="1 hour").collect()}
     assert out[1].depth == 2
     assert out[2].depth == 1 and out[2].t_click is None
+
+
+# --- URL normalization / dedup ---
+
+def test_url_normalize_chain(spark):
+    from salesforce_plugin_spark.functions.web import url_normalize
+
+    cases = [
+        ("https://WWW.Example.com/Path/?utm_source=f#top", "example.com/path"),
+        ("http://example.com/x?id=3&utm_medium=m&b=2", "example.com/x?id=3&b=2"),
+        ("example.com/x?utm_campaign=z&gclid=abc", "example.com/x"),
+        ("https://example.com/x?id=3&fbclid=y", "example.com/x?id=3"),
+        ("  https://example.com/  ", "example.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(url_normalize("url")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_keeps_first_and_counts(spark):
+    from salesforce_plugin_spark.functions.web import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (3, "https://www.a.com/p?utm_source=x"),
+            (1, "http://a.com/p/"),
+            (2, "https://b.com/q"),
+        ],
+        "id long, url string",
+    )
+    out = {r.url_norm: r for r in url_dedup(df, "id", "url").collect()}
+    assert out["a.com/p"].id == 1 and out["a.com/p"].n_dups == 2
+    assert out["b.com/q"].n_dups == 1
