@@ -3164,6 +3164,27 @@ def q_url_dedup(spark, sf_dir):
     return url_dedup(d.select("doc_id", url.alias("url")), "doc_id", "url")
 
 
+def q_pagerank(spark, sf_dir):
+    """Iterative graph analytics under the gate (functions/graph.py):
+    3-iteration exact-integer PageRank over the supplier↔part
+    co-occurrence graph from lineitem (2.1k nodes, ~52k distinct edges
+    at sf0.01; suppliers namespaced +10^6). Scaled-BIGINT ranks +
+    integer floor divides make every iteration bit-reproducible — float
+    PageRank compounds last-ulp aggregation-order drift per iteration
+    and could never hash-match. The whole run is ONE lazy plan: per
+    iteration an edge-src join, a partial-combined inflow sum on dst,
+    and a node-sized left join; the oracle chains three identical
+    CTEs."""
+    from salesforce_plugin_spark.functions.graph import pagerank_fixed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_suppkey") + 1000000).alias("src"),
+        F.col("l_partkey").alias("dst"),
+    )
+    return pagerank_fixed(edges, iterations=3)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3328,6 +3349,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_quantile_sketch": q_quantile_sketch,
     "q_bm25": q_bm25,
     "q_url_dedup": q_url_dedup,
+    "q_pagerank": q_pagerank,
 }
 
 
@@ -5549,4 +5571,67 @@ ORACLES["q_url_dedup"] = r"""
     SELECT min(doc_id) AS doc_id, url_norm,
            CAST(count(*) AS BIGINT) AS n_dups
     FROM normed GROUP BY url_norm
+"""
+
+ORACLES["q_pagerank"] = """
+    WITH edges AS (
+        SELECT DISTINCT l_suppkey + 1000000 AS src, l_partkey AS dst
+        FROM lineitem
+    ), sym AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst, src FROM edges
+    ), nodes AS (
+        SELECT DISTINCT src AS id FROM sym
+    ), deg AS (
+        SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+        FROM sym GROUP BY 1
+    ), params AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+    ), r0 AS (
+        SELECT id, 1000000000000 // p.n AS r FROM nodes, params p
+    ), i1 AS (
+        SELECT n.id,
+               (15 * (1000000000000 // p.n)) // 100
+               + CAST((85 * coalesce(inflow.s, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n
+        CROSS JOIN params p
+        LEFT JOIN (
+            SELECT s.dst AS id, sum(r.r // d.deg) AS s
+            FROM sym s
+            JOIN r0 r ON r.id = s.src
+            JOIN deg d ON d.id = s.src
+            GROUP BY s.dst
+        ) inflow ON inflow.id = n.id
+    ), i2 AS (
+        SELECT n.id,
+               (15 * (1000000000000 // p.n)) // 100
+               + CAST((85 * coalesce(inflow.s, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n
+        CROSS JOIN params p
+        LEFT JOIN (
+            SELECT s.dst AS id, sum(r.r // d.deg) AS s
+            FROM sym s
+            JOIN i1 r ON r.id = s.src
+            JOIN deg d ON d.id = s.src
+            GROUP BY s.dst
+        ) inflow ON inflow.id = n.id
+    ), i3 AS (
+        SELECT n.id,
+               (15 * (1000000000000 // p.n)) // 100
+               + CAST((85 * coalesce(inflow.s, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n
+        CROSS JOIN params p
+        LEFT JOIN (
+            SELECT s.dst AS id, sum(r.r // d.deg) AS s
+            FROM sym s
+            JOIN i2 r ON r.id = s.src
+            JOIN deg d ON d.id = s.src
+            GROUP BY s.dst
+        ) inflow ON inflow.id = n.id
+    )
+    SELECT id,
+           CAST(r AS BIGINT) AS rank_scaled,
+           CAST(CAST(r AS BIGINT) AS DOUBLE) / 1000000000000.0 AS rank
+    FROM i3
 """

@@ -81,6 +81,7 @@ PROBE = [
     "q_quantile_sketch",
     "q_bm25",
     "q_url_dedup",
+    "q_pagerank",
 ]
 
 

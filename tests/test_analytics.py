@@ -416,3 +416,36 @@ def test_url_dedup_keeps_first_and_counts(spark):
     out = {r.url_norm: r for r in url_dedup(df, "id", "url").collect()}
     assert out["a.com/p"].id == 1 and out["a.com/p"].n_dups == 2
     assert out["b.com/q"].n_dups == 1
+
+
+# --- PageRank ---
+
+def test_pagerank_star_center_dominates(spark):
+    from salesforce_plugin_spark.functions.graph import pagerank_fixed
+
+    # star: 0 at the center of 1..5
+    edges = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    out = {r.id: r for r in pagerank_fixed(edges, iterations=3).collect()}
+    assert out[0].rank > out[1].rank
+    leaf_ranks = {out[i].rank_scaled for i in range(1, 6)}
+    assert len(leaf_ranks) == 1            # symmetric leaves tie exactly
+
+
+def test_pagerank_mass_approximately_conserved(spark):
+    from salesforce_plugin_spark.functions.graph import pagerank_fixed
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)], "src long, dst long"
+    )
+    rows = pagerank_fixed(edges, iterations=3, scale=10**12).collect()
+    total = sum(r.rank_scaled for r in rows)
+    # floor quantization only ever loses mass, and loses very little
+    assert 0.999 * 10**12 < total <= 10**12
+
+
+def test_pagerank_validates_iterations(spark):
+    from salesforce_plugin_spark.functions.graph import pagerank_fixed
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank_fixed(edges, iterations=0)
