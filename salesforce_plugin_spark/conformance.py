@@ -3185,6 +3185,41 @@ def q_pagerank(spark, sf_dir):
     return pagerank_fixed(edges, iterations=3)
 
 
+def q_stream_kmv(spark, sf_dir):
+    """F6 + sketch: streaming KMV distinct-count through the real
+    readStream → applyInPandasWithState path (streaming/stateful.py
+    running_kmv_distinct). The hash is computed JVM-side
+    (portable_hash32 of user_id) before the Arrow boundary; state is the
+    k smallest hashes — a bounded, order-insensitive merge, so the final
+    streamed state must equal the batch KMV over the same rows, which is
+    exactly what the oracle computes. Final row per key = max-n_seen row
+    of the update-mode sink (n_seen strictly increasing)."""
+    import os
+    import uuid
+
+    from salesforce_plugin_spark.streaming.stateful import running_kmv_distinct
+    from salesforce_plugin_spark.streaming.windows import (
+        run_to_memory_sink,
+        stream_events,
+    )
+
+    hashed = stream_events(spark, os.path.join(sf_dir, "events.parquet")).select(
+        "event_type",
+        D.portable_hash32(F.col("user_id").cast("string")).alias("__h"),
+    )
+    sink = run_to_memory_sink(
+        running_kmv_distinct(hashed, k=64),
+        "t_conf_kmv_" + uuid.uuid4().hex[:8],
+        mode="update",
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("n_seen").desc())
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_type", "n_seen", "k", "n_kept", "kth_hash", "est_distinct")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3350,6 +3385,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_bm25": q_bm25,
     "q_url_dedup": q_url_dedup,
     "q_pagerank": q_pagerank,
+    "q_stream_kmv": q_stream_kmv,
 }
 
 
@@ -5634,4 +5670,29 @@ ORACLES["q_pagerank"] = """
            CAST(r AS BIGINT) AS rank_scaled,
            CAST(CAST(r AS BIGINT) AS DOUBLE) / 1000000000000.0 AS rank
     FROM i3
+"""
+
+
+ORACLES["q_stream_kmv"] = """
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS hh
+        FROM events
+    ), ranked AS (
+        SELECT event_type, hh,
+               row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rn
+        FROM h
+    ), agg AS (
+        SELECT event_type, CAST(count(*) AS INT) AS n_kept,
+               max(hh) AS kth_hash
+        FROM ranked WHERE rn <= 64 GROUP BY event_type
+    ), seen AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_seen
+        FROM events GROUP BY event_type
+    )
+    SELECT a.event_type, s.n_seen, 64 AS k, a.n_kept, a.kth_hash,
+           CASE WHEN a.n_kept < 64 THEN CAST(a.n_kept AS BIGINT)
+                ELSE 270582939648 // a.kth_hash END AS est_distinct
+    FROM agg a JOIN seen s USING (event_type)
 """

@@ -90,3 +90,86 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV distinct-count (mergeable sketch state)
+# ---------------------------------------------------------------------------
+
+KMV_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("k", T.IntegerType()),
+        T.StructField("n_kept", T.IntegerType()),
+        T.StructField("kth_hash", T.LongType()),
+        T.StructField("est_distinct", T.LongType()),
+    ]
+)
+
+KMV_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("hashes", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def running_kmv_distinct(
+    hashed: DataFrame, key_col: str = "event_type", hash_col: str = "__h",
+    k: int = 64,
+) -> DataFrame:
+    """Per-key streaming distinct-count via a KMV sketch maintained in
+    ``applyInPandasWithState`` — the streaming face of
+    ``functions.sketch.kmv_distinct``, exercising the property that makes
+    KMV the scalable streaming cardinality sketch: its state is a
+    bounded, ORDER-INSENSITIVE merge (keep the k smallest hashes), so
+    any micro-batch arrival order yields the identical final state, and
+    the final estimate equals the batch computation over the same rows
+    (gated by ``q_stream_kmv``). State is ≤ k longs per key regardless
+    of stream length.
+
+    ``hashed`` must already carry ``hash_col`` (computed JVM-side, e.g.
+    ``dedup.portable_hash32`` — Python only merges sorted ints).
+    ``n_seen`` (rows processed) is strictly increasing, so the final
+    state row per key is the max-``n_seen`` row of an update-mode sink.
+    """
+    if k < 2:
+        raise ValueError("kmv requires k >= 2")
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (etype,) = key
+        n_seen, hashes = state.get if state.exists else (0, [])
+        merged = set(hashes)
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            merged.update(int(h) for h in pdf[hash_col])
+        kept = sorted(merged)[:k]
+        state.update((n_seen, kept))
+        kth = kept[-1] if kept else 0
+        est = (
+            len(kept)
+            if len(kept) < k
+            else ((k - 1) * (1 << 32)) // kth
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [etype],
+                "n_seen": [n_seen],
+                "k": [k],
+                "n_kept": [len(kept)],
+                "kth_hash": [kth],
+                "est_distinct": [est],
+            }
+        )
+
+    return (
+        hashed.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=KMV_OUTPUT_SCHEMA,
+            stateStructType=KMV_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

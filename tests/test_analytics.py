@@ -449,3 +449,53 @@ def test_pagerank_validates_iterations(spark):
     edges = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError):
         pagerank_fixed(edges, iterations=0)
+
+
+# --- streaming KMV ---
+
+def test_streaming_kmv_merges_across_batches(spark, tmp_path):
+    from salesforce_plugin_spark.functions.dedup import portable_hash32
+    from salesforce_plugin_spark.functions.sketch import kmv_distinct
+    from salesforce_plugin_spark.streaming.stateful import running_kmv_distinct
+    from salesforce_plugin_spark.streaming.windows import run_to_memory_sink
+
+    src = str(tmp_path / "src")
+    mk = lambda vals: spark.createDataFrame(  # noqa: E731
+        [("a", str(v)) for v in vals], "event_type string, uid string"
+    )
+    # overlapping value sets across two files → two micro-batches whose
+    # sketch states must merge order-insensitively
+    mk(range(0, 120)).coalesce(1).write.mode("append").parquet(src)
+    mk(range(60, 200)).coalesce(1).write.mode("append").parquet(src)
+
+    raw = (
+        spark.readStream.schema("event_type string, uid string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    hashed = raw.select("event_type", portable_hash32(F.col("uid")).alias("__h"))
+    sink = run_to_memory_sink(
+        running_kmv_distinct(hashed, k=32),
+        "t_test_kmv",
+        mode="update",
+    )
+    final = (
+        sink.orderBy(sink.n_seen.desc()).limit(1).collect()[0]
+    )
+    assert final.n_seen == 260
+
+    batch = spark.createDataFrame(
+        [(str(v),) for v in range(0, 200)], "uid string"
+    )
+    expect = kmv_distinct(batch, "uid", k=32).collect()[0]
+    # streamed state == batch sketch over the union of both files
+    assert final.n_kept == expect.n_kept
+    assert final.kth_hash == expect.kth_hash
+    assert final.est_distinct == expect.est_distinct
+
+
+def test_streaming_kmv_rejects_tiny_k(spark):
+    from salesforce_plugin_spark.streaming.stateful import running_kmv_distinct
+
+    with pytest.raises(ValueError):
+        running_kmv_distinct(None, k=1)
