@@ -3220,6 +3220,28 @@ def q_stream_kmv(spark, sf_dir):
     )
 
 
+def q_zorder(spark, sf_dir):
+    """Data-layout operator (100 TB concern): Z-order/Morton clustering
+    key (operators/partitioning.py zorder_key) — the multi-dimensional
+    sort key behind lakehouse OPTIMIZE ZORDER BY, letting parquet
+    min/max footer stats prune on EITHER predicate column of a
+    two-column filter (a plain sort prunes only its leading column;
+    write_zordered applies it at write time via repartitionByRange +
+    sortWithinPartitions). Gated on the bit-interleave itself: pure
+    bitwise codegen, no shuffle, replayed bit-for-bit in SQL."""
+    from salesforce_plugin_spark.operators.partitioning import zorder_key
+
+    e = load_table(spark, sf_dir, "events")
+    x = F.pmod(F.col("user_id"), F.lit(1024)).cast("long")
+    y = F.pmod(F.floor(F.col("value")).cast("long"), F.lit(1024))
+    return e.select(
+        "event_id",
+        x.alias("x"),
+        y.alias("y"),
+        zorder_key([x, y], bits=10).alias("z"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3386,6 +3408,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_url_dedup": q_url_dedup,
     "q_pagerank": q_pagerank,
     "q_stream_kmv": q_stream_kmv,
+    "q_zorder": q_zorder,
 }
 
 
@@ -5696,3 +5719,25 @@ ORACLES["q_stream_kmv"] = """
                 ELSE 270582939648 // a.kth_hash END AS est_distinct
     FROM agg a JOIN seen s USING (event_type)
 """
+
+
+def _zorder_oracle(bits: int = 10) -> str:
+    """Generate the q_zorder oracle: the identical bit interleave of
+    (user_id % 1024, floor(value) % 1024), one OR-term per bit."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((x >> {b}) & 1) << {b * 2})")
+        terms.append(f"(((y >> {b}) & 1) << {b * 2 + 1})")
+    z = " | ".join(terms)
+    return f"""
+        WITH xy AS (
+            SELECT event_id,
+                   CAST(user_id % 1024 AS BIGINT) AS x,
+                   CAST(CAST(floor(value) AS BIGINT) % 1024 AS BIGINT) AS y
+            FROM events
+        )
+        SELECT event_id, x, y, CAST({z} AS BIGINT) AS z FROM xy
+    """
+
+
+ORACLES["q_zorder"] = _zorder_oracle()

@@ -12,6 +12,8 @@ from salesforce_plugin_spark.operators.joins import (
 from salesforce_plugin_spark.operators.merge import apply_changes
 from salesforce_plugin_spark.operators.partitioning import (
     explain_skew,
+    write_zordered,
+    zorder_key,
     repartition_by_time,
     salted_join,
     write_bucketed,
@@ -52,6 +54,8 @@ __all__ = [
     "repartition_by_time",
     "salted_join",
     "write_bucketed",
+    "zorder_key",
+    "write_zordered",
     "FieldDescriptor",
     "from_describe",
     "to_describe",

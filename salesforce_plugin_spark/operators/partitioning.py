@@ -86,3 +86,57 @@ def repartition_by_time(
     (sources/catalog.py) effective at 100 TB."""
     bucket = F.date_trunc(granularity, F.col(ts_col)).alias("__tbucket")
     return df.repartition(bucket).sortWithinPartitions(ts_col)
+
+
+def zorder_key(cols: list[Column], bits: int = 10) -> Column:
+    """Z-order (Morton) key: interleave the low ``bits`` bits of each
+    column into one long — the multi-dimensional clustering key behind
+    lakehouse OPTIMIZE ZORDER BY. Rows sorted by this key are co-located
+    along BOTH dimensions at once, so a parquet layout written in z-order
+    gives min/max row-group pruning on either predicate column (a single-
+    column sort prunes only its own column; see ``write_zordered``).
+
+    Callers must map each column to a non-negative int that fits
+    ``bits`` (e.g. ``pmod``-bucketed or rank-quantized) — bits beyond
+    that are masked off here. Pure bitwise codegen expressions, no
+    shuffle; ``n_cols * bits`` must fit 63 bits.
+    """
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder_key needs at least two columns")
+    if n * bits > 63:
+        raise ValueError("n_cols * bits must fit in a signed long")
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        masked = c.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(masked, b).bitwiseAND(F.lit(1)),
+                    b * n + ci,
+                )
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: list[str], bits: int = 10,
+    num_files: int | None = None,
+) -> None:
+    """Write ``df`` clustered by the z-order key of ``cols``:
+    range-partition on the key (so each output file owns one contiguous
+    z-range), sort within partitions, drop the key. Each file's min/max
+    footer statistics then bound BOTH dimensions, and a predicate on
+    either column prunes files — the layout a 100 TB table needs when
+    queries filter on more than one column."""
+    z = zorder_key([F.col(c) for c in cols], bits).alias("__z")
+    parts = [num_files] if num_files else []  # else AQE picks (and may
+    # coalesce small inputs to one file — pass num_files to pin layout)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(*parts, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

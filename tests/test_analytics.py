@@ -499,3 +499,69 @@ def test_streaming_kmv_rejects_tiny_k(spark):
 
     with pytest.raises(ValueError):
         running_kmv_distinct(None, k=1)
+
+
+# --- z-order layout ---
+
+def test_zorder_key_matches_reference_interleave(spark):
+    from salesforce_plugin_spark.operators.partitioning import zorder_key
+
+    def morton(x, y, bits=10):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    rows = [(x, y) for x in range(0, 33, 7) for y in range(0, 33, 5)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select(
+        "x", "y", zorder_key([F.col("x"), F.col("y")], bits=10).alias("z")
+    ).collect()
+    for r in got:
+        assert r.z == morton(r.x, r.y)
+
+
+def test_zorder_key_validates_args(spark):
+    from salesforce_plugin_spark.operators.partitioning import zorder_key
+
+    with pytest.raises(ValueError):
+        zorder_key([F.col("x")])
+    with pytest.raises(ValueError):
+        zorder_key([F.col("x")] * 4, bits=16)
+
+
+def test_write_zordered_bounds_both_dims_per_file(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from salesforce_plugin_spark.operators.partitioning import write_zordered
+
+    # 64x64 grid; z-ordered layout should give each file a bounded box in
+    # BOTH x and y, so min/max footer stats prune on either column
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long").repartition(8)
+    out = str(tmp_path / "z")
+    write_zordered(df, out, ["x", "y"], bits=6, num_files=8)
+
+    spans = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.read_metadata(f)
+        mins = {"x": 1 << 30, "y": 1 << 30}
+        maxs = {"x": -1, "y": -1}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in mins and col.statistics is not None:
+                    mins[name] = min(mins[name], col.statistics.min)
+                    maxs[name] = max(maxs[name], col.statistics.max)
+        if maxs["x"] >= 0:
+            spans.append((maxs["x"] - mins["x"], maxs["y"] - mins["y"]))
+    assert len(spans) > 1
+    # every file bounds BOTH dimensions strictly tighter than the full 0-63
+    # range on at least one axis, and the average box is far below full span
+    avg_x = sum(s[0] for s in spans) / len(spans)
+    avg_y = sum(s[1] for s in spans) / len(spans)
+    assert avg_x < 50 and avg_y < 50
