@@ -3242,6 +3242,36 @@ def q_zorder(spark, sf_dir):
     )
 
 
+def q_soql_fields(spark, sf_dir):
+    """SOQL FIELDS(ALL) dynamic column expansion through the parser
+    (plans/soql.py _expand_fields): resolved against the object's
+    catalog schema — the describe()-analog of Salesforce's field
+    registry — with the real bounded-query contract enforced
+    (FIELDS(ALL)/(CUSTOM) demand LIMIT ≤ 200; STANDARD is unbounded; no
+    mixing with aggregates). The timestamp column leaves the gate as
+    epoch micros per the conformance determinism discipline (the parser
+    output itself keeps native types)."""
+    from salesforce_plugin_spark.plans import soql_to_df
+
+    def resolve(name):
+        return load_table(spark, sf_dir, name.lower())
+
+    df = soql_to_df(
+        spark,
+        "SELECT FIELDS(ALL) FROM Orders "
+        "WHERE o_orderstatus = 'F' ORDER BY o_orderkey LIMIT 200",
+        resolve=resolve,
+    )
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.unix_micros(F.col("o_orderdate")).alias("o_orderdate_us"),
+        "o_orderpriority",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3409,6 +3439,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_pagerank": q_pagerank,
     "q_stream_kmv": q_stream_kmv,
     "q_zorder": q_zorder,
+    "q_soql_fields": q_soql_fields,
 }
 
 
@@ -5741,3 +5772,13 @@ def _zorder_oracle(bits: int = 10) -> str:
 
 
 ORACLES["q_zorder"] = _zorder_oracle()
+
+
+ORACLES["q_soql_fields"] = """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    ORDER BY o_orderkey
+    LIMIT 200
+"""

@@ -352,6 +352,27 @@ class _Parser:
             self.i += 3
             return {"kind": "agg", "fn": "COUNT", "arg": None,
                     "alias": self.maybe_alias("expr0")}
+        if t.kind == "word" and t.text.upper() == "FIELDS" and \
+                self.peek(1) and self.peek(1).text == "(":
+            # SOQL FIELDS(ALL|STANDARD|CUSTOM) — dynamic column-set
+            # expansion (resolved against the object's schema at lowering,
+            # the describe()-analog of Salesforce's field registry)
+            scope_t = self.peek(2)
+            if (
+                scope_t is None
+                or scope_t.kind != "word"
+                or scope_t.text.upper() not in ("ALL", "STANDARD", "CUSTOM")
+            ):
+                raise SoqlError(
+                    f"SOQL: FIELDS() takes ALL, STANDARD or CUSTOM at "
+                    f"{t.pos}"
+                )
+            if not (self.peek(3) and self.peek(3).text == ")"):
+                raise SoqlError(
+                    f"SOQL: expected ')' closing FIELDS at {t.pos}"
+                )
+            self.i += 4
+            return {"kind": "fields", "scope": scope_t.text.upper()}
         e = self.parse_value_expr()
         return {**e, "alias": self.maybe_alias(default_alias(e))}
 
@@ -1087,6 +1108,7 @@ class _Lowerer:
 
     def lower(self, q: dict) -> DataFrame:
         df = self.resolve(q["from"])
+        q = self._expand_fields(q, df.columns)
         if self._accepts_ts_range:
             self._reset_cats(df)
             rng = self._static_ts_range(q)
@@ -1177,6 +1199,57 @@ class _Lowerer:
         if q["limit"] is not None:
             df = df.limit(q["limit"])
         return df
+
+    def _expand_fields(self, q: dict, base_cols: list[str]) -> dict:
+        """Expand FIELDS(ALL|STANDARD|CUSTOM) select items against the
+        source object's schema (Salesforce resolves them against the
+        field registry; here the catalog schema is that registry —
+        custom fields are the ``__c``-suffixed ones, per the reference's
+        field-name contract, salesforce_schema_to_redshift_operator.py).
+        SOQL's bounded-query rule applies: FIELDS(ALL)/FIELDS(CUSTOM)
+        require an explicit LIMIT of at most 200; FIELDS(STANDARD) is
+        unbounded. FIELDS cannot mix with GROUP BY/aggregates (same
+        Salesforce restriction)."""
+        if not any(it.get("kind") == "fields" for it in q["select"]):
+            return q
+        if q["group"] is not None or any(
+            it.get("kind") == "agg" for it in q["select"]
+        ):
+            raise SoqlError("SOQL: FIELDS() cannot mix with aggregates")
+        items: list[dict] = []
+        seen: set[str] = set()
+        for it in q["select"]:
+            if it.get("kind") != "fields":
+                if it["alias"] not in seen:
+                    seen.add(it["alias"])
+                    items.append(it)
+                continue
+            scope = it["scope"]
+            if scope in ("ALL", "CUSTOM") and (
+                q["limit"] is None or q["limit"] > 200
+            ):
+                raise SoqlError(
+                    f"SOQL: FIELDS({scope}) requires LIMIT <= 200 "
+                    "(bounded-query rule)"
+                )
+            cols = [
+                c
+                for c in base_cols
+                if scope == "ALL"
+                or (scope == "CUSTOM") == c.lower().endswith("__c")
+            ]
+            if not cols:
+                raise SoqlError(
+                    f"SOQL: FIELDS({scope}) matched no fields on "
+                    f"{q['from']!r}"
+                )
+            for c in cols:
+                if c.lower() not in seen:
+                    seen.add(c.lower())
+                    items.append(
+                        {"kind": "field", "name": c, "alias": c.lower()}
+                    )
+        return {**q, "select": items}
 
     def _apply_where(self, df: DataFrame, e: dict) -> DataFrame:
         """Split top-level AND into plain predicates and subquery joins so

@@ -541,3 +541,50 @@ def test_typeof_lowering_semantics(spark):
     ):
         with _pytest.raises(SoqlError, match=msg):
             soql_to_df(spark, bad, resolve=resolve, relationships=reg)
+
+
+def test_fields_all_expands_schema(tables):
+    out = soql_to_df(
+        tables, "SELECT FIELDS(ALL) FROM account ORDER BY id LIMIT 200"
+    )
+    assert out.columns == ["id", "name", "state", "amount", "grp"]
+    assert out.count() == 4
+
+
+def test_fields_dedupes_against_explicit(tables):
+    out = soql_to_df(
+        tables, "SELECT name, FIELDS(ALL) FROM account LIMIT 10"
+    )
+    # explicit 'name' keeps its slot; expansion skips the duplicate
+    assert out.columns == ["name", "id", "state", "amount", "grp"]
+
+
+def test_fields_custom_scope_selects_suffixed(spark):
+    spark.createDataFrame(
+        [(1, "x", "y")], ["id", "plain", "extra__c"]
+    ).createOrReplaceTempView("cust_obj")
+    std = soql_to_df(spark, "SELECT FIELDS(STANDARD) FROM cust_obj")
+    assert std.columns == ["id", "plain"]
+    cust = soql_to_df(spark, "SELECT FIELDS(CUSTOM) FROM cust_obj LIMIT 5")
+    assert cust.columns == ["extra__c"]
+
+
+def test_fields_bounded_query_rule(tables):
+    with pytest.raises(SoqlError, match="LIMIT <= 200"):
+        soql_to_df(tables, "SELECT FIELDS(ALL) FROM account")
+    with pytest.raises(SoqlError, match="LIMIT <= 200"):
+        soql_to_df(tables, "SELECT FIELDS(ALL) FROM account LIMIT 201")
+    # STANDARD is unbounded
+    assert soql_to_df(
+        tables, "SELECT FIELDS(STANDARD) FROM account"
+    ).count() == 4
+
+
+def test_fields_rejects_aggregate_mix(tables):
+    with pytest.raises(SoqlError, match="cannot mix"):
+        soql_to_df(
+            tables,
+            "SELECT FIELDS(ALL), COUNT(id) FROM account LIMIT 5",
+        )
+    with pytest.raises(SoqlError, match="ALL, STANDARD or CUSTOM"):
+        soql_to_df(tables, "SELECT FIELDS(BOGUS) FROM account LIMIT 5")
