@@ -3272,6 +3272,23 @@ def q_soql_fields(spark, sf_dir):
     )
 
 
+def q_session_paths(spark, sf_dir):
+    """Behavioral sequence analytics (operators/analytics.py
+    session_transitions): event-type transition counts WITHIN 10-minute-
+    gap sessions — the session boundary resets the lag, so a pair
+    spanning two sessions never counts (the distinction a naive per-user
+    lag gets wrong). Sessionization is the lag+cumsum construction with
+    an exact integer-micros gap test; the final aggregate is bounded by
+    |event types|²."""
+    from salesforce_plugin_spark.operators.analytics import session_transitions
+
+    e = load_table(spark, sf_dir, "events")
+    return session_transitions(
+        e, "user_id", "ts", "event_type", gap_minutes=10,
+        tiebreak_cols=["event_id"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3440,6 +3457,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_stream_kmv": q_stream_kmv,
     "q_zorder": q_zorder,
     "q_soql_fields": q_soql_fields,
+    "q_session_paths": q_session_paths,
 }
 
 
@@ -5781,4 +5799,32 @@ ORACLES["q_soql_fields"] = """
     WHERE o_orderstatus = 'F'
     ORDER BY o_orderkey
     LIMIT 200
+"""
+
+
+ORACLES["q_session_paths"] = """
+    WITH ord AS (
+        SELECT user_id, event_id, event_type, ts,
+               lag(ts) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, event_id, event_type, ts,
+               sum(CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 600000000
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM ord
+    ), tr AS (
+        SELECT event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id, sid ORDER BY ts, event_id
+               ) AS prev_type
+        FROM sess
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM tr WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
 """

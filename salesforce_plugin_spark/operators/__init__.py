@@ -1,4 +1,8 @@
-from salesforce_plugin_spark.operators.analytics import cohort_retention, funnel
+from salesforce_plugin_spark.operators.analytics import (
+    cohort_retention,
+    funnel,
+    session_transitions,
+)
 from salesforce_plugin_spark.operators.elt import (
     BulkQueryExtract,
     ObjectExtract,
@@ -42,6 +46,7 @@ from salesforce_plugin_spark.operators.transforms import (
 __all__ = [
     "funnel",
     "cohort_retention",
+    "session_transitions",
     "asof_join",
     "range_join_bucketed",
     "interval_overlap_join",

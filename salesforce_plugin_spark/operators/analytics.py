@@ -20,7 +20,7 @@ up feeding, expressed as Spark plans that scale with the event volume:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def funnel(
@@ -74,6 +74,50 @@ def funnel(
         (F.col(f"t_{s}").isNotNull().cast("int") for s in stages), F.lit(0)
     )
     return out.withColumn("depth", depth)
+
+
+def session_transitions(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    gap_minutes: int = 10,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Behavioral sequence mining: count event-type transitions WITHIN
+    sessions (inactivity gap > ``gap_minutes`` starts a new session, the
+    same semantics as ``session_window``). A cross-session pair never
+    counts — the session boundary resets the lag.
+
+    Plan: sessionize with the lag+cumsum window construction (one
+    exchange on the user key), lag the type within (user, session) (a
+    second exchange on the session key), then one small aggregate
+    bounded by |event types|². The gap comparison is integer micros so
+    the boundary is exact in any engine.
+    """
+    tiebreak = tiebreak_cols or []
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
+    w_user = Window.partitionBy(user_col).orderBy(*order)
+    prev_ts = F.lag(F.col(ts_col)).over(w_user)
+    gap_us = gap_minutes * 60 * 1_000_000
+    new_sess = (
+        prev_ts.isNull()
+        | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts) > gap_us)
+    ).cast("int")
+    cum = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = events.withColumn("__sid", F.sum(new_sess).over(cum))
+    w_sess = Window.partitionBy(user_col, "__sid").orderBy(*order)
+    tr = sess.withColumn("__prev", F.lag(F.col(type_col)).over(w_sess))
+    return (
+        tr.filter(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
 
 
 def cohort_retention(

@@ -565,3 +565,43 @@ def test_write_zordered_bounds_both_dims_per_file(spark, tmp_path):
     avg_x = sum(s[0] for s in spans) / len(spans)
     avg_y = sum(s[1] for s in spans) / len(spans)
     assert avg_x < 50 and avg_y < 50
+
+
+# --- session transitions ---
+
+def test_session_transitions_reset_at_boundary(spark):
+    from salesforce_plugin_spark.operators.analytics import session_transitions
+
+    e = spark.createDataFrame(
+        [
+            (1, ts(0), "a", 1), (1, ts(1), "b", 2),      # a→b in session 1
+            (1, ts(60), "c", 3), (1, ts(61), "a", 4),    # gap → c→a in session 2
+            (2, ts(0), "b", 5), (2, ts(2), "b", 6),      # b→b
+        ],
+        "u int, ts timestamp, et string, eid int",
+    )
+    out = {
+        (r.prev_type, r.next_type): r.n
+        for r in session_transitions(
+            e, "u", "ts", "et", gap_minutes=10, tiebreak_cols=["eid"]
+        ).collect()
+    }
+    # b→c across the 59-min gap must NOT appear
+    assert out == {("a", "b"): 1, ("c", "a"): 1, ("b", "b"): 1}
+
+
+def test_session_transitions_gap_boundary_is_strict(spark):
+    from salesforce_plugin_spark.operators.analytics import session_transitions
+
+    e = spark.createDataFrame(
+        [(1, ts(0), "a", 1), (1, ts(10), "b", 2), (1, ts(21), "c", 3)],
+        "u int, ts timestamp, et string, eid int",
+    )
+    out = {
+        (r.prev_type, r.next_type)
+        for r in session_transitions(
+            e, "u", "ts", "et", gap_minutes=10, tiebreak_cols=["eid"]
+        ).collect()
+    }
+    # exactly-10-min gap stays in session (strict >); 11-min gap splits
+    assert out == {("a", "b")}
