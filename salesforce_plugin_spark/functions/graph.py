@@ -64,7 +64,14 @@ def pagerank_fixed(
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    nodes = e.select(F.col("src").alias("id")).distinct()
+    # endpoints from BOTH sides: in the directed form a sink-only node
+    # still owns rank (it just contributes nothing — its outflow term
+    # never joins); in the symmetrized form the union is a no-op
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
     deg = e.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("__deg")
     )

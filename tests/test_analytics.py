@@ -605,3 +605,16 @@ def test_session_transitions_gap_boundary_is_strict(spark):
     }
     # exactly-10-min gap stays in session (strict >); 11-min gap splits
     assert out == {("a", "b")}
+
+
+def test_pagerank_directed_keeps_sink_nodes(spark):
+    from salesforce_plugin_spark.functions.graph import pagerank_fixed
+
+    # directed chain 0 -> 1 -> 2: node 2 is a pure sink and must still
+    # appear (and accumulate inflow), node 0 keeps only the teleport base
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    out = {
+        r.id: r for r in pagerank_fixed(edges, iterations=2, symmetrize=False).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert out[2].rank > out[0].rank
