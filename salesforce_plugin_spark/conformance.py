@@ -3289,6 +3289,49 @@ def q_session_paths(spark, sf_dir):
     )
 
 
+def q_scd2_lookup(spark, sf_dir):
+    """Point-in-time enrichment — the feature-store composition of two
+    session operators: build the user's status history with
+    scd2_intervals (state feed = signup/error events, attr = type),
+    then attach to every purchase the status AT PURCHASE TIME via the
+    backward as-of join (operators/joins.py). SCD2 intervals are
+    contiguous per key, so the as-of match on valid_from is exactly the
+    interval containing the timestamp — no BETWEEN join, no interval
+    explode; purchases before a user's first status row get NULLs
+    (training-serving skew from future leakage is the failure this
+    pattern prevents). The oracle is the naive validity-interval BETWEEN
+    join."""
+    from salesforce_plugin_spark.operators.joins import asof_join
+    from salesforce_plugin_spark.operators.scd import scd2_intervals
+
+    e = load_table(spark, sf_dir, "events")
+    state_feed = e.filter(F.col("event_type").isin("signup", "error")).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    iv = scd2_intervals(
+        state_feed,
+        key_cols=["user_id"],
+        attr_cols=["event_type"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    ).select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("__valid_from").alias("ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    out = asof_join(purchases, iv, "ts", by=["user_id"])
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("purchase_us"),
+        F.col("status_r").alias("status"),
+        F.unix_micros(F.col("ts_r")).alias("status_since_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3458,6 +3501,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_zorder": q_zorder,
     "q_soql_fields": q_soql_fields,
     "q_session_paths": q_session_paths,
+    "q_scd2_lookup": q_scd2_lookup,
 }
 
 
@@ -5672,8 +5716,8 @@ ORACLES["q_url_dedup"] = r"""
                    '^www\.', '', 'g'),
                    '(utm_[a-z]+|gclid|fbclid)=[^&]*&?', '', 'g'),
                    '\?&', '?', 'g'),
-                   '[?&]$', '', 'g'),
-                   '/$', '', 'g') AS url_norm
+                   '[?&]+$', '', 'g'),
+                   '/+$', '', 'g') AS url_norm
         FROM seeded
     )
     SELECT min(doc_id) AS doc_id, url_norm,
@@ -5827,4 +5871,34 @@ ORACLES["q_session_paths"] = """
            CAST(count(*) AS BIGINT) AS n
     FROM tr WHERE prev_type IS NOT NULL
     GROUP BY 1, 2
+"""
+
+
+ORACLES["q_scd2_lookup"] = """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev_attr,
+               row_number() OVER w AS rn
+        FROM events
+        WHERE event_type IN ('signup', 'error')
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), iv AS (
+        SELECT user_id, event_type AS status, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM ordered
+        WHERE rn = 1 OR prev_attr IS DISTINCT FROM event_type
+    ), p AS (
+        SELECT user_id, event_id AS purchase_id, ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           i.status,
+           epoch_us(i.valid_from) AS status_since_us
+    FROM p
+    LEFT JOIN iv i
+      ON i.user_id = p.user_id
+     AND p.ts >= i.valid_from
+     AND (i.valid_to IS NULL OR p.ts < i.valid_to)
 """

@@ -24,8 +24,10 @@ URL_NORMALIZE_CHAIN: list[tuple[str, str]] = [
     (r"^www\.", ""),                              # host alias
     (r"(utm_[a-z]+|gclid|fbclid)=[^&]*&?", ""),   # tracking params
     (r"\?&", "?"),                                # dangling separators…
-    (r"[?&]$", ""),                               # …left by param removal
-    (r"/$", ""),                                  # trailing slash
+    (r"[?&]+$", ""),                              # …left by param removal
+    (r"/+$", ""),                                 # trailing slash(es) — +
+    # quantifiers keep the form a fixed point (normalize∘normalize =
+    # normalize, property-tested), which one-char strips are not
 ]
 
 

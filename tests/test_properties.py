@@ -421,3 +421,91 @@ def test_profile_columns_matches_pandas_reference(spark):
     assert got["s"].min_num is None
     assert (got["x"].n_nulls, got["x"].n_distinct) == (1, 3)
     assert (got["x"].min_num, got["x"].max_num) == (-1.0, 2.5)
+
+
+# --- round-4 third-session operator properties ---
+
+url_st = st.builds(
+    lambda scheme, www, host, path, params, frag: (
+        scheme + www + host + ".example.com/" + path
+        + ("?" + "&".join(params) if params else "")
+        + frag
+    ),
+    scheme=st.sampled_from(["http://", "https://", ""]),
+    www=st.sampled_from(["www.", ""]),
+    host=st.text(alphabet="abcXYZ", min_size=1, max_size=6),
+    path=st.text(alphabet="abcDEF/", max_size=8),
+    params=st.lists(
+        st.sampled_from(
+            ["utm_source=a", "utm_medium=b", "gclid=x", "fbclid=y",
+             "id=3", "q=k", "page=2"]
+        ),
+        max_size=4,
+    ),
+    frag=st.sampled_from(["", "#top", "#a/b?c"]),
+)
+
+
+@settings(deadline=None, max_examples=20,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(urls=st.lists(url_st, min_size=1, max_size=12))
+def test_url_normalize_is_idempotent(spark, urls):
+    """normalize(normalize(u)) == normalize(u) — a canonical form must be
+    a fixed point, else dedup keys differ between one-pass and two-pass
+    pipelines."""
+    from salesforce_plugin_spark.functions.web import url_normalize
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        url_normalize("url").alias("once"),
+    ).select("once", url_normalize("once").alias("twice")).collect()
+    for r in out:
+        assert r.once == r.twice
+
+
+@settings(deadline=None, max_examples=15,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    feed=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # key
+            st.integers(min_value=0, max_value=40),     # minute
+            st.sampled_from(["a", "b", None]),          # attr
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_scd2_intervals_partition_each_keys_timeline(spark, feed):
+    """Per key: change-row intervals are disjoint, contiguous (each
+    valid_to equals the next valid_from), start at the key's first
+    observation, and exactly one open interval is current."""
+    import datetime as dt
+
+    from salesforce_plugin_spark.operators.scd import scd2_intervals
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, attr, t0 + dt.timedelta(minutes=m), i)
+        for i, (k, m, attr) in enumerate(feed)
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, attr string, ts timestamp, chg_id int"
+    )
+    out = scd2_intervals(df, ["k"], ["attr"], "ts", ["chg_id"]).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(
+            (r["__valid_from"], r["__valid_to"], r["__is_current"])
+        )
+    firsts = {}
+    for k, attr, ts_, i in rows:
+        if k not in firsts or (ts_, i) < firsts[k]:
+            firsts[k] = (ts_, i)
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda x: x[0])
+        assert ivs[0][0] == firsts[k][0]            # starts at first obs
+        assert sum(1 for iv in ivs if iv[2]) == 1   # exactly one current
+        assert ivs[-1][1] is None and ivs[-1][2]
+        for (s1, e1, _), (s2, _, _) in zip(ivs, ivs[1:]):
+            assert e1 == s2                         # contiguous, disjoint
