@@ -3332,6 +3332,35 @@ def q_scd2_lookup(spark, sf_dir):
     )
 
 
+def q_encoding_repair(spark, sf_dir):
+    """F5 cleaning stage: UTF-8-as-cp1252 mojibake repair
+    (functions/encoding.py) — ftfy's corpus-scale subset as a chained
+    LITERAL replace projection (no regex, no Python, no shuffle), with
+    the chain DERIVED from the encodings (utf-8 bytes decoded as cp1252)
+    so it cannot drift from the standards it models. The ASCII fixture
+    text is seeded with every repair target, damaged with the inverse
+    chain (corrupt_encoding), repaired, and both forms are hash-gated
+    against an oracle generated from the same chain table; repaired text
+    must equal the seeded original byte-for-byte."""
+    from salesforce_plugin_spark.functions.encoding import (
+        ENCODING_SEED,
+        corrupt_encoding,
+        fix_encoding,
+    )
+
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    seeded = d.select(
+        "doc_id", F.concat(F.col("text"), F.lit(ENCODING_SEED)).alias("__s")
+    )
+    out = seeded.withColumn("corrupted", corrupt_encoding(F.col("__s")))
+    return out.select(
+        "doc_id",
+        "corrupted",
+        fix_encoding(F.col("corrupted")).alias("repaired"),
+        (fix_encoding(F.col("corrupted")) == F.col("__s")).alias("roundtrip_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3502,6 +3531,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_soql_fields": q_soql_fields,
     "q_session_paths": q_session_paths,
     "q_scd2_lookup": q_scd2_lookup,
+    "q_encoding_repair": q_encoding_repair,
 }
 
 
@@ -5902,3 +5932,37 @@ ORACLES["q_scd2_lookup"] = """
      AND p.ts >= i.valid_from
      AND (i.valid_to IS NULL OR p.ts < i.valid_to)
 """
+
+
+def _encoding_repair_oracle() -> str:
+    """Generate the q_encoding_repair oracle from the SAME chain table
+    the engine uses (functions/encoding.py) — corrupt applies the chain
+    reversed (good → bad), repair applies it forward (bad → good)."""
+    from salesforce_plugin_spark.functions.encoding import (
+        ENCODING_SEED,
+        MOJIBAKE_CHAIN,
+    )
+
+    def q(lit: str) -> str:
+        return "'" + lit.replace("'", "''") + "'"
+
+    corrupted = f"text || {q(ENCODING_SEED)}"
+    for bad, good in reversed(MOJIBAKE_CHAIN):
+        corrupted = f"replace({corrupted}, {q(good)}, {q(bad)})"
+    repaired = "corrupted"
+    for bad, good in MOJIBAKE_CHAIN:
+        repaired = f"replace({repaired}, {q(bad)}, {q(good)})"
+    return f"""
+        WITH c AS (
+            SELECT doc_id, text || {q(ENCODING_SEED)} AS seeded,
+                   {corrupted} AS corrupted
+            FROM documents
+        )
+        SELECT doc_id, corrupted,
+               {repaired} AS repaired,
+               {repaired} = seeded AS roundtrip_ok
+        FROM c
+    """
+
+
+ORACLES["q_encoding_repair"] = _encoding_repair_oracle()

@@ -618,3 +618,13 @@ def test_pagerank_directed_keeps_sink_nodes(spark):
     }
     assert set(out) == {0, 1, 2}
     assert out[2].rank > out[0].rank
+
+
+def test_encoding_repair_gate_roundtrips_on_fixtures(spark):
+    # the differential gate would also pass if BOTH engines failed to
+    # round-trip; pin the semantic claim itself
+    from salesforce_plugin_spark.conformance import QUERIES
+
+    rows = QUERIES["q_encoding_repair"](spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r.roundtrip_ok for r in rows)
+    assert any("â€" in r.corrupted for r in rows)   # damage genuinely present

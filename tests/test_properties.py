@@ -509,3 +509,28 @@ def test_scd2_intervals_partition_each_keys_timeline(spark, feed):
         assert ivs[-1][1] is None and ivs[-1][2]
         for (s1, e1, _), (s2, _, _) in zip(ivs, ivs[1:]):
             assert e1 == s2                         # contiguous, disjoint
+
+
+@settings(deadline=None, max_examples=15,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    s=st.text(
+        alphabet="abc …’‘“—–éèüöäç ",
+        max_size=40,
+    )
+)
+def test_encoding_repair_roundtrips_corruption(spark, s):
+    """fix(corrupt(s)) == s for any text of ASCII + repair targets —
+    repair applies the chain in the exact reverse order corruption did,
+    so even nested damage (the en dash's corrupted form contains a
+    corrupted left-quote) unwinds."""
+    from salesforce_plugin_spark.functions.encoding import (
+        corrupt_encoding,
+        fix_encoding,
+    )
+
+    df = spark.createDataFrame([(s,)], "t string")
+    row = df.select(
+        fix_encoding(corrupt_encoding(F.col("t"))).alias("r")
+    ).collect()[0]
+    assert row.r == s
