@@ -3361,6 +3361,17 @@ def q_encoding_repair(spark, sf_dir):
     )
 
 
+def q_gopher_gate(spark, sf_dir):
+    """F5 composite filter: Gopher-rule quality gate (functions/text.py
+    gopher_quality) — the named rule family (Rae et al. 2021) as one
+    map-side projection emitting a violation bitmask; every threshold is
+    an integer cross-multiplication so no double ratio decides a
+    boundary. min_tokens scaled to the fixture's short documents; the
+    remaining rules run at Gopher's published values."""
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    return X.gopher_quality(d, "doc_id", "text", min_tokens=10)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3532,6 +3543,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_session_paths": q_session_paths,
     "q_scd2_lookup": q_scd2_lookup,
     "q_encoding_repair": q_encoding_repair,
+    "q_gopher_gate": q_gopher_gate,
 }
 
 
@@ -5966,3 +5978,37 @@ def _encoding_repair_oracle() -> str:
 
 
 ORACLES["q_encoding_repair"] = _encoding_repair_oracle()
+
+
+ORACLES["q_gopher_gate"] = r"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform(
+                    regexp_split_to_array(trim(text), '\s+'),
+                    t -> strlen(t))) AS BIGINT) AS sum_len,
+               CAST(len(regexp_extract_all(text, '[^\w\s]'))
+                    AS BIGINT) AS n_punct,
+               CAST(len(regexp_extract_all(lower(text),
+                    '\b(?:the|a|an|and|or|of|to|in|is|it|that|this|for|on|with|as)\b'))
+                    AS BIGINT) AS n_stop,
+               CAST(len(list_filter(
+                    regexp_split_to_array(trim(text), '\s+'),
+                    t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha
+        FROM documents
+    ), f AS (
+        SELECT doc_id, n_tokens,
+               CAST(
+                 CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END
+               + CASE WHEN n_tokens > 100000 THEN 2 ELSE 0 END
+               + CASE WHEN sum_len < 3 * n_tokens
+                       OR sum_len > 10 * n_tokens THEN 4 ELSE 0 END
+               + CASE WHEN 10 * n_punct >= n_tokens THEN 8 ELSE 0 END
+               + CASE WHEN 25 * n_stop <= n_tokens THEN 16 ELSE 0 END
+               + CASE WHEN 5 * n_alpha <= 4 * n_tokens THEN 32 ELSE 0 END
+               AS INT) AS flags
+        FROM m
+    )
+    SELECT doc_id, n_tokens, flags, flags = 0 AS passes FROM f
+"""

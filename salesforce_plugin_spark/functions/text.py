@@ -457,3 +457,68 @@ def line_filter(
         return p
 
     return F.filter(lines, keep)
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    mean_len_lo: int = 3,
+    mean_len_hi: int = 10,
+) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021's rule family)
+    as ONE map-side projection emitting a violation BITMASK — the
+    composite filter stage between raw text and dedup in a pre-training
+    pipeline. Every rule is an integer cross-multiplication (e.g.
+    "mean token length < 3" tests ``sum_len < 3 * n_tokens``), so
+    threshold comparisons are exact in any engine — no double ratio ever
+    crosses an equality boundary differently between Spark and an
+    oracle.
+
+    Bits (set = violated): 1 too few tokens · 2 too many tokens ·
+    4 mean token length outside [lo, hi] · 8 symbol-to-token ratio
+    ≥ 1/10 · 16 stopword fraction ≤ 1/25 · 32 alpha-token fraction
+    ≤ 4/5. (Gopher's line-level rules — bullet/ellipsis starts — need a
+    line structure; apply them via line_filter/wrap_words upstream.)
+
+    Output: ``(id, n_tokens long, flags int, passes boolean)``. Defaults
+    are Gopher's published thresholds; fixture-scale gates pass smaller
+    ``min_tokens``.
+    """
+    toked = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+    n_tokens = F.size(F.col("__toks")).cast("long")
+    sum_len = F.aggregate(
+        F.transform(F.col("__toks"), F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_punct = punct_count(F.col("__t")).cast("long")
+    n_stop = stopword_count(F.col("__t")).cast("long")
+    n_alpha = F.size(
+        F.filter(F.col("__toks"), lambda t: t.rlike("[A-Za-z]"))
+    ).cast("long")
+
+    flags = (
+        F.when(n_tokens < min_tokens, 1).otherwise(0)
+        + F.when(n_tokens > max_tokens, 2).otherwise(0)
+        + F.when(
+            (sum_len < mean_len_lo * n_tokens)
+            | (sum_len > mean_len_hi * n_tokens),
+            4,
+        ).otherwise(0)
+        + F.when(10 * n_punct >= n_tokens, 8).otherwise(0)
+        + F.when(25 * n_stop <= n_tokens, 16).otherwise(0)
+        + F.when(5 * n_alpha <= 4 * n_tokens, 32).otherwise(0)
+    ).cast("int")
+    return toked.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        flags.alias("flags"),
+        (flags == 0).alias("passes"),
+    )

@@ -628,3 +628,30 @@ def test_encoding_repair_gate_roundtrips_on_fixtures(spark):
     rows = QUERIES["q_encoding_repair"](spark, "/root/testdata/sf0.001").collect()
     assert rows and all(r.roundtrip_ok for r in rows)
     assert any("â€" in r.corrupted for r in rows)   # damage genuinely present
+
+
+# --- Gopher quality gate ---
+
+def test_gopher_gate_bitmask_semantics(spark):
+    from salesforce_plugin_spark.functions.text import gopher_quality
+
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown foxes jumped over the lazy dogs and it was good today"),  # clean
+            (2, "a b"),                              # too few tokens → bit 1
+            (3, "!!! ??? ... !!! the and of it"),    # symbol-heavy → bit 8
+            (4, "zz " * 30),                         # no stopwords → bit 16 (+len)
+            (5, "1 2 3 4 5 6 7 8 9 10 11 12"),      # numeric → bits 16|32 (+4: mean len<3)
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in gopher_quality(docs, min_tokens=5).collect()
+    }
+    assert out[1].flags == 0 and out[1].passes
+    assert out[2].flags & 1
+    assert out[3].flags & 8
+    assert out[4].flags & 16
+    assert out[5].flags & 16 and out[5].flags & 32 and out[5].flags & 4
+    assert not out[5].passes
