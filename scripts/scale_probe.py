@@ -82,6 +82,11 @@ PROBE = [
     "q_bm25",
     "q_url_dedup",
     "q_pagerank",
+    "q_zorder",
+    "q_session_paths",
+    "q_scd2_lookup",
+    "q_encoding_repair",
+    "q_gopher_gate",
 ]
 
 
