@@ -1204,8 +1204,8 @@ class _Lowerer:
         """Expand FIELDS(ALL|STANDARD|CUSTOM) select items against the
         source object's schema (Salesforce resolves them against the
         field registry; here the catalog schema is that registry —
-        custom fields are the ``__c``-suffixed ones, per the reference's
-        field-name contract, salesforce_schema_to_redshift_operator.py).
+        custom fields are the ``__c``-suffixed ones, Salesforce's
+        public custom-field naming convention).
         SOQL's bounded-query rule applies: FIELDS(ALL)/FIELDS(CUSTOM)
         require an explicit LIMIT of at most 200; FIELDS(STANDARD) is
         unbounded. FIELDS cannot mix with GROUP BY/aggregates (same
