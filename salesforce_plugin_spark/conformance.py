@@ -2881,8 +2881,9 @@ def q_scd2(spark, sf_dir):
     the events change feed (operators/scd.py) — per user, each run of a
     stable event_type becomes one ``[valid_from, valid_to)`` interval, the
     open interval flagged current. The reference lands extracts for exactly
-    this downstream step (salesforce_to_redshift_operator.py's upsert
-    tables); here the history build is engine-side: one exchange on the
+    this downstream step (the COPY landing at
+    salesforce_schema_to_redshift_operator.py:277); here the history
+    build is engine-side: one exchange on the
     key, lag-elected change rows, lead-closed intervals (the second window
     reuses the first's partitioning+sort — no second shuffle)."""
     from salesforce_plugin_spark.operators.scd import scd2_intervals
@@ -3055,9 +3056,9 @@ def q_span_dedup(spark, sf_dir):
 
 def q_cdc_merge(spark, sf_dir):
     """E5/A10 batch form: CDC apply — merge an upsert+delete change feed
-    into a snapshot (operators/merge.py), the engine-side equivalent of
-    the reference's staging-table upsert load (DELETE matching keys +
-    COPY, salesforce_to_redshift_operator.py). The feed is derived
+    into a snapshot (operators/merge.py) — the keyed-merge step
+    downstream of the reference's COPY landing
+    (salesforce_schema_to_redshift_operator.py:277). The feed is derived
     deterministically from orders so the oracle can rebuild it: snapshot
     = keys with orderkey%10<=7; change batch 1 updates %10∈{6,7,8}
     (price×2; 8 is an insert) and deletes %10=9 (absent → no-op); change

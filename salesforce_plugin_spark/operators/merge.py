@@ -1,8 +1,8 @@
 """Batch CDC apply: merge a change feed (upserts + deletes) into a
-snapshot — the engine-side form of the reference's load pattern
-(`salesforce_to_redshift_operator.py`'s staging-table upsert: DELETE
-matching keys, then COPY the fresh extract; streaming/upsert.py is the
-continuous variant, this is the batch one).
+snapshot — the keyed-merge step downstream of the reference's COPY
+load (`salesforce_schema_to_redshift_operator.py:277` lands extracts
+append-style; applying them to a keyed table is this operator;
+streaming/upsert.py is the continuous variant, this is the batch one).
 
 Plan shape: the change feed first reduces to ONE winning change per key
 (``max_by`` over the event order — a hash aggregate, partial-combining

@@ -1,8 +1,9 @@
 """Slowly-changing-dimension (SCD Type 2) interval builder.
 
 The reference plugin's whole purpose is landing object extracts into a
-warehouse (S3 → Redshift COPY, ``salesforce_to_redshift_operator.py``);
-the canonical downstream modeling step for those extracts is SCD2 —
+warehouse (S3 → Redshift COPY,
+``salesforce_schema_to_redshift_operator.py:277``); the canonical
+downstream modeling step for those extracts is SCD2 —
 collapsing a change feed (one row per observed state) into validity
 intervals ``[valid_from, valid_to)`` per business key, with the open
 interval marking the current state. This module implements that step
