@@ -3373,6 +3373,41 @@ def q_gopher_gate(spark, sf_dir):
     return X.gopher_quality(d, "doc_id", "text", min_tokens=10)
 
 
+def q_kmeans_converged(spark, sf_dir):
+    """F3 (clustering, multi-iteration): TWO chained Lloyd iterations —
+    assign → integer-exact centroid update → REassign against the
+    updated centroids — summarized per final cluster. The end-to-end
+    chain is the reproducibility claim q_kmeans_step makes, actually
+    exercised across an iteration boundary: because both stages quantize
+    identically (assign at 1e3, centroids at 1e6 + round-6 means), the
+    second assignment's integer distances — and so the whole trajectory
+    — are bit-equal in any engine, the property that lets a 100 TB
+    k-means checkpoint/resume deterministically mid-run. Per iteration:
+    one broadcast of k (re)built centroids, one min(struct) reduce; the
+    rebuild collect_list is bounded by dims per cluster."""
+    e = parallelized(load_table(spark, sf_dir, "embeddings"))
+    seeds = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("centroid")
+    )
+    a1 = V.kmeans_assign(e, seeds).select("vec_id", "cluster")
+    cent1 = V.centroids_long(e.join(a1, "vec_id"), "cluster", "embedding")
+    seeds2 = cent1.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("centroid")
+    )
+    a2 = V.kmeans_assign(e, seeds2)
+    return (
+        a2.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("dist2").alias("sum_dist2"),
+        )
+        .select(F.col("cluster").cast("long").alias("cluster"), "n_vecs", "sum_dist2")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3545,6 +3580,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_scd2_lookup": q_scd2_lookup,
     "q_encoding_repair": q_encoding_repair,
     "q_gopher_gate": q_gopher_gate,
+    "q_kmeans_converged": q_kmeans_converged,
 }
 
 
@@ -6012,4 +6048,42 @@ ORACLES["q_gopher_gate"] = r"""
         FROM m
     )
     SELECT doc_id, n_tokens, flags, flags = 0 AS passes FROM f
+"""
+
+
+ORACLES["q_kmeans_converged"] = _KMEANS_ASSIGN_CTES + """
+    , assign1 AS (SELECT vec_id, cluster FROM ranked WHERE rn = 1)
+    , ex AS (
+        SELECT a.cluster, g.i - 1 AS dim,
+               CAST(round(CAST(e.embedding[g.i] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS q
+        FROM embeddings e JOIN assign1 a USING (vec_id)
+        CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(1, len(e.embedding))) AS i
+        ) g
+    ), cent1 AS (
+        SELECT cluster, dim,
+               round(sum(q) / (1000000.0 * count(*)), 6) AS c
+        FROM ex GROUP BY cluster, dim
+    ), comp2 AS (
+        SELECT e.vec_id, c.cluster,
+               CAST(round((CAST(e.embedding[c.dim + 1] AS DOUBLE) - c.c)
+                          * 1000) AS BIGINT) AS p
+        FROM embeddings e CROSS JOIN cent1 c
+    ), dists2 AS (
+        SELECT vec_id, cluster, sum(p * p) AS dist2
+        FROM comp2 GROUP BY vec_id, cluster
+    ), ranked2 AS (
+        SELECT vec_id, cluster, dist2,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY dist2, cluster
+               ) AS rn
+        FROM dists2
+    ), assign2 AS (
+        SELECT vec_id, cluster, dist2 FROM ranked2 WHERE rn = 1
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(dist2) AS BIGINT) AS sum_dist2
+    FROM assign2 GROUP BY cluster
 """
