@@ -2964,6 +2964,34 @@ def q_kmv_distinct(spark, sf_dir):
     return sk.join(exact, "event_type")
 
 
+def q_kmv_setops(spark, sf_dir):
+    """KMV set-operation estimates (functions/sketch.py kmv_set_ops,
+    Beyer et al. SIGMOD'07): click-users vs purchase-users union /
+    intersection / Jaccard from one merged 64-minimum-values sketch,
+    joined against the exact union and intersection so the estimator's
+    error is visible in the gated result. The audience-overlap question
+    every event warehouse asks, answered with sketch state bounded at k
+    hashes per side regardless of corpus size — and every stage (md5
+    hash, flag merge, k-smallest election, integer floor divides)
+    replayable bit-for-bit by the DuckDB oracle."""
+    from salesforce_plugin_spark.functions.sketch import kmv_set_ops
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid"), "user_id"
+    )
+    clicks = e.filter(F.col("event_type") == "click")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    sk = kmv_set_ops(clicks, purchases, "uid", k=64)
+    both = clicks.select("user_id").intersect(purchases.select("user_id"))
+    exact = (
+        clicks.select("user_id")
+        .union(purchases.select("user_id"))
+        .agg(F.countDistinct("user_id").alias("exact_union"))
+        .crossJoin(both.agg(F.countDistinct("user_id").alias("exact_inter")))
+    )
+    return sk.crossJoin(F.broadcast(exact))
+
+
 def q_interval_overlap(spark, sf_dir):
     """Custom-operator rubric (SURVEY §4): interval×interval overlap join
     without a cartesian — 2-hour purchase-attribution windows matched to
@@ -3581,6 +3609,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_encoding_repair": q_encoding_repair,
     "q_gopher_gate": q_gopher_gate,
     "q_kmeans_converged": q_kmeans_converged,
+    "q_kmv_setops": q_kmv_setops,
 }
 
 
@@ -6086,4 +6115,43 @@ ORACLES["q_kmeans_converged"] = _KMEANS_ASSIGN_CTES + """
            CAST(count(*) AS BIGINT) AS n_vecs,
            CAST(sum(dist2) AS BIGINT) AS sum_dist2
     FROM assign2 GROUP BY cluster
+"""
+
+ORACLES["q_kmv_setops"] = """
+    WITH u AS (
+        SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS hh,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ina,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS inb
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ), ranked AS (
+        SELECT hh, ina, inb, row_number() OVER (ORDER BY hh) AS rn FROM u
+    ), kept AS (
+        SELECT * FROM ranked WHERE rn <= 64
+    ), agg AS (
+        SELECT CAST(count(*) AS INT) AS n_kept, max(hh) AS kth_hash,
+               CAST(sum(ina * inb) AS BIGINT) AS n_both
+        FROM kept
+    ), est AS (
+        SELECT n_kept, kth_hash, n_both,
+               CASE WHEN n_kept < 64 THEN CAST(n_kept AS BIGINT)
+                    ELSE 270582939648 // kth_hash END AS union_est
+        FROM agg
+    ), by_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY user_id
+    ), exact AS (
+        SELECT CAST(count(*) AS BIGINT) AS exact_union,
+               CAST(sum(c * p) AS BIGINT) AS exact_inter
+        FROM by_user
+    )
+    SELECT 64 AS k, n_kept, kth_hash, n_both, union_est,
+           (n_both * union_est) // n_kept AS inter_est,
+           (1000 * n_both) // n_kept AS jaccard_permille,
+           exact_union, exact_inter
+    FROM est CROSS JOIN exact
 """

@@ -89,6 +89,96 @@ def kmv_distinct(
     )
 
 
+def kmv_set_ops(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col_a: str,
+    value_col_b: str | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """KMV set-operation estimates over two keyed inputs (Beyer et al.,
+    "On Synopses for Distinct-Value Estimation Under Multiset Operations",
+    SIGMOD'07): union cardinality, intersection cardinality, and Jaccard —
+    from ONE merged k-minimum-values sketch.
+
+    The union sketch is the k smallest distinct hashes of A ∪ B with
+    per-side membership flags carried along; with ``K∩`` = flagged-both
+    hashes among the kept k:
+
+        |A ∪ B| ≈ (k-1) * H / h_k          (exact when n_kept < k)
+        |A ∩ B| ≈ (K∩ / n_kept) * |A ∪ B|  (ratio estimator)
+        J(A,B)  ≈ K∩ / n_kept
+
+    Every stage is engine-replayable: md5-derived hashes
+    (``dedup.portable_hash32``), max-flag merge, k-smallest election, and
+    integer floor divisions — so the whole estimator sits under the
+    cross-engine differential gate (the reason to prefer KMV over HLL's
+    private register layout). Jaccard is reported as integer per-mille to
+    keep the output float-free; both divisions yield NULL on an empty
+    merged sketch (two empty inputs) rather than raising.
+
+    Plan shape: each side is hashed and flag-tagged map-side; ONE exchange
+    merges flags per distinct hash (map-side partial ``max``); the
+    k-smallest election is the same two-level salted window as
+    :func:`kmv_distinct` (per-salt pre-truncation bounds the final sort at
+    ``n_salts * k`` rows); everything after is a 1-row aggregate. Nothing
+    downstream of the first aggregate scales with the data.
+    """
+    if k < 2:
+        raise ValueError("kmv requires k >= 2")
+    vb = value_col_b or value_col_a
+    a = df_a.select(
+        portable_hash32(F.col(value_col_a)).alias("__h"),
+        F.lit(1).alias("__ina"),
+        F.lit(0).alias("__inb"),
+    )
+    b = df_b.select(
+        portable_hash32(F.col(vb)).alias("__h"),
+        F.lit(0).alias("__ina"),
+        F.lit(1).alias("__inb"),
+    )
+    merged = (
+        a.unionByName(b)
+        .groupBy("__h")
+        .agg(F.max("__ina").alias("__ina"), F.max("__inb").alias("__inb"))
+    )
+    n_salts = 32
+    pre = Window.partitionBy(F.pmod(F.col("__h"), F.lit(n_salts))).orderBy("__h")
+    truncated = merged.withColumn("__prn", F.row_number().over(pre)).filter(
+        F.col("__prn") <= k
+    )
+    w = Window.partitionBy().orderBy("__h")
+    kept = truncated.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    agg = kept.agg(
+        F.count("*").cast("int").alias("n_kept"),
+        F.max("__h").alias("kth_hash"),
+        F.sum(F.col("__ina") * F.col("__inb")).cast("long").alias("n_both"),
+    )
+    union_est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("long")
+    ).otherwise(F.expr(f"{(k - 1) * _HASH_SPACE}L div kth_hash"))
+    return (
+        agg.select(
+            F.lit(k).alias("k"),
+            "n_kept",
+            "kth_hash",
+            "n_both",
+            union_est.alias("union_est"),
+        )
+        .select(
+            "k",
+            "n_kept",
+            "kth_hash",
+            "n_both",
+            "union_est",
+            F.expr("(n_both * union_est) div n_kept").alias("inter_est"),
+            F.expr("(1000 * n_both) div n_kept").alias("jaccard_permille"),
+        )
+    )
+
+
 def binned_quantiles(
     df: DataFrame,
     value_col: str,

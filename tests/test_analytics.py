@@ -158,6 +158,49 @@ def test_kmv_rejects_tiny_k(spark):
         kmv_distinct(df, "v", k=1)
 
 
+def test_kmv_setops_exact_below_k(spark):
+    from salesforce_plugin_spark.functions.sketch import kmv_set_ops
+
+    a = spark.createDataFrame([(str(i),) for i in range(20)], "v string")
+    b = spark.createDataFrame([(str(i),) for i in range(10, 30)], "v string")
+    row = kmv_set_ops(a, b, "v", k=64).collect()[0]
+    # below k the sketch holds the full union: every stat is exact
+    assert row.n_kept == 30 and row.union_est == 30
+    assert row.n_both == 10 and row.inter_est == 10
+    assert row.jaccard_permille == 1000 * 10 // 30
+
+
+def test_kmv_setops_disjoint_and_identical(spark):
+    from salesforce_plugin_spark.functions.sketch import kmv_set_ops
+
+    a = spark.createDataFrame([(str(i),) for i in range(15)], "v string")
+    b = spark.createDataFrame([(str(i),) for i in range(100, 115)], "v string")
+    row = kmv_set_ops(a, b, "v", k=64).collect()[0]
+    assert row.n_both == 0 and row.inter_est == 0 and row.jaccard_permille == 0
+    same = kmv_set_ops(a, a, "v", k=64).collect()[0]
+    assert same.jaccard_permille == 1000 and same.inter_est == same.union_est
+
+
+def test_kmv_setops_estimate_within_error(spark):
+    from salesforce_plugin_spark.functions.sketch import kmv_set_ops
+
+    # |A|=3000, |B|=3000, |A∩B|=1000, |A∪B|=5000
+    a = spark.createDataFrame([(str(i),) for i in range(3000)], "v string")
+    b = spark.createDataFrame([(str(i),) for i in range(2000, 5000)], "v string")
+    row = kmv_set_ops(a, b, "v", k=256).collect()[0]
+    assert row.n_kept == 256
+    assert abs(row.union_est - 5000) / 5000 < 0.25
+    assert abs(row.inter_est - 1000) / 1000 < 0.5  # ratio estimator is noisier
+
+
+def test_kmv_setops_rejects_tiny_k(spark):
+    from salesforce_plugin_spark.functions.sketch import kmv_set_ops
+
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError):
+        kmv_set_ops(df, df, "v", k=1)
+
+
 # --- interval overlap join ---
 
 def test_interval_overlap_matches_naive(spark):
