@@ -2907,6 +2907,50 @@ def q_scd2(spark, sf_dir):
     )
 
 
+def q_scd2_incremental(spark, sf_dir):
+    """Scheduled-load SCD2 maintenance (operators/scd.py
+    scd2_apply_changes): the first two weeks of the events feed build the
+    initial interval table, the remainder arrives as a later batch and is
+    folded in incrementally — only the batch's keys are rebuilt (anti-join
+    pass-through for the rest), the per-run shape of the reference's
+    extract cadence (salesforce_to_s3_operator.py:115-116 re-renders the
+    templated query per run). The gate's oracle is the FULL-feed SCD2
+    build (same SQL as q_scd2): incremental apply must be row-identical
+    to a from-scratch rebuild — the equivalence that makes nightly loads
+    trustworthy."""
+    from salesforce_plugin_spark.operators.scd import (
+        scd2_apply_changes,
+        scd2_intervals,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    initial = scd2_intervals(
+        e.filter(F.col("ts") < cutoff),
+        key_cols=["user_id"],
+        attr_cols=["event_type"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+    merged = scd2_apply_changes(
+        initial,
+        e.filter(F.col("ts") >= cutoff),
+        key_cols=["user_id"],
+        attr_cols=["event_type"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+    return merged.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("__valid_from")).alias("valid_from_us"),
+        F.unix_micros(F.col("__valid_to")).alias("valid_to_us"),
+        F.col("__is_current").alias("is_current"),
+    )
+
+
 def q_funnel(spark, sf_dir):
     """Event-sequence analytics: ordered funnel view → click → purchase
     per user (operators/analytics.py). Stage k's time is the earliest
@@ -3610,6 +3654,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_gopher_gate": q_gopher_gate,
     "q_kmeans_converged": q_kmeans_converged,
     "q_kmv_setops": q_kmv_setops,
+    "q_scd2_incremental": q_scd2_incremental,
 }
 
 
@@ -6155,3 +6200,7 @@ ORACLES["q_kmv_setops"] = """
            exact_union, exact_inter
     FROM est CROSS JOIN exact
 """
+
+# Incremental SCD2 apply must equal a from-scratch rebuild over the full
+# feed — so its oracle IS the full-feed SCD2 oracle.
+ORACLES["q_scd2_incremental"] = ORACLES["q_scd2"]

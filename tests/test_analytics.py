@@ -68,6 +68,72 @@ def test_scd2_single_shuffle_plan(spark):
     assert plan.count("Exchange") == 1
 
 
+# --- SCD2 incremental apply ---
+
+def _iv_key(r):
+    return (r.k, r["__valid_from"], r["__valid_to"], r.attr, r["__is_current"])
+
+
+def test_scd2_apply_matches_full_rebuild(spark):
+    from salesforce_plugin_spark.operators.scd import scd2_apply_changes
+
+    schema = "k int, attr string, ts timestamp, chg_id int"
+    old = [
+        (1, "a", ts(0), 1), (1, "a", ts(10), 2), (1, "b", ts(20), 3),
+        (2, "x", ts(5), 4),
+        (3, "p", ts(7), 5),
+    ]
+    new = [
+        (1, "b", ts(40), 6),   # no change → absorbed into open interval
+        (1, "c", ts(50), 7),   # change → closes the open interval
+        (3, "q", ts(60), 8),   # change for key 3
+        (4, "n", ts(45), 9),   # brand-new key
+    ]
+    initial = scd2_intervals(
+        spark.createDataFrame(old, schema), ["k"], ["attr"], "ts", ["chg_id"]
+    )
+    merged = scd2_apply_changes(
+        initial, spark.createDataFrame(new, schema),
+        ["k"], ["attr"], "ts", ["chg_id"],
+    )
+    full = scd2_intervals(
+        spark.createDataFrame(old + new, schema),
+        ["k"], ["attr"], "ts", ["chg_id"],
+    )
+    assert sorted(map(_iv_key, merged.collect())) == sorted(
+        map(_iv_key, full.collect())
+    )
+
+
+def test_scd2_apply_leaves_untouched_keys_intact(spark):
+    from salesforce_plugin_spark.operators.scd import scd2_apply_changes
+
+    schema = "k int, attr string, ts timestamp, chg_id int"
+    initial = scd2_intervals(
+        spark.createDataFrame(
+            [(1, "a", ts(0), 1), (2, "x", ts(0), 2), (2, "y", ts(10), 3)],
+            schema,
+        ),
+        ["k"], ["attr"], "ts", ["chg_id"],
+    )
+    merged = scd2_apply_changes(
+        initial,
+        spark.createDataFrame([(1, "b", ts(20), 4)], schema),
+        ["k"], ["attr"], "ts", ["chg_id"],
+    )
+    key2 = sorted(
+        map(_iv_key, merged.filter(F.col("k") == 2).collect())
+    )
+    orig2 = sorted(
+        map(_iv_key, initial.filter(F.col("k") == 2).collect())
+    )
+    assert key2 == orig2
+    # key 1's open interval closed at the batch row
+    k1 = sorted(map(_iv_key, merged.filter(F.col("k") == 1).collect()))
+    assert [r[3] for r in k1] == ["a", "b"]
+    assert k1[0][2] == ts(20) and k1[1][4] is True
+
+
 # --- funnel ---
 
 def _events(spark, rows):

@@ -514,6 +514,59 @@ def test_scd2_intervals_partition_each_keys_timeline(spark, feed):
 @settings(deadline=None, max_examples=15,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
+    feed=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # key
+            st.integers(min_value=0, max_value=40),     # minute
+            st.sampled_from(["a", "b", None]),          # attr
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    split=st.integers(min_value=0, max_value=20),
+)
+def test_scd2_apply_changes_equals_full_rebuild(spark, feed, split):
+    """Append-only contract: for ANY prefix/suffix split of an in-order
+    feed, folding the suffix into the prefix's interval table
+    (scd2_apply_changes) is row-identical to building from the full feed
+    — the equivalence that makes incremental nightly loads sound."""
+    import datetime as dt
+
+    from salesforce_plugin_spark.operators.scd import (
+        scd2_apply_changes,
+        scd2_intervals,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    ordered = sorted(feed, key=lambda x: x[1])
+    rows = [
+        (k, attr, t0 + dt.timedelta(minutes=m), i)
+        for i, (k, m, attr) in enumerate(ordered)
+    ]
+    cut = min(split, len(rows))
+    schema = "k int, attr string, ts timestamp, chg_id int"
+    full = scd2_intervals(
+        spark.createDataFrame(rows, schema), ["k"], ["attr"], "ts", ["chg_id"]
+    ).collect()
+    initial = scd2_intervals(
+        spark.createDataFrame(rows[:cut], schema),
+        ["k"], ["attr"], "ts", ["chg_id"],
+    )
+    merged = scd2_apply_changes(
+        initial,
+        spark.createDataFrame(rows[cut:], schema),
+        ["k"], ["attr"], "ts", ["chg_id"],
+    ).collect()
+
+    key = lambda r: (  # noqa: E731
+        r.k, r.attr, r["__valid_from"], r["__valid_to"], r["__is_current"]
+    )
+    assert sorted(map(key, merged), key=repr) == sorted(map(key, full), key=repr)
+
+
+@settings(deadline=None, max_examples=15,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
     s=st.text(
         alphabet="abc …’‘“—–éèüöäç ",
         max_size=40,
