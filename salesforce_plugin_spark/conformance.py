@@ -2271,6 +2271,29 @@ def q_embed_dedup(spark, sf_dir):
     ).withColumnRenamed("component_id", "cluster_id")
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-shape semantic dedup (functions/dedup.py semantic_dedup,
+    Abbas et al. 2023): k-means blocking (exact-integer kmeans_assign on
+    the vec_id<8 seed codebook) → within-cluster rounded-cosine pairs
+    (cluster equijoin, never a cartesian) → connected components → one
+    keeper per near-dup group. Complements q_embed_dedup's sign-LSH
+    blocking with the density-adaptive blocking production pipelines use;
+    threshold 0.3 is the fixture's operating point (the synthetic 64-dim
+    embeddings are near-orthogonal — max within-cluster cosine ≈ 0.49 —
+    so 0.3 yields a few hundred genuine merge edges). Oracle replays
+    every stage: the kmeans-assign CTEs, list_cosine_similarity pairs,
+    and a recursive-CTE transitive closure."""
+    from salesforce_plugin_spark.functions.dedup import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("centroid")
+    )
+    return semantic_dedup(
+        e, "vec_id", "embedding", seeds, threshold=0.3, quant=1000
+    )
+
+
 def q_incremental_extract(spark, sf_dir):
     """D21 under the gate: the reference's templated watermark idiom —
     ``soql``/``query`` are Jinja template_fields re-rendered per run with
@@ -3655,6 +3678,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_kmeans_converged": q_kmeans_converged,
     "q_kmv_setops": q_kmv_setops,
     "q_scd2_incremental": q_scd2_incremental,
+    "q_semantic_dedup": q_semantic_dedup,
 }
 
 
@@ -6204,3 +6228,33 @@ ORACLES["q_kmv_setops"] = """
 # Incremental SCD2 apply must equal a from-scratch rebuild over the full
 # feed — so its oracle IS the full-feed SCD2 oracle.
 ORACLES["q_scd2_incremental"] = ORACLES["q_scd2"]
+
+# SemDeDup gate: the kmeans-assign CTEs need the RECURSIVE keyword hoisted
+# onto the shared WITH because the transitive closure below is recursive.
+ORACLES["q_semantic_dedup"] = _KMEANS_ASSIGN_CTES.replace(
+    "WITH seeds", "WITH RECURSIVE seeds", 1
+) + """
+    , assign AS (SELECT vec_id, cluster FROM ranked WHERE rn = 1)
+    , vv AS (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, a.cluster
+        FROM embeddings e JOIN assign a USING (vec_id)
+    ), edges AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM vv a JOIN vv b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+    ), sym AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT dst, src FROM edges
+    ), reach AS (
+        SELECT vec_id AS id, vec_id AS r FROM embeddings
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN sym e ON reach.r = e.src
+    ), grp AS (
+        SELECT id AS vec_id, min(r) AS dup_group FROM reach GROUP BY id
+    )
+    SELECT c.vec_id, a.cluster, c.dup_group,
+           c.dup_group = c.vec_id AS keep
+    FROM grp c JOIN assign a USING (vec_id)
+"""

@@ -894,3 +894,61 @@ def span_dedup(
             "cleaned"
         ),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    seeds: DataFrame,
+    threshold: float = 0.8,
+    quant: int = 1000,
+) -> DataFrame:
+    """SemDeDup-shape semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space with k-means, compare
+    pairs ONLY within a cluster, and keep one representative per
+    connected group of near-duplicates.
+
+    Stages, each engine-reproducible:
+
+    1. :func:`~salesforce_plugin_spark.functions.vector.kmeans_assign`
+       blocks every vector to its nearest seed centroid — exact-integer
+       distances, broadcast seeds, one exchange;
+    2. :func:`embedding_cosine_pairs` with ``block_col="cluster"`` — the
+       candidate join is a cluster equijoin, never a cartesian, so pair
+       work is bounded by the largest cluster (the SemDeDup argument:
+       k-means caps the quadratic term at (n/k)² per cluster — pick k
+       proportional to corpus size to hold cluster populations flat);
+    3. :func:`connected_components` over the ≥ threshold pairs — near-dup
+       groups may chain A≈B≈C across a cluster, the closure makes
+       "keep one per group" well-defined;
+    4. the keeper is the group's min id (``keep = dup_group == id``).
+
+    Returns ``(id, cluster, dup_group, keep)``. Unlike the sign-LSH
+    blocking of the q_embed_dedup composition, k-means blocking adapts to
+    the density of the embedding space — the standard production choice
+    for corpus-scale semantic dedup. Pairs crossing a cluster boundary
+    are unseen by construction (the documented SemDeDup recall trade).
+    """
+    from salesforce_plugin_spark.functions.vector import kmeans_assign
+
+    assigned = kmeans_assign(
+        df, seeds, id_col=id_col, vec_col=vec_col, quant=quant
+    ).select(id_col, "cluster")
+    blocked = df.select(id_col, vec_col).join(assigned, id_col)
+    pairs = embedding_cosine_pairs(
+        blocked, id_col, vec_col, threshold=threshold, block_col="cluster"
+    )
+    comp = connected_components(
+        df.select(id_col), pairs, id_col=id_col, src="id_a", dst="id_b"
+    ).withColumnRenamed("component_id", "dup_group")
+    return (
+        comp.join(assigned, id_col)
+        .select(
+            id_col,
+            "cluster",
+            "dup_group",
+            (F.col("dup_group") == F.col(id_col)).alias("keep"),
+        )
+    )

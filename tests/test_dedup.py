@@ -398,3 +398,59 @@ def test_global_line_dedup_min_kept_gate(spark):
     # doc 2's first line "a b c" loses to doc 1's (lower doc_id);
     # doc 2 keeps only "d e f" -> dropped; doc 1 keeps 1 line -> dropped
     assert out == []
+
+
+def test_semantic_dedup_blocks_by_cluster_and_keeps_min(spark):
+    """Two tight groups near opposite seed axes: in-cluster near-dups
+    merge (min id keeps), and a cross-cluster near-pair does NOT merge —
+    the documented SemDeDup blocking trade."""
+    from salesforce_plugin_spark.functions.dedup import semantic_dedup
+
+    rows = [
+        # cluster around +x: 1,2 duplicates; 3 distinct direction
+        (1, [1.0, 0.02, 0.0]),
+        (2, [1.0, 0.01, 0.0]),
+        (3, [0.6, 0.8, 0.0]),
+        # cluster around -x: 4,5 duplicates
+        (4, [-1.0, 0.0, 0.02]),
+        (5, [-1.0, 0.0, 0.01]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [-1.0, 0.0, 0.0])],
+        "cluster int, centroid array<double>",
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", seeds, threshold=0.95
+        ).collect()
+    }
+    assert out[1].dup_group == 1 and out[1].keep
+    assert out[2].dup_group == 1 and not out[2].keep
+    assert out[3].dup_group == 3 and out[3].keep        # below threshold
+    assert out[4].dup_group == 4 and out[4].keep
+    assert out[5].dup_group == 4 and not out[5].keep
+    assert out[1].cluster == 0 and out[4].cluster == 1
+
+
+def test_semantic_dedup_chained_group_collapses_to_one_keeper(spark):
+    """A ≈ B ≈ C chains within one cluster: the closure yields ONE
+    keeper even when A and C are not directly above threshold."""
+    import math
+
+    from salesforce_plugin_spark.functions.dedup import semantic_dedup
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0]
+
+    # pairwise cos: (a,b)=(b,c)=cos(18°)≈0.95, (a,c)=cos(36°)≈0.81
+    rows = [(1, unit(0.0)), (2, unit(0.314159)), (3, unit(0.628318))]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "cluster int, centroid array<double>"
+    )
+    out = semantic_dedup(df, "vec_id", "embedding", seeds, threshold=0.9)
+    rows_out = out.collect()
+    assert {r.dup_group for r in rows_out} == {1}
+    assert [r.vec_id for r in rows_out if r.keep] == [1]
