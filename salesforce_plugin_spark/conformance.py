@@ -2271,6 +2271,23 @@ def q_embed_dedup(spark, sf_dir):
     ).withColumnRenamed("component_id", "cluster_id")
 
 
+def q_importance_weights(spark, sf_dir):
+    """DSIR-shape data selection (functions/text.py
+    hashed_ngram_importance, Xie et al. 2023): hashed-bigram importance
+    of every document against the English-language target domain —
+    add-one-smoothed target/corpus count ratios per md5 bucket, exact
+    BIGINT per-document sums, one final divide. The cheap
+    "does this raw text look like my curated domain" scorer that fronts
+    importance resampling at corpus scale; every deciding operation is
+    integer so the DuckDB oracle replays it bit-for-bit."""
+    from salesforce_plugin_spark.functions.text import hashed_ngram_importance
+
+    d = load_table(spark, sf_dir, "documents")
+    return hashed_ngram_importance(
+        d, "doc_id", "text", F.col("lang") == "en", n_buckets=4096
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-shape semantic dedup (functions/dedup.py semantic_dedup,
     Abbas et al. 2023): k-means blocking (exact-integer kmeans_assign on
@@ -3679,6 +3696,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_kmv_setops": q_kmv_setops,
     "q_scd2_incremental": q_scd2_incremental,
     "q_semantic_dedup": q_semantic_dedup,
+    "q_importance_weights": q_importance_weights,
 }
 
 
@@ -6257,4 +6275,36 @@ ORACLES["q_semantic_dedup"] = _KMEANS_ASSIGN_CTES.replace(
     SELECT c.vec_id, a.cluster, c.dup_group,
            c.dup_group = c.vec_id AS keep
     FROM grp c JOIN assign a USING (vec_id)
+"""
+
+ORACLES["q_importance_weights"] = r"""
+    WITH toked AS (
+        SELECT doc_id, lang = 'en' AS is_target,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> lower(t)) AS w
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, is_target,
+               CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 8))
+                    AS BIGINT) % 4096 AS bkt
+        FROM (
+            SELECT doc_id, is_target, w,
+                   unnest(generate_series(1, len(w) - 1)) AS i
+            FROM toked WHERE len(w) >= 2
+        )
+    ), model AS (
+        SELECT bkt,
+               (1000000 * (sum(CASE WHEN is_target THEN 1 ELSE 0 END) + 1))
+                   // (count(*) + 1) AS term
+        FROM grams GROUP BY bkt
+    ), scored AS (
+        SELECT g.doc_id, count(*) AS n_bigrams, sum(m.term) AS s
+        FROM grams g JOIN model m USING (bkt)
+        GROUP BY g.doc_id
+    )
+    SELECT t.doc_id, t.is_target,
+           CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(sc.s AS BIGINT) AS score_scaled,
+           round(sc.s / (1000000.0 * sc.n_bigrams), 6) AS importance
+    FROM toked t LEFT JOIN scored sc ON t.doc_id = sc.doc_id
 """

@@ -522,3 +522,103 @@ def gopher_quality(
         flags.alias("flags"),
         (flags == 0).alias("passes"),
     )
+
+
+def hashed_ngram_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_flag,
+    n_buckets: int = 4096,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-shape domain-importance scoring (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): hash every
+    bigram into ``n_buckets`` buckets, fit target-vs-corpus bucket counts,
+    and score each document by how target-like its bigram distribution is
+    — the standard cheap proxy for "select raw web data that looks like
+    the high-quality domain".
+
+    ``target_flag`` is a boolean Column over ``df``'s rows marking the
+    target-domain documents (e.g. ``F.col("lang") == "en"`` or a curated
+    source set). Per bucket ``b``: ``term_b = (scale * (c_target_b + 1))
+    div (c_corpus_b + 1)`` — add-one smoothed ratio of target occurrences
+    to corpus occurrences, kept as a scaled BIGINT. A document's score is
+    the exact integer sum of its bigram-occurrence terms; ``importance``
+    is one final divide + round(6). DSIR's log-likelihood-ratio weights
+    need ``ln`` (whose last-ulp behavior is engine-specific); the
+    ratio-of-counts form keeps every deciding comparison in integers —
+    the same no-transcendentals discipline as ``bigram_fluency`` — while
+    preserving the "more target-like ⇒ higher score" ordering. The
+    corpus-total normalizer T_corpus/T_target multiplies every term
+    equally, so dropping it rescales all documents identically and
+    leaves the resampling ranking unchanged.
+
+    Scale shape: one bigram explode off the scan with the md5 bucket
+    projected map-side; the model is an ``n_buckets``-bounded aggregate
+    (map-side partial combine, one exchange carrying ≤ n_buckets rows per
+    map partition); the model joins back un-hinted (AQE runtime-broadcasts
+    it — it is at most n_buckets rows); one final per-document aggregate.
+    Bounds: exact while ``scale * (c_target+1) < 2^63`` and per-doc sums
+    stay under 2^63 — at web scale (c ≈ 1e12) lower ``scale`` accordingly.
+
+    Returns ``(id, is_target boolean, n_bigrams long, score_scaled long,
+    importance double)``; documents with < 2 tokens score NULL.
+    """
+    toked = df.select(
+        F.col(id_col),
+        target_flag.alias("is_target"),
+        F.transform(tokens(F.col(text_col)), F.lower).alias("__toks"),
+    )
+    grams = (
+        toked.filter(F.size("__toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.col("is_target"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("__toks", i),
+                        F.element_at("__toks", i + 1),
+                    ),
+                )
+            ).alias("__bg"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("is_target"),
+            hash_bucket(F.col("__bg"), n_buckets).alias("__bkt"),
+        )
+    )
+    model = grams.groupBy("__bkt").agg(
+        F.count(F.lit(1)).alias("__c_all"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("__c_t"),
+    ).select(
+        "__bkt",
+        F.expr(f"({scale}L * (__c_t + 1)) div (__c_all + 1)").alias("__term"),
+    )
+    scored = (
+        grams.join(model, "__bkt")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__term").alias("score_scaled"),
+        )
+    )
+    return (
+        toked.select(id_col, "is_target")
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            "is_target",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            F.col("score_scaled").cast("long").alias("score_scaled"),
+            F.round(
+                F.col("score_scaled") / (float(scale) * F.col("n_bigrams")), 6
+            ).alias("importance"),
+        )
+    )

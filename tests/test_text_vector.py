@@ -263,3 +263,42 @@ def test_kmeans_assign_exact_argmin_and_ties(spark):
     assert out[2]["cluster"] == 1 and out[2]["dist2"] == 0
     assert out[3]["cluster"] == 1 and out[3]["dist2"] == 2 * 400 * 400
     assert out[4]["cluster"] == 0 and out[4]["dist2"] == 2 * 500 * 500  # tie
+
+
+def test_importance_scores_target_like_docs_higher(spark):
+    from salesforce_plugin_spark.functions.text import hashed_ngram_importance
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", True),
+        (2, "the quick brown fox runs past the lazy dog", False),  # target-like
+        (3, "zzq qqz zqz qzq zzq qqz zqz", False),                 # alien vocab
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, tgt boolean")
+    out = {
+        r.doc_id: r
+        for r in hashed_ngram_importance(
+            df, "doc_id", "text", F.col("tgt"), n_buckets=1 << 20
+        ).collect()
+    }
+    # doc 2 shares most bigrams with the target; doc 3 shares none
+    assert out[2].importance > out[3].importance
+    assert out[1].is_target and not out[2].is_target
+    for r in out.values():
+        assert r.importance == round(r.score_scaled / (1e6 * r.n_bigrams), 6)
+
+
+def test_importance_short_docs_score_null(spark):
+    from salesforce_plugin_spark.functions.text import hashed_ngram_importance
+
+    df = spark.createDataFrame(
+        [(1, "single", False), (2, "two tokens", True)],
+        "doc_id int, text string, tgt boolean",
+    )
+    out = {
+        r.doc_id: r
+        for r in hashed_ngram_importance(
+            df, "doc_id", "text", F.col("tgt")
+        ).collect()
+    }
+    assert out[1].n_bigrams == 0 and out[1].importance is None
+    assert out[2].n_bigrams == 1 and out[2].importance is not None
