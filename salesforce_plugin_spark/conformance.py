@@ -2991,6 +2991,82 @@ def q_scd2_incremental(spark, sf_dir):
     )
 
 
+def q_stream_scd2(spark, sf_dir):
+    """F6 × warehouse modeling: SCD2 history maintained FROM A STREAM
+    (streaming/upsert.py run_stream_scd2) — the events feed arrives as
+    three time-sliced micro-batches (maxFilesPerTrigger=1, ascending
+    mtimes so the file source drains them in observation order) and each
+    batch folds into the interval table via scd2_apply_changes. The gate
+    proves the streamed history is row-identical to a from-scratch batch
+    rebuild: the oracle is the full-feed SCD2 SQL (same as q_scd2)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from salesforce_plugin_spark.streaming.upsert import run_stream_scd2
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_stream_scd2_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    cuts = ["2024-01-10", "2024-01-20"]
+    slices = [
+        e.filter(F.col("ts") < F.lit(cuts[0]).cast("timestamp")),
+        e.filter(
+            (F.col("ts") >= F.lit(cuts[0]).cast("timestamp"))
+            & (F.col("ts") < F.lit(cuts[1]).cast("timestamp"))
+        ),
+        e.filter(F.col("ts") >= F.lit(cuts[1]).cast("timestamp")),
+    ]
+    try:
+        now = _time.time()
+        for i, sl in enumerate(slices):
+            part = os.path.join(tmp, f"stage{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(part)
+            pf = next(
+                f for f in os.listdir(part) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"batch-{i}.parquet")
+            shutil.move(os.path.join(part, pf), dst)
+            # ascending mtimes: the file source processes oldest-first,
+            # which IS the per-key observation order (time-sliced files)
+            os.utime(dst, (now + i * 10, now + i * 10))
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_type string, ts timestamp, event_id long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        table = os.path.join(tmp, "scd2")
+        run_stream_scd2(
+            stream,
+            table,
+            os.path.join(tmp, "ckpt"),
+            key_cols=["user_id"],
+            attr_cols=["event_type"],
+            ts_col="ts",
+            tiebreak_cols=["event_id"],
+        )
+        out = (
+            spark.read.parquet(table)
+            .select(
+                "user_id",
+                "event_type",
+                F.unix_micros(F.col("__valid_from")).alias("valid_from_us"),
+                F.unix_micros(F.col("__valid_to")).alias("valid_to_us"),
+                F.col("__is_current").alias("is_current"),
+            )
+            .localCheckpoint(eager=True)  # detach from the tmp path
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_funnel(spark, sf_dir):
     """Event-sequence analytics: ordered funnel view → click → purchase
     per user (operators/analytics.py). Stage k's time is the earliest
@@ -3697,6 +3773,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_scd2_incremental": q_scd2_incremental,
     "q_semantic_dedup": q_semantic_dedup,
     "q_importance_weights": q_importance_weights,
+    "q_stream_scd2": q_stream_scd2,
 }
 
 
@@ -6308,3 +6385,6 @@ ORACLES["q_importance_weights"] = r"""
            round(sc.s / (1000000.0 * sc.n_bigrams), 6) AS importance
     FROM toked t LEFT JOIN scored sc ON t.doc_id = sc.doc_id
 """
+
+# Streamed SCD2 maintenance must equal the from-scratch batch rebuild.
+ORACLES["q_stream_scd2"] = ORACLES["q_scd2"]

@@ -31,7 +31,7 @@ from salesforce_plugin_spark.operators.schema_reconcile import (
     redshift_copy_command,
     to_describe,
 )
-from salesforce_plugin_spark.operators.scd import scd2_intervals
+from salesforce_plugin_spark.operators.scd import scd2_apply_changes, scd2_intervals
 from salesforce_plugin_spark.operators.transforms import (
     add_fetch_time,
     coerce_to_epoch_seconds,
@@ -51,6 +51,7 @@ __all__ = [
     "range_join_bucketed",
     "interval_overlap_join",
     "apply_changes",
+    "scd2_apply_changes",
     "scd2_intervals",
     "BulkQueryExtract",
     "ObjectExtract",

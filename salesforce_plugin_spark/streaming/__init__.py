@@ -1,3 +1,8 @@
+from salesforce_plugin_spark.streaming.upsert import (
+    run_stream_scd2,
+    run_stream_upsert,
+    upsert_batch,
+)
 from salesforce_plugin_spark.streaming.windows import (
     dedup_stream,
     dedup_stream_by_content,
@@ -16,4 +21,7 @@ __all__ = [
     "dedup_stream_by_content",
     "enrich_stream",
     "incremental_predicate",
+    "run_stream_scd2",
+    "run_stream_upsert",
+    "upsert_batch",
 ]

@@ -90,3 +90,68 @@ def run_stream_upsert(
     )
     q.awaitTermination()
     return q
+
+
+def run_stream_scd2(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+):
+    """Maintain an SCD Type-2 dimension from a change-feed stream: each
+    micro-batch folds into the interval table via
+    :func:`~salesforce_plugin_spark.operators.scd.scd2_apply_changes`
+    (first batch builds it from scratch). The streamed history is
+    row-identical to a from-scratch batch rebuild over the same rows —
+    the q_stream_scd2 gate checks exactly that equivalence against the
+    full-feed SQL oracle.
+
+    Ordering contract (inherited from scd2_apply_changes): micro-batches
+    must arrive per-key in observation order — true of any time-ordered
+    ingest (file mtime order, Kafka per-key partition order). Late rows
+    that time-travel before a key's loaded history need a source-feed
+    reprocess, exactly as in the batch incremental path.
+
+    State lives in the parquet table at ``table_path``; each batch reads
+    the AFFECTED keys' change rows, re-collapses them with the batch, and
+    rewrites the table (read-modify-write through a localCheckpoint so
+    the path can be overwritten). Per-batch cost is O(batch + affected
+    keys' history) compute; the rewrite is O(table) here — partition the
+    table by a key bucket and rewrite only touched buckets (the
+    :func:`upsert_batch` layout) when the dimension itself is large.
+    """
+    from salesforce_plugin_spark.operators.scd import (
+        scd2_apply_changes,
+        scd2_intervals,
+    )
+
+    def fold(batch: DataFrame, _id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            current = spark.read.parquet(table_path)
+            exists = True
+        except Exception:  # first batch: no table yet
+            exists = False
+        if exists:
+            merged = scd2_apply_changes(
+                current, batch, key_cols, attr_cols, ts_col, tiebreak_cols
+            )
+        else:
+            merged = scd2_intervals(
+                batch, key_cols, attr_cols, ts_col, tiebreak_cols
+            )
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            table_path
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -268,3 +268,65 @@ def test_stream_events_sniffs_int64_millis(spark, tmp_path):
         stream_events(spark, out, ts_unit="ms"), "ms_explicit"
     )
     assert sorted(r.ts for r in got2.select("ts").collect()) == ts
+
+
+def test_stream_scd2_folds_batches_into_intervals(spark, tmp_path):
+    """Two micro-batches: a key whose attr flips across the batch
+    boundary must get its open interval closed at the batch-2 change —
+    and the streamed result equals the batch build over all rows."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from salesforce_plugin_spark.operators.scd import scd2_intervals
+    from salesforce_plugin_spark.streaming.upsert import run_stream_scd2
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def m(minute):
+        return t0 + dt.timedelta(minutes=minute)
+
+    schema = "k int, attr string, ts timestamp, chg_id int"
+    b1 = [(1, "a", m(0), 1), (1, "a", m(5), 2), (2, "x", m(1), 3)]
+    b2 = [(1, "b", m(10), 4), (3, "n", m(11), 5)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now = _time.time()
+    for i, rows in enumerate([b1, b2]):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        pf = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"batch-{i}.parquet")
+        os.rename(os.path.join(stage, pf), dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = str(tmp_path / "scd2")
+    run_stream_scd2(
+        stream, table, str(tmp_path / "ckpt"),
+        key_cols=["k"], attr_cols=["attr"], ts_col="ts",
+        tiebreak_cols=["chg_id"],
+    )
+    got = spark.read.parquet(table)
+    expect = scd2_intervals(
+        spark.createDataFrame(b1 + b2, schema),
+        ["k"], ["attr"], "ts", ["chg_id"],
+    )
+    key = lambda r: (  # noqa: E731
+        r.k, r.attr, r["__valid_from"], r["__valid_to"], r["__is_current"]
+    )
+    assert sorted(map(key, got.collect())) == sorted(map(key, expect.collect()))
+    # the cross-batch flip genuinely closed batch-1's open interval
+    k1 = sorted(
+        got.filter(F.col("k") == 1).collect(), key=lambda r: r["__valid_from"]
+    )
+    assert [r.attr for r in k1] == ["a", "b"]
+    assert k1[0]["__valid_to"] == m(10) and k1[1]["__is_current"]
