@@ -2991,6 +2991,43 @@ def q_scd2_incremental(spark, sf_dir):
     )
 
 
+def q_user_growth(spark, sf_dir):
+    """Daily acquisition curve: first-activity day per user → new-user
+    counts per day → running cumulative total. The growth-accounting
+    companion to q_retention (same first-activity primitive). Scale
+    shape: one exchange on user_id for the min-day aggregate (map-side
+    partial), one day-level aggregate, and the cumulative window runs
+    over the day-bounded aggregate — ≤ days rows, like
+    binned_quantiles' cumsum, never the event log."""
+    from salesforce_plugin_spark.operators.analytics import user_growth
+
+    e = load_table(spark, sf_dir, "events")
+    return user_growth(e, "user_id", "ts")
+
+
+def q_anomaly_zscore(spark, sf_dir):
+    """Exact-arithmetic outlier flagging: a z-score gate (|x-μ| > 3σ per
+    event_type) decided ENTIRELY in integers — values quantized to scaled
+    longs, and the threshold test cross-multiplied to
+    ``(n·x - s)² > 9·(n·Σx² - s²)`` so no engine ever divides or takes a
+    square root at the decision boundary (a float z-score's last ulp
+    could flip a borderline row in one engine and not the other; this is
+    the same no-transcendentals discipline as bigram_fluency /
+    gopher_quality). Bounds: exact while n·Σq² < 2^63 — at larger scale
+    lower the quantization. Plan: one map-side-combined stats aggregate
+    (≤ |event_type| rows), runtime-broadcast back over one scan."""
+    from salesforce_plugin_spark.operators.analytics import zscore_outliers
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    # |z| > 3/2: the fixture's values are uniform (|z| caps at √3 ≈
+    # 1.73), so 1.5σ is the operating point that genuinely fires (~8%)
+    return zscore_outliers(
+        e, "value", ["event_type"], k_num=3, k_den=2
+    ).select("event_id", "event_type", "value", "is_anomaly")
+
+
 def q_stream_scd2(spark, sf_dir):
     """F6 × warehouse modeling: SCD2 history maintained FROM A STREAM
     (streaming/upsert.py run_stream_scd2) — the events feed arrives as
@@ -3774,6 +3811,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_semantic_dedup": q_semantic_dedup,
     "q_importance_weights": q_importance_weights,
     "q_stream_scd2": q_stream_scd2,
+    "q_user_growth": q_user_growth,
+    "q_anomaly_zscore": q_anomaly_zscore,
 }
 
 
@@ -6388,3 +6427,40 @@ ORACLES["q_importance_weights"] = r"""
 
 # Streamed SCD2 maintenance must equal the from-scratch batch rebuild.
 ORACLES["q_stream_scd2"] = ORACLES["q_scd2"]
+
+ORACLES["q_user_growth"] = """
+    WITH f AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1
+    ), nu AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY day
+    ), act AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+        FROM events GROUP BY 1
+    ), d AS (
+        SELECT act.day, act.active_users,
+               CAST(coalesce(nu.new_users, 0) AS BIGINT) AS new_users
+        FROM act LEFT JOIN nu USING (day)
+    )
+    SELECT day, active_users, new_users,
+           CAST(sum(new_users) OVER (
+               ORDER BY day ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_users
+    FROM d
+"""
+
+ORACLES["q_anomaly_zscore"] = """
+    WITH q AS (
+        SELECT event_id, event_type, value,
+               CAST(round(value * 100) AS BIGINT) AS qv
+        FROM events
+    ), st AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               sum(qv) AS s, sum(qv * qv) AS q2
+        FROM q GROUP BY event_type
+    )
+    SELECT q.event_id, q.event_type, q.value,
+           (2 * (st.n * q.qv - st.s)) * (2 * (st.n * q.qv - st.s))
+               > 9 * (st.n * st.q2 - st.s * st.s) AS is_anomaly
+    FROM q JOIN st USING (event_type)
+"""

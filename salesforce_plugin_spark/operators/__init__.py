@@ -2,6 +2,8 @@ from salesforce_plugin_spark.operators.analytics import (
     cohort_retention,
     funnel,
     session_transitions,
+    user_growth,
+    zscore_outliers,
 )
 from salesforce_plugin_spark.operators.elt import (
     BulkQueryExtract,
@@ -47,6 +49,8 @@ __all__ = [
     "funnel",
     "cohort_retention",
     "session_transitions",
+    "user_growth",
+    "zscore_outliers",
     "asof_join",
     "range_join_bucketed",
     "interval_overlap_join",

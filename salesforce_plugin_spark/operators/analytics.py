@@ -152,3 +152,88 @@ def cohort_retention(
         .withColumnRenamed("__cohort", "cohort")
         .withColumnRenamed("__offset", "period_offset")
     )
+
+
+def user_growth(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Daily growth accounting: per calendar day, distinct active users,
+    first-ever-seen (new) users, and the running cumulative user count —
+    the acquisition-curve companion to :func:`cohort_retention` (same
+    first-activity primitive).
+
+    Scale shape: one exchange on the user key for the min-day aggregate
+    (map-side partial), one day-level distinct aggregate, and the
+    cumulative window runs over the day-bounded result — ≤ |days| rows,
+    never the event log. Returns ``(day date, active_users, new_users,
+    cum_users)``.
+    """
+    first = df.groupBy(user_col).agg(
+        F.min(F.to_date(ts_col)).alias("day")
+    )
+    new_users = first.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    active = df.groupBy(F.to_date(ts_col).alias("day")).agg(
+        F.countDistinct(user_col).cast("long").alias("active_users")
+    )
+    daily = active.join(new_users, "day", "left").select(
+        "day",
+        "active_users",
+        F.coalesce(F.col("new_users"), F.lit(0)).cast("long").alias(
+            "new_users"
+        ),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.withColumn(
+        "cum_users", F.sum("new_users").over(w).cast("long")
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k_num: int = 3,
+    k_den: int = 1,
+    quant: int = 100,
+) -> DataFrame:
+    """Per-group z-score outlier flag, decided ENTIRELY in integers:
+    values quantize to scaled longs (``round(v * quant)``) and the
+    ``|x - μ| > (k_num/k_den)·σ`` test cross-multiplies to
+
+        (k_den · (n·q - s))²  >  k_num² · (n·Σq² - s²)
+
+    so no engine divides or square-roots at the decision boundary — a
+    float z-score's last ulp could flip a borderline row in one engine
+    and not another (the same no-transcendentals discipline as
+    ``gopher_quality`` / ``bigram_fluency``). The quantization
+    (≤ 0.5/quant per value) is the documented price of cross-engine
+    exactness; bounds: exact while ``n·Σq²`` and the squared deviation
+    stay under 2^63 — at larger scale lower ``quant``.
+
+    Plan shape: one map-side-combined stats aggregate (≤ |groups| rows)
+    joined back un-hinted over one scan (AQE runtime-broadcasts small
+    stats; genuinely huge group sets degrade to a shuffle join instead
+    of OOM). Adds an ``is_anomaly`` boolean to the input rows.
+    """
+    q = F.round(F.col(value_col) * quant, 0).cast("long")
+    tagged = df.withColumn("__q", q)
+    stats = tagged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__q").alias("__s"),
+        F.sum(F.col("__q") * F.col("__q")).alias("__q2"),
+    )
+    dev = F.lit(k_den) * (F.col("__n") * F.col("__q") - F.col("__s"))
+    var_n2 = F.col("__n") * F.col("__q2") - F.col("__s") * F.col("__s")
+    return (
+        tagged.join(stats, group_cols)
+        .withColumn(
+            "is_anomaly", dev * dev > F.lit(k_num * k_num) * var_n2
+        )
+        .drop("__q", "__n", "__s", "__q2")
+    )

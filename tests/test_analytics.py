@@ -764,3 +764,58 @@ def test_gopher_gate_bitmask_semantics(spark):
     assert out[4].flags & 16
     assert out[5].flags & 16 and out[5].flags & 32 and out[5].flags & 4
     assert not out[5].passes
+
+
+# --- user growth / z-score outliers ---
+
+def test_user_growth_accounts_new_active_cumulative(spark):
+    from salesforce_plugin_spark.operators.analytics import user_growth
+
+    e = _events(
+        spark,
+        [
+            (1, ts(0), "a"), (2, ts(10), "a"),          # day 1: users 1,2 new
+            (1, ts(1440), "a"),                          # day 2: 1 returns
+            (3, ts(1500), "a"), (3, ts(1510), "a"),      # day 2: 3 new
+        ],
+    )
+    out = {str(r.day): r for r in user_growth(e, "u", "ts").collect()}
+    d1, d2 = sorted(out)
+    assert out[d1].active_users == 2 and out[d1].new_users == 2
+    assert out[d1].cum_users == 2
+    assert out[d2].active_users == 2 and out[d2].new_users == 1
+    assert out[d2].cum_users == 3
+
+
+def test_zscore_outliers_flags_only_the_spike(spark):
+    from salesforce_plugin_spark.operators.analytics import zscore_outliers
+
+    rows = [(i, "g", 10.0) for i in range(20)] + [(99, "g", 1000.0)]
+    df = spark.createDataFrame(rows, "id int, g string, v double")
+    out = {r.id: r.is_anomaly for r in zscore_outliers(df, "v", ["g"]).collect()}
+    assert out[99] is True
+    assert all(not out[i] for i in range(20))
+
+
+def test_zscore_outliers_zero_variance_flags_nothing(spark):
+    from salesforce_plugin_spark.operators.analytics import zscore_outliers
+
+    df = spark.createDataFrame(
+        [(i, "g", 5.0) for i in range(5)], "id int, g string, v double"
+    )
+    out = zscore_outliers(df, "v", ["g"]).collect()
+    assert all(not r.is_anomaly for r in out)
+
+
+def test_zscore_outliers_fractional_k(spark):
+    from salesforce_plugin_spark.operators.analytics import zscore_outliers
+
+    # symmetric two-point distribution: every |z| = 1 exactly; k=1/2
+    # flags all, k=3/2 flags none — the boundary never divides
+    df = spark.createDataFrame(
+        [(1, "g", 0.0), (2, "g", 10.0)], "id int, g string, v double"
+    )
+    low = zscore_outliers(df, "v", ["g"], k_num=1, k_den=2).collect()
+    high = zscore_outliers(df, "v", ["g"], k_num=3, k_den=2).collect()
+    assert all(r.is_anomaly for r in low)
+    assert all(not r.is_anomaly for r in high)
