@@ -2991,6 +2991,64 @@ def q_scd2_incremental(spark, sf_dir):
     )
 
 
+def q_curation_capstone(spark, sf_dir):
+    """Cross-modal corpus-curation capstone: the documents table and its
+    aligned embeddings (doc_id = vec_id, 1:1) are curated in ONE lazy
+    plan composing four first-class stages — Gopher-rule quality gate
+    (integer bitmask), DSIR-shape importance vs the English target domain
+    (importance ≥ 0.45 decided in integers: 20·score ≥ 9·10⁶·n_bigrams,
+    never a float compare), SemDeDup k-means-blocked embedding dedup
+    (keepers only), and the reproducible md5 split. The selection a
+    training-data pipeline actually ships: text-quality × domain-fit ×
+    semantic-uniqueness, each stage independently oracle-gated elsewhere
+    and the composition oracle-gated here (the SQL replays all four
+    stages in one WITH RECURSIVE)."""
+    from salesforce_plugin_spark.functions.dedup import semantic_dedup
+    from salesforce_plugin_spark.functions.text import (
+        gopher_quality,
+        hashed_ngram_importance,
+        split_assign,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    gq = gopher_quality(d, "doc_id", "text", min_tokens=10).select(
+        "doc_id", "n_tokens", "passes"
+    )
+    imp = hashed_ngram_importance(
+        d, "doc_id", "text", F.col("lang") == "en", n_buckets=4096
+    ).select("doc_id", "n_bigrams", "score_scaled", "importance")
+    seeds = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("centroid")
+    )
+    sd = semantic_dedup(
+        e, "vec_id", "embedding", seeds, threshold=0.3, quant=1000
+    ).select(F.col("vec_id").alias("doc_id"), "dup_group", "keep")
+    return (
+        d.select("doc_id", "lang", "source")
+        .join(gq, "doc_id")
+        .join(imp, "doc_id")
+        .join(sd, "doc_id")
+        .filter(
+            F.col("passes")
+            & F.col("keep")
+            & (
+                F.lit(20) * F.col("score_scaled")
+                >= F.lit(9_000_000) * F.col("n_bigrams")
+            )
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            "importance",
+            "dup_group",
+            split_assign(F.col("doc_id"), 80, 10).alias("split"),
+        )
+    )
+
+
 def q_user_growth(spark, sf_dir):
     """Daily acquisition curve: first-activity day per user → new-user
     counts per day → running cumulative total. The growth-accounting
@@ -3813,6 +3871,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_stream_scd2": q_stream_scd2,
     "q_user_growth": q_user_growth,
     "q_anomaly_zscore": q_anomaly_zscore,
+    "q_curation_capstone": q_curation_capstone,
 }
 
 
@@ -6463,4 +6522,94 @@ ORACLES["q_anomaly_zscore"] = """
            (2 * (st.n * q.qv - st.s)) * (2 * (st.n * q.qv - st.s))
                > 9 * (st.n * st.q2 - st.s * st.s) AS is_anomaly
     FROM q JOIN st USING (event_type)
+"""
+
+# Curation capstone: all four stage oracles composed into one statement —
+# kmeans assign + semantic-dedup closure (recursive), gopher bitmask,
+# hashed-bigram importance, md5 split. CTE names are disjoint by
+# construction (seeds/comp/dists/ranked | assign/vv/edges/sym/reach/grp |
+# gm/gf | toked/grams/model/scored).
+ORACLES["q_curation_capstone"] = _KMEANS_ASSIGN_CTES.replace(
+    "WITH seeds", "WITH RECURSIVE seeds", 1
+) + r"""
+    , assign AS (SELECT vec_id, cluster FROM ranked WHERE rn = 1)
+    , vv AS (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, a.cluster
+        FROM embeddings e JOIN assign a USING (vec_id)
+    ), edges AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM vv a JOIN vv b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+    ), sym AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT dst, src FROM edges
+    ), reach AS (
+        SELECT vec_id AS id, vec_id AS r FROM embeddings
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN sym e ON reach.r = e.src
+    ), grp AS (
+        SELECT id AS vec_id, min(r) AS dup_group FROM reach GROUP BY id
+    ), gm AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform(
+                    regexp_split_to_array(trim(text), '\s+'),
+                    t -> strlen(t))) AS BIGINT) AS sum_len,
+               CAST(len(regexp_extract_all(text, '[^\w\s]'))
+                    AS BIGINT) AS n_punct,
+               CAST(len(regexp_extract_all(lower(text),
+                    '\b(?:the|a|an|and|or|of|to|in|is|it|that|this|for|on|with|as)\b'))
+                    AS BIGINT) AS n_stop,
+               CAST(len(list_filter(
+                    regexp_split_to_array(trim(text), '\s+'),
+                    t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha
+        FROM documents
+    ), gf AS (
+        SELECT doc_id, n_tokens FROM gm
+        WHERE NOT (n_tokens < 10 OR n_tokens > 100000
+               OR sum_len < 3 * n_tokens OR sum_len > 10 * n_tokens
+               OR 10 * n_punct >= n_tokens
+               OR 25 * n_stop <= n_tokens
+               OR 5 * n_alpha <= 4 * n_tokens)
+    ), toked AS (
+        SELECT doc_id, lang = 'en' AS is_target,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> lower(t)) AS w
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, is_target,
+               CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 8))
+                    AS BIGINT) % 4096 AS bkt
+        FROM (
+            SELECT doc_id, is_target, w,
+                   unnest(generate_series(1, len(w) - 1)) AS i
+            FROM toked WHERE len(w) >= 2
+        )
+    ), model AS (
+        SELECT bkt,
+               (1000000 * (sum(CASE WHEN is_target THEN 1 ELSE 0 END) + 1))
+                   // (count(*) + 1) AS term
+        FROM grams GROUP BY bkt
+    ), scored AS (
+        SELECT g.doc_id, count(*) AS n_bigrams, sum(m.term) AS s
+        FROM grams g JOIN model m USING (bkt)
+        GROUP BY g.doc_id
+    )
+    SELECT d.doc_id, d.lang, d.source, gf.n_tokens,
+           round(sc.s / (1000000.0 * sc.n_bigrams), 6) AS importance,
+           g.dup_group,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                          1, 8)) AS BIGINT) % 100 < 80
+                THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                          1, 8)) AS BIGINT) % 100 < 90
+                THEN 'val' ELSE 'test' END AS split
+    FROM documents d
+    JOIN gf USING (doc_id)
+    JOIN scored sc ON sc.doc_id = d.doc_id
+                  AND 20 * sc.s >= 9000000 * sc.n_bigrams
+    JOIN grp g ON g.vec_id = d.doc_id AND g.dup_group = d.doc_id
 """
