@@ -1217,6 +1217,37 @@ def q_near_dedup(spark, sf_dir):
     )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """F2 incremental form: MinHash/LSH near-dedup of a NEW batch against
+    an existing corpus (dedup.near_dedup_apply) — the first 80% of
+    documents stand in for the loaded corpus (their maintained state is
+    just the (id, band, bucket) table), the rest arrive as a batch whose
+    minhash pipeline runs over the batch alone, probing corpus bands via
+    a touched-bucket semi-join. Under append-only ids the composition is
+    row-identical to a from-scratch run over everything — the oracle IS
+    q_near_dedup's full-corpus SQL (same 8-hash / 2-band portable
+    family)."""
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    cut = F.col("doc_id") < 400
+    corpus, batch = d.filter(cut), d.filter(~cut)
+    base = D.near_dedup_clusters_portable(
+        corpus, "doc_id", "text", num_hashes=8, bands=2, shingle_n=3
+    )
+    corpus_bands = D.portable_bands(
+        D.minhash_signatures_portable(
+            corpus, "doc_id", "text", num_hashes=8, shingle_n=3
+        ),
+        "doc_id",
+        num_hashes=8,
+        bands=2,
+    )
+    inc, _new_bands = D.near_dedup_apply(
+        corpus_bands, batch, "doc_id", "text",
+        num_hashes=8, bands=2, shingle_n=3,
+    )
+    return base.unionByName(inc)
+
+
 def q_vocab(spark, sf_dir):
     """F5 north-star: tokenizer-vocabulary building — corpus-wide term
     frequency + document frequency, min-count floor, deterministic top-k
@@ -3872,6 +3903,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_user_growth": q_user_growth,
     "q_anomaly_zscore": q_anomaly_zscore,
     "q_curation_capstone": q_curation_capstone,
+    "q_incremental_dedup": q_incremental_dedup,
 }
 
 
@@ -6613,3 +6645,6 @@ ORACLES["q_curation_capstone"] = _KMEANS_ASSIGN_CTES.replace(
                   AND 20 * sc.s >= 9000000 * sc.n_bigrams
     JOIN grp g ON g.vec_id = d.doc_id AND g.dup_group = d.doc_id
 """
+
+# Incremental LSH dedup must equal the from-scratch full-corpus run.
+ORACLES["q_incremental_dedup"] = ORACLES["q_near_dedup"]

@@ -952,3 +952,70 @@ def semantic_dedup(
             (F.col("dup_group") == F.col(id_col)).alias("keep"),
         )
     )
+
+
+def near_dedup_apply(
+    corpus_bands: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental MinHash/LSH near-dedup: assign clusters to a NEW batch
+    against an existing corpus — the daily-crawl-vs-100 TB-corpus shape,
+    where re-running :func:`near_dedup_clusters_portable` over the whole
+    corpus per batch is the thing you cannot afford.
+
+    ``corpus_bands`` is the maintained ``(id, band, bucket)`` table (from
+    :func:`portable_bands` over the corpus signatures — O(bands) rows per
+    document, the only state the pipeline needs). Returns ``(assigned,
+    new_bands)``: the batch's ``(id, cluster_id)`` rows, and the batch's
+    band rows for the caller to append to the corpus table (exactly the
+    :func:`~salesforce_plugin_spark.streaming.upsert.upsert_batch`
+    append cadence).
+
+    Equivalence contract (append-only ids): when every batch id sorts
+    after all corpus ids, the result is row-identical to a full
+    from-scratch run over corpus ∪ batch — new, larger ids can never
+    lower an existing bucket's min, so prior assignments are immutable
+    and the batch's cluster (min bucket-min over its buckets) is exactly
+    the full run's. The q_incremental_dedup gate checks this against the
+    full-corpus oracle; ids that backfill below loaded history need a
+    reprocess, as in :func:`~..operators.scd.scd2_apply_changes`.
+
+    Scale shape, per batch: the minhash pipeline runs over the BATCH
+    only; corpus band rows are touched only via a semi-join on the
+    batch's (band, bucket) set — partition-prunable on a bucketed layout
+    — so per-batch cost is O(batch + corpus rows in touched buckets),
+    never O(corpus). The bucket-min window sorts only touched buckets.
+    """
+    new_bands = portable_bands(
+        minhash_signatures_portable(
+            batch, id_col, text_col, num_hashes, shingle_n
+        ),
+        id_col,
+        num_hashes,
+        bands,
+    )
+    touched = new_bands.select("band", "bucket").distinct()
+    relevant = corpus_bands.unionByName(new_bands).join(
+        touched, ["band", "bucket"], "left_semi"
+    )
+    w = Window.partitionBy("band", "bucket")
+    assigned = (
+        relevant.withColumn("bucket_min", F.min(id_col).over(w))
+        .join(batch.select(id_col), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.min("bucket_min").alias("cluster_id"))
+    )
+    out = (
+        batch.select(id_col)
+        .join(assigned, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    return out, new_bands

@@ -87,6 +87,13 @@ PROBE = [
     "q_scd2_lookup",
     "q_encoding_repair",
     "q_gopher_gate",
+    "q_kmv_setops",
+    "q_scd2_incremental",
+    "q_semantic_dedup",
+    "q_importance_weights",
+    "q_user_growth",
+    "q_anomaly_zscore",
+    "q_curation_capstone",
 ]
 
 

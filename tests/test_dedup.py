@@ -454,3 +454,48 @@ def test_semantic_dedup_chained_group_collapses_to_one_keeper(spark):
     rows_out = out.collect()
     assert {r.dup_group for r in rows_out} == {1}
     assert [r.vec_id for r in rows_out if r.keep] == [1]
+
+
+def test_near_dedup_apply_equals_full_rebuild(spark):
+    from salesforce_plugin_spark.functions.dedup import (
+        minhash_signatures_portable,
+        near_dedup_apply,
+        near_dedup_clusters_portable,
+        portable_bands,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "an entirely different document about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+        # batch
+        (10, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+        (11, "fresh unseen content with its own shingle set here"),
+        (12, "an entirely different document about spark engines"),  # dup of 2
+        (13, "xy"),                                                 # shingle-less
+    ]
+    kw = dict(num_hashes=8, bands=2, shingle_n=3)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    corpus = df.filter("doc_id < 10")
+    batch = df.filter("doc_id >= 10")
+
+    corpus_bands = portable_bands(
+        minhash_signatures_portable(corpus, "doc_id", "text", 8, 3),
+        "doc_id", 8, 2,
+    )
+    inc, new_bands = near_dedup_apply(
+        corpus_bands, batch, "doc_id", "text", **kw
+    )
+    base = near_dedup_clusters_portable(corpus, "doc_id", "text", **kw)
+    got = sorted(
+        map(tuple, base.unionByName(inc).collect())
+    )
+    full = sorted(
+        map(tuple, near_dedup_clusters_portable(df, "doc_id", "text", **kw).collect())
+    )
+    assert got == full
+    by_id = dict(got)
+    assert by_id[10] == 1 and by_id[12] == 2   # batch dups adopt corpus ids
+    assert by_id[11] == 11 and by_id[13] == 13  # fresh + shingle-less singleton
+    # the appended state is one band row set per batch doc with shingles
+    assert new_bands.select("doc_id").distinct().count() == 3
