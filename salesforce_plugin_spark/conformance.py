@@ -1248,6 +1248,65 @@ def q_incremental_dedup(spark, sf_dir):
     return base.unionByName(inc)
 
 
+def q_stream_near_dedup(spark, sf_dir):
+    """F2 × F6: near-dedup as a CONTINUOUS-INGEST stream — documents
+    arrive in three id-sliced micro-batches (ascending mtimes; per-batch
+    append-only ids) and each batch is cluster-assigned against the bands
+    state accumulated so far (streaming/upsert.run_stream_near_dedup).
+    The accumulated assignments must be row-identical to the
+    from-scratch full-corpus run: the oracle IS q_near_dedup's SQL."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from salesforce_plugin_spark.streaming.upsert import run_stream_near_dedup
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = d.agg(F.max("doc_id")).collect()[0][0]
+    cuts = [int(n * 0.5), int(n * 0.8)]
+    slices = [
+        d.filter(F.col("doc_id") <= cuts[0]),
+        d.filter((F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1])),
+        d.filter(F.col("doc_id") > cuts[1]),
+    ]
+    tmp = tempfile.mkdtemp(prefix="conf_stream_neardedup_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    try:
+        now = _time.time()
+        for i, sl in enumerate(slices):
+            part = os.path.join(tmp, f"stage{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(part)
+            pf = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+            dst = os.path.join(src, f"batch-{i}.parquet")
+            shutil.move(os.path.join(part, pf), dst)
+            os.utime(dst, (now + i * 10, now + i * 10))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+        run_stream_near_dedup(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            id_col="doc_id",
+            text_col="text",
+            num_hashes=8,
+            bands=2,
+            shingle_n=3,
+        )
+        out = (
+            spark.read.parquet(os.path.join(state, "assign"))
+            .localCheckpoint(eager=True)  # detach from the tmp path
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_vocab(spark, sf_dir):
     """F5 north-star: tokenizer-vocabulary building — corpus-wide term
     frequency + document frequency, min-count floor, deterministic top-k
@@ -3904,6 +3963,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_anomaly_zscore": q_anomaly_zscore,
     "q_curation_capstone": q_curation_capstone,
     "q_incremental_dedup": q_incremental_dedup,
+    "q_stream_near_dedup": q_stream_near_dedup,
 }
 
 
@@ -6648,3 +6708,6 @@ ORACLES["q_curation_capstone"] = _KMEANS_ASSIGN_CTES.replace(
 
 # Incremental LSH dedup must equal the from-scratch full-corpus run.
 ORACLES["q_incremental_dedup"] = ORACLES["q_near_dedup"]
+
+# Streamed incremental dedup must also equal the from-scratch run.
+ORACLES["q_stream_near_dedup"] = ORACLES["q_near_dedup"]

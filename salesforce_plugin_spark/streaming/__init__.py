@@ -1,4 +1,5 @@
 from salesforce_plugin_spark.streaming.upsert import (
+    run_stream_near_dedup,
     run_stream_scd2,
     run_stream_upsert,
     upsert_batch,
@@ -21,6 +22,7 @@ __all__ = [
     "dedup_stream_by_content",
     "enrich_stream",
     "incremental_predicate",
+    "run_stream_near_dedup",
     "run_stream_scd2",
     "run_stream_upsert",
     "upsert_batch",

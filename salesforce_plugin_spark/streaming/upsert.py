@@ -155,3 +155,82 @@ def run_stream_scd2(
     )
     q.awaitTermination()
     return q
+
+
+def run_stream_near_dedup(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 2,
+    shingle_n: int = 3,
+):
+    """Streaming near-dedup: each micro-batch of documents gets its
+    MinHash/LSH cluster assignment against the corpus streamed SO FAR —
+    the continuous-ingest face of
+    :func:`~salesforce_plugin_spark.functions.dedup.near_dedup_apply`
+    (same equivalence: with per-batch append-only ids the accumulated
+    assignments are row-identical to a from-scratch run over everything,
+    which is what the q_stream_near_dedup gate checks).
+
+    State under ``state_dir``: ``bands/`` — the corpus (id, band, bucket)
+    table, APPEND-only (O(bands) rows per document, the only dedup state
+    the pipeline carries); ``assign/`` — the accumulated (id, cluster_id)
+    assignments, also append-only. Per-batch cost is the batch's minhash
+    pipeline plus a touched-bucket semi-join into the bands table —
+    never a corpus rescan.
+    """
+    import os
+
+    from salesforce_plugin_spark.functions.dedup import (
+        minhash_signatures_portable,
+        near_dedup_apply,
+        near_dedup_clusters_portable,
+        portable_bands,
+    )
+
+    bands_path = os.path.join(state_dir, "bands")
+    assign_path = os.path.join(state_dir, "assign")
+
+    def fold(batch: DataFrame, _id: int) -> None:
+        spark = batch.sparkSession
+        batch_local = batch.localCheckpoint(eager=True)
+        new_bands = portable_bands(
+            minhash_signatures_portable(
+                batch_local, id_col, text_col, num_hashes, shingle_n
+            ),
+            id_col,
+            num_hashes,
+            bands,
+        )
+        try:
+            corpus_bands = spark.read.parquet(bands_path)
+            exists = True
+        except Exception:  # first batch: no state yet
+            exists = False
+        if exists:
+            assigned, new_bands = near_dedup_apply(
+                corpus_bands, batch_local, id_col, text_col,
+                num_hashes, bands, shingle_n,
+            )
+        else:
+            assigned = near_dedup_clusters_portable(
+                batch_local, id_col, text_col, num_hashes, bands, shingle_n
+            )
+        # materialize the assignment BEFORE appending the batch's bands:
+        # it reads the pre-append bands table lazily
+        assigned.localCheckpoint(eager=True).write.mode("append").parquet(
+            assign_path
+        )
+        new_bands.write.mode("append").parquet(bands_path)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -330,3 +330,58 @@ def test_stream_scd2_folds_batches_into_intervals(spark, tmp_path):
     )
     assert [r.attr for r in k1] == ["a", "b"]
     assert k1[0]["__valid_to"] == m(10) and k1[1]["__is_current"]
+
+
+def test_stream_near_dedup_accumulates_full_equivalence(spark, tmp_path):
+    """Two micro-batches of documents: cross-batch duplicates adopt the
+    earlier batch's cluster id, and the accumulated assignments equal a
+    from-scratch run over all rows."""
+    import os
+    import time as _time
+
+    from salesforce_plugin_spark.functions.dedup import (
+        near_dedup_clusters_portable,
+    )
+    from salesforce_plugin_spark.streaming.upsert import run_stream_near_dedup
+
+    b1 = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "an entirely different document about spark engines"),
+    ]
+    b2 = [
+        (10, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+        (11, "fresh unseen content with its own shingle set here"),
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now = _time.time()
+    for i, rows in enumerate([b1, b2]):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(stage)
+        pf = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"batch-{i}.parquet")
+        os.rename(os.path.join(stage, pf), dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    run_stream_near_dedup(
+        stream, state, str(tmp_path / "ckpt"),
+        id_col="doc_id", text_col="text",
+        num_hashes=8, bands=2, shingle_n=3,
+    )
+    got = sorted(
+        map(tuple, spark.read.parquet(os.path.join(state, "assign")).collect())
+    )
+    full = near_dedup_clusters_portable(
+        spark.createDataFrame(b1 + b2, "doc_id long, text string"),
+        "doc_id", "text", num_hashes=8, bands=2, shingle_n=3,
+    )
+    assert got == sorted(map(tuple, full.collect()))
+    assert dict(got)[10] == 1    # cross-batch dup adopted batch-1's id
