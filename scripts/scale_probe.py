@@ -94,6 +94,8 @@ PROBE = [
     "q_user_growth",
     "q_anomaly_zscore",
     "q_curation_capstone",
+    "q_incremental_dedup",
+    "q_stream_near_dedup",
 ]
 
 
