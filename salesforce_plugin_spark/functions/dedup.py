@@ -402,8 +402,16 @@ def connected_components(
         )
     if method != "propagation":
         raise ValueError(f"unknown method: {method!r}")
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # materialize the symmetrized edge list ONCE: every iteration joins
+    # against it, and the caller's edges plan may be expensive (the
+    # semantic-dedup pair join is O(n²/k) cosine work — re-evaluating it
+    # per iteration turned a seconds-scale CC into minutes at the 10×
+    # probe). Same lineage-cut note as labels: use a reliable checkpoint
+    # dir on a real cluster.
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint()
     )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
@@ -909,6 +917,10 @@ def semantic_dedup(
     deduplication"): cluster the embedding space with k-means, compare
     pairs ONLY within a cluster, and keep one representative per
     connected group of near-duplicates.
+
+    ``seeds`` holds ``(cluster, centroid array<double>)`` rows — the
+    k-means codebook (a data-derived deterministic one for gated runs,
+    or trained centers in production), broadcast by the assign step.
 
     Stages, each engine-reproducible:
 

@@ -40,6 +40,8 @@ def upsert_batch(
     """Merge one (batch) DataFrame into the parquet table at ``table_path``,
     keeping the highest-``version_col`` row per key, rewriting only the
     partitions present in the batch."""
+    from pyspark.errors import AnalysisException
+
     spark = batch.sparkSession
     touched = batch.select(partition_col).distinct()
     try:
@@ -47,8 +49,10 @@ def upsert_batch(
             touched, partition_col, "left_semi"
         )
         merged = current.unionByName(batch)
-    except Exception:  # first batch: table does not exist yet
-        merged = batch
+    except AnalysisException:  # first batch: table does not exist yet —
+        merged = batch         # any OTHER read failure must raise: treating
+                               # it as first-batch would dynamic-overwrite
+                               # touched partitions with batch-only rows
     w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
     latest = (
         merged.withColumn("__rn", F.row_number().over(w))
@@ -129,12 +133,15 @@ def run_stream_scd2(
     )
 
     def fold(batch: DataFrame, _id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch.sparkSession
         try:
             current = spark.read.parquet(table_path)
             exists = True
-        except Exception:  # first batch: no table yet
-            exists = False
+        except AnalysisException:  # first batch: no table yet — any OTHER
+            exists = False         # read failure must raise, not silently
+                                   # restart history from scratch
         if exists:
             merged = scd2_apply_changes(
                 current, batch, key_cols, attr_cols, ts_col, tiebreak_cols
@@ -184,6 +191,8 @@ def run_stream_near_dedup(
     """
     import os
 
+    from pyspark.errors import AnalysisException
+
     from salesforce_plugin_spark.functions.dedup import (
         minhash_signatures_portable,
         near_dedup_apply,
@@ -208,8 +217,9 @@ def run_stream_near_dedup(
         try:
             corpus_bands = spark.read.parquet(bands_path)
             exists = True
-        except Exception:  # first batch: no state yet
-            exists = False
+        except AnalysisException:  # first batch: no state yet — any OTHER
+            exists = False          # read failure must raise, not silently
+                                    # restart the corpus from scratch
         if exists:
             assigned, new_bands = near_dedup_apply(
                 corpus_bands, batch_local, id_col, text_col,
