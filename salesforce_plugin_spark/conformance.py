@@ -6606,8 +6606,9 @@ ORACLES["q_anomaly_zscore"] = """
                CAST(round(value * 100) AS BIGINT) AS qv
         FROM events
     ), st AS (
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-               sum(qv) AS s, sum(qv * qv) AS q2
+        SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(qv) AS HUGEINT) AS s,
+               sum(CAST(qv AS HUGEINT) * qv) AS q2
         FROM q GROUP BY event_type
     )
     SELECT q.event_id, q.event_type, q.value,

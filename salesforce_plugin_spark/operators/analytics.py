@@ -213,27 +213,36 @@ def zscore_outliers(
     and not another (the same no-transcendentals discipline as
     ``gopher_quality`` / ``bigram_fluency``). The quantization
     (≤ 0.5/quant per value) is the documented price of cross-engine
-    exactness; bounds: exact while ``n·Σq²`` and the squared deviation
-    stay under 2^63 — at larger scale lower ``quant``.
+    exactness. The deciding comparison is quadratic in the group's row
+    count (``dev² ~ (n·q)²`` overflowed BIGINT at the 10× probe's 200k
+    rows/group), so sums and the comparison run in exact integer-valued
+    DECIMAL(38,0) — 128-bit headroom (HUGEINT on the oracle side), exact
+    while intermediates stay under 10^38; only the boolean leaves the
+    operator, so the scalar-only output discipline is untouched.
 
     Plan shape: one map-side-combined stats aggregate (≤ |groups| rows)
     joined back un-hinted over one scan (AQE runtime-broadcasts small
     stats; genuinely huge group sets degrade to a shuffle join instead
     of OOM). Adds an ``is_anomaly`` boolean to the input rows.
     """
+    d38 = "decimal(38,0)"
     q = F.round(F.col(value_col) * quant, 0).cast("long")
     tagged = df.withColumn("__q", q)
+    qd = F.col("__q").cast(d38)
     stats = tagged.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).cast("long").alias("__n"),
-        F.sum("__q").alias("__s"),
-        F.sum(F.col("__q") * F.col("__q")).alias("__q2"),
+        F.count(F.lit(1)).cast(d38).alias("__n"),
+        F.sum(qd).alias("__s"),
+        F.sum(qd * qd).alias("__q2"),
     )
-    dev = F.lit(k_den) * (F.col("__n") * F.col("__q") - F.col("__s"))
+    dev = F.lit(k_den).cast(d38) * (
+        F.col("__n") * F.col("__q").cast(d38) - F.col("__s")
+    )
     var_n2 = F.col("__n") * F.col("__q2") - F.col("__s") * F.col("__s")
     return (
         tagged.join(stats, group_cols)
         .withColumn(
-            "is_anomaly", dev * dev > F.lit(k_num * k_num) * var_n2
+            "is_anomaly",
+            dev * dev > F.lit(k_num * k_num).cast(d38) * var_n2,
         )
         .drop("__q", "__n", "__s", "__q2")
     )
