@@ -3781,6 +3781,192 @@ def q_kmeans_converged(spark, sf_dir):
     )
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Sketch family: count-min point-frequency estimates
+    (functions/sketch.py cm_sketch/cm_estimate) — the mergeable
+    frequency summary that replaces a full group-by when only heavy
+    hitters matter at 100 TB (grid is depth×width counters; union of
+    sketches = grid sum). Gated beside the EXACT per-user counts so the
+    one-sided overestimate is visible: est_n >= exact_n always, equality
+    whenever none of the user's 4 rows collides. md5-family bucket
+    hashes make the grid bit-replayable in DuckDB. Plan: one
+    partial-combined exchange bounded by depth·width for the sketch;
+    the probe side joins the BROADCAST grid and never shuffles wide."""
+    from salesforce_plugin_spark.functions.sketch import cm_estimate, cm_sketch
+
+    ev = parallelized(load_table(spark, sf_dir, "events"))
+    sk = cm_sketch(ev, "user_id", width=256, depth=4)
+    est = cm_estimate(sk, ev, "user_id", width=256, depth=4)
+    exact = ev.groupBy(F.col("user_id").alias("value")).agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    return (
+        est.join(exact, "value")
+        .select(
+            F.col("value").alias("user_id"),
+            "est_n",
+            "exact_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+        )
+    )
+
+
+def q_bpe_step(spark, sf_dir):
+    """Tokenizer training under the gate: one BPE merge-selection step
+    (functions/text.py bpe_pair_counts) — corpus-wide adjacent
+    character-pair frequencies over the lowercase alphabetic vocab,
+    ranked (n desc, pair asc) so row rank=1 is the next merge. The
+    word-level pre-aggregation is the scale move: pair counting runs
+    over the DISTINCT vocabulary (one vocab-bounded exchange), never the
+    corpus; the final window sees ≤ 26² rows."""
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    return X.bpe_pair_counts(d, "text", top_n=40)
+
+
+def q_fuzzy_link(spark, sf_dir):
+    """Entity resolution (functions/entity.py blocked_fuzzy_link): link
+    a seeded-typo dirty batch back to the part master by blocked
+    levenshtein — the daily record-linkage shape of the reference's
+    warehouse extracts. Corruption is DERIVED (deterministic per-key
+    edit on the LAST name token: drop / double the final char, or
+    append 'x'), so the first-token block key survives the typo and the
+    oracle regenerates the identical dirty side. Election: lowest
+    (dist, master_id) per dirty record via row_number — replayed with
+    the same window in SQL. Every dirty row links at dist ≤ 1; shared
+    p_names make the deterministic tiebreak do real work."""
+    from salesforce_plugin_spark.functions.entity import blocked_fuzzy_link
+
+    p = load_table(spark, sf_dir, "part")
+    master = p.select(F.col("p_partkey").alias("master_id"), F.col("p_name"))
+    nm = F.col("p_name")
+    corrupted = (
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.substring(nm, F.lit(1), F.length(nm) - 1),
+        )
+        .when(
+            F.col("p_partkey") % 3 == 1,
+            F.concat(nm, F.substring(nm, F.length(nm), F.lit(1))),
+        )
+        .otherwise(F.concat(nm, F.lit("x")))
+    )
+    dirty = p.select(
+        (F.col("p_partkey") + 1000000).alias("dirty_id"),
+        corrupted.alias("p_name"),
+    )
+    return blocked_fuzzy_link(
+        master, dirty, "master_id", "dirty_id", "p_name", max_dist=2
+    )
+
+
+def q_stream_heavy_hitters(spark, sf_dir):
+    """Sketch × F6: count-min maintenance as a CONTINUOUS stream — events
+    arrive in three event_id-sliced micro-batches and each batch's
+    depth×width grid is appended to parquet state
+    (streaming/upsert.run_stream_cm). A count-min sketch is purely
+    additive, so the summed accumulated grid is bit-identical to one
+    batch sketch over the full table — estimates read from the streamed
+    state must therefore match q_heavy_hitters' oracle exactly (the
+    oracle IS reused verbatim). Per-batch cost: one bounded aggregate;
+    state grows ≤ depth·width rows per batch."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.functions.sketch import cm_estimate
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_cm_state,
+        run_stream_cm,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    n = ev.agg(F.max("event_id")).collect()[0][0]
+    cuts = [int(n * 0.4), int(n * 0.7)]
+    slices = [
+        ev.filter(F.col("event_id") <= cuts[0]),
+        ev.filter((F.col("event_id") > cuts[0]) & (F.col("event_id") <= cuts[1])),
+        ev.filter(F.col("event_id") > cuts[1]),
+    ]
+    tmp = tempfile.mkdtemp(prefix="conf_stream_cm_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    try:
+        for i, sl in enumerate(slices):
+            part = os.path.join(tmp, f"stage{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(part)
+            pf = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+            shutil.move(
+                os.path.join(part, pf), os.path.join(src, f"batch-{i}.parquet")
+            )
+        stream = (
+            spark.readStream.schema("event_id long, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_stream_cm(
+            stream,
+            os.path.join(tmp, "state"),
+            os.path.join(tmp, "ckpt"),
+            "user_id",
+            width=256,
+            depth=4,
+        )
+        grid = read_cm_state(spark, os.path.join(tmp, "state")).localCheckpoint(
+            eager=True  # detach from the tmp path before it is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    est = cm_estimate(grid, ev, "user_id", width=256, depth=4)
+    exact = ev.groupBy(F.col("user_id").alias("value")).agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    return est.join(exact, "value").select(
+        F.col("value").alias("user_id"),
+        "est_n",
+        "exact_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval (functions/ir.py rrf_fuse): BM25 lexical top-20
+    fused with embedding-cosine semantic top-20 by reciprocal-rank
+    fusion — the standard two-tower retrieval combiner, made
+    hash-gateable by floor-scaling each 1/(k0+rank) fraction to an
+    integer so the fused score is an exact BIGINT sum. Both input ranks
+    are themselves deterministic: BM25 orders by its exact integer
+    score_scaled (doc_id tiebreak), cosine by the round-6 similarity
+    (vec_id tiebreak; doc_id = vec_id in the fixtures). Fusion cost is
+    bounded by the truncated lists (40 rows), never the corpus."""
+    from salesforce_plugin_spark.functions.ir import bm25_scores, ranked, rrf_fuse
+
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    e = load_table(spark, sf_dir, "embeddings")
+    lex = ranked(
+        bm25_scores(d, "doc_id", "text", terms=["key", "row", "table"]),
+        "doc_id",
+        [F.col("score_scaled").desc(), F.col("doc_id")],
+        top_n=20,
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    sims = (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                V.cosine(
+                    V.as_double(F.col("embedding")), V.as_double(F.col("q_vec"))
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+    sem = ranked(
+        sims, "doc_id", [F.col("sim").desc(), F.col("doc_id")], top_n=20
+    )
+    return rrf_fuse([("lex", lex), ("sem", sem)], "doc_id", k0=60)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3964,6 +4150,11 @@ QUERIES: dict[str, QueryFn] = {
     "q_curation_capstone": q_curation_capstone,
     "q_incremental_dedup": q_incremental_dedup,
     "q_stream_near_dedup": q_stream_near_dedup,
+    "q_heavy_hitters": q_heavy_hitters,
+    "q_bpe_step": q_bpe_step,
+    "q_fuzzy_link": q_fuzzy_link,
+    "q_hybrid_rrf": q_hybrid_rrf,
+    "q_stream_heavy_hitters": q_stream_heavy_hitters,
 }
 
 
@@ -6712,3 +6903,171 @@ ORACLES["q_incremental_dedup"] = ORACLES["q_near_dedup"]
 
 # Streamed incremental dedup must also equal the from-scratch run.
 ORACLES["q_stream_near_dedup"] = ORACLES["q_near_dedup"]
+
+# Count-min grid + probes replayed with the same md5 bucket family.
+ORACLES["q_heavy_hitters"] = r"""
+    WITH sk AS (
+        SELECT i,
+               CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                        || CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 256 AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT user_id, unnest(generate_series(0, 3)) AS i FROM events)
+        GROUP BY 1, 2
+    ), cand AS (
+        SELECT DISTINCT user_id FROM events
+    ), probes AS (
+        SELECT user_id, i,
+               CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                        || CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 256 AS bucket
+        FROM (SELECT user_id, unnest(generate_series(0, 3)) AS i FROM cand)
+    ), est AS (
+        SELECT p.user_id, min(coalesce(sk.n, 0)) AS est_n
+        FROM probes p
+        LEFT JOIN sk ON sk.i = p.i AND sk.bucket = p.bucket
+        GROUP BY 1
+    ), exact AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+        FROM events GROUP BY 1
+    )
+    SELECT est.user_id, est.est_n, exact.exact_n,
+           est.est_n - exact.exact_n AS overcount
+    FROM est JOIN exact USING (user_id)
+"""
+
+# BPE pair counting over the distinct vocab, same tokenization chain.
+ORACLES["q_bpe_step"] = r"""
+    WITH words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS wf
+        FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+            FROM documents
+        )
+        WHERE regexp_matches(w, '^[a-z]+$') AND strlen(w) >= 2
+        GROUP BY w
+    ), pairs AS (
+        SELECT substr(w, CAST(i AS INT), 2) AS pair, wf
+        FROM (
+            SELECT w, wf, unnest(generate_series(1, strlen(w) - 1)) AS i
+            FROM words
+        )
+    ), agg AS (
+        SELECT pair, CAST(sum(wf) AS BIGINT) AS n FROM pairs GROUP BY pair
+    )
+    SELECT pair, n, rank FROM (
+        SELECT pair, n,
+               CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rank
+        FROM agg
+    ) WHERE rank <= 40
+"""
+
+# Blocked levenshtein linkage; the dirty side is re-derived in SQL.
+ORACLES["q_fuzzy_link"] = r"""
+    WITH master AS (
+        SELECT p_partkey AS master_id, lower(trim(p_name)) AS name FROM part
+    ), dirty AS (
+        SELECT p_partkey + 1000000 AS dirty_id,
+               lower(trim(CASE
+                   WHEN p_partkey % 3 = 0
+                       THEN substr(p_name, 1, CAST(strlen(p_name) AS INT) - 1)
+                   WHEN p_partkey % 3 = 1
+                       THEN p_name
+                            || substr(p_name, CAST(strlen(p_name) AS INT), 1)
+                   ELSE p_name || 'x'
+               END)) AS name
+        FROM part
+    ), cand AS (
+        SELECT d.dirty_id, m.master_id,
+               CAST(levenshtein(d.name, m.name) AS INT) AS dist
+        FROM dirty d
+        JOIN master m
+          ON split_part(d.name, ' ', 1) = split_part(m.name, ' ', 1)
+        WHERE abs(strlen(d.name) - strlen(m.name)) <= 2
+          AND levenshtein(d.name, m.name) <= 2
+    )
+    SELECT dirty_id, master_id, dist FROM (
+        SELECT dirty_id, master_id, dist,
+               row_number() OVER (PARTITION BY dirty_id
+                                  ORDER BY dist, master_id) AS rn
+        FROM cand
+    ) WHERE rn = 1
+"""
+
+# RRF fusion: BM25 CTEs (identical coefficients to q_bm25) + round-6
+# cosine ranks, integer floor-scaled reciprocal ranks, exact BIGINT sum.
+ORACLES["q_hybrid_rrf"] = r"""
+    WITH toked AS (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              x -> lower(x)) AS t
+        FROM documents
+    ), lens AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toked
+    ), corpus AS (
+        SELECT CAST(count(*) AS BIGINT) AS d_docs,
+               CAST(sum(dl) AS BIGINT) AS t_toks
+        FROM lens
+    ), hits AS (
+        SELECT doc_id, tok AS term
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toked)
+        WHERE tok IN ('key', 'row', 'table')
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM hits GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), parts AS (
+        SELECT tf.doc_id,
+               ((2 * c.d_docs - 2 * d.df + 1) * tf.tf * 440000 * 1000000)
+               // ((2 * d.df + 1)
+                   * (200000 * tf.tf + 60000
+                      + 18 * ((l.dl * c.d_docs * 10000) // c.t_toks)))
+                   AS part
+        FROM tf
+        JOIN lens l USING (doc_id)
+        JOIN dfreq d USING (term)
+        CROSS JOIN corpus c
+    ), bm AS (
+        SELECT doc_id, CAST(sum(part) AS BIGINT) AS score_scaled
+        FROM parts GROUP BY doc_id
+    ), lex AS (
+        SELECT doc_id, CAST(rn AS INT) AS rank FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score_scaled DESC, doc_id) AS rn
+            FROM bm
+        ) WHERE rn <= 20
+    ), sims AS (
+        SELECT e.vec_id AS doc_id,
+               round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST(q.embedding AS DOUBLE[])), 6) AS sim
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ), sem AS (
+        SELECT doc_id, CAST(rn AS INT) AS rank FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY sim DESC, doc_id) AS rn
+            FROM sims
+        ) WHERE rn <= 20
+    ), tagged AS (
+        SELECT doc_id, 'lex' AS src, rank FROM lex
+        UNION ALL
+        SELECT doc_id, 'sem' AS src, rank FROM sem
+    ), fused AS (
+        SELECT doc_id,
+               CAST(min(CASE WHEN src = 'lex' THEN rank END) AS INT)
+                   AS rank_lex,
+               CAST(min(CASE WHEN src = 'sem' THEN rank END) AS INT)
+                   AS rank_sem,
+               CAST(sum(1000000000 // (60 + rank)) AS BIGINT) AS rrf_scaled
+        FROM tagged GROUP BY doc_id
+    )
+    SELECT doc_id, rank_lex, rank_sem, rrf_scaled,
+           CAST(row_number() OVER (ORDER BY rrf_scaled DESC, doc_id) AS INT)
+               AS fused_rank
+    FROM fused
+"""
+
+# Streamed count-min state must equal the batch sketch (additivity).
+ORACLES["q_stream_heavy_hitters"] = ORACLES["q_heavy_hitters"]

@@ -1,0 +1,84 @@
+"""Entity resolution: blocked fuzzy record linkage.
+
+The record-linkage shape a warehouse ELT pipeline (the reference's
+Salesforce→Redshift extracts are exactly the "master" side of this) runs
+daily: link an incoming dirty batch — names with typos, no reliable key
+— to a master registry. The naive form is an O(N·M) cross join with an
+edit-distance predicate; the production form is *blocking*: a cheap,
+typo-stable key (here the first name token) turns the cross join into an
+equijoin whose per-block candidate count is what you pay. Levenshtein is
+evaluated JVM-side (``F.levenshtein``, classic unit-cost edit distance —
+identical semantics to DuckDB/Postgres ``levenshtein``), after a length-
+band prefilter that discards most candidates without touching the DP
+matrix.
+
+Scale posture: the equijoin shuffles both sides on the block key once;
+cost is Σ_b |master_b|·|dirty_b|. With a name-token block over real name
+distributions blocks are Zipfian — cap them (or add a second blocking
+pass on a different key) when a block exceeds memory; AQE's skew-join
+split handles moderate skew unaided. Nothing here is driver-side and no
+Python runs per row.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def blocked_fuzzy_link(
+    master: DataFrame,
+    dirty: DataFrame,
+    master_id: str,
+    dirty_id: str,
+    name_col: str,
+    block: Column | None = None,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Link each ``dirty`` record to its best ``master`` match.
+
+    Both inputs must carry ``name_col``; ``block`` (default: lowercased
+    first whitespace token of the name) is computed on each side and
+    equijoined. Candidates within the block pass a length-band prefilter
+    (``|len(a) - len(b)| <= max_dist``, a provable lower bound on edit
+    distance) before the levenshtein verify. Best match per dirty record
+    = lowest distance, ties to the lowest master id (deterministic,
+    engine-replayable election via a row_number window).
+
+    Output (scalar-only): ``(dirty_id, master_id, dist int)`` — dirty
+    records with no candidate within ``max_dist`` are absent (the
+    "needs human review" queue is the anti-join of the input against
+    this output).
+    """
+    if max_dist < 0:
+        raise ValueError("blocked_fuzzy_link requires max_dist >= 0")
+
+    def side(df: DataFrame, idc: str, tag: str) -> DataFrame:
+        name = F.lower(F.trim(F.col(name_col)))
+        blk = block if block is not None else F.substring_index(name, " ", 1)
+        return df.select(
+            F.col(idc).alias(f"__{tag}_id"),
+            name.alias(f"__{tag}_name"),
+            blk.alias("__blk"),
+        )
+
+    m = side(master, master_id, "m")
+    d = side(dirty, dirty_id, "d")
+    cand = d.join(m, "__blk").filter(
+        F.abs(F.length("__d_name") - F.length("__m_name")) <= max_dist
+    )
+    scored = cand.select(
+        F.col("__d_id"),
+        F.col("__m_id"),
+        F.levenshtein("__d_name", "__m_name").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)
+    w = Window.partitionBy("__d_id").orderBy(F.col("dist"), F.col("__m_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__d_id").alias(dirty_id),
+            F.col("__m_id").alias(master_id),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )

@@ -41,7 +41,7 @@ from __future__ import annotations
 from fractions import Fraction
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from salesforce_plugin_spark.functions.text import tokens
 
@@ -125,4 +125,81 @@ def bm25_scores(
         .withColumn(
             "score", F.col("score_scaled").cast("double") / F.lit(float(scale))
         )
+    )
+
+
+def rrf_fuse(
+    rankings: list[tuple[str, DataFrame]],
+    id_col: str,
+    k0: int = 60,
+    scale: int = 10**9,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09) — the standard
+    way hybrid retrieval combines a lexical (BM25) and a semantic
+    (embedding) ranking without score calibration:
+
+        rrf(d) = Σ_lists 1 / (k0 + rank_list(d))
+
+    Each input is ``(name, df)`` where ``df`` holds ``(id_col, rank)``
+    with ranks 1-based and deterministic. The fraction is floor-scaled to
+    an integer ONCE per list membership — ``floor(scale / (k0 + rank))``
+    — so the fused score is an exact BIGINT sum, associative under any
+    aggregation order and bit-replayable cross-engine (float RRF sums
+    would drift in the last ulp with aggregation order). A document
+    missing from a list contributes 0 (standard RRF over truncated
+    lists).
+
+    Plan: union the (small, already-truncated) ranked lists with a
+    source tag, ONE partial-combined exchange on the id, then a
+    single-task window over ≤ Σ|lists| rows for the final rank — every
+    stage is bounded by the list sizes, never the corpus.
+
+    Output (scalar-only): ``(id_col, rank_<name> int nullable per list,
+    rrf_scaled long, fused_rank int)``, fused rank by (rrf_scaled desc,
+    id asc); ``top_n`` truncates if given.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse requires at least one ranking")
+    names = [n for n, _ in rankings]
+    if len(set(names)) != len(names):
+        raise ValueError("ranking names must be unique")
+    tagged = None
+    for name, df in rankings:
+        t = df.select(
+            F.col(id_col),
+            F.lit(name).alias("__src"),
+            F.col("rank").cast("int").alias("__rank"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    per_list = [
+        F.min(F.when(F.col("__src") == n, F.col("__rank"))).alias(f"rank_{n}")
+        for n in names
+    ]
+    contrib = F.expr(f"{scale} div ({k0} + __rank)")
+    fused = tagged.groupBy(id_col).agg(
+        *per_list, F.sum(contrib).alias("rrf_scaled")
+    )
+    w = Window.orderBy(F.col("rrf_scaled").desc(), F.col(id_col))
+    out = fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+    if top_n is not None:
+        out = out.filter(F.col("fused_rank") <= top_n)
+    return out
+
+
+def ranked(
+    df: DataFrame, id_col: str, order_by: list, top_n: int
+) -> DataFrame:
+    """Attach a deterministic 1-based ``rank`` by ``order_by`` (include
+    a unique tiebreaker column last) and truncate to ``top_n`` — the
+    normalization step before :func:`rrf_fuse`. Single-task window over
+    the candidate set; callers reduce to a bounded candidate set first
+    (top-k retrieval output, not a corpus)."""
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy(*order_by)
+    return (
+        df.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_n)
+        .select(F.col(id_col), F.col("rank"))
     )

@@ -28,7 +28,7 @@ the same plan over a union of inputs.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 
 from salesforce_plugin_spark.functions.dedup import portable_hash32
 
@@ -248,4 +248,92 @@ def binned_quantiles(
             (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("est"),
             "n_total",
         )
+    )
+
+
+def _cm_buckets(value: Column, width: int, depth: int) -> Column:
+    """Array of ``depth`` (row, bucket) structs for a value: row ``i``
+    hashes ``"{i}:{value}"`` with the portable md5 family into
+    ``[0, width)``. Computed in ONE codegen projection (no UDF)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(
+                    portable_hash32(
+                        F.concat(
+                            F.lit(f"{i}:"), value.cast("string")
+                        )
+                    ),
+                    F.lit(width),
+                )
+                .cast("int")
+                .alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def cm_sketch(
+    df: DataFrame, value_col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of ``value_col``:
+    a ``depth x width`` grid of counters, here as an exploded long table
+    ``(row int, bucket int, n long)`` — the mergeable frequency summary a
+    100 TB pipeline ships between stages instead of a full group-by
+    (union two sketches = SUM the grids; error bound n_total*e/width with
+    probability 1 - exp(-depth)).
+
+    The explode multiplies rows by ``depth`` BEFORE aggregation, but the
+    hash aggregate partial-combines map-side, so the exchange carries at
+    most ``depth * width`` rows per task regardless of input size. Hashes
+    are the engine-portable md5 family (``dedup.portable_hash32`` over
+    ``"{row}:{value}"``), so the whole grid — and any estimate read from
+    it — is bit-reproducible in any md5-capable engine.
+    """
+    if width < 2 or depth < 1:
+        raise ValueError("cm_sketch requires width >= 2 and depth >= 1")
+    pairs = df.select(
+        F.explode(_cm_buckets(F.col(value_col), width, depth)).alias("__rb")
+    )
+    return (
+        pairs.groupBy(
+            F.col("__rb.row").alias("row"), F.col("__rb.bucket").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates from a count-min ``sketch`` for every
+    distinct value in ``candidates``: est = min over rows of the value's
+    bucket counter (an upper bound on the true count; never an
+    undercount).
+
+    The sketch is at most ``depth * width`` rows, so it is BROADCAST and
+    the candidate side — which may be large — never shuffles: explode the
+    ``depth`` probes map-side, hash-join the broadcast grid, and
+    partial-combine the per-value ``min``. Output (scalar-only):
+    ``(value, est_n long)``.
+    """
+    probes = candidates.select(F.col(value_col).alias("value")).distinct()
+    probes = probes.select(
+        "value",
+        F.explode(_cm_buckets(F.col("value"), width, depth)).alias("__rb"),
+    )
+    joined = probes.join(
+        F.broadcast(sketch),
+        (F.col("__rb.row") == F.col("row"))
+        & (F.col("__rb.bucket") == F.col("bucket")),
+        "left",
+    )
+    return joined.groupBy("value").agg(
+        F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n")
     )

@@ -9,7 +9,7 @@ Column, composable into any plan; the conformance queries wire them up.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 #: Whitespace tokenizer (matches the reference era's CSV-ish text handling).
 WS_SPLIT_RE = r"\s+"
@@ -621,4 +621,53 @@ def hashed_ngram_importance(
                 F.col("score_scaled") / (float(scale) * F.col("n_bigrams")), 6
             ).alias("importance"),
         )
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str, top_n: int = 50
+) -> DataFrame:
+    """One byte-pair-encoding merge-selection step (Sennrich et al. 2016)
+    — the tokenizer-training primitive: corpus-wide frequency of every
+    adjacent character pair inside lowercase alphabetic words, ranked so
+    the top pair is the next BPE merge. Real BPE iterates this; each
+    iteration at corpus scale is exactly this plan re-run over the
+    re-segmented vocab, so the single step is the unit that has to be
+    right (and cheap).
+
+    Plan: tokenize → one exchange on the WORD (vocab-bounded, partial-
+    combined — the corpus is reduced to (word, freq) before any pair
+    work), then pairs explode off the distinct vocab only (≤ len(word)-1
+    per word), a second vocab²-bounded exchange on the 2-char pair
+    (≤ 26² = 676 distinct keys), and a single-task top-n window over
+    those ≤676 rows. The word-level pre-aggregation is the scale move:
+    pair counting touches the vocabulary, never the corpus.
+
+    Output (scalar-only): ``(pair string, n long, rank int)``, rank by
+    (n desc, pair asc) — fully deterministic, engine-replayable.
+    """
+    if top_n < 1:
+        raise ValueError("bpe_pair_counts requires top_n >= 1")
+    words = (
+        df.select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("__w")
+        )
+        .filter(F.col("__w").rlike("^[a-z]+$") & (F.length("__w") >= 2))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__wf"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(__w) - 1),"
+                " i -> substring(__w, i, 2))"
+            )
+        ).alias("pair"),
+        F.col("__wf"),
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("__wf").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_n)
     )

@@ -244,3 +244,50 @@ def run_stream_near_dedup(
     )
     q.awaitTermination()
     return q
+
+
+def run_stream_cm(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    value_col: str,
+    width: int = 256,
+    depth: int = 4,
+):
+    """Streaming count-min maintenance: each micro-batch's sketch grid is
+    APPENDED under ``state_dir``; because a count-min sketch is purely
+    additive (union of sketches = element-wise sum of grids), the summed
+    accumulated state is bit-identical to one batch sketch over
+    everything streamed so far — the equivalence q_stream_heavy_hitters
+    gates. Per-batch cost is one depth×width-bounded aggregate; state
+    grows by ≤ depth·width rows per batch and is re-compacted by the
+    reader's sum (compact by rewriting the summed grid when batch count
+    grows large). Read the current grid with :func:`read_cm_state`.
+    """
+    from salesforce_plugin_spark.functions.sketch import cm_sketch
+
+    def fold(batch: DataFrame, _id: int) -> None:
+        cm_sketch(batch, value_col, width=width, depth=depth).write.mode(
+            "append"
+        ).parquet(state_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_cm_state(spark, state_dir: str) -> DataFrame:
+    """Sum the appended per-batch count-min grids into the current
+    sketch — ≤ depth·width rows out, partial-combined map-side."""
+    import pyspark.sql.functions as F
+
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("row", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )

@@ -96,6 +96,10 @@ PROBE = [
     "q_curation_capstone",
     "q_incremental_dedup",
     "q_stream_near_dedup",
+    "q_heavy_hitters",
+    "q_bpe_step",
+    "q_fuzzy_link",
+    "q_hybrid_rrf",
 ]
 
 

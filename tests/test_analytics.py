@@ -819,3 +819,201 @@ def test_zscore_outliers_fractional_k(spark):
     high = zscore_outliers(df, "v", ["g"], k_num=3, k_den=2).collect()
     assert all(r.is_anomaly for r in low)
     assert all(not r.is_anomaly for r in high)
+
+
+# --- count-min sketch ---
+
+def test_cm_estimate_never_undercounts(spark):
+    from salesforce_plugin_spark.functions.sketch import cm_estimate, cm_sketch
+
+    df = spark.createDataFrame(
+        [(i % 20,) for i in range(2000)], "v long"
+    )
+    sk = cm_sketch(df, "v", width=64, depth=4)
+    est = {
+        r.value: r.est_n
+        for r in cm_estimate(sk, df, "v", width=64, depth=4).collect()
+    }
+    assert set(est) == set(range(20))
+    for v in range(20):
+        assert est[v] >= 100  # true count; CM never undercounts
+
+
+def test_cm_exact_when_collision_free(spark):
+    from salesforce_plugin_spark.functions.sketch import cm_estimate, cm_sketch
+
+    # 5 values in a 1024-wide grid: collisions in ALL 4 rows for some
+    # value are (5/1024)^4-unlikely; with this fixed hash family they
+    # don't occur, so every estimate is exact.
+    df = spark.createDataFrame(
+        [(i % 5,) for i in range(500)], "v long"
+    )
+    sk = cm_sketch(df, "v", width=1024, depth=4)
+    est = cm_estimate(sk, df, "v", width=1024, depth=4).collect()
+    assert sorted((r.value, r.est_n) for r in est) == [
+        (v, 100) for v in range(5)
+    ]
+
+
+def test_cm_sketch_grid_is_bounded(spark):
+    from salesforce_plugin_spark.functions.sketch import cm_sketch
+
+    df = spark.createDataFrame([(i,) for i in range(3000)], "v long")
+    rows = cm_sketch(df, "v", width=32, depth=3).collect()
+    assert len(rows) <= 3 * 32
+    assert sum(r.n for r in rows) == 3 * 3000  # each input hits depth rows
+
+
+def test_cm_rejects_bad_shape(spark):
+    from salesforce_plugin_spark.functions.sketch import cm_sketch
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError):
+        cm_sketch(df, "v", width=1, depth=4)
+
+
+# --- entity resolution ---
+
+def test_fuzzy_link_elects_best_match(spark):
+    from salesforce_plugin_spark.functions.entity import blocked_fuzzy_link
+
+    master = spark.createDataFrame(
+        [(1, "acme corp"), (2, "acme corps"), (3, "zenith ltd")],
+        "master_id long, name string",
+    )
+    dirty = spark.createDataFrame(
+        [(10, "acme corpse"), (11, "zenith ltdx"), (12, "other thing")],
+        "dirty_id long, name string",
+    )
+    got = {
+        r.dirty_id: (r.master_id, r.dist)
+        for r in blocked_fuzzy_link(
+            master, dirty, "master_id", "dirty_id", "name", max_dist=2
+        ).collect()
+    }
+    # "acme corpse": dist 2 to "acme corp", 1 to "acme corps" -> master 2
+    assert got[10] == (2, 1)
+    assert got[11] == (3, 1)
+    assert 12 not in got  # no candidate within max_dist
+
+
+def test_fuzzy_link_tie_breaks_to_lowest_master(spark):
+    from salesforce_plugin_spark.functions.entity import blocked_fuzzy_link
+
+    master = spark.createDataFrame(
+        [(7, "blue bolt"), (4, "blue bolt")], "master_id long, name string"
+    )
+    dirty = spark.createDataFrame(
+        [(1, "blue boltz")], "dirty_id long, name string"
+    )
+    rows = blocked_fuzzy_link(
+        master, dirty, "master_id", "dirty_id", "name"
+    ).collect()
+    assert len(rows) == 1 and rows[0].master_id == 4 and rows[0].dist == 1
+
+
+def test_fuzzy_link_blocking_excludes_cross_block(spark):
+    from salesforce_plugin_spark.functions.entity import blocked_fuzzy_link
+
+    # identical names apart from the FIRST token land in different
+    # blocks and are never compared — the documented blocking tradeoff
+    master = spark.createDataFrame(
+        [(1, "red widget")], "master_id long, name string"
+    )
+    dirty = spark.createDataFrame(
+        [(9, "ted widget")], "dirty_id long, name string"
+    )
+    assert (
+        blocked_fuzzy_link(
+            master, dirty, "master_id", "dirty_id", "name"
+        ).count()
+        == 0
+    )
+
+
+# --- RRF fusion ---
+
+def test_rrf_fuse_scores_and_ranks(spark):
+    from salesforce_plugin_spark.functions.ir import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "id long, rank int"
+    )
+    sem = spark.createDataFrame(
+        [(2, 1), (4, 2)], "id long, rank int"
+    )
+    rows = {
+        r.id: r
+        for r in rrf_fuse([("lex", lex), ("sem", sem)], "id", k0=60).collect()
+    }
+    s = 10**9
+    assert rows[2].rrf_scaled == s // 62 + s // 61  # in both lists
+    assert rows[1].rrf_scaled == s // 61
+    assert rows[1].rank_sem is None
+    # doc 2 fuses highest; 1 vs 4: s//61 > s//62
+    assert rows[2].fused_rank == 1 and rows[1].fused_rank == 2
+    assert rows[4].fused_rank == 3 and rows[3].fused_rank == 4
+
+
+def test_rrf_fuse_rejects_duplicate_names(spark):
+    from salesforce_plugin_spark.functions.ir import rrf_fuse
+
+    df = spark.createDataFrame([(1, 1)], "id long, rank int")
+    with pytest.raises(ValueError):
+        rrf_fuse([("a", df), ("a", df)], "id")
+
+
+def test_ranked_is_deterministic_and_truncated(spark):
+    import pyspark.sql.functions as F
+
+    from salesforce_plugin_spark.functions.ir import ranked
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 9)], "id long, score long"
+    )
+    rows = ranked(
+        df, "id", [F.col("score").desc(), F.col("id")], top_n=2
+    ).collect()
+    assert [(r.id, r.rank) for r in rows] == [(3, 1), (1, 2)]
+
+
+# --- BPE pair counting ---
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    from salesforce_plugin_spark.functions.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [("low low low lower",), ("newest newest",)], "text string"
+    )
+    got = {r.pair: r.n for r in bpe_pair_counts(df, "text", top_n=50).collect()}
+    # vocab: low(3) lower(1) newest(2) — "lo"/"ow" appear in low AND lower
+    assert got["lo"] == 4 and got["ow"] == 4
+    assert got["we"] == 1 + 2  # lower + newest
+    assert got["es"] == 2 and got["st"] == 2
+
+
+def test_bpe_pair_counts_rank_tiebreak_and_filters(spark):
+    from salesforce_plugin_spark.functions.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [("ab ba x 12 C3",)], "text string"  # x too short; 12/C3 non-alpha
+    )
+    rows = bpe_pair_counts(df, "text", top_n=10).collect()
+    assert [(r.pair, r.n, r.rank) for r in rows] == [("ab", 1, 1), ("ba", 1, 2)]
+
+
+def test_cm_sketch_is_additive(spark):
+    from salesforce_plugin_spark.functions.sketch import cm_sketch
+
+    df = spark.createDataFrame([(i % 17,) for i in range(400)], "v long")
+    full = cm_sketch(df, "v", width=64, depth=3)
+    a = cm_sketch(df.filter("v < 9"), "v", width=64, depth=3)
+    b = cm_sketch(df.filter("v >= 9"), "v", width=64, depth=3)
+    import pyspark.sql.functions as F
+
+    summed = (
+        a.unionByName(b).groupBy("row", "bucket").agg(F.sum("n").alias("n"))
+    )
+    assert sorted(map(tuple, summed.collect())) == sorted(
+        map(tuple, full.collect())
+    )
