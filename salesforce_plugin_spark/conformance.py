@@ -3967,6 +3967,54 @@ def q_hybrid_rrf(spark, sf_dir):
     return rrf_fuse([("lex", lex), ("sem", sem)], "doc_id", k0=60)
 
 
+def q_copurchase(spark, sf_dir):
+    """Market-basket mining (operators/analytics.py copurchase_pairs):
+    support counts for unordered part pairs co-occurring in an order —
+    the Apriori support-counting core, and the edge-builder for
+    co-occurrence graphs. One distinct pass on (basket, item), one
+    co-partitioned self-equijoin on the basket key with a < b halving
+    the pair space, one partial-combined pair count; per-basket cost is
+    C(basket_size, 2) (≤ C(13,2) in these fixtures). 3445 pairs reach
+    support ≥ 2 at sf0.01."""
+    from salesforce_plugin_spark.operators.analytics import copurchase_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return copurchase_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+
+
+def q_triangles(spark, sf_dir):
+    """Graph analytics (functions/graph.py triangle_counts): per-node
+    triangle counts over the support-≥2 co-purchase graph — composing
+    q_copurchase's edge builder with the ordered two-join triangle
+    enumeration (a<b ⋈ b<c ⋈ a<c; each triangle found exactly once, no
+    cartesian; wedge-bounded). The docstring's degree-orientation note
+    is the heavy-tail refinement at real scale. 61 triangles / their
+    corner nodes at sf0.01."""
+    from salesforce_plugin_spark.functions.graph import triangle_counts
+    from salesforce_plugin_spark.operators.analytics import copurchase_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    return triangle_counts(
+        edges.select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    )
+
+
+def q_power_step(spark, sf_dir):
+    """Distributed linear algebra under the gate (functions/vector.py
+    gram_power_step): one power-iteration step g = Xᵀ(Xv₀) against the
+    corpus Gram matrix — the PCA/spectral primitive — with vectors and
+    v₀ quantized to scaled longs (the kmeans_assign round-half-away
+    idiom) so every product and BIGINT sum is exact and the step is
+    bit-reproducible cross-engine (deterministic eigensolver
+    checkpoint/resume at scale). One corpus scan: a codegen array-fold
+    for s_i = ⟨x_i, v₀⟩, then ONE dims-bounded partial-combined
+    exchange. v₀ = the vec_id-0 embedding, broadcast."""
+    e = parallelized(load_table(spark, sf_dir, "embeddings"))
+    v0 = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("v0"))
+    return V.gram_power_step(e, "vec_id", "embedding", v0, quant=1000)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4155,6 +4203,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_fuzzy_link": q_fuzzy_link,
     "q_hybrid_rrf": q_hybrid_rrf,
     "q_stream_heavy_hitters": q_stream_heavy_hitters,
+    "q_copurchase": q_copurchase,
+    "q_triangles": q_triangles,
+    "q_power_step": q_power_step,
 }
 
 
@@ -7071,3 +7122,69 @@ ORACLES["q_hybrid_rrf"] = r"""
 
 # Streamed count-min state must equal the batch sketch (additivity).
 ORACLES["q_stream_heavy_hitters"] = ORACLES["q_heavy_hitters"]
+
+# Basket self-join support counts, replayed verbatim.
+ORACLES["q_copurchase"] = """
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+    ), p AS (
+        SELECT a.it AS item_a, c.it AS item_b
+        FROM b a JOIN b c USING (bk)
+        WHERE a.it < c.it
+    )
+    SELECT item_a, item_b, CAST(count(*) AS BIGINT) AS support
+    FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+# Ordered two-join triangle enumeration over the support->=2 graph.
+ORACLES["q_triangles"] = """
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+    ), p AS (
+        SELECT a.it AS ia, c.it AS ib
+        FROM b a JOIN b c USING (bk)
+        WHERE a.it < c.it
+    ), e AS (
+        SELECT ia AS a, ib AS b FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+    ), tri AS (
+        SELECT ab.a, ab.b, bc.b AS c
+        FROM e ab
+        JOIN e bc ON bc.a = ab.b
+        JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+    ), corners AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY node
+"""
+
+# Gram power step: same scaled-long quantization, exact integer sums.
+ORACLES["q_power_step"] = """
+    WITH v0 AS (
+        SELECT list_transform(embedding,
+                              x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                        AS BIGINT)) AS v
+        FROM embeddings WHERE vec_id = 0
+    ), xq AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                        AS BIGINT)) AS x
+        FROM embeddings
+    ), ex AS (
+        SELECT vec_id, x, unnest(generate_series(1, len(x))) AS i FROM xq
+    ), prod AS (
+        SELECT e.vec_id, CAST(e.i AS INT) AS dim, e.x[e.i] AS xd,
+               e.x[e.i] * v0.v[e.i] AS pv
+        FROM ex e, v0
+    ), sv AS (
+        SELECT vec_id, sum(pv) AS si FROM prod GROUP BY vec_id
+    ), terms AS (
+        SELECT p.dim, p.xd * sv.si AS t
+        FROM prod p JOIN sv USING (vec_id)
+    )
+    SELECT dim, CAST(sum(t) AS BIGINT) AS gv
+    FROM terms GROUP BY dim
+"""

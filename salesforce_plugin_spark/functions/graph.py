@@ -114,3 +114,51 @@ def pagerank_fixed(
         F.col("__r").alias("rank_scaled"),
         (F.col("__r").cast("double") / F.lit(float(scale))).alias("rank"),
     )
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts — the local clustering primitive used to
+    find tightly-knit duplicate/community structure in co-occurrence
+    graphs (complements pagerank's importance and connected_components'
+    reachability).
+
+    The input is an UNDIRECTED edge list in any orientation; it is
+    canonicalized to ``a < b`` and deduplicated, then triangles are
+    enumerated once each by the ordered two-join: ``(a<b) ⋈ (b<c) ⋈
+    (a<c)``. Both joins are equijoins on a node key — no cartesian
+    anywhere; the cost driver is the wedge count Σ_v deg(v)², the
+    standard bound. At heavy-tailed 100 TB graphs, re-orient edges by
+    DEGREE (low-degree endpoint first) instead of id before the joins —
+    that caps wedge work at O(m^1.5) (Latapy 2008); id-orientation is
+    used here because it is engine-replayable without a degree
+    tiebreak... and the fixture graphs are near-uniform. The final
+    explode of each triangle into its 3 corners is partial-combined.
+
+    Output (scalar-only): ``(node, n_triangles long)`` for nodes in at
+    least one triangle.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    ab = e.select(F.col("a"), F.col("b"))
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    tri = (
+        ab.join(bc, "b")
+        .join(
+            ac,
+            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+        )
+        .select("a", "b", "c")
+    )
+    corners = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

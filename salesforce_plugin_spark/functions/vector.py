@@ -337,3 +337,65 @@ def kmeans_assign(
             F.col("__m.__d2").alias("dist2"),
         )
     )
+
+
+def gram_power_step(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    v0: DataFrame,
+    quant: int = 1000,
+) -> DataFrame:
+    """One power-iteration step against the corpus Gram matrix — the
+    distributed core of PCA / spectral embedding analysis: computes
+    ``g = X^T (X v)`` without ever materializing the dims×dims matrix,
+    as two passes expressed in ONE lazy plan (per row the scalar
+    ``s_i = <x_i, v>``, then per dimension ``g_d = Σ_i x_{i,d} · s_i``).
+
+    Both the vectors and ``v0`` (a 1-row DataFrame with a ``v0`` array
+    column, broadcast) are quantized to scaled longs with the same
+    round-half-away idiom as :func:`kmeans_assign`, so every product and
+    sum is an exact BIGINT — the step is bit-reproducible cross-engine,
+    which is what lets an iterative eigensolver checkpoint/resume
+    deterministically at scale. Normalization between steps is the
+    caller's (documented) float step outside the gate; the RAW integer
+    image is what this returns. Overflow bound: |g_d| <=
+    N·(quant·|x|_max)²·dims — at quant 10³, |x|<1, 64 dims this holds
+    to N ≈ 10⁸ rows per partition-independent exact sum; lower quant for
+    bigger corpora.
+
+    Plan: one corpus scan; ``s_i`` is a codegen array-fold; the
+    per-dimension explode carries (dim, x_d·s_i) into ONE
+    partial-combined exchange bounded by the dimensionality.
+
+    Output (scalar-only): ``(dim int, gv long)``, one row per dimension
+    (1-based).
+    """
+    q0 = v0.select(
+        F.transform(
+            as_double(F.col("v0")),
+            lambda x: F.round(x * quant, 0).cast("long"),
+        ).alias("__v0q")
+    )
+    xq = F.transform(
+        as_double(F.col(vec_col)), lambda x: F.round(x * quant, 0).cast("long")
+    )
+    with_s = (
+        df.crossJoin(F.broadcast(q0))
+        .select(
+            xq.alias("__xq"),
+            F.aggregate(
+                F.zip_with(xq, F.col("__v0q"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, z: acc + z,
+            ).alias("__s"),
+        )
+    )
+    terms = with_s.select(
+        F.posexplode(F.col("__xq")).alias("__p", "__x"),
+        F.col("__s"),
+    )
+    return (
+        terms.groupBy((F.col("__p") + 1).cast("int").alias("dim"))
+        .agg(F.sum(F.col("__x") * F.col("__s")).alias("gv"))
+    )

@@ -1,5 +1,6 @@
 from salesforce_plugin_spark.operators.analytics import (
     cohort_retention,
+    copurchase_pairs,
     funnel,
     session_transitions,
     user_growth,
@@ -48,6 +49,7 @@ from salesforce_plugin_spark.operators.transforms import (
 __all__ = [
     "funnel",
     "cohort_retention",
+    "copurchase_pairs",
     "session_transitions",
     "user_growth",
     "zscore_outliers",

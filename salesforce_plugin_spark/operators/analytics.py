@@ -246,3 +246,39 @@ def zscore_outliers(
         )
         .drop("__q", "__n", "__s", "__q2")
     )
+
+
+def copurchase_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Frequent item-pair mining (the support-counting core of Apriori /
+    market-basket analysis): count how many baskets contain each
+    unordered item pair, keep pairs with support >= ``min_support``.
+
+    Plan: distinct (basket, item) first — multiplicity inside one basket
+    must not inflate support — then ONE self-equijoin on the basket key
+    (both sides shuffle-partitioned on it, co-located) with ``a < b``
+    halving the pair space, then a partial-combined count keyed on the
+    pair. Per-basket cost is C(basket_size, 2): bounded by real basket
+    sizes, never by the catalog. At 100 TB the guard that matters is a
+    basket-size cap (a pathological million-item basket would explode
+    quadratically) — apply a ``HAVING count <= cap`` on the distinct
+    step upstream if the domain allows such baskets.
+
+    Output (scalar-only): ``(item_a, item_b, support long)`` with
+    ``item_a < item_b``.
+    """
+    b = df.select(
+        F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it")
+    ).distinct()
+    a = b.select(F.col("__bk"), F.col("__it").alias("item_a"))
+    c = b.select(F.col("__bk"), F.col("__it").alias("item_b"))
+    pairs = a.join(c, "__bk").filter(F.col("item_a") < F.col("item_b"))
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )

@@ -100,6 +100,9 @@ PROBE = [
     "q_bpe_step",
     "q_fuzzy_link",
     "q_hybrid_rrf",
+    "q_copurchase",
+    "q_triangles",
+    "q_power_step",
 ]
 
 

@@ -1017,3 +1017,70 @@ def test_cm_sketch_is_additive(spark):
     assert sorted(map(tuple, summed.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+# --- co-purchase / triangles / power step ---
+
+def test_copurchase_support_ignores_multiplicity(spark):
+    from salesforce_plugin_spark.operators.analytics import copurchase_pairs
+
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c")]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    got = {
+        (r.item_a, r.item_b): r.support
+        for r in copurchase_pairs(df, "bk", "it", min_support=1).collect()
+    }
+    assert got == {("a", "b"): 2, ("a", "c"): 1}  # dup (1,a) not inflating
+
+
+def test_copurchase_min_support_filters(spark):
+    from salesforce_plugin_spark.operators.analytics import copurchase_pairs
+
+    rows = [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 30)]
+    df = spark.createDataFrame(rows, "bk long, it long")
+    got = copurchase_pairs(df, "bk", "it", min_support=2).collect()
+    assert [(r.item_a, r.item_b, r.support) for r in got] == [(10, 20, 2)]
+
+
+def test_triangle_counts_triangle_plus_tail(spark):
+    from salesforce_plugin_spark.functions.graph import triangle_counts
+
+    # triangle 1-2-3 plus a dangling edge 3-4; reversed/dup edges collapse
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3), (3, 4)], "src long, dst long"
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_k4_has_three_per_node(spark):
+    from itertools import combinations
+
+    from salesforce_plugin_spark.functions.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        list(combinations(range(4), 2)), "src long, dst long"
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}  # K4: each node in C(3,2) triangles
+
+
+def test_gram_power_step_matches_numpy(spark):
+    import numpy as np
+
+    from salesforce_plugin_spark.functions.vector import gram_power_step
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-0.5, 0.5, size=(40, 8))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    v0 = spark.createDataFrame(
+        [([float(v) for v in x[0]],)], "v0 array<double>"
+    )
+    got = {r.dim: r.gv for r in gram_power_step(df, "vec_id", "embedding", v0).collect()}
+    xq = np.round(x * 1000).astype(np.int64)
+    v0q = np.round(x[0] * 1000).astype(np.int64)
+    want = xq.T @ (xq @ v0q)
+    assert got == {d + 1: int(want[d]) for d in range(8)}
