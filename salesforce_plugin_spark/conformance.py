@@ -4015,6 +4015,25 @@ def q_power_step(spark, sf_dir):
     return V.gram_power_step(e, "vec_id", "embedding", v0, quant=1000)
 
 
+def q_power_converged(spark, sf_dir):
+    """Chained power iterations (functions/vector.py
+    gram_power_iterations): two g = Xᵀ(Xv) steps with an INTEGER
+    renormalization between them — sign-safe floor division
+    sign(g)·(|g|·quant div max|g|), both operands non-negative so
+    truncating (Spark div) and flooring (DuckDB //) engines agree —
+    proving the eigensolver trajectory is bit-reproducible across an
+    iteration boundary (checkpoint/resume determinism for a distributed
+    PCA), complementing single-step q_power_step exactly as
+    q_kmeans_converged complements q_kmeans_assign. Per step: one corpus
+    scan + one dims-bounded exchange; the renormalized vector is rebuilt
+    via a dims-bounded collect_list, never a driver round-trip."""
+    e = parallelized(load_table(spark, sf_dir, "embeddings"))
+    v0 = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("v0"))
+    return V.gram_power_iterations(
+        e, "vec_id", "embedding", v0, iterations=2, quant=1000
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4206,6 +4225,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_copurchase": q_copurchase,
     "q_triangles": q_triangles,
     "q_power_step": q_power_step,
+    "q_power_converged": q_power_converged,
 }
 
 
@@ -7187,4 +7207,49 @@ ORACLES["q_power_step"] = """
     )
     SELECT dim, CAST(sum(t) AS BIGINT) AS gv
     FROM terms GROUP BY dim
+"""
+
+# Two chained Gram power steps; the between-step renormalization is a
+# sign-safe floor division so truncate-div and floor-div engines agree.
+ORACLES["q_power_converged"] = """
+    WITH v0 AS (
+        SELECT list_transform(embedding,
+                              x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                        AS BIGINT)) AS v
+        FROM embeddings WHERE vec_id = 0
+    ), xq AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                        AS BIGINT)) AS x
+        FROM embeddings
+    ), ex AS (
+        SELECT vec_id, x, unnest(generate_series(1, len(x))) AS i FROM xq
+    ), prod1 AS (
+        SELECT e.vec_id, CAST(e.i AS INT) AS dim, e.x[e.i] AS xd,
+               e.x[e.i] * v0.v[e.i] AS pv
+        FROM ex e, v0
+    ), s1 AS (
+        SELECT vec_id, sum(pv) AS si FROM prod1 GROUP BY vec_id
+    ), g1 AS (
+        SELECT p.dim, sum(p.xd * s1.si) AS gv
+        FROM prod1 p JOIN s1 USING (vec_id) GROUP BY p.dim
+    ), gmax AS (
+        SELECT max(abs(gv)) AS m FROM g1
+    ), v1 AS (
+        SELECT dim,
+               CAST((CASE WHEN gv < 0 THEN -1 ELSE 1 END)
+                    * ((abs(gv) * 1000) // m) AS BIGINT) AS vq
+        FROM g1, gmax
+    ), prod2 AS (
+        SELECT e.vec_id, CAST(e.i AS INT) AS dim, e.x[e.i] AS xd,
+               e.x[e.i] * v1.vq AS pv
+        FROM ex e JOIN v1 ON v1.dim = e.i
+    ), s2 AS (
+        SELECT vec_id, sum(pv) AS si FROM prod2 GROUP BY vec_id
+    ), g2 AS (
+        SELECT p.dim, CAST(sum(p.xd * s2.si) AS BIGINT) AS gv
+        FROM prod2 p JOIN s2 USING (vec_id) GROUP BY p.dim
+    )
+    SELECT g2.dim, v1.vq, g2.gv FROM g2 JOIN v1 USING (dim)
 """

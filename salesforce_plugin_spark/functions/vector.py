@@ -399,3 +399,88 @@ def gram_power_step(
         terms.groupBy((F.col("__p") + 1).cast("int").alias("dim"))
         .agg(F.sum(F.col("__x") * F.col("__s")).alias("gv"))
     )
+
+
+def _gram_step_q(df: DataFrame, vec_col: str, vq: DataFrame, quant: int) -> DataFrame:
+    """One g = Xᵀ(Xv) pass where ``vq`` is a 1-row DataFrame holding an
+    ALREADY-quantized long array ``__vq`` (broadcast). Same plan shape as
+    :func:`gram_power_step`; split out so iterations can feed the
+    integer-renormalized vector straight back in without a float
+    round-trip."""
+    xq = F.transform(
+        as_double(F.col(vec_col)), lambda x: F.round(x * quant, 0).cast("long")
+    )
+    with_s = df.crossJoin(F.broadcast(vq)).select(
+        xq.alias("__xq"),
+        F.aggregate(
+            F.zip_with(xq, F.col("__vq"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, z: acc + z,
+        ).alias("__s"),
+    )
+    terms = with_s.select(
+        F.posexplode(F.col("__xq")).alias("__p", "__x"), F.col("__s")
+    )
+    return terms.groupBy((F.col("__p") + 1).cast("int").alias("dim")).agg(
+        F.sum(F.col("__x") * F.col("__s")).alias("gv")
+    )
+
+
+def gram_power_iterations(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    v0: DataFrame,
+    iterations: int = 2,
+    quant: int = 1000,
+) -> DataFrame:
+    """Chained power iterations against the corpus Gram matrix with an
+    INTEGER renormalization between steps — the full distributed
+    eigensolver loop, deterministic across engines at every boundary
+    (the property that makes a checkpointed 100 TB PCA resumable
+    mid-run, same discipline as the chained k-means gate).
+
+    Between steps the raw integer image g is renormalized without any
+    float: ``v' = sign(g) * (|g| * quant div max|g|)`` — a sign-safe
+    floor division (both operands non-negative, so truncating and
+    flooring engines agree; a signed ``div`` would differ between
+    truncate-toward-zero and floor semantics on negatives). The
+    renormalized vector is rebuilt into a broadcast array via a
+    dims-bounded collect_list — never a driver round-trip.
+
+    Output (scalar-only): ``(dim int, vq long, gv long)`` — the input
+    vector to the final step and that step's raw integer image.
+    """
+    if iterations < 1:
+        raise ValueError("gram_power_iterations requires iterations >= 1")
+    cur = v0.select(
+        F.transform(
+            as_double(F.col("v0")),
+            lambda x: F.round(x * quant, 0).cast("long"),
+        ).alias("__vq")
+    )
+    for it in range(iterations):
+        g = _gram_step_q(df, vec_col, cur, quant)
+        if it == iterations - 1:
+            break
+        gmax = g.agg(F.max(F.abs(F.col("gv"))).alias("__gmax"))
+        renorm = (
+            g.crossJoin(F.broadcast(gmax))
+            .select(
+                "dim",
+                (
+                    F.when(F.col("gv") < 0, F.lit(-1)).otherwise(F.lit(1))
+                    * F.expr(f"(abs(gv) * {quant}) div __gmax")
+                ).alias("__v"),
+            )
+        )
+        cur = renorm.groupBy().agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "__v"))),
+                lambda s: s["__v"],
+            ).alias("__vq")
+        )
+    vq_rows = cur.select(
+        F.posexplode(F.col("__vq")).alias("__p", "vq")
+    ).select((F.col("__p") + 1).cast("int").alias("dim"), "vq")
+    return g.join(vq_rows, "dim").select("dim", "vq", "gv")

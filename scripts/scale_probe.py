@@ -103,6 +103,7 @@ PROBE = [
     "q_copurchase",
     "q_triangles",
     "q_power_step",
+    "q_power_converged",
 ]
 
 

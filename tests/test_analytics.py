@@ -1084,3 +1084,42 @@ def test_gram_power_step_matches_numpy(spark):
     v0q = np.round(x[0] * 1000).astype(np.int64)
     want = xq.T @ (xq @ v0q)
     assert got == {d + 1: int(want[d]) for d in range(8)}
+
+
+def test_gram_power_iterations_two_steps_match_numpy(spark):
+    import numpy as np
+
+    from salesforce_plugin_spark.functions.vector import gram_power_iterations
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(-0.4, 0.4, size=(30, 6))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    v0 = spark.createDataFrame([([float(v) for v in x[0]],)], "v0 array<double>")
+    got = {
+        r.dim: (r.vq, r.gv)
+        for r in gram_power_iterations(
+            df, "vec_id", "embedding", v0, iterations=2, quant=1000
+        ).collect()
+    }
+    xq = np.round(x * 1000).astype(object)  # python ints: no int64 overflow ambiguity
+    v0q = np.round(x[0] * 1000).astype(object)
+    g1 = xq.T @ (xq @ v0q)
+    m = max(abs(int(v)) for v in g1)
+    v1 = np.array(
+        [(-1 if int(g) < 0 else 1) * ((abs(int(g)) * 1000) // m) for g in g1],
+        dtype=object,
+    )
+    g2 = xq.T @ (xq @ v1)
+    assert got == {d + 1: (int(v1[d]), int(g2[d])) for d in range(6)}
+
+
+def test_gram_power_iterations_rejects_zero(spark):
+    from salesforce_plugin_spark.functions.vector import gram_power_iterations
+
+    df = spark.createDataFrame([(0, [0.1])], "vec_id long, embedding array<double>")
+    v0 = spark.createDataFrame([([0.1],)], "v0 array<double>")
+    with pytest.raises(ValueError):
+        gram_power_iterations(df, "vec_id", "embedding", v0, iterations=0)
