@@ -4034,6 +4034,37 @@ def q_power_converged(spark, sf_dir):
     )
 
 
+def q_join_size_est(spark, sf_dir):
+    """Join-size estimation (functions/sketch.py kmv_join_size) — the
+    join-planning statistic that decides broadcast-vs-shuffle or flags a
+    runaway join at 100 TB BEFORE running it: |A ⋈ B| = Σ_key fA·fB,
+    estimated from ONE merged count-carrying KMV sketch (uniform
+    distinct-key sample → (D_union div n_kept)·Σ_kept fA·fB, all
+    integer). A = lineitem on l_partkey, B = the returned-lines subset —
+    multi-row frequencies on BOTH sides so the frequency product does
+    real work. Gated beside the exact Σ fA·fB (one group-by each side +
+    an equijoin sum) so the estimator error is visible. Each side
+    reduces to (hash, count) in one partial-combined exchange; the
+    election and everything after is k-bounded."""
+    from salesforce_plugin_spark.functions.sketch import kmv_join_size
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("pk"),
+        F.col("l_partkey"),
+        F.col("l_returnflag"),
+    )
+    a = li
+    b = li.filter(F.col("l_returnflag") == "R")
+    est = kmv_join_size(a, b, "pk", k=128)
+    ca = a.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("__ca"))
+    cb = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("__cb"))
+    exact = (
+        ca.join(cb, "l_partkey")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("exact_join"))
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4226,6 +4257,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_triangles": q_triangles,
     "q_power_step": q_power_step,
     "q_power_converged": q_power_converged,
+    "q_join_size_est": q_join_size_est,
 }
 
 
@@ -7252,4 +7284,53 @@ ORACLES["q_power_converged"] = """
         FROM prod2 p JOIN s2 USING (vec_id) GROUP BY p.dim
     )
     SELECT g2.dim, v1.vq, g2.gv FROM g2 JOIN v1 USING (dim)
+"""
+
+# Merged count-carrying KMV sketch replayed hash-for-hash; exact side
+# is the plain frequency-product sum.
+ORACLES["q_join_size_est"] = """
+    WITH ha AS (
+        SELECT CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS h,
+               CAST(count(*) AS BIGINT) AS ca
+        FROM lineitem GROUP BY 1
+    ), hb AS (
+        SELECT CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS h,
+               CAST(count(*) AS BIGINT) AS cb
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+    ), merged AS (
+        SELECT coalesce(ha.h, hb.h) AS h,
+               coalesce(ha.ca, 0) AS ca,
+               coalesce(hb.cb, 0) AS cb
+        FROM ha FULL JOIN hb ON ha.h = hb.h
+    ), kept AS (
+        SELECT h, ca, cb FROM (
+            SELECT h, ca, cb, row_number() OVER (ORDER BY h) AS rn FROM merged
+        ) WHERE rn <= 128
+    ), agg AS (
+        SELECT CAST(count(*) AS INT) AS n_kept,
+               max(h) AS kth_hash,
+               CAST(sum(ca * cb) AS BIGINT) AS sum_ff
+        FROM kept
+    ), est AS (
+        SELECT 128 AS k, n_kept, kth_hash, sum_ff,
+               CAST(CASE WHEN n_kept < 128 THEN n_kept
+                         ELSE (127 * 4294967296) // kth_hash END
+                    AS BIGINT) AS union_est
+        FROM agg
+    ), fa AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS ca
+        FROM lineitem GROUP BY 1
+    ), fb AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS cb
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+    ), ex AS (
+        SELECT CAST(sum(fa.ca * fb.cb) AS BIGINT) AS exact_join
+        FROM fa JOIN fb USING (l_partkey)
+    )
+    SELECT est.k, est.n_kept, est.kth_hash, est.sum_ff, est.union_est,
+           (est.union_est // est.n_kept) * est.sum_ff AS join_est,
+           ex.exact_join
+    FROM est, ex
 """

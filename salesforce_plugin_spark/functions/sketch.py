@@ -337,3 +337,87 @@ def cm_estimate(
     return joined.groupBy("value").agg(
         F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n")
     )
+
+
+def kmv_join_size(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col_a: str,
+    key_col_b: str | None = None,
+    k: int = 128,
+) -> DataFrame:
+    """Equi-join cardinality estimate from ONE merged KMV sketch carrying
+    per-side key frequencies — the join-planning statistic that decides
+    broadcast-vs-shuffle or flags a runaway join BEFORE running it at
+    100 TB (|A ⋈ B| on key v is Σ_v fA(v)·fB(v); computing it exactly IS
+    the join's group-by).
+
+    Per side the input reduces to (key-hash, count) — one
+    partial-combined exchange each — then the flag-merge / k-smallest
+    election is exactly :func:`kmv_set_ops`'s plan with counts instead
+    of flags. The kept k hashes are a uniform sample of the union's
+    distinct keys, so
+
+        |A ⋈ B| ≈ (D_union div n_kept) * Σ_kept fA·fB
+
+    with ``D_union`` the standard KMV estimate. Every stage — md5
+    hashes, BIGINT count products, the two integer floor divisions — is
+    engine-replayable, so the estimator itself sits under the
+    differential gate (gate it beside the exact value to SEE the
+    error, as q_kmv_distinct does).
+
+    Output (scalar-only, 1 row): ``(k int, n_kept int, kth_hash long,
+    sum_ff long, union_est long, join_est long)``.
+    """
+    if k < 2:
+        raise ValueError("kmv requires k >= 2")
+    kb = key_col_b or key_col_a
+    a = (
+        df_a.select(portable_hash32(F.col(key_col_a)).alias("__h"))
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__ca"), F.lit(0).cast("long").alias("__cb"))
+    )
+    b = (
+        df_b.select(portable_hash32(F.col(kb)).alias("__h"))
+        .groupBy("__h")
+        .agg(F.lit(0).cast("long").alias("__ca"), F.count(F.lit(1)).alias("__cb"))
+    )
+    merged = (
+        a.unionByName(b)
+        .groupBy("__h")
+        .agg(F.sum("__ca").alias("__ca"), F.sum("__cb").alias("__cb"))
+    )
+    n_salts = 32
+    pre = Window.partitionBy(F.pmod(F.col("__h"), F.lit(n_salts))).orderBy("__h")
+    truncated = merged.withColumn("__prn", F.row_number().over(pre)).filter(
+        F.col("__prn") <= k
+    )
+    w = Window.partitionBy().orderBy("__h")
+    kept = truncated.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    agg = kept.agg(
+        F.count("*").cast("int").alias("n_kept"),
+        F.max("__h").alias("kth_hash"),
+        F.sum(F.col("__ca") * F.col("__cb")).alias("sum_ff"),
+    )
+    union_est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("long")
+    ).otherwise(F.expr(f"{(k - 1) * _HASH_SPACE}L div kth_hash"))
+    return (
+        agg.select(
+            F.lit(k).alias("k"),
+            "n_kept",
+            "kth_hash",
+            "sum_ff",
+            union_est.alias("union_est"),
+        )
+        .select(
+            "k",
+            "n_kept",
+            "kth_hash",
+            "sum_ff",
+            "union_est",
+            F.expr("(union_est div n_kept) * sum_ff").alias("join_est"),
+        )
+    )

@@ -104,6 +104,7 @@ PROBE = [
     "q_triangles",
     "q_power_step",
     "q_power_converged",
+    "q_join_size_est",
 ]
 
 

@@ -1123,3 +1123,43 @@ def test_gram_power_iterations_rejects_zero(spark):
     v0 = spark.createDataFrame([([0.1],)], "v0 array<double>")
     with pytest.raises(ValueError):
         gram_power_iterations(df, "vec_id", "embedding", v0, iterations=0)
+
+
+def test_kmv_join_size_exact_below_k(spark):
+    from salesforce_plugin_spark.functions.sketch import kmv_join_size
+
+    # 10 distinct keys, fA = 3, fB = 2 -> exact join size 10*3*2 = 60;
+    # below k the sketch holds every key, so the estimate is exact.
+    a = spark.createDataFrame(
+        [(str(i % 10),) for i in range(30)], "k string"
+    )
+    b = spark.createDataFrame(
+        [(str(i % 10),) for i in range(20)], "k string"
+    )
+    row = kmv_join_size(a, b, "k", k=64).collect()[0]
+    assert row.n_kept == 10 and row.union_est == 10
+    assert row.sum_ff == 60 and row.join_est == 60
+
+
+def test_kmv_join_size_disjoint_keys(spark):
+    from salesforce_plugin_spark.functions.sketch import kmv_join_size
+
+    a = spark.createDataFrame([("a",), ("b",)], "k string")
+    b = spark.createDataFrame([("c",), ("d",)], "k string")
+    row = kmv_join_size(a, b, "k", k=64).collect()[0]
+    assert row.sum_ff == 0 and row.join_est == 0
+
+
+def test_kmv_join_size_estimate_within_error(spark):
+    from salesforce_plugin_spark.functions.sketch import kmv_join_size
+
+    # 2000 keys, fA=2, fB=1 on the even half -> exact = 1000*2 = 2000
+    a = spark.createDataFrame(
+        [(str(i % 2000),) for i in range(4000)], "k string"
+    )
+    b = spark.createDataFrame(
+        [(str(2 * i),) for i in range(1000)], "k string"
+    )
+    row = kmv_join_size(a, b, "k", k=256).collect()[0]
+    assert row.n_kept == 256
+    assert abs(row.join_est - 2000) / 2000 < 0.35  # ~4 sigma at k=256
