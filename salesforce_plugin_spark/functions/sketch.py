@@ -322,7 +322,16 @@ def cm_estimate(
     ``depth`` probes map-side, hash-join the broadcast grid, and
     partial-combine the per-value ``min``. Output (scalar-only):
     ``(value, est_n long)``.
+
+    ``(width, depth)`` are part of the sketch's identity: they MUST
+    equal the values the grid was built with — a mismatch silently
+    probes the wrong buckets (typically estimating 0). Ship them
+    alongside the grid the way a schema is shipped with data.
     """
+    if not {"row", "bucket", "n"} <= set(sketch.columns):
+        raise ValueError(
+            "sketch must be a cm_sketch grid with (row, bucket, n) columns"
+        )
     probes = candidates.select(F.col(value_col).alias("value")).distinct()
     probes = probes.select(
         "value",
