@@ -2378,26 +2378,48 @@ def q_importance_weights(spark, sf_dir):
     )
 
 
+def _scaled_semantic_seeds(e: DataFrame) -> DataFrame:
+    """Corpus-size-scaled k-means codebook for SemDeDup blocking:
+    k = max(8, floor(sqrt(n/2))) deterministic seeds (the vec_id < k
+    vectors). The 10x probe exposed the fixed-k=8 quadratic (cluster
+    population grows linearly with the corpus, within-cluster pairs
+    quadratically: 21 s -> 279 s at 10x); scaling k with sqrt(n) keeps
+    assign cost (n*k) and pair cost (n^2/k) balanced at ~n^1.5 — the
+    SemDeDup production posture (cluster count tracks corpus size).
+    sqrt is IEEE-correctly-rounded in both engines and n/2 is exact, so
+    the derived k is deterministic cross-engine."""
+    n1 = e.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        e.crossJoin(F.broadcast(n1))
+        .filter(
+            F.col("vec_id")
+            < F.greatest(F.lit(8), F.floor(F.sqrt(F.col("__n") / F.lit(2))))
+        )
+        .select(
+            F.col("vec_id").alias("cluster"), F.col("embedding").alias("centroid")
+        )
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-shape semantic dedup (functions/dedup.py semantic_dedup,
-    Abbas et al. 2023): k-means blocking (exact-integer kmeans_assign on
-    the vec_id<8 seed codebook) → within-cluster rounded-cosine pairs
-    (cluster equijoin, never a cartesian) → connected components → one
-    keeper per near-dup group. Complements q_embed_dedup's sign-LSH
-    blocking with the density-adaptive blocking production pipelines use;
-    threshold 0.3 is the fixture's operating point (the synthetic 64-dim
-    embeddings are near-orthogonal — max within-cluster cosine ≈ 0.49 —
-    so 0.3 yields a few hundred genuine merge edges). Oracle replays
-    every stage: the kmeans-assign CTEs, list_cosine_similarity pairs,
-    and a recursive-CTE transitive closure."""
+    Abbas et al. 2023): k-means blocking on a corpus-size-scaled
+    deterministic codebook (_scaled_semantic_seeds: k = max(8,
+    floor(sqrt(n/2))) — fixed k was the 10x probe's one quadratic, see
+    the helper) → within-cluster rounded-cosine pairs (cluster equijoin,
+    never a cartesian) → connected components → one keeper per near-dup
+    group. Complements q_embed_dedup's sign-LSH blocking with the
+    density-adaptive blocking production pipelines use; threshold 0.3 is
+    the fixture's operating point (the synthetic 64-dim embeddings are
+    near-orthogonal). Oracle replays every stage: the scaled-seed
+    kmeans-assign CTEs, list_cosine_similarity pairs, and a
+    recursive-CTE transitive closure."""
     from salesforce_plugin_spark.functions.dedup import semantic_dedup
 
     e = load_table(spark, sf_dir, "embeddings")
-    seeds = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cluster"), F.col("embedding").alias("centroid")
-    )
     return semantic_dedup(
-        e, "vec_id", "embedding", seeds, threshold=0.3, quant=1000
+        e, "vec_id", "embedding", _scaled_semantic_seeds(e),
+        threshold=0.3, quant=1000,
     )
 
 
@@ -3108,11 +3130,9 @@ def q_curation_capstone(spark, sf_dir):
     imp = hashed_ngram_importance(
         d, "doc_id", "text", F.col("lang") == "en", n_buckets=4096
     ).select("doc_id", "n_bigrams", "score_scaled", "importance")
-    seeds = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cluster"), F.col("embedding").alias("centroid")
-    )
     sd = semantic_dedup(
-        e, "vec_id", "embedding", seeds, threshold=0.3, quant=1000
+        e, "vec_id", "embedding", _scaled_semantic_seeds(e),
+        threshold=0.3, quant=1000,
     ).select(F.col("vec_id").alias("doc_id"), "dup_group", "keep")
     return (
         d.select("doc_id", "lang", "source")
@@ -3824,39 +3844,43 @@ def q_bpe_step(spark, sf_dir):
 
 
 def q_fuzzy_link(spark, sf_dir):
-    """Entity resolution (functions/entity.py blocked_fuzzy_link): link
-    a seeded-typo dirty batch back to the part master by blocked
-    levenshtein — the daily record-linkage shape of the reference's
-    warehouse extracts. Corruption is DERIVED (deterministic per-key
-    edit on the LAST name token: drop / double the final char, or
-    append 'x'), so the first-token block key survives the typo and the
-    oracle regenerates the identical dirty side. Election: lowest
-    (dist, master_id) per dirty record via row_number — replayed with
-    the same window in SQL. Every dirty row links at dist ≤ 1; shared
-    p_names make the deterministic tiebreak do real work."""
-    from salesforce_plugin_spark.functions.entity import blocked_fuzzy_link
+    """Entity resolution (functions/entity.py deletion_link): link a
+    seeded-typo dirty batch back to the part master by SymSpell
+    deletion-neighborhood blocking — the scale-safe ER shape. The first
+    cut of this query used attribute blocking (first name token,
+    functions/entity.py blocked_fuzzy_link, kept as the API for
+    discriminative attributes): the 10x probe showed the fixture's
+    ~100-stem name vocabulary makes every attribute block quadratic
+    (46 s at sf0.1). Deletion keys bucket only true near-matches, so
+    candidate volume stays ~linear. Master names are made unique by a
+    derived ' #<partkey>' suffix (the realistic registry shape — and it
+    creates REAL ambiguity: dropping the last digit of '#4821' lands
+    exactly on master '#482' at dist 0, so the (dist, master_id)
+    election does genuine work). Corruption is DERIVED (drop / double
+    the final char, or append 'x' — all dist 1), so the oracle
+    regenerates the identical dirty side; max_dist=1 keeps the
+    deletion-neighborhood candidate generator COMPLETE."""
+    from salesforce_plugin_spark.functions.entity import deletion_link
 
     p = load_table(spark, sf_dir, "part")
-    master = p.select(F.col("p_partkey").alias("master_id"), F.col("p_name"))
-    nm = F.col("p_name")
+    uname = F.concat(F.col("p_name"), F.lit(" #"), F.col("p_partkey"))
+    master = p.select(F.col("p_partkey").alias("master_id"), uname.alias("name"))
     corrupted = (
         F.when(
             F.col("p_partkey") % 3 == 0,
-            F.substring(nm, F.lit(1), F.length(nm) - 1),
+            F.substring(uname, F.lit(1), F.length(uname) - 1),
         )
         .when(
             F.col("p_partkey") % 3 == 1,
-            F.concat(nm, F.substring(nm, F.length(nm), F.lit(1))),
+            F.concat(uname, F.substring(uname, F.length(uname), F.lit(1))),
         )
-        .otherwise(F.concat(nm, F.lit("x")))
+        .otherwise(F.concat(uname, F.lit("x")))
     )
     dirty = p.select(
         (F.col("p_partkey") + 1000000).alias("dirty_id"),
-        corrupted.alias("p_name"),
+        corrupted.alias("name"),
     )
-    return blocked_fuzzy_link(
-        master, dirty, "master_id", "dirty_id", "p_name", max_dist=2
-    )
+    return deletion_link(master, dirty, "master_id", "dirty_id", "name", max_dist=1)
 
 
 def q_stream_heavy_hitters(spark, sf_dir):
@@ -6810,7 +6834,16 @@ ORACLES["q_scd2_incremental"] = ORACLES["q_scd2"]
 
 # SemDeDup gate: the kmeans-assign CTEs need the RECURSIVE keyword hoisted
 # onto the shared WITH because the transitive closure below is recursive.
-ORACLES["q_semantic_dedup"] = _KMEANS_ASSIGN_CTES.replace(
+#: scaled-seed variant of the assign prefix for the SemDeDup queries:
+#: k = max(8, floor(sqrt(n/2))) — mirrors _scaled_semantic_seeds.
+_KMEANS_ASSIGN_SCALED_CTES = _KMEANS_ASSIGN_CTES.replace(
+    "WHERE vec_id < 8",
+    "WHERE vec_id < (SELECT greatest(8, CAST(floor(sqrt(count(*) / 2))"
+    " AS BIGINT)) FROM embeddings)",
+    1,
+)
+
+ORACLES["q_semantic_dedup"] = _KMEANS_ASSIGN_SCALED_CTES.replace(
     "WITH seeds", "WITH RECURSIVE seeds", 1
 ) + """
     , assign AS (SELECT vec_id, cluster FROM ranked WHERE rn = 1)
@@ -6916,7 +6949,7 @@ ORACLES["q_anomaly_zscore"] = """
 # hashed-bigram importance, md5 split. CTE names are disjoint by
 # construction (seeds/comp/dists/ranked | assign/vv/edges/sym/reach/grp |
 # gm/gf | toked/grams/model/scored).
-ORACLES["q_curation_capstone"] = _KMEANS_ASSIGN_CTES.replace(
+ORACLES["q_curation_capstone"] = _KMEANS_ASSIGN_SCALED_CTES.replace(
     "WITH seeds", "WITH RECURSIVE seeds", 1
 ) + r"""
     , assign AS (SELECT vec_id, cluster FROM ranked WHERE rn = 1)
@@ -7068,32 +7101,50 @@ ORACLES["q_bpe_step"] = r"""
 # Blocked levenshtein linkage; the dirty side is re-derived in SQL.
 ORACLES["q_fuzzy_link"] = r"""
     WITH master AS (
-        SELECT p_partkey AS master_id, lower(trim(p_name)) AS name FROM part
+        SELECT p_partkey AS master_id,
+               lower(trim(p_name || ' #' || CAST(p_partkey AS VARCHAR))) AS name
+        FROM part
     ), dirty AS (
         SELECT p_partkey + 1000000 AS dirty_id,
                lower(trim(CASE
-                   WHEN p_partkey % 3 = 0
-                       THEN substr(p_name, 1, CAST(strlen(p_name) AS INT) - 1)
+                   WHEN p_partkey % 3 = 0 THEN substr(raw, 1, CAST(strlen(raw) AS INT) - 1)
                    WHEN p_partkey % 3 = 1
-                       THEN p_name
-                            || substr(p_name, CAST(strlen(p_name) AS INT), 1)
-                   ELSE p_name || 'x'
+                       THEN raw || substr(raw, CAST(strlen(raw) AS INT), 1)
+                   ELSE raw || 'x'
                END)) AS name
-        FROM part
+        FROM (SELECT p_partkey,
+                     p_name || ' #' || CAST(p_partkey AS VARCHAR) AS raw
+              FROM part)
+    ), mk AS (
+        SELECT master_id, name,
+               CASE WHEN i = 0 THEN name
+                    ELSE substr(name, 1, CAST(i AS INT) - 1)
+                         || substr(name, CAST(i AS INT) + 1) END AS key
+        FROM (SELECT master_id, name,
+                     unnest(generate_series(0, strlen(name))) AS i
+              FROM master)
+    ), dk AS (
+        SELECT dirty_id, name,
+               CASE WHEN i = 0 THEN name
+                    ELSE substr(name, 1, CAST(i AS INT) - 1)
+                         || substr(name, CAST(i AS INT) + 1) END AS key
+        FROM (SELECT dirty_id, name,
+                     unnest(generate_series(0, strlen(name))) AS i
+              FROM dirty)
     ), cand AS (
-        SELECT d.dirty_id, m.master_id,
-               CAST(levenshtein(d.name, m.name) AS INT) AS dist
-        FROM dirty d
-        JOIN master m
-          ON split_part(d.name, ' ', 1) = split_part(m.name, ' ', 1)
-        WHERE abs(strlen(d.name) - strlen(m.name)) <= 2
-          AND levenshtein(d.name, m.name) <= 2
+        SELECT DISTINCT d.dirty_id, d.name AS dname, m.master_id, m.name AS mname
+        FROM dk d JOIN mk m USING (key)
+    ), scored AS (
+        SELECT dirty_id, master_id,
+               CAST(levenshtein(dname, mname) AS INT) AS dist
+        FROM cand
+        WHERE levenshtein(dname, mname) <= 1
     )
     SELECT dirty_id, master_id, dist FROM (
         SELECT dirty_id, master_id, dist,
                row_number() OVER (PARTITION BY dirty_id
                                   ORDER BY dist, master_id) AS rn
-        FROM cand
+        FROM scored
     ) WHERE rn = 1
 """
 

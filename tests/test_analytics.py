@@ -1163,3 +1163,44 @@ def test_kmv_join_size_estimate_within_error(spark):
     row = kmv_join_size(a, b, "k", k=256).collect()[0]
     assert row.n_kept == 256
     assert abs(row.join_est - 2000) / 2000 < 0.35  # ~4 sigma at k=256
+
+
+def test_deletion_neighborhood_complete_at_dist1(spark):
+    import pyspark.sql.functions as F
+
+    from salesforce_plugin_spark.functions.entity import deletion_neighborhood
+
+    df = spark.createDataFrame([("abc",)], "s string")
+    keys = df.select(
+        F.explode(deletion_neighborhood(F.col("s"))).alias("k")
+    ).collect()
+    assert sorted(r.k for r in keys) == ["ab", "abc", "ac", "bc"]
+
+
+def test_deletion_link_finds_all_single_edits(spark):
+    from salesforce_plugin_spark.functions.entity import deletion_link
+
+    master = spark.createDataFrame(
+        [(1, "ring #42"), (2, "ring #4")], "master_id long, name string"
+    )
+    dirty = spark.createDataFrame(
+        [
+            (10, "ring #4"),    # exact dup of master 2 (dist 0 beats 1)
+            (11, "ring #422"),  # insertion vs master 1
+            (12, "rng #42"),    # deletion vs master 1
+            (13, "ring #43"),   # substitution vs master 1
+            (14, "totally off"),
+        ],
+        "dirty_id long, name string",
+    )
+    got = {
+        r.dirty_id: (r.master_id, r.dist)
+        for r in deletion_link(
+            master, dirty, "master_id", "dirty_id", "name", max_dist=1
+        ).collect()
+    }
+    assert got[10] == (2, 0)
+    assert got[11] == (1, 1)
+    assert got[12] == (1, 1)
+    assert got[13] == (1, 1)
+    assert 14 not in got

@@ -426,3 +426,44 @@ def test_partitioned_scan_prunes_day_directories(spark):
     part = " ".join(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "event_day" in part, plan
     assert "2024-01-05" in part and "2024-01-15" in part, part
+
+
+@needs_fixtures
+def test_heavy_hitters_broadcasts_the_sketch_grid(spark):
+    # the depth x width grid is the broadcast side; the (possibly huge)
+    # candidate side must never shuffle into the probe join
+    plan = formatted_plan(QUERIES["q_heavy_hitters"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+@needs_fixtures
+def test_power_step_single_wide_exchange(spark):
+    # one corpus scan, one dims-bounded shuffle: every other movement is
+    # the 1-row v0 broadcast
+    plan = formatted_plan(QUERIES["q_power_step"](spark, SF))
+    # the only hash-partitioned movement is the dims-bounded aggregate;
+    # the remaining Exchanges are the fixture's round-robin fan-out
+    # (parallelized(), single-row-group workaround) on each scan
+    assert plan.count("hashpartitioning(") == 1, plan
+
+
+@needs_fixtures
+def test_fuzzy_link_is_blocked_equijoin_with_residual_verify(spark):
+    # blocking must surface as an equijoin on the block key; levenshtein
+    # is a residual verify (join condition or post-join filter), never
+    # the join strategy itself (the global no-cartesian sweep enforces
+    # no nested-loop fallback)
+    plan = formatted_plan(QUERIES["q_fuzzy_link"](spark, SF))
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+    assert "levenshtein" in plan
+
+
+@needs_fixtures
+def test_bpe_pairs_explode_off_the_vocab_not_the_corpus(spark):
+    # two generates: corpus tokenization, then pair expansion which must
+    # sit ABOVE the word-level aggregate (vocab-bounded)
+    plan = formatted_plan(QUERIES["q_bpe_step"](spark, SF))
+    assert plan.count("Generate (") == 2, plan
+    gen2 = plan.rindex("Generate (")
+    agg1 = plan.index("HashAggregate (")
+    assert agg1 < gen2, "pair explode must follow the word aggregate"
