@@ -4089,6 +4089,44 @@ def q_join_size_est(spark, sf_dir):
     return est.crossJoin(F.broadcast(exact))
 
 
+def q_resample_ffill(spark, sf_dir):
+    """Time-series regularization (operators/timeseries.py
+    resample_daily_ffill): each user's irregular event stream lands on a
+    daily calendar spine from first to last activity — missing days
+    become explicit rows (n_obs = 0) carrying the last observation
+    forward. The per-day election is deterministic ((ts, event_id)
+    order); observations are quantized to scaled longs BEFORE the
+    election so the filled value is exact cross-engine. Spine explode is
+    calendar-bounded per key, never event-bounded; the day aggregate
+    runs before the spine join so the fill window sees key×days rows."""
+    from salesforce_plugin_spark.operators.timeseries import resample_daily_ffill
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_daily_ffill(
+        ev,
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 1000, 0),
+        order_cols=["event_id"],
+    )
+
+
+def q_rolling_metrics(spark, sf_dir):
+    """Trailing 7-day rolling metrics (operators/timeseries.py
+    rolling_daily_metrics): day-level pre-aggregation first (exact
+    BIGINT sums of scaled-long values), then ONE epoch-day range window
+    — window state is day rows, not events, and both keyed stages share
+    the user partitioning."""
+    from salesforce_plugin_spark.operators.timeseries import (
+        rolling_daily_metrics,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_daily_metrics(
+        ev, "user_id", "ts", F.round(F.col("value") * 1000, 0), window_days=7
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4282,6 +4320,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_power_step": q_power_step,
     "q_power_converged": q_power_converged,
     "q_join_size_est": q_join_size_est,
+    "q_resample_ffill": q_resample_ffill,
+    "q_rolling_metrics": q_rolling_metrics,
 }
 
 
@@ -7384,4 +7424,58 @@ ORACLES["q_join_size_est"] = """
            (est.union_est // est.n_kept) * est.sum_ff AS join_est,
            ex.exact_join
     FROM est, ex
+"""
+
+# Calendar spine + forward fill, replayed with the same election.
+ORACLES["q_resample_ffill"] = """
+    WITH obs AS (
+        SELECT user_id AS k, CAST(ts AS DATE) AS d, ts, event_id,
+               CAST(round(value * 1000) AS BIGINT) AS v
+        FROM events
+    ), daily AS (
+        SELECT k, d, CAST(count(*) AS BIGINT) AS n_obs,
+               max(CASE WHEN rn = 1 THEN v END) AS last_v
+        FROM (
+            SELECT k, d, v,
+                   row_number() OVER (PARTITION BY k, d
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM obs
+        ) GROUP BY k, d
+    ), bounds AS (
+        SELECT k, min(d) AS lo, max(d) AS hi FROM obs GROUP BY k
+    ), spine AS (
+        SELECT k, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                              CAST(hi AS TIMESTAMP),
+                                              INTERVAL 1 DAY)) AS DATE) AS d
+        FROM bounds
+    )
+    SELECT s.k AS user_id, strftime(s.d, '%Y-%m-%d') AS day,
+           CAST(coalesce(daily.n_obs, 0) AS BIGINT) AS n_obs,
+           last_value(daily.last_v IGNORE NULLS) OVER (
+               PARTITION BY s.k ORDER BY s.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled
+    FROM spine s LEFT JOIN daily ON daily.k = s.k AND daily.d = s.d
+"""
+
+# Day pre-aggregate + epoch-day range window, exact BIGINT sums.
+ORACLES["q_rolling_metrics"] = """
+    WITH daily AS (
+        SELECT user_id AS k,
+               CAST(epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP))
+                    // 86400000000 AS BIGINT) AS ed,
+               CAST(count(*) AS BIGINT) AS day_n,
+               CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+                   AS day_sum
+        FROM events GROUP BY 1, 2
+    )
+    SELECT k AS user_id,
+           strftime(CAST(make_timestamp(ed * 86400000000) AS DATE),
+                    '%Y-%m-%d') AS day,
+           day_n, day_sum,
+           CAST(sum(day_n) OVER w AS BIGINT) AS roll_n,
+           CAST(sum(day_sum) OVER w AS BIGINT) AS roll_sum
+    FROM daily
+    WINDOW w AS (PARTITION BY k ORDER BY ed
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 """

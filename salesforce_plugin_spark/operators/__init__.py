@@ -17,6 +17,10 @@ from salesforce_plugin_spark.operators.joins import (
     range_join_bucketed,
 )
 from salesforce_plugin_spark.operators.merge import apply_changes
+from salesforce_plugin_spark.operators.timeseries import (
+    resample_daily_ffill,
+    rolling_daily_metrics,
+)
 from salesforce_plugin_spark.operators.partitioning import (
     explain_skew,
     write_zordered,

@@ -1,0 +1,147 @@
+"""Time-series shaping: calendar resampling with gap-fill, and
+range-windowed rolling aggregates.
+
+The two steps every metrics warehouse runs between raw events and a
+dashboard/feature store: (1) regularize an irregular event stream onto a
+calendar spine (missing periods become explicit rows, last observation
+carried forward), (2) rolling aggregates over a trailing time range.
+Both are built so every value under a cross-engine gate is an exact
+integer (quantized observations, BIGINT sums; the determinism discipline
+of conformance.py) and both stay one-exchange-per-keyed-stage plans.
+
+Scale posture: the spine explode emits (days-in-range) rows per key —
+bounded by the calendar, not the event count; the day-level
+pre-aggregation happens BEFORE the spine join, so the rolling window
+runs over key×days rows, never raw events. A pathological key spanning
+decades explodes ~10⁴ spine rows — cap with an explicit date range when
+the domain allows dormant keys.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def resample_daily_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value: Column,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Daily calendar resample with forward-fill per key.
+
+    Each key gets one row per calendar day from its first to its last
+    observation day (inclusive). ``value`` must be an INTEGER-valued
+    column (quantize doubles first — exactness is the caller's contract);
+    per day the LAST observation wins, ordered by ``(ts, *order_cols)``
+    — pass a unique tiebreaker so the election is deterministic. Days
+    with no observation carry the previous day's value forward
+    (``last(..., ignorenulls)`` over the spine order) and report
+    ``n_obs = 0``.
+
+    Plan: one (key, day) aggregate with the row_number election inside
+    it, one tiny per-key bounds aggregate feeding the
+    ``sequence(first_day, last_day)`` spine explode, a (key, day)
+    equijoin, and the forward-fill window on the already-day-bounded
+    rows. Output (scalar-only): ``(key, day string 'yyyy-MM-dd',
+    n_obs long, filled long)``.
+    """
+    order_cols = order_cols or []
+    day = F.to_date(F.col(ts_col))
+    obs = df.select(
+        F.col(key_col).alias("__k"),
+        day.alias("__d"),
+        F.col(ts_col).alias("__ts"),
+        *[F.col(c) for c in order_cols],
+        value.cast("long").alias("__v"),
+    )
+    w_el = Window.partitionBy("__k", "__d").orderBy(
+        F.col("__ts").desc(), *[F.col(c).desc() for c in order_cols]
+    )
+    daily = (
+        obs.withColumn("__rn", F.row_number().over(w_el))
+        .groupBy("__k", "__d")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.max(F.when(F.col("__rn") == 1, F.col("__v"))).alias("__last"),
+        )
+    )
+    bounds = obs.groupBy("__k").agg(
+        F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
+    )
+    spine = bounds.select(
+        "__k",
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__d"),
+    )
+    w_fill = (
+        Window.partitionBy("__k")
+        .orderBy("__d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["__k", "__d"], "left")
+        .select(
+            F.col("__k").alias(key_col),
+            F.date_format("__d", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            F.last(F.col("__last"), ignorenulls=True)
+            .over(w_fill)
+            .alias("filled"),
+        )
+    )
+
+
+def rolling_daily_metrics(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value: Column,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing ``window_days``-day rolling sum/count per key-day.
+
+    Day-level pre-aggregation first (exact BIGINT sums of the
+    integer-valued ``value``), then ONE range window over epoch-day
+    integers (``rangeBetween(-(window_days-1), 0)``) — the window state
+    is day rows, not events, and a missing day simply contributes
+    nothing (no spine needed for trailing sums). Same-key stages reuse
+    one partitioning.
+
+    Output (scalar-only): ``(key, day string, day_n long, day_sum long,
+    roll_n long, roll_sum long)``.
+    """
+    if window_days < 1:
+        raise ValueError("rolling_daily_metrics requires window_days >= 1")
+    epoch_day = F.floor(
+        F.unix_micros(F.to_timestamp(F.to_date(F.col(ts_col)))) / F.lit(86_400_000_000)
+    )
+    daily = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            epoch_day.cast("long").alias("__ed"),
+            value.cast("long").alias("__v"),
+        )
+        .groupBy("__k", "__ed")
+        .agg(
+            F.count(F.lit(1)).alias("day_n"),
+            F.sum("__v").alias("day_sum"),
+        )
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ed")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return daily.select(
+        F.col("__k").alias(key_col),
+        F.date_format(
+            F.to_date(F.timestamp_micros(F.col("__ed") * F.lit(86_400_000_000))),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        F.col("day_n").cast("long").alias("day_n"),
+        "day_sum",
+        F.sum("day_n").over(w).cast("long").alias("roll_n"),
+        F.sum("day_sum").over(w).alias("roll_sum"),
+    )

@@ -105,6 +105,8 @@ PROBE = [
     "q_power_step",
     "q_power_converged",
     "q_join_size_est",
+    "q_resample_ffill",
+    "q_rolling_metrics",
 ]
 
 

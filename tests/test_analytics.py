@@ -1204,3 +1204,86 @@ def test_deletion_link_finds_all_single_edits(spark):
     assert got[12] == (1, 1)
     assert got[13] == (1, 1)
     assert 14 not in got
+
+
+# --- time series ---
+
+def _ts_events(spark, rows):
+    return spark.createDataFrame(rows, "k long, ts timestamp, eid long, v long")
+
+
+def test_resample_ffill_fills_gaps_and_elects_last(spark):
+    import datetime as _dt
+
+    import pyspark.sql.functions as F
+
+    from salesforce_plugin_spark.operators.timeseries import resample_daily_ffill
+
+    d = _dt.datetime
+    rows = [
+        (1, d(2024, 1, 1, 9), 1, 10),
+        (1, d(2024, 1, 1, 18), 2, 20),   # later ts wins day 1
+        (1, d(2024, 1, 4, 12), 3, 40),   # days 2-3 are gaps
+        (2, d(2024, 1, 2, 0), 4, 7),
+    ]
+    out = resample_daily_ffill(
+        _ts_events(spark, rows), "k", "ts", F.col("v"), order_cols=["eid"]
+    )
+    got = {(r.k, r.day): (r.n_obs, r.filled) for r in out.collect()}
+    assert got[(1, "2024-01-01")] == (2, 20)
+    assert got[(1, "2024-01-02")] == (0, 20)  # gap, carried forward
+    assert got[(1, "2024-01-03")] == (0, 20)
+    assert got[(1, "2024-01-04")] == (1, 40)
+    assert got[(2, "2024-01-02")] == (1, 7)
+    assert len(got) == 5  # spine bounded per key, no cross-key spill
+
+
+def test_resample_ffill_tiebreak_is_deterministic(spark):
+    import datetime as _dt
+
+    import pyspark.sql.functions as F
+
+    from salesforce_plugin_spark.operators.timeseries import resample_daily_ffill
+
+    d = _dt.datetime
+    rows = [(1, d(2024, 1, 1, 9), 1, 10), (1, d(2024, 1, 1, 9), 2, 99)]
+    out = resample_daily_ffill(
+        _ts_events(spark, rows), "k", "ts", F.col("v"), order_cols=["eid"]
+    ).collect()
+    assert out[0].filled == 99  # same ts: higher eid wins
+
+
+def test_rolling_metrics_trailing_range_window(spark):
+    import datetime as _dt
+
+    import pyspark.sql.functions as F
+
+    from salesforce_plugin_spark.operators.timeseries import (
+        rolling_daily_metrics,
+    )
+
+    d = _dt.datetime
+    rows = [
+        (1, d(2024, 1, 1), 1, 5),
+        (1, d(2024, 1, 3), 2, 7),
+        (1, d(2024, 1, 20), 3, 100),  # outside any 7-day window of the others
+    ]
+    out = rolling_daily_metrics(
+        _ts_events(spark, rows), "k", "ts", F.col("v"), window_days=7
+    )
+    got = {r.day: (r.day_sum, r.roll_n, r.roll_sum) for r in out.collect()}
+    assert got["2024-01-01"] == (5, 1, 5)
+    assert got["2024-01-03"] == (7, 2, 12)   # includes Jan 1 (range, not rows)
+    assert got["2024-01-20"] == (100, 1, 100)
+
+
+def test_rolling_metrics_rejects_bad_window(spark):
+    import pyspark.sql.functions as F
+
+    from salesforce_plugin_spark.operators.timeseries import (
+        rolling_daily_metrics,
+    )
+
+    df = _ts_events(spark, [])
+    with pytest.raises(ValueError):
+        rolling_daily_metrics(df, "k", "ts", F.col("v"), window_days=0)
