@@ -587,3 +587,47 @@ def test_encoding_repair_roundtrips_corruption(spark, s):
         fix_encoding(corrupt_encoding(F.col("t"))).alias("r")
     ).collect()[0]
     assert row.r == s
+
+
+# --- deletion-neighborhood completeness (entity resolution) ---
+
+_name_st = st.text(
+    alphabet="abcdefghij #0123456789", min_size=2, max_size=12
+).filter(lambda s: s.strip() == s and s != "")
+
+
+@given(
+    name=_name_st,
+    edit=st.tuples(st.sampled_from(["del", "sub", "ins"]), st.data()),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_deletion_link_always_finds_any_single_edit(spark, name, edit):
+    """The SymSpell completeness guarantee: for ANY master string and ANY
+    single edit (deletion, substitution, insertion), the dirty record
+    shares a deletion-neighborhood key with its master and therefore
+    links at dist <= 1."""
+    from salesforce_plugin_spark.functions.entity import deletion_link
+
+    kind, data = edit
+    i = data.draw(st.integers(0, len(name) - 1))
+    ch = data.draw(st.sampled_from("xyz"))
+    if kind == "del":
+        dirty_name = name[:i] + name[i + 1 :]
+    elif kind == "sub":
+        dirty_name = name[:i] + ch + name[i + 1 :]
+    else:
+        dirty_name = name[:i] + ch + name[i:]
+    if dirty_name.strip() != dirty_name or not dirty_name:
+        return  # normalization would trim — out of contract
+    master = spark.createDataFrame([(1, name)], "master_id long, name string")
+    dirty = spark.createDataFrame(
+        [(10, dirty_name)], "dirty_id long, name string"
+    )
+    rows = deletion_link(
+        master, dirty, "master_id", "dirty_id", "name", max_dist=1
+    ).collect()
+    assert len(rows) == 1 and rows[0].master_id == 1 and rows[0].dist <= 1
