@@ -4127,6 +4127,21 @@ def q_rolling_metrics(spark, sf_dir):
     )
 
 
+def q_feature_bins(spark, sf_dir):
+    """Equi-depth feature discretization (functions/sketch.py
+    quantile_bins): learn quartile cut points with the deterministic
+    histogram-quantile sketch (one bounded exchange) and label every
+    event with its bucket — the two-pass 100 TB discretizer shape
+    (pass 1 reduces to ≤ n_bins rows; pass 2 is a broadcast of the
+    3-row cut table + map-heavy labeling). Bin width 0.5 is an exact
+    binary double, so every cut point and comparison is bit-identical
+    cross-engine."""
+    from salesforce_plugin_spark.functions.sketch import quantile_bins
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    return quantile_bins(e, "value", n_bins_out=4, lo=0.0, hi=500.0, n_bins=1000)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4322,6 +4337,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_join_size_est": q_join_size_est,
     "q_resample_ffill": q_resample_ffill,
     "q_rolling_metrics": q_rolling_metrics,
+    "q_feature_bins": q_feature_bins,
 }
 
 
@@ -7478,4 +7494,35 @@ ORACLES["q_rolling_metrics"] = """
     FROM daily
     WINDOW w AS (PARTITION BY k ORDER BY ed
                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+# Quartile cuts from the histogram sketch, then per-row bucket labels.
+ORACLES["q_feature_bins"] = """
+    WITH binned AS (
+        SELECT least(999, greatest(0,
+                   CAST(floor(value / 0.5) AS BIGINT))) AS bin
+        FROM events WHERE value IS NOT NULL
+    ), counts AS (
+        SELECT bin, count(*) AS cnt FROM binned GROUP BY bin
+    ), cum AS (
+        SELECT bin, cnt,
+               sum(cnt) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+               sum(cnt) OVER () AS n
+        FROM counts
+    ), qs AS (
+        SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                       CAST(0.75 AS DOUBLE)]) AS q
+    ), cuts AS (
+        SELECT CAST(0.0 AS DOUBLE) + (min(bin) + 1) * CAST(0.5 AS DOUBLE)
+                   AS cut
+        FROM cum, qs
+        WHERE c >= ceil(q * n)
+        GROUP BY q
+    )
+    SELECT e.event_id, e.value,
+           CAST(sum(CASE WHEN e.value >= c.cut THEN 1 ELSE 0 END) AS INT)
+               AS bin
+    FROM events e CROSS JOIN cuts c
+    GROUP BY e.event_id, e.value
 """

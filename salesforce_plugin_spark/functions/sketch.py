@@ -430,3 +430,50 @@ def kmv_join_size(
             F.expr("(union_est div n_kept) * sum_ff").alias("join_est"),
         )
     )
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins_out: int,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Equi-depth feature binning — the discretization step feature
+    pipelines run before hashing/embedding a numeric column: learn
+    ``n_bins_out`` quantile cut points with :func:`binned_quantiles`
+    (single pass, deterministic) and label every row with the count of
+    cut points at or below its value (bin ∈ [0, n_bins_out-1]).
+
+    The cut-point table is ``n_bins_out - 1`` rows — broadcast; labeling
+    is a broadcast join + a partial-combined per-row conditional sum, so
+    the data side is scanned once and never shuffles wide (the only
+    exchanges are the sketch's bounded ones and the per-row aggregate's
+    own key partitioning). Exactly the two-pass shape a 100 TB
+    discretizer needs: pass 1 reduces to ≤ n_bins rows, pass 2 is
+    map-heavy labeling.
+
+    Output (scalar-only): one row per input row —
+    ``(value_col, bin int)`` plus any pass-through columns the caller
+    pre-selected into ``df`` (they group the per-row aggregate, so keep
+    a unique id among them).
+    """
+    if n_bins_out < 2:
+        raise ValueError("quantile_bins requires n_bins_out >= 2")
+    qs = [i / n_bins_out for i in range(1, n_bins_out)]
+    cuts = binned_quantiles(df, value_col, qs, lo, hi, n_bins).select(
+        F.col("est").alias("__cut")
+    )
+    passthrough = [c for c in df.columns if c != value_col]
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .groupBy(*passthrough, value_col)
+        .agg(
+            F.sum(
+                F.when(F.col(value_col) >= F.col("__cut"), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("bin")
+        )
+    )

@@ -107,6 +107,7 @@ PROBE = [
     "q_join_size_est",
     "q_resample_ffill",
     "q_rolling_metrics",
+    "q_feature_bins",
 ]
 
 

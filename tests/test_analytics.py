@@ -1287,3 +1287,30 @@ def test_rolling_metrics_rejects_bad_window(spark):
     df = _ts_events(spark, [])
     with pytest.raises(ValueError):
         rolling_daily_metrics(df, "k", "ts", F.col("v"), window_days=0)
+
+
+def test_quantile_bins_equi_depth_labels(spark):
+    from salesforce_plugin_spark.functions.sketch import quantile_bins
+
+    # values 1..100 uniform: quartile cuts ~25/50/75 -> 4 near-equal bins
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "id long, v double"
+    )
+    out = quantile_bins(df, "v", n_bins_out=4, lo=0.0, hi=128.0, n_bins=256)
+    got = {r.id: r.bin for r in out.collect()}
+    assert set(got.values()) == {0, 1, 2, 3}
+    from collections import Counter
+
+    sizes = Counter(got.values())
+    assert all(20 <= n <= 30 for n in sizes.values())  # near equi-depth
+    assert got[1] == 0 and got[100] == 3
+    # monotone labeling
+    assert all(got[i] <= got[i + 1] for i in range(1, 100))
+
+
+def test_quantile_bins_rejects_degenerate(spark):
+    from salesforce_plugin_spark.functions.sketch import quantile_bins
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    with pytest.raises(ValueError):
+        quantile_bins(df, "v", n_bins_out=1, lo=0.0, hi=1.0)
