@@ -4142,6 +4142,42 @@ def q_feature_bins(spark, sf_dir):
     return quantile_bins(e, "value", n_bins_out=4, lo=0.0, hi=500.0, n_bins=1000)
 
 
+def q_bloom_prune(spark, sf_dir):
+    """Engine-portable Bloom semi-join pruning (functions/sketch.py
+    bloom_build/bloom_prune): a selective build side (high-value orders)
+    reduces to a ≤4096-row bit-position set; the fact side is pruned by
+    3 broadcast left-semi joins — all map-side, ZERO fact exchange —
+    before any real join runs. The gate makes the one-sided contract
+    visible per return flag: n_pass (survived bloom), n_true (actually
+    in the build set — never undercounted), n_false_pos (the bounded
+    leak the downstream join removes). The portable analog of Spark's
+    runtime bloom pushdown, for when the filter must be built once and
+    replayed across stages or engines."""
+    from salesforce_plugin_spark.functions.sketch import bloom_build, bloom_prune
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    build = o.filter(F.col("o_totalprice") > 400000).select("o_orderkey").distinct()
+    bloom = bloom_build(build, "o_orderkey", n_bits=4096, n_hashes=3)
+    pruned = bloom_prune(
+        li.select("l_orderkey", "l_returnflag"), "l_orderkey", bloom, 4096, 3
+    )
+    build_keys = build.select(
+        F.col("o_orderkey").alias("l_orderkey"), F.lit(1).alias("__m")
+    )
+    return (
+        pruned.join(F.broadcast(build_keys), "l_orderkey", "left")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_pass"),
+            F.sum(F.coalesce(F.col("__m"), F.lit(0))).cast("long").alias("n_true"),
+            (F.count("*") - F.sum(F.coalesce(F.col("__m"), F.lit(0))))
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4338,6 +4374,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_resample_ffill": q_resample_ffill,
     "q_rolling_metrics": q_rolling_metrics,
     "q_feature_bins": q_feature_bins,
+    "q_bloom_prune": q_bloom_prune,
 }
 
 
@@ -7525,4 +7562,36 @@ ORACLES["q_feature_bins"] = """
                AS bin
     FROM events e CROSS JOIN cuts c
     GROUP BY e.event_id, e.value
+"""
+
+ORACLES["q_bloom_prune"] = """
+    WITH build AS (
+        SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice > 400000
+    ), bloom AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || i),
+                                    1, 8)) AS BIGINT) % 4096 AS pos
+        FROM build CROSS JOIN (SELECT unnest(['0', '1', '2']) AS i)
+    ), probe AS (
+        SELECT l_orderkey, l_returnflag,
+               CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':0'),
+                                    1, 8)) AS BIGINT) % 4096 AS p0,
+               CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':1'),
+                                    1, 8)) AS BIGINT) % 4096 AS p1,
+               CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':2'),
+                                    1, 8)) AS BIGINT) % 4096 AS p2
+        FROM lineitem
+    ), passed AS (
+        SELECT l_orderkey, l_returnflag FROM probe
+        WHERE p0 IN (SELECT pos FROM bloom)
+          AND p1 IN (SELECT pos FROM bloom)
+          AND p2 IN (SELECT pos FROM bloom)
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM build)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(count(*) - sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM build)
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM passed GROUP BY l_returnflag
 """

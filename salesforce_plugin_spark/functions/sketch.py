@@ -477,3 +477,84 @@ def quantile_bins(
             .alias("bin")
         )
     )
+
+
+def bloom_positions(key: Column, n_bits: int, n_hashes: int) -> list[Column]:
+    """The ``n_hashes`` Bloom bit positions of ``key`` (long columns in
+    ``[0, n_bits)``): ``portable_hash32(key || ':' || i) mod n_bits`` —
+    md5-derived, so any engine replays the exact positions (the classic
+    double-hashing trick would also work, but per-index salting keeps the
+    oracle SQL a one-liner per position)."""
+    return [
+        F.pmod(
+            portable_hash32(
+                F.concat_ws(":", key.cast("string"), F.lit(str(i)))
+            ),
+            F.lit(n_bits),
+        ).cast("long")
+        for i in range(n_hashes)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, n_bits: int = 4096, n_hashes: int = 3
+) -> DataFrame:
+    """Build-side of a Bloom semi-join filter: the DISTINCT set bit
+    positions (``pos`` long) of every key in ``df`` — at most ``n_bits``
+    rows regardless of build cardinality.
+
+    This is the engine-portable, explicitly-planned form of the runtime
+    filters lakehouse engines inject (Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` builds one
+    JVM-side; its layout is engine-private so it can never sit under a
+    cross-engine gate). Size ``n_bits`` at ~10 bits per expected build
+    key for ~1% false-positive rate with ``n_hashes=3``
+    (fpp ≈ (1 - e^(-kn/m))^k).
+
+    Plan shape: one map-side projection of the k positions per build row,
+    one DISTINCT exchange bounded by ``n_bits`` rows. The result is a
+    broadcast-sized relation even for multi-million-key builds
+    (1M positions ≈ 8 MB of longs).
+    """
+    pos = bloom_positions(F.col(key_col), n_bits, n_hashes)
+    rows = [df.select(p.alias("pos")) for p in pos]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.distinct()
+
+
+def bloom_prune(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    n_bits: int = 4096,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Filter ``df`` to rows whose ``key_col`` passes the Bloom filter
+    ``bloom`` (from :func:`bloom_build` with the SAME ``n_bits`` /
+    ``n_hashes``). One-sided: every true match survives; a bounded
+    fraction of non-matches leak through (false positives) to be removed
+    by the real join afterwards.
+
+    Why it matters at 100 TB: a selective fact⨝dim join otherwise
+    shuffles the ENTIRE fact side on the join key before the join can
+    drop non-matches. Pruning first — k broadcast left-semi joins against
+    the ≤``n_bits``-row position set, all map-side, zero fact-side
+    exchange — cuts the shuffle to the surviving fraction. This is the
+    portable analog of Spark's runtime bloom pushdown, usable when the
+    filter must be built once and reused across stages/engines.
+    """
+    probe = df
+    for i, p in enumerate(bloom_positions(F.col(key_col), n_bits, n_hashes)):
+        tag = f"__bloom_p{i}"
+        probe = (
+            probe.withColumn(tag, p)
+            .join(
+                F.broadcast(bloom.withColumnRenamed("pos", tag)),
+                on=tag,
+                how="left_semi",
+            )
+            .drop(tag)
+        )
+    return probe

@@ -1314,3 +1314,34 @@ def test_quantile_bins_rejects_degenerate(spark):
     df = spark.createDataFrame([(1, 1.0)], "id long, v double")
     with pytest.raises(ValueError):
         quantile_bins(df, "v", n_bins_out=1, lo=0.0, hi=1.0)
+
+
+# --- Bloom filter pruning ---
+
+def test_bloom_no_false_negatives(spark):
+    from salesforce_plugin_spark.functions.sketch import bloom_build, bloom_prune
+
+    build = spark.createDataFrame([(i,) for i in range(0, 100, 7)], "k long")
+    probe = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    bloom = bloom_build(build, "k", n_bits=256, n_hashes=3)
+    passed = {r.k for r in bloom_prune(probe, "k", bloom, 256, 3).collect()}
+    assert set(range(0, 100, 7)) <= passed  # one-sided: every true key survives
+
+
+def test_bloom_prunes_most_nonmembers(spark):
+    from salesforce_plugin_spark.functions.sketch import bloom_build, bloom_prune
+
+    build = spark.createDataFrame([(i,) for i in range(20)], "k long")
+    probe = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    # 8192 bits / 20 keys / 3 hashes -> fpp well under 1%
+    bloom = bloom_build(build, "k", n_bits=8192, n_hashes=3)
+    n_pass = bloom_prune(probe, "k", bloom, 8192, 3).count()
+    assert 20 <= n_pass <= 20 + 40  # ~2% leak ceiling on 1980 non-members
+
+
+def test_bloom_bit_set_is_bounded(spark):
+    from salesforce_plugin_spark.functions.sketch import bloom_build
+
+    build = spark.createDataFrame([(i,) for i in range(5000)], "k long")
+    bloom = bloom_build(build, "k", n_bits=64, n_hashes=3)
+    assert bloom.count() <= 64
