@@ -4178,6 +4178,36 @@ def q_bloom_prune(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted Bernoulli sampling (operators/pipeline.py
+    weighted_sample): keep each document with probability
+    min(1, n_chars/400), decided by an integer cross-multiplication of
+    the md5 hash of its OWN id — the mixture-reweighting primitive
+    (length/importance-proportional sampling) as a pure map-side filter:
+    zero shuffle, zero RNG state, append-stable (a new document's fate
+    is independent of the rest of the corpus). Docs at >= 400 chars
+    always survive; shorter ones proportionally."""
+    from salesforce_plugin_spark.operators.pipeline import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(d, "doc_id", "n_chars", cap=400)
+
+
+def q_negative_sampling(spark, sf_dir):
+    """Deterministic contrastive-negative generation (operators/
+    pipeline.py negative_samples): every 50th embedding id anchors up to
+    4 pseudo-random corpus negatives drawn via hash-bucket
+    representatives — no cartesian, no RNG state; the corpus reduces to
+    a 64-row broadcast table and the anchor side never shuffles. The
+    draw is a pure integer function of (anchor, j), so a resumed or
+    re-sharded job regenerates identical pairs."""
+    from salesforce_plugin_spark.operators.pipeline import negative_samples
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    anchors = e.filter(F.col("vec_id") % 50 == 0)
+    return negative_samples(e, anchors, "vec_id", k=4, n_buckets=64)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4375,6 +4405,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_rolling_metrics": q_rolling_metrics,
     "q_feature_bins": q_feature_bins,
     "q_bloom_prune": q_bloom_prune,
+    "q_weighted_sample": q_weighted_sample,
+    "q_negative_sampling": q_negative_sampling,
 }
 
 
@@ -7594,4 +7626,29 @@ ORACLES["q_bloom_prune"] = """
            CAST(count(*) - sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM build)
                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
     FROM passed GROUP BY l_returnflag
+"""
+
+ORACLES["q_weighted_sample"] = """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          * 400 < 4294967296 * n_chars
+"""
+
+ORACLES["q_negative_sampling"] = """
+    WITH reps AS (
+        SELECT CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 64 AS b,
+               min(vec_id) AS neg_id
+        FROM embeddings GROUP BY 1
+    ), probes AS (
+        SELECT e.vec_id AS anchor_id, CAST(j AS INT) AS j,
+               CAST(('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || '#' || j),
+                                    1, 8)) AS BIGINT) % 64 AS b
+        FROM embeddings e CROSS JOIN generate_series(0, 3) AS t(j)
+        WHERE e.vec_id % 50 = 0
+    )
+    SELECT p.anchor_id, p.j, r.neg_id
+    FROM probes p JOIN reps r USING (b)
+    WHERE r.neg_id <> p.anchor_id
 """

@@ -164,6 +164,108 @@ def sample_per_group(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    cap: int,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: keep each row
+    independently with probability ``min(1, weight / cap)`` where
+    ``weight`` is a non-negative INTEGER column (token count, byte size,
+    an importance score pre-scaled to integers) — the mixture-reweighting
+    primitive of training-data pipelines ("sample long documents
+    proportionally more", "downsample this source to its quality
+    weight"). Rows with ``weight >= cap`` always survive.
+
+    The coin flip is the md5-derived ``portable_hash32(id)`` compared by
+    cross-multiplication — keep iff ``h * cap < 2^32 * weight`` — so
+    selection is a pure integer function of the row's own id and weight:
+    reproducible across runs, engines, partitionings, and appends (a new
+    row's fate never depends on the rest of the corpus, unlike exact-n
+    quotas). No divide, no float, no RNG state.
+
+    Scale shape: a single map-side codegen projection + filter — zero
+    shuffle, zero driver state; composes with any downstream plan. The
+    cross-multiplication stays in BIGINT for ``cap * 2^32 < 2^63``
+    (cap up to ~2·10^9), enforced here.
+    """
+    if cap <= 0:
+        raise ValueError("weighted_sample requires cap > 0")
+    if cap >= (1 << 31):
+        raise ValueError("cap too large: h * cap must fit in BIGINT")
+    from salesforce_plugin_spark.functions.dedup import portable_hash32
+
+    h = portable_hash32(F.col(id_col).cast("string"))
+    keep = (h * F.lit(cap)) < (F.lit(1 << 32) * F.col(weight_col).cast("long"))
+    return df.filter(keep)
+
+
+def negative_samples(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str,
+    k: int = 4,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic pseudo-random negatives for contrastive training:
+    for each anchor, up to ``k`` corpus items drawn by hash — WITHOUT a
+    cartesian and without RNG state.
+
+    Construction: the corpus reduces to one representative per hash
+    bucket (``min(id)`` over ``portable_hash32(id) mod n_buckets`` — ONE
+    bounded aggregate, ≤ ``n_buckets`` rows, broadcastable). Each anchor
+    probes bucket ``portable_hash32(anchor || '#' || j) mod n_buckets``
+    for ``j in [0, k)`` — a k-way literal explode + a broadcast equijoin,
+    so the anchor side never shuffles. Self-pairs are dropped, and a
+    probe into an empty bucket yields no row, so an anchor receives UP TO
+    ``k`` negatives (exactly k whp once ``|corpus| >> n_buckets``).
+
+    Every stage is an integer function of ids (md5 family), so the draw
+    is reproducible across engines and partitionings — the property that
+    lets a resumed or re-sharded training-data job regenerate identical
+    pairs. Output (scalar-only): ``(anchor_id, j int, neg_id)``.
+
+    At 100 TB: negatives come from bucket representatives, a corpus-size-
+    independent relation; raise ``n_buckets`` for draw diversity (memory
+    cost is the broadcast table, 16 bytes/bucket).
+    """
+    if k < 1 or n_buckets < 2:
+        raise ValueError("negative_samples requires k >= 1, n_buckets >= 2")
+    from salesforce_plugin_spark.functions.dedup import portable_hash32
+
+    reps = (
+        corpus.select(
+            F.pmod(
+                portable_hash32(F.col(id_col).cast("string")), F.lit(n_buckets)
+            ).alias("__b"),
+            F.col(id_col).alias("neg_id"),
+        )
+        .groupBy("__b")
+        .agg(F.min("neg_id").alias("neg_id"))
+    )
+    probes = (
+        anchors.select(F.col(id_col).alias("anchor_id"))
+        .withColumn("j", F.explode(F.array(*[F.lit(j) for j in range(k)])))
+        .withColumn(
+            "__b",
+            F.pmod(
+                portable_hash32(
+                    F.concat_ws(
+                        "#", F.col("anchor_id").cast("string"), F.col("j").cast("string")
+                    )
+                ),
+                F.lit(n_buckets),
+            ),
+        )
+    )
+    return (
+        probes.join(F.broadcast(reps), "__b")
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .select("anchor_id", F.col("j").cast("int").alias("j"), "neg_id")
+    )
+
+
 def compact_parquet(
     spark,
     path: str,

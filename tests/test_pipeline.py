@@ -118,3 +118,92 @@ def test_sample_per_group_quota_and_determinism(spark):
         for r in sample_per_group(df.repartition(7), ["grp"], "id", 4).collect()
     )
     assert picks == again
+
+
+# --- weighted Bernoulli sampling ---
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    from salesforce_plugin_spark.operators.pipeline import weighted_sample
+
+    n = 4000
+    df = spark.createDataFrame([(i, 25) for i in range(n)], "id long, w int")
+    kept = weighted_sample(df, "id", "w", cap=100).count()
+    # p = 0.25; binomial sd ~ 27 rows; allow 5 sigma
+    assert abs(kept - n * 0.25) < 140
+
+
+def test_weighted_sample_keeps_heavy_and_drops_zero(spark):
+    from salesforce_plugin_spark.operators.pipeline import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 250), (3, 0)], "id long, w int"
+    )
+    kept = {r.id for r in weighted_sample(df, "id", "w", cap=100).collect()}
+    assert {1, 2} <= kept and 3 not in kept  # w >= cap always kept; w=0 never
+
+
+def test_weighted_sample_is_append_stable(spark):
+    from salesforce_plugin_spark.operators.pipeline import weighted_sample
+
+    small = spark.createDataFrame([(i, 50) for i in range(100)], "id long, w int")
+    big = spark.createDataFrame([(i, 50) for i in range(200)], "id long, w int")
+    s1 = {r.id for r in weighted_sample(small, "id", "w", cap=100).collect()}
+    s2 = {r.id for r in weighted_sample(big, "id", "w", cap=100).collect()}
+    assert s1 == {i for i in s2 if i < 100}  # membership independent of corpus
+
+
+def test_weighted_sample_rejects_bad_cap(spark):
+    import pytest as _pytest
+
+    from salesforce_plugin_spark.operators.pipeline import weighted_sample
+
+    df = spark.createDataFrame([(1, 1)], "id long, w int")
+    with _pytest.raises(ValueError):
+        weighted_sample(df, "id", "w", cap=0)
+    with _pytest.raises(ValueError):
+        weighted_sample(df, "id", "w", cap=1 << 32)
+
+
+# --- negative sampling ---
+
+def test_negative_samples_basic_contract(spark):
+    from salesforce_plugin_spark.operators.pipeline import negative_samples
+
+    corpus = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    anchors = spark.createDataFrame([(0,), (7,), (42,)], "id long")
+    out = negative_samples(corpus, anchors, "id", k=4, n_buckets=16).collect()
+    assert all(r.neg_id != r.anchor_id for r in out)       # no self-pairs
+    per = {}
+    for r in out:
+        per.setdefault(r.anchor_id, set()).add(r.j)
+    assert all(len(js) <= 4 for js in per.values())        # up to k per anchor
+    assert set(per) <= {0, 7, 42}
+
+
+def test_negative_samples_partitioning_invariant(spark):
+    from salesforce_plugin_spark.operators.pipeline import negative_samples
+
+    corpus = spark.createDataFrame([(i,) for i in range(300)], "id long")
+    anchors = corpus.filter("id % 37 = 0")
+    a = sorted(map(tuple, negative_samples(corpus, anchors, "id").collect()))
+    b = sorted(
+        map(
+            tuple,
+            negative_samples(
+                corpus.repartition(13), anchors.repartition(3), "id"
+            ).collect(),
+        )
+    )
+    assert a == b  # pure function of ids: layout never changes the draw
+
+
+def test_negative_samples_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from salesforce_plugin_spark.operators.pipeline import negative_samples
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError):
+        negative_samples(df, df, "id", k=0)
+    with _pytest.raises(ValueError):
+        negative_samples(df, df, "id", n_buckets=1)
