@@ -4208,6 +4208,29 @@ def q_negative_sampling(spark, sf_dir):
     return negative_samples(e, anchors, "vec_id", k=4, n_buckets=64)
 
 
+def q_grouped_quantiles(spark, sf_dir):
+    """Per-group quantile sketching (functions/sketch.py
+    binned_quantiles with group_cols): p50/p90 of events.value per
+    event_type from ONE histogram pass — the grouped form of
+    q_quantile_sketch. The cumulative window and quantile election
+    partition by group, so the exchange is bounded by
+    |event types| x n_bins rows, never the event count; bin width 0.5
+    is an exact binary double so estimates are bit-identical
+    cross-engine."""
+    from salesforce_plugin_spark.functions.sketch import binned_quantiles
+
+    e = load_table(spark, sf_dir, "events")
+    return binned_quantiles(
+        e,
+        "value",
+        qs=[0.5, 0.9],
+        lo=0.0,
+        hi=500.0,
+        n_bins=1000,
+        group_cols=["event_type"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4407,6 +4430,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_bloom_prune": q_bloom_prune,
     "q_weighted_sample": q_weighted_sample,
     "q_negative_sampling": q_negative_sampling,
+    "q_grouped_quantiles": q_grouped_quantiles,
 }
 
 
@@ -7651,4 +7675,31 @@ ORACLES["q_negative_sampling"] = """
     SELECT p.anchor_id, p.j, r.neg_id
     FROM probes p JOIN reps r USING (b)
     WHERE r.neg_id <> p.anchor_id
+"""
+
+ORACLES["q_grouped_quantiles"] = """
+    WITH binned AS (
+        SELECT event_type,
+               least(999, greatest(0,
+                   CAST(floor(value / 0.5) AS BIGINT))) AS bin
+        FROM events WHERE value IS NOT NULL
+    ), counts AS (
+        SELECT event_type, bin, count(*) AS cnt
+        FROM binned GROUP BY event_type, bin
+    ), cum AS (
+        SELECT event_type, bin, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+        FROM counts
+    ), qs AS (
+        SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS q
+    )
+    SELECT event_type, q,
+           CAST(min(bin) AS INT) AS bin,
+           CAST(0.0 AS DOUBLE) + (min(bin) + 1) * CAST(0.5 AS DOUBLE) AS est,
+           CAST(max(n) AS BIGINT) AS n_total
+    FROM cum, qs
+    WHERE c >= ceil(q * n)
+    GROUP BY event_type, q
 """

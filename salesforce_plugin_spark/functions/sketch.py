@@ -186,6 +186,7 @@ def binned_quantiles(
     lo: float,
     hi: float,
     n_bins: int = 1024,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Single-pass approximate quantiles via a fixed equi-width histogram
     — the distributed-quantile pattern whose every step is deterministic
@@ -204,14 +205,18 @@ def binned_quantiles(
     aggregate per q. Nothing after the first aggregate scales with the
     data.
 
-    Output: ``(q double, bin int, est double, n_total long)``; ``est``
-    is computed with one multiply + one add over exact operands, so it
-    is bit-identical across engines.
+    Output: ``(q double, bin int, est double, n_total long)`` — prefixed
+    by ``group_cols`` when given (per-group quantiles: the cumulative
+    window and the final election partition by group; exchange stays
+    bounded by ``|groups| * n_bins`` rows). ``est`` is computed with one
+    multiply + one add over exact operands, so it is bit-identical
+    across engines.
     """
     if not qs:
         raise ValueError("binned_quantiles requires at least one quantile")
     if not lo < hi:
         raise ValueError("binned_quantiles requires lo < hi")
+    groups = group_cols or []
     width = (hi - lo) / n_bins
     raw_bin = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
     bin_ = F.least(
@@ -219,16 +224,17 @@ def binned_quantiles(
     ).cast("int")
     counts = (
         df.filter(F.col(value_col).isNotNull())
-        .select(bin_.alias("__bin"))
-        .groupBy("__bin")
+        .select(*groups, bin_.alias("__bin"))
+        .groupBy(*groups, "__bin")
         .agg(F.count("*").alias("__cnt"))
     )
     w = (
-        Window.orderBy("__bin")
+        Window.partitionBy(*groups)
+        .orderBy("__bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = counts.withColumn("__cum", F.sum("__cnt").over(w)).withColumn(
-        "__n", F.sum("__cnt").over(Window.partitionBy())
+        "__n", F.sum("__cnt").over(Window.partitionBy(*groups))
     )
     q_df = df.sparkSession.createDataFrame(
         [(float(q),) for q in qs], "q double"
@@ -237,12 +243,13 @@ def binned_quantiles(
         F.col("__cum") >= F.ceil(F.col("q") * F.col("__n"))
     )
     return (
-        hit.groupBy("q")
+        hit.groupBy(*groups, "q")
         .agg(
             F.min("__bin").alias("bin"),
             F.max("__n").alias("n_total"),
         )
         .select(
+            *groups,
             "q",
             "bin",
             (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("est"),

@@ -1345,3 +1345,32 @@ def test_bloom_bit_set_is_bounded(spark):
     build = spark.createDataFrame([(i,) for i in range(5000)], "k long")
     bloom = bloom_build(build, "k", n_bits=64, n_hashes=3)
     assert bloom.count() <= 64
+
+
+def test_binned_quantiles_grouped_matches_per_group_exact(spark):
+    from salesforce_plugin_spark.functions.sketch import binned_quantiles
+
+    rows = [("a", float(v)) for v in range(100)] + [
+        ("b", float(v) * 2) for v in range(50)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        (r.g, r.q): r.est
+        for r in binned_quantiles(
+            df, "v", [0.5], lo=0.0, hi=200.0, n_bins=200, group_cols=["g"]
+        ).collect()
+    }
+    # bin width 1.0: p50 of 0..99 -> bin 49 edge 50; of 0,2,..,98 -> bin 48 edge 49
+    assert out[("a", 0.5)] == 50.0
+    assert out[("b", 0.5)] == 49.0
+
+
+def test_binned_quantiles_grouped_counts_are_per_group(spark):
+    from salesforce_plugin_spark.functions.sketch import binned_quantiles
+
+    rows = [("a", 1.0)] * 30 + [("b", 2.0)] * 70
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r.n_total for r in binned_quantiles(
+        df, "v", [0.5], lo=0.0, hi=4.0, n_bins=4, group_cols=["g"]
+    ).collect()}
+    assert out == {"a": 30, "b": 70}
