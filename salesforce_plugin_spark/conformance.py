@@ -4231,6 +4231,20 @@ def q_grouped_quantiles(spark, sf_dir):
     )
 
 
+def q_key_skew(spark, sf_dir):
+    """Key-distribution profiling (operators/analytics.py key_skew): the
+    10 hottest events.user_id values with exact counts, parts-per-
+    million share, and an integer hotness-vs-uniform ratio — the
+    measurement a 100 TB shuffle plan runs BEFORE choosing salting /
+    AQE skew splits / broadcast. One map-side-combined key aggregate, a
+    broadcast 1-row stat join, a top-n election; integer floor divides
+    keep it engine-replayable."""
+    from salesforce_plugin_spark.operators.analytics import key_skew
+
+    e = load_table(spark, sf_dir, "events")
+    return key_skew(e, "user_id", top_n=10)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4431,6 +4445,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_weighted_sample": q_weighted_sample,
     "q_negative_sampling": q_negative_sampling,
     "q_grouped_quantiles": q_grouped_quantiles,
+    "q_key_skew": q_key_skew,
 }
 
 
@@ -7702,4 +7717,22 @@ ORACLES["q_grouped_quantiles"] = """
     FROM cum, qs
     WHERE c >= ceil(q * n)
     GROUP BY event_type, q
+"""
+
+ORACLES["q_key_skew"] = """
+    WITH counts AS (
+        SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+        FROM events GROUP BY 1
+    ), stats AS (
+        SELECT sum(n) AS total, count(*) AS nd FROM counts
+    ), ranked AS (
+        SELECT key, n,
+               row_number() OVER (ORDER BY n DESC, key) AS rnk
+        FROM counts
+    )
+    SELECT r.key, r.n, CAST(r.rnk AS INT) AS rnk,
+           r.n * 1000000 // s.total AS share_ppm,
+           r.n * s.nd * 1000 // s.total AS hot_x1000
+    FROM ranked r CROSS JOIN stats s
+    WHERE r.rnk <= 10
 """

@@ -282,3 +282,47 @@ def copurchase_pairs(
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= min_support)
     )
+
+
+def key_skew(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Key-distribution profile for shuffle planning: the ``top_n``
+    hottest values of ``key_col`` with exact counts and integer skew
+    statistics — the measurement step before choosing a join strategy at
+    scale (a key holding >> 1/distinct of the rows is the one that makes
+    a shuffle partition straggle; the fix is salting or an AQE skew
+    split, but first you have to SEE it).
+
+    Per hot key (deterministic order: count desc, key asc):
+      - ``n``          exact row count (long)
+      - ``rnk``        1-based hotness rank (int)
+      - ``share_ppm``  n * 10^6 div total_rows (long, parts-per-million)
+      - ``hot_x1000``  n * n_distinct * 1000 div total_rows (long):
+                       1000 = exactly the mean key frequency; 50000 =
+                       this key is 50x hotter than uniform.
+
+    Integer floor divisions only — engine-replayable. Plan: ONE
+    map-side-combined exchange on the key (the same aggregate any
+    profiler must pay), a single-row global stat aggregate broadcast
+    back, and a top-n election over the counts (TakeOrderedAndProject-
+    sized). Nothing scales past the distinct-key count.
+    """
+    if top_n < 1:
+        raise ValueError("key_skew requires top_n >= 1")
+    counts = (
+        df.groupBy(F.col(key_col).cast("string").alias("key"))
+        .agg(F.count("*").alias("n"))
+    )
+    stats = counts.agg(
+        F.sum("n").alias("__total"), F.count("*").alias("__distinct")
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("key"))
+    top = counts.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= top_n
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "key",
+        "n",
+        F.col("rnk").cast("int").alias("rnk"),
+        F.expr("n * 1000000 div __total").alias("share_ppm"),
+        F.expr("n * __distinct * 1000 div __total").alias("hot_x1000"),
+    )

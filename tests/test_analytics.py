@@ -1374,3 +1374,25 @@ def test_binned_quantiles_grouped_counts_are_per_group(spark):
         df, "v", [0.5], lo=0.0, hi=4.0, n_bins=4, group_cols=["g"]
     ).collect()}
     assert out == {"a": 30, "b": 70}
+
+
+def test_key_skew_flags_hot_key(spark):
+    from salesforce_plugin_spark.operators.analytics import key_skew
+
+    rows = [("hot",)] * 90 + [(f"k{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew(df, "k", top_n=3).collect()
+    top = next(r for r in out if r.rnk == 1)
+    assert top.key == "hot" and top.n == 90
+    assert top.share_ppm == 900000          # 90/100
+    assert top.hot_x1000 == 90 * 11 * 1000 // 100  # 9900: ~10x uniform
+
+
+def test_key_skew_deterministic_tiebreak(spark):
+    from salesforce_plugin_spark.operators.analytics import key_skew
+
+    df = spark.createDataFrame([("b",), ("a",), ("c",)], "k string")
+    out = [r.key for r in key_skew(df, "k", top_n=3).collect()]
+    assert sorted(out) == ["a", "b", "c"]
+    by_rank = {r.rnk: r.key for r in key_skew(df, "k", top_n=3).collect()}
+    assert by_rank == {1: "a", 2: "b", 3: "c"}  # equal counts: key order
