@@ -4245,6 +4245,23 @@ def q_key_skew(spark, sf_dir):
     return key_skew(e, "user_id", top_n=10)
 
 
+def q_containment(spark, sf_dir):
+    """Directional near-containment (functions/dedup.py
+    containment_pairs): pairs where >= 60% of a's 3-gram shingles also
+    appear in b — the doc-in-doc signal symmetric Jaccard misses (a
+    short doc quoted in a long one has low Jaccard but high
+    containment). Rare-shingle blocking (df in [2, 20]) bounds
+    candidates at df^2 per shingle; verification counts the full
+    intersection for candidates only; the threshold is an integer
+    percent floor."""
+    from salesforce_plugin_spark.functions.dedup import containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        d, "doc_id", "text", shingle_n=3, max_df=20, threshold_pct=60
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4446,6 +4463,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_negative_sampling": q_negative_sampling,
     "q_grouped_quantiles": q_grouped_quantiles,
     "q_key_skew": q_key_skew,
+    "q_containment": q_containment,
 }
 
 
@@ -7735,4 +7753,41 @@ ORACLES["q_key_skew"] = """
            r.n * s.nd * 1000 // s.total AS hot_x1000
     FROM ranked r CROSS JOIN stats s
     WHERE r.rnk <= 10
+"""
+
+ORACLES["q_containment"] = r"""
+    WITH toked AS (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              x -> lower(x)) AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(t, s, s + 2), ' ') AS shingle
+        FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 2)) AS s
+            FROM toked WHERE len(t) >= 3
+        )
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), rare AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) BETWEEN 2 AND 20
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN rare r ON a.shingle = r.shingle
+                  JOIN sh b ON b.shingle = a.shingle
+        WHERE a.doc_id <> b.doc_id
+    ), inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_int
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b, i.n_int, s.n_sh AS n_sh_a,
+           100 * i.n_int // s.n_sh AS contain_pct
+    FROM inter i JOIN sizes s ON s.doc_id = i.id_a
+    WHERE 100 * i.n_int // s.n_sh >= 60
 """

@@ -1031,3 +1031,78 @@ def near_dedup_apply(
         )
     )
     return out, new_bands
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    max_df: int = 20,
+    threshold_pct: int = 80,
+) -> DataFrame:
+    """Directional near-containment detection — pairs ``(a → b)`` where at
+    least ``threshold_pct`` % of a's distinct shingles also appear in b:
+    the doc-in-doc signal (quotes, boilerplate wrappers, excerpt pages)
+    that symmetric Jaccard MISSES by construction (a short doc fully
+    quoted inside a long one has near-zero Jaccard but containment 1.0,
+    so minhash-LSH banding never surfaces the pair; Broder's original
+    resemblance/containment distinction).
+
+    Candidate generation blocks on RARE shingles (document frequency in
+    ``[2, max_df]``): a contained doc shares its — mostly rare —
+    shingles with its container, while stop-phrase shingles (high df)
+    never generate pairs, bounding candidates at ``df²`` per rare
+    shingle instead of N². Verification counts the FULL shingle
+    intersection for candidate pairs only (pair ⨝ a-shingles ⨝
+    b-shingles — cost |candidates| × |shingles(a)|, never corpus²) and
+    keeps pairs by an integer percent floor: no float at the boundary.
+
+    Output (scalar-only): ``(id_a, id_b, n_int long, n_sh_a long,
+    contain_pct long)`` — a's shingle count, the intersection size, and
+    ``100 * n_int div n_sh_a``.
+
+    At 100 TB: ``max_df`` is the knob — it caps per-shingle join fan-out
+    (quadratic in df, so keep it tens); raising ``shingle_n`` makes
+    shingles rarer and blocking sharper at the cost of missing heavily
+    edited containers.
+    """
+    if not 0 < threshold_pct <= 100:
+        raise ValueError("threshold_pct must be in (0, 100]")
+    if max_df < 2:
+        raise ValueError("max_df must be >= 2 (pairs need df >= 2)")
+    sh = exploded_shingles(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("__df"))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
+        .select("shingle")
+    )
+    rare_sh = sh.join(rare, "shingle")
+    a = rare_sh.select(F.col("shingle"), F.col(id_col).alias("id_a"))
+    b = rare_sh.select(F.col("shingle"), F.col(id_col).alias("id_b"))
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_int"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_sh_a")),
+            "id_a",
+        )
+        .withColumn("contain_pct", F.expr("100 * n_int div n_sh_a"))
+        .filter(F.col("contain_pct") >= threshold_pct)
+        .select("id_a", "id_b", "n_int", "n_sh_a", "contain_pct")
+    )
+    return out

@@ -499,3 +499,38 @@ def test_near_dedup_apply_equals_full_rebuild(spark):
     assert by_id[11] == 11 and by_id[13] == 13  # fresh + shingle-less singleton
     # the appended state is one band row set per batch doc with shingles
     assert new_bands.select("doc_id").distinct().count() == 3
+
+
+# --- directional containment ---
+
+def test_containment_finds_quoted_doc_jaccard_misses(spark):
+    from salesforce_plugin_spark.functions.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long = (
+        "intro words here now " + short + " plus a very long tail "
+        "of unrelated filler text that dilutes the jaccard overlap "
+        "far below any banding threshold used by minhash pipelines"
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "completely different content entirely")],
+        "doc_id long, text string",
+    )
+    out = {(r.id_a, r.id_b): r.contain_pct for r in containment_pairs(
+        df, "doc_id", "text", shingle_n=3, max_df=10, threshold_pct=80
+    ).collect()}
+    assert out.get((1, 2)) == 100        # short fully contained in long
+    assert (2, 1) not in out             # reverse direction is far below
+    assert all(a != 3 and b != 3 for a, b in out)
+
+
+def test_containment_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from salesforce_plugin_spark.functions.dedup import containment_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        containment_pairs(df, "doc_id", "text", threshold_pct=0)
+    with _pytest.raises(ValueError):
+        containment_pairs(df, "doc_id", "text", max_df=1)
