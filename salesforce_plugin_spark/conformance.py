@@ -4262,6 +4262,36 @@ def q_containment(spark, sf_dir):
     )
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot differencing (operators/merge.py snapshot_diff) — the
+    inverse of q_cdc_merge: manufacture a change feed from two full
+    extracts (the reference's full-object pull shape). The 'new'
+    snapshot is derived deterministically from orders so the oracle can
+    rebuild it: orderkey%10==3 rows deleted, %10==5 prices doubled,
+    %10==0 re-keyed +10^9 as inserts. Money compared as exact integer
+    cents; one full-outer key join; unchanged keys emit nothing."""
+    from salesforce_plugin_spark.operators.merge import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    key10 = F.col("o_orderkey") % 10
+    new = o.filter(key10 != 3).select(
+        "o_orderkey",
+        F.when(key10 == 5, F.col("cents") * 2).otherwise(F.col("cents")).alias(
+            "cents"
+        ),
+    )
+    inserts = o.filter(key10 == 0).select(
+        (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("o_orderkey"),
+        (F.col("cents") + 7).alias("cents"),
+    )
+    return snapshot_diff(
+        o, new.unionAll(inserts), ["o_orderkey"], ["cents"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4464,6 +4494,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_grouped_quantiles": q_grouped_quantiles,
     "q_key_skew": q_key_skew,
     "q_containment": q_containment,
+    "q_snapshot_diff": q_snapshot_diff,
 }
 
 
@@ -7790,4 +7821,33 @@ ORACLES["q_containment"] = r"""
            100 * i.n_int // s.n_sh AS contain_pct
     FROM inter i JOIN sizes s ON s.doc_id = i.id_a
     WHERE 100 * i.n_int // s.n_sh >= 60
+"""
+
+ORACLES["q_snapshot_diff"] = """
+    WITH old AS (
+        SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ), new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 5 THEN cents * 2 ELSE cents END AS cents
+        FROM old WHERE o_orderkey % 10 <> 3
+        UNION ALL
+        SELECT o_orderkey + 1000000000 AS o_orderkey, cents + 7 AS cents
+        FROM old WHERE o_orderkey % 10 = 0
+    ), j AS (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               o.cents AS cents_old, n.cents AS cents_new,
+               (o.o_orderkey IS NOT NULL) AS in_old,
+               (n.o_orderkey IS NOT NULL) AS in_new
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey,
+           CASE WHEN NOT in_old THEN 'insert'
+                WHEN NOT in_new THEN 'delete'
+                WHEN cents_old IS DISTINCT FROM cents_new THEN 'update'
+           END AS change,
+           cents_old, cents_new
+    FROM j
+    WHERE (NOT in_old) OR (NOT in_new)
+       OR (cents_old IS DISTINCT FROM cents_new)
 """

@@ -69,3 +69,60 @@ def apply_changes(
             if c not in keys
         ],
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Derive a change feed from two table versions — the INVERSE of
+    :func:`apply_changes`: given yesterday's and today's snapshot of a
+    keyed table, emit one row per differing key with
+    ``change ∈ {'insert', 'delete', 'update'}`` and the old/new values
+    of each compared column (suffixed ``_old`` / ``_new``). Unchanged
+    keys produce nothing. This is how a CDC feed is manufactured when
+    the source system only hands you full extracts (the reference's
+    Salesforce full-object pulls are exactly that shape) — diff the
+    snapshots, then drive the incremental consumers.
+
+    Keys must be unique per snapshot (enforce upstream with
+    ``dedup_exact``); ``compare_cols`` should be exact-typed (ints,
+    longs, dates, strings, exact decimals) so equality is engine-
+    unambiguous — pre-quantize floats.
+
+    Plan: ONE full-outer equi-join on the key (both sides shuffle on the
+    key once — unavoidable for a keyed diff; co-partitioned/bucketed
+    snapshots make it exchange-free), null-pattern classification,
+    a null-safe-inequality OR across the compared columns. Output is
+    ~|changed| rows, typically << |snapshot|.
+    """
+    if not key_cols or not compare_cols:
+        raise ValueError("snapshot_diff requires key_cols and compare_cols")
+    o = old.select(
+        *[F.col(k) for k in key_cols],
+        *[F.col(c).alias(f"{c}_old") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k) for k in key_cols],
+        *[F.col(c).alias(f"{c}_new") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    joined = o.join(n, key_cols, "full_outer")
+    any_diff = None
+    for c in compare_cols:
+        d = ~F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
+        any_diff = d if any_diff is None else (any_diff | d)
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(any_diff, F.lit("update"))
+    )
+    out_cols = (
+        [*key_cols, change.alias("change")]
+        + [f"{c}_old" for c in compare_cols]
+        + [f"{c}_new" for c in compare_cols]
+    )
+    return joined.select(*out_cols).filter(F.col("change").isNotNull())

@@ -1396,3 +1396,55 @@ def test_key_skew_deterministic_tiebreak(spark):
     assert sorted(out) == ["a", "b", "c"]
     by_rank = {r.rnk: r.key for r in key_skew(df, "k", top_n=3).collect()}
     assert by_rank == {1: "a", 2: "b", 3: "c"}  # equal counts: key order
+
+
+# --- snapshot diff ---
+
+def test_snapshot_diff_classifies_all_three(spark):
+    from salesforce_plugin_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, v long"
+    )
+    new = spark.createDataFrame(
+        [(1, 10), (2, 99), (4, 40)], "k long, v long"
+    )
+    out = {r.k: (r.change, r.v_old, r.v_new) for r in snapshot_diff(
+        old, new, ["k"], ["v"]
+    ).collect()}
+    assert out == {
+        2: ("update", 20, 99),
+        3: ("delete", 30, None),
+        4: ("insert", None, 40),
+    }  # key 1 unchanged: absent
+
+
+def test_snapshot_diff_null_values_are_not_changes(spark):
+    from salesforce_plugin_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, None)], "k long, v string")
+    new = spark.createDataFrame([(1, None), (2, "x")], "k long, v string")
+    out = {r.k: r.change for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert out == {2: "update"}  # null==null via null-safe equality
+
+
+def test_snapshot_diff_roundtrips_through_apply_changes(spark):
+    from salesforce_plugin_spark.operators.merge import apply_changes, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "k long, v long"
+    )
+    new = spark.createDataFrame(
+        [(i, i * 10 + (7 if i % 5 == 0 else 0)) for i in range(2, 22)],
+        "k long, v long",
+    )
+    feed = snapshot_diff(old, new, ["k"], ["v"]).select(
+        "k",
+        F.col("v_new").alias("v"),
+        F.when(F.col("change") == "delete", "d").otherwise("u").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    rebuilt = apply_changes(old, feed, ["k"], order_by=["seq"], op_col="op")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )  # diff -> apply reproduces the new snapshot exactly
