@@ -4292,6 +4292,21 @@ def q_snapshot_diff(spark, sf_dir):
     )
 
 
+def q_percentile_normalize(spark, sf_dir):
+    """Percentile-rank normalization (functions/sketch.py
+    percentile_normalize): every event's value replaced by its corpus
+    percentile in ppm — the scale/outlier-robust feature transform —
+    WITHOUT the global sort exact ranking needs: pass 1 is a bounded
+    cumulative histogram (bin width 0.5, exact binary), pass 2 a
+    broadcast join back on the bin id; the data side never shuffles.
+    Ties within a bin share a rank, making the result deterministic
+    under any row order; the ppm is an integer floor."""
+    from salesforce_plugin_spark.functions.sketch import percentile_normalize
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    return percentile_normalize(e, "value", lo=0.0, hi=500.0, n_bins=1000)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4495,6 +4510,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_key_skew": q_key_skew,
     "q_containment": q_containment,
     "q_snapshot_diff": q_snapshot_diff,
+    "q_percentile_normalize": q_percentile_normalize,
 }
 
 
@@ -7850,4 +7866,23 @@ ORACLES["q_snapshot_diff"] = """
     FROM j
     WHERE (NOT in_old) OR (NOT in_new)
        OR (cents_old IS DISTINCT FROM cents_new)
+"""
+
+ORACLES["q_percentile_normalize"] = """
+    WITH binned AS (
+        SELECT event_id, value,
+               least(999, greatest(0,
+                   CAST(floor(value / 0.5) AS BIGINT))) AS bin
+        FROM events WHERE value IS NOT NULL
+    ), counts AS (
+        SELECT bin, count(*) AS cnt FROM binned GROUP BY bin
+    ), hist AS (
+        SELECT bin,
+               1000000 * sum(cnt) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               // (sum(cnt) OVER ()) AS pct_ppm
+        FROM counts
+    )
+    SELECT b.event_id, b.value, h.pct_ppm
+    FROM binned b JOIN hist h USING (bin)
 """

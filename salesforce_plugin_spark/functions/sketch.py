@@ -565,3 +565,56 @@ def bloom_prune(
             .drop(tag)
         )
     return probe
+
+
+def percentile_normalize(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 1000,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Percentile-rank normalization of a numeric column — the feature-
+    engineering transform that replaces a raw score with its corpus
+    percentile (robust to scale/outliers, comparable across sources):
+    every row gains ``pct_ppm`` (long, parts-per-million), the fraction
+    of rows whose histogram bin is at or below this row's bin.
+
+    Exact rank normalization needs a global sort (or a per-group sort) —
+    a full-width exchange of the data. This sketch form is the 100 TB
+    shape: pass 1 reduces to a ≤ ``groups x n_bins``-row cumulative
+    histogram (one map-side-combined exchange); pass 2 joins it back
+    BROADCAST on the bin id — the data side is scanned once and never
+    shuffles. Resolution is one bin (choose ``n_bins`` accordingly);
+    ties within a bin share a rank, which is what makes the result
+    deterministic under any row order. ``10^6 * cum div n`` is an
+    integer floor — engine-replayable, no float at any boundary.
+
+    Output: all of ``df``'s columns plus ``pct_ppm``.
+    """
+    groups = group_cols or []
+    width = (hi - lo) / n_bins
+    raw_bin = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw_bin)).cast("int")
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*groups, bin_.alias("__bin"))
+        .groupBy(*groups, "__bin")
+        .agg(F.count("*").alias("__cnt"))
+    )
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = (
+        counts.withColumn("__cum", F.sum("__cnt").over(w))
+        .withColumn("__n", F.sum("__cnt").over(Window.partitionBy(*groups)))
+        .select(*groups, "__bin", F.expr("1000000 * __cum div __n").alias("pct_ppm"))
+    )
+    return (
+        df.withColumn("__bin", bin_)
+        .join(F.broadcast(hist), [*groups, "__bin"])
+        .drop("__bin")
+    )

@@ -1448,3 +1448,29 @@ def test_snapshot_diff_roundtrips_through_apply_changes(spark):
     assert sorted(map(tuple, rebuilt.collect())) == sorted(
         map(tuple, new.collect())
     )  # diff -> apply reproduces the new snapshot exactly
+
+
+def test_percentile_normalize_monotone_and_bounded(spark):
+    from salesforce_plugin_spark.functions.sketch import percentile_normalize
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, v double"
+    )
+    out = {r.id: r.pct_ppm for r in percentile_normalize(
+        df, "v", lo=0.0, hi=100.0, n_bins=100
+    ).collect()}
+    assert out[0] == 10000          # first bin: 1/100 -> 10000 ppm
+    assert out[99] == 1000000       # top bin: full mass
+    assert all(out[i] <= out[i + 1] for i in range(99))  # monotone in value
+
+
+def test_percentile_normalize_grouped_is_per_group(spark):
+    from salesforce_plugin_spark.functions.sketch import percentile_normalize
+
+    rows = [("a", float(v)) for v in range(10)] + [("b", float(v)) for v in range(5)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = percentile_normalize(
+        df, "v", lo=0.0, hi=10.0, n_bins=10, group_cols=["g"]
+    ).collect()
+    top_b = next(r for r in out if r.g == "b" and r.v == 4.0)
+    assert top_b.pct_ppm == 1000000  # b's max is b's 100th pct, not the corpus's
