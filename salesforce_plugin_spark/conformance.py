@@ -4307,6 +4307,29 @@ def q_percentile_normalize(spark, sf_dir):
     return percentile_normalize(e, "value", lo=0.0, hi=500.0, n_bins=1000)
 
 
+def q_fk_audit(spark, sf_dir):
+    """Referential-integrity audit (operators/validate.py fk_orphans):
+    three FK relationships checked in one result — lineitem→orders and
+    orders→customer against the true parents (zero orphans expected on
+    healthy fixtures) and orders→customer against a DELIBERATELY
+    truncated parent (customers of nations 0-11 only), which surfaces
+    real orphan counts, proving the detector fires. Each audit is a
+    distinct-key aggregate + one parent-key join; NULL FKs are excluded
+    by contract."""
+    from salesforce_plugin_spark.operators.validate import fk_orphans
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    c_trunc = c.filter(F.col("c_nationkey") <= 11)
+    a1 = fk_orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+    a2 = fk_orphans(o, "o_custkey", c, "c_custkey", "orders->customer")
+    a3 = fk_orphans(
+        o, "o_custkey", c_trunc, "c_custkey", "orders->customer_trunc"
+    )
+    return a1.unionAll(a2).unionAll(a3)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4511,6 +4534,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_containment": q_containment,
     "q_snapshot_diff": q_snapshot_diff,
     "q_percentile_normalize": q_percentile_normalize,
+    "q_fk_audit": q_fk_audit,
 }
 
 
@@ -7885,4 +7909,36 @@ ORACLES["q_percentile_normalize"] = """
     )
     SELECT b.event_id, b.value, h.pct_ppm
     FROM binned b JOIN hist h USING (bin)
+"""
+
+ORACLES["q_fk_audit"] = """
+    WITH audit AS (
+        SELECT 'lineitem->orders' AS relationship,
+               l_orderkey AS fk, count(*) AS rws,
+               max(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS orphan
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l_orderkey IS NOT NULL
+        GROUP BY l_orderkey
+        UNION ALL
+        SELECT 'orders->customer', o_custkey, count(*),
+               max(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o_custkey IS NOT NULL
+        GROUP BY o_custkey
+        UNION ALL
+        SELECT 'orders->customer_trunc', o_custkey, count(*),
+               max(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        FROM orders o LEFT JOIN (
+            SELECT c_custkey FROM customer WHERE c_nationkey <= 11
+        ) c ON o.o_custkey = c.c_custkey
+        WHERE o_custkey IS NOT NULL
+        GROUP BY o_custkey
+    )
+    SELECT relationship,
+           sum(rws) AS n_child_rows,
+           count(*) AS n_child_keys,
+           CAST(sum(CASE WHEN orphan = 1 THEN rws ELSE 0 END) AS BIGINT)
+               AS n_orphan_rows,
+           CAST(sum(orphan) AS BIGINT) AS n_orphan_keys
+    FROM audit GROUP BY relationship
 """

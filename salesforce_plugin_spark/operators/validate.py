@@ -178,3 +178,50 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             )
         )
     return prof.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def fk_orphans(
+    child: DataFrame,
+    fk_col: str,
+    parent: DataFrame,
+    pk_col: str,
+    relationship: str,
+) -> DataFrame:
+    """Referential-integrity audit for one foreign-key relationship: ONE
+    summary row ``(relationship, n_child_rows, n_child_keys,
+    n_orphan_rows, n_orphan_keys)`` counting child rows/keys whose
+    ``fk_col`` has no match in ``parent.pk_col`` (NULL FKs are not
+    orphans — they are absent references, flagged separately by
+    ``Expectation.not_null``). Union several calls for a schema-wide
+    audit — the post-load check an ELT pipeline runs after every
+    snapshot/CDC apply (the reference pipeline trusts Redshift
+    constraints it never enforces; declared-but-unenforced FKs are
+    exactly where orphans accumulate).
+
+    Plan: the parent reduces to its DISTINCT key set; the child's
+    distinct-FK aggregate LEFT-joins it (AQE broadcasts a dim-sized key
+    set; degrades to SMJ past the threshold rather than OOM) carrying
+    per-key child-row counts, so orphan rows are summed WITHOUT a
+    second child scan. Exchanges: child key aggregate + the join; the
+    final aggregate is one row.
+    """
+    keys = (
+        child.filter(F.col(fk_col).isNotNull())
+        .groupBy(F.col(fk_col).alias("__fk"))
+        .agg(F.count("*").alias("__rows"))
+    )
+    pk = parent.select(F.col(pk_col).alias("__fk")).distinct().withColumn(
+        "__hit", F.lit(1)
+    )
+    joined = keys.join(pk, "__fk", "left")
+    return joined.agg(
+        F.lit(relationship).alias("relationship"),
+        F.sum("__rows").alias("n_child_rows"),
+        F.count("*").alias("n_child_keys"),
+        F.sum(F.when(F.col("__hit").isNull(), F.col("__rows")).otherwise(0)).alias(
+            "n_orphan_rows"
+        ),
+        F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_orphan_keys"),
+    )

@@ -126,3 +126,28 @@ def test_approx_profile_within_error_bounds(spark):
     lo, hi = o.approxQuantile("o_totalprice", [0.45, 0.55], 0.001)
     assert lo <= q50 <= hi
     assert q50 < q95 < q99
+
+
+# --- FK orphan audit ---
+
+def test_fk_orphans_counts_rows_and_keys(spark):
+    from salesforce_plugin_spark.operators.validate import fk_orphans
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (9,), (9,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    r = fk_orphans(child, "fk", parent, "pk", "c->p").collect()[0]
+    assert r.relationship == "c->p"
+    assert r.n_child_rows == 6          # NULL fk excluded by contract
+    assert r.n_child_keys == 3
+    assert r.n_orphan_rows == 3 and r.n_orphan_keys == 1   # key 9
+
+
+def test_fk_orphans_clean_relationship_is_zero(spark):
+    from salesforce_plugin_spark.operators.validate import fk_orphans
+
+    child = spark.createDataFrame([(i % 5,) for i in range(50)], "fk long")
+    parent = spark.createDataFrame([(i,) for i in range(5)], "pk long")
+    r = fk_orphans(child, "fk", parent, "pk", "ok").collect()[0]
+    assert r.n_orphan_rows == 0 and r.n_orphan_keys == 0
