@@ -4330,6 +4330,28 @@ def q_fk_audit(spark, sf_dir):
     return a1.unionAll(a2).unionAll(a3)
 
 
+def q_iqr_outliers(spark, sf_dir):
+    """Tukey-fence robust outliers (functions/sketch.py iqr_outliers):
+    quartiles from the deterministic histogram sketch (bin width 1.0,
+    exact binary), fences Q1/Q3 -+ 3*(Q3-Q1)/2, one broadcast 1-row
+    join + map-side filter. The fixture seeds deterministic corruption
+    (event_id % 97 == 0 gets +5000) so the fence provably fires on the
+    ~1% damaged tail while the quartiles, being rank statistics, ignore
+    it — the masking resistance mean/sigma fences lack."""
+    from salesforce_plugin_spark.functions.sketch import iqr_outliers
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (
+            F.col("value")
+            + F.when(F.col("event_id") % 97 == 0, F.lit(5000.0)).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("value_adj"),
+    )
+    return iqr_outliers(e, "value_adj", lo=0.0, hi=8192.0, n_bins=8192)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4535,6 +4557,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_snapshot_diff": q_snapshot_diff,
     "q_percentile_normalize": q_percentile_normalize,
     "q_fk_audit": q_fk_audit,
+    "q_iqr_outliers": q_iqr_outliers,
 }
 
 
@@ -7941,4 +7964,38 @@ ORACLES["q_fk_audit"] = """
                AS n_orphan_rows,
            CAST(sum(orphan) AS BIGINT) AS n_orphan_keys
     FROM audit GROUP BY relationship
+"""
+
+ORACLES["q_iqr_outliers"] = """
+    WITH adj AS (
+        SELECT event_id,
+               value + CASE WHEN event_id % 97 = 0 THEN 5000.0 ELSE 0.0 END
+                   AS value_adj
+        FROM events WHERE value IS NOT NULL
+    ), binned AS (
+        SELECT least(8191, greatest(0,
+                   CAST(floor(value_adj / 1.0) AS BIGINT))) AS bin
+        FROM adj
+    ), counts AS (
+        SELECT bin, count(*) AS cnt FROM binned GROUP BY bin
+    ), cum AS (
+        SELECT bin,
+               sum(cnt) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+               sum(cnt) OVER () AS n
+        FROM counts
+    ), quart AS (
+        SELECT
+            (SELECT CAST(0.0 AS DOUBLE) + (min(bin) + 1) * 1.0 FROM cum
+             WHERE c >= ceil(0.25 * n)) AS q1,
+            (SELECT CAST(0.0 AS DOUBLE) + (min(bin) + 1) * 1.0 FROM cum
+             WHERE c >= ceil(0.75 * n)) AS q3
+    ), fences AS (
+        SELECT q1 - (3 * (q3 - q1)) / 2 AS lo_fence,
+               q3 + (3 * (q3 - q1)) / 2 AS hi_fence
+        FROM quart
+    )
+    SELECT a.event_id, a.value_adj, f.lo_fence, f.hi_fence
+    FROM adj a CROSS JOIN fences f
+    WHERE a.value_adj < f.lo_fence OR a.value_adj > f.hi_fence
 """

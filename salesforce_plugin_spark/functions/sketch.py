@@ -618,3 +618,45 @@ def percentile_normalize(
         .join(F.broadcast(hist), [*groups, "__bin"])
         .drop("__bin")
     )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 1000,
+) -> DataFrame:
+    """Tukey-fence robust outlier detection from the histogram sketch:
+    rows where ``value`` falls outside ``[Q1 - 1.5*IQR, Q3 + 1.5*IQR]``
+    — the quartile-based complement to ``analytics.zscore_outliers``
+    (median/IQR ignore the outliers themselves, so one huge corrupt
+    value can't widen the fence that should catch it, the masking
+    problem mean/sigma fences have).
+
+    Quartiles come from :func:`binned_quantiles` (single bounded pass);
+    with ``lo/hi/n_bins`` chosen so the bin width is an exact binary
+    double, Q1/Q3 — and therefore the fences ``Q1 - 3*(Q3-Q1)/2`` /
+    ``Q3 + 3*(Q3-Q1)/2``, built from one subtract/multiply/divide-by-2
+    each — are bit-identical across engines, and the fence comparison
+    is unambiguous. The factor is fixed at Tukey's 3/2 (exact in
+    binary) by design.
+
+    Plan: the sketch's bounded exchange, a 1-row fence aggregate
+    broadcast back, one map-side filter. Output: all of ``df``'s
+    columns plus ``lo_fence``/``hi_fence`` (double).
+    """
+    cuts = binned_quantiles(df, value_col, [0.25, 0.75], lo, hi, n_bins)
+    fences = cuts.agg(
+        F.min(F.when(F.col("q") == 0.25, F.col("est"))).alias("__q1"),
+        F.min(F.when(F.col("q") == 0.75, F.col("est"))).alias("__q3"),
+    ).select(
+        (F.col("__q1") - (F.lit(3) * (F.col("__q3") - F.col("__q1"))) / F.lit(2))
+        .alias("lo_fence"),
+        (F.col("__q3") + (F.lit(3) * (F.col("__q3") - F.col("__q1"))) / F.lit(2))
+        .alias("hi_fence"),
+    )
+    return df.crossJoin(F.broadcast(fences)).filter(
+        (F.col(value_col) < F.col("lo_fence"))
+        | (F.col(value_col) > F.col("hi_fence"))
+    )

@@ -1,5 +1,6 @@
 from salesforce_plugin_spark.operators.analytics import (
     cohort_retention,
+    key_skew,
     copurchase_pairs,
     funnel,
     session_transitions,
@@ -16,7 +17,7 @@ from salesforce_plugin_spark.operators.joins import (
     interval_overlap_join,
     range_join_bucketed,
 )
-from salesforce_plugin_spark.operators.merge import apply_changes
+from salesforce_plugin_spark.operators.merge import apply_changes, snapshot_diff
 from salesforce_plugin_spark.operators.timeseries import (
     resample_daily_ffill,
     rolling_daily_metrics,
@@ -52,6 +53,8 @@ from salesforce_plugin_spark.operators.transforms import (
 
 __all__ = [
     "funnel",
+    "key_skew",
+    "snapshot_diff",
     "cohort_retention",
     "copurchase_pairs",
     "session_transitions",

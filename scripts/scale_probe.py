@@ -108,6 +108,15 @@ PROBE = [
     "q_resample_ffill",
     "q_rolling_metrics",
     "q_feature_bins",
+    "q_bloom_prune",
+    "q_weighted_sample",
+    "q_negative_sampling",
+    "q_grouped_quantiles",
+    "q_key_skew",
+    "q_containment",
+    "q_snapshot_diff",
+    "q_percentile_normalize",
+    "q_fk_audit",
 ]
 
 
@@ -150,7 +159,15 @@ def time_query(fn, spark, sf_dir: str, runs: int = 2) -> float:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    # args: [sf_dir] [q_name ...] — q_ args restrict the probe to those queries
+    sf_dir = "/root/testdata/sf0.1"
+    names = []
+    for a in sys.argv[1:]:
+        if a.startswith("q_"):
+            names.append(a)
+        else:
+            sf_dir = a
+    probe = [n for n in PROBE if not names or n in names]
     scratch = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scratch",
@@ -161,7 +178,7 @@ def main() -> None:
 
     spark = get_spark("scale-probe")
     # warm both plan shapes once so the timed runs are steady-state
-    for name in PROBE:
+    for name in probe:
         for d in (sf_dir, scratch):
             try:
                 QUERIES[name](spark, "/root/testdata/sf0.001").write.format(
@@ -172,7 +189,7 @@ def main() -> None:
 
     print(f"\n| query | 1x facts | {COPIES}x facts | ratio |")
     print("|---|---|---|---|")
-    for name in PROBE:
+    for name in probe:
         t1 = time_query(QUERIES[name], spark, sf_dir)
         t10 = time_query(QUERIES[name], spark, scratch)
         print(f"| {name} | {t1:.2f} s | {t10:.2f} s | {t10 / t1:.1f}x |")

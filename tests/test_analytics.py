@@ -1474,3 +1474,30 @@ def test_percentile_normalize_grouped_is_per_group(spark):
     ).collect()
     top_b = next(r for r in out if r.g == "b" and r.v == 4.0)
     assert top_b.pct_ppm == 1000000  # b's max is b's 100th pct, not the corpus's
+
+
+def test_iqr_outliers_flags_seeded_tail(spark):
+    from salesforce_plugin_spark.functions.sketch import iqr_outliers
+
+    rows = [(i, float(i % 100)) for i in range(1000)] + [
+        (9001, 5000.0), (9002, 6000.0)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = {r.id for r in iqr_outliers(df, "v", lo=0.0, hi=8192.0, n_bins=8192).collect()}
+    assert {9001, 9002} <= out
+    assert len(out) == 2  # the uniform body is inside the fences
+
+
+def test_iqr_outliers_resists_masking(spark):
+    from salesforce_plugin_spark.functions.sketch import iqr_outliers
+
+    # one colossal value should not widen the fence enough to hide a
+    # moderate outlier (the failure mode of mean/sigma fences)
+    rows = [(i, float(i % 50)) for i in range(1000)] + [
+        (8001, 700.0), (8002, 1_000_000.0)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = {r.id for r in iqr_outliers(
+        df, "v", lo=0.0, hi=2 ** 20, n_bins=2 ** 20
+    ).collect()}
+    assert {8001, 8002} <= out
