@@ -4352,6 +4352,68 @@ def q_iqr_outliers(spark, sf_dir):
     return iqr_outliers(e, "value_adj", lo=0.0, hi=8192.0, n_bins=8192)
 
 
+def q_stream_quantiles(spark, sf_dir):
+    """Sketch x F6: quantile-sketch maintenance as a CONTINUOUS stream —
+    events arrive in three event_id-sliced micro-batches, each batch's
+    bounded histogram is appended to parquet state
+    (streaming/upsert.run_stream_histogram). Histograms are purely
+    additive, so the summed state is bit-identical to one batch
+    histogram over the full table — quantiles elected from streamed
+    state must match q_quantile_sketch's oracle exactly (the oracle IS
+    reused verbatim). Per-batch cost: one <= n_bins-row aggregate."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.functions.sketch import quantiles_from_counts
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_histogram_state,
+        run_stream_histogram,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    n = ev.agg(F.max("event_id")).collect()[0][0]
+    cuts = [int(n * 0.4), int(n * 0.7)]
+    slices = [
+        ev.filter(F.col("event_id") <= cuts[0]),
+        ev.filter((F.col("event_id") > cuts[0]) & (F.col("event_id") <= cuts[1])),
+        ev.filter(F.col("event_id") > cuts[1]),
+    ]
+    tmp = tempfile.mkdtemp(prefix="conf_stream_hist_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    try:
+        for i, sl in enumerate(slices):
+            part = os.path.join(tmp, f"stage{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(part)
+            pf = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+            shutil.move(
+                os.path.join(part, pf), os.path.join(src, f"batch-{i}.parquet")
+            )
+        stream = (
+            spark.readStream.schema("event_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_stream_histogram(
+            stream,
+            os.path.join(tmp, "state"),
+            os.path.join(tmp, "ckpt"),
+            "value",
+            lo=0.0,
+            hi=500.0,
+            n_bins=1000,
+        )
+        hist = read_histogram_state(
+            spark, os.path.join(tmp, "state")
+        ).localCheckpoint(eager=True)  # detach from tmp before it is removed
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return quantiles_from_counts(
+        hist, qs=[0.5, 0.9, 0.99], lo=0.0, hi=500.0, n_bins=1000
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4558,6 +4620,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_percentile_normalize": q_percentile_normalize,
     "q_fk_audit": q_fk_audit,
     "q_iqr_outliers": q_iqr_outliers,
+    "q_stream_quantiles": q_stream_quantiles,
 }
 
 
@@ -7999,3 +8062,6 @@ ORACLES["q_iqr_outliers"] = """
     FROM adj a CROSS JOIN fences f
     WHERE a.value_adj < f.lo_fence OR a.value_adj > f.hi_fence
 """
+
+# the equivalence IS the claim: streamed state must match the batch sketch
+ORACLES["q_stream_quantiles"] = ORACLES["q_quantile_sketch"]

@@ -660,3 +660,63 @@ def iqr_outliers(
         (F.col(value_col) < F.col("lo_fence"))
         | (F.col(value_col) > F.col("hi_fence"))
     )
+
+
+def histogram_counts(
+    df: DataFrame, value_col: str, lo: float, hi: float, n_bins: int = 1024
+) -> DataFrame:
+    """The bounded histogram that underlies :func:`binned_quantiles`,
+    exposed as state: ``(bin int, cnt long)`` rows, ≤ ``n_bins`` of
+    them, from one map-side-combined exchange. Histograms are purely
+    ADDITIVE — the histogram of a union is the element-wise sum — which
+    makes this the streaming/mergeable face of the quantile sketch
+    (append per-batch counts, sum on read), the same state discipline
+    as the count-min grid."""
+    if not lo < hi:
+        raise ValueError("histogram_counts requires lo < hi")
+    width = (hi - lo) / n_bins
+    raw_bin = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw_bin)).cast("int")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def quantiles_from_counts(
+    counts: DataFrame, qs: list[float], lo: float, hi: float, n_bins: int = 1024
+) -> DataFrame:
+    """Quantile election over a ``(bin, cnt)`` histogram (from
+    :func:`histogram_counts` or summed streamed state): identical
+    output contract to :func:`binned_quantiles` —
+    ``(q, bin, est, n_total)`` with the upper-edge convention — so a
+    batch sketch and a streamed, state-summed sketch gate against the
+    SAME oracle. Everything here is bounded by ``n_bins`` rows."""
+    if not qs:
+        raise ValueError("quantiles_from_counts requires at least one quantile")
+    width = (hi - lo) / n_bins
+    w = (
+        Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("__cum", F.sum("cnt").over(w)).withColumn(
+        "__n", F.sum("cnt").over(Window.partitionBy())
+    )
+    q_df = counts.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    hit = cum.crossJoin(F.broadcast(q_df)).filter(
+        F.col("__cum") >= F.ceil(F.col("q") * F.col("__n"))
+    )
+    return (
+        hit.groupBy("q")
+        .agg(F.min("bin").alias("bin"), F.max("__n").alias("n_total"))
+        .select(
+            "q",
+            "bin",
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("est"),
+            "n_total",
+        )
+    )

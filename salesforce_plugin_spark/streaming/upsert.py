@@ -291,3 +291,51 @@ def read_cm_state(spark, state_dir: str) -> DataFrame:
         .groupBy("row", "bucket")
         .agg(F.sum("n").alias("n"))
     )
+
+
+def run_stream_histogram(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+):
+    """Streaming quantile-sketch maintenance: each micro-batch's bounded
+    histogram is APPENDED under ``state_dir``; histograms are purely
+    additive (union = element-wise sum), so the summed state is
+    bit-identical to one batch histogram over everything streamed —
+    the equivalence q_stream_quantiles gates against the batch
+    oracle. Per-batch cost: one ≤ n_bins-row aggregate; state grows
+    ≤ n_bins rows per batch (compact by rewriting the summed counts
+    when batch count grows large). Read with
+    :func:`read_histogram_state`, elect quantiles with
+    ``sketch.quantiles_from_counts``."""
+    from salesforce_plugin_spark.functions.sketch import histogram_counts
+
+    def fold(batch: DataFrame, _id: int) -> None:
+        histogram_counts(batch, value_col, lo, hi, n_bins).write.mode(
+            "append"
+        ).parquet(state_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_histogram_state(spark, state_dir: str) -> DataFrame:
+    """Sum appended per-batch histograms into the current sketch —
+    ≤ n_bins rows out, partial-combined map-side."""
+    import pyspark.sql.functions as F
+
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -385,3 +385,64 @@ def test_stream_near_dedup_accumulates_full_equivalence(spark, tmp_path):
     )
     assert got == sorted(map(tuple, full.collect()))
     assert dict(got)[10] == 1    # cross-batch dup adopted batch-1's id
+
+
+def test_stream_histogram_state_is_additive(spark, tmp_path):
+    """A genuine two-batch run's summed state equals one batch histogram."""
+    import os
+
+    from salesforce_plugin_spark.functions.sketch import histogram_counts
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_histogram_state,
+        run_stream_histogram,
+    )
+
+    a = spark.createDataFrame([(float(v),) for v in range(50)], "value double")
+    b = spark.createDataFrame([(float(v),) for v in range(25, 75)], "value double")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    a.coalesce(1).write.mode("append").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_histogram(
+        stream, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        "value", lo=0.0, hi=100.0, n_bins=100,
+    )
+    streamed = {
+        (r.bin, r.cnt)
+        for r in read_histogram_state(spark, str(tmp_path / "state")).collect()
+    }
+    batch = {
+        (r.bin, r.cnt)
+        for r in histogram_counts(
+            a.unionAll(b), "value", 0.0, 100.0, 100
+        ).collect()
+    }
+    assert streamed == batch
+
+
+def test_quantiles_from_counts_matches_binned_quantiles(spark):
+    from salesforce_plugin_spark.functions.sketch import (
+        binned_quantiles,
+        histogram_counts,
+        quantiles_from_counts,
+    )
+
+    df = spark.createDataFrame([(float(v % 100),) for v in range(500)], "v double")
+    direct = sorted(
+        map(tuple, binned_quantiles(df, "v", [0.5, 0.9], 0.0, 100.0, 100).collect())
+    )
+    via_state = sorted(
+        map(
+            tuple,
+            quantiles_from_counts(
+                histogram_counts(df, "v", 0.0, 100.0, 100),
+                [0.5, 0.9], 0.0, 100.0, 100,
+            ).collect(),
+        )
+    )
+    assert direct == via_state
