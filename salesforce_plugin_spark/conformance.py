@@ -4414,6 +4414,20 @@ def q_stream_quantiles(spark, sf_dir):
     )
 
 
+def q_class_balance(spark, sf_dir):
+    """Label-distribution sensing (operators/analytics.py
+    class_balance): per-(lang, source) counts, ppm shares, and the
+    exact-integer Gini impurity — the imbalance measurement before
+    choosing mixture weights. Rational in the counts (no log/float), so
+    it hash-gates; one bounded label aggregate + a 1-row broadcast."""
+    from salesforce_plugin_spark.operators.analytics import class_balance
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.concat_ws("/", "lang", "source").alias("cell")
+    )
+    return class_balance(d, "cell")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4621,6 +4635,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_fk_audit": q_fk_audit,
     "q_iqr_outliers": q_iqr_outliers,
     "q_stream_quantiles": q_stream_quantiles,
+    "q_class_balance": q_class_balance,
 }
 
 
@@ -8065,3 +8080,17 @@ ORACLES["q_iqr_outliers"] = """
 
 # the equivalence IS the claim: streamed state must match the batch sketch
 ORACLES["q_stream_quantiles"] = ORACLES["q_quantile_sketch"]
+
+ORACLES["q_class_balance"] = """
+    WITH counts AS (
+        SELECT concat_ws('/', lang, source) AS label, count(*) AS n
+        FROM documents GROUP BY 1
+    ), stats AS (
+        SELECT sum(n) AS total, sum(n * n) AS sq FROM counts
+    )
+    SELECT c.label, c.n,
+           c.n * 1000000 // s.total AS share_ppm,
+           (s.total * s.total - s.sq) * 1000000 // (s.total * s.total)
+               AS gini_ppm
+    FROM counts c CROSS JOIN stats s
+"""

@@ -1,4 +1,5 @@
 from salesforce_plugin_spark.operators.analytics import (
+    class_balance,
     cohort_retention,
     key_skew,
     copurchase_pairs,
@@ -54,6 +55,7 @@ from salesforce_plugin_spark.operators.transforms import (
 __all__ = [
     "funnel",
     "key_skew",
+    "class_balance",
     "snapshot_diff",
     "cohort_retention",
     "copurchase_pairs",

@@ -326,3 +326,39 @@ def key_skew(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
         F.expr("n * 1000000 div __total").alias("share_ppm"),
         F.expr("n * __distinct * 1000 div __total").alias("hot_x1000"),
     )
+
+
+def class_balance(df: DataFrame, label_col: str) -> DataFrame:
+    """Label-distribution report for dataset curation: one row per label
+    with its exact count, parts-per-million share, and the corpus-level
+    Gini impurity repeated on every row (scalar-only contract) —
+    the class-imbalance measurement a training-mixture job runs before
+    choosing per-source sampling weights (:func:`~salesforce_plugin_spark
+    .operators.pipeline.weighted_sample` is the actuator; this is the
+    sensor).
+
+    Gini impurity ``1 - Σ pᵢ²`` is computed as the exact integer
+    ``(total² - Σ nᵢ²) * 10^6 div total²`` — rational in the counts, no
+    float at any step (entropy would need ``log`` and could never
+    hash-gate). 0 = single class, → 10^6·(1-1/k) for k balanced
+    classes. Exact while ``total² < 2^63`` (~3·10^9 rows; past that,
+    pre-divide counts by a common scale).
+
+    Plan: one map-side-combined label aggregate (≤ |labels| rows), a
+    1-row stat aggregate broadcast back. Nothing scales past the label
+    cardinality.
+    """
+    counts = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("n")
+    )
+    stats = counts.agg(
+        F.sum("n").alias("__total"),
+        F.sum(F.col("n") * F.col("n")).alias("__sq"),
+    )
+    return counts.crossJoin(F.broadcast(stats)).select(
+        "label",
+        "n",
+        F.expr("n * 1000000 div __total").alias("share_ppm"),
+        F.expr("(__total * __total - __sq) * 1000000 div (__total * __total)")
+        .alias("gini_ppm"),
+    )

@@ -1501,3 +1501,19 @@ def test_iqr_outliers_resists_masking(spark):
         df, "v", lo=0.0, hi=2 ** 20, n_bins=2 ** 20
     ).collect()}
     assert {8001, 8002} <= out
+
+
+def test_class_balance_gini_known_values(spark):
+    from salesforce_plugin_spark.operators.analytics import class_balance
+
+    # 4 balanced classes: gini = 1 - 4*(1/16) = 0.75
+    df = spark.createDataFrame(
+        [(c,) for c in "abcd" for _ in range(25)], "label string"
+    )
+    rows = class_balance(df, "label").collect()
+    assert all(r.gini_ppm == 750000 for r in rows)
+    assert all(r.share_ppm == 250000 for r in rows)
+
+    # single class: gini = 0
+    one = spark.createDataFrame([("x",)] * 10, "label string")
+    assert class_balance(one, "label").collect()[0].gini_ppm == 0
