@@ -4428,6 +4428,21 @@ def q_class_balance(spark, sf_dir):
     return class_balance(d, "cell")
 
 
+def q_budget_sample(spark, sf_dir):
+    """Budget-constrained mixture quotas (operators/pipeline.py
+    budget_sample): per language, documents taken in md5-hash order of
+    doc_id until 20,000 cumulative chars — the "N tokens per source"
+    construction with an EXACT total (vs weighted_sample's approximate
+    row-independent draw). One group exchange + a window cumsum; a row
+    is kept iff the running total through it stays within budget."""
+    from salesforce_plugin_spark.operators.pipeline import budget_sample
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return budget_sample(d, ["lang"], "doc_id", "n_chars", budget=20_000)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4636,6 +4651,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_iqr_outliers": q_iqr_outliers,
     "q_stream_quantiles": q_stream_quantiles,
     "q_class_balance": q_class_balance,
+    "q_budget_sample": q_budget_sample,
 }
 
 
@@ -8093,4 +8109,17 @@ ORACLES["q_class_balance"] = """
            (s.total * s.total - s.sq) * 1000000 // (s.total * s.total)
                AS gini_ppm
     FROM counts c CROSS JOIN stats s
+"""
+
+ORACLES["q_budget_sample"] = """
+    WITH ordered AS (
+        SELECT doc_id, lang, n_chars,
+               sum(n_chars) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM ordered WHERE cum <= 20000
 """

@@ -377,3 +377,45 @@ def corpus_to_sequences(
     return pack_token_bins(
         chunks, seq_len, [split_col, "shard"], [id_col, "chunk_id"]
     )
+
+
+def budget_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Deterministic budget-constrained selection: per group, take rows
+    in md5-hash order of the id until the cumulative ``weight_col``
+    reaches ``budget`` — the "1B tokens per source" mixture-quota
+    construction. A row is kept iff the running total THROUGH it is
+    ≤ ``budget`` (so a group never exceeds budget; an over-budget first
+    row is dropped rather than bursting the cap).
+
+    Hash order makes the draw an unbiased, reproducible function of the
+    group's id set — re-runs, engines, and partitionings agree, and
+    unlike a quality-ordered take it doesn't bias the sample toward any
+    correlated attribute. Contrast :func:`weighted_sample` (row-
+    independent probability, approximate total) — budget_sample hits an
+    EXACT total at the cost of a per-group sort; contrast
+    :func:`sample_per_group` (exact row count n, not exact weight).
+
+    Plan: ONE exchange on the group keys + a per-group window cumsum
+    (hot groups sort one partition — inherent to exact quotas; shard
+    the budget over an md5 sub-key, as token packing does, when one
+    group outweighs a partition).
+    """
+    if budget <= 0:
+        raise ValueError("budget_sample requires budget > 0")
+    order = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__cum", F.sum(F.col(weight_col)).over(w))
+        .filter(F.col("__cum") <= budget)
+        .drop("__cum")
+    )

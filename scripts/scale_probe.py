@@ -117,6 +117,8 @@ PROBE = [
     "q_snapshot_diff",
     "q_percentile_normalize",
     "q_fk_audit",
+    "q_iqr_outliers",
+    "q_class_balance",
 ]
 
 

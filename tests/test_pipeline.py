@@ -207,3 +207,41 @@ def test_negative_samples_rejects_bad_args(spark):
         negative_samples(df, df, "id", k=0)
     with _pytest.raises(ValueError):
         negative_samples(df, df, "id", n_buckets=1)
+
+
+# --- budget sampling ---
+
+def test_budget_sample_exact_quota_never_exceeded(spark):
+    from salesforce_plugin_spark.operators.pipeline import budget_sample
+
+    df = spark.createDataFrame(
+        [(i, "g", 10) for i in range(100)], "id long, g string, w int"
+    )
+    out = budget_sample(df, ["g"], "id", "w", budget=250).collect()
+    assert len(out) == 25  # exactly 250/10 rows fit
+
+
+def test_budget_sample_is_deterministic_across_layouts(spark):
+    from salesforce_plugin_spark.operators.pipeline import budget_sample
+
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], 7 + i % 5) for i in range(200)],
+        "id long, g string, w int",
+    )
+    a = sorted(r.id for r in budget_sample(df, ["g"], "id", "w", 300).collect())
+    b = sorted(
+        r.id
+        for r in budget_sample(df.repartition(17), ["g"], "id", "w", 300).collect()
+    )
+    assert a == b
+
+
+def test_budget_sample_drops_over_budget_first_row(spark):
+    from salesforce_plugin_spark.operators.pipeline import budget_sample
+
+    df = spark.createDataFrame([(1, "g", 50)], "id long, g string, w int")
+    assert budget_sample(df, ["g"], "id", "w", budget=49).count() == 0
+    assert budget_sample(df, ["g"], "id", "w", budget=50).count() == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        budget_sample(df, ["g"], "id", "w", budget=0)
