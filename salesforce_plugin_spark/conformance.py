@@ -4443,6 +4443,26 @@ def q_budget_sample(spark, sf_dir):
     return budget_sample(d, ["lang"], "doc_id", "n_chars", budget=20_000)
 
 
+def q_hierarchy(spark, sf_dir):
+    """Parent-pointer hierarchy resolution (operators/hierarchy.py
+    resolve_hierarchy): every node's root and depth by POINTER DOUBLING
+    — ceil(log2(depth)) self-join rounds instead of depth rounds, the
+    shape that makes Salesforce Account/Role parent chains (and any
+    org-tree rollup) tractable at cluster scale. The forest is derived
+    deterministically from customer (custkey < 8 are roots, else
+    parent = custkey div 8, depth ~log8 N) so the WITH RECURSIVE oracle
+    rebuilds it exactly."""
+    from salesforce_plugin_spark.operators.hierarchy import resolve_hierarchy
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_custkey") >= 8, F.expr("c_custkey div 8")).alias(
+            "parent"
+        ),
+    )
+    return resolve_hierarchy(c, "id", "parent")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4652,6 +4672,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_stream_quantiles": q_stream_quantiles,
     "q_class_balance": q_class_balance,
     "q_budget_sample": q_budget_sample,
+    "q_hierarchy": q_hierarchy,
 }
 
 
@@ -8122,4 +8143,18 @@ ORACLES["q_budget_sample"] = """
         FROM documents
     )
     SELECT doc_id, lang, n_chars FROM ordered WHERE cum <= 20000
+"""
+
+ORACLES["q_hierarchy"] = """
+    WITH RECURSIVE nodes AS (
+        SELECT c_custkey AS id,
+               CASE WHEN c_custkey >= 8 THEN c_custkey // 8 END AS parent
+        FROM customer
+    ), walk AS (
+        SELECT id, id AS root, 0 AS depth FROM nodes WHERE parent IS NULL
+        UNION ALL
+        SELECT n.id, w.root, w.depth + 1
+        FROM nodes n JOIN walk w ON n.parent = w.id
+    )
+    SELECT id, root, CAST(depth AS INT) AS depth FROM walk
 """

@@ -1517,3 +1517,34 @@ def test_class_balance_gini_known_values(spark):
     # single class: gini = 0
     one = spark.createDataFrame([("x",)] * 10, "label string")
     assert class_balance(one, "label").collect()[0].gini_ppm == 0
+
+
+# --- hierarchy resolution ---
+
+def test_hierarchy_resolves_deep_chain_in_log_rounds(spark):
+    from salesforce_plugin_spark.operators.hierarchy import resolve_hierarchy
+
+    # path 0 <- 1 <- 2 <- ... <- 30: depth 30 resolves within
+    # max_rounds=6 ONLY because doubling covers 2^6 = 64 levels
+    rows = [(0, None)] + [(i, i - 1) for i in range(1, 31)]
+    df = spark.createDataFrame(rows, "id long, parent long")
+    out = {r.id: (r.root, r.depth) for r in resolve_hierarchy(
+        df, "id", "parent", max_rounds=6
+    ).collect()}
+    assert out[30] == (0, 30) and out[0] == (0, 0) and out[15] == (0, 15)
+
+
+def test_hierarchy_forest_and_cycle(spark):
+    from salesforce_plugin_spark.operators.hierarchy import resolve_hierarchy
+
+    rows = [
+        (1, None), (2, 1), (3, 2),      # tree rooted at 1
+        (10, None), (11, 10),           # second root
+        (20, 21), (21, 20),             # 2-cycle: must NOT loop forever
+    ]
+    df = spark.createDataFrame(rows, "id long, parent long")
+    out = {r.id: (r.root, r.depth) for r in resolve_hierarchy(
+        df, "id", "parent", max_rounds=5
+    ).collect()}
+    assert out[3] == (1, 2) and out[11] == (10, 1)
+    assert out[20] == (None, None) and out[21] == (None, None)
