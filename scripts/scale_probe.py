@@ -119,6 +119,8 @@ PROBE = [
     "q_fk_audit",
     "q_iqr_outliers",
     "q_class_balance",
+    "q_budget_sample",
+    "q_hierarchy",
 ]
 
 
