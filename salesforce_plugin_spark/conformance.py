@@ -4463,6 +4463,69 @@ def q_hierarchy(spark, sf_dir):
     return resolve_hierarchy(c, "id", "parent")
 
 
+def q_dimension_stats(spark, sf_dir):
+    """Embedding drift profile (functions/vector.py dimension_stats):
+    exact quantized per-dimension moments (n, sum, sum-of-squares,
+    floor mean, n^2-scaled variance numerator) — the monitoring table
+    compared across corpora/model versions to localize which dimensions
+    moved. One posexplode + one dims-bounded exchange; every number is
+    an exact BIGINT."""
+    from salesforce_plugin_spark.functions.vector import dimension_stats
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return dimension_stats(e, "embedding", quant=1_000_000)
+
+
+def q_distribution_drift(spark, sf_dir):
+    """Distribution-drift detection (functions/sketch.py
+    histogram_tvd): total variation distance between click and view
+    event-value distributions over a shared 1000-bin histogram —
+    integer common-denominator arithmetic end to end (the
+    deterministic, empty-bin-safe alternative to PSI/KL, whose log
+    never hash-gates). One row out: corpus sizes, exact numerator,
+    tvd_ppm, and the worst-diverging bin for localization."""
+    from salesforce_plugin_spark.functions.sketch import histogram_tvd
+
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click")
+    b = e.filter(F.col("event_type") == "view")
+    return histogram_tvd(a, b, "value", lo=0.0, hi=500.0, n_bins=1000)
+
+
+def q_fd_audit(spark, sf_dir):
+    """Functional-dependency audit (operators/validate.py
+    fd_violations): two dependencies in one result — customer
+    (c_nationkey -> c_mktsegment), which REAL data violates (nations
+    span segments), and a derived always-holds check (c_custkey div 100
+    -> c_custkey div 100, zero rows) proving the detector stays silent
+    on a holding dependency. One exchange per audit; exact distinct
+    counts; min/max dependent values as deterministic examples."""
+    from salesforce_plugin_spark.operators.validate import fd_violations
+
+    c = load_table(spark, sf_dir, "customer")
+    v1 = fd_violations(c, ["c_nationkey"], "c_mktsegment").select(
+        F.lit("nation->segment").alias("fd"),
+        F.col("c_nationkey").cast("long").alias("lhs"),
+        "n_rows",
+        "n_distinct",
+        F.col("rhs_min").cast("string").alias("rhs_min"),
+        F.col("rhs_max").cast("string").alias("rhs_max"),
+    )
+    holding = c.select(
+        F.expr("c_custkey div 100").alias("grp"),
+        F.expr("c_custkey div 100").alias("dep"),
+    )
+    v2 = fd_violations(holding, ["grp"], "dep").select(
+        F.lit("grp->dep").alias("fd"),
+        F.col("grp").cast("long").alias("lhs"),
+        "n_rows",
+        "n_distinct",
+        F.col("rhs_min").cast("string").alias("rhs_min"),
+        F.col("rhs_max").cast("string").alias("rhs_max"),
+    )
+    return v1.unionAll(v2)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4673,6 +4736,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_class_balance": q_class_balance,
     "q_budget_sample": q_budget_sample,
     "q_hierarchy": q_hierarchy,
+    "q_dimension_stats": q_dimension_stats,
+    "q_distribution_drift": q_distribution_drift,
+    "q_fd_audit": q_fd_audit,
 }
 
 
@@ -8157,4 +8223,76 @@ ORACLES["q_hierarchy"] = """
         FROM nodes n JOIN walk w ON n.parent = w.id
     )
     SELECT id, root, CAST(depth AS INT) AS depth FROM walk
+"""
+
+ORACLES["q_dimension_stats"] = """
+    WITH ex AS (
+        SELECT CAST(i - 1 AS INTEGER) AS dim,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS q
+        FROM (
+            SELECT embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings
+        )
+    )
+    SELECT dim,
+           count(*) AS n,
+           sum(q) AS sum_q,
+           sum(q * q) AS sumsq_q,
+           sum(q) // count(*) AS mean_q,
+           count(*) * sum(q * q) - sum(q) * sum(q) AS var_num
+    FROM ex GROUP BY dim
+"""
+
+ORACLES["q_distribution_drift"] = """
+    WITH ha AS (
+        SELECT least(999, greatest(0, CAST(floor(value / 0.5) AS BIGINT)))
+                   AS bin, count(*) AS ca
+        FROM events WHERE event_type = 'click' AND value IS NOT NULL
+        GROUP BY 1
+    ), hb AS (
+        SELECT least(999, greatest(0, CAST(floor(value / 0.5) AS BIGINT)))
+                   AS bin, count(*) AS cb
+        FROM events WHERE event_type = 'view' AND value IS NOT NULL
+        GROUP BY 1
+    ), j AS (
+        SELECT COALESCE(ha.bin, hb.bin) AS bin,
+               COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin
+    ), t AS (
+        SELECT sum(ca) AS na, sum(cb) AS nb FROM j
+    ), d AS (
+        SELECT j.bin, abs(j.ca * t.nb - j.cb * t.na) AS absdiff, t.na, t.nb
+        FROM j CROSS JOIN t
+    ), worst AS (
+        SELECT bin FROM d ORDER BY absdiff DESC, bin ASC LIMIT 1
+    )
+    SELECT max(d.na) AS n_a, max(d.nb) AS n_b,
+           sum(d.absdiff) AS sum_absdiff,
+           sum(d.absdiff) * 500000 // (max(d.na) * max(d.nb)) AS tvd_ppm,
+           CAST(max(w.bin) AS INT) AS worst_bin,
+           max(d.absdiff) AS worst_absdiff
+    FROM d CROSS JOIN worst w
+"""
+
+ORACLES["q_fd_audit"] = """
+    SELECT 'nation->segment' AS fd,
+           CAST(c_nationkey AS BIGINT) AS lhs,
+           count(*) AS n_rows,
+           count(DISTINCT c_mktsegment) AS n_distinct,
+           CAST(min(c_mktsegment) AS VARCHAR) AS rhs_min,
+           CAST(max(c_mktsegment) AS VARCHAR) AS rhs_max
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING count(DISTINCT c_mktsegment) > 1
+    UNION ALL
+    SELECT 'grp->dep', grp, count(*), count(DISTINCT dep),
+           CAST(min(dep) AS VARCHAR), CAST(max(dep) AS VARCHAR)
+    FROM (
+        SELECT c_custkey // 100 AS grp, c_custkey // 100 AS dep
+        FROM customer
+    )
+    GROUP BY grp
+    HAVING count(DISTINCT dep) > 1
 """

@@ -720,3 +720,73 @@ def quantiles_from_counts(
             "n_total",
         )
     )
+
+
+def histogram_tvd(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Distribution-drift measurement between two corpora: the total
+    variation distance ``TVD = 1/2 * Σ_bins |p_A(bin) - p_B(bin)|``
+    over a shared equi-width histogram — the deterministic alternative
+    to PSI/KL (whose ``log`` can never hash-gate and blows up on empty
+    bins; TVD is bounded [0, 1], defined everywhere, and rational in
+    the counts).
+
+    All integer: per bin ``|c_A * n_B - c_B * n_A|`` (the common-
+    denominator numerator), summed exactly, then
+    ``tvd_ppm = Σ * 500000 div (n_A * n_B)``. Output is ONE row:
+    ``(n_a, n_b, sum_absdiff, tvd_ppm, worst_bin, worst_absdiff)`` —
+    the worst bin localizes WHERE the distributions diverge.
+    0 = identical binned shape; 10^6 = disjoint support.
+
+    Overflow bound: ``Σ * 500000 ≤ 10^6 * n_A * n_B < 2^63`` needs
+    ``n_A * n_B < 9·10^12`` (~3M rows each). Past that, pre-divide both
+    histograms' counts by a common factor — the ppm result is unchanged
+    to quantization.
+
+    Plan: two bounded histogram exchanges (:func:`histogram_counts`),
+    a full-outer join on ≤ ``n_bins`` rows, a 1-row aggregate. Nothing
+    scales past ``n_bins`` after the first aggregates.
+    """
+    ha = histogram_counts(df_a, value_col, lo, hi, n_bins).withColumnRenamed(
+        "cnt", "ca"
+    )
+    hb = histogram_counts(df_b, value_col, lo, hi, n_bins).withColumnRenamed(
+        "cnt", "cb"
+    )
+    joined = (
+        ha.join(hb, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("ca").alias("__na"), F.sum("cb").alias("__nb")
+    )
+    diff = joined.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        F.abs(F.col("ca") * F.col("__nb") - F.col("cb") * F.col("__na")).alias(
+            "absdiff"
+        ),
+        "__na",
+        "__nb",
+    )
+    return diff.agg(
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+        F.sum("absdiff").alias("sum_absdiff"),
+        F.expr("sum(absdiff) * 500000 div (max(__na) * max(__nb))").alias(
+            "tvd_ppm"
+        ),
+        F.max_by("bin", F.struct(F.col("absdiff"), -F.col("bin"))).alias(
+            "worst_bin"
+        ),
+        F.max("absdiff").alias("worst_absdiff"),
+    )

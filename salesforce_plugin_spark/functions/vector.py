@@ -484,3 +484,52 @@ def gram_power_iterations(
         F.posexplode(F.col("__vq")).alias("__p", "vq")
     ).select((F.col("__p") + 1).cast("int").alias("dim"), "vq")
     return g.join(vq_rows, "dim").select("dim", "vq", "gv")
+
+
+def dimension_stats(
+    df: DataFrame, vec_col: str, quant: int = 1_000_000
+) -> DataFrame:
+    """Per-dimension moment statistics of an embedding column — the
+    drift-monitoring primitive for embedding pipelines (a model upgrade,
+    a preprocessing change, or corrupted ingestion shows up first as a
+    shifted per-dimension mean/variance profile; compare two corpora's
+    outputs to localize WHICH dimensions moved).
+
+    Components are quantized to scaled longs (``round(v * quant)``)
+    BEFORE aggregation — the :func:`centroids_long` idiom — so the sums
+    are exact BIGINTs and the whole profile is engine-replayable.
+    Output per dimension (scalar-only):
+
+      - ``n`` rows, ``sum_q`` / ``sumsq_q`` exact quantized moments
+      - ``mean_q    = sum_q div n``                     (quantized mean)
+      - ``var_num   = n * sumsq_q - sum_q^2``           (n² × variance,
+        exact — compare ratios cross-corpus without any divide)
+
+    Overflow bound: ``n * sumsq_q < 2^63`` holds to ~9·10^6 rows at
+    quant 10^6 with unit-normalized components (|q| ≤ 10^6); drop quant
+    to 10^3 for ~10^12 rows. One posexplode (rows × dims, map-side) and
+    ONE exchange bounded by the dimension count.
+    """
+    ex = df.select(F.posexplode(F.col(vec_col)).alias("dim", "__v")).select(
+        F.col("dim"),
+        F.round(F.col("__v").cast("double") * float(quant), 0)
+        .cast("long")
+        .alias("__q"),
+    )
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__q").alias("sum_q"),
+            F.sum(F.col("__q") * F.col("__q")).alias("sumsq_q"),
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "n",
+            "sum_q",
+            "sumsq_q",
+            F.expr("sum_q div n").alias("mean_q"),
+            (F.col("n") * F.col("sumsq_q") - F.col("sum_q") * F.col("sum_q"))
+            .alias("var_num"),
+        )
+    )

@@ -225,3 +225,37 @@ def fk_orphans(
         .cast("long")
         .alias("n_orphan_keys"),
     )
+
+
+def fd_violations(
+    df: DataFrame, lhs_cols: list[str], rhs_col: str
+) -> DataFrame:
+    """Functional-dependency audit: the determinant values for which
+    ``lhs_cols -> rhs_col`` does NOT hold — one row per violating key
+    with ``n_rows``, ``n_distinct`` (> 1 by construction), and the
+    min/max observed ``rhs`` as deterministic examples. Empty result =
+    the dependency holds corpus-wide.
+
+    This is the schema-contract check between `uniqueness_report`
+    (lhs -> whole row) and `fk_orphans` (cross-table): "one price per
+    SKU", "one nation per customer", "one schema hash per object
+    version" — assumptions ELT silently bakes in and drift silently
+    breaks.
+
+    Plan: ONE exchange on the determinant (exact count-distinct over
+    the dependent rides the same aggregate); output bounded by
+    violating keys. For a quick pass/fail at 100 TB, aggregate the
+    result once more to a count.
+    """
+    if not lhs_cols:
+        raise ValueError("fd_violations requires at least one lhs column")
+    return (
+        df.groupBy(*lhs_cols)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct(F.col(rhs_col)).alias("n_distinct"),
+            F.min(F.col(rhs_col)).alias("rhs_min"),
+            F.max(F.col(rhs_col)).alias("rhs_max"),
+        )
+        .filter(F.col("n_distinct") > 1)
+    )

@@ -121,6 +121,9 @@ PROBE = [
     "q_class_balance",
     "q_budget_sample",
     "q_hierarchy",
+    "q_dimension_stats",
+    "q_distribution_drift",
+    "q_fd_audit",
 ]
 
 

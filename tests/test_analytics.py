@@ -1548,3 +1548,30 @@ def test_hierarchy_forest_and_cycle(spark):
     ).collect()}
     assert out[3] == (1, 2) and out[11] == (10, 1)
     assert out[20] == (None, None) and out[21] == (None, None)
+
+
+# --- distribution drift (TVD) ---
+
+def test_histogram_tvd_identical_and_disjoint(spark):
+    from salesforce_plugin_spark.functions.sketch import histogram_tvd
+
+    a = spark.createDataFrame([(float(v % 10),) for v in range(100)], "v double")
+    b = spark.createDataFrame(
+        [(float(v % 10) + 50.0,) for v in range(200)], "v double"
+    )
+    same = histogram_tvd(a, a, "v", 0.0, 100.0, 100).collect()[0]
+    assert same.tvd_ppm == 0 and same.sum_absdiff == 0
+    apart = histogram_tvd(a, b, "v", 0.0, 100.0, 100).collect()[0]
+    assert apart.tvd_ppm == 1000000  # disjoint support
+    assert apart.n_a == 100 and apart.n_b == 200
+
+
+def test_histogram_tvd_half_mass_moved(spark):
+    from salesforce_plugin_spark.functions.sketch import histogram_tvd
+
+    # A: all mass in bin 0; B: half bin 0, half bin 9 -> TVD = 0.5
+    a = spark.createDataFrame([(0.5,)] * 40, "v double")
+    b = spark.createDataFrame([(0.5,)] * 20 + [(9.5,)] * 20, "v double")
+    r = histogram_tvd(a, b, "v", 0.0, 10.0, 10).collect()[0]
+    assert r.tvd_ppm == 500000
+    assert r.worst_bin in (0, 9)  # both bins carry the same absdiff

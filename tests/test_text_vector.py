@@ -302,3 +302,21 @@ def test_importance_short_docs_score_null(spark):
     }
     assert out[1].n_bigrams == 0 and out[1].importance is None
     assert out[2].n_bigrams == 1 and out[2].importance is not None
+
+
+def test_dimension_stats_matches_numpy(spark):
+    import numpy as np
+
+    from salesforce_plugin_spark.functions.vector import dimension_stats
+
+    vecs = [[0.5, -0.25, 0.0], [0.1, -0.75, 1.0], [-0.3, 0.05, 0.5]]
+    df = spark.createDataFrame([(v,) for v in vecs], "v array<double>")
+    out = {r.dim: r for r in dimension_stats(df, "v", quant=1000).collect()}
+    q = np.round(np.array(vecs) * 1000).astype(np.int64)
+    for d in range(3):
+        col = q[:, d]
+        assert out[d].n == 3
+        assert out[d].sum_q == int(col.sum())
+        assert out[d].sumsq_q == int((col * col).sum())
+        assert out[d].var_num == int(3 * (col * col).sum() - col.sum() ** 2)
+        assert out[d].var_num >= 0  # n^2 * variance is non-negative

@@ -151,3 +151,23 @@ def test_fk_orphans_clean_relationship_is_zero(spark):
     parent = spark.createDataFrame([(i,) for i in range(5)], "pk long")
     r = fk_orphans(child, "fk", parent, "pk", "ok").collect()[0]
     assert r.n_orphan_rows == 0 and r.n_orphan_keys == 0
+
+
+def test_fd_violations_detects_and_stays_silent(spark):
+    from salesforce_plugin_spark.operators.validate import fd_violations
+
+    df = spark.createDataFrame(
+        [("sku1", 10), ("sku1", 10), ("sku2", 20), ("sku2", 25), ("sku3", 30)],
+        "sku string, price int",
+    )
+    out = fd_violations(df, ["sku"], "price").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.sku == "sku2" and r.n_rows == 2 and r.n_distinct == 2
+    assert (r.rhs_min, r.rhs_max) == (20, 25)
+
+    holds = df.filter("sku <> 'sku2'")
+    assert fd_violations(holds, ["sku"], "price").count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fd_violations(df, [], "price")
