@@ -4526,6 +4526,21 @@ def q_fd_audit(spark, sf_dir):
     return v1.unionAll(v2)
 
 
+def q_date_dimension(spark, sf_dir):
+    """Conformed calendar dimension (operators/timeseries.py
+    date_dimension): one row per day of 2023-2024 with calendar + ISO +
+    fiscal attributes (fiscal-year start month 4, the same Salesforce
+    convention as the SOQL FISCAL_* functions) — generated by one
+    sequence() explode with no source scan, sized to broadcast against
+    any fact. Every attribute is integer date arithmetic, replayed
+    exactly by the oracle's generate_series."""
+    from salesforce_plugin_spark.operators.timeseries import date_dimension
+
+    return date_dimension(
+        spark, "2023-01-01", "2024-12-31", fiscal_start_month=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4739,6 +4754,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_dimension_stats": q_dimension_stats,
     "q_distribution_drift": q_distribution_drift,
     "q_fd_audit": q_fd_audit,
+    "q_date_dimension": q_date_dimension,
 }
 
 
@@ -8295,4 +8311,24 @@ ORACLES["q_fd_audit"] = """
     )
     GROUP BY grp
     HAVING count(DISTINCT dep) > 1
+"""
+
+ORACLES["q_date_dimension"] = """
+    SELECT CAST(d AS DATE) AS d,
+           CAST(year(d) AS INT) AS yr,
+           CAST(month(d) AS INT) AS mon,
+           CAST(day(d) AS INT) AS dom,
+           CAST(dayofyear(d) AS INT) AS doy,
+           CAST(isodow(d) AS INT) AS dow_iso,
+           CAST(weekofyear(d) AS INT) AS wk_iso,
+           CAST(quarter(d) AS INT) AS qtr,
+           CAST(CASE WHEN isodow(d) IN (6, 7) THEN 1 ELSE 0 END AS INT)
+               AS is_weekend,
+           CAST(year(d) + CASE WHEN month(d) >= 4 THEN 1 ELSE 0 END AS INT)
+               AS fiscal_yr,
+           CAST((((month(d) - 4 + 12) % 12 + 1) - 1) // 3 + 1 AS INT)
+               AS fiscal_qtr,
+           CAST((month(d) - 4 + 12) % 12 + 1 AS INT) AS fiscal_mon
+    FROM generate_series(DATE '2023-01-01', DATE '2024-12-31',
+                         INTERVAL 1 DAY) AS t(d)
 """

@@ -20,6 +20,7 @@ from salesforce_plugin_spark.operators.joins import (
 )
 from salesforce_plugin_spark.operators.merge import apply_changes, snapshot_diff
 from salesforce_plugin_spark.operators.timeseries import (
+    date_dimension,
     resample_daily_ffill,
     rolling_daily_metrics,
 )

@@ -145,3 +145,63 @@ def rolling_daily_metrics(
         F.sum("day_n").over(w).cast("long").alias("roll_n"),
         F.sum("day_sum").over(w).alias("roll_sum"),
     )
+
+
+def date_dimension(
+    spark,
+    start: str,
+    end: str,
+    fiscal_start_month: int = 1,
+) -> DataFrame:
+    """Generate a conformed calendar dimension for ``[start, end]``
+    (inclusive ISO dates) — the warehouse staple every time-keyed fact
+    joins against instead of re-deriving date parts per query. One row
+    per day:
+
+      ``d date, yr int, mon int, dom int, doy int, dow_iso int
+      (1=Monday), wk_iso int, qtr int, is_weekend int, fiscal_yr int,
+      fiscal_qtr int, fiscal_mon int`` — fiscal parts under the same
+      Salesforce convention as the SOQL FISCAL_* functions
+      (plans/soql.py _fiscal_col: fiscal month 1 = ``fiscal_start_month``,
+      FY named by the calendar year it ends in).
+
+    Built as ONE ``sequence()`` explode on the driver-side literal range
+    — no source scan, a few KB per decade (3653 rows); broadcast it
+    against facts. Deterministic and engine-replayable: every attribute
+    is integer date arithmetic.
+    """
+    if not 1 <= fiscal_start_month <= 12:
+        raise ValueError("fiscal_start_month must be in [1, 12]")
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start).cast("date"),
+                F.lit(end).cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("d")
+    )
+    sm = fiscal_start_month
+    fm = (F.month("d") - sm + 12) % 12 + 1
+    fy = (
+        F.year("d")
+        if sm == 1
+        else F.year("d") + F.when(F.month("d") >= sm, 1).otherwise(0)
+    )
+    return days.select(
+        "d",
+        F.year("d").cast("int").alias("yr"),
+        F.month("d").cast("int").alias("mon"),
+        F.dayofmonth("d").cast("int").alias("dom"),
+        F.dayofyear("d").cast("int").alias("doy"),
+        F.expr("extract(DAYOFWEEK_ISO FROM d)").cast("int").alias("dow_iso"),
+        F.weekofyear("d").cast("int").alias("wk_iso"),
+        F.quarter("d").cast("int").alias("qtr"),
+        F.expr("extract(DAYOFWEEK_ISO FROM d)")
+        .isin(6, 7)
+        .cast("int")
+        .alias("is_weekend"),
+        fy.cast("int").alias("fiscal_yr"),
+        ((fm - 1) / 3 + 1).cast("int").alias("fiscal_qtr"),
+        fm.cast("int").alias("fiscal_mon"),
+    )

@@ -124,6 +124,7 @@ PROBE = [
     "q_dimension_stats",
     "q_distribution_drift",
     "q_fd_audit",
+    "q_date_dimension",
 ]
 
 

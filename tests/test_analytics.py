@@ -1575,3 +1575,24 @@ def test_histogram_tvd_half_mass_moved(spark):
     r = histogram_tvd(a, b, "v", 0.0, 10.0, 10).collect()[0]
     assert r.tvd_ppm == 500000
     assert r.worst_bin in (0, 9)  # both bins carry the same absdiff
+
+
+def test_date_dimension_fiscal_and_iso_edges(spark):
+    import datetime as _dt
+
+    from salesforce_plugin_spark.operators.timeseries import date_dimension
+
+    out = {r.d: r for r in date_dimension(
+        spark, "2023-12-30", "2024-04-01", fiscal_start_month=4
+    ).collect()}
+    jan1 = out[_dt.date(2024, 1, 1)]
+    assert jan1.dow_iso == 1 and jan1.wk_iso == 1       # Monday, ISO week 1
+    assert jan1.fiscal_yr == 2024 and jan1.fiscal_mon == 10
+    apr1 = out[_dt.date(2024, 4, 1)]
+    assert apr1.fiscal_yr == 2025 and apr1.fiscal_mon == 1  # FY rollover
+    assert apr1.fiscal_qtr == 1
+    dec30 = out[_dt.date(2023, 12, 30)]                 # Saturday, ISO week 52
+    assert dec30.is_weekend == 1 and dec30.wk_iso == 52
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        date_dimension(spark, "2024-01-01", "2024-01-02", fiscal_start_month=0)
