@@ -4541,6 +4541,21 @@ def q_date_dimension(spark, sf_dir):
     )
 
 
+def q_surrogate_keys(spark, sf_dir):
+    """Stable surrogate-key management (operators/merge.py
+    surrogate_keys): an initial mapping over the (lang, source) pairs of
+    langs < 'f', then an incremental apply over the full corpus —
+    already-mapped pairs keep their keys (stability is THE contract; an
+    IDENTITY column can't survive re-loads or engine migration), new
+    pairs continue after max(sk) in natural-key order. The oracle
+    replays the two-phase assignment with two ranked CTEs."""
+    from salesforce_plugin_spark.operators.merge import surrogate_keys
+
+    d = load_table(spark, sf_dir, "documents")
+    initial = surrogate_keys(d.filter(F.col("lang") < "f"), ["lang", "source"])
+    return surrogate_keys(d, ["lang", "source"], existing=initial)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4755,6 +4770,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_distribution_drift": q_distribution_drift,
     "q_fd_audit": q_fd_audit,
     "q_date_dimension": q_date_dimension,
+    "q_surrogate_keys": q_surrogate_keys,
 }
 
 
@@ -8331,4 +8347,25 @@ ORACLES["q_date_dimension"] = """
            CAST((month(d) - 4 + 12) % 12 + 1 AS INT) AS fiscal_mon
     FROM generate_series(DATE '2023-01-01', DATE '2024-12-31',
                          INTERVAL 1 DAY) AS t(d)
+"""
+
+ORACLES["q_surrogate_keys"] = """
+    WITH initial AS (
+        SELECT lang, source,
+               row_number() OVER (ORDER BY lang, source) AS sk
+        FROM (SELECT DISTINCT lang, source FROM documents WHERE lang < 'f')
+    ), new_keys AS (
+        SELECT d.lang, d.source
+        FROM (SELECT DISTINCT lang, source FROM documents) d
+        LEFT JOIN initial i ON d.lang = i.lang AND d.source = i.source
+        WHERE i.sk IS NULL
+    ), applied AS (
+        SELECT lang, source,
+               row_number() OVER (ORDER BY lang, source)
+                   + (SELECT max(sk) FROM initial) AS sk
+        FROM new_keys
+    )
+    SELECT lang, source, CAST(sk AS BIGINT) AS sk FROM initial
+    UNION ALL
+    SELECT lang, source, CAST(sk AS BIGINT) AS sk FROM applied
 """

@@ -18,7 +18,11 @@ from salesforce_plugin_spark.operators.joins import (
     interval_overlap_join,
     range_join_bucketed,
 )
-from salesforce_plugin_spark.operators.merge import apply_changes, snapshot_diff
+from salesforce_plugin_spark.operators.merge import (
+    apply_changes,
+    snapshot_diff,
+    surrogate_keys,
+)
 from salesforce_plugin_spark.operators.timeseries import (
     date_dimension,
     resample_daily_ffill,
@@ -58,6 +62,7 @@ __all__ = [
     "key_skew",
     "class_balance",
     "snapshot_diff",
+    "surrogate_keys",
     "cohort_retention",
     "copurchase_pairs",
     "session_transitions",

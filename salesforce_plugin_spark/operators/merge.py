@@ -22,7 +22,7 @@ special casing — the outer join's null pattern encodes them.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def apply_changes(
@@ -126,3 +126,54 @@ def snapshot_diff(
         + [f"{c}_new" for c in compare_cols]
     )
     return joined.select(*out_cols).filter(F.col("change").isNotNull())
+
+
+def surrogate_keys(
+    df: DataFrame,
+    natural_cols: list[str],
+    existing: DataFrame | None = None,
+    key_col: str = "sk",
+) -> DataFrame:
+    """Dimension surrogate-key management: map each distinct natural key
+    to a dense integer, STABLY — re-running with ``existing`` (the
+    current mapping) assigns fresh keys only to unseen naturals,
+    continuing after ``max(sk)``; already-mapped rows come back
+    untouched. This is the warehouse load step between staging and a
+    star schema (the reference's Redshift targets assume it exists; no
+    IDENTITY column survives a cross-engine migration, so the mapping
+    must be data, not DDL).
+
+    New keys are assigned in natural-key sort order — deterministic and
+    engine-replayable (a hash order would also work; sort order makes
+    the mapping human-auditable). Output: ``natural_cols + (sk long)``.
+
+    Plan: a distinct on the naturals, an anti-join against the existing
+    mapping, a 1-row max broadcast, then ``row_number`` over the NEW
+    keys only — the single-partition sort touches dimension churn
+    (new naturals per batch), never fact volume or the full dimension.
+    """
+    if not natural_cols:
+        raise ValueError("surrogate_keys requires natural_cols")
+    nat = df.select(*natural_cols).distinct()
+    if existing is None:
+        new = nat
+        base = nat.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("__base")
+        )
+        prior = None
+    else:
+        new = nat.join(existing.select(*natural_cols), natural_cols, "left_anti")
+        base = existing.agg(
+            F.coalesce(F.max(key_col), F.lit(0)).cast("long").alias("__base")
+        )
+        prior = existing.select(*natural_cols, key_col)
+    w = Window.orderBy(*[F.col(c) for c in natural_cols])
+    assigned = (
+        new.crossJoin(F.broadcast(base))
+        .withColumn(
+            key_col,
+            (F.row_number().over(w) + F.col("__base")).cast("long"),
+        )
+        .drop("__base")
+    )
+    return assigned if prior is None else prior.unionByName(assigned)

@@ -125,6 +125,7 @@ PROBE = [
     "q_distribution_drift",
     "q_fd_audit",
     "q_date_dimension",
+    "q_surrogate_keys",
 ]
 
 

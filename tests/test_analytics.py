@@ -1596,3 +1596,29 @@ def test_date_dimension_fiscal_and_iso_edges(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         date_dimension(spark, "2024-01-01", "2024-01-02", fiscal_start_month=0)
+
+
+# --- surrogate keys ---
+
+def test_surrogate_keys_dense_and_stable(spark):
+    from salesforce_plugin_spark.operators.merge import surrogate_keys
+
+    d1 = spark.createDataFrame([("b",), ("a",), ("c",)], "nk string")
+    m1 = {r.nk: r.sk for r in surrogate_keys(d1, ["nk"]).collect()}
+    assert m1 == {"a": 1, "b": 2, "c": 3}  # dense, natural-key order
+
+    d2 = spark.createDataFrame([("c",), ("aa",), ("z",)], "nk string")
+    existing = surrogate_keys(d1, ["nk"])
+    m2 = {r.nk: r.sk for r in surrogate_keys(d2, ["nk"], existing).collect()}
+    # prior keys untouched; new keys continue after max(sk) in order
+    assert m2["a"] == 1 and m2["b"] == 2 and m2["c"] == 3
+    assert m2["aa"] == 4 and m2["z"] == 5
+
+
+def test_surrogate_keys_rerun_is_idempotent(spark):
+    from salesforce_plugin_spark.operators.merge import surrogate_keys
+
+    d = spark.createDataFrame([("x",), ("y",)], "nk string")
+    m = surrogate_keys(d, ["nk"])
+    again = surrogate_keys(d, ["nk"], existing=m)
+    assert sorted(map(tuple, m.collect())) == sorted(map(tuple, again.collect()))
