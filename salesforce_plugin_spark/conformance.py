@@ -4556,6 +4556,44 @@ def q_surrogate_keys(spark, sf_dir):
     return surrogate_keys(d, ["lang", "source"], existing=initial)
 
 
+def q_star_load(spark, sf_dir):
+    """Warehouse-load capstone: the star-schema composition the
+    reference's Redshift extracts feed — a customer dimension under
+    stable surrogate keys (merge.surrogate_keys), the conformed
+    calendar dimension with fiscal attributes (timeseries.
+    date_dimension), and the orders fact joined through BOTH, rolled up
+    to exact integer cents by (fiscal_yr, fiscal_qtr, mktsegment). The
+    sk range per cell is carried so the surrogate join provably
+    participates. Dimensions broadcast; the fact is scanned once; money
+    stays integer end to end."""
+    from salesforce_plugin_spark.operators.merge import surrogate_keys
+    from salesforce_plugin_spark.operators.timeseries import date_dimension
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cust_dim = surrogate_keys(c, ["c_custkey"]).join(
+        c.select("c_custkey", "c_mktsegment"), "c_custkey"
+    )
+    dates = date_dimension(
+        spark, "1992-01-01", "1998-12-31", fiscal_start_month=4
+    ).select(F.col("d").alias("o_orderdate"), "fiscal_yr", "fiscal_qtr")
+    fact = (
+        o.select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .join(F.broadcast(cust_dim), "c_custkey")
+        .join(F.broadcast(dates), "o_orderdate")
+    )
+    return fact.groupBy("fiscal_yr", "fiscal_qtr", "c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").alias("revenue_cents"),
+        F.min("sk").alias("sk_min"),
+        F.max("sk").alias("sk_max"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4771,6 +4809,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_fd_audit": q_fd_audit,
     "q_date_dimension": q_date_dimension,
     "q_surrogate_keys": q_surrogate_keys,
+    "q_star_load": q_star_load,
 }
 
 
@@ -8368,4 +8407,32 @@ ORACLES["q_surrogate_keys"] = """
     SELECT lang, source, CAST(sk AS BIGINT) AS sk FROM initial
     UNION ALL
     SELECT lang, source, CAST(sk AS BIGINT) AS sk FROM applied
+"""
+
+ORACLES["q_star_load"] = """
+    WITH sk AS (
+        SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS sk
+        FROM (SELECT DISTINCT c_custkey FROM customer)
+    ), dim AS (
+        SELECT s.c_custkey, s.sk, c.c_mktsegment
+        FROM sk s JOIN customer c USING (c_custkey)
+    ), f AS (
+        SELECT o_custkey AS c_custkey,
+               CAST(o_orderdate AS DATE) AS d,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE)
+              BETWEEN DATE '1992-01-01' AND DATE '1998-12-31'
+    )
+    SELECT CAST(year(d) + CASE WHEN month(d) >= 4 THEN 1 ELSE 0 END AS INT)
+               AS fiscal_yr,
+           CAST((((month(d) - 4 + 12) % 12 + 1) - 1) // 3 + 1 AS INT)
+               AS fiscal_qtr,
+           dim.c_mktsegment,
+           count(*) AS n_orders,
+           sum(f.cents) AS revenue_cents,
+           min(dim.sk) AS sk_min,
+           max(dim.sk) AS sk_max
+    FROM f JOIN dim USING (c_custkey)
+    GROUP BY 1, 2, 3
 """

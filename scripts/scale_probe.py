@@ -126,6 +126,7 @@ PROBE = [
     "q_fd_audit",
     "q_date_dimension",
     "q_surrogate_keys",
+    "q_star_load",
 ]
 
 
