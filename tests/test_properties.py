@@ -631,3 +631,67 @@ def test_deletion_link_always_finds_any_single_edit(spark, name, edit):
         master, dirty, "master_id", "dirty_id", "name", max_dist=1
     ).collect()
     assert len(rows) == 1 and rows[0].master_id == 1 and rows[0].dist <= 1
+
+
+# --- Bloom filter one-sidedness ---
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    build=st.sets(st.integers(min_value=0, max_value=500), min_size=1,
+                  max_size=40),
+    probe_extra=st.sets(st.integers(min_value=501, max_value=1000),
+                        max_size=40),
+    n_bits=st.sampled_from([64, 256, 1024]),
+    n_hashes=st.integers(min_value=1, max_value=4),
+)
+def test_bloom_never_drops_a_true_member(spark, build, probe_extra, n_bits,
+                                         n_hashes):
+    """The Bloom contract is ONE-SIDED: for any build set, any probe set,
+    and any (n_bits, n_hashes) configuration — including absurdly small
+    filters where false positives abound — every true member of the
+    build set survives pruning."""
+    from salesforce_plugin_spark.functions.sketch import bloom_build, bloom_prune
+
+    bdf = spark.createDataFrame([(k,) for k in build], "k long")
+    probe = spark.createDataFrame(
+        [(k,) for k in build | probe_extra], "k long"
+    )
+    bloom = bloom_build(bdf, "k", n_bits=n_bits, n_hashes=n_hashes)
+    passed = {
+        r.k for r in bloom_prune(probe, "k", bloom, n_bits, n_hashes).collect()
+    }
+    assert build <= passed
+
+
+# --- budget_sample greedy-prefix exactness ---
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=50), min_size=1,
+                     max_size=30),
+    budget=st.integers(min_value=1, max_value=400),
+)
+def test_budget_sample_is_the_maximal_hash_prefix(spark, weights, budget):
+    """budget_sample keeps EXACTLY the maximal prefix, in md5-hash order
+    of the id, whose running weight stays within budget — no more, no
+    less, for any weight multiset and any budget."""
+    import hashlib
+
+    from salesforce_plugin_spark.operators.pipeline import budget_sample
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "id long, w int")
+    kept = sorted(
+        r.id for r in budget_sample(df, [], "id", "w", budget).collect()
+    )
+    order = sorted(rows, key=lambda r: (hashlib.md5(str(r[0]).encode())
+                                        .hexdigest(), r[0]))
+    expect, cum = [], 0
+    for i, w in order:
+        cum += w
+        if cum > budget:
+            break
+        expect.append(i)
+    assert kept == sorted(expect)
