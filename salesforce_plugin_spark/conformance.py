@@ -4594,6 +4594,31 @@ def q_star_load(spark, sf_dir):
     )
 
 
+def q_collocations(spark, sf_dir):
+    """Collocation mining by lift (functions/text.py collocation_lift):
+    adjacent-bigram lift — the log-free PMI analog, rational in exact
+    counts so it hash-gates — with margins derived from the bigram
+    table itself (one corpus scan, vocab^2-bounded exchanges,
+    broadcast margin joins). Top 40 by (lift desc, pair) with a
+    min-count floor of 5."""
+    from salesforce_plugin_spark.functions.text import collocation_lift
+
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    return collocation_lift(d, "text", min_pair_count=5, top_n=40)
+
+
+def q_oov_audit(spark, sf_dir):
+    """Tokenizer-coverage audit (functions/text.py oov_rate): per-doc
+    out-of-vocabulary rate against the corpus's own deterministic
+    top-500 vocab — one corpus scan, vocab as a bounded broadcast
+    membership join, integer ppm. The detector for documents a frozen
+    tokenizer would shred."""
+    from salesforce_plugin_spark.functions.text import oov_rate
+
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    return oov_rate(d, "doc_id", "text", vocab_size=500)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4810,6 +4835,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_date_dimension": q_date_dimension,
     "q_surrogate_keys": q_surrogate_keys,
     "q_star_load": q_star_load,
+    "q_collocations": q_collocations,
+    "q_oov_audit": q_oov_audit,
 }
 
 
@@ -8435,4 +8462,60 @@ ORACLES["q_star_load"] = """
            max(dim.sk) AS sk_max
     FROM f JOIN dim USING (c_custkey)
     GROUP BY 1, 2, 3
+"""
+
+ORACLES["q_collocations"] = r"""
+    WITH toked AS (
+        SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ), grams AS (
+        SELECT t[s] AS w1, t[s + 1] AS w2
+        FROM (
+            SELECT t, unnest(generate_series(1, len(t) - 1)) AS s
+            FROM toked WHERE len(t) >= 2
+        )
+    ), pairs AS (
+        SELECT w1, w2, count(*) AS n_ab FROM grams GROUP BY 1, 2
+    ), lm AS (
+        SELECT w1, sum(n_ab) AS n_a FROM pairs GROUP BY w1
+    ), rm AS (
+        SELECT w2, sum(n_ab) AS n_b FROM pairs GROUP BY w2
+    ), tot AS (
+        SELECT sum(n_ab) AS n FROM pairs
+    ), scored AS (
+        SELECT p.w1, p.w2, p.n_ab, lm.n_a, rm.n_b,
+               p.n_ab * t.n * 1000000 // (lm.n_a * rm.n_b) AS lift_ppm
+        FROM pairs p
+        JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot t
+        WHERE p.n_ab >= 5
+    )
+    SELECT w1, w2, n_ab, n_a, n_b, lift_ppm,
+           CAST(row_number() OVER (ORDER BY lift_ppm DESC, w1, w2) AS INT)
+               AS rank
+    FROM scored
+    QUALIFY rank <= 40
+"""
+
+ORACLES["q_oov_audit"] = r"""
+    WITH ex AS (
+        SELECT doc_id, unnest(
+            list_transform(regexp_split_to_array(trim(text), '\s+'),
+                           x -> lower(x))) AS tok
+        FROM documents
+    ), ex2 AS (
+        SELECT doc_id, tok FROM ex WHERE tok <> ''
+    ), vocab AS (
+        SELECT tok FROM (
+            SELECT tok, count(*) AS tf FROM ex2 GROUP BY tok
+            ORDER BY tf DESC, tok LIMIT 500
+        )
+    )
+    SELECT e.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000
+               // count(*) AS oov_ppm
+    FROM ex2 e LEFT JOIN vocab v ON e.tok = v.tok
+    GROUP BY e.doc_id
 """

@@ -671,3 +671,125 @@ def bpe_pair_counts(
         agg.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= top_n)
     )
+
+
+def collocation_lift(
+    df: DataFrame,
+    text_col: str,
+    min_pair_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Collocation mining by LIFT — the log-free PMI analog: for each
+    adjacent lowercase token bigram,
+
+        lift_ppm = (n_ab * N_bigrams) * 10^6  div  (n_a * n_b)
+
+    where ``n_a``/``n_b`` are occurrence counts in the left/right bigram
+    position (so margins sum to N exactly)
+    and ``N`` the bigram total. Lift > 10^6 means the pair co-occurs
+    more than independence predicts — the standard collocation signal
+    ("machine learning" scores; "of the" doesn't) — and the ratio form
+    is rational in exact counts, so it hash-gates where PMI's ``log``
+    cannot. Rank (lift desc, pair asc) picks the top collocations
+    deterministically.
+
+    Plan: one corpus scan explodes bigrams (map-side), ONE exchange on
+    the bigram (vocab²-bounded, partial-combined), unigram counts
+    derived from the bigram table itself (two vocab-bounded aggregates
+    of it — the corpus is never rescanned), broadcast-joined back. The
+    ``min_pair_count`` floor prunes the hapax tail before the join.
+
+    Overflow: ``n_ab * N * 10^6 < 2^63`` needs ``n_ab * N < 9·10^12``
+    — pre-scale counts for corpora past ~10^6 bigrams of one pair.
+    Output (scalar-only): ``(w1, w2, n_ab, n_a, n_b, lift_ppm, rank)``.
+    """
+    if top_n < 1 or min_pair_count < 1:
+        raise ValueError("collocation_lift requires top_n/min_pair_count >= 1")
+    toked = df.select(
+        tokens(F.lower(F.col(text_col))).alias("__t")
+    ).filter(F.size("__t") >= 2)
+    grams = toked.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("__t"), i).alias("w1"),
+                    F.element_at(F.col("__t"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("__g")
+    ).select(F.col("__g.w1").alias("w1"), F.col("__g.w2").alias("w2"))
+    pairs = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    left = pairs.groupBy("w1").agg(F.sum("n_ab").alias("n_a"))
+    right = pairs.groupBy("w2").agg(F.sum("n_ab").alias("n_b"))
+    total = pairs.agg(F.sum("n_ab").alias("__n"))
+    scored = (
+        pairs.filter(F.col("n_ab") >= min_pair_count)
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("n_ab * __n * 1000000 div (n_a * n_b)").alias("lift_ppm"),
+        )
+    )
+    w = Window.orderBy(F.col("lift_ppm").desc(), F.col("w1"), F.col("w2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_n)
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Tokenizer-coverage audit: per-document out-of-vocabulary rate
+    against the corpus's own top-``vocab_size`` tokens (tf desc, token
+    asc — the deterministic vocab q_vocab builds). The pre-training
+    question this answers: if we freeze THIS vocab, what fraction of
+    each document's tokens fall outside it — the long-tail/code/non-
+    target-language detector that catches documents a fixed tokenizer
+    will shred into bytes.
+
+    Output (scalar-only): ``(id, n_tokens, n_oov,
+    oov_ppm = n_oov * 10^6 div n_tokens)``; empty-token docs are
+    excluded (0/0 is undefined, not zero).
+
+    Plan: one corpus scan explodes tokens; the vocab is a bounded
+    aggregate of that same exploded relation (top-k by
+    TakeOrderedAndProject) broadcast back as a membership join; the
+    per-doc aggregate is partial-combined. The corpus is never
+    rescanned and nothing downstream scales past ``vocab_size`` except
+    the per-doc result itself.
+    """
+    if vocab_size < 1:
+        raise ValueError("oov_rate requires vocab_size >= 1")
+    ex = df.select(
+        F.col(id_col),
+        F.explode(F.transform(tokens(F.col(text_col)), F.lower)).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    vocab = (
+        ex.groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .orderBy(F.col("__tf").desc(), F.col("__tok"))
+        .limit(vocab_size)
+        .select("__tok", F.lit(1).alias("__in_vocab"))
+    )
+    joined = ex.join(F.broadcast(vocab), "__tok", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn("oov_ppm", F.expr("n_oov * 1000000 div n_tokens"))
+    )

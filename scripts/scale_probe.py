@@ -127,6 +127,8 @@ PROBE = [
     "q_date_dimension",
     "q_surrogate_keys",
     "q_star_load",
+    "q_collocations",
+    "q_oov_audit",
 ]
 
 

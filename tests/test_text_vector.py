@@ -320,3 +320,52 @@ def test_dimension_stats_matches_numpy(spark):
         assert out[d].sumsq_q == int((col * col).sum())
         assert out[d].var_num == int(3 * (col * col).sum() - col.sum() ** 2)
         assert out[d].var_num >= 0  # n^2 * variance is non-negative
+
+
+def test_collocation_lift_separates_collocates_from_stop_pairs(spark):
+    from salesforce_plugin_spark.functions.text import collocation_lift
+
+    # "machine learning" always co-occurs; "the" pairs with everything
+    docs = []
+    for i in range(20):
+        docs.append((f"machine learning rocks the house {i}",))
+        docs.append((f"the cat sat on the mat {i}",))
+        docs.append((f"the dog ran to the park {i}",))
+    df = spark.createDataFrame(docs, "text string")
+    out = {(r.w1, r.w2): r for r in collocation_lift(
+        df, "text", min_pair_count=5, top_n=100
+    ).collect()}
+    ml = out[("machine", "learning")]
+    assert ml.lift_ppm > 1_000_000          # above independence
+    the_cat = out.get(("the", "cat"))
+    if the_cat is not None:
+        assert ml.lift_ppm > the_cat.lift_ppm  # stop pair scores lower
+    assert ml.n_ab == 20
+
+
+def test_collocation_lift_margins_sum_to_total(spark):
+    from salesforce_plugin_spark.functions.text import collocation_lift
+
+    df = spark.createDataFrame(
+        [("a b a b a b",), ("b a b a",)], "text string"
+    )
+    rows = collocation_lift(df, "text", min_pair_count=1, top_n=10).collect()
+    # margins derive from the bigram table itself: every lift is exact
+    for r in rows:
+        n = sum(x.n_ab for x in rows)  # all pairs present in top_n here
+        assert r.lift_ppm == r.n_ab * n * 1_000_000 // (r.n_a * r.n_b)
+
+
+def test_oov_rate_counts_exactly(spark):
+    from salesforce_plugin_spark.functions.text import oov_rate
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a rare words here"), (3, "b b")],
+        "doc_id long, text string",
+    )
+    # vocab_size=2 -> vocab = {a, b} (tf 4 and 3)
+    out = {r.doc_id: r for r in oov_rate(df, "doc_id", "text", 2).collect()}
+    assert out[1].n_oov == 0 and out[1].oov_ppm == 0
+    assert out[2].n_tokens == 4 and out[2].n_oov == 3
+    assert out[2].oov_ppm == 750000
+    assert out[3].n_oov == 0
