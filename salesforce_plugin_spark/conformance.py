@@ -4619,6 +4619,43 @@ def q_oov_audit(spark, sf_dir):
     return oov_rate(d, "doc_id", "text", vocab_size=500)
 
 
+def q_incremental_rollup(spark, sf_dir):
+    """Materialized-rollup maintenance (operators/merge.py
+    fold_additive_rollup): a daily (day, event_type) rollup —
+    count + scaled-long value sum + sum of squares — maintained by
+    folding three event_id-sliced batches sequentially; the fold is
+    associative/commutative, so the result must equal the one-shot
+    rollup (the oracle computes exactly that). Each fold is one union
+    + one bounded key exchange; averages/variance derive from the
+    additive parts at read time."""
+    from salesforce_plugin_spark.operators.merge import fold_additive_rollup
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 1000, 0).cast("long").alias("vq"),
+    )
+    n = ev.agg(F.max("event_id")).collect()[0][0]
+    cuts = [int(n * 0.4), int(n * 0.7)]
+    slices = [
+        ev.filter(F.col("event_id") <= cuts[0]),
+        ev.filter((F.col("event_id") > cuts[0]) & (F.col("event_id") <= cuts[1])),
+        ev.filter(F.col("event_id") > cuts[1]),
+    ]
+    state = None
+    for sl in slices:
+        delta = sl.groupBy("day", "event_type").agg(
+            F.count("*").alias("n"),
+            F.sum("vq").alias("sum_vq"),
+            F.sum(F.col("vq") * F.col("vq")).alias("sumsq_vq"),
+        )
+        state = fold_additive_rollup(
+            state, delta, ["day", "event_type"], ["n", "sum_vq", "sumsq_vq"]
+        )
+    return state
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4837,6 +4874,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_star_load": q_star_load,
     "q_collocations": q_collocations,
     "q_oov_audit": q_oov_audit,
+    "q_incremental_rollup": q_incremental_rollup,
 }
 
 
@@ -8518,4 +8556,17 @@ ORACLES["q_oov_audit"] = r"""
                // count(*) AS oov_ppm
     FROM ex2 e LEFT JOIN vocab v ON e.tok = v.tok
     GROUP BY e.doc_id
+"""
+
+ORACLES["q_incremental_rollup"] = """
+    WITH q AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(round(value * 1000, 0) AS BIGINT) AS vq
+        FROM events
+    )
+    SELECT day, event_type,
+           count(*) AS n,
+           sum(vq) AS sum_vq,
+           sum(vq * vq) AS sumsq_vq
+    FROM q GROUP BY day, event_type
 """

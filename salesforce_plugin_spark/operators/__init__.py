@@ -20,6 +20,7 @@ from salesforce_plugin_spark.operators.joins import (
 )
 from salesforce_plugin_spark.operators.merge import (
     apply_changes,
+    fold_additive_rollup,
     snapshot_diff,
     surrogate_keys,
 )
@@ -63,6 +64,7 @@ __all__ = [
     "class_balance",
     "snapshot_diff",
     "surrogate_keys",
+    "fold_additive_rollup",
     "cohort_retention",
     "copurchase_pairs",
     "session_transitions",

@@ -177,3 +177,39 @@ def surrogate_keys(
         .drop("__base")
     )
     return assigned if prior is None else prior.unionByName(assigned)
+
+
+def fold_additive_rollup(
+    state: DataFrame | None,
+    delta: DataFrame,
+    key_cols: list[str],
+    measure_cols: list[str],
+) -> DataFrame:
+    """Incremental materialized-rollup maintenance: fold a new batch's
+    pre-aggregated ``delta`` into the existing rollup ``state`` by
+    element-wise addition per key — the only state discipline that
+    makes an aggregate maintainable at 100 TB (recomputing a daily
+    rollup over the full history is O(history); folding the new
+    partition is O(batch + touched keys)).
+
+    Works for any ADDITIVE measure set: counts, sums, sum-of-squares
+    (variance via (Σx, Σx², n)), scaled-integer money, histogram bin
+    counts, count-min grids. Averages/ratios must be carried as their
+    additive parts and divided at read time — storing a ratio makes the
+    state unfoldable, the classic MV-maintenance mistake.
+
+    The fold is associative and commutative, so ANY batching of the
+    same rows yields the identical rollup — the equivalence
+    q_incremental_rollup gates against the one-shot batch oracle, and
+    the property that makes replays/backfills idempotent-by-
+    construction when each source partition is folded exactly once.
+
+    Plan: one union + one map-side-combined exchange on the keys,
+    bounded by |state keys| + |delta keys|.
+    """
+    if not key_cols or not measure_cols:
+        raise ValueError("fold_additive_rollup requires keys and measures")
+    merged = delta if state is None else state.unionByName(delta)
+    return merged.groupBy(*key_cols).agg(
+        *[F.sum(c).alias(c) for c in measure_cols]
+    )

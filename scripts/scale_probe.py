@@ -129,6 +129,7 @@ PROBE = [
     "q_star_load",
     "q_collocations",
     "q_oov_audit",
+    "q_incremental_rollup",
 ]
 
 

@@ -1622,3 +1622,23 @@ def test_surrogate_keys_rerun_is_idempotent(spark):
     m = surrogate_keys(d, ["nk"])
     again = surrogate_keys(d, ["nk"], existing=m)
     assert sorted(map(tuple, m.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_fold_additive_rollup_any_batching_agrees(spark):
+    from salesforce_plugin_spark.operators.merge import fold_additive_rollup
+
+    rows = [(i % 3, 1, i) for i in range(30)]
+    df = spark.createDataFrame(rows, "k int, n long, s long")
+    one_shot = fold_additive_rollup(None, df, ["k"], ["n", "s"])
+
+    state = None
+    for lo, hi in [(0, 7), (7, 19), (19, 30)]:
+        sl = spark.createDataFrame(rows[lo:hi], "k int, n long, s long")
+        delta = fold_additive_rollup(None, sl, ["k"], ["n", "s"])
+        state = fold_additive_rollup(state, delta, ["k"], ["n", "s"])
+    assert sorted(map(tuple, state.collect())) == sorted(
+        map(tuple, one_shot.collect())
+    )
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fold_additive_rollup(None, df, [], ["n"])
