@@ -4656,6 +4656,35 @@ def q_incremental_rollup(spark, sf_dir):
     return state
 
 
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of join (operators/joins.py asof_join
+    direction='forward'): for every click, the user's EARLIEST view
+    at-or-after it within 2 hours — the next-event/label-lookahead
+    shape (pandas merge_asof parity). Same single-exchange union-sort-
+    window plan as the backward form, time sorted descending; the
+    oracle replays it with a window over epoch micros."""
+    from salesforce_plugin_spark.operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts"
+    )
+    out = asof_join(
+        clicks, views, "ts", by=["user_id"], tolerance="2 hours",
+        direction="forward",
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        F.unix_micros(F.col("ts")).alias("click_us"),
+        "view_id_r",
+        F.unix_micros(F.col("ts_r")).alias("view_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4875,6 +4904,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_collocations": q_collocations,
     "q_oov_audit": q_oov_audit,
     "q_incremental_rollup": q_incremental_rollup,
+    "q_asof_forward": q_asof_forward,
 }
 
 
@@ -8569,4 +8599,27 @@ ORACLES["q_incremental_rollup"] = """
            sum(vq) AS sum_vq,
            sum(vq * vq) AS sumsq_vq
     FROM q GROUP BY day, event_type
+"""
+
+ORACLES["q_asof_forward"] = """
+    WITH c AS (
+        SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+        FROM events WHERE event_type = 'click'
+    ), v AS (
+        SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_us
+        FROM events WHERE event_type = 'view'
+    ), ranked AS (
+        SELECT c.click_id, v.view_id, v.view_us,
+               row_number() OVER (
+                   PARTITION BY c.click_id ORDER BY v.view_us, v.view_id
+               ) AS rn
+        FROM c JOIN v
+          ON v.user_id = c.user_id
+         AND v.view_us >= c.click_us
+         AND v.view_us <= c.click_us + 7200000000
+    )
+    SELECT c.user_id, c.click_id, c.click_us,
+           r.view_id AS view_id_r, r.view_us AS view_us
+    FROM c LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+      ON r.click_id = c.click_id
 """

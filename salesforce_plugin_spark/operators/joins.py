@@ -24,15 +24,26 @@ def asof_join(
     by: list[str],
     tolerance: str | None = None,
     right_suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: latest right row at-or-before each left row's
-    ``time_col``, matched on the ``by`` keys. Left rows with no prior right
-    row get nulls. ``tolerance`` (an INTERVAL string like '2 hours') bounds
-    how stale the match may be.
+    """As-of join, matched on the ``by`` keys. ``direction="backward"``
+    (default): latest right row at-or-before each left row's
+    ``time_col`` — the feature-lookup shape. ``direction="forward"``:
+    earliest right row at-or-after — the next-event/label-lookahead
+    shape (pandas ``merge_asof`` parity). Unmatched left rows get
+    nulls. ``tolerance`` (an INTERVAL string like '2 hours') bounds
+    staleness (backward) / lookahead (forward).
+
+    Both directions share ONE plan shape: union both sides, one
+    exchange + sort per ``by`` key, a running last-non-null window —
+    no join node at all, so there is nothing to skew (`PLANS.md
+    q_asof_join`); forward simply sorts time descending.
 
     Output columns: all of ``left``'s, plus each right non-key column
     suffixed with ``right_suffix`` (including the right row's time).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     r_val_cols = [c for c in right.columns if c not in by]
     l_struct = F.struct(*[F.col(c) for c in left.columns]).alias("__l")
     r_struct = F.struct(*[F.col(c) for c in r_val_cols]).alias("__r")
@@ -53,10 +64,12 @@ def asof_join(
         r_struct,
         F.lit(0).alias("__side"),
     )
-    # right rows sort before left rows at equal timestamps → "at or before"
+    # right rows sort before left rows at equal timestamps → "at or
+    # before" (backward) / "at or after" (forward, time descending)
+    t_order = F.col("__t") if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col("__t"), F.col("__side"))
+        .orderBy(t_order, F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     combined = tagged_l.unionByName(tagged_r).withColumn(
@@ -64,9 +77,14 @@ def asof_join(
     )
     out = combined.filter(F.col("__side") == 1)
     if tolerance is not None:
-        fresh = F.col("__match").getField(time_col) >= (
-            F.col("__t") - F.expr(f"INTERVAL {tolerance}")
-        )
+        if direction == "backward":
+            fresh = F.col("__match").getField(time_col) >= (
+                F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+            )
+        else:
+            fresh = F.col("__match").getField(time_col) <= (
+                F.col("__t") + F.expr(f"INTERVAL {tolerance}")
+            )
         out = out.withColumn(
             "__match", F.when(fresh, F.col("__match")).otherwise(F.lit(None))
         )

@@ -130,6 +130,7 @@ PROBE = [
     "q_collocations",
     "q_oov_audit",
     "q_incremental_rollup",
+    "q_asof_forward",
 ]
 
 

@@ -65,3 +65,52 @@ def test_range_join_bucketed_matches_naive(spark):
         map(tuple, naive.collect())
     )
     assert bucketed.count() > 0
+
+
+def test_asof_forward_picks_next_at_or_after(spark):
+    import datetime as _dt
+
+    from salesforce_plugin_spark.operators.joins import asof_join
+
+    t0 = _dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(m):
+        return t0 + _dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, 10, ts(10)), (1, 11, ts(50)), (2, 20, ts(0))],
+        "k int, lid int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, ts(10)), (1, 101, ts(30)), (1, 102, ts(60))],
+        "k int, rid int, ts timestamp",
+    )
+    out = {r.lid: r.rid_r for r in asof_join(
+        left, right, "ts", by=["k"], direction="forward"
+    ).collect()}
+    assert out[10] == 100       # equal timestamp counts ("at or after")
+    assert out[11] == 102       # next one after minute 50
+    assert out[20] is None      # key 2 has no right rows
+
+
+def test_asof_forward_tolerance_bounds_lookahead(spark):
+    import datetime as _dt
+
+    from salesforce_plugin_spark.operators.joins import asof_join
+
+    t0 = _dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, 1, t0)], "k int, lid int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, 9, t0 + _dt.timedelta(hours=3))], "k int, rid int, ts timestamp"
+    )
+    hit = asof_join(left, right, "ts", ["k"], tolerance="4 hours",
+                    direction="forward").collect()[0]
+    assert hit.rid_r == 9
+    miss = asof_join(left, right, "ts", ["k"], tolerance="2 hours",
+                     direction="forward").collect()[0]
+    assert miss.rid_r is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        asof_join(left, right, "ts", ["k"], direction="nearest")
