@@ -4685,6 +4685,66 @@ def q_asof_forward(spark, sf_dir):
     )
 
 
+def q_asof_nearest(spark, sf_dir):
+    """Nearest as-of join (operators/joins.py asof_join
+    direction='nearest'): each click matched to the user's closest view
+    in EITHER direction, exact ties going backward — completing pandas
+    merge_asof parity. Two passes of the join-free union-sort-window
+    plan + a struct pick; oracle ranks by absolute time distance with
+    the backward tiebreak."""
+    from salesforce_plugin_spark.operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts"
+    )
+    out = asof_join(clicks, views, "ts", by=["user_id"], direction="nearest")
+    return out.select(
+        "user_id",
+        "click_id",
+        F.unix_micros(F.col("ts")).alias("click_us"),
+        "view_id_r",
+        F.unix_micros(F.col("ts_r")).alias("view_us"),
+    )
+
+
+def q_debounce(spark, sf_dir):
+    """Burst suppression (operators/timeseries.py debounce): per-user
+    events within 10 minutes of the previous event collapse to the
+    burst's first row — time-proximity dedup for at-least-once
+    delivery, one exchange + lag window + map-side filter. Exact
+    integer-microsecond boundary; event_id tiebreak."""
+    from salesforce_plugin_spark.operators.timeseries import debounce
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    out = debounce(e, ["user_id"], "ts", 600, tiebreak_cols=["event_id"])
+    return out.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+
+
+def q_throttle(spark, sf_dir):
+    """Hot-key rate limiting (operators/timeseries.py
+    throttle_per_window): at most 3 earliest events per user per day —
+    the ingest-shaping guard against bot keys skewing every downstream
+    shuffle. Exact integer tumbling-window assignment; one key
+    exchange; event_id tiebreak."""
+    from salesforce_plugin_spark.operators.timeseries import throttle_per_window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    out = throttle_per_window(
+        e, ["user_id"], "ts", 86_400, 3, tiebreak_cols=["event_id"]
+    )
+    return out.select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4905,6 +4965,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_oov_audit": q_oov_audit,
     "q_incremental_rollup": q_incremental_rollup,
     "q_asof_forward": q_asof_forward,
+    "q_asof_nearest": q_asof_nearest,
+    "q_debounce": q_debounce,
+    "q_throttle": q_throttle,
 }
 
 
@@ -8622,4 +8685,53 @@ ORACLES["q_asof_forward"] = """
            r.view_id AS view_id_r, r.view_us AS view_us
     FROM c LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
       ON r.click_id = c.click_id
+"""
+
+ORACLES["q_asof_nearest"] = """
+    WITH c AS (
+        SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+        FROM events WHERE event_type = 'click'
+    ), v AS (
+        SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_us
+        FROM events WHERE event_type = 'view'
+    ), ranked AS (
+        SELECT c.click_id, v.view_id, v.view_us,
+               row_number() OVER (
+                   PARTITION BY c.click_id
+                   ORDER BY abs(v.view_us - c.click_us),
+                            CASE WHEN v.view_us <= c.click_us
+                                 THEN 0 ELSE 1 END,
+                            v.view_id
+               ) AS rn
+        FROM c JOIN v ON v.user_id = c.user_id
+    )
+    SELECT c.user_id, c.click_id, c.click_us,
+           r.view_id AS view_id_r, r.view_us AS view_us
+    FROM c LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+      ON r.click_id = c.click_id
+"""
+
+ORACLES["q_debounce"] = """
+    WITH lagged AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+               lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_us
+        FROM events
+    )
+    SELECT event_id, user_id, ts_us, event_type
+    FROM lagged
+    WHERE prev_us IS NULL OR ts_us - prev_us > 600000000
+"""
+
+ORACLES["q_throttle"] = """
+    WITH ranked AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               row_number() OVER (
+                   PARTITION BY user_id, epoch_us(ts) // 86400000000
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    )
+    SELECT event_id, user_id, ts_us FROM ranked WHERE rn <= 3
 """

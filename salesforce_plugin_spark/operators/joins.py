@@ -30,7 +30,9 @@ def asof_join(
     (default): latest right row at-or-before each left row's
     ``time_col`` — the feature-lookup shape. ``direction="forward"``:
     earliest right row at-or-after — the next-event/label-lookahead
-    shape (pandas ``merge_asof`` parity). Unmatched left rows get
+    shape. ``direction="nearest"``: whichever of the two is closer in
+    time, ties going backward (full pandas ``merge_asof`` parity; two
+    passes of the same plan, still join-free). Unmatched left rows get
     nulls. ``tolerance`` (an INTERVAL string like '2 hours') bounds
     staleness (backward) / lookahead (forward).
 
@@ -42,8 +44,31 @@ def asof_join(
     Output columns: all of ``left``'s, plus each right non-key column
     suffixed with ``right_suffix`` (including the right row's time).
     """
+    if direction == "nearest":
+        # closest match in either direction; ties (equal |Δt|) go backward.
+        # Two single-exchange passes + a struct comparison — still no join.
+        b = asof_join(left, right, time_col, by, tolerance, "__b", "backward")
+        f = asof_join(b, right, time_col, by, tolerance, "__f", "forward")
+        bt = F.col(f"{time_col}__b")
+        ft = F.col(f"{time_col}__f")
+        lt = F.col(time_col)
+        use_b = F.when(ft.isNull(), F.lit(True)).otherwise(
+            bt.isNotNull() & ((lt - bt) <= (ft - lt))
+        )
+        r_val_cols_n = [c for c in right.columns if c not in by]
+        return f.select(
+            *[F.col(c) for c in left.columns],
+            *[
+                F.when(use_b, F.col(f"{c}__b"))
+                .otherwise(F.col(f"{c}__f"))
+                .alias(f"{c}{right_suffix}")
+                for c in r_val_cols_n
+            ],
+        )
     if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+        raise ValueError(
+            "direction must be 'backward', 'forward', or 'nearest'"
+        )
     r_val_cols = [c for c in right.columns if c not in by]
     l_struct = F.struct(*[F.col(c) for c in left.columns]).alias("__l")
     r_struct = F.struct(*[F.col(c) for c in r_val_cols]).alias("__r")

@@ -205,3 +205,84 @@ def date_dimension(
         ((fm - 1) / 3 + 1).cast("int").alias("fiscal_qtr"),
         fm.cast("int").alias("fiscal_mon"),
     )
+
+
+def debounce(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Burst suppression for at-least-once event streams: keep only the
+    FIRST event of each burst, where a burst is a maximal run of
+    same-key events each within ``gap_seconds`` of the PREVIOUS event
+    (session-gap semantics — the same boundary rule as sessionization,
+    applied as a filter). Retry storms, double-clicks, and duplicate
+    webhook deliveries collapse to one row; events separated by more
+    than the gap all survive.
+
+    The boundary test is exact integer microseconds (no float time
+    arithmetic), and a burst's first row is precisely the row whose lag
+    gap exceeds the threshold — so the whole operator is ONE exchange
+    on the keys + a lag window + a map-side filter; no second election
+    pass. ``tiebreak_cols`` (default: none) order equal timestamps
+    deterministically.
+
+    Contrast ``dedup_exact`` (same content, any time) and
+    ``q_stream_dedup`` (same key, watermark-bounded): debounce is
+    time-proximity dedup — the events differ, arriving close is what
+    makes them duplicates.
+    """
+    if gap_seconds <= 0:
+        raise ValueError("debounce requires gap_seconds > 0")
+    tb = tiebreak_cols or []
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col), *[F.col(c) for c in tb]
+    )
+    us = F.unix_micros(F.col(ts_col))
+    prev_us = F.lag(us).over(w)
+    keep = prev_us.isNull() | ((us - prev_us) > gap_seconds * 1_000_000)
+    return (
+        df.withColumn("__keep", keep)
+        .filter(F.col("__keep"))
+        .drop("__keep")
+    )
+
+
+def throttle_per_window(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    window_seconds: int,
+    max_rows: int,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Ingest shaping: keep at most ``max_rows`` EARLIEST events per key
+    per tumbling window of ``window_seconds`` — the rate-limit a
+    pipeline applies to hot keys before they skew every downstream
+    shuffle (a bot user emitting 10^6 events/hour costs the same as a
+    human after the throttle; pair with ``analytics.key_skew`` to find
+    the keys that need it).
+
+    Window assignment is ``unix_micros div (window * 10^6)`` — exact
+    integers, deterministic under any partitioning; election is a
+    row_number per (key, window) with ``tiebreak_cols`` breaking ties.
+    ONE exchange on the keys; a hot key sorts one partition — if a
+    single key*window overflows a partition, pre-filter with debounce.
+    """
+    if window_seconds <= 0 or max_rows < 1:
+        raise ValueError("throttle requires window_seconds > 0, max_rows >= 1")
+    tb = tiebreak_cols or []
+    win = F.expr(
+        f"unix_micros({ts_col}) div {window_seconds * 1_000_000}"
+    ).alias("__win")
+    w = Window.partitionBy(*key_cols, "__win").orderBy(
+        F.col(ts_col), *[F.col(c) for c in tb]
+    )
+    return (
+        df.withColumn("__win", win)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_rows)
+        .drop("__win", "__rn")
+    )

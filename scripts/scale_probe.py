@@ -131,6 +131,9 @@ PROBE = [
     "q_oov_audit",
     "q_incremental_rollup",
     "q_asof_forward",
+    "q_asof_nearest",
+    "q_debounce",
+    "q_throttle",
 ]
 
 

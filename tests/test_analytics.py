@@ -1642,3 +1642,38 @@ def test_fold_additive_rollup_any_batching_agrees(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         fold_additive_rollup(None, df, [], ["n"])
+
+
+# --- debounce / throttle ---
+
+def test_debounce_collapses_chained_bursts(spark):
+    import datetime as _dt
+
+    from salesforce_plugin_spark.operators.timeseries import debounce
+
+    t0 = _dt.datetime(2024, 1, 1)
+    seconds = [0, 3, 6, 100, 200, 204]
+    rows = [(1, i, t0 + _dt.timedelta(seconds=s)) for i, s in enumerate(seconds)]
+    df = spark.createDataFrame(rows, "k int, eid int, ts timestamp")
+    kept = sorted(r.eid for r in debounce(df, ["k"], "ts", 5, ["eid"]).collect())
+    # session-gap chaining: s=6 is within 5s of s=3 (the previous EVENT),
+    # so the whole [0,3,6] run is one burst; survivors are burst firsts
+    assert kept == [0, 3, 4]  # eids at s=0, s=100, s=200
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        debounce(df, ["k"], "ts", 0)
+
+
+def test_throttle_caps_per_window(spark):
+    import datetime as _dt
+
+    from salesforce_plugin_spark.operators.timeseries import throttle_per_window
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [(1, i, t0 + _dt.timedelta(minutes=i)) for i in range(10)]
+    rows += [(2, 100, t0)]
+    df = spark.createDataFrame(rows, "k int, eid int, ts timestamp")
+    kept = throttle_per_window(df, ["k"], "ts", 3600, 4, ["eid"]).collect()
+    k1 = sorted(r.eid for r in kept if r.k == 1)
+    assert k1 == [0, 1, 2, 3]       # earliest 4 of the hour
+    assert any(r.k == 2 for r in kept)

@@ -114,3 +114,30 @@ def test_asof_forward_tolerance_bounds_lookahead(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         asof_join(left, right, "ts", ["k"], direction="nearest")
+
+
+def test_asof_nearest_picks_closer_side_with_backward_ties(spark):
+    import datetime as _dt
+
+    from salesforce_plugin_spark.operators.joins import asof_join
+
+    t0 = _dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(m):
+        return t0 + _dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, 1, ts(10)), (1, 2, ts(28)), (1, 3, ts(20)), (1, 4, ts(15))],
+        "k int, lid int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, ts(0)), (1, 101, ts(30)), (1, 102, ts(40))],
+        "k int, rid int, ts timestamp",
+    )
+    out = {r.lid: r.rid_r for r in asof_join(
+        left, right, "ts", ["k"], direction="nearest"
+    ).collect()}
+    assert out[1] == 100   # 10 back vs 20 forward
+    assert out[2] == 101   # 28 back vs 2 forward
+    assert out[3] == 101   # 20 back vs 10 forward
+    assert out[4] == 100   # exact tie (15 vs 15) goes backward
