@@ -4745,6 +4745,54 @@ def q_throttle(spark, sf_dir):
     return out.select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
 
 
+def q_novelty(spark, sf_dir):
+    """Per-document novelty scoring (functions/dedup.py
+    novelty_scores): the ppm of each doc's distinct 3-gram shingles
+    appearing in NO other document — the inverse of containment
+    (boilerplate scores near 0, uncorroborated noise near 10^6). One
+    shingle-df exchange + one per-doc aggregate; no pair generation."""
+    from salesforce_plugin_spark.functions.dedup import novelty_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return novelty_scores(d, "doc_id", "text", shingle_n=3)
+
+
+def q_disorder(spark, sf_dir):
+    """Event-time disorder audit (operators/timeseries.py
+    disorder_stats): per user, how far event time runs backwards when
+    events are replayed in event_id (arrival) order — n_regressions
+    and the max lateness in exact integer micros, i.e. the watermark
+    delay that would have captured everything. One key exchange +
+    a running-max window."""
+    from salesforce_plugin_spark.operators.timeseries import disorder_stats
+
+    e = load_table(spark, sf_dir, "events")
+    return disorder_stats(e, ["user_id"], "event_id", "ts")
+
+
+def q_union_evolve(spark, sf_dir):
+    """Schema-evolution-safe union (operators/transforms.py
+    union_evolve): a pre-drift extract (orderkey, cents) unions a
+    post-drift one (+ o_orderpriority) on the union of columns, the
+    missing column reading as NULL — the read-side counterpart of the
+    B5/B6 ALTER-TABLE drift machinery; historical partitions stay
+    readable without a backfill. Pure projection + union, no
+    shuffle."""
+    from salesforce_plugin_spark.operators.transforms import union_evolve
+
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        "o_orderpriority",
+    )
+    return union_evolve([old, new])
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4968,6 +5016,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_asof_nearest": q_asof_nearest,
     "q_debounce": q_debounce,
     "q_throttle": q_throttle,
+    "q_novelty": q_novelty,
+    "q_disorder": q_disorder,
+    "q_union_evolve": q_union_evolve,
 }
 
 
@@ -8734,4 +8785,64 @@ ORACLES["q_throttle"] = """
         FROM events
     )
     SELECT event_id, user_id, ts_us FROM ranked WHERE rn <= 3
+"""
+
+ORACLES["q_novelty"] = r"""
+    WITH toked AS (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              x -> lower(x)) AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(t, s, s + 2), ' ') AS shingle
+        FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 2)) AS s
+            FROM toked WHERE len(t) >= 3
+        )
+    ), dfreq AS (
+        SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+               AS novelty_ppm
+    FROM sh s JOIN dfreq d USING (shingle)
+    GROUP BY s.doc_id
+"""
+
+ORACLES["q_disorder"] = """
+    WITH lagged AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               max(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS run_max
+        FROM events
+    ), scored AS (
+        SELECT user_id,
+               CASE WHEN run_max > us THEN run_max - us ELSE 0 END AS late
+        FROM lagged
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_regressions,
+           CAST(max(late) AS BIGINT) AS max_lateness_us
+    FROM scored GROUP BY user_id
+"""
+
+ORACLES["q_union_evolve"] = """
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+           CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+           o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
 """

@@ -1106,3 +1106,42 @@ def containment_pairs(
         .select("id_a", "id_b", "n_int", "n_sh_a", "contain_pct")
     )
     return out
+
+
+def novelty_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document novelty: the fraction of a document's distinct
+    shingles that appear in NO other document — the inverse signal of
+    :func:`containment_pairs` (containment finds what a doc shares;
+    novelty measures what it alone contributes). Curation uses it both
+    ways: near-zero novelty = boilerplate/template mass the dedup
+    family should collapse; near-10^6 novelty in a web crawl often
+    means OCR noise or gibberish that nothing else corroborates.
+
+    Output (scalar-only): ``(id, n_shingles, n_novel,
+    novelty_ppm = n_novel * 10^6 div n_shingles)``; shingle-less
+    (short) documents are excluded rather than reported as 0/0.
+
+    Plan: one corpus scan explodes distinct shingles; ONE exchange
+    computes document frequency per shingle (map-side combined); the
+    df=1 flag rides back to documents on the (id, shingle) relation's
+    second bounded aggregate. Cost is the shingle table, never pairs —
+    no candidate generation at all.
+    """
+    sh = exploded_shingles(df, id_col, text_col, shingle_n)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn("novelty_ppm", F.expr("n_novel * 1000000 div n_shingles"))
+    )

@@ -286,3 +286,46 @@ def throttle_per_window(
         .filter(F.col("__rn") <= max_rows)
         .drop("__win", "__rn")
     )
+
+
+def disorder_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Event-time disorder measurement — the number a streaming job
+    needs BEFORE choosing its watermark: with events ordered by arrival
+    (``seq_col``: an ingest offset, file sequence, or monotonically
+    increasing event id), how far does event time run backwards?
+
+    Per key: ``n_events``, ``n_regressions`` (arrivals whose event time
+    is earlier than the running event-time maximum so far), and
+    ``max_lateness_us`` (the worst such gap — the watermark delay that
+    would have captured everything for this key). Aggregate the max
+    over keys for the job-wide setting; a watermark smaller than the
+    observed lateness silently DROPS those rows, which is why this is
+    measured rather than guessed.
+
+    Exact integer microseconds; running max via one cumulative window —
+    ONE exchange on the keys, everything after is a bounded aggregate.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(seq_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col(ts_col))
+    run_max = F.max(us).over(w)
+    lateness = F.when(run_max > us, run_max - us).otherwise(F.lit(0))
+    return (
+        df.withColumn("__late", lateness)
+        .groupBy(*key_cols)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("__late") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_regressions"),
+            F.max("__late").cast("long").alias("max_lateness_us"),
+        )
+    )

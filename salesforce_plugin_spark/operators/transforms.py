@@ -104,3 +104,41 @@ def truncate_varchar(df: DataFrame, lengths: dict[str, int]) -> DataFrame:
     for c, n in lengths.items():
         df = df.withColumn(c, F.substring(F.col(c), 1, n))
     return df
+
+
+def union_evolve(dfs: list[DataFrame]) -> DataFrame:
+    """Schema-evolution-safe union: union inputs whose schemas drifted
+    apart (the add-only column drift the reconciliation layer models,
+    B5/B6) by aligning on the UNION of column names — a column missing
+    from an input contributes NULLs. Column types for shared names must
+    agree (mismatches raise from Spark's own analyzer rather than being
+    silently coerced).
+
+    This is the read-side counterpart of ALTER-TABLE drift handling:
+    historical extract partitions written before a column existed stay
+    readable next to current ones without a backfill. Pure projection +
+    union — no shuffle, no data movement beyond the scan.
+
+    Column order follows first appearance across ``dfs`` (stable, so
+    downstream positional consumers are deterministic).
+    """
+    if not dfs:
+        raise ValueError("union_evolve requires at least one DataFrame")
+    all_cols: list[str] = []
+    for d in dfs:
+        for c in d.columns:
+            if c not in all_cols:
+                all_cols.append(c)
+    aligned = [
+        d.select(
+            *[
+                F.col(c) if c in d.columns else F.lit(None).alias(c)
+                for c in all_cols
+            ]
+        )
+        for d in dfs
+    ]
+    out = aligned[0]
+    for d in aligned[1:]:
+        out = out.unionByName(d)
+    return out

@@ -134,6 +134,9 @@ PROBE = [
     "q_asof_nearest",
     "q_debounce",
     "q_throttle",
+    "q_novelty",
+    "q_disorder",
+    "q_union_evolve",
 ]
 
 

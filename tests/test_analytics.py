@@ -1677,3 +1677,37 @@ def test_throttle_caps_per_window(spark):
     k1 = sorted(r.eid for r in kept if r.k == 1)
     assert k1 == [0, 1, 2, 3]       # earliest 4 of the hour
     assert any(r.k == 2 for r in kept)
+
+
+def test_disorder_stats_detects_regressions(spark):
+    import datetime as _dt
+
+    from salesforce_plugin_spark.operators.timeseries import disorder_stats
+
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + _dt.timedelta(seconds=s)
+
+    # arrival order 1..5; event times: 0, 100, 40, 200, 190
+    rows = [(1, 1, ts(0)), (1, 2, ts(100)), (1, 3, ts(40)),
+            (1, 4, ts(200)), (1, 5, ts(190))]
+    df = spark.createDataFrame(rows, "k int, seq int, ts timestamp")
+    r = disorder_stats(df, ["k"], "seq", "ts").collect()[0]
+    assert r.n_events == 5
+    assert r.n_regressions == 2                 # seq 3 and seq 5
+    assert r.max_lateness_us == 60 * 1_000_000  # 100 - 40 seconds
+
+
+def test_union_evolve_fills_missing_columns(spark):
+    from salesforce_plugin_spark.operators.transforms import union_evolve
+
+    a = spark.createDataFrame([(1, "x")], "id long, v string")
+    b = spark.createDataFrame([(2, "y", 9)], "id long, v string, extra long")
+    out = union_evolve([a, b])
+    assert out.columns == ["id", "v", "extra"]  # first-appearance order
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].extra is None and rows[2].extra == 9
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        union_evolve([])

@@ -534,3 +534,18 @@ def test_containment_rejects_bad_params(spark):
         containment_pairs(df, "doc_id", "text", threshold_pct=0)
     with _pytest.raises(ValueError):
         containment_pairs(df, "doc_id", "text", max_df=1)
+
+
+def test_novelty_scores_boilerplate_vs_unique(spark):
+    from salesforce_plugin_spark.functions.dedup import novelty_scores
+
+    boiler = "terms of service apply to all users"
+    df = spark.createDataFrame(
+        [(1, boiler), (2, boiler), (3, "entirely unique snowflake content here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.novelty_ppm for r in novelty_scores(
+        df, "doc_id", "text"
+    ).collect()}
+    assert out[1] == 0 and out[2] == 0    # every shingle shared
+    assert out[3] == 1000000              # nothing corroborated

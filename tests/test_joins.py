@@ -113,7 +113,7 @@ def test_asof_forward_tolerance_bounds_lookahead(spark):
     assert miss.rid_r is None
     import pytest as _pytest
     with _pytest.raises(ValueError):
-        asof_join(left, right, "ts", ["k"], direction="nearest")
+        asof_join(left, right, "ts", ["k"], direction="sideways")
 
 
 def test_asof_nearest_picks_closer_side_with_backward_ties(spark):
