@@ -1088,20 +1088,30 @@ def containment_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # size-band prune BEFORE the expensive intersection count: containment
+    # >= t% needs n_int >= t*n_sh_a/100, and n_int <= min(n_sh_a, n_sh_b),
+    # so any pair with 100*n_sh_b < t*n_sh_a can never qualify — dropping
+    # it here is a pure optimization (provably result-preserving; the
+    # oracle needs no mirror) that cuts the verification fan-out wherever
+    # a tiny doc's shingles are shared by a large one but not vice versa.
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_sh_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_sh_b"))
+    cand = (
+        cand.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .filter(F.lit(100) * F.col("n_sh_b") >= F.lit(threshold_pct) * F.col("n_sh_a"))
+        .select("id_a", "id_b", "n_sh_a")
+    )
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         cand.join(sh_a, "id_a")
         .join(sh_b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_sh_a")
         .agg(F.count("*").alias("n_int"))
     )
     out = (
-        inter.join(
-            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_sh_a")),
-            "id_a",
-        )
-        .withColumn("contain_pct", F.expr("100 * n_int div n_sh_a"))
+        inter.withColumn("contain_pct", F.expr("100 * n_int div n_sh_a"))
         .filter(F.col("contain_pct") >= threshold_pct)
         .select("id_a", "id_b", "n_int", "n_sh_a", "contain_pct")
     )
