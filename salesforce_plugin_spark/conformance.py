@@ -4793,6 +4793,42 @@ def q_union_evolve(spark, sf_dir):
     return union_evolve([old, new])
 
 
+def q_golden_records(spark, sf_dir):
+    """Golden-record election (functions/entity.py golden_records): the
+    MDM step after linkage — clusters (derived: partkey div 4) collapse
+    to one canonical row by per-attribute majority vote with a
+    deterministic smaller-value tiebreak; a present value always beats
+    absences. Bounded per-(cluster, value) pre-counts; everything
+    map-side combined."""
+    from salesforce_plugin_spark.functions.entity import golden_records
+
+    p = load_table(spark, sf_dir, "part").select(
+        F.expr("p_partkey div 4").alias("cluster"),
+        "p_brand",
+        "p_type",
+    )
+    return golden_records(p, "cluster", ["p_brand", "p_type"])
+
+
+def q_contribution(spark, sf_dir):
+    """Metric-change decomposition (operators/analytics.py
+    contribution_analysis): which order priorities drove the 1995 →
+    1996 revenue change — per-segment cents in both years, signed
+    delta, and exact-integer share of the total move in ppm (negative
+    when a segment moved against the total). One conditional-sum
+    aggregate + a 1-row total broadcast."""
+    from salesforce_plugin_spark.operators.analytics import contribution_analysis
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return contribution_analysis(
+        o, "yr", ["o_orderpriority"], "cents", 1995, 1996
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5019,6 +5055,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_novelty": q_novelty,
     "q_disorder": q_disorder,
     "q_union_evolve": q_union_evolve,
+    "q_golden_records": q_golden_records,
+    "q_contribution": q_contribution,
 }
 
 
@@ -8845,4 +8883,55 @@ ORACLES["q_union_evolve"] = """
            CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
            o_orderpriority
     FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+ORACLES["q_golden_records"] = """
+    WITH base AS (
+        SELECT p_partkey // 4 AS cluster, p_brand, p_type FROM part
+    ), members AS (
+        SELECT cluster, count(*) AS n_members FROM base GROUP BY cluster
+    ), brand_votes AS (
+        SELECT cluster, p_brand, count(*) AS n FROM base
+        WHERE p_brand IS NOT NULL GROUP BY cluster, p_brand
+    ), brand AS (
+        SELECT v.cluster, min(v.p_brand) AS p_brand
+        FROM brand_votes v
+        JOIN (SELECT cluster, max(n) AS top FROM brand_votes GROUP BY cluster) t
+          ON t.cluster = v.cluster AND v.n = t.top
+        GROUP BY v.cluster
+    ), type_votes AS (
+        SELECT cluster, p_type, count(*) AS n FROM base
+        WHERE p_type IS NOT NULL GROUP BY cluster, p_type
+    ), cont AS (
+        SELECT v.cluster, min(v.p_type) AS p_type
+        FROM type_votes v
+        JOIN (SELECT cluster, max(n) AS top FROM type_votes GROUP BY cluster) t
+          ON t.cluster = v.cluster AND v.n = t.top
+        GROUP BY v.cluster
+    )
+    SELECT m.cluster, m.n_members, b.p_brand, c.p_type
+    FROM members m
+    LEFT JOIN brand b ON b.cluster = m.cluster
+    LEFT JOIN cont c ON c.cluster = m.cluster
+"""
+
+ORACLES["q_contribution"] = """
+    WITH seg AS (
+        SELECT o_orderpriority,
+               CAST(sum(CASE WHEN year(o_orderdate) = 1995
+                             THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS m_a,
+               CAST(sum(CASE WHEN year(o_orderdate) = 1996
+                             THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS m_b
+        FROM orders
+        WHERE year(o_orderdate) IN (1995, 1996)
+        GROUP BY o_orderpriority
+    ), tot AS (
+        SELECT sum(m_b - m_a) AS total FROM seg
+    )
+    SELECT s.o_orderpriority, s.m_a, s.m_b, s.m_b - s.m_a AS delta,
+           CASE WHEN t.total <> 0
+                THEN (s.m_b - s.m_a) * 1000000 // t.total END AS share_ppm
+    FROM seg s CROSS JOIN tot t
 """

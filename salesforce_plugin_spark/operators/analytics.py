@@ -362,3 +362,56 @@ def class_balance(df: DataFrame, label_col: str) -> DataFrame:
         F.expr("(__total * __total - __sq) * 1000000 div (__total * __total)")
         .alias("gini_ppm"),
     )
+
+
+def contribution_analysis(
+    df: DataFrame,
+    period_col: str,
+    group_cols: list[str],
+    measure_col: str,
+    period_a,
+    period_b,
+) -> DataFrame:
+    """Metric-change decomposition ("why did revenue move?"): per
+    segment, the measure in period A and period B, the signed delta,
+    and the segment's share of the TOTAL change in ppm — the first
+    question asked of any week-over-week dashboard move, answered as
+    one bounded aggregate instead of ad-hoc queries per segment.
+
+    ``measure_col`` must be an exact integer measure (cents, counts,
+    scaled longs). ``share_ppm = delta * 10^6 div total_delta`` is an
+    exact signed integer division (both Spark and DuckDB truncate
+    toward zero — verified under the gate); segments moving AGAINST the
+    total show negative shares, and shares sum to ~10^6 up to
+    truncation. NULL share when the total change is exactly zero.
+
+    Plan: one filter to the two periods (partition-prunable when
+    ``period_col`` is the partition key), one map-side-combined group
+    aggregate with conditional sums, a 1-row total broadcast back.
+    """
+    in_a = F.col(period_col) == period_a
+    in_b = F.col(period_col) == period_b
+    seg = (
+        df.filter(in_a | in_b)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(F.when(in_a, F.col(measure_col)).otherwise(0))
+            .cast("long")
+            .alias("m_a"),
+            F.sum(F.when(in_b, F.col(measure_col)).otherwise(0))
+            .cast("long")
+            .alias("m_b"),
+        )
+        .withColumn("delta", F.col("m_b") - F.col("m_a"))
+    )
+    total = seg.agg(F.sum("delta").alias("__total"))
+    return seg.crossJoin(F.broadcast(total)).select(
+        *group_cols,
+        "m_a",
+        "m_b",
+        "delta",
+        F.when(
+            F.col("__total") != 0,
+            F.expr("delta * 1000000 div __total"),
+        ).alias("share_ppm"),
+    )

@@ -137,6 +137,8 @@ PROBE = [
     "q_novelty",
     "q_disorder",
     "q_union_evolve",
+    "q_golden_records",
+    "q_contribution",
 ]
 
 

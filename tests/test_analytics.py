@@ -1711,3 +1711,48 @@ def test_union_evolve_fills_missing_columns(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         union_evolve([])
+
+
+def test_golden_records_majority_with_tiebreak_and_null_rules(spark):
+    from salesforce_plugin_spark.functions.entity import golden_records
+
+    rows = [
+        (1, "acme", "NY"), (1, "acme", "NY"), (1, "acme inc", "SF"),
+        (2, "b", None), (2, None, None), (2, "a", None),
+        (3, None, None),
+    ]
+    df = spark.createDataFrame(rows, "c int, name string, city string")
+    out = {r.c: r for r in golden_records(df, "c", ["name", "city"]).collect()}
+    assert out[1].name == "acme" and out[1].city == "NY"       # majority
+    assert out[2].name == "a"      # 1-1 tie -> smaller value
+    assert out[2].city is None     # all-null attribute stays null
+    assert out[3].name is None and out[3].n_members == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        golden_records(df, "c", [])
+
+
+def test_contribution_analysis_signed_shares(spark):
+    from salesforce_plugin_spark.operators.analytics import contribution_analysis
+
+    rows = [
+        ("p1", "a", 100), ("p2", "a", 300),   # a: +200
+        ("p1", "b", 100), ("p2", "b", 50),    # b: -50
+    ]
+    df = spark.createDataFrame(rows, "per string, seg string, m long")
+    out = {r.seg: r for r in contribution_analysis(
+        df, "per", ["seg"], "m", "p1", "p2"
+    ).collect()}
+    assert out["a"].delta == 200 and out["b"].delta == -50
+    # total +150: a contributes 1333333 ppm, b -333333 (trunc toward zero)
+    assert out["a"].share_ppm == 200 * 1_000_000 // 150
+    assert out["b"].share_ppm == -333333
+
+
+def test_contribution_analysis_zero_total_is_null(spark):
+    from salesforce_plugin_spark.operators.analytics import contribution_analysis
+
+    rows = [("p1", "a", 10), ("p2", "a", 20), ("p1", "b", 20), ("p2", "b", 10)]
+    df = spark.createDataFrame(rows, "per string, seg string, m long")
+    out = contribution_analysis(df, "per", ["seg"], "m", "p1", "p2").collect()
+    assert all(r.share_ppm is None for r in out)
