@@ -4829,6 +4829,57 @@ def q_contribution(spark, sf_dir):
     )
 
 
+def q_quality_gate(spark, sf_dir):
+    """Release-gate capstone: the data-quality audit a warehouse load
+    runs before publishing, as ONE result with a common schema —
+    (check, n_rows, n_bad, bad_ppm): referential integrity
+    (lineitem→orders orphan rows via validate.fk_orphans), functional
+    dependency (customer nation→segment violating keys via
+    fd_violations), null contract (orders.o_custkey), and key
+    uniqueness (orders.o_orderkey). Each check is one bounded
+    aggregate; the union is the audit artifact a scheduler gates on."""
+    from salesforce_plugin_spark.operators.validate import (
+        fd_violations,
+        fk_orphans,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    fk = fk_orphans(li, "l_orderkey", o, "o_orderkey", "fk").select(
+        F.lit("fk_lineitem_orders").alias("check"),
+        F.col("n_child_rows").alias("n_rows"),
+        F.col("n_orphan_rows").alias("n_bad"),
+    )
+    fd_all = fd_violations(c, ["c_nationkey"], "c_mktsegment")
+    fd = (
+        c.select("c_nationkey")
+        .distinct()
+        .agg(F.count("*").alias("n_rows"))
+        .crossJoin(F.broadcast(fd_all.agg(F.count("*").alias("n_bad"))))
+        .select(
+            F.lit("fd_nation_segment").alias("check"), "n_rows", "n_bad"
+        )
+    )
+    nn = o.agg(
+        F.lit("notnull_o_custkey").alias("check"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad"),
+    )
+    uq = o.agg(
+        F.lit("unique_o_orderkey").alias("check"),
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("n_bad"),
+    )
+    return (
+        fk.unionAll(fd).unionAll(nn).unionAll(uq)
+        .withColumn("bad_ppm", F.expr("n_bad * 1000000 div n_rows"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5057,6 +5108,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_union_evolve": q_union_evolve,
     "q_golden_records": q_golden_records,
     "q_contribution": q_contribution,
+    "q_quality_gate": q_quality_gate,
 }
 
 
@@ -8934,4 +8986,39 @@ ORACLES["q_contribution"] = """
            CASE WHEN t.total <> 0
                 THEN (s.m_b - s.m_a) * 1000000 // t.total END AS share_ppm
     FROM seg s CROSS JOIN tot t
+"""
+
+ORACLES["q_quality_gate"] = """
+    WITH fk AS (
+        SELECT 'fk_lineitem_orders' AS "check",
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bad
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_orderkey IS NOT NULL
+    ), fd AS (
+        SELECT 'fd_nation_segment' AS "check",
+               (SELECT count(DISTINCT c_nationkey) FROM customer) AS n_rows,
+               (SELECT count(*) FROM (
+                   SELECT c_nationkey FROM customer
+                   GROUP BY c_nationkey
+                   HAVING count(DISTINCT c_mktsegment) > 1
+               )) AS n_bad
+    ), nn AS (
+        SELECT 'notnull_o_custkey' AS "check",
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bad
+        FROM orders
+    ), uq AS (
+        SELECT 'unique_o_orderkey' AS "check",
+               count(*) AS n_rows,
+               count(*) - count(DISTINCT o_orderkey) AS n_bad
+        FROM orders
+    ), u AS (
+        SELECT * FROM fk UNION ALL SELECT * FROM fd
+        UNION ALL SELECT * FROM nn UNION ALL SELECT * FROM uq
+    )
+    SELECT "check", n_rows, n_bad, n_bad * 1000000 // n_rows AS bad_ppm
+    FROM u
 """

@@ -139,6 +139,7 @@ PROBE = [
     "q_union_evolve",
     "q_golden_records",
     "q_contribution",
+    "q_quality_gate",
 ]
 
 
