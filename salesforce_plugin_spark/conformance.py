@@ -4880,6 +4880,23 @@ def q_quality_gate(spark, sf_dir):
     )
 
 
+def q_attribution(spark, sf_dir):
+    """Linear multi-touch attribution (operators/analytics.py
+    linear_attribution): each purchase's credit split equally in exact
+    integer ppm across the user's clicks/views in the preceding 24h,
+    remainder to the last touch so credit sums to exactly 10^6 per
+    conversion. One user equi-join + integer-microsecond window filter
+    + one count window."""
+    from salesforce_plugin_spark.operators.analytics import linear_attribution
+
+    e = load_table(spark, sf_dir, "events")
+    conv = e.filter(F.col("event_type") == "purchase")
+    touch = e.filter(F.col("event_type").isin("click", "view"))
+    return linear_attribution(
+        conv, touch, "user_id", "event_id", "event_id", "ts", "ts", 86_400
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5109,6 +5126,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_golden_records": q_golden_records,
     "q_contribution": q_contribution,
     "q_quality_gate": q_quality_gate,
+    "q_attribution": q_attribution,
 }
 
 
@@ -9021,4 +9039,31 @@ ORACLES["q_quality_gate"] = """
     )
     SELECT "check", n_rows, n_bad, n_bad * 1000000 // n_rows AS bad_ppm
     FROM u
+"""
+
+ORACLES["q_attribution"] = """
+    WITH conv AS (
+        SELECT user_id, event_id AS conv_id, epoch_us(ts) AS cus
+        FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+        SELECT user_id, event_id AS touch_id, epoch_us(ts) AS tus
+        FROM events WHERE event_type IN ('click', 'view')
+    ), j AS (
+        SELECT c.conv_id, t.touch_id, t.tus,
+               count(*) OVER (PARTITION BY c.conv_id) AS n_touches,
+               row_number() OVER (
+                   PARTITION BY c.conv_id
+                   ORDER BY t.tus DESC, t.touch_id DESC
+               ) AS rn
+        FROM conv c JOIN touch t
+          ON t.user_id = c.user_id
+         AND t.tus <= c.cus
+         AND t.tus > c.cus - 86400000000
+    )
+    SELECT conv_id, touch_id,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(CASE WHEN rn = 1
+                     THEN 1000000 - (1000000 // n_touches) * (n_touches - 1)
+                     ELSE 1000000 // n_touches END AS BIGINT) AS credit_ppm
+    FROM j
 """

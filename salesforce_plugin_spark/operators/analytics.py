@@ -415,3 +415,73 @@ def contribution_analysis(
             F.expr("delta * 1000000 div __total"),
         ).alias("share_ppm"),
     )
+
+
+def linear_attribution(
+    conversions: DataFrame,
+    touches: DataFrame,
+    user_col: str,
+    conv_id_col: str,
+    touch_id_col: str,
+    conv_ts_col: str,
+    touch_ts_col: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Linear multi-touch attribution: each conversion's credit splits
+    EQUALLY across the same user's touches in the lookback window
+    (touch at-or-before the conversion, within ``window_seconds`` —
+    half-open: a touch EXACTLY window_seconds earlier is out) —
+    the model marketing pipelines start from before graduating to
+    position/decay weighting (both are the same plan with a different
+    credit expression).
+
+    Credit is exact integer ppm: every touch gets
+    ``10^6 div n_touches`` and the LAST touch absorbs the remainder,
+    so each attributed conversion's credit sums to exactly 10^6 —
+    downstream channel rollups stay integers with no drift.
+    Conversions with no in-window touch emit nothing (report them via
+    an anti-join when "unattributed" needs a row).
+
+    Plan: one equi-join on the user + an exact integer-microsecond
+    window filter (per-user fan-out is touches×conversions per user —
+    fine for human-scale keys; throttle_per_window or the bucketed
+    range join is the guard for bot keys), then one count window per
+    conversion. Output: (conv_id, touch_id, n_touches, credit_ppm).
+    """
+    if window_seconds <= 0:
+        raise ValueError("linear_attribution requires window_seconds > 0")
+    c = conversions.select(
+        F.col(user_col).alias("__u"),
+        F.col(conv_id_col).alias("conv_id"),
+        F.unix_micros(F.col(conv_ts_col)).alias("__cus"),
+    )
+    t = touches.select(
+        F.col(user_col).alias("__u"),
+        F.col(touch_id_col).alias("touch_id"),
+        F.unix_micros(F.col(touch_ts_col)).alias("__tus"),
+    )
+    joined = c.join(t, "__u").filter(
+        (F.col("__tus") <= F.col("__cus"))
+        & (F.col("__tus") > F.col("__cus") - window_seconds * 1_000_000)
+    )
+    w = Window.partitionBy("conv_id")
+    wr = Window.partitionBy("conv_id").orderBy(
+        F.col("__tus").desc(), F.col("touch_id").desc()
+    )
+    base = F.expr("1000000 div n_touches")
+    return (
+        joined.withColumn("n_touches", F.count("*").over(w))
+        .withColumn("__rn", F.row_number().over(wr))
+        .select(
+            "conv_id",
+            "touch_id",
+            F.col("n_touches").cast("long").alias("n_touches"),
+            F.when(
+                F.col("__rn") == 1,
+                F.lit(1_000_000) - base * (F.col("n_touches") - 1),
+            )
+            .otherwise(base)
+            .cast("long")
+            .alias("credit_ppm"),
+        )
+    )

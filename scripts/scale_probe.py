@@ -140,6 +140,7 @@ PROBE = [
     "q_golden_records",
     "q_contribution",
     "q_quality_gate",
+    "q_attribution",
 ]
 
 

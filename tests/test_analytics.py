@@ -1756,3 +1756,35 @@ def test_contribution_analysis_zero_total_is_null(spark):
     df = spark.createDataFrame(rows, "per string, seg string, m long")
     out = contribution_analysis(df, "per", ["seg"], "m", "p1", "p2").collect()
     assert all(r.share_ppm is None for r in out)
+
+
+def test_linear_attribution_credit_sums_to_million(spark):
+    import datetime as _dt
+
+    from salesforce_plugin_spark.operators.analytics import linear_attribution
+
+    t0 = _dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(m):
+        return t0 + _dt.timedelta(minutes=m)
+
+    conv = spark.createDataFrame(
+        [(1, 900, ts(60)), (2, 901, ts(60))],
+        "u int, cid int, ts timestamp",
+    )
+    touch = spark.createDataFrame(
+        [(1, 1, ts(1)), (1, 2, ts(30)), (1, 3, ts(50)),   # 3 in window
+         (1, 4, ts(61)),                                   # after conversion
+         (2, 5, ts(59))],                                  # 1 in window
+        "u int, tid int, ts timestamp",
+    )
+    out = linear_attribution(
+        conv, touch, "u", "cid", "tid", "ts", "ts", 3600
+    ).collect()
+    c1 = [r for r in out if r.conv_id == 900]
+    assert {r.touch_id for r in c1} == {1, 2, 3}
+    assert sum(r.credit_ppm for r in c1) == 1_000_000
+    # remainder goes to the LAST touch (tid 3): 333334 vs 333333
+    assert {r.touch_id: r.credit_ppm for r in c1}[3] == 333334
+    c2 = [r for r in out if r.conv_id == 901]
+    assert len(c2) == 1 and c2[0].credit_ppm == 1_000_000
