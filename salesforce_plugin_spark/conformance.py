@@ -4897,6 +4897,20 @@ def q_attribution(spark, sf_dir):
     )
 
 
+def q_activity_bitmap(spark, sf_dir):
+    """Engagement-feature bitmaps (operators/analytics.py
+    activity_bitmap): per user, a 30-day activity bitmap anchored at
+    the fixtures' last event day (bit i = active i days before
+    2024-01-30), its popcount, and days-since-last via an integer
+    trailing-zero count — the churn/recency feature block as ONE
+    map-side-combined bit_or aggregate, no collection types, exact
+    integers end to end."""
+    from salesforce_plugin_spark.operators.analytics import activity_bitmap
+
+    e = load_table(spark, sf_dir, "events")
+    return activity_bitmap(e, ["user_id"], "ts", "2024-01-30", n_days=30)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5127,6 +5141,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_contribution": q_contribution,
     "q_quality_gate": q_quality_gate,
     "q_attribution": q_attribution,
+    "q_activity_bitmap": q_activity_bitmap,
 }
 
 
@@ -9066,4 +9081,24 @@ ORACLES["q_attribution"] = """
                      THEN 1000000 - (1000000 // n_touches) * (n_touches - 1)
                      ELSE 1000000 // n_touches END AS BIGINT) AS credit_ppm
     FROM j
+"""
+
+ORACLES["q_activity_bitmap"] = """
+    WITH masked AS (
+        SELECT user_id,
+               CASE WHEN datediff('day', CAST(ts AS DATE), DATE '2024-01-30')
+                         BETWEEN 0 AND 29
+                    THEN CAST(1 AS BIGINT) << datediff('day', CAST(ts AS DATE),
+                                                       DATE '2024-01-30')
+                    ELSE CAST(0 AS BIGINT) END AS mask
+        FROM events
+    ), agg AS (
+        SELECT user_id, bit_or(mask) AS bitmap FROM masked GROUP BY user_id
+    )
+    SELECT user_id, bitmap,
+           CAST(bit_count(bitmap) AS INT) AS n_active_days,
+           CASE WHEN bitmap <> 0
+                THEN CAST(bit_count((bitmap & -bitmap) - 1) AS INT)
+           END AS days_since_last
+    FROM agg
 """

@@ -485,3 +485,54 @@ def linear_attribution(
             .alias("credit_ppm"),
         )
     )
+
+
+def activity_bitmap(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    anchor_date: str,
+    n_days: int = 64,
+) -> DataFrame:
+    """Engagement features as one BIGINT per key: a ``n_days``-day
+    activity bitmap — bit ``i`` set iff the key has any event
+    ``i`` days before ``anchor_date`` (bit 0 = the anchor day) — plus
+    ``n_active_days`` (its popcount) and ``days_since_last``. The
+    standard churn/recency feature block computed exactly, in ONE
+    map-side-combined aggregate (``bit_or`` of single-bit masks), with
+    the bitmap itself engine-replayable integer arithmetic (no HLL, no
+    collection types; windows over 64 days = one BIGINT, wider windows
+    = one column per 64-day block).
+
+    Events outside the window contribute nothing. ``n_days`` ≤ 64
+    (one BIGINT); raise by calling per block and joining.
+    """
+    if not 1 <= n_days <= 64:
+        raise ValueError("activity_bitmap requires 1 <= n_days <= 64")
+    offset = F.datediff(F.lit(anchor_date).cast("date"), F.to_date(F.col(ts_col)))
+    in_win = (offset >= 0) & (offset < n_days)
+    # shiftleft needs a literal count in the Python API; build the mask
+    # with integer exponentiation instead: 2^offset as a codegen pow on
+    # exact doubles would drift — use shiftleft via expr (column count OK
+    # in SQL) to stay in integer land
+    mask = F.when(
+        in_win, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__off AS INT))")
+    ).otherwise(F.lit(0).cast("long"))
+    out = (
+        df.withColumn("__off", offset)
+        .withColumn("__mask", mask)
+        .groupBy(*key_cols)
+        .agg(F.bit_or("__mask").alias("bitmap"))
+    )
+    return out.select(
+        *key_cols,
+        "bitmap",
+        F.bit_count("bitmap").cast("int").alias("n_active_days"),
+        F.when(
+            F.col("bitmap") != 0,
+            # trailing-zero count as pure integer arithmetic (log2 on
+            # doubles is not guaranteed exact cross-engine):
+            # tz = popcount(lowest_set_bit - 1)
+            F.expr("CAST(bit_count((bitmap & -bitmap) - 1) AS INT)"),
+        ).alias("days_since_last"),
+    )

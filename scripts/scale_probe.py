@@ -141,6 +141,7 @@ PROBE = [
     "q_contribution",
     "q_quality_gate",
     "q_attribution",
+    "q_activity_bitmap",
 ]
 
 

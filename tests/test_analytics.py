@@ -1788,3 +1788,27 @@ def test_linear_attribution_credit_sums_to_million(spark):
     assert {r.touch_id: r.credit_ppm for r in c1}[3] == 333334
     c2 = [r for r in out if r.conv_id == 901]
     assert len(c2) == 1 and c2[0].credit_ppm == 1_000_000
+
+
+def test_activity_bitmap_bits_and_recency(spark):
+    import datetime as _dt
+
+    from salesforce_plugin_spark.operators.analytics import activity_bitmap
+
+    def d(day):
+        return _dt.datetime(2024, 1, day, 10, 0, 0)
+
+    rows = [(1, d(30)), (1, d(28)), (1, d(28)), (2, d(5)), (3, d(1))]
+    df = spark.createDataFrame(rows, "u int, ts timestamp")
+    out = {r.u: r for r in activity_bitmap(
+        df, ["u"], "ts", "2024-01-30", n_days=7
+    ).collect()}
+    assert out[1].bitmap == 0b101          # bits 0 (day 30) and 2 (day 28)
+    assert out[1].n_active_days == 2 and out[1].days_since_last == 0
+    assert out[2].bitmap == 0 and out[2].days_since_last is None  # outside
+    u2 = activity_bitmap(df, ["u"], "ts", "2024-01-08", n_days=7).collect()
+    r2 = next(r for r in u2 if r.u == 2)
+    assert r2.bitmap == 0b1000 and r2.days_since_last == 3
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        activity_bitmap(df, ["u"], "ts", "2024-01-30", n_days=65)
