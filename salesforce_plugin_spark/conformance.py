@@ -4911,6 +4911,23 @@ def q_activity_bitmap(spark, sf_dir):
     return activity_bitmap(e, ["user_id"], "ts", "2024-01-30", n_days=30)
 
 
+def q_attribution_first(spark, sf_dir):
+    """First-touch attribution (linear_attribution model='first_touch'):
+    the oldest in-window touch takes the full 10^6 credit, other
+    in-window touches report 0 so the touch set stays auditable — the
+    same single-join single-window plan as the linear model with only
+    the credit expression switched."""
+    from salesforce_plugin_spark.operators.analytics import linear_attribution
+
+    e = load_table(spark, sf_dir, "events")
+    conv = e.filter(F.col("event_type") == "purchase")
+    touch = e.filter(F.col("event_type").isin("click", "view"))
+    return linear_attribution(
+        conv, touch, "user_id", "event_id", "event_id", "ts", "ts",
+        86_400, model="first_touch",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5142,6 +5159,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_quality_gate": q_quality_gate,
     "q_attribution": q_attribution,
     "q_activity_bitmap": q_activity_bitmap,
+    "q_attribution_first": q_attribution_first,
 }
 
 
@@ -9101,4 +9119,30 @@ ORACLES["q_activity_bitmap"] = """
                 THEN CAST(bit_count((bitmap & -bitmap) - 1) AS INT)
            END AS days_since_last
     FROM agg
+"""
+
+ORACLES["q_attribution_first"] = """
+    WITH conv AS (
+        SELECT user_id, event_id AS conv_id, epoch_us(ts) AS cus
+        FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+        SELECT user_id, event_id AS touch_id, epoch_us(ts) AS tus
+        FROM events WHERE event_type IN ('click', 'view')
+    ), j AS (
+        SELECT c.conv_id, t.touch_id,
+               count(*) OVER (PARTITION BY c.conv_id) AS n_touches,
+               row_number() OVER (
+                   PARTITION BY c.conv_id
+                   ORDER BY t.tus DESC, t.touch_id DESC
+               ) AS rn
+        FROM conv c JOIN touch t
+          ON t.user_id = c.user_id
+         AND t.tus <= c.cus
+         AND t.tus > c.cus - 86400000000
+    )
+    SELECT conv_id, touch_id,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(CASE WHEN rn = n_touches THEN 1000000 ELSE 0 END AS BIGINT)
+               AS credit_ppm
+    FROM j
 """

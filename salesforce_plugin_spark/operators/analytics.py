@@ -426,14 +426,17 @@ def linear_attribution(
     conv_ts_col: str,
     touch_ts_col: str,
     window_seconds: int,
+    model: str = "linear",
 ) -> DataFrame:
     """Linear multi-touch attribution: each conversion's credit splits
     EQUALLY across the same user's touches in the lookback window
     (touch at-or-before the conversion, within ``window_seconds`` —
     half-open: a touch EXACTLY window_seconds earlier is out) —
-    the model marketing pipelines start from before graduating to
-    position/decay weighting (both are the same plan with a different
-    credit expression).
+    the model marketing pipelines start from. ``model`` switches the
+    credit expression on the SAME plan: ``"linear"`` (equal split),
+    ``"last_touch"`` / ``"first_touch"`` (all credit to the newest /
+    oldest in-window touch, the other rows reporting 0 so the touch
+    set stays visible).
 
     Credit is exact integer ppm: every touch gets
     ``10^6 div n_touches`` and the LAST touch absorbs the remainder,
@@ -450,6 +453,8 @@ def linear_attribution(
     """
     if window_seconds <= 0:
         raise ValueError("linear_attribution requires window_seconds > 0")
+    if model not in ("linear", "first_touch", "last_touch"):
+        raise ValueError("model must be linear | first_touch | last_touch")
     c = conversions.select(
         F.col(user_col).alias("__u"),
         F.col(conv_id_col).alias("conv_id"),
@@ -469,6 +474,22 @@ def linear_attribution(
         F.col("__tus").desc(), F.col("touch_id").desc()
     )
     base = F.expr("1000000 div n_touches")
+    if model == "linear":
+        credit = (
+            F.when(
+                F.col("__rn") == 1,
+                F.lit(1_000_000) - base * (F.col("n_touches") - 1),
+            )
+            .otherwise(base)
+        )
+    elif model == "last_touch":
+        credit = F.when(F.col("__rn") == 1, F.lit(1_000_000)).otherwise(
+            F.lit(0)
+        )
+    else:  # first_touch
+        credit = F.when(
+            F.col("__rn") == F.col("n_touches"), F.lit(1_000_000)
+        ).otherwise(F.lit(0))
     return (
         joined.withColumn("n_touches", F.count("*").over(w))
         .withColumn("__rn", F.row_number().over(wr))
@@ -476,13 +497,7 @@ def linear_attribution(
             "conv_id",
             "touch_id",
             F.col("n_touches").cast("long").alias("n_touches"),
-            F.when(
-                F.col("__rn") == 1,
-                F.lit(1_000_000) - base * (F.col("n_touches") - 1),
-            )
-            .otherwise(base)
-            .cast("long")
-            .alias("credit_ppm"),
+            credit.cast("long").alias("credit_ppm"),
         )
     )
 

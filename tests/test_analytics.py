@@ -1812,3 +1812,32 @@ def test_activity_bitmap_bits_and_recency(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         activity_bitmap(df, ["u"], "ts", "2024-01-30", n_days=65)
+
+
+def test_attribution_models_first_and_last(spark):
+    import datetime as _dt
+
+    from salesforce_plugin_spark.operators.analytics import linear_attribution
+
+    t0 = _dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(m):
+        return t0 + _dt.timedelta(minutes=m)
+
+    conv = spark.createDataFrame([(1, 900, ts(60))], "u int, cid int, ts timestamp")
+    touch = spark.createDataFrame(
+        [(1, 1, ts(10)), (1, 2, ts(30)), (1, 3, ts(50))],
+        "u int, tid int, ts timestamp",
+    )
+    last = {r.touch_id: r.credit_ppm for r in linear_attribution(
+        conv, touch, "u", "cid", "tid", "ts", "ts", 3600, model="last_touch"
+    ).collect()}
+    assert last == {1: 0, 2: 0, 3: 1_000_000}
+    first = {r.touch_id: r.credit_ppm for r in linear_attribution(
+        conv, touch, "u", "cid", "tid", "ts", "ts", 3600, model="first_touch"
+    ).collect()}
+    assert first == {1: 1_000_000, 2: 0, 3: 0}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        linear_attribution(conv, touch, "u", "cid", "tid", "ts", "ts", 3600,
+                           model="u_shaped")
