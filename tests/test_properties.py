@@ -695,3 +695,79 @@ def test_budget_sample_is_the_maximal_hash_prefix(spark, weights, budget):
             break
         expect.append(i)
     assert kept == sorted(expect)
+
+
+# --- additive rollup: any batching agrees ---
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=4),
+                  st.integers(min_value=-50, max_value=50)),
+        min_size=1, max_size=40,
+    ),
+    cut_points=st.sets(st.integers(min_value=1, max_value=39), max_size=3),
+)
+def test_fold_additive_rollup_batching_invariance(spark, rows, cut_points):
+    """For ANY rows and ANY split into sequential batches, folding the
+    per-batch rollups equals the one-shot rollup."""
+    from salesforce_plugin_spark.operators.merge import fold_additive_rollup
+
+    def mk(rs):
+        return spark.createDataFrame(
+            [(k, 1, v) for k, v in rs], "k int, n long, v long"
+        )
+
+    one = sorted(map(tuple, fold_additive_rollup(
+        None, mk(rows), ["k"], ["n", "v"]
+    ).collect()))
+    cuts = sorted(c for c in cut_points if c < len(rows))
+    bounds = [0, *cuts, len(rows)]
+    state = None
+    for lo, hi in zip(bounds, bounds[1:]):
+        if lo == hi:
+            continue
+        delta = fold_additive_rollup(None, mk(rows[lo:hi]), ["k"], ["n", "v"])
+        state = fold_additive_rollup(state, delta, ["k"], ["n", "v"])
+    assert sorted(map(tuple, state.collect())) == one
+
+
+# --- snapshot_diff -> apply_changes round-trip ---
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    old_vals=st.dictionaries(st.integers(min_value=0, max_value=15),
+                             st.integers(min_value=0, max_value=9),
+                             max_size=12),
+    new_vals=st.dictionaries(st.integers(min_value=0, max_value=15),
+                             st.integers(min_value=0, max_value=9),
+                             max_size=12),
+)
+def test_snapshot_diff_apply_roundtrip(spark, old_vals, new_vals):
+    """For ANY two keyed snapshots, applying the diff to the old one
+    reproduces the new one exactly."""
+    import pyspark.sql.functions as SF
+
+    from salesforce_plugin_spark.operators.merge import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        list(old_vals.items()) or [(None, None)], "k int, v int"
+    ).filter("k IS NOT NULL")
+    new = spark.createDataFrame(
+        list(new_vals.items()) or [(None, None)], "k int, v int"
+    ).filter("k IS NOT NULL")
+    feed = snapshot_diff(old, new, ["k"], ["v"]).select(
+        "k",
+        SF.col("v_new").alias("v"),
+        SF.when(SF.col("change") == "delete", "d").otherwise("u").alias("op"),
+        SF.lit(1).alias("seq"),
+    )
+    rebuilt = apply_changes(old, feed, ["k"], order_by=["seq"], op_col="op")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
