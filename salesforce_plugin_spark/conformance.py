@@ -4928,6 +4928,36 @@ def q_attribution_first(spark, sf_dir):
     )
 
 
+def q_attribution_last(spark, sf_dir):
+    """Last-touch attribution (linear_attribution model='last_touch'):
+    the newest in-window touch takes the full 10^6 credit — completes
+    the three standard credit models on the one shared plan (the oracle
+    differs from q_attribution_first only in the rn condition, exactly
+    as the Spark side differs only in the credit expression)."""
+    from salesforce_plugin_spark.operators.analytics import linear_attribution
+
+    e = load_table(spark, sf_dir, "events")
+    conv = e.filter(F.col("event_type") == "purchase")
+    touch = e.filter(F.col("event_type").isin("click", "view"))
+    return linear_attribution(
+        conv, touch, "user_id", "event_id", "event_id", "ts", "ts",
+        86_400, model="last_touch",
+    )
+
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle + sharding (operators/pipeline.py
+    epoch_shuffle): every document placed at a reproducible
+    (shard, pos) from md5("0:1:" || id) — epoch 1's permutation over 8
+    shards, regenerated identically by the oracle's window replay. The
+    training-export step: one shard exchange + per-shard sort, no
+    global ORDER BY rand(), no RNG state."""
+    from salesforce_plugin_spark.operators.pipeline import epoch_shuffle
+
+    d = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle(d, "doc_id", n_shards=8, epoch=1, seed=0)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5160,6 +5190,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_attribution": q_attribution,
     "q_activity_bitmap": q_activity_bitmap,
     "q_attribution_first": q_attribution_first,
+    "q_attribution_last": q_attribution_last,
+    "q_epoch_shuffle": q_epoch_shuffle,
 }
 
 
@@ -9145,4 +9177,48 @@ ORACLES["q_attribution_first"] = """
            CAST(CASE WHEN rn = n_touches THEN 1000000 ELSE 0 END AS BIGINT)
                AS credit_ppm
     FROM j
+"""
+
+ORACLES["q_attribution_last"] = """
+    WITH conv AS (
+        SELECT user_id, event_id AS conv_id, epoch_us(ts) AS cus
+        FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+        SELECT user_id, event_id AS touch_id, epoch_us(ts) AS tus
+        FROM events WHERE event_type IN ('click', 'view')
+    ), j AS (
+        SELECT c.conv_id, t.touch_id,
+               count(*) OVER (PARTITION BY c.conv_id) AS n_touches,
+               row_number() OVER (
+                   PARTITION BY c.conv_id
+                   ORDER BY t.tus DESC, t.touch_id DESC
+               ) AS rn
+        FROM conv c JOIN touch t
+          ON t.user_id = c.user_id
+         AND t.tus <= c.cus
+         AND t.tus > c.cus - 86400000000
+    )
+    SELECT conv_id, touch_id,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(CASE WHEN rn = 1 THEN 1000000 ELSE 0 END AS BIGINT)
+               AS credit_ppm
+    FROM j
+"""
+
+ORACLES["q_epoch_shuffle"] = """
+    WITH keyed AS (
+        SELECT doc_id,
+               md5('0:1:' || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+    ), sharded AS (
+        SELECT doc_id, k,
+               CAST(CAST(('0x' || substr(k, 1, 8)) AS BIGINT) % 8 AS INT)
+                   AS shard
+        FROM keyed
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (
+               PARTITION BY shard ORDER BY k, doc_id
+           ) - 1 AS BIGINT) AS pos
+    FROM sharded
 """

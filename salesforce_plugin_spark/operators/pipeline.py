@@ -419,3 +419,51 @@ def budget_sample(
         .filter(F.col("__cum") <= budget)
         .drop("__cum")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    epoch: int = 0,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-epoch training order: every example gets a
+    pseudo-random but fully reproducible ``(shard, pos)`` placement from
+    the md5 of ``seed:epoch:id`` — a different permutation each epoch, the
+    same permutation every re-run. This is the export step between a
+    curated corpus and a data-parallel trainer (each of ``n_shards``
+    readers consumes its own shard in ``pos`` order), done WITHOUT the
+    global sort a naive ``ORDER BY rand()`` would cost, and without RNG
+    state: a resumed or re-sharded job regenerates the identical order
+    (the same property :func:`negative_samples` and the md5 split rely
+    on).
+
+    ``shard`` is the hash's top 32 bits mod ``n_shards`` (uniform, so
+    shards balance to ~n/n_shards without a skew guard); ``pos`` is the
+    example's rank within its shard by full-hash order (ties broken by
+    id; dense 0..|shard|-1). Plan: ONE exchange on ``shard`` + a
+    per-shard sort — at corpus scale that is ``repartition(shard)`` +
+    ``sortWithinPartitions``, exactly the physical layout the writer
+    needs, so the shuffle IS the export layout (no second pass).
+    """
+    if n_shards <= 0:
+        raise ValueError("epoch_shuffle requires n_shards > 0")
+    key = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit(str(seed)),
+            F.lit(str(epoch)),
+            F.col(id_col).cast("string"),
+        ).cast("binary")
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    out = df.withColumn("__key", key).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy(F.col("__key"), F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )

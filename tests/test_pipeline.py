@@ -245,3 +245,34 @@ def test_budget_sample_drops_over_budget_first_row(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         budget_sample(df, ["g"], "id", "w", budget=0)
+
+
+# --- epoch shuffle ---
+
+def test_epoch_shuffle_layout_and_determinism(spark):
+    from salesforce_plugin_spark.operators.pipeline import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "id long")
+    a = epoch_shuffle(df, "id", n_shards=4, epoch=0).collect()
+    b = epoch_shuffle(df.repartition(13), "id", n_shards=4, epoch=0).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # every row placed exactly once; positions dense 0..n_i-1 per shard
+    assert len(a) == 300 and len({r.id for r in a}) == 300
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(4))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+
+
+def test_epoch_shuffle_epochs_permute_differently(spark):
+    from salesforce_plugin_spark.operators.pipeline import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    e0 = {r.id: (r.shard, r.pos) for r in epoch_shuffle(df, "id", 4, epoch=0).collect()}
+    e1 = {r.id: (r.shard, r.pos) for r in epoch_shuffle(df, "id", 4, epoch=1).collect()}
+    assert e0 != e1  # different permutation per epoch
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        epoch_shuffle(df, "id", n_shards=0)
