@@ -142,6 +142,7 @@ PROBE = [
     "q_quality_gate",
     "q_attribution",
     "q_activity_bitmap",
+    "q_epoch_shuffle",
 ]
 
 
