@@ -4945,6 +4945,21 @@ def q_attribution_last(spark, sf_dir):
     )
 
 
+def q_gram_matrix(spark, sf_dir):
+    """Distributed Gram + covariance matrix (functions/vector.py
+    gram_matrix, method='arrow'): the whitening/PCA primitive as the
+    upper-triangle (i, j, n, s, cov_num) long form, every product and
+    sum an exact BIGINT over JVM-quantized components — the Arrow
+    partial-Gram path (numpy Qᵀ·Q per batch, d(d+1)/2 rows out per
+    batch regardless of batch size) proven against the oracle's
+    unnest² replay; integer associativity makes it bit-identical to
+    the pure-JVM explode form (unit-pinned)."""
+    from salesforce_plugin_spark.functions.vector import gram_matrix
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return gram_matrix(e, "embedding", quant=1000, method="arrow")
+
+
 def q_epoch_shuffle(spark, sf_dir):
     """Deterministic epoch shuffle + sharding (operators/pipeline.py
     epoch_shuffle): every document placed at a reproducible
@@ -5192,6 +5207,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_attribution_first": q_attribution_first,
     "q_attribution_last": q_attribution_last,
     "q_epoch_shuffle": q_epoch_shuffle,
+    "q_gram_matrix": q_gram_matrix,
 }
 
 
@@ -9221,4 +9237,28 @@ ORACLES["q_epoch_shuffle"] = """
                PARTITION BY shard ORDER BY k, doc_id
            ) - 1 AS BIGINT) AS pos
     FROM sharded
+"""
+
+ORACLES["q_gram_matrix"] = """
+    WITH ex AS (
+        SELECT vec_id, CAST(i - 1 AS INTEGER) AS d,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000.0) AS BIGINT)
+                   AS q
+        FROM (
+            SELECT vec_id, embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings
+        )
+    ), g AS (
+        SELECT a.d AS i, b.d AS j, count(*) AS n, sum(a.q * b.q) AS s
+        FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.d >= a.d
+        GROUP BY 1, 2
+    ), t AS (
+        SELECT d, sum(q) AS tq FROM ex GROUP BY d
+    )
+    SELECT g.i, g.j, g.n, g.s,
+           g.n * g.s - ti.tq * tj.tq AS cov_num
+    FROM g
+    JOIN t ti ON g.i = ti.d
+    JOIN t tj ON g.j = tj.d
 """

@@ -533,3 +533,115 @@ def dimension_stats(
             .alias("var_num"),
         )
     )
+
+
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str,
+    quant: int = 1000,
+    method: str = "explode",
+) -> DataFrame:
+    """Corpus Gram + covariance-numerator matrix in exploded long form —
+    the whitening / PCA / feature-correlation primitive
+    (``gram_power_step`` extracts one eigenvector without materializing
+    this; ``gram_matrix`` IS the dims×dims materialization for when the
+    whole matrix is wanted). Components are quantized to scaled longs
+    with the same round-half-away idiom as :func:`kmeans_assign`, so
+    every product and sum is an exact BIGINT: the result is
+    bit-identical across engines, partitionings, and the two methods
+    below. Upper triangle only (i ≤ j, 0-based dims to match
+    :func:`dimension_stats`); ``cov_num = n·s_ij − t_i·t_j`` is the
+    n²-scaled covariance numerator (divide by n² in float downstream —
+    outside the exact-integer core, same contract as dimension_stats'
+    var_num).
+
+    ``method="explode"``: pure-JVM double posexplode → one
+    partial-combined exchange bounded by d(d+1)/2 rows. The intermediate
+    is n·d² generated rows — fine to ~10⁶-row corpora, and the form the
+    DuckDB oracle replays.
+
+    ``method="arrow"``: one ``mapInPandas`` stage computes each Arrow
+    batch's PARTIAL Gram as a numpy int64 ``Qᵀ·Q`` (BLAS, no n·d² row
+    blowup — per batch output is d(d+1)/2 rows regardless of batch
+    size), then the same bounded exchange sums partials. Integer sums
+    are associative, so arrow ≡ explode bit-for-bit (unit-pinned); this
+    is the 100 TB path.
+
+    Overflow bound (documented, not checked row-wise): |s_ij| ≤
+    n·(quant·|x|_max)², so quant 10³ with |x| < 1 holds exact to
+    n ≈ 10¹² rows; ``cov_num`` additionally needs n·s and t_i·t_j <
+    2⁶³ — at quant 10³ that is n ≈ 3·10⁶ (lower quant for bigger
+    corpora, exactly the :func:`gram_power_step` trade).
+
+    Output (scalar-only): ``(i int, j int, n long, s long,
+    cov_num long)``.
+    """
+    if method not in ("explode", "arrow"):
+        raise ValueError("method must be explode | arrow")
+    xq = F.transform(
+        as_double(F.col(vec_col)),
+        lambda x: F.round(x * quant, 0).cast("long"),
+    )
+    base = df.filter(F.col(vec_col).isNotNull()).select(xq.alias("__xq"))
+    totals = (
+        base.select(F.posexplode("__xq").alias("__i", "__x"))
+        .groupBy("__i")
+        .agg(F.sum("__x").alias("__t"))
+    )
+    if method == "explode":
+        a = base.select(
+            F.posexplode("__xq").alias("__i", "__xi"), F.col("__xq")
+        )
+        b = a.select(
+            "__i", "__xi", F.posexplode("__xq").alias("__j", "__xj")
+        ).filter(F.col("__j") >= F.col("__i"))
+        g = b.groupBy("__i", "__j").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__xi") * F.col("__xj")).alias("s"),
+        )
+    else:
+        import pandas as pd  # noqa: PLC0415
+
+        def partial_gram(batches):
+            import numpy as np  # noqa: PLC0415
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.array(pdf["__xq"].tolist(), dtype=np.int64)
+                gm = m.T @ m
+                iu, ju = np.triu_indices(m.shape[1])
+                yield pd.DataFrame(
+                    {
+                        "__i": iu.astype("int32"),
+                        "__j": ju.astype("int32"),
+                        "n": np.full(iu.shape, len(pdf), dtype="int64"),
+                        "s": gm[iu, ju],
+                    }
+                )
+
+        g = (
+            base.mapInPandas(
+                partial_gram, "__i int, __j int, n long, s long"
+            )
+            .groupBy("__i", "__j")
+            .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        )
+    ti = totals.select(
+        F.col("__i").alias("__ti_dim"), F.col("__t").alias("__ti")
+    )
+    tj = totals.select(
+        F.col("__i").alias("__tj_dim"), F.col("__t").alias("__tj")
+    )
+    return (
+        g.join(F.broadcast(ti), g["__i"] == ti["__ti_dim"])
+        .join(F.broadcast(tj), g["__j"] == tj["__tj_dim"])
+        .select(
+            F.col("__i").cast("int").alias("i"),
+            F.col("__j").cast("int").alias("j"),
+            "n",
+            "s",
+            (F.col("n") * F.col("s") - F.col("__ti") * F.col("__tj"))
+            .alias("cov_num"),
+        )
+    )

@@ -143,6 +143,7 @@ PROBE = [
     "q_attribution",
     "q_activity_bitmap",
     "q_epoch_shuffle",
+    "q_gram_matrix",
 ]
 
 

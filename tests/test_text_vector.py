@@ -369,3 +369,39 @@ def test_oov_rate_counts_exactly(spark):
     assert out[2].n_tokens == 4 and out[2].n_oov == 3
     assert out[2].oov_ppm == 750000
     assert out[3].n_oov == 0
+
+
+# --- gram matrix ---
+
+def test_gram_matrix_arrow_equals_explode(spark):
+    from salesforce_plugin_spark.functions.vector import gram_matrix
+    from salesforce_plugin_spark.sources.catalog import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = sorted(map(tuple, gram_matrix(e, "embedding", method="arrow").collect()))
+    b = sorted(map(tuple, gram_matrix(e, "embedding", method="explode").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_gram_matrix_matches_numpy(spark):
+    import numpy as np
+    from salesforce_plugin_spark.functions.vector import gram_matrix
+
+    rows = [
+        (0, [0.5, -0.25, 0.125]),
+        (1, [1.0, 0.75, -0.5]),
+        (2, [-0.125, 0.0, 0.25]),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = {(r.i, r.j): r for r in gram_matrix(df, "v", quant=1000).collect()}
+    q = np.rint(np.array([r[1] for r in rows]) * 1000).astype(np.int64)
+    g = q.T @ q
+    t = q.sum(axis=0)
+    assert len(out) == 6  # upper triangle of 3x3
+    for (i, j), r in out.items():
+        assert j >= i and r.n == 3
+        assert r.s == g[i, j]
+        assert r.cov_num == 3 * g[i, j] - t[i] * t[j]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        gram_matrix(df, "v", method="nope")
