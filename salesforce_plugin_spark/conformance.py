@@ -4945,6 +4945,40 @@ def q_attribution_last(spark, sf_dir):
     )
 
 
+def q_trend(spark, sf_dir):
+    """Per-segment OLS trend (operators/analytics.py group_trend): each
+    user's value-vs-day fitted line as exact integer rationals
+    (slope_num, icept_num, den) over the five BIGINT sufficient
+    statistics — one map-side-combined exchange bounded by |users|; no
+    divide enters the gate. x = day index from 2024-01-01, y = value
+    quantized to thousandths (the zscore_outliers pre-quantization
+    contract)."""
+    from salesforce_plugin_spark.operators.analytics import group_trend
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "x"
+        ),
+        F.round(F.col("value") * 1000, 0).cast("long").alias("y"),
+    )
+    return group_trend(base, ["user_id"], "x", "y")
+
+
+def q_term_assoc(spark, sf_dir):
+    """Term-label feature selection (functions/text.py
+    term_label_association): the full 2x2 contingency per (term, source)
+    — including a = 0 rows from the term x label scaffold — with the phi
+    coefficient as the one surface float (products of exact ints, one
+    sqrt, one divide, round 6; |phi| ranking == chi-squared ranking at
+    fixed n). df floor 25 docs bounds the output vocabulary."""
+    from salesforce_plugin_spark.functions.text import term_label_association
+
+    d = load_table(spark, sf_dir, "documents")
+    return term_label_association(d, "doc_id", "text", "source", min_docs=25)
+
+
 def q_gram_matrix(spark, sf_dir):
     """Distributed Gram + covariance matrix (functions/vector.py
     gram_matrix, method='arrow'): the whitening/PCA primitive as the
@@ -5208,6 +5242,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_attribution_last": q_attribution_last,
     "q_epoch_shuffle": q_epoch_shuffle,
     "q_gram_matrix": q_gram_matrix,
+    "q_trend": q_trend,
+    "q_term_assoc": q_term_assoc,
 }
 
 
@@ -9261,4 +9297,59 @@ ORACLES["q_gram_matrix"] = """
     FROM g
     JOIN t ti ON g.i = ti.d
     JOIN t tj ON g.j = tj.d
+"""
+
+ORACLES["q_trend"] = """
+    WITH b AS (
+        SELECT user_id,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS x,
+               CAST(round(value * 1000) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id,
+           count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(x * y) AS sxy,
+           count(*) * sum(x * y) - sum(x) * sum(y) AS slope_num,
+           sum(y) * sum(x * x) - sum(x) * sum(x * y) AS icept_num,
+           count(*) * sum(x * x) - sum(x) * sum(x) AS den
+    FROM b GROUP BY user_id
+"""
+
+ORACLES["q_term_assoc"] = r"""
+    WITH el AS (
+        SELECT doc_id, source AS label,
+               lower(unnest(regexp_split_to_array(trim(text), '\s+')))
+                   AS term
+        FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    ), pres AS (
+        SELECT DISTINCT doc_id, label, term FROM el
+    ), tl AS (
+        SELECT term, label, count(*) AS a FROM pres GROUP BY 1, 2
+    ), tt AS (
+        SELECT term, sum(a) AS tt FROM tl GROUP BY 1
+    ), lt AS (
+        SELECT source AS label, count(*) AS lt FROM documents
+        WHERE text IS NOT NULL AND source IS NOT NULL GROUP BY 1
+    ), nd AS (
+        SELECT count(*) AS n FROM documents
+        WHERE text IS NOT NULL AND source IS NOT NULL
+    ), cells AS (
+        SELECT sc.term, sc.label,
+               CAST(COALESCE(tl.a, 0) AS BIGINT) AS a,
+               CAST(sc.tt - COALESCE(tl.a, 0) AS BIGINT) AS b,
+               CAST(sc.lt - COALESCE(tl.a, 0) AS BIGINT) AS c,
+               CAST(nd.n - sc.tt - sc.lt + COALESCE(tl.a, 0) AS BIGINT) AS d
+        FROM (SELECT t.term, l.label, t.tt, l.lt
+              FROM tt t CROSS JOIN lt l WHERE t.tt >= 25) sc
+        LEFT JOIN tl ON sc.term = tl.term AND sc.label = tl.label
+        CROSS JOIN nd
+    )
+    SELECT term, label, a, b, c, d,
+           CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) > 0
+                THEN round(CAST(a * d - b * c AS DOUBLE) /
+                           sqrt(CAST(a + b AS DOUBLE) * (c + d) * (a + c)
+                                * (b + d)), 6)
+           END AS phi
+    FROM cells
 """

@@ -793,3 +793,96 @@ def oov_rate(
         )
         .withColumn("oov_ppm", F.expr("n_oov * 1000000 div n_tokens"))
     )
+
+
+def term_label_association(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-(term, label) 2×2 contingency + phi coefficient — the
+    feature-selection primitive for corpus classifiers ("which terms
+    discriminate this source/language/quality tier?"). For each
+    lowercased whitespace term (document PRESENCE, not tf) and each
+    label: ``a`` docs with term & label, ``b`` with term & other label,
+    ``c`` without term & label, ``d`` the rest. The cells are exact
+    BIGINTs; ``phi = (ad − bc) / sqrt((a+b)(c+d)(a+c)(b+d))`` is the
+    one float at the surface — products of exact ints in IEEE double,
+    one sqrt, one divide, rounded to 6 — so it hash-gates cross-engine
+    (phi² · n = chi², so ranking by |phi| at fixed n IS the chi-squared
+    ranking, with no n⁵ overflow in the integer core: |ad−bc| ≤ n²/4
+    holds exact to n ≈ 6·10⁹ docs). ``phi`` is NULL where a margin is
+    empty (term in every doc, or single-label corpus) — undefined, not
+    ±inf. Terms in fewer than ``min_docs`` documents are dropped
+    (the df floor that bounds output, as :func:`oov_rate`'s vocab cap
+    does).
+
+    Plan: token explode → per-document distinct (one (doc, term)
+    aggregate) → ONE (term, label) exchange; label totals are a
+    |labels|-row broadcast; term totals a |terms|-bounded join
+    (un-hinted: AQE broadcasts while small, shuffles past threshold).
+    Output: (term, label, a, b, c, d, phi).
+    """
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("label"),
+        F.explode(
+            F.array_distinct(F.transform(tokens(F.col(text_col)), F.lower))
+        ).alias("term"),
+    )
+    # doc-level presence: one row per (doc, term); label rides along
+    # (one label per doc, so distinct over all three is per-doc presence)
+    pres = base.distinct()
+    tl = pres.groupBy("term", "label").agg(F.count(F.lit(1)).alias("a"))
+    # docs-containing-term: labels partition docs, so the sum over labels
+    # is exact; docs-per-label and the doc total come from the DOCUMENT
+    # table (summing `a` over terms would count each doc once per term)
+    term_tot = tl.groupBy("term").agg(F.sum("a").alias("__tt"))
+    eligible = df.filter(
+        F.col(text_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    lab_tot = eligible.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("__lt")
+    )
+    n_docs = eligible.select(F.count(F.lit(1)).alias("__n"))
+    # full term × label scaffold so a = 0 pairs (a term absent from one
+    # label entirely — often the most discriminative case) get rows too;
+    # bounded by |vocab| · |labels|
+    scaffold = term_tot.filter(F.col("__tt") >= min_docs).crossJoin(
+        F.broadcast(lab_tot)
+    )
+    cells = (
+        scaffold.join(tl, ["term", "label"], "left")
+        .withColumn("a", F.coalesce(F.col("a"), F.lit(0)))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "label",
+            F.col("a").cast("long").alias("a"),
+            (F.col("__tt") - F.col("a")).cast("long").alias("b"),
+            (F.col("__lt") - F.col("a")).cast("long").alias("c"),
+            (F.col("__n") - F.col("__tt") - F.col("__lt") + F.col("a"))
+            .cast("long")
+            .alias("d"),
+        )
+    )
+    num = (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("double")
+    den = F.sqrt(
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("c") + F.col("d")).cast("double")
+        * (F.col("a") + F.col("c")).cast("double")
+        * (F.col("b") + F.col("d")).cast("double")
+    )
+    return cells.select(
+        "term",
+        "label",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(den > 0, F.round(num / den, 6)).alias("phi"),
+    )

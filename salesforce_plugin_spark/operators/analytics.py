@@ -551,3 +551,64 @@ def activity_bitmap(
             F.expr("CAST(bit_count((bitmap & -bitmap) - 1) AS INT)"),
         ).alias("days_since_last"),
     )
+
+
+def group_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group OLS trend line with EXACT integer numerators — "is this
+    metric drifting, per segment?" answered reproducibly at any scale.
+    ``x_col`` and ``y_col`` must already be integer columns (epoch-day
+    index, quantized metric — same pre-quantization contract as
+    :func:`zscore_outliers`); the five sufficient statistics
+    (n, Σx, Σy, Σx², Σxy) are exact BIGINT sums in ONE
+    map-side-combined aggregate, and the fitted line is returned as
+    integer rationals over the common denominator:
+
+        slope     = slope_num / den,  slope_num = n·Σxy − Σx·Σy
+        intercept = icept_num / den,  icept_num = Σy·Σx² − Σx·Σxy
+        den       = n·Σx² − (Σx)²
+
+    (den = 0 ⟺ all x equal — the fit is undefined and the rationals
+    surface it as a zero denominator rather than a NaN). No divide
+    enters the result, so rollups/comparisons downstream stay exact;
+    divide once in float at the consumer. Overflow bound: |icept_num| ≤
+    n·max|y|·max(x)² — at day-index x ≤ 10⁴ and |y| ≤ 10⁹ exact to
+    n ≈ 10⁶ rows per group; rescale x (e.g. week index) for longer
+    horizons.
+
+    Plan: ONE exchange bounded by |groups|; everything else is
+    map-side. Output: (groups..., n, sx, sy, sxx, sxy, slope_num,
+    icept_num, den).
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    agg = (
+        df.select(*group_cols, x.alias("__x"), y.alias("__y"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__x").alias("sx"),
+            F.sum("__y").alias("sy"),
+            F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+            F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+        )
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "sxy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "slope_num"
+        ),
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).alias(
+            "icept_num"
+        ),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+    )

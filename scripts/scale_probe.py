@@ -144,6 +144,8 @@ PROBE = [
     "q_activity_bitmap",
     "q_epoch_shuffle",
     "q_gram_matrix",
+    "q_trend",
+    "q_term_assoc",
 ]
 
 

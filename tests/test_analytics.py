@@ -1841,3 +1841,43 @@ def test_attribution_models_first_and_last(spark):
     with _pytest.raises(ValueError):
         linear_attribution(conv, touch, "u", "cid", "tid", "ts", "ts", 3600,
                            model="u_shaped")
+
+
+# --- group trend (integer-exact OLS) ---
+
+def test_group_trend_exact_line(spark):
+    from salesforce_plugin_spark.operators.analytics import group_trend
+
+    # y = 3x + 7 exactly -> slope_num/den == 3, icept_num/den == 7
+    df = spark.createDataFrame(
+        [("g", x, 3 * x + 7) for x in range(10)], "g string, x int, y int"
+    )
+    r = group_trend(df, ["g"], "x", "y").collect()[0]
+    assert r.den > 0
+    assert r.slope_num == 3 * r.den
+    assert r.icept_num == 7 * r.den
+
+
+def test_group_trend_degenerate_x_zero_den(spark):
+    from salesforce_plugin_spark.operators.analytics import group_trend
+
+    df = spark.createDataFrame(
+        [("g", 5, y) for y in range(4)], "g string, x int, y int"
+    )
+    r = group_trend(df, ["g"], "x", "y").collect()[0]
+    assert r.den == 0  # undefined fit surfaces as zero denominator
+
+
+def test_group_trend_matches_numpy(spark):
+    import numpy as np
+    from salesforce_plugin_spark.operators.analytics import group_trend
+
+    xs = [0, 1, 2, 5, 9, 12]
+    ys = [4, -3, 8, 0, 21, 17]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "g string, x int, y int"
+    )
+    r = group_trend(df, ["g"], "x", "y").collect()[0]
+    slope, icept = np.polyfit(np.array(xs, float), np.array(ys, float), 1)
+    assert abs(r.slope_num / r.den - slope) < 1e-9
+    assert abs(r.icept_num / r.den - icept) < 1e-9

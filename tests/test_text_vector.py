@@ -405,3 +405,63 @@ def test_gram_matrix_matches_numpy(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         gram_matrix(df, "v", method="nope")
+
+
+# --- term-label association ---
+
+def test_term_label_association_cells_and_phi(spark):
+    import math
+    from salesforce_plugin_spark.functions.text import term_label_association
+
+    # "alpha" appears in both A docs and neither B doc -> perfect +phi
+    df = spark.createDataFrame(
+        [
+            (1, "alpha common", "A"),
+            (2, "alpha common", "A"),
+            (3, "beta common", "B"),
+            (4, "beta common", "B"),
+        ],
+        "id long, text string, lab string",
+    )
+    out = {
+        (r.term, r.lab if hasattr(r, "lab") else r.label): r
+        for r in term_label_association(df, "id", "text", "lab", min_docs=2).collect()
+    }
+    r = out[("alpha", "A")]
+    assert (r.a, r.b, r.c, r.d) == (2, 0, 0, 2)
+    assert r.phi == 1.0
+    assert out[("alpha", "B")].phi == -1.0
+    # margin-degenerate term ("common" in every doc): phi NULL, cells exact
+    rc = out[("common", "A")]
+    assert (rc.a, rc.b, rc.c, rc.d) == (2, 2, 0, 0)
+    assert rc.phi is None
+    # hand-checked non-degenerate phi
+    df2 = spark.createDataFrame(
+        [
+            (1, "x", "A"), (2, "x y", "A"), (3, "y", "A"),
+            (4, "x", "B"), (5, "y", "B"), (6, "y", "B"),
+        ],
+        "id long, text string, lab string",
+    )
+    out2 = {
+        (r.term, r.label): r
+        for r in term_label_association(df2, "id", "text", "lab", min_docs=1).collect()
+    }
+    r2 = out2[("x", "A")]
+    assert (r2.a, r2.b, r2.c, r2.d) == (2, 1, 1, 2)
+    want = (2 * 2 - 1 * 1) / math.sqrt(3 * 3 * 3 * 3)
+    assert abs(r2.phi - round(want, 6)) < 1e-12
+
+
+def test_term_label_association_min_docs_floor(spark):
+    from salesforce_plugin_spark.functions.text import term_label_association
+
+    df = spark.createDataFrame(
+        [(1, "rare seen", "A"), (2, "seen", "B")],
+        "id long, text string, lab string",
+    )
+    terms = {
+        r.term
+        for r in term_label_association(df, "id", "text", "lab", min_docs=2).collect()
+    }
+    assert terms == {"seen"}
