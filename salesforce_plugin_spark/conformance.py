@@ -4945,6 +4945,26 @@ def q_attribution_last(spark, sf_dir):
     )
 
 
+def q_embed_decontaminate(spark, sf_dir):
+    """Semantic train/eval decontamination (functions/dedup.py
+    embedding_decontaminate): the corpus (vec_id % 10 != 0) minus every
+    vector sign-LSH-bucket-matched AND rounded-cosine >= 0.25 to any
+    probe vector (vec_id % 10 == 0) — q_contamination's n-gram probe
+    catches verbatim eval leaks, this catches paraphrased ones. Bucket
+    equijoin (never cartesian) -> verify -> distinct ids -> left-anti;
+    8 of 450 corpus vectors are removed at sf0.01, so the gate
+    genuinely exercises the removal. Output is the surviving
+    (vec_id, label) set."""
+    from salesforce_plugin_spark.functions.dedup import embedding_decontaminate
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    probe = e.filter(F.col("vec_id") % 10 == 0)
+    return embedding_decontaminate(
+        corpus, probe, "vec_id", "embedding", threshold=0.25, bits=8
+    ).select("vec_id", "label")
+
+
 def q_trend(spark, sf_dir):
     """Per-segment OLS trend (operators/analytics.py group_trend): each
     user's value-vs-day fitted line as exact integer rationals
@@ -5244,6 +5264,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_gram_matrix": q_gram_matrix,
     "q_trend": q_trend,
     "q_term_assoc": q_term_assoc,
+    "q_embed_decontaminate": q_embed_decontaminate,
 }
 
 
@@ -9352,4 +9373,29 @@ ORACLES["q_term_assoc"] = r"""
                                 * (b + d)), 6)
            END AS phi
     FROM cells
+"""
+
+ORACLES["q_embed_decontaminate"] = """
+    WITH b AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) +
+               (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
+               (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) +
+               (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) +
+               (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END) +
+               (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END) +
+               (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END) +
+               (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bkt
+        FROM embeddings
+    ), c AS (
+        SELECT * FROM b WHERE vec_id % 10 <> 0
+    ), p AS (
+        SELECT * FROM b WHERE vec_id % 10 = 0
+    ), bad AS (
+        SELECT DISTINCT c.vec_id
+        FROM c JOIN p ON c.bkt = p.bkt
+        WHERE round(list_cosine_similarity(c.v, p.v), 6) >= 0.25
+    )
+    SELECT vec_id, label FROM c
+    WHERE vec_id NOT IN (SELECT vec_id FROM bad)
 """

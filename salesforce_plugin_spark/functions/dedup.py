@@ -1155,3 +1155,62 @@ def novelty_scores(
         )
         .withColumn("novelty_ppm", F.expr("n_novel * 1000000 div n_shingles"))
     )
+
+
+def cross_contaminated_ids(
+    corpus: DataFrame,
+    probe: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.5,
+    bits: int = 8,
+) -> DataFrame:
+    """Corpus ids whose embedding is near ANY probe vector — the
+    semantic face of train/eval decontamination (q_contamination's
+    n-gram probe catches verbatim leaks; this catches paraphrased ones
+    the way production eval-decontamination does). Both sides are
+    sign-LSH bucketed (:func:`~salesforce_plugin_spark.functions.vector
+    .sign_bucket`), candidates come from the bucket EQUIJOIN — cost
+    |corpus|·|probe|/2^bits expected, never a cartesian — and survive a
+    rounded-cosine verify (round 6, the q_embed_dedup discipline, so
+    the threshold compare is engine-stable). Same recall caveat as all
+    sign-LSH blocking, documented there: a near pair split across
+    buckets is unseen; raise recall with fewer bits or banded repeats.
+
+    Output: distinct ``(id)`` — one row per contaminated corpus id.
+    """
+    from salesforce_plugin_spark.functions.vector import sign_bucket
+
+    c = corpus.select(
+        F.col(id_col).alias("__cid"),
+        as_double(F.col(vec_col)).alias("__cv"),
+    ).withColumn("__bkt", sign_bucket(F.col("__cv"), bits))
+    p = probe.select(as_double(F.col(vec_col)).alias("__pv")).withColumn(
+        "__bkt", sign_bucket(F.col("__pv"), bits)
+    )
+    sim = F.round(cosine(F.col("__cv"), F.col("__pv")), 6)
+    return (
+        c.join(p, "__bkt")
+        .filter(sim >= threshold)
+        .select(F.col("__cid").alias(id_col))
+        .distinct()
+    )
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    probe: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.5,
+    bits: int = 8,
+) -> DataFrame:
+    """The actuator for :func:`cross_contaminated_ids`: the corpus with
+    every semantically-contaminated row removed (left-anti join on the
+    contaminated id set — at scale the id set is usually small enough
+    that AQE broadcasts the anti side at runtime; deliberately
+    un-hinted). Columns pass through unchanged."""
+    bad = cross_contaminated_ids(
+        corpus, probe, id_col, vec_col, threshold=threshold, bits=bits
+    )
+    return corpus.join(bad, id_col, "left_anti")

@@ -146,6 +146,7 @@ PROBE = [
     "q_gram_matrix",
     "q_trend",
     "q_term_assoc",
+    "q_embed_decontaminate",
 ]
 
 

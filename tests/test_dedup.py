@@ -549,3 +549,46 @@ def test_novelty_scores_boilerplate_vs_unique(spark):
     ).collect()}
     assert out[1] == 0 and out[2] == 0    # every shingle shared
     assert out[3] == 1000000              # nothing corroborated
+
+
+# --- cross-set embedding decontamination ---
+
+def test_embedding_decontaminate_removes_only_near_probe(spark):
+    from salesforce_plugin_spark.functions.dedup import (
+        cross_contaminated_ids,
+        embedding_decontaminate,
+    )
+
+    # corpus: one vector identical to the probe, one orthogonal-ish,
+    # one near-opposite (different bucket -> blocking never sees it)
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.5, 0.25]),
+            (2, [-0.5, 1.0, -0.25]),
+            (3, [-1.0, -0.5, -0.25]),
+        ],
+        "id long, v array<double>",
+    )
+    probe = spark.createDataFrame([(9, [1.0, 0.5, 0.25])], "id long, v array<double>")
+    bad = {r.id for r in cross_contaminated_ids(corpus, probe, "id", "v", 0.9, bits=3).collect()}
+    assert bad == {1}
+    kept = {r.id for r in embedding_decontaminate(corpus, probe, "id", "v", 0.9, bits=3).collect()}
+    assert kept == {2, 3}
+
+
+def test_embedding_decontaminate_bucket_blocking_bounds_recall(spark):
+    from salesforce_plugin_spark.functions.dedup import cross_contaminated_ids
+
+    # same direction but sign-flipped first dim -> different bucket:
+    # blocked candidate set misses it even at a permissive threshold
+    corpus = spark.createDataFrame(
+        [(1, [-0.001, 1.0, 1.0])], "id long, v array<double>"
+    )
+    probe = spark.createDataFrame(
+        [(9, [0.001, 1.0, 1.0])], "id long, v array<double>"
+    )
+    assert cross_contaminated_ids(corpus, probe, "id", "v", 0.5, bits=3).count() == 0
+    # bits=1 on a shared-sign dim recovers it (fewer bits = higher recall)
+    corpus2 = spark.createDataFrame([(1, [1.0, 1.0, -0.5])], "id long, v array<double>")
+    probe2 = spark.createDataFrame([(9, [1.0, 0.9, -0.4])], "id long, v array<double>")
+    assert cross_contaminated_ids(corpus2, probe2, "id", "v", 0.5, bits=1).count() == 1
