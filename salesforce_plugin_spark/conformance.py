@@ -4945,6 +4945,38 @@ def q_attribution_last(spark, sf_dir):
     )
 
 
+def q_skipgrams(spark, sf_dir):
+    """Skip-gram co-occurrence table (functions/text.py skipgram_counts):
+    ordered (center, context) counts within a 3-token forward window —
+    the word2vec/GloVe/windowed-PMI input — generated entirely by
+    per-row HOFs (transform-with-index x slice x flatten: explode
+    factor exactly `window`, no join, no pre-count shuffle) into ONE
+    partial-combined count exchange. min_count=5 floors the output."""
+    from salesforce_plugin_spark.functions.text import skipgram_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    return skipgram_counts(d, "text", window=3, min_count=5)
+
+
+def q_rank_corr(spark, sf_dir):
+    """Tie-correct Spearman correlation (operators/analytics.py
+    rank_correlation): per user, does value drift with time —
+    Pearson over doubled average ranks (exact integers even under the
+    heavy day-level ties), num/dx/dy exact BIGINTs, rho the one
+    surface float. One user exchange feeds both rank windows."""
+    from salesforce_plugin_spark.operators.analytics import rank_correlation
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "x"
+        ),
+        F.round(F.col("value") * 1000, 0).cast("long").alias("y"),
+    )
+    return rank_correlation(base, ["user_id"], "x", "y")
+
+
 def q_embed_decontaminate(spark, sf_dir):
     """Semantic train/eval decontamination (functions/dedup.py
     embedding_decontaminate): the corpus (vec_id % 10 != 0) minus every
@@ -5265,6 +5297,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_trend": q_trend,
     "q_term_assoc": q_term_assoc,
     "q_embed_decontaminate": q_embed_decontaminate,
+    "q_skipgrams": q_skipgrams,
+    "q_rank_corr": q_rank_corr,
 }
 
 
@@ -9398,4 +9432,53 @@ ORACLES["q_embed_decontaminate"] = """
     )
     SELECT vec_id, label FROM c
     WHERE vec_id NOT IN (SELECT vec_id FROM bad)
+"""
+
+ORACLES["q_skipgrams"] = r"""
+    WITH t AS (
+        SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents WHERE text IS NOT NULL
+    ), pos AS (
+        SELECT tk, unnest(generate_series(1, len(tk))) AS i FROM t
+    ), pairs AS (
+        SELECT tk[i] AS center, tk[j] AS context
+        FROM pos, unnest(generate_series(i + 1, least(i + 3, len(tk))))
+                  AS u(j)
+    )
+    SELECT center, context, count(*) AS n
+    FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5
+"""
+
+ORACLES["q_rank_corr"] = """
+    WITH b AS (
+        SELECT user_id,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               CAST(round(value * 1000) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL
+    ), r AS (
+        SELECT user_id,
+               CAST(2 * rank() OVER (PARTITION BY user_id ORDER BY x)
+                    + count(*) OVER (PARTITION BY user_id, x) - 1
+                    AS BIGINT) AS rx,
+               CAST(2 * rank() OVER (PARTITION BY user_id ORDER BY y)
+                    + count(*) OVER (PARTITION BY user_id, y) - 1
+                    AS BIGINT) AS ry
+        FROM b
+    ), a AS (
+        SELECT user_id, count(*) AS n,
+               sum(rx) AS sx, sum(ry) AS sy,
+               sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+               sum(rx * ry) AS sxy
+        FROM r GROUP BY user_id
+    )
+    SELECT user_id, n,
+           n * sxy - sx * sy AS num,
+           n * sxx - sx * sx AS dx,
+           n * syy - sy * sy AS dy,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                           sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS rho
+    FROM a
 """

@@ -886,3 +886,56 @@ def term_label_association(
         "d",
         F.when(den > 0, F.round(num / den, 6)).alias("phi"),
     )
+
+
+def skipgram_counts(
+    df: DataFrame,
+    text_col: str,
+    window: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """Ordered skip-gram co-occurrence counts — the (center, context)
+    frequency table word-embedding training (word2vec/GloVe shape) and
+    windowed-PMI analysis consume; :func:`collocation_lift` is its
+    window=1 specialization. For every token, each of the next
+    ``window`` tokens in the same document contributes one ordered pair
+    (symmetric counts = this table + its transpose, derivable
+    downstream).
+
+    Plan shape: pair generation is PURE per-row HOF work — the token
+    array is materialized once, ``transform`` with index ×
+    ``slice`` emits each position's forward window, ``flatten`` +
+    ``explode`` hands (center, context) straight to ONE
+    partial-combined count exchange. No join, no window function, no
+    shuffle before the count — per-row cost is window·len(doc), the
+    explode factor is exactly ``window``. ``min_count`` floors the
+    output (the df-floor discipline of :func:`term_label_association`).
+
+    Output: (center, context, n), lowercased whitespace tokens.
+    """
+    if window < 1:
+        raise ValueError("skipgram_counts requires window >= 1")
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.transform(tokens(F.col(text_col)), F.lower).alias("__t")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("__t"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("__t"), i + 2, window),
+                        lambda y: F.struct(
+                            x.alias("center"), y.alias("context")
+                        ),
+                    ),
+                )
+            )
+        ).alias("__p")
+    )
+    return (
+        pairs.select(F.col("__p.center"), F.col("__p.context"))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )

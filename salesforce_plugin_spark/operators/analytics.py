@@ -612,3 +612,74 @@ def group_trend(
         ),
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
     )
+
+
+def rank_correlation(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Spearman rank correlation, tie-correct (Pearson over
+    AVERAGE ranks — the textbook ``1 − 6Σd²/...`` shortcut is only valid
+    without ties, so it is not used). The monotonic-association sensor
+    ("does value drift with time?", "do these two metrics co-move per
+    segment?") that complements :func:`group_trend`'s linear fit.
+
+    Doubled average ranks are exact INTEGERS (``2·avg = 2·min_rank +
+    ties − 1``), so the five sufficient statistics and the correlation
+    numerator/denominators are exact BIGINTs — reproducible across
+    engines and partitionings; ``rho = num / sqrt(dx·dy)`` (round 6) is
+    the one surface float, NULL when either variable is constant
+    (undefined, not NaN). Overflow: |num| ≤ 4n⁴ per group — exact to
+    n ≈ 3·10⁴ rows per group; beyond that, rank against bounded
+    histogram cut points (:func:`~salesforce_plugin_spark.functions
+    .sketch.percentile_normalize`) instead of exact windows.
+
+    Plan: ONE exchange on the group keys feeds both rank windows (same
+    partitioning, two in-partition sorts), then one bounded aggregate.
+    Per-group ranking sorts within the group's partition — the exact
+    contract every exact-rank statistic shares (see sample_per_group).
+
+    Output: (groups..., n, num, dx, dy, rho).
+    """
+    gx = [F.col(c) for c in group_cols]
+    wx = Window.partitionBy(*gx).orderBy(F.col(x_col))
+    wy = Window.partitionBy(*gx).orderBy(F.col(y_col))
+    cx = Window.partitionBy(*gx, F.col(x_col))
+    cy = Window.partitionBy(*gx, F.col(y_col))
+    r2x = (
+        2 * F.rank().over(wx) + F.count(F.lit(1)).over(cx) - 1
+    ).cast("long")
+    r2y = (
+        2 * F.rank().over(wy) + F.count(F.lit(1)).over(cy) - 1
+    ).cast("long")
+    ranked = df.select(
+        *group_cols, r2x.alias("__rx"), r2y.alias("__ry")
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__rx").alias("__sx"),
+        F.sum("__ry").alias("__sy"),
+        F.sum(F.col("__rx") * F.col("__rx")).alias("__sxx"),
+        F.sum(F.col("__ry") * F.col("__ry")).alias("__syy"),
+        F.sum(F.col("__rx") * F.col("__ry")).alias("__sxy"),
+    )
+    num = F.col("n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    dx = F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    dy = F.col("n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    return agg.select(
+        *group_cols,
+        "n",
+        num.alias("num"),
+        dx.alias("dx"),
+        dy.alias("dy"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.round(
+                num.cast("double")
+                / F.sqrt(dx.cast("double") * dy.cast("double")),
+                6,
+            ),
+        ).alias("rho"),
+    )

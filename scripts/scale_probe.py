@@ -147,6 +147,8 @@ PROBE = [
     "q_trend",
     "q_term_assoc",
     "q_embed_decontaminate",
+    "q_skipgrams",
+    "q_rank_corr",
 ]
 
 

@@ -1881,3 +1881,66 @@ def test_group_trend_matches_numpy(spark):
     slope, icept = np.polyfit(np.array(xs, float), np.array(ys, float), 1)
     assert abs(r.slope_num / r.den - slope) < 1e-9
     assert abs(r.icept_num / r.den - icept) < 1e-9
+
+
+# --- rank correlation (tie-correct Spearman) ---
+
+def test_rank_correlation_perfect_monotone(spark):
+    from salesforce_plugin_spark.operators.analytics import rank_correlation
+
+    df = spark.createDataFrame(
+        [("g", x, x * x) for x in range(1, 8)], "g string, x int, y int"
+    )
+    r = rank_correlation(df, ["g"], "x", "y").collect()[0]
+    assert r.rho == 1.0
+    df2 = spark.createDataFrame(
+        [("g", x, -x) for x in range(1, 8)], "g string, x int, y int"
+    )
+    assert rank_correlation(df2, ["g"], "x", "y").collect()[0].rho == -1.0
+
+
+def test_rank_correlation_ties_match_scipy_formula(spark):
+    from salesforce_plugin_spark.operators.analytics import rank_correlation
+
+    # hand-computed Pearson-on-average-ranks with ties in both variables
+    xs = [1, 1, 2, 3, 3, 3]
+    ys = [2, 1, 2, 5, 5, 4]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "g string, x int, y int"
+    )
+    r = rank_correlation(df, ["g"], "x", "y").collect()[0]
+
+    def avg_ranks(v):
+        order = sorted(range(len(v)), key=lambda i: v[i])
+        ranks = [0.0] * len(v)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and v[order[j]] == v[order[i]]:
+                j += 1
+            for k in range(i, j):
+                ranks[order[k]] = (i + j + 1) / 2.0
+            i = j
+        return ranks
+
+    import math
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    want = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert abs(r.rho - round(want, 6)) < 1e-12
+
+
+def test_rank_correlation_constant_variable_null(spark):
+    from salesforce_plugin_spark.operators.analytics import rank_correlation
+
+    df = spark.createDataFrame(
+        [("g", 1, y) for y in range(5)], "g string, x int, y int"
+    )
+    r = rank_correlation(df, ["g"], "x", "y").collect()[0]
+    assert r.dx == 0 and r.rho is None

@@ -465,3 +465,24 @@ def test_term_label_association_min_docs_floor(spark):
         for r in term_label_association(df, "id", "text", "lab", min_docs=2).collect()
     }
     assert terms == {"seen"}
+
+
+# --- skip-gram co-occurrence ---
+
+def test_skipgram_counts_window_and_floor(spark):
+    from salesforce_plugin_spark.functions.text import skipgram_counts
+
+    df = spark.createDataFrame([("a b c d",), ("a b x",)], "text string")
+    out = {
+        (r.center, r.context): r.n
+        for r in skipgram_counts(df, "text", window=2, min_count=1).collect()
+    }
+    # forward-window pairs only, counted across docs
+    assert out[("a", "b")] == 2
+    assert out[("a", "c")] == 1 and ("a", "d") not in out  # window bound
+    assert out[("b", "x")] == 1
+    floored = skipgram_counts(df, "text", window=2, min_count=2).collect()
+    assert {(r.center, r.context) for r in floored} == {("a", "b")}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        skipgram_counts(df, "text", window=0)
