@@ -4945,6 +4945,81 @@ def q_attribution_last(spark, sf_dir):
     )
 
 
+def q_label_prop(spark, sf_dir):
+    """Community detection under the gate (functions/graph.py
+    label_propagation_fixed): 2 rounds of majority-label propagation
+    with the deterministic (count desc, label asc) election over the
+    supplier-part co-occurrence graph (q_pagerank's edges), seeded with
+    id % 5 — textbook LPA is random-order and could never hash-gate;
+    the total election order makes every round bit-reproducible, the
+    same discipline as q_pagerank/q_kmeans_converged. The oracle chains
+    two identical vote/elect CTE rounds."""
+    from salesforce_plugin_spark.functions.graph import label_propagation_fixed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_suppkey") + 1000000).alias("src"),
+        F.col("l_partkey").alias("dst"),
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    labels = nodes.select("id", (F.col("id") % 5).alias("label"))
+    return label_propagation_fixed(edges, labels, iterations=2)
+
+
+def q_user_features(spark, sf_dir):
+    """Feature-store assembly capstone: one row per user joining the
+    engagement bitmap block (activity_bitmap), the exact-integer value
+    trend (group_trend), activity counts, and the first-seen cohort day
+    — the churn-model feature table, EVERY stage keyed on user_id so
+    the four aggregates and the three joins share one hash
+    partitioning (no re-exchange between stages; AQE broadcasts the
+    bounded sides at bench scale). Mirrors the curation/star-load/
+    quality-gate capstone discipline for the ML-features surface."""
+    from salesforce_plugin_spark.operators.analytics import (
+        activity_bitmap,
+        group_trend,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    bm = activity_bitmap(e, ["user_id"], "ts", "2024-01-30", n_days=30)
+    base = e.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "x"
+        ),
+        F.round(F.col("value") * 1000, 0).cast("long").alias("y"),
+    )
+    tr = group_trend(base, ["user_id"], "x", "y").select(
+        "user_id", "slope_num", "den"
+    )
+    counts = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("n_purchases"),
+        F.min(F.to_date("ts")).alias("first_day"),
+    )
+    return (
+        counts.join(bm, "user_id", "left")
+        .join(tr, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events",
+            "n_purchases",
+            "first_day",
+            "bitmap",
+            "n_active_days",
+            "days_since_last",
+            "slope_num",
+            "den",
+        )
+    )
+
+
 def q_skipgrams(spark, sf_dir):
     """Skip-gram co-occurrence table (functions/text.py skipgram_counts):
     ordered (center, context) counts within a 3-token forward window —
@@ -5299,6 +5374,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_embed_decontaminate": q_embed_decontaminate,
     "q_skipgrams": q_skipgrams,
     "q_rank_corr": q_rank_corr,
+    "q_user_features": q_user_features,
+    "q_label_prop": q_label_prop,
 }
 
 
@@ -9481,4 +9558,82 @@ ORACLES["q_rank_corr"] = """
                                 * CAST(n * syy - sy * sy AS DOUBLE)), 6)
            END AS rho
     FROM a
+"""
+
+ORACLES["q_user_features"] = """
+    WITH masked AS (
+        SELECT user_id,
+               CASE WHEN datediff('day', CAST(ts AS DATE), DATE '2024-01-30')
+                         BETWEEN 0 AND 29
+                    THEN CAST(1 AS BIGINT) << datediff('day',
+                         CAST(ts AS DATE), DATE '2024-01-30')
+                    ELSE CAST(0 AS BIGINT) END AS mask
+        FROM events
+    ), bm AS (
+        SELECT user_id, bit_or(mask) AS bitmap FROM masked GROUP BY user_id
+    ), bmx AS (
+        SELECT user_id, bitmap,
+               CAST(bit_count(bitmap) AS INT) AS n_active_days,
+               CASE WHEN bitmap <> 0
+                    THEN CAST(bit_count((bitmap & -bitmap) - 1) AS INT)
+               END AS days_since_last
+        FROM bm
+    ), tb AS (
+        SELECT user_id,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS x,
+               CAST(round(value * 1000) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL
+    ), tr AS (
+        SELECT user_id,
+               count(*) * sum(x * y) - sum(x) * sum(y) AS slope_num,
+               count(*) * sum(x * x) - sum(x) * sum(x) AS den
+        FROM tb GROUP BY user_id
+    ), c AS (
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases,
+               min(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    )
+    SELECT c.user_id, c.n_events, c.n_purchases, c.first_day,
+           bmx.bitmap, bmx.n_active_days, bmx.days_since_last,
+           tr.slope_num, tr.den
+    FROM c
+    LEFT JOIN bmx ON c.user_id = bmx.user_id
+    LEFT JOIN tr ON c.user_id = tr.user_id
+"""
+
+ORACLES["q_label_prop"] = """
+    WITH re AS (
+        SELECT DISTINCT l_suppkey + 1000000 AS src, l_partkey AS dst
+        FROM lineitem
+    ), e AS (
+        SELECT src, dst FROM re UNION SELECT dst, src FROM re
+    ), l0 AS (
+        SELECT DISTINCT src AS id, src % 5 AS lab FROM e
+    ), v1 AS (
+        SELECT e.dst AS id, l.lab, count(*) AS c
+        FROM e JOIN l0 l ON e.src = l.id GROUP BY 1, 2
+    ), w1 AS (
+        SELECT id, lab FROM (
+            SELECT id, lab, row_number() OVER (
+                PARTITION BY id ORDER BY c DESC, lab ASC) AS rn
+            FROM v1
+        ) WHERE rn = 1
+    ), l1 AS (
+        SELECT l0.id, COALESCE(w1.lab, l0.lab) AS lab
+        FROM l0 LEFT JOIN w1 ON l0.id = w1.id
+    ), v2 AS (
+        SELECT e.dst AS id, l.lab, count(*) AS c
+        FROM e JOIN l1 l ON e.src = l.id GROUP BY 1, 2
+    ), w2 AS (
+        SELECT id, lab FROM (
+            SELECT id, lab, row_number() OVER (
+                PARTITION BY id ORDER BY c DESC, lab ASC) AS rn
+            FROM v2
+        ) WHERE rn = 1
+    )
+    SELECT l1.id, COALESCE(w2.lab, l1.lab) AS label
+    FROM l1 LEFT JOIN w2 ON l1.id = w2.id
 """

@@ -180,3 +180,70 @@ def triangle_counts(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def label_propagation_fixed(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    label_col: str = "label",
+    iterations: int = 2,
+    symmetrize: bool = True,
+) -> DataFrame:
+    """Fixed-iteration label propagation — community detection /
+    semi-supervised label spreading over a similarity graph (the
+    standard step between a near-dup edge list and "assign every doc
+    its cluster's label"). Each round every node adopts the MAJORITY
+    label among its neighbors, ties broken by the SMALLEST label —
+    a total, deterministic election (count desc, label asc), so unlike
+    textbook random-order LPA the whole run is bit-reproducible across
+    engines and partitionings (the q_pagerank/q_kmeans discipline for
+    iterative algorithms: determinism is what makes checkpointed resume
+    sound). Nodes with no neighbor keep their label. A fixed iteration
+    count keeps the run ONE lazy plan — no driver loop state.
+
+    Scale shape per round: one edge-sized equi-join of current labels
+    onto the source side, one partial-combined (dst, label) count, one
+    max_by election per node (exchange carries one row per (node,
+    neighbor-label), then one per node), one node-sized left join for
+    the keep-own-label fallback. Label frames are node-sized and
+    deliberately un-hinted (AQE broadcasts while small).
+
+    Output: ``(id long, label long)`` after ``iterations`` rounds.
+    """
+    if iterations < 1:
+        raise ValueError("label_propagation_fixed requires >= 1 iteration")
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    ).distinct()
+    if symmetrize:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    cur = labels.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(label_col).cast("long").alias("__lab"),
+    )
+    for _ in range(iterations):
+        votes = (
+            e.join(
+                cur.select(
+                    F.col("id").alias("src"), F.col("__lab").alias("__nl")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"), "__nl")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        elected = votes.groupBy("id").agg(
+            F.max_by(
+                F.col("__nl"), F.struct(F.col("__c"), -F.col("__nl"))
+            ).alias("__win")
+        )
+        cur = cur.join(elected, "id", "left").select(
+            "id", F.coalesce(F.col("__win"), F.col("__lab")).alias("__lab")
+        )
+    return cur.select("id", F.col("__lab").alias("label"))

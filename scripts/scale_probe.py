@@ -149,6 +149,8 @@ PROBE = [
     "q_embed_decontaminate",
     "q_skipgrams",
     "q_rank_corr",
+    "q_user_features",
+    "q_label_prop",
 ]
 
 

@@ -1944,3 +1944,58 @@ def test_rank_correlation_constant_variable_null(spark):
     )
     r = rank_correlation(df, ["g"], "x", "y").collect()[0]
     assert r.dx == 0 and r.rho is None
+
+
+# --- label propagation ---
+
+def test_label_propagation_majority_and_tiebreak(spark):
+    from salesforce_plugin_spark.functions.graph import label_propagation_fixed
+
+    # star: center 0 with neighbors labeled 7,7,9 -> majority 7
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    labels = spark.createDataFrame(
+        [(0, 9), (1, 7), (2, 7), (3, 9)], "id long, label long"
+    )
+    out = {
+        r.id: r.label
+        for r in label_propagation_fixed(edges, labels, iterations=1).collect()
+    }
+    assert out[0] == 7
+    # leaves see only the center (label 9) -> adopt 9
+    assert out[1] == 9 and out[2] == 9 and out[3] == 9
+    # tie (one 7-neighbor, one 9-neighbor) -> smallest label wins
+    e2 = spark.createDataFrame([(0, 1), (0, 2)], "src long, dst long")
+    l2 = spark.createDataFrame(
+        [(0, 5), (1, 9), (2, 7)], "id long, label long"
+    )
+    out2 = {
+        r.id: r.label
+        for r in label_propagation_fixed(e2, l2, iterations=1).collect()
+    }
+    assert out2[0] == 7
+
+
+def test_label_propagation_isolated_keeps_label_and_spreads_two_hops(spark):
+    from salesforce_plugin_spark.functions.graph import label_propagation_fixed
+
+    # path 1-2-3 plus isolated 9; node 3's label needs 2 rounds to reach 1
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    labels = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 1), (9, 42)], "id long, label long"
+    )
+    one = {
+        r.id: r.label
+        for r in label_propagation_fixed(edges, labels, iterations=1).collect()
+    }
+    assert one[9] == 42  # no neighbors: keeps its label
+    assert one[2] == 1  # tie {100, 1} -> smallest
+    two = {
+        r.id: r.label
+        for r in label_propagation_fixed(edges, labels, iterations=2).collect()
+    }
+    assert two[1] == 1  # propagated through the middle node
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        label_propagation_fixed(edges, labels, iterations=0)
