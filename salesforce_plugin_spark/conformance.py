@@ -4945,6 +4945,35 @@ def q_attribution_last(spark, sf_dir):
     )
 
 
+def q_cusum(spark, sf_dir):
+    """Per-user CUSUM drift alarms (operators/timeseries.py
+    cusum_alarms): the sequential clamp recursion S_t = max(0, S_{t-1}
+    + x_t - target - slack) rewritten as cumsum-minus-running-min —
+    ONE user exchange + one in-partition sort feeding both running
+    aggregates, exact integers (value in cents) end to end. event_id
+    tiebreaks make the window order total so tied (ts, value) rows
+    cannot produce engine-ambiguous intermediate sums."""
+    from salesforce_plugin_spark.operators.timeseries import cusum_alarms
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+    )
+    return cusum_alarms(
+        base,
+        ["user_id"],
+        "ts",
+        "v",
+        target=5000,
+        slack=500,
+        threshold=50000,
+        tiebreak_cols=["event_id"],
+    )
+
+
 def q_label_prop(spark, sf_dir):
     """Community detection under the gate (functions/graph.py
     label_propagation_fixed): 2 rounds of majority-label propagation
@@ -5376,6 +5405,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_rank_corr": q_rank_corr,
     "q_user_features": q_user_features,
     "q_label_prop": q_label_prop,
+    "q_cusum": q_cusum,
 }
 
 
@@ -9636,4 +9666,27 @@ ORACLES["q_label_prop"] = """
     )
     SELECT l1.id, COALESCE(w2.lab, l1.lab) AS label
     FROM l1 LEFT JOIN w2 ON l1.id = w2.id
+"""
+
+ORACLES["q_cusum"] = """
+    WITH b AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+    ), c AS (
+        SELECT user_id, ts, event_id, v,
+               sum(v - 5500) OVER (
+                   PARTITION BY user_id ORDER BY ts, v, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM b
+    ), s AS (
+        SELECT user_id, ts, event_id, v,
+               cum - least(CAST(0 AS BIGINT), min(cum) OVER (
+                   PARTITION BY user_id ORDER BY ts, v, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )) AS cusum
+        FROM c
+    )
+    SELECT user_id, ts, v, event_id, cusum, cusum > 50000 AS alarm FROM s
 """

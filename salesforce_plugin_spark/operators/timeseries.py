@@ -329,3 +329,74 @@ def disorder_stats(
             F.max("__late").cast("long").alias("max_lateness_us"),
         )
     )
+
+
+def cusum_alarms(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    target: int,
+    slack: int,
+    threshold: int,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key one-sided CUSUM drift detector over an INTEGER value
+    column (pre-quantize floats — the zscore_outliers/group_trend
+    contract): the classic recursion ``S_t = max(0, S_{t-1} + (x_t −
+    target − slack))``, which looks inherently sequential, rewritten as
+    two windows —
+
+        ``S_t = cum_t − min(0, cum_1..cum_t)``  with
+        ``cum_t = Σ_{i≤t} (x_i − target − slack)``
+
+    (the clamp-at-zero recursion IS "cumsum minus running minimum"; the
+    min(0, ·) seeds S_0 = 0) — so the whole detector is ONE exchange on
+    the key + one in-partition sort feeding both running aggregates,
+    exact integer end to end, reproducible across engines. Rows are
+    ordered by (ts, tie-break on remaining sort stability is not
+    needed: both windows use the same total order (ts, value)).
+
+    Output: every input row with its CUSUM statistic and the alarm flag
+    ``S_t > threshold`` — the change-point monitor for "has this
+    metric drifted above target+slack, cumulatively?" per segment.
+    Columns: (keys..., ts, value, tiebreaks..., cusum, alarm boolean).
+
+    The window order must be TOTAL per key or tied rows get
+    order-dependent intermediate sums (engine-ambiguous): pass
+    ``tiebreak_cols`` (e.g. the event id) whenever (ts, value) can
+    repeat within a key — the same total-order discipline as
+    resample_daily_ffill's last-observation election.
+    """
+    tiebreak_cols = tiebreak_cols or []
+    order = [F.col(ts_col), F.col(value_col)] + [
+        F.col(c) for c in tiebreak_cols
+    ]
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = F.col(value_col).cast("long") - F.lit(target) - F.lit(slack)
+    cum = F.sum(dev).over(w)
+    base = df.select(
+        *key_cols,
+        F.col(ts_col),
+        F.col(value_col),
+        *[F.col(c) for c in tiebreak_cols],
+        cum.alias("__cum"),
+    )
+    w2 = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = F.col("__cum") - F.least(F.lit(0).cast("long"), F.min("__cum").over(w2))
+    return base.select(
+        *key_cols,
+        ts_col,
+        value_col,
+        *tiebreak_cols,
+        s.alias("cusum"),
+        (s > threshold).alias("alarm"),
+    )

@@ -151,6 +151,7 @@ PROBE = [
     "q_rank_corr",
     "q_user_features",
     "q_label_prop",
+    "q_cusum",
 ]
 
 

@@ -1999,3 +1999,46 @@ def test_label_propagation_isolated_keeps_label_and_spreads_two_hops(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         label_propagation_fixed(edges, labels, iterations=0)
+
+
+# --- CUSUM drift alarms ---
+
+def test_cusum_matches_sequential_recursion(spark):
+    from salesforce_plugin_spark.operators.timeseries import cusum_alarms
+    import datetime as dt
+
+    vals = [5, 5, 9, 9, 9, 2, 2, 14, 1, 9]
+    rows = [
+        ("k", dt.datetime(2024, 1, 1, 0, 0, i), v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+    out = sorted(
+        cusum_alarms(
+            df, ["k"], "ts", "v", target=5, slack=1, threshold=6
+        ).collect(),
+        key=lambda r: r.ts,
+    )
+    # sequential reference: S_t = max(0, S + v - target - slack)
+    s, want = 0, []
+    for v in vals:
+        s = max(0, s + v - 5 - 1)
+        want.append(s)
+    assert [r.cusum for r in out] == want
+    assert [r.alarm for r in out] == [w > 6 for w in want]
+
+
+def test_cusum_is_per_key_and_resets_nothing_across_keys(spark):
+    from salesforce_plugin_spark.operators.timeseries import cusum_alarms
+    import datetime as dt
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, 0, 0), 10),
+        ("b", dt.datetime(2024, 1, 1, 0, 0, 1), 0),
+        ("a", dt.datetime(2024, 1, 1, 0, 0, 2), 10),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+    out = {(r.k, r.ts.second): r.cusum for r in cusum_alarms(
+        df, ["k"], "ts", "v", target=0, slack=0, threshold=5).collect()}
+    assert out[("a", 0)] == 10 and out[("a", 2)] == 20
+    assert out[("b", 1)] == 0
