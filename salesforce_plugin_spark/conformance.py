@@ -4945,6 +4945,51 @@ def q_attribution_last(spark, sf_dir):
     )
 
 
+def q_manifest(spark, sf_dir):
+    """Content-manifest digests (operators/merge.py content_manifest):
+    orders reduced to 16 shard rows of order-insensitive (xor + exact
+    sum) fingerprint folds — the O(changed shards) precheck that fronts
+    snapshot_diff's row-level answer in cross-system sync. Price is
+    pre-quantized to integer cents before serialization (double→string
+    formatting is engine-specific; integers are not)."""
+    from salesforce_plugin_spark.operators.merge import content_manifest
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    return content_manifest(
+        base,
+        "o_orderkey",
+        ["o_orderkey", "o_orderstatus", "o_orderpriority", "price_cents"],
+        n_shards=16,
+    )
+
+
+def q_bootstrap(spark, sf_dir):
+    """Deterministic Poisson bootstrap (operators/analytics.py
+    poisson_bootstrap): 16 resampling replicates of the mean event
+    value, each row's per-replicate weight a pure integer function of
+    (event_id, b) — portable 32-bit hash vs the fixed scaled-CDF
+    literals (POISSON1_THRESHOLDS) — so the distributed bootstrap is
+    bit-reproducible with no RNG state and no global resample. Exact
+    BIGINT (n_eff, sum_w, sum_wy) per replicate; the CI percentiles
+    are float work downstream."""
+    from salesforce_plugin_spark.operators.analytics import poisson_bootstrap
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.filter(F.col("value").isNotNull()).select(
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+    )
+    return poisson_bootstrap(base, "event_id", "y", replicates=16)
+
+
 def q_cusum(spark, sf_dir):
     """Per-user CUSUM drift alarms (operators/timeseries.py
     cusum_alarms): the sequential clamp recursion S_t = max(0, S_{t-1}
@@ -5406,6 +5451,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_user_features": q_user_features,
     "q_label_prop": q_label_prop,
     "q_cusum": q_cusum,
+    "q_bootstrap": q_bootstrap,
+    "q_manifest": q_manifest,
 }
 
 
@@ -9689,4 +9736,57 @@ ORACLES["q_cusum"] = """
         FROM c
     )
     SELECT user_id, ts, v, event_id, cusum, cusum > 50000 AS alarm FROM s
+"""
+
+ORACLES["q_bootstrap"] = """
+    WITH base AS (
+        SELECT event_id, CAST(round(value * 100) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL
+    ), rep AS (
+        SELECT event_id, y, unnest(generate_series(0, 15)) AS r
+        FROM base
+    ), h AS (
+        SELECT r, y,
+               CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                    || CAST(r AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+        FROM rep
+    ), w AS (
+        SELECT r, y,
+               CAST(CASE WHEN u < 1580030168 THEN 0
+                    WHEN u < 3160060337 THEN 1
+                    WHEN u < 3950075421 THEN 2
+                    WHEN u < 4213413783 THEN 3
+                    WHEN u < 4279248373 THEN 4
+                    WHEN u < 4292415291 THEN 5
+                    WHEN u < 4294609777 THEN 6
+                    WHEN u < 4294923276 THEN 7
+                    WHEN u < 4294962463 THEN 8
+                    WHEN u < 4294966817 THEN 9
+                    ELSE 10 END AS BIGINT) AS w
+        FROM h
+    )
+    SELECT CAST(r AS INT) AS b,
+           CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_eff,
+           CAST(sum(w) AS BIGINT) AS sum_w,
+           CAST(sum(w * y) AS BIGINT) AS sum_wy
+    FROM w GROUP BY 1
+"""
+
+ORACLES["q_manifest"] = """
+    WITH c AS (
+        SELECT CAST(CAST(('0x' || substr(md5(
+                   COALESCE(CAST(o_orderkey AS VARCHAR), '<NULL>')
+                   || chr(31) || COALESCE(o_orderstatus, '<NULL>')
+                   || chr(31) || COALESCE(o_orderpriority, '<NULL>')
+                   || chr(31) || COALESCE(CAST(CAST(round(o_totalprice
+                        * 100) AS BIGINT) AS VARCHAR), '<NULL>')
+               ), 1, 8)) AS BIGINT) AS BIGINT) AS fp,
+               CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                    1, 8)) AS BIGINT) % 16 AS INT) AS shard
+        FROM orders
+    )
+    SELECT shard, count(*) AS n_rows,
+           bit_xor(fp) AS digest_xor,
+           CAST(sum(fp) AS BIGINT) AS digest_sum
+    FROM c GROUP BY shard
 """

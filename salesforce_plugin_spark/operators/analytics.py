@@ -683,3 +683,79 @@ def rank_correlation(
             ),
         ).alias("rho"),
     )
+
+
+#: Poisson(1) CDF thresholds scaled to 2^32, k = 0..9: a 32-bit uniform
+#: hash u maps to weight k iff u < T[k] first holds (P(X > 9) < 1e-7 is
+#: truncated into k = 9). LITERALS, not computed at import: libm exp()
+#: may differ in the last ulp across platforms, and the oracle must use
+#: the byte-identical constants. Derived once from cum_k = Σ e^-1/j!.
+POISSON1_THRESHOLDS: tuple[int, ...] = (
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+    4294609777,
+    4294923276,
+    4294962463,
+    4294966817,
+)
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    replicates: int = 32,
+) -> DataFrame:
+    """Deterministic Poisson bootstrap — confidence intervals for a mean
+    at any scale WITHOUT global resampling: replicate ``b`` weights each
+    row by a Poisson(1) draw (the standard streaming/distributed
+    approximation of multinomial resampling — at large n they coincide),
+    and the draw is a PURE integer function of (id, b): the row's
+    portable 32-bit hash compared against the fixed scaled-CDF
+    thresholds (POISSON1_THRESHOLDS). No RNG state, no collect —
+    re-runs, engines, partitionings, and appended shards all agree on
+    every weight, the :func:`~salesforce_plugin_spark.operators.pipeline
+    .weighted_sample` reproducibility discipline applied to resampling.
+
+    ``value_col`` must be integer (pre-quantize — the group_trend
+    contract), so each replicate's (n_eff, sum_w, sum_wy) are exact
+    BIGINTs; form mean_b = sum_wy/sum_w and the percentile CI in float
+    downstream. Plan: one ``replicates``-way explode (the documented
+    cost — B passes of map work, typically over an already-reduced
+    metric table) into ONE partial-combined exchange bounded by B rows.
+
+    Output: (b int, n_eff long, sum_w long, sum_wy long) — n_eff counts
+    rows with non-zero weight.
+    """
+    if replicates < 1:
+        raise ValueError("poisson_bootstrap requires replicates >= 1")
+    from salesforce_plugin_spark.functions.dedup import portable_hash32
+
+    rep = df.select(
+        F.col(id_col).cast("string").alias("__id"),
+        F.col(value_col).cast("long").alias("__y"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(replicates - 1))
+        ).alias("b"),
+    )
+    u = portable_hash32(
+        F.concat_ws(":", F.col("__id"), F.col("b").cast("string"))
+    )
+    w = F.lit(len(POISSON1_THRESHOLDS)).cast("long")
+    for k in reversed(range(len(POISSON1_THRESHOLDS))):
+        w = F.when(u < POISSON1_THRESHOLDS[k], F.lit(k).cast("long")).otherwise(w)
+    return (
+        rep.withColumn("__w", w)
+        .groupBy(F.col("b").cast("int").alias("b"))
+        .agg(
+            F.sum(F.when(F.col("__w") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_eff"),
+            F.sum("__w").alias("sum_w"),
+            F.sum(F.col("__w") * F.col("__y")).alias("sum_wy"),
+        )
+    )

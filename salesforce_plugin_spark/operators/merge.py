@@ -213,3 +213,52 @@ def fold_additive_rollup(
     return merged.groupBy(*key_cols).agg(
         *[F.sum(c).alias(c) for c in measure_cols]
     )
+
+
+def content_manifest(
+    df: DataFrame,
+    key_col: str,
+    cols: list[str],
+    n_shards: int = 16,
+) -> DataFrame:
+    """Per-shard content digests — the cheap "are these two copies of
+    the table identical, and if not, WHERE?" primitive for export
+    verification and cross-system sync (pairs with
+    :func:`snapshot_diff`, which answers the expensive row-level
+    question; run the manifest first, diff only the shards that
+    disagree — O(changed shards), not O(table)). Each row's fingerprint
+    is the portable 32-bit hash of its canonical serialized form
+    (``\\x1f``-joined string casts, NULL as the explicit ``<NULL>``
+    marker so null and empty differ); a shard's digest folds the
+    fingerprints with two independent ORDER-INSENSITIVE accumulators
+    (bit_xor and exact BIGINT sum — xor alone is blind to duplicated
+    pairs, sum alone to crafted offsets; together collisions need both
+    to coincide). Everything is engine-replayable integer arithmetic.
+
+    Plan: one codegen projection + ONE map-side-combined exchange
+    bounded by ``n_shards`` rows. Output: (shard int, n_rows long,
+    digest_xor long, digest_sum long).
+    """
+    if n_shards < 1:
+        raise ValueError("content_manifest requires n_shards >= 1")
+    from salesforce_plugin_spark.functions.dedup import portable_hash32
+    from salesforce_plugin_spark.functions.text import hash_bucket
+
+    canon = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+            for c in cols
+        ],
+    )
+    fp = portable_hash32(canon)
+    shard = hash_bucket(F.col(key_col), n_shards).cast("int")
+    return (
+        df.select(shard.alias("shard"), fp.alias("__fp"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(__fp)").alias("digest_xor"),
+            F.sum("__fp").alias("digest_sum"),
+        )
+    )

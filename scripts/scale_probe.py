@@ -152,6 +152,8 @@ PROBE = [
     "q_user_features",
     "q_label_prop",
     "q_cusum",
+    "q_bootstrap",
+    "q_manifest",
 ]
 
 

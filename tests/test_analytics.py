@@ -2042,3 +2042,43 @@ def test_cusum_is_per_key_and_resets_nothing_across_keys(spark):
         df, ["k"], "ts", "v", target=0, slack=0, threshold=5).collect()}
     assert out[("a", 0)] == 10 and out[("a", 2)] == 20
     assert out[("b", 1)] == 0
+
+
+# --- Poisson bootstrap ---
+
+def test_poisson_bootstrap_weights_match_python_replay(spark):
+    import hashlib
+    from salesforce_plugin_spark.operators.analytics import (
+        POISSON1_THRESHOLDS,
+        poisson_bootstrap,
+    )
+
+    rows = [(i, 10 + i) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, y long")
+    out = {r.b: r for r in poisson_bootstrap(df, "id", "y", replicates=4).collect()}
+
+    def weight(i, b):
+        u = int(hashlib.md5(f"{i}:{b}".encode()).hexdigest()[:8], 16)
+        for k, t in enumerate(POISSON1_THRESHOLDS):
+            if u < t:
+                return k
+        return len(POISSON1_THRESHOLDS)
+
+    for b in range(4):
+        ws = [(weight(i, b), y) for i, y in rows]
+        assert out[b].sum_w == sum(w for w, _ in ws)
+        assert out[b].sum_wy == sum(w * y for w, y in ws)
+        assert out[b].n_eff == sum(1 for w, _ in ws if w > 0)
+
+
+def test_poisson_bootstrap_weight_distribution_sane(spark):
+    from salesforce_plugin_spark.operators.analytics import poisson_bootstrap
+
+    df = spark.createDataFrame([(i, 1) for i in range(2000)], "id long, y long")
+    r = poisson_bootstrap(df, "id", "y", replicates=1).collect()[0]
+    # Poisson(1): E[w] = 1, P(w>0) = 1 - 1/e ~ 0.632
+    assert abs(r.sum_w - 2000) < 200
+    assert abs(r.n_eff - 2000 * 0.632) < 100
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        poisson_bootstrap(df, "id", "y", replicates=0)

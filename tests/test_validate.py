@@ -171,3 +171,43 @@ def test_fd_violations_detects_and_stays_silent(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         fd_violations(df, [], "price")
+
+
+# --- content manifest ---
+
+def test_content_manifest_detects_any_cell_change(spark):
+    from salesforce_plugin_spark.operators.merge import content_manifest
+
+    a = spark.createDataFrame(
+        [(i, f"v{i}", i * 10) for i in range(100)], "id long, s string, n long"
+    )
+    b = spark.createDataFrame(
+        [(i, f"v{i}", i * 10 if i != 37 else 371) for i in range(100)],
+        "id long, s string, n long",
+    )
+    ma = {r.shard: r for r in content_manifest(a, "id", ["id", "s", "n"], 8).collect()}
+    mb = {r.shard: r for r in content_manifest(b, "id", ["id", "s", "n"], 8).collect()}
+    diff = [s for s in ma if (ma[s].digest_xor, ma[s].digest_sum)
+            != (mb[s].digest_xor, mb[s].digest_sum)]
+    assert len(diff) == 1  # exactly the shard holding id=37
+    # identical content, different layout -> identical manifest
+    mc = {r.shard: r for r in content_manifest(
+        a.repartition(13), "id", ["id", "s", "n"], 8).collect()}
+    assert all(
+        (ma[s].n_rows, ma[s].digest_xor, ma[s].digest_sum)
+        == (mc[s].n_rows, mc[s].digest_xor, mc[s].digest_sum)
+        for s in ma
+    )
+
+
+def test_content_manifest_null_vs_empty_differ(spark):
+    from salesforce_plugin_spark.operators.merge import content_manifest
+
+    a = spark.createDataFrame([(1, None)], "id long, s string")
+    b = spark.createDataFrame([(1, "")], "id long, s string")
+    da = content_manifest(a, "id", ["s"], 1).collect()[0]
+    db = content_manifest(b, "id", ["s"], 1).collect()[0]
+    assert (da.digest_xor, da.digest_sum) != (db.digest_xor, db.digest_sum)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        content_manifest(a, "id", ["s"], 0)
