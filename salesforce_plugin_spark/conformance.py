@@ -4971,6 +4971,82 @@ def q_manifest(spark, sf_dir):
     )
 
 
+def q_stream_cusum(spark, sf_dir):
+    """F6 x monitoring: the CUSUM detector maintained FROM A STREAM
+    (streaming/upsert.py run_stream_cusum) — three time-sliced
+    micro-batches (ascending mtimes) fold through a two-BIGINT-per-key
+    carry (last prefix sum + clamped running min); the accumulated
+    alarm rows must be row-identical to the one-shot batch run, so the
+    oracle is q_cusum's SQL VERBATIM (the equivalence is the claim —
+    the q_stream_scd2 / stream-sketch discipline)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from salesforce_plugin_spark.streaming.upsert import run_stream_cusum
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_stream_cusum_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    cuts = ["2024-01-10", "2024-01-20"]
+    slices = [
+        base.filter(F.col("ts") < F.lit(cuts[0]).cast("timestamp")),
+        base.filter(
+            (F.col("ts") >= F.lit(cuts[0]).cast("timestamp"))
+            & (F.col("ts") < F.lit(cuts[1]).cast("timestamp"))
+        ),
+        base.filter(F.col("ts") >= F.lit(cuts[1]).cast("timestamp")),
+    ]
+    try:
+        now = _time.time()
+        for i, sl in enumerate(slices):
+            part = os.path.join(tmp, f"stage{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(part)
+            pf = next(
+                f for f in os.listdir(part) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"batch-{i}.parquet")
+            shutil.move(os.path.join(part, pf), dst)
+            os.utime(dst, (now + i * 10, now + i * 10))
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts timestamp, event_id long, v long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out_dir = os.path.join(tmp, "alarms")
+        run_stream_cusum(
+            stream,
+            out_dir,
+            os.path.join(tmp, "state"),
+            os.path.join(tmp, "ckpt"),
+            key_cols=["user_id"],
+            ts_col="ts",
+            value_col="v",
+            target=5000,
+            slack=500,
+            threshold=50000,
+            tiebreak_cols=["event_id"],
+        )
+        out = (
+            spark.read.parquet(out_dir)
+            .select("user_id", "ts", "v", "event_id", "cusum", "alarm")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_bootstrap(spark, sf_dir):
     """Deterministic Poisson bootstrap (operators/analytics.py
     poisson_bootstrap): 16 resampling replicates of the mean event
@@ -5453,6 +5529,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_cusum": q_cusum,
     "q_bootstrap": q_bootstrap,
     "q_manifest": q_manifest,
+    "q_stream_cusum": q_stream_cusum,
 }
 
 
@@ -9790,3 +9867,7 @@ ORACLES["q_manifest"] = """
            CAST(sum(fp) AS BIGINT) AS digest_sum
     FROM c GROUP BY shard
 """
+
+# streamed CUSUM == one-shot batch CUSUM over the same rows: reuse the
+# batch oracle verbatim (the equivalence IS the claim)
+ORACLES["q_stream_cusum"] = ORACLES["q_cusum"]

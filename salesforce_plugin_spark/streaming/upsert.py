@@ -339,3 +339,114 @@ def read_histogram_state(spark, state_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def run_stream_cusum(
+    stream,
+    out_dir: str,
+    state_dir: str,
+    checkpoint: str,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    target: int,
+    slack: int,
+    threshold: int,
+    tiebreak_cols: list[str] | None = None,
+):
+    """Streaming CUSUM maintenance — the stream face of
+    ``timeseries.cusum_alarms`` (the q_stream_scd2 / run_stream_cm
+    discipline: accumulated streamed output must equal the one-shot
+    batch run, which is exactly what its gate proves). The per-key
+    carry is just TWO BIGINTs — the last prefix sum ``cum`` and the
+    clamped running minimum ``M = min(0, min cums so far)`` — because
+    ``S_t = cum_t − M_t`` makes every row of a new batch a pure
+    function of (carry, batch prefix): ``cum = carry_cum + local_cum``,
+    ``M = min(carry_m, carry_cum + local_prefix_min)``. State is one
+    row per key regardless of stream length.
+
+    REQUIRES batches in per-key observation order (time-sliced files
+    with ascending mtimes, the SCD2 stream contract — an out-of-order
+    row would need a rebuild from its timestamp forward). Alarms rows
+    append to ``out_dir``; carry is localCheckpoint'ed before the
+    overwrite because Spark refuses to overwrite a lazily-read path.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    tiebreaks = tiebreak_cols or []
+
+    def fold(batch, _id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        order = [F.col(ts_col), F.col(value_col)] + [
+            F.col(c) for c in tiebreaks
+        ]
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        dev = F.col(value_col).cast("long") - F.lit(target) - F.lit(slack)
+        local = batch.select(
+            *key_cols,
+            F.col(ts_col),
+            F.col(value_col),
+            *[F.col(c) for c in tiebreaks],
+            F.sum(dev).over(w).alias("__lc"),
+        ).withColumn("__lm", F.min("__lc").over(w))
+        try:
+            carry = spark.read.parquet(state_dir).localCheckpoint(eager=True)
+        except Exception:  # noqa: BLE001 — first batch: no state yet
+            carry = spark.createDataFrame(
+                [],
+                local.select(*key_cols).schema.add("__ccum", "long").add(
+                    "__cm", "long"
+                ),
+            )
+        cum = F.coalesce(F.col("__ccum"), F.lit(0)) + F.col("__lc")
+        m = F.least(
+            F.coalesce(F.col("__cm"), F.lit(0).cast("long")),
+            F.coalesce(F.col("__ccum"), F.lit(0)) + F.col("__lm"),
+        )
+        joined = local.join(carry, key_cols, "left").select(
+            *key_cols,
+            F.col(ts_col),
+            F.col(value_col),
+            *tiebreaks,
+            cum.alias("__cum"),
+            m.alias("__m"),
+        )
+        joined.select(
+            *key_cols,
+            ts_col,
+            value_col,
+            *tiebreaks,
+            (F.col("__cum") - F.col("__m")).alias("cusum"),
+            ((F.col("__cum") - F.col("__m")) > threshold).alias("alarm"),
+        ).write.mode("append").parquet(out_dir)
+        new_carry = (
+            joined.groupBy(*key_cols)
+            .agg(
+                F.max_by(
+                    F.struct(
+                        F.col("__cum").alias("__ccum"),
+                        F.col("__m").alias("__cm"),
+                    ),
+                    F.struct(*order),
+                ).alias("__last")
+            )
+            .select(*key_cols, "__last.__ccum", "__last.__cm")
+            .localCheckpoint(eager=True)
+        )
+        new_carry.write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -446,3 +446,51 @@ def test_quantiles_from_counts_matches_binned_quantiles(spark):
         )
     )
     assert direct == via_state
+
+
+def test_stream_cusum_equals_batch(spark, tmp_path):
+    import os
+    import time as _time
+    import datetime as dt
+
+    from salesforce_plugin_spark.operators.timeseries import cusum_alarms
+    from salesforce_plugin_spark.streaming.upsert import run_stream_cusum
+
+    rows = [
+        ("k", dt.datetime(2024, 1, 1, 0, 0, i), i, v)
+        for i, v in enumerate([5, 9, 2, 14, 1, 9, 30, 0])
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long, v long")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now = _time.time()
+    for i, half in enumerate([df.filter("id < 4"), df.filter("id >= 4")]):
+        part = str(tmp_path / f"stage{i}")
+        half.coalesce(1).write.mode("overwrite").parquet(part)
+        pf = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(part, pf), dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "out")
+    run_stream_cusum(
+        stream, out_dir, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        ["k"], "ts", "v", target=5, slack=1, threshold=6,
+        tiebreak_cols=["id"],
+    )
+    got = sorted(
+        (r.k, r.ts, r.v, r.id, r.cusum, r.alarm)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    want = sorted(
+        (r.k, r.ts, r.v, r.id, r.cusum, r.alarm)
+        for r in cusum_alarms(
+            df, ["k"], "ts", "v", target=5, slack=1, threshold=6,
+            tiebreak_cols=["id"],
+        ).collect()
+    )
+    assert got == want and len(got) == 8
