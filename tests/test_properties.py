@@ -771,3 +771,71 @@ def test_snapshot_diff_apply_roundtrip(spark, old_vals, new_vals):
     assert sorted(map(tuple, rebuilt.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+# --- CUSUM window identity vs the sequential recursion ---
+
+@given(
+    vals=st.lists(st.integers(-20, 40), min_size=1, max_size=40),
+    target=st.integers(-5, 15),
+    slack=st.integers(0, 5),
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cusum_window_identity_property(spark, vals, target, slack):
+    """cumsum-minus-running-min == the clamp recursion, for ANY series."""
+    import datetime as dt
+
+    from salesforce_plugin_spark.operators.timeseries import cusum_alarms
+
+    rows = [
+        ("k", dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), i, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long, v long")
+    out = sorted(
+        cusum_alarms(
+            df, ["k"], "ts", "v", target=target, slack=slack, threshold=10,
+            tiebreak_cols=["id"],
+        ).collect(),
+        key=lambda r: r.id,
+    )
+    s, want = 0, []
+    for v in vals:
+        s = max(0, s + v - target - slack)
+        want.append(s)
+    assert [r.cusum for r in out] == want
+
+
+# --- epoch shuffle permutation properties ---
+
+@given(
+    ids=st.sets(st.integers(0, 10_000), min_size=1, max_size=60),
+    epoch=st.integers(0, 3),
+    shards=st.integers(1, 5),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_epoch_shuffle_placement_properties(spark, ids, epoch, shards):
+    """Every id placed exactly once; positions dense per shard; the
+    SHARD of an id never depends on what else is in the corpus
+    (append-stability of the shard assignment)."""
+    from salesforce_plugin_spark.operators.pipeline import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in sorted(ids)], "id long")
+    out = epoch_shuffle(df, "id", n_shards=shards, epoch=epoch).collect()
+    assert {r.id for r in out} == ids and len(out) == len(ids)
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # append-stability: the same ids through a 1-row frame land on the
+    # same shard
+    probe = sorted(ids)[0]
+    solo = epoch_shuffle(
+        spark.createDataFrame([(probe,)], "id long"), "id",
+        n_shards=shards, epoch=epoch,
+    ).collect()[0]
+    full = next(r for r in out if r.id == probe)
+    assert solo.shard == full.shard
