@@ -4971,6 +4971,26 @@ def q_manifest(spark, sf_dir):
     )
 
 
+def q_weighted_median(spark, sf_dir):
+    """Exact weighted median (operators/analytics.py weighted_median):
+    per return flag, the median extended price in cents weighted by
+    quantity — weights collapse onto distinct (group, value) rows
+    before the cumulative window (a hot repeated value costs one row),
+    2*cum >= total decided in integers. The exact complement of the
+    sketch quantiles."""
+    from salesforce_plugin_spark.operators.analytics import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return weighted_median(base, ["l_returnflag"], "price_cents", "qty")
+
+
 def q_stream_cusum(spark, sf_dir):
     """F6 x monitoring: the CUSUM detector maintained FROM A STREAM
     (streaming/upsert.py run_stream_cusum) — three time-sliced
@@ -5530,6 +5550,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_bootstrap": q_bootstrap,
     "q_manifest": q_manifest,
     "q_stream_cusum": q_stream_cusum,
+    "q_weighted_median": q_weighted_median,
 }
 
 
@@ -9871,3 +9892,28 @@ ORACLES["q_manifest"] = """
 # streamed CUSUM == one-shot batch CUSUM over the same rows: reuse the
 # batch oracle verbatim (the equivalence IS the claim)
 ORACLES["q_stream_cusum"] = ORACLES["q_cusum"]
+
+ORACLES["q_weighted_median"] = """
+    WITH agg AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem
+        GROUP BY 1, 2
+    ), cum AS (
+        SELECT l_returnflag, v,
+               sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+               sum(w) OVER (PARTITION BY l_returnflag) AS tot
+        FROM agg
+    ), med AS (
+        SELECT l_returnflag,
+               CAST(min(v) AS BIGINT) AS median,
+               CAST(min(tot) AS BIGINT) AS total_w
+        FROM cum WHERE 2 * c >= tot GROUP BY 1
+    ), nd AS (
+        SELECT l_returnflag, count(*) AS n_distinct FROM agg GROUP BY 1
+    )
+    SELECT med.l_returnflag, med.median, med.total_w, nd.n_distinct
+    FROM med JOIN nd ON med.l_returnflag = nd.l_returnflag
+"""

@@ -759,3 +759,56 @@ def poisson_bootstrap(
             F.sum(F.col("__w") * F.col("__y")).alias("sum_wy"),
         )
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact per-group weighted median over INTEGER values/weights (the
+    pre-quantization contract): the smallest value whose cumulative
+    weight reaches half the group total — ``2·cum ≥ total`` decided in
+    integers, so no midpoint float and no engine ambiguity. The robust
+    central-tendency complement to the approximate histogram-sketch
+    quantiles (:func:`~salesforce_plugin_spark.functions.sketch
+    .binned_quantiles`): exact, but pays a per-group sort over
+    DISTINCT values.
+
+    Plan: weights first collapse onto distinct (group, value) rows
+    (ONE map-side-combined exchange — the cumulative window then runs
+    over distinct values, not raw rows, so a hot repeated value costs
+    one row), then a per-group cumsum + one min-election aggregate.
+    Output: (groups..., median long, total_w long, n_distinct long).
+    """
+    agg = (
+        df.groupBy(*group_cols, F.col(value_col).alias("__v"))
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("__w"))
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*group_cols)
+    cum = agg.select(
+        *group_cols,
+        "__v",
+        F.sum("__w").over(w).alias("__cum"),
+        F.sum("__w").over(wt).alias("__tot"),
+    )
+    return (
+        cum.filter(2 * F.col("__cum") >= F.col("__tot"))
+        .groupBy(*group_cols)
+        .agg(
+            F.min("__v").cast("long").alias("median"),
+            F.first("__tot").alias("total_w"),
+        )
+        .join(
+            agg.groupBy(*group_cols).agg(
+                F.count(F.lit(1)).alias("n_distinct")
+            ),
+            group_cols,
+        )
+    )

@@ -154,6 +154,7 @@ PROBE = [
     "q_cusum",
     "q_bootstrap",
     "q_manifest",
+    "q_weighted_median",
 ]
 
 

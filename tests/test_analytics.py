@@ -2082,3 +2082,33 @@ def test_poisson_bootstrap_weight_distribution_sane(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         poisson_bootstrap(df, "id", "y", replicates=0)
+
+
+# --- weighted median ---
+
+def test_weighted_median_known_values(spark):
+    from salesforce_plugin_spark.operators.analytics import weighted_median
+
+    # weights pull the median below the unweighted middle
+    df = spark.createDataFrame(
+        [("g", 1, 5), ("g", 2, 1), ("g", 10, 1)], "g string, v int, w int"
+    )
+    r = weighted_median(df, ["g"], "v", "w").collect()[0]
+    assert (r.median, r.total_w, r.n_distinct) == (1, 7, 3)
+    # even split: smallest value reaching half wins (lower median)
+    df2 = spark.createDataFrame(
+        [("g", 1, 1), ("g", 9, 1)], "g string, v int, w int"
+    )
+    assert weighted_median(df2, ["g"], "v", "w").collect()[0].median == 1
+
+
+def test_weighted_median_matches_numpy_on_unit_weights(spark):
+    import numpy as np
+    from salesforce_plugin_spark.operators.analytics import weighted_median
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]
+    df = spark.createDataFrame([("g", v, 1) for v in vals], "g string, v int, w int")
+    r = weighted_median(df, ["g"], "v", "w").collect()[0]
+    # lower-median convention: for odd n this IS the numpy median
+    assert r.median == int(np.median(np.array(vals)))
+    assert r.total_w == len(vals)
