@@ -4971,6 +4971,48 @@ def q_manifest(spark, sf_dir):
     )
 
 
+def q_cluster_terms(spark, sf_dir):
+    """Topic labeling capstone (functions/text.py cluster_terms —
+    BERTopic's c-TF-IDF shape, log-free): documents k-means-assigned
+    via their 1:1 embeddings (q_kmeans_assign's exact-integer
+    assignment, vec_id < 8 seeds), then each cluster's top-5 terms by
+    integer document-presence lift with a TOTAL tie order. The oracle
+    chains the kmeans-assign CTEs into the presence/df/lift replay."""
+    from salesforce_plugin_spark.functions.text import cluster_terms
+
+    e = parallelized(load_table(spark, sf_dir, "embeddings"))
+    seeds = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"),
+        F.col("embedding").alias("centroid"),
+    )
+    assign = V.kmeans_assign(e, seeds).select("vec_id", "cluster")
+    d = load_table(spark, sf_dir, "documents")
+    joined = d.join(
+        assign, d["doc_id"] == assign["vec_id"]
+    ).select("cluster", "text")
+    return cluster_terms(joined, "cluster", "text", top_k=5, min_df=10)
+
+
+def q_trajectories(spark, sf_dir):
+    """Behavioral sequence extraction (operators/analytics.py
+    session_trajectories): every 10-minute-gap session serialized to
+    its ordered event-type trajectory string — the event-log →
+    training-text step. Collection types live only INSIDE the plan
+    (array_sort over a session-bounded collect_list, the D9 child-
+    nesting contract); event_id tiebreaks make the order total. The
+    oracle is string_agg(... ORDER BY us, event_id) over the identical
+    lag+cumsum sessionization."""
+    from salesforce_plugin_spark.operators.analytics import (
+        session_trajectories,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return session_trajectories(
+        e, "user_id", "ts", "event_type", gap_minutes=10,
+        tiebreak_cols=["event_id"],
+    )
+
+
 def q_weighted_median(spark, sf_dir):
     """Exact weighted median (operators/analytics.py weighted_median):
     per return flag, the median extended price in cents weighted by
@@ -5551,6 +5593,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_manifest": q_manifest,
     "q_stream_cusum": q_stream_cusum,
     "q_weighted_median": q_weighted_median,
+    "q_trajectories": q_trajectories,
+    "q_cluster_terms": q_cluster_terms,
 }
 
 
@@ -9916,4 +9960,73 @@ ORACLES["q_weighted_median"] = """
     )
     SELECT med.l_returnflag, med.median, med.total_w, nd.n_distinct
     FROM med JOIN nd ON med.l_returnflag = nd.l_returnflag
+"""
+
+ORACLES["q_trajectories"] = """
+    WITH b AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        FROM events
+    ), l AS (
+        SELECT *,
+               CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 600000000
+                    THEN 1 ELSE 0 END AS ns
+        FROM b WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), s AS (
+        SELECT *,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM l
+    )
+    SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           CAST(min(us) AS BIGINT) AS start_us,
+           CAST(max(us) AS BIGINT) AS end_us,
+           string_agg(event_type, '>' ORDER BY us, event_id) AS trajectory
+    FROM s GROUP BY 1, 2
+"""
+
+ORACLES["q_cluster_terms"] = _KMEANS_ASSIGN_CTES + r"""
+    , assign AS (
+        SELECT vec_id, cluster FROM ranked WHERE rn = 1
+    ), jd AS (
+        SELECT a.cluster, d.text
+        FROM documents d JOIN assign a ON d.doc_id = a.vec_id
+        WHERE d.text IS NOT NULL
+    ), pres AS (
+        SELECT cluster, term
+        FROM (
+            SELECT cluster,
+                   unnest(list_distinct(regexp_split_to_array(
+                       lower(trim(text)), '\s+'))) AS term
+            FROM jd
+        )
+    ), tc AS (
+        SELECT term, cluster, count(*) AS a FROM pres GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT term, sum(a) AS df FROM tc GROUP BY 1
+    ), csize AS (
+        SELECT cluster, count(*) AS nc FROM jd GROUP BY 1
+    ), nd AS (
+        SELECT count(*) AS n FROM jd
+    ), scored AS (
+        SELECT tc.cluster, tc.term,
+               CAST(tc.a AS BIGINT) AS a,
+               CAST(dfreq.df AS BIGINT) AS df,
+               (tc.a * nd.n * 1000000) // (csize.nc * dfreq.df)
+                   AS lift_ppm
+        FROM tc
+        JOIN dfreq ON tc.term = dfreq.term
+        JOIN csize ON tc.cluster = csize.cluster
+        CROSS JOIN nd
+        WHERE dfreq.df >= 10
+    )
+    SELECT cluster, CAST(rk AS INT) AS rank, term, a, df,
+           CAST(lift_ppm AS BIGINT) AS lift_ppm
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY cluster
+            ORDER BY lift_ppm DESC, a DESC, term ASC) AS rk
+        FROM scored
+    ) WHERE rk <= 5
 """

@@ -939,3 +939,66 @@ def skipgram_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
     )
+
+
+def cluster_terms(
+    df: DataFrame,
+    cluster_col: str,
+    text_col: str,
+    top_k: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Top-k characteristic terms per cluster — the cluster-labeling
+    step of topic-modeling pipelines (BERTopic's c-TF-IDF shape): rank
+    each cluster's terms by document-presence LIFT vs the corpus,
+    ``lift_ppm = a·N·10⁶ div (n_c·df)`` (a = cluster docs containing
+    the term, n_c = cluster size, df = corpus docs containing it, N =
+    corpus size) — an integer ratio-of-rates, no log/IDF float, with a
+    TOTAL tie order (lift desc, a desc, term asc) so the top-k set is
+    engine-reproducible. ``min_df`` drops noise terms (the
+    :func:`term_label_association` floor discipline).
+
+    Plan: token explode → per-doc distinct → one (term, cluster)
+    exchange; df totals are a |vocab|-bounded join (un-hinted), cluster
+    sizes and N are broadcast-sized; the final top-k window runs over
+    |vocab per cluster| rows. Output: (cluster, rank, term, a, df,
+    lift_ppm).
+    """
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col(cluster_col).isNotNull()
+    )
+    pres = base.select(
+        F.col(cluster_col).alias("cluster"),
+        F.explode(
+            F.array_distinct(F.transform(tokens(F.col(text_col)), F.lower))
+        ).alias("term"),
+    )
+    # per (doc,term) presence is implicit: explode(array_distinct) emits
+    # each term once per doc, so the count below is a document count
+    tc = pres.groupBy("term", "cluster").agg(F.count(F.lit(1)).alias("a"))
+    dfreq = tc.groupBy("term").agg(F.sum("a").alias("df"))
+    csize = base.groupBy(F.col(cluster_col).alias("cluster")).agg(
+        F.count(F.lit(1)).alias("__nc")
+    )
+    n_docs = base.select(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tc.join(dfreq, "term")
+        .filter(F.col("df") >= min_df)
+        .join(F.broadcast(csize), "cluster")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "cluster",
+            "term",
+            F.col("a").cast("long").alias("a"),
+            F.col("df").cast("long").alias("df"),
+            F.expr("(a * __n * 1000000) div (__nc * df)").alias("lift_ppm"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("lift_ppm").desc(), F.col("a").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select("cluster", "rank", "term", "a", "df", "lift_ppm")
+    )

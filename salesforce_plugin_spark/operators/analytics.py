@@ -812,3 +812,68 @@ def weighted_median(
             group_cols,
         )
     )
+
+
+def session_trajectories(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    gap_minutes: int = 10,
+    tiebreak_cols: list[str] | None = None,
+    sep: str = ">",
+) -> DataFrame:
+    """Serialize each session into its ordered event-type trajectory
+    string (``view>click>purchase``) — the event-log → training-text
+    step behavioral-sequence models consume (and the per-session
+    rollup :func:`session_transitions` counts pairwise). Sessionization
+    is the same lag+cumsum construction with exact integer-microsecond
+    gaps; the trajectory is built by sorting each session's
+    (ts, tiebreaks, type) structs inside the aggregate —
+    ``array_sort`` over a ``collect_list`` bounded by the session
+    length (the D9 child-nesting contract: collection types live only
+    INSIDE the plan; the output column is a string), so the result is
+    deterministic whatever the partitioning, provided the order is
+    total per session (pass ``tiebreak_cols`` when (ts) can repeat —
+    the cusum_alarms discipline).
+
+    Plan: one exchange on the user key (sessionize), one on
+    (user, session) for the aggregate. Output: (user, session_id,
+    n_events, start_us, end_us, trajectory string).
+    """
+    tiebreak = tiebreak_cols or []
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
+    w_user = Window.partitionBy(user_col).orderBy(*order)
+    prev_ts = F.lag(F.col(ts_col)).over(w_user)
+    gap_us = gap_minutes * 60 * 1_000_000
+    new_sess = (
+        prev_ts.isNull()
+        | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts) > gap_us)
+    ).cast("int")
+    cum = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = events.withColumn("__sid", F.sum(new_sess).over(cum))
+    item = F.struct(
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        *[F.col(c).alias(f"tb{i}") for i, c in enumerate(tiebreak)],
+        F.col(type_col).alias("t"),
+    )
+    return (
+        sess.groupBy(
+            F.col(user_col),
+            F.col("__sid").cast("long").alias("session_id"),
+        )
+        .agg(F.collect_list(item).alias("__items"))
+        .select(
+            user_col,
+            "session_id",
+            F.size("__items").cast("long").alias("n_events"),
+            F.element_at(F.array_sort("__items"), 1)["us"].alias("start_us"),
+            F.element_at(F.array_sort("__items"), -1)["us"].alias("end_us"),
+            F.array_join(
+                F.transform(F.array_sort("__items"), lambda x: x["t"]),
+                sep,
+            ).alias("trajectory"),
+        )
+    )

@@ -155,6 +155,8 @@ PROBE = [
     "q_bootstrap",
     "q_manifest",
     "q_weighted_median",
+    "q_trajectories",
+    "q_cluster_terms",
 ]
 
 

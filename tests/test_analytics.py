@@ -2112,3 +2112,50 @@ def test_weighted_median_matches_numpy_on_unit_weights(spark):
     # lower-median convention: for odd n this IS the numpy median
     assert r.median == int(np.median(np.array(vals)))
     assert r.total_w == len(vals)
+
+
+# --- session trajectories ---
+
+def test_session_trajectories_order_and_gap(spark):
+    import datetime as dt
+    from salesforce_plugin_spark.operators.analytics import session_trajectories
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1, "view"),
+        (1, t0 + dt.timedelta(minutes=2), 2, "click"),
+        (1, t0 + dt.timedelta(minutes=5), 3, "purchase"),
+        # > 10 min gap -> new session
+        (1, t0 + dt.timedelta(minutes=30), 4, "view"),
+        (2, t0, 5, "click"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, id long, t string")
+    out = {
+        (r.u, r.session_id): r
+        for r in session_trajectories(
+            df, "u", "ts", "t", gap_minutes=10, tiebreak_cols=["id"]
+        ).collect()
+    }
+    assert out[(1, 1)].trajectory == "view>click>purchase"
+    assert out[(1, 1)].n_events == 3
+    assert out[(1, 2)].trajectory == "view"
+    assert out[(2, 1)].trajectory == "click"
+    assert out[(1, 1)].end_us - out[(1, 1)].start_us == 5 * 60 * 1_000_000
+
+
+def test_session_trajectories_partitioning_invariant(spark):
+    import datetime as dt
+    from salesforce_plugin_spark.operators.analytics import session_trajectories
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + dt.timedelta(minutes=3 * i), u * 100 + i, f"e{i % 4}")
+        for u in range(5)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, id long, t string")
+    a = sorted(map(tuple, session_trajectories(
+        df, "u", "ts", "t", tiebreak_cols=["id"]).collect()))
+    b = sorted(map(tuple, session_trajectories(
+        df.repartition(17), "u", "ts", "t", tiebreak_cols=["id"]).collect()))
+    assert a == b

@@ -486,3 +486,44 @@ def test_skipgram_counts_window_and_floor(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         skipgram_counts(df, "text", window=0)
+
+
+# --- cluster term labeling ---
+
+def test_cluster_terms_lift_and_tiebreak(spark):
+    from salesforce_plugin_spark.functions.text import cluster_terms
+
+    rows = (
+        [(0, "apple fruit common") for _ in range(4)]
+        + [(1, "rocket engine common") for _ in range(4)]
+    )
+    df = spark.createDataFrame(rows, "cluster int, text string")
+    out = [
+        (r.cluster, r.rank, r.term, r.lift_ppm)
+        for r in cluster_terms(df, "cluster", "text", top_k=2, min_df=1).collect()
+    ]
+    by_cluster = {}
+    for c, rank, term, lift in out:
+        by_cluster.setdefault(c, []).append((rank, term, lift))
+    # cluster-exclusive terms rank above the shared term, lift = 2x
+    top0 = sorted(by_cluster[0])[0:2]
+    assert {t for _, t, _ in top0} == {"apple", "fruit"}
+    assert all(l == 2_000_000 for _, _, l in top0)
+    top1 = {t for _, t, _ in sorted(by_cluster[1])[0:2]}
+    assert top1 == {"engine", "rocket"}
+    # deterministic alphabetical tiebreak at equal (lift, a)
+    assert sorted(by_cluster[0])[0][1] == "apple"
+    # "common" (lift 1.0) never outranks exclusives
+    assert all(
+        term != "common" for _, term, _ in sorted(by_cluster[0])[0:2]
+    )
+
+
+def test_cluster_terms_min_df_floor(spark):
+    from salesforce_plugin_spark.functions.text import cluster_terms
+
+    df = spark.createDataFrame(
+        [(0, "rare shared"), (1, "shared")], "cluster int, text string"
+    )
+    out = cluster_terms(df, "cluster", "text", top_k=5, min_df=2).collect()
+    assert {r.term for r in out} == {"shared"}
