@@ -4971,6 +4971,19 @@ def q_manifest(spark, sf_dir):
     )
 
 
+def q_rolling_wau(spark, sf_dir):
+    """Exact trailing-7-day distinct users per day (operators/
+    analytics.py rolling_distinct): the rolling-DISTINCT range windows
+    cannot express and HLL only estimates — collapse to distinct
+    (user, day) FIRST, explode each into its <= 7 report days, dedup,
+    count. Three exchanges all bounded by users x days, never event
+    volume."""
+    from salesforce_plugin_spark.operators.analytics import rolling_distinct
+
+    e = load_table(spark, sf_dir, "events")
+    return rolling_distinct(e, "user_id", "ts", window_days=7)
+
+
 def q_cluster_terms(spark, sf_dir):
     """Topic labeling capstone (functions/text.py cluster_terms —
     BERTopic's c-TF-IDF shape, log-free): documents k-means-assigned
@@ -5595,6 +5608,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_weighted_median": q_weighted_median,
     "q_trajectories": q_trajectories,
     "q_cluster_terms": q_cluster_terms,
+    "q_rolling_wau": q_rolling_wau,
 }
 
 
@@ -10029,4 +10043,17 @@ ORACLES["q_cluster_terms"] = _KMEANS_ASSIGN_CTES + r"""
             ORDER BY lift_ppm DESC, a DESC, term ASC) AS rk
         FROM scored
     ) WHERE rk <= 5
+"""
+
+ORACLES["q_rolling_wau"] = """
+    WITH kd AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), ex AS (
+        SELECT DISTINCT user_id,
+               d + CAST(g.i AS INT) AS day
+        FROM kd CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(0, 6)) AS i
+        ) g
+    )
+    SELECT day, count(*) AS n_distinct FROM ex GROUP BY day
 """

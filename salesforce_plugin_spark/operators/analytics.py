@@ -877,3 +877,44 @@ def session_trajectories(
             ).alias("trajectory"),
         )
     )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """EXACT trailing-``window_days`` distinct keys per day (rolling
+    WAU/MAU) — the rolling-DISTINCT aggregate ordinary range windows
+    cannot express (distinct is not subtractable, so no sliding state
+    works; HLL unions estimate it, this computes it). Shape: collapse
+    to distinct (key, active-day) rows FIRST (the exchange is bounded
+    by keys × days regardless of event volume), explode each into the
+    ≤ ``window_days`` report days it covers, dedup (key, report-day) —
+    a key active twice in one window counts once — and count per
+    report day. Three bounded exchanges; the explode factor is exactly
+    ``window_days`` over the already-collapsed day table, never over
+    raw events. Report days run through last-active + window − 1 (the
+    trailing window after the final event is a real answer).
+
+    Output: (day date, n_distinct long).
+    """
+    if window_days < 1:
+        raise ValueError("rolling_distinct requires window_days >= 1")
+    kd = df.select(
+        F.col(key_col).alias("__k"), F.to_date(F.col(ts_col)).alias("__d")
+    ).distinct()
+    exploded = kd.select(
+        "__k",
+        F.explode(
+            F.sequence(
+                F.col("__d"),
+                F.date_add(F.col("__d"), window_days - 1),
+            )
+        ).alias("day"),
+    ).distinct()
+    return (
+        exploded.groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
+    )

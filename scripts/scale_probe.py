@@ -157,6 +157,7 @@ PROBE = [
     "q_weighted_median",
     "q_trajectories",
     "q_cluster_terms",
+    "q_rolling_wau",
 ]
 
 

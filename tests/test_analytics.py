@@ -2159,3 +2159,40 @@ def test_session_trajectories_partitioning_invariant(spark):
     b = sorted(map(tuple, session_trajectories(
         df.repartition(17), "u", "ts", "t", tiebreak_cols=["id"]).collect()))
     assert a == b
+
+
+# --- rolling distinct (exact WAU) ---
+
+def test_rolling_distinct_exact_vs_naive(spark):
+    import datetime as dt
+    from salesforce_plugin_spark.operators.analytics import rolling_distinct
+
+    rows = []
+    for u in range(6):
+        for d in range(0, 12, u + 1):  # varied activity cadences
+            rows.append((u, dt.datetime(2024, 1, 1 + d, 9, 0)))
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    got = {
+        r.day.isoformat(): r.n_distinct
+        for r in rolling_distinct(df, "u", "ts", window_days=3).collect()
+    }
+    # naive reference
+    from collections import defaultdict
+    active = defaultdict(set)
+    for u, ts in rows:
+        active[ts.date()].add(u)
+    days = sorted({d for d in active})
+    lo, hi = days[0], max(days) + dt.timedelta(days=2)
+    want = {}
+    cur = lo
+    while cur <= hi:
+        s = set()
+        for back in range(3):
+            s |= active.get(cur - dt.timedelta(days=back), set())
+        if s:
+            want[cur.isoformat()] = len(s)
+        cur += dt.timedelta(days=1)
+    assert got == want
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        rolling_distinct(df, "u", "ts", window_days=0)
