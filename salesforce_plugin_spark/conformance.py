@@ -4971,6 +4971,23 @@ def q_manifest(spark, sf_dir):
     )
 
 
+def q_kmeans_margin(spark, sf_dir):
+    """Clustering-confidence diagnostic (functions/vector.py
+    kmeans_margin): per vector the best and second-best exact-integer
+    squared distances to the 8 deterministic seeds and their margin —
+    the boundary-vector detector SemDeDup-style pipelines use to pick
+    re-verify candidates. Bit-agrees with q_kmeans_assign's winner;
+    oracle extends the same assign CTEs with the rn = 2 row."""
+    from salesforce_plugin_spark.functions.vector import kmeans_margin
+
+    e = parallelized(load_table(spark, sf_dir, "embeddings"))
+    seeds = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"),
+        F.col("embedding").alias("centroid"),
+    )
+    return kmeans_margin(e, seeds)
+
+
 def q_rolling_wau(spark, sf_dir):
     """Exact trailing-7-day distinct users per day (operators/
     analytics.py rolling_distinct): the rolling-DISTINCT range windows
@@ -5609,6 +5626,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_trajectories": q_trajectories,
     "q_cluster_terms": q_cluster_terms,
     "q_rolling_wau": q_rolling_wau,
+    "q_kmeans_margin": q_kmeans_margin,
 }
 
 
@@ -10056,4 +10074,17 @@ ORACLES["q_rolling_wau"] = """
         ) g
     )
     SELECT day, count(*) AS n_distinct FROM ex GROUP BY day
+"""
+
+ORACLES["q_kmeans_margin"] = _KMEANS_ASSIGN_CTES + """
+    , w AS (
+        SELECT vec_id, cluster, dist2 FROM ranked WHERE rn = 1
+    ), s2 AS (
+        SELECT vec_id, dist2 AS dist2_second FROM ranked WHERE rn = 2
+    )
+    SELECT w.vec_id, w.cluster,
+           CAST(w.dist2 AS BIGINT) AS dist2,
+           CAST(s2.dist2_second AS BIGINT) AS dist2_second,
+           CAST(s2.dist2_second - w.dist2 AS BIGINT) AS margin
+    FROM w LEFT JOIN s2 ON w.vec_id = s2.vec_id
 """

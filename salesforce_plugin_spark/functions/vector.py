@@ -645,3 +645,67 @@ def gram_matrix(
             .alias("cov_num"),
         )
     )
+
+
+def kmeans_margin(
+    df: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    centroid_col: str = "centroid",
+    quant: int = 1000,
+) -> DataFrame:
+    """Assignment-confidence diagnostic for :func:`kmeans_assign`: per
+    vector, the best and second-best exact-integer squared distances
+    and their margin — low margin = the vector sits on a cluster
+    boundary (route it to review / treat its cluster label as soft;
+    SemDeDup-style pipelines use exactly this to pick re-verify
+    candidates). Same quantized-integer distance as kmeans_assign, so
+    the two agree bit-for-bit on the winner; the two-smallest election
+    is one ``min(struct)`` + one conditional ``min`` over the same
+    k-scored rows — the exchange still carries ONE row per vector
+    (partial-combined), never k.
+
+    Output: (id, cluster, dist2, dist2_second, margin) — margin NULL
+    when k = 1 (no runner-up, undefined rather than 0).
+    """
+    sel = seeds.select(
+        F.col(cluster_col).alias("__cl"),
+        as_double(centroid_col).alias("__cv"),
+    )
+    diff = F.zip_with(
+        as_double(vec_col),
+        F.col("__cv"),
+        lambda x, y: F.round((x - y) * quant, 0).cast("long"),
+    )
+    dist2 = F.aggregate(diff, F.lit(0).cast("long"), lambda acc, z: acc + z * z)
+    scored = df.crossJoin(F.broadcast(sel)).select(
+        F.col(id_col), F.col("__cl"), dist2.alias("__d2")
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct(F.col("__d2"), F.col("__cl"))).alias("__m")
+    )
+    # second-best: min over the scored rows EXCLUDING the winner's
+    # cluster — one more partial-combined aggregate on the same key
+    second = (
+        scored.join(
+            best.select(
+                F.col(id_col), F.col("__m.__cl").alias("__win")
+            ),
+            id_col,
+        )
+        .filter(F.col("__cl") != F.col("__win"))
+        .groupBy(id_col)
+        .agg(F.min("__d2").alias("__d2b"))
+    )
+    return (
+        best.join(second, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__m.__cl").alias(cluster_col),
+            F.col("__m.__d2").alias("dist2"),
+            F.col("__d2b").alias("dist2_second"),
+            (F.col("__d2b") - F.col("__m.__d2")).alias("margin"),
+        )
+    )

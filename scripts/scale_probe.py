@@ -158,6 +158,7 @@ PROBE = [
     "q_trajectories",
     "q_cluster_terms",
     "q_rolling_wau",
+    "q_kmeans_margin",
 ]
 
 

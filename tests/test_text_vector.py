@@ -527,3 +527,34 @@ def test_cluster_terms_min_df_floor(spark):
     )
     out = cluster_terms(df, "cluster", "text", top_k=5, min_df=2).collect()
     assert {r.term for r in out} == {"shared"}
+
+
+# --- kmeans assignment margin ---
+
+def test_kmeans_margin_agrees_with_assign_and_orders(spark):
+    from salesforce_plugin_spark.functions.vector import (
+        kmeans_assign,
+        kmeans_margin,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (10, [0.9, 0.1]),   # clearly cluster 0
+            (11, [0.52, 0.48]),  # boundary: tiny margin
+            (12, [0.0, 1.1]),   # clearly cluster 1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cluster long, centroid array<double>",
+    )
+    a = {r.vec_id: r.cluster for r in kmeans_assign(vecs, seeds).collect()}
+    m = {r.vec_id: r for r in kmeans_margin(vecs, seeds).collect()}
+    assert {k: v.cluster for k, v in m.items()} == a
+    for r in m.values():
+        assert r.dist2_second >= r.dist2 and r.margin == r.dist2_second - r.dist2
+    assert m[11].margin < m[10].margin and m[11].margin < m[12].margin
+    # k = 1: no runner-up -> NULL margin
+    one = kmeans_margin(vecs, seeds.filter("cluster = 0")).collect()
+    assert all(r.margin is None for r in one)
