@@ -4971,6 +4971,35 @@ def q_manifest(spark, sf_dir):
     )
 
 
+def q_neighbor_agg(spark, sf_dir):
+    """GNN-preprocessing primitive (functions/graph.py neighbor_agg):
+    2-hop neighborhood count + exact-integer feature sums over the
+    supplier-part co-occurrence graph (q_pagerank's edges), feature =
+    part size (suppliers carry 0) — the A·(A·f) walk-counted
+    message-passing shape, each hop one edge join + one
+    partial-combined sum. Isolated-node zeros preserved by the
+    node-sized left join."""
+    from salesforce_plugin_spark.functions.graph import neighbor_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    edges = li.select(
+        (F.col("l_suppkey") + 1000000).alias("src"),
+        F.col("l_partkey").alias("dst"),
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    feats = nodes.join(
+        p.select(F.col("p_partkey").alias("id"), F.col("p_size")),
+        "id",
+        "left",
+    ).select("id", F.coalesce(F.col("p_size"), F.lit(0)).alias("f"))
+    return neighbor_agg(edges, feats, hops=2)
+
+
 def q_kmeans_margin(spark, sf_dir):
     """Clustering-confidence diagnostic (functions/vector.py
     kmeans_margin): per vector the best and second-best exact-integer
@@ -5627,6 +5656,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_cluster_terms": q_cluster_terms,
     "q_rolling_wau": q_rolling_wau,
     "q_kmeans_margin": q_kmeans_margin,
+    "q_neighbor_agg": q_neighbor_agg,
 }
 
 
@@ -10087,4 +10117,37 @@ ORACLES["q_kmeans_margin"] = _KMEANS_ASSIGN_CTES + """
            CAST(s2.dist2_second AS BIGINT) AS dist2_second,
            CAST(s2.dist2_second - w.dist2 AS BIGINT) AS margin
     FROM w LEFT JOIN s2 ON w.vec_id = s2.vec_id
+"""
+
+ORACLES["q_neighbor_agg"] = """
+    WITH re AS (
+        SELECT DISTINCT l_suppkey + 1000000 AS src, l_partkey AS dst
+        FROM lineitem
+    ), e AS (
+        SELECT src, dst FROM re UNION SELECT dst, src FROM re
+    ), nodes AS (
+        SELECT DISTINCT src AS id FROM e
+    ), feats AS (
+        SELECT n.id,
+               CAST(COALESCE(p.p_size, 0) AS BIGINT) AS f
+        FROM nodes n LEFT JOIN part p ON n.id = p.p_partkey
+    ), h1a AS (
+        SELECT e.dst AS id, count(*) AS n_neighbors, sum(fe.f) AS f_sum
+        FROM e JOIN feats fe ON e.src = fe.id GROUP BY 1
+    ), h1 AS (
+        SELECT n.id,
+               CAST(COALESCE(h.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+               CAST(COALESCE(h.f_sum, 0) AS BIGINT) AS f_sum
+        FROM nodes n LEFT JOIN h1a h ON n.id = h.id
+    ), h2a AS (
+        SELECT e.dst AS id, count(*) AS n_2hop, sum(h1.f_sum) AS f_sum_2hop
+        FROM e JOIN h1 ON e.src = h1.id GROUP BY 1
+    ), h2 AS (
+        SELECT n.id,
+               CAST(COALESCE(h.n_2hop, 0) AS BIGINT) AS n_2hop,
+               CAST(COALESCE(h.f_sum_2hop, 0) AS BIGINT) AS f_sum_2hop
+        FROM nodes n LEFT JOIN h2a h ON n.id = h.id
+    )
+    SELECT h1.id, h1.n_neighbors, h1.f_sum, h2.n_2hop, h2.f_sum_2hop
+    FROM h1 JOIN h2 ON h1.id = h2.id
 """

@@ -247,3 +247,78 @@ def label_propagation_fixed(
             "id", F.coalesce(F.col("__win"), F.col("__lab")).alias("__lab")
         )
     return cur.select("id", F.col("__lab").alias("label"))
+
+
+def neighbor_agg(
+    edges: DataFrame,
+    features: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    feature_col: str = "f",
+    hops: int = 1,
+    symmetrize: bool = True,
+) -> DataFrame:
+    """Neighborhood feature aggregation — the message-passing /
+    GraphSAGE-preprocessing primitive: for every node, the count and
+    exact-integer SUM of its neighbors' feature values, optionally
+    aggregated again over the result for a second hop (``hops=2``
+    sums 1-hop aggregates over neighbors — walk-counted semantics, the
+    standard untrimmed form: a 2-path through two neighbors counts per
+    path, exactly what repeated sparse-matrix multiplication A·(A·f)
+    computes). Features must be integer (the pre-quantization
+    contract), so every hop is an exact BIGINT fold — deterministic
+    across engines and safe to checkpoint between hops at scale.
+
+    Plan per hop: one edge-sized equi-join of current node values onto
+    the source side + one partial-combined sum keyed on dst — the
+    PageRank iteration shape with feature payloads instead of rank.
+    Isolated nodes keep count 0 / sum 0 (left join, not dropped).
+
+    Output: (id, n_neighbors, f_sum) for hops=1;
+    (id, n_neighbors, f_sum, n_2hop, f_sum_2hop) for hops=2.
+    """
+    if hops not in (1, 2):
+        raise ValueError("neighbor_agg supports hops = 1 or 2")
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    ).distinct()
+    if symmetrize:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    base = features.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(feature_col).cast("long").alias("__f"),
+    )
+
+    def one_hop(vals: DataFrame, val_col: str, n_out: str, s_out: str):
+        agg = (
+            e.join(
+                vals.select(
+                    F.col("id").alias("src"), F.col(val_col).alias("__v")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(n_out),
+                F.sum("__v").alias(s_out),
+            )
+        )
+        return (
+            base.select("id")
+            .join(agg, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col(n_out), F.lit(0).cast("long")).alias(n_out),
+                F.coalesce(F.col(s_out), F.lit(0).cast("long")).alias(s_out),
+            )
+        )
+
+    h1 = one_hop(base, "__f", "n_neighbors", "f_sum")
+    if hops == 1:
+        return h1
+    h2 = one_hop(h1, "f_sum", "n_2hop", "f_sum_2hop")
+    return h1.join(h2, "id")

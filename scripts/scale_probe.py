@@ -159,6 +159,7 @@ PROBE = [
     "q_cluster_terms",
     "q_rolling_wau",
     "q_kmeans_margin",
+    "q_neighbor_agg",
 ]
 
 

@@ -2196,3 +2196,28 @@ def test_rolling_distinct_exact_vs_naive(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         rolling_distinct(df, "u", "ts", window_days=0)
+
+
+# --- neighbor feature aggregation ---
+
+def test_neighbor_agg_one_and_two_hops(spark):
+    from salesforce_plugin_spark.functions.graph import neighbor_agg
+
+    # path 1 - 2 - 3 with features 10, 20, 40; node 9 isolated
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    feats = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 40), (9, 5)], "id long, f long"
+    )
+    h1 = {r.id: r for r in neighbor_agg(edges, feats, hops=1).collect()}
+    assert (h1[1].n_neighbors, h1[1].f_sum) == (1, 20)
+    assert (h1[2].n_neighbors, h1[2].f_sum) == (2, 50)
+    assert (h1[3].n_neighbors, h1[3].f_sum) == (1, 20)
+    assert (h1[9].n_neighbors, h1[9].f_sum) == (0, 0)
+    h2 = {r.id: r for r in neighbor_agg(edges, feats, hops=2).collect()}
+    # walk-counted: node 1's 2-hop sum = f_sum(2) = 50 (walks 1-2-1, 1-2-3)
+    assert (h2[1].n_2hop, h2[1].f_sum_2hop) == (1, 50)
+    assert (h2[2].n_2hop, h2[2].f_sum_2hop) == (2, 40)  # via 1 and 3
+    assert h2[9].f_sum_2hop == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        neighbor_agg(edges, feats, hops=3)
