@@ -4971,6 +4971,86 @@ def q_manifest(spark, sf_dir):
     )
 
 
+def q_stream_rolling_wau(spark, sf_dir):
+    """F6 x growth accounting: rolling WAU maintained FROM A STREAM
+    (streaming/upsert.py run_stream_active_days): per-batch distinct
+    (user, day) rows append as SET state — fully arrival-order-
+    insensitive (unlike the CUSUM/SCD2 faces, replay and overlap are
+    harmless: the reader dedups) — and the rolling-distinct over the
+    accumulated state equals the one-shot batch run; oracle is
+    q_rolling_wau's SQL VERBATIM. Batches here are deliberately
+    OVERLAPPING id slices to prove the set-state claim."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_rolling_distinct,
+        run_stream_active_days,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="conf_stream_wau_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events")
+    # deliberately OVERLAPPING slices (mod-3 residues plus a repeated
+    # band) — set semantics make replay/overlap harmless
+    slices = [
+        ev.filter(F.col("event_id") % 3 == 0).select("user_id", "ts"),
+        ev.filter(F.col("event_id") % 3 == 1).select("user_id", "ts"),
+        ev.filter(
+            (F.col("event_id") % 3 == 2) | (F.col("event_id") % 5 == 0)
+        ).select("user_id", "ts"),
+    ]
+    try:
+        now = _time.time()
+        for i, sl in enumerate(slices):
+            part = os.path.join(tmp, f"stage{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(part)
+            pf = next(
+                f for f in os.listdir(part) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"batch-{i}.parquet")
+            shutil.move(os.path.join(part, pf), dst)
+            os.utime(dst, (now + i * 10, now + i * 10))
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+        run_stream_active_days(
+            stream, state, os.path.join(tmp, "ckpt"), "user_id", "ts"
+        )
+        out = read_rolling_distinct(spark, state, window_days=7)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def q_decayed_score(spark, sf_dir):
+    """Recency-weighted engagement (operators/analytics.py
+    decayed_score): per user, event values (cents) weighted by exact
+    power-of-two step decay — bit shifts, one BIGINT sum, one bounded
+    exchange; the float e^-lambda form compounds rounding per event and
+    could never hash-gate. Anchor 2024-01-30, 30-day horizon, 2-day
+    half-life."""
+    from salesforce_plugin_spark.operators.analytics import decayed_score
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+    )
+    return decayed_score(
+        base, ["user_id"], "ts", "v", "2024-01-30",
+        horizon_days=30, half_life_days=2,
+    )
+
+
 def q_neighbor_agg(spark, sf_dir):
     """GNN-preprocessing primitive (functions/graph.py neighbor_agg):
     2-hop neighborhood count + exact-integer feature sums over the
@@ -5657,6 +5737,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_rolling_wau": q_rolling_wau,
     "q_kmeans_margin": q_kmeans_margin,
     "q_neighbor_agg": q_neighbor_agg,
+    "q_decayed_score": q_decayed_score,
+    "q_stream_rolling_wau": q_stream_rolling_wau,
 }
 
 
@@ -10151,3 +10233,24 @@ ORACLES["q_neighbor_agg"] = """
     SELECT h1.id, h1.n_neighbors, h1.f_sum, h2.n_2hop, h2.f_sum_2hop
     FROM h1 JOIN h2 ON h1.id = h2.id
 """
+
+ORACLES["q_decayed_score"] = """
+    WITH b AS (
+        SELECT user_id,
+               datediff('day', CAST(ts AS DATE), DATE '2024-01-30') AS age,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(sum(CASE WHEN age BETWEEN 0 AND 29 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN age BETWEEN 0 AND 29
+                    THEN (CAST(1 AS BIGINT) << CAST((30 - age - 1) // 2
+                         AS INT)) * v
+                    ELSE 0 END) AS BIGINT) AS score
+    FROM b GROUP BY user_id
+"""
+
+# streamed set-state rolling distinct == one-shot batch run: reuse the
+# batch oracle verbatim (arrival-order-insensitivity is the claim)
+ORACLES["q_stream_rolling_wau"] = ORACLES["q_rolling_wau"]

@@ -918,3 +918,57 @@ def rolling_distinct(
         exploded.groupBy("day")
         .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
     )
+
+
+def decayed_score(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    anchor_date: str,
+    horizon_days: int = 30,
+    half_life_days: int = 1,
+) -> DataFrame:
+    """Recency-weighted engagement score with EXACT decay: each event's
+    integer value is weighted by ``2^((horizon − age) div half_life)``
+    — halving per ``half_life_days`` of age in STEPS, implemented as a
+    bit shift so the whole score is one exact BIGINT sum (the float
+    ``e^{-λ·age}`` form compounds rounding per event and can never
+    hash-gate; step decay is the engine-portable formulation, and at
+    daily granularity the two rank keys identically). Events older
+    than ``horizon_days`` (or after the anchor) contribute zero.
+    Downstream, ``score / 2^(horizon div half_life)`` is the
+    anchor-day-normalized float.
+
+    Plan: one codegen projection + ONE map-side-combined aggregate
+    bounded by |keys|. Overflow: |score| ≤ Σv · 2^(horizon div
+    half_life) — at horizon 30/half-life 1 that is v-sum · 2³⁰;
+    keep ``horizon div half_life ≤ 40`` for |v| sums up to ~4·10⁵
+    (enforced).
+
+    Output: (keys..., n_events, score).
+    """
+    steps = horizon_days // half_life_days
+    if steps < 1 or steps > 40:
+        raise ValueError("decayed_score requires 1 <= horizon/half_life <= 40")
+    age = F.datediff(
+        F.lit(anchor_date).cast("date"), F.to_date(F.col(ts_col))
+    )
+    in_win = (age >= 0) & (age < horizon_days)
+    w = F.when(
+        in_win,
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(({horizon_days} - __age - 1) div {half_life_days} AS INT))"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        df.withColumn("__age", age)
+        .groupBy(*key_cols)
+        .agg(
+            F.sum(F.when(in_win, 1).otherwise(0)).cast("long").alias(
+                "n_events"
+            ),
+            F.sum(w * F.col(value_col).cast("long")).alias("score"),
+        )
+    )

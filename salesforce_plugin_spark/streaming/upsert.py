@@ -450,3 +450,60 @@ def run_stream_cusum(
     )
     q.awaitTermination()
     return q
+
+
+def run_stream_active_days(
+    stream,
+    state_dir: str,
+    checkpoint: str,
+    key_col: str,
+    ts_col: str,
+):
+    """Streaming state for exact rolling WAU/MAU — the stream face of
+    ``analytics.rolling_distinct``: each micro-batch appends its
+    DISTINCT (key, active-day) rows. The state is a SET (the reader
+    dedups), so unlike the CUSUM/SCD2 stream faces this one is fully
+    ARRIVAL-ORDER-INSENSITIVE: any batch slicing, replay, or overlap
+    yields the identical accumulated state, and the rolling-distinct
+    computed from it equals the one-shot batch run (the
+    q_stream_rolling_wau gate's claim). State grows by ≤ keys × days
+    regardless of event volume; compact by rewriting the deduped set.
+    Read with :func:`read_rolling_distinct`.
+    """
+    import pyspark.sql.functions as F
+
+    def fold(batch, _id: int) -> None:
+        batch.select(
+            F.col(key_col).alias("key"),
+            F.to_date(F.col(ts_col)).alias("day"),
+        ).distinct().write.mode("append").parquet(state_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_rolling_distinct(spark, state_dir: str, window_days: int = 7):
+    """Trailing-``window_days`` distinct keys per day from the
+    accumulated (key, day) set — the same explode/dedup/count plan as
+    the batch operator, over deduped state."""
+    import pyspark.sql.functions as F
+
+    kd = spark.read.parquet(state_dir).distinct()
+    exploded = kd.select(
+        "key",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), window_days - 1)
+            )
+        ).alias("day2"),
+    ).distinct()
+    return (
+        exploded.groupBy(F.col("day2").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
+    )

@@ -160,6 +160,7 @@ PROBE = [
     "q_rolling_wau",
     "q_kmeans_margin",
     "q_neighbor_agg",
+    "q_decayed_score",
 ]
 
 

@@ -2221,3 +2221,30 @@ def test_neighbor_agg_one_and_two_hops(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         neighbor_agg(edges, feats, hops=3)
+
+
+# --- step-decay engagement score ---
+
+def test_decayed_score_exact_weights(spark):
+    import datetime as dt
+    from salesforce_plugin_spark.operators.analytics import decayed_score
+
+    # anchor 2024-01-10, horizon 4, half-life 1:
+    # age 0 -> weight 2^3, age 1 -> 2^2, age 3 -> 2^0, age 4 -> 0
+    rows = [
+        ("k", dt.datetime(2024, 1, 10, 12), 5),   # age 0
+        ("k", dt.datetime(2024, 1, 9, 12), 3),    # age 1
+        ("k", dt.datetime(2024, 1, 7, 12), 7),    # age 3
+        ("k", dt.datetime(2024, 1, 6, 12), 100),  # age 4: out
+        ("k", dt.datetime(2024, 1, 11, 12), 100), # future: out
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v int")
+    r = decayed_score(df, ["k"], "ts", "v", "2024-01-10", 4, 1).collect()[0]
+    assert r.score == 5 * 8 + 3 * 4 + 7 * 1
+    assert r.n_events == 3
+    # half-life 2 over horizon 4: ages 0,1 -> 2^1; ages 2,3 -> 2^0
+    r2 = decayed_score(df, ["k"], "ts", "v", "2024-01-10", 4, 2).collect()[0]
+    assert r2.score == 5 * 2 + 3 * 2 + 7 * 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decayed_score(df, ["k"], "ts", "v", "2024-01-10", 60, 1)
