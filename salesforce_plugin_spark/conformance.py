@@ -5498,6 +5498,165 @@ def q_epoch_shuffle(spark, sf_dir):
 #: (TPC-H shapes, extra SOQL/date forms, secondary hash families) follow
 #: after the window; they are still locally gated by
 #: scripts/check_correctness.py over the whole registry.
+
+
+def q_kfold(spark, sf_dir):
+    """Grouped k-fold CV split (operators/pipeline.py kfold_assign): fold
+    = md5(source) mod 5, so every document of a source lands in ONE fold
+    — the leakage-safe split for correlated rows. Pure map-side (no
+    shuffle, no RNG); gate summarizes per fold (rows, distinct groups,
+    char mass) so imbalance is visible; the oracle replays the md5
+    bucket arithmetic hex-for-hex."""
+    from salesforce_plugin_spark.operators.pipeline import kfold_assign
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        kfold_assign(d, "source", k=5)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("source").cast("long").alias("n_groups"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+def q_target_encoding(spark, sf_dir):
+    """Categorical feature encoding (operators/analytics.py
+    target_encoding): smoothed + leave-one-out target-mean encoding of
+    event_type against cent-quantized values, every step an exact
+    BIGINT sum or integer floor divide — the high-cardinality encoder
+    (one-hot explodes) in engine-reproducible form. One group aggregate
+    + a 1-row broadcast prior + one dimension-sized join-back."""
+    from salesforce_plugin_spark.operators.analytics import target_encoding
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return target_encoding(
+        e, "event_type", "cents", smoothing=20, scale=10_000
+    ).select("event_id", "event_type", "y", "enc", "enc_loo")
+
+
+def q_winsorize(spark, sf_dir):
+    """Heavy-tail taming (functions/sketch.py winsorize): clamp
+    events.value at sketch-learned p05/p95 fences — deterministic
+    single-pass quantiles (exact-binary width 512/1024) + a 1-row
+    broadcast + map-side clamp; the KEEP-at-fence complement of
+    iqr_outliers' flagging. Gate aggregates per event_type so the clamp
+    mass is visible; cents re-quantization keeps the surface integer."""
+    from salesforce_plugin_spark.functions.sketch import winsorize
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    w = winsorize(e, "value", lo=0.0, hi=512.0, q_low=0.05, q_high=0.95)
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("clamped").cast("long").alias("n_clamped"),
+        F.sum(F.round(F.col("winsorized") * 100).cast("long")).alias(
+            "sum_cents"
+        ),
+    )
+
+
+def q_rake(spark, sf_dir):
+    """Unsupervised keyphrase extraction (functions/text.py
+    rake_keywords): RAKE over the corpus — stopword-delimited candidate
+    phrases (map-side regex + explode), word degree/freq stats in one
+    vocab-bounded exchange, integer-ppm word scores, phrase score = sum
+    of member scores, top-50 under a TOTAL order. Float RAKE could
+    never hash-gate; degree*10^6 div freq can."""
+    from salesforce_plugin_spark.functions.text import rake_keywords
+
+    d = load_table(spark, sf_dir, "documents")
+    return rake_keywords(d, "doc_id", "text", top_k=50)
+
+
+def q_degree_dist(spark, sf_dir):
+    """Graph profiling (functions/graph.py degree_distribution): the
+    degree histogram of the supplier-part co-occurrence graph — the
+    first query run on any edge list, whose heavy tail motivates
+    degree-orientation (q_triangles) and skew handling. Two bounded
+    partial-combined aggregates; nothing exceeds node cardinality."""
+    from salesforce_plugin_spark.functions.graph import degree_distribution
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_suppkey") + 1000000).alias("src"),
+        F.col("l_partkey").alias("dst"),
+    )
+    return degree_distribution(edges)
+
+
+def q_kcore(spark, sf_dir):
+    """Dense-substructure extraction (functions/graph.py kcore_fixed):
+    3 fixed peeling rounds at k=33 over the supplier-part graph reach
+    the (verified) fixpoint — 232 survivors at sf0.01. Peeling is
+    deterministic (pure function of the edge set), so the unrolled
+    rounds replay as chained CTEs — the pagerank/kmeans iterative-
+    determinism discipline; unit tests pin a cascading peel on a path
+    graph where one round is provably not enough."""
+    from salesforce_plugin_spark.functions.graph import kcore_fixed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_suppkey") + 1000000).alias("src"),
+        F.col("l_partkey").alias("dst"),
+    )
+    return kcore_fixed(edges, k=33, rounds=3)
+
+
+def q_markov(spark, sf_dir):
+    """First-order Markov behavior model (operators/analytics.py
+    transition_probabilities): q_session_paths' session-scoped
+    transition counts normalized to integer-ppm conditional
+    probabilities P(next|prev) with a total-order rank per source state
+    — the next-event-prediction table. The normalizer window runs over
+    the |types|^2-bounded count table, not the event log."""
+    from salesforce_plugin_spark.operators.analytics import (
+        transition_probabilities,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return transition_probabilities(
+        e, "user_id", "ts", "event_type", gap_minutes=10,
+        tiebreak_cols=["event_id"],
+    )
+
+
+def q_chat_render(spark, sf_dir):
+    """SFT-example formatting (operators/pipeline.py render_chat):
+    deterministic chat-template rendering with the loss-mask boundary
+    carried as a character offset (prompt_chars) plus per-turn token
+    counts — the corpus-to-trainer formatting step. One codegen string
+    projection, no shuffle, no UDF."""
+    from salesforce_plugin_spark.operators.pipeline import render_chat
+
+    d = load_table(spark, sf_dir, "documents")
+    return render_chat(d, "doc_id", "text", instruction_words=8)
+
+
+def q_length_buckets(spark, sf_dir):
+    """Batching-efficiency accounting (operators/pipeline.py
+    length_buckets): pad-to-next-pow2 bucket histogram with the wasted
+    padding mass per bucket — computed with integer bit arithmetic
+    (1 << length(bin(n-1)), no float log2 whose last ulp at exact
+    power-of-two boundaries is engine-ambiguous). Map-side + one
+    ~log(max_len)-bounded aggregate."""
+    from salesforce_plugin_spark.functions.text import token_count
+    from salesforce_plugin_spark.operators.pipeline import length_buckets
+
+    d = load_table(spark, sf_dir, "documents").select(
+        token_count("text").alias("n_tokens")
+    )
+    return length_buckets(d, "n_tokens", min_bucket=16)
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- driver-graded window (first 50): one per §2 family ---
     # D1-D19: the relational surface the reference forwards to SOQL
@@ -5739,6 +5898,15 @@ QUERIES: dict[str, QueryFn] = {
     "q_neighbor_agg": q_neighbor_agg,
     "q_decayed_score": q_decayed_score,
     "q_stream_rolling_wau": q_stream_rolling_wau,
+    "q_kfold": q_kfold,
+    "q_target_encoding": q_target_encoding,
+    "q_winsorize": q_winsorize,
+    "q_rake": q_rake,
+    "q_degree_dist": q_degree_dist,
+    "q_kcore": q_kcore,
+    "q_markov": q_markov,
+    "q_chat_render": q_chat_render,
+    "q_length_buckets": q_length_buckets,
 }
 
 
@@ -10254,3 +10422,236 @@ ORACLES["q_decayed_score"] = """
 # streamed set-state rolling distinct == one-shot batch run: reuse the
 # batch oracle verbatim (arrival-order-insensitivity is the claim)
 ORACLES["q_stream_rolling_wau"] = ORACLES["q_rolling_wau"]
+
+
+ORACLES["q_kfold"] = """
+    WITH b AS (
+        SELECT source, n_chars,
+               CAST(CAST(('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 5 AS INT) AS fold
+        FROM documents
+    )
+    SELECT fold, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_groups,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM b GROUP BY 1
+"""
+
+ORACLES["q_target_encoding"] = """
+    WITH r AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL
+    ), g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+               CAST(sum(y) AS BIGINT) AS sg
+        FROM r GROUP BY 1
+    ), p AS (
+        SELECT (sum(y) * 10000) // count(*) AS prior_q FROM r
+    )
+    SELECT r.event_id, r.event_type, r.y,
+           CAST((g.sg * 10000 + 20 * p.prior_q) // (g.ng + 20)
+                AS BIGINT) AS enc,
+           CASE WHEN g.ng > 1 THEN
+               CAST(((g.sg - r.y) * 10000 + 20 * p.prior_q)
+                    // (g.ng - 1 + 20) AS BIGINT)
+           END AS enc_loo
+    FROM r JOIN g USING (event_type) CROSS JOIN p
+"""
+
+ORACLES["q_winsorize"] = """
+    WITH v AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ), binned AS (
+        SELECT least(1023, greatest(0,
+                   CAST(floor((value - 0.0) / 0.5) AS BIGINT))) AS bin,
+               count(*) AS cnt
+        FROM v GROUP BY 1
+    ), cum AS (
+        SELECT bin,
+               sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS c,
+               sum(cnt) OVER () AS n
+        FROM binned
+    ), fence AS (
+        SELECT
+            (SELECT 0.0 + 0.5 * (min(bin) + 1) FROM cum
+              WHERE c >= ceil(0.05 * n)) AS flo,
+            (SELECT 0.0 + 0.5 * (min(bin) + 1) FROM cum
+              WHERE c >= ceil(0.95 * n)) AS fhi
+    ), w AS (
+        SELECT event_type, value,
+               least(greatest(value, f.flo), f.fhi) AS wz
+        FROM v CROSS JOIN fence f
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN value <> wz THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped,
+           CAST(sum(CAST(round(wz * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM w GROUP BY 1
+"""
+
+ORACLES["q_rake"] = r"""
+    WITH ph0 AS (
+        SELECT unnest(str_split(
+            regexp_replace(
+                regexp_replace(lower(text), '[^a-z0-9\s]', '|', 'g'),
+                '\b(?:the|a|an|and|or|of|to|in|is|it|that|this|for|on|with|as)\b',
+                '|', 'g'),
+            '|')) AS run
+        FROM documents
+    ), ph AS (
+        SELECT regexp_replace(trim(run), '\s+', ' ', 'g') AS phrase
+        FROM ph0 WHERE regexp_replace(trim(run), '\s+', ' ', 'g') <> ''
+    ), pw AS (
+        SELECT len(str_split(phrase, ' ')) AS n_words,
+               unnest(str_split(phrase, ' ')) AS word
+        FROM ph
+    ), wsc AS (
+        SELECT word,
+               (CAST(sum(n_words) AS BIGINT) * 1000000)
+                   // CAST(count(*) AS BIGINT) AS wscore
+        FROM pw GROUP BY word
+    ), pc AS (
+        SELECT phrase, CAST(len(str_split(phrase, ' ')) AS INT) AS n_words,
+               CAST(count(*) AS BIGINT) AS n_occ
+        FROM ph GROUP BY 1, 2
+    ), px AS (
+        SELECT phrase, n_words, n_occ,
+               unnest(str_split(phrase, ' ')) AS word
+        FROM pc
+    ), psc AS (
+        SELECT phrase, n_words, n_occ,
+               CAST(sum(wsc.wscore) AS BIGINT) AS score_ppm
+        FROM px JOIN wsc USING (word)
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(rk AS INT) AS rank, phrase, n_words, n_occ, score_ppm
+    FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY score_ppm DESC, n_occ DESC, phrase ASC) AS rk
+        FROM psc
+    ) WHERE rk <= 50
+"""
+
+ORACLES["q_degree_dist"] = """
+    WITH e AS (
+        SELECT DISTINCT least(l_partkey, l_suppkey + 1000000) AS a,
+               greatest(l_partkey, l_suppkey + 1000000) AS b
+        FROM lineitem
+        WHERE l_partkey <> l_suppkey + 1000000
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY 1
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1
+"""
+
+
+def _kcore_oracle(k: int = 33, rounds: int = 3) -> str:
+    """Unrolled peel rounds as chained CTEs (mirrors q_kcore exactly)."""
+    parts = [
+        "WITH e0 AS (\n"
+        "    SELECT DISTINCT least(l_partkey, l_suppkey + 1000000) AS a,\n"
+        "           greatest(l_partkey, l_suppkey + 1000000) AS b\n"
+        "    FROM lineitem WHERE l_partkey <> l_suppkey + 1000000)"
+    ]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS (SELECT node, count(*) AS deg FROM "
+            f"(SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}) "
+            f"GROUP BY 1)"
+        )
+        parts.append(f"k{i} AS (SELECT node FROM d{i} WHERE deg >= {k})")
+        parts.append(
+            f"e{i} AS (SELECT e.a, e.b FROM {prev} e "
+            f"JOIN k{i} ka ON e.a = ka.node "
+            f"JOIN k{i} kb ON e.b = kb.node)"
+        )
+        prev = f"e{i}"
+    parts.append(
+        f"fin AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM "
+        f"(SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}) "
+        f"GROUP BY 1)"
+    )
+    return ",\n".join(parts) + "\nSELECT node, degree FROM fin"
+
+
+ORACLES["q_kcore"] = _kcore_oracle()
+
+ORACLES["q_markov"] = """
+    WITH ord AS (
+        SELECT user_id, event_id, event_type, ts,
+               lag(ts) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, event_id, event_type, ts,
+               sum(CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 600000000
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM ord
+    ), tr AS (
+        SELECT event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id, sid ORDER BY ts, event_id
+               ) AS prev_type
+        FROM sess
+    ), cnt AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM tr WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           CAST((n * 1000000)
+                // (sum(n) OVER (PARTITION BY prev_type)) AS BIGINT)
+               AS prob_ppm,
+           CAST(row_number() OVER (
+                   PARTITION BY prev_type ORDER BY n DESC, next_type ASC)
+               AS INT) AS rank
+    FROM cnt
+"""
+
+ORACLES["q_chat_render"] = """
+    WITH t AS (
+        SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+    ), r AS (
+        SELECT doc_id,
+               '<|user|>' || chr(10)
+                   || array_to_string(list_slice(toks, 1, 8), ' ')
+                   || chr(10) || '<|assistant|>' || chr(10) AS prompt,
+               array_to_string(list_slice(toks, 9, len(toks)), ' ') AS resp,
+               len(toks) AS nt
+        FROM t
+    )
+    SELECT doc_id, prompt || resp AS rendered,
+           CAST(length(prompt) AS INT) AS prompt_chars,
+           CAST(length(prompt || resp) AS INT) AS total_chars,
+           CAST(least(nt, 8) AS INT) AS prompt_tokens,
+           CAST(greatest(nt - 8, 0) AS INT) AS completion_tokens
+    FROM r
+"""
+
+ORACLES["q_length_buckets"] = r"""
+    WITH tok AS (
+        SELECT CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT) AS n
+        FROM documents
+    ), pw AS (
+        SELECT (CAST(1 AS BIGINT) << g.i) AS p
+        FROM generate_series(4, 40) g(i)
+    ), b AS (
+        SELECT n, (SELECT min(p) FROM pw WHERE p >= tok.n) AS bucket
+        FROM tok
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS sum_tokens,
+           CAST(sum(bucket - n) AS BIGINT) AS padding
+    FROM b GROUP BY 1
+"""

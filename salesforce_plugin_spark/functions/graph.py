@@ -322,3 +322,103 @@ def neighbor_agg(
         return h1
     h2 = one_hop(h1, "f_sum", "n_2hop", "f_sum_2hop")
     return h1.join(h2, "id")
+
+
+def degree_distribution(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree histogram of an undirected graph — the first profiling
+    query run on any co-occurrence/link graph before choosing join
+    strategies (a heavy tail here is the evidence that motivates
+    degree-orientation in ``triangle_counts`` and salting/AQE-skew
+    handling in the joins that consume the edge list).
+
+    Edges are canonicalized (``a < b``, distinct) so parallel edges and
+    orientation don't inflate degrees. Output (scalar-only):
+    ``(degree long, n_nodes long)`` — one row per distinct degree value,
+    bounded by the max degree, after two partial-combined aggregates
+    (node-sized then degree-sized exchange). Nothing here exceeds
+    node cardinality, so the same plan profiles a 100 TB edge list.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+
+
+def kcore_fixed(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling: iteratively delete nodes of degree
+    < ``k`` (and their edges) until the subgraph where every node has
+    degree ≥ ``k`` remains — the standard dense-substructure extractor
+    (spam/bot rings, core communities, dup clusters worth verifying
+    first) over co-occurrence graphs.
+
+    Peeling is inherently iterative but fully DETERMINISTIC — each round
+    is a pure function of the previous edge set (no ordering, no RNG) —
+    so a fixed-round unrolling sits naturally under the cross-engine
+    differential gate, the same discipline as ``pagerank_fixed`` /
+    ``kmeans`` chaining. Each round: one node-sized degree aggregate +
+    two semi-joins filtering the edge set; the whole run is ONE lazy
+    plan (for depths past ~10 insert localCheckpoint lineage cuts like
+    ``connected_components``). ``rounds`` must be chosen ≥ the peel
+    depth of the graph; callers can assert convergence by checking
+    ``degree >= k`` for every output row (a converged peel's survivors
+    all satisfy the core property; unit tests pin a known fixpoint).
+
+    Output (scalar-only): ``(node long, degree long)`` — survivors after
+    ``rounds`` peels with their degree in the surviving subgraph.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("kcore_fixed requires k >= 1 and rounds >= 1")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e = e.join(
+            keep.select(F.col("node").alias("a")), "a", "left_semi"
+        ).join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+        # each round references the previous edge set three times (two
+        # degree projections + the filter base); without a lineage cut
+        # the logical plan TRIPLES per round and a deep peel blows up
+        # the driver — same remedy as connected_components (on a real
+        # cluster point spark.sparkContext.setCheckpointDir at reliable
+        # storage and prefer checkpoint() for executor-loss safety).
+        e = e.localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return deg

@@ -790,3 +790,53 @@ def histogram_tvd(
         ),
         F.max("absdiff").alias("worst_absdiff"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    q_low: float = 0.05,
+    q_high: float = 0.95,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Winsorization — clamp a numeric column at sketch-learned
+    quantile fences — the standard heavy-tail tamer applied before
+    means/regressions/scalers that outliers would otherwise dominate
+    (the complement of :func:`iqr_outliers`, which FLAGS tail rows;
+    winsorize KEEPS them at the fence).
+
+    Fences are the ``q_low`` / ``q_high`` estimates of
+    :func:`binned_quantiles` — single-pass, deterministic, exact-binary
+    arithmetic — so both the cut values and every comparison replay
+    bit-identically cross-engine. Two-pass shape at 100 TB: pass 1
+    reduces to <= ``n_bins`` rows; pass 2 is a 1-row broadcast join +
+    map-side clamp (no shuffle on the data side).
+
+    Output: one row per input row — the caller's pre-selected columns
+    with ``value_col`` replaced by ``(value double, winsorized double,
+    clamped int)``.
+    """
+    if not 0.0 < q_low < q_high < 1.0:
+        raise ValueError("winsorize requires 0 < q_low < q_high < 1")
+    fences = (
+        binned_quantiles(df, value_col, [q_low, q_high], lo, hi, n_bins)
+        .groupBy()
+        .agg(
+            F.min(F.when(F.col("q") == q_low, F.col("est"))).alias("__flo"),
+            F.min(F.when(F.col("q") == q_high, F.col("est"))).alias("__fhi"),
+        )
+    )
+    v = F.col(value_col)
+    wz = F.least(F.greatest(v, F.col("__flo")), F.col("__fhi"))
+    passthrough = [c for c in df.columns if c != value_col]
+    return (
+        df.crossJoin(F.broadcast(fences))
+        .select(
+            *passthrough,
+            v.alias("value"),
+            wz.alias("winsorized"),
+            (v != wz).cast("int").alias("clamped"),
+        )
+    )

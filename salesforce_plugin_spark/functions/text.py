@@ -1002,3 +1002,103 @@ def cluster_terms(
         .filter(F.col("rank") <= top_k)
         .select("cluster", "rank", "term", "a", "df", "lift_ppm")
     )
+
+
+def rake_phrases(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    stopwords_re: str = STOPWORDS_RE,
+) -> DataFrame:
+    """Candidate keyword phrases by the RAKE construction (Rose et al.
+    2010): maximal runs of content words between stopwords/punctuation.
+    Stopword tokens are replaced by a phrase separator in ONE global
+    regexp_replace (Spark's regexp_replace is global; oracles must pass
+    the 'g' flag in engines where it is not), the text splits on the
+    separator, and each non-empty trimmed run is a candidate phrase.
+
+    Output: ``(id, phrase string, n_words int)`` — one row per phrase
+    OCCURRENCE (duplicates preserved; frequency is signal downstream).
+    Pure per-row string work + one explode: no shuffle at all.
+    """
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", "|"),
+        rf"\b{stopwords_re}\b",
+        "|",
+    )
+    phrase = F.regexp_replace(F.trim(F.col("__run")), r"\s+", " ")
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(cleaned, r"\|")).alias("__run"),
+        )
+        .select(F.col(id_col), phrase.alias("phrase"))
+        .filter(F.col("phrase") != "")
+        .select(
+            id_col,
+            "phrase",
+            F.size(F.split(F.col("phrase"), " ")).cast("int").alias("n_words"),
+        )
+    )
+
+
+def rake_keywords(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 50,
+    stopwords_re: str = STOPWORDS_RE,
+) -> DataFrame:
+    """Corpus-level RAKE keyword extraction — unsupervised keyphrase
+    scoring for corpus exploration/labeling. Word score =
+    ``degree·10⁶ div freq`` (degree = Σ phrase length over the word's
+    phrase occurrences — co-occurrence weight; freq = occurrence count),
+    phrase score = Σ member-word scores — all exact integers, so the
+    ranking is engine-reproducible (float RAKE is not, the same last-ulp
+    argument as tf-idf).
+
+    Plan: phrase generation is map-side (:func:`rake_phrases`); word
+    stats are one partial-combined exchange bounded by the content-word
+    vocabulary; phrase scores join the DISTINCT phrase set's exploded
+    words onto the word table (vocab-sized, un-hinted — AQE broadcasts
+    it while small) and re-aggregate per phrase. Nothing downstream of
+    the first aggregate scales with corpus size.
+
+    Output (scalar-only): top ``top_k`` phrases by
+    ``(score_ppm desc, n_occ desc, phrase asc)`` — a total order —
+    as ``(rank int, phrase string, n_words int, n_occ long,
+    score_ppm long)``.
+    """
+    ph = rake_phrases(docs, id_col, text_col, stopwords_re)
+    occ_words = ph.select(
+        "phrase", "n_words", F.explode(F.split(F.col("phrase"), " ")).alias("word")
+    )
+    word_stats = occ_words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("__freq"),
+        F.sum("n_words").cast("long").alias("__degree"),
+    )
+    word_scores = word_stats.select(
+        "word", F.expr("__degree * 1000000 div __freq").alias("__wscore")
+    )
+    phrases = ph.groupBy("phrase", "n_words").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+    scored = (
+        phrases.select(
+            "phrase",
+            "n_words",
+            "n_occ",
+            F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+        )
+        .join(word_scores, "word")
+        .groupBy("phrase", "n_words", "n_occ")
+        .agg(F.sum("__wscore").cast("long").alias("score_ppm"))
+    )
+    w = Window.orderBy(
+        F.col("score_ppm").desc(), F.col("n_occ").desc(), F.col("phrase").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "phrase", "n_words", "n_occ", "score_ppm")
+    )

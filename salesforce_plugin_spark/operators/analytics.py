@@ -972,3 +972,125 @@ def decayed_score(
             F.sum(w * F.col(value_col).cast("long")).alias("score"),
         )
     )
+
+
+def target_encoding(
+    df: DataFrame,
+    group_col: str,
+    target_long,
+    smoothing: int = 20,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Smoothed + leave-one-out target (mean) encoding, exact to the
+    integer unit — the categorical-feature encoder for high-cardinality
+    keys where one-hot explodes. ``target_long`` must already be an
+    integer-quantized target (cents, ppm, 0/1 labels).
+
+    Both encodings are computed as scaled-integer floor divisions over
+    exact BIGINT sufficient statistics, so results are bit-identical in
+    any engine (no float mean enters):
+
+    - global prior (quantized once): ``prior_q = (Σy·scale) div n``;
+    - smoothed:  ``enc = (S_g·scale + m·prior_q) div (n_g + m)``;
+    - leave-one-out per row (the leakage-safe train-time form — the
+      row's own target is excluded so the feature can't memorize it):
+      ``enc_loo = ((S_g − y_i)·scale + m·prior_q) div (n_g − 1 + m)``.
+
+    Plan: one map-side-combined group aggregate (|groups| rows), one
+    1-row global aggregate broadcast back, one join of group stats onto
+    the rows (dimension-sized build side, un-hinted — AQE broadcasts it
+    while small, degrades to shuffle past threshold). Overflow bound:
+    ``S_g·scale`` must stay under 2^63 — at scale=10^4 that holds to
+    ~10^15 in Σ|y| per group, far past 100 TB corpora of cent-quantized
+    targets.
+
+    Output: one row per input row — ``(row id cols…, group, y long,
+    enc long, enc_loo long)``; ``enc_loo`` is NULL for singleton groups
+    (n_g = 1: there is nothing to encode from).
+
+    Targets must be NON-NEGATIVE: every numerator here is then ≥ 0, so
+    Spark's truncating ``div`` and a floor ``//`` agree (the
+    sign-safe-floor-division discipline of gram_power_iterations).
+    Shift signed targets by a constant before encoding.
+    """
+    y = (target_long if not isinstance(target_long, str) else F.col(target_long)).cast(
+        "long"
+    )
+    rows = df.select(
+        "*", y.alias("__y")
+    ).filter(F.col("__y").isNotNull())
+    gstats = rows.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__ng"),
+        F.sum("__y").cast("long").alias("__sg"),
+    )
+    glob = rows.agg(
+        F.expr(f"sum(__y) * {scale} div count(*)")
+        .cast("long")
+        .alias("__prior_q")
+    )
+    joined = rows.join(gstats, group_col).crossJoin(F.broadcast(glob))
+    enc = F.expr(
+        f"(__sg * {scale} + {smoothing} * __prior_q) div (__ng + {smoothing})"
+    ).cast("long")
+    enc_loo = F.when(
+        F.col("__ng") > 1,
+        F.expr(
+            f"((__sg - __y) * {scale} + {smoothing} * __prior_q)"
+            f" div (__ng - 1 + {smoothing})"
+        ).cast("long"),
+    )
+    return joined.select(
+        *[c for c in df.columns],
+        F.col("__y").alias("y"),
+        enc.alias("enc"),
+        enc_loo.alias("enc_loo"),
+    )
+
+
+def transition_probabilities(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    gap_minutes: int = 10,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-order Markov model of within-session behavior: the
+    session-scoped transition counts of :func:`session_transitions`
+    normalized to integer-ppm conditional probabilities
+    ``P(next | prev)`` with a dense rank per source state — the
+    next-event-prediction table (recommenders, UX funnels, prefetch
+    heuristics) in engine-portable form.
+
+    The normalizer is a window sum over the |types|²-bounded count
+    table, so everything after the underlying sessionization is
+    negligible at any scale; ``prob_ppm = n·10⁶ div Σ_next n`` is one
+    integer floor divide (probabilities sum to ≤ 10⁶ with the remainder
+    lost to flooring — deterministic, documented).
+
+    Output (scalar-only): ``(prev_type, next_type, n long,
+    prob_ppm long, rank int)``, rank by (n desc, next_type asc) — a
+    total order, so ranks are engine-stable.
+    """
+    tr = session_transitions(
+        events, user_col, ts_col, type_col, gap_minutes, tiebreak_cols
+    )
+    w = Window.partitionBy("prev_type")
+    total = F.sum("n").over(w)
+    rank = F.row_number().over(
+        w.orderBy(F.col("n").desc(), F.col("next_type").asc())
+    )
+    return tr.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n") * F.lit(1_000_000)).alias("__num"),
+        total.alias("__den"),
+        rank.cast("int").alias("rank"),
+    ).select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("__num div __den").cast("long").alias("prob_ppm"),
+        "rank",
+    )

@@ -467,3 +467,127 @@ def epoch_shuffle(
         "shard",
         (F.row_number().over(w) - 1).cast("long").alias("pos"),
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """GROUPED k-fold assignment: fold = md5-hash of the GROUP key mod
+    ``k``, so every row of a group lands in the same fold — the
+    cross-validation split that prevents leakage when rows within a
+    group are correlated (all documents from one source/domain, all
+    events of one user). Plain row-level k-fold on such data leaks
+    near-duplicates across folds and inflates eval scores.
+
+    Pure map-side projection (no shuffle, no RNG state): the assignment
+    is a function of the group key alone, so it is reproducible across
+    runs, engines, partitionings, and appends — a new group's fold never
+    disturbs existing ones (same contract as
+    :func:`~salesforce_plugin_spark.functions.text.hash_bucket`, which
+    supplies the bucket).
+    """
+    if k < 2:
+        raise ValueError("kfold_assign requires k >= 2")
+    from salesforce_plugin_spark.functions.text import hash_bucket
+
+    return df.withColumn("fold", hash_bucket(F.col(group_col), k).cast("int"))
+
+
+def render_chat(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    instruction_words: int = 8,
+    user_tag: str = "<|user|>",
+    assistant_tag: str = "<|assistant|>",
+) -> DataFrame:
+    """Deterministic chat-template rendering with loss-mask offsets —
+    the corpus → SFT-example formatting step. The document's first
+    ``instruction_words`` whitespace tokens become the user turn, the
+    remainder the assistant turn, rendered as::
+
+        <|user|>\\n{instruction}\\n<|assistant|>\\n{response}
+
+    Output carries the CHARACTER OFFSET where the assistant span starts
+    (``prompt_chars``) and per-turn token counts — exactly what a
+    completion-only loss mask needs; trainers mask everything before
+    ``prompt_chars``. All string/integer builtins in one codegen
+    projection (no shuffle, no UDF); any real chat schema (system turns,
+    multi-turn) is the same concat_ws composition over more columns.
+
+    Output (scalar-only): ``(id, rendered string, prompt_chars int,
+    total_chars int, prompt_tokens int, completion_tokens int)``.
+    """
+    toks = F.split(F.col(text_col), " ")
+    instr = F.array_join(F.slice(toks, 1, instruction_words), " ")
+    resp = F.array_join(
+        F.slice(
+            toks,
+            instruction_words + 1,
+            F.greatest(F.size(toks) - instruction_words, F.lit(0)),
+        ),
+        " ",
+    )
+    prompt = F.concat(
+        F.lit(user_tag + "\n"), instr, F.lit("\n" + assistant_tag + "\n")
+    )
+    rendered = F.concat(prompt, resp)
+    return df.select(
+        F.col(id_col),
+        rendered.alias("rendered"),
+        F.length(prompt).cast("int").alias("prompt_chars"),
+        F.length(rendered).cast("int").alias("total_chars"),
+        F.least(F.size(toks), F.lit(instruction_words))
+        .cast("int")
+        .alias("prompt_tokens"),
+        F.greatest(F.size(toks) - instruction_words, F.lit(0))
+        .cast("int")
+        .alias("completion_tokens"),
+    )
+
+
+def length_buckets(
+    df: DataFrame,
+    token_count_col,
+    min_bucket: int = 16,
+) -> DataFrame:
+    """Power-of-two sequence-length bucket accounting — the batching-
+    efficiency report behind bucketed batching / packing decisions: pad
+    every example up to the next power of two and measure what padding
+    costs per bucket.
+
+    The bucket is computed with INTEGER BIT ARITHMETIC, no log2 on
+    doubles (a float log at an exact power-of-two boundary is
+    engine-ambiguous in the last ulp): ``ceil_pow2(n) = 1 <<
+    length(bin(n-1))`` for n ≥ 2, via the binary-string-length msb
+    idiom, floored at ``min_bucket``. Map-side projection + one
+    aggregate bounded by the number of distinct buckets (~log of max
+    length).
+
+    Output (scalar-only): ``(bucket long, n_docs long, sum_tokens long,
+    padding long)`` where ``padding = Σ (bucket − tokens)`` — the wasted
+    compute the report exists to surface.
+    """
+    n = (
+        F.col(token_count_col)
+        if isinstance(token_count_col, str)
+        else token_count_col
+    ).cast("long")
+    ceil_pow2 = F.expr(
+        "CASE WHEN __n <= 1 THEN CAST(1 AS BIGINT) ELSE "
+        "shiftleft(CAST(1 AS BIGINT), "
+        "CAST(length(bin(__n - 1)) AS INT)) END"
+    )
+    bucket = F.greatest(ceil_pow2, F.lit(min_bucket).cast("long"))
+    return (
+        df.select(n.alias("__n"))
+        .select(bucket.alias("bucket"), F.col("__n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__n").cast("long").alias("sum_tokens"),
+            F.sum(F.col("bucket") - F.col("__n")).cast("long").alias("padding"),
+        )
+    )

@@ -1,0 +1,232 @@
+"""Unit semantics tests for round-5 operators: grouped k-fold, target
+encoding, winsorize, RAKE, degree distribution, k-core peel, Markov
+transitions, chat render, length buckets."""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+
+
+# --- grouped k-fold ---
+
+def test_kfold_group_atomicity_and_determinism(spark):
+    from salesforce_plugin_spark.operators.pipeline import kfold_assign
+
+    rows = [(i, f"g{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    out = kfold_assign(df, "g", k=5)
+    # every group sits in exactly one fold
+    per_group = out.groupBy("g").agg(
+        F.countDistinct("fold").alias("nf")
+    ).collect()
+    assert all(r.nf == 1 for r in per_group)
+    # deterministic across invocations
+    a = {(r.id, r.fold) for r in out.collect()}
+    b = {(r.id, r.fold) for r in kfold_assign(df, "g", 5).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        kfold_assign(df, "g", k=1)
+
+
+# --- target encoding ---
+
+def test_target_encoding_exact_values(spark):
+    from salesforce_plugin_spark.operators.analytics import target_encoding
+
+    # group A: y = 10, 20 (n=2, S=30); group B: y = 40 (n=1)
+    df = spark.createDataFrame(
+        [(1, "A", 10), (2, "A", 20), (3, "B", 40)],
+        "id long, g string, y long",
+    )
+    out = {
+        r.id: r
+        for r in target_encoding(
+            df, "g", "y", smoothing=2, scale=100
+        ).collect()
+    }
+    # prior_q = (70*100) div 3 = 2333
+    # enc(A) = (30*100 + 2*2333) div (2+2) = (3000+4666) div 4 = 1916
+    assert out[1].enc == 1916 and out[2].enc == 1916
+    # enc(B) = (40*100 + 4666) div 3 = 2888
+    assert out[3].enc == 2888
+    # loo for id=1: ((30-10)*100 + 4666) div (1+2) = 2222
+    assert out[1].enc_loo == 2222
+    # loo for id=2: ((30-20)*100 + 4666) div 3 = 1888
+    assert out[2].enc_loo == 1888
+    # singleton group: loo undefined
+    assert out[3].enc_loo is None
+
+
+def test_target_encoding_skips_null_targets(spark):
+    from salesforce_plugin_spark.operators.analytics import target_encoding
+
+    df = spark.createDataFrame(
+        [(1, "A", 10), (2, "A", None)], "id long, g string, y long"
+    )
+    rows = target_encoding(df, "g", "y").collect()
+    assert [r.id for r in rows] == [1]
+
+
+# --- winsorize ---
+
+def test_winsorize_clamps_tails_only(spark):
+    from salesforce_plugin_spark.functions.sketch import winsorize
+
+    # 100 uniform values 1..100 plus wild outliers
+    vals = [(float(i),) for i in range(1, 101)] + [(1000.0,), (-500.0,)]
+    df = spark.createDataFrame(vals, "v double")
+    out = winsorize(df, "v", lo=0.0, hi=128.0, q_low=0.05, q_high=0.95)
+    rows = out.collect()
+    clamped = [r for r in rows if r.clamped == 1]
+    # the two outliers are certainly clamped; bulk midrange is not
+    assert any(r.value == 1000.0 for r in clamped)
+    assert any(r.value == -500.0 for r in clamped)
+    mid = [r for r in rows if 20 <= r.value <= 80]
+    assert all(r.clamped == 0 for r in mid)
+    # winsorized range is within the fences
+    assert all(0 <= r.winsorized <= 128 for r in rows)
+    with pytest.raises(ValueError):
+        winsorize(df, "v", 0.0, 128.0, q_low=0.9, q_high=0.1)
+
+
+# --- RAKE ---
+
+def test_rake_phrases_split_on_stopwords(spark):
+    from salesforce_plugin_spark.functions.text import rake_phrases
+
+    df = spark.createDataFrame(
+        [(1, "deep learning is the best model, for sure")],
+        "doc_id long, text string",
+    )
+    got = {r.phrase for r in rake_phrases(df, "doc_id", "text").collect()}
+    assert got == {"deep learning", "best model", "sure"}
+
+
+def test_rake_scores_exact(spark):
+    from salesforce_plugin_spark.functions.text import rake_keywords
+
+    # phrases: "deep learning" x2, "deep" x1
+    # freq(deep)=3, degree(deep)=2+2+1=5 -> wscore=5_000_000 div 3=1666666
+    # freq(learning)=2, degree=4 -> wscore=2_000_000
+    # score("deep learning") = 1666666+2000000 = 3666666
+    # score("deep") = 1666666
+    df = spark.createDataFrame(
+        [(1, "deep learning"), (2, "deep learning"), (3, "deep")],
+        "doc_id long, text string",
+    )
+    rows = {r.phrase: r for r in rake_keywords(df, "doc_id", "text").collect()}
+    assert rows["deep learning"].score_ppm == 3666666
+    assert rows["deep learning"].n_occ == 2
+    assert rows["deep"].score_ppm == 1666666
+    assert rows["deep learning"].rank == 1
+
+
+# --- degree distribution / k-core ---
+
+def test_degree_distribution_star(spark):
+    from salesforce_plugin_spark.functions.graph import degree_distribution
+
+    # star: center 0 connected to 1..5 (plus a duplicate + self-loop)
+    edges = [(0, i) for i in range(1, 6)] + [(1, 0), (3, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.degree: r.n_nodes for r in degree_distribution(df).collect()}
+    assert got == {5: 1, 1: 5}
+
+
+def test_kcore_cascading_peel(spark):
+    from salesforce_plugin_spark.functions.graph import kcore_fixed
+
+    # triangle {0,1,2} + path 2-3-4-5 hanging off it, k=2:
+    # round 1 drops 5 (deg 1), round 2 drops 4, round 3 drops 3 ->
+    # converged core = the triangle. one round is provably not enough.
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    after1 = {r.node for r in kcore_fixed(df, k=2, rounds=1).collect()}
+    assert 4 in after1  # cascade not finished after one round
+    core = {r.node: r.degree for r in kcore_fixed(df, k=2, rounds=4).collect()}
+    assert core == {0: 2, 1: 2, 2: 2}
+    # fixpoint: extra rounds change nothing
+    again = {r.node: r.degree for r in kcore_fixed(df, k=2, rounds=6).collect()}
+    assert again == core
+    with pytest.raises(ValueError):
+        kcore_fixed(df, k=0)
+
+
+# --- Markov transitions ---
+
+def test_transition_probabilities_ppm_and_rank(spark):
+    import datetime as dt
+    from salesforce_plugin_spark.operators.analytics import (
+        transition_probabilities,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=30)
+    rows = [
+        # one user, one session: a->b, b->a, a->b  (a: 2 transitions out)
+        (1, t0 + 0 * s, "a", 1),
+        (1, t0 + 1 * s, "b", 2),
+        (1, t0 + 2 * s, "a", 3),
+        (1, t0 + 3 * s, "b", 4),
+        # session break > 10 min: no transition across it
+        (1, t0 + dt.timedelta(hours=1), "c", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    out = {
+        (r.prev_type, r.next_type): r
+        for r in transition_probabilities(
+            df, "user_id", "ts", "event_type", 10, ["event_id"]
+        ).collect()
+    }
+    assert set(out) == {("a", "b"), ("b", "a")}  # no cross-session pair
+    assert out[("a", "b")].n == 2
+    assert out[("a", "b")].prob_ppm == 1_000_000
+    assert out[("b", "a")].prob_ppm == 1_000_000
+    assert out[("a", "b")].rank == 1
+
+
+# --- chat render ---
+
+def test_render_chat_offsets(spark):
+    from salesforce_plugin_spark.operators.pipeline import render_chat
+
+    df = spark.createDataFrame(
+        [(1, "one two three four"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in render_chat(
+        df, "doc_id", "text", instruction_words=3
+    ).collect()}
+    r1 = out[1]
+    assert r1.rendered == "<|user|>\none two three\n<|assistant|>\nfour"
+    assert r1.prompt_chars == len("<|user|>\none two three\n<|assistant|>\n")
+    # the completion starts exactly at prompt_chars
+    assert r1.rendered[r1.prompt_chars:] == "four"
+    assert r1.prompt_tokens == 3 and r1.completion_tokens == 1
+    # short doc: empty completion
+    r2 = out[2]
+    assert r2.completion_tokens == 0
+    assert r2.rendered.endswith("<|assistant|>\n")
+    assert r2.prompt_tokens == 2
+
+
+# --- length buckets ---
+
+def test_length_buckets_pow2_boundaries(spark):
+    from salesforce_plugin_spark.operators.pipeline import length_buckets
+
+    df = spark.createDataFrame(
+        [(1,), (15,), (16,), (17,), (32,), (33,), (100,)], "n long"
+    )
+    got = {r.bucket: r for r in length_buckets(df, "n", min_bucket=16).collect()}
+    # 1, 15, 16 -> 16; 17, 32 -> 32; 33 -> 64; 100 -> 128
+    assert got[16].n_docs == 3
+    assert got[32].n_docs == 2
+    assert got[64].n_docs == 1
+    assert got[128].n_docs == 1
+    assert got[16].padding == (16 - 1) + (16 - 15) + 0
+    assert got[32].padding == (32 - 17) + 0
+    assert got[128].padding == 28
