@@ -5657,6 +5657,199 @@ def q_length_buckets(spark, sf_dir):
     return length_buckets(d, "n_tokens", min_bucket=16)
 
 
+
+
+def q_interarrival(spark, sf_dir):
+    """Streaming capacity / watermark measurement (operators/
+    timeseries.py interarrival_stats): per-user inter-arrival gap stats
+    in exact integer micros — n/min/max/floor-mean plus max-to-mean
+    burstiness — the forward-time companion of q_disorder. One user
+    exchange feeds the lag window and the aggregate."""
+    from salesforce_plugin_spark.operators.timeseries import (
+        interarrival_stats,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return interarrival_stats(
+        e, ["user_id"], "ts", tiebreak_cols=["event_id"]
+    )
+
+
+def q_dup_size_dist(spark, sf_dir):
+    """Dedup profiling (functions/dedup.py dup_size_histogram):
+    duplicate-cluster size histogram from the content fingerprint — the
+    measurement BEFORE dedup strategy selection (singletons vs hot
+    clusters decide whether min_by suffices or hot keys need care);
+    n_docs − n_clusters per size is exactly what dedup would remove.
+    Same exchange dedup_exact pays, then a size-bounded aggregate.
+    The fixture documents are exactly unique at full length, so the
+    gate fingerprints the 6-token normalized PREFIX — genuine
+    cluster-size spread (boilerplate-opening detection, the practical
+    prefix-dup audit) rather than a degenerate 1-row histogram."""
+    from salesforce_plugin_spark.functions.dedup import dup_size_histogram
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.array_join(
+            F.slice(F.split(F.trim("text"), r"\s+"), 1, 6), " "
+        ).alias("text")
+    )
+    return dup_size_histogram(d, "text")
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer sizing (functions/text.py vocab_coverage): corpus
+    token-occurrence coverage of the top-c terms per rank cutoff — the
+    vocabulary-size / OOV-budget curve. One vocab-bounded term
+    exchange; rank + cumsum windows run over the vocab table under a
+    total (count desc, term) order; coverage is one integer div."""
+    from salesforce_plugin_spark.functions.text import vocab_coverage
+
+    d = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(d, "text", cutoffs=[1, 10, 100, 1000])
+
+
+def q_centroid_sim(spark, sf_dir):
+    """Class-confusability matrix (functions/vector.py
+    centroid_similarity): pairwise cosine between per-label centroid
+    SUM vectors (the mean's n cancels in cosine, so exact-BIGINT sums
+    of JVM-quantized components stand in directly); dot/norms exact
+    integers, cosine the single surface float (sqrt+divide+round6, the
+    q_embed_topk discipline). Everything past one (label, dim) exchange
+    is bounded by labels² × dims."""
+    from salesforce_plugin_spark.functions.vector import centroid_similarity
+
+    e = parallelized(load_table(spark, sf_dir, "embeddings"))
+    return centroid_similarity(e, "label", "embedding", scale=10_000)
+
+
+def q_rand_proj(spark, sf_dir):
+    """Dimensionality reduction (functions/vector.py random_projection):
+    Johnson–Lindenstrauss ±1 signed projection 64 → 8 dims with the
+    sign matrix a pure function of (seed, j, d) (md5 parity — no RNG
+    state, resume/reshard-identical) and components quantized to scaled
+    longs JVM-side, so every output component is an exact BIGINT. Pure
+    codegen zip_with/aggregate folds — no shuffle, no join; the oracle
+    embeds the same generated sign matrix as a VALUES table."""
+    from salesforce_plugin_spark.functions.vector import random_projection
+
+    e = parallelized(load_table(spark, sf_dir, "embeddings"))
+    return random_projection(
+        e, "vec_id", "embedding", n_components=8, dims=64, quant=1000
+    )
+
+
+def q_minmax_scale(spark, sf_dir):
+    """Feature scaling (operators/analytics.py minmax_scale): per-type
+    min-max normalization of cent-quantized values to exact integer ppm
+    — no float at the boundary (complements percentile_normalize's rank
+    scaling and winsorize's clamping). One |groups|-row aggregate +
+    un-hinted join-back."""
+    from salesforce_plugin_spark.operators.analytics import minmax_scale
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return minmax_scale(e, "event_type", "cents").select(
+        "event_id", "event_type", "y", "scaled_ppm"
+    )
+
+
+
+
+def q_token_gini(spark, sf_dir):
+    """Per-document lexical concentration (functions/text.py
+    token_gini): Gini impurity of the token distribution in exact
+    integer ppm — no float entropy/log, so the signal sits under the
+    hash gate (the class_balance discipline, per document). HOF counts
+    over the row's own token array: pure projection, NO shuffle; the
+    oracle pays an explode+group the Spark side never does."""
+    from salesforce_plugin_spark.functions.text import token_gini
+
+    d = load_table(spark, sf_dir, "documents")
+    return token_gini(d, "doc_id", "text")
+
+
+def q_source_overlap(spark, sf_dir):
+    """Corpus-mix diagnostic (functions/text.py source_vocab_overlap):
+    pairwise vocabulary Jaccard between sources in exact integer ppm —
+    which corpus slices are lexically redundant before weighting them.
+    One DISTINCT (source, term) exchange; intersections via a term
+    equijoin (co-occurring terms only, never cartesian); final
+    aggregate bounded by sources²."""
+    from salesforce_plugin_spark.functions.text import source_vocab_overlap
+
+    d = load_table(spark, sf_dir, "documents")
+    return source_vocab_overlap(d, "source", "text")
+
+
+def q_stream_interarrival(spark, sf_dir):
+    """F6 x capacity measurement: inter-arrival statistics maintained
+    FROM A STREAM (streaming/upsert.py run_stream_interarrival) —
+    three time-sliced micro-batches fold through a five-BIGINT-per-key
+    carry (last_us, n, sum, min, max); batch-boundary gaps close
+    against the carry's last_us. The final state must reproduce the
+    one-shot batch stats, so the oracle is q_interarrival's SQL
+    VERBATIM (the run_stream_cusum equivalence discipline)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_interarrival_state,
+        run_stream_interarrival,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("user_id", "ts")
+    tmp = tempfile.mkdtemp(prefix="conf_stream_ia_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    cuts = ["2024-01-10", "2024-01-20"]
+    slices = [
+        base.filter(F.col("ts") < F.lit(cuts[0]).cast("timestamp")),
+        base.filter(
+            (F.col("ts") >= F.lit(cuts[0]).cast("timestamp"))
+            & (F.col("ts") < F.lit(cuts[1]).cast("timestamp"))
+        ),
+        base.filter(F.col("ts") >= F.lit(cuts[1]).cast("timestamp")),
+    ]
+    try:
+        now = _time.time()
+        for i, sl in enumerate(slices):
+            part = os.path.join(tmp, f"stage{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(part)
+            pf = next(
+                f for f in os.listdir(part) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"batch-{i}.parquet")
+            shutil.move(os.path.join(part, pf), dst)
+            os.utime(dst, (now + i * 10, now + i * 10))
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+        run_stream_interarrival(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            key_cols=["user_id"],
+            ts_col="ts",
+        )
+        rows = read_interarrival_state(spark, state).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "user_id long, n_gaps long, min_us long, max_us long, "
+        "mean_us long, burst_x1000 long",
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- driver-graded window (first 50): one per §2 family ---
     # D1-D19: the relational surface the reference forwards to SOQL
@@ -5907,6 +6100,15 @@ QUERIES: dict[str, QueryFn] = {
     "q_markov": q_markov,
     "q_chat_render": q_chat_render,
     "q_length_buckets": q_length_buckets,
+    "q_interarrival": q_interarrival,
+    "q_dup_size_dist": q_dup_size_dist,
+    "q_vocab_coverage": q_vocab_coverage,
+    "q_centroid_sim": q_centroid_sim,
+    "q_rand_proj": q_rand_proj,
+    "q_minmax_scale": q_minmax_scale,
+    "q_token_gini": q_token_gini,
+    "q_source_overlap": q_source_overlap,
+    "q_stream_interarrival": q_stream_interarrival,
 }
 
 
@@ -10655,3 +10857,185 @@ ORACLES["q_length_buckets"] = r"""
            CAST(sum(bucket - n) AS BIGINT) AS padding
     FROM b GROUP BY 1
 """
+
+
+ORACLES["q_interarrival"] = """
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap) AS BIGINT) AS min_us,
+           CAST(max(gap) AS BIGINT) AS max_us,
+           CAST(sum(gap) // count(*) AS BIGINT) AS mean_us,
+           CASE WHEN sum(gap) // count(*) > 0 THEN
+               CAST((max(gap) * 1000) // (sum(gap) // count(*)) AS BIGINT)
+           END AS burst_x1000
+    FROM g WHERE gap IS NOT NULL GROUP BY 1
+"""
+
+ORACLES["q_dup_size_dist"] = r"""
+    WITH pfx AS (
+        SELECT array_to_string(list_slice(
+            regexp_split_to_array(trim(text), '\s+'), 1, 6), ' ') AS text
+        FROM documents
+    ), sizes AS (
+        SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+               CAST(count(*) AS BIGINT) AS cluster_size
+        FROM pfx GROUP BY 1
+    )
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY 1
+"""
+
+ORACLES["q_vocab_coverage"] = r"""
+    WITH terms AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                AS term
+            FROM documents
+        ) WHERE term <> '' GROUP BY 1
+    ), ranked AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, term ASC) AS rnk,
+               sum(cnt) OVER (ORDER BY cnt DESC, term ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER () AS total
+        FROM terms
+    ), cuts(cutoff) AS (VALUES (1), (10), (100), (1000))
+    SELECT CAST(cutoff AS BIGINT) AS cutoff,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST((max(cum) * 1000000) // max(total) AS BIGINT)
+               AS coverage_ppm
+    FROM ranked JOIN cuts ON rnk <= cutoff
+    GROUP BY 1
+"""
+
+ORACLES["q_centroid_sim"] = """
+    WITH comp AS (
+        SELECT label, g.i - 1 AS dim,
+               CAST(round(CAST(embedding[g.i] AS DOUBLE) * 10000)
+                    AS BIGINT) AS qv
+        FROM embeddings e CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(1, len(e.embedding))) AS i
+        ) g
+    ), sums AS (
+        SELECT label, dim, CAST(sum(qv) AS BIGINT) AS s
+        FROM comp GROUP BY 1, 2
+    ), norms AS (
+        SELECT label, CAST(sum(s * s) AS BIGINT) AS norm2
+        FROM sums GROUP BY 1
+    ), dots AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(sum(a.s * b.s) AS BIGINT) AS dot
+        FROM sums a JOIN sums b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT d.label_a, d.label_b, d.dot,
+           na.norm2 AS norm2_a, nb.norm2 AS norm2_b,
+           round(d.dot / (sqrt(CAST(na.norm2 AS DOUBLE))
+                          * sqrt(CAST(nb.norm2 AS DOUBLE))), 6) AS cos
+    FROM dots d
+    JOIN norms na ON na.label = d.label_a
+    JOIN norms nb ON nb.label = d.label_b
+"""
+
+
+def _rand_proj_oracle(n_components: int = 8, dims: int = 64) -> str:
+    """Embed the SAME generated sign matrix random_projection uses as a
+    VALUES table (pure function of (seed, j, d) — see
+    functions/vector.py projection_signs)."""
+    from salesforce_plugin_spark.functions.vector import projection_signs
+
+    signs = projection_signs(n_components, dims)
+    values = ", ".join(
+        f"({j}, {d}, {signs[j][d]})"
+        for j in range(n_components)
+        for d in range(dims)
+    )
+    return f"""
+    WITH s(j, d, sgn) AS (VALUES {values}),
+    q AS (
+        SELECT vec_id, g.i - 1 AS d,
+               CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000)
+                    AS BIGINT) AS qv
+        FROM embeddings e CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(1, len(e.embedding))) AS i
+        ) g
+    )
+    SELECT q.vec_id, CAST(s.j AS INT) AS j,
+           CAST(sum(s.sgn * q.qv) AS BIGINT) AS y
+    FROM q JOIN s ON s.d = q.d
+    GROUP BY 1, 2
+    """
+
+
+ORACLES["q_rand_proj"] = _rand_proj_oracle()
+
+ORACLES["q_minmax_scale"] = """
+    WITH r AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL
+    ), g AS (
+        SELECT event_type, min(y) AS mn, max(y) AS mx
+        FROM r GROUP BY 1
+    )
+    SELECT r.event_id, r.event_type, r.y,
+           CASE WHEN g.mx > g.mn THEN
+               CAST(((r.y - g.mn) * 1000000) // (g.mx - g.mn) AS BIGINT)
+           END AS scaled_ppm
+    FROM r JOIN g USING (event_type)
+"""
+
+
+ORACLES["q_token_gini"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        FROM documents
+    ), tc AS (
+        SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2
+    ), agg AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(c * c) AS BIGINT) AS sq
+        FROM tc GROUP BY 1
+    )
+    SELECT doc_id, n AS n_tokens, nd AS n_distinct,
+           CAST(((n * n - sq) * 1000000) // (n * n) AS BIGINT) AS gini_ppm
+    FROM agg
+"""
+
+ORACLES["q_source_overlap"] = r"""
+    WITH gt AS (
+        SELECT DISTINCT g, term FROM (
+            SELECT source AS g,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                       AS term
+            FROM documents
+        ) WHERE term <> ''
+    ), v AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS v FROM gt GROUP BY 1
+    ), inter AS (
+        SELECT a.g AS group_a, b.g AS group_b,
+               CAST(count(*) AS BIGINT) AS inter
+        FROM gt a JOIN gt b ON a.term = b.term AND a.g < b.g
+        GROUP BY 1, 2
+    )
+    SELECT i.group_a, i.group_b, va.v AS v_a, vb.v AS v_b, i.inter,
+           CAST((i.inter * 1000000) // (va.v + vb.v - i.inter)
+                AS BIGINT) AS jaccard_ppm
+    FROM inter i
+    JOIN v va ON va.g = i.group_a
+    JOIN v vb ON vb.g = i.group_b
+"""
+
+# streamed five-BIGINT carry == one-shot batch stats: reuse the batch
+# oracle verbatim (the equivalence is the claim)
+ORACLES["q_stream_interarrival"] = ORACLES["q_interarrival"]

@@ -1214,3 +1214,36 @@ def embedding_decontaminate(
         corpus, probe, id_col, vec_col, threshold=threshold, bits=bits
     )
     return corpus.join(bad, id_col, "left_anti")
+
+
+def dup_size_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate-cluster size histogram — the dedup PROFILING step run
+    before committing to a dedup strategy: how much of the corpus is
+    singletons vs hot near-identical clusters decides whether exact
+    min_by dedup suffices or hot-fingerprint handling (salting, count
+    caps) is needed, and ``n_docs - n_clusters`` at each size is exactly
+    the row count dedup will remove.
+
+    Shape: fingerprint projection (map-side md5), one partial-combined
+    exchange on the fingerprint (≤ one row per distinct content), then
+    a size-bounded histogram aggregate — strictly cheaper than the
+    dedup it informs, and the exchange is the same one dedup_exact
+    would pay.
+
+    Output (scalar-only): ``(cluster_size long, n_clusters long,
+    n_docs long)``.
+    """
+    from salesforce_plugin_spark.functions.text import fingerprint
+
+    sizes = (
+        df.select(fingerprint(F.col(text_col)).alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )

@@ -1102,3 +1102,176 @@ def rake_keywords(
         .filter(F.col("rank") <= top_k)
         .select("rank", "phrase", "n_words", "n_occ", "score_ppm")
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str,
+    cutoffs: list[int] = (1, 10, 100, 1000, 10000),
+) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all corpus token
+    OCCURRENCES the top-``c`` most frequent terms cover, for each rank
+    cutoff — the sizing tool for tokenizer vocabularies, OOV budgets
+    (pairs with :func:`oov_rate`, which applies one chosen vocab), and
+    stopword lists.
+
+    One partial-combined exchange on the lowercased term (vocab-bounded
+    output); ranking and cumulative sums run over the VOCAB table, never
+    the corpus, and the rank order is total (count desc, term asc) so
+    the curve is engine-reproducible. ``coverage_ppm = cum·10⁶ div
+    total`` is one integer floor divide.
+
+    Output (scalar-only): ``(cutoff long, n_terms long,
+    coverage_ppm long)`` — n_terms = min(cutoff, |vocab|).
+    """
+    terms = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    )
+    w = Window.orderBy(F.col("__cnt").desc(), F.col("term").asc())
+    ranked_terms = (
+        terms.select(
+            "term",
+            "__cnt",
+            F.row_number().over(w).cast("long").alias("__rank"),
+        )
+        .withColumn(
+            "__cum",
+            F.sum("__cnt").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("__total", F.sum("__cnt").over(Window.partitionBy()))
+        .drop("term")
+    )
+    cut_df = docs.sparkSession.createDataFrame(
+        [(int(c),) for c in cutoffs], "cutoff long"
+    )
+    return (
+        ranked_terms.crossJoin(F.broadcast(cut_df))
+        .filter(F.col("__rank") <= F.col("cutoff"))
+        .groupBy("cutoff")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.expr("(max(__cum) * 1000000) div max(__total)")
+            .cast("long")
+            .alias("coverage_ppm"),
+        )
+    )
+
+
+def token_gini(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-document lexical concentration as Gini impurity over the
+    token distribution, in exact integer ppm:
+    ``gini_ppm = (n² − Σ c_t²)·10⁶ div n²`` (c_t = count of each
+    distinct token) — 0 for a one-token loop, → 10⁶ for all-distinct
+    text. The per-document complement of corpus-level
+    ``class_balance`` and a decision-ready companion to
+    ``ngram_repetition_stats`` (no float entropy/log, so it sits under
+    the hash gate — the Gini-not-entropy trade documented there).
+
+    Entirely map-side: the per-token counts come from HOFs over the
+    row's own token array (``array_distinct`` + ``filter`` — O(n·v)
+    per row, bounded by document length), no explode, NO shuffle: the
+    100 TB shape is a pure projection on the scan.
+
+    Output (scalar-only): ``(id, n_tokens long, n_distinct long,
+    gini_ppm long)``; empty/whitespace docs surface NULL gini.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), WS_SPLIT_RE)
+    # sum of squared token counts via ONE run-length fold over the
+    # sorted array (O(n log n) sort + O(n) fold) — the naive
+    # distinct×filter form is O(n·v) in interpreted HOF lambdas and
+    # measurably slow at corpus scale
+    st = F.array_sort(toks)
+    folded = F.aggregate(
+        st,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("acc"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a.prev, a.run + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(x == a.prev, a.acc).otherwise(
+                a.acc + a.run * a.run
+            ).alias("acc"),
+        ),
+        lambda a: a.acc + a.run * a.run,
+    )
+    sumsq = folded
+    n = F.size(toks).cast("long")
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.when(n > 0, (n * n - sumsq) * F.lit(1_000_000)).alias("__num"),
+        (n * n).alias("__den"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        F.expr("__num div __den").cast("long").alias("gini_ppm"),
+    )
+
+
+def source_vocab_overlap(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus slices (sources,
+    shards, snapshots) in exact integer ppm — the corpus-mix diagnostic
+    telling you which sources are lexically redundant before weighting
+    them (pairs with ``mix_corpora``'s actuator and
+    ``histogram_tvd``'s numeric-drift sensor).
+
+    Shape: one DISTINCT (group, term) exchange (vocab × groups
+    bounded), a term-keyed self-equijoin for intersections (never
+    cartesian — only co-occurring terms pair), and a groups²-bounded
+    final aggregate. ``jaccard_ppm = inter·10⁶ div (v_a + v_b −
+    inter)``.
+
+    Output (scalar-only): ``(group_a, group_b, v_a long, v_b long,
+    inter long, jaccard_ppm long)`` for group_a < group_b.
+    """
+    gt = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    vocab = gt.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("v"))
+    a = gt.select(F.col("g").alias("group_a"), "term")
+    b = gt.select(F.col("g").alias("group_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    va = vocab.select(F.col("g").alias("group_a"), F.col("v").alias("v_a"))
+    vb = vocab.select(F.col("g").alias("group_b"), F.col("v").alias("v_b"))
+    return (
+        inter.join(va, "group_a")
+        .join(vb, "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "v_a",
+            "v_b",
+            "inter",
+            F.expr("(inter * 1000000) div (v_a + v_b - inter)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )

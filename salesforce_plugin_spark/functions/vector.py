@@ -709,3 +709,158 @@ def kmeans_margin(
             (F.col("__d2b") - F.col("__m.__d2")).alias("margin"),
         )
     )
+
+
+def centroid_similarity(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids —
+    the class-confusability / cluster-drift matrix (which labels sit
+    close in embedding space; which clusters should merge). The n in
+    each centroid mean CANCELS in the cosine, so the exact-BIGINT
+    per-(label, dim) component SUMS of JVM-quantized values stand in
+    for the centroids directly: dot and norms are exact integers, and
+    the cosine is the single surface float (two IEEE sqrts + one divide
+    + round 6 over identical integer operands — deterministic anywhere;
+    the q_embed_topk discipline).
+
+    Scale shape: posexplode → ONE partial-combined (label, dim)
+    exchange (≤ labels × dims rows); the pairwise self-join on dim and
+    everything after is bounded by labels² × dims, never the corpus.
+
+    Output (scalar-only): ``(label_a, label_b, dot long, norm2_a long,
+    norm2_b long, cos double)`` for label_a < label_b.
+    """
+    sums = (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("dim", "__v"),
+        )
+        .select(
+            "label",
+            "dim",
+            F.round(F.col("__v").cast("double") * float(scale), 0)
+            .cast("long")
+            .alias("__q"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum("__q").alias("__s"))
+    )
+    norms = sums.groupBy("label").agg(
+        F.sum(F.col("__s") * F.col("__s")).cast("long").alias("norm2")
+    )
+    a = sums.select(
+        F.col("label").alias("label_a"), "dim", F.col("__s").alias("__sa")
+    )
+    b = sums.select(
+        F.col("label").alias("label_b"), "dim", F.col("__s").alias("__sb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("__sa") * F.col("__sb")).cast("long").alias("dot"))
+    )
+    na = norms.select(
+        F.col("label").alias("label_a"), F.col("norm2").alias("norm2_a")
+    )
+    nb = norms.select(
+        F.col("label").alias("label_b"), F.col("norm2").alias("norm2_b")
+    )
+    return (
+        dots.join(na, "label_a")
+        .join(nb, "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "dot",
+            "norm2_a",
+            "norm2_b",
+            F.round(
+                F.col("dot")
+                / (
+                    F.sqrt(F.col("norm2_a").cast("double"))
+                    * F.sqrt(F.col("norm2_b").cast("double"))
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )
+
+
+def projection_signs(n_components: int, dims: int, seed: str = "jl") -> list[list[int]]:
+    """The deterministic ±1 sign matrix for :func:`random_projection`:
+    ``sign[j][d] = +1 if the first hex digit of md5('{seed}:{j}:{d}')
+    is even else -1`` — a pure function of (seed, j, d), so any engine
+    (or the oracle generator) reproduces the exact matrix with no RNG
+    state, and a resumed/re-sharded job projects identically."""
+    import hashlib
+
+    out = []
+    for j in range(n_components):
+        row = []
+        for d in range(dims):
+            h = hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 == 0 else -1)
+        out.append(row)
+    return out
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_components: int = 8,
+    dims: int = 64,
+    quant: int = 1000,
+    seed: str = "jl",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection with a DETERMINISTIC
+    ±1 sign matrix (Achlioptas 2003 database-friendly variant) — the
+    dimensionality reducer in front of clustering / LSH / drift checks
+    when 64-dim embeddings are still too wide. Components are quantized
+    to scaled longs JVM-side (the kmeans_assign idiom), so each output
+    component ``y_j = Σ_d sign(j,d)·q_d`` is an exact BIGINT — the
+    projection commutes with checkpoint/resume and replays in any
+    engine.
+
+    The sign matrix (:func:`projection_signs`) is embedded as literal
+    arrays and each component is one codegen ``zip_with``/``aggregate``
+    fold: NO shuffle, no join, no Python — per-row cost n_components·d
+    on the scan. Output row count is |input|·n_components in exploded
+    long form.
+
+    Output (scalar-only): ``(id, j int, y long)``.
+    """
+    signs = projection_signs(n_components, dims, seed)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * float(quant), 0).cast("long"),
+    )
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                q,
+                F.array(*[F.lit(s).cast("long") for s in signs[j]]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias(f"__y{j}")
+        for j in range(n_components)
+    ]
+    wide = df.select(F.col(id_col), *comps)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("j"), F.col(f"__y{j}").alias("y")
+            )
+            for j in range(n_components)
+        ]
+    )
+    return wide.select(F.col(id_col), F.explode(pairs).alias("__p")).select(
+        F.col(id_col), F.col("__p.j").alias("j"), F.col("__p.y").alias("y")
+    )

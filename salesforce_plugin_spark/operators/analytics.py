@@ -1094,3 +1094,42 @@ def transition_probabilities(
         F.expr("__num div __den").cast("long").alias("prob_ppm"),
         "rank",
     )
+
+
+def minmax_scale(
+    df: DataFrame,
+    group_col: str,
+    value_long,
+) -> DataFrame:
+    """Per-group min-max normalization to exact integer ppm:
+    ``scaled_ppm = (x − min)·10⁶ div (max − min)`` over an
+    integer-quantized value — the feature-scaling step (complementing
+    :func:`~salesforce_plugin_spark.functions.sketch.percentile_normalize`'s
+    rank scaling and ``winsorize``'s clamping) with no float at the
+    boundary, so every scaled value is bit-identical cross-engine.
+
+    One map-side-combined group aggregate (|groups| rows) joined back
+    un-hinted (AQE broadcasts while small). Degenerate groups
+    (max = min) surface ``scaled_ppm`` NULL rather than a divide error.
+    Output: input rows + ``(y long, scaled_ppm long)``.
+    """
+    y = (
+        F.col(value_long) if isinstance(value_long, str) else value_long
+    ).cast("long")
+    rows = df.select("*", y.alias("__y")).filter(F.col("__y").isNotNull())
+    stats = rows.groupBy(group_col).agg(
+        F.min("__y").alias("__mn"), F.max("__y").alias("__mx")
+    )
+    return (
+        rows.join(stats, group_col)
+        .select(
+            *df.columns,
+            F.col("__y").alias("y"),
+            F.when(
+                F.col("__mx") > F.col("__mn"),
+                F.expr("((__y - __mn) * 1000000) div (__mx - __mn)"),
+            )
+            .cast("long")
+            .alias("scaled_ppm"),
+        )
+    )

@@ -400,3 +400,53 @@ def cusum_alarms(
         s.alias("cusum"),
         (s > threshold).alias("alarm"),
     )
+
+
+def interarrival_stats(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key inter-arrival gap statistics in exact integer
+    microseconds — the measurement behind capacity planning, watermark
+    choice (pairs with ``disorder_stats``, which measures how far time
+    runs BACKWARD; this measures how it runs forward), rate-limit
+    tuning, and bot detection (burstiness).
+
+    One exchange on the key feeds the lag window and the aggregate:
+    ``(key…, n_gaps long, min_us long, max_us long, mean_us long,
+    burst_x1000 long)`` where ``mean_us = Σgap div n`` and
+    ``burst_x1000 = max·1000 div mean`` (max-to-mean ratio; 1000 =
+    perfectly regular) — all integer floor divides over exact sums.
+    Keys with fewer than two events carry no gap and are absent.
+    """
+    tiebreak = tiebreak_cols or []
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col), *[F.col(c) for c in tiebreak]
+    )
+    us = F.unix_micros(F.col(ts_col))
+    gap = (us - F.lag(us).over(w)).alias("__gap")
+    gaps = events.select(*key_cols, gap).filter(F.col("__gap").isNotNull())
+    return (
+        gaps.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.min("__gap").cast("long").alias("min_us"),
+            F.max("__gap").cast("long").alias("max_us"),
+            F.sum("__gap").cast("long").alias("__sum"),
+        )
+        .select(
+            *key_cols,
+            "n_gaps",
+            "min_us",
+            "max_us",
+            F.expr("__sum div n_gaps").cast("long").alias("mean_us"),
+            F.expr(
+                "CASE WHEN __sum div n_gaps > 0 THEN"
+                " (max_us * 1000) div (__sum div n_gaps) END"
+            )
+            .cast("long")
+            .alias("burst_x1000"),
+        )
+    )

@@ -507,3 +507,119 @@ def read_rolling_distinct(spark, state_dir: str, window_days: int = 7):
         exploded.groupBy(F.col("day2").alias("day"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
     )
+
+
+def run_stream_interarrival(
+    stream,
+    state_dir: str,
+    checkpoint: str,
+    key_cols: list[str],
+    ts_col: str,
+):
+    """Streaming inter-arrival statistics — the stream face of
+    ``timeseries.interarrival_stats`` (the run_stream_cusum
+    equivalence discipline: the final state must reproduce the one-shot
+    batch stats over everything streamed, which is what its gate
+    proves). The per-key carry is five BIGINTs: ``(last_us, n_gaps,
+    sum_us, min_us, max_us)``.
+
+    Within a batch the gap multiset is determined by sorting on the
+    timestamp alone (ties contribute zero gaps in every tie order), so
+    one lag window + one aggregate reduce the batch to per-key partial
+    stats; the batch's first event closes a BOUNDARY gap against the
+    carry's ``last_us``. REQUIRES time-sliced batches in ascending
+    order (the SCD2/CUSUM stream contract). State is one row per key
+    regardless of stream length.
+    """
+
+    def fold(batch, _id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        us = F.unix_micros(F.col(ts_col))
+        w = Window.partitionBy(*key_cols).orderBy(us)
+        gap = us - F.lag(us).over(w)
+        local = (
+            batch.select(*key_cols, us.alias("__us"), gap.alias("__gap"))
+            .groupBy(*key_cols)
+            .agg(
+                F.min("__us").alias("__first"),
+                F.max("__us").alias("__last"),
+                F.count("__gap").cast("long").alias("__n"),
+                F.coalesce(F.sum("__gap"), F.lit(0).cast("long")).alias(
+                    "__sum"
+                ),
+                F.min("__gap").alias("__mn"),
+                F.max("__gap").alias("__mx"),
+            )
+        )
+        try:
+            carry = spark.read.parquet(state_dir).localCheckpoint(
+                eager=True
+            )
+        except Exception:  # noqa: BLE001 — first batch: no state yet
+            carry = spark.createDataFrame(
+                [],
+                local.select(*key_cols)
+                .schema.add("last_us", "long")
+                .add("n_gaps", "long")
+                .add("sum_us", "long")
+                .add("min_us", "long")
+                .add("max_us", "long"),
+            )
+        j = local.join(carry, key_cols, "full_outer")
+        boundary = F.when(
+            F.col("last_us").isNotNull() & F.col("__first").isNotNull(),
+            F.col("__first") - F.col("last_us"),
+        )
+        in_batch = F.coalesce(F.col("__n"), F.lit(0).cast("long"))
+        merged = j.select(
+            *key_cols,
+            F.coalesce(F.col("__last"), F.col("last_us")).alias("last_us"),
+            (
+                F.coalesce(F.col("n_gaps"), F.lit(0).cast("long"))
+                + in_batch
+                + boundary.isNotNull().cast("long")
+            ).alias("n_gaps"),
+            (
+                F.coalesce(F.col("sum_us"), F.lit(0).cast("long"))
+                + F.coalesce(F.col("__sum"), F.lit(0).cast("long"))
+                + F.coalesce(boundary, F.lit(0).cast("long"))
+            ).alias("sum_us"),
+            F.least(F.col("min_us"), F.col("__mn"), boundary).alias(
+                "min_us"
+            ),
+            F.greatest(F.col("max_us"), F.col("__mx"), boundary).alias(
+                "max_us"
+            ),
+        ).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_interarrival_state(spark, state_dir: str) -> DataFrame:
+    """Project the accumulated carry into interarrival_stats' output
+    shape (keys with at least one gap)."""
+    s = spark.read.parquet(state_dir).filter(F.col("n_gaps") > 0)
+    return s.select(
+        *[c for c in s.columns if c not in (
+            "last_us", "n_gaps", "sum_us", "min_us", "max_us")],
+        "n_gaps",
+        "min_us",
+        "max_us",
+        F.expr("sum_us div n_gaps").cast("long").alias("mean_us"),
+        F.expr(
+            "CASE WHEN sum_us div n_gaps > 0 THEN"
+            " (max_us * 1000) div (sum_us div n_gaps) END"
+        )
+        .cast("long")
+        .alias("burst_x1000"),
+    )

@@ -161,6 +161,21 @@ PROBE = [
     "q_kmeans_margin",
     "q_neighbor_agg",
     "q_decayed_score",
+    "q_kfold",
+    "q_target_encoding",
+    "q_winsorize",
+    "q_rake",
+    "q_degree_dist",
+    "q_kcore",
+    "q_markov",
+    "q_chat_render",
+    "q_length_buckets",
+    "q_interarrival",
+    "q_dup_size_dist",
+    "q_vocab_coverage",
+    "q_centroid_sim",
+    "q_rand_proj",
+    "q_minmax_scale",
 ]
 
 

@@ -230,3 +230,217 @@ def test_length_buckets_pow2_boundaries(spark):
     assert got[16].padding == (16 - 1) + (16 - 15) + 0
     assert got[32].padding == (32 - 17) + 0
     assert got[128].padding == 28
+
+
+# --- inter-arrival stats ---
+
+def test_interarrival_exact_gaps(spark):
+    import datetime as dt
+    from salesforce_plugin_spark.operators.timeseries import (
+        interarrival_stats,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u", t0, 1),
+        ("u", t0 + dt.timedelta(seconds=1), 2),
+        ("u", t0 + dt.timedelta(seconds=4), 3),   # gaps: 1s, 3s
+        ("v", t0, 4),                             # single event: no gap
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long")
+    out = {r.k: r for r in interarrival_stats(df, ["k"], "ts", ["id"]).collect()}
+    assert set(out) == {"u"}
+    u = out["u"]
+    assert u.n_gaps == 2
+    assert u.min_us == 1_000_000 and u.max_us == 3_000_000
+    assert u.mean_us == 2_000_000
+    assert u.burst_x1000 == 1500  # 3s / 2s
+
+
+# --- dup size histogram ---
+
+def test_dup_size_histogram(spark):
+    from salesforce_plugin_spark.functions.dedup import dup_size_histogram
+
+    df = spark.createDataFrame(
+        [("a b",), ("A  b",), ("c",), ("d",)], "text string"
+    )  # "a b" and "A  b" normalize identically
+    got = {r.cluster_size: r for r in dup_size_histogram(df).collect()}
+    assert got[2].n_clusters == 1 and got[2].n_docs == 2
+    assert got[1].n_clusters == 2 and got[1].n_docs == 2
+
+
+# --- vocab coverage ---
+
+def test_vocab_coverage_curve(spark):
+    from salesforce_plugin_spark.functions.text import vocab_coverage
+
+    # counts: x:4, y:2, z:1, w:1  (total 8); rank order x,y,w,z (ties by term)
+    df = spark.createDataFrame(
+        [(1, "x x x x y y"), (2, "z w")], "doc_id long, text string"
+    )
+    got = {r.cutoff: r for r in vocab_coverage(
+        df, "text", cutoffs=[1, 2, 4, 100]
+    ).collect()}
+    assert got[1].coverage_ppm == 500_000           # 4/8
+    assert got[2].coverage_ppm == 750_000           # 6/8
+    assert got[4].coverage_ppm == 1_000_000
+    assert got[100].n_terms == 4                    # clamped at |vocab|
+
+
+# --- centroid similarity ---
+
+def test_centroid_similarity_identical_and_orthogonal(spark):
+    from salesforce_plugin_spark.functions.vector import centroid_similarity
+
+    rows = [
+        (0, [1.0, 0.0]), (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    got = {(r.label_a, r.label_b): r for r in centroid_similarity(
+        df, "label", "embedding", scale=100
+    ).collect()}
+    assert got[(0, 1)].cos == 0.0          # orthogonal
+    assert got[(0, 2)].cos == 1.0          # parallel
+    assert got[(0, 2)].dot == 200 * 100    # 2 vectors * scale · 1 * scale
+    assert got[(1, 2)].cos == 0.0
+
+
+# --- random projection ---
+
+def test_random_projection_matches_numpy(spark):
+    import numpy as np
+    from salesforce_plugin_spark.functions.vector import (
+        projection_signs,
+        random_projection,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, [float(x) for x in rng.randn(16)]) for i in range(5)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = random_projection(
+        df, "vec_id", "embedding", n_components=4, dims=16, quant=1000
+    ).collect()
+    signs = np.array(projection_signs(4, 16))
+    for r in out:
+        q = np.array(
+            [round(float(np.float64(np.float32(x))) * 1000) for x in vecs[r.vec_id][1]],
+            dtype=np.int64,
+        )
+        assert r.y == int(signs[r.j] @ q)
+    # deterministic: same matrix on re-call
+    assert projection_signs(4, 16) == projection_signs(4, 16)
+    assert len(out) == 5 * 4
+
+
+# --- min-max scaling ---
+
+def test_minmax_scale_exact(spark):
+    from salesforce_plugin_spark.operators.analytics import minmax_scale
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 15), (4, "b", 7)],
+        "id long, g string, y long",
+    )
+    got = {r.id: r for r in minmax_scale(df, "g", "y").collect()}
+    assert got[1].scaled_ppm == 0
+    assert got[2].scaled_ppm == 1_000_000
+    assert got[3].scaled_ppm == 500_000
+    assert got[4].scaled_ppm is None  # degenerate group
+
+
+# --- token gini ---
+
+def test_token_gini_known_values(spark):
+    from salesforce_plugin_spark.functions.text import token_gini
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b"), (4, "  ")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in token_gini(df, "doc_id", "text").collect()}
+    assert got[1].gini_ppm == 0                       # one token repeated
+    assert got[2].gini_ppm == 750_000                 # all distinct: 1-4/16
+    assert got[3].gini_ppm == 500_000                 # (16-8)/16
+    assert got[2].n_distinct == 4 and got[1].n_distinct == 1
+
+
+# --- source vocab overlap ---
+
+def test_source_vocab_overlap_exact(spark):
+    from salesforce_plugin_spark.functions.text import source_vocab_overlap
+
+    df = spark.createDataFrame(
+        [("s1", "a b c"), ("s2", "b c d"), ("s3", "x")],
+        "source string, text string",
+    )
+    got = {(r.group_a, r.group_b): r for r in source_vocab_overlap(
+        df, "source", "text"
+    ).collect()}
+    r = got[("s1", "s2")]
+    assert (r.v_a, r.v_b, r.inter) == (3, 3, 2)
+    assert r.jaccard_ppm == 500_000  # 2/4
+    assert ("s1", "s3") not in got   # disjoint vocab: no pair emitted
+
+
+# --- streaming inter-arrival face ---
+
+def test_stream_interarrival_equals_batch(spark, tmp_path):
+    import datetime as dt
+    import os
+    import time as _time
+
+    from salesforce_plugin_spark.operators.timeseries import (
+        interarrival_stats,
+    )
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_interarrival_state,
+        run_stream_interarrival,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u", t0),
+        ("u", t0 + dt.timedelta(seconds=2)),
+        # batch boundary gap: 5s
+        ("u", t0 + dt.timedelta(seconds=7)),
+        ("u", t0 + dt.timedelta(seconds=8)),
+        ("v", t0 + dt.timedelta(seconds=7)),   # appears only in batch 2
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = df.filter(df.ts < dt.datetime(2024, 1, 1, 0, 0, 5))
+    b2 = df.filter(df.ts >= dt.datetime(2024, 1, 1, 0, 0, 5))
+    now = _time.time()
+    for i, b in enumerate([b1, b2]):
+        stage = str(tmp_path / f"stage{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(stage, pf), dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    run_stream_interarrival(
+        stream, state, str(tmp_path / "ckpt"), ["k"], "ts"
+    )
+    streamed = {
+        r.k: r for r in read_interarrival_state(spark, state).collect()
+    }
+    batch = {
+        r.k: r for r in interarrival_stats(df, ["k"], "ts").collect()
+    }
+    assert set(streamed) == set(batch) == {"u"}  # v: single event, no gap
+    for k in batch:
+        for c in ["n_gaps", "min_us", "max_us", "mean_us", "burst_x1000"]:
+            assert getattr(streamed[k], c) == getattr(batch[k], c), (k, c)
+    # the boundary gap was genuinely exercised
+    assert streamed["u"].max_us == 5_000_000
+    assert streamed["u"].n_gaps == 3
