@@ -5850,6 +5850,200 @@ def q_stream_interarrival(spark, sf_dir):
     )
 
 
+
+
+def _slice_to_files(spark, slices, tmp, schema_cols):
+    """Write each slice as one parquet file with ascending mtimes under
+    tmp/src (the shared micro-batch scaffolding of the stream gates)."""
+    import os
+    import shutil
+    import time as _time
+
+    src = os.path.join(tmp, "src")
+    os.makedirs(src, exist_ok=True)
+    now = _time.time()
+    for i, sl in enumerate(slices):
+        part = os.path.join(tmp, f"stage{i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(part)
+        pf = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"batch-{i}.parquet")
+        shutil.move(os.path.join(part, pf), dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    return src
+
+
+def q_stream_class_balance(spark, sf_dir):
+    """F6 x curation sensing: the label-balance report maintained FROM
+    A STREAM (streaming/upsert.py run_stream_additive_counts — the
+    generic additive-count face): three DISJOINT doc_id slices append
+    per-batch (cell, n) partials; summed state feeds
+    class_balance_from_counts, and the result must equal the one-shot
+    batch report — oracle is q_class_balance's SQL VERBATIM. The label
+    cell is derived INSIDE the fold (prepare=), so the stream carries
+    raw documents."""
+    import shutil
+    import tempfile
+    import os
+
+    from salesforce_plugin_spark.operators.analytics import (
+        class_balance_from_counts,
+    )
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_summed_counts,
+        run_stream_additive_counts,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_stream_cb_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [d.filter(F.col("doc_id") % 3 == i) for i in range(3)],
+            tmp,
+            None,
+        )
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, lang string, source string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+        run_stream_additive_counts(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            group_cols=["cell"],
+            prepare=lambda b: b.select(
+                F.concat_ws("/", "lang", "source").alias("cell")
+            ),
+        )
+        counts = read_summed_counts(spark, state, ["cell"]).select(
+            F.col("cell").alias("label"), "n"
+        )
+        rows = class_balance_from_counts(counts).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "label string, n long, share_ppm long, gini_ppm long"
+    )
+
+
+def q_stream_vocab_coverage(spark, sf_dir):
+    """F6 x tokenizer sizing: the vocabulary-coverage curve maintained
+    FROM A STREAM — per-batch token-count partials (explode inside the
+    fold) append as additive state; the summed (term, n) table feeds
+    coverage_from_term_counts and must reproduce the one-shot curve
+    (q_vocab_coverage's oracle VERBATIM). State is vocab-bounded per
+    batch regardless of event volume."""
+    import shutil
+    import tempfile
+    import os
+
+    from salesforce_plugin_spark.functions.text import (
+        coverage_from_term_counts,
+        tokens as _tokens,
+    )
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_summed_counts,
+        run_stream_additive_counts,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="conf_stream_vc_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [d.filter(F.col("doc_id") % 3 == i) for i in range(3)],
+            tmp,
+            None,
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+        run_stream_additive_counts(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            group_cols=["term"],
+            prepare=lambda b: b.select(
+                F.explode(_tokens(F.lower(F.col("text")))).alias("term")
+            ).filter(F.col("term") != ""),
+        )
+        counts = read_summed_counts(spark, state, ["term"]).select(
+            "term", F.col("n").alias("__cnt")
+        )
+        rows = coverage_from_term_counts(
+            counts, cutoffs=[1, 10, 100, 1000]
+        ).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "cutoff long, n_terms long, coverage_ppm long"
+    )
+
+
+def q_stream_user_growth(spark, sf_dir):
+    """F6 x growth accounting: daily active/new/cumulative users
+    maintained FROM A STREAM by REUSING run_stream_active_days' (user,
+    day) SET state — everything user_growth needs (actives per day,
+    first-seen day, cumulative) derives from that one accumulated set,
+    so the stream face is a reader over existing state, zero new fold
+    code. Set semantics make the deliberately OVERLAPPING slices
+    harmless (the q_stream_rolling_wau claim); result must equal the
+    one-shot batch run — q_user_growth's oracle VERBATIM."""
+    import shutil
+    import tempfile
+    import os
+
+    from salesforce_plugin_spark.operators.analytics import user_growth
+    from salesforce_plugin_spark.streaming.upsert import (
+        run_stream_active_days,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="conf_stream_ug_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [
+                ev.filter(F.col("event_id") % 3 == 0).select("user_id", "ts"),
+                ev.filter(F.col("event_id") % 3 == 1).select("user_id", "ts"),
+                ev.filter(
+                    (F.col("event_id") % 3 == 2) | (F.col("event_id") % 5 == 0)
+                ).select("user_id", "ts"),
+            ],
+            tmp,
+            None,
+        )
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+        run_stream_active_days(
+            stream, state, os.path.join(tmp, "ckpt"), "user_id", "ts"
+        )
+        kd = spark.read.parquet(state).distinct()
+        rows = user_growth(
+            kd.select(F.col("key").alias("user_id"), F.col("day").alias("ts")),
+            "user_id",
+            "ts",
+        ).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "day date, active_users long, new_users long, cum_users long"
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- driver-graded window (first 50): one per §2 family ---
     # D1-D19: the relational surface the reference forwards to SOQL
@@ -6109,6 +6303,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_token_gini": q_token_gini,
     "q_source_overlap": q_source_overlap,
     "q_stream_interarrival": q_stream_interarrival,
+    "q_stream_class_balance": q_stream_class_balance,
+    "q_stream_vocab_coverage": q_stream_vocab_coverage,
+    "q_stream_user_growth": q_stream_user_growth,
 }
 
 
@@ -11039,3 +11236,10 @@ ORACLES["q_source_overlap"] = r"""
 # streamed five-BIGINT carry == one-shot batch stats: reuse the batch
 # oracle verbatim (the equivalence is the claim)
 ORACLES["q_stream_interarrival"] = ORACLES["q_interarrival"]
+
+
+# additive / set state == one-shot batch runs: reuse the batch oracles
+# verbatim (the equivalence is the claim)
+ORACLES["q_stream_class_balance"] = ORACLES["q_class_balance"]
+ORACLES["q_stream_vocab_coverage"] = ORACLES["q_vocab_coverage"]
+ORACLES["q_stream_user_growth"] = ORACLES["q_user_growth"]

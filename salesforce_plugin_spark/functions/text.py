@@ -1094,14 +1094,20 @@ def rake_keywords(
         .groupBy("phrase", "n_words", "n_occ")
         .agg(F.sum("__wscore").cast("long").alias("score_ppm"))
     )
+    # distributed top-k (TakeOrderedAndProject), NOT a global rank
+    # window: the window form funnels every distinct phrase through one
+    # partition and measured 3.2x at the 10x probe; orderBy+limit keeps
+    # per-partition heaps and ships only k rows. The rank window then
+    # runs over <= top_k rows.
+    topk = scored.orderBy(
+        F.col("score_ppm").desc(), F.col("n_occ").desc(), F.col("phrase").asc()
+    ).limit(top_k)
     w = Window.orderBy(
         F.col("score_ppm").desc(), F.col("n_occ").desc(), F.col("phrase").asc()
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= top_k)
-        .select("rank", "phrase", "n_words", "n_occ", "score_ppm")
-    )
+    return topk.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select("rank", "phrase", "n_words", "n_occ", "score_ppm")
 
 
 def vocab_coverage(
@@ -1130,6 +1136,16 @@ def vocab_coverage(
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
     )
+    return coverage_from_term_counts(terms, cutoffs)
+
+
+def coverage_from_term_counts(
+    terms: DataFrame,
+    cutoffs: list[int] = (1, 10, 100, 1000, 10000),
+) -> DataFrame:
+    """:func:`vocab_coverage` from a pre-aggregated ``(term, __cnt)``
+    table — the entry point for additive term-count state (streaming
+    face / incremental vocabulary maintenance)."""
     w = Window.orderBy(F.col("__cnt").desc(), F.col("term").asc())
     ranked_terms = (
         terms.select(
@@ -1146,7 +1162,7 @@ def vocab_coverage(
         .withColumn("__total", F.sum("__cnt").over(Window.partitionBy()))
         .drop("term")
     )
-    cut_df = docs.sparkSession.createDataFrame(
+    cut_df = terms.sparkSession.createDataFrame(
         [(int(c),) for c in cutoffs], "cutoff long"
     )
     return (

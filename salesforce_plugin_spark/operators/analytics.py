@@ -351,13 +351,21 @@ def class_balance(df: DataFrame, label_col: str) -> DataFrame:
     counts = df.groupBy(F.col(label_col).alias("label")).agg(
         F.count("*").alias("n")
     )
+    return class_balance_from_counts(counts)
+
+
+def class_balance_from_counts(counts: DataFrame) -> DataFrame:
+    """:func:`class_balance` from a pre-aggregated ``(label, n)``
+    table — the entry point for additive label-count state (the
+    streaming face folds per-batch counts and feeds the sum here;
+    rollup-maintained label counts compose the same way)."""
     stats = counts.agg(
         F.sum("n").alias("__total"),
         F.sum(F.col("n") * F.col("n")).alias("__sq"),
     )
     return counts.crossJoin(F.broadcast(stats)).select(
         "label",
-        "n",
+        F.col("n").cast("long").alias("n"),
         F.expr("n * 1000000 div __total").alias("share_ppm"),
         F.expr("(__total * __total - __sq) * 1000000 div (__total * __total)")
         .alias("gini_ppm"),

@@ -623,3 +623,52 @@ def read_interarrival_state(spark, state_dir: str) -> DataFrame:
         .cast("long")
         .alias("burst_x1000"),
     )
+
+
+def run_stream_additive_counts(
+    stream,
+    state_dir: str,
+    checkpoint: str,
+    group_cols: list[str],
+    prepare=None,
+):
+    """Generic additive-count stream face: each micro-batch appends its
+    per-group partial row counts; because counting is associative and
+    commutative, the SUMMED state equals one batch count over
+    everything streamed — the run_stream_cm / run_stream_histogram
+    additivity discipline generalized to any categorical count state
+    (label balance, vocabulary counts, per-source volumes).
+
+    ``prepare`` (optional) maps the raw batch DataFrame to counting
+    rows first (e.g. explode tokens, derive a label cell) — it runs
+    INSIDE the fold so the stream carries raw events. Batches must be
+    DISJOINT row slices (counts add; unlike the set-state face, replay
+    or overlap double-counts). State grows by ≤ |groups| rows per
+    batch; read with :func:`read_summed_counts` and compact by
+    rewriting the summed table.
+    """
+
+    def fold(batch, _id: int) -> None:
+        rows = prepare(batch) if prepare is not None else batch
+        rows.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ).write.mode("append").parquet(state_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_summed_counts(spark, state_dir: str, group_cols: list[str]):
+    """Sum the accumulated per-batch partial counts to the final
+    per-group totals (exact: BIGINT addition in any order)."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy(*group_cols)
+        .agg(F.sum("n").cast("long").alias("n"))
+    )

@@ -176,6 +176,8 @@ PROBE = [
     "q_centroid_sim",
     "q_rand_proj",
     "q_minmax_scale",
+    "q_token_gini",
+    "q_source_overlap",
 ]
 
 

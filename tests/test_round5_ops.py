@@ -444,3 +444,45 @@ def test_stream_interarrival_equals_batch(spark, tmp_path):
     # the boundary gap was genuinely exercised
     assert streamed["u"].max_us == 5_000_000
     assert streamed["u"].n_gaps == 3
+
+
+# --- generic additive-count stream face ---
+
+def test_stream_additive_counts_equals_batch(spark, tmp_path):
+    import os
+    import time as _time
+
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_summed_counts,
+        run_stream_additive_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(30)], "id long, g string"
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now = _time.time()
+    for i in range(2):
+        b = df.filter(df.id % 2 == i)
+        stage = str(tmp_path / f"stage{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(stage, pf), dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    stream = (
+        spark.readStream.schema("id long, g string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    run_stream_additive_counts(
+        stream, state, str(tmp_path / "ckpt"), ["g"]
+    )
+    # state holds one partial per (batch, group): genuinely merged
+    assert spark.read.parquet(state).count() == 6
+    got = {r.g: r.n for r in read_summed_counts(spark, state, ["g"]).collect()}
+    want = {r.g: r.n for r in df.groupBy("g").count()
+            .withColumnRenamed("count", "n").collect()}
+    assert got == want
