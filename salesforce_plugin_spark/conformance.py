@@ -6044,6 +6044,66 @@ def q_stream_user_growth(spark, sf_dir):
     )
 
 
+
+
+def q_bpe_apply(spark, sf_dir):
+    """Tokenizer APPLICATION (functions/text.py bpe_apply): segment the
+    corpus with the top-6 char-pair merge table (bpe_pair_counts' rank
+    order) and return exact per-document token counts — the consumer
+    side of q_bpe_step, i.e. "how many tokens is this corpus under the
+    tokenizer". Each merge is one global leftmost-non-overlapping
+    literal replacement over sentinel-spaced characters — semantics
+    both engines' replace() share, so the segmentation replays
+    verbatim. The chain runs over the DISTINCT vocab only; counts join
+    back per (doc, word)."""
+    from salesforce_plugin_spark.functions.text import bpe_apply
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_apply(d, "doc_id", "text", n_merges=6)
+
+
+
+
+def q_rolling_quantiles(spark, sf_dir):
+    """Observability workhorse (functions/sketch.py rolling_quantiles):
+    trailing-7-day p50/p95 per event type — rolling quantiles have no
+    exact sliding form (not subtractable) and t-digests are merge-order
+    nondeterministic; the additive day-level histogram (width 2.0 exact
+    binary) + day-explode merge + upper-edge election replays
+    cross-engine. Exchanges bounded by keys × days × bins, never event
+    volume."""
+    from salesforce_plugin_spark.functions.sketch import rolling_quantiles
+
+    e = load_table(spark, sf_dir, "events")
+    return rolling_quantiles(
+        e, "event_type", "ts", "value", [0.5, 0.95],
+        lo=0.0, hi=512.0, n_bins=256, window_days=7,
+    )
+
+
+def q_keyset_page(spark, sf_dir):
+    """Scale-correct pagination (operators/transforms.py keyset_page):
+    the page strictly after a (date, key) cursor — deep OFFSET (D17,
+    q_offset_page) scans-and-discards O(depth) per page; the keyset
+    OR-of-ANDs predicate pushes to the scan (row-group min/max skip
+    everything before the cursor) and sort+limit is
+    TakeOrderedAndProject. Cursor tuple includes the unique key, so
+    paging is gap/duplicate-free."""
+    import datetime as _dt
+
+    from salesforce_plugin_spark.operators.transforms import keyset_page
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    return keyset_page(
+        o,
+        ["o_orderdate", "o_orderkey"],
+        [_dt.date(1995, 6, 15), 3000],
+        100,
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- driver-graded window (first 50): one per §2 family ---
     # D1-D19: the relational surface the reference forwards to SOQL
@@ -6306,6 +6366,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_stream_class_balance": q_stream_class_balance,
     "q_stream_vocab_coverage": q_stream_vocab_coverage,
     "q_stream_user_growth": q_stream_user_growth,
+    "q_bpe_apply": q_bpe_apply,
+    "q_rolling_quantiles": q_rolling_quantiles,
+    "q_keyset_page": q_keyset_page,
 }
 
 
@@ -11243,3 +11306,102 @@ ORACLES["q_stream_interarrival"] = ORACLES["q_interarrival"]
 ORACLES["q_stream_class_balance"] = ORACLES["q_class_balance"]
 ORACLES["q_stream_vocab_coverage"] = ORACLES["q_vocab_coverage"]
 ORACLES["q_stream_user_growth"] = ORACLES["q_user_growth"]
+
+
+def _bpe_apply_oracle(n_merges: int = 6) -> str:
+    """Nested replace() chain over the rank-ordered merge table
+    (scalar subqueries parameterize each step — mirrors bpe_apply's
+    driver-collected merge literals)."""
+    seg = "' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '"
+    for i in range(1, n_merges + 1):
+        pat = (
+            f"(SELECT ' ' || substr(pair, 1, 1) || ' ' || substr(pair, 2, 1)"
+            f" || ' ' FROM ranked WHERE rk = {i})"
+        )
+        rep = f"(SELECT ' ' || pair || ' ' FROM ranked WHERE rk = {i})"
+        seg = f"replace({seg}, {pat}, {rep})"
+    return f"""
+    WITH words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS wf
+        FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents
+        )
+        WHERE regexp_matches(w, '^[a-z]+$') AND strlen(w) >= 2
+        GROUP BY w
+    ), prs AS (
+        SELECT substr(w, CAST(i AS INT), 2) AS pair, wf
+        FROM (
+            SELECT w, wf, unnest(generate_series(1, strlen(w) - 1)) AS i
+            FROM words
+        )
+    ), agg AS (
+        SELECT pair, CAST(sum(wf) AS BIGINT) AS n FROM prs GROUP BY pair
+    ), ranked AS (
+        SELECT pair, row_number() OVER (ORDER BY n DESC, pair) AS rk
+        FROM agg
+    ), ex AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents
+        ) WHERE w <> ''
+    ), mult AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS m
+        FROM ex GROUP BY 1, 2
+    ), vocab AS (
+        SELECT DISTINCT w FROM mult
+        WHERE regexp_matches(w, '^[a-z]+$') AND strlen(w) >= 2
+    ), seg AS (
+        SELECT w, {seg} AS s FROM vocab
+    ), vtok AS (
+        SELECT w, CAST(len(str_split(trim(s), ' ')) AS BIGINT) AS nt
+        FROM seg
+    )
+    SELECT mult.doc_id, CAST(sum(m) AS BIGINT) AS n_words,
+           CAST(sum(m * coalesce(nt, 1)) AS BIGINT) AS n_tokens
+    FROM mult LEFT JOIN vtok USING (w)
+    GROUP BY 1
+    """
+
+
+ORACLES["q_bpe_apply"] = _bpe_apply_oracle()
+
+
+ORACLES["q_rolling_quantiles"] = """
+    WITH daily AS (
+        SELECT event_type AS key, CAST(ts AS DATE) AS d,
+               CAST(least(255, greatest(0,
+                   CAST(floor((value - 0.0) / 2.0) AS BIGINT))) AS INT)
+                   AS bin,
+               count(*) AS cnt
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2, 3
+    ), served AS (
+        SELECT key, bin, cnt, d + CAST(g.i AS INT) AS day
+        FROM daily CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(0, 6)) AS i
+        ) g
+    ), wnd AS (
+        SELECT key, day, bin, sum(cnt) AS cnt
+        FROM served GROUP BY 1, 2, 3
+    ), cum AS (
+        SELECT key, day, bin, cnt,
+               sum(cnt) OVER (PARTITION BY key, day ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS c,
+               sum(cnt) OVER (PARTITION BY key, day) AS n
+        FROM wnd
+    ), qv(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.95 AS DOUBLE)))
+    SELECT key, day, q,
+           CAST(0.0 + 2.0 * (min(bin) + 1) AS DOUBLE) AS est,
+           CAST(max(n) AS BIGINT) AS n_total
+    FROM cum JOIN qv ON c >= ceil(q * n)
+    GROUP BY 1, 2, 3
+"""
+
+ORACLES["q_keyset_page"] = """
+    SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders
+    WHERE (o_orderdate > DATE '1995-06-15')
+       OR (o_orderdate = DATE '1995-06-15' AND o_orderkey > 3000)
+    ORDER BY o_orderdate, o_orderkey LIMIT 100
+"""

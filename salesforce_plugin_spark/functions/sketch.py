@@ -840,3 +840,92 @@ def winsorize(
             (v != wz).cast("int").alias("clamped"),
         )
     )
+
+
+def rolling_quantiles(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+    window_days: int = 7,
+) -> DataFrame:
+    """Per-key TRAILING-WINDOW quantiles ("rolling p95 per service") —
+    the observability workhorse that has no sliding-window exact form
+    at scale (quantiles aren't subtractable) and whose t-digest
+    implementations are merge-order nondeterministic. Solved the
+    histogram way: quantile state IS additive.
+
+    Plan: collapse events to day-level per-(key, bin) histograms
+    (ONE map-side-combined exchange; ≤ keys × days × n_bins rows
+    survive — never event volume), explode each day row into the ≤
+    ``window_days`` report days it serves (the rolling_wau move), sum
+    bins per (key, report day), then run the standard upper-edge
+    election per (key, day). Every value is exact-binary (size lo/hi
+    so width is a power of two) and the election is the
+    binned_quantiles contract, so results replay cross-engine.
+
+    Output (scalar-only): ``(key, day date, q double, est double,
+    n_total long)`` — days with no window data are absent (join a
+    calendar spine for gap-explicit output).
+    """
+    if not qs:
+        raise ValueError("rolling_quantiles requires at least one quantile")
+    if not lo < hi:
+        raise ValueError("rolling_quantiles requires lo < hi")
+    width = (hi - lo) / n_bins
+    raw_bin = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw_bin)).cast(
+        "int"
+    )
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.to_date(F.col(ts_col)).alias("__d"),
+            bin_.alias("bin"),
+        )
+        .groupBy("key", "__d", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    served = daily.select(
+        "key",
+        "bin",
+        "cnt",
+        F.explode(
+            F.sequence(
+                F.col("__d"), F.date_add(F.col("__d"), window_days - 1)
+            )
+        ).alias("day"),
+    )
+    windowed = served.groupBy("key", "day", "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    w = (
+        Window.partitionBy("key", "day")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = windowed.withColumn("__cum", F.sum("cnt").over(w)).withColumn(
+        "__n", F.sum("cnt").over(Window.partitionBy("key", "day"))
+    )
+    q_df = df.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    hit = cum.crossJoin(F.broadcast(q_df)).filter(
+        F.col("__cum") >= F.ceil(F.col("q") * F.col("__n"))
+    )
+    return (
+        hit.groupBy("key", "day", "q")
+        .agg(F.min("bin").alias("bin"), F.max("__n").alias("n_total"))
+        .select(
+            "key",
+            "day",
+            "q",
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("est"),
+            F.col("n_total").cast("long").alias("n_total"),
+        )
+    )

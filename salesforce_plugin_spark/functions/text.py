@@ -1291,3 +1291,81 @@ def source_vocab_overlap(
             .alias("jaccard_ppm"),
         )
     )
+
+
+def bpe_apply(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 6,
+) -> DataFrame:
+    """Tokenizer APPLICATION: segment every document with a BPE merge
+    table and return exact per-document token counts — the consumer
+    side of :func:`bpe_pair_counts` (training selects merges; this
+    applies them), i.e. the "how many tokens is this corpus under the
+    tokenizer" accounting that sizes training runs.
+
+    The merge table here is the top-``n_merges`` char pairs of the
+    single-step pair table, applied IN RANK ORDER; each merge is one
+    global leftmost-non-overlapping literal replacement over the
+    space-separated character form with sentinel spaces
+    (``' t h e '`` --' t h '→ ``' th e '``), which is exactly how both
+    Spark's and DuckDB's (and RE2's) replace semantics scan — so the
+    segmentation replays verbatim cross-engine. One pass per merge (a
+    repeated pair left un-merged by non-overlap stays un-merged — the
+    documented single-pass contract).
+
+    Scale shape: the merge chain runs over the DISTINCT alphabetic
+    vocabulary (the bpe_pair_counts pre-aggregation move — segmentation
+    touches the vocab, never the corpus), then joins token counts back
+    onto per-(doc, word) multiplicities: one word exchange + one doc
+    exchange. Non-alphabetic/short tokens count 1 token each
+    (passthrough, never merged). The ≤ ``n_merges``-row merge table is
+    collected to the driver to parameterize the plan (bounded,
+    plan-construction-time — the seeds/codebook discipline).
+
+    Output (scalar-only): ``(id, n_words long, n_tokens long)`` where
+    n_tokens is the post-merge token count over alphabetic words plus
+    the passthrough count.
+    """
+    if n_merges < 1:
+        raise ValueError("bpe_apply requires n_merges >= 1")
+    merges = [
+        r.pair
+        for r in bpe_pair_counts(docs, text_col, top_n=n_merges)
+        .orderBy("rank")
+        .collect()
+    ]
+    toks = tokens(F.lower(F.col(text_col)))
+    ex = docs.select(F.col(id_col), F.explode(toks).alias("__w")).filter(
+        F.col("__w") != ""
+    )
+    mult = ex.groupBy(id_col, "__w").agg(
+        F.count(F.lit(1)).cast("long").alias("__m")
+    )
+    mergeable = F.col("__w").rlike("^[a-z]+$") & (F.length("__w") >= 2)
+    vocab = mult.select("__w").distinct().filter(mergeable)
+    spaced = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.col("__w"), "(.)", "$1 ")),
+        F.lit(" "),
+    )
+    seg = spaced
+    for pair in merges:
+        a, b = pair[0], pair[1]
+        seg = F.replace(
+            seg, F.lit(f" {a} {b} "), F.lit(f" {pair} ")
+        )
+    vtok = vocab.select(
+        "__w",
+        F.size(F.split(F.trim(seg), " ")).cast("long").alias("__nt"),
+    )
+    counted = mult.join(vtok, "__w", "left").select(
+        F.col(id_col),
+        F.col("__m"),
+        F.coalesce(F.col("__nt"), F.lit(1).cast("long")).alias("__nt"),
+    )
+    return counted.groupBy(id_col).agg(
+        F.sum("__m").cast("long").alias("n_words"),
+        F.sum(F.col("__m") * F.col("__nt")).cast("long").alias("n_tokens"),
+    )

@@ -142,3 +142,39 @@ def union_evolve(dfs: list[DataFrame]) -> DataFrame:
     for d in aligned[1:]:
         out = out.unionByName(d)
     return out
+
+
+def keyset_page(
+    df: DataFrame,
+    sort_cols: list[str],
+    last_values: list | None,
+    page_size: int,
+) -> DataFrame:
+    """Keyset (cursor) pagination: the first ``page_size`` rows
+    STRICTLY AFTER the ``last_values`` tuple in ``sort_cols``
+    lexicographic order — the scale-correct replacement for deep
+    OFFSET (D17): OFFSET n scans-and-discards n rows on every page
+    (O(depth) per page, and Spark must feed a single task to count
+    them), while the keyset predicate is an OR-of-ANDs over the sort
+    columns that PUSHES TO THE SCAN (row-group min/max skip everything
+    before the cursor) and the sort+limit compiles to
+    TakeOrderedAndProject — O(page) at any depth. The cursor for the
+    next page is the last row's sort tuple; uniqueness of the full
+    tuple (include a key column last) makes paging gap- and
+    duplicate-free under concurrent appends beyond the cursor.
+
+    ``last_values=None`` returns the first page.
+    """
+    if page_size < 1:
+        raise ValueError("keyset_page requires page_size >= 1")
+    if last_values is not None:
+        if len(last_values) != len(sort_cols):
+            raise ValueError("last_values must match sort_cols")
+        pred = None
+        for i in range(len(sort_cols)):
+            clause = F.col(sort_cols[i]) > F.lit(last_values[i])
+            for j in range(i):
+                clause = (F.col(sort_cols[j]) == F.lit(last_values[j])) & clause
+            pred = clause if pred is None else (pred | clause)
+        df = df.filter(pred)
+    return df.orderBy(*[F.col(c) for c in sort_cols]).limit(page_size)

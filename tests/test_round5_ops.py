@@ -486,3 +486,85 @@ def test_stream_additive_counts_equals_batch(spark, tmp_path):
     want = {r.g: r.n for r in df.groupBy("g").count()
             .withColumnRenamed("count", "n").collect()}
     assert got == want
+
+
+# --- BPE apply ---
+
+def test_bpe_apply_single_pass_non_overlap(spark):
+    from salesforce_plugin_spark.functions.text import bpe_apply
+
+    # corpus vocab {llll}: only pair 'll' -> single merge. one
+    # left-to-right non-overlapping pass over ' l l l l ' merges the
+    # FIRST pair only (' ll l l '): 3 tokens per word.
+    df = spark.createDataFrame(
+        [(1, "llll llll"), (2, "x9 a")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in bpe_apply(
+        df, "doc_id", "text", n_merges=2
+    ).collect()}
+    assert got[1].n_words == 2 and got[1].n_tokens == 6
+    # non-alphabetic / 1-char words pass through at 1 token each
+    assert got[2].n_words == 2 and got[2].n_tokens == 2
+
+
+def test_bpe_apply_merge_order(spark):
+    from salesforce_plugin_spark.functions.text import bpe_apply
+
+    # vocab {the: 3}: pairs th(3), he(3); rank order is (n desc, pair
+    # asc) -> 'he' merges FIRST, blocking 'th': 'the' -> [t, he].
+    df = spark.createDataFrame(
+        [(1, "the the the")], "doc_id long, text string"
+    )
+    r = bpe_apply(df, "doc_id", "text", n_merges=2).collect()[0]
+    assert r.n_words == 3 and r.n_tokens == 6
+
+
+# --- rolling quantiles ---
+
+def test_rolling_quantiles_window_semantics(spark):
+    import datetime as dt
+    from salesforce_plugin_spark.functions.sketch import rolling_quantiles
+
+    # key 'a': day 1 has values {2.0 x3}, day 5 has {10.0 x1}.
+    # with a 7-day window, day 5's report sees all 4 values; day 1's
+    # report sees only day 1. width = 1.0 (lo=0, hi=16, 16 bins):
+    # upper-edge convention -> p50(day1) = 3.0 (bin 2), p50(day5) = 3.0,
+    # p95... for 4 values ceil(.95*4)=4 -> the 10.0 bin -> est 11.0.
+    rows = [("a", dt.datetime(2024, 1, 1, 12), 2.0)] * 3 + [
+        ("a", dt.datetime(2024, 1, 5, 12), 10.0)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        (r.key, str(r.day), r.q): r
+        for r in rolling_quantiles(
+            df, "k", "ts", "v", [0.5, 0.95], 0.0, 16.0, 16, 7
+        ).collect()
+    }
+    assert out[("a", "2024-01-01", 0.5)].est == 3.0
+    assert out[("a", "2024-01-01", 0.5)].n_total == 3
+    assert out[("a", "2024-01-05", 0.5)].est == 3.0
+    assert out[("a", "2024-01-05", 0.95)].est == 11.0
+    assert out[("a", "2024-01-05", 0.95)].n_total == 4
+    # day 8 is served by day 5's explode only (day 1 aged out)
+    assert out[("a", "2024-01-08", 0.5)].n_total == 1
+    assert out[("a", "2024-01-11", 0.5)].n_total == 1  # last served day
+    assert ("a", "2024-01-12", 0.5) not in out  # beyond day 5 + 6
+
+
+# --- keyset pagination ---
+
+def test_keyset_page_boundaries(spark):
+    from salesforce_plugin_spark.operators.transforms import keyset_page
+
+    df = spark.createDataFrame(
+        [(d, k) for d in [1, 2, 3] for k in [10, 20, 30]], "d int, k int"
+    )
+    page = keyset_page(df, ["d", "k"], [2, 20], 3).collect()
+    assert [(r.d, r.k) for r in page] == [(2, 30), (3, 10), (3, 20)]
+    first = keyset_page(df, ["d", "k"], None, 4).collect()
+    assert [(r.d, r.k) for r in first] == [
+        (1, 10), (1, 20), (1, 30), (2, 10)
+    ]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        keyset_page(df, ["d"], [1, 2], 3)
