@@ -6104,6 +6104,30 @@ def q_keyset_page(spark, sf_dir):
     )
 
 
+
+
+def q_ann_recall(spark, sf_dir):
+    """ANN quality evaluation (functions/vector.py ann_recall):
+    recall@10 and reciprocal rank of the deterministic IVF search
+    (8-seed codebook, nprobe=3) against exact brute force for a
+    10-query batch — the measurement that picks nprobe/nlist before an
+    index ships. Both sides rank by rounded cosine with id tiebreaks
+    (total orders), so even the approximate side's misses replay
+    cross-engine."""
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        V.as_double(F.col("embedding")).alias("c_vec"),
+    )
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        V.as_double(F.col("embedding")).alias("q_vec"),
+    )
+    return V.ann_recall(
+        e, "vec_id", "embedding", seeds, queries, k=10, nprobe=3
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- driver-graded window (first 50): one per §2 family ---
     # D1-D19: the relational surface the reference forwards to SOQL
@@ -6369,6 +6393,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_bpe_apply": q_bpe_apply,
     "q_rolling_quantiles": q_rolling_quantiles,
     "q_keyset_page": q_keyset_page,
+    "q_ann_recall": q_ann_recall,
 }
 
 
@@ -11404,4 +11429,72 @@ ORACLES["q_keyset_page"] = """
     WHERE (o_orderdate > DATE '1995-06-15')
        OR (o_orderdate = DATE '1995-06-15' AND o_orderkey > 3000)
     ORDER BY o_orderdate, o_orderkey LIMIT 100
+"""
+
+
+ORACLES["q_ann_recall"] = """
+    WITH seeds AS (
+        SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_vec
+        FROM embeddings WHERE vec_id < 8
+    ), q AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        FROM embeddings WHERE vec_id < 10
+    ), exact AS (
+        SELECT q_id, vec_id, exact_rank FROM (
+            SELECT q.q_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), q.q_vec), 6) DESC,
+                                e.vec_id) AS exact_rank
+            FROM embeddings e, q
+        ) WHERE exact_rank <= 10
+    ), assigned AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, s.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), s.c_vec), 6) DESC,
+                                s.centroid_id) AS rn
+            FROM embeddings e, seeds s
+        ) WHERE rn = 1
+    ), probe AS (
+        SELECT q_id, centroid_id FROM (
+            SELECT q.q_id, s.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY round(list_cosine_similarity(
+                           s.c_vec, q.q_vec), 6) DESC,
+                                s.centroid_id) AS pr
+            FROM seeds s, q
+        ) WHERE pr <= 3
+    ), ann AS (
+        SELECT q_id, vec_id, ann_rank FROM (
+            SELECT p.q_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY p.q_id
+                       ORDER BY round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), q.q_vec), 6) DESC,
+                                e.vec_id) AS ann_rank
+            FROM embeddings e
+            JOIN assigned a ON a.vec_id = e.vec_id
+            JOIN probe p ON p.centroid_id = a.centroid_id
+            JOIN q ON q.q_id = p.q_id
+        ) WHERE ann_rank <= 10
+    ), hits AS (
+        SELECT e.q_id, e.exact_rank, a.ann_rank
+        FROM exact e
+        JOIN ann a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+    ), per AS (
+        SELECT q_id, CAST(count(*) AS BIGINT) AS n_hits,
+               min(CASE WHEN exact_rank = 1 THEN ann_rank END) AS t1
+        FROM hits GROUP BY 1
+    )
+    SELECT q.q_id,
+           CAST(COALESCE(p.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(p.n_hits, 0) * 1000000 // 10 AS BIGINT)
+               AS recall_ppm,
+           CAST(COALESCE(1000 // p.t1, 0) AS BIGINT) AS rr_x1000
+    FROM q LEFT JOIN per p USING (q_id)
 """

@@ -864,3 +864,104 @@ def random_projection(
     return wide.select(F.col(id_col), F.explode(pairs).alias("__p")).select(
         F.col(id_col), F.col("__p.j").alias("j"), F.col("__p.y").alias("y")
     )
+
+
+def ann_recall(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    seeds_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Retrieval-quality evaluation: recall@k and reciprocal rank of the
+    deterministic IVF search against exact brute force, per query — the
+    measurement that decides nprobe/nlist before an ANN index ships (an
+    index without a recall number is a guess). Both sides use the
+    rounded-cosine total order, so the whole evaluation — including the
+    approximate side's misses — replays cross-engine.
+
+    ``query_df`` holds broadcastable ``(q_id, q_vec array<double>)``
+    rows; ``seeds_df`` is the deterministic codebook
+    (:func:`ivf_assign_deterministic`'s contract). Shape: exact side =
+    one corpus scan + per-query window top-k (rows pruned to k·|Q|
+    before anything wide moves); ANN side scans only probed lists. The
+    eval join is k·|Q| vs k·|Q| rows.
+
+    Output (scalar-only): ``(q_id, n_hits long, recall_ppm long,
+    rr_x1000 long)`` — rr_x1000 = 1000 div (ANN rank of the exact
+    top-1), 0 when the top-1 is missed entirely.
+    """
+    q = F.broadcast(query_df)
+    sim = F.round(
+        cosine(as_double(F.col(vec_col)), F.col("q_vec")), 6
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col(id_col)
+    )
+    exact = (
+        df.crossJoin(q)
+        .select("q_id", F.col(id_col), sim.alias("sim"))
+        .withColumn("exact_rank", F.row_number().over(w))
+        .filter(F.col("exact_rank") <= k)
+        .drop("sim")
+    )
+    assigned = ivf_assign_deterministic(df, id_col, vec_col, seeds_df)
+    probe = (
+        seeds_df.crossJoin(q)
+        .select(
+            "q_id",
+            "centroid_id",
+            F.round(cosine(F.col("c_vec"), F.col("q_vec")), 6).alias(
+                "psim"
+            ),
+        )
+        .withColumn(
+            "__pr",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("psim").desc(), F.col("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("__pr") <= nprobe)
+        .select("q_id", "centroid_id")
+    )
+    ann = (
+        assigned.join(F.broadcast(probe), "centroid_id")
+        .join(q, "q_id")
+        .select("q_id", F.col(id_col), sim.alias("sim"))
+        .withColumn("ann_rank", F.row_number().over(w))
+        .filter(F.col("ann_rank") <= k)
+        .drop("sim")
+    )
+    hits = exact.join(ann, ["q_id", id_col])
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(
+            hits.groupBy("q_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_hits"),
+                F.min(
+                    F.when(F.col("exact_rank") == 1, F.col("ann_rank"))
+                ).alias("__top1_rank"),
+            ),
+            "q_id",
+            "left",
+        )
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias(
+                "n_hits"
+            ),
+            F.expr(f"coalesce(n_hits, 0) * 1000000 div {k}")
+            .cast("long")
+            .alias("recall_ppm"),
+            F.coalesce(
+                F.expr("1000 div __top1_rank"), F.lit(0).cast("long")
+            )
+            .cast("long")
+            .alias("rr_x1000"),
+        )
+    )

@@ -178,6 +178,10 @@ PROBE = [
     "q_minmax_scale",
     "q_token_gini",
     "q_source_overlap",
+    "q_bpe_apply",
+    "q_rolling_quantiles",
+    "q_keyset_page",
+    "q_ann_recall",
 ]
 
 

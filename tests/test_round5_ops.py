@@ -568,3 +568,47 @@ def test_keyset_page_boundaries(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         keyset_page(df, ["d"], [1, 2], 3)
+
+
+# --- ANN recall evaluation ---
+
+def test_ann_recall_perfect_and_missed(spark):
+    import pyspark.sql.functions as F
+    from salesforce_plugin_spark.functions.vector import ann_recall, as_double
+
+    # two well-separated clusters around e1 and e2; 6 vectors each
+    def vec(axis, i):
+        v = [0.0, 0.0, 0.0]
+        v[axis] = 1.0
+        v[(axis + 1) % 3] = 0.01 * i
+        return v
+
+    rows = [(i, vec(0, i)) for i in range(6)] + [
+        (10 + i, vec(1, i)) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seeds = df.filter(F.col("vec_id").isin(0, 10)).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("c_vec"),
+    )
+    queries = df.filter(F.col("vec_id").isin(1, 11)).select(
+        F.col("vec_id").alias("q_id"),
+        as_double(F.col("embedding")).alias("q_vec"),
+    )
+    # nprobe=1, k=6: each query's own cluster is probed -> perfect recall
+    got = {r.q_id: r for r in ann_recall(
+        df, "vec_id", "embedding", seeds, queries, k=6, nprobe=1
+    ).collect()}
+    assert got[1].recall_ppm == 1_000_000 and got[1].rr_x1000 == 1000
+    assert got[11].recall_ppm == 1_000_000
+    # k=12 > cluster size with nprobe=1: the other cluster's vectors
+    # are unreachable -> recall 6/12
+    got2 = {r.q_id: r for r in ann_recall(
+        df, "vec_id", "embedding", seeds, queries, k=12, nprobe=1
+    ).collect()}
+    assert got2[1].n_hits == 6 and got2[1].recall_ppm == 500_000
+    # nprobe=2 restores perfection at k=12
+    got3 = {r.q_id: r for r in ann_recall(
+        df, "vec_id", "embedding", seeds, queries, k=12, nprobe=2
+    ).collect()}
+    assert got3[1].recall_ppm == 1_000_000
