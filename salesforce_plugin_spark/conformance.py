@@ -6128,6 +6128,43 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+
+
+def q_funnel_latency(spark, sf_dir):
+    """Time-to-convert (operators/analytics.py funnel_latency): per
+    adjacent funnel transition, converted-user count + EXACT median
+    latency in integer micros — funnel() composed with the
+    weighted_median election, so the whole summary hash-gates. Output
+    is |stages−1| rows."""
+    from salesforce_plugin_spark.operators.analytics import funnel_latency
+
+    e = load_table(spark, sf_dir, "events")
+    return funnel_latency(
+        e, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+def q_khop(spark, sf_dir):
+    """Blast-radius query (functions/graph.py khop_reachability): every
+    node within 3 hops of the 5 lowest part ids on the supplier-part
+    graph, labeled with exact hop distance — fixed-round BFS (set
+    algebra only, deterministic), per-round lineage cuts (the
+    kcore_fixed plan-growth lesson), chained-CTE oracle."""
+    from salesforce_plugin_spark.functions.graph import khop_reachability
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_suppkey") + 1000000).alias("src"),
+        F.col("l_partkey").alias("dst"),
+    )
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 5)
+        .select(F.col("p_partkey").alias("id"))
+    )
+    return khop_reachability(edges, seeds, k=3)
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- driver-graded window (first 50): one per §2 family ---
     # D1-D19: the relational surface the reference forwards to SOQL
@@ -6394,6 +6431,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_rolling_quantiles": q_rolling_quantiles,
     "q_keyset_page": q_keyset_page,
     "q_ann_recall": q_ann_recall,
+    "q_funnel_latency": q_funnel_latency,
+    "q_khop": q_khop,
 }
 
 
@@ -11498,3 +11537,82 @@ ORACLES["q_ann_recall"] = """
            CAST(COALESCE(1000 // p.t1, 0) AS BIGINT) AS rr_x1000
     FROM q LEFT JOIN per p USING (q_id)
 """
+
+
+ORACLES["q_funnel_latency"] = """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT s1.user_id, s1.t1,
+               min(e.ts) FILTER (WHERE e.ts >= s1.t1) AS t2
+        FROM s1
+        LEFT JOIN events e
+          ON e.user_id = s1.user_id AND e.event_type = 'click'
+        GROUP BY s1.user_id, s1.t1
+    ), s3 AS (
+        SELECT s2.user_id, s2.t1, s2.t2,
+               min(e.ts) FILTER (WHERE e.ts >= s2.t2) AS t3
+        FROM s2
+        LEFT JOIN events e
+          ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        GROUP BY s2.user_id, s2.t1, s2.t2
+    ), lats AS (
+        SELECT 'view>click' AS transition,
+               epoch_us(t2) - epoch_us(t1) AS latency_us
+        FROM s3 WHERE t2 IS NOT NULL
+        UNION ALL
+        SELECT 'click>purchase',
+               epoch_us(t3) - epoch_us(t2)
+        FROM s3 WHERE t3 IS NOT NULL
+    ), dv AS (
+        SELECT transition, latency_us,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lats GROUP BY 1, 2
+    ), cum AS (
+        SELECT transition, latency_us, w,
+               sum(w) OVER (PARTITION BY transition ORDER BY latency_us
+                            ROWS UNBOUNDED PRECEDING) AS c,
+               sum(w) OVER (PARTITION BY transition) AS total
+        FROM dv
+    )
+    SELECT transition,
+           CAST(max(total) AS BIGINT) AS n_converted,
+           CAST(min(CASE WHEN 2 * c >= total THEN latency_us END)
+                AS BIGINT) AS median_us
+    FROM cum GROUP BY 1
+"""
+
+
+def _khop_oracle(k: int = 3, n_seeds: int = 5) -> str:
+    """Unrolled BFS rounds as chained CTEs (mirrors q_khop exactly)."""
+    parts = [
+        "WITH ed AS (\n"
+        "    SELECT DISTINCT l_suppkey + 1000000 AS a, l_partkey AS b\n"
+        "    FROM lineitem WHERE l_partkey <> l_suppkey + 1000000),\n"
+        "und AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),\n"
+        f"r0 AS (SELECT p_partkey AS node, 0 AS hops FROM part"
+        f" WHERE p_partkey < {n_seeds})"
+    ]
+    prev = "r0"
+    for i in range(1, k + 1):
+        parts.append(
+            f"n{i} AS (SELECT DISTINCT und.b AS node FROM {prev} f"
+            f" JOIN und ON und.a = f.node)"
+        )
+        parts.append(
+            f"w{i} AS (SELECT node, {i} AS hops FROM n{i}"
+            f" WHERE node NOT IN (SELECT node FROM {prev}))"
+        )
+        parts.append(
+            f"r{i} AS (SELECT node, hops FROM {prev}"
+            f" UNION ALL SELECT node, hops FROM w{i})"
+        )
+        prev = f"r{i}"
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, CAST(hops AS INT) AS hops FROM {prev}"
+    )
+
+
+ORACLES["q_khop"] = _khop_oracle()

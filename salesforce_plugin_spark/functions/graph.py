@@ -422,3 +422,57 @@ def kcore_fixed(
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
     return deg
+
+
+def khop_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """Fixed-``k`` BFS from a seed set over the undirected graph:
+    every node within ``k`` hops, labeled with its EXACT hop distance —
+    the blast-radius / influence-frontier query (which parts does this
+    supplier outage touch; which users sit within 2 hops of a flagged
+    account). Deterministic (set algebra only), so the unrolled rounds
+    replay as chained CTEs — the kcore/pagerank iterative discipline.
+
+    Per round: one frontier⋈edges equijoin (frontier-sized build side,
+    un-hinted), a distinct, and an anti-join against the reached set;
+    per-round ``localCheckpoint(eager=False)`` cuts lineage (reached is
+    referenced by both the anti-join and the union — the kcore_fixed
+    plan-growth lesson). Frontier work is bounded by the k-hop
+    neighborhood, never the full graph, until the frontier saturates.
+
+    Output (scalar-only): ``(node long, hops int)`` — hops = 0 for
+    seeds, minimal hop count otherwise; nodes beyond ``k`` hops are
+    absent.
+    """
+    if k < 1:
+        raise ValueError("khop_reachability requires k >= 1")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    reached = seeds.select(
+        F.col(id_col).alias("node"), F.lit(0).cast("int").alias("hops")
+    ).distinct()
+    frontier = reached.select("node")
+    for i in range(1, k + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+        )
+        new = nxt.join(reached.select("node"), "node", "left_anti").select(
+            "node", F.lit(i).cast("int").alias("hops")
+        )
+        reached = reached.unionByName(new).localCheckpoint(eager=False)
+        frontier = new.select("node").localCheckpoint(eager=False)
+    return reached

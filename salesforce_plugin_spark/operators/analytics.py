@@ -1141,3 +1141,56 @@ def minmax_scale(
             .alias("scaled_ppm"),
         )
     )
+
+
+def funnel_latency(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+    within: str | None = None,
+) -> DataFrame:
+    """Time-to-convert summary per funnel transition: for each adjacent
+    stage pair, how many users converted and the EXACT median latency —
+    the question "how long does view → purchase take" that funnel depth
+    counts alone don't answer. Composes :func:`funnel` (earliest
+    qualifying stage times per user) with :func:`weighted_median`
+    (exact integer-microsecond election), so every number sits under
+    the hash gate.
+
+    Plan: the funnel's user-keyed aggregates, one map-side projection
+    to (transition, latency_us), then the median's distinct-value
+    collapse — output is |stages − 1| rows.
+
+    Output (scalar-only): ``(transition string, n_converted long,
+    median_us long)``, transition = 'stage1>stage2'.
+    """
+    if len(stages) < 2:
+        raise ValueError("funnel_latency requires at least two stages")
+    f = funnel(events, user_col, ts_col, type_col, stages, within)
+    pairs = []
+    for a, b in zip(stages, stages[1:]):
+        lat = F.unix_micros(F.col(f"t_{b}")) - F.unix_micros(
+            F.col(f"t_{a}")
+        )
+        pairs.append(
+            f.filter(F.col(f"t_{b}").isNotNull()).select(
+                F.lit(f"{a}>{b}").alias("transition"),
+                lat.alias("latency_us"),
+            )
+        )
+    lats = pairs[0]
+    for p in pairs[1:]:
+        lats = lats.unionByName(p)
+    med = weighted_median(
+        lats.withColumn("__w", F.lit(1).cast("long")),
+        ["transition"],
+        "latency_us",
+        "__w",
+    )
+    return med.select(
+        "transition",
+        F.col("total_w").cast("long").alias("n_converted"),
+        F.col("median").cast("long").alias("median_us"),
+    )

@@ -182,6 +182,8 @@ PROBE = [
     "q_rolling_quantiles",
     "q_keyset_page",
     "q_ann_recall",
+    "q_funnel_latency",
+    "q_khop",
 ]
 
 

@@ -612,3 +612,47 @@ def test_ann_recall_perfect_and_missed(spark):
         df, "vec_id", "embedding", seeds, queries, k=12, nprobe=2
     ).collect()}
     assert got3[1].recall_ppm == 1_000_000
+
+
+# --- funnel latency ---
+
+def test_funnel_latency_median(spark):
+    import datetime as dt
+    from salesforce_plugin_spark.operators.analytics import funnel_latency
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, s, typ):
+        return (u, t0 + dt.timedelta(seconds=s), typ)
+
+    rows = [
+        ev(1, 0, "a"), ev(1, 10, "b"),     # a>b: 10s
+        ev(2, 0, "a"), ev(2, 30, "b"),     # a>b: 30s
+        ev(3, 0, "a"),                      # never converts
+        ev(2, 40, "c"),                     # b>c: 10s
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, t string")
+    got = {r.transition: r for r in funnel_latency(
+        df, "u", "ts", "t", ["a", "b", "c"]
+    ).collect()}
+    ab = got["a>b"]
+    assert ab.n_converted == 2
+    assert ab.median_us == 10_000_000  # lower median of {10s, 30s}
+    assert got["b>c"].n_converted == 1
+    assert got["b>c"].median_us == 10_000_000
+
+
+# --- k-hop reachability ---
+
+def test_khop_exact_distances(spark):
+    from salesforce_plugin_spark.functions.graph import khop_reachability
+
+    # path 1-2-3-4-5 plus a branch 2-6
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {r.node: r.hops for r in khop_reachability(e, seeds, k=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 6: 2, 4: 3}  # 5 is 4 hops: absent
+    # k=1 stops at direct neighbors
+    got1 = {r.node: r.hops for r in khop_reachability(e, seeds, k=1).collect()}
+    assert got1 == {1: 0, 2: 1}
