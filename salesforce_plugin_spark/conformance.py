@@ -6165,6 +6165,80 @@ def q_khop(spark, sf_dir):
     return khop_reachability(edges, seeds, k=3)
 
 
+
+
+def q_stream_rolling_quantiles(spark, sf_dir):
+    """F6 x observability: trailing-7-day quantiles maintained FROM A
+    STREAM — the (key, day, bin) day histogram is a per-group row
+    count, so the GENERIC additive face (run_stream_additive_counts,
+    prepare= projects key/day/bin inside the fold) maintains it with
+    zero new fold code; summed state feeds
+    rolling_quantiles_from_daily and must reproduce the one-shot batch
+    curve (q_rolling_quantiles' oracle VERBATIM, disjoint event_id
+    slices)."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.functions.sketch import (
+        rolling_quantiles_from_daily,
+    )
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_summed_counts,
+        run_stream_additive_counts,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_stream_rq_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [e.filter(F.col("event_id") % 3 == i) for i in range(3)],
+            tmp,
+            None,
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, event_type string, ts timestamp,"
+                " value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+        width = 512.0 / 256
+        bin_ = F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0), F.floor((F.col("value") - 0.0) / F.lit(width))
+            ),
+        ).cast("int")
+        run_stream_additive_counts(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            group_cols=["key", "__d", "bin"],
+            prepare=lambda b: b.filter(F.col("value").isNotNull()).select(
+                F.col("event_type").alias("key"),
+                F.to_date("ts").alias("__d"),
+                bin_.alias("bin"),
+            ),
+        )
+        daily = read_summed_counts(spark, state, ["key", "__d", "bin"]).select(
+            "key", "__d", "bin", F.col("n").alias("cnt")
+        )
+        rows = rolling_quantiles_from_daily(
+            daily, [0.5, 0.95], 0.0, 512.0, 256, 7
+        ).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "key string, day date, q double, est double, n_total long"
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- driver-graded window (first 50): one per §2 family ---
     # D1-D19: the relational surface the reference forwards to SOQL
@@ -6433,6 +6507,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_ann_recall": q_ann_recall,
     "q_funnel_latency": q_funnel_latency,
     "q_khop": q_khop,
+    "q_stream_rolling_quantiles": q_stream_rolling_quantiles,
 }
 
 
@@ -11616,3 +11691,6 @@ def _khop_oracle(k: int = 3, n_seeds: int = 5) -> str:
 
 
 ORACLES["q_khop"] = _khop_oracle()
+
+
+ORACLES["q_stream_rolling_quantiles"] = ORACLES["q_rolling_quantiles"]

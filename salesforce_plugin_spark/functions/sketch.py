@@ -891,6 +891,25 @@ def rolling_quantiles(
         .groupBy("key", "__d", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    return rolling_quantiles_from_daily(
+        daily, qs, lo, hi, n_bins, window_days
+    )
+
+
+def rolling_quantiles_from_daily(
+    daily: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+    window_days: int = 7,
+) -> DataFrame:
+    """:func:`rolling_quantiles` from a pre-aggregated
+    ``(key, __d date, bin, cnt)`` day-histogram table — the entry point
+    for ADDITIVE day-histogram state (the streaming face folds
+    per-batch (key, day, bin) counts and feeds the sum here; compacted
+    warehouse rollups compose the same way)."""
+    width = (hi - lo) / n_bins
     served = daily.select(
         "key",
         "bin",
@@ -912,7 +931,7 @@ def rolling_quantiles(
     cum = windowed.withColumn("__cum", F.sum("cnt").over(w)).withColumn(
         "__n", F.sum("cnt").over(Window.partitionBy("key", "day"))
     )
-    q_df = df.sparkSession.createDataFrame(
+    q_df = daily.sparkSession.createDataFrame(
         [(float(q),) for q in qs], "q double"
     )
     hit = cum.crossJoin(F.broadcast(q_df)).filter(
