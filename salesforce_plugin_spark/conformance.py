@@ -6239,6 +6239,84 @@ def q_stream_rolling_quantiles(spark, sf_dir):
     )
 
 
+
+
+def q_multimodal_channels(spark, sf_dir):
+    """F4 depth: per-channel exact sample moments over decoded payloads
+    (functions/multimodal.py channel_stats_plan) — the audio-energy /
+    band-stats extraction shape: bytes de-interleave into 4 channels
+    and reduce to int64 (n, Σv, Σv²) INSIDE the Arrow stage (numpy),
+    so only doc × channel rows leave Python. Identity decoder through
+    the documented seam; documents are ASCII, so the oracle replays
+    byte values via ord(substr(…))."""
+    from salesforce_plugin_spark.functions.multimodal import (
+        channel_stats_plan,
+    )
+
+    d = parallelized(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").cast("binary").alias("payload")
+        )
+    )
+    return channel_stats_plan(
+        d, "doc_id", "payload", n_channels=4, decoder=lambda b: b
+    )
+
+
+def q_ntile(spark, sf_dir):
+    """D15 window family: ntile(4) quartile buckets + exact cume_dist
+    as integer ppm (rn·10⁶ div n under a TOTAL order — the float
+    cume_dist is just that ratio; ppm keeps the gate integer) over
+    suppliers by cent-quantized balance."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("cents"),
+    )
+    w = Window.orderBy(F.col("cents"), F.col("s_suppkey"))
+    return (
+        s.select(
+            "s_suppkey",
+            "cents",
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("__n"),
+        )
+        .select(
+            "s_suppkey",
+            "cents",
+            "quartile",
+            F.expr("__rn * 1000000 div __n").cast("long").alias("cume_ppm"),
+        )
+    )
+
+
+def q_pivot_margins(spark, sf_dir):
+    """D12+reshaping: pivoted status counts WITH ROLLUP MARGINS — the
+    crosstab-with-totals report: per priority and for the ALL row,
+    conditional counts per status plus the row total (one Expand +
+    partial/final aggregate pair; margins cost one extra grouping
+    set)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority")
+        .agg(
+            F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("n_f"),
+            F.sum((F.col("o_orderstatus") == "O").cast("long")).alias("n_o"),
+            F.sum((F.col("o_orderstatus") == "P").cast("long")).alias("n_p"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias(
+                "priority"
+            ),
+            "n_f",
+            "n_o",
+            "n_p",
+            "n_total",
+        )
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- driver-graded window (first 50): one per §2 family ---
     # D1-D19: the relational surface the reference forwards to SOQL
@@ -6508,6 +6586,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_funnel_latency": q_funnel_latency,
     "q_khop": q_khop,
     "q_stream_rolling_quantiles": q_stream_rolling_quantiles,
+    "q_multimodal_channels": q_multimodal_channels,
+    "q_pivot_margins": q_pivot_margins,
+    "q_ntile": q_ntile,
 }
 
 
@@ -11694,3 +11775,47 @@ ORACLES["q_khop"] = _khop_oracle()
 
 
 ORACLES["q_stream_rolling_quantiles"] = ORACLES["q_rolling_quantiles"]
+
+
+ORACLES["q_multimodal_channels"] = """
+    WITH pos AS (
+        SELECT doc_id,
+               CAST((g.i - 1) % 4 AS INT) AS channel,
+               ord(substr(text, CAST(g.i AS INT), 1)) AS v
+        FROM documents CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(1, length(text))) AS i
+        ) g
+    )
+    SELECT doc_id, channel,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS s,
+           CAST(sum(v * v) AS BIGINT) AS sq
+    FROM pos GROUP BY 1, 2
+"""
+
+ORACLES["q_pivot_margins"] = """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_p,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM orders GROUP BY ROLLUP (o_orderpriority)
+"""
+
+
+ORACLES["q_ntile"] = """
+    WITH b AS (
+        SELECT s_suppkey,
+               CAST(round(s_acctbal * 100) AS BIGINT) AS cents
+        FROM supplier
+    )
+    SELECT s_suppkey, cents,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           CAST((row_number() OVER w * 1000000) // count(*) OVER ()
+                AS BIGINT) AS cume_ppm
+    FROM b
+    WINDOW w AS (ORDER BY cents, s_suppkey)
+"""

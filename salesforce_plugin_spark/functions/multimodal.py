@@ -221,3 +221,68 @@ def frame_sample_plan(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         sample, out_schema
     )
+
+
+def channel_stats_plan(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    n_channels: int = 4,
+    decoder: Callable[[bytes], bytes] | None = None,
+) -> DataFrame:
+    """Per-channel sample statistics over decoded media payloads — the
+    feature-extraction shape (audio channel energy, image band stats)
+    with EXACT integer moments: each decoded byte stream is
+    de-interleaved into ``n_channels`` and reduced to (n, Σv, Σv²) as
+    int64 INSIDE the Arrow stage (numpy, vectorized), so the per-doc
+    rows leaving Python are tiny and the engine-side aggregate is exact
+    BIGINT arithmetic. Decoder is the usual injected seam (identity for
+    raw-sample formats; no media libs ship here).
+
+    Payload bytes never reach the driver; predicates on id/metadata
+    stay OUTSIDE the pandas stage (the F4 pushdown discipline). Output
+    (scalar-only): ``(doc_id long, channel int, n long, s long,
+    sq long)``.
+    """
+    if n_channels < 1:
+        raise ValueError("channel_stats_plan requires n_channels >= 1")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("channel", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.LongType()),
+            T.StructField("sq", T.LongType()),
+        ]
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, chans, ns, ss, sqs = [], [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = decode_audio(bytes(payload), decoder)
+                arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                for c in range(n_channels):
+                    sub = arr[c::n_channels]
+                    if len(sub) == 0:
+                        continue
+                    ids.append(i)
+                    chans.append(c)
+                    ns.append(len(sub))
+                    ss.append(int(sub.sum()))
+                    sqs.append(int((sub * sub).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "channel": pd.array(chans, dtype="int32"),
+                    "n": ns,
+                    "s": ss,
+                    "sq": sqs,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        stats, out_schema
+    )

@@ -656,3 +656,26 @@ def test_khop_exact_distances(spark):
     # k=1 stops at direct neighbors
     got1 = {r.node: r.hops for r in khop_reachability(e, seeds, k=1).collect()}
     assert got1 == {1: 0, 2: 1}
+
+
+# --- multimodal channel stats ---
+
+def test_channel_stats_deinterleave(spark):
+    from salesforce_plugin_spark.functions.multimodal import (
+        channel_stats_plan,
+    )
+    import pyspark.sql.functions as F
+
+    # payload bytes 1..6 over 2 channels: ch0 = [1,3,5], ch1 = [2,4,6]
+    df = spark.createDataFrame(
+        [(1, bytes([1, 2, 3, 4, 5, 6]))], "doc_id long, payload binary"
+    )
+    got = {r.channel: r for r in channel_stats_plan(
+        df, "doc_id", "payload", n_channels=2, decoder=lambda b: b
+    ).collect()}
+    assert got[0].n == 3 and got[0].s == 9 and got[0].sq == 35
+    assert got[1].n == 3 and got[1].s == 12 and got[1].sq == 56
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        # no decoder injected -> the documented NotImplementedError seam
+        channel_stats_plan(df, "doc_id", "payload", 2).collect()
