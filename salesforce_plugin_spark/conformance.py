@@ -6317,6 +6317,25 @@ def q_pivot_margins(spark, sf_dir):
     )
 
 
+
+
+def q_hits(spark, sf_dir):
+    """Bipartite importance (functions/graph.py hits_fixed):
+    2-iteration exact-integer HITS over the directed supplier→part
+    graph — hub and authority scores with the gram_power integer
+    renormalization (x·10⁶ div max, non-negative so truncate == floor
+    cross-engine) instead of the engine-ambiguous L2 norm; every round
+    bit-reproducible, oracle = chained CTEs."""
+    from salesforce_plugin_spark.functions.graph import hits_fixed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_suppkey") + 1000000).alias("src"),
+        F.col("l_partkey").alias("dst"),
+    )
+    return hits_fixed(edges, iterations=2)
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- driver-graded window (first 50): one per §2 family ---
     # D1-D19: the relational surface the reference forwards to SOQL
@@ -6589,6 +6608,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_multimodal_channels": q_multimodal_channels,
     "q_pivot_margins": q_pivot_margins,
     "q_ntile": q_ntile,
+    "q_hits": q_hits,
 }
 
 
@@ -11819,3 +11839,44 @@ ORACLES["q_ntile"] = """
     FROM b
     WINDOW w AS (ORDER BY cents, s_suppkey)
 """
+
+
+def _hits_oracle(iterations: int = 2, quant: int = 10**6) -> str:
+    """Chained-CTE replay of hits_fixed (renormalize-by-max each half
+    step; scalar-subquery max mirrors the 1-row broadcast)."""
+    parts = [
+        "WITH e AS (\n"
+        "    SELECT DISTINCT l_suppkey + 1000000 AS src, l_partkey AS dst\n"
+        "    FROM lineitem),\n"
+        f"h0 AS (SELECT DISTINCT src AS id, CAST({quant} AS BIGINT) AS h"
+        f" FROM e)"
+    ]
+    prev_h = "h0"
+    a = None
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"a{i}r AS (SELECT e.dst AS id, CAST(sum(x.h) AS BIGINT) AS a"
+            f" FROM e JOIN {prev_h} x ON x.id = e.src GROUP BY 1)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT id, CAST(a * {quant}"
+            f" // (SELECT max(a) FROM a{i}r) AS BIGINT) AS a FROM a{i}r)"
+        )
+        parts.append(
+            f"h{i}r AS (SELECT e.src AS id, CAST(sum(x.a) AS BIGINT) AS h"
+            f" FROM e JOIN a{i} x ON x.id = e.dst GROUP BY 1)"
+        )
+        parts.append(
+            f"h{i} AS (SELECT id, CAST(h * {quant}"
+            f" // (SELECT max(h) FROM h{i}r) AS BIGINT) AS h FROM h{i}r)"
+        )
+        prev_h = f"h{i}"
+        a = f"a{i}"
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id, 'hub' AS side, h AS score FROM {prev_h}"
+        + f"\nUNION ALL SELECT id, 'auth' AS side, a AS score FROM {a}"
+    )
+
+
+ORACLES["q_hits"] = _hits_oracle()

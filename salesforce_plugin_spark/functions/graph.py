@@ -476,3 +476,75 @@ def khop_reachability(
         reached = reached.unionByName(new).localCheckpoint(eager=False)
         frontier = new.select("node").localCheckpoint(eager=False)
     return reached
+
+
+def hits_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    quant: int = 10**6,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg): hub scores for source-side
+    nodes, authority scores for destination-side nodes of a DIRECTED
+    graph — the bipartite-importance companion to ``pagerank_fixed``
+    (which ranks by random-walk mass; HITS separates "points at good
+    things" from "is pointed at by good things" — supplier↔part,
+    query↔document, user↔item).
+
+    Exactness discipline: float HITS renormalizes by an L2 norm every
+    round (sqrt + divide — engine-ambiguous and compounding). Here the
+    renormalization is the gram_power_iterations integer form:
+    ``x' = x·quant div max(x)`` — all scores non-negative, so Spark's
+    truncating div and a floor div agree — making every round, and the
+    whole run, bit-reproducible cross-engine (checkpoint/resume-sound).
+
+    Per round: two edge equijoins + two partial-combined sums (one per
+    direction), two 1-row max aggregates broadcast back. Node-sized
+    sides un-hinted (AQE broadcast at bench scale, shuffle past
+    threshold).
+
+    Output (scalar-only): ``(id long, side string ('hub'|'auth'),
+    score long)`` — scores in [0, quant] after the final
+    renormalization.
+    """
+    if iterations < 1:
+        raise ValueError("hits_fixed requires at least one iteration")
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    ).distinct()
+    hubs = (
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.lit(quant).cast("long").alias("h"))
+    )
+
+    def renorm(df, col):
+        mx = df.agg(F.max(col).alias("__mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            "id",
+            F.expr(f"{col} * {quant} div __mx").cast("long").alias(col),
+        )
+
+    auths = None
+    for _ in range(iterations):
+        auths = renorm(
+            e.join(hubs.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("h").alias("a")),
+            "a",
+        )
+        hubs = renorm(
+            e.join(auths.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("a").alias("h")),
+            "h",
+        )
+    return hubs.select(
+        "id", F.lit("hub").alias("side"), F.col("h").alias("score")
+    ).unionByName(
+        auths.select(
+            "id", F.lit("auth").alias("side"), F.col("a").alias("score")
+        )
+    )

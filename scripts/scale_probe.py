@@ -184,6 +184,8 @@ PROBE = [
     "q_ann_recall",
     "q_funnel_latency",
     "q_khop",
+    "q_multimodal_channels",
+    "q_hits",
 ]
 
 

@@ -679,3 +679,25 @@ def test_channel_stats_deinterleave(spark):
     with _pytest.raises(Exception):
         # no decoder injected -> the documented NotImplementedError seam
         channel_stats_plan(df, "doc_id", "payload", 2).collect()
+
+
+# --- HITS ---
+
+def test_hits_exact_one_iteration(spark):
+    from salesforce_plugin_spark.functions.graph import hits_fixed
+
+    # u1 -> {p1, p2, p3}, u2 -> {p1}
+    edges = [(1, 101), (1, 102), (1, 103), (2, 101)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.side, r.id): r.score for r in hits_fixed(
+        df, iterations=1
+    ).collect()}
+    # a1: p1 = 2e6 -> 1e6 after renorm; p2 = p3 = 5e5
+    assert got[("auth", 101)] == 1_000_000
+    assert got[("auth", 102)] == 500_000
+    # h1: u1 = 1e6 + 5e5 + 5e5 = 2e6 -> 1e6; u2 = 1e6 -> 5e5
+    assert got[("hub", 1)] == 1_000_000
+    assert got[("hub", 2)] == 500_000
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hits_fixed(df, iterations=0)
