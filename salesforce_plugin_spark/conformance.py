@@ -6336,6 +6336,63 @@ def q_hits(spark, sf_dir):
     return hits_fixed(edges, iterations=2)
 
 
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Robust outliers (operators/analytics.py mad_outliers): flag
+    |y − median| · k_den > k_num · MAD per event type over
+    cent-quantized values — the 50%-breakdown-point complement of
+    q_anomaly_zscore (mean/σ masks under contamination) and
+    q_iqr_outliers (sketch fences; this is EXACT). Both medians are
+    the integer 2·cum ≥ total election; the threshold is a
+    cross-multiplication — no divide, no float."""
+    from salesforce_plugin_spark.operators.analytics import mad_outliers
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return mad_outliers(e, "event_type", "cents", k_num=3, k_den=1).select(
+        "event_id", "event_type", "y", "med", "mad", "is_outlier"
+    )
+
+
+def q_rank_movers(spark, sf_dir):
+    """Top-movers report (operators/analytics.py rank_movers): each
+    user's revenue rank in the first half of January vs the rest, with
+    the signed position delta — POSITION change robust to overall
+    growth (complementing q_contribution's metric decomposition).
+    Total-ordered ranks; single-period users carry NULLs."""
+    from salesforce_plugin_spark.operators.analytics import rank_movers
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "A"
+        )
+        .otherwise("B")
+        .alias("half"),
+    )
+    return rank_movers(e, "user_id", "cents", "half", "A", "B")
+
+
+def q_leadlag(spark, sf_dir):
+    """Lead-lag diagnostic (operators/analytics.py
+    leadlag_correlation): exact BIGINT dot products of the view and
+    purchase daily-count series at lags −3..3 — which metric leads
+    which, ranked exactly (Pearson normalization is presentation, kept
+    outside the gate). Everything after the daily collapse is bounded
+    by days × lags."""
+    from salesforce_plugin_spark.operators.analytics import (
+        leadlag_correlation,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return leadlag_correlation(e, "ts", "event_type", "view", "purchase", 3)
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- driver-graded window (first 50): one per §2 family ---
     # D1-D19: the relational surface the reference forwards to SOQL
@@ -6609,6 +6666,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_pivot_margins": q_pivot_margins,
     "q_ntile": q_ntile,
     "q_hits": q_hits,
+    "q_mad_outliers": q_mad_outliers,
+    "q_rank_movers": q_rank_movers,
+    "q_leadlag": q_leadlag,
 }
 
 
@@ -11880,3 +11940,89 @@ def _hits_oracle(iterations: int = 2, quant: int = 10**6) -> str:
 
 
 ORACLES["q_hits"] = _hits_oracle()
+
+
+ORACLES["q_mad_outliers"] = """
+    WITH r AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL
+    ), agg AS (
+        SELECT event_type, y AS v, CAST(count(*) AS BIGINT) AS w
+        FROM r GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, v,
+               sum(w) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS c,
+               sum(w) OVER (PARTITION BY event_type) AS tot
+        FROM agg
+    ), med AS (
+        SELECT event_type, CAST(min(v) AS BIGINT) AS med
+        FROM cum WHERE 2 * c >= tot GROUP BY 1
+    ), d AS (
+        SELECT r.event_id, r.event_type, r.y, med.med,
+               abs(r.y - med.med) AS dv
+        FROM r JOIN med USING (event_type)
+    ), dagg AS (
+        SELECT event_type, dv AS v, CAST(count(*) AS BIGINT) AS w
+        FROM d GROUP BY 1, 2
+    ), dcum AS (
+        SELECT event_type, v,
+               sum(w) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS c,
+               sum(w) OVER (PARTITION BY event_type) AS tot
+        FROM dagg
+    ), mad AS (
+        SELECT event_type, CAST(min(v) AS BIGINT) AS mad
+        FROM dcum WHERE 2 * c >= tot GROUP BY 1
+    )
+    SELECT d.event_id, d.event_type, d.y, d.med, mad.mad,
+           CAST(CASE WHEN d.dv * 1 > 3 * mad.mad THEN 1 ELSE 0 END
+                AS INT) AS is_outlier
+    FROM d JOIN mad USING (event_type)
+"""
+
+ORACLES["q_rank_movers"] = """
+    WITH base AS (
+        SELECT user_id AS key,
+               CAST(round(value * 100) AS BIGINT) AS m,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'A'
+                    ELSE 'B' END AS half
+        FROM events WHERE value IS NOT NULL
+    ), a AS (
+        SELECT key, CAST(sum(m) AS BIGINT) AS total_a,
+               CAST(row_number() OVER (ORDER BY sum(m) DESC, key ASC)
+                    AS INT) AS rank_a
+        FROM base WHERE half = 'A' GROUP BY key
+    ), b AS (
+        SELECT key, CAST(sum(m) AS BIGINT) AS total_b,
+               CAST(row_number() OVER (ORDER BY sum(m) DESC, key ASC)
+                    AS INT) AS rank_b
+        FROM base WHERE half = 'B' GROUP BY key
+    )
+    SELECT COALESCE(a.key, b.key) AS key,
+           a.total_a, a.rank_a, b.total_b, b.rank_b,
+           CAST(a.rank_a - b.rank_b AS INT) AS delta
+    FROM a FULL OUTER JOIN b ON a.key = b.key
+"""
+
+ORACLES["q_leadlag"] = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type AS t,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE event_type IN ('view', 'purchase')
+        GROUP BY 1, 2
+    ), a AS (
+        SELECT day, n AS na FROM daily WHERE t = 'view'
+    ), b AS (
+        SELECT day AS bday, n AS nb FROM daily WHERE t = 'purchase'
+    ), lags(lag) AS (
+        VALUES (-3), (-2), (-1), (0), (1), (2), (3)
+    )
+    SELECT CAST(lag AS INT) AS lag,
+           CAST(sum(na * nb) AS BIGINT) AS dot,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM a CROSS JOIN lags
+    JOIN b ON a.day + CAST(lag AS INT) = b.bday
+    GROUP BY 1
+"""

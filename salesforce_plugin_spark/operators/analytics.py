@@ -1194,3 +1194,170 @@ def funnel_latency(
         F.col("total_w").cast("long").alias("n_converted"),
         F.col("median").cast("long").alias("median_us"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_long,
+    k_num: int = 3,
+    k_den: int = 1,
+) -> DataFrame:
+    """Median/MAD robust outliers: flag rows where
+    ``|y − median| · k_den > k_num · MAD`` with MAD = median(|y −
+    median|) — the robust-statistics complement of
+    :func:`zscore_outliers` (mean/σ masks under heavy contamination;
+    median/MAD has a 50% breakdown point) and of ``iqr_outliers``
+    (quartile fences from the approximate sketch; this is EXACT).
+    Both medians use the lower-median 2·cum ≥ total integer election
+    (:func:`weighted_median`'s contract), and the threshold is a
+    cross-multiplication — no divide, no float, fully hash-gateable.
+
+    Plan: two distinct-value collapses + cumulative windows (each
+    bounded by distinct values per group, the weighted_median shape)
+    and two |groups|-sized join-backs (un-hinted). Output: one row per
+    input row — ``(input cols…, y long, med long, mad long,
+    is_outlier int)``; MAD = 0 (over half the group at the median)
+    flags every off-median row, the documented degenerate case.
+    """
+    y = (
+        F.col(value_long) if isinstance(value_long, str) else value_long
+    ).cast("long")
+    rows = df.select("*", y.alias("__y")).filter(F.col("__y").isNotNull())
+    med = weighted_median(
+        rows.withColumn("__w", F.lit(1).cast("long")),
+        [group_col],
+        "__y",
+        "__w",
+    ).select(group_col, F.col("median").alias("med"))
+    with_med = rows.join(med, group_col)
+    dev = with_med.withColumn(
+        "__d", F.abs(F.col("__y") - F.col("med"))
+    )
+    mad = weighted_median(
+        dev.withColumn("__w", F.lit(1).cast("long")),
+        [group_col],
+        "__d",
+        "__w",
+    ).select(group_col, F.col("median").alias("mad"))
+    return (
+        dev.join(mad, group_col)
+        .select(
+            *df.columns,
+            F.col("__y").alias("y"),
+            "med",
+            "mad",
+            (
+                F.col("__d") * F.lit(k_den) > F.lit(k_num) * F.col("mad")
+            )
+            .cast("int")
+            .alias("is_outlier"),
+        )
+    )
+
+
+def rank_movers(
+    df: DataFrame,
+    key_col: str,
+    metric_long,
+    period_col: str,
+    period_a,
+    period_b,
+) -> DataFrame:
+    """Period-over-period rank movement: each key's rank by total
+    metric in period A vs period B and the signed delta — the "top
+    movers" report (which customers/segments surged or collapsed)
+    complementing :func:`contribution_analysis` (which decomposes the
+    METRIC change; this tracks POSITION change, robust to overall
+    growth). Ranks are total-ordered (metric desc, key asc) so the
+    report is engine-stable; keys active in only one period carry NULL
+    for the missing rank and delta.
+
+    One (period, key) partial-combined aggregate, two bounded rank
+    windows, one full-outer key join. Output: ``(key, total_a long,
+    rank_a int, total_b long, rank_b int, delta int)`` where delta =
+    rank_a − rank_b (positive = improved).
+    """
+    m = (
+        F.col(metric_long) if isinstance(metric_long, str) else metric_long
+    ).cast("long")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(period_col).alias("__p"),
+        m.alias("__m"),
+    ).filter(F.col("__m").isNotNull())
+
+    def side(period, total_name, rank_name):
+        agg = (
+            base.filter(F.col("__p") == period)
+            .groupBy("key")
+            .agg(F.sum("__m").cast("long").alias(total_name))
+        )
+        w = Window.orderBy(F.col(total_name).desc(), F.col("key").asc())
+        return agg.withColumn(
+            rank_name, F.row_number().over(w).cast("int")
+        )
+
+    a = side(period_a, "total_a", "rank_a")
+    b = side(period_b, "total_b", "rank_b")
+    return a.join(b, "key", "full_outer").select(
+        "key",
+        "total_a",
+        "rank_a",
+        "total_b",
+        "rank_b",
+        (F.col("rank_a") - F.col("rank_b")).cast("int").alias("delta"),
+    )
+
+
+def leadlag_correlation(
+    df: DataFrame,
+    ts_col: str,
+    type_col: str,
+    type_a: str,
+    type_b: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lead-lag association between two event types' daily-count
+    series: for each lag k ∈ [−max_lag, max_lag], the exact BIGINT dot
+    product Σ_d cA(d)·cB(d+k) and the overlapping-day count — the
+    which-metric-leads-which diagnostic (do signups precede purchases
+    by ~2 days?). The raw integer dot product ranks lags exactly;
+    Pearson normalization (a float) is the caller's presentation
+    choice, deliberately outside the gate (the ranking is what the
+    answer is).
+
+    Two day-bounded count aggregates, a (2·max_lag+1)-row lag spine
+    broadcast against one of them, one day-keyed equijoin — everything
+    after the daily collapse is bounded by days × lags.
+
+    Output (scalar-only): ``(lag int, dot long, n_days long)``.
+    """
+    if max_lag < 0:
+        raise ValueError("leadlag_correlation requires max_lag >= 0")
+    daily = (
+        df.filter(F.col(type_col).isin(type_a, type_b))
+        .groupBy(
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.col(type_col).alias("__t"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    a = daily.filter(F.col("__t") == type_a).select(
+        "day", F.col("n").alias("na")
+    )
+    b = daily.filter(F.col("__t") == type_b).select(
+        F.col("day").alias("bday"), F.col("n").alias("nb")
+    )
+    lags = df.sparkSession.createDataFrame(
+        [(int(k),) for k in range(-max_lag, max_lag + 1)], "lag int"
+    )
+    return (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("date_add(day, lag) = bday"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("na") * F.col("nb")).cast("long").alias("dot"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+    )

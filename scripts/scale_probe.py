@@ -186,6 +186,9 @@ PROBE = [
     "q_khop",
     "q_multimodal_channels",
     "q_hits",
+    "q_mad_outliers",
+    "q_rank_movers",
+    "q_leadlag",
 ]
 
 

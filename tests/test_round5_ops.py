@@ -701,3 +701,62 @@ def test_hits_exact_one_iteration(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         hits_fixed(df, iterations=0)
+
+
+# --- MAD outliers ---
+
+def test_mad_outliers_robustness(spark):
+    from salesforce_plugin_spark.operators.analytics import mad_outliers
+
+    # values 10..19 plus a wild outlier 1000: median 15 (lower of 14/15
+    # -> 2*cum>=tot at 15? values 10..19: cum at 14 is 5, tot 11 ->
+    # 2*5<11; at 15 cum 6 -> 12>=11: med=15), MAD = median(|y-15|)
+    vals = [(i, "g", v) for i, v in enumerate(list(range(10, 20)) + [1000])]
+    df = spark.createDataFrame(vals, "id long, g string, y long")
+    got = {r.id: r for r in mad_outliers(df, "g", "y", 3, 1).collect()}
+    assert got[0].med == 15
+    # deviations: 5,4,3,2,1,0,1,2,3,4,985 sorted ->
+    # 0,1,1,2,2,3,3,4,4,5,985; lower median = 3
+    assert got[0].mad == 3
+    flagged = [r.id for r in got.values() if r.is_outlier == 1]
+    assert flagged == [10]  # only the 1000 row: |985| > 9
+
+
+# --- rank movers ---
+
+def test_rank_movers_delta_and_nulls(spark):
+    from salesforce_plugin_spark.operators.analytics import rank_movers
+
+    rows = [
+        ("u1", "A", 100), ("u2", "A", 50),
+        ("u1", "B", 10), ("u2", "B", 90), ("u3", "B", 5),
+    ]
+    df = spark.createDataFrame(rows, "k string, p string, m long")
+    got = {r.key: r for r in rank_movers(df, "k", "m", "p", "A", "B").collect()}
+    assert got["u1"].rank_a == 1 and got["u1"].rank_b == 2
+    assert got["u1"].delta == -1          # dropped a place
+    assert got["u2"].delta == 1           # improved
+    assert got["u3"].rank_a is None and got["u3"].delta is None
+
+
+# --- lead-lag ---
+
+def test_leadlag_detects_shift(spark):
+    import datetime as dt
+    from salesforce_plugin_spark.operators.analytics import (
+        leadlag_correlation,
+    )
+
+    d0 = dt.datetime(2024, 1, 10)
+    rows = []
+    # 'x' spikes on days 0 and 2; 'y' spikes exactly 1 day later
+    for day, n in [(0, 5), (2, 7)]:
+        rows += [(d0 + dt.timedelta(days=day), "x")] * n
+        rows += [(d0 + dt.timedelta(days=day + 1), "y")] * n
+    df = spark.createDataFrame(rows, "ts timestamp, t string")
+    got = {r.lag: r for r in leadlag_correlation(
+        df, "ts", "t", "x", "y", 2
+    ).collect()}
+    assert got[1].dot == 5 * 5 + 7 * 7    # aligned at lag +1
+    assert got[1].dot > got.get(0, type("z", (), {"dot": 0})).dot
+    assert got[-1].dot == 5 * 7           # x day2 vs y day1
