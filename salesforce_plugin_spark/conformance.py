@@ -11382,7 +11382,9 @@ ORACLES["q_markov"] = """
 
 ORACLES["q_chat_render"] = """
     WITH t AS (
-        SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
     ), r AS (
         SELECT doc_id,
                '<|user|>' || chr(10)
@@ -11765,13 +11767,16 @@ ORACLES["q_ann_recall"] = """
         SELECT q_id, CAST(count(*) AS BIGINT) AS n_hits,
                min(CASE WHEN exact_rank = 1 THEN ann_rank END) AS t1
         FROM hits GROUP BY 1
+    ), ex_n AS (
+        SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact
+        FROM exact GROUP BY 1
     )
-    SELECT q.q_id,
+    SELECT e.q_id,
            CAST(COALESCE(p.n_hits, 0) AS BIGINT) AS n_hits,
-           CAST(COALESCE(p.n_hits, 0) * 1000000 // 10 AS BIGINT)
+           CAST(COALESCE(p.n_hits, 0) * 1000000 // e.n_exact AS BIGINT)
                AS recall_ppm,
            CAST(COALESCE(1000 // p.t1, 0) AS BIGINT) AS rr_x1000
-    FROM q LEFT JOIN per p USING (q_id)
+    FROM ex_n e LEFT JOIN per p USING (q_id)
 """
 
 
@@ -11811,12 +11816,19 @@ ORACLES["q_funnel_latency"] = """
                             ROWS UNBOUNDED PRECEDING) AS c,
                sum(w) OVER (PARTITION BY transition) AS total
         FROM dv
+    ), med AS (
+        SELECT transition,
+               CAST(max(total) AS BIGINT) AS n_converted,
+               CAST(min(CASE WHEN 2 * c >= total THEN latency_us END)
+                    AS BIGINT) AS median_us
+        FROM cum GROUP BY 1
+    ), spine(transition) AS (
+        VALUES ('view>click'), ('click>purchase')
     )
-    SELECT transition,
-           CAST(max(total) AS BIGINT) AS n_converted,
-           CAST(min(CASE WHEN 2 * c >= total THEN latency_us END)
-                AS BIGINT) AS median_us
-    FROM cum GROUP BY 1
+    SELECT spine.transition,
+           CAST(COALESCE(med.n_converted, 0) AS BIGINT) AS n_converted,
+           med.median_us
+    FROM spine LEFT JOIN med USING (transition)
 """
 
 

@@ -521,10 +521,19 @@ def hits_fixed(
     )
 
     def renorm(df, col):
+        # the pre-renorm sum is bounded by in-degree * quant; the * quant
+        # here would wrap BIGINT past in-degree ~9.2e6, so the product
+        # runs in DECIMAL(38,0) with the exact-multiple floor identity
+        # (a - a % b) / b (Spark's div mis-handles decimal operands);
+        # the RESULT is <= quant, so the long cast is always safe
         mx = df.agg(F.max(col).alias("__mx"))
+        num = f"(CAST({col} AS DECIMAL(38,0)) * {quant})"
+        den = "CAST(__mx AS DECIMAL(38,0))"
         return df.crossJoin(F.broadcast(mx)).select(
             "id",
-            F.expr(f"{col} * {quant} div __mx").cast("long").alias(col),
+            F.expr(
+                f"CAST(({num} - {num} % {den}) / {den} AS BIGINT)"
+            ).alias(col),
         )
 
     auths = None

@@ -829,7 +829,12 @@ def winsorize(
         )
     )
     v = F.col(value_col)
-    wz = F.least(F.greatest(v, F.col("__flo")), F.col("__fhi"))
+    # guard NULL inputs explicitly: Spark's greatest/least SKIP nulls,
+    # so an unguarded clamp would rewrite NULL to the lower fence --
+    # fabricating data in exactly the rows the caller knows least about
+    wz = F.when(
+        v.isNotNull(), F.least(F.greatest(v, F.col("__flo")), F.col("__fhi"))
+    )
     passthrough = [c for c in df.columns if c != value_col]
     return (
         df.crossJoin(F.broadcast(fences))
@@ -837,7 +842,7 @@ def winsorize(
             *passthrough,
             v.alias("value"),
             wz.alias("winsorized"),
-            (v != wz).cast("int").alias("clamped"),
+            F.when(v.isNotNull(), (v != wz).cast("int")).alias("clamped"),
         )
     )
 
@@ -876,6 +881,8 @@ def rolling_quantiles(
         raise ValueError("rolling_quantiles requires at least one quantile")
     if not lo < hi:
         raise ValueError("rolling_quantiles requires lo < hi")
+    if window_days < 1:
+        raise ValueError("rolling_quantiles requires window_days >= 1")
     width = (hi - lo) / n_bins
     raw_bin = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
     bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw_bin)).cast(
@@ -909,6 +916,10 @@ def rolling_quantiles_from_daily(
     for ADDITIVE day-histogram state (the streaming face folds
     per-batch (key, day, bin) counts and feeds the sum here; compacted
     warehouse rollups compose the same way)."""
+    if window_days < 1:
+        raise ValueError(
+            "rolling_quantiles_from_daily requires window_days >= 1"
+        )
     width = (hi - lo) / n_bins
     served = daily.select(
         "key",

@@ -1223,13 +1223,19 @@ def token_gini(
         lambda a: a.acc + a.run * a.run,
     )
     sumsq = folded
-    n = F.size(toks).cast("long")
+    # split('') yields [''] — size 1 — so empty/whitespace docs must be
+    # guarded explicitly or they masquerade as one-token loops (gini 0)
+    empty = F.length(F.trim(F.col(text_col))) == 0
+    n = F.when(empty, F.lit(0)).otherwise(F.size(toks)).cast("long")
     return docs.select(
         F.col(id_col),
         n.alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.when(empty, F.lit(0))
+        .otherwise(F.size(F.array_distinct(toks)))
+        .cast("long")
+        .alias("n_distinct"),
         F.when(n > 0, (n * n - sumsq) * F.lit(1_000_000)).alias("__num"),
-        (n * n).alias("__den"),
+        F.when(n > 0, n * n).alias("__den"),
     ).select(
         id_col,
         "n_tokens",

@@ -749,8 +749,11 @@ def centroid_similarity(
         .groupBy("label", "dim")
         .agg(F.sum("__q").alias("__s"))
     )
+    d38 = "decimal(38,0)"
     norms = sums.groupBy("label").agg(
-        F.sum(F.col("__s") * F.col("__s")).cast("long").alias("norm2")
+        F.sum(F.col("__s").cast(d38) * F.col("__s").cast(d38)).alias(
+            "__norm2_d"
+        )
     )
     a = sums.select(
         F.col("label").alias("label_a"), "dim", F.col("__s").alias("__sa")
@@ -762,28 +765,38 @@ def centroid_similarity(
         a.join(b, "dim")
         .filter(F.col("label_a") < F.col("label_b"))
         .groupBy("label_a", "label_b")
-        .agg(F.sum(F.col("__sa") * F.col("__sb")).cast("long").alias("dot"))
+        .agg(
+            F.sum(F.col("__sa").cast(d38) * F.col("__sb").cast(d38)).alias(
+                "__dot_d"
+            )
+        )
     )
     na = norms.select(
-        F.col("label").alias("label_a"), F.col("norm2").alias("norm2_a")
+        F.col("label").alias("label_a"), F.col("__norm2_d").alias("__na_d")
     )
     nb = norms.select(
-        F.col("label").alias("label_b"), F.col("norm2").alias("norm2_b")
+        F.col("label").alias("label_b"), F.col("__norm2_d").alias("__nb_d")
     )
+    # products of component sums are quadratic in per-label row counts
+    # (the zscore_outliers overflow class), so they accumulate in exact
+    # DECIMAL(38,0); the cosine divides the decimals as doubles
+    # (correctly-rounded conversions — deterministic in any engine) and
+    # the long surface columns are exact whenever in range (NULL past
+    # 2^63, never silent garbage)
     return (
         dots.join(na, "label_a")
         .join(nb, "label_b")
         .select(
             "label_a",
             "label_b",
-            "dot",
-            "norm2_a",
-            "norm2_b",
+            F.col("__dot_d").cast("long").alias("dot"),
+            F.col("__na_d").cast("long").alias("norm2_a"),
+            F.col("__nb_d").cast("long").alias("norm2_b"),
             F.round(
-                F.col("dot")
+                F.col("__dot_d").cast("double")
                 / (
-                    F.sqrt(F.col("norm2_a").cast("double"))
-                    * F.sqrt(F.col("norm2_b").cast("double"))
+                    F.sqrt(F.col("__na_d").cast("double"))
+                    * F.sqrt(F.col("__nb_d").cast("double"))
                 ),
                 6,
             ).alias("cos"),
@@ -937,9 +950,12 @@ def ann_recall(
         .drop("sim")
     )
     hits = exact.join(ann, ["q_id", id_col])
+    # recall denominator = |exact results| (min(k, candidates)), NOT the
+    # constant k: on corpora (or filtered lists) smaller than k a perfect
+    # retrieval must read 100%, not |corpus|/k
     return (
-        exact.select("q_id")
-        .distinct()
+        exact.groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n_exact"))
         .join(
             hits.groupBy("q_id").agg(
                 F.count(F.lit(1)).cast("long").alias("n_hits"),
@@ -955,7 +971,7 @@ def ann_recall(
             F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias(
                 "n_hits"
             ),
-            F.expr(f"coalesce(n_hits, 0) * 1000000 div {k}")
+            F.expr("coalesce(n_hits, 0) * 1000000 div __n_exact")
             .cast("long")
             .alias("recall_ppm"),
             F.coalesce(

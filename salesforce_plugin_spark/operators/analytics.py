@@ -358,17 +358,34 @@ def class_balance_from_counts(counts: DataFrame) -> DataFrame:
     """:func:`class_balance` from a pre-aggregated ``(label, n)``
     table — the entry point for additive label-count state (the
     streaming face folds per-batch counts and feeds the sum here;
-    rollup-maintained label counts compose the same way)."""
+    rollup-maintained label counts compose the same way).
+
+    The squared-total arithmetic runs in exact DECIMAL(38,0) (the
+    zscore_outliers discipline: ``total^2 * 10^6`` wraps BIGINT past
+    ~3 * 10^6 rows, far below this library's scale); floor division is
+    the exact-multiple identity ``(a - a % b) / b`` because Spark's
+    ``div`` mis-handles decimal operands. Exact while intermediates
+    stay under 10^38 (total < ~3 * 10^15 rows).
+    """
+    d38 = "decimal(38,0)"
+    nd = F.col("n").cast(d38)
     stats = counts.agg(
-        F.sum("n").alias("__total"),
-        F.sum(F.col("n") * F.col("n")).alias("__sq"),
+        F.sum(nd).alias("__total"),
+        F.sum(nd * nd).alias("__sq"),
     )
+    share = (
+        "CAST((CAST(n AS DECIMAL(38,0)) * 1000000"
+        " - CAST(n AS DECIMAL(38,0)) * 1000000 % __total)"
+        " / __total AS BIGINT)"
+    )
+    gnum = "((__total * __total - __sq) * 1000000)"
+    gden = "(__total * __total)"
+    gini = f"CAST(({gnum} - {gnum} % {gden}) / {gden} AS BIGINT)"
     return counts.crossJoin(F.broadcast(stats)).select(
         "label",
         F.col("n").cast("long").alias("n"),
-        F.expr("n * 1000000 div __total").alias("share_ppm"),
-        F.expr("(__total * __total - __sq) * 1000000 div (__total * __total)")
-        .alias("gini_ppm"),
+        F.expr(share).alias("share_ppm"),
+        F.expr(gini).alias("gini_ppm"),
     )
 
 
@@ -1189,9 +1206,17 @@ def funnel_latency(
         "latency_us",
         "__w",
     )
-    return med.select(
+    # spine keeps zero-converter transitions visible (n_converted = 0,
+    # NULL median): the drop-off signal is the point of the report
+    spine = events.sparkSession.createDataFrame(
+        [(f"{a}>{b}",) for a, b in zip(stages, stages[1:])],
+        "transition string",
+    )
+    return spine.join(med, "transition", "left").select(
         "transition",
-        F.col("total_w").cast("long").alias("n_converted"),
+        F.coalesce(F.col("total_w"), F.lit(0))
+        .cast("long")
+        .alias("n_converted"),
         F.col("median").cast("long").alias("median_us"),
     )
 

@@ -520,7 +520,11 @@ def render_chat(
     Output (scalar-only): ``(id, rendered string, prompt_chars int,
     total_chars int, prompt_tokens int, completion_tokens int)``.
     """
-    toks = F.split(F.col(text_col), " ")
+    # \s+ over trimmed text (the shared tokens() contract): a literal
+    # single-space split would turn newlines/double spaces into phantom
+    # or fused "words", shifting the mask boundary. Rendering therefore
+    # CANONICALIZES whitespace (tokens re-join with single spaces).
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
     instr = F.array_join(F.slice(toks, 1, instruction_words), " ")
     resp = F.array_join(
         F.slice(

@@ -91,6 +91,19 @@ def test_winsorize_clamps_tails_only(spark):
         winsorize(df, "v", 0.0, 128.0, q_low=0.9, q_high=0.1)
 
 
+def test_winsorize_null_passthrough(spark):
+    from salesforce_plugin_spark.functions.sketch import winsorize
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 51)] + [(None,)], "v double"
+    )
+    rows = winsorize(df, "v", 0.0, 64.0).collect()
+    nulls = [r for r in rows if r.value is None]
+    # NULL in -> NULL out, never fabricated to the lower fence
+    assert len(nulls) == 1
+    assert nulls[0].winsorized is None and nulls[0].clamped is None
+
+
 # --- RAKE ---
 
 def test_rake_phrases_split_on_stopwords(spark):
@@ -206,6 +219,13 @@ def test_render_chat_offsets(spark):
     # the completion starts exactly at prompt_chars
     assert r1.rendered[r1.prompt_chars:] == "four"
     assert r1.prompt_tokens == 3 and r1.completion_tokens == 1
+    # whitespace canonicalizes: newlines/doubled spaces split as \s+
+    df2 = spark.createDataFrame(
+        [(3, "one\ntwo  three")], "doc_id long, text string"
+    )
+    r3 = render_chat(df2, "doc_id", "text", instruction_words=2).collect()[0]
+    assert r3.rendered.endswith("<|assistant|>\nthree")
+    assert r3.prompt_tokens == 2 and r3.completion_tokens == 1
     # short doc: empty completion
     r2 = out[2]
     assert r2.completion_tokens == 0
@@ -365,6 +385,9 @@ def test_token_gini_known_values(spark):
     assert got[2].gini_ppm == 750_000                 # all distinct: 1-4/16
     assert got[3].gini_ppm == 500_000                 # (16-8)/16
     assert got[2].n_distinct == 4 and got[1].n_distinct == 1
+    # empty/whitespace docs: 0 tokens, NULL gini (not a fake 1-token loop)
+    assert got[4].n_tokens == 0 and got[4].n_distinct == 0
+    assert got[4].gini_ppm is None
 
 
 # --- source vocab overlap ---
@@ -640,6 +663,12 @@ def test_funnel_latency_median(spark):
     assert ab.median_us == 10_000_000  # lower median of {10s, 30s}
     assert got["b>c"].n_converted == 1
     assert got["b>c"].median_us == 10_000_000
+    # zero-converter transitions stay visible with n=0, NULL median
+    got2 = {r.transition: r for r in funnel_latency(
+        df, "u", "ts", "t", ["a", "b", "z"]
+    ).collect()}
+    assert got2["b>z"].n_converted == 0
+    assert got2["b>z"].median_us is None
 
 
 # --- k-hop reachability ---
