@@ -1,0 +1,37 @@
+"""Exact integer arithmetic helpers shared by the ppm/ratio operators.
+
+Two facts drive the shape of everything here (both discovered by
+measurement, both documented at their first fix sites —
+``operators/analytics.zscore_outliers`` and round-5's
+``class_balance_from_counts``):
+
+1. Plain BIGINT products of counts/sums overflow once intermediates
+   pass 2^63 — under Spark 4's default ANSI mode that KILLS the job
+   with ArithmeticException (with ANSI off it wraps silently); either
+   way, products of two corpus-scale counts get there long before
+   100 TB does. Exact integer-valued DECIMAL(38,0)
+   gives 128-bit headroom (HUGEINT on the DuckDB oracle side).
+2. Spark's integer-division operator ``div`` MIS-HANDLES decimal
+   operands (returns garbage, not an error). The exact floor division
+   of non-negative decimals is therefore written as the exact-multiple
+   identity ``(a - a % b) / b``: the remainder is exact, the numerator
+   becomes an exact multiple of ``b``, and dividing an exact multiple
+   is exact in decimal arithmetic regardless of the result scale.
+"""
+
+from __future__ import annotations
+
+D38 = "decimal(38,0)"
+
+
+def dfloor(num_sql: str, den_sql: str) -> str:
+    """SQL for exact floor(num / den) over NON-NEGATIVE decimal-typed
+    operands, returned as BIGINT (NULL if the result overflows a long —
+    never silent garbage). Wrap operands in ``dcast`` first."""
+    n, d = f"({num_sql})", f"({den_sql})"
+    return f"CAST(({n} - {n} % {d}) / {d} AS BIGINT)"
+
+
+def dcast(sql: str) -> str:
+    """SQL casting an integral expression to exact DECIMAL(38,0)."""
+    return f"CAST(({sql}) AS {D38})"

@@ -11,6 +11,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from salesforce_plugin_spark.functions.exactmath import dcast, dfloor
+
 #: Whitespace tokenizer (matches the reference era's CSV-ish text handling).
 WS_SPLIT_RE = r"\s+"
 
@@ -734,7 +736,12 @@ def collocation_lift(
             "n_ab",
             "n_a",
             "n_b",
-            F.expr("n_ab * __n * 1000000 div (n_a * n_b)").alias("lift_ppm"),
+            F.expr(
+                dfloor(
+                    dcast("n_ab") + " * " + dcast("__n") + " * 1000000",
+                    dcast("n_a") + " * " + dcast("n_b"),
+                )
+            ).alias("lift_ppm"),
         )
     )
     w = Window.orderBy(F.col("lift_ppm").desc(), F.col("w1"), F.col("w2"))
@@ -1078,7 +1085,9 @@ def rake_keywords(
         F.sum("n_words").cast("long").alias("__degree"),
     )
     word_scores = word_stats.select(
-        "word", F.expr("__degree * 1000000 div __freq").alias("__wscore")
+        "word",
+        F.expr(dfloor(dcast("__degree") + " * 1000000", dcast("__freq")))
+        .alias("__wscore"),
     )
     phrases = ph.groupBy("phrase", "n_words").agg(
         F.count(F.lit(1)).cast("long").alias("n_occ")
@@ -1171,9 +1180,10 @@ def coverage_from_term_counts(
         .groupBy("cutoff")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_terms"),
-            F.expr("(max(__cum) * 1000000) div max(__total)")
-            .cast("long")
-            .alias("coverage_ppm"),
+            F.expr(
+                dfloor(dcast("max(__cum)") + " * 1000000",
+                       dcast("max(__total)"))
+            ).alias("coverage_ppm"),
         )
     )
 

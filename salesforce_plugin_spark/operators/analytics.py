@@ -22,6 +22,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from salesforce_plugin_spark.functions.exactmath import dcast, dfloor
+
 
 def funnel(
     events: DataFrame,
@@ -323,8 +325,15 @@ def key_skew(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
         "key",
         "n",
         F.col("rnk").cast("int").alias("rnk"),
-        F.expr("n * 1000000 div __total").alias("share_ppm"),
-        F.expr("n * __distinct * 1000 div __total").alias("hot_x1000"),
+        F.expr(dfloor(dcast("n") + " * 1000000", dcast("__total"))).alias(
+            "share_ppm"
+        ),
+        F.expr(
+            dfloor(
+                dcast("n") + " * " + dcast("__distinct") + " * 1000",
+                dcast("__total"),
+            )
+        ).alias("hot_x1000"),
     )
 
 
@@ -437,7 +446,7 @@ def contribution_analysis(
         "delta",
         F.when(
             F.col("__total") != 0,
-            F.expr("delta * 1000000 div __total"),
+            F.expr(dfloor(dcast("delta") + " * 1000000", dcast("__total"))),
         ).alias("share_ppm"),
     )
 

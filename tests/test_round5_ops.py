@@ -789,3 +789,28 @@ def test_leadlag_detects_shift(spark):
     assert got[1].dot == 5 * 5 + 7 * 7    # aligned at lag +1
     assert got[1].dot > got.get(0, type("z", (), {"dot": 0})).dot
     assert got[-1].dot == 5 * 7           # x day2 vs y day1
+
+
+# --- exact decimal floor-division helper ---
+
+def test_dfloor_beyond_long_range(spark):
+    import pyspark.sql.functions as F
+    from salesforce_plugin_spark.functions.exactmath import dcast, dfloor
+
+    # numerator ~ 8.1e18 * 1e6 = 8.1e24: wraps long, exact in decimal
+    df = spark.createDataFrame(
+        [(9_000_000_000, 8_999_999_999)], "total long, n long"
+    )
+    r = df.select(
+        F.expr(dfloor(dcast("n") + " * 1000000000000", dcast("total")))
+        .alias("x")
+    ).collect()[0]
+    assert r.x == (8_999_999_999 * 10**12) // 9_000_000_000
+    # the plain-long form cannot produce this number: under ANSI it
+    # throws ArithmeticException (and with ANSI off it would wrap) --
+    # either way the decimal path is the only correct one
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        df.select(
+            F.expr("n * 1000000000000 div total").alias("x")
+        ).collect()
