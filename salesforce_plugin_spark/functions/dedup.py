@@ -1247,3 +1247,26 @@ def dup_size_histogram(
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
         F.sum("cluster_size").cast("long").alias("n_docs"),
     )
+
+
+def component_size_histogram(
+    assignments: DataFrame, component_col: str = "component_id"
+) -> DataFrame:
+    """Size distribution of connected components — the NEAR-dup
+    profiling companion of :func:`dup_size_histogram` (exact-dup
+    clusters): how big do candidate-graph components get, i.e. is the
+    dup structure near-clique pairs or sprawling chains (which decides
+    propagation vs star method, and how much text dedup will remove:
+    ``n_docs − n_components`` per size). Two bounded aggregates over
+    the assignment table.
+
+    Output (scalar-only): ``(cluster_size long, n_components long,
+    n_docs long)``.
+    """
+    sizes = assignments.groupBy(component_col).agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )

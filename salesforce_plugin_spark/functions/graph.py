@@ -47,23 +47,51 @@ def pagerank_fixed(
     damping: Fraction = Fraction(85, 100),
     scale: int = 10**12,
     symmetrize: bool = True,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over ``edges``; nodes are everything
     appearing as an endpoint. With ``symmetrize`` each edge counts in
     both directions (the undirected form). Returns
     ``(id long, rank_scaled long, rank double)`` with
     ``rank = rank_scaled / scale`` (one double divide).
+
+    With ``weight_col`` (a non-negative INTEGER edge weight —
+    co-occurrence counts, quantities), mass splits proportionally:
+    contribution along (u, v) is ``r(u)·w(u,v) div W(u)`` with W(u) the
+    node's outgoing weight sum — computed in exact DECIMAL(38,0) via
+    the exactmath floor identity (``r·w`` wraps BIGINT long before
+    corpus-scale weights do). Parallel weighted edges pre-aggregate;
+    the unweighted path is bit-identical to before.
     """
+    from salesforce_plugin_spark.functions.exactmath import dcast, dfloor
+
     if iterations < 1:
         raise ValueError("pagerank_fixed requires at least one iteration")
     dm, dd = damping.numerator, damping.denominator
-    e = edges.select(
-        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
-    ).distinct()
-    if symmetrize:
-        e = e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if weight_col is None:
+        e = edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        ).distinct()
+        if symmetrize:
+            e = e.unionByName(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+    else:
+        e = edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+            F.col(weight_col).cast("long").alias("__w"),
         )
+        if symmetrize:
+            e = e.unionByName(
+                e.select(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    "__w",
+                )
+            )
+        e = e.groupBy("src", "dst").agg(F.sum("__w").alias("__w"))
     # endpoints from BOTH sides: in the directed form a sink-only node
     # still owns rank (it just contributes nothing — its outflow term
     # never joins); in the symmetrized form the union is a no-op
@@ -72,9 +100,14 @@ def pagerank_fixed(
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
     )
-    deg = e.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).cast("long").alias("__deg")
-    )
+    if weight_col is None:
+        deg = e.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).cast("long").alias("__deg")
+        )
+    else:
+        deg = e.groupBy(F.col("src").alias("id")).agg(
+            F.sum("__w").cast("long").alias("__deg")
+        )
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("__n"))
 
     # r0 and the teleport base, as node-sized frames carrying the scalars
@@ -91,7 +124,16 @@ def pagerank_fixed(
             .join(deg.withColumnRenamed("id", "src"), "src")
             .select(
                 F.col("dst").alias("id"),
-                F.expr("__r div __deg").alias("__c"),
+                (
+                    F.expr("__r div __deg")
+                    if weight_col is None
+                    else F.expr(
+                        dfloor(
+                            dcast("__r") + " * " + dcast("__w"),
+                            dcast("__deg"),
+                        )
+                    )
+                ).alias("__c"),
             )
             .groupBy("id")
             .agg(F.sum("__c").alias("__in"))

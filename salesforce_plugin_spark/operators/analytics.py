@@ -1395,3 +1395,44 @@ def leadlag_correlation(
             F.count(F.lit(1)).cast("long").alias("n_days"),
         )
     )
+
+
+def fano_factor(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Burstiness by the Fano factor (variance-to-mean ratio of daily
+    event counts) per key, as an exact integer:
+    ``fano_x1000 = (n·Σc² − total²)·1000 div (n·total)`` over the
+    day-level counts — ≈1000 for Poisson-like arrivals, ≫1000 for
+    bursty ones (the overdispersion sensor beside
+    :func:`~salesforce_plugin_spark.operators.timeseries
+    .interarrival_stats`'s max-to-mean burst ratio). Quadratic terms
+    run in exact DECIMAL(38,0) (the exactmath discipline).
+
+    Two bounded aggregates: events → (key, day) counts → per-key
+    sufficient statistics. Output: ``(key…, n_days long, total long,
+    fano_x1000 long)``; single-day keys have zero variance by
+    construction (fano 0), keys with no events are absent.
+    """
+    daily = df.groupBy(
+        *key_cols, F.to_date(F.col(ts_col)).alias("__d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    d38 = "decimal(38,0)"
+    stats = daily.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("__c").cast("long").alias("total"),
+        F.sum(F.col("__c").cast(d38) * F.col("__c").cast(d38)).alias("__sq"),
+    )
+    num = (
+        dcast("n_days") + " * __sq"
+        + " - " + dcast("total") + " * " + dcast("total")
+    )
+    den = dcast("n_days") + " * " + dcast("total")
+    return stats.select(
+        *key_cols,
+        "n_days",
+        "total",
+        F.expr(dfloor(f"({num}) * 1000", den)).alias("fano_x1000"),
+    )

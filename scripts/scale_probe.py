@@ -189,6 +189,10 @@ PROBE = [
     "q_mad_outliers",
     "q_rank_movers",
     "q_leadlag",
+    "q_wpagerank",
+    "q_component_sizes",
+    "q_mutual_nn",
+    "q_fano",
 ]
 
 

@@ -814,3 +814,106 @@ def test_dfloor_beyond_long_range(spark):
         df.select(
             F.expr("n * 1000000000000 div total").alias("x")
         ).collect()
+
+
+# --- weighted PageRank ---
+
+def test_weighted_pagerank_splits_by_weight(spark):
+    from salesforce_plugin_spark.functions.graph import pagerank_fixed
+
+    # directed star: u -> a (w=9), u -> b (w=1); no symmetrize
+    df = spark.createDataFrame(
+        [(0, 1, 9), (0, 2, 1)], "src long, dst long, w long"
+    )
+    r = {x.id: x.rank_scaled for x in pagerank_fixed(
+        df, iterations=1, symmetrize=False, weight_col="w"
+    ).collect()}
+    # teleport base is equal; a's inflow is 9x b's
+    base = r[0]
+    assert (r[1] - base) == 9 * (r[2] - base) or abs(
+        (r[1] - base) - 9 * (r[2] - base)
+    ) <= 9  # floor-div slack < 1 unit per divide
+    assert r[1] > r[2] > r[0]
+
+
+# --- mutual nearest neighbors ---
+
+def test_mutual_nn_requires_symmetry(spark):
+    from salesforce_plugin_spark.functions.vector import mutual_nn
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.99, 0.14], 0),   # 1 and 2: each other's top-1
+        (3, [0.7, 0.71], 0),    # 3's top-1 is 2, but 2's is 1: excluded
+        (9, [0.0, 1.0], 1),     # alone in its block: no pairs
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = [(r.id_a, r.id_b) for r in mutual_nn(
+        df, "vec_id", "embedding", "label"
+    ).collect()]
+    assert got == [(1, 2)]
+
+
+# --- component size histogram ---
+
+def test_component_size_histogram(spark):
+    from salesforce_plugin_spark.functions.dedup import (
+        component_size_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 40), (5, 50)],
+        "id long, component_id long",
+    )
+    got = {r.cluster_size: r for r in component_size_histogram(df).collect()}
+    assert got[3].n_components == 1 and got[3].n_docs == 3
+    assert got[1].n_components == 2 and got[1].n_docs == 2
+
+
+# --- Fano factor ---
+
+def test_fano_factor_exact(spark):
+    import datetime as dt
+    from salesforce_plugin_spark.operators.analytics import fano_factor
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 'c': 5 events/day x 2 days (constant -> fano 0)
+    for day in range(2):
+        rows += [("c", d0 + dt.timedelta(days=day))] * 5
+    # user 'b': 1 then 9 events (n=2, total=10, sq=82 -> 3200)
+    rows += [("b", d0)] * 1 + [("b", d0 + dt.timedelta(days=1))] * 9
+    df = spark.createDataFrame(rows, "u string, ts timestamp")
+    got = {r.u: r for r in fano_factor(df, ["u"], "ts").collect()}
+    assert got["c"].fano_x1000 == 0
+    assert got["b"].fano_x1000 == (2 * 82 - 100) * 1000 // (2 * 10)
+
+
+def test_mutual_nn_adaptive_subblocking(spark):
+    from salesforce_plugin_spark.functions.vector import mutual_nn
+
+    # 130 same-label vectors -> bits = msb(130 div 64) = 1: blocks split
+    # on the sign of dim 1. A near-identical pair with MATCHING first
+    # sign is found; a near-identical pair STRADDLING the sign split is
+    # not (the documented ANN recall tradeoff of sub-blocking).
+    rows = [(1, [1.0, 0.9, 0.0]), (2, [1.0, 0.9001, 0.0])]      # found
+    rows += [(3, [0.001, 0.5, 0.8]), (4, [-0.001, 0.5, 0.8])]   # straddle
+    rows += [
+        (100 + i, [1.0, float(i), 100.0 + i]) for i in range(126)
+    ]  # filler to push the block over target_block
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {(r.id_a, r.id_b) for r in mutual_nn(
+        df, "vec_id", "embedding", "label"
+    ).collect()}
+    assert (1, 2) in got
+    assert (3, 4) not in got
+    # with sub-blocking effectively off (huge target), the pair appears
+    got2 = {(r.id_a, r.id_b) for r in mutual_nn(
+        df, "vec_id", "embedding", "label", target_block=1000
+    ).collect()}
+    assert (3, 4) in got2
