@@ -6470,6 +6470,97 @@ def q_fano(spark, sf_dir):
     return fano_factor(e, ["user_id"], "ts")
 
 
+
+
+def q_assortativity(spark, sf_dir):
+    """Graph mixing profile (functions/graph.py degree_assortativity):
+    mean neighbor degree per degree class (k_nn(k)) over the
+    supplier-part graph — hubs-to-hubs vs hubs-to-leaves, the shape
+    that decides how skew handling generalizes. Exact integer
+    knn_x1000 via the exactmath decimal identity; one degree-bounded
+    final aggregate."""
+    from salesforce_plugin_spark.functions.graph import degree_assortativity
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_suppkey") + 1000000).alias("src"),
+        F.col("l_partkey").alias("dst"),
+    )
+    return degree_assortativity(edges)
+
+
+def q_cluster_cohesion(spark, sf_dir):
+    """Clustering evaluation (vector.kmeans_assign composed): per-cluster
+    exact-integer cohesion — n, floor-mean and max of the assignment's
+    squared distances — the pairing that evaluates q_kmeans_assign the
+    way q_ann_recall evaluates the IVF index (an unevaluated clustering
+    is a guess). All BIGINT; one cluster-bounded aggregate."""
+    e = parallelized(load_table(spark, sf_dir, "embeddings"))
+    seeds = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"),
+        F.col("embedding").alias("centroid"),
+    )
+    assigned = V.kmeans_assign(e, seeds)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("sum(dist2) div count(*)").cast("long").alias("mean_dist2"),
+        F.max("dist2").cast("long").alias("max_dist2"),
+    )
+
+
+def q_stream_fano(spark, sf_dir):
+    """F6 x burstiness: the Fano factor maintained FROM A STREAM — the
+    (key, day) daily count is a per-group row count, so the generic
+    additive face maintains it with zero new fold code; summed state
+    feeds fano_from_daily and must equal the one-shot batch detector
+    (q_fano's oracle VERBATIM, disjoint event_id slices)."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.operators.analytics import fano_from_daily
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_summed_counts,
+        run_stream_additive_counts,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    tmp = tempfile.mkdtemp(prefix="conf_stream_fano_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [e.filter(F.col("event_id") % 3 == i) for i in range(3)],
+            tmp,
+            None,
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+        run_stream_additive_counts(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            group_cols=["user_id", "__d"],
+            prepare=lambda b: b.select(
+                "user_id", F.to_date("ts").alias("__d")
+            ),
+        )
+        daily = read_summed_counts(spark, state, ["user_id", "__d"]).select(
+            "user_id", "__d", F.col("n").alias("__c")
+        )
+        rows = fano_from_daily(daily, ["user_id"]).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "user_id long, n_days long, total long, fano_x1000 long"
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- driver-graded window (first 50): one per §2 family ---
     # D1-D19: the relational surface the reference forwards to SOQL
@@ -6750,6 +6841,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_component_sizes": q_component_sizes,
     "q_mutual_nn": q_mutual_nn,
     "q_fano": q_fano,
+    "q_assortativity": q_assortativity,
+    "q_cluster_cohesion": q_cluster_cohesion,
+    "q_stream_fano": q_stream_fano,
 }
 
 
@@ -12225,3 +12319,39 @@ ORACLES["q_fano"] = """
                AS fano_x1000
     FROM stats
 """
+
+
+ORACLES["q_assortativity"] = """
+    WITH e AS (
+        SELECT DISTINCT least(l_partkey, l_suppkey + 1000000) AS a,
+               greatest(l_partkey, l_suppkey + 1000000) AS b
+        FROM lineitem WHERE l_partkey <> l_suppkey + 1000000
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY 1
+    ), bt AS (
+        SELECT a, b FROM e UNION ALL SELECT b, a FROM e
+    ), j AS (
+        SELECT da.deg AS degree, bt.a AS node, db.deg AS nd
+        FROM bt
+        JOIN deg da ON da.node = bt.a
+        JOIN deg db ON db.node = bt.b
+    )
+    SELECT degree, CAST(count(DISTINCT node) AS BIGINT) AS n_nodes,
+           CAST((CAST(sum(nd) AS HUGEINT) * 1000)
+                // (CAST(degree AS HUGEINT) * count(DISTINCT node))
+               AS BIGINT) AS knn_x1000
+    FROM j GROUP BY degree
+"""
+
+ORACLES["q_cluster_cohesion"] = _KMEANS_ASSIGN_CTES + """
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(dist2) // count(*) AS BIGINT) AS mean_dist2,
+           CAST(max(dist2) AS BIGINT) AS max_dist2
+    FROM ranked WHERE rn = 1
+    GROUP BY cluster
+"""
+
+# streamed additive daily counts == one-shot batch Fano (equivalence)
+ORACLES["q_stream_fano"] = ORACLES["q_fano"]

@@ -599,3 +599,62 @@ def hits_fixed(
             "id", F.lit("auth").alias("side"), F.col("a").alias("score")
         )
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Mean neighbor degree per degree class (the k_nn(k) curve) — the
+    degree-mixing profile that says whether hubs attach to hubs
+    (assortative, social graphs) or to leaves (disassortative,
+    web/biology): the shape decides how skew handling and sampling
+    generalize from one graph to another. Exact integers:
+    ``knn_x1000 = Σ neighbor-degree · 1000 div (k · n_k)`` via the
+    exactmath decimal identity (degree products of corpus-scale counts
+    overflow longs).
+
+    Shape: canonical edges → node degrees (one bounded aggregate) →
+    each edge contributes its endpoint-degree pair in both directions
+    (edge-sized join, no blowup) → one degree-class-bounded aggregate.
+
+    Output (scalar-only): ``(degree long, n_nodes long,
+    knn_x1000 long)``.
+    """
+    from salesforce_plugin_spark.functions.exactmath import dcast, dfloor
+
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    both = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    nbr = (
+        both.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("__da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("__db")), "b")
+        .groupBy(F.col("__da").alias("degree"))
+        .agg(
+            F.countDistinct("a").cast("long").alias("n_nodes"),
+            F.sum("__db").cast("long").alias("__snd"),
+        )
+    )
+    return nbr.select(
+        "degree",
+        "n_nodes",
+        F.expr(
+            dfloor(
+                dcast("__snd") + " * 1000",
+                dcast("degree") + " * " + dcast("n_nodes"),
+            )
+        ).alias("knn_x1000"),
+    )

@@ -1419,6 +1419,14 @@ def fano_factor(
     daily = df.groupBy(
         *key_cols, F.to_date(F.col(ts_col)).alias("__d")
     ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    return fano_from_daily(daily, key_cols)
+
+
+def fano_from_daily(daily: DataFrame, key_cols: list[str]) -> DataFrame:
+    """:func:`fano_factor` from a pre-aggregated ``(key…, __d date,
+    __c long)`` daily-count table — the entry point for additive
+    daily-count state (the streaming face folds per-batch counts and
+    feeds the sum here)."""
     d38 = "decimal(38,0)"
     stats = daily.groupBy(*key_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),

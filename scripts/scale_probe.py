@@ -193,6 +193,8 @@ PROBE = [
     "q_component_sizes",
     "q_mutual_nn",
     "q_fano",
+    "q_assortativity",
+    "q_cluster_cohesion",
 ]
 
 

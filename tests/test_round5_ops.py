@@ -917,3 +917,19 @@ def test_mutual_nn_adaptive_subblocking(spark):
         df, "vec_id", "embedding", "label", target_block=1000
     ).collect()}
     assert (3, 4) in got2
+
+
+# --- degree assortativity ---
+
+def test_degree_assortativity_star(spark):
+    from salesforce_plugin_spark.functions.graph import degree_assortativity
+
+    # star: center 0 (deg 4) - leaves 1..4 (deg 1)
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    got = {r.degree: r for r in degree_assortativity(df).collect()}
+    # leaves' only neighbor has degree 4: knn = 4.0
+    assert got[1].n_nodes == 4 and got[1].knn_x1000 == 4000
+    # center's neighbors all have degree 1: knn = 1.0
+    assert got[4].n_nodes == 1 and got[4].knn_x1000 == 1000
