@@ -6561,6 +6561,36 @@ def q_stream_fano(spark, sf_dir):
     )
 
 
+
+
+def q_modularity(spark, sf_dir):
+    """Community-quality evaluation (functions/graph.py modularity):
+    Newman modularity of the q_label_prop communities decomposed into
+    exact per-community integers (q_num = 4·m·e_in − d_c², shared
+    denominator 4m² carried alongside) — the evaluation pairing for
+    community detection; quadratics in DECIMAL(38,0). The oracle
+    chains the label-propagation CTEs into the modularity
+    aggregation."""
+    from salesforce_plugin_spark.functions.graph import (
+        label_propagation_fixed,
+        modularity,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_suppkey") + 1000000).alias("src"),
+        F.col("l_partkey").alias("dst"),
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    labels = nodes.select("id", (F.col("id") % 5).alias("label"))
+    comm = label_propagation_fixed(edges, labels, iterations=2)
+    return modularity(edges, comm)
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- driver-graded window (first 50): one per §2 family ---
     # D1-D19: the relational surface the reference forwards to SOQL
@@ -6844,6 +6874,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_assortativity": q_assortativity,
     "q_cluster_cohesion": q_cluster_cohesion,
     "q_stream_fano": q_stream_fano,
+    "q_modularity": q_modularity,
 }
 
 
@@ -12355,3 +12386,68 @@ ORACLES["q_cluster_cohesion"] = _KMEANS_ASSIGN_CTES + """
 
 # streamed additive daily counts == one-shot batch Fano (equivalence)
 ORACLES["q_stream_fano"] = ORACLES["q_fano"]
+
+
+ORACLES["q_modularity"] = """
+    WITH re AS (
+        SELECT DISTINCT l_suppkey + 1000000 AS src, l_partkey AS dst
+        FROM lineitem
+    ), e AS (
+        SELECT src, dst FROM re UNION SELECT dst, src FROM re
+    ), l0 AS (
+        SELECT DISTINCT src AS id, src % 5 AS lab FROM e
+    ), v1 AS (
+        SELECT e.dst AS id, l.lab, count(*) AS c
+        FROM e JOIN l0 l ON e.src = l.id GROUP BY 1, 2
+    ), w1 AS (
+        SELECT id, lab FROM (
+            SELECT id, lab, row_number() OVER (
+                PARTITION BY id ORDER BY c DESC, lab ASC) AS rn
+            FROM v1
+        ) WHERE rn = 1
+    ), l1 AS (
+        SELECT l0.id, COALESCE(w1.lab, l0.lab) AS lab
+        FROM l0 LEFT JOIN w1 ON l0.id = w1.id
+    ), v2 AS (
+        SELECT e.dst AS id, l.lab, count(*) AS c
+        FROM e JOIN l1 l ON e.src = l.id GROUP BY 1, 2
+    ), w2 AS (
+        SELECT id, lab FROM (
+            SELECT id, lab, row_number() OVER (
+                PARTITION BY id ORDER BY c DESC, lab ASC) AS rn
+            FROM v2
+        ) WHERE rn = 1
+    ), comm AS (
+        SELECT l1.id AS node, COALESCE(w2.lab, l1.lab) AS label
+        FROM l1 LEFT JOIN w2 ON l1.id = w2.id
+    ), ce AS (
+        SELECT DISTINCT least(l_partkey, l_suppkey + 1000000) AS a,
+               greatest(l_partkey, l_suppkey + 1000000) AS b
+        FROM lineitem WHERE l_partkey <> l_suppkey + 1000000
+    ), mm AS (
+        SELECT CAST(count(*) AS BIGINT) AS m FROM ce
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT a AS node FROM ce UNION ALL SELECT b FROM ce)
+        GROUP BY 1
+    ), per AS (
+        SELECT c.label, CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(COALESCE(sum(d.deg), 0) AS BIGINT) AS degree_sum
+        FROM comm c LEFT JOIN deg d ON d.node = c.node
+        GROUP BY 1
+    ), ein AS (
+        SELECT la.label, CAST(count(*) AS BIGINT) AS e_in
+        FROM ce
+        JOIN comm la ON la.node = ce.a
+        JOIN comm lb ON lb.node = ce.b
+        WHERE la.label = lb.label
+        GROUP BY 1
+    )
+    SELECT per.label, per.n_nodes, per.degree_sum,
+           CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in,
+           mm.m,
+           CAST(4 * CAST(mm.m AS HUGEINT) * COALESCE(ein.e_in, 0)
+                - CAST(per.degree_sum AS HUGEINT) * per.degree_sum
+               AS BIGINT) AS q_num
+    FROM per LEFT JOIN ein USING (label), mm
+"""

@@ -658,3 +658,87 @@ def degree_assortativity(
             )
         ).alias("knn_x1000"),
     )
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity decomposition of a community assignment —
+    the evaluation pairing for community detection
+    (``label_propagation_fixed``), the way ``ann_recall`` evaluates the
+    IVF index: an unevaluated clustering is a guess. Emitted as EXACT
+    integers per community: ``q_num = 4·m·e_in − d_c²`` with the shared
+    denominator ``4m²`` carried alongside, so
+    ``Q = Σ q_num / (4m²)`` — no float enters the gate and partial
+    sums are engine-exact (quadratics in DECIMAL(38,0), the exactmath
+    discipline; long surfaces NULL past 2⁶³, never silent garbage).
+
+    Shape: canonical edge set (m from a 1-row broadcast), node degrees,
+    one label join per edge side for e_in, one community-bounded final
+    aggregate.
+
+    Output (scalar-only): ``(label, n_nodes long, degree_sum long,
+    e_in long, m long, q_num long)``.
+    """
+    from salesforce_plugin_spark.functions.exactmath import dcast
+
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    m1 = e.agg(F.count(F.lit(1)).cast("long").alias("__m"))
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("__deg"))
+    )
+    comm = communities.select(
+        F.col(id_col).alias("node"), F.col(label_col).alias("label")
+    )
+    per_comm = (
+        comm.join(deg, "node", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.coalesce(F.sum("__deg"), F.lit(0))
+            .cast("long")
+            .alias("degree_sum"),
+        )
+    )
+    la = comm.select(F.col("node").alias("a"), F.col("label").alias("__la"))
+    lb = comm.select(F.col("node").alias("b"), F.col("label").alias("__lb"))
+    e_in = (
+        e.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("__la") == F.col("__lb"))
+        .groupBy(F.col("__la").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    return (
+        per_comm.join(e_in, "label", "left")
+        .crossJoin(F.broadcast(m1))
+        .select(
+            "label",
+            "n_nodes",
+            "degree_sum",
+            F.coalesce(F.col("e_in"), F.lit(0)).cast("long").alias("e_in"),
+            F.col("__m").alias("m"),
+            F.expr(
+                "CAST(4 * " + dcast("__m")
+                + " * " + dcast("coalesce(e_in, 0)")
+                + " - " + dcast("degree_sum")
+                + " * " + dcast("degree_sum")
+                + " AS BIGINT)"
+            ).alias("q_num"),
+        )
+    )

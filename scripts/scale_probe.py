@@ -195,6 +195,7 @@ PROBE = [
     "q_fano",
     "q_assortativity",
     "q_cluster_cohesion",
+    "q_modularity",
 ]
 
 

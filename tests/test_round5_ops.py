@@ -933,3 +933,31 @@ def test_degree_assortativity_star(spark):
     assert got[1].n_nodes == 4 and got[1].knn_x1000 == 4000
     # center's neighbors all have degree 1: knn = 1.0
     assert got[4].n_nodes == 1 and got[4].knn_x1000 == 1000
+
+
+# --- modularity ---
+
+def test_modularity_two_cliques(spark):
+    from salesforce_plugin_spark.functions.graph import modularity
+
+    # two triangles joined by one bridge edge: m = 7
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    comm = spark.createDataFrame(
+        [(i, 0) for i in (1, 2, 3)] + [(i, 1) for i in (4, 5, 6)],
+        "id long, label long",
+    )
+    got = {r.label: r for r in modularity(e, comm).collect()}
+    # community 0: e_in=3, d=2+2+3=7 -> q_num = 4*7*3 - 49 = 35
+    assert got[0].e_in == 3 and got[0].degree_sum == 7
+    assert got[0].q_num == 4 * 7 * 3 - 49
+    assert got[0].m == 7
+    # Q = (35 + 35) / (4*49) ~ 0.357: positive, as a good split should be
+    total = sum(r.q_num for r in got.values())
+    assert total == 70
+    # degenerate: everything in one community -> Q = 0 exactly
+    allone = spark.createDataFrame(
+        [(i, 9) for i in range(1, 7)], "id long, label long"
+    )
+    g2 = modularity(e, allone).collect()[0]
+    assert g2.q_num == 4 * 7 * 7 - 14 * 14  # = 0
