@@ -6591,6 +6591,31 @@ def q_modularity(spark, sf_dir):
     return modularity(edges, comm)
 
 
+
+
+def q_dow_profile(spark, sf_dir):
+    """Seasonality sensing (operators/timeseries.py dow_profile):
+    per-event-type day-of-week counts + exact integer-ppm shares
+    (ISO 1=Monday..7=Sunday normalized explicitly — weekday numbering
+    is a classic cross-engine trap). (key, dow)-bounded aggregate."""
+    from salesforce_plugin_spark.operators.timeseries import dow_profile
+
+    e = load_table(spark, sf_dir, "events")
+    return dow_profile(e, ["event_type"], "ts")
+
+
+def q_coverage_gaps(spark, sf_dir):
+    """Feed-completeness audit (operators/timeseries.py coverage_gaps):
+    per-user active days, span, and missing days inside the span — the
+    detector whose repair is q_resample_ffill (a feed that silently
+    skipped days poisons every rolling window downstream). One
+    (key, day)-distinct aggregate."""
+    from salesforce_plugin_spark.operators.timeseries import coverage_gaps
+
+    e = load_table(spark, sf_dir, "events")
+    return coverage_gaps(e, ["user_id"], "ts")
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- driver-graded window (first 50): one per §2 family ---
     # D1-D19: the relational surface the reference forwards to SOQL
@@ -6875,6 +6900,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_cluster_cohesion": q_cluster_cohesion,
     "q_stream_fano": q_stream_fano,
     "q_modularity": q_modularity,
+    "q_dow_profile": q_dow_profile,
+    "q_coverage_gaps": q_coverage_gaps,
 }
 
 
@@ -12450,4 +12477,31 @@ ORACLES["q_modularity"] = """
                 - CAST(per.degree_sum AS HUGEINT) * per.degree_sum
                AS BIGINT) AS q_num
     FROM per LEFT JOIN ein USING (label), mm
+"""
+
+
+ORACLES["q_dow_profile"] = """
+    WITH c AS (
+        SELECT event_type, CAST(isodow(ts) AS INT) AS dow,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, dow, n,
+           CAST((CAST(n AS HUGEINT) * 1000000)
+                // sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+               AS share_ppm
+    FROM c
+"""
+
+ORACLES["q_coverage_gaps"] = """
+    WITH kd AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_active_days,
+           min(d) AS first_day,
+           max(d) AS last_day,
+           CAST(max(d) - min(d) + 1 AS BIGINT) AS span_days,
+           CAST(max(d) - min(d) + 1 - count(*) AS BIGINT) AS n_missing
+    FROM kd GROUP BY 1
 """

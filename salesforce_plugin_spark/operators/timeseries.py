@@ -450,3 +450,81 @@ def interarrival_stats(
             .alias("burst_x1000"),
         )
     )
+
+
+def dow_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Day-of-week seasonality profile per key: event count and exact
+    integer-ppm share per weekday — the shape consumed by staffing /
+    anomaly-baseline / send-time decisions, and the first check before
+    fitting any seasonal model. One (key, dow)-bounded
+    partial-combined aggregate + a key-bounded window for the shares
+    (exactmath decimal division).
+
+    Output (scalar-only): ``(key…, dow int ISO 1-7, n long,
+    share_ppm long)``.
+    """
+    from salesforce_plugin_spark.functions.exactmath import dcast, dfloor
+
+    counts = df.groupBy(
+        *key_cols,
+        F.dayofweek(F.col(ts_col)).alias("__sundow"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # dayofweek is 1=Sunday..7=Saturday in both Spark and DuckDB-adjacent
+    # SQL dialects vary — normalize to ISO 1=Monday..7=Sunday explicitly
+    iso = F.when(F.col("__sundow") == 1, F.lit(7)).otherwise(
+        F.col("__sundow") - 1
+    )
+    w = Window.partitionBy(*key_cols)
+    return counts.select(
+        *key_cols,
+        iso.cast("int").alias("dow"),
+        "n",
+        F.sum("n").over(w).alias("__tot"),
+    ).select(
+        *key_cols,
+        "dow",
+        "n",
+        F.expr(dfloor(dcast("n") + " * 1000000", dcast("__tot"))).alias(
+            "share_ppm"
+        ),
+    )
+
+
+def coverage_gaps(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Calendar-coverage audit per key: active-day count, first/last
+    day, span, and the number of MISSING days inside the span — the
+    cheap completeness check run before trusting any per-day metric
+    (a feed that skipped days poisons rolling windows silently;
+    ``resample_daily_ffill`` is the repair, this is the detector).
+    Everything derives from one (key, day)-distinct aggregate —
+    exchange bounded by keys × days, never event volume.
+
+    Output (scalar-only): ``(key…, n_active_days long, first_day date,
+    last_day date, span_days long, n_missing long)``.
+    """
+    kd = df.select(
+        *key_cols, F.to_date(F.col(ts_col)).alias("__d")
+    ).distinct()
+    return kd.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_days"),
+        F.min("__d").alias("first_day"),
+        F.max("__d").alias("last_day"),
+        (F.datediff(F.max("__d"), F.min("__d")) + 1)
+        .cast("long")
+        .alias("span_days"),
+        (
+            F.datediff(F.max("__d"), F.min("__d"))
+            + 1
+            - F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("n_missing"),
+    )

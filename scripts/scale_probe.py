@@ -196,6 +196,8 @@ PROBE = [
     "q_assortativity",
     "q_cluster_cohesion",
     "q_modularity",
+    "q_dow_profile",
+    "q_coverage_gaps",
 ]
 
 

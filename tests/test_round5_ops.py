@@ -961,3 +961,39 @@ def test_modularity_two_cliques(spark):
     )
     g2 = modularity(e, allone).collect()[0]
     assert g2.q_num == 4 * 7 * 7 - 14 * 14  # = 0
+
+
+# --- day-of-week profile ---
+
+def test_dow_profile_iso_numbering(spark):
+    import datetime as dt
+    from salesforce_plugin_spark.operators.timeseries import dow_profile
+
+    # 2024-01-01 is a Monday; 2024-01-07 a Sunday
+    rows = [("a", dt.datetime(2024, 1, 1, 9))] * 3 + [
+        ("a", dt.datetime(2024, 1, 7, 9))
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {r.dow: r for r in dow_profile(df, ["k"], "ts").collect()}
+    assert got[1].n == 3      # Monday = ISO 1
+    assert got[7].n == 1      # Sunday = ISO 7
+    assert got[1].share_ppm == 750_000
+
+
+# --- coverage gaps ---
+
+def test_coverage_gaps_counts_missing_days(spark):
+    import datetime as dt
+    from salesforce_plugin_spark.operators.timeseries import coverage_gaps
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u", d0), ("u", d0), ("u", d0 + dt.timedelta(days=4)),
+        ("v", d0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {r.k: r for r in coverage_gaps(df, ["k"], "ts").collect()}
+    u = got["u"]
+    assert u.n_active_days == 2 and u.span_days == 5 and u.n_missing == 3
+    v = got["v"]
+    assert v.span_days == 1 and v.n_missing == 0
