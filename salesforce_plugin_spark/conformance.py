@@ -6616,6 +6616,23 @@ def q_coverage_gaps(spark, sf_dir):
     return coverage_gaps(e, ["user_id"], "ts")
 
 
+
+
+def q_seasonal_anomaly(spark, sf_dir):
+    """Seasonality-aware anomaly days (operators/timeseries.py
+    seasonal_anomaly_days): each (type, day) count vs the type's
+    SAME-WEEKDAY baseline — quiet Sundays never false-alarm against
+    Monday averages — spike/dip via cross-multiplied integer ratio
+    thresholds (3/2 and 1/2), no divide/float at the boundary.
+    Composes q_dow_profile's structure with the zscore discipline."""
+    from salesforce_plugin_spark.operators.timeseries import (
+        seasonal_anomaly_days,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return seasonal_anomaly_days(e, ["event_type"], "ts")
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- driver-graded window (first 50): one per §2 family ---
     # D1-D19: the relational surface the reference forwards to SOQL
@@ -6902,6 +6919,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_modularity": q_modularity,
     "q_dow_profile": q_dow_profile,
     "q_coverage_gaps": q_coverage_gaps,
+    "q_seasonal_anomaly": q_seasonal_anomaly,
 }
 
 
@@ -12504,4 +12522,28 @@ ORACLES["q_coverage_gaps"] = """
            CAST(max(d) - min(d) + 1 AS BIGINT) AS span_days,
            CAST(max(d) - min(d) + 1 - count(*) AS BIGINT) AS n_missing
     FROM kd GROUP BY 1
+"""
+
+
+ORACLES["q_seasonal_anomaly"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), tagged AS (
+        SELECT event_type, day, n, CAST(isodow(day) AS INT) AS dow
+        FROM daily
+    ), base AS (
+        SELECT event_type, dow,
+               CAST(count(*) AS BIGINT) AS n_dow_days,
+               CAST(sum(n) AS BIGINT) AS dow_total
+        FROM tagged GROUP BY 1, 2
+    )
+    SELECT t.event_type, t.day, t.n, t.dow, b.n_dow_days, b.dow_total,
+           CAST(CAST(t.n AS HUGEINT) * b.n_dow_days * 2
+                > 3 * CAST(b.dow_total AS HUGEINT) AS INT) AS spike,
+           CAST(CAST(t.n AS HUGEINT) * b.n_dow_days * 2
+                < 1 * CAST(b.dow_total AS HUGEINT) AS INT) AS dip
+    FROM tagged t
+    JOIN base b ON b.event_type = t.event_type AND b.dow = t.dow
 """

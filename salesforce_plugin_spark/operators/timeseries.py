@@ -528,3 +528,63 @@ def coverage_gaps(
         .cast("long")
         .alias("n_missing"),
     )
+
+
+def seasonal_anomaly_days(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    hi_num: int = 3,
+    hi_den: int = 2,
+    lo_num: int = 1,
+    lo_den: int = 2,
+) -> DataFrame:
+    """Seasonality-aware daily anomaly flags: each (key, day)'s event
+    count compared to the key's SAME-WEEKDAY baseline (the
+    :func:`dow_profile` structure), so a naturally-quiet Sunday never
+    false-alarms against a Monday average. A day is a ``spike`` when
+    ``n·n_dow_days·hi_den > hi_num·dow_total`` and a ``dip`` when
+    ``n·n_dow_days·lo_den < lo_num·dow_total`` — cross-multiplied
+    integer comparisons (exactmath decimals), no divide or float at
+    the boundary (the zscore_outliers discipline; ratio thresholds
+    beat σ-thresholds when the baseline is a handful of weekdays).
+
+    Two bounded aggregates (days, then key × dow) + one join back on
+    (key, dow). Output (scalar-only): ``(key…, day date, n long,
+    dow int, n_dow_days long, dow_total long, spike int, dip int)``.
+    """
+    from salesforce_plugin_spark.functions.exactmath import dcast
+
+    daily = df.groupBy(
+        *key_cols, F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    iso = F.when(F.dayofweek("day") == 1, F.lit(7)).otherwise(
+        F.dayofweek("day") - 1
+    )
+    tagged = daily.withColumn("dow", iso.cast("int"))
+    base = tagged.groupBy(*key_cols, "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dow_days"),
+        F.sum("n").cast("long").alias("dow_total"),
+    )
+    lhs = dcast("n") + " * " + dcast("n_dow_days")
+    return (
+        tagged.join(base, [*key_cols, "dow"])
+        .select(
+            *key_cols,
+            "day",
+            "n",
+            "dow",
+            "n_dow_days",
+            "dow_total",
+            F.expr(
+                f"CAST(({lhs}) * {hi_den} > {hi_num} * "
+                + dcast("dow_total")
+                + " AS INT)"
+            ).alias("spike"),
+            F.expr(
+                f"CAST(({lhs}) * {lo_den} < {lo_num} * "
+                + dcast("dow_total")
+                + " AS INT)"
+            ).alias("dip"),
+        )
+    )

@@ -198,6 +198,7 @@ PROBE = [
     "q_modularity",
     "q_dow_profile",
     "q_coverage_gaps",
+    "q_seasonal_anomaly",
 ]
 
 

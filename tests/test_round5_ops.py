@@ -997,3 +997,29 @@ def test_coverage_gaps_counts_missing_days(spark):
     assert u.n_active_days == 2 and u.span_days == 5 and u.n_missing == 3
     v = got["v"]
     assert v.span_days == 1 and v.n_missing == 0
+
+
+# --- seasonal anomaly days ---
+
+def test_seasonal_anomaly_same_weekday_baseline(spark):
+    import datetime as dt
+    from salesforce_plugin_spark.operators.timeseries import (
+        seasonal_anomaly_days,
+    )
+
+    rows = []
+    # Mondays (Jan 1, 8, 15): 10, 10, 40 events -> the 40 spikes
+    for day, n in [(1, 10), (8, 10), (15, 40)]:
+        rows += [("k", dt.datetime(2024, 1, day, 9))] * n
+    # Sundays (Jan 7, 14): 2, 2 -> quiet baseline, NO false alarm
+    for day in (7, 14):
+        rows += [("k", dt.datetime(2024, 1, day, 9))] * 2
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {str(r.day): r for r in seasonal_anomaly_days(
+        df, ["k"], "ts"
+    ).collect()}
+    assert got["2024-01-15"].spike == 1            # 40*3*2 > 3*60
+    assert got["2024-01-01"].spike == 0
+    assert got["2024-01-01"].dip == 0              # 10*3*2 > 60: no dip
+    # Sundays at count 2 match their own baseline exactly: no alarms
+    assert got["2024-01-07"].spike == 0 and got["2024-01-07"].dip == 0
