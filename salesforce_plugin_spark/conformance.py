@@ -6500,10 +6500,15 @@ def q_cluster_cohesion(spark, sf_dir):
         F.col("vec_id").alias("cluster"),
         F.col("embedding").alias("centroid"),
     )
+    from salesforce_plugin_spark.functions.exactmath import dcast, dfloor
+
     assigned = V.kmeans_assign(e, seeds)
+    # dist2 sums are quadratic — DECIMAL(38,0) like every sibling site
     return assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.expr("sum(dist2) div count(*)").cast("long").alias("mean_dist2"),
+        F.expr(
+            dfloor("sum(" + dcast("dist2") + ")", dcast("count(*)"))
+        ).alias("mean_dist2"),
         F.max("dist2").cast("long").alias("max_dist2"),
     )
 

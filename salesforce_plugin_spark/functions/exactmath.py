@@ -25,9 +25,21 @@ D38 = "decimal(38,0)"
 
 
 def dfloor(num_sql: str, den_sql: str) -> str:
-    """SQL for exact floor(num / den) over NON-NEGATIVE decimal-typed
-    operands, returned as BIGINT (NULL if the result overflows a long —
-    never silent garbage). Wrap operands in ``dcast`` first."""
+    """SQL for exact integral num/den over decimal-typed operands,
+    returned as BIGINT. Wrap operands in ``dcast`` first.
+
+    Semantics notes (deliberate, relied upon by callers):
+
+    - For a NEGATIVE numerator this is TRUNCATION toward zero, not a
+      mathematical floor — exactly what Spark's integer ``div`` and
+      DuckDB's integer ``//`` do, which is what keeps signed ppm
+      shares (contribution_analysis) bit-identical cross-engine.
+      "Fixing" this to true flooring would silently diverge from both
+      engines' integer division.
+    - A result past 2^63 fails LOUDLY under Spark's default ANSI mode
+      (ArithmeticException at the BIGINT cast; NULL only with ANSI
+      off) — never silent garbage either way.
+    """
     n, d = f"({num_sql})", f"({den_sql})"
     return f"CAST(({n} - {n} % {d}) / {d} AS BIGINT)"
 

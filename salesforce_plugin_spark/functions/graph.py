@@ -92,13 +92,29 @@ def pagerank_fixed(
                 )
             )
         e = e.groupBy("src", "dst").agg(F.sum("__w").alias("__w"))
+        # nodes are taken from the UNFILTERED endpoint set below, but
+        # zero-weight edges must not reach the flow computation: a node
+        # with only zero-weight out-edges would make W(u) = 0 and the
+        # renormalizing divide a DIVIDE_BY_ZERO under ANSI. Dropping
+        # them is also the right semantics — a zero-weight edge carries
+        # no mass (the node keeps its teleport share).
+        nodes_pre = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        e = e.filter(F.col("__w") > 0)
     # endpoints from BOTH sides: in the directed form a sink-only node
     # still owns rank (it just contributes nothing — its outflow term
     # never joins); in the symmetrized form the union is a no-op
     nodes = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
+        nodes_pre
+        if weight_col is not None
+        else (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
     )
     if weight_col is None:
         deg = e.groupBy(F.col("src").alias("id")).agg(
@@ -645,7 +661,9 @@ def degree_assortativity(
         .groupBy(F.col("__da").alias("degree"))
         .agg(
             F.countDistinct("a").cast("long").alias("n_nodes"),
-            F.sum("__db").cast("long").alias("__snd"),
+            # neighbor-degree sums are the quadratic term: DECIMAL(38,0)
+            # BEFORE the sum, not after (the docstring's own rationale)
+            F.sum(F.col("__db").cast("decimal(38,0)")).alias("__snd"),
         )
     )
     return nbr.select(
@@ -676,7 +694,8 @@ def modularity(
     denominator ``4m²`` carried alongside, so
     ``Q = Σ q_num / (4m²)`` — no float enters the gate and partial
     sums are engine-exact (quadratics in DECIMAL(38,0), the exactmath
-    discipline; long surfaces NULL past 2⁶³, never silent garbage).
+    discipline; a long surface that exceeds 2⁶³ fails LOUDLY under
+    Spark's default ANSI mode — never silent garbage).
 
     Shape: canonical edge set (m from a 1-row broadcast), node degrees,
     one label join per edge side for e_in, one community-bounded final

@@ -781,8 +781,8 @@ def centroid_similarity(
     # (the zscore_outliers overflow class), so they accumulate in exact
     # DECIMAL(38,0); the cosine divides the decimals as doubles
     # (correctly-rounded conversions — deterministic in any engine) and
-    # the long surface columns are exact whenever in range (NULL past
-    # 2^63, never silent garbage)
+    # the long surface columns are exact whenever in range (past 2^63
+    # the cast fails loudly under default ANSI; never silent garbage)
     return (
         dots.join(na, "label_a")
         .join(nb, "label_b")

@@ -452,6 +452,15 @@ def interarrival_stats(
     )
 
 
+def iso_dow(sunday_based: Column) -> Column:
+    """ISO weekday (1=Monday..7=Sunday) from Spark's SUNDAY-BASED
+    ``dayofweek`` (1=Sunday..7=Saturday). Weekday numbering is a
+    classic cross-engine trap — DuckDB's ``isodow`` is already ISO —
+    so the normalization lives in exactly ONE place and every consumer
+    (dow_profile, seasonal_anomaly_days) shares it."""
+    return F.when(sunday_based == 1, F.lit(7)).otherwise(sunday_based - 1)
+
+
 def dow_profile(
     df: DataFrame,
     key_cols: list[str],
@@ -473,11 +482,7 @@ def dow_profile(
         *key_cols,
         F.dayofweek(F.col(ts_col)).alias("__sundow"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    # dayofweek is 1=Sunday..7=Saturday in both Spark and DuckDB-adjacent
-    # SQL dialects vary — normalize to ISO 1=Monday..7=Sunday explicitly
-    iso = F.when(F.col("__sundow") == 1, F.lit(7)).otherwise(
-        F.col("__sundow") - 1
-    )
+    iso = iso_dow(F.col("__sundow"))
     w = Window.partitionBy(*key_cols)
     return counts.select(
         *key_cols,
@@ -558,10 +563,9 @@ def seasonal_anomaly_days(
     daily = df.groupBy(
         *key_cols, F.to_date(F.col(ts_col)).alias("day")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    iso = F.when(F.dayofweek("day") == 1, F.lit(7)).otherwise(
-        F.dayofweek("day") - 1
+    tagged = daily.withColumn(
+        "dow", iso_dow(F.dayofweek("day")).cast("int")
     )
-    tagged = daily.withColumn("dow", iso.cast("int"))
     base = tagged.groupBy(*key_cols, "dow").agg(
         F.count(F.lit(1)).cast("long").alias("n_dow_days"),
         F.sum("n").cast("long").alias("dow_total"),

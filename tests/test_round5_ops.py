@@ -1023,3 +1023,18 @@ def test_seasonal_anomaly_same_weekday_baseline(spark):
     assert got["2024-01-01"].dip == 0              # 10*3*2 > 60: no dip
     # Sundays at count 2 match their own baseline exactly: no alarms
     assert got["2024-01-07"].spike == 0 and got["2024-01-07"].dip == 0
+
+
+def test_weighted_pagerank_zero_weight_edges_safe(spark):
+    from salesforce_plugin_spark.functions.graph import pagerank_fixed
+
+    # node 3's only out-edge has weight 0: must not divide by zero,
+    # and 3 must still appear with its teleport share
+    df = spark.createDataFrame(
+        [(0, 1, 5), (1, 0, 5), (3, 0, 0)], "src long, dst long, w long"
+    )
+    r = {x.id: x for x in pagerank_fixed(
+        df, iterations=1, symmetrize=False, weight_col="w"
+    ).collect()}
+    assert 3 in r and r[3].rank_scaled > 0
+    assert r[0].rank_scaled > r[3].rank_scaled  # 0 receives real mass
