@@ -6638,6 +6638,65 @@ def q_seasonal_anomaly(spark, sf_dir):
     return seasonal_anomaly_days(e, ["event_type"], "ts")
 
 
+
+
+def q_stream_dow(spark, sf_dir):
+    """F6 x seasonality: the day-of-week profile maintained FROM A
+    STREAM — weekday counts are per-group row counts, so the generic
+    additive face maintains them with zero new fold code; summed state
+    feeds dow_profile_from_counts and must equal the one-shot batch
+    profile (q_dow_profile's oracle VERBATIM, disjoint slices)."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.operators.timeseries import (
+        dow_profile_from_counts,
+    )
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_summed_counts,
+        run_stream_additive_counts,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_stream_dow_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [e.filter(F.col("event_id") % 3 == i) for i in range(3)],
+            tmp,
+            None,
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, event_type string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+        run_stream_additive_counts(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            group_cols=["event_type", "__sundow"],
+            prepare=lambda b: b.select(
+                "event_type", F.dayofweek("ts").alias("__sundow")
+            ),
+        )
+        counts = read_summed_counts(
+            spark, state, ["event_type", "__sundow"]
+        )
+        rows = dow_profile_from_counts(counts, ["event_type"]).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, dow int, n long, share_ppm long"
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- driver-graded window (first 50): one per §2 family ---
     # D1-D19: the relational surface the reference forwards to SOQL
@@ -6925,6 +6984,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_dow_profile": q_dow_profile,
     "q_coverage_gaps": q_coverage_gaps,
     "q_seasonal_anomaly": q_seasonal_anomaly,
+    "q_stream_dow": q_stream_dow,
 }
 
 
@@ -12552,3 +12612,6 @@ ORACLES["q_seasonal_anomaly"] = """
     FROM tagged t
     JOIN base b ON b.event_type = t.event_type AND b.dow = t.dow
 """
+
+
+ORACLES["q_stream_dow"] = ORACLES["q_dow_profile"]

@@ -482,6 +482,18 @@ def dow_profile(
         *key_cols,
         F.dayofweek(F.col(ts_col)).alias("__sundow"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return dow_profile_from_counts(counts, key_cols)
+
+
+def dow_profile_from_counts(
+    counts: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """:func:`dow_profile` from a pre-aggregated ``(key…, __sundow,
+    n)`` table (Sunday-based weekday as Spark's dayofweek emits it) —
+    the entry point for additive weekday-count state (streaming face /
+    warehouse rollups)."""
+    from salesforce_plugin_spark.functions.exactmath import dcast, dfloor
+
     iso = iso_dow(F.col("__sundow"))
     w = Window.partitionBy(*key_cols)
     return counts.select(
