@@ -11696,7 +11696,7 @@ ORACLES["q_markov"] = """
     FROM cnt
 """
 
-ORACLES["q_chat_render"] = """
+ORACLES["q_chat_render"] = r"""
     WITH t AS (
         SELECT doc_id,
                regexp_split_to_array(trim(text), '\s+') AS toks

@@ -1244,13 +1244,25 @@ def token_gini(
         .otherwise(F.size(F.array_distinct(toks)))
         .cast("long")
         .alias("n_distinct"),
-        F.when(n > 0, (n * n - sumsq) * F.lit(1_000_000)).alias("__num"),
-        F.when(n > 0, n * n).alias("__den"),
+        F.when(n > 0, n).alias("__n"),
+        F.when(n > 0, sumsq).alias("__ss"),
     ).select(
         id_col,
         "n_tokens",
         "n_distinct",
-        F.expr("__num div __den").cast("long").alias("gini_ppm"),
+        # (n² − Σc²)·10⁶ div n² in DECIMAL(38,0): plain BIGINT
+        # overflows the ×10⁶ numerator past ~3M tokens/doc
+        # (ArithmeticException under ANSI) — same exactmath
+        # discipline as every other quadratic ppm site. The
+        # run-length fold's Σc² stays BIGINT (exact to ~3·10⁹
+        # tokens per document, far past any real doc).
+        F.expr(
+            dfloor(
+                f"({dcast('__n')} * {dcast('__n')} - {dcast('__ss')})"
+                " * 1000000",
+                f"{dcast('__n')} * {dcast('__n')}",
+            )
+        ).alias("gini_ppm"),
     )
 
 

@@ -849,8 +849,26 @@ def random_projection(
     Output (scalar-only): ``(id, j int, y long)``.
     """
     signs = projection_signs(n_components, dims, seed)
+    # fail LOUDLY on a dims mismatch: zip_with pads the shorter side
+    # with NULLs, which would otherwise propagate through the fold and
+    # silently NULL-out y for every mismatched row — quietly emptying
+    # downstream clustering/LSH inputs instead of surfacing the bug
+    vec_checked = F.when(
+        F.size(F.col(vec_col)) == dims, F.col(vec_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"random_projection: size({vec_col}) != dims={dims}"
+                    " (got "
+                ),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(")"),
+            )
+        )
+    )
     q = F.transform(
-        F.col(vec_col),
+        vec_checked,
         lambda x: F.round(x.cast("double") * float(quant), 0).cast("long"),
     )
     comps = [

@@ -1391,7 +1391,17 @@ def leadlag_correlation(
         .join(b, F.expr("date_add(day, lag) = bday"))
         .groupBy("lag")
         .agg(
-            F.sum(F.col("na") * F.col("nb")).cast("long").alias("dot"),
+            # na·nb in DECIMAL(38,0): two hot types at ~3·10⁹
+            # events/day overflow the raw BIGINT product (the same
+            # class fano_from_daily already routes through decimal);
+            # the final BIGINT cast fails loudly under ANSI if the
+            # summed dot itself ever exceeds 2^63
+            F.sum(
+                F.col("na").cast("decimal(38,0)")
+                * F.col("nb").cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("dot"),
             F.count(F.lit(1)).cast("long").alias("n_days"),
         )
     )

@@ -163,6 +163,16 @@ def keyset_page(
     tuple (include a key column last) makes paging gap- and
     duplicate-free under concurrent appends beyond the cursor.
 
+    NULL sort keys are handled under Spark's ascending default
+    (NULLS FIRST): the per-column "greater" test treats any non-NULL
+    as after NULL (``isNotNull`` when the cursor value is NULL) and a
+    row-side NULL as before every non-NULL cursor value, and the
+    per-column "equal" test is null-safe (``<=>``) — so a page
+    boundary that falls among NULL-keyed rows resumes exactly after
+    the cursor tuple instead of dropping the remaining NULL-keyed
+    rows (the strict ``>``/``=`` form evaluates to NULL there and
+    filters them out forever).
+
     ``last_values=None`` returns the first page.
     """
     if page_size < 1:
@@ -170,11 +180,24 @@ def keyset_page(
     if last_values is not None:
         if len(last_values) != len(sort_cols):
             raise ValueError("last_values must match sort_cols")
+
+        def gt(i: int):
+            # NULLS FIRST: col > NULL-cursor ⇔ col IS NOT NULL; a
+            # NULL col is never after a non-NULL cursor value (the
+            # plain `>` returns NULL there, which filter() drops —
+            # correct, and now consistent with the <=> equality arm)
+            if last_values[i] is None:
+                return F.col(sort_cols[i]).isNotNull()
+            return F.col(sort_cols[i]) > F.lit(last_values[i])
+
         pred = None
         for i in range(len(sort_cols)):
-            clause = F.col(sort_cols[i]) > F.lit(last_values[i])
+            clause = gt(i)
             for j in range(i):
-                clause = (F.col(sort_cols[j]) == F.lit(last_values[j])) & clause
+                clause = (
+                    F.col(sort_cols[j]).eqNullSafe(F.lit(last_values[j]))
+                    & clause
+                )
             pred = clause if pred is None else (pred | clause)
         df = df.filter(pred)
     return df.orderBy(*[F.col(c) for c in sort_cols]).limit(page_size)

@@ -372,6 +372,7 @@ def run_stream_cusum(
     overwrite because Spark refuses to overwrite a lazily-read path.
     """
     import pyspark.sql.functions as F
+    from pyspark.errors import AnalysisException
     from pyspark.sql import Window
 
     tiebreaks = tiebreak_cols or []
@@ -398,7 +399,9 @@ def run_stream_cusum(
         ).withColumn("__lm", F.min("__lc").over(w))
         try:
             carry = spark.read.parquet(state_dir).localCheckpoint(eager=True)
-        except Exception:  # noqa: BLE001 — first batch: no state yet
+        except AnalysisException:  # first batch: no state yet — any OTHER
+            # read failure (corrupt parquet, permissions, transient FS)
+            # must raise, not silently reinitialize and discard state
             carry = spark.createDataFrame(
                 [],
                 local.select(*key_cols).schema.add("__ccum", "long").add(
@@ -531,6 +534,7 @@ def run_stream_interarrival(
     order (the SCD2/CUSUM stream contract). State is one row per key
     regardless of stream length.
     """
+    from pyspark.errors import AnalysisException
 
     def fold(batch, _id: int) -> None:
         if not batch.take(1):
@@ -557,7 +561,9 @@ def run_stream_interarrival(
             carry = spark.read.parquet(state_dir).localCheckpoint(
                 eager=True
             )
-        except Exception:  # noqa: BLE001 — first batch: no state yet
+        except AnalysisException:  # first batch: no state yet — any
+            # OTHER read failure (corrupt parquet, permissions,
+            # transient FS) must raise, not silently reinitialize
             carry = spark.createDataFrame(
                 [],
                 local.select(*key_cols)
