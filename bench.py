@@ -91,6 +91,8 @@ def main() -> None:
     # a single GC pause or machine-load blip on a min-of-2 once recorded
     # a 5x outlier on the first timed query.)
     timings: dict[str, float] = {}
+    query_load1: dict[str, float] = {}
+    load_before = _loadavg()
     for name in HEADLINE:
         fn = QUERIES[name]
         best = float("inf")
@@ -99,6 +101,12 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # 1-min load at measurement time: the bench itself drives load,
+        # but a load1 far above SPARK_GRAFT_CPUS while a query ran flags
+        # external contention — rounds 3 and 5 both recorded 2-4×
+        # inflations that were host-load, not code; this makes that
+        # diagnosis a recorded fact instead of a post-hoc argument
+        query_load1[name] = round(_loadavg()[0], 1)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -110,6 +118,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "loadavg_before": load_before,
+                "loadavg_after": _loadavg(),
+                "query_load1": query_load1,
                 # same-box single-node columnar reference point for the
                 # BASELINE 2× criterion; see SCALE.md "Bench vs single-node
                 # columnar baseline" for why the gap is fixed per-query cost
@@ -117,6 +128,13 @@ def main() -> None:
             }
         )
     )
+
+
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # platform without getloadavg
+        return []
 
 
 def _duckdb_baseline(sf_dir: str) -> dict:

@@ -467,3 +467,24 @@ def test_bpe_pairs_explode_off_the_vocab_not_the_corpus(spark):
     gen2 = plan.rindex("Generate (")
     agg1 = plan.index("HashAggregate (")
     assert agg1 < gen2, "pair explode must follow the word aggregate"
+
+
+def test_plans_md_covers_every_registry_entry():
+    """PLANS.md (the audit doc regenerated by scripts/dump_plans.py)
+    must have exactly one section per registry query — the doc drifted
+    by one entry in round 5 (q_stream_dow landed without a plan
+    summary); this pins it."""
+    plans_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PLANS.md",
+    )
+    with open(plans_path) as f:
+        sections = {
+            line[3:].strip()
+            for line in f
+            if line.startswith("## ")
+        }
+    missing = set(QUERIES) - sections
+    extra = sections - set(QUERIES)
+    assert not missing, f"PLANS.md missing sections: {sorted(missing)}"
+    assert not extra, f"PLANS.md stale sections: {sorted(extra)}"
