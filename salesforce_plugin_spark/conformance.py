@@ -5713,9 +5713,10 @@ def q_centroid_sim(spark, sf_dir):
     centroid_similarity): pairwise cosine between per-label centroid
     SUM vectors (the mean's n cancels in cosine, so exact-BIGINT sums
     of JVM-quantized components stand in directly); dot/norms exact
-    integers, cosine the single surface float (sqrt+divide+round6, the
-    q_embed_topk discipline). Everything past one (label, dim) exchange
-    is bounded by labels² × dims."""
+    integers, and the cosine surfaces as EXACT integer ppm via a
+    corrected integer square root (round-6: the last float left the
+    gate surface). Everything past one (label, dim) exchange is
+    bounded by labels² × dims."""
     from salesforce_plugin_spark.functions.vector import centroid_similarity
 
     e = parallelized(load_table(spark, sf_dir, "embeddings"))
@@ -11812,14 +11813,34 @@ ORACLES["q_centroid_sim"] = """
                CAST(sum(a.s * b.s) AS BIGINT) AS dot
         FROM sums a JOIN sums b ON a.dim = b.dim AND a.label < b.label
         GROUP BY 1, 2
+    ), joined AS (
+        SELECT d.label_a, d.label_b, d.dot,
+               na.norm2 AS norm2_a, nb.norm2 AS norm2_b,
+               CAST(na.norm2 AS HUGEINT) * CAST(nb.norm2 AS HUGEINT) AS p
+        FROM dots d
+        JOIN norms na ON na.label = d.label_a
+        JOIN norms nb ON nb.label = d.label_b
+    ), seeded AS (
+        -- exact integer sqrt: double sqrt seeds, +-2 CASE corrects
+        -- (the centroid_similarity discipline: no float on the surface)
+        SELECT *, CAST(floor(sqrt(CAST(p AS DOUBLE))) AS HUGEINT) AS y0
+        FROM joined
+    ), rooted AS (
+        SELECT *, CASE WHEN (y0+2)*(y0+2) <= p THEN y0+2
+                       WHEN (y0+1)*(y0+1) <= p THEN y0+1
+                       WHEN y0*y0 <= p THEN y0
+                       WHEN (y0-1)*(y0-1) <= p THEN y0-1
+                       ELSE y0-2 END AS y
+        FROM seeded
     )
-    SELECT d.label_a, d.label_b, d.dot,
-           na.norm2 AS norm2_a, nb.norm2 AS norm2_b,
-           round(d.dot / (sqrt(CAST(na.norm2 AS DOUBLE))
-                          * sqrt(CAST(nb.norm2 AS DOUBLE))), 6) AS cos
-    FROM dots d
-    JOIN norms na ON na.label = d.label_a
-    JOIN norms nb ON nb.label = d.label_b
+    SELECT label_a, label_b, dot, norm2_a, norm2_b,
+           CASE WHEN p = 0 THEN NULL
+                WHEN dot < 0 THEN
+                    -CAST((CAST(abs(dot) AS HUGEINT) * 1000000) // y
+                          AS BIGINT)
+                ELSE CAST((CAST(dot AS HUGEINT) * 1000000) // y AS BIGINT)
+           END AS cos_ppm
+    FROM rooted
 """
 
 

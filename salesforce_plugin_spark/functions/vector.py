@@ -13,6 +13,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from salesforce_plugin_spark.functions.exactmath import dfloor
+
 
 def as_double(vec: Column | str) -> Column:
     """Exact float→double widening of an array column."""
@@ -731,8 +733,22 @@ def centroid_similarity(
     exchange (≤ labels × dims rows); the pairwise self-join on dim and
     everything after is bounded by labels² × dims, never the corpus.
 
+    The cosine surfaces as an EXACT integer, ``cos_ppm = sign(dot) ·
+    (|dot|·10⁶ div isqrt(norm2_a·norm2_b))``, where isqrt is the exact
+    integer square root (a double-sqrt seed corrected by ±2 integer
+    comparisons — the correction makes the double's rounding
+    irrelevant, so any engine replays the identical integer). This
+    closes the last float on the gate surface (round-5 verdict item:
+    the old ``cos double`` relied on both engines' sqrt/divide/round6
+    agreeing bit-for-bit, which IEEE nearly-but-not-quite guarantees
+    at the half-ulp rounding boundary). Valid while
+    ``norm2_a·norm2_b < 2^104`` (seed error ≤ 1 there; the DECIMAL
+    product fails loudly under ANSI far past that) — i.e. per-label
+    quantized component sums up to ~2^26·scale, far past any real
+    corpus.
+
     Output (scalar-only): ``(label_a, label_b, dot long, norm2_a long,
-    norm2_b long, cos double)`` for label_a < label_b.
+    norm2_b long, cos_ppm long)`` for label_a < label_b.
     """
     sums = (
         df.select(
@@ -779,27 +795,45 @@ def centroid_similarity(
     )
     # products of component sums are quadratic in per-label row counts
     # (the zscore_outliers overflow class), so they accumulate in exact
-    # DECIMAL(38,0); the cosine divides the decimals as doubles
-    # (correctly-rounded conversions — deterministic in any engine) and
-    # the long surface columns are exact whenever in range (past 2^63
-    # the cast fails loudly under default ANSI; never silent garbage)
+    # DECIMAL(38,0); the long surface columns are exact whenever in
+    # range (past 2^63 the cast fails loudly under default ANSI; never
+    # silent garbage). The cosine is the exact-integer form documented
+    # above: double sqrt only SEEDS the integer root, the ±2 CASE
+    # correction pins the exact floor, and the final ppm is one exact
+    # decimal floor-divide.
+    isqrt = (
+        "CAST(FLOOR(SQRT(CAST(__p AS DOUBLE))) AS decimal(38,0))"
+    )
     return (
         dots.join(na, "label_a")
         .join(nb, "label_b")
+        .withColumn("__p", F.expr("__na_d * __nb_d"))
+        .withColumn("__y0", F.expr(isqrt))
+        .withColumn(
+            "__y",
+            F.expr(
+                "CASE WHEN (__y0+2)*(__y0+2) <= __p THEN __y0+2 "
+                "WHEN (__y0+1)*(__y0+1) <= __p THEN __y0+1 "
+                "WHEN __y0*__y0 <= __p THEN __y0 "
+                "WHEN (__y0-1)*(__y0-1) <= __p THEN __y0-1 "
+                "ELSE __y0-2 END"
+            ),
+        )
         .select(
             "label_a",
             "label_b",
             F.col("__dot_d").cast("long").alias("dot"),
             F.col("__na_d").cast("long").alias("norm2_a"),
             F.col("__nb_d").cast("long").alias("norm2_b"),
-            F.round(
-                F.col("__dot_d").cast("double")
-                / (
-                    F.sqrt(F.col("__na_d").cast("double"))
-                    * F.sqrt(F.col("__nb_d").cast("double"))
-                ),
-                6,
-            ).alias("cos"),
+            F.when(
+                F.expr("__p = 0"), F.lit(None).cast("long")
+            )
+            .when(
+                F.expr("__dot_d < 0"),
+                -F.expr(dfloor("ABS(__dot_d) * 1000000", "__y")),
+            )
+            .otherwise(F.expr(dfloor("__dot_d * 1000000", "__y")))
+            .alias("cos_ppm"),
         )
     )
 

@@ -322,10 +322,40 @@ def test_centroid_similarity_identical_and_orthogonal(spark):
     got = {(r.label_a, r.label_b): r for r in centroid_similarity(
         df, "label", "embedding", scale=100
     ).collect()}
-    assert got[(0, 1)].cos == 0.0          # orthogonal
-    assert got[(0, 2)].cos == 1.0          # parallel
-    assert got[(0, 2)].dot == 200 * 100    # 2 vectors * scale · 1 * scale
-    assert got[(1, 2)].cos == 0.0
+    assert got[(0, 1)].cos_ppm == 0          # orthogonal
+    assert got[(0, 2)].cos_ppm == 1_000_000  # parallel
+    assert got[(0, 2)].dot == 200 * 100      # 2 vectors * scale · 1 * scale
+    assert got[(1, 2)].cos_ppm == 0
+
+
+def test_centroid_similarity_exact_isqrt_and_sign(spark):
+    """cos_ppm is floor(|dot|·10⁶ / isqrt(na·nb)) with trunc-toward-zero
+    sign handling — exact against Python's math.isqrt."""
+    import math
+
+    from salesforce_plugin_spark.functions.vector import centroid_similarity
+
+    rows = [
+        (0, [3.0, 4.0]),
+        (1, [-4.0, 3.0]),   # orthogonal to label 0
+        (2, [1.0, 7.0]),    # oblique
+        (3, [-3.0, -4.0]),  # anti-parallel to label 0 → cos_ppm = -10⁶
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    got = {(r.label_a, r.label_b): r for r in centroid_similarity(
+        df, "label", "embedding", scale=1000
+    ).collect()}
+    for (la, lb), r in got.items():
+        p = r.norm2_a * r.norm2_b
+        y = math.isqrt(p)
+        want = (
+            -((-r.dot * 1_000_000) // y)
+            if r.dot < 0
+            else (r.dot * 1_000_000) // y
+        )
+        assert r.cos_ppm == want, (la, lb)
+    assert got[(0, 3)].cos_ppm == -1_000_000
+    assert got[(0, 1)].cos_ppm == 0
 
 
 # --- random projection ---
