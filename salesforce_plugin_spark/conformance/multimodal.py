@@ -1,0 +1,263 @@
+"""F4 multimodal binary-column plumbing (Arrow-batched mapInPandas stages over payload bytes).
+
+Split from the single-file conformance registry in round 6; byte-identical
+query builders and oracle SQL. The ordered public registry lives in
+``salesforce_plugin_spark.conformance`` (the package __init__).
+"""
+
+from __future__ import annotations
+
+from salesforce_plugin_spark.conformance._common import *  # noqa: F401,F403
+
+
+# ---------------------------------------------------------------------------
+# F4: multimodal column plumbing (Arrow-batched pandas path)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_bytes(spark, sf_dir):
+    """F4: opaque-binary payload pipeline over mapInPandas — the decode step
+    is a deterministic fake (utf-8 "payload" of the text column) because no
+    media libs ship in this environment; the Spark-side plumbing (schema,
+    Arrow batching, UDF signature) is the real deliverable."""
+    from salesforce_plugin_spark.functions.multimodal import payload_stats
+
+    d = parallelized(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").cast("binary").alias("payload")
+        )
+    )
+    return payload_stats(d, "doc_id", "payload")
+
+
+def q_json_extract(spark, sf_dir):
+    """Record-model edge (A12/A13 inverse): the reference moves rows as
+    JSON dicts; this is schema-on-read parsing of a semi-structured JSON
+    column — ONE typed ``from_json`` parse per row (codegen struct, reused
+    by every downstream reference) rather than repeated
+    ``get_json_object`` string scans, then a grouped rollup of the
+    extracted field."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type", F.from_json(F.col("props"), "k int").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("p.k").cast("long")).alias("sum_k"),
+        F.sum(F.when(F.col("p.k") > 50, 1).otherwise(0)).alias("n_high"),
+    )
+
+
+def q_multimodal_histogram(spark, sf_dir):
+    """F4: per-payload byte histogram (16 bins) via numpy over Arrow
+    batches — the deterministic stand-in for real feature extraction
+    (MFCC/embeddings once a decoder is injected). Emitted in exploded
+    long form (doc_id, bin, n) — scalar-only output schema, so any
+    pandas-based canonicalizer can hash it (array<long> outputs cannot
+    be factorized; same discipline as the no-DECIMAL rule). Fully
+    oracled: the DuckDB mirror recovers payload bytes via hex-pair
+    parsing and bins them identically."""
+    from salesforce_plugin_spark.functions.multimodal import byte_histogram
+
+    d = parallelized(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").cast("binary").alias("payload")
+        )
+    )
+    return byte_histogram(d, "doc_id", "payload", n_bins=16)
+
+
+def q_event_window(spark, sf_dir):
+    """F6: tumbling 1-hour event-time window (batch mode of the streaming
+    aggregation; the readStream form is streaming/windows.py)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            _sumd(F.col("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("w_start_s"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_event_sliding(spark, sf_dir):
+    """F6: sliding 1-hour/15-minute event-time windows — each event lands
+    in exactly window/slide = 4 overlapping windows (Spark plans this as
+    an Expand of factor 4 before the hash agg, so the input scans once and
+    only the 4× expanded rows shuffle on the window keys; partial agg
+    collapses them map-side first). Oracle mirrors the window-assignment
+    arithmetic: start_k = 15-min-bucket(ts) - k*900s, k = 0..3."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec(F.col("value"), 18, 4)).alias("sum_value"),
+        )
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("w_start_s"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_event_session(spark, sf_dir):
+    """F6: session windows (10-min inactivity gap) per user — batch
+    session_window; oracle reproduces the gap semantics with lag+cumsum."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """F4: video frame-sampling plumbing (functions/multimodal.py
+    frame_sample_plan) under the oracle gate. The decoder is the documented
+    injection seam — here a deterministic fake that slices the payload into
+    16-byte 'frames' (no media libs ship in this container); every_nth=4
+    keeps every 4th frame. The 1:N explode happens INSIDE the Arrow stage
+    so frame bytes never concatenate into one row; the gated output carries
+    md5+length per sampled frame, byte-for-byte replayable in SQL."""
+    from salesforce_plugin_spark.functions.multimodal import frame_sample_plan
+
+    d = parallelized(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").cast("binary").alias("payload")
+        )
+    )
+
+    def fake_decoder(payload: bytes) -> list[bytes]:
+        return [payload[i : i + 16] for i in range(0, len(payload), 16)]
+
+    frames = frame_sample_plan(
+        d, "doc_id", "payload", every_nth=4, decoder=fake_decoder
+    )
+    return frames.select(
+        "doc_id",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        F.md5(F.col("frame")).alias("frame_md5"),
+        F.length(F.col("frame")).cast("long").alias("frame_len"),
+    )
+
+
+def q_multimodal_channels(spark, sf_dir):
+    """F4 depth: per-channel exact sample moments over decoded payloads
+    (functions/multimodal.py channel_stats_plan) — the audio-energy /
+    band-stats extraction shape: bytes de-interleave into 4 channels
+    and reduce to int64 (n, Σv, Σv²) INSIDE the Arrow stage (numpy),
+    so only doc × channel rows leave Python. Identity decoder through
+    the documented seam; documents are ASCII, so the oracle replays
+    byte values via ord(substr(…))."""
+    from salesforce_plugin_spark.functions.multimodal import (
+        channel_stats_plan,
+    )
+
+    d = parallelized(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").cast("binary").alias("payload")
+        )
+    )
+    return channel_stats_plan(
+        d, "doc_id", "payload", n_channels=4, decoder=lambda b: b
+    )
+
+
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["q_multimodal_bytes"] = """
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS byte_len,
+               md5(text) AS payload_md5
+        FROM documents
+    """
+
+ORACLES["q_json_extract"] = """
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(sum(CASE WHEN CAST(props->>'k' AS BIGINT) > 50
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        FROM events GROUP BY event_type
+    """
+
+ORACLES["q_event_window"] = """
+        SELECT epoch_ms(date_trunc('hour', ts)) // 1000 AS w_start_s,
+               event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+
+ORACLES["q_event_sliding"] = """
+        SELECT (epoch_us(ts) // 1000000 // 900) * 900 - 900 * k AS w_start_s,
+               event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events, unnest(generate_series(0, 3)) AS g(k)
+        GROUP BY 1, 2
+    """
+
+ORACLES["q_event_session"] = """
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM gaps
+        )
+        SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+               count(*) AS n_events
+        FROM sessions GROUP BY user_id, sid
+    """
+
+ORACLES["q_multimodal_histogram"] = _byte_histogram_oracle()
+
+ORACLES["q_multimodal_frames"] = """
+    SELECT d.doc_id,
+           CAST(t.m AS INT) AS frame_no,
+           md5(substr(d.text, 64 * t.m + 1, 16)) AS frame_md5,
+           CAST(length(substr(d.text, 64 * t.m + 1, 16)) AS BIGINT)
+               AS frame_len
+    FROM documents d,
+         unnest(generate_series(0, ((strlen(d.text) + 15) // 16 - 1) // 4))
+             AS t(m)
+"""
+
+ORACLES["q_multimodal_channels"] = """
+    WITH pos AS (
+        SELECT doc_id,
+               CAST((g.i - 1) % 4 AS INT) AS channel,
+               ord(substr(text, CAST(g.i AS INT), 1)) AS v
+        FROM documents CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(1, length(text))) AS i
+        ) g
+    )
+    SELECT doc_id, channel,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS s,
+           CAST(sum(v * v) AS BIGINT) AS sq
+    FROM pos GROUP BY 1, 2
+"""
+

@@ -1,0 +1,1476 @@
+"""Capstone training-data pipelines + ML-prep + ELT/SCD/schema-reconcile operator queries.
+
+Split from the single-file conformance registry in round 6; byte-identical
+query builders and oracle SQL. The ordered public registry lives in
+``salesforce_plugin_spark.conformance`` (the package __init__).
+"""
+
+from __future__ import annotations
+
+from salesforce_plugin_spark.conformance._common import *  # noqa: F401,F403
+
+
+def q_sample_per_group(spark, sf_dir):
+    """F5/E-family (eval-set construction): deterministic stratified
+    sample — exactly 3 documents per (lang, source) cell, selected by
+    md5-hash order of doc_id (engine-portable unbiased draw, id as
+    tie-break). One shuffle on the stratum keys; the oracle replays the
+    identical row_number window, hex-string hash order included."""
+    from salesforce_plugin_spark.operators.pipeline import sample_per_group
+
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    return sample_per_group(d, ["lang", "source"], "doc_id", 3).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def q_token_pack(spark, sf_dir):
+    """F5 sequence packing: chunks from q_doc_chunks greedily packed into
+    256-token training bins per source under (doc_id, chunk_id) order —
+    bin id is a pure window cumsum (operators/pipeline.pack_token_bins),
+    aggregated here to per-bin occupancy."""
+    from salesforce_plugin_spark.operators.pipeline import pack_token_bins
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = X.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=64, stride=48
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    packed = pack_token_bins(
+        chunks, 256, ["source"], ["doc_id", "chunk_id"]
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+def q_profile(spark, sf_dir):
+    """North-star data profiling: EXACT long-form column statistics
+    (counts, nulls, distincts, typed min/max) over orders in one scan —
+    operators/validate.profile_columns; the sketch-based approx_profile
+    is the 100 TB alternative (rows-only by nature, unit-pinned)."""
+    from salesforce_plugin_spark.operators.validate import profile_columns
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile_columns(
+        o,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+         "o_totalprice"],
+    )
+
+
+def q_object_extract(spark, sf_dir):
+    """§3.1 flagship facade under the gate: ObjectExtract.build — the
+    reference's SalesforceToS3Operator lifecycle stages 3-7 (object
+    resolution with case-insensitive lookup replacing the C6 mangler,
+    field-list projection A3, attributes drop C2, lowercase B9) as one
+    lazy plan."""
+    from salesforce_plugin_spark.operators.elt import ObjectExtract
+
+    def resolve(name):
+        return load_table(spark, sf_dir, name.lower())
+
+    op = ObjectExtract(
+        object_name="ORDERS",  # case-insensitive resolution (C6 fixed)
+        dest="",
+        fields=["O_OrderKey", "O_OrderStatus", "O_TotalPrice"],
+        resolve=resolve,
+    )
+    return op.build(spark)
+
+
+def q_schema_reconcile(spark, sf_dir):
+    """B1-B9 + A8/A9 + C7 + E5 under the value gate: the reference's full
+    §3.3 lifecycle — describe-driven CREATE TABLE, compound-field pruning,
+    declared-length varchar truncation (TRUNCATECOLUMNS), add-only ALTER
+    drift on a second load, and destination-ordered aligned appends — run
+    for real against the session catalog (SchemaReconcileLoad), then the
+    converged table is read back and hashed against an oracle that
+    computes both loads directly from the source table. Old rows surface
+    the drifted column as NULL — the observable add-only contract."""
+    import uuid
+
+    from salesforce_plugin_spark.operators.elt import SchemaReconcileLoad
+
+    c = load_table(spark, sf_dir, "customer")
+    tbl = "t_conf_reconcile_" + uuid.uuid4().hex[:8]
+    describe1 = [
+        {"name": "C_CustKey", "soapType": "xsd:int"},
+        # compound parent: pruned (B1); its component survives
+        {"name": "FullName", "soapType": "urn:address"},
+        {"name": "C_Name", "soapType": "xsd:string", "length": 12,
+         "compoundFieldName": "FullName"},
+        {"name": "C_AcctBal", "soapType": "xsd:double"},
+    ]
+    load1 = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("C_CustKey"),
+        F.col("c_name").alias("C_Name"),
+        F.col("c_acctbal").alias("C_AcctBal"),
+    )
+    # second extract discovers a NEW field → add-only ALTER (B5/B6)
+    describe2 = describe1 + [
+        {"name": "C_MktSegment", "soapType": "xsd:string", "length": 6},
+    ]
+    load2 = c.filter(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_custkey").alias("C_CustKey"),
+        F.col("c_name").alias("C_Name"),
+        F.col("c_acctbal").alias("C_AcctBal"),
+        F.col("c_mktsegment").alias("C_MktSegment"),
+    )
+    try:
+        SchemaReconcileLoad(table=tbl, describe_fields=describe1).execute(
+            spark, load1
+        )
+        SchemaReconcileLoad(table=tbl, describe_fields=describe2).execute(
+            spark, load2
+        )
+        return spark.table(tbl).localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+# ---------------------------------------------------------------------------
+# D21/§7: the SOQL string front door end-to-end
+# ---------------------------------------------------------------------------
+
+def q_training_corpus(spark, sf_dir):
+    """North-star capstone: the full clean→dedup→filter→split pipeline as
+    one plan, every stage deterministic and reproduced by the oracle."""
+    from salesforce_plugin_spark.operators.pipeline import build_training_corpus
+
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    corpus = build_training_corpus(
+        d, min_tokens=10, max_punct_ratio=0.5, langs=("en", "es")
+    )
+    return corpus.select("doc_id", "fp", "n_tokens", "lang_pred", "split")
+
+
+def q_training_sequences(spark, sf_dir):
+    """North-star capstone, extended to the dataloader boundary: clean →
+    dedup → filter → split → context-window chunk → pack into 256-token
+    sequences, all one lazy plan (operators/pipeline.corpus_to_sequences),
+    aggregated to per-bin occupancy for a compact cross-engine hash.
+
+    This gates the PRODUCTION sharded packing (default n_shards=8): the
+    pack window partitions on (split, md5-shard) so parallelism scales
+    with the shard count instead of pinning each split to one task — and
+    because the shard key is the engine-portable md5 bucket, the oracle
+    reproduces the sharded bin assignment value-for-value."""
+    from salesforce_plugin_spark.operators.pipeline import (
+        build_training_corpus,
+        corpus_to_sequences,
+    )
+
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    corpus = build_training_corpus(
+        d, min_tokens=10, max_punct_ratio=0.5, langs=("en", "es")
+    )
+    packed = corpus_to_sequences(corpus)
+    return (
+        packed.groupBy("split", "shard", "bin_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("split", "shard", "bin_id")
+    )
+
+
+def q_training_decontaminated(spark, sf_dir):
+    """North-star capstone, hardest form: clean → exact-dedup → quality/
+    lang filter → split (build_training_corpus), then near-dup collapse to
+    one canonical survivor per LSH connected component, then benchmark
+    decontamination (drop the eval source itself and every doc sharing ≥ 3
+    distinct eval 5-gram shingles) — all the flagship F2/F5 operators
+    composed into ONE lazy plan and still verified value-by-value. Scale
+    shape: the corpus is scanned once per independent signal (shingles ×2,
+    quality); everything joins back on doc_id; the only broadcast is the
+    benchmark shingle set; components iterate on the (tiny) candidate
+    graph, not the corpus."""
+    from salesforce_plugin_spark.operators.pipeline import build_training_corpus
+
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    corpus = build_training_corpus(
+        d, min_tokens=10, max_punct_ratio=0.5, langs=("en", "es")
+    )
+
+    banded = D.portable_bands(
+        D.minhash_signatures_portable(d, "doc_id", "text", 8, 3), "doc_id", 8, 4
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    comp = D.connected_components(d.select("doc_id"), edges, id_col="doc_id")
+    canon = (
+        corpus.select("doc_id")
+        .join(comp, "doc_id")
+        .groupBy("component_id")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+    toked = d.select(
+        "doc_id",
+        "source",
+        F.transform(X.tokens(F.col("text")), F.lower).alias("__toks"),
+    )
+    sh = toked.select(
+        "doc_id",
+        "source",
+        F.explode(D.shingles_from_tokens(F.col("__toks"), 5)).alias("shingle"),
+    )
+    eval_sh = sh.filter(F.col("source") == "src0").select("shingle").distinct()
+    contaminated = (
+        sh.filter(F.col("source") != "src0")
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .select("doc_id")
+    )
+
+    return (
+        corpus.join(canon, "doc_id", "left_semi")
+        .join(
+            d.filter(F.col("source") != "src0").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", "lang_pred", "split")
+    )
+
+
+def q_corpus_mix(spark, sf_dir):
+    """North-star: weighted corpus blending via deterministic md5-bucket
+    subsampling (operators/pipeline.mix_corpora) — en docs at 50%, non-en at
+    25%; selection is a pure function of (source index, doc_id), so the
+    oracle replays it exactly."""
+    from salesforce_plugin_spark.operators.pipeline import mix_corpora
+
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    en = d.filter(F.col("lang") == "en")
+    rest = d.filter(F.col("lang") != "en")
+    mixed = mix_corpora([(en, 0.5), (rest, 0.25)], id_col="doc_id")
+    return mixed.select("doc_id", "mix_source")
+
+
+def q_data_quality(spark, sf_dir):
+    """North-star validation: a 5-expectation suite over documents in one
+    aggregate pass (counts are exact integers → oracle-checkable)."""
+    from salesforce_plugin_spark.operators.validate import Expectation, validate
+
+    d = load_table(spark, sf_dir, "documents")
+    return validate(
+        d,
+        [
+            Expectation.not_null("text"),
+            Expectation.min_length("text", 20),
+            Expectation.one_of("lang", ["en", "es", "fr", "de"]),
+            Expectation.in_range("n_chars", 1, 100000),
+            Expectation.matches("source", r"^src\d+$"),
+        ],
+    )
+
+
+def q_unique_keys(spark, sf_dir):
+    """North-star validation: exact duplicate-key profile on the events
+    stream's (user_id, event_type, ts) natural key."""
+    from salesforce_plugin_spark.operators.validate import uniqueness_report
+
+    e = load_table(spark, sf_dir, "events")
+    return uniqueness_report(e, ["user_id", "event_type", "ts"])
+
+
+def q_scd2(spark, sf_dir):
+    """Warehouse-modeling parity: SCD Type-2 validity intervals built from
+    the events change feed (operators/scd.py) — per user, each run of a
+    stable event_type becomes one ``[valid_from, valid_to)`` interval, the
+    open interval flagged current. The reference lands extracts for exactly
+    this downstream step (the COPY landing at
+    salesforce_schema_to_redshift_operator.py:277); here the history
+    build is engine-side: one exchange on the
+    key, lag-elected change rows, lead-closed intervals (the second window
+    reuses the first's partitioning+sort — no second shuffle)."""
+    from salesforce_plugin_spark.operators.scd import scd2_intervals
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    iv = scd2_intervals(
+        e,
+        key_cols=["user_id"],
+        attr_cols=["event_type"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+    return iv.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("__valid_from")).alias("valid_from_us"),
+        F.unix_micros(F.col("__valid_to")).alias("valid_to_us"),
+        F.col("__is_current").alias("is_current"),
+    )
+
+
+def q_scd2_incremental(spark, sf_dir):
+    """Scheduled-load SCD2 maintenance (operators/scd.py
+    scd2_apply_changes): the first two weeks of the events feed build the
+    initial interval table, the remainder arrives as a later batch and is
+    folded in incrementally — only the batch's keys are rebuilt (anti-join
+    pass-through for the rest), the per-run shape of the reference's
+    extract cadence (salesforce_to_s3_operator.py:115-116 re-renders the
+    templated query per run). The gate's oracle is the FULL-feed SCD2
+    build (same SQL as q_scd2): incremental apply must be row-identical
+    to a from-scratch rebuild — the equivalence that makes nightly loads
+    trustworthy."""
+    from salesforce_plugin_spark.operators.scd import (
+        scd2_apply_changes,
+        scd2_intervals,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    initial = scd2_intervals(
+        e.filter(F.col("ts") < cutoff),
+        key_cols=["user_id"],
+        attr_cols=["event_type"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+    merged = scd2_apply_changes(
+        initial,
+        e.filter(F.col("ts") >= cutoff),
+        key_cols=["user_id"],
+        attr_cols=["event_type"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+    return merged.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("__valid_from")).alias("valid_from_us"),
+        F.unix_micros(F.col("__valid_to")).alias("valid_to_us"),
+        F.col("__is_current").alias("is_current"),
+    )
+
+
+def q_cdc_merge(spark, sf_dir):
+    """E5/A10 batch form: CDC apply — merge an upsert+delete change feed
+    into a snapshot (operators/merge.py) — the keyed-merge step
+    downstream of the reference's COPY landing
+    (salesforce_schema_to_redshift_operator.py:277). The feed is derived
+    deterministically from orders so the oracle can rebuild it: snapshot
+    = keys with orderkey%10<=7; change batch 1 updates %10∈{6,7,8}
+    (price×2; 8 is an insert) and deletes %10=9 (absent → no-op); change
+    batch 2 re-updates %20=6 later (price×3) so latest-wins is
+    exercised. Two exchanges: max_by winner election (map-side partial),
+    one full-outer equi-join."""
+    from salesforce_plugin_spark.operators.merge import apply_changes
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    key10 = F.col("o_orderkey") % 10
+    snapshot = o.filter(key10 <= 7)
+    c1 = o.filter(key10.isin(6, 7, 8, 9)).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.when(key10 == 9, F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice") * 2)
+        .alias("o_totalprice"),
+        F.when(key10 == 9, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+        F.lit(1).alias("chg_seq"),
+    )
+    c2 = o.filter(F.col("o_orderkey") % 20 == 6).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 3).alias("o_totalprice"),
+        F.lit("u").alias("op"),
+        F.lit(2).alias("chg_seq"),
+    )
+    merged = apply_changes(
+        snapshot,
+        c1.unionByName(c2),
+        keys=["o_orderkey"],
+        order_by=["chg_seq"],
+        op_col="op",
+    )
+    return merged.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").alias("total_price"),
+    )
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted Bernoulli sampling (operators/pipeline.py
+    weighted_sample): keep each document with probability
+    min(1, n_chars/400), decided by an integer cross-multiplication of
+    the md5 hash of its OWN id — the mixture-reweighting primitive
+    (length/importance-proportional sampling) as a pure map-side filter:
+    zero shuffle, zero RNG state, append-stable (a new document's fate
+    is independent of the rest of the corpus). Docs at >= 400 chars
+    always survive; shorter ones proportionally."""
+    from salesforce_plugin_spark.operators.pipeline import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(d, "doc_id", "n_chars", cap=400)
+
+
+def q_negative_sampling(spark, sf_dir):
+    """Deterministic contrastive-negative generation (operators/
+    pipeline.py negative_samples): every 50th embedding id anchors up to
+    4 pseudo-random corpus negatives drawn via hash-bucket
+    representatives — no cartesian, no RNG state; the corpus reduces to
+    a 64-row broadcast table and the anchor side never shuffles. The
+    draw is a pure integer function of (anchor, j), so a resumed or
+    re-sharded job regenerates identical pairs."""
+    from salesforce_plugin_spark.operators.pipeline import negative_samples
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    anchors = e.filter(F.col("vec_id") % 50 == 0)
+    return negative_samples(e, anchors, "vec_id", k=4, n_buckets=64)
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot differencing (operators/merge.py snapshot_diff) — the
+    inverse of q_cdc_merge: manufacture a change feed from two full
+    extracts (the reference's full-object pull shape). The 'new'
+    snapshot is derived deterministically from orders so the oracle can
+    rebuild it: orderkey%10==3 rows deleted, %10==5 prices doubled,
+    %10==0 re-keyed +10^9 as inserts. Money compared as exact integer
+    cents; one full-outer key join; unchanged keys emit nothing."""
+    from salesforce_plugin_spark.operators.merge import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    key10 = F.col("o_orderkey") % 10
+    new = o.filter(key10 != 3).select(
+        "o_orderkey",
+        F.when(key10 == 5, F.col("cents") * 2).otherwise(F.col("cents")).alias(
+            "cents"
+        ),
+    )
+    inserts = o.filter(key10 == 0).select(
+        (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("o_orderkey"),
+        (F.col("cents") + 7).alias("cents"),
+    )
+    return snapshot_diff(
+        o, new.unionAll(inserts), ["o_orderkey"], ["cents"]
+    )
+
+
+def q_fk_audit(spark, sf_dir):
+    """Referential-integrity audit (operators/validate.py fk_orphans):
+    three FK relationships checked in one result — lineitem→orders and
+    orders→customer against the true parents (zero orphans expected on
+    healthy fixtures) and orders→customer against a DELIBERATELY
+    truncated parent (customers of nations 0-11 only), which surfaces
+    real orphan counts, proving the detector fires. Each audit is a
+    distinct-key aggregate + one parent-key join; NULL FKs are excluded
+    by contract."""
+    from salesforce_plugin_spark.operators.validate import fk_orphans
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    c_trunc = c.filter(F.col("c_nationkey") <= 11)
+    a1 = fk_orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+    a2 = fk_orphans(o, "o_custkey", c, "c_custkey", "orders->customer")
+    a3 = fk_orphans(
+        o, "o_custkey", c_trunc, "c_custkey", "orders->customer_trunc"
+    )
+    return a1.unionAll(a2).unionAll(a3)
+
+
+def q_budget_sample(spark, sf_dir):
+    """Budget-constrained mixture quotas (operators/pipeline.py
+    budget_sample): per language, documents taken in md5-hash order of
+    doc_id until 20,000 cumulative chars — the "N tokens per source"
+    construction with an EXACT total (vs weighted_sample's approximate
+    row-independent draw). One group exchange + a window cumsum; a row
+    is kept iff the running total through it stays within budget."""
+    from salesforce_plugin_spark.operators.pipeline import budget_sample
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return budget_sample(d, ["lang"], "doc_id", "n_chars", budget=20_000)
+
+
+def q_fd_audit(spark, sf_dir):
+    """Functional-dependency audit (operators/validate.py
+    fd_violations): two dependencies in one result — customer
+    (c_nationkey -> c_mktsegment), which REAL data violates (nations
+    span segments), and a derived always-holds check (c_custkey div 100
+    -> c_custkey div 100, zero rows) proving the detector stays silent
+    on a holding dependency. One exchange per audit; exact distinct
+    counts; min/max dependent values as deterministic examples."""
+    from salesforce_plugin_spark.operators.validate import fd_violations
+
+    c = load_table(spark, sf_dir, "customer")
+    v1 = fd_violations(c, ["c_nationkey"], "c_mktsegment").select(
+        F.lit("nation->segment").alias("fd"),
+        F.col("c_nationkey").cast("long").alias("lhs"),
+        "n_rows",
+        "n_distinct",
+        F.col("rhs_min").cast("string").alias("rhs_min"),
+        F.col("rhs_max").cast("string").alias("rhs_max"),
+    )
+    holding = c.select(
+        F.expr("c_custkey div 100").alias("grp"),
+        F.expr("c_custkey div 100").alias("dep"),
+    )
+    v2 = fd_violations(holding, ["grp"], "dep").select(
+        F.lit("grp->dep").alias("fd"),
+        F.col("grp").cast("long").alias("lhs"),
+        "n_rows",
+        "n_distinct",
+        F.col("rhs_min").cast("string").alias("rhs_min"),
+        F.col("rhs_max").cast("string").alias("rhs_max"),
+    )
+    return v1.unionAll(v2)
+
+
+def q_surrogate_keys(spark, sf_dir):
+    """Stable surrogate-key management (operators/merge.py
+    surrogate_keys): an initial mapping over the (lang, source) pairs of
+    langs < 'f', then an incremental apply over the full corpus —
+    already-mapped pairs keep their keys (stability is THE contract; an
+    IDENTITY column can't survive re-loads or engine migration), new
+    pairs continue after max(sk) in natural-key order. The oracle
+    replays the two-phase assignment with two ranked CTEs."""
+    from salesforce_plugin_spark.operators.merge import surrogate_keys
+
+    d = load_table(spark, sf_dir, "documents")
+    initial = surrogate_keys(d.filter(F.col("lang") < "f"), ["lang", "source"])
+    return surrogate_keys(d, ["lang", "source"], existing=initial)
+
+
+def q_star_load(spark, sf_dir):
+    """Warehouse-load capstone: the star-schema composition the
+    reference's Redshift extracts feed — a customer dimension under
+    stable surrogate keys (merge.surrogate_keys), the conformed
+    calendar dimension with fiscal attributes (timeseries.
+    date_dimension), and the orders fact joined through BOTH, rolled up
+    to exact integer cents by (fiscal_yr, fiscal_qtr, mktsegment). The
+    sk range per cell is carried so the surrogate join provably
+    participates. Dimensions broadcast; the fact is scanned once; money
+    stays integer end to end."""
+    from salesforce_plugin_spark.operators.merge import surrogate_keys
+    from salesforce_plugin_spark.operators.timeseries import date_dimension
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cust_dim = surrogate_keys(c, ["c_custkey"]).join(
+        c.select("c_custkey", "c_mktsegment"), "c_custkey"
+    )
+    dates = date_dimension(
+        spark, "1992-01-01", "1998-12-31", fiscal_start_month=4
+    ).select(F.col("d").alias("o_orderdate"), "fiscal_yr", "fiscal_qtr")
+    fact = (
+        o.select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .join(F.broadcast(cust_dim), "c_custkey")
+        .join(F.broadcast(dates), "o_orderdate")
+    )
+    return fact.groupBy("fiscal_yr", "fiscal_qtr", "c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").alias("revenue_cents"),
+        F.min("sk").alias("sk_min"),
+        F.max("sk").alias("sk_max"),
+    )
+
+
+def q_incremental_rollup(spark, sf_dir):
+    """Materialized-rollup maintenance (operators/merge.py
+    fold_additive_rollup): a daily (day, event_type) rollup —
+    count + scaled-long value sum + sum of squares — maintained by
+    folding three event_id-sliced batches sequentially; the fold is
+    associative/commutative, so the result must equal the one-shot
+    rollup (the oracle computes exactly that). Each fold is one union
+    + one bounded key exchange; averages/variance derive from the
+    additive parts at read time."""
+    from salesforce_plugin_spark.operators.merge import fold_additive_rollup
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 1000, 0).cast("long").alias("vq"),
+    )
+    n = ev.agg(F.max("event_id")).collect()[0][0]
+    cuts = [int(n * 0.4), int(n * 0.7)]
+    slices = [
+        ev.filter(F.col("event_id") <= cuts[0]),
+        ev.filter((F.col("event_id") > cuts[0]) & (F.col("event_id") <= cuts[1])),
+        ev.filter(F.col("event_id") > cuts[1]),
+    ]
+    state = None
+    for sl in slices:
+        delta = sl.groupBy("day", "event_type").agg(
+            F.count("*").alias("n"),
+            F.sum("vq").alias("sum_vq"),
+            F.sum(F.col("vq") * F.col("vq")).alias("sumsq_vq"),
+        )
+        state = fold_additive_rollup(
+            state, delta, ["day", "event_type"], ["n", "sum_vq", "sumsq_vq"]
+        )
+    return state
+
+
+def q_quality_gate(spark, sf_dir):
+    """Release-gate capstone: the data-quality audit a warehouse load
+    runs before publishing, as ONE result with a common schema —
+    (check, n_rows, n_bad, bad_ppm): referential integrity
+    (lineitem→orders orphan rows via validate.fk_orphans), functional
+    dependency (customer nation→segment violating keys via
+    fd_violations), null contract (orders.o_custkey), and key
+    uniqueness (orders.o_orderkey). Each check is one bounded
+    aggregate; the union is the audit artifact a scheduler gates on."""
+    from salesforce_plugin_spark.operators.validate import (
+        fd_violations,
+        fk_orphans,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    fk = fk_orphans(li, "l_orderkey", o, "o_orderkey", "fk").select(
+        F.lit("fk_lineitem_orders").alias("check"),
+        F.col("n_child_rows").alias("n_rows"),
+        F.col("n_orphan_rows").alias("n_bad"),
+    )
+    fd_all = fd_violations(c, ["c_nationkey"], "c_mktsegment")
+    fd = (
+        c.select("c_nationkey")
+        .distinct()
+        .agg(F.count("*").alias("n_rows"))
+        .crossJoin(F.broadcast(fd_all.agg(F.count("*").alias("n_bad"))))
+        .select(
+            F.lit("fd_nation_segment").alias("check"), "n_rows", "n_bad"
+        )
+    )
+    nn = o.agg(
+        F.lit("notnull_o_custkey").alias("check"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad"),
+    )
+    uq = o.agg(
+        F.lit("unique_o_orderkey").alias("check"),
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("n_bad"),
+    )
+    return (
+        fk.unionAll(fd).unionAll(nn).unionAll(uq)
+        .withColumn("bad_ppm", F.expr("n_bad * 1000000 div n_rows"))
+    )
+
+
+def q_manifest(spark, sf_dir):
+    """Content-manifest digests (operators/merge.py content_manifest):
+    orders reduced to 16 shard rows of order-insensitive (xor + exact
+    sum) fingerprint folds — the O(changed shards) precheck that fronts
+    snapshot_diff's row-level answer in cross-system sync. Price is
+    pre-quantized to integer cents before serialization (double→string
+    formatting is engine-specific; integers are not)."""
+    from salesforce_plugin_spark.operators.merge import content_manifest
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    return content_manifest(
+        base,
+        "o_orderkey",
+        ["o_orderkey", "o_orderstatus", "o_orderpriority", "price_cents"],
+        n_shards=16,
+    )
+
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle + sharding (operators/pipeline.py
+    epoch_shuffle): every document placed at a reproducible
+    (shard, pos) from md5("0:1:" || id) — epoch 1's permutation over 8
+    shards, regenerated identically by the oracle's window replay. The
+    training-export step: one shard exchange + per-shard sort, no
+    global ORDER BY rand(), no RNG state."""
+    from salesforce_plugin_spark.operators.pipeline import epoch_shuffle
+
+    d = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle(d, "doc_id", n_shards=8, epoch=1, seed=0)
+
+
+def q_kfold(spark, sf_dir):
+    """Grouped k-fold CV split (operators/pipeline.py kfold_assign): fold
+    = md5(source) mod 5, so every document of a source lands in ONE fold
+    — the leakage-safe split for correlated rows. Pure map-side (no
+    shuffle, no RNG); gate summarizes per fold (rows, distinct groups,
+    char mass) so imbalance is visible; the oracle replays the md5
+    bucket arithmetic hex-for-hex."""
+    from salesforce_plugin_spark.operators.pipeline import kfold_assign
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        kfold_assign(d, "source", k=5)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("source").cast("long").alias("n_groups"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+def q_chat_render(spark, sf_dir):
+    """SFT-example formatting (operators/pipeline.py render_chat):
+    deterministic chat-template rendering with the loss-mask boundary
+    carried as a character offset (prompt_chars) plus per-turn token
+    counts — the corpus-to-trainer formatting step. One codegen string
+    projection, no shuffle, no UDF."""
+    from salesforce_plugin_spark.operators.pipeline import render_chat
+
+    d = load_table(spark, sf_dir, "documents")
+    return render_chat(d, "doc_id", "text", instruction_words=8)
+
+
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["q_token_pack"] = r"""
+        WITH toked AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents
+        ), spans AS (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t), 1), 48)) AS s
+            FROM toked
+        ), chunks AS (
+            SELECT doc_id,
+                   CAST((s - 1) // 48 AS INTEGER) AS chunk_id,
+                   CAST(len(list_slice(t, s, s + 63)) AS BIGINT) AS n_tokens
+            FROM spans
+        ), j AS (
+            SELECT c.*, d.source
+            FROM chunks c JOIN documents d USING (doc_id)
+        ), p AS (
+            SELECT source, n_tokens,
+                   CAST(floor(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id, chunk_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / 256) AS BIGINT) AS bin_id
+            FROM j
+        )
+        SELECT source, bin_id, count(*) AS n_chunks,
+               CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        FROM p GROUP BY source, bin_id
+        ORDER BY source, bin_id
+    """
+
+ORACLES["q_training_corpus"] = r"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0
+        ), deduped AS (
+            SELECT * FROM (
+                SELECT doc_id, text, fp,
+                       row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM base
+            ) WHERE rn = 1
+        ), enriched AS (
+            SELECT doc_id, text, fp,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+                   len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|in)\b')) AS en,
+                   len(regexp_extract_all(lower(text), '\b(?:el|los|las|que|una)\b')) AS es,
+                   len(regexp_extract_all(lower(text), '\b(?:les|des|une|est|dans)\b')) AS fr,
+                   len(regexp_extract_all(lower(text), '\b(?:der|die|und|das|ist)\b')) AS de
+            FROM deduped
+        ), lang AS (
+            SELECT *,
+                   CASE WHEN en > 0 AND en >= es AND en >= fr AND en >= de THEN 'en'
+                        WHEN es > 0 AND es >= fr AND es >= de THEN 'es'
+                        WHEN fr > 0 AND fr >= de THEN 'fr'
+                        WHEN de > 0 THEN 'de'
+                        ELSE 'und' END AS lang_pred
+            FROM enriched
+        )
+        SELECT doc_id, fp, n_tokens, lang_pred,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT *,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+            FROM lang
+            WHERE n_tokens >= 10
+              AND CAST(n_punct AS DOUBLE) / length(text) <= 0.5
+              AND lang_pred IN ('en', 'es')
+        )
+    """
+
+ORACLES["q_training_sequences"] = r"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0
+        ), deduped AS (
+            SELECT * FROM (
+                SELECT doc_id, text, fp,
+                       row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM base
+            ) WHERE rn = 1
+        ), enriched AS (
+            SELECT doc_id, text, fp,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+                   len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|in)\b')) AS en,
+                   len(regexp_extract_all(lower(text), '\b(?:el|los|las|que|una)\b')) AS es,
+                   len(regexp_extract_all(lower(text), '\b(?:les|des|une|est|dans)\b')) AS fr,
+                   len(regexp_extract_all(lower(text), '\b(?:der|die|und|das|ist)\b')) AS de
+            FROM deduped
+        ), lang AS (
+            SELECT *,
+                   CASE WHEN en > 0 AND en >= es AND en >= fr AND en >= de THEN 'en'
+                        WHEN es > 0 AND es >= fr AND es >= de THEN 'es'
+                        WHEN fr > 0 AND fr >= de THEN 'fr'
+                        WHEN de > 0 THEN 'de'
+                        ELSE 'und' END AS lang_pred
+            FROM enriched
+        ), corpus AS (
+            SELECT doc_id, text,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT *,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+                FROM lang
+                WHERE n_tokens >= 10
+                  AND CAST(n_punct AS DOUBLE) / length(text) <= 0.5
+                  AND lang_pred IN ('en', 'es')
+            )
+        ), toked AS (
+            SELECT doc_id, split,
+                   regexp_split_to_array(trim(text), '\s+') AS t
+            FROM corpus
+        ), spans AS (
+            SELECT doc_id, split, t,
+                   unnest(generate_series(1, greatest(len(t), 1), 48)) AS s
+            FROM toked
+        ), chunks AS (
+            SELECT doc_id, split,
+                   CAST((s - 1) // 48 AS INTEGER) AS chunk_id,
+                   CAST(len(list_slice(t, s, s + 63)) AS BIGINT) AS n_tokens
+            FROM spans
+        ), sharded AS (
+            SELECT doc_id, split, chunk_id, n_tokens,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard
+            FROM chunks
+        ), packed AS (
+            SELECT doc_id, split, shard, n_tokens,
+                   CAST(floor(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY split, shard ORDER BY doc_id, chunk_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / 256) AS BIGINT) AS bin_id
+            FROM sharded
+        )
+        SELECT split, shard, bin_id, count(*) AS n_chunks,
+               CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+               count(DISTINCT doc_id) AS n_docs
+        FROM packed GROUP BY split, shard, bin_id
+        ORDER BY split, shard, bin_id
+    """
+
+ORACLES["q_data_quality"] = r"""
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS viol_not_null_text,
+               CAST(sum(CASE WHEN length(text) < 20 THEN 1 ELSE 0 END) AS BIGINT) AS viol_min_length_text,
+               CAST(sum(CASE WHEN lang NOT IN ('en','es','fr','de') THEN 1 ELSE 0 END) AS BIGINT) AS viol_one_of_lang,
+               CAST(sum(CASE WHEN n_chars < 1 OR n_chars > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS viol_in_range_n_chars,
+               CAST(sum(CASE WHEN NOT regexp_matches(source, '^src\d+$') OR source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS viol_matches_source
+        FROM documents
+    """
+
+ORACLES["q_unique_keys"] = """
+        SELECT count(*) AS n_keys,
+               CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+               CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_rows
+        FROM (SELECT user_id, event_type, ts, count(*) AS n
+              FROM events GROUP BY 1, 2, 3)
+    """
+
+ORACLES["q_training_decontaminated"] = r"""
+        WITH RECURSIVE base AS (
+            SELECT doc_id, text,
+                   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0
+        ), deduped AS (
+            SELECT * FROM (
+                SELECT doc_id, text, fp,
+                       row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM base
+            ) WHERE rn = 1
+        ), enriched AS (
+            SELECT doc_id, text, fp,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+                   len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|in)\b')) AS en,
+                   len(regexp_extract_all(lower(text), '\b(?:el|los|las|que|una)\b')) AS es,
+                   len(regexp_extract_all(lower(text), '\b(?:les|des|une|est|dans)\b')) AS fr,
+                   len(regexp_extract_all(lower(text), '\b(?:der|die|und|das|ist)\b')) AS de
+            FROM deduped
+        ), lang AS (
+            SELECT *,
+                   CASE WHEN en > 0 AND en >= es AND en >= fr AND en >= de THEN 'en'
+                        WHEN es > 0 AND es >= fr AND es >= de THEN 'es'
+                        WHEN fr > 0 AND fr >= de THEN 'fr'
+                        WHEN de > 0 THEN 'de'
+                        ELSE 'und' END AS lang_pred
+            FROM enriched
+        ), corpus AS (
+            SELECT doc_id, n_tokens, lang_pred,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT *,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+                FROM lang
+                WHERE n_tokens >= 10
+                  AND CAST(n_punct AS DOUBLE) / length(text) <= 0.5
+                  AND lang_pred IN ('en', 'es')
+            )
+        ), toked3 AS (
+            SELECT doc_id,
+                   list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> lower(x)) AS t
+            FROM documents
+        ), sh3 AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(t, s, s + 2), ' ') AS shingle
+            FROM (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - 2)) AS s
+                FROM toked3 WHERE len(t) >= 3
+            )
+        ), mh AS (
+            SELECT doc_id,
+                   min(CAST(('0x' || substr(md5('0:' || shingle), 1, 8)) AS BIGINT)) AS mh_0,
+                   min(CAST(('0x' || substr(md5('1:' || shingle), 1, 8)) AS BIGINT)) AS mh_1,
+                   min(CAST(('0x' || substr(md5('2:' || shingle), 1, 8)) AS BIGINT)) AS mh_2,
+                   min(CAST(('0x' || substr(md5('3:' || shingle), 1, 8)) AS BIGINT)) AS mh_3,
+                   min(CAST(('0x' || substr(md5('4:' || shingle), 1, 8)) AS BIGINT)) AS mh_4,
+                   min(CAST(('0x' || substr(md5('5:' || shingle), 1, 8)) AS BIGINT)) AS mh_5,
+                   min(CAST(('0x' || substr(md5('6:' || shingle), 1, 8)) AS BIGINT)) AS mh_6,
+                   min(CAST(('0x' || substr(md5('7:' || shingle), 1, 8)) AS BIGINT)) AS mh_7
+            FROM sh3 GROUP BY doc_id
+        ), banded AS (
+            SELECT doc_id, 0 AS band,
+                   md5(CAST(mh_0 AS VARCHAR) || '|' || CAST(mh_1 AS VARCHAR)) AS bucket FROM mh
+            UNION ALL
+            SELECT doc_id, 1,
+                   md5(CAST(mh_2 AS VARCHAR) || '|' || CAST(mh_3 AS VARCHAR)) FROM mh
+            UNION ALL
+            SELECT doc_id, 2,
+                   md5(CAST(mh_4 AS VARCHAR) || '|' || CAST(mh_5 AS VARCHAR)) FROM mh
+            UNION ALL
+            SELECT doc_id, 3,
+                   md5(CAST(mh_6 AS VARCHAR) || '|' || CAST(mh_7 AS VARCHAR)) FROM mh
+        ), cedges AS (
+            SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id <> b.doc_id
+        ), reach AS (
+            SELECT doc_id AS id, doc_id AS r FROM documents
+            UNION
+            SELECT reach.id, e.dst FROM reach JOIN cedges e ON reach.r = e.src
+        ), comp AS (
+            SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY id
+        ), canon AS (
+            SELECT min(c.doc_id) AS doc_id
+            FROM corpus c JOIN comp ON c.doc_id = comp.doc_id
+            GROUP BY comp.component_id
+        ), toked5 AS (
+            SELECT doc_id, source,
+                   list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> lower(x)) AS t
+            FROM documents
+        ), sh5 AS (
+            SELECT DISTINCT doc_id, source,
+                   array_to_string(list_slice(t, s, s + 4), ' ') AS shingle
+            FROM (
+                SELECT doc_id, source, t,
+                       unnest(generate_series(1, len(t) - 4)) AS s
+                FROM toked5 WHERE len(t) >= 5
+            )
+        ), eval_sh AS (
+            SELECT DISTINCT shingle FROM sh5 WHERE source = 'src0'
+        ), contaminated AS (
+            SELECT s.doc_id
+            FROM sh5 s JOIN eval_sh e ON s.shingle = e.shingle
+            WHERE s.source <> 'src0'
+            GROUP BY s.doc_id
+            HAVING count(*) >= 3
+        )
+        SELECT c.doc_id, c.n_tokens, c.lang_pred, c.split
+        FROM corpus c
+        JOIN canon ON canon.doc_id = c.doc_id
+        JOIN documents dd ON dd.doc_id = c.doc_id AND dd.source <> 'src0'
+        WHERE c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """
+
+ORACLES["q_corpus_mix"] = """
+        SELECT doc_id, 0 AS mix_source FROM documents
+        WHERE lang = 'en'
+          AND CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 5000
+        UNION ALL
+        SELECT doc_id, 1 AS mix_source FROM documents
+        WHERE lang <> 'en'
+          AND CAST(('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 2500
+    """
+
+ORACLES["q_object_extract"] = """
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """
+
+ORACLES["q_schema_reconcile"] = """
+        SELECT c_custkey, substr(c_name, 1, 12) AS c_name, c_acctbal,
+               CAST(NULL AS VARCHAR) AS c_mktsegment
+        FROM customer WHERE c_custkey % 2 = 0
+        UNION ALL
+        SELECT c_custkey, substr(c_name, 1, 12), c_acctbal,
+               substr(c_mktsegment, 1, 6)
+        FROM customer WHERE c_custkey % 2 = 1
+    """
+
+ORACLES["q_profile"] = """
+        SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+               count(*) - count(o_orderkey) AS n_nulls,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+               CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str,
+               CAST(NULL AS VARCHAR) AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+               count(DISTINCT o_custkey),
+               CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+               NULL, NULL
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+               count(DISTINCT o_orderstatus), NULL, NULL,
+               min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+               count(DISTINCT o_orderpriority), NULL, NULL,
+               min(o_orderpriority), max(o_orderpriority)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+               count(DISTINCT o_totalprice),
+               CAST(min(o_totalprice) AS DOUBLE),
+               CAST(max(o_totalprice) AS DOUBLE),
+               NULL, NULL
+        FROM orders
+    """
+
+ORACLES["q_sample_per_group"] = """
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+        SELECT doc_id, lang, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 3
+"""
+
+ORACLES["q_scd2"] = """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev_attr,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM ordered
+        WHERE rn = 1 OR prev_attr IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER w) AS valid_to_us,
+           (lead(ts) OVER w) IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+ORACLES["q_cdc_merge"] = """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders
+    ), snap AS (
+        SELECT * FROM base WHERE o_orderkey % 10 <= 7
+    ), c1 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 9 THEN o_totalprice
+                    ELSE o_totalprice * 2 END AS o_totalprice,
+               CASE WHEN o_orderkey % 10 = 9 THEN 'd' ELSE 'u' END AS op,
+               1 AS chg_seq
+        FROM base WHERE o_orderkey % 10 IN (6, 7, 8, 9)
+    ), c2 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice * 3 AS o_totalprice, 'u' AS op, 2 AS chg_seq
+        FROM base WHERE o_orderkey % 20 = 6
+    ), ch AS (
+        SELECT * FROM c1 UNION ALL SELECT * FROM c2
+    ), winner AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, op
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_orderkey ORDER BY chg_seq DESC
+            ) AS rn FROM ch
+        ) WHERE rn = 1
+    )
+    SELECT coalesce(s.o_orderkey, c.o_orderkey) AS o_orderkey,
+           CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_custkey
+                ELSE s.o_custkey END AS o_custkey,
+           CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderstatus
+                ELSE s.o_orderstatus END AS o_orderstatus,
+           CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_totalprice
+                ELSE s.o_totalprice END AS total_price
+    FROM snap s
+    FULL OUTER JOIN winner c ON s.o_orderkey = c.o_orderkey
+    WHERE c.op IS NULL OR c.op <> 'd'
+"""
+
+ORACLES["q_weighted_sample"] = """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          * 400 < 4294967296 * n_chars
+"""
+
+ORACLES["q_negative_sampling"] = """
+    WITH reps AS (
+        SELECT CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 64 AS b,
+               min(vec_id) AS neg_id
+        FROM embeddings GROUP BY 1
+    ), probes AS (
+        SELECT e.vec_id AS anchor_id, CAST(j AS INT) AS j,
+               CAST(('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || '#' || j),
+                                    1, 8)) AS BIGINT) % 64 AS b
+        FROM embeddings e CROSS JOIN generate_series(0, 3) AS t(j)
+        WHERE e.vec_id % 50 = 0
+    )
+    SELECT p.anchor_id, p.j, r.neg_id
+    FROM probes p JOIN reps r USING (b)
+    WHERE r.neg_id <> p.anchor_id
+"""
+
+ORACLES["q_snapshot_diff"] = """
+    WITH old AS (
+        SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ), new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 5 THEN cents * 2 ELSE cents END AS cents
+        FROM old WHERE o_orderkey % 10 <> 3
+        UNION ALL
+        SELECT o_orderkey + 1000000000 AS o_orderkey, cents + 7 AS cents
+        FROM old WHERE o_orderkey % 10 = 0
+    ), j AS (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               o.cents AS cents_old, n.cents AS cents_new,
+               (o.o_orderkey IS NOT NULL) AS in_old,
+               (n.o_orderkey IS NOT NULL) AS in_new
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey,
+           CASE WHEN NOT in_old THEN 'insert'
+                WHEN NOT in_new THEN 'delete'
+                WHEN cents_old IS DISTINCT FROM cents_new THEN 'update'
+           END AS change,
+           cents_old, cents_new
+    FROM j
+    WHERE (NOT in_old) OR (NOT in_new)
+       OR (cents_old IS DISTINCT FROM cents_new)
+"""
+
+ORACLES["q_fk_audit"] = """
+    WITH audit AS (
+        SELECT 'lineitem->orders' AS relationship,
+               l_orderkey AS fk, count(*) AS rws,
+               max(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS orphan
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l_orderkey IS NOT NULL
+        GROUP BY l_orderkey
+        UNION ALL
+        SELECT 'orders->customer', o_custkey, count(*),
+               max(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o_custkey IS NOT NULL
+        GROUP BY o_custkey
+        UNION ALL
+        SELECT 'orders->customer_trunc', o_custkey, count(*),
+               max(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        FROM orders o LEFT JOIN (
+            SELECT c_custkey FROM customer WHERE c_nationkey <= 11
+        ) c ON o.o_custkey = c.c_custkey
+        WHERE o_custkey IS NOT NULL
+        GROUP BY o_custkey
+    )
+    SELECT relationship,
+           sum(rws) AS n_child_rows,
+           count(*) AS n_child_keys,
+           CAST(sum(CASE WHEN orphan = 1 THEN rws ELSE 0 END) AS BIGINT)
+               AS n_orphan_rows,
+           CAST(sum(orphan) AS BIGINT) AS n_orphan_keys
+    FROM audit GROUP BY relationship
+"""
+
+ORACLES["q_budget_sample"] = """
+    WITH ordered AS (
+        SELECT doc_id, lang, n_chars,
+               sum(n_chars) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM ordered WHERE cum <= 20000
+"""
+
+ORACLES["q_fd_audit"] = """
+    SELECT 'nation->segment' AS fd,
+           CAST(c_nationkey AS BIGINT) AS lhs,
+           count(*) AS n_rows,
+           count(DISTINCT c_mktsegment) AS n_distinct,
+           CAST(min(c_mktsegment) AS VARCHAR) AS rhs_min,
+           CAST(max(c_mktsegment) AS VARCHAR) AS rhs_max
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING count(DISTINCT c_mktsegment) > 1
+    UNION ALL
+    SELECT 'grp->dep', grp, count(*), count(DISTINCT dep),
+           CAST(min(dep) AS VARCHAR), CAST(max(dep) AS VARCHAR)
+    FROM (
+        SELECT c_custkey // 100 AS grp, c_custkey // 100 AS dep
+        FROM customer
+    )
+    GROUP BY grp
+    HAVING count(DISTINCT dep) > 1
+"""
+
+ORACLES["q_surrogate_keys"] = """
+    WITH initial AS (
+        SELECT lang, source,
+               row_number() OVER (ORDER BY lang, source) AS sk
+        FROM (SELECT DISTINCT lang, source FROM documents WHERE lang < 'f')
+    ), new_keys AS (
+        SELECT d.lang, d.source
+        FROM (SELECT DISTINCT lang, source FROM documents) d
+        LEFT JOIN initial i ON d.lang = i.lang AND d.source = i.source
+        WHERE i.sk IS NULL
+    ), applied AS (
+        SELECT lang, source,
+               row_number() OVER (ORDER BY lang, source)
+                   + (SELECT max(sk) FROM initial) AS sk
+        FROM new_keys
+    )
+    SELECT lang, source, CAST(sk AS BIGINT) AS sk FROM initial
+    UNION ALL
+    SELECT lang, source, CAST(sk AS BIGINT) AS sk FROM applied
+"""
+
+ORACLES["q_star_load"] = """
+    WITH sk AS (
+        SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS sk
+        FROM (SELECT DISTINCT c_custkey FROM customer)
+    ), dim AS (
+        SELECT s.c_custkey, s.sk, c.c_mktsegment
+        FROM sk s JOIN customer c USING (c_custkey)
+    ), f AS (
+        SELECT o_custkey AS c_custkey,
+               CAST(o_orderdate AS DATE) AS d,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE)
+              BETWEEN DATE '1992-01-01' AND DATE '1998-12-31'
+    )
+    SELECT CAST(year(d) + CASE WHEN month(d) >= 4 THEN 1 ELSE 0 END AS INT)
+               AS fiscal_yr,
+           CAST((((month(d) - 4 + 12) % 12 + 1) - 1) // 3 + 1 AS INT)
+               AS fiscal_qtr,
+           dim.c_mktsegment,
+           count(*) AS n_orders,
+           sum(f.cents) AS revenue_cents,
+           min(dim.sk) AS sk_min,
+           max(dim.sk) AS sk_max
+    FROM f JOIN dim USING (c_custkey)
+    GROUP BY 1, 2, 3
+"""
+
+ORACLES["q_incremental_rollup"] = """
+    WITH q AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(round(value * 1000, 0) AS BIGINT) AS vq
+        FROM events
+    )
+    SELECT day, event_type,
+           count(*) AS n,
+           sum(vq) AS sum_vq,
+           sum(vq * vq) AS sumsq_vq
+    FROM q GROUP BY day, event_type
+"""
+
+ORACLES["q_quality_gate"] = """
+    WITH fk AS (
+        SELECT 'fk_lineitem_orders' AS "check",
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bad
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_orderkey IS NOT NULL
+    ), fd AS (
+        SELECT 'fd_nation_segment' AS "check",
+               (SELECT count(DISTINCT c_nationkey) FROM customer) AS n_rows,
+               (SELECT count(*) FROM (
+                   SELECT c_nationkey FROM customer
+                   GROUP BY c_nationkey
+                   HAVING count(DISTINCT c_mktsegment) > 1
+               )) AS n_bad
+    ), nn AS (
+        SELECT 'notnull_o_custkey' AS "check",
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bad
+        FROM orders
+    ), uq AS (
+        SELECT 'unique_o_orderkey' AS "check",
+               count(*) AS n_rows,
+               count(*) - count(DISTINCT o_orderkey) AS n_bad
+        FROM orders
+    ), u AS (
+        SELECT * FROM fk UNION ALL SELECT * FROM fd
+        UNION ALL SELECT * FROM nn UNION ALL SELECT * FROM uq
+    )
+    SELECT "check", n_rows, n_bad, n_bad * 1000000 // n_rows AS bad_ppm
+    FROM u
+"""
+
+ORACLES["q_epoch_shuffle"] = """
+    WITH keyed AS (
+        SELECT doc_id,
+               md5('0:1:' || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+    ), sharded AS (
+        SELECT doc_id, k,
+               CAST(CAST(('0x' || substr(k, 1, 8)) AS BIGINT) % 8 AS INT)
+                   AS shard
+        FROM keyed
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (
+               PARTITION BY shard ORDER BY k, doc_id
+           ) - 1 AS BIGINT) AS pos
+    FROM sharded
+"""
+
+ORACLES["q_manifest"] = """
+    WITH c AS (
+        SELECT CAST(CAST(('0x' || substr(md5(
+                   COALESCE(CAST(o_orderkey AS VARCHAR), '<NULL>')
+                   || chr(31) || COALESCE(o_orderstatus, '<NULL>')
+                   || chr(31) || COALESCE(o_orderpriority, '<NULL>')
+                   || chr(31) || COALESCE(CAST(CAST(round(o_totalprice
+                        * 100) AS BIGINT) AS VARCHAR), '<NULL>')
+               ), 1, 8)) AS BIGINT) AS BIGINT) AS fp,
+               CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                    1, 8)) AS BIGINT) % 16 AS INT) AS shard
+        FROM orders
+    )
+    SELECT shard, count(*) AS n_rows,
+           bit_xor(fp) AS digest_xor,
+           CAST(sum(fp) AS BIGINT) AS digest_sum
+    FROM c GROUP BY shard
+"""
+
+ORACLES["q_kfold"] = """
+    WITH b AS (
+        SELECT source, n_chars,
+               CAST(CAST(('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 5 AS INT) AS fold
+        FROM documents
+    )
+    SELECT fold, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_groups,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM b GROUP BY 1
+"""
+
+ORACLES["q_chat_render"] = r"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ), r AS (
+        SELECT doc_id,
+               '<|user|>' || chr(10)
+                   || array_to_string(list_slice(toks, 1, 8), ' ')
+                   || chr(10) || '<|assistant|>' || chr(10) AS prompt,
+               array_to_string(list_slice(toks, 9, len(toks)), ' ') AS resp,
+               len(toks) AS nt
+        FROM t
+    )
+    SELECT doc_id, prompt || resp AS rendered,
+           CAST(length(prompt) AS INT) AS prompt_chars,
+           CAST(length(prompt || resp) AS INT) AS total_chars,
+           CAST(least(nt, 8) AS INT) AS prompt_tokens,
+           CAST(greatest(nt - 8, 0) AS INT) AS completion_tokens
+    FROM r
+"""
+

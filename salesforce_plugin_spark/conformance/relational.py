@@ -1,0 +1,1537 @@
+"""D1-D19 relational surface + TPC-H suite: projection, predicates, joins, aggregation (rollup/cube/grouping sets/pivot), sort/limit/date functions.
+
+Split from the single-file conformance registry in round 6; byte-identical
+query builders and oracle SQL. The ordered public registry lives in
+``salesforce_plugin_spark.conformance`` (the package __init__).
+"""
+
+from __future__ import annotations
+
+from salesforce_plugin_spark.conformance._common import *  # noqa: F401,F403
+
+
+# ---------------------------------------------------------------------------
+# D1-D5: projection & predicates
+# ---------------------------------------------------------------------------
+
+def q_scan_project(spark, sf_dir):
+    """D1/A3: named-field projection over a full-object scan."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_filter_compare(spark, sf_dir):
+    """D2+D5: comparison predicates composed with AND/OR/NOT."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pred = (
+        (F.col("l_quantity") > 30) | (F.col("l_discount") <= 0.02)
+    ) & ~(F.col("l_returnflag") == "A")
+    return li.filter(pred).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag"
+    )
+
+
+def q_filter_like(spark, sf_dir):
+    """D3: SOQL LIKE is case-insensitive → lower() both sides."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.lower(F.col("p_name")).like("%gear%")).select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+def q_filter_in(spark, sf_dir):
+    """D4: IN / NOT IN over literal lists."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & ~F.col("o_orderstatus").isin("P")
+    ).select("o_orderkey", "o_orderpriority", "o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# D6-D9: joins (semi / anti / parent-lookup / child-flatten)
+# ---------------------------------------------------------------------------
+
+def q_semi_join(spark, sf_dir):
+    """D6: WHERE Id IN (subquery) → left-semi join."""
+    c = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(big, c["c_custkey"] == big["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    """D7: WHERE Id NOT IN (subquery) → left-anti join (oracle uses
+    NOT EXISTS, the null-safe ANSI equivalent of Spark's left_anti)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_parent_lookup_join(spark, sf_dir):
+    """D8: child-to-parent dot traversal → broadcast lookup join.
+
+    orders is the dimension side of the lineitem fact at any scale ratio the
+    fixtures model; broadcast keeps the fact scan shuffle-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    return li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"], "left").select(
+        "l_orderkey", "l_linenumber", "o_orderpriority", "o_orderstatus"
+    )
+
+
+def q_child_flatten_join(spark, sf_dir):
+    """D9+C1: parent-to-child nested subquery, then the plugin's relationship
+    flattener — child rows replace parent rows (exercises nest_children +
+    flatten_relationship rather than a plain join, to conformance-test the
+    actual operators; Catalyst still optimizes both sides)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    nested = TR.nest_children(o, li, "o_orderkey", "l_orderkey", "lineitems")
+    flat = TR.flatten_relationship(nested, "lineitems")
+    return flat.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+# ---------------------------------------------------------------------------
+# D10-D14: aggregation
+# ---------------------------------------------------------------------------
+
+def q_agg_global(spark, sf_dir):
+    """D10: global aggregates (COUNT/SUM/MIN/MAX/AVG), exact sums via the
+    scaled-long fast path (_sumd)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        _sumd(F.col("l_quantity")).alias("sum_qty"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min(F.unix_millis(F.col("l_shipdate"))).alias("min_ship_ms"),
+        (_sumd(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+    )
+
+
+def q_agg_groupby(spark, sf_dir):
+    """D10+D11: the TPC-H Q1 shape — partial-aggregating hash groupBy."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(SHIP_CUTOFF).cast("timestamp")
+    )
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _sumd(F.col("l_quantity")).alias("sum_qty"),
+            _sumd(F.col("l_extendedprice")).alias("sum_base_price"),
+            _sumd(disc_price, 4).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+            (_sumd(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+        )
+    )
+
+
+def q_agg_count_distinct(spark, sf_dir):
+    """D10: COUNT_DISTINCT (exact, not approx — SOQL semantics)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def q_agg_rollup(spark, sf_dir):
+    """D12: GROUP BY ROLLUP over a broadcast dimension join."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    return j.rollup("r_name", "n_name").agg(F.count("*").alias("n"))
+
+
+def q_agg_cube(spark, sf_dir):
+    """D13: GROUP BY CUBE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        _sumd(F.col("l_quantity")).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_agg_collect(spark, sf_dir):
+    """D10 extension: collected-value aggregation — the sorted distinct set
+    per group, rendered as a delimited string so the cross-engine hash is
+    order-insensitive by construction (collect_set order is partition-
+    dependent; array_sort canonicalizes it)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias(
+            "statuses"
+        ),
+        F.countDistinct("l_linestatus").alias("n_status"),
+    )
+
+
+def q_agg_percentile(spark, sf_dir):
+    """D10 extension: exact median / 90th percentile per group (single-pass
+    sort-based exact percentiles; at extreme scale swap for approx_percentile
+    and accept the error bound — documented, not silently substituted)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").alias("med_price"),
+        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_grouping_sets(spark, sf_dir):
+    """D12/D13 generalized: explicit GROUPING SETS with grouping()
+    indicators distinguishing subtotal nulls from data nulls."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status,
+               count(*) AS n
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        """,
+        li=li,
+    )
+
+
+def q_pivot(spark, sf_dir):
+    """Reshaping: order counts pivoted by status into columns (oracle uses
+    conditional aggregation — the portable formulation of PIVOT)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("n_f"),
+            F.col("O").alias("n_o"),
+            F.col("P").alias("n_p"),
+        )
+    )
+
+
+def q_unpivot(spark, sf_dir):
+    """Reshaping: wide → long (melt) over customer numeric attributes —
+    the feature-table normalization step of a training pipeline."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_acctbal", "c_nationkey").unpivot(
+        "c_custkey",
+        ["c_acctbal", "c_nationkey"],
+        "feature",
+        "value",
+    ).select(
+        "c_custkey", "feature", F.col("value").cast("double").alias("value")
+    )
+
+
+def q_agg_having(spark, sf_dir):
+    """D14: HAVING → post-aggregation filter."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _sumd(F.col("o_totalprice")).alias("sum_price"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape: segment-filtered customer ⨝ orders ⨝ lineitem,
+    revenue per order, top 10 — the canonical multi-join topk. No forced
+    broadcasts: customer is a fact-sized table at real scale, so the join
+    strategy is left to the auto-broadcast threshold + AQE (which still
+    picks broadcast at fixture/bench scale)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(ORDERS_CUTOFF).cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    revenue = _sumd(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    ).alias("revenue")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(revenue)
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape: full star join (region→nation→customer→orders→
+    lineitem→supplier) with the local-supplier condition, revenue per
+    nation. Only the always-tiny dimensions (nation, region) are forced
+    broadcast; orders/customer/supplier are fact-scale tables at 100 TB, so
+    their join strategy is left to the auto-broadcast threshold + AQE
+    (still broadcast at fixture/bench scale, sort-merge at real scale)."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(ORDERS_CUTOFF).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _sumd(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    ).alias("revenue")
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"),
+                li["l_orderkey"] == o["o_orderkey"])
+        .join(c.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == c["c_custkey"])
+        .join(s.select("s_suppkey", "s_nationkey"),
+              (li["l_suppkey"] == s["s_suppkey"])
+              & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
+              s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r.select("r_regionkey")),
+              n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(revenue)
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20 — the
+    canonical "group by a wide composite key then topk" plan. The lineitem
+    filter (l_returnflag = 'R') sits on the scan so it pushes into parquet;
+    nation is broadcast; customer⨝orders⨝lineitem resolve via the
+    auto-broadcast threshold + AQE (sort-merge at real scale)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = _sumd(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    ).alias("revenue")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue)
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders — an aggregate-derived key set
+    (HAVING sum(qty) > cutoff) drives a semi-join back onto the fact chain.
+    The inner aggregate is a single shuffle on l_orderkey with map-side
+    partial sums; the outer joins then only see the tiny qualifying set
+    (broadcast by AQE at any scale where the cutoff is selective)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    qty_cents = (F.col("l_quantity").cast("decimal(14,2)") * 100).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_cents).alias("__qc"))
+        .filter(F.col("__qc") > 150 * 100)  # exact: Σqty > 150 in cents
+        .select("l_orderkey", (F.col("__qc") / F.lit(100.0)).alias("sum_qty"))
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_totalprice", "sum_qty"
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-side revenue forecast — every predicate
+    (date range, discount band, quantity cap) is a parquet-pushable
+    comparison on one table, so the whole query is a filtered columnar
+    scan feeding one map-side partial sum. The plan to look for:
+    PushedFilters carrying all three ranges, zero joins, one exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _sumd(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape: volume shipping between two nations — the nation
+    dimension participates TWICE (supplier side and customer side), with a
+    disjunctive pair predicate and a year(l_shipdate) rollup. Both nation
+    joins are broadcasts (25-row dim at any scale); the pair filter is
+    applied after the second lookup so Catalyst can still prune the fact
+    scan columns to the five used."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            _sumd(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 shape: promo-revenue share — conditional aggregation over
+    a fact⨝dim join. Both branches sum to exact decimals first; the ratio
+    divides those two exact totals as doubles at the very end, so the
+    result is order-insensitive (no float accumulation across rows). The
+    part join is broadcast-eligible; only (l_partkey, price, discount)
+    survive the scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = _sumd(rev, 4, when=(F.col("p_type") == "PROMO")).alias(
+        "promo_revenue"
+    )
+    total = _sumd(rev, 4).alias("total_revenue")
+    agg = li.join(p, li["l_partkey"] == p["p_partkey"]).agg(promo, total)
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (
+            F.col("promo_revenue") / F.col("total_revenue") * F.lit(100.0)
+        ).alias("promo_pct"),
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive multi-column predicate join — three
+    OR'd brand/size/quantity bands spanning BOTH sides of the lineitem⨝part
+    join. Catalyst factors the disjunction per side: the full OR of the
+    quantity bands pushes into the lineitem scan and the OR of the
+    brand/size bands into the part scan, with the exact cross-table band
+    predicate kept as the join condition — both scans shrink before any
+    row crosses the exchange."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    band = (
+        ((brand == "Brand#1") & size.between(1, 5) & qty.between(1, 11))
+        | ((brand == "Brand#2") & size.between(1, 10) & qty.between(10, 20))
+        | ((brand == "Brand#3") & size.between(1, 15) & qty.between(20, 30))
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .filter(band)
+        .agg(
+            _sumd(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join with a
+    mixed equi + non-equi condition (late shipment: any lineitem shipped
+    more than 60 days after its order date). Spark plans the equi part as
+    the join key and evaluates the cross-table comparison as the join
+    residual — no row explosion, orders pass through at most once."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(ORDERS_CUTOFF).cast("timestamp")
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 shape: groups filtered against a global aggregate — parts
+    whose revenue exceeds 1.1× the mean per-part revenue (scale-invariant
+    restatement of Q11's fraction-of-total HAVING, which hard-codes a
+    fraction that only works at one SF). The per-part aggregate subtree
+    feeds BOTH the threshold and the probe side; Spark's ReuseExchange
+    recognizes the identical shuffle and runs it once. Threshold is a
+    1-row broadcast — no second pass over the fact table."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4)
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("value"))
+    thr = per_part.agg(
+        (
+            F.lit(1.1)
+            * F.sum("value").cast("double")
+            / F.count("*")
+        ).alias("__thr")
+    )
+    return (
+        per_part.join(F.broadcast(thr), F.col("value").cast("double") > F.col("__thr"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), F.col("l_partkey"))
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution — a LEFT outer
+    join that must keep zero-order customers, a per-customer count that
+    skips nulls (COUNT(col) semantics), then a second aggregation over the
+    counts. Two shuffles are inherent (custkey, then count value); the
+    second one moves only #customers rows."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 shape: argmax of an aggregate — top supplier(s) by
+    quarterly revenue, kept by joining the per-supplier rollup against its
+    own 1-row max (broadcast). The rollup subtree appears twice and is NOT
+    exchange-reused (the probe side's pushed ``isnotnull`` de-canonicalizes
+    it) — the recomputed side is a pruned 3-column scan; at real scale,
+    persist/checkpoint the rollup. A single-partition window would avoid
+    the recompute but serializes #suppliers rows through one task, which
+    breaks first at 100 TB. No global sort over the fact table."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4)
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_revenue"))
+    mx = per_supp.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        per_supp.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-group average decorrelated as a
+    window — lineitems of one brand's parts priced below half their part's
+    mean quantity. The brand filter broadcasts into the fact scan; the
+    correlated AVG becomes sum/count over a partkey window on the already
+    joined rows (exact decimal sum ÷ count, so the threshold is
+    bit-identical across engines and aggregation orders — a raw double
+    AVG could flip rows at the comparison boundary)."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    avg_qty = (
+        F.sum(_dec(F.col("l_quantity"))).over(w).cast("double")
+        / F.count("*").over(w)
+    )
+    return (
+        joined.withColumn("__avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < 0.5 * F.col("__avg_qty"))
+        .agg(
+            (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape: EXISTS + NOT-EXISTS double correlation, decorrelated
+    into one per-(order, supplier) rollup — suppliers who were the SOLE
+    late shipper on a multi-supplier finished order. ``exists(other
+    supplier)`` ≡ n_supp > 1 and ``not exists(other late supplier)`` ≡
+    n_late_supp == 1 for a late row, so two grouped counts replace two
+    correlated self-joins — O(rows) grouped work instead of per-row
+    subquery probes. The fact join is consumed ONCE: the per-(order,
+    supplier) rollup carries both the late flag and the late row count, so
+    the probe side reuses the rollup instead of re-scanning the fact
+    tables (the count(*) over l1 rows in the classic form = sum of
+    per-supplier late row counts)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lo = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    # one exchange on l_orderkey serves the (orderkey, suppkey) rollup
+    # (subset rule) and the per-order window below
+    per_os = (
+        lo.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.when(late, 1).otherwise(0)).alias("__n_late_rows"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    qualifying_os = per_os.withColumn(
+        "__n_supp", F.count("*").over(w)
+    ).withColumn(
+        "__n_late_supp",
+        F.sum(F.when(F.col("__n_late_rows") > 0, 1).otherwise(0)).over(w),
+    ).filter(
+        (F.col("__n_supp") > 1)
+        & (F.col("__n_late_supp") == 1)
+        & (F.col("__n_late_rows") > 0)
+    )
+    return (
+        qualifying_os.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("__n_late_rows").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape: scalar subquery + NOT-EXISTS — customers above the
+    global positive-balance average with no recent orders, rolled up by
+    segment. The global average is a 1-row broadcast (exact decimal sum ÷
+    count, like Q17's threshold); the NOT EXISTS is a left-anti join
+    against the date-pruned orders scan."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count("*")
+        ).alias("__avg_bal")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp")
+    ).select("o_custkey")
+    rich = c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("__avg_bal"))
+    return (
+        rich.join(recent, rich["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec(F.col("c_acctbal"))).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape: minimum-cost supplier — a correlated scalar MIN
+    decorrelated as groupBy-min + equality join-back (per-group argmin;
+    contrast q_tpch_q15's global 1-row broadcast max). The fixtures have
+    no partsupp table, so the supply relation is derived: distinct
+    (part, supplier) pairs from lineitem with unit cost
+    min(extendedprice/quantity) — same join topology as the real Q2
+    (supply ⨝ part ⨝ supplier ⨝ nation ⨝ region). All four dimension
+    joins broadcast. The argmin uses a partkey-window min rather than
+    groupBy-min + join-back: the join-back form evaluates the whole
+    eligible subtree TWICE (two full fact scans at 100 TB — measured in
+    the executed plan, no ReuseExchange because the probe side
+    de-canonicalizes), while the window is one pass and one shuffle on
+    partkey, bounded per partition by suppliers-per-part. Cost stays a
+    raw double end to end (identical IEEE ops in any engine); no decimal
+    rounding at the equality comparison."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey", "p_name")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    ).select("r_regionkey")
+    # Pre-filter the fact scan with broadcast semi-joins BEFORE the rollup:
+    # the rollup key includes the supplier, so dropping non-STANDARD parts
+    # and non-EUROPE suppliers early removes whole (part, supplier) groups
+    # without changing any surviving group's min — the eligible set is
+    # identical, but the shuffle aggregates only the qualifying slice of
+    # the fact table (the win that matters at 100 TB: Catalyst cannot push
+    # a post-aggregation join filter below the groupBy on its own).
+    eu = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li_f = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li["l_partkey"] == F.col("p_partkey"),
+        "left_semi",
+    ).join(
+        F.broadcast(eu.select(F.col("s_suppkey").alias("__eu_key"))),
+        li["l_suppkey"] == F.col("__eu_key"),
+        "left_semi",
+    )
+    supply = li_f.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    eligible = (
+        supply.join(F.broadcast(p), supply["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(eu), supply["l_suppkey"] == eu["s_suppkey"])
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "cost")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("__min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("__min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.col("cost").alias("min_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape: product-type profit by nation and year — a 5-table
+    join where the aggregated amount expression references BOTH fact and
+    dimension columns (price × discount from lineitem, retail cost from
+    part), grouped on a dimension attribute and a derived year. The
+    fixtures have no partsupp, so ps_supplycost is stood in by
+    p_retailprice — identical plan shape: LIKE-filtered part broadcast
+    pre-shrinks the fact scan, supplier/nation broadcast, and the only
+    shuffle joins are orders⨝lineitem on orderkey plus the final group
+    on (nation, year). Per-row amounts cast to exact decimal before the
+    sum so accumulation order can't flip low bits."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", "p_retailprice")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_sumd(amount, 4).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 shape: market share — the share of yearly revenue supplied
+    by one nation, as a ratio of two conditional exact-decimal sums with a
+    single double divide at the end (order-insensitive; a running double
+    ratio would not hash-match). Nation/region dims broadcast; the
+    customer-side region filter prunes before the fact join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n_cust = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n_supp = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cr_key") == F.col("r_regionkey"))
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _sumd(vol, 4, when=(F.col("supp_nation") == "NATION_3")).alias(
+                "nation_volume"
+            ),
+            _sumd(vol, 4).alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            "nation_volume",
+            "total_volume",
+            (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape: conditional counting across a fact⨝parent join —
+    per line status, how many lineitems belong to urgent/high- vs
+    lower-priority orders, over a ship-date year. Both CASE branches are
+    integer counts (exact); the orders side carries only (key, priority)
+    through the join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-suppliers-per-part-class with a supplier
+    blacklist — COUNT(DISTINCT) per (brand, type, size) after an anti-join
+    (NOT IN subquery) removes negative-balance suppliers. The lineitem
+    part↔supplier pairs play partsupp's role; the blacklist is a tiny
+    broadcast anti-join, applied BEFORE the distinct aggregation so
+    excluded pairs never shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") <= 20
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 shape: qualifying-key chain — suppliers who shipped more
+    than 3× their fair share of some part's total quantity (the correlated
+    fraction-of-total threshold, decorrelated and made scale-invariant:
+    Q20's fixed 50% is unreachable once a part has many suppliers). One
+    rollup to (part, supplier) quantities, a per-part window for the total
+    and supplier count, then a distinct-supplier semi-join up to the
+    supplier dimension — each stage shrinks the data before the next
+    shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    qty_cents = (F.col("l_quantity").cast("decimal(14,2)") * 100).cast("long")
+    # One exchange serves both stateful stages: hash-partitioning on
+    # l_partkey alone satisfies the (l_partkey, l_suppkey) groupBy's
+    # clustering requirement (subset rule) AND the per-part window's, so
+    # the rollup and the window share a single shuffle instead of two.
+    per_ps = (
+        li.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(qty_cents).alias("__pc"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        per_ps.withColumn("__partc", F.sum("__pc").over(w))
+        .withColumn("n_supp", F.count("*").over(w))
+        .filter(
+            (F.col("__pc") / F.lit(100.0))
+            > F.lit(3.0) * (F.col("__partc") / F.lit(100.0)) / F.col("n_supp")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dominant, s["s_suppkey"] == dominant["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_percent_rank(spark, sf_dir):
+    """Window normalization: percent_rank of order value within its
+    priority class — exact rational (rank-1)/(n-1) values, the
+    float-determinism-safe alternative to z-scores for cross-engine
+    feature normalization."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D15-D19: sort / limit / offset / date functions
+# ---------------------------------------------------------------------------
+
+def q_sort_limit(spark, sf_dir):
+    """D15+D16: ORDER BY … LIMIT → TakeOrderedAndProject top-k (unique
+    tiebreaker column keeps the k-boundary deterministic)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+        .limit(10)
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+def q_offset_page(spark, sf_dir):
+    """D17: OFFSET pagination (REST path)."""
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.orderBy("s_suppkey")
+        .offset(3)
+        .limit(4)
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+def q_date_parts(spark, sf_dir):
+    """D19: CALENDAR_YEAR / CALENDAR_MONTH / CALENDAR_QUARTER / DAY_ONLY."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .groupBy("yr", "qtr", "mo")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_date_range(spark, sf_dir):
+    """D18: relative date literals pinned to fixed cutoffs; epoch-µs output
+    (events.ts is ns in parquet — both engines compare at µs, lossless here).
+    The range rides ``ts_range`` so it filters the raw nanos long scan-side
+    (parquet row-group pruning) instead of the post-repair timestamp."""
+    e = load_table(spark, sf_dir, "events", ts_range=("ts", EVENTS_LO, EVENTS_HI))
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+
+
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["q_scan_project"] = "SELECT c_custkey, c_name, c_mktsegment FROM customer"
+
+ORACLES["q_filter_compare"] = """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+        FROM lineitem
+        WHERE (l_quantity > 30 OR l_discount <= 0.02) AND NOT (l_returnflag = 'A')
+    """
+
+ORACLES["q_filter_like"] = """
+        SELECT p_partkey, p_name, p_brand FROM part
+        WHERE lower(p_name) LIKE '%gear%'
+    """
+
+ORACLES["q_filter_in"] = """
+        SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+          AND o_orderstatus NOT IN ('P')
+    """
+
+ORACLES["q_semi_join"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+    """
+
+ORACLES["q_anti_join"] = """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """
+
+ORACLES["q_parent_lookup_join"] = """
+        SELECT l_orderkey, l_linenumber, o_orderpriority, o_orderstatus
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """
+
+ORACLES["q_child_flatten_join"] = """
+        SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+    """
+
+ORACLES["q_agg_global"] = """
+        SELECT count(*) AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               max(l_extendedprice) AS max_price,
+               min(epoch_ms(l_shipdate)) AS min_ship_ms,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+        FROM lineitem
+    """
+
+ORACLES["q_agg_groupby"] = f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+               count(*) AS count_order,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF}'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+ORACLES["q_agg_count_distinct"] = """
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey) AS n_cust,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus
+    """
+
+ORACLES["q_agg_rollup"] = """
+        SELECT r_name, n_name, count(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """
+
+ORACLES["q_agg_cube"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+
+ORACLES["q_agg_collect"] = """
+        SELECT l_returnflag,
+               string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+               count(DISTINCT l_linestatus) AS n_status
+        FROM lineitem GROUP BY l_returnflag
+    """
+
+ORACLES["q_agg_percentile"] = """
+        SELECT l_returnflag,
+               median(l_extendedprice) AS med_price,
+               quantile_cont(l_extendedprice, 0.9) AS p90_price,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """
+
+ORACLES["q_grouping_sets"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
+               CAST(grouping(l_linestatus) AS TINYINT) AS g_status,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+    """
+
+ORACLES["q_pivot"] = """
+        SELECT o_orderpriority,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        FROM orders GROUP BY o_orderpriority
+    """
+
+ORACLES["q_unpivot"] = """
+        SELECT c_custkey, 'c_acctbal' AS feature, CAST(c_acctbal AS DOUBLE) AS value
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    """
+
+ORACLES["q_agg_having"] = """
+        SELECT o_custkey, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+    """
+
+ORACLES["q_tpch_q3"] = f"""
+        SELECT o_orderkey, o_orderpriority,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '{ORDERS_CUTOFF}'
+        GROUP BY o_orderkey, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """
+
+ORACLES["q_tpch_q5"] = f"""
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND o_orderdate < TIMESTAMP '{ORDERS_CUTOFF}'
+        GROUP BY n_name
+    """
+
+ORACLES["q_tpch_q10"] = """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """
+
+ORACLES["q_tpch_q18"] = """
+        WITH big AS (
+            SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+               CAST(sum_qty AS DOUBLE) AS sum_qty
+        FROM orders
+        JOIN big ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """
+
+ORACLES["q_tpch_q6"] = """
+        SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.02 AND l_discount <= 0.04
+          AND l_quantity < 24
+    """
+
+ORACLES["q_tpch_q7"] = """
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """
+
+ORACLES["q_tpch_q14"] = """
+        WITH agg AS (
+            SELECT
+                sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo_revenue,
+                sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                    AS total_revenue
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+        )
+        SELECT CAST(promo_revenue AS DOUBLE) AS promo_revenue,
+               CAST(total_revenue AS DOUBLE) AS total_revenue,
+               CAST(promo_revenue AS DOUBLE) / CAST(total_revenue AS DOUBLE)
+                   * 100.0 AS promo_pct
+        FROM agg
+    """
+
+ORACLES["q_tpch_q19"] = """
+        SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                   AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """
+
+ORACLES["q_tpch_q4"] = """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """
+
+ORACLES["q_tpch_q11"] = """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                       AS value
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, CAST(value AS DOUBLE) AS value
+        FROM per_part
+        WHERE CAST(value AS DOUBLE) >
+              (SELECT (1.1 * CAST(sum(value) AS DOUBLE)) / count(*) FROM per_part)
+        ORDER BY value DESC, l_partkey
+    """
+
+ORACLES["q_tpch_q13"] = """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN (
+                SELECT o_custkey, o_orderkey FROM orders
+                WHERE o_orderpriority <> '1-URGENT'
+            ) o ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """
+
+ORACLES["q_tpch_q15"] = """
+        WITH per_supp AS (
+            SELECT l_suppkey,
+                   sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM per_supp)
+        ORDER BY s_suppkey
+    """
+
+ORACLES["q_tpch_q17"] = """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                   AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < 0.5 * (
+            SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*)
+            FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+          )
+    """
+
+ORACLES["q_tpch_q21"] = """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """
+
+ORACLES["q_tpch_q8"] = """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                   THEN CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))
+                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_volume,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                   AS DOUBLE) AS total_volume,
+               CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                   THEN CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))
+                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY year(o_orderdate)
+        ORDER BY o_year
+    """
+
+ORACLES["q_tpch_q12"] = """
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """
+
+ORACLES["q_tpch_q16"] = """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_size <= 20
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+
+ORACLES["q_tpch_q20"] = """
+        WITH per_ps AS (
+            SELECT l_partkey, l_suppkey,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS ps_qty
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), part_tot AS (
+            SELECT l_partkey, sum(ps_qty) AS part_qty, count(*) AS n_supp
+            FROM per_ps GROUP BY l_partkey
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT DISTINCT per_ps.l_suppkey
+            FROM per_ps JOIN part_tot ON per_ps.l_partkey = part_tot.l_partkey
+            WHERE CAST(ps_qty AS DOUBLE)
+                  > (3.0 * CAST(part_qty AS DOUBLE)) / n_supp
+        )
+        ORDER BY s_suppkey
+    """
+
+ORACLES["q_tpch_q22"] = """
+        SELECT c_mktsegment, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*)
+            FROM customer WHERE c_acctbal > 0
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00'
+          )
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """
+
+ORACLES["q_tpch_q2"] = """
+        WITH supply AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), eligible AS (
+            SELECT p_partkey, p_name, s_name, s_acctbal, n_name, cost
+            FROM supply
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               cost AS min_cost
+        FROM eligible e
+        WHERE cost = (
+            SELECT min(cost) FROM eligible e2
+            WHERE e2.p_partkey = e.p_partkey
+        )
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """
+
+ORACLES["q_tpch_q9"] = """
+        SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+        FROM (
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(l_extendedprice * (1 - l_discount)
+                        - p_retailprice * l_quantity AS DECIMAL(18,4)) AS amount
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%red%'
+        ) profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+    """
+
+ORACLES["q_percent_rank"] = """
+        SELECT o_orderkey, o_orderpriority,
+               round(percent_rank() OVER (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey), 8) AS pct_rank
+        FROM orders
+    """
+
+ORACLES["q_sort_limit"] = """
+        SELECT p_partkey, p_name, p_retailprice FROM part
+        ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10
+    """
+
+ORACLES["q_offset_page"] = """
+        SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        ORDER BY s_suppkey LIMIT 4 OFFSET 3
+    """
+
+ORACLES["q_date_parts"] = """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+               CAST(month(o_orderdate) AS INTEGER) AS mo,
+               count(*) AS n
+        FROM orders GROUP BY 1, 2, 3
+    """
+
+ORACLES["q_date_range"] = f"""
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        FROM events
+        WHERE ts >= TIMESTAMP '{EVENTS_LO}' AND ts < TIMESTAMP '{EVENTS_HI}'
+    """
+

@@ -1,0 +1,1140 @@
+"""F6 streaming equivalence faces (run_stream_* drives whose final state must reproduce the batch oracle).
+
+Split from the single-file conformance registry in round 6; byte-identical
+query builders and oracle SQL. The ordered public registry lives in
+``salesforce_plugin_spark.conformance`` (the package __init__).
+"""
+
+from __future__ import annotations
+
+from salesforce_plugin_spark.conformance._common import *  # noqa: F401,F403
+
+
+def q_stream_near_dedup(spark, sf_dir):
+    """F2 × F6: near-dedup as a CONTINUOUS-INGEST stream — documents
+    arrive in three id-sliced micro-batches (ascending mtimes; per-batch
+    append-only ids) and each batch is cluster-assigned against the bands
+    state accumulated so far (streaming/upsert.run_stream_near_dedup).
+    The accumulated assignments must be row-identical to the
+    from-scratch full-corpus run: the oracle IS q_near_dedup's SQL."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from salesforce_plugin_spark.streaming.upsert import run_stream_near_dedup
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = d.agg(F.max("doc_id")).collect()[0][0]
+    cuts = [int(n * 0.5), int(n * 0.8)]
+    slices = [
+        d.filter(F.col("doc_id") <= cuts[0]),
+        d.filter((F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1])),
+        d.filter(F.col("doc_id") > cuts[1]),
+    ]
+    tmp = tempfile.mkdtemp(prefix="conf_stream_neardedup_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    try:
+        now = _time.time()
+        for i, sl in enumerate(slices):
+            part = os.path.join(tmp, f"stage{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(part)
+            pf = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+            dst = os.path.join(src, f"batch-{i}.parquet")
+            shutil.move(os.path.join(part, pf), dst)
+            os.utime(dst, (now + i * 10, now + i * 10))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+        run_stream_near_dedup(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            id_col="doc_id",
+            text_col="text",
+            num_hashes=8,
+            bands=2,
+            shingle_n=3,
+        )
+        out = (
+            spark.read.parquet(os.path.join(state, "assign"))
+            .localCheckpoint(eager=True)  # detach from the tmp path
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Beyond-SOQL relational surface (free in Spark; SURVEY §2 non-goal list)
+# ---------------------------------------------------------------------------
+
+def q_stream_window(spark, sf_dir):
+    """F6 through the *actual* readStream path: the streaming tumbling
+    window aggregation drained to completion (availableNow trigger) and
+    hash-checked against the same SQL oracle as the batch form — Spark's
+    unified batch/streaming semantics, demonstrated at the driver gate.
+    The memory sink is the test harness' observation point, not the
+    production sink (that is run_to_parquet_sink)."""
+    import os
+    import uuid
+
+    from salesforce_plugin_spark.streaming.windows import (
+        run_to_memory_sink,
+        stream_events,
+        windowed_event_counts,
+    )
+
+    stream = windowed_event_counts(
+        stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+    )
+    sink = run_to_memory_sink(
+        stream, "t_conf_stream_" + uuid.uuid4().hex[:8], mode="complete"
+    )
+    return sink.select(
+        F.unix_seconds(F.col("w_start")).alias("w_start_s"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+def q_stream_dedup(spark, sf_dir):
+    """F1/F6: streaming exact dedup (dropDuplicatesWithinWatermark state
+    store) drained through the real readStream path. The fixture stream is
+    unique on event_id, so the gate asserts losslessness — the streaming
+    dedup emits exactly the distinct set, no rows dropped by state
+    eviction or double-emitted across micro-batches. (The duplicate-
+    dropping direction is pinned by tests/test_streaming.py with injected
+    dupes.) Dedup state is partitioned by key and evicted at the
+    watermark, so state size is bounded by the late-data horizon, not the
+    stream length."""
+    import os
+    import uuid
+
+    from salesforce_plugin_spark.streaming.windows import (
+        dedup_stream,
+        run_to_memory_sink,
+        stream_events,
+    )
+
+    stream = dedup_stream(
+        stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+    ).select("event_id", F.unix_micros(F.col("ts")).alias("ts_us"))
+    return run_to_memory_sink(
+        stream, "t_conf_sdedup_" + uuid.uuid4().hex[:8], mode="append"
+    )
+
+
+def q_stream_stateful(spark, sf_dir):
+    """F6 custom stateful operator through the real readStream path:
+    ``applyInPandasWithState`` per-user running totals drained with an
+    availableNow trigger, final state per user hash-checked against a
+    plain batch aggregate. Exactness comes from the integer-micros
+    accumulator (see streaming/stateful.py) — a double accumulator would
+    be batch-order-dependent and unverifiable. In update mode each user
+    emits one row per micro-batch it appears in; ``n_events`` is strictly
+    increasing, so the final state is the max-``n_events`` row."""
+    import os
+    import uuid
+
+    from salesforce_plugin_spark.streaming.stateful import running_user_totals
+    from salesforce_plugin_spark.streaming.windows import (
+        run_to_memory_sink,
+        stream_events,
+    )
+
+    sink = run_to_memory_sink(
+        running_user_totals(
+            stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+        ),
+        "t_conf_state_" + uuid.uuid4().hex[:8],
+        mode="update",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id", "n_events", "total_value_micros", "total_value", "last_ts_us"
+        )
+    )
+
+
+def q_stream_upsert(spark, sf_dir):
+    """E5/F6 streaming upsert through the real foreachBatch path: drain
+    the events stream into a key-bucketed parquet table where the newest
+    row per user wins (streaming/upsert.run_stream_upsert), then return
+    the final table — hash-checked against a batch last-writer-wins
+    window. Version is a (ts, event_id) struct so ties in ts are broken
+    deterministically in any engine; the partition column is a hash
+    bucket OF THE KEY so every version of a user lives in one partition
+    and per-batch dynamic partition overwrite can never strand a stale
+    row in an untouched partition (a time-partitioned layout would —
+    that layout is for append+late-data tails, not keyed upserts)."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.streaming.upsert import run_stream_upsert
+    from salesforce_plugin_spark.streaming.windows import stream_events
+
+    stream = (
+        stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+        .withColumn("__ver", F.struct(F.col("ts"), F.col("event_id")))
+        .withColumn("__bucket", F.pmod(F.col("user_id"), F.lit(16)))
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_upsert_")
+    table = os.path.join(tmp, "latest")
+    try:
+        run_stream_upsert(
+            stream,
+            table,
+            os.path.join(tmp, "ckpt"),
+            key_cols=["user_id"],
+            version_col="__ver",
+            partition_col="__bucket",
+        )
+        out = (
+            spark.read.parquet(table)
+            .select(
+                "user_id",
+                "event_id",
+                "event_type",
+                "value",
+                F.unix_micros(F.col("ts")).alias("ts_us"),
+            )
+            .localCheckpoint(eager=True)  # detach from the tmp path
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def q_stream_join(spark, sf_dir):
+    """F6: stream-stream interval join through the real readStream path —
+    click events joined to the purchase events of the same user within the
+    2 hours after the click, both sides watermarked so join state is
+    evicted at the lookback horizon instead of growing with the stream
+    (streaming/windows.interval_join_streams). Same semantics and oracle
+    as the batch q_range_join; the gate pins that the streaming drain
+    emits exactly the batch join's row set."""
+    import os
+    import uuid
+
+    from salesforce_plugin_spark.streaming.windows import (
+        interval_join_streams,
+        run_to_memory_sink,
+        stream_events,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    clicks = (
+        stream_events(spark, path, watermark=None)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        stream_events(spark, path, watermark=None)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = interval_join_streams(
+        clicks, purchases, ["user_id"], "c_ts", "p_ts", lookback="2 hours"
+    ).select(
+        clicks["user_id"].alias("user_id"),
+        "click_id",
+        F.unix_micros(F.col("c_ts")).alias("click_us"),
+        "purchase_id",
+        F.unix_micros(F.col("p_ts")).alias("purchase_us"),
+    )
+    return run_to_memory_sink(
+        joined, "t_conf_sjoin_" + uuid.uuid4().hex[:8], mode="append"
+    )
+
+
+def q_stream_scd2(spark, sf_dir):
+    """F6 × warehouse modeling: SCD2 history maintained FROM A STREAM
+    (streaming/upsert.py run_stream_scd2) — the events feed arrives as
+    three time-sliced micro-batches (maxFilesPerTrigger=1, ascending
+    mtimes so the file source drains them in observation order) and each
+    batch folds into the interval table via scd2_apply_changes. The gate
+    proves the streamed history is row-identical to a from-scratch batch
+    rebuild: the oracle is the full-feed SCD2 SQL (same as q_scd2)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from salesforce_plugin_spark.streaming.upsert import run_stream_scd2
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_stream_scd2_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    cuts = ["2024-01-10", "2024-01-20"]
+    slices = [
+        e.filter(F.col("ts") < F.lit(cuts[0]).cast("timestamp")),
+        e.filter(
+            (F.col("ts") >= F.lit(cuts[0]).cast("timestamp"))
+            & (F.col("ts") < F.lit(cuts[1]).cast("timestamp"))
+        ),
+        e.filter(F.col("ts") >= F.lit(cuts[1]).cast("timestamp")),
+    ]
+    try:
+        now = _time.time()
+        for i, sl in enumerate(slices):
+            part = os.path.join(tmp, f"stage{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(part)
+            pf = next(
+                f for f in os.listdir(part) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"batch-{i}.parquet")
+            shutil.move(os.path.join(part, pf), dst)
+            # ascending mtimes: the file source processes oldest-first,
+            # which IS the per-key observation order (time-sliced files)
+            os.utime(dst, (now + i * 10, now + i * 10))
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_type string, ts timestamp, event_id long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        table = os.path.join(tmp, "scd2")
+        run_stream_scd2(
+            stream,
+            table,
+            os.path.join(tmp, "ckpt"),
+            key_cols=["user_id"],
+            attr_cols=["event_type"],
+            ts_col="ts",
+            tiebreak_cols=["event_id"],
+        )
+        out = (
+            spark.read.parquet(table)
+            .select(
+                "user_id",
+                "event_type",
+                F.unix_micros(F.col("__valid_from")).alias("valid_from_us"),
+                F.unix_micros(F.col("__valid_to")).alias("valid_to_us"),
+                F.col("__is_current").alias("is_current"),
+            )
+            .localCheckpoint(eager=True)  # detach from the tmp path
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def q_stream_kmv(spark, sf_dir):
+    """F6 + sketch: streaming KMV distinct-count through the real
+    readStream → applyInPandasWithState path (streaming/stateful.py
+    running_kmv_distinct). The hash is computed JVM-side
+    (portable_hash32 of user_id) before the Arrow boundary; state is the
+    k smallest hashes — a bounded, order-insensitive merge, so the final
+    streamed state must equal the batch KMV over the same rows, which is
+    exactly what the oracle computes. Final row per key = max-n_seen row
+    of the update-mode sink (n_seen strictly increasing)."""
+    import os
+    import uuid
+
+    from salesforce_plugin_spark.streaming.stateful import running_kmv_distinct
+    from salesforce_plugin_spark.streaming.windows import (
+        run_to_memory_sink,
+        stream_events,
+    )
+
+    hashed = stream_events(spark, os.path.join(sf_dir, "events.parquet")).select(
+        "event_type",
+        D.portable_hash32(F.col("user_id").cast("string")).alias("__h"),
+    )
+    sink = run_to_memory_sink(
+        running_kmv_distinct(hashed, k=64),
+        "t_conf_kmv_" + uuid.uuid4().hex[:8],
+        mode="update",
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("n_seen").desc())
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_type", "n_seen", "k", "n_kept", "kth_hash", "est_distinct")
+    )
+
+
+def q_stream_heavy_hitters(spark, sf_dir):
+    """Sketch × F6: count-min maintenance as a CONTINUOUS stream — events
+    arrive in three event_id-sliced micro-batches and each batch's
+    depth×width grid is appended to parquet state
+    (streaming/upsert.run_stream_cm). A count-min sketch is purely
+    additive, so the summed accumulated grid is bit-identical to one
+    batch sketch over the full table — estimates read from the streamed
+    state must therefore match q_heavy_hitters' oracle exactly (the
+    oracle IS reused verbatim). Per-batch cost: one bounded aggregate;
+    state grows ≤ depth·width rows per batch."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.functions.sketch import cm_estimate
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_cm_state,
+        run_stream_cm,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    n = ev.agg(F.max("event_id")).collect()[0][0]
+    cuts = [int(n * 0.4), int(n * 0.7)]
+    slices = [
+        ev.filter(F.col("event_id") <= cuts[0]),
+        ev.filter((F.col("event_id") > cuts[0]) & (F.col("event_id") <= cuts[1])),
+        ev.filter(F.col("event_id") > cuts[1]),
+    ]
+    tmp = tempfile.mkdtemp(prefix="conf_stream_cm_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    try:
+        for i, sl in enumerate(slices):
+            part = os.path.join(tmp, f"stage{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(part)
+            pf = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+            shutil.move(
+                os.path.join(part, pf), os.path.join(src, f"batch-{i}.parquet")
+            )
+        stream = (
+            spark.readStream.schema("event_id long, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_stream_cm(
+            stream,
+            os.path.join(tmp, "state"),
+            os.path.join(tmp, "ckpt"),
+            "user_id",
+            width=256,
+            depth=4,
+        )
+        grid = read_cm_state(spark, os.path.join(tmp, "state")).localCheckpoint(
+            eager=True  # detach from the tmp path before it is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    est = cm_estimate(grid, ev, "user_id", width=256, depth=4)
+    exact = ev.groupBy(F.col("user_id").alias("value")).agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    return est.join(exact, "value").select(
+        F.col("value").alias("user_id"),
+        "est_n",
+        "exact_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+def q_stream_quantiles(spark, sf_dir):
+    """Sketch x F6: quantile-sketch maintenance as a CONTINUOUS stream —
+    events arrive in three event_id-sliced micro-batches, each batch's
+    bounded histogram is appended to parquet state
+    (streaming/upsert.run_stream_histogram). Histograms are purely
+    additive, so the summed state is bit-identical to one batch
+    histogram over the full table — quantiles elected from streamed
+    state must match q_quantile_sketch's oracle exactly (the oracle IS
+    reused verbatim). Per-batch cost: one <= n_bins-row aggregate."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.functions.sketch import quantiles_from_counts
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_histogram_state,
+        run_stream_histogram,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    n = ev.agg(F.max("event_id")).collect()[0][0]
+    cuts = [int(n * 0.4), int(n * 0.7)]
+    slices = [
+        ev.filter(F.col("event_id") <= cuts[0]),
+        ev.filter((F.col("event_id") > cuts[0]) & (F.col("event_id") <= cuts[1])),
+        ev.filter(F.col("event_id") > cuts[1]),
+    ]
+    tmp = tempfile.mkdtemp(prefix="conf_stream_hist_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    try:
+        for i, sl in enumerate(slices):
+            part = os.path.join(tmp, f"stage{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(part)
+            pf = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+            shutil.move(
+                os.path.join(part, pf), os.path.join(src, f"batch-{i}.parquet")
+            )
+        stream = (
+            spark.readStream.schema("event_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_stream_histogram(
+            stream,
+            os.path.join(tmp, "state"),
+            os.path.join(tmp, "ckpt"),
+            "value",
+            lo=0.0,
+            hi=500.0,
+            n_bins=1000,
+        )
+        hist = read_histogram_state(
+            spark, os.path.join(tmp, "state")
+        ).localCheckpoint(eager=True)  # detach from tmp before it is removed
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return quantiles_from_counts(
+        hist, qs=[0.5, 0.9, 0.99], lo=0.0, hi=500.0, n_bins=1000
+    )
+
+
+def q_stream_rolling_wau(spark, sf_dir):
+    """F6 x growth accounting: rolling WAU maintained FROM A STREAM
+    (streaming/upsert.py run_stream_active_days): per-batch distinct
+    (user, day) rows append as SET state — fully arrival-order-
+    insensitive (unlike the CUSUM/SCD2 faces, replay and overlap are
+    harmless: the reader dedups) — and the rolling-distinct over the
+    accumulated state equals the one-shot batch run; oracle is
+    q_rolling_wau's SQL VERBATIM. Batches here are deliberately
+    OVERLAPPING id slices to prove the set-state claim."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_rolling_distinct,
+        run_stream_active_days,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="conf_stream_wau_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events")
+    # deliberately OVERLAPPING slices (mod-3 residues plus a repeated
+    # band) — set semantics make replay/overlap harmless
+    slices = [
+        ev.filter(F.col("event_id") % 3 == 0).select("user_id", "ts"),
+        ev.filter(F.col("event_id") % 3 == 1).select("user_id", "ts"),
+        ev.filter(
+            (F.col("event_id") % 3 == 2) | (F.col("event_id") % 5 == 0)
+        ).select("user_id", "ts"),
+    ]
+    try:
+        now = _time.time()
+        for i, sl in enumerate(slices):
+            part = os.path.join(tmp, f"stage{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(part)
+            pf = next(
+                f for f in os.listdir(part) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"batch-{i}.parquet")
+            shutil.move(os.path.join(part, pf), dst)
+            os.utime(dst, (now + i * 10, now + i * 10))
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+        run_stream_active_days(
+            stream, state, os.path.join(tmp, "ckpt"), "user_id", "ts"
+        )
+        out = read_rolling_distinct(spark, state, window_days=7)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def q_stream_cusum(spark, sf_dir):
+    """F6 x monitoring: the CUSUM detector maintained FROM A STREAM
+    (streaming/upsert.py run_stream_cusum) — three time-sliced
+    micro-batches (ascending mtimes) fold through a two-BIGINT-per-key
+    carry (last prefix sum + clamped running min); the accumulated
+    alarm rows must be row-identical to the one-shot batch run, so the
+    oracle is q_cusum's SQL VERBATIM (the equivalence is the claim —
+    the q_stream_scd2 / stream-sketch discipline)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from salesforce_plugin_spark.streaming.upsert import run_stream_cusum
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_stream_cusum_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    cuts = ["2024-01-10", "2024-01-20"]
+    slices = [
+        base.filter(F.col("ts") < F.lit(cuts[0]).cast("timestamp")),
+        base.filter(
+            (F.col("ts") >= F.lit(cuts[0]).cast("timestamp"))
+            & (F.col("ts") < F.lit(cuts[1]).cast("timestamp"))
+        ),
+        base.filter(F.col("ts") >= F.lit(cuts[1]).cast("timestamp")),
+    ]
+    try:
+        now = _time.time()
+        for i, sl in enumerate(slices):
+            part = os.path.join(tmp, f"stage{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(part)
+            pf = next(
+                f for f in os.listdir(part) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"batch-{i}.parquet")
+            shutil.move(os.path.join(part, pf), dst)
+            os.utime(dst, (now + i * 10, now + i * 10))
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts timestamp, event_id long, v long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out_dir = os.path.join(tmp, "alarms")
+        run_stream_cusum(
+            stream,
+            out_dir,
+            os.path.join(tmp, "state"),
+            os.path.join(tmp, "ckpt"),
+            key_cols=["user_id"],
+            ts_col="ts",
+            value_col="v",
+            target=5000,
+            slack=500,
+            threshold=50000,
+            tiebreak_cols=["event_id"],
+        )
+        out = (
+            spark.read.parquet(out_dir)
+            .select("user_id", "ts", "v", "event_id", "cusum", "alarm")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def q_stream_interarrival(spark, sf_dir):
+    """F6 x capacity measurement: inter-arrival statistics maintained
+    FROM A STREAM (streaming/upsert.py run_stream_interarrival) —
+    three time-sliced micro-batches fold through a five-BIGINT-per-key
+    carry (last_us, n, sum, min, max); batch-boundary gaps close
+    against the carry's last_us. The final state must reproduce the
+    one-shot batch stats, so the oracle is q_interarrival's SQL
+    VERBATIM (the run_stream_cusum equivalence discipline)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_interarrival_state,
+        run_stream_interarrival,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("user_id", "ts")
+    tmp = tempfile.mkdtemp(prefix="conf_stream_ia_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    cuts = ["2024-01-10", "2024-01-20"]
+    slices = [
+        base.filter(F.col("ts") < F.lit(cuts[0]).cast("timestamp")),
+        base.filter(
+            (F.col("ts") >= F.lit(cuts[0]).cast("timestamp"))
+            & (F.col("ts") < F.lit(cuts[1]).cast("timestamp"))
+        ),
+        base.filter(F.col("ts") >= F.lit(cuts[1]).cast("timestamp")),
+    ]
+    try:
+        now = _time.time()
+        for i, sl in enumerate(slices):
+            part = os.path.join(tmp, f"stage{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(part)
+            pf = next(
+                f for f in os.listdir(part) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"batch-{i}.parquet")
+            shutil.move(os.path.join(part, pf), dst)
+            os.utime(dst, (now + i * 10, now + i * 10))
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+        run_stream_interarrival(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            key_cols=["user_id"],
+            ts_col="ts",
+        )
+        rows = read_interarrival_state(spark, state).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "user_id long, n_gaps long, min_us long, max_us long, "
+        "mean_us long, burst_x1000 long",
+    )
+
+
+def q_stream_class_balance(spark, sf_dir):
+    """F6 x curation sensing: the label-balance report maintained FROM
+    A STREAM (streaming/upsert.py run_stream_additive_counts — the
+    generic additive-count face): three DISJOINT doc_id slices append
+    per-batch (cell, n) partials; summed state feeds
+    class_balance_from_counts, and the result must equal the one-shot
+    batch report — oracle is q_class_balance's SQL VERBATIM. The label
+    cell is derived INSIDE the fold (prepare=), so the stream carries
+    raw documents."""
+    import shutil
+    import tempfile
+    import os
+
+    from salesforce_plugin_spark.operators.analytics import (
+        class_balance_from_counts,
+    )
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_summed_counts,
+        run_stream_additive_counts,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_stream_cb_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [d.filter(F.col("doc_id") % 3 == i) for i in range(3)],
+            tmp,
+            None,
+        )
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, lang string, source string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+        run_stream_additive_counts(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            group_cols=["cell"],
+            prepare=lambda b: b.select(
+                F.concat_ws("/", "lang", "source").alias("cell")
+            ),
+        )
+        counts = read_summed_counts(spark, state, ["cell"]).select(
+            F.col("cell").alias("label"), "n"
+        )
+        rows = class_balance_from_counts(counts).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "label string, n long, share_ppm long, gini_ppm long"
+    )
+
+
+def q_stream_vocab_coverage(spark, sf_dir):
+    """F6 x tokenizer sizing: the vocabulary-coverage curve maintained
+    FROM A STREAM — per-batch token-count partials (explode inside the
+    fold) append as additive state; the summed (term, n) table feeds
+    coverage_from_term_counts and must reproduce the one-shot curve
+    (q_vocab_coverage's oracle VERBATIM). State is vocab-bounded per
+    batch regardless of event volume."""
+    import shutil
+    import tempfile
+    import os
+
+    from salesforce_plugin_spark.functions.text import (
+        coverage_from_term_counts,
+        tokens as _tokens,
+    )
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_summed_counts,
+        run_stream_additive_counts,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="conf_stream_vc_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [d.filter(F.col("doc_id") % 3 == i) for i in range(3)],
+            tmp,
+            None,
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+        run_stream_additive_counts(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            group_cols=["term"],
+            prepare=lambda b: b.select(
+                F.explode(_tokens(F.lower(F.col("text")))).alias("term")
+            ).filter(F.col("term") != ""),
+        )
+        counts = read_summed_counts(spark, state, ["term"]).select(
+            "term", F.col("n").alias("__cnt")
+        )
+        rows = coverage_from_term_counts(
+            counts, cutoffs=[1, 10, 100, 1000]
+        ).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "cutoff long, n_terms long, coverage_ppm long"
+    )
+
+
+def q_stream_user_growth(spark, sf_dir):
+    """F6 x growth accounting: daily active/new/cumulative users
+    maintained FROM A STREAM by REUSING run_stream_active_days' (user,
+    day) SET state — everything user_growth needs (actives per day,
+    first-seen day, cumulative) derives from that one accumulated set,
+    so the stream face is a reader over existing state, zero new fold
+    code. Set semantics make the deliberately OVERLAPPING slices
+    harmless (the q_stream_rolling_wau claim); result must equal the
+    one-shot batch run — q_user_growth's oracle VERBATIM."""
+    import shutil
+    import tempfile
+    import os
+
+    from salesforce_plugin_spark.operators.analytics import user_growth
+    from salesforce_plugin_spark.streaming.upsert import (
+        run_stream_active_days,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="conf_stream_ug_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [
+                ev.filter(F.col("event_id") % 3 == 0).select("user_id", "ts"),
+                ev.filter(F.col("event_id") % 3 == 1).select("user_id", "ts"),
+                ev.filter(
+                    (F.col("event_id") % 3 == 2) | (F.col("event_id") % 5 == 0)
+                ).select("user_id", "ts"),
+            ],
+            tmp,
+            None,
+        )
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+        run_stream_active_days(
+            stream, state, os.path.join(tmp, "ckpt"), "user_id", "ts"
+        )
+        kd = spark.read.parquet(state).distinct()
+        rows = user_growth(
+            kd.select(F.col("key").alias("user_id"), F.col("day").alias("ts")),
+            "user_id",
+            "ts",
+        ).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "day date, active_users long, new_users long, cum_users long"
+    )
+
+
+def q_stream_rolling_quantiles(spark, sf_dir):
+    """F6 x observability: trailing-7-day quantiles maintained FROM A
+    STREAM — the (key, day, bin) day histogram is a per-group row
+    count, so the GENERIC additive face (run_stream_additive_counts,
+    prepare= projects key/day/bin inside the fold) maintains it with
+    zero new fold code; summed state feeds
+    rolling_quantiles_from_daily and must reproduce the one-shot batch
+    curve (q_rolling_quantiles' oracle VERBATIM, disjoint event_id
+    slices)."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.functions.sketch import (
+        rolling_quantiles_from_daily,
+    )
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_summed_counts,
+        run_stream_additive_counts,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_stream_rq_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [e.filter(F.col("event_id") % 3 == i) for i in range(3)],
+            tmp,
+            None,
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, event_type string, ts timestamp,"
+                " value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+        width = 512.0 / 256
+        bin_ = F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0), F.floor((F.col("value") - 0.0) / F.lit(width))
+            ),
+        ).cast("int")
+        run_stream_additive_counts(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            group_cols=["key", "__d", "bin"],
+            prepare=lambda b: b.filter(F.col("value").isNotNull()).select(
+                F.col("event_type").alias("key"),
+                F.to_date("ts").alias("__d"),
+                bin_.alias("bin"),
+            ),
+        )
+        daily = read_summed_counts(spark, state, ["key", "__d", "bin"]).select(
+            "key", "__d", "bin", F.col("n").alias("cnt")
+        )
+        rows = rolling_quantiles_from_daily(
+            daily, [0.5, 0.95], 0.0, 512.0, 256, 7
+        ).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "key string, day date, q double, est double, n_total long"
+    )
+
+
+def q_stream_fano(spark, sf_dir):
+    """F6 x burstiness: the Fano factor maintained FROM A STREAM — the
+    (key, day) daily count is a per-group row count, so the generic
+    additive face maintains it with zero new fold code; summed state
+    feeds fano_from_daily and must equal the one-shot batch detector
+    (q_fano's oracle VERBATIM, disjoint event_id slices)."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.operators.analytics import fano_from_daily
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_summed_counts,
+        run_stream_additive_counts,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    tmp = tempfile.mkdtemp(prefix="conf_stream_fano_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [e.filter(F.col("event_id") % 3 == i) for i in range(3)],
+            tmp,
+            None,
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+        run_stream_additive_counts(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            group_cols=["user_id", "__d"],
+            prepare=lambda b: b.select(
+                "user_id", F.to_date("ts").alias("__d")
+            ),
+        )
+        daily = read_summed_counts(spark, state, ["user_id", "__d"]).select(
+            "user_id", "__d", F.col("n").alias("__c")
+        )
+        rows = fano_from_daily(daily, ["user_id"]).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "user_id long, n_days long, total long, fano_x1000 long"
+    )
+
+
+def q_stream_dow(spark, sf_dir):
+    """F6 x seasonality: the day-of-week profile maintained FROM A
+    STREAM — weekday counts are per-group row counts, so the generic
+    additive face maintains them with zero new fold code; summed state
+    feeds dow_profile_from_counts and must equal the one-shot batch
+    profile (q_dow_profile's oracle VERBATIM, disjoint slices)."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.operators.timeseries import (
+        dow_profile_from_counts,
+    )
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_summed_counts,
+        run_stream_additive_counts,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_stream_dow_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [e.filter(F.col("event_id") % 3 == i) for i in range(3)],
+            tmp,
+            None,
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, event_type string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+        run_stream_additive_counts(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            group_cols=["event_type", "__sundow"],
+            prepare=lambda b: b.select(
+                "event_type", F.dayofweek("ts").alias("__sundow")
+            ),
+        )
+        counts = read_summed_counts(
+            spark, state, ["event_type", "__sundow"]
+        )
+        rows = dow_profile_from_counts(counts, ["event_type"]).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, dow int, n long, share_ppm long"
+    )
+
+
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["q_stream_stateful"] = """
+        SELECT user_id,
+               count(*) AS n_events,
+               CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+                   AS total_value_micros,
+               CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+                   / 1000000.0 AS total_value,
+               max(epoch_us(ts)) AS last_ts_us
+        FROM events
+        GROUP BY user_id
+    """
+
+ORACLES["q_stream_dedup"] = """
+        SELECT event_id, epoch_us(ts) AS ts_us FROM events
+    """
+
+ORACLES["q_stream_upsert"] = """
+        SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS __rn
+            FROM events
+        )
+        WHERE __rn = 1
+    """
+
+ORACLES["q_stream_window"] = """
+        SELECT epoch_ms(date_trunc('hour', ts)) // 1000 AS w_start_s,
+               event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+
+ORACLES["q_stream_join"] = """
+        SELECT c.user_id AS user_id,
+               c.event_id AS click_id,
+               epoch_us(c.ts) AS click_us,
+               p.event_id AS purchase_id,
+               epoch_us(p.ts) AS purchase_us
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+    """
+
+ORACLES["q_stream_kmv"] = """
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS hh
+        FROM events
+    ), ranked AS (
+        SELECT event_type, hh,
+               row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rn
+        FROM h
+    ), agg AS (
+        SELECT event_type, CAST(count(*) AS INT) AS n_kept,
+               max(hh) AS kth_hash
+        FROM ranked WHERE rn <= 64 GROUP BY event_type
+    ), seen AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_seen
+        FROM events GROUP BY event_type
+    )
+    SELECT a.event_type, s.n_seen, 64 AS k, a.n_kept, a.kth_hash,
+           CASE WHEN a.n_kept < 64 THEN CAST(a.n_kept AS BIGINT)
+                ELSE 270582939648 // a.kth_hash END AS est_distinct
+    FROM agg a JOIN seen s USING (event_type)
+"""
+

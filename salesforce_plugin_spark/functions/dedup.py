@@ -422,23 +422,25 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        # carry the previous label through the checkpoint so the
+        # fixpoint test is a filter+count over the already-materialized
+        # RDD — the old new⨝old self-join added a whole shuffle per
+        # iteration just to count changes (round-6 stage-count trim;
+        # at 2-4 iterations per CC call that join was ~25% of
+        # q_semantic_dedup's job count)
+        stepped = (
             labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
             .select(
                 "node",
+                F.col("label").alias("__old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("label") != F.col("__old")).count()
+        labels = stepped.select("node", "label")
         if changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component_id"))

@@ -241,19 +241,25 @@ def time_query(fn, spark, sf_dir: str, runs: int = 2) -> float:
 
 
 def main() -> None:
-    # args: [sf_dir] [q_name ...] — q_ args restrict the probe to those queries
+    # args: [sf_dir] [q_name ...] [Nx] — q_ args restrict the probe to
+    # those queries; an ``Nx`` arg (e.g. ``100x``) sets the copy count
+    # (default 10). 100× on the 128 GiB sandbox = 60M lineitem rows —
+    # the scaling-exponent check for the headline join tail.
+    global COPIES
     sf_dir = "/root/testdata/sf0.1"
     names = []
     for a in sys.argv[1:]:
         if a.startswith("q_"):
             names.append(a)
+        elif a.endswith("x") and a[:-1].isdigit():
+            COPIES = int(a[:-1])
         else:
             sf_dir = a
     probe = [n for n in PROBE if not names or n in names]
     scratch = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scratch",
-        "facts10x",
+        f"facts{COPIES}x",
     )
     print(f"building {scratch} from {sf_dir} (facts ×{COPIES}) ...")
     build_scaled_dir(sf_dir, scratch)
