@@ -162,6 +162,7 @@ from salesforce_plugin_spark.conformance.dedup import (  # noqa: F401
     q_semantic_dedup,
     q_curation_capstone,
     q_span_dedup,
+    q_lcs_dedup,
     q_containment,
     q_novelty,
     q_embed_decontaminate,
@@ -178,6 +179,7 @@ from salesforce_plugin_spark.conformance.text import (  # noqa: F401
     q_bpe_step,
     q_fuzzy_link,
     q_hybrid_rrf,
+    q_rerank,
     q_collocations,
     q_oov_audit,
     q_golden_records,
@@ -638,6 +640,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_coverage_gaps": q_coverage_gaps,
     "q_seasonal_anomaly": q_seasonal_anomaly,
     "q_stream_dow": q_stream_dow,
+    # --- round 6 ---
+    "q_lcs_dedup": q_lcs_dedup,
+    "q_rerank": q_rerank,
 }
 
 

@@ -653,6 +653,21 @@ def q_span_dedup(spark, sf_dir):
     return D.span_dedup(d, "doc_id", "text", span_tokens=8)
 
 
+def q_lcs_dedup(spark, sf_dir):
+    """EXACT longest-common-substring pairs (functions/dedup.py
+    lcs_pairs) — the round-6 generalization of q_span_dedup's fixed
+    granularity to suffix-array-grade maximal matches: a shared
+    substring of length S >= 20 is S−19 consecutive matching char
+    20-grams on one alignment diagonal, so one blocked gram equijoin +
+    the pos−row_number islands trick measure lcs_len EXACTLY per
+    surviving pair. Grams blocked to df ∈ [2, 20] (the
+    containment_pairs rare-shingle discipline — boilerplate grams'
+    quadratic buckets are the documented recall trade). The oracle
+    replays gram explode, df block, diagonal islands verbatim."""
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    return D.lcs_pairs(d, "doc_id", "text", gram_len=20, min_df=2, max_df=20)
+
+
 def q_containment(spark, sf_dir):
     """Directional near-containment (functions/dedup.py
     containment_pairs): pairs where >= 60% of a's 3-gram shingles also
@@ -1518,3 +1533,37 @@ ORACLES["q_dup_size_dist"] = r"""
     FROM sizes GROUP BY 1
 """
 
+
+ORACLES["q_lcs_dedup"] = """
+    WITH occ AS (
+        SELECT doc_id AS id, CAST(g.i AS BIGINT) AS pos,
+               substr(text, g.i + 1, 20) AS gram
+        FROM documents d CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(0, strlen(d.text) - 20)) AS i
+        ) g
+        WHERE strlen(d.text) >= 20
+    ), keep AS (
+        SELECT gram FROM (
+            SELECT gram, count(DISTINCT id) AS ndocs FROM occ GROUP BY 1
+        ) WHERE ndocs BETWEEN 2 AND 20
+    ), blocked AS (
+        SELECT occ.* FROM occ JOIN keep USING (gram)
+    ), matches AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.pos AS pa,
+               a.pos - b.pos AS diag
+        FROM blocked a JOIN blocked b
+          ON a.gram = b.gram AND a.id < b.id
+    ), runs AS (
+        SELECT id_a, id_b, diag,
+               pa - row_number() OVER (
+                   PARTITION BY id_a, id_b, diag ORDER BY pa) AS grp
+        FROM matches
+    ), rl AS (
+        SELECT id_a, id_b, diag, grp, count(*) AS run
+        FROM runs GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           CAST(max(run) + 19 AS BIGINT) AS lcs_len,
+           CAST(sum(run) AS BIGINT) AS n_matches
+    FROM rl GROUP BY 1, 2
+"""

@@ -226,6 +226,53 @@ def q_hybrid_rrf(spark, sf_dir):
     return rrf_fuse([("lex", lex), ("sem", sem)], "doc_id", k0=60)
 
 
+def q_rerank(spark, sf_dir):
+    """Two-stage retrieval with second-stage reranking (functions/ir.py
+    rerank_interaction, round 6): the q_hybrid_rrf fused top-20 is the
+    recall stage; the precision stage rescoped each candidate with the
+    exact-integer late-interaction score (idf_scaled · saturating-tf
+    summed over query terms) — the seam where a learned cross-encoder
+    would run as an Arrow stage over the same bounded (candidate, doc)
+    rows. Corpus stats broadcast; only candidate docs re-tokenize; the
+    rerank window covers ≤ 20 rows. Oracle replays the whole chain
+    (BM25 → cosine → RRF → interaction rerank) in one WITH."""
+    from salesforce_plugin_spark.functions.ir import (
+        bm25_scores,
+        ranked,
+        rerank_interaction,
+        rrf_fuse,
+    )
+
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    e = load_table(spark, sf_dir, "embeddings")
+    lex = ranked(
+        bm25_scores(d, "doc_id", "text", terms=["key", "row", "table"]),
+        "doc_id",
+        [F.col("score_scaled").desc(), F.col("doc_id")],
+        top_n=20,
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    sims = e.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            V.cosine(
+                V.as_double(F.col("embedding")), V.as_double(F.col("q_vec"))
+            ),
+            6,
+        ).alias("sim"),
+    )
+    sem = ranked(
+        sims, "doc_id", [F.col("sim").desc(), F.col("doc_id")], top_n=20
+    )
+    fused = rrf_fuse([("lex", lex), ("sem", sem)], "doc_id", k0=60)
+    rer = rerank_interaction(
+        d, fused, "doc_id", "text", terms=["key", "value", "index", "row"]
+    )
+    return fused.select("doc_id", "rrf_scaled", "fused_rank").join(
+        rer, "doc_id"
+    )
+
+
 def q_collocations(spark, sf_dir):
     """Collocation mining by lift (functions/text.py collocation_lift):
     adjacent-bigram lift — the log-free PMI analog, rational in exact
@@ -1038,3 +1085,109 @@ ORACLES["q_source_overlap"] = r"""
 
 ORACLES["q_bpe_apply"] = _bpe_apply_oracle()
 
+
+ORACLES["q_rerank"] = r"""
+    WITH toked AS (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              x -> lower(x)) AS t
+        FROM documents
+    ), lens AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toked
+    ), corpus AS (
+        SELECT CAST(count(*) AS BIGINT) AS d_docs,
+               CAST(sum(dl) AS BIGINT) AS t_toks
+        FROM lens
+    ), hits AS (
+        SELECT doc_id, tok AS term
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toked)
+        WHERE tok IN ('key', 'row', 'table')
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM hits GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), parts AS (
+        SELECT tf.doc_id,
+               ((2 * c.d_docs - 2 * d.df + 1) * tf.tf * 440000 * 1000000)
+               // ((2 * d.df + 1)
+                   * (200000 * tf.tf + 60000
+                      + 18 * ((l.dl * c.d_docs * 10000) // c.t_toks)))
+                   AS part
+        FROM tf
+        JOIN lens l USING (doc_id)
+        JOIN dfreq d USING (term)
+        CROSS JOIN corpus c
+    ), bm AS (
+        SELECT doc_id, CAST(sum(part) AS BIGINT) AS score_scaled
+        FROM parts GROUP BY doc_id
+    ), lex AS (
+        SELECT doc_id, CAST(rn AS INT) AS rank FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score_scaled DESC, doc_id) AS rn
+            FROM bm
+        ) WHERE rn <= 20
+    ), sims AS (
+        SELECT e.vec_id AS doc_id,
+               round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST(q.embedding AS DOUBLE[])), 6) AS sim
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ), sem AS (
+        SELECT doc_id, CAST(rn AS INT) AS rank FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY sim DESC, doc_id) AS rn
+            FROM sims
+        ) WHERE rn <= 20
+    ), tagged AS (
+        SELECT doc_id, 'lex' AS src, rank FROM lex
+        UNION ALL
+        SELECT doc_id, 'sem' AS src, rank FROM sem
+    ), fused AS (
+        SELECT doc_id,
+               CAST(sum(1000000000 // (60 + rank)) AS BIGINT) AS rrf_scaled
+        FROM tagged GROUP BY doc_id
+    ), fused_ranked AS (
+        SELECT doc_id, rrf_scaled,
+               CAST(row_number() OVER (ORDER BY rrf_scaled DESC, doc_id)
+                    AS INT) AS fused_rank
+        FROM fused
+    ), hits2 AS (
+        SELECT t.doc_id, tok AS term
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toked) t
+        JOIN fused_ranked fr ON fr.doc_id = t.doc_id
+        WHERE tok IN ('key', 'value', 'index', 'row')
+    ), tf2 AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM hits2 GROUP BY 1, 2
+    ), dfreq2 AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM (SELECT doc_id, tok AS term
+              FROM (SELECT doc_id, unnest(t) AS tok FROM toked)
+              WHERE tok IN ('key', 'value', 'index', 'row'))
+        GROUP BY 1
+    ), scored AS (
+        SELECT tf2.doc_id,
+               CAST(count(*) AS INT) AS n_hit,
+               CAST(sum(
+                   ((2 * c.d_docs - 2 * d2.df + 1) * 10000
+                    // (2 * d2.df + 1))
+                   * ((tf2.tf * 1000) // (tf2.tf + 1))
+               ) AS BIGINT) AS rerank_scaled
+        FROM tf2
+        JOIN dfreq2 d2 USING (term)
+        CROSS JOIN corpus c
+        GROUP BY tf2.doc_id
+    ), reranked AS (
+        SELECT fr.doc_id, fr.rrf_scaled, fr.fused_rank,
+               CAST(coalesce(s.n_hit, 0) AS INT) AS n_hit,
+               CAST(coalesce(s.rerank_scaled, 0) AS BIGINT)
+                   AS rerank_scaled
+        FROM fused_ranked fr LEFT JOIN scored s USING (doc_id)
+    )
+    SELECT doc_id, rrf_scaled, fused_rank, n_hit, rerank_scaled,
+           CAST(row_number() OVER (ORDER BY rerank_scaled DESC, doc_id)
+                AS INT) AS rerank
+    FROM reranked
+"""

@@ -1272,3 +1272,106 @@ def component_size_histogram(
         F.count(F.lit(1)).cast("long").alias("n_components"),
         F.sum("cluster_size").cast("long").alias("n_docs"),
     )
+
+
+def lcs_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_len: int = 20,
+    min_df: int = 2,
+    max_df: int = 20,
+) -> DataFrame:
+    """Exact longest-common-substring between document pairs — the
+    cross-document generalization of :func:`span_dedup`'s fixed
+    granularity, and the distributable equivalent of the suffix-array
+    maximal-match pass in Lee et al. 2022 (exact-substring dedup).
+
+    The identity that makes this a DataFrame job instead of a suffix
+    automaton: two documents share a common substring of length
+    ``S >= gram_len`` **iff** they share ``S − gram_len + 1``
+    character-grams at consecutive start positions on one alignment
+    diagonal (``pos_a − pos_b`` constant). So:
+
+    1. every char ``gram_len``-gram occurrence explodes off the text
+       with its start position (map-side; one projection on the scan);
+    2. grams are blocked by document frequency in ``[min_df, max_df]``
+       — df < 2 can't pair, df > max_df are boilerplate n-grams whose
+       quadratic bucket joins dominate at corpus scale (the
+       containment_pairs rare-shingle discipline; the documented
+       recall trade: a pair WHOSE EVERY shared gram is boilerplate is
+       unseen);
+    3. one gram equijoin (never a cartesian) yields matched position
+       pairs; per (pair, diagonal) the classic islands trick
+       (``pos − row_number`` grouping) measures the longest run of
+       consecutive matched grams, and ``lcs_len = max_run + gram_len
+       − 1`` is EXACT — not an estimate — for every surviving pair.
+
+    Scale shape: gram explode is |text|·gram_len bytes map-side (the
+    shingling cost every exact-substring method pays); the only
+    corpus-scale exchanges are the df aggregate and the blocked
+    equijoin, both on the gram key; the islands window partitions by
+    (id_a, id_b, diag) — bounded by matched positions, skew-capped by
+    max_df.
+
+    Output (scalar-only): ``(id_a, id_b, lcs_len long, n_matches
+    long)`` for id_a < id_b, one row per pair sharing >= 1 surviving
+    gram. Reference analog: airflow-plugins/salesforce_plugin has no
+    dedup surface; this extends the F1/F2 training-data family.
+    """
+    if gram_len < 2:
+        raise ValueError("lcs_pairs requires gram_len >= 2")
+    occ = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .filter(F.length("__t") >= gram_len)
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.length(F.col("__t")) - F.lit(gram_len)
+                    ),
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.col("__t")
+                        .substr(i + F.lit(1), F.lit(gram_len))
+                        .alias("gram"),
+                    ),
+                )
+            ).alias("__o"),
+        )
+        .select("id", F.col("__o.pos").alias("pos"), F.col("__o.gram").alias("gram"))
+    )
+    keep = (
+        occ.groupBy("gram")
+        .agg(F.count_distinct("id").alias("__df"))
+        .filter(
+            (F.col("__df") >= min_df) & (F.col("__df") <= max_df)
+        )
+        .select("gram")
+    )
+    blocked = occ.join(keep, "gram")
+    a = blocked.select(
+        F.col("id").alias("id_a"), F.col("pos").alias("pa"), "gram"
+    )
+    b = blocked.select(
+        F.col("id").alias("id_b"), F.col("pos").alias("pb"), "gram"
+    )
+    matches = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = matches.select(
+        "id_a",
+        "id_b",
+        "diag",
+        (F.col("pa") - F.row_number().over(w)).alias("grp"),
+    ).groupBy("id_a", "id_b", "diag", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("__run")
+    )
+    return runs.groupBy("id_a", "id_b").agg(
+        (F.max("__run") + F.lit(gram_len - 1)).cast("long").alias("lcs_len"),
+        F.sum("__run").cast("long").alias("n_matches"),
+    )

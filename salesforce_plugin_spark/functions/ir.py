@@ -203,3 +203,108 @@ def ranked(
         .filter(F.col("rank") <= top_n)
         .select(F.col(id_col), F.col("rank"))
     )
+
+
+def rerank_interaction(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    idf_q: int = 10**4,
+    sat_q: int = 1000,
+) -> DataFrame:
+    """Second-stage reranking of a bounded first-stage candidate list —
+    the two-stage retrieval shape production rankers use (cheap
+    corpus-wide recall stage, expensive per-pair precision stage over
+    the top-k only). The per-pair scorer here is a DETERMINISTIC
+    integer late-interaction proxy; a learned cross-encoder would slot
+    into exactly this seam as an Arrow ``mapInPandas`` stage over the
+    same (candidate, document) rows — the plumbing this function gates
+    (candidate-bounded text join, corpus-stat broadcast, rerank window
+    over ≤ |candidates| rows) is the production plan either way.
+
+    Score (exact BIGINT, oracle-replayable):
+
+        score = Σ_{t ∈ terms ∩ doc}  idf_scaled(t) · sat(tf_t)
+        idf_scaled = (2N − 2df + 1)·idf_q div (2df + 1)   (BM25's
+            +half-smoothed idf cleared to integers, the bm25_scores
+            discipline)
+        sat(tf) = tf·sat_q div (tf + 1)                    (saturating
+            term frequency in [0, sat_q))
+
+    Document-frequency/N come from the full corpus (broadcast, one
+    bounded exchange); per-candidate term frequencies tokenize ONLY
+    the candidate-joined documents.
+
+    Output (scalar-only): ``(id_col, n_hit int, rerank_scaled long,
+    rerank int)`` — every candidate appears (no-hit candidates score
+    0), rerank by (rerank_scaled desc, id asc).
+    """
+    if not terms:
+        raise ValueError("rerank_interaction requires at least one term")
+    terms_l = sorted({t.lower() for t in terms})
+    term_arr = F.array(*[F.lit(t) for t in terms_l])
+
+    cand_ids = candidates.select(F.col(id_col)).distinct()
+    cand_toked = df.join(F.broadcast(cand_ids), id_col).select(
+        F.col(id_col),
+        F.transform(tokens(F.col(text_col)), F.lower).alias("__toks"),
+    )
+    tf = (
+        cand_toked.select(
+            F.col(id_col),
+            F.explode(
+                F.filter(
+                    F.col("__toks"), lambda t: F.array_contains(term_arr, t)
+                )
+            ).alias("__term"),
+        )
+        .groupBy(id_col, "__term")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+    )
+    # corpus stats: df = docs containing the term at least once, N = |corpus|
+    corpus_toked = df.select(
+        F.transform(tokens(F.col(text_col)), F.lower).alias("__toks")
+    )
+    dfreq = (
+        corpus_toked.select(
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.col("__toks"),
+                        lambda t: F.array_contains(term_arr, t),
+                    )
+                )
+            ).alias("__term")
+        )
+        .groupBy("__term")
+        .agg(F.count(F.lit(1)).cast("long").alias("__df"))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "__term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"((2 * __N - 2 * __df + 1) * {idf_q} div (2 * __df + 1))"
+                f" * (__tf * {sat_q} div (__tf + 1))"
+            ).alias("__part"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_hit"),
+            F.sum("__part").cast("long").alias("rerank_scaled"),
+        )
+    )
+    out = cand_ids.join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("int").alias("n_hit"),
+        F.coalesce(F.col("rerank_scaled"), F.lit(0))
+        .cast("long")
+        .alias("rerank_scaled"),
+    )
+    w = Window.orderBy(F.col("rerank_scaled").desc(), F.col(id_col))
+    return out.withColumn("rerank", F.row_number().over(w).cast("int"))

@@ -52,6 +52,7 @@ PROBE = [
     "q_tpch_q2",
     "q_tpch_q3",
     "q_tpch_q5",
+    "q_tpch_q8",
     "q_tpch_q9",
     "q_tpch_q13",
     "q_tpch_q18",
@@ -199,6 +200,8 @@ PROBE = [
     "q_dow_profile",
     "q_coverage_gaps",
     "q_seasonal_anomaly",
+    "q_lcs_dedup",
+    "q_rerank",
 ]
 
 

@@ -185,3 +185,70 @@ def test_stream_state_read_errors_propagate(spark, tmp_path):
     )
     state = spark.read.parquet(str(tmp_path / "cu_state"))
     assert state.count() == 1
+
+
+def test_lcs_pairs_exact_length(spark):
+    """lcs_len equals the true longest common substring for runs of
+    consecutive matching grams on one diagonal."""
+    from salesforce_plugin_spark.functions.dedup import lcs_pairs
+
+    shared = "abcdefghijklmnopqrstuvwxyz"  # 26 chars shared
+    rows = [
+        (1, "XX" + shared + "YYYYY"),
+        (2, "QQQQ" + shared + "ZZ"),
+        (3, "no overlap here at all with anyone 123456"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {(r.id_a, r.id_b): r for r in lcs_pairs(
+        df, "doc_id", "text", gram_len=10, min_df=2, max_df=10
+    ).collect()}
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    # 26-char shared substring with L=10 → run of 17 grams → 17+9=26
+    assert r.lcs_len == 26
+    assert r.n_matches == 17
+
+
+def test_lcs_pairs_multiple_diagonals_takes_max(spark):
+    from salesforce_plugin_spark.functions.dedup import lcs_pairs
+
+    # two shared substrings of different lengths at different offsets
+    long_s = "0123456789ABCDEFGHIJ"     # 20 chars
+    short_s = "zyxwvutsrqpo"            # 12 chars
+    rows = [
+        (1, long_s + "----" + short_s),
+        (2, "##" + short_s + "####" + long_s),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    r = lcs_pairs(df, "doc_id", "text", gram_len=10, min_df=2,
+                  max_df=10).collect()[0]
+    assert r.lcs_len == 20  # the longer of the two
+
+
+def test_rerank_interaction_scores_and_coverage(spark):
+    import math
+
+    from salesforce_plugin_spark.functions.ir import rerank_interaction
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "key key key value"),
+            (2, "row row index"),
+            (3, "nothing relevant"),
+            (4, "key row"),
+        ],
+        "doc_id int, text string",
+    )
+    cands = spark.createDataFrame([(1,), (2,), (3,)], "doc_id int")
+    out = {r.doc_id: r for r in rerank_interaction(
+        corpus, cands, "doc_id", "text", terms=["key", "row"]
+    ).collect()}
+    # corpus stats: N=4; df(key)=2 (docs 1,4), df(row)=2 (docs 2,4)
+    # idf_scaled = (2*4-2*2+1)*10000 // (2*2+1) = 5*10000//5 = 10000
+    # doc 1: tf(key)=3 → sat = 3000//4 = 750 → 10000*750 = 7_500_000
+    assert out[1].n_hit == 1 and out[1].rerank_scaled == 7_500_000
+    # doc 2: tf(row)=2 → sat = 2000//3 = 666 → 6_660_000
+    assert out[2].n_hit == 1 and out[2].rerank_scaled == 6_660_000
+    # doc 3: no hits, still present with 0
+    assert out[3].n_hit == 0 and out[3].rerank_scaled == 0
+    assert out[1].rerank == 1 and out[2].rerank == 2 and out[3].rerank == 3
