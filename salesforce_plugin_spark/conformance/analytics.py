@@ -1652,3 +1652,42 @@ ORACLES["q_seasonal_anomaly"] = """
     JOIN base b ON b.event_type = t.event_type AND b.dow = t.dow
 """
 
+
+
+def q_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend (operators/analytics.py theil_sen_trend):
+    per event type, the exact lower median of all pairwise daily-count
+    slopes — the outlier-resistant drift detector complementing
+    q_trend's OLS line. Slopes quantize once to integer ppm (trunc
+    toward zero — identical in both engines), the median is the
+    element at (n+1) div 2 under the total order (slope, da, db); the
+    pairwise stage is bounded by days² per key, never the event log."""
+    from salesforce_plugin_spark.operators.analytics import theil_sen_trend
+
+    e = load_table(spark, sf_dir, "events")
+    return theil_sen_trend(e, "event_type", "ts")
+
+ORACLES["q_theil_sen"] = """
+    WITH daily AS (
+        SELECT event_type AS k,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.k, a.d AS da, b.d AS db,
+               ((b.c - a.c) * 1000000) // (b.d - a.d) AS s
+        FROM daily a JOIN daily b ON a.k = b.k AND a.d < b.d
+    ), ranked AS (
+        SELECT k, s,
+               row_number() OVER (PARTITION BY k ORDER BY s, da, db) AS rn,
+               count(*) OVER (PARTITION BY k) AS n
+        FROM pairs
+    ), nd AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1
+    )
+    SELECT r.k AS event_type, nd.n_days,
+           CAST(r.n AS BIGINT) AS n_pairs,
+           CAST(r.s AS BIGINT) AS slope_ppm
+    FROM ranked r JOIN nd ON nd.k = r.k
+    WHERE r.rn = (r.n + 1) // 2
+"""

@@ -668,6 +668,35 @@ def q_lcs_dedup(spark, sf_dir):
     return D.lcs_pairs(d, "doc_id", "text", gram_len=20, min_df=2, max_df=20)
 
 
+def q_self_lcs(spark, sf_dir):
+    """Longest INTERNAL repeated substring per document
+    (functions/dedup.py self_repetition) — the exact memorization /
+    degeneration signal (suffix-tree semantics, overlaps counted):
+    q_lcs_dedup's diagonal-islands identity self-joined per document
+    with the trivial diagonal excluded (pos_a > pos_b). Join key is
+    (doc_id, gram) so matches never cross documents and corpus-level
+    skew cannot occur; every doc surfaces a row ((0,0) when nothing of
+    length >= 12 repeats — 287/500 fixture docs do repeat)."""
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    return D.self_repetition(d, "doc_id", "text", gram_len=12)
+
+
+def q_minhash_error(spark, sf_dir):
+    """MinHash estimator accuracy eval (functions/dedup.py
+    minhash_error_eval) — the q_ann_recall discipline applied to F2:
+    for every pair with exact 3-gram Jaccard >= 0.2 (ppm), the
+    portable-MinHash estimate (matching positions / num_hashes) and
+    its EXACT signed error vs the true Jaccard, both integer ppm. This
+    is how the num_hashes/bands budget is sized from measurement; the
+    oracle replays shingles, the md5 hash family, and both ppm floors
+    verbatim."""
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    return D.minhash_error_eval(
+        d, "doc_id", "text", num_hashes=8, shingle_n=3,
+        min_true_ppm=200_000,
+    )
+
+
 def q_containment(spark, sf_dir):
     """Directional near-containment (functions/dedup.py
     containment_pairs): pairs where >= 60% of a's 3-gram shingles also
@@ -1566,4 +1595,87 @@ ORACLES["q_lcs_dedup"] = """
            CAST(max(run) + 19 AS BIGINT) AS lcs_len,
            CAST(sum(run) AS BIGINT) AS n_matches
     FROM rl GROUP BY 1, 2
+"""
+
+ORACLES["q_self_lcs"] = """
+    WITH occ AS (
+        SELECT doc_id AS id, CAST(g.i AS BIGINT) AS pos,
+               substr(text, g.i + 1, 12) AS gram
+        FROM documents d CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(0, strlen(d.text) - 12)) AS i
+        ) g
+        WHERE strlen(d.text) >= 12
+    ), matches AS (
+        SELECT a.id, a.pos AS pa, a.pos - b.pos AS diag
+        FROM occ a JOIN occ b
+          ON a.gram = b.gram AND a.id = b.id AND a.pos > b.pos
+    ), runs AS (
+        SELECT id, diag,
+               pa - row_number() OVER (
+                   PARTITION BY id, diag ORDER BY pa) AS grp
+        FROM matches
+    ), rl AS (
+        SELECT id, diag, grp, count(*) AS run
+        FROM runs GROUP BY 1, 2, 3
+    ), per_doc AS (
+        SELECT id, CAST(max(run) + 11 AS BIGINT) AS max_rep_len,
+               CAST(sum(run) AS BIGINT) AS n_rep_grams
+        FROM rl GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.max_rep_len, 0) AS BIGINT) AS max_rep_len,
+           CAST(coalesce(p.n_rep_grams, 0) AS BIGINT) AS n_rep_grams
+    FROM documents d LEFT JOIN per_doc p ON p.id = d.doc_id
+"""
+
+ORACLES["q_minhash_error"] = r"""
+    WITH toked AS (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              x -> lower(x)) AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(t, s, s + 2), ' ') AS shingle
+        FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 2)) AS s
+            FROM toked WHERE len(t) >= 3
+        )
+    ), sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+        FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS i
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), tp AS (
+        SELECT id_a, id_b,
+               (i * 1000000) // (sa.n_sh + sb.n_sh - i) AS true_ppm
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    ), tpf AS (
+        SELECT * FROM tp WHERE true_ppm >= 200000
+    ), mh AS (
+        SELECT doc_id,
+               min(CAST(('0x' || substr(md5('0:' || shingle), 1, 8)) AS BIGINT)) AS mh_0,
+                   min(CAST(('0x' || substr(md5('1:' || shingle), 1, 8)) AS BIGINT)) AS mh_1,
+                   min(CAST(('0x' || substr(md5('2:' || shingle), 1, 8)) AS BIGINT)) AS mh_2,
+                   min(CAST(('0x' || substr(md5('3:' || shingle), 1, 8)) AS BIGINT)) AS mh_3,
+                   min(CAST(('0x' || substr(md5('4:' || shingle), 1, 8)) AS BIGINT)) AS mh_4,
+                   min(CAST(('0x' || substr(md5('5:' || shingle), 1, 8)) AS BIGINT)) AS mh_5,
+                   min(CAST(('0x' || substr(md5('6:' || shingle), 1, 8)) AS BIGINT)) AS mh_6,
+                   min(CAST(('0x' || substr(md5('7:' || shingle), 1, 8)) AS BIGINT)) AS mh_7
+        FROM sh GROUP BY doc_id
+    )
+    SELECT t.id_a, t.id_b, t.true_ppm,
+           CAST(((CASE WHEN a.mh_0 = b.mh_0 THEN 1 ELSE 0 END + CASE WHEN a.mh_1 = b.mh_1 THEN 1 ELSE 0 END + CASE WHEN a.mh_2 = b.mh_2 THEN 1 ELSE 0 END + CASE WHEN a.mh_3 = b.mh_3 THEN 1 ELSE 0 END + CASE WHEN a.mh_4 = b.mh_4 THEN 1 ELSE 0 END + CASE WHEN a.mh_5 = b.mh_5 THEN 1 ELSE 0 END + CASE WHEN a.mh_6 = b.mh_6 THEN 1 ELSE 0 END + CASE WHEN a.mh_7 = b.mh_7 THEN 1 ELSE 0 END) * 1000000) // 8 AS BIGINT) AS est_ppm,
+           CAST(((CASE WHEN a.mh_0 = b.mh_0 THEN 1 ELSE 0 END + CASE WHEN a.mh_1 = b.mh_1 THEN 1 ELSE 0 END + CASE WHEN a.mh_2 = b.mh_2 THEN 1 ELSE 0 END + CASE WHEN a.mh_3 = b.mh_3 THEN 1 ELSE 0 END + CASE WHEN a.mh_4 = b.mh_4 THEN 1 ELSE 0 END + CASE WHEN a.mh_5 = b.mh_5 THEN 1 ELSE 0 END + CASE WHEN a.mh_6 = b.mh_6 THEN 1 ELSE 0 END + CASE WHEN a.mh_7 = b.mh_7 THEN 1 ELSE 0 END) * 1000000) // 8 - t.true_ppm AS BIGINT)
+               AS err_ppm
+    FROM tpf t
+    JOIN mh a ON a.doc_id = t.id_a
+    JOIN mh b ON b.doc_id = t.id_b
 """

@@ -575,3 +575,130 @@ ORACLES["q_cluster_cohesion"] = _KMEANS_ASSIGN_CTES + """
     GROUP BY cluster
 """
 
+
+
+def q_mmr(spark, sf_dir):
+    """Maximal Marginal Relevance selection (functions/vector.py
+    mmr_select, Carbonell & Goldstein SIGIR'98): the diversity-aware
+    top-5 against the vec-0 query over a TakeOrderedAndProject top-20
+    recall pool — exact-integer throughout (λ = 7/10; relevance and
+    pairwise similarity are the corrected-isqrt cosine ppm shared with
+    q_centroid_sim). The k greedy rounds unroll as anti-join →
+    max-sim aggregate → 1-row top-1, all bounded by pool²; the pool
+    and pair matrix are localCheckpoint'ed so rounds never rescan the
+    corpus. Oracle replays the pool, the pair matrix, and all 5
+    rounds verbatim (unrolled CTEs, HUGEINT isqrt chain)."""
+    e = parallelized(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") == 0).select("embedding")
+    return V.mmr_select(e, "vec_id", "embedding", q, k=5, pool_n=20)
+
+
+def _mmr_cos_ctes(name: str, src: str, keep: str) -> str:
+    """CTE chain appending exact-integer cos ppm (seed + ±2 correction,
+    HUGEINT) to ``src`` which carries (dot, na, nb); keeps ``keep``."""
+    return f"""
+    {name}_p AS (
+        SELECT *, na * nb AS p FROM {src}
+    ), {name}_seed AS (
+        SELECT *, CAST(floor(sqrt(CAST(p AS DOUBLE))) AS HUGEINT) AS y0
+        FROM {name}_p
+    ), {name}_root AS (
+        SELECT *, CASE WHEN (y0+2)*(y0+2) <= p THEN y0+2
+                       WHEN (y0+1)*(y0+1) <= p THEN y0+1
+                       WHEN y0*y0 <= p THEN y0
+                       WHEN (y0-1)*(y0-1) <= p THEN y0-1
+                       ELSE y0-2 END AS y
+        FROM {name}_seed
+    ), {name} AS (
+        SELECT {keep},
+               CASE WHEN p = 0 THEN NULL
+                    WHEN dot < 0 THEN
+                        -CAST((CAST(abs(dot) AS HUGEINT) * 1000000) // y
+                              AS BIGINT)
+                    ELSE CAST((CAST(dot AS HUGEINT) * 1000000) // y
+                              AS BIGINT)
+               END AS cos_ppm
+        FROM {name}_root
+    )"""
+
+
+def _mmr_oracle(k: int = 5, pool_n: int = 20,
+                lam_num: int = 7, lam_den: int = 10) -> str:
+    pen = lam_den - lam_num
+    rounds = []
+    prev_sel = "sel1"
+    union = ["SELECT vec_id, pick, rel_ppm, mmr_scaled FROM sel1"]
+    for r in range(2, k + 1):
+        sel_union = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{i}" for i in range(1, r)
+        )
+        rounds.append(f"""
+    r{r}_rem AS (
+        SELECT * FROM pool
+        WHERE vec_id NOT IN ({sel_union})
+    ), r{r}_ms AS (
+        SELECT pr.id_a AS vec_id, max(pr.cos_ppm) AS ms
+        FROM pairs pr
+        WHERE pr.id_b IN ({sel_union})
+        GROUP BY 1
+    ), sel{r} AS (
+        SELECT t.vec_id, {r} AS pick, t.rel_ppm,
+               CAST({lam_num} * t.rel_ppm - {pen} * m.ms AS BIGINT)
+                   AS mmr_scaled
+        FROM r{r}_rem t JOIN r{r}_ms m USING (vec_id)
+        ORDER BY mmr_scaled DESC, t.vec_id
+        LIMIT 1
+    )""")
+        union.append(f"SELECT vec_id, pick, rel_ppm, mmr_scaled FROM sel{r}")
+        prev_sel = f"sel{r}"
+    rel_cos = _mmr_cos_ctes("rel", "rel_base", "vec_id, q")
+    pair_cos = _mmr_cos_ctes("pairs", "pair_base", "id_a, id_b")
+    return f"""
+    WITH qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                   AS q
+        FROM embeddings
+    ), qq AS (
+        SELECT q AS qj FROM qv WHERE vec_id = 0
+    ), rel_base AS (
+        SELECT v.vec_id, v.q,
+               CAST(list_dot_product(CAST(v.q AS DOUBLE[]),
+                                     CAST(w.qj AS DOUBLE[])) AS HUGEINT)
+                   AS dot,
+               CAST(list_dot_product(CAST(v.q AS DOUBLE[]),
+                                     CAST(v.q AS DOUBLE[])) AS HUGEINT)
+                   AS na,
+               CAST(list_dot_product(CAST(w.qj AS DOUBLE[]),
+                                     CAST(w.qj AS DOUBLE[])) AS HUGEINT)
+                   AS nb
+        FROM qv v CROSS JOIN qq w
+    ), {rel_cos.strip()}, pool AS (
+        SELECT vec_id, q, cos_ppm AS rel_ppm FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY cos_ppm DESC, vec_id) AS rn
+            FROM rel
+        ) WHERE rn <= {pool_n}
+    ), pair_base AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(list_dot_product(CAST(a.q AS DOUBLE[]),
+                                     CAST(b.q AS DOUBLE[])) AS HUGEINT)
+                   AS dot,
+               CAST(list_dot_product(CAST(a.q AS DOUBLE[]),
+                                     CAST(a.q AS DOUBLE[])) AS HUGEINT)
+                   AS na,
+               CAST(list_dot_product(CAST(b.q AS DOUBLE[]),
+                                     CAST(b.q AS DOUBLE[])) AS HUGEINT)
+                   AS nb
+        FROM pool a JOIN pool b ON a.vec_id != b.vec_id
+    ), {pair_cos.strip()}, sel1 AS (
+        SELECT vec_id, 1 AS pick, rel_ppm,
+               CAST({lam_num} * rel_ppm AS BIGINT) AS mmr_scaled
+        FROM pool ORDER BY rel_ppm DESC, vec_id LIMIT 1
+    ),{",".join(rounds)}
+    {" UNION ALL ".join(union)}
+"""
+
+
+ORACLES["q_mmr"] = _mmr_oracle()

@@ -1375,3 +1375,172 @@ def lcs_pairs(
         (F.max("__run") + F.lit(gram_len - 1)).cast("long").alias("lcs_len"),
         F.sum("__run").cast("long").alias("n_matches"),
     )
+
+
+def self_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_len: int = 20,
+) -> DataFrame:
+    """Longest INTERNAL repeated substring per document — the
+    within-doc face of :func:`lcs_pairs` and the exact form of the
+    text-degeneration / memorization signal ``ngram_repetition_stats``
+    approximates at fixed granularity: a substring of length S >=
+    gram_len occurs twice in the same document iff S − gram_len + 1
+    consecutive char-gram starts match on one strict self-alignment
+    diagonal (pos_a > pos_b, so the trivial diag-0 self-match is
+    excluded; overlapping occurrences — "abab" in "ababab" — are
+    counted, matching suffix-tree semantics).
+
+    Entirely self-contained per document: grams explode map-side, the
+    self-join key is (id, gram) so matches never cross documents, and
+    the islands window partitions by (id, diag). Worst-case cost is
+    quadratic in a single document's occurrences of one gram (a
+    pathological "aaaa…" doc) — bounded by doc length, never the
+    corpus; corpus-level skew cannot occur because the join key
+    includes the document id.
+
+    Output (scalar-only): one row per input document —
+    ``(id, max_rep_len long, n_rep_grams long)``; documents with no
+    repeated gram surface ``(0, 0)`` (shorter-than-gram_len docs
+    included).
+    """
+    if gram_len < 2:
+        raise ValueError("self_repetition requires gram_len >= 2")
+    occ = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .filter(F.length("__t") >= gram_len)
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.length(F.col("__t")) - F.lit(gram_len)
+                    ),
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.col("__t")
+                        .substr(i + F.lit(1), F.lit(gram_len))
+                        .alias("gram"),
+                    ),
+                )
+            ).alias("__o"),
+        )
+        .select("id", F.col("__o.pos").alias("pos"), F.col("__o.gram").alias("gram"))
+    )
+    a = occ.select("id", F.col("pos").alias("pa"), "gram")
+    b = occ.select(F.col("id").alias("__idb"), F.col("pos").alias("pb"), "gram")
+    matches = (
+        a.join(b, (a["gram"] == b["gram"]) & (a["id"] == b["__idb"]))
+        .filter(F.col("pa") > F.col("pb"))
+        .select("id", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("id", "diag").orderBy("pa")
+    runs = (
+        matches.select(
+            "id", "diag", "pa",
+            (F.col("pa") - F.row_number().over(w)).alias("grp"),
+        )
+        .groupBy("id", "diag", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("__run"))
+    )
+    per_doc = runs.groupBy("id").agg(
+        (F.max("__run") + F.lit(gram_len - 1)).cast("long").alias("max_rep_len"),
+        F.sum("__run").cast("long").alias("n_rep_grams"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("max_rep_len"), F.lit(0)).cast("long").alias(
+                "max_rep_len"
+            ),
+            F.coalesce(F.col("n_rep_grams"), F.lit(0)).cast("long").alias(
+                "n_rep_grams"
+            ),
+        )
+    )
+
+
+def minhash_error_eval(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    min_true_ppm: int = 200_000,
+) -> DataFrame:
+    """MinHash estimator accuracy against EXACT Jaccard — the sketch's
+    own evaluation harness (the q_ann_recall discipline applied to F2:
+    every approximate structure ships with its exact eval, so the
+    num_hashes/bands budget is a measured trade, not a guess).
+
+    For every pair with exact shingle-Jaccard ≥ ``min_true_ppm`` (the
+    verifier form: pairs sharing ≥ 1 shingle — quadratic in the
+    hottest shingle bucket, the documented exhaustive-form caveat of
+    :func:`ngram_jaccard_pairs`; at corpus scale feed a bounded
+    candidate set), compares the portable-MinHash estimate
+    ``est_ppm = matches·10⁶ div num_hashes`` (matching signature
+    positions — an unbiased estimator of Jaccard with variance
+    J(1−J)/num_hashes) to ``true_ppm = inter·10⁶ div union``. Both
+    sides exact integers; the error column is their exact difference.
+
+    Output (scalar-only): ``(id_a, id_b, true_ppm long, est_ppm long,
+    err_ppm long)``.
+    """
+    sh = exploded_shingles(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").cast("long").alias("__i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("__nb"))
+    true_pairs = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("__i * 1000000 div (__na + __nb - __i)").alias("true_ppm"),
+        )
+        .filter(F.col("true_ppm") >= min_true_ppm)
+    )
+    sigs = minhash_signatures_portable(
+        df, id_col, text_col, num_hashes, shingle_n
+    )
+    siga = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"__a{i}") for i in range(num_hashes)],
+    )
+    sigb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"__b{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("long")
+        for i in range(num_hashes)
+    )
+    return (
+        true_pairs.join(siga, "id_a")
+        .join(sigb, "id_b")
+        .select("id_a", "id_b", "true_ppm", matches.alias("__m"))
+        .select(
+            "id_a",
+            "id_b",
+            "true_ppm",
+            F.expr(f"__m * 1000000 div {num_hashes}").alias("est_ppm"),
+        )
+        .withColumn("err_ppm", F.col("est_ppm") - F.col("true_ppm"))
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from salesforce_plugin_spark.functions.exactmath import dfloor
+from salesforce_plugin_spark.functions.exactmath import D38, dfloor
 
 
 def as_double(vec: Column | str) -> Column:
@@ -798,17 +798,46 @@ def centroid_similarity(
     # DECIMAL(38,0); the long surface columns are exact whenever in
     # range (past 2^63 the cast fails loudly under default ANSI; never
     # silent garbage). The cosine is the exact-integer form documented
-    # above: double sqrt only SEEDS the integer root, the ±2 CASE
-    # correction pins the exact floor, and the final ppm is one exact
-    # decimal floor-divide.
-    isqrt = (
-        "CAST(FLOOR(SQRT(CAST(__p AS DOUBLE))) AS decimal(38,0))"
+    # above (see with_exact_cos_ppm).
+    return with_exact_cos_ppm(
+        dots.join(na, "label_a").join(nb, "label_b"),
+        dot="__dot_d",
+        na="__na_d",
+        nb="__nb_d",
+        out="cos_ppm",
+    ).select(
+        "label_a",
+        "label_b",
+        F.col("__dot_d").cast("long").alias("dot"),
+        F.col("__na_d").cast("long").alias("norm2_a"),
+        F.col("__nb_d").cast("long").alias("norm2_b"),
+        "cos_ppm",
     )
+
+
+def with_exact_cos_ppm(
+    df: DataFrame,
+    dot: str,
+    na: str,
+    nb: str,
+    out: str = "cos_ppm",
+) -> DataFrame:
+    """Append the EXACT integer cosine ``out = sign(dot) · (|dot|·10⁶
+    div isqrt(na·nb))`` from exact DECIMAL(38,0) columns ``dot``,
+    ``na``, ``nb`` (dot product and the two squared norms). The double
+    sqrt only SEEDS the integer root; a ±2 CASE correction pins the
+    exact floor, so the double's rounding is irrelevant and any engine
+    replays the identical integer (valid while na·nb < 2^104 — seed
+    error ≤ 1 there; the DECIMAL product fails loudly under ANSI far
+    beyond). Zero norms surface NULL. Shared by centroid_similarity /
+    mmr_select; the DuckDB oracles replay the same seed-and-correct
+    chain in HUGEINT."""
     return (
-        dots.join(na, "label_a")
-        .join(nb, "label_b")
-        .withColumn("__p", F.expr("__na_d * __nb_d"))
-        .withColumn("__y0", F.expr(isqrt))
+        df.withColumn("__p", F.expr(f"{na} * {nb}"))
+        .withColumn(
+            "__y0",
+            F.expr("CAST(FLOOR(SQRT(CAST(__p AS DOUBLE))) AS decimal(38,0))"),
+        )
         .withColumn(
             "__y",
             F.expr(
@@ -819,22 +848,16 @@ def centroid_similarity(
                 "ELSE __y0-2 END"
             ),
         )
-        .select(
-            "label_a",
-            "label_b",
-            F.col("__dot_d").cast("long").alias("dot"),
-            F.col("__na_d").cast("long").alias("norm2_a"),
-            F.col("__nb_d").cast("long").alias("norm2_b"),
-            F.when(
-                F.expr("__p = 0"), F.lit(None).cast("long")
-            )
+        .withColumn(
+            out,
+            F.when(F.expr("__p = 0"), F.lit(None).cast("long"))
             .when(
-                F.expr("__dot_d < 0"),
-                -F.expr(dfloor("ABS(__dot_d) * 1000000", "__y")),
+                F.expr(f"{dot} < 0"),
+                -F.expr(dfloor(f"ABS({dot}) * 1000000", "__y")),
             )
-            .otherwise(F.expr(dfloor("__dot_d * 1000000", "__y")))
-            .alias("cos_ppm"),
+            .otherwise(F.expr(dfloor(f"{dot} * 1000000", "__y"))),
         )
+        .drop("__p", "__y0", "__y")
     )
 
 
@@ -1167,3 +1190,158 @@ def mutual_nn(
             "sim",
         )
     )
+
+
+def mmr_select(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    k: int = 5,
+    pool_n: int = 20,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    quant: int = 1000,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    SIGIR'98) — the diversity-aware top-k every retrieval/eval-set
+    builder needs: greedily pick the candidate maximizing
+    ``λ·relevance − (1−λ)·max-similarity-to-already-selected``, so the
+    k results cover the query's neighborhood instead of clustering on
+    near-duplicates of the best hit.
+
+    Exact-integer throughout (λ = lam_num/lam_den as integers;
+    similarities are the corrected-isqrt cosine ppm of
+    :func:`with_exact_cos_ppm` over JVM-quantized vectors):
+    ``mmr_scaled = lam_num·rel_ppm − (lam_den−lam_num)·max_sim_ppm``.
+
+    Scale shape — the two-stage discipline: ONE corpus scan computes
+    ``rel_ppm`` against the broadcast query (codegen folds, no
+    shuffle) and ``TakeOrderedAndProject`` keeps the ``pool_n``
+    recall pool; everything after (pool×pool similarity matrix, the k
+    greedy rounds expressed as anti-join → max-sim aggregate → 1-row
+    top-1 per round) is bounded by pool_n², never the corpus. The
+    pool and pair matrix are ``localCheckpoint``'ed (lazily) so the k
+    unrolled rounds don't rescan the corpus per branch — the kcore /
+    connected_components lineage-cut precedent.
+
+    Output (scalar-only): ``(id_col, pick int, rel_ppm long,
+    mmr_scaled long)`` — pick = 1..k in selection order; pick 1 has no
+    penalty term (mmr_scaled = lam_num·rel_ppm).
+    """
+    if k < 1 or pool_n < k:
+        raise ValueError("mmr_select requires 1 <= k <= pool_n")
+    qz = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * float(quant), 0).cast("long"),
+    )
+    base = df.select(F.col(id_col).alias("id"), qz.alias("__q"))
+    qry = query_df.select(
+        F.transform(
+            F.col(query_df.columns[0]),
+            lambda x: F.round(x.cast("double") * float(quant), 0).cast(
+                "long"
+            ),
+        ).alias("__qq")
+    )
+
+    def lsum(col):
+        return F.aggregate(
+            col, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+
+    rel = (
+        base.crossJoin(F.broadcast(qry))
+        .select(
+            "id",
+            "__q",
+            lsum(F.zip_with(F.col("__q"), F.col("__qq"), lambda a, b: a * b))
+            .cast(D38)
+            .alias("__dot_d"),
+            lsum(F.transform(F.col("__q"), lambda x: x * x))
+            .cast(D38)
+            .alias("__na_d"),
+            lsum(F.transform(F.col("__qq"), lambda x: x * x))
+            .cast(D38)
+            .alias("__nb_d"),
+        )
+    )
+    rel = with_exact_cos_ppm(rel, "__dot_d", "__na_d", "__nb_d", "rel_ppm")
+    pool = (
+        rel.select("id", "__q", "rel_ppm")
+        .orderBy(F.col("rel_ppm").desc(), F.col("id"))
+        .limit(pool_n)
+        .localCheckpoint(eager=False)
+    )
+    pa = pool.select(
+        F.col("id").alias("id_a"), F.col("__q").alias("__qa")
+    )
+    pb = pool.select(
+        F.col("id").alias("id_b"), F.col("__q").alias("__qb")
+    )
+    pairs = (
+        pa.join(F.broadcast(pb), F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            lsum(F.zip_with(F.col("__qa"), F.col("__qb"), lambda a, b: a * b))
+            .cast(D38)
+            .alias("__dot_d"),
+            lsum(F.transform(F.col("__qa"), lambda x: x * x))
+            .cast(D38)
+            .alias("__na_d"),
+            lsum(F.transform(F.col("__qb"), lambda x: x * x))
+            .cast(D38)
+            .alias("__nb_d"),
+        )
+    )
+    pairs = with_exact_cos_ppm(
+        pairs, "__dot_d", "__na_d", "__nb_d", "sim_ppm"
+    ).select("id_a", "id_b", "sim_ppm").localCheckpoint(eager=False)
+
+    pen = lam_den - lam_num
+    sel = (
+        pool.orderBy(F.col("rel_ppm").desc(), F.col("id"))
+        .limit(1)
+        .select(
+            "id",
+            F.lit(1).cast("int").alias("pick"),
+            "rel_ppm",
+            (F.lit(lam_num) * F.col("rel_ppm"))
+            .cast("long")
+            .alias("mmr_scaled"),
+        )
+    )
+    for r in range(2, k + 1):
+        chosen = sel.select("id")
+        rem = pool.join(chosen, "id", "left_anti")
+        ms = (
+            pairs.join(
+                chosen.withColumnRenamed("id", "id_b"), "id_b"
+            )
+            .groupBy("id_a")
+            .agg(F.max("sim_ppm").alias("__ms"))
+            .withColumnRenamed("id_a", "id")
+        )
+        scored = rem.join(ms, "id").select(
+            "id",
+            "rel_ppm",
+            (
+                F.lit(lam_num) * F.col("rel_ppm")
+                - F.lit(pen) * F.col("__ms")
+            )
+            .cast("long")
+            .alias("mmr_scaled"),
+        )
+        pick = (
+            scored.orderBy(F.col("mmr_scaled").desc(), F.col("id"))
+            .limit(1)
+            .select(
+                "id",
+                F.lit(r).cast("int").alias("pick"),
+                "rel_ppm",
+                "mmr_scaled",
+            )
+        )
+        sel = sel.unionByName(pick)
+    return sel.withColumnRenamed("id", id_col)

@@ -1454,3 +1454,78 @@ def fano_from_daily(daily: DataFrame, key_cols: list[str]) -> DataFrame:
         "total",
         F.expr(dfloor(f"({num}) * 1000", den)).alias("fano_x1000"),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Theil–Sen robust trend of each key's daily-count series: the
+    exact LOWER MEDIAN of all pairwise slopes (cb − ca)/(db − da) — the
+    outlier-resistant complement of :func:`group_trend`'s OLS line
+    (one corrupted day moves OLS arbitrarily; Theil–Sen tolerates ~29%
+    gross errors, the standard robust drift detector for event-volume
+    monitoring).
+
+    Exactness: slopes are quantized once to ``slope_ppm = (cb − ca)·10⁶
+    div (db − da)`` (integer truncation toward zero — identical in both
+    engines), and the median is the element at position ``(n+1) div 2``
+    under the TOTAL order (slope_ppm, da, db) — no float, no averaging
+    of middle elements, engine-reproducible by construction.
+
+    Scale shape: the day collapse is one partial-combined exchange;
+    the pairwise-slope stage is a per-key self-join over the DAY table
+    (days²/2 per key — bounded by the observation window, e.g. a year
+    is ~66k pairs/key, never corpus-sized); the median window
+    partitions by key over those pairs.
+
+    Output (scalar-only): ``(key, n_days long, n_pairs long,
+    slope_ppm long)`` — keys with a single day yield no pairs and are
+    omitted (no slope is defined).
+    """
+    daily = (
+        df.groupBy(
+            F.col(key_col).alias("__k"),
+            F.datediff(
+                F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date")
+            ).alias("__d"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    a = daily.select(
+        "__k", F.col("__d").alias("__da"), F.col("__c").alias("__ca")
+    )
+    b = daily.select(
+        F.col("__k").alias("__kb"),
+        F.col("__d").alias("__db"),
+        F.col("__c").alias("__cb"),
+    )
+    pairs = a.join(
+        b, (F.col("__k") == F.col("__kb")) & (F.col("__da") < F.col("__db"))
+    ).select(
+        "__k",
+        "__da",
+        "__db",
+        F.expr("(__cb - __ca) * 1000000 div (__db - __da)").alias("__s"),
+    )
+    w = Window.partitionBy("__k").orderBy("__s", "__da", "__db")
+    ranked = pairs.select(
+        "__k",
+        "__s",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("__k")).alias("__n"),
+    )
+    n_days = daily.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    med = ranked.filter(
+        F.col("__rn") == F.expr("(__n + 1) div 2")
+    ).select(
+        "__k",
+        F.col("__n").cast("long").alias("n_pairs"),
+        F.col("__s").cast("long").alias("slope_ppm"),
+    )
+    return med.join(n_days, "__k").select(
+        F.col("__k").alias(key_col), "n_days", "n_pairs", "slope_ppm"
+    )

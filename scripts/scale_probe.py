@@ -202,6 +202,10 @@ PROBE = [
     "q_seasonal_anomaly",
     "q_lcs_dedup",
     "q_rerank",
+    "q_self_lcs",
+    "q_mmr",
+    "q_minhash_error",
+    "q_theil_sen",
 ]
 
 

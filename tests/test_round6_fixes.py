@@ -252,3 +252,101 @@ def test_rerank_interaction_scores_and_coverage(spark):
     # doc 3: no hits, still present with 0
     assert out[3].n_hit == 0 and out[3].rerank_scaled == 0
     assert out[1].rerank == 1 and out[2].rerank == 2 and out[3].rerank == 3
+
+
+def test_self_repetition_suffix_tree_semantics(spark):
+    """Longest internal repeat with overlaps: 'ababab' has 'abab'
+    repeated at offsets 0 and 2 (overlapping) → max_rep_len 4."""
+    from salesforce_plugin_spark.functions.dedup import self_repetition
+
+    rows = [
+        (1, "ababab"),
+        (2, "abcdefgh"),          # no repeat of length >= 2
+        (3, "xx--xx--xx"),        # 'xx--xx' repeats at 0 and 4 → len 6
+        (4, "a"),                 # shorter than gram_len
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in self_repetition(
+        df, "doc_id", "text", gram_len=2
+    ).collect()}
+    assert out[1].max_rep_len == 4
+    assert out[2].max_rep_len == 0 and out[2].n_rep_grams == 0
+    assert out[3].max_rep_len == 6
+    assert out[4].max_rep_len == 0
+    assert len(out) == 4  # every doc surfaces a row
+
+
+def test_mmr_select_diversifies(spark):
+    """MMR must skip a near-duplicate of the first pick in favor of a
+    diverse candidate; plain top-k would take the duplicate."""
+    from salesforce_plugin_spark.functions.vector import mmr_select
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),    # query
+        (1, [0.99, 0.14, 0.0]),  # best hit
+        (2, [0.98, 0.17, 0.0]),  # near-dup of 1
+        (3, [0.7, 0.0, 0.71]),   # diverse, lower relevance
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    import pyspark.sql.functions as F
+    q = df.filter(F.col("vec_id") == 0).select("embedding")
+    cand = df.filter(F.col("vec_id") != 0)
+    # λ = 1/2: the near-dup's penalty (sim≈0.999 to pick 1) outweighs
+    # its relevance edge over the diverse candidate
+    out = {r.pick: r.vec_id for r in mmr_select(
+        cand, "vec_id", "embedding", q, k=3, pool_n=3,
+        lam_num=1, lam_den=2,
+    ).collect()}
+    assert out[1] == 1          # relevance argmax
+    assert out[2] == 3          # diversity beats the near-dup
+    assert out[3] == 2
+    # at λ = 1 (no penalty) MMR degenerates to plain top-k order
+    topk = {r.pick: r.vec_id for r in mmr_select(
+        cand, "vec_id", "embedding", q, k=3, pool_n=3,
+        lam_num=1, lam_den=1,
+    ).collect()}
+    assert topk == {1: 1, 2: 2, 3: 3}
+
+
+def test_minhash_error_eval_exact_bounds(spark):
+    """Identical docs estimate ppm=10⁶ with zero error; disjoint docs
+    never pair. The estimator is exact at J=1 regardless of hashes."""
+    from salesforce_plugin_spark.functions.dedup import minhash_error_eval
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # identical to 1
+        (3, "one two three four five six seven"),      # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {(r.id_a, r.id_b): r for r in minhash_error_eval(
+        df, "doc_id", "text", num_hashes=8, shingle_n=3,
+        min_true_ppm=100_000,
+    ).collect()}
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    assert r.true_ppm == 1_000_000
+    assert r.est_ppm == 1_000_000
+    assert r.err_ppm == 0
+
+
+def test_theil_sen_resists_outlier_day(spark):
+    """One corrupted day must not move the Theil–Sen slope (it would
+    drag an OLS fit): counts 1,2,3,4,100 over days 0-4 still yield a
+    median pairwise slope of ~1/day."""
+    from salesforce_plugin_spark.operators.analytics import theil_sen_trend
+
+    rows = []
+    counts = {0: 1, 1: 2, 2: 3, 3: 4, 4: 100}
+    for day, n in counts.items():
+        for i in range(n):
+            rows.append(("e", f"2024-01-0{day + 1} 00:00:{i % 60:02d}"))
+    df = spark.createDataFrame(rows, "event_type string, ts string").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    r = theil_sen_trend(df, "event_type", "ts").collect()[0]
+    assert r.n_days == 5
+    assert r.n_pairs == 10
+    # pairwise slopes: six 1.0s among the clean points, four inflated
+    # by day 4; sorted, the lower median (position 5) is 1.0/day
+    assert r.slope_ppm == 1_000_000
