@@ -645,3 +645,75 @@ ORACLES["q_modularity"] = """
     FROM per LEFT JOIN ein USING (label), mm
 """
 
+
+
+def q_ppr(spark, sf_dir):
+    """Personalized PageRank (functions/graph.py ppr_fixed): teleport
+    restarts at the 5 lowest-id suppliers instead of uniformly — the
+    seed-set expansion / related-item primitive, 3 exact-integer
+    iterations over the supplier↔part graph (q_pagerank's edges). Same
+    per-iteration shape (edge⨝rank join, partial-combined inflow,
+    node-sized left join); oracle chains identical CTEs with the
+    seeded restart vector."""
+    from salesforce_plugin_spark.functions.graph import ppr_fixed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_suppkey") + 1000000).alias("src"),
+        F.col("l_partkey").alias("dst"),
+    )
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .select((F.col("s_suppkey") + 1000000).alias("id"))
+        .orderBy("id")
+        .limit(5)
+    )
+    return ppr_fixed(edges, seeds, iterations=3)
+
+
+def _ppr_oracle(iterations: int = 3, scale: int = 10**12) -> str:
+    parts = [
+        "WITH de AS (\n"
+        "    SELECT DISTINCT l_suppkey + 1000000 AS src, l_partkey AS dst\n"
+        "    FROM lineitem),\n"
+        "e AS (SELECT src, dst FROM de UNION ALL SELECT dst, src FROM de),\n"
+        "nodes AS (SELECT DISTINCT src AS id FROM e\n"
+        "          UNION SELECT DISTINCT dst FROM e),\n"
+        "deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d\n"
+        "        FROM e GROUP BY 1),\n"
+        "seeds AS (SELECT s_suppkey + 1000000 AS id FROM supplier\n"
+        "          ORDER BY id LIMIT 5),\n"
+        "ns AS (SELECT count(*) AS n FROM seeds),\n"
+        "flagged AS (SELECT n0.id,\n"
+        "    CASE WHEN s.id IS NOT NULL THEN 1 ELSE 0 END AS seed\n"
+        "    FROM nodes n0 LEFT JOIN seeds s ON s.id = n0.id),\n"
+        f"r0 AS (SELECT id, seed,\n"
+        f"    CASE WHEN seed = 1 THEN CAST({scale} // ns.n AS BIGINT)\n"
+        f"         ELSE 0 END AS r\n"
+        "    FROM flagged, ns)"
+    ]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS id,\n"
+            f"   CAST(sum(r.r // d.d) AS BIGINT) AS infl\n"
+            f"   FROM e JOIN {prev} r ON r.id = e.src\n"
+            f"   JOIN deg d ON d.id = e.src GROUP BY 1)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT f.id, f.seed,\n"
+            f"   CAST(CASE WHEN f.seed = 1 THEN\n"
+            f"            (15 * ({scale} // ns.n)) // 100 ELSE 0 END\n"
+            f"        + (85 * COALESCE(c{i}.infl, 0)) // 100 AS BIGINT)\n"
+            f"            AS r\n"
+            f"   FROM flagged f LEFT JOIN c{i} ON c{i}.id = f.id, ns)"
+        )
+        prev = f"r{i}"
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id, r AS rank_scaled,"
+        + f" CAST(r AS DOUBLE) / {float(scale)} AS rank FROM {prev}"
+    )
+
+
+ORACLES["q_ppr"] = _ppr_oracle()

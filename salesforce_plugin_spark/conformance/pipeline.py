@@ -1474,3 +1474,49 @@ ORACLES["q_chat_render"] = r"""
     FROM r
 """
 
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based source mixing (operators/pipeline.py
+    temperature_mix): τ=2 tempered sampling weights per language —
+    mass = corrected-isqrt(n_tokens) (exact integer, no float pow),
+    share and over/under-sampling boost as exact DECIMAL floor
+    divides. One corpus scan; everything after is |langs|-bounded with
+    a 1-row broadcast total."""
+    from salesforce_plugin_spark.operators.pipeline import temperature_mix
+
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    return temperature_mix(d, "lang", "text", tau=2)
+
+ORACLES["q_temperature_mix"] = r"""
+    WITH per AS (
+        SELECT lang AS grp,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    ), seeded AS (
+        SELECT *, CAST(n_tokens AS HUGEINT) AS p,
+               CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS HUGEINT) AS y0
+        FROM per
+    ), rooted AS (
+        SELECT grp, n_docs, n_tokens,
+               CAST(CASE WHEN (y0+2)*(y0+2) <= p THEN y0+2
+                         WHEN (y0+1)*(y0+1) <= p THEN y0+1
+                         WHEN y0*y0 <= p THEN y0
+                         WHEN (y0-1)*(y0-1) <= p THEN y0-1
+                         ELSE y0-2 END AS BIGINT) AS w
+        FROM seeded
+    ), totals AS (
+        SELECT CAST(sum(w) AS HUGEINT) AS sw,
+               CAST(sum(n_tokens) AS HUGEINT) AS st
+        FROM rooted
+    )
+    SELECT r.grp AS lang, r.n_docs, r.n_tokens, r.w,
+           CAST((CAST(r.w AS HUGEINT) * 1000000) // t.sw AS BIGINT)
+               AS share_ppm,
+           CAST((CAST(r.w AS HUGEINT) * t.st * 1000000)
+                // (t.sw * CAST(r.n_tokens AS HUGEINT)) AS BIGINT)
+               AS boost_ppm
+    FROM rooted r CROSS JOIN totals t
+"""

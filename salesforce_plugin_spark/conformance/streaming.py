@@ -1065,6 +1065,66 @@ def q_stream_dow(spark, sf_dir):
 
 
 
+def q_stream_theil_sen(spark, sf_dir):
+    """F6 x robust trend: Theil-Sen slope maintained FROM A STREAM —
+    per-(type, day) counts are additive, so the generic additive fold
+    maintains them with zero new fold code; summed state feeds
+    theil_sen_from_daily and must equal the one-shot batch trend
+    (q_theil_sen's oracle VERBATIM, disjoint slices)."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.operators.analytics import (
+        theil_sen_from_daily,
+    )
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_summed_counts,
+        run_stream_additive_counts,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_stream_ts_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [e.filter(F.col("event_id") % 3 == i) for i in range(3)],
+            tmp,
+            None,
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, event_type string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+        run_stream_additive_counts(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            group_cols=["__k", "__d"],
+            prepare=lambda b: b.select(
+                F.col("event_type").alias("__k"),
+                F.datediff(
+                    F.to_date("ts"), F.lit("1970-01-01").cast("date")
+                ).alias("__d"),
+            ),
+        )
+        daily = read_summed_counts(spark, state, ["__k", "__d"]).select(
+            "__k", "__d", F.col("n").alias("__c")
+        )
+        rows = theil_sen_from_daily(daily, "event_type").collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n_days long, n_pairs long, slope_ppm long"
+    )
+
+
 ORACLES: dict[str, str] = {}
 
 ORACLES["q_stream_stateful"] = """
@@ -1138,3 +1198,5 @@ ORACLES["q_stream_kmv"] = """
     FROM agg a JOIN seen s USING (event_type)
 """
 
+
+# streamed additive (type, day) counts == one-shot batch Theil-Sen

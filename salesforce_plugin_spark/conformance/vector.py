@@ -702,3 +702,56 @@ def _mmr_oracle(k: int = 5, pool_n: int = 20,
 
 
 ORACLES["q_mmr"] = _mmr_oracle()
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (functions/vector.py hard_negatives): per
+    label's min-id anchor, the 5 nearest DIFFERENT-label vectors by
+    the exact corrected-isqrt cosine — the contrastive-training
+    negative miner and instance-level class-confusion diagnostic
+    (q_centroid_sim's centroid view sharpened to instances). Anchors
+    are one min_by aggregate broadcast against one corpus scan; the
+    per-anchor window prunes to k before anything wide moves."""
+    e = parallelized(load_table(spark, sf_dir, "embeddings"))
+    return V.hard_negatives(e, "vec_id", "embedding", "label", k=5)
+
+
+def _hard_neg_oracle(k: int = 5) -> str:
+    cos = _mmr_cos_ctes("sc", "pair_base", "q_label, vec_id, label")
+    return f"""
+    WITH qv AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                   AS q
+        FROM embeddings
+    ), anchors AS (
+        SELECT label AS q_label, min(vec_id) AS avid
+        FROM qv GROUP BY 1
+    ), aq AS (
+        SELECT a.q_label, v.q AS qa
+        FROM anchors a JOIN qv v ON v.vec_id = a.avid
+    ), pair_base AS (
+        SELECT a.q_label, v.vec_id, v.label,
+               CAST(list_dot_product(CAST(v.q AS DOUBLE[]),
+                                     CAST(a.qa AS DOUBLE[])) AS HUGEINT)
+                   AS dot,
+               CAST(list_dot_product(CAST(v.q AS DOUBLE[]),
+                                     CAST(v.q AS DOUBLE[])) AS HUGEINT)
+                   AS na,
+               CAST(list_dot_product(CAST(a.qa AS DOUBLE[]),
+                                     CAST(a.qa AS DOUBLE[])) AS HUGEINT)
+                   AS nb
+        FROM qv v CROSS JOIN aq a
+        WHERE v.label != a.q_label
+    ), {cos.strip()}
+    SELECT q_label, vec_id, label, cos_ppm, CAST(rn AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_label ORDER BY cos_ppm DESC, vec_id) AS rn
+        FROM sc
+    ) WHERE rn <= {k}
+"""
+
+
+ORACLES["q_hard_negatives"] = _hard_neg_oracle()

@@ -1345,3 +1345,85 @@ def mmr_select(
         )
         sel = sel.unionByName(pick)
     return sel.withColumnRenamed("id", id_col)
+
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    quant: int = 1000,
+) -> DataFrame:
+    """Hard-negative mining: for each label's deterministic anchor (the
+    min-id vector), the ``k`` nearest vectors carrying a DIFFERENT
+    label — the contrastive-training staple (the negatives that are
+    hard because they sit close in embedding space) and the
+    class-confusion diagnostic at the instance level (q_centroid_sim
+    measures it at the centroid level).
+
+    Exact-integer similarities (quantized components, corrected-isqrt
+    cosine of :func:`with_exact_cos_ppm`), so the mined set is
+    engine-reproducible — eval-set mining must be replayable or the
+    benchmark itself drifts.
+
+    Scale shape: anchors are a ``min_by`` aggregate (one bounded
+    exchange, ≤ |labels| rows) broadcast against ONE corpus scan; the
+    per-anchor top-k is a window over the label-filtered expansion
+    pruned to k before anything wide moves (the cosine_topk_batch
+    shape). Output (scalar-only): ``(q_label, id_col, label, cos_ppm
+    long, rank int)``.
+    """
+    qz = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * float(quant), 0).cast("long"),
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("__lbl"),
+        qz.alias("__q"),
+    )
+    anchors = base.groupBy(F.col("__lbl").alias("q_label")).agg(
+        F.min_by(F.col("__q"), F.col("__id")).alias("__qa")
+    )
+
+    def lsum(col):
+        return F.aggregate(
+            col, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+
+    paired = (
+        base.crossJoin(F.broadcast(anchors))
+        .filter(F.col("__lbl") != F.col("q_label"))
+        .select(
+            "q_label",
+            "__id",
+            "__lbl",
+            lsum(F.zip_with(F.col("__q"), F.col("__qa"), lambda a, b: a * b))
+            .cast(D38)
+            .alias("__dot_d"),
+            lsum(F.transform(F.col("__q"), lambda x: x * x))
+            .cast(D38)
+            .alias("__na_d"),
+            lsum(F.transform(F.col("__qa"), lambda x: x * x))
+            .cast(D38)
+            .alias("__nb_d"),
+        )
+    )
+    scored = with_exact_cos_ppm(
+        paired, "__dot_d", "__na_d", "__nb_d", "cos_ppm"
+    )
+    w = Window.partitionBy("q_label").orderBy(
+        F.col("cos_ppm").desc(), F.col("__id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "q_label",
+            F.col("__id").alias(id_col),
+            F.col("__lbl").alias(label_col),
+            "cos_ppm",
+            F.col("__rn").cast("int").alias("rank"),
+        )
+    )

@@ -1493,6 +1493,15 @@ def theil_sen_trend(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
     )
+    return theil_sen_from_daily(daily, key_col)
+
+
+def theil_sen_from_daily(daily: DataFrame, key_col: str) -> DataFrame:
+    """:func:`theil_sen_trend` from a pre-aggregated ``(__k, __d, __c)``
+    daily-count table — the entry point for additive count state
+    (streaming face: daily counts are per-group row counts, so the
+    generic additive fold maintains them and this reduction must equal
+    the one-shot batch trend)."""
     a = daily.select(
         "__k", F.col("__d").alias("__da"), F.col("__c").alias("__ca")
     )

@@ -595,3 +595,96 @@ def length_buckets(
             F.sum(F.col("bucket") - F.col("__n")).cast("long").alias("padding"),
         )
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    tau: int = 2,
+) -> DataFrame:
+    """Temperature-based source mixing weights — the multilingual /
+    multi-source sampling-rate calculator (the p_s^(1/τ) reweighting
+    of mBERT/XLM-R and every data-mixture recipe since): raising small
+    sources and damping dominant ones so a τ-tempered sampler sees a
+    flatter source distribution than the raw token counts.
+
+    EXACT for τ ∈ {1, 2, 4}: the tempered mass is ``n`` (τ=1),
+    ``isqrt(n)`` (τ=2), or ``isqrt(isqrt(n))`` (τ=4) — the corrected
+    integer square root (double seed + ±2 integer CASE, the
+    with_exact_cos_ppm discipline), so weights replay identically in
+    any engine; no float pow. ``share_ppm = w·10⁶ div Σw`` and
+    ``boost_ppm = (w·N_tokens·10⁶) div (Σw·n)`` (the over/under-
+    sampling factor vs natural frequency, >10⁶ = upsampled) are exact
+    DECIMAL(38,0) floor divides.
+
+    One corpus scan (token counts per group partial-combine), then
+    everything is bounded by |groups|: the Σw aggregate is a 1-row
+    broadcast. Output (scalar-only): ``(group, n_docs long, n_tokens
+    long, w long, share_ppm long, boost_ppm long)``.
+    """
+    from salesforce_plugin_spark.functions.text import tokens
+
+    if tau not in (1, 2, 4):
+        raise ValueError("temperature_mix supports tau in {1, 2, 4}")
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens(F.col(text_col))).cast("long"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+    def isqrt_col(frame: DataFrame, src: str, dst: str) -> DataFrame:
+        return (
+            frame.withColumn("__p", F.expr(f"CAST({src} AS decimal(38,0))"))
+            .withColumn(
+                "__y0",
+                F.expr(
+                    "CAST(FLOOR(SQRT(CAST(__p AS DOUBLE))) AS decimal(38,0))"
+                ),
+            )
+            .withColumn(
+                dst,
+                F.expr(
+                    "CASE WHEN (__y0+2)*(__y0+2) <= __p THEN __y0+2 "
+                    "WHEN (__y0+1)*(__y0+1) <= __p THEN __y0+1 "
+                    "WHEN __y0*__y0 <= __p THEN __y0 "
+                    "WHEN (__y0-1)*(__y0-1) <= __p THEN __y0-1 "
+                    "ELSE __y0-2 END"
+                ).cast("long"),
+            )
+            .drop("__p", "__y0")
+        )
+
+    if tau == 1:
+        weighted = per.withColumn("w", F.col("n_tokens"))
+    elif tau == 2:
+        weighted = isqrt_col(per, "n_tokens", "w")
+    else:
+        weighted = isqrt_col(
+            isqrt_col(per, "n_tokens", "__w2"), "__w2", "w"
+        ).drop("__w2")
+    totals = weighted.agg(
+        F.sum("w").cast("long").alias("__sw"),
+        F.sum("n_tokens").cast("long").alias("__st"),
+    )
+    from salesforce_plugin_spark.functions.exactmath import dcast, dfloor
+
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "n_tokens",
+            "w",
+            F.expr(
+                dfloor(f"{dcast('w')} * 1000000", dcast("__sw"))
+            ).alias("share_ppm"),
+            F.expr(
+                dfloor(
+                    f"{dcast('w')} * {dcast('__st')} * 1000000",
+                    f"{dcast('__sw')} * {dcast('n_tokens')}",
+                )
+            ).alias("boost_ppm"),
+        )
+    )

@@ -206,6 +206,9 @@ PROBE = [
     "q_mmr",
     "q_minhash_error",
     "q_theil_sen",
+    "q_temperature_mix",
+    "q_hard_negatives",
+    "q_ppr",
 ]
 
 

@@ -350,3 +350,54 @@ def test_theil_sen_resists_outlier_day(spark):
     # pairwise slopes: six 1.0s among the clean points, four inflated
     # by day 4; sorted, the lower median (position 5) is 1.0/day
     assert r.slope_ppm == 1_000_000
+
+
+def test_temperature_mix_flattens_distribution(spark):
+    """τ=2 must upsample the small source (boost > 10⁶) and downsample
+    the dominant one; τ=1 is the natural distribution (boost = 10⁶)."""
+    from salesforce_plugin_spark.operators.pipeline import temperature_mix
+
+    rows = [(i, "en", "w " * 100) for i in range(9)] + [(9, "fr", "w " * 10)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, text string")
+    t2 = {r.lang: r for r in temperature_mix(df, "lang", "text", tau=2).collect()}
+    # en: 900 tokens → isqrt 30; fr: 10 tokens → isqrt 3 (isqrt(10)=3)
+    assert t2["en"].w == 30 and t2["fr"].w == 3
+    assert t2["fr"].boost_ppm > 1_000_000 > t2["en"].boost_ppm
+    t1 = {r.lang: r for r in temperature_mix(df, "lang", "text", tau=1).collect()}
+    assert t1["en"].boost_ppm == 1_000_000 == t1["fr"].boost_ppm
+    with pytest.raises(ValueError):
+        temperature_mix(df, "lang", "text", tau=3)
+
+
+def test_hard_negatives_excludes_own_label(spark):
+    from salesforce_plugin_spark.functions.vector import hard_negatives
+
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [0.99, 0.1]),   # same label as anchor 0 — excluded
+        (2, 1, [0.95, 0.3]),   # different label, close → hard negative
+        (3, 1, [0.0, 1.0]),    # different label, far
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, label int, embedding array<float>")
+    out = [r for r in hard_negatives(
+        df, "vec_id", "embedding", "label", k=2
+    ).collect() if r.q_label == 0]
+    assert [r.vec_id for r in sorted(out, key=lambda r: r.rank)] == [2, 3]
+    assert all(r.label != 0 for r in out)
+
+
+def test_ppr_concentrates_near_seeds(spark):
+    """Seeded restart must rank the seed and its neighbors above a
+    disconnected far component; uniform PageRank would tie them."""
+    from salesforce_plugin_spark.functions.graph import ppr_fixed
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    r = {row.id: row.rank_scaled for row in ppr_fixed(
+        edges, seeds, iterations=3
+    ).collect()}
+    assert r[1] > r[10] and r[2] > r[11]
+    # far component gets NO mass (teleport never lands there)
+    assert r[10] == 0 and r[11] == 0 and r[12] == 0
