@@ -357,6 +357,7 @@ from salesforce_plugin_spark.conformance.streaming import (  # noqa: F401
     q_stream_fano,
     q_stream_dow,
     q_stream_theil_sen,
+    q_stream_temperature_mix,
     ORACLES as _ORACLES_streaming,
 )
 
@@ -659,6 +660,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_temperature_mix": q_temperature_mix,
     "q_hard_negatives": q_hard_negatives,
     "q_ppr": q_ppr,
+    "q_stream_temperature_mix": q_stream_temperature_mix,
 }
 
 
@@ -728,3 +730,5 @@ ORACLES["q_stream_fano"] = ORACLES["q_fano"]
 ORACLES["q_stream_dow"] = ORACLES["q_dow_profile"]
 # streamed additive (type, day) counts == one-shot batch Theil-Sen
 ORACLES["q_stream_theil_sen"] = ORACLES["q_theil_sen"]
+# streamed additive (lang, doc/token) counts == one-shot batch mix
+ORACLES["q_stream_temperature_mix"] = ORACLES["q_temperature_mix"]

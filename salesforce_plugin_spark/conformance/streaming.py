@@ -1125,6 +1125,82 @@ def q_stream_theil_sen(spark, sf_dir):
     )
 
 
+def q_stream_temperature_mix(spark, sf_dir):
+    """F6 x data mixing: τ=2 temperature sampling weights maintained
+    FROM A STREAM — per-lang doc and token counts are additive row
+    counts after exploding each doc into one 'doc' marker plus one row
+    per token, so the generic additive fold maintains BOTH masses with
+    zero new fold code; summed state feeds temperature_mix_from_counts
+    and must equal the one-shot batch mix (q_temperature_mix's oracle
+    VERBATIM, disjoint slices)."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.functions.text import tokens
+    from salesforce_plugin_spark.operators.pipeline import (
+        temperature_mix_from_counts,
+    )
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_summed_counts,
+        run_stream_additive_counts,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_stream_tm_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [d.filter(F.col("doc_id") % 3 == i) for i in range(3)],
+            tmp,
+            None,
+        )
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, lang string, text string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+        run_stream_additive_counts(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            group_cols=["lang", "__kind"],
+            prepare=lambda b: b.select(
+                "lang",
+                F.explode(
+                    F.concat(
+                        F.array(F.lit("doc")),
+                        F.transform(
+                            tokens(F.col("text")), lambda _: F.lit("tok")
+                        ),
+                    )
+                ).alias("__kind"),
+            ),
+        )
+        counts = read_summed_counts(spark, state, ["lang", "__kind"])
+        per = counts.groupBy(F.col("lang").alias("grp")).agg(
+            F.sum(F.when(F.col("__kind") == "doc", F.col("n")))
+            .cast("long")
+            .alias("n_docs"),
+            F.sum(F.when(F.col("__kind") == "tok", F.col("n")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        rows = temperature_mix_from_counts(per, "lang", tau=2).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "lang string, n_docs long, n_tokens long, w long,"
+        " share_ppm long, boost_ppm long",
+    )
+
+
 ORACLES: dict[str, str] = {}
 
 ORACLES["q_stream_stateful"] = """

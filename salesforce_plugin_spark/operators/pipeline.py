@@ -633,6 +633,21 @@ def temperature_mix(
         .cast("long")
         .alias("n_tokens"),
     )
+    return temperature_mix_from_counts(per, group_col, tau)
+
+
+def temperature_mix_from_counts(
+    per: DataFrame,
+    group_col: str,
+    tau: int = 2,
+) -> DataFrame:
+    """:func:`temperature_mix` from a pre-aggregated ``(grp, n_docs,
+    n_tokens)`` table — the entry point for additive count state
+    (streaming face: doc and token counts are additive, so the generic
+    fold maintains them and this reduction must equal the one-shot
+    batch mix)."""
+    if tau not in (1, 2, 4):
+        raise ValueError("temperature_mix supports tau in {1, 2, 4}")
 
     def isqrt_col(frame: DataFrame, src: str, dst: str) -> DataFrame:
         return (

@@ -839,3 +839,48 @@ def test_epoch_shuffle_placement_properties(spark, ids, epoch, shards):
     ).collect()[0]
     full = next(r for r in out if r.id == probe)
     assert solo.shard == full.shard
+
+
+def test_exact_isqrt_correction_at_boundaries(spark):
+    """with_exact_cos_ppm's ±2-corrected integer sqrt must equal
+    math.isqrt exactly at perfect squares and their neighbors (where a
+    double-seeded floor is most likely to land off by one), across
+    magnitudes up to the documented 2^104 validity bound."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from salesforce_plugin_spark.functions.vector import with_exact_cos_ppm
+
+    vals = []
+    for e in (1, 3, 7, 13, 19, 26, 33, 38, 42):
+        k = (1 << e) + 3
+        for p in (k * k - 1, k * k, k * k + 1):
+            vals.append(p)
+    # encode p as na·nb with nb=1 so isqrt(p) is exercised directly;
+    # dot=na makes cos_ppm = (na·10⁶) div isqrt(na) — check against
+    # Python's exact math.isqrt. (p capped at ~2^84 so the ppm result
+    # itself stays inside BIGINT — the surface's own documented bound.)
+    rows = [(str(p),) for p in vals]
+    df = spark.createDataFrame(rows, "p string").select(
+        F.col("p").cast("decimal(38,0)").alias("__na_d"),
+        F.lit(1).cast("decimal(38,0)").alias("__nb_d"),
+        F.col("p").cast("decimal(38,0)").alias("__dot_d"),
+    )
+    got = with_exact_cos_ppm(df, "__dot_d", "__na_d", "__nb_d", "cos_ppm")
+    out = [r.cos_ppm for r in got.collect()]
+    want = [(p * 1_000_000) // math.isqrt(p) for p in vals]
+    assert out == want
+
+    # beyond the BIGINT ppm range the cast fails LOUDLY under ANSI —
+    # never silent garbage (the exactmath contract)
+    import pytest as _pytest
+
+    big = (1 << 51) ** 2
+    df2 = spark.createDataFrame([(str(big),)], "p string").select(
+        F.col("p").cast("decimal(38,0)").alias("__na_d"),
+        F.lit(1).cast("decimal(38,0)").alias("__nb_d"),
+        F.col("p").cast("decimal(38,0)").alias("__dot_d"),
+    )
+    with _pytest.raises(Exception, match="CAST_OVERFLOW|Arithmetic"):
+        with_exact_cos_ppm(df2, "__dot_d", "__na_d", "__nb_d", "x").collect()
