@@ -258,6 +258,7 @@ from salesforce_plugin_spark.conformance.sketch import (  # noqa: F401
     q_distribution_drift,
     q_winsorize,
     q_rolling_quantiles,
+    q_cm_error,
     ORACLES as _ORACLES_sketch,
 )
 from salesforce_plugin_spark.conformance.analytics import (  # noqa: F401
@@ -334,6 +335,7 @@ from salesforce_plugin_spark.conformance.pipeline import (  # noqa: F401
     q_kfold,
     q_chat_render,
     q_temperature_mix,
+    q_stratified_sample,
     ORACLES as _ORACLES_pipeline,
 )
 from salesforce_plugin_spark.conformance.streaming import (  # noqa: F401
@@ -661,6 +663,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_hard_negatives": q_hard_negatives,
     "q_ppr": q_ppr,
     "q_stream_temperature_mix": q_stream_temperature_mix,
+    "q_cm_error": q_cm_error,
+    "q_stratified_sample": q_stratified_sample,
 }
 
 

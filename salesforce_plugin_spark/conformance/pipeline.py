@@ -1520,3 +1520,49 @@ ORACLES["q_temperature_mix"] = r"""
                AS boost_ppm
     FROM rooted r CROSS JOIN totals t
 """
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Largest-remainder stratified sampling (operators/pipeline.py
+    stratified_sample): exactly 100 docs allocated across languages by
+    the Hamilton method (floor quota + leftover slots to the largest
+    integer remainders, ties by stratum — no float quota anywhere),
+    rows chosen per stratum by the reproducible (md5(id), id) order.
+    Complements q_sample_per_group's fixed-n quotas with exact
+    proportionality summing to the budget. Oracle replays quota,
+    remainder ranking, leftover distribution, and the hash order."""
+    from salesforce_plugin_spark.operators.pipeline import stratified_sample
+
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    return stratified_sample(d, "doc_id", "lang", total_n=100)
+
+ORACLES["q_stratified_sample"] = """
+    WITH counts AS (
+        SELECT lang AS s, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nn FROM counts
+    ), quota AS (
+        SELECT s, n,
+               (n * 100) // t.nn AS fl,
+               (n * 100) % t.nn AS rem
+        FROM counts, tot t
+    ), lft AS (
+        SELECT CAST(100 - sum(fl) AS BIGINT) AS l FROM quota
+    ), alloc AS (
+        SELECT s,
+               fl + CASE WHEN row_number() OVER (
+                       ORDER BY rem DESC, s) <= lft.l THEN 1 ELSE 0 END
+                   AS a
+        FROM quota, lft
+    ), ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    )
+    SELECT r.doc_id, r.lang, CAST(r.rk AS INT) AS rk
+    FROM ranked r JOIN alloc a ON a.s = r.lang
+    WHERE r.rk <= a.a
+"""

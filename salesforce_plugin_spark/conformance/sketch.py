@@ -716,3 +716,46 @@ ORACLES["q_rolling_quantiles"] = """
     GROUP BY 1, 2, 3
 """
 
+
+
+def q_cm_error(spark, sf_dir):
+    """Count-min accuracy eval (functions/sketch.py cm_error_eval): a
+    deliberately tight 64x2 grid over user_id forces real collisions,
+    and every distinct user surfaces (true, estimate, overcount >= 0)
+    — the measured-error sizing companion to q_heavy_hitters' serving
+    path (the q_minhash_error discipline applied to CM). Oracle
+    replays the md5 bucket family, the grid, and the min-probe."""
+    from salesforce_plugin_spark.functions.sketch import cm_error_eval
+
+    e = load_table(spark, sf_dir, "events")
+    return cm_error_eval(e, "user_id", width=64, depth=2)
+
+ORACLES["q_cm_error"] = """
+    WITH sk AS (
+        SELECT i,
+               CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                        || CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 64 AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT user_id, unnest(generate_series(0, 1)) AS i FROM events)
+        GROUP BY 1, 2
+    ), exact AS (
+        SELECT user_id AS value, CAST(count(*) AS BIGINT) AS true_n
+        FROM events GROUP BY 1
+    ), probes AS (
+        SELECT value, i,
+               CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                        || CAST(value AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 64 AS bucket
+        FROM (SELECT value, unnest(generate_series(0, 1)) AS i
+              FROM (SELECT DISTINCT value FROM exact))
+    ), est AS (
+        SELECT p.value, CAST(min(coalesce(sk.n, 0)) AS BIGINT) AS est_n
+        FROM probes p
+        LEFT JOIN sk ON sk.i = p.i AND sk.bucket = p.bucket
+        GROUP BY 1
+    )
+    SELECT e.value, e.true_n, s.est_n,
+           CAST(s.est_n - e.true_n AS BIGINT) AS overcount
+    FROM exact e JOIN est s USING (value)
+"""

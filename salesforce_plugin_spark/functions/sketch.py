@@ -959,3 +959,36 @@ def rolling_quantiles_from_daily(
             F.col("n_total").cast("long").alias("n_total"),
         )
     )
+
+
+def cm_error_eval(
+    df: DataFrame,
+    value_col: str,
+    width: int = 64,
+    depth: int = 2,
+) -> DataFrame:
+    """Count-min sketch accuracy against EXACT per-value counts — the
+    sketch's own evaluation harness (the q_minhash_error / q_ann_recall
+    discipline applied to CM): every distinct value's estimate, true
+    count, and overcount, so the (width, depth) budget is sized from
+    measured error instead of the worst-case bound. CM never
+    undercounts, so ``overcount = est − true ≥ 0`` — an assertable
+    invariant the gate also checks implicitly.
+
+    One sketch build (depth·width-bounded exchange), one exact count
+    (the group-by the sketch would replace at scale — affordable here
+    BECAUSE this is the eval, run on a sample or a fixture), one
+    broadcast-grid probe join. Output (scalar-only):
+    ``(value, true_n long, est_n long, overcount long)``.
+    """
+    sketch = cm_sketch(df, value_col, width, depth)
+    exact = df.groupBy(F.col(value_col).alias("value")).agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    est = cm_estimate(sketch, df, value_col, width, depth)
+    return exact.join(est, "value").select(
+        "value",
+        "true_n",
+        F.col("est_n").cast("long").alias("est_n"),
+        (F.col("est_n") - F.col("true_n")).cast("long").alias("overcount"),
+    )

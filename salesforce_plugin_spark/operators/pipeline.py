@@ -703,3 +703,73 @@ def temperature_mix_from_counts(
             ).alias("boost_ppm"),
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    total_n: int,
+) -> DataFrame:
+    """Exactly-``total_n`` stratified sample with LARGEST-REMAINDER
+    (Hamilton) proportional allocation — the eval-set construction
+    primitive: every stratum gets ``floor(n_s·total_n / N)`` slots and
+    the leftover slots go to the largest fractional remainders, so the
+    allocation sums to total_n EXACTLY (naive per-stratum rounding
+    over- or under-shoots) and stays within ±1 of true
+    proportionality. Ties on the remainder break by stratum value —
+    fully deterministic, no float quota.
+
+    Row selection within a stratum is the reproducible-split
+    discipline: rank by ``(md5(id), id)`` and keep the first
+    ``alloc_s`` — any engine replays the same sample.
+
+    Plan: one stratum-count aggregate (bounded by |strata|), a
+    |strata|-sized window for the remainder ranking, then one window
+    over the data partitioned by stratum pruned to the allocation.
+    Output (scalar-only): ``(id_col, stratum_col, rk int)`` with
+    exactly ``total_n`` rows (fewer only if total_n > |df|).
+    """
+    if total_n < 0:
+        raise ValueError("stratified_sample requires total_n >= 0")
+    counts = df.groupBy(F.col(stratum_col).alias("__s")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    # NB: Spark resolves column names case-insensitively by default, so
+    # the total's alias must not collide with per-stratum "__n"
+    tot = counts.agg(F.sum("__n").cast("long").alias("__tot"))
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        "__s",
+        "__n",
+        F.expr(f"(__n * {total_n}L) div __tot").alias("__floor"),
+        F.expr(f"(__n * {total_n}L) % __tot").alias("__rem"),
+    )
+    w = Window.orderBy(F.col("__rem").desc(), F.col("__s"))
+    leftovers = quota.crossJoin(
+        F.broadcast(
+            quota.agg(
+                (F.lit(total_n) - F.sum("__floor")).cast("long").alias("__L")
+            )
+        )
+    ).select(
+        "__s",
+        (
+            F.col("__floor")
+            + F.when(F.row_number().over(w) <= F.col("__L"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("__alloc"),
+    )
+    ws = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.select(id_col, stratum_col)
+        .withColumn("rk", F.row_number().over(ws))
+        .join(
+            F.broadcast(leftovers.withColumnRenamed("__s", stratum_col)),
+            stratum_col,
+        )
+        .filter(F.col("rk") <= F.col("__alloc"))
+        .select(id_col, stratum_col, F.col("rk").cast("int").alias("rk"))
+    )

@@ -209,6 +209,8 @@ PROBE = [
     "q_temperature_mix",
     "q_hard_negatives",
     "q_ppr",
+    "q_cm_error",
+    "q_stratified_sample",
 ]
 
 

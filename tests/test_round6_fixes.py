@@ -401,3 +401,41 @@ def test_ppr_concentrates_near_seeds(spark):
     assert r[1] > r[10] and r[2] > r[11]
     # far component gets NO mass (teleport never lands there)
     assert r[10] == 0 and r[11] == 0 and r[12] == 0
+
+
+def test_cm_error_never_undercounts(spark):
+    from salesforce_plugin_spark.functions.sketch import cm_error_eval
+
+    rows = [(i % 7,) for i in range(200)]
+    df = spark.createDataFrame(rows, "v int")
+    out = cm_error_eval(df, "v", width=4, depth=2).collect()
+    assert len(out) == 7
+    assert all(r.overcount >= 0 for r in out)          # CM upper bound
+    assert all(r.est_n == r.true_n + r.overcount for r in out)
+    # tiny width forces at least one collision among 7 values / 4 buckets
+    assert any(r.overcount > 0 for r in out)
+
+
+def test_stratified_sample_largest_remainder_exact(spark):
+    """Allocation must sum EXACTLY to total_n with ±1 proportionality:
+    strata 50/30/20 rows at total_n=7 → quotas 3.5/2.1/1.4 → floors
+    3/2/1 + one leftover to the largest remainder (.5 → stratum a)."""
+    from salesforce_plugin_spark.operators.pipeline import stratified_sample
+
+    rows = (
+        [(i, "a") for i in range(50)]
+        + [(100 + i, "b") for i in range(30)]
+        + [(200 + i, "c") for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+    out = stratified_sample(df, "doc_id", "lang", total_n=7).collect()
+    per = {}
+    for r in out:
+        per[r.lang] = per.get(r.lang, 0) + 1
+    assert sum(per.values()) == 7
+    assert per == {"a": 4, "b": 2, "c": 1}
+    # determinism: same input → identical selection
+    again = stratified_sample(df, "doc_id", "lang", total_n=7).collect()
+    assert sorted((r.doc_id, r.lang) for r in out) == sorted(
+        (r.doc_id, r.lang) for r in again
+    )
