@@ -1691,3 +1691,50 @@ ORACLES["q_theil_sen"] = """
     FROM ranked r JOIN nd ON nd.k = r.k
     WHERE r.rn = (r.n + 1) // 2
 """
+
+
+def q_assoc_rules(spark, sf_dir):
+    """Association-rule mining (operators/analytics.py assoc_rules):
+    both directed rules per frequent part pair with exact integer
+    confidence and lift in ppm — the Apriori rule step on top of
+    q_copurchase's support counts (which stay the only quadratic-ish
+    stage; the rule arithmetic is two dimension-scale broadcast joins
+    and a 1-row N attach). The quadratic supp·N·10⁶ products run in
+    DECIMAL(38,0) — at corpus scale they pass 2^63 long before 100 TB
+    does. support >= 3 is the fixture-calibrated frequent floor."""
+    from salesforce_plugin_spark.operators.analytics import assoc_rules
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return assoc_rules(li, "l_orderkey", "l_partkey", min_support=3)
+
+
+ORACLES["q_assoc_rules"] = """
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+    ), pairs AS (
+        SELECT a.it AS item_a, c.it AS item_b,
+               CAST(count(*) AS BIGINT) AS support
+        FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+        GROUP BY 1, 2 HAVING count(*) >= 3
+    ), isupp AS (
+        SELECT it, CAST(count(*) AS BIGINT) AS supp FROM b GROUP BY 1
+    ), nb AS (
+        SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM b
+    ), directed AS (
+        SELECT item_a AS antecedent, item_b AS consequent, support
+        FROM pairs
+        UNION ALL
+        SELECT item_b AS antecedent, item_a AS consequent, support
+        FROM pairs
+    )
+    SELECT d.antecedent, d.consequent, d.support,
+           CAST((CAST(d.support AS HUGEINT) * 1000000)
+                // sa.supp AS BIGINT) AS conf_ppm,
+           CAST((CAST(d.support AS HUGEINT) * nb.n * 1000000)
+                // (CAST(sa.supp AS HUGEINT) * sb.supp) AS BIGINT)
+               AS lift_ppm
+    FROM directed d
+    JOIN isupp sa ON sa.it = d.antecedent
+    JOIN isupp sb ON sb.it = d.consequent
+    CROSS JOIN nb
+"""

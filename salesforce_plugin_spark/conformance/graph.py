@@ -717,3 +717,67 @@ def _ppr_oracle(iterations: int = 3, scale: int = 10**12) -> str:
 
 
 ORACLES["q_ppr"] = _ppr_oracle()
+
+
+def q_random_walk(spark, sf_dir):
+    """Walk sampling for graph-embedding training (functions/graph.py
+    deterministic_walks): 4-step walks from the 5 lowest part ids over
+    the supplier↔part graph, each hop the neighbor minimizing
+    (md5(step:cur:cand), cand) — DeepWalk's sampler with the RNG
+    replaced by the md5 hash order so the sampled corpus sits under
+    the cross-engine gate (the q_training_corpus split discipline
+    applied to graph sampling). Per step one frontier⋈edges join +
+    a per-walk min_by; cost |walks|·degree per step, never
+    graph-global."""
+    from salesforce_plugin_spark.functions.graph import deterministic_walks
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_suppkey") + 1000000).alias("src"),
+        F.col("l_partkey").alias("dst"),
+    )
+    seeds = (
+        li.select(F.col("l_partkey").alias("id"))
+        .distinct()
+        .orderBy("id")
+        .limit(5)
+    )
+    return deterministic_walks(edges, seeds, steps=4)
+
+
+def _walk_oracle(steps: int = 4) -> str:
+    ctes = ["""
+    e0 AS (
+        SELECT DISTINCT l_suppkey + 1000000 AS a, l_partkey AS b
+        FROM lineitem WHERE l_suppkey + 1000000 != l_partkey
+    ), und AS (
+        SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0
+    ), seeds AS (
+        SELECT DISTINCT l_partkey AS id FROM lineitem ORDER BY 1 LIMIT 5
+    ), w0 AS (
+        SELECT id AS walk_id, id AS node FROM seeds
+    )"""]
+    sel = ["SELECT walk_id, 0 AS step, node FROM w0"]
+    for i in range(1, steps + 1):
+        ctes.append(f"""
+    w{i} AS (
+        SELECT walk_id, b AS node FROM (
+            SELECT w.walk_id, u.b,
+                   row_number() OVER (
+                       PARTITION BY w.walk_id
+                       ORDER BY md5('{i}:' || CAST(w.node AS VARCHAR)
+                                    || ':' || CAST(u.b AS VARCHAR)),
+                                u.b) AS rn
+            FROM w{i - 1} w JOIN und u ON u.a = w.node
+        ) WHERE rn = 1
+    )""")
+        sel.append(f"SELECT walk_id, {i} AS step, node FROM w{i}")
+    return (
+        "\n    WITH " + ",".join(c.strip() for c in ctes)
+        + "\n    SELECT walk_id, CAST(step AS INT) AS step, node FROM ("
+        + " UNION ALL ".join(sel)
+        + ")"
+    )
+
+
+ORACLES["q_random_walk"] = _walk_oracle()

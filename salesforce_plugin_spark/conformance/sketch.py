@@ -759,3 +759,71 @@ ORACLES["q_cm_error"] = """
            CAST(s.est_n - e.true_n AS BIGINT) AS overcount
     FROM exact e JOIN est s USING (value)
 """
+
+
+def q_hll(spark, sf_dir):
+    """Portable-HLL cardinality eval (functions/sketch.py
+    hll_error_eval): per event_type, the m=64 register HLL estimate of
+    distinct users vs the exact count, with signed error — the
+    cardinality complement to q_cm_error / q_minhash_error (every
+    sketch in the library ships with its own measured-error harness).
+    The registers are md5-derived and the estimator is pure integer
+    (linear-counting correction included via the pinned 64-entry
+    LN64_TABLE_PPM), so the whole artifact sits under the hash gate.
+    Register state is ≤ 64 rows per group regardless of input size —
+    the property that makes the sketch the 100 TB answer while the
+    exact side stays affordable only at eval scale."""
+    from salesforce_plugin_spark.functions.sketch import hll_error_eval
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_error_eval(ev, "event_type", "user_id")
+
+
+def _hll_oracle() -> str:
+    from salesforce_plugin_spark.functions.sketch import LN64_TABLE_PPM
+
+    tab = "[" + ", ".join(str(x) for x in LN64_TABLE_PPM) + "]"
+    return f"""
+    WITH h AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hv
+        FROM events
+    ), regs AS (
+        SELECT event_type, hv % 64 AS bucket,
+               max(CASE WHEN hv // 64 = 0 THEN 55
+                        ELSE 55 - length(bin(hv // 64)) END) AS m_j
+        FROM h GROUP BY 1, 2
+    ), grp AS (
+        SELECT event_type,
+               SUM(CAST((CAST(1 AS BIGINT) << (55 - m_j)) AS HUGEINT) * 512)
+                   AS s_present,
+               count(*) AS n_regs
+        FROM regs GROUP BY 1
+    ), est0 AS (
+        SELECT event_type,
+               CAST(2905456640 AS HUGEINT) * 36028797018963968 * 512
+                 // ((s_present
+                      + CAST(64 - n_regs AS HUGEINT)
+                        * 36028797018963968 * 512) * 1000000) AS raw,
+               64 - n_regs AS v
+        FROM grp
+    ), est AS (
+        SELECT event_type,
+               CAST(CASE WHEN v > 0 AND raw <= 160
+                    THEN (64 * list_extract({tab}, CAST(v AS INT)))
+                         // 1000000
+                    ELSE raw END AS BIGINT) AS est_distinct
+        FROM est0
+    ), exact AS (
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS true_distinct
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type, e.true_distinct, s.est_distinct,
+           CAST(s.est_distinct - e.true_distinct AS BIGINT) AS err
+    FROM exact e JOIN est s USING (event_type)
+"""
+
+
+ORACLES["q_hll"] = _hll_oracle()

@@ -1276,3 +1276,74 @@ ORACLES["q_stream_kmv"] = """
 
 
 # streamed additive (type, day) counts == one-shot batch Theil-Sen
+
+
+def q_stream_hll(spark, sf_dir):
+    """F6 x cardinality sketch: the portable-HLL registers maintained
+    FROM A STREAM (streaming/upsert.run_stream_max_registers) — and,
+    unlike every additive face, with a deliberately OVERLAPPING batch
+    schedule: slice 0 is streamed TWICE, because register merge is MAX
+    (idempotent), so at-least-once delivery must not move the
+    estimate. Max-merged state feeds hll_estimate_from_registers and
+    must equal the one-shot batch estimate (q_hll's oracle VERBATIM) —
+    which also means equal to a run that never saw the duplicate."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.functions.sketch import (
+        hll_estimate_from_registers,
+    )
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_max_registers,
+        run_stream_max_registers,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_stream_hll_")
+    try:
+        slices = [e.filter(F.col("event_id") % 3 == i) for i in range(3)]
+        slices.append(e.filter(F.col("event_id") % 3 == 0))  # replay
+        src = _slice_to_files(spark, slices, tmp, None)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, event_type string, user_id long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+        run_stream_max_registers(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            group_cols=["event_type"],
+            value_col="user_id",
+        )
+        regs = read_max_registers(spark, state, ["event_type"])
+        est = hll_estimate_from_registers(regs, ["event_type"])
+        exact = e.groupBy("event_type").agg(
+            F.count_distinct(F.col("user_id"))
+            .cast("long")
+            .alias("true_distinct")
+        )
+        rows = (
+            exact.join(est, "event_type")
+            .select(
+                "event_type",
+                "true_distinct",
+                "est_distinct",
+                (F.col("est_distinct") - F.col("true_distinct"))
+                .cast("long")
+                .alias("err"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type string, true_distinct long, est_distinct long, err long",
+    )

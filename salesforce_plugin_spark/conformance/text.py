@@ -1191,3 +1191,47 @@ ORACLES["q_rerank"] = r"""
                 AS INT) AS rerank
     FROM reranked
 """
+
+
+def q_surprisal(spark, sf_dir):
+    """Unigram-LM surprisal scoring (functions/text.py
+    unigram_surprisal): per-document total and per-token ⌊log₂⌋
+    inverse-frequency bits, all integer via the shared bin()
+    bit-length idiom — the CCNet-perplexity-shaped quality/novelty
+    filter with a hash-gateable surface (float log2 is engine-ambiguous
+    at ulp boundaries; bit length is not). One vocab-bounded term
+    aggregate, a 1-row total broadcast, the corpus explode equijoined
+    to the vocab, one per-doc aggregate."""
+    from salesforce_plugin_spark.functions.text import unigram_surprisal
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_surprisal(d, "doc_id", "text")
+
+
+ORACLES["q_surprisal"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                   AS term
+        FROM documents
+    ), tk AS (
+        SELECT doc_id, term FROM toks WHERE term <> ''
+    ), vocab AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1
+    ), total AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab
+    ), scored AS (
+        SELECT t.doc_id,
+               CAST(length(bin(total.n_total // v.cnt)) - 1 AS BIGINT)
+                   AS bits
+        FROM tk t JOIN vocab v USING (term) CROSS JOIN total
+    ), agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(bits) AS BIGINT) AS surprisal_bits
+        FROM scored GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, surprisal_bits,
+           CAST((surprisal_bits * 1000000) // n_tokens AS BIGINT)
+               AS bits_per_token_ppm
+    FROM agg
+"""

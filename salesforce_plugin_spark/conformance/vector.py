@@ -755,3 +755,137 @@ def _hard_neg_oracle(k: int = 5) -> str:
 
 
 ORACLES["q_hard_negatives"] = _hard_neg_oracle()
+
+
+def q_knn_classify(spark, sf_dir):
+    """Embedding-space label prediction (functions/vector.py
+    knn_classify): deterministic arithmetic holdout (vec_id % 10 == 0),
+    5-NN majority vote under the exact corrected-isqrt cosine, tie
+    broken (votes desc, label asc) — the geometry-carries-labels eval
+    that closes the F3 loop (q_ann_recall grades retrieval; this grades
+    the label structure semantic dedup / clustering lean on). Queries
+    are the 50 lowest holdout ids — BOUNDED, so the pair stage stays
+    linear in the corpus at any scale — broadcast against ONE
+    reference scan; the vote is a k-bounded aggregate after the
+    per-query window prunes to k."""
+    e = parallelized(load_table(spark, sf_dir, "embeddings"))
+    return V.knn_classify(
+        e, "vec_id", "embedding", "label", k=5, max_queries=50
+    )
+
+
+def _knn_oracle(k: int = 5, mq: int = 50) -> str:
+    cos = _mmr_cos_ctes("sc", "pair_base", "qid, qlbl, vec_id, label")
+    return f"""
+    WITH qv AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                   AS q
+        FROM embeddings
+    ), queries AS (
+        SELECT vec_id AS qid, label AS qlbl, q AS qq
+        FROM qv WHERE vec_id % 10 = 0
+        ORDER BY vec_id LIMIT {mq}
+    ), train AS (
+        SELECT * FROM qv WHERE vec_id % 10 != 0
+    ), pair_base AS (
+        SELECT qu.qid, qu.qlbl, t.vec_id, t.label,
+               CAST(list_dot_product(CAST(t.q AS DOUBLE[]),
+                                     CAST(qu.qq AS DOUBLE[])) AS HUGEINT)
+                   AS dot,
+               CAST(list_dot_product(CAST(t.q AS DOUBLE[]),
+                                     CAST(t.q AS DOUBLE[])) AS HUGEINT)
+                   AS na,
+               CAST(list_dot_product(CAST(qu.qq AS DOUBLE[]),
+                                     CAST(qu.qq AS DOUBLE[])) AS HUGEINT)
+                   AS nb
+        FROM train t CROSS JOIN queries qu
+    ), {cos.strip()}, topk AS (
+        SELECT qid, qlbl, label
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY cos_ppm DESC, vec_id) AS rn
+            FROM sc
+        ) WHERE rn <= {k}
+    ), votes AS (
+        SELECT qid, qlbl, label, count(*) AS n_votes
+        FROM topk GROUP BY 1, 2, 3
+    )
+    SELECT qid AS vec_id, qlbl AS label,
+           label AS pred_label,
+           CAST(CASE WHEN qlbl = label THEN 1 ELSE 0 END AS INT) AS correct
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY n_votes DESC, label ASC) AS vr
+        FROM votes
+    ) WHERE vr = 1
+"""
+
+
+ORACLES["q_knn_classify"] = _knn_oracle()
+
+
+def q_quant_error(spark, sf_dir):
+    """int8-quantization fidelity eval (functions/vector.py
+    quant_error_eval): exact-integer cosine of int8-compressed vs
+    reference-quantized vectors over the deterministic consecutive-id
+    pair sample, signed ppm error — the measured-error harness for the
+    4× scan-volume int8 storage decision (the q_ann_recall discipline
+    applied to the compression knob; an error distribution here sizes
+    the re-rank budget of two-stage retrieval). Linear in the corpus
+    (id-adjacency join, no pair blowup)."""
+    e = parallelized(load_table(spark, sf_dir, "embeddings"))
+    return V.quant_error_eval(e, "vec_id", "embedding")
+
+
+def _quant_err_oracle() -> str:
+    cref = _mmr_cos_ctes("cref", "pr", "id_a, id_b")
+    cq = _mmr_cos_ctes("cq", "pq", "id_a, id_b")
+    return f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                   AS r,
+               CASE WHEN list_max(list_transform(embedding,
+                             x -> abs(CAST(x AS DOUBLE)))) > 0
+                    THEN list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE)
+                             * (127.0 / list_max(list_transform(embedding,
+                                    y -> abs(CAST(y AS DOUBLE)))))) AS BIGINT))
+                    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+               END AS q8
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               a.r AS ra, b.r AS rb, a.q8 AS qa, b.q8 AS qb
+        FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
+    ), pr AS (
+        SELECT id_a, id_b,
+               CAST(list_dot_product(CAST(ra AS DOUBLE[]),
+                                     CAST(rb AS DOUBLE[])) AS HUGEINT) AS dot,
+               CAST(list_dot_product(CAST(ra AS DOUBLE[]),
+                                     CAST(ra AS DOUBLE[])) AS HUGEINT) AS na,
+               CAST(list_dot_product(CAST(rb AS DOUBLE[]),
+                                     CAST(rb AS DOUBLE[])) AS HUGEINT) AS nb
+        FROM pairs
+    ), pq AS (
+        SELECT id_a, id_b,
+               CAST(list_dot_product(CAST(qa AS DOUBLE[]),
+                                     CAST(qb AS DOUBLE[])) AS HUGEINT) AS dot,
+               CAST(list_dot_product(CAST(qa AS DOUBLE[]),
+                                     CAST(qa AS DOUBLE[])) AS HUGEINT) AS na,
+               CAST(list_dot_product(CAST(qb AS DOUBLE[]),
+                                     CAST(qb AS DOUBLE[])) AS HUGEINT) AS nb
+        FROM pairs
+    ), {cref.strip()}, {cq.strip()}
+    SELECT r.id_a, r.id_b,
+           r.cos_ppm AS cos_ref_ppm,
+           q.cos_ppm AS cos_int8_ppm,
+           CAST(q.cos_ppm - r.cos_ppm AS BIGINT) AS err_ppm
+    FROM cref r JOIN cq q USING (id_a, id_b)
+"""
+
+
+ORACLES["q_quant_error"] = _quant_err_oracle()

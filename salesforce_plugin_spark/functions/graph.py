@@ -856,3 +856,74 @@ def ppr_fixed(
         F.col("__r").alias("rank_scaled"),
         (F.col("__r").cast("double") / F.lit(float(scale))).alias("rank"),
     )
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    steps: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """DeepWalk/node2vec-style walk sampling with a DETERMINISTIC
+    "random" successor: from each seed, ``steps`` hops over the
+    undirected graph, each hop choosing the neighbor minimizing
+    ``(md5(step:cur:neighbor), neighbor)`` — an unbiased-looking but
+    fully replayable hash order (the md5 split/sample discipline
+    applied to graph walk sampling, which real pipelines feed to
+    skip-gram embedding training; RNG walks could never sit under a
+    cross-engine hash gate). Dead ends terminate the walk (no
+    emission past them).
+
+    Per step: one frontier⋈edges equijoin + a per-walk ``min_by``
+    aggregate — frontier is |walks| rows, so cost is |walks|·avg-degree
+    per step, never graph-global; steps unroll into ONE lazy plan with
+    per-step ``localCheckpoint(eager=False)`` lineage cuts (the
+    khop/kcore discipline). Output (scalar-only): ``(walk_id long,
+    step int, node long)`` with step 0 = the seed itself.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    cur = seeds.select(
+        F.col(id_col).alias("walk_id"),
+        F.col(id_col).alias("node"),
+        F.lit(0).cast("int").alias("step"),
+    ).distinct()
+    out = cur
+    for i in range(1, steps + 1):
+        hop_hash = F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(str(i)),
+                F.col("node").cast("string"),
+                F.col("b").cast("string"),
+            )
+        )
+        nxt = (
+            cur.join(und, cur["node"] == und["a"])
+            .select(
+                "walk_id",
+                F.col("b").alias("__cand"),
+                hop_hash.alias("__h"),
+            )
+            .groupBy("walk_id")
+            .agg(
+                F.min_by(
+                    F.col("__cand"), F.struct(F.col("__h"), F.col("__cand"))
+                ).alias("node")
+            )
+            .select(
+                "walk_id", "node", F.lit(i).cast("int").alias("step")
+            )
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(nxt)
+        cur = nxt
+    return out.select("walk_id", "step", "node")

@@ -31,6 +31,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 from salesforce_plugin_spark.functions.dedup import portable_hash32
+from salesforce_plugin_spark.functions.exactmath import dcast, dfloor
 
 #: portable_hash32 maps into [0, 2^32); the estimator needs the space size.
 _HASH_SPACE = 1 << 32
@@ -991,4 +992,210 @@ def cm_error_eval(
         "true_n",
         F.col("est_n").cast("long").alias("est_n"),
         (F.col("est_n") - F.col("true_n")).cast("long").alias("overcount"),
+    )
+
+
+# --- HyperLogLog (portable-register variant) --------------------------------
+#
+# Spark's approx_count_distinct IS HLL++ but its registers are
+# engine-private (the module docstring's reason KMV carries the gate).
+# This is the complement: an HLL whose register computation is pinned to
+# public, engine-portable primitives (md5 → 60-bit integer; bucket = low
+# 6 bits; rank = leading-zero count of the remaining 54 bits via
+# length(bin(w)) — both engines strip leading zeros), so any md5-capable
+# engine replays the registers AND the integer estimator bit-for-bit
+# (Flajolet et al. 2007, the m=64 classic estimator).
+#
+# α₆₄ is pinned as the integer constant ALPHA64_PPM = round(10⁶ ·
+# 0.7213/(1 + 1.079/64)); the constant is part of the contract, like the
+# quantization constants elsewhere. The small-range linear-counting
+# correction needs ln() (float) and is deliberately OMITTED — this
+# variant exists to be measured, and hll_error_eval makes the resulting
+# low-cardinality bias visible instead of hiding it behind a float path
+# the gate couldn't check.
+
+#: 10⁶ · α₆₄ for the m=64 estimator, rounded — pinned contract constant.
+ALPHA64_PPM = 709340
+
+#: round(10⁶·ln(64/V)) for V in 1..64 — the linear-counting correction's
+#: ENTIRE domain as a pinned integer table (computed once here, embedded
+#: as literals in both the Spark plan and the DuckDB oracle SQL, so no
+#: engine evaluates ln at query time).
+LN64_TABLE_PPM = [4158883, 3465736, 3060271, 2772589, 2549445, 2367124, 2212973, 2079442, 1961659, 1856298, 1760988, 1673976, 1593934, 1519826, 1450833, 1386294, 1325670, 1268511, 1214444, 1163151, 1114361, 1067841, 1023389, 980829, 940007, 900787, 863046, 826679, 791587, 757686, 724896, 693147, 662376, 632523, 603535, 575364, 547965, 521297, 495321, 470004, 445311, 421213, 397683, 374693, 352221, 330242, 308735, 287682, 267063, 246860, 227057, 207639, 188591, 169899, 151550, 133531, 115832, 98440, 81346, 64539, 48009, 31749, 15748, 0]
+
+#: 2^55 (the largest power of two used as an exact BIGINT literal here).
+_POW55 = 1 << 55
+
+
+def hll_registers(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
+    """(group, bucket, max-rank) register rows for an m=64 portable HLL.
+
+    One exchange on (group, bucket) with map-side partial max — register
+    state is ≤ 64 rows per group no matter how many input rows, which is
+    the whole point of HLL at 100 TB: the shuffle is bounded by
+    |groups|·64, not by cardinality (KMV's k-smallest needs a distinct
+    pass first; HLL's max is directly partial-aggregable).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    # h div 64 via an integer shift — `/` would be DOUBLE division,
+    # losing bits past 2^53 on a 60-bit hash.
+    w = F.shiftright(h, 6)
+    rank = F.when(w == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.bin(w))
+    )
+    return (
+        df.select(*group_cols, (h % 64).alias("bucket"), rank.alias("rank"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").alias("m_j"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group HLL cardinality estimate as an exact-integer pipeline.
+
+    Raw estimator: ``est = floor(α₆₄_ppm·m²·2⁶⁴ / (S·10⁶))`` with
+    ``S = Σ 2^(64−M_j)`` over all 64 registers (absent registers
+    contribute 2⁶⁴). Every term is an exact DECIMAL(38,0):
+    2^(64−M) = 512·2^(55−M) keeps the shift inside BIGINT range
+    (M ≥ 1 ⇒ exponent ≤ 54), and the numerator 709340·4096·2⁶⁴ ≈
+    5.4e28 sits well inside 38 digits.
+
+    Small-range correction (Flajolet et al. 2007 §4): when empty
+    registers exist (V = 64 − n_regs > 0) and the raw estimate is
+    ≤ 5/2·m, linear counting ``m·ln(m/V)`` applies. ln is float — so
+    it is pinned as the 64-entry integer table ``LN64_TABLE_PPM``
+    (V ∈ [1,64] is the ENTIRE domain), a contract constant shared
+    verbatim by the oracle generator; the correction is then the pure
+    integer ``(64·table[V]) div 10⁶``. Output: ``(*group_cols,
+    est_distinct long)``.
+    """
+    regs = hll_registers(df, group_cols, value_col)
+    return hll_estimate_from_registers(regs, group_cols)
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """:func:`hll_distinct`'s estimator from a pre-built ``(group,
+    bucket, m_j)`` register table — the entry point for MERGED register
+    state (streaming face / sketch unions: registers merge by MAX,
+    which is idempotent and commutative, so at-least-once delivery and
+    batch overlap are both harmless — strictly weaker requirements
+    than the additive-count faces' disjoint-slice contract)."""
+    # shiftleft's first arg MUST be BIGINT — a bare `1` is INT and the
+    # 32-bit shift silently wraps for exponents ≥ 31.
+    s_present = F.sum(
+        F.expr(f"{dcast('shiftleft(CAST(1 AS BIGINT), 55 - m_j)')} * 512")
+    )
+    n_regs = F.count(F.lit(1))
+    per_group = regs.groupBy(*group_cols).agg(
+        s_present.alias("__s_present"), n_regs.alias("__n_regs")
+    )
+    s_total = (
+        f"__s_present + {dcast('64 - __n_regs')} * {dcast(str(_POW55))} * 512"
+    )
+    num = f"{dcast(str(ALPHA64_PPM * 4096))} * {dcast(str(_POW55))} * 512"
+    raw = F.expr(dfloor(num, f"({s_total}) * 1000000"))
+    v = F.lit(64) - F.col("__n_regs")
+    lc_tab = F.array(*[F.lit(x) for x in LN64_TABLE_PPM])
+    # exact-multiple identity (the dfloor discipline, in Column algebra):
+    # the numerator ≤ 64·4158883 ≈ 2.7e8 ≪ 2^53, so the double divide of
+    # an exact multiple is exact.
+    lc_num = F.lit(64).cast("long") * F.element_at(lc_tab, v.cast("int")).cast(
+        "long"
+    )
+    lc = ((lc_num - lc_num % 1000000) / F.lit(1000000)).cast("long")
+    return per_group.select(
+        *group_cols,
+        F.when((v > 0) & (raw <= 160), lc)
+        .otherwise(raw)
+        .cast("long")
+        .alias("est_distinct"),
+    )
+
+
+def hll_error_eval(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """HLL accuracy against EXACT per-group distinct counts — the
+    cm_error_eval / minhash_error discipline applied to the cardinality
+    sketch: per group ``(true_distinct, est_distinct, err signed)``, so
+    the m=64 register budget (theoretical σ ≈ 1.04/√64 ≈ 13%) is sized
+    from measured error, and the linear-counting/raw estimator
+    crossover is measured rather than assumed to behave as published.
+    The exact side is the count-distinct the sketch replaces at
+    scale — affordable here because this is the eval."""
+    est = hll_distinct(df, [group_col], value_col)
+    exact = df.groupBy(group_col).agg(
+        F.count_distinct(F.col(value_col)).cast("long").alias("true_distinct")
+    )
+    return exact.join(est, group_col).select(
+        group_col,
+        "true_distinct",
+        "est_distinct",
+        (F.col("est_distinct") - F.col("true_distinct"))
+        .cast("long")
+        .alias("err"),
+    )
+
+
+def quantile_error_eval(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 1000,
+    scale: int = 1000,
+) -> DataFrame:
+    """Histogram-quantile accuracy against EXACT order statistics — the
+    q_cm_error / q_hll discipline applied to the quantile sketch: per
+    requested q, the binned estimate vs the exact k-th smallest value
+    (k = ceil(q·n), the same ceil-rank the sketch targets), both scaled
+    to integer millis, signed error — so ``n_bins`` is sized from
+    measured error instead of the one-bin-width worst case.
+
+    The exact side is one global sort-rank pass (the cost the sketch
+    exists to avoid at 100 TB — affordable here BECAUSE this is the
+    eval); the estimate side is the production one-exchange histogram.
+    Values are quantized round(value·scale) BEFORE ranking so the order
+    statistic is an integer both engines agree on; the binned ``est``
+    is a multiple of the exact-binary bin width, so round(est·scale)
+    is exact too. Output (scalar-only): ``(q double, est_milli long,
+    true_milli long, err_milli long)``.
+    """
+    est = binned_quantiles(df, value_col, qs, lo, hi, n_bins).select(
+        "q",
+        F.round(F.col("est") * scale, 0).cast("long").alias("est_milli"),
+    )
+    v = df.select(
+        F.round(F.col(value_col).cast("double") * scale, 0)
+        .cast("long")
+        .alias("__v")
+    )
+    ranked = v.select(
+        "__v", F.row_number().over(Window.orderBy("__v")).alias("__rk")
+    )
+    qdf = df.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    ks = qdf.crossJoin(
+        F.broadcast(v.agg(F.count(F.lit(1)).alias("__n")))
+    ).select("q", F.ceil(F.col("q") * F.col("__n")).cast("int").alias("__k"))
+    exact = ranked.join(
+        F.broadcast(ks), ranked["__rk"] == ks["__k"]
+    ).select("q", F.col("__v").alias("true_milli"))
+    return est.join(exact, "q").select(
+        "q",
+        "est_milli",
+        "true_milli",
+        (F.col("est_milli") - F.col("true_milli"))
+        .cast("long")
+        .alias("err_milli"),
     )

@@ -1397,3 +1397,59 @@ def bpe_apply(
         F.sum("__m").cast("long").alias("n_words"),
         F.sum(F.col("__m") * F.col("__nt")).cast("long").alias("n_tokens"),
     )
+
+
+def unigram_surprisal(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Integer unigram-LM surprisal per document — the perplexity-shaped
+    quality/novelty score with NO float log on the gate surface: each
+    token contributes ``bits = length(bin(N div c)) − 1`` (⌊log₂⌋ of the
+    inverse relative frequency, via the engine-shared bin() bit-length
+    idiom q_length_buckets pinned), where ``N`` is total corpus token
+    occurrences and ``c`` the token's corpus count. High bits/token ⇒
+    the document is built from rare tokens (novel or noisy); low ⇒
+    stopword-heavy boilerplate — the cheap unigram stand-in for the
+    model-perplexity filter in curation pipelines (CCNet-style), and
+    exactly replayable cross-engine, which a float log2 is not at ulp
+    boundaries.
+
+    Plan: ONE vocab-bounded term aggregate (partial-combined), its
+    1-row total broadcast by crossJoin, the corpus explode joined to
+    the vocab on the term key (broadcastable at dimension scale, plain
+    hash join otherwise — never wider than the explode itself), one
+    per-doc aggregate. Output (scalar-only): ``(id_col, n_tokens long,
+    surprisal_bits long, bits_per_token_ppm long)``.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+    vocab = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    total = vocab.select(F.sum("__cnt").cast("long").alias("__n_total"))
+    scored = (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "__id",
+            (
+                F.length(F.bin(F.expr("__n_total div __cnt"))) - F.lit(1)
+            )
+            .cast("long")
+            .alias("__bits"),
+        )
+    )
+    agg = scored.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("__bits").cast("long").alias("surprisal_bits"),
+    )
+    return agg.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        "surprisal_bits",
+        F.expr(
+            "CAST((surprisal_bits * 1000000) div n_tokens AS BIGINT)"
+        ).alias("bits_per_token_ppm"),
+    )

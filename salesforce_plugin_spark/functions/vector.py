@@ -1427,3 +1427,185 @@ def hard_negatives(
             F.col("__rn").cast("int").alias("rank"),
         )
     )
+
+
+def knn_classify(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    holdout_mod: int = 10,
+    quant: int = 1000,
+    max_queries: int = 200,
+) -> DataFrame:
+    """k-NN label prediction with a deterministic holdout — the
+    embedding-quality eval that closes the F3 loop (q_ann_recall
+    measures RETRIEVAL quality; this measures whether the geometry
+    carries LABEL structure, the signal curation pipelines use to
+    decide if an embedding column is good enough to drive semantic
+    dedup / clustering / hard-negative mining at all).
+
+    Split is the reproducible-md5-free arithmetic one: rows with
+    ``id % holdout_mod == 0`` are query CANDIDATES, the rest the
+    reference set (same family as q_training_corpus's hash split —
+    deterministic, engine-portable, no RNG); the eval set is the
+    ``max_queries`` LOWEST candidate ids (TakeOrderedAndProject — a
+    deterministic bounded sample). Each query votes among its ``k``
+    nearest reference vectors by the exact corrected-isqrt cosine;
+    majority label wins, ties broken by (count desc, label asc) — a
+    total order, so the prediction replays anywhere.
+
+    Scale shape: the eval set is BOUNDED (an eval harness measures a
+    sample, it does not grow with the corpus — the 10× probe showed
+    the unbounded form going 25× because both sides scaled), so the
+    pair stage is |corpus|·max_queries with the queries broadcast
+    against ONE reference scan (the cosine_topk_batch /
+    hard_negatives shape); the vote is a k-bounded per-query
+    aggregate after the window prunes to k. Output (scalar-only):
+    ``(id_col, label, pred_label, correct int)``.
+    """
+    qz = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * float(quant), 0).cast("long"),
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("__lbl"),
+        qz.alias("__q"),
+    )
+    queries = (
+        base.filter(F.col("__id") % holdout_mod == 0)
+        .orderBy("__id")
+        .limit(max_queries)
+        .select(
+            F.col("__id").alias("__qid"),
+            F.col("__lbl").alias("__qlbl"),
+            F.col("__q").alias("__qv"),
+        )
+    )
+    train = base.filter(F.col("__id") % holdout_mod != 0)
+
+    def lsum(col):
+        return F.aggregate(col, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    paired = train.crossJoin(F.broadcast(queries)).select(
+        "__qid",
+        "__qlbl",
+        "__id",
+        "__lbl",
+        lsum(F.zip_with(F.col("__q"), F.col("__qv"), lambda a, b: a * b))
+        .cast(D38)
+        .alias("__dot_d"),
+        lsum(F.transform(F.col("__q"), lambda x: x * x))
+        .cast(D38)
+        .alias("__na_d"),
+        lsum(F.transform(F.col("__qv"), lambda x: x * x))
+        .cast(D38)
+        .alias("__nb_d"),
+    )
+    scored = with_exact_cos_ppm(paired, "__dot_d", "__na_d", "__nb_d", "cos_ppm")
+    w = Window.partitionBy("__qid").orderBy(F.col("cos_ppm").desc(), F.col("__id"))
+    votes = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy("__qid", "__qlbl", "__lbl")
+        .agg(F.count(F.lit(1)).alias("__votes"))
+    )
+    wv = Window.partitionBy("__qid").orderBy(
+        F.col("__votes").desc(), F.col("__lbl").asc()
+    )
+    return (
+        votes.withColumn("__vr", F.row_number().over(wv))
+        .filter(F.col("__vr") == 1)
+        .select(
+            F.col("__qid").alias(id_col),
+            F.col("__qlbl").alias(label_col),
+            F.col("__lbl").alias("pred_label"),
+            F.when(F.col("__qlbl") == F.col("__lbl"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("correct"),
+        )
+    )
+
+
+def quant_error_eval(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    quant: int = 1000,
+) -> DataFrame:
+    """int8-quantization fidelity eval — the measured-error harness for
+    the storage-side F3 decision (quantize_int8's 4× scan-volume cut is
+    only free if the cosine it feeds stays faithful): over the
+    deterministic consecutive-id pair sample, the exact-integer cosine
+    of the int8 vectors vs the reference quantization's, signed ppm
+    error — the q_ann_recall / q_cm_error / q_hll discipline applied to
+    the compression knob. Both cosines run through the corrected-isqrt
+    integer chain, so the ERROR surface itself is engine-exact even
+    though it measures a lossy transform.
+
+    The pair sample joins ``id+1`` — linear in the corpus, no pair
+    blowup, and reproducible anywhere (the id-adjacency sample every
+    engine agrees on). int8 components come from quantize_int8's
+    floor(x·127/max|x|) — floor, not round, so no tie rule crosses
+    engines. Output (scalar-only): ``(id_a, id_b, cos_ref_ppm long,
+    cos_int8_ppm long, err_ppm long)``.
+    """
+    ref = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * float(quant), 0).cast("long"),
+    )
+    i8 = quantize_int8(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        int8_scale(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        ref.alias("__r"),
+        F.transform(i8, lambda x: x.cast("long")).alias("__q8"),
+    )
+    b = base.select(
+        (F.col("__id") - 1).alias("__ida"),
+        F.col("__id").alias("id_b"),
+        F.col("__r").alias("__rb"),
+        F.col("__q8").alias("__q8b"),
+    )
+    pairs = base.join(b, F.col("__id") == F.col("__ida")).select(
+        F.col("__id").alias("id_a"),
+        "id_b",
+        "__r",
+        "__rb",
+        "__q8",
+        "__q8b",
+    )
+
+    def lsum(col):
+        return F.aggregate(col, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    pairs = pairs.select(
+        "id_a",
+        "id_b",
+        lsum(F.zip_with(F.col("__r"), F.col("__rb"), lambda a, b: a * b))
+        .cast(D38)
+        .alias("__dot_r"),
+        lsum(F.transform(F.col("__r"), lambda x: x * x)).cast(D38).alias("__na_r"),
+        lsum(F.transform(F.col("__rb"), lambda x: x * x)).cast(D38).alias("__nb_r"),
+        lsum(F.zip_with(F.col("__q8"), F.col("__q8b"), lambda a, b: a * b))
+        .cast(D38)
+        .alias("__dot_q"),
+        lsum(F.transform(F.col("__q8"), lambda x: x * x)).cast(D38).alias("__na_q"),
+        lsum(F.transform(F.col("__q8b"), lambda x: x * x)).cast(D38).alias("__nb_q"),
+    )
+    pairs = with_exact_cos_ppm(pairs, "__dot_r", "__na_r", "__nb_r", "cos_ref_ppm")
+    pairs = with_exact_cos_ppm(pairs, "__dot_q", "__na_q", "__nb_q", "cos_int8_ppm")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "cos_ref_ppm",
+        "cos_int8_ppm",
+        (F.col("cos_int8_ppm") - F.col("cos_ref_ppm"))
+        .cast("long")
+        .alias("err_ppm"),
+    )

@@ -1538,3 +1538,80 @@ def theil_sen_from_daily(daily: DataFrame, key_col: str) -> DataFrame:
     return med.join(n_days, "__k").select(
         F.col("__k").alias(key_col), "n_days", "n_pairs", "slope_ppm"
     )
+
+
+def assoc_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Association rules over the frequent pairs (the Apriori rule step
+    on top of :func:`copurchase_pairs`' support counts): for every
+    surviving unordered pair, BOTH directed rules ``A → B`` with exact
+    integer confidence and lift in ppm —
+
+        conf_ppm = supp(A,B)·10⁶ div supp(A)
+        lift_ppm = supp(A,B)·N·10⁶ div (supp(A)·supp(B))
+
+    where ``N`` is the basket count. lift > 10⁶ means the pair
+    co-occurs more than independence predicts — the signal that ranks
+    recommendation edges and correlated-feature candidates. All
+    quadratic products run in DECIMAL(38,0) (supp·N·10⁶ at corpus
+    scale is far past 2^63 — the exactmath discipline).
+
+    Plan: pair supports from copurchase_pairs (one self-equijoin), item
+    supports from one distinct aggregate, N from a 1-row aggregate
+    broadcast by crossJoin; the two item-support attachments are
+    broadcastable joins at dimension scale and hash joins otherwise.
+    Output (scalar-only): ``(antecedent, consequent, support long,
+    conf_ppm long, lift_ppm long)``.
+    """
+    pairs = copurchase_pairs(df, basket_col, item_col, min_support)
+    b = df.select(
+        F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it")
+    ).distinct()
+    item_supp = b.groupBy(F.col("__it").alias("__item")).agg(
+        F.count(F.lit(1)).alias("__supp")
+    )
+    n_baskets = b.select(
+        F.count_distinct(F.col("__bk")).alias("__n")
+    )
+    directed = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "support",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "support",
+        )
+    )
+    out = (
+        directed.join(
+            F.broadcast(item_supp.withColumnRenamed("__supp", "__supp_a")),
+            F.col("antecedent") == F.col("__item"),
+        )
+        .drop("__item")
+        .join(
+            F.broadcast(item_supp.withColumnRenamed("__supp", "__supp_b")),
+            F.col("consequent") == F.col("__item"),
+        )
+        .drop("__item")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return out.select(
+        "antecedent",
+        "consequent",
+        F.col("support").cast("long").alias("support"),
+        F.expr(
+            dfloor(f"{dcast('support')} * 1000000", dcast("__supp_a"))
+        ).alias("conf_ppm"),
+        F.expr(
+            dfloor(
+                f"{dcast('support')} * {dcast('__n')} * 1000000",
+                f"{dcast('__supp_a')} * {dcast('__supp_b')}",
+            )
+        ).alias("lift_ppm"),
+    )

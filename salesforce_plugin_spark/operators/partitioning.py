@@ -140,3 +140,38 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-safe exact COUNT(DISTINCT) via two-stage salted aggregation
+    — the pattern that saves the query when ONE group holds most of the
+    stream (a power-law event type): a plain
+    ``groupBy(group).agg(count_distinct)`` funnels the hot group's
+    whole distinct-set state through one reducer; salting by a HASH OF
+    THE VALUE first makes stage 1 dedup ``(group, salt-shard)``
+    sub-sets independently, and because value-hash sharding PARTITIONS
+    the distinct set (a value lands in exactly one shard), the stage-2
+    per-shard distinct counts add up to the exact global count — no
+    approximation, unlike the sketches, and no single-task hot spot.
+
+    The salt must be a deterministic function of the VALUE (md5 here,
+    so the result — not just the count — is engine-replayable under
+    the gate); a row-random salt would double-count values seen by two
+    shards. Output (scalar-only): ``(*group_cols, n_distinct long)``.
+    """
+    from salesforce_plugin_spark.functions.dedup import portable_hash32
+
+    shard = F.pmod(portable_hash32(F.col(value_col)), F.lit(salt))
+    stage1 = (
+        df.select(*group_cols, F.col(value_col).alias("__val"), shard.alias(SALT_COL))
+        .groupBy(*group_cols, SALT_COL)
+        .agg(F.count_distinct(F.col("__val")).alias("__nd"))
+    )
+    return stage1.groupBy(*group_cols).agg(
+        F.sum("__nd").cast("long").alias("n_distinct")
+    )

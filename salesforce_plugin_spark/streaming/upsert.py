@@ -678,3 +678,48 @@ def read_summed_counts(spark, state_dir: str, group_cols: list[str]):
         .groupBy(*group_cols)
         .agg(F.sum("n").cast("long").alias("n"))
     )
+
+
+def run_stream_max_registers(
+    stream,
+    state_dir: str,
+    checkpoint: str,
+    group_cols: list[str],
+    value_col: str,
+):
+    """HLL register maintenance from a stream: each micro-batch appends
+    its per-(group, bucket) partial max-rank rows
+    (functions/sketch.hll_registers over the batch); because register
+    merge is MAX — idempotent, commutative, associative — the
+    max-merged state equals one batch build over everything streamed,
+    and unlike the additive-count faces this holds under REPLAYED or
+    overlapping batches too (at-least-once delivery is safe; the
+    additive fold requires exactly-once disjoint slices). State grows
+    by ≤ |groups|·64 rows per batch; read with
+    :func:`read_max_registers` and compact by rewriting the merged
+    table."""
+    from salesforce_plugin_spark.functions.sketch import hll_registers
+
+    def fold(batch, _id: int) -> None:
+        hll_registers(batch, group_cols, value_col).write.mode(
+            "append"
+        ).parquet(state_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_max_registers(spark, state_dir: str, group_cols: list[str]):
+    """Max-merge the accumulated per-batch partial registers to the
+    final per-(group, bucket) registers (exact: MAX in any order)."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )

@@ -211,6 +211,12 @@ PROBE = [
     "q_ppr",
     "q_cm_error",
     "q_stratified_sample",
+    "q_hll",
+    "q_knn_classify",
+    "q_assoc_rules",
+    "q_surprisal",
+    "q_quant_error",
+    "q_random_walk",
 ]
 
 

@@ -1,0 +1,280 @@
+"""Round-6 breadth operators: portable HLL (+ linear counting), k-NN
+label classification, association rules, unigram surprisal."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestHLL:
+    def test_small_range_linear_counting_near_exact(self, spark):
+        """At n << m the raw HLL estimator is known-biased; the pinned
+        linear-counting table must bring the estimate within a few
+        counts of truth."""
+        from salesforce_plugin_spark.functions.sketch import hll_error_eval
+
+        df = spark.createDataFrame(
+            [("g", i) for i in range(20)], "grp string, v long"
+        )
+        row = hll_error_eval(df, "grp", "v").collect()[0]
+        assert row.true_distinct == 20
+        assert abs(row.err) <= 4
+
+    def test_mid_range_within_published_sigma(self, spark):
+        """n = 500 at m = 64: σ ≈ 1.04/√64 = 13%; allow 3σ."""
+        from salesforce_plugin_spark.functions.sketch import hll_error_eval
+
+        df = spark.createDataFrame(
+            [("g", i * 7919) for i in range(500)], "grp string, v long"
+        )
+        row = hll_error_eval(df, "grp", "v").collect()[0]
+        assert abs(row.err) <= 0.39 * 500
+
+    def test_duplicates_do_not_move_registers(self, spark):
+        """Cardinality sketch: multiplicity must be invisible."""
+        from salesforce_plugin_spark.functions.sketch import hll_distinct
+
+        once = spark.createDataFrame(
+            [("g", i) for i in range(100)], "grp string, v long"
+        )
+        many = spark.createDataFrame(
+            [("g", i) for i in range(100) for _ in range(5)],
+            "grp string, v long",
+        )
+        a = hll_distinct(once, ["grp"], "v").collect()[0].est_distinct
+        b = hll_distinct(many, ["grp"], "v").collect()[0].est_distinct
+        assert a == b
+
+    def test_ln_table_matches_math_log(self):
+        """The pinned table IS round(1e6·ln(64/V)) — the contract."""
+        from salesforce_plugin_spark.functions.sketch import LN64_TABLE_PPM
+
+        assert len(LN64_TABLE_PPM) == 64
+        for v in (1, 2, 5, 32, 63, 64):
+            assert LN64_TABLE_PPM[v - 1] == round(1e6 * math.log(64 / v))
+
+
+class TestKnnClassify:
+    def test_separable_clusters_classify_perfectly(self, spark):
+        """Two well-separated directions: every holdout row must get
+        its own cluster's label."""
+        from salesforce_plugin_spark.functions.vector import knn_classify
+
+        rows = []
+        for i in range(40):
+            if i % 2 == 0:
+                vec, lbl = [1.0, 0.0 + i * 1e-4], 0
+            else:
+                vec, lbl = [0.0 + i * 1e-4, 1.0], 1
+            rows.append((i, vec, lbl))
+        df = spark.createDataFrame(rows, "id long, v array<float>, lbl int")
+        out = knn_classify(df, "id", "v", "lbl", k=3, holdout_mod=10)
+        got = {r.id: (r.lbl, r.pred_label, r.correct) for r in out.collect()}
+        assert set(got) == {0, 10, 20, 30}
+        for _id, (lbl, pred, correct) in got.items():
+            assert pred == lbl and correct == 1
+
+    def test_vote_tie_breaks_to_smaller_label(self, spark):
+        """k=2 with one neighbor of each label: tie → smaller label."""
+        from salesforce_plugin_spark.functions.vector import knn_classify
+
+        df = spark.createDataFrame(
+            [
+                (10, [1.0, 0.0], 9),  # query (10 % 10 == 0)
+                (1, [1.0, 0.01], 5),
+                (2, [1.0, -0.01], 3),
+            ],
+            "id long, v array<float>, lbl int",
+        )
+        out = knn_classify(df, "id", "v", "lbl", k=2, holdout_mod=10)
+        row = out.collect()[0]
+        assert row.pred_label == 3 and row.correct == 0
+
+
+class TestAssocRules:
+    def test_hand_computed_confidence_and_lift(self, spark):
+        """4 baskets: {a,b} ×3, {a} ×1 ⇒ supp(ab)=3, supp(a)=4,
+        supp(b)=3, N=4. conf(a→b)=750000; lift=(3·4)/(4·3)=10⁶ exactly;
+        conf(b→a)=10⁶."""
+        from salesforce_plugin_spark.operators.analytics import assoc_rules
+
+        rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"),
+                (3, "a"), (3, "b"), (4, "a")]
+        df = spark.createDataFrame(rows, "bk int, it string")
+        out = {
+            (r.antecedent, r.consequent): (r.support, r.conf_ppm, r.lift_ppm)
+            for r in assoc_rules(df, "bk", "it", min_support=2).collect()
+        }
+        assert out[("a", "b")] == (3, 750000, 1000000)
+        assert out[("b", "a")] == (3, 1000000, 1000000)
+
+    def test_negative_association_lift_below_one(self, spark):
+        """Items that co-occur LESS than independence predicts get
+        lift < 10⁶."""
+        from salesforce_plugin_spark.operators.analytics import assoc_rules
+
+        # a in 4 baskets, b in 4 baskets, together only once; N=7
+        rows = (
+            [(i, "a") for i in range(1, 5)]
+            + [(i, "b") for i in range(4, 8)]
+        )
+        df = spark.createDataFrame(rows, "bk int, it string")
+        out = {
+            (r.antecedent, r.consequent): r.lift_ppm
+            for r in assoc_rules(df, "bk", "it", min_support=1).collect()
+        }
+        # lift = 1·7·10⁶/(4·4) = 437500
+        assert out[("a", "b")] == 437500
+
+    def test_multiplicity_inside_basket_ignored(self, spark):
+        from salesforce_plugin_spark.operators.analytics import assoc_rules
+
+        rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b")]
+        df = spark.createDataFrame(rows, "bk int, it string")
+        out = assoc_rules(df, "bk", "it", min_support=2).collect()
+        sup = {(r.antecedent, r.consequent): r.support for r in out}
+        assert sup[("a", "b")] == 2
+
+
+class TestUnigramSurprisal:
+    def test_uniform_corpus_bits_exact(self, spark):
+        """4 docs of one token each, all distinct ⇒ N=4, c=1 per token,
+        bits = ⌊log₂ 4⌋ = 2 per token."""
+        from salesforce_plugin_spark.functions.text import unigram_surprisal
+
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(["aa", "bb", "cc", "dd"])],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in unigram_surprisal(df, "doc_id", "text").collect()}
+        for r in out.values():
+            assert (r.n_tokens, r.surprisal_bits, r.bits_per_token_ppm) == (
+                1, 2, 2000000,
+            )
+
+    def test_common_token_scores_zero_bits(self, spark):
+        """A token that IS most of the corpus has N div c = 1 ⇒ 0 bits;
+        the rare token carries the surprisal."""
+        from salesforce_plugin_spark.functions.text import unigram_surprisal
+
+        df = spark.createDataFrame(
+            [(1, "the the the the the the the rare")],
+            "doc_id long, text string",
+        )
+        r = unigram_surprisal(df, "doc_id", "text").collect()[0]
+        # N=8; 'the' c=7 → 8 div 7 = 1 → 0 bits; 'rare' c=1 → 8 → 3 bits
+        assert r.n_tokens == 8
+        assert r.surprisal_bits == 3
+        assert r.bits_per_token_ppm == 375000
+
+
+class TestStreamRegisters:
+    def test_max_merge_replay_idempotent(self, spark):
+        """Register state max-merged from overlapping partial builds
+        must equal the one-shot build — the at-least-once-safety claim
+        of the streaming HLL face."""
+        from salesforce_plugin_spark.functions.sketch import (
+            hll_distinct,
+            hll_registers,
+        )
+
+        df = spark.createDataFrame(
+            [("g", i) for i in range(300)], "grp string, v long"
+        )
+        a = hll_registers(df.filter("v < 200"), ["grp"], "v")
+        b = hll_registers(df.filter("v >= 100"), ["grp"], "v")  # overlap
+        merged = (
+            a.unionByName(b)
+            .groupBy("grp", "bucket")
+            .agg(F.max("m_j").alias("m_j"))
+        )
+        from salesforce_plugin_spark.functions.sketch import (
+            hll_estimate_from_registers,
+        )
+
+        est_m = hll_estimate_from_registers(merged, ["grp"]).collect()[0]
+        est_1 = hll_distinct(df, ["grp"], "v").collect()[0]
+        assert est_m.est_distinct == est_1.est_distinct
+
+
+class TestQuantError:
+    def test_identical_vectors_zero_error(self, spark):
+        """Identical adjacent vectors: both quantizations give cos =
+        10⁶ exactly, so the measured error is 0."""
+        from salesforce_plugin_spark.functions.vector import quant_error_eval
+
+        df = spark.createDataFrame(
+            [(1, [0.5, 0.25, -0.125]), (2, [0.5, 0.25, -0.125])],
+            "id long, v array<float>",
+        )
+        r = quant_error_eval(df, "id", "v").collect()[0]
+        assert (r.cos_ref_ppm, r.cos_int8_ppm, r.err_ppm) == (
+            1000000, 1000000, 0,
+        )
+
+    def test_error_bounded_for_generic_pairs(self, spark):
+        """int8 keeps ~7 bits per component: cosine error on
+        well-scaled vectors stays within ~2% (2·10⁴ ppm)."""
+        from salesforce_plugin_spark.functions.vector import quant_error_eval
+
+        rows = [
+            (i, [((i * 37 + j * 11) % 19 - 9) / 10.0 for j in range(8)])
+            for i in range(1, 30)
+        ]
+        df = spark.createDataFrame(rows, "id long, v array<float>")
+        out = quant_error_eval(df, "id", "v").collect()
+        assert len(out) == 28
+        assert all(abs(r.err_ppm) < 20000 for r in out)
+
+    def test_zero_vector_surfaces_null(self, spark):
+        from salesforce_plugin_spark.functions.vector import quant_error_eval
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "id long, v array<float>"
+        )
+        r = quant_error_eval(df, "id", "v").collect()[0]
+        assert r.cos_ref_ppm is None and r.cos_int8_ppm is None
+
+
+class TestDeterministicWalks:
+    def test_forced_path_followed(self, spark):
+        """A path graph 1-2-3-4-5 from seed 1: step 1 must go to 2;
+        subsequent hops are hash-chosen between the two neighbors but
+        every emitted node must be adjacent to its predecessor."""
+        from salesforce_plugin_spark.functions.graph import deterministic_walks
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(1,)], "id long")
+        out = {
+            r.step: r.node
+            for r in deterministic_walks(edges, seeds, steps=3).collect()
+        }
+        assert out[0] == 1 and out[1] == 2
+        adj = {(1, 2), (2, 3), (3, 4), (4, 5)}
+        for s in (2, 3):
+            a, b = out[s - 1], out[s]
+            assert (min(a, b), max(a, b)) in adj
+
+    def test_isolated_seed_stops_at_step_zero(self, spark):
+        from salesforce_plugin_spark.functions.graph import deterministic_walks
+
+        edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+        seeds = spark.createDataFrame([(9,)], "id long")
+        out = deterministic_walks(edges, seeds, steps=3).collect()
+        assert [(r.walk_id, r.step, r.node) for r in out] == [(9, 0, 9)]
+
+    def test_replay_identical(self, spark):
+        from salesforce_plugin_spark.functions.graph import deterministic_walks
+
+        edges = spark.createDataFrame(
+            [(i, (i * 3) % 7 + 10) for i in range(7)], "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(0,), (1,)], "id long")
+        a = sorted(map(tuple, deterministic_walks(edges, seeds, 4).collect()))
+        b = sorted(map(tuple, deterministic_walks(edges, seeds, 4).collect()))
+        assert a == b
