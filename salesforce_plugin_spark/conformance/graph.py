@@ -781,3 +781,44 @@ def _walk_oracle(steps: int = 4) -> str:
 
 
 ORACLES["q_random_walk"] = _walk_oracle()
+
+
+def q_link_predict(spark, sf_dir):
+    """Link prediction (functions/graph.py link_prediction): exact
+    common-neighbor count, Jaccard ppm, and INTEGER Adamic-Adar
+    (⌊log₂⌋+1 hub damping via the shared bin() bit-length idiom — no
+    float ln on the gate surface, no deg-1 singularity) for every part
+    pair sharing ≥ 3 orders — the recommendation-edge ranker and the
+    dedup-candidate prioritizer on the q_copurchase pair space (one
+    hub-key self-equijoin; degrees attach by broadcast)."""
+    from salesforce_plugin_spark.functions.graph import link_prediction
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return link_prediction(li, "l_orderkey", "l_partkey", min_common=3)
+
+
+ORACLES["q_link_predict"] = """
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS hub, l_partkey AS n FROM lineitem
+    ), hdeg AS (
+        SELECT hub, count(*) AS hd FROM b GROUP BY 1
+    ), ndeg AS (
+        SELECT n, count(*) AS nd FROM b GROUP BY 1
+    ), pair_hub AS (
+        SELECT a.n AS node_a, c.n AS node_b, h.hd
+        FROM b a JOIN b c ON a.hub = c.hub AND a.n < c.n
+        JOIN hdeg h ON h.hub = a.hub
+    ), scored AS (
+        SELECT node_a, node_b,
+               CAST(count(*) AS BIGINT) AS common,
+               CAST(sum(1000 // length(bin(hd))) AS BIGINT) AS aa_milli
+        FROM pair_hub GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT s.node_a, s.node_b, s.common,
+           CAST((s.common * 1000000) // (da.nd + db.nd - s.common)
+                AS BIGINT) AS jaccard_ppm,
+           s.aa_milli
+    FROM scored s
+    JOIN ndeg da ON da.n = s.node_a
+    JOIN ndeg db ON db.n = s.node_b
+"""

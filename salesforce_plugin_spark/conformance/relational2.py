@@ -996,3 +996,27 @@ ORACLES["q_ntile"] = """
     WINDOW w AS (ORDER BY cents, s_suppkey)
 """
 
+
+
+def q_salted_distinct(spark, sf_dir):
+    """Skew-safe exact COUNT(DISTINCT) under the gate
+    (operators/partitioning.salted_count_distinct): stage 1 dedups
+    (group, value-hash-shard) sub-sets independently, stage 2 sums the
+    per-shard distinct counts — exact because value-hash sharding
+    PARTITIONS the distinct set. The q_skew_join discipline applied to
+    the other single-hot-reducer classic (a plain count_distinct
+    funnels the hottest group's whole distinct set through one task at
+    100 TB). Oracle is the plain COUNT(DISTINCT) it must equal."""
+    from salesforce_plugin_spark.operators.partitioning import (
+        salted_count_distinct,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return salted_count_distinct(e, ["event_type"], "user_id", salt=16)
+
+
+ORACLES["q_salted_distinct"] = """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY 1
+"""

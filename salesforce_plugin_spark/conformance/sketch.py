@@ -827,3 +827,61 @@ def _hll_oracle() -> str:
 
 
 ORACLES["q_hll"] = _hll_oracle()
+
+
+def q_quantile_error(spark, sf_dir):
+    """Quantile-sketch accuracy eval (functions/sketch.py
+    quantile_error_eval): the binned p50/p90/p99 estimate vs the EXACT
+    ceil-rank order statistic, both in integer millis, signed error —
+    the q_cm_error / q_hll / q_minhash_error discipline applied to the
+    quantile sketch, so n_bins is sized from measured error instead of
+    the one-bin-width worst case. The exact side is one global
+    rank pass — the cost the histogram avoids at 100 TB, affordable
+    here because this is the eval."""
+    from salesforce_plugin_spark.functions.sketch import quantile_error_eval
+
+    e = load_table(spark, sf_dir, "events")
+    return quantile_error_eval(
+        e, "value", [0.5, 0.9, 0.99], 0.0, 500.0, 1000
+    )
+
+
+ORACLES["q_quantile_error"] = """
+    WITH binned AS (
+        SELECT least(999, greatest(0,
+                   CAST(floor(value / 0.5) AS BIGINT))) AS bin
+        FROM events WHERE value IS NOT NULL
+    ), counts AS (
+        SELECT bin, count(*) AS cnt FROM binned GROUP BY bin
+    ), cum AS (
+        SELECT bin, cnt,
+               sum(cnt) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+               sum(cnt) OVER () AS n
+        FROM counts
+    ), qs AS (
+        SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                       CAST(0.99 AS DOUBLE)]) AS q
+    ), est AS (
+        SELECT q,
+               CAST(round((CAST(0.0 AS DOUBLE)
+                    + (min(bin) + 1) * CAST(0.5 AS DOUBLE)) * 1000)
+                    AS BIGINT) AS est_milli
+        FROM cum, qs
+        WHERE c >= ceil(q * n)
+        GROUP BY q
+    ), vals AS (
+        SELECT CAST(round(CAST(value AS DOUBLE) * 1000) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+    ), ranked AS (
+        SELECT v, row_number() OVER (ORDER BY v) AS rk,
+               count(*) OVER () AS n
+        FROM vals
+    ), exact AS (
+        SELECT q, v AS true_milli
+        FROM ranked JOIN qs ON rk = CAST(ceil(q * n) AS BIGINT)
+    )
+    SELECT e.q, e.est_milli, x.true_milli,
+           CAST(e.est_milli - x.true_milli AS BIGINT) AS err_milli
+    FROM est e JOIN exact x USING (q)
+"""

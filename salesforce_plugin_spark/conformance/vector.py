@@ -889,3 +889,27 @@ def _quant_err_oracle() -> str:
 
 
 ORACLES["q_quant_error"] = _quant_err_oracle()
+
+
+def q_knn_confusion(spark, sf_dir):
+    """Class-confusion matrix of the k-NN eval (functions/vector.py
+    knn_classify aggregated to (label, pred_label, n)) — the artifact a
+    curation pipeline actually consumes from the geometry eval: which
+    label pairs the embedding space conflates (the instance-level
+    complement of q_centroid_sim's centroid-cosine confusion, and the
+    quantity that decides whether label-blocked semantic dedup is safe
+    for a given pair of classes). Same bounded-eval-set plan as
+    q_knn_classify plus one k·|queries|-bounded aggregate."""
+    e = parallelized(load_table(spark, sf_dir, "embeddings"))
+    preds = V.knn_classify(
+        e, "vec_id", "embedding", "label", k=5, max_queries=50
+    )
+    return preds.groupBy("label", "pred_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+ORACLES["q_knn_confusion"] = (
+    "\n    SELECT label, pred_label, CAST(count(*) AS BIGINT) AS n"
+    "\n    FROM (" + _knn_oracle() + ") GROUP BY 1, 2\n"
+)

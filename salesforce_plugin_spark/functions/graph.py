@@ -927,3 +927,80 @@ def deterministic_walks(
         out = out.unionByName(nxt)
         cur = nxt
     return out.select("walk_id", "step", "node")
+
+
+def link_prediction(
+    edges: DataFrame,
+    hub_col: str,
+    node_col: str,
+    min_common: int = 2,
+) -> DataFrame:
+    """Common-neighbor link prediction over a bipartite hub↔node graph
+    (baskets↔items, suppliers↔parts, users↔docs): for every node pair
+    sharing ≥ ``min_common`` hubs, the three classic scores —
+
+        common       exact shared-hub count
+        jaccard_ppm  common·10⁶ div (deg_a + deg_b − common)
+        aa_milli     Σ_hubs 1000 div bits(hub_degree)   (integer
+                     Adamic-Adar: ⌊log₂⌋+1 via length(bin(·))
+                     replaces ln, so big promiscuous hubs still count
+                     less and the score stays under the hash gate —
+                     and bits(1) = 1 removes ln's deg-1 singularity)
+
+    — the recommendation-edge ranker and the dedup-candidate
+    prioritizer (pairs with high hub overlap are merge candidates
+    before any expensive pairwise compare runs).
+
+    Plan: ONE distinct (hub, node) pass; the pair space is the
+    q_copurchase self-equijoin on the hub key (a < b halves it;
+    per-hub cost C(degree, 2), bounded by real hub sizes — cap
+    upstream for pathological hubs); hub degrees and node degrees are
+    two bounded aggregates joined back by broadcast at dimension
+    scale. Output (scalar-only): ``(node_a, node_b, common long,
+    jaccard_ppm long, aa_milli long)``.
+    """
+    b = edges.select(
+        F.col(hub_col).alias("__hub"), F.col(node_col).alias("__n")
+    ).distinct()
+    hub_deg = b.groupBy("__hub").agg(
+        F.count(F.lit(1)).alias("__hdeg")
+    )
+    node_deg = b.groupBy(F.col("__n").alias("__nd")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    a = b.select(F.col("__hub"), F.col("__n").alias("node_a"))
+    c = b.select(F.col("__hub"), F.col("__n").alias("node_b"))
+    pair_hub = (
+        a.join(c, "__hub")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .join(hub_deg, "__hub")
+    )
+    aa_term = F.expr(
+        "1000 div length(bin(__hdeg))"
+    )
+    scored = pair_hub.groupBy("node_a", "node_b").agg(
+        F.count(F.lit(1)).cast("long").alias("common"),
+        F.sum(aa_term).cast("long").alias("aa_milli"),
+    ).filter(F.col("common") >= min_common)
+    return (
+        scored.join(
+            F.broadcast(node_deg.withColumnRenamed("__deg", "__deg_a")),
+            F.col("node_a") == F.col("__nd"),
+        )
+        .drop("__nd")
+        .join(
+            F.broadcast(node_deg.withColumnRenamed("__deg", "__deg_b")),
+            F.col("node_b") == F.col("__nd"),
+        )
+        .drop("__nd")
+        .select(
+            "node_a",
+            "node_b",
+            "common",
+            F.expr(
+                "CAST((common * 1000000)"
+                " div (__deg_a + __deg_b - common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+            "aa_milli",
+        )
+    )

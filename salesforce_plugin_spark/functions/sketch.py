@@ -1174,7 +1174,7 @@ def quantile_error_eval(
         "q",
         F.round(F.col("est") * scale, 0).cast("long").alias("est_milli"),
     )
-    v = df.select(
+    v = df.filter(F.col(value_col).isNotNull()).select(
         F.round(F.col(value_col).cast("double") * scale, 0)
         .cast("long")
         .alias("__v")

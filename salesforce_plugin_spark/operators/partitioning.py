@@ -166,7 +166,11 @@ def salted_count_distinct(
     """
     from salesforce_plugin_spark.functions.dedup import portable_hash32
 
-    shard = F.pmod(portable_hash32(F.col(value_col)), F.lit(salt))
+    # portable_hash32 md5s a BINARY; numeric values go through their
+    # string form (the md5 split/shard idiom everywhere else)
+    shard = F.pmod(
+        portable_hash32(F.col(value_col).cast("string")), F.lit(salt)
+    )
     stage1 = (
         df.select(*group_cols, F.col(value_col).alias("__val"), shard.alias(SALT_COL))
         .groupBy(*group_cols, SALT_COL)

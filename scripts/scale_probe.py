@@ -217,6 +217,10 @@ PROBE = [
     "q_surprisal",
     "q_quant_error",
     "q_random_walk",
+    "q_quantile_error",
+    "q_salted_distinct",
+    "q_link_predict",
+    "q_knn_confusion",
 ]
 
 

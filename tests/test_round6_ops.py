@@ -278,3 +278,92 @@ class TestDeterministicWalks:
         a = sorted(map(tuple, deterministic_walks(edges, seeds, 4).collect()))
         b = sorted(map(tuple, deterministic_walks(edges, seeds, 4).collect()))
         assert a == b
+
+
+class TestQuantileError:
+    def test_exact_within_one_bin(self, spark):
+        """Uniform 0..99 values with bin width 0.5: estimate must sit
+        within one bin width above the exact order statistic."""
+        from salesforce_plugin_spark.functions.sketch import (
+            quantile_error_eval,
+        )
+
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(100)], "value double"
+        )
+        out = {
+            r.q: r
+            for r in quantile_error_eval(
+                df, "value", [0.5, 0.9], 0.0, 500.0, 1000
+            ).collect()
+        }
+        for r in out.values():
+            assert 0 <= r.err_milli <= 500
+        # p50 of 0..99: k = ceil(0.5·100) = 50 → value 49.0
+        assert out[0.5].true_milli == 49000
+
+
+class TestSaltedDistinct:
+    def test_equals_plain_count_distinct(self, spark):
+        from salesforce_plugin_spark.operators.partitioning import (
+            salted_count_distinct,
+        )
+
+        rows = [("a", i % 17) for i in range(200)] + [
+            ("b", i % 5) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "g string, v long")
+        got = {
+            r.g: r.n_distinct
+            for r in salted_count_distinct(df, ["g"], "v", salt=8).collect()
+        }
+        assert got == {"a": 17, "b": 5}
+
+    def test_salt_one_value_groups(self, spark):
+        """All rows share one value: exactly 1 distinct regardless of
+        which shard it hashes into."""
+        from salesforce_plugin_spark.operators.partitioning import (
+            salted_count_distinct,
+        )
+
+        df = spark.createDataFrame(
+            [("g", 42)] * 30, "g string, v long"
+        )
+        out = salted_count_distinct(df, ["g"], "v", salt=16).collect()
+        assert out[0].n_distinct == 1
+
+
+class TestLinkPrediction:
+    def test_hand_computed_scores(self, spark):
+        """Hubs {1:{a,b}, 2:{a,b}, 3:{a,b,c}}: pair (a,b) common=3,
+        deg_a=deg_b=3 → jaccard = 3/(3+3-3) = 10⁶; aa = 1000//1 +
+        1000//1 + 1000//2 = 2500 (hub sizes 2,2,3 → bits 2,2,2 →
+        wait: bin(2)='10' len 2, bin(3)='11' len 2 → 500·3 = 1500)."""
+        from salesforce_plugin_spark.functions.graph import link_prediction
+
+        rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"),
+                (3, "a"), (3, "b"), (3, "c")]
+        df = spark.createDataFrame(rows, "hub int, n string")
+        out = {
+            (r.node_a, r.node_b): (r.common, r.jaccard_ppm, r.aa_milli)
+            for r in link_prediction(df, "hub", "n", min_common=1).collect()
+        }
+        # hub degrees: 1→2, 2→2, 3→3; bits: bin(2)=2, bin(3)=2 → 500 each
+        assert out[("a", "b")] == (3, 1000000, 1500)
+        # (a,c): common=1 (hub 3), deg_a=3, deg_c=1 → j = 10⁶/3 = 333333
+        assert out[("a", "c")] == (1, 333333, 500)
+
+    def test_big_hub_damped_below_small_hub(self, spark):
+        """Integer Adamic-Adar: a shared 2-node hub contributes
+        1000//2bits=500; a shared 16-node hub only 1000//5 = 200."""
+        from salesforce_plugin_spark.functions.graph import link_prediction
+
+        small = [(1, "a"), (1, "b")]
+        big = [(2, chr(99 + i)) for i in range(14)] + [(2, "a"), (2, "b")]
+        df = spark.createDataFrame(small + big, "hub int, n string")
+        out = {
+            (r.node_a, r.node_b): r.aa_milli
+            for r in link_prediction(df, "hub", "n", min_common=1).collect()
+        }
+        # (a,b) shares hub1 (deg2→bits2→500) + hub2 (deg16→bits5→200)
+        assert out[("a", "b")] == 700
