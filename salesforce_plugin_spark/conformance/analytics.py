@@ -1738,3 +1738,63 @@ ORACLES["q_assoc_rules"] = """
     JOIN isupp sb ON sb.it = d.consequent
     CROSS JOIN nb
 """
+
+
+def q_wilson(spark, sf_dir):
+    """Small-sample-honest source quality ranking
+    (operators/analytics.py wilson_quality): per-source pass rate of a
+    token-count gate WITH the exact-integer Wilson 95% lower bound —
+    the ranking statistic that stops a 3/3 source outranking a
+    900/1000 one before sources are weighted into a training mix. z
+    and z² are pinned ppm constants; the sqrt term runs through the
+    corrected isqrt on a squared-by-construction denominator, so the
+    bound replays bit-for-bit (each floor < 1 ppm; cross-checked
+    against float Wilson in unit tests). One partial-combined
+    aggregate; per-group scalar arithmetic after."""
+    from salesforce_plugin_spark.functions.text import token_count
+    from salesforce_plugin_spark.operators.analytics import wilson_quality
+
+    d = load_table(spark, sf_dir, "documents")
+    return wilson_quality(
+        d, ["source"], (token_count("text") >= 30).cast("int")
+    )
+
+
+ORACLES["q_wilson"] = r"""
+    WITH agg AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN length(regexp_split_to_array(
+                                 trim(text), '\s+')) >= 30
+                        THEN 1 ELSE 0 END) AS BIGINT) AS s
+        FROM documents GROUP BY 1
+    ), x AS (
+        SELECT *,
+               (CAST(s AS HUGEINT) * (n - s) * 4000000
+                + CAST(3841600 AS HUGEINT) * n) * 1000000 * n AS xv
+        FROM agg
+    ), seeded AS (
+        SELECT *, CAST(floor(sqrt(CAST(xv AS DOUBLE))) AS HUGEINT) AS y0
+        FROM x
+    ), rooted AS (
+        SELECT *, CASE WHEN (y0+2)*(y0+2) <= xv THEN y0+2
+                       WHEN (y0+1)*(y0+1) <= xv THEN y0+1
+                       WHEN y0*y0 <= xv THEN y0
+                       WHEN (y0-1)*(y0-1) <= xv THEN y0-1
+                       ELSE y0-2 END AS r
+        FROM seeded
+    ), terms AS (
+        SELECT source, n, s,
+               (CAST(s AS HUGEINT) * 2000000 + 3841600) // (CAST(n AS HUGEINT) * 2)
+                   AS a_ppm,
+               (CAST(1960000 AS HUGEINT) * r)
+                   // (CAST(n AS HUGEINT) * n * 2000000) AS b_ppm
+        FROM rooted
+    )
+    SELECT source, n, s,
+           CAST((CAST(s AS HUGEINT) * 1000000) // n AS BIGINT) AS rate_ppm,
+           CAST(greatest(
+               ((a_ppm - b_ppm) * CAST(n AS HUGEINT) * 1000000)
+                   // (CAST(n AS HUGEINT) * 1000000 + 3841600),
+               0) AS BIGINT) AS wilson_lb_ppm
+    FROM terms
+"""

@@ -261,3 +261,77 @@ ORACLES["q_multimodal_channels"] = """
     FROM pos GROUP BY 1, 2
 """
 
+
+
+def q_multimodal_ahash(spark, sf_dir):
+    """F4 perceptual near-dup (functions/multimodal.py
+    perceptual_ahash_pairs): average-hash bits from Arrow-batched
+    segment byte sums (bit = exact integer cross-multiply
+    seg_sum·total_n > total_sum·seg_n — no division), Hamming-≤1
+    candidate pairs via identity+single-bit-flip banding (distance-1
+    hashes MUST collide on a band — SimHash's argument at radius 1,
+    collision-bounded, never all-pairs). Byte-identical dedup is
+    q_dedup_exact on payload md5; this is the re-encode-tolerant tier,
+    with the image decoder seam stubbed like the rest of F4 (on real
+    images the injected decoder yields the n_segs luminance thumbnail;
+    the fixture's byte view exercises identical plumbing). At corpus
+    scale n_segs sizes the hash space (64 segments → 2⁶⁴ buckets);
+    the gate's 16 (2¹⁶ buckets) already demonstrates it: the 10×
+    probe at 8 segments saturated 256 buckets into an 81× pair
+    blowup; at 16 the collision mass collapses to near-dups and the
+    probe is bounded."""
+    from salesforce_plugin_spark.functions.multimodal import (
+        perceptual_ahash_pairs,
+    )
+
+    d = parallelized(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").cast("binary").alias("payload")
+        )
+    )
+    return perceptual_ahash_pairs(d, "doc_id", "payload", n_segs=16)
+
+
+def _ahash_oracle(n_segs: int = 16) -> str:
+    variants = ", ".join(["0"] + [str(1 << s) for s in range(n_segs)])
+    return f"""
+    WITH pos AS (
+        SELECT doc_id, CAST(g.i AS BIGINT) - 1 AS p,
+               length(text) AS len,
+               ord(substr(text, CAST(g.i AS INT), 1)) AS v
+        FROM documents
+        CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(1, length(text))) AS i
+        ) g
+    ), segd AS (
+        SELECT doc_id, CAST((p * {n_segs}) // len AS INT) AS seg, v
+        FROM pos
+    ), segs AS (
+        SELECT doc_id, seg, count(*) AS seg_n, sum(v) AS seg_sum
+        FROM segd GROUP BY 1, 2
+    ), tot AS (
+        SELECT doc_id, sum(seg_n) AS tn, sum(seg_sum) AS ts
+        FROM segs GROUP BY 1
+    ), bits AS (
+        SELECT s.doc_id,
+               CAST(sum(CASE WHEN s.seg_sum * t.tn > t.ts * s.seg_n
+                             THEN 1 << s.seg ELSE 0 END) AS BIGINT) AS ahash
+        FROM segs s JOIN tot t USING (doc_id) GROUP BY 1
+    ), variants AS (
+        SELECT doc_id, ahash, xor(ahash, CAST(u.b AS BIGINT)) AS band
+        FROM bits CROSS JOIN LATERAL (
+            SELECT unnest([{variants}]) AS b
+        ) u
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.ahash AS hash_a, b.ahash AS hash_b
+        FROM variants a
+        JOIN variants b ON a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hash_a, hash_b,
+           CAST(bit_count(xor(hash_a, hash_b)) AS INT) AS hamming
+    FROM pairs WHERE bit_count(xor(hash_a, hash_b)) <= 1
+"""
+
+
+ORACLES["q_multimodal_ahash"] = _ahash_oracle()

@@ -1347,3 +1347,67 @@ def q_stream_hll(spark, sf_dir):
         rows,
         "event_type string, true_distinct long, est_distinct long, err long",
     )
+
+
+def q_stream_wilson(spark, sf_dir):
+    """F6 x small-sample statistics: the Wilson quality ranking
+    maintained FROM A STREAM — per-source (trial, success) counts are
+    additive, so the generic additive face maintains them with zero
+    new fold code (each doc emits its gate verdict as a counting
+    cell); summed state feeds wilson_from_counts and must equal the
+    one-shot batch bound (q_wilson's oracle VERBATIM, disjoint
+    slices). 16th equivalence face."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.functions.text import token_count
+    from salesforce_plugin_spark.operators.analytics import (
+        wilson_from_counts,
+    )
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_summed_counts,
+        run_stream_additive_counts,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_stream_wilson_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [d.filter(F.col("doc_id") % 3 == i) for i in range(3)],
+            tmp,
+            None,
+        )
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, source string, text string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+        run_stream_additive_counts(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            group_cols=["source", "__ok"],
+            prepare=lambda b: b.select(
+                "source",
+                (token_count("text") >= 30).cast("int").alias("__ok"),
+            ),
+        )
+        counts = read_summed_counts(spark, state, ["source", "__ok"])
+        agg = counts.groupBy("source").agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum(F.col("n") * F.col("__ok")).cast("long").alias("s"),
+        )
+        rows = wilson_from_counts(agg, ["source"]).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "source string, n long, s long, rate_ppm long, wilson_lb_ppm long",
+    )

@@ -913,3 +913,84 @@ ORACLES["q_knn_confusion"] = (
     "\n    SELECT label, pred_label, CAST(count(*) AS BIGINT) AS n"
     "\n    FROM (" + _knn_oracle() + ") GROUP BY 1, 2\n"
 )
+
+
+def q_dbscan_roles(spark, sf_dir):
+    """Density triage (functions/vector.py dbscan_roles): DBSCAN's
+    core/border/noise classification over the embedding column —
+    ε-neighborhoods (exact corrected-isqrt cosine ≥ 0.2) evaluated
+    within ADAPTIVE sign-LSH buckets (bits = msb(count div 8) derived
+    IN-PLAN — the mutual_nn discipline; the first cut's fixed 6 bits
+    probed 36× at 10× data because a fixed bucket count saturates),
+    min_pts=4. The outlier/cluster-seed triage before density-aware
+    sampling; cores + ε-edges feed connected-components for full
+    DBSCAN cluster ids."""
+    e = parallelized(load_table(spark, sf_dir, "embeddings"))
+    return V.dbscan_roles(
+        e, "vec_id", "embedding", eps_ppm=200000, min_pts=4
+    )
+
+
+def _dbscan_oracle(
+    eps_ppm: int = 200000,
+    min_pts: int = 4,
+    target_bucket: int = 8,
+    sign_bits: int = 16,
+) -> str:
+    mask_terms = " + ".join(
+        f"(CASE WHEN len(embedding) > {i}"
+        f" AND CAST(embedding[{i + 1}] AS DOUBLE) >= 0"
+        f" THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(sign_bits)
+    )
+    cos = _mmr_cos_ctes("sc", "pair_base", "ida, idb")
+    return f"""
+    WITH cnt AS (
+        SELECT least({sign_bits},
+                     length(bin(greatest(1,
+                         count(*) // {target_bucket}))) - 1) AS bits
+        FROM embeddings
+    ), qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                   AS q,
+               ({mask_terms})
+                   % (CAST(1 AS BIGINT) << (SELECT bits FROM cnt)) AS bkt
+        FROM embeddings
+    ), pair_base AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb,
+               CAST(list_dot_product(CAST(a.q AS DOUBLE[]),
+                                     CAST(b.q AS DOUBLE[])) AS HUGEINT)
+                   AS dot,
+               CAST(list_dot_product(CAST(a.q AS DOUBLE[]),
+                                     CAST(a.q AS DOUBLE[])) AS HUGEINT)
+                   AS na,
+               CAST(list_dot_product(CAST(b.q AS DOUBLE[]),
+                                     CAST(b.q AS DOUBLE[])) AS HUGEINT)
+                   AS nb
+        FROM qv a JOIN qv b ON a.bkt = b.bkt AND a.vec_id != b.vec_id
+    ), {cos.strip()}, close AS (
+        SELECT ida, idb FROM sc WHERE cos_ppm >= {eps_ppm}
+    ), neigh AS (
+        SELECT ida AS vec_id, count(*) AS n_eps FROM close GROUP BY 1
+    ), flagged AS (
+        SELECT v.vec_id,
+               coalesce(n.n_eps, 0) AS n_eps,
+               CASE WHEN coalesce(n.n_eps, 0) + 1 >= {min_pts}
+                    THEN 1 ELSE 0 END AS is_core
+        FROM qv v LEFT JOIN neigh n USING (vec_id)
+    ), near_core AS (
+        SELECT DISTINCT c.ida AS vec_id
+        FROM close c JOIN flagged f ON f.vec_id = c.idb AND f.is_core = 1
+    )
+    SELECT f.vec_id,
+           CAST(f.n_eps + 1 AS BIGINT) AS n_neighbors,
+           CASE WHEN f.is_core = 1 THEN 'core'
+                WHEN nc.vec_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role
+    FROM flagged f LEFT JOIN near_core nc ON nc.vec_id = f.vec_id
+"""
+
+
+ORACLES["q_dbscan_roles"] = _dbscan_oracle()

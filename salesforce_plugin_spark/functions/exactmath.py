@@ -47,3 +47,19 @@ def dfloor(num_sql: str, den_sql: str) -> str:
 def dcast(sql: str) -> str:
     """SQL casting an integral expression to exact DECIMAL(38,0)."""
     return f"CAST(({sql}) AS {D38})"
+
+
+def isqrt_case(p_sql: str, y0_sql: str) -> str:
+    """SQL CASE pinning the exact integer sqrt floor from a double
+    seed: the seed errs by ≤ 1-2 ulps for p < 2^104, so checking
+    y0−2 … y0+2 against p covers every case — any engine replays the
+    identical integer regardless of its sqrt rounding (the
+    with_exact_cos_ppm / temperature_mix discipline, shareable)."""
+    y0, p = f"({y0_sql})", f"({p_sql})"
+    return (
+        f"CASE WHEN ({y0}+2)*({y0}+2) <= {p} THEN {y0}+2 "
+        f"WHEN ({y0}+1)*({y0}+1) <= {p} THEN {y0}+1 "
+        f"WHEN {y0}*{y0} <= {p} THEN {y0} "
+        f"WHEN ({y0}-1)*({y0}-1) <= {p} THEN {y0}-1 "
+        f"ELSE {y0}-2 END"
+    )

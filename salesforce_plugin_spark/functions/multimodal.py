@@ -22,6 +22,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
@@ -285,4 +286,149 @@ def channel_stats_plan(
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         stats, out_schema
+    )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("seg", T.IntegerType()),
+        T.StructField("seg_n", T.LongType()),
+        T.StructField("seg_sum", T.LongType()),
+    ]
+)
+
+
+def payload_segment_sums(
+    df: DataFrame, id_col: str, payload_col: str, n_segs: int = 8
+) -> DataFrame:
+    """Per-payload byte sums over ``n_segs`` contiguous segments — the
+    Arrow-batched 'downsample' stage of the perceptual average-hash
+    (on real images an injected decoder would produce the n_segs×1
+    luminance thumbnail; here the deterministic byte view exercises
+    the same numpy-over-Arrow shape). All ``n_segs`` rows emit per
+    payload (empty segments as n=0), so the downstream bit derivation
+    sees a deterministic shape. No shuffle — the 1:n_segs explode
+    happens inside the pandas stage."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, segs, ns, sums = [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                # byte p -> segment (p*n_segs)//len: the one closed form
+                # an engine replays without materializing bounds
+                if b.size:
+                    seg_of = (
+                        np.arange(b.size, dtype=np.int64) * n_segs
+                    ) // b.size
+                    ns_arr = np.bincount(seg_of, minlength=n_segs)
+                    sums_arr = np.bincount(
+                        seg_of, weights=b.astype(np.int64), minlength=n_segs
+                    )
+                else:
+                    ns_arr = np.zeros(n_segs, dtype=np.int64)
+                    sums_arr = np.zeros(n_segs)
+                for s in range(n_segs):
+                    ids.append(i)
+                    segs.append(s)
+                    ns.append(int(ns_arr[s]))
+                    sums.append(int(sums_arr[s]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "seg": pd.Series(segs, dtype="int32"),
+                    "seg_n": pd.Series(ns, dtype="int64"),
+                    "seg_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        compute, AHASH_SCHEMA
+    )
+
+
+def perceptual_ahash_pairs(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    n_segs: int = 8,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs by average-hash: segment-mean
+    bits (bit s = 1 iff segment s's mean byte exceeds the payload
+    mean — compared by the EXACT integer cross-multiply
+    ``seg_sum·total_n > total_sum·seg_n``, no division) and
+    Hamming-≤1 candidate pairing via the identity+single-bit-flip
+    banding (each payload emits ``n_segs+1`` variant keys; two hashes
+    at distance ≤ 1 MUST collide on one — the SimHash band argument
+    specialized to radius 1, so pair work is collision-bounded, never
+    all-pairs). The F4 member of the near-dup family: byte-identical
+    dedup is q_dedup_exact on payload md5; this catches
+    re-encoded / near-identical payloads the way pHash does for images,
+    with the decode seam stubbed like the rest of F4.
+
+    Output (scalar-only): ``(id_a, id_b, hash_a, hash_b,
+    hamming int)`` with id_a < id_b, deduped across bands.
+    """
+    if max_hamming > 1:
+        raise ValueError("banding covers max_hamming <= 1")
+    segs = payload_segment_sums(df, id_col, payload_col, n_segs)
+    tot = segs.groupBy("doc_id").agg(
+        F.sum("seg_n").alias("__tn"), F.sum("seg_sum").alias("__ts")
+    )
+    bits = (
+        segs.join(tot, "doc_id")
+        .withColumn(
+            "__bit",
+            F.when(
+                F.col("seg_sum") * F.col("__tn")
+                > F.col("__ts") * F.col("seg_n"),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .groupBy("doc_id")
+        .agg(
+            # pyspark's shiftleft() needs a literal shift; per-row goes
+            # through the SQL form (BIGINT 1 — the INT-wrap lesson)
+            F.sum(
+                F.col("__bit")
+                * F.expr("shiftleft(CAST(1 AS BIGINT), seg)")
+            ).alias("ahash")
+        )
+    )
+    variants = bits.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(
+                F.col("ahash"),
+                *[
+                    F.col("ahash").bitwiseXOR(F.lit(1 << s).cast("long"))
+                    for s in range(n_segs)
+                ],
+            )
+        ).alias("__band"),
+    )
+    a = variants.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("ahash").alias("hash_a"),
+        "__band",
+    )
+    b = variants.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("ahash").alias("hash_b"),
+        "__band",
+    )
+    pairs = (
+        a.join(b, "__band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "hash_a", "hash_b")
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("hash_a").bitwiseXOR(F.col("hash_b"))
+    ).cast("int")
+    return pairs.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
     )

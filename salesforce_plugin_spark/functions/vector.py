@@ -1609,3 +1609,142 @@ def quant_error_eval(
         .cast("long")
         .alias("err_ppm"),
     )
+
+
+def dbscan_roles(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    eps_ppm: int = 900000,
+    min_pts: int = 4,
+    target_bucket: int = 8,
+    sign_bits: int = 16,
+    quant: int = 1000,
+) -> DataFrame:
+    """DBSCAN's density classification over an embedding column —
+    every point labeled ``core`` (≥ min_pts neighbors at cosine ≥
+    eps_ppm, self included), ``border`` (not core but ε-close to
+    one), or ``noise`` — the outlier/cluster-seed triage a curation
+    pipeline runs before density-aware sampling (keep cores, review
+    noise) and the precursor of full DBSCAN (cores + ε-edges feed the
+    existing connected-components operator for cluster ids).
+
+    Neighborhoods are evaluated WITHIN sign-LSH buckets whose bit
+    count ADAPTS to the corpus: ``bits = msb(count div
+    target_bucket)`` masked over the ``sign_bits``-bit sign pattern
+    (the mutual_nn sub-blocking discipline — a FIXED bucket count
+    saturates: the 10× probe showed fixed 6 bits going 36× because
+    pair work grows N²/2^bits once buckets fill; adaptive bits keep
+    expected bucket size ~target_bucket at any corpus). The count →
+    bits derivation happens IN-PLAN (one 1-row aggregate broadcast),
+    so the whole run replays cross-engine. Cross-bucket ε-pairs are
+    missed — the standard LSH recall trade shared with
+    ivf_topk/mutual_nn. Similarities are the exact corrected-isqrt
+    cosine, so every role decision replays.
+
+    Output (scalar-only): ``(id_col, n_neighbors long, role string)``.
+    """
+    qz = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * float(quant), 0).cast("long"),
+    )
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pattern = sum(
+        (
+            F.when(
+                (F.size(dv) > i) & (F.element_at(dv, i + 1) >= 0),
+                F.lit(1 << i).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(sign_bits)
+        ),
+        F.lit(0).cast("long"),
+    )
+    cnt = df.agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    base = (
+        df.crossJoin(F.broadcast(cnt))
+        .withColumn(
+            "__bits",
+            F.least(
+                F.lit(sign_bits),
+                (
+                    F.length(
+                        F.bin(
+                            F.greatest(
+                                F.lit(1).cast("long"),
+                                F.expr(f"__cnt div {target_bucket}"),
+                            )
+                        )
+                    )
+                    - 1
+                ).cast("int"),
+            ),
+        )
+        .select(
+            F.col(id_col).alias("__id"),
+            qz.alias("__q"),
+            pattern.alias("__pat"),
+            F.col("__bits"),
+        )
+        .withColumn(
+            "__bkt",
+            F.expr("pmod(__pat, shiftleft(CAST(1 AS BIGINT), __bits))"),
+        )
+        .select("__id", "__q", "__bkt")
+    )
+
+    def lsum(col):
+        return F.aggregate(col, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    a = base.select("__bkt", F.col("__id").alias("__ida"), F.col("__q").alias("__qa"))
+    b = base.select("__bkt", F.col("__id").alias("__idb"), F.col("__q").alias("__qb"))
+    pairs = (
+        a.join(b, "__bkt")
+        .filter(F.col("__ida") != F.col("__idb"))
+        .select(
+            "__ida",
+            "__idb",
+            lsum(F.zip_with(F.col("__qa"), F.col("__qb"), lambda x, y: x * y))
+            .cast(D38)
+            .alias("__dot_d"),
+            lsum(F.transform(F.col("__qa"), lambda x: x * x))
+            .cast(D38)
+            .alias("__na_d"),
+            lsum(F.transform(F.col("__qb"), lambda x: x * x))
+            .cast(D38)
+            .alias("__nb_d"),
+        )
+    )
+    close = with_exact_cos_ppm(
+        pairs, "__dot_d", "__na_d", "__nb_d", "cos_ppm"
+    ).filter(F.col("cos_ppm") >= eps_ppm)
+    neigh = close.groupBy(F.col("__ida").alias("__id")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n_eps")
+    )
+    flagged = (
+        base.select("__id")
+        .join(neigh, "__id", "left")
+        .withColumn("__n_eps", F.coalesce(F.col("__n_eps"), F.lit(0)))
+        .withColumn(
+            "__is_core", (F.col("__n_eps") + 1 >= min_pts).cast("int")
+        )
+    )
+    cores = flagged.filter(F.col("__is_core") == 1).select(
+        F.col("__id").alias("__core_id")
+    )
+    near_core = (
+        close.join(cores, close["__idb"] == cores["__core_id"])
+        .select(F.col("__ida").alias("__id"))
+        .distinct()
+        .withColumn("__near_core", F.lit(1))
+    )
+    return (
+        flagged.join(near_core, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            (F.col("__n_eps") + 1).alias("n_neighbors"),
+            F.when(F.col("__is_core") == 1, F.lit("core"))
+            .when(F.col("__near_core") == 1, F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+        )
+    )

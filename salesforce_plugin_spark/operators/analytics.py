@@ -1615,3 +1615,95 @@ def assoc_rules(
             )
         ).alias("lift_ppm"),
     )
+
+
+def wilson_quality(
+    df: DataFrame,
+    group_cols: list[str],
+    success: Column,
+    z_ppm: int = 1960000,
+    z2_ppm: int = 3841600,
+) -> DataFrame:
+    """Per-group success rate with the EXACT-INTEGER Wilson score lower
+    bound (95% default) — the small-sample-honest quality ranking: a
+    source with 3/3 passing docs must NOT outrank one with 900/1000,
+    which the raw rate does and the Wilson lower bound does not (the
+    classic ranking fix, Agresti–Coull family). Used to rank sources /
+    shards / annotators by a boolean quality gate before weighting
+    them into a training mix.
+
+    All arithmetic is DECIMAL(38,0) rationals + the corrected-isqrt
+    (z and z² enter as pinned ppm constants; the sqrt term
+    √((p̂(1−p̂) + z²/4n)/n) becomes isqrt((4s(n−s)·10⁶ + z²ppm·n)·10⁶·n)
+    div (2n²·10⁶) — denominator squared by construction), so the bound
+    replays bit-for-bit cross-engine; each floor loses < 1 ppm. Valid
+    while n³·10¹² < 10³⁸ (n ≲ 4·10⁸ rows per group; beyond that,
+    pre-aggregate per shard and combine).
+
+    One partial-combined aggregate; everything after is per-group
+    scalar arithmetic. Output (scalar-only): ``(*group_cols, n long,
+    s long, rate_ppm long, wilson_lb_ppm long)``.
+    """
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(success.cast("long")).cast("long").alias("s"),
+    )
+    return wilson_from_counts(agg, group_cols, z_ppm, z2_ppm)
+
+
+def wilson_from_counts(
+    agg: DataFrame,
+    group_cols: list[str],
+    z_ppm: int = 1960000,
+    z2_ppm: int = 3841600,
+) -> DataFrame:
+    """:func:`wilson_quality` from a pre-aggregated ``(group, n, s)``
+    table — the entry point for additive count state (streaming face:
+    trial and success counts are additive, so the generic fold
+    maintains them and this reduction must equal the one-shot batch
+    bound)."""
+    from salesforce_plugin_spark.functions.exactmath import isqrt_case
+
+    x = (
+        f"{dcast('s')} * {dcast('n - s')} * 4000000"
+        f" + {dcast(str(z2_ppm))} * {dcast('n')}"
+    )
+    scored = (
+        agg.withColumn("__x", F.expr(f"({x}) * 1000000 * {dcast('n')}"))
+        .withColumn(
+            "__y0",
+            F.expr("CAST(FLOOR(SQRT(CAST(__x AS DOUBLE))) AS decimal(38,0))"),
+        )
+        .withColumn("__r", F.expr(isqrt_case("__x", "__y0")))
+        .withColumn(
+            "__a_ppm",
+            F.expr(
+                dfloor(
+                    f"{dcast('s')} * 2000000 + {dcast(str(z2_ppm))}",
+                    f"{dcast('n')} * 2",
+                )
+            ),
+        )
+        .withColumn(
+            "__b_ppm",
+            F.expr(
+                dfloor(
+                    f"{dcast(str(z_ppm))} * __r",
+                    f"{dcast('n')} * {dcast('n')} * 2000000",
+                )
+            ),
+        )
+    )
+    lb = dfloor(
+        f"({dcast('__a_ppm')} - {dcast('__b_ppm')}) * {dcast('n')} * 1000000",
+        f"{dcast('n')} * 1000000 + {dcast(str(z2_ppm))}",
+    )
+    return scored.select(
+        *group_cols,
+        "n",
+        "s",
+        F.expr(dfloor(f"{dcast('s')} * 1000000", dcast("n"))).alias(
+            "rate_ppm"
+        ),
+        F.greatest(F.expr(lb), F.lit(0).cast("long")).alias("wilson_lb_ppm"),
+    )

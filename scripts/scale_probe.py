@@ -221,6 +221,9 @@ PROBE = [
     "q_salted_distinct",
     "q_link_predict",
     "q_knn_confusion",
+    "q_multimodal_ahash",
+    "q_wilson",
+    "q_dbscan_roles",
 ]
 
 

@@ -367,3 +367,135 @@ class TestLinkPrediction:
         }
         # (a,b) shares hub1 (deg2→bits2→500) + hub2 (deg16→bits5→200)
         assert out[("a", "b")] == 700
+
+
+class TestPerceptualAhash:
+    def test_identical_payloads_distance_zero(self, spark):
+        from salesforce_plugin_spark.functions.multimodal import (
+            perceptual_ahash_pairs,
+        )
+
+        rows = [(1, b"abcdefgh" * 8), (2, b"abcdefgh" * 8), (3, b"\x00" * 64)]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = perceptual_ahash_pairs(df, "doc_id", "payload").collect()
+        got = {(r.id_a, r.id_b): r.hamming for r in out}
+        assert got[(1, 2)] == 0
+        assert (1, 3) not in got or got[(1, 3)] <= 1
+
+    def test_one_flipped_segment_is_distance_one(self, spark):
+        """Payload B inverts one 8-byte segment of A's byte pattern so
+        exactly one mean bit flips — must pair at hamming 1."""
+        from salesforce_plugin_spark.functions.multimodal import (
+            perceptual_ahash_pairs,
+        )
+
+        # 8 segments of 8 bytes; alternate low/high segments
+        a = (b"\x01" * 8 + b"\xf0" * 8) * 4
+        b = bytearray(a)
+        b[0:8] = b"\xf0" * 8  # raise segment 0 above the mean
+        df = spark.createDataFrame(
+            [(1, bytes(a)), (2, bytes(b))], "doc_id long, payload binary"
+        )
+        out = perceptual_ahash_pairs(df, "doc_id", "payload").collect()
+        got = {(r.id_a, r.id_b): r.hamming for r in out}
+        assert got.get((1, 2)) == 1
+
+    def test_distance_two_not_paired(self, spark):
+        from salesforce_plugin_spark.functions.multimodal import (
+            perceptual_ahash_pairs,
+        )
+
+        a = (b"\x01" * 8 + b"\xf0" * 8) * 4
+        b = bytearray(a)
+        b[0:8] = b"\xf0" * 8
+        b[16:24] = b"\xf0" * 8  # flip two segments
+        df = spark.createDataFrame(
+            [(1, bytes(a)), (2, bytes(b))], "doc_id long, payload binary"
+        )
+        out = perceptual_ahash_pairs(df, "doc_id", "payload").collect()
+        assert out == []
+
+
+class TestWilson:
+    def test_small_sample_does_not_outrank_large(self, spark):
+        """3/3 vs 900/1000: raw rate says 3/3 wins; Wilson LB must
+        rank the large sample higher."""
+        from salesforce_plugin_spark.operators.analytics import wilson_quality
+
+        rows = [("tiny", 1)] * 3 + [("big", 1)] * 900 + [("big", 0)] * 100
+        df = spark.createDataFrame(rows, "g string, ok int")
+        out = {r.g: r for r in wilson_quality(df, ["g"], F.col("ok")).collect()}
+        assert out["tiny"].rate_ppm == 1000000
+        assert out["big"].rate_ppm == 900000
+        assert out["big"].wilson_lb_ppm > out["tiny"].wilson_lb_ppm
+
+    def test_matches_float_wilson_within_5ppm(self, spark):
+        import math
+
+        from salesforce_plugin_spark.operators.analytics import wilson_quality
+
+        rows = (
+            [("a", 1)] * 17 + [("a", 0)] * 8
+            + [("b", 1)] * 999 + [("b", 0)] * 1
+            + [("c", 0)] * 10
+        )
+        df = spark.createDataFrame(rows, "g string, ok int")
+        for r in wilson_quality(df, ["g"], F.col("ok")).collect():
+            p, z = r.s / r.n, 1.96
+            lb = (
+                p + z * z / (2 * r.n)
+                - z * math.sqrt((p * (1 - p) + z * z / (4 * r.n)) / r.n)
+            ) / (1 + z * z / r.n)
+            assert abs(lb * 1e6 - r.wilson_lb_ppm) < 5
+
+    def test_zero_successes_bound_zero_clamped(self, spark):
+        from salesforce_plugin_spark.operators.analytics import wilson_quality
+
+        df = spark.createDataFrame([("g", 0)] * 4, "g string, ok int")
+        r = wilson_quality(df, ["g"], F.col("ok")).collect()[0]
+        assert r.wilson_lb_ppm == 0 and r.rate_ppm == 0
+
+
+class TestDbscanRoles:
+    def test_dense_cluster_core_border_noise(self, spark):
+        """Unit vectors at angles 0/5/10/15/20/35 deg with eps = cos 12
+        deg (neighbors = within 10 deg) and min_pts=4: 5/10/15 deg have
+        >= 3 neighbors (core), 0/20 deg have 2 but touch a core
+        (border), 35 deg touches nothing (noise)."""
+        import math
+
+        from salesforce_plugin_spark.functions.vector import dbscan_roles
+
+        angles = [0, 5, 10, 15, 20, 35]
+        rows = [
+            (i, [math.cos(math.radians(a)), math.sin(math.radians(a))])
+            for i, a in enumerate(angles)
+        ]
+        df = spark.createDataFrame(rows, "id long, v array<float>")
+        out = {
+            r.id: r.role
+            for r in dbscan_roles(
+                df, "id", "v", eps_ppm=978000, min_pts=4
+            ).collect()
+        }
+        assert out == {
+            0: "border", 1: "core", 2: "core", 3: "core",
+            4: "border", 5: "noise",
+        }
+
+    def test_cross_bucket_neighbors_missed_documented_trade(self, spark):
+        """Two identical vectors in different sign buckets never pair —
+        the documented LSH recall trade."""
+        from salesforce_plugin_spark.functions.vector import dbscan_roles
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 1.0]), (2, [-1.0, -1.0])],
+            "id long, v array<float>",
+        )
+        out = {
+            r.id: r.role
+            for r in dbscan_roles(
+                df, "id", "v", eps_ppm=500000, min_pts=2, target_bucket=1
+            ).collect()
+        }
+        assert out == {1: "noise", 2: "noise"}
