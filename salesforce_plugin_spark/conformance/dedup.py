@@ -1679,3 +1679,106 @@ ORACLES["q_minhash_error"] = r"""
     JOIN mh a ON a.doc_id = t.id_a
     JOIN mh b ON b.doc_id = t.id_b
 """
+
+
+def q_blocking_recall(spark, sf_dir):
+    """Blocking-recall eval (functions/dedup.py blocking_recall_eval):
+    candidate recall of the 8-hash/4-band portable LSH banding against
+    EXACT shingle-Jaccard ground truth at thresholds 0.05/0.2/0.5 —
+    the q_ann_recall discipline applied to F2's blocking stage
+    (q_minhash_error grades the estimator; this grades what the bands
+    SURFACE — at 0.05, below the banding's S-curve knee, the measured
+    recall visibly drops below 10⁶, which is exactly the
+    sub-threshold loss the (num_hashes, bands) budget trades away).
+    Truth is the exhaustive shared-shingle quadratic — affordable
+    because this is the eval; the candidate side is the production
+    banding plan — run over the bounded doc_id < 500 eval slice (the
+    knn_classify bounded-eval lesson: the unbounded truth quadratic
+    probed 24× at 10×; the bound is a pushed-down predicate, not an
+    orderBy+limit that re-sorts the corpus per subtree reuse)."""
+    from salesforce_plugin_spark.functions.dedup import blocking_recall_eval
+
+    d = load_table(spark, sf_dir, "documents")
+    return blocking_recall_eval(
+        d, "doc_id", "text", thresholds_ppm=[50000, 200000, 500000]
+    )
+
+
+def _blocking_recall_oracle(
+    thresholds=(50000, 200000, 500000), num_hashes: int = 8, bands: int = 4
+) -> str:
+    rows_per_band = num_hashes // bands
+    mh_cols = ",\n                   ".join(
+        f"min(CAST(('0x' || substr(md5('{i}:' || shingle), 1, 8))"
+        f" AS BIGINT)) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM mh".format(
+            b=b,
+            concat=" || '|' || ".join(
+                f"CAST(mh_{b * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    per_t = " UNION ALL ".join(
+        f"""
+        SELECT CAST({t} AS BIGINT) AS threshold_ppm,
+               CAST(count(*) AS BIGINT) AS n_true,
+               CAST(sum(hit) AS BIGINT) AS n_hit
+        FROM joined WHERE jac_ppm >= {t}"""
+        for t in thresholds
+    )
+    return rf"""
+    WITH toked AS (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              x -> lower(x)) AS t
+        FROM documents WHERE doc_id < 500
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(t, s, s + 2), ' ') AS shingle
+        FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 2)) AS s
+            FROM toked WHERE len(t) >= 3
+        )
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), truth AS (
+        SELECT id_a, id_b,
+               (i * 1000000) // (sa.n_sh + sb.n_sh - i) AS jac_ppm
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    ), mh AS (
+        SELECT doc_id,
+               {mh_cols}
+        FROM sh GROUP BY doc_id
+    ), bb AS (
+        {band_rows}
+    ), cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bb a JOIN bb b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    ), joined AS (
+        SELECT t.*, CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS hit
+        FROM truth t LEFT JOIN cands c USING (id_a, id_b)
+    ), per_t AS ({per_t}
+    )
+    SELECT threshold_ppm, n_true, n_hit,
+           CASE WHEN n_true > 0
+                THEN (n_hit * 1000000) // n_true END AS recall_ppm
+    FROM per_t
+"""
+
+
+ORACLES["q_blocking_recall"] = _blocking_recall_oracle()

@@ -1566,3 +1566,65 @@ ORACLES["q_stratified_sample"] = """
     FROM ranked r JOIN alloc a ON a.s = r.lang
     WHERE r.rk <= a.a
 """
+
+
+def q_erasure_audit(spark, sf_dir):
+    """Erasure (right-to-be-forgotten) impact audit
+    (operators/validate.py erasure_impact): for the 10 lowest customer
+    keys, the exact rows and distinct keys each cascade table would
+    lose — orders directly, lineitem through the orders bridge, events
+    by user id — reviewed BEFORE any delete runs (the E5 upsert
+    discipline's inverse; deletion at 100 TB is a planned, audited
+    pipeline, not a WHERE clause). Subjects broadcast as a semi-side;
+    one semi-join + 1-row aggregate per cascade."""
+    from salesforce_plugin_spark.operators.validate import erasure_impact
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    subjects = c.orderBy("c_custkey").limit(10)
+    bridge = o.join(
+        F.broadcast(
+            subjects.select(F.col("c_custkey").alias("__s"))
+        ),
+        o["o_custkey"] == F.col("__s"),
+        "left_semi",
+    )
+    return erasure_impact(
+        subjects,
+        "c_custkey",
+        [
+            ("orders", o, "o_custkey"),
+            ("lineitem_via_orders", li, "l_orderkey", bridge, "o_orderkey"),
+            ("events", ev, "user_id"),
+        ],
+    )
+
+
+ORACLES["q_erasure_audit"] = """
+    WITH subjects AS (
+        SELECT c_custkey AS k FROM customer ORDER BY c_custkey LIMIT 10
+    ), o_hit AS (
+        SELECT * FROM orders WHERE o_custkey IN (SELECT k FROM subjects)
+    ), li_hit AS (
+        SELECT * FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM o_hit)
+    ), ev_hit AS (
+        SELECT * FROM events WHERE user_id IN (SELECT k FROM subjects)
+    )
+    SELECT 'orders' AS "table",
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_keys
+    FROM o_hit
+    UNION ALL
+    SELECT 'lineitem_via_orders',
+           CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT l_orderkey) AS BIGINT)
+    FROM li_hit
+    UNION ALL
+    SELECT 'events',
+           CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT)
+    FROM ev_hit
+"""

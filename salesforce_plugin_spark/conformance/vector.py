@@ -994,3 +994,65 @@ def _dbscan_oracle(
 
 
 ORACLES["q_dbscan_roles"] = _dbscan_oracle()
+
+
+def q_dbscan_clusters(spark, sf_dir):
+    """Full DBSCAN (functions/vector.py dbscan_clusters): the
+    q_dbscan_roles triage completed to cluster ids — ε-connected
+    cores collapse via the existing connected-components operator
+    (CC runs on the CORE subgraph only, orders of magnitude smaller
+    than the corpus), borders attach to the min cluster among their
+    ε-cores (total order), noise stays NULL — density-aware
+    clustering with no k to pick and outliers excluded by
+    construction. Same adaptive blocking + exact-cosine pair stage as
+    q_dbscan_roles; recursive-CTE oracle (the q_dedup_components
+    discipline) replays the closure."""
+    e = parallelized(load_table(spark, sf_dir, "embeddings"))
+    return V.dbscan_clusters(
+        e, "vec_id", "embedding", eps_ppm=200000, min_pts=4
+    )
+
+
+def _dbscan_clusters_oracle(
+    eps_ppm: int = 200000,
+    min_pts: int = 4,
+    target_bucket: int = 8,
+    sign_bits: int = 16,
+) -> str:
+    base = _dbscan_oracle(eps_ppm, min_pts, target_bucket, sign_bits)
+    head = base[: base.index("    SELECT f.vec_id,")]
+    head = head.replace("    WITH cnt AS (", "    WITH RECURSIVE cnt AS (")
+    return (
+        head
+        + """, core_edges AS (
+        SELECT c.ida AS src, c.idb AS dst
+        FROM close c
+        JOIN flagged fa ON fa.vec_id = c.ida AND fa.is_core = 1
+        JOIN flagged fb ON fb.vec_id = c.idb AND fb.is_core = 1
+    ), reach AS (
+        SELECT vec_id AS id, vec_id AS r
+        FROM flagged WHERE is_core = 1
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN core_edges e
+          ON reach.r = e.src
+    ), cc AS (
+        SELECT id AS core_id, min(r) AS cluster FROM reach GROUP BY id
+    ), border_attach AS (
+        SELECT c.ida AS vec_id, min(cc.cluster) AS border_cluster
+        FROM close c JOIN cc ON cc.core_id = c.idb
+        GROUP BY 1
+    )
+    SELECT f.vec_id,
+           CASE WHEN f.is_core = 1 THEN 'core'
+                WHEN ba.border_cluster IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(CASE WHEN f.is_core = 1 THEN cc.cluster
+                     ELSE ba.border_cluster END AS BIGINT) AS cluster
+    FROM flagged f
+    LEFT JOIN cc ON cc.core_id = f.vec_id
+    LEFT JOIN border_attach ba ON ba.vec_id = f.vec_id
+"""
+    )
+
+
+ORACLES["q_dbscan_clusters"] = _dbscan_clusters_oracle()

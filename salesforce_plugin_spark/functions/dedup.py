@@ -1544,3 +1544,101 @@ def minhash_error_eval(
         )
         .withColumn("err_ppm", F.col("est_ppm") - F.col("true_ppm"))
     )
+
+
+def blocking_recall_eval(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    thresholds_ppm: list[int] = (300000, 500000, 700000),
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_bound: int = 500,
+) -> DataFrame:
+    """Candidate-recall of the MinHash/LSH banding vs EXACT Jaccard
+    ground truth — the q_ann_recall discipline applied to F2's
+    BLOCKING stage (q_minhash_error grades the per-pair estimator;
+    this grades what the banding SURFACES: a pair the bands never
+    bucket together is lost no matter how good the estimate, and the
+    S-curve says how much — so (num_hashes, bands) is sized from
+    measured recall at the operating threshold instead of the
+    analytic curve alone).
+
+    Truth is the exhaustive shared-shingle Jaccard in integer ppm
+    over DISTINCT (id, shingle) sets — the quadratic the banding
+    exists to avoid, affordable here BECAUSE this is the eval (run on
+    a fixture or a sampled slice at 100 TB; the candidate side is the
+    production plan). Output (scalar-only): one row per threshold,
+    ``(threshold_ppm long, n_true long, n_hit long,
+    recall_ppm long)`` — n_true counts true pairs at Jaccard ≥
+    threshold, n_hit those the banding also surfaced; recall on an
+    empty truth set is NULL, not 10⁶.
+
+    The eval runs on ids below ``id_bound`` — BOUNDED, the
+    knn_classify lesson: an eval harness measures a sample, it does
+    not grow with the corpus (the unbounded truth quadratic probed
+    24× at 10× data). The slice is a plain predicate so it PUSHES
+    INTO THE SCAN rather than re-sorting the corpus the way an
+    orderBy+limit slice would on every reuse of the subtree.
+    """
+    df = df.filter(F.col(id_col) < id_bound)
+    sh = exploded_shingles(df, id_col, text_col, shingle_n).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__n_sh").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n_sh").alias("__nb"))
+    truth = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "CAST((__inter * 1000000) div (__na + __nb - __inter)"
+                " AS BIGINT)"
+            ).alias("__jac_ppm"),
+        )
+    )
+    bb = portable_bands(
+        minhash_signatures_portable(df, id_col, text_col, num_hashes, shingle_n),
+        id_col,
+        num_hashes,
+        bands,
+    )
+    ca = bb.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    cb = bb.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cands = (
+        ca.join(cb, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = truth.join(cands, ["id_a", "id_b"], "left")
+    out = None
+    for t in thresholds_ppm:
+        agg = joined.filter(F.col("__jac_ppm") >= t).agg(
+            F.lit(int(t)).cast("long").alias("threshold_ppm"),
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.select(
+        "threshold_ppm",
+        "n_true",
+        "n_hit",
+        F.when(
+            F.col("n_true") > 0,
+            F.expr("CAST((n_hit * 1000000) div n_true AS BIGINT)"),
+        ).alias("recall_ppm"),
+    )

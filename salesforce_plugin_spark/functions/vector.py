@@ -1611,39 +1611,18 @@ def quant_error_eval(
     )
 
 
-def dbscan_roles(
+def _dbscan_close(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    eps_ppm: int = 900000,
-    min_pts: int = 4,
-    target_bucket: int = 8,
-    sign_bits: int = 16,
-    quant: int = 1000,
-) -> DataFrame:
-    """DBSCAN's density classification over an embedding column —
-    every point labeled ``core`` (≥ min_pts neighbors at cosine ≥
-    eps_ppm, self included), ``border`` (not core but ε-close to
-    one), or ``noise`` — the outlier/cluster-seed triage a curation
-    pipeline runs before density-aware sampling (keep cores, review
-    noise) and the precursor of full DBSCAN (cores + ε-edges feed the
-    existing connected-components operator for cluster ids).
-
-    Neighborhoods are evaluated WITHIN sign-LSH buckets whose bit
-    count ADAPTS to the corpus: ``bits = msb(count div
-    target_bucket)`` masked over the ``sign_bits``-bit sign pattern
-    (the mutual_nn sub-blocking discipline — a FIXED bucket count
-    saturates: the 10× probe showed fixed 6 bits going 36× because
-    pair work grows N²/2^bits once buckets fill; adaptive bits keep
-    expected bucket size ~target_bucket at any corpus). The count →
-    bits derivation happens IN-PLAN (one 1-row aggregate broadcast),
-    so the whole run replays cross-engine. Cross-bucket ε-pairs are
-    missed — the standard LSH recall trade shared with
-    ivf_topk/mutual_nn. Similarities are the exact corrected-isqrt
-    cosine, so every role decision replays.
-
-    Output (scalar-only): ``(id_col, n_neighbors long, role string)``.
-    """
+    eps_ppm: int,
+    target_bucket: int,
+    sign_bits: int,
+    quant: int,
+):
+    """(base ids, ε-close directed pairs) for the DBSCAN family —
+    adaptive sign-LSH blocked pair generation shared by
+    :func:`dbscan_roles` and :func:`dbscan_clusters`."""
     qz = F.transform(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * float(quant), 0).cast("long"),
@@ -1717,6 +1696,45 @@ def dbscan_roles(
     close = with_exact_cos_ppm(
         pairs, "__dot_d", "__na_d", "__nb_d", "cos_ppm"
     ).filter(F.col("cos_ppm") >= eps_ppm)
+    return base, close
+
+
+def dbscan_roles(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    eps_ppm: int = 900000,
+    min_pts: int = 4,
+    target_bucket: int = 8,
+    sign_bits: int = 16,
+    quant: int = 1000,
+) -> DataFrame:
+    """DBSCAN's density classification over an embedding column —
+    every point labeled ``core`` (≥ min_pts neighbors at cosine ≥
+    eps_ppm, self included), ``border`` (not core but ε-close to
+    one), or ``noise`` — the outlier/cluster-seed triage a curation
+    pipeline runs before density-aware sampling (keep cores, review
+    noise) and the precursor of full DBSCAN (cores + ε-edges feed the
+    existing connected-components operator for cluster ids).
+
+    Neighborhoods are evaluated WITHIN sign-LSH buckets whose bit
+    count ADAPTS to the corpus: ``bits = msb(count div
+    target_bucket)`` masked over the ``sign_bits``-bit sign pattern
+    (the mutual_nn sub-blocking discipline — a FIXED bucket count
+    saturates: the 10× probe showed fixed 6 bits going 36× because
+    pair work grows N²/2^bits once buckets fill; adaptive bits keep
+    expected bucket size ~target_bucket at any corpus). The count →
+    bits derivation happens IN-PLAN (one 1-row aggregate broadcast),
+    so the whole run replays cross-engine. Cross-bucket ε-pairs are
+    missed — the standard LSH recall trade shared with
+    ivf_topk/mutual_nn. Similarities are the exact corrected-isqrt
+    cosine, so every role decision replays.
+
+    Output (scalar-only): ``(id_col, n_neighbors long, role string)``.
+    """
+    base, close = _dbscan_close(
+        df, id_col, vec_col, eps_ppm, target_bucket, sign_bits, quant
+    )
     neigh = close.groupBy(F.col("__ida").alias("__id")).agg(
         F.count(F.lit(1)).cast("long").alias("__n_eps")
     )
@@ -1746,5 +1764,92 @@ def dbscan_roles(
             .when(F.col("__near_core") == 1, F.lit("border"))
             .otherwise(F.lit("noise"))
             .alias("role"),
+        )
+    )
+
+
+def dbscan_clusters(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    eps_ppm: int = 900000,
+    min_pts: int = 4,
+    target_bucket: int = 8,
+    sign_bits: int = 16,
+    quant: int = 1000,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Full DBSCAN over an embedding column: :func:`dbscan_roles`'
+    density triage COMPLETED to cluster ids — core points connected by
+    ε-edges collapse into one cluster (min-id label via the existing
+    connected-components operator), borders attach to the smallest
+    cluster among their ε-close cores (a total order, so the
+    assignment replays), noise stays unclustered (NULL) — the
+    density-aware alternative to k-means for curation (no k to pick,
+    outliers excluded by construction instead of dragged into the
+    nearest centroid).
+
+    Same adaptive sign-LSH blocking and exact-cosine ε-predicate as
+    dbscan_roles (shared pair stage, one plan); the CC stage runs on
+    the CORE subgraph only — orders of magnitude smaller than the
+    corpus — with per-iteration lineage cuts. Output (scalar-only):
+    ``(id_col, role string, cluster long — NULL for noise)``.
+    """
+    from salesforce_plugin_spark.functions.dedup import connected_components
+
+    base, close = _dbscan_close(
+        df, id_col, vec_col, eps_ppm, target_bucket, sign_bits, quant
+    )
+    neigh = close.groupBy(F.col("__ida").alias("__id")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n_eps")
+    )
+    flagged = (
+        base.select("__id")
+        .join(neigh, "__id", "left")
+        .withColumn("__n_eps", F.coalesce(F.col("__n_eps"), F.lit(0)))
+        .withColumn(
+            "__is_core", (F.col("__n_eps") + 1 >= min_pts).cast("int")
+        )
+    )
+    cores = flagged.filter(F.col("__is_core") == 1).select("__id")
+    core_edges = (
+        close.join(
+            cores.withColumnRenamed("__id", "__ca"),
+            close["__ida"] == F.col("__ca"),
+        )
+        .join(
+            cores.withColumnRenamed("__id", "__cb"),
+            close["__idb"] == F.col("__cb"),
+        )
+        .select(F.col("__ida").alias("id_a"), F.col("__idb").alias("id_b"))
+    )
+    cc = connected_components(
+        cores.select(F.col("__id").alias("id")),
+        core_edges,
+        id_col="id",
+        max_iter=max_iter,
+    ).select(
+        F.col("id").alias("__core_id"),
+        F.col("component_id").alias("__cluster"),
+    )
+    border_attach = (
+        close.join(cc, close["__idb"] == F.col("__core_id"))
+        .groupBy(F.col("__ida").alias("__id"))
+        .agg(F.min("__cluster").alias("__border_cluster"))
+    )
+    return (
+        flagged.join(cc, flagged["__id"] == F.col("__core_id"), "left")
+        .drop("__core_id")
+        .join(border_attach, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.when(F.col("__is_core") == 1, F.lit("core"))
+            .when(F.col("__border_cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.when(F.col("__is_core") == 1, F.col("__cluster"))
+            .otherwise(F.col("__border_cluster"))
+            .cast("long")
+            .alias("cluster"),
         )
     )

@@ -259,3 +259,49 @@ def fd_violations(
         )
         .filter(F.col("n_distinct") > 1)
     )
+
+
+def erasure_impact(
+    subjects: DataFrame,
+    key_col: str,
+    cascades: list,
+) -> DataFrame:
+    """Right-to-be-forgotten impact audit: for a set of data-subject
+    keys, the exact row and distinct-key counts each cascade table
+    would lose — the plan a deletion pipeline reviews BEFORE executing
+    (the E5-idempotence mirror image: upsert's inverse), and the
+    evidence record an erasure request leaves behind. ``cascades`` is
+    ``[(table_name, df, fk_col), ...]`` where ``fk_col`` refs the
+    subject key directly, or ``(table_name, df, fk_col, keys_df,
+    keys_col)`` for an INDIRECT path — ``keys_df`` carries the bridged
+    key population (e.g. the subject's order keys for the
+    orders→lineitem hop) and ``fk_col`` refs THAT.
+
+    Plan: every key set is a broadcast semi-side (an erasure batch —
+    and its bridged expansion — is human-scale); each cascade is ONE
+    broadcast semi-join + a 1-row aggregate, unioned — no cascade
+    table is scanned more than once, nothing shuffles wider than the
+    per-table count. Output (scalar-only): ``(table string,
+    n_rows long, n_keys long)``.
+    """
+    out = None
+    default_keys = subjects.select(
+        F.col(key_col).alias("__k")
+    ).distinct()
+    for cascade in cascades:
+        if len(cascade) == 3:
+            name, df, fk = cascade
+            keys = default_keys
+        else:
+            name, df, fk, keys_df, keys_col = cascade
+            keys = keys_df.select(F.col(keys_col).alias("__k")).distinct()
+        hit = df.join(
+            F.broadcast(keys), df[fk] == F.col("__k"), "left_semi"
+        )
+        agg = hit.agg(
+            F.lit(name).alias("table"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct(F.col(fk)).cast("long").alias("n_keys"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out

@@ -224,6 +224,9 @@ PROBE = [
     "q_multimodal_ahash",
     "q_wilson",
     "q_dbscan_roles",
+    "q_dbscan_clusters",
+    "q_erasure_audit",
+    "q_blocking_recall",
 ]
 
 

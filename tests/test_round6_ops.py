@@ -499,3 +499,100 @@ class TestDbscanRoles:
             ).collect()
         }
         assert out == {1: "noise", 2: "noise"}
+
+
+class TestDbscanClusters:
+    def test_two_chains_two_clusters_border_noise(self, spark):
+        """Angles 0..20 form one ε-chain (cluster A: cores 5/10/15 at
+        min_pts=4, with 0 and 20 as borders); angles 60..80 a second;
+        35 deg is noise. Clusters must be distinct and min-core-id
+        labeled."""
+        import math
+
+        from salesforce_plugin_spark.functions.vector import dbscan_clusters
+
+        angles = [0, 5, 10, 15, 20, 35, 60, 65, 70, 75, 80]
+        rows = [
+            (i, [math.cos(math.radians(a)), math.sin(math.radians(a))])
+            for i, a in enumerate(angles)
+        ]
+        df = spark.createDataFrame(rows, "id long, v array<float>")
+        out = {
+            r.id: (r.role, r.cluster)
+            for r in dbscan_clusters(
+                df, "id", "v", eps_ppm=978000, min_pts=4
+            ).collect()
+        }
+        assert out[5] == ("noise", None)
+        # chain 1: cores 1,2,3 -> cluster 1; borders 0,4
+        for i in (1, 2, 3):
+            assert out[i] == ("core", 1)
+        for i in (0, 4):
+            assert out[i] == ("border", 1)
+        # chain 2: cores 7,8,9 -> cluster 7; borders 6,10
+        for i in (7, 8, 9):
+            assert out[i] == ("core", 7)
+        for i in (6, 10):
+            assert out[i] == ("border", 7)
+
+
+class TestErasureImpact:
+    def test_direct_and_bridged_counts(self, spark):
+        from salesforce_plugin_spark.operators.validate import erasure_impact
+
+        subj = spark.createDataFrame([(1,), (2,)], "k long")
+        orders = spark.createDataFrame(
+            [(10, 1), (11, 1), (12, 2), (13, 9)], "ok long, ck long"
+        )
+        items = spark.createDataFrame(
+            [(10, "a"), (10, "b"), (12, "c"), (13, "d")],
+            "ok long, item string",
+        )
+        bridge = orders.filter(F.col("ck").isin(1, 2))
+        out = {
+            r.table: (r.n_rows, r.n_keys)
+            for r in erasure_impact(
+                subj,
+                "k",
+                [
+                    ("orders", orders, "ck"),
+                    ("items", items, "ok", bridge, "ok"),
+                ],
+            ).collect()
+        }
+        assert out["orders"] == (3, 2)
+        assert out["items"] == (3, 2)  # rows 10,10,12; keys 10,12
+
+
+class TestBlockingRecall:
+    def test_identical_docs_full_recall_at_high_threshold(self, spark):
+        from salesforce_plugin_spark.functions.dedup import (
+            blocking_recall_eval,
+        )
+
+        text = "the quick brown fox jumps over the lazy dog again"
+        df = spark.createDataFrame(
+            [(1, text), (2, text), (3, "completely different words here now ok")],
+            "doc_id long, text string",
+        )
+        r = {
+            row.threshold_ppm: row
+            for row in blocking_recall_eval(
+                df, "doc_id", "text", thresholds_ppm=[900000]
+            ).collect()
+        }[900000]
+        assert (r.n_true, r.n_hit, r.recall_ppm) == (1, 1, 1000000)
+
+    def test_empty_truth_recall_null(self, spark):
+        from salesforce_plugin_spark.functions.dedup import (
+            blocking_recall_eval,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "one two three four")],
+            "doc_id long, text string",
+        )
+        r = blocking_recall_eval(
+            df, "doc_id", "text", thresholds_ppm=[500000]
+        ).collect()[0]
+        assert r.n_true == 0 and r.recall_ppm is None
