@@ -1798,3 +1798,82 @@ ORACLES["q_wilson"] = r"""
                0) AS BIGINT) AS wilson_lb_ppm
     FROM terms
 """
+
+
+def q_abtest(spark, sf_dir):
+    """Two-proportion z-test (operators/analytics.py ab_test_z): per
+    event_type, arm = user_id parity (a deterministic assignment —
+    never RNG, or the artifact can't replay), success = value ≥ 50;
+    exact-integer signed milli-z via the corrected isqrt on a
+    squared-by-construction denominator (the wilson_quality
+    discipline) and the |z| ≥ 1.96 verdict — the experiment read-out
+    as a hash-gateable artifact (null-hypothesis arms here, so the
+    gate also pins that z stays honest when nothing is going on)."""
+    from salesforce_plugin_spark.operators.analytics import ab_test_z
+
+    ev = load_table(spark, sf_dir, "events")
+    return ab_test_z(
+        ev,
+        F.col("user_id") % 2,
+        F.col("value") >= 50,
+        group_cols=["event_type"],
+    )
+
+
+ORACLES["q_abtest"] = """
+    WITH agg AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN user_id % 2 = 0 AND value >= 50
+                        THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN user_id % 2 = 1 AND value >= 50
+                        THEN 1 ELSE 0 END) AS BIGINT) AS s2
+        FROM events GROUP BY 1
+    ), t AS (
+        SELECT *,
+               CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1 AS d,
+               CAST(n1 AS HUGEINT) * n2 * (s1 + s2)
+                   * (n1 + n2 - s1 - s2) AS m
+        FROM agg
+    ), seeded AS (
+        SELECT *, CAST(n1 + n2 AS HUGEINT) * m AS nm FROM t
+    ), rooted AS (
+        SELECT *,
+               CAST(floor(sqrt(CAST(nm AS DOUBLE))) AS HUGEINT) AS y0
+        FROM seeded
+    ), pinned AS (
+        SELECT *, CASE WHEN (y0+2)*(y0+2) <= nm THEN y0+2
+                       WHEN (y0+1)*(y0+1) <= nm THEN y0+1
+                       WHEN y0*y0 <= nm THEN y0
+                       WHEN (y0-1)*(y0-1) <= nm THEN y0-1
+                       ELSE y0-2 END AS r
+        FROM rooted
+    ), z AS (
+        SELECT event_type, n1, s1, n2, s2,
+               CASE WHEN m = 0 THEN NULL
+                    ELSE CAST((CASE WHEN d < 0 THEN -1 ELSE 1 END)
+                         * ((abs(d) * 1000 * r) // m) AS BIGINT)
+               END AS z_milli,
+               CAST((CAST(s1 AS HUGEINT) * 1000000) // n1 AS BIGINT)
+                   AS p1_ppm,
+               CAST((CAST(s2 AS HUGEINT) * 1000000) // n2 AS BIGINT)
+                   AS p2_ppm,
+               -- truncation toward zero (the dfloor contract), not //'s
+               -- floor: sign applied to the absolute quotient
+               CAST((CASE WHEN CAST(s1 AS HUGEINT) * n2
+                               < CAST(s2 AS HUGEINT) * n1
+                          THEN -1 ELSE 1 END)
+                    * ((abs(CAST(s1 AS HUGEINT) * n2
+                            - CAST(s2 AS HUGEINT) * n1) * 1000000)
+                       // (CAST(n1 AS HUGEINT) * n2)) AS BIGINT)
+                   AS diff_ppm
+        FROM pinned
+    )
+    SELECT event_type, n1, s1, n2, s2, p1_ppm, p2_ppm, diff_ppm, z_milli,
+           CAST(CASE WHEN abs(z_milli) >= 1960 THEN 1 ELSE 0 END AS INT)
+               AS significant
+    FROM z
+"""

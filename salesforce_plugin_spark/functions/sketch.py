@@ -1047,8 +1047,11 @@ def hll_registers(df: DataFrame, group_cols: list[str], value_col: str) -> DataF
     rank = F.when(w == 0, F.lit(55)).otherwise(
         F.lit(55) - F.length(F.bin(w))
     )
+    # NULLs carry no cardinality: md5(NULL) would land a phantom
+    # NULL-bucket register that inflates n_regs
     return (
-        df.select(*group_cols, (h % 64).alias("bucket"), rank.alias("rank"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, (h % 64).alias("bucket"), rank.alias("rank"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rank").alias("m_j"))
     )

@@ -1707,3 +1707,92 @@ def wilson_from_counts(
         ),
         F.greatest(F.expr(lb), F.lit(0).cast("long")).alias("wilson_lb_ppm"),
     )
+
+
+def ab_test_z(
+    df: DataFrame,
+    arm: Column,
+    success: Column,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Two-proportion z-test in EXACT integer arithmetic — the
+    experiment read-out (did arm B really lift the success rate?) as a
+    replayable artifact: with d = s1·n2 − s2·n1, pooled S = s1+s2,
+    N = n1+n2, M = n1·n2·S·(N−S),
+
+        z = d·√(N/M)  ⇒  z_milli = sign(d)·(1000·|d|·isqrt(N·M)) div M
+
+    (√(N/M) = √(N·M)/M — the denominator squared by construction, the
+    wilson_quality discipline), so both engines surface the identical
+    signed milli-z and the same significance verdict at |z| ≥ 1.96.
+    Degenerate pools (S = 0 or S = N: no variance) surface NULL z.
+    Valid while N·M < 2^104 (isqrt seed bound: ~10⁶ rows per
+    comparison; beyond that pre-aggregate counts per shard first —
+    they are additive).
+
+    ``arm`` must be a deterministic 0/1 assignment (id parity, hash
+    bucket — never RNG, or the artifact can't replay). One
+    partial-combined aggregate, scalar arithmetic after. Output
+    (scalar-only): ``(*group_cols, n1, s1, n2, s2 long, p1_ppm,
+    p2_ppm, diff_ppm long, z_milli long, significant int)``.
+    """
+    from salesforce_plugin_spark.functions.exactmath import isqrt_case
+
+    groups = group_cols or []
+    agg = df.groupBy(*groups).agg(
+        F.sum(F.when(arm == 0, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when((arm == 0) & success.cast("boolean"), 1).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(arm == 1, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when((arm == 1) & success.cast("boolean"), 1).otherwise(0))
+        .cast("long")
+        .alias("s2"),
+    )
+    scored = (
+        agg.withColumn(
+            "__d", F.expr(f"{dcast('s1')} * {dcast('n2')} - {dcast('s2')} * {dcast('n1')}")
+        )
+        .withColumn(
+            "__m",
+            F.expr(
+                f"{dcast('n1')} * {dcast('n2')} * {dcast('s1 + s2')}"
+                f" * {dcast('n1 + n2 - s1 - s2')}"
+            ),
+        )
+        .withColumn("__nm", F.expr(f"{dcast('n1 + n2')} * __m"))
+        .withColumn(
+            "__y0",
+            F.expr("CAST(FLOOR(SQRT(CAST(__nm AS DOUBLE))) AS decimal(38,0))"),
+        )
+        .withColumn("__r", F.expr(isqrt_case("__nm", "__y0")))
+        .withColumn(
+            "__z",
+            F.when(
+                F.expr("__m = 0"), F.lit(None).cast("long")
+            ).otherwise(
+                F.expr("CASE WHEN __d < 0 THEN -1 ELSE 1 END").cast("long")
+                * F.expr(dfloor("ABS(__d) * 1000 * __r", "__m"))
+            ),
+        )
+    )
+    return scored.select(
+        *groups,
+        "n1",
+        "s1",
+        "n2",
+        "s2",
+        F.expr(dfloor(f"{dcast('s1')} * 1000000", dcast("n1"))).alias("p1_ppm"),
+        F.expr(dfloor(f"{dcast('s2')} * 1000000", dcast("n2"))).alias("p2_ppm"),
+        F.expr(
+            dfloor(
+                f"({dcast('s1')} * {dcast('n2')} - {dcast('s2')} * {dcast('n1')})"
+                " * 1000000",
+                f"{dcast('n1')} * {dcast('n2')}",
+            )
+        ).alias("diff_ppm"),
+        F.col("__z").alias("z_milli"),
+        F.when(F.abs(F.col("__z")) >= 1960, 1).otherwise(0).cast("int").alias(
+            "significant"
+        ),
+    )

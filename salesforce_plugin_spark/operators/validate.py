@@ -284,6 +284,8 @@ def erasure_impact(
     per-table count. Output (scalar-only): ``(table string,
     n_rows long, n_keys long)``.
     """
+    if not cascades:
+        raise ValueError("erasure_impact requires at least one cascade")
     out = None
     default_keys = subjects.select(
         F.col(key_col).alias("__k")

@@ -227,6 +227,7 @@ PROBE = [
     "q_dbscan_clusters",
     "q_erasure_audit",
     "q_blocking_recall",
+    "q_abtest",
 ]
 
 

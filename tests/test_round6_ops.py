@@ -596,3 +596,34 @@ class TestBlockingRecall:
             df, "doc_id", "text", thresholds_ppm=[500000]
         ).collect()[0]
         assert r.n_true == 0 and r.recall_ppm is None
+
+
+class TestAbTest:
+    def test_matches_float_z(self, spark):
+        import math
+
+        from salesforce_plugin_spark.operators.analytics import ab_test_z
+
+        rows = (
+            [(0, 1)] * 120 + [(0, 0)] * 380
+            + [(1, 1)] * 180 + [(1, 0)] * 320
+        )
+        df = spark.createDataFrame(rows, "arm int, ok int")
+        r = ab_test_z(df, F.col("arm"), F.col("ok") == 1).collect()[0]
+        p1, p2 = r.s1 / r.n1, r.s2 / r.n2
+        pp = (r.s1 + r.s2) / (r.n1 + r.n2)
+        z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1 / r.n1 + 1 / r.n2))
+        assert abs(z * 1000 - r.z_milli) <= 1
+        assert r.significant == (1 if abs(z) >= 1.96 else 0)
+        # B lifts: diff negative, z negative, clearly significant
+        assert r.z_milli < -1960 and r.significant == 1
+        assert r.diff_ppm == -120000
+
+    def test_no_variance_surfaces_null(self, spark):
+        from salesforce_plugin_spark.operators.analytics import ab_test_z
+
+        df = spark.createDataFrame(
+            [(0, 1)] * 5 + [(1, 1)] * 5, "arm int, ok int"
+        )
+        r = ab_test_z(df, F.col("arm"), F.col("ok") == 1).collect()[0]
+        assert r.z_milli is None and r.significant == 0
