@@ -1411,3 +1411,88 @@ def q_stream_wilson(spark, sf_dir):
         rows,
         "source string, n long, s long, rate_ppm long, wilson_lb_ppm long",
     )
+
+
+def q_stream_abtest(spark, sf_dir):
+    """F6 x experimentation: the two-proportion z read-out maintained
+    FROM A STREAM — per-(type, arm, verdict) counts are additive, so
+    the generic additive face maintains them with zero new fold code;
+    summed state feeds ab_from_counts and must equal the one-shot
+    batch read-out (q_abtest's oracle VERBATIM, disjoint slices) —
+    the live experiment monitor whose artifact can't drift from the
+    offline analysis. 17th equivalence face."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.operators.analytics import ab_from_counts
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_summed_counts,
+        run_stream_additive_counts,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_stream_ab_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [e.filter(F.col("event_id") % 3 == i) for i in range(3)],
+            tmp,
+            None,
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, event_type string, user_id long,"
+                " value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+        run_stream_additive_counts(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            group_cols=["event_type", "__arm", "__ok"],
+            prepare=lambda b: b.select(
+                "event_type",
+                (F.col("user_id") % 2).cast("int").alias("__arm"),
+                (F.col("value") >= 50).cast("int").alias("__ok"),
+            ),
+        )
+        counts = read_summed_counts(
+            spark, state, ["event_type", "__arm", "__ok"]
+        )
+        agg = counts.groupBy("event_type").agg(
+            F.sum(F.when(F.col("__arm") == 0, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(
+                F.when(
+                    (F.col("__arm") == 0) & (F.col("__ok") == 1), F.col("n")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("s1"),
+            F.sum(F.when(F.col("__arm") == 1, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n2"),
+            F.sum(
+                F.when(
+                    (F.col("__arm") == 1) & (F.col("__ok") == 1), F.col("n")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("s2"),
+        )
+        rows = ab_from_counts(agg, ["event_type"]).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type string, n1 long, s1 long, n2 long, s2 long,"
+        " p1_ppm long, p2_ppm long, diff_ppm long, z_milli long,"
+        " significant int",
+    )

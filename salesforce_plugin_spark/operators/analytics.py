@@ -1736,8 +1736,6 @@ def ab_test_z(
     (scalar-only): ``(*group_cols, n1, s1, n2, s2 long, p1_ppm,
     p2_ppm, diff_ppm long, z_milli long, significant int)``.
     """
-    from salesforce_plugin_spark.functions.exactmath import isqrt_case
-
     groups = group_cols or []
     agg = df.groupBy(*groups).agg(
         F.sum(F.when(arm == 0, 1).otherwise(0)).cast("long").alias("n1"),
@@ -1749,6 +1747,18 @@ def ab_test_z(
         .cast("long")
         .alias("s2"),
     )
+    return ab_from_counts(agg, groups)
+
+
+def ab_from_counts(agg: DataFrame, group_cols: list[str]) -> DataFrame:
+    """:func:`ab_test_z` from a pre-aggregated ``(group, n1, s1, n2,
+    s2)`` table — the entry point for additive count state (streaming
+    face: arm trial/success counts are additive, so the generic fold
+    maintains them and this reduction must equal the one-shot batch
+    read-out — the live-experiment monitor)."""
+    from salesforce_plugin_spark.functions.exactmath import isqrt_case
+
+    groups = group_cols
     scored = (
         agg.withColumn(
             "__d", F.expr(f"{dcast('s1')} * {dcast('n2')} - {dcast('s2')} * {dcast('n1')}")
