@@ -1877,3 +1877,45 @@ ORACLES["q_abtest"] = """
                AS significant
     FROM z
 """
+
+
+def q_calibration(spark, sf_dir):
+    """Reliability curve (operators/analytics.py calibration_bins):
+    events.value (integer milli) binned into 10 fixed-width cells
+    against the purchase outcome — per bin the exact mean score and
+    observed rate, the artifact that decides whether a score can gate
+    at a threshold (here value carries no purchase signal, so the
+    gate also pins the honest flat curve). Fixed integer bin edges —
+    stable meanings across runs, one map-side expression, and integer
+    `div` binning because a double-divide + int cast TRUNCATES in
+    Spark but ROUNDS in DuckDB at bin edges."""
+    from salesforce_plugin_spark.operators.analytics import calibration_bins
+
+    ev = load_table(spark, sf_dir, "events")
+    return calibration_bins(
+        ev,
+        F.round(F.col("value") * 1000, 0).cast("long"),
+        F.col("event_type") == "purchase",
+        lo=0,
+        hi=500000,
+        n_bins=10,
+    )
+
+
+ORACLES["q_calibration"] = """
+    WITH binned AS (
+        SELECT CAST(least(9, greatest(0,
+                   ((CAST(round(value * 1000) AS BIGINT) - 0) * 10)
+                       // 500000)) AS INT) AS bin,
+               CAST(round(value * 1000) AS BIGINT) AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ok
+        FROM events
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST((sum(CAST(score AS HUGEINT)) * 1000) // count(*) AS BIGINT)
+               AS mean_score_milli,
+           CAST((CAST(sum(ok) AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+               AS rate_ppm
+    FROM binned GROUP BY 1
+"""

@@ -22,7 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from salesforce_plugin_spark.functions.exactmath import dcast, dfloor
+from salesforce_plugin_spark.functions.exactmath import D38, dcast, dfloor
 
 
 def funnel(
@@ -1804,5 +1804,74 @@ def ab_from_counts(agg: DataFrame, group_cols: list[str]) -> DataFrame:
         F.col("__z").alias("z_milli"),
         F.when(F.abs(F.col("__z")) >= 1960, 1).otherwise(0).cast("int").alias(
             "significant"
+        ),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score: Column,
+    outcome: Column,
+    lo: int,
+    hi: int,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability curve of an integer score against a boolean outcome
+    — the eval that decides whether a cheap quality score can gate a
+    corpus at a given threshold: per fixed-width score bin, the exact
+    observed outcome rate next to the bin's mean score (a calibrated
+    scorer tracks the diagonal; a miscalibrated one gates garbage in
+    or gold out). Fixed-width integer bins, NOT percentile bins — a
+    decile binning needs a global sort and its cut points drift with
+    the corpus, while fixed edges are one map-side expression and
+    comparable across runs (the binned_quantiles tradeoff, chosen the
+    other way because calibration WANTS stable bin meanings).
+
+    All-integer surface: mean score in milli (exact DECIMAL sum, one
+    floor divide), rate in ppm. Out-of-range scores clamp to the edge
+    bins (visible as mass, never dropped). One partial-combined
+    aggregate bounded by n_bins. Output (scalar-only): ``(bin int,
+    n long, mean_score_milli long, rate_ppm long)``.
+    """
+    if hi <= lo:
+        raise ValueError("calibration_bins requires hi > lo")
+    width = hi - lo
+    # integer `div`, not a double divide + int cast: Spark's double→int
+    # cast truncates while DuckDB's ROUNDS, so a float path would
+    # diverge at bin edges; clamping makes the negative-numerator
+    # trunc-vs-floor question moot (everything below lo lands in bin 0)
+    binned = df.select(
+        score.cast("long").alias("__score"),
+        outcome.cast("int").alias("__ok"),
+    ).withColumn(
+        "bin",
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.expr(
+                    f"CAST(((__score - {lo}) * {n_bins})"
+                    f" div {width} AS INT)"
+                ),
+            ),
+        ),
+    )
+    agg = (
+        binned
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("__score").cast(D38)).alias("__sum_score"),
+            F.sum("__ok").cast("long").alias("__s"),
+        )
+    )
+    return agg.select(
+        "bin",
+        "n",
+        F.expr(dfloor(f"{dcast('__sum_score')} * 1000", dcast("n"))).alias(
+            "mean_score_milli"
+        ),
+        F.expr(dfloor(f"{dcast('__s')} * 1000000", dcast("n"))).alias(
+            "rate_ppm"
         ),
     )

@@ -228,6 +228,7 @@ PROBE = [
     "q_erasure_audit",
     "q_blocking_recall",
     "q_abtest",
+    "q_calibration",
 ]
 
 

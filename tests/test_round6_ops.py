@@ -627,3 +627,44 @@ class TestAbTest:
         )
         r = ab_test_z(df, F.col("arm"), F.col("ok") == 1).collect()[0]
         assert r.z_milli is None and r.significant == 0
+
+
+class TestCalibration:
+    def test_perfectly_calibrated_score(self, spark):
+        """Score IS the probability (ppm): each bin's rate must track
+        its mean score."""
+        from salesforce_plugin_spark.operators.analytics import (
+            calibration_bins,
+        )
+
+        rows = []
+        for score_ppm, rate in ((100000, 0.1), (500000, 0.5), (900000, 0.9)):
+            for i in range(100):
+                rows.append((score_ppm, 1 if i < rate * 100 else 0))
+        df = spark.createDataFrame(rows, "score long, ok int")
+        out = {
+            r.bin: r
+            for r in calibration_bins(
+                df, F.col("score"), F.col("ok") == 1, 0, 1000000, 10
+            ).collect()
+        }
+        assert out[1].rate_ppm == 100000
+        assert out[5].rate_ppm == 500000
+        assert out[9].rate_ppm == 900000
+        assert out[5].mean_score_milli == 500000 * 1000
+
+    def test_out_of_range_clamps_to_edge_bins(self, spark):
+        from salesforce_plugin_spark.operators.analytics import (
+            calibration_bins,
+        )
+
+        df = spark.createDataFrame(
+            [(-50, 1), (2000, 0)], "score long, ok int"
+        )
+        out = {
+            r.bin: r.n
+            for r in calibration_bins(
+                df, F.col("score"), F.col("ok") == 1, 0, 1000, 10
+            ).collect()
+        }
+        assert out == {0: 1, 9: 1}
