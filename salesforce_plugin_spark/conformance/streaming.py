@@ -1496,3 +1496,88 @@ def q_stream_abtest(spark, sf_dir):
         " p1_ppm long, p2_ppm long, diff_ppm long, z_milli long,"
         " significant int",
     )
+
+
+def q_stream_calibration(spark, sf_dir):
+    """F6 x score gating: the reliability curve maintained FROM A
+    STREAM — per-bin (n, Σscore, Σoutcome) are SUMS, not just counts,
+    so this face rides the additive fold generalized to column sums
+    (run_stream_additive_sums — the first face needing it); merged
+    state reduces to the exact mean-score/rate surface and must equal
+    the one-shot batch curve (q_calibration's oracle VERBATIM,
+    disjoint slices). 18th equivalence face."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_summed_sums,
+        run_stream_additive_sums,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_stream_cal_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [e.filter(F.col("event_id") % 3 == i) for i in range(3)],
+            tmp,
+            None,
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+
+        def prep(b):
+            score = F.round(F.col("value") * 1000, 0).cast("long")
+            return b.select(
+                F.least(
+                    F.lit(9),
+                    F.greatest(
+                        F.lit(0),
+                        F.expr(
+                            "CAST(((CAST(round(value * 1000) AS BIGINT) - 0)"
+                            " * 10) div 500000 AS INT)"
+                        ),
+                    ),
+                ).alias("bin"),
+                score.alias("score"),
+                (F.col("event_type") == "purchase").cast("int").alias("ok"),
+            )
+
+        run_stream_additive_sums(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            group_cols=["bin"],
+            sum_cols=["score", "ok"],
+            prepare=prep,
+        )
+        merged = read_summed_sums(spark, state, ["bin"], ["score", "ok"])
+        from salesforce_plugin_spark.functions.exactmath import dcast, dfloor
+
+        # dfloor, NOT decimal `div` — Spark's div mis-handles decimal
+        # operands (the exactmath.py discovery); the exact-multiple
+        # identity is the safe floor
+        rows = merged.select(
+            "bin",
+            "n",
+            F.expr(
+                dfloor(f"{dcast('sum_score')} * 1000", dcast("n"))
+            ).alias("mean_score_milli"),
+            F.expr(
+                dfloor(f"{dcast('sum_ok')} * 1000000", dcast("n"))
+            ).alias("rate_ppm"),
+        ).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "bin int, n long, mean_score_milli long, rate_ppm long"
+    )

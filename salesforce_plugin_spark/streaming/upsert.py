@@ -723,3 +723,61 @@ def read_max_registers(spark, state_dir: str, group_cols: list[str]):
         .groupBy(*group_cols, "bucket")
         .agg(F.max("m_j").alias("m_j"))
     )
+
+
+def run_stream_additive_sums(
+    stream,
+    state_dir: str,
+    checkpoint: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    prepare=None,
+):
+    """Generic additive-SUM stream face — the additive-count fold
+    generalized from row counts to column sums: each micro-batch
+    appends its per-group partial ``(n, sum(c) …)`` rows; BIGINT
+    addition is associative and commutative, so the summed state
+    equals one batch aggregate over everything streamed (mean/rate
+    artifacts — calibration curves, per-bin score masses — reduce
+    from it exactly). ``prepare`` maps the raw batch to (group, value)
+    rows first, INSIDE the fold. Disjoint-slice contract as
+    run_stream_additive_counts (sums double-count on replay — use the
+    max-register face's idempotent merge when the state allows it).
+    Read with :func:`read_summed_sums`."""
+
+    def fold(batch, _id: int) -> None:
+        rows = prepare(batch) if prepare is not None else batch
+        rows.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            *[
+                F.sum(F.col(c).cast("long")).cast("long").alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+        ).write.mode("append").parquet(state_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_summed_sums(
+    spark, state_dir: str, group_cols: list[str], sum_cols: list[str]
+):
+    """Merge the accumulated per-batch partials to final per-group
+    ``(n, sum_c …)`` totals (exact BIGINT addition in any order)."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            *[
+                F.sum(f"sum_{c}").cast("long").alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+        )
+    )

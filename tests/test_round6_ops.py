@@ -668,3 +668,26 @@ class TestCalibration:
             ).collect()
         }
         assert out == {0: 1, 9: 1}
+
+
+class TestAdditiveSums:
+    def test_partial_sums_merge_to_batch_totals(self, spark, tmp_path):
+        """The additive-sums fold contract at the unit level: manually
+        written partial (n, sum) rows merge to the exact batch
+        aggregate."""
+        from salesforce_plugin_spark.streaming.upsert import read_summed_sums
+
+        state = str(tmp_path / "state")
+        a = spark.createDataFrame(
+            [("x", 2, 30), ("y", 1, 5)], "g string, n long, sum_v long"
+        )
+        b = spark.createDataFrame(
+            [("x", 3, 70)], "g string, n long, sum_v long"
+        )
+        a.write.mode("append").parquet(state)
+        b.write.mode("append").parquet(state)
+        out = {
+            r.g: (r.n, r.sum_v)
+            for r in read_summed_sums(spark, state, ["g"], ["v"]).collect()
+        }
+        assert out == {"x": (5, 100), "y": (1, 5)}
