@@ -429,6 +429,38 @@ def _khop_oracle(k: int = 3, n_seeds: int = 5) -> str:
     )
 
 
+
+def _sssp_oracle(rounds: int = 3, n_seeds: int = 5) -> str:
+    """Unrolled Bellman-Ford rounds as chained CTEs (mirrors q_sssp:
+    full relaxation per round — equivalent to the Spark side's
+    delta-frontier schedule after the same round count)."""
+    parts = [
+        "WITH ed AS (\n"
+        "    SELECT l_suppkey + 1000000 AS a, l_partkey AS b,\n"
+        "           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w\n"
+        "    FROM lineitem WHERE l_partkey <> l_suppkey + 1000000\n"
+        "    GROUP BY 1, 2),\n"
+        "und AS (SELECT a, b, min(w) AS w FROM (\n"
+        "        SELECT a, b, w FROM ed\n"
+        "        UNION ALL SELECT b, a, w FROM ed) GROUP BY a, b),\n"
+        f"d0 AS (SELECT p_partkey AS node, CAST(0 AS BIGINT) AS dist"
+        f" FROM part WHERE p_partkey < {n_seeds})"
+    ]
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"c{i} AS (SELECT und.b AS node, min(d.dist + und.w) AS dist"
+            f" FROM {prev} d JOIN und ON und.a = d.node GROUP BY und.b)"
+        )
+        parts.append(
+            f"d{i} AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM ("
+            f"SELECT node, dist FROM {prev}"
+            f" UNION ALL SELECT node, dist FROM c{i}) GROUP BY node)"
+        )
+        prev = f"d{i}"
+    return ",\n".join(parts) + f"\nSELECT node, dist FROM {prev}"
+
+
 def _hits_oracle(iterations: int = 2, quant: int = 10**6) -> str:
     """Chained-CTE replay of hits_fixed (renormalize-by-max each half
     step; scalar-subquery max mirrors the 1-row broadcast)."""
@@ -578,6 +610,7 @@ __all__ = [
     "_hits_oracle",
     "_kcore_oracle",
     "_khop_oracle",
+    "_sssp_oracle",
     "_rand_proj_oracle",
     "_simhash_oracle",
     "_wpagerank_oracle",

@@ -226,6 +226,29 @@ def q_wpagerank(spark, sf_dir):
     return pagerank_fixed(edges, iterations=2, weight_col="w")
 
 
+def q_sssp(spark, sf_dir):
+    """Weighted shortest paths (functions/graph.py sssp_fixed): exact
+    BIGINT Bellman-Ford distances from the 5 lowest part ids over the
+    quantity-weighted supplier-part graph, 3 relaxation rounds with the
+    delta-frontier optimization — the khop blast-radius query upgraded
+    to COST (cheapest supply path, not fewest hops). Deterministic
+    (integer min-plus algebra only), so the unrolled rounds replay as
+    chained CTEs."""
+    from salesforce_plugin_spark.functions.graph import sssp_fixed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.groupBy(
+        (F.col("l_suppkey") + 1000000).alias("src"),
+        F.col("l_partkey").alias("dst"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 5)
+        .select(F.col("p_partkey").alias("id"))
+    )
+    return sssp_fixed(edges, seeds, rounds=3)
+
+
 def q_component_sizes(spark, sf_dir):
     """Near-dup profiling (functions/dedup.py component_size_histogram):
     the size distribution of the LSH candidate-graph components — the
@@ -556,6 +579,8 @@ ORACLES["q_khop"] = _khop_oracle()
 ORACLES["q_hits"] = _hits_oracle()
 
 ORACLES["q_wpagerank"] = _wpagerank_oracle()
+
+ORACLES["q_sssp"] = _sssp_oracle()
 
 ORACLES["q_assortativity"] = """
     WITH e AS (

@@ -249,6 +249,40 @@ def q_agg_having(spark, sf_dir):
     )
 
 
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 verbatim (pricing summary report): the canonical
+    scan-heavy partial-aggregating groupBy — one pushable shipdate
+    predicate, 2-key hash aggregate over ~6 distinct groups, eight
+    aggregates per group. q_agg_groupby carries the same SHAPE with a
+    reduced column set; this is the full 10-column report completing the
+    22/22 TPC-H suite. All money sums ride the scaled-long ``_sumd``
+    fast path (whole-stage-codegen primitive accumulators); averages are
+    exact-decimal sums divided once by the group count, matching the
+    oracle's decimal→double arithmetic bit-for-bit. Plan: PushedFilters
+    on l_shipdate, single Exchange, partial+final HashAggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _sumd(F.col("l_quantity")).alias("sum_qty"),
+            _sumd(F.col("l_extendedprice")).alias("sum_base_price"),
+            _sumd(disc_price, 4).alias("sum_disc_price"),
+            _sumd(charge, 6).alias("sum_charge"),
+            (_sumd(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+            (_sumd(F.col("l_extendedprice")) / F.count("*")).alias(
+                "avg_price"
+            ),
+            (_sumd(F.col("l_discount"), 4) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def q_tpch_q3(spark, sf_dir):
     """TPC-H Q3 shape: segment-filtered customer ⨝ orders ⨝ lineitem,
     revenue per order, top 10 — the canonical multi-join topk. No forced
@@ -1152,6 +1186,21 @@ ORACLES["q_agg_having"] = """
         SELECT o_custkey, count(*) AS n_orders,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+    """
+
+ORACLES["q_tpch_q1"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+               CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
     """
 
 ORACLES["q_tpch_q3"] = f"""

@@ -1004,3 +1004,91 @@ def link_prediction(
             "aa_milli",
         )
     )
+
+
+def sssp_fixed(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str = "w",
+    id_col: str = "id",
+) -> DataFrame:
+    """Fixed-round single-source (multi-seed) shortest paths over the
+    undirected weighted graph — Bellman-Ford with the delta-relaxation
+    optimization: round ``i`` relaxes only edges out of nodes whose
+    distance changed in round ``i-1`` (relaxing an unchanged node
+    re-derives candidates that already lost a min, so the result after
+    ``rounds`` rounds is exactly the classic all-edge Bellman-Ford
+    distance restricted to paths of ≤ ``rounds`` edges). Weights are
+    BIGINT, so every distance is an exact integer and the run is
+    bit-reproducible — the khop/kcore/pagerank fixed-iteration
+    discipline, letting the unrolled rounds replay as chained CTEs
+    under the differential gate. (Reference scope: the reference
+    engine has no graph operators; this extends the curation surface
+    the way deps-graph / citation-graph distance queries need.)
+
+    Per round: one changed⋈edges equijoin (frontier-sized stream
+    side), a min-combine keyed on dst, a node-sized min-merge with the
+    running distances, and an improvement filter; per-round
+    ``localCheckpoint(eager=False)`` cuts lineage (the kcore_fixed
+    plan-growth lesson). Work per round is bounded by the improved
+    frontier, never the full graph — on a cluster this is the
+    standard Pregel-style SSSP schedule expressed as DataFrame ops.
+
+    Output: ``(node long, dist long)`` — dist 0 for seeds, exact
+    minimal path weight over ≤ ``rounds`` edges otherwise; nodes not
+    reachable within ``rounds`` hops are absent. Negative weights are
+    rejected (min-combine semantics assume monotone relaxation).
+    """
+    if rounds < 1:
+        raise ValueError("sssp_fixed requires rounds >= 1")
+    e = (
+        edges.select(
+            F.col(src).alias("a"),
+            F.col(dst).alias("b"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    und = (
+        e.unionByName(
+            e.select(
+                F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
+            )
+        )
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+    )
+    dist = seeds.select(
+        F.col(id_col).alias("node"), F.lit(0).cast("long").alias("dist")
+    ).distinct()
+    changed = dist
+    for _ in range(rounds):
+        cand = (
+            changed.join(und, changed["node"] == und["a"])
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
+        )
+        merged = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        changed = (
+            merged.join(
+                dist.select(
+                    "node", F.col("dist").alias("__old")
+                ),
+                "node",
+                "left",
+            )
+            .filter(
+                F.col("__old").isNull() | (F.col("dist") < F.col("__old"))
+            )
+            .select("node", "dist")
+            .localCheckpoint(eager=False)
+        )
+        dist = merged.localCheckpoint(eager=False)
+    return dist

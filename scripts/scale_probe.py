@@ -83,6 +83,8 @@ PROBE = [
     "q_bm25",
     "q_url_dedup",
     "q_pagerank",
+    "q_sssp",
+    "q_tpch_q1",
     "q_zorder",
     "q_session_paths",
     "q_scd2_lookup",

@@ -691,3 +691,44 @@ class TestAdditiveSums:
             for r in read_summed_sums(spark, state, ["g"], ["v"]).collect()
         }
         assert out == {"x": (5, 100), "y": (1, 5)}
+
+
+class TestSSSP:
+    def test_cheaper_two_hop_beats_direct_edge(self, spark):
+        """Weighted semantics: a 2-edge path of total weight 6 must win
+        over the direct weight-10 edge (khop would stop at 1 hop)."""
+        from salesforce_plugin_spark.functions.graph import sssp_fixed
+
+        edges = spark.createDataFrame(
+            [(1, 3, 10), (1, 2, 3), (2, 3, 3)], "src long, dst long, w long"
+        )
+        seeds = spark.createDataFrame([(1,)], "id long")
+        out = {r.node: r.dist for r in sssp_fixed(edges, seeds, rounds=3).collect()}
+        assert out == {1: 0, 2: 3, 3: 6}
+
+    def test_round_bound_limits_path_length(self, spark):
+        """rounds=1 can only see 1-edge paths: the direct edge wins."""
+        from salesforce_plugin_spark.functions.graph import sssp_fixed
+
+        edges = spark.createDataFrame(
+            [(1, 3, 10), (1, 2, 3), (2, 3, 3)], "src long, dst long, w long"
+        )
+        seeds = spark.createDataFrame([(1,)], "id long")
+        out = {r.node: r.dist for r in sssp_fixed(edges, seeds, rounds=1).collect()}
+        assert out == {1: 0, 2: 3, 3: 10}
+
+    def test_undirected_and_multi_seed_min(self, spark):
+        """Edges relax in both directions; with two seeds each node
+        takes the min over seed distances; unreachable nodes absent."""
+        from salesforce_plugin_spark.functions.graph import sssp_fixed
+
+        edges = spark.createDataFrame(
+            [(2, 1, 5), (2, 3, 1), (4, 3, 1), (8, 9, 1)],
+            "src long, dst long, w long",
+        )
+        seeds = spark.createDataFrame([(1,), (4,)], "id long")
+        out = {r.node: r.dist for r in sssp_fixed(edges, seeds, rounds=3).collect()}
+        assert out[1] == 0 and out[4] == 0
+        assert out[3] == 1        # via seed 4
+        assert out[2] == 2        # via 4-3-2, beating 1-2 (5)
+        assert 8 not in out and 9 not in out
