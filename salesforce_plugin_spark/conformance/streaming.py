@@ -1581,3 +1581,81 @@ def q_stream_calibration(spark, sf_dir):
     return spark.createDataFrame(
         rows, "bin int, n long, mean_score_milli long, rate_ppm long"
     )
+
+
+def q_stream_zscore(spark, sf_dir):
+    """F6 x quality monitoring: per-type moment state (n, Σq, Σq²)
+    maintained FROM A STREAM via the additive-sums fold, then SCORED
+    against the table at rest with the injected-stats z-gate
+    (operators/analytics.py zscore_from_stats) — the live anomaly
+    monitor whose flags cannot drift from the offline analysis, because
+    the streamed sums are exact integers and the deciding comparison is
+    the same cross-multiplied DECIMAL(38,0) inequality. Must equal the
+    one-shot batch q_anomaly_zscore (oracle VERBATIM, disjoint slices).
+    19th equivalence face — the first that joins streamed state back
+    over a batch scan (stats live, data at rest: the standard
+    monitoring-service split)."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.operators.analytics import zscore_from_stats
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_summed_sums,
+        run_stream_additive_sums,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_stream_z_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [e.filter(F.col("event_id") % 3 == i) for i in range(3)],
+            tmp,
+            None,
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+
+        def prep(b):
+            qv = F.round(F.col("value") * 100, 0).cast("long")
+            return b.select(
+                F.col("event_type"), qv.alias("qv"), (qv * qv).alias("qv2")
+            )
+
+        run_stream_additive_sums(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            group_cols=["event_type"],
+            sum_cols=["qv", "qv2"],
+            prepare=prep,
+        )
+        stats_rows = read_summed_sums(
+            spark, state, ["event_type"], ["qv", "qv2"]
+        ).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    stats = spark.createDataFrame(
+        stats_rows, "event_type string, n long, sum_qv long, sum_qv2 long"
+    )
+    return zscore_from_stats(
+        e,
+        "value",
+        ["event_type"],
+        stats,
+        n_col="n",
+        s_col="sum_qv",
+        q2_col="sum_qv2",
+        k_num=3,
+        k_den=2,
+        quant=100,
+    ).select("event_id", "event_type", "value", "is_anomaly")

@@ -250,6 +250,57 @@ def zscore_outliers(
     )
 
 
+def zscore_from_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    stats: DataFrame,
+    n_col: str = "n",
+    s_col: str = "s",
+    q2_col: str = "q2",
+    k_num: int = 3,
+    k_den: int = 1,
+    quant: int = 100,
+) -> DataFrame:
+    """:func:`zscore_outliers` with the per-group moment state INJECTED
+    instead of computed — ``stats`` carries exact BIGINT ``(n, Σq,
+    Σq²)`` per group (e.g. maintained live by the streaming additive-sums
+    fold, or loaded from a monitoring table), and the rows of ``df`` are
+    flagged against it with the identical cross-multiplied integer
+    comparison ``(k_den·(n·q − s))² > k_num²·(n·Σq² − s²)`` in
+    DECIMAL(38,0). Because the injected sums are exact integers, the
+    flags are bit-identical to the one-shot batch computation over the
+    same rows — the property the q_stream_zscore equivalence face gates.
+
+    The stats side is ≤ |groups| rows and explicitly broadcast; the scan
+    side is untouched. Caller contract: ``stats`` was accumulated with
+    the same ``quant``, and BIGINT Σq² holds while
+    ``n·(quant·max|v|)² < 2^63`` — beyond that, lower ``quant`` (the
+    batch operator's DECIMAL path has no such bound).
+    """
+    d38 = "decimal(38,0)"
+    q = F.round(F.col(value_col) * quant, 0).cast("long")
+    tagged = df.withColumn("__q", q)
+    st = stats.select(
+        *group_cols,
+        F.col(n_col).cast(d38).alias("__n"),
+        F.col(s_col).cast(d38).alias("__s"),
+        F.col(q2_col).cast(d38).alias("__q2"),
+    )
+    dev = F.lit(k_den).cast(d38) * (
+        F.col("__n") * F.col("__q").cast(d38) - F.col("__s")
+    )
+    var_n2 = F.col("__n") * F.col("__q2") - F.col("__s") * F.col("__s")
+    return (
+        tagged.join(F.broadcast(st), group_cols)
+        .withColumn(
+            "is_anomaly",
+            dev * dev > F.lit(k_num * k_num).cast(d38) * var_n2,
+        )
+        .drop("__q", "__n", "__s", "__q2")
+    )
+
+
 def copurchase_pairs(
     df: DataFrame,
     basket_col: str,

@@ -732,3 +732,47 @@ class TestSSSP:
         assert out[3] == 1        # via seed 4
         assert out[2] == 2        # via 4-3-2, beating 1-2 (5)
         assert 8 not in out and 9 not in out
+
+
+class TestZscoreFromStats:
+    def test_injected_stats_reproduce_batch_flags(self, spark):
+        """The stats-injection variant must flag identically to the
+        self-computing batch operator when fed the exact BIGINT moments
+        it would have computed itself."""
+        from salesforce_plugin_spark.operators.analytics import (
+            zscore_from_stats,
+            zscore_outliers,
+        )
+
+        df = spark.createDataFrame(
+            [("a", i, float(v)) for i, v in enumerate([1, 2, 1, 2, 50])]
+            + [("b", 10 + i, float(v)) for i, v in enumerate([5, 5, 5])],
+            "grp string, rid long, value double",
+        )
+        qv = F.round(F.col("value") * 100, 0).cast("long")
+        stats = (
+            df.select("grp", qv.alias("qv"))
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("qv").alias("sum_qv"),
+                F.sum(F.col("qv") * F.col("qv")).alias("sum_qv2"),
+            )
+        )
+        got = {
+            r.rid: r.is_anomaly
+            for r in zscore_from_stats(
+                df, "value", ["grp"], stats,
+                n_col="n", s_col="sum_qv", q2_col="sum_qv2",
+                k_num=3, k_den=2, quant=100,
+            ).collect()
+        }
+        want = {
+            r.rid: r.is_anomaly
+            for r in zscore_outliers(
+                df, "value", ["grp"], k_num=3, k_den=2, quant=100
+            ).collect()
+        }
+        assert got == want
+        assert got[4] is True      # the 50 among 1s and 2s
+        assert got[10] is False    # constant group: zero variance, no flag
