@@ -461,6 +461,91 @@ def _sssp_oracle(rounds: int = 3, n_seeds: int = 5) -> str:
     return ",\n".join(parts) + f"\nSELECT node, dist FROM {prev}"
 
 
+def _ndcg_oracle(k: int = 10, nprobe: int = 3) -> str:
+    """Replay of q_ndcg: the q_ann_recall WITH chain (exact / assigned /
+    probe / ann lists under rounded-cosine total orders) extended with
+    position-graded relevance and the PINNED integer discount table —
+    generated from the same ndcg_discounts() list the Spark plan embeds,
+    so neither engine computes a log."""
+    from salesforce_plugin_spark.functions.vector import ndcg_discounts
+
+    whens_ann = " ".join(
+        f"WHEN {r} THEN {d}"
+        for r, d in enumerate(ndcg_discounts(k), start=1)
+    )
+    return f"""
+    WITH seeds AS (
+        SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_vec
+        FROM embeddings WHERE vec_id < 8
+    ), q AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        FROM embeddings WHERE vec_id < 10
+    ), exact AS (
+        SELECT q_id, vec_id, exact_rank FROM (
+            SELECT q.q_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), q.q_vec), 6) DESC,
+                                e.vec_id) AS exact_rank
+            FROM embeddings e, q
+        ) WHERE exact_rank <= {k}
+    ), assigned AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, s.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), s.c_vec), 6) DESC,
+                                s.centroid_id) AS rn
+            FROM embeddings e, seeds s
+        ) WHERE rn = 1
+    ), probe AS (
+        SELECT q_id, centroid_id FROM (
+            SELECT q.q_id, s.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY round(list_cosine_similarity(
+                           s.c_vec, q.q_vec), 6) DESC,
+                                s.centroid_id) AS pr
+            FROM seeds s, q
+        ) WHERE pr <= {nprobe}
+    ), ann AS (
+        SELECT q_id, vec_id, ann_rank FROM (
+            SELECT p.q_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY p.q_id
+                       ORDER BY round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), q.q_vec), 6) DESC,
+                                e.vec_id) AS ann_rank
+            FROM embeddings e
+            JOIN assigned a ON a.vec_id = e.vec_id
+            JOIN probe p ON p.centroid_id = a.centroid_id
+            JOIN q ON q.q_id = p.q_id
+        ) WHERE ann_rank <= {k}
+    ), rel AS (
+        SELECT a.q_id, a.ann_rank,
+               COALESCE({k + 1} - e.exact_rank, 0) AS rel
+        FROM ann a LEFT JOIN exact e
+          ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+    ), dcg AS (
+        SELECT q_id,
+               CAST(sum(((CAST(1 AS BIGINT) << rel) - 1)
+                   * CASE ann_rank {whens_ann} END) AS BIGINT) AS dcg
+        FROM rel GROUP BY 1
+    ), idcg AS (
+        SELECT q_id,
+               CAST(sum(((CAST(1 AS BIGINT) << ({k + 1} - exact_rank)) - 1)
+                   * CASE exact_rank {whens_ann} END) AS BIGINT) AS idcg
+        FROM exact GROUP BY 1
+    )
+    SELECT i.q_id, CAST(COALESCE(d.dcg, 0) AS BIGINT) AS dcg, i.idcg,
+           CAST(COALESCE(d.dcg, 0) * 1000000 // i.idcg AS BIGINT)
+               AS ndcg_ppm
+    FROM idcg i LEFT JOIN dcg d USING (q_id)
+"""
+
+
 def _hits_oracle(iterations: int = 2, quant: int = 10**6) -> str:
     """Chained-CTE replay of hits_fixed (renormalize-by-max each half
     step; scalar-subquery max mirrors the 1-row broadcast)."""
@@ -611,6 +696,7 @@ __all__ = [
     "_kcore_oracle",
     "_khop_oracle",
     "_sssp_oracle",
+    "_ndcg_oracle",
     "_rand_proj_oracle",
     "_simhash_oracle",
     "_wpagerank_oracle",

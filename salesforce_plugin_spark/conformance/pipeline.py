@@ -517,6 +517,30 @@ def q_budget_sample(spark, sf_dir):
     return budget_sample(d, ["lang"], "doc_id", "n_chars", budget=20_000)
 
 
+def q_kanonymity(spark, sf_dir):
+    """Re-identification risk audit (operators/validate.py
+    k_anonymity_audit): per (nation, segment) quasi-identifier class
+    its size k, the distinct count l of the sensitive 1000-band account
+    balance (l-diversity), and the k < 5 at-risk flag — Sweeney /
+    Machanavajjhala as one grouped aggregate, the governance gate run
+    on any extract before release. floor(x/1000) is cross-engine exact
+    (identical double divide, integral double casts identically)."""
+    from salesforce_plugin_spark.operators.validate import k_anonymity_audit
+
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    return k_anonymity_audit(
+        c, ["c_nationkey", "c_mktsegment"], "bal_band", k_min=5
+    ).select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "c_mktsegment",
+        "k",
+        "l",
+        "at_risk",
+    )
+
+
 def q_fd_audit(spark, sf_dir):
     """Functional-dependency audit (operators/validate.py
     fd_violations): two dependencies in one result — customer
@@ -1282,6 +1306,15 @@ ORACLES["q_budget_sample"] = """
         FROM documents
     )
     SELECT doc_id, lang, n_chars FROM ordered WHERE cum <= 20000
+"""
+
+ORACLES["q_kanonymity"] = """
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+               AS BIGINT) AS l,
+           count(*) < 5 AS at_risk
+    FROM customer GROUP BY 1, 2
 """
 
 ORACLES["q_fd_audit"] = """

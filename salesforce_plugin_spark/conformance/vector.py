@@ -199,6 +199,31 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+
+def q_ndcg(spark, sf_dir):
+    """Graded ranking eval (functions/vector.py ann_ndcg): NDCG@10 of
+    the deterministic IVF search vs exact brute force for the 10-query
+    batch — the stricter companion to q_ann_recall (recall treats a hit
+    at rank 10 like rank 1; NDCG discounts it by the pinned integer
+    log2 table, ndcg_discounts — no transcendentals in either engine).
+    Same ivf_eval_lists scaffolding, so the two evals share their list
+    construction and their cross-engine total orders."""
+    from salesforce_plugin_spark.functions.vector import ann_ndcg
+
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        V.as_double(F.col("embedding")).alias("c_vec"),
+    )
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        V.as_double(F.col("embedding")).alias("q_vec"),
+    )
+    return ann_ndcg(
+        e, "vec_id", "embedding", seeds, queries, k=10, nprobe=3
+    )
+
+
 def q_mutual_nn(spark, sf_dir):
     """High-precision matching (functions/vector.py mutual_nn): pairs
     that are EACH OTHER'S top-1 cosine neighbor within their label
@@ -534,6 +559,8 @@ ORACLES["q_ann_recall"] = """
            CAST(COALESCE(1000 // p.t1, 0) AS BIGINT) AS rr_x1000
     FROM ex_n e LEFT JOIN per p USING (q_id)
 """
+
+ORACLES["q_ndcg"] = _ndcg_oracle()
 
 ORACLES["q_mutual_nn"] = """
     WITH cnts AS (

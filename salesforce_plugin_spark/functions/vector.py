@@ -954,7 +954,7 @@ def random_projection(
     )
 
 
-def ann_recall(
+def ivf_eval_lists(
     df: DataFrame,
     id_col: str,
     vec_col: str,
@@ -962,25 +962,16 @@ def ann_recall(
     query_df: DataFrame,
     k: int = 10,
     nprobe: int = 3,
-) -> DataFrame:
-    """Retrieval-quality evaluation: recall@k and reciprocal rank of the
-    deterministic IVF search against exact brute force, per query — the
-    measurement that decides nprobe/nlist before an ANN index ships (an
-    index without a recall number is a guess). Both sides use the
-    rounded-cosine total order, so the whole evaluation — including the
-    approximate side's misses — replays cross-engine.
+):
+    """Shared retrieval-eval scaffolding: the exact brute-force top-k
+    list and the deterministic-IVF-probed top-k list for each query,
+    both ranked under the identical rounded-cosine + id total order so
+    every comparison downstream (recall, reciprocal rank, graded NDCG)
+    replays cross-engine. Factored out of :func:`ann_recall` verbatim
+    when :func:`ann_ndcg` needed the same two lists.
 
-    ``query_df`` holds broadcastable ``(q_id, q_vec array<double>)``
-    rows; ``seeds_df`` is the deterministic codebook
-    (:func:`ivf_assign_deterministic`'s contract). Shape: exact side =
-    one corpus scan + per-query window top-k (rows pruned to k·|Q|
-    before anything wide moves); ANN side scans only probed lists. The
-    eval join is k·|Q| vs k·|Q| rows.
-
-    Output (scalar-only): ``(q_id, n_hits long, recall_ppm long,
-    rr_x1000 long)`` — rr_x1000 = 1000 div (ANN rank of the exact
-    top-1), 0 when the top-1 is missed entirely.
-    """
+    Returns ``(exact, ann)``: ``(q_id, <id_col>, exact_rank)`` /
+    ``(q_id, <id_col>, ann_rank)``, each pruned to k·|Q| rows."""
     q = F.broadcast(query_df)
     sim = F.round(
         cosine(as_double(F.col(vec_col)), F.col("q_vec")), 6
@@ -1023,6 +1014,39 @@ def ann_recall(
         .withColumn("ann_rank", F.row_number().over(w))
         .filter(F.col("ann_rank") <= k)
         .drop("sim")
+    )
+    return exact, ann
+
+
+def ann_recall(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    seeds_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Retrieval-quality evaluation: recall@k and reciprocal rank of the
+    deterministic IVF search against exact brute force, per query — the
+    measurement that decides nprobe/nlist before an ANN index ships (an
+    index without a recall number is a guess). Both sides use the
+    rounded-cosine total order, so the whole evaluation — including the
+    approximate side's misses — replays cross-engine.
+
+    ``query_df`` holds broadcastable ``(q_id, q_vec array<double>)``
+    rows; ``seeds_df`` is the deterministic codebook
+    (:func:`ivf_assign_deterministic`'s contract). Shape: exact side =
+    one corpus scan + per-query window top-k (rows pruned to k·|Q|
+    before anything wide moves); ANN side scans only probed lists. The
+    eval join is k·|Q| vs k·|Q| rows.
+
+    Output (scalar-only): ``(q_id, n_hits long, recall_ppm long,
+    rr_x1000 long)`` — rr_x1000 = 1000 div (ANN rank of the exact
+    top-1), 0 when the top-1 is missed entirely.
+    """
+    exact, ann = ivf_eval_lists(
+        df, id_col, vec_col, seeds_df, query_df, k=k, nprobe=nprobe
     )
     hits = exact.join(ann, ["q_id", id_col])
     # recall denominator = |exact results| (min(k, candidates)), NOT the
@@ -1851,5 +1875,98 @@ def dbscan_clusters(
             .otherwise(F.col("__border_cluster"))
             .cast("long")
             .alias("cluster"),
+        )
+    )
+
+
+def ndcg_discounts(k: int = 10, quant: int = 10**6) -> list[int]:
+    """Pinned integer log2 discount table for NDCG@k:
+    ``disc_r = round(quant / log2(r + 1))`` for ranks 1..k, computed
+    HERE once in Python (public math, driver-side constants) so neither
+    engine ever evaluates a transcendental inside the gated plan — the
+    same pinned-constant discipline as the Wilson z and abtest
+    thresholds. Rank is bounded by k, so the table is a k-entry literal
+    lookup in both engines."""
+    import math
+
+    return [round(quant / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def ann_ndcg(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    seeds_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Graded ranking quality of the deterministic IVF search: NDCG@k
+    per query against exact brute force, in exact integers end to end.
+    Relevance is position-graded from the exact list (the true rank-r
+    neighbor has rel = k+1-r; results outside the true top-k get 0) —
+    the standard self-supervised grading when no human labels exist, and
+    a STRICTER signal than recall@k (:func:`ann_recall`): recall counts
+    a hit at ANN rank 10 the same as rank 1, NDCG discounts it.
+
+    Exact arithmetic: gain ``2^rel − 1`` (BIGINT shift, rel ≤ k),
+    discount from the pinned :func:`ndcg_discounts` table (a k-entry
+    literal array lookup — no logs in-plan), DCG/IDCG as BIGINT sums
+    (≤ k·quant·2^k ≈ 10^10 at the defaults), and the final
+    ``ndcg_ppm = 10^6·DCG div IDCG``. Both ranked lists come from
+    :func:`ivf_eval_lists` under rounded-cosine total orders, so the
+    whole evaluation replays cross-engine.
+
+    Output (scalar-only): ``(q_id, dcg long, idcg long, ndcg_ppm
+    long)``; a query whose probed lists return nothing surfaces dcg 0.
+    """
+    exact, ann = ivf_eval_lists(
+        df, id_col, vec_col, seeds_df, query_df, k=k, nprobe=nprobe
+    )
+    disc = F.array(*[F.lit(d).cast("long") for d in ndcg_discounts(k)])
+    rel = (
+        ann.join(
+            exact.withColumnRenamed("exact_rank", "__xr"),
+            ["q_id", id_col],
+            "left",
+        )
+        .select(
+            "q_id",
+            "ann_rank",
+            F.coalesce(
+                F.lit(k + 1).cast("int") - F.col("__xr"), F.lit(0)
+            ).alias("rel"),
+        )
+    )
+    dcg = rel.groupBy("q_id").agg(
+        F.sum(
+            (F.expr("shiftleft(CAST(1 AS BIGINT), rel)") - 1)
+            * F.element_at(disc, F.col("ann_rank"))
+        )
+        .cast("long")
+        .alias("dcg")
+    )
+    idcg = exact.groupBy("q_id").agg(
+        F.sum(
+            (
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), {k + 1} - exact_rank)"
+                )
+                - 1
+            )
+            * F.element_at(disc, F.col("exact_rank"))
+        )
+        .cast("long")
+        .alias("idcg")
+    )
+    return (
+        idcg.join(dcg, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("dcg"), F.lit(0).cast("long")).alias("dcg"),
+            "idcg",
+            F.expr("coalesce(dcg, 0) * 1000000 div idcg")
+            .cast("long")
+            .alias("ndcg_ppm"),
         )
     )

@@ -307,3 +307,41 @@ def erasure_impact(
         )
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str | None = None,
+    k_min: int = 5,
+) -> DataFrame:
+    """Re-identification risk audit for a release/training extract: one
+    row per quasi-identifier equivalence class with its size ``k``
+    (how many records share this QI combination — a class of 1 is a
+    unique individual), the distinct-sensitive-value count ``l``
+    (l-diversity: a class where every member shares the sensitive value
+    leaks it even at large k), and an ``at_risk`` flag for classes
+    below ``k_min``. Sweeney's k-anonymity / Machanavajjhala's
+    l-diversity as one grouped aggregate — the governance check run
+    before shipping any dataset keyed on demographic-ish columns.
+
+    Plan: ONE exchange on the QI tuple (count + exact count-distinct
+    ride the same aggregate); output bounded by the QI domain, never
+    the table. At 100 TB add a ``.filter(at_risk)`` downstream for the
+    actionable slice, or aggregate once more for the headline rate —
+    both reuse this exchange.
+
+    Output (scalar-only): quasi cols + ``(k long, l long, at_risk
+    boolean)``; ``l`` is 0-filled when no sensitive column is given.
+    """
+    if not quasi_cols:
+        raise ValueError("k_anonymity_audit requires quasi columns")
+    aggs = [F.count(F.lit(1)).cast("long").alias("k")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.count_distinct(F.col(sensitive_col)).cast("long").alias("l")
+        )
+    out = df.groupBy(*quasi_cols).agg(*aggs)
+    if sensitive_col is None:
+        out = out.withColumn("l", F.lit(0).cast("long"))
+    return out.withColumn("at_risk", F.col("k") < k_min)

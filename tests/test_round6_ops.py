@@ -776,3 +776,81 @@ class TestZscoreFromStats:
         assert got == want
         assert got[4] is True      # the 50 among 1s and 2s
         assert got[10] is False    # constant group: zero variance, no flag
+
+
+class TestKAnonymity:
+    def test_class_sizes_l_counts_and_risk_flag(self, spark):
+        from salesforce_plugin_spark.operators.validate import (
+            k_anonymity_audit,
+        )
+
+        df = spark.createDataFrame(
+            [("US", "A", 1), ("US", "A", 1), ("US", "A", 2),
+             ("US", "B", 5), ("FR", "A", 9)],
+            "nat string, seg string, sens long",
+        )
+        out = {
+            (r.nat, r.seg): (r.k, r.l, r.at_risk)
+            for r in k_anonymity_audit(
+                df, ["nat", "seg"], "sens", k_min=3
+            ).collect()
+        }
+        assert out[("US", "A")] == (3, 2, False)
+        assert out[("US", "B")] == (1, 1, True)
+        assert out[("FR", "A")] == (1, 1, True)
+
+    def test_no_sensitive_column_zero_fills_l(self, spark):
+        from salesforce_plugin_spark.operators.validate import (
+            k_anonymity_audit,
+        )
+
+        df = spark.createDataFrame([("US", 1)], "nat string, x long")
+        row = k_anonymity_audit(df, ["nat"], None, k_min=2).collect()[0]
+        assert (row.k, row.l, row.at_risk) == (1, 0, True)
+
+    def test_empty_quasi_cols_raises(self, spark):
+        from salesforce_plugin_spark.operators.validate import (
+            k_anonymity_audit,
+        )
+
+        with pytest.raises(ValueError):
+            k_anonymity_audit(spark.range(1), [], None)
+
+
+class TestNDCG:
+    def test_discount_table_pinned_and_monotone(self):
+        from salesforce_plugin_spark.functions.vector import ndcg_discounts
+
+        d = ndcg_discounts(10)
+        assert d[0] == 1_000_000          # rank 1: log2(2) = 1
+        assert d[2] == 500_000            # rank 3: log2(4) = 2
+        assert all(a > b for a, b in zip(d, d[1:]))
+
+    def test_exhaustive_probe_is_perfect(self, spark):
+        """nprobe covering every list makes ANN == exact: ndcg = 10^6
+        and dcg == idcg for every query."""
+        from salesforce_plugin_spark.functions.vector import (
+            ann_ndcg,
+            as_double,
+        )
+
+        rows = [
+            (i, [float(i % 3) + 0.1 * i, float((i * 7) % 5), 1.0])
+            for i in range(12)
+        ]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        seeds = e.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("centroid_id"),
+            as_double(F.col("embedding")).alias("c_vec"),
+        )
+        queries = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"),
+            as_double(F.col("embedding")).alias("q_vec"),
+        )
+        out = ann_ndcg(
+            e, "vec_id", "embedding", seeds, queries, k=5, nprobe=2
+        ).collect()
+        assert len(out) == 3
+        for r in out:
+            assert r.ndcg_ppm == 1_000_000
+            assert r.dcg == r.idcg > 0
