@@ -249,6 +249,26 @@ def q_sssp(spark, sf_dir):
     return sssp_fixed(edges, seeds, rounds=3)
 
 
+def q_louvain_step(spark, sf_dir):
+    """Community detection, first Louvain sweep (functions/graph.py
+    louvain_step): every node takes the exact-integer modularity-gain
+    argmax over its neighboring communities from singleton init — the
+    synchronous deterministic variant a distributed engine can honestly
+    run (a sequential visit order is single-threaded and
+    engine-specific). Cross-multiplied DECIMAL(38,0) scores, smallest-
+    label tiebreaks; the whole pass replays as one SQL window argmax.
+    Companion to q_modularity (which evaluates what this optimizes) and
+    q_label_prop (the degree-blind alternative)."""
+    from salesforce_plugin_spark.functions.graph import louvain_step
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_suppkey") + 1000000).alias("src"),
+        F.col("l_partkey").alias("dst"),
+    )
+    return louvain_step(edges)
+
+
 def q_component_sizes(spark, sf_dir):
     """Near-dup profiling (functions/dedup.py component_size_histogram):
     the size distribution of the LSH candidate-graph components — the
@@ -579,6 +599,37 @@ ORACLES["q_khop"] = _khop_oracle()
 ORACLES["q_hits"] = _hits_oracle()
 
 ORACLES["q_wpagerank"] = _wpagerank_oracle()
+
+ORACLES["q_louvain_step"] = """
+    WITH ed AS (
+        SELECT DISTINCT least(l_suppkey + 1000000, l_partkey) AS a,
+               greatest(l_suppkey + 1000000, l_partkey) AS b
+        FROM lineitem WHERE l_partkey <> l_suppkey + 1000000
+    ), m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM ed),
+    bt AS (SELECT a AS i, b AS j FROM ed UNION ALL SELECT b, a FROM ed),
+    deg AS (
+        SELECT i AS node, CAST(count(*) AS BIGINT) AS k FROM bt GROUP BY 1
+    ), cand AS (
+        SELECT bt.i, bt.j AS c,
+               2 * m.m * 1 - CAST(di.k AS HUGEINT) * dj.k AS score
+        FROM bt
+        CROSS JOIN m
+        JOIN deg di ON di.node = bt.i
+        JOIN deg dj ON dj.node = bt.j
+    ), allc AS (
+        SELECT i, c, score FROM cand
+        UNION ALL
+        SELECT node AS i, node AS c, CAST(0 AS HUGEINT) AS score FROM deg
+    ), best AS (
+        SELECT i, c FROM (
+            SELECT i, c, row_number() OVER (
+                PARTITION BY i ORDER BY score DESC, c ASC) AS rn
+            FROM allc) WHERE rn = 1
+    )
+    SELECT i AS node, CAST(i AS BIGINT) AS old_label,
+           CAST(c AS BIGINT) AS new_label, c <> i AS moved
+    FROM best
+"""
 
 ORACLES["q_sssp"] = _sssp_oracle()
 

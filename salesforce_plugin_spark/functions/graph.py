@@ -36,7 +36,7 @@ from __future__ import annotations
 from fractions import Fraction
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def pagerank_fixed(
@@ -1092,3 +1092,130 @@ def sssp_fixed(
         )
         dist = merged.localCheckpoint(eager=False)
     return dist
+
+
+def louvain_step(
+    edges: DataFrame,
+    communities: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """One deterministic SYNCHRONOUS pass of the Louvain local-moving
+    heuristic (Blondel et al. 2008): every node evaluates moving into
+    each neighboring community and takes the modularity-gain argmax,
+    all from the SAME input assignment (no sequential sweep — a
+    sequential visit order is inherently single-threaded and
+    engine-specific; the synchronous variant is the one a distributed
+    engine can honestly run, and one pass from singletons is the
+    classic first sweep). ``communities=None`` starts from singletons
+    (each node its own community).
+
+    The gain comparison is EXACT: moving i into C changes Q by
+    ``(k_{i,C} − k_i·Σ_C / 2m) / m`` (γ=1), so candidates are ranked by
+    the cross-multiplied integer score ``2m·k_{i,C} − k_i·Σ_C`` in
+    DECIMAL(38,0) (quadratic in degree sums — the modularity/exactmath
+    discipline), with Σ_C excluding i's own degree when C is i's
+    current community, and ties broken by smallest community label.
+    Staying put scores ``2m·k_{i,own} − k_i·Σ_own\\{i}`` under the same
+    formula, so "no improving move" falls out of the argmax instead of
+    being a special case. Everything is integer → bit-reproducible →
+    the whole pass replays as one SQL statement under the gate.
+
+    Shape: canonical undirected edge set, node degrees, per-community
+    degree sums (community-bounded), one edge-sized exchange for
+    ``k_{i,C}`` (groupBy node+neighbor community), a node-partitioned
+    window argmax. No step is quadratic in the graph.
+
+    Output (scalar-only): ``(node, old_label, new_label, moved
+    boolean)`` — feed ``new_label`` back in for the next pass, stop
+    when no row moves (or after a fixed pass budget, the
+    fixed-iteration discipline).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    m1 = e.agg(F.count(F.lit(1)).cast("long").alias("__m"))
+    bt = e.select(
+        F.col("a").alias("i"), F.col("b").alias("j")
+    ).unionByName(e.select(F.col("b").alias("i"), F.col("a").alias("j")))
+    deg = bt.groupBy(F.col("i").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("__k")
+    )
+    if communities is None:
+        comm = deg.select("node", F.col("node").alias("label"))
+    else:
+        comm = communities.select(
+            F.col(id_col).alias("node"), F.col(label_col).alias("label")
+        )
+    sig = (
+        comm.join(deg, "node", "left")
+        .groupBy("label")
+        .agg(
+            F.coalesce(F.sum("__k"), F.lit(0)).cast("long").alias("__sig")
+        )
+    )
+    # k_{i,C}: edges from i into each neighboring community C
+    k_ic = (
+        bt.join(
+            comm.select(F.col("node").alias("j"), F.col("label").alias("c")),
+            "j",
+        )
+        .groupBy("i", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("__kic"))
+    )
+    own = comm.select(
+        F.col("node").alias("i"),
+        F.col("label").alias("c"),
+        F.lit(0).cast("long").alias("__kic"),
+    )
+    cands = (
+        k_ic.unionByName(own)
+        .groupBy("i", "c")
+        .agg(F.max("__kic").alias("__kic"))
+    )
+    from salesforce_plugin_spark.functions.exactmath import dcast
+
+    scored = (
+        cands.join(
+            comm.select(
+                F.col("node").alias("i"), F.col("label").alias("__own")
+            ),
+            "i",
+        )
+        .join(F.broadcast(sig.withColumnRenamed("label", "c")), "c")
+        .join(deg.select(F.col("node").alias("i"), "__k"), "i")
+        .crossJoin(F.broadcast(m1))
+        .withColumn(
+            "__sig_adj",
+            F.when(
+                F.col("c") == F.col("__own"), F.col("__sig") - F.col("__k")
+            ).otherwise(F.col("__sig")),
+        )
+        .withColumn(
+            "__score",
+            F.expr(
+                "2 * " + dcast("__m") + " * " + dcast("__kic")
+                + " - " + dcast("__k") + " * " + dcast("__sig_adj")
+            ),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(
+        F.col("__score").desc(), F.col("c").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("i").alias("node"),
+            F.col("__own").alias("old_label"),
+            F.col("c").alias("new_label"),
+            (F.col("c") != F.col("__own")).alias("moved"),
+        )
+    )

@@ -84,6 +84,7 @@ PROBE = [
     "q_url_dedup",
     "q_pagerank",
     "q_sssp",
+    "q_louvain_step",
     "q_tpch_q1",
     "q_zorder",
     "q_session_paths",

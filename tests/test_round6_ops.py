@@ -854,3 +854,41 @@ class TestNDCG:
         for r in out:
             assert r.ndcg_ppm == 1_000_000
             assert r.dcg == r.idcg > 0
+
+
+class TestLouvainStep:
+    EDGES = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+
+    def _edges(self, spark):
+        return spark.createDataFrame(self.EDGES, "src long, dst long")
+
+    def test_singleton_first_sweep_argmax_and_ties(self, spark):
+        """Barbell of two triangles: hand-computed gain argmax per node
+        (2m·1 − k_i·k_j), including node 3's 8-vs-8 tie broken to the
+        smaller community label."""
+        from salesforce_plugin_spark.functions.graph import louvain_step
+
+        out = {
+            r.node: (r.new_label, r.moved)
+            for r in louvain_step(self._edges(spark)).collect()
+        }
+        assert out == {
+            1: (2, True), 2: (1, True), 3: (1, True),
+            4: (5, True), 5: (6, True), 6: (5, True),
+        }
+
+    def test_optimal_partition_is_a_fixed_point(self, spark):
+        """With the two triangles already grouped, staying put wins the
+        argmax for every node (own-community score includes the Σ\\{i}
+        correction) — no row moves."""
+        from salesforce_plugin_spark.functions.graph import louvain_step
+
+        comm = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)],
+            "id long, label long",
+        )
+        out = louvain_step(self._edges(spark), comm).collect()
+        assert all(not r.moved for r in out)
+        assert {r.node: r.new_label for r in out} == {
+            1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4
+        }
