@@ -1659,3 +1659,95 @@ def q_stream_zscore(spark, sf_dir):
         k_den=2,
         quant=100,
     ).select("event_id", "event_type", "value", "is_anomaly")
+
+
+def q_stream_kanonymity(spark, sf_dir):
+    """F6 x governance: the k-anonymity / l-diversity audit maintained
+    FROM A STREAM by composing TWO folds over the same micro-batches —
+    class sizes k through the additive-count fold (disjoint slices),
+    and the l-diversity distinct (QI, sensitive) pairs through the
+    SET-state fold (idempotent union — that half would even survive
+    replay). The read-out joins the two states and must equal the
+    one-shot batch audit (q_kanonymity's oracle VERBATIM). 20th
+    equivalence face — the first composing two state kinds in one
+    result."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_distinct_set,
+        read_summed_counts,
+        run_stream_additive_counts,
+        run_stream_distinct_set,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_stream_kanon_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [c.filter(F.col("c_custkey") % 3 == i) for i in range(3)],
+            tmp,
+            None,
+        )
+
+        def mkstream():
+            return (
+                spark.readStream.schema(
+                    "c_custkey long, c_nationkey long,"
+                    " c_mktsegment string, c_acctbal double"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+        def prep(b):
+            return b.select(
+                F.col("c_nationkey").cast("long").alias("c_nationkey"),
+                "c_mktsegment",
+                F.floor(F.col("c_acctbal") / 1000)
+                .cast("long")
+                .alias("bal_band"),
+            )
+
+        k_state = os.path.join(tmp, "k_state")
+        l_state = os.path.join(tmp, "l_state")
+        run_stream_additive_counts(
+            mkstream(),
+            k_state,
+            os.path.join(tmp, "ckpt_k"),
+            group_cols=["c_nationkey", "c_mktsegment"],
+            prepare=prep,
+        )
+        run_stream_distinct_set(
+            mkstream(),
+            l_state,
+            os.path.join(tmp, "ckpt_l"),
+            cols=["c_nationkey", "c_mktsegment", "bal_band"],
+            prepare=prep,
+        )
+        k = read_summed_counts(
+            spark, k_state, ["c_nationkey", "c_mktsegment"]
+        ).select("c_nationkey", "c_mktsegment", F.col("n").alias("k"))
+        l_ = (
+            read_distinct_set(
+                spark, l_state, ["c_nationkey", "c_mktsegment", "bal_band"]
+            )
+            .groupBy("c_nationkey", "c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("long").alias("l"))
+        )
+        rows = (
+            k.join(l_, ["c_nationkey", "c_mktsegment"])
+            .withColumn("at_risk", F.col("k") < 5)
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "c_nationkey long, c_mktsegment string, k long, l long,"
+        " at_risk boolean",
+    )

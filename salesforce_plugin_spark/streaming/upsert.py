@@ -781,3 +781,46 @@ def read_summed_sums(
             ],
         )
     )
+
+
+def run_stream_distinct_set(
+    stream,
+    state_dir: str,
+    checkpoint: str,
+    cols: list[str],
+    prepare=None,
+):
+    """Generic SET-state stream face: each micro-batch appends its
+    DISTINCT projected rows; the reader dedups, so the accumulated
+    state is a set union — associative, commutative AND idempotent,
+    making this face fully arrival-order-insensitive (replay/overlap
+    safe), unlike the additive folds. The generalization of
+    :func:`run_stream_active_days` from (key, day) to any column
+    tuple: distinct-bearing read-outs (l-diversity counts, vocabulary
+    sets, exact distinct keys) reduce from it exactly. ``prepare``
+    maps the raw batch first, inside the fold. State grows by ≤ |set|
+    rows regardless of volume; compact by rewriting the deduped set.
+    Read with :func:`read_distinct_set`.
+    """
+    import pyspark.sql.functions as F  # noqa: F401  (parity with siblings)
+
+    def fold(batch, _id: int) -> None:
+        rows = prepare(batch) if prepare is not None else batch
+        rows.select(*cols).distinct().write.mode("append").parquet(
+            state_dir
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_distinct_set(spark, state_dir: str, cols: list[str]):
+    """The accumulated set: union of all appended batch projections,
+    deduped (idempotent merge — any replay collapses here)."""
+    return spark.read.parquet(state_dir).select(*cols).distinct()

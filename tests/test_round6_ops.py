@@ -892,3 +892,27 @@ class TestLouvainStep:
         assert {r.node: r.new_label for r in out} == {
             1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4
         }
+
+
+class TestDistinctSetFold:
+    def test_set_state_is_replay_safe(self, spark, tmp_path):
+        """Appending overlapping batch projections then deduping yields
+        the same set as disjoint slices — the idempotent-union claim."""
+        from salesforce_plugin_spark.streaming.upsert import (
+            read_distinct_set,
+        )
+
+        state = str(tmp_path / "state")
+        a = spark.createDataFrame(
+            [("x", 1), ("y", 2)], "g string, v long"
+        )
+        b = spark.createDataFrame(
+            [("x", 1), ("z", 3)], "g string, v long"   # x,1 replayed
+        )
+        a.select("g", "v").distinct().write.mode("append").parquet(state)
+        b.select("g", "v").distinct().write.mode("append").parquet(state)
+        got = {
+            (r.g, r.v)
+            for r in read_distinct_set(spark, state, ["g", "v"]).collect()
+        }
+        assert got == {("x", 1), ("y", 2), ("z", 3)}
