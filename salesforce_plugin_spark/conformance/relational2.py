@@ -440,6 +440,32 @@ def q_zorder(spark, sf_dir):
     )
 
 
+def q_zonemap_prune(spark, sf_dir):
+    """Layout evaluation (operators/partitioning.py zonemap_prune_eval):
+    simulate 64-file parquet zone maps under the natural (orderkey)
+    layout vs a price-sorted layout and measure what a price-range
+    predicate can skip — the quantified companion to q_zorder (an
+    unevaluated layout is a guess; at 100 TB the files_read fraction IS
+    the scan cost). Deterministic ntile over tie-free total orders, so
+    the whole simulation replays cross-engine."""
+    from salesforce_plugin_spark.operators.partitioning import (
+        zonemap_prune_eval,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return zonemap_prune_eval(
+        o,
+        {
+            "natural": [F.col("o_orderkey")],
+            "byprice": [F.col("o_totalprice"), F.col("o_orderkey")],
+        },
+        F.col("o_totalprice"),
+        50000.0,
+        60000.0,
+        n_files=64,
+    )
+
+
 def q_scd2_lookup(spark, sf_dir):
     """Point-in-time enrichment — the feature-store composition of two
     session operators: build the user's status history with
@@ -860,6 +886,44 @@ ORACLES["q_interval_overlap"] = """
 """
 
 ORACLES["q_zorder"] = _zorder_oracle()
+
+ORACLES["q_zonemap_prune"] = """
+    WITH f1 AS (
+        SELECT ntile(64) OVER (ORDER BY o_orderkey) AS f,
+               o_totalprice AS v
+        FROM orders
+    ), z1 AS (
+        SELECT f, CAST(count(*) AS BIGINT) AS nrows, min(v) AS lo,
+               max(v) AS hi
+        FROM f1 GROUP BY 1
+    ), f2 AS (
+        SELECT ntile(64) OVER (ORDER BY o_totalprice, o_orderkey) AS f,
+               o_totalprice AS v
+        FROM orders
+    ), z2 AS (
+        SELECT f, CAST(count(*) AS BIGINT) AS nrows, min(v) AS lo,
+               max(v) AS hi
+        FROM f2 GROUP BY 1
+    ), layouts AS (
+        SELECT 'natural' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(CASE WHEN lo <= 60000.0 AND hi >= 50000.0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
+               CAST(sum(CASE WHEN lo <= 60000.0 AND hi >= 50000.0
+                        THEN nrows ELSE 0 END) AS BIGINT) AS rows_read
+        FROM z1
+        UNION ALL
+        SELECT 'byprice', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN lo <= 60000.0 AND hi >= 50000.0
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN lo <= 60000.0 AND hi >= 50000.0
+                        THEN nrows ELSE 0 END) AS BIGINT)
+        FROM z2
+    )
+    SELECT layout, n_files, files_read, rows_read,
+           CAST((n_files - files_read) * 1000000 // n_files AS BIGINT)
+               AS prune_ppm
+    FROM layouts
+"""
 
 ORACLES["q_scd2_lookup"] = """
     WITH ordered AS (

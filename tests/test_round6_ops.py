@@ -916,3 +916,30 @@ class TestDistinctSetFold:
             for r in read_distinct_set(spark, state, ["g", "v"]).collect()
         }
         assert got == {("x", 1), ("y", 2), ("z", 3)}
+
+
+class TestZonemapPrune:
+    def test_sorted_layout_prunes_scattered_does_not(self, spark):
+        """Values 0..63 in 8 files: sorted by v, a [16, 23] predicate
+        touches exactly 1 file; a scrambled layout spreads the range
+        across all files and prunes nothing."""
+        from salesforce_plugin_spark.operators.partitioning import (
+            zonemap_prune_eval,
+        )
+
+        df = spark.createDataFrame(
+            [(i, (i * 37) % 64) for i in range(64)], "rid long, v long"
+        )
+        out = {
+            r.layout: (r.files_read, r.rows_read, r.prune_ppm)
+            for r in zonemap_prune_eval(
+                df,
+                {"sorted": [F.col("v")], "scrambled": [F.col("rid")]},
+                F.col("v"),
+                16,
+                23,
+                n_files=8,
+            ).collect()
+        }
+        assert out["sorted"] == (1, 8, 875000)
+        assert out["scrambled"][0] == 8 and out["scrambled"][2] == 0
