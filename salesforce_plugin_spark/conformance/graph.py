@@ -83,6 +83,22 @@ def q_power_converged(spark, sf_dir):
     )
 
 
+def q_pca_project(spark, sf_dir):
+    """Spectral curation signal (functions/vector.py pca_project): every
+    embedding's component along the power-iteration principal direction
+    plus its off-axis residual in the cross-multiplied Cauchy-Schwarz
+    form |x|²|p|² − ⟨x,p⟩² — exact integers, no division/sqrt at any
+    boundary. Completes the eigensolver family: q_power_step (one
+    step) → q_power_converged (chained) → this (the USE of the
+    eigenvector). Oracle extends the converged replay with the second
+    renormalization and the projection scan."""
+    e = parallelized(load_table(spark, sf_dir, "embeddings"))
+    v0 = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("v0"))
+    return V.pca_project(
+        e, "vec_id", "embedding", v0, iterations=2, quant=1000
+    )
+
+
 def q_neighbor_agg(spark, sf_dir):
     """GNN-preprocessing primitive (functions/graph.py neighbor_agg):
     2-hop neighborhood count + exact-integer feature sums over the
@@ -508,6 +524,69 @@ ORACLES["q_power_converged"] = """
         FROM prod2 p JOIN s2 USING (vec_id) GROUP BY p.dim
     )
     SELECT g2.dim, v1.vq, g2.gv FROM g2 JOIN v1 USING (dim)
+"""
+
+# Power-converged replay + second renormalization + projection scan;
+# residual kept as the cross-multiplied Cauchy-Schwarz numerator.
+ORACLES["q_pca_project"] = """
+    WITH v0 AS (
+        SELECT list_transform(embedding,
+                              x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                        AS BIGINT)) AS v
+        FROM embeddings WHERE vec_id = 0
+    ), xq AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                        AS BIGINT)) AS x
+        FROM embeddings
+    ), ex AS (
+        SELECT vec_id, x, unnest(generate_series(1, len(x))) AS i FROM xq
+    ), prod1 AS (
+        SELECT e.vec_id, CAST(e.i AS INT) AS dim, e.x[e.i] AS xd,
+               e.x[e.i] * v0.v[e.i] AS pv
+        FROM ex e, v0
+    ), s1 AS (
+        SELECT vec_id, sum(pv) AS si FROM prod1 GROUP BY vec_id
+    ), g1 AS (
+        SELECT p.dim, sum(p.xd * s1.si) AS gv
+        FROM prod1 p JOIN s1 USING (vec_id) GROUP BY p.dim
+    ), gmax AS (
+        SELECT max(abs(gv)) AS m FROM g1
+    ), v1 AS (
+        SELECT dim,
+               CAST((CASE WHEN gv < 0 THEN -1 ELSE 1 END)
+                    * ((abs(gv) * 1000) // m) AS BIGINT) AS vq
+        FROM g1, gmax
+    ), prod2 AS (
+        SELECT e.vec_id, CAST(e.i AS INT) AS dim, e.x[e.i] AS xd,
+               e.x[e.i] * v1.vq AS pv
+        FROM ex e JOIN v1 ON v1.dim = e.i
+    ), s2 AS (
+        SELECT vec_id, sum(pv) AS si FROM prod2 GROUP BY vec_id
+    ), g2 AS (
+        SELECT p.dim, CAST(sum(p.xd * s2.si) AS BIGINT) AS gv
+        FROM prod2 p JOIN s2 USING (vec_id) GROUP BY p.dim
+    ), g2max AS (
+        SELECT max(abs(gv)) AS m FROM g2
+    ), pvec AS (
+        SELECT dim,
+               CAST((CASE WHEN gv < 0 THEN -1 ELSE 1 END)
+                    * ((abs(gv) * 1000) // m) AS BIGINT) AS pq
+        FROM g2, g2max
+    ), prod3 AS (
+        SELECT e.vec_id, e.x[e.i] AS xd, pvec.pq
+        FROM ex e JOIN pvec ON pvec.dim = e.i
+    ), per AS (
+        SELECT vec_id,
+               CAST(sum(xd * pq) AS BIGINT) AS dot,
+               sum(CAST(xd AS HUGEINT) * xd) AS x2,
+               sum(CAST(pq AS HUGEINT) * pq) AS p2
+        FROM prod3 GROUP BY 1
+    )
+    SELECT vec_id, dot AS proj,
+           CAST(x2 * p2 - CAST(dot AS HUGEINT) * dot AS BIGINT) AS res_num
+    FROM per
 """
 
 ORACLES["q_label_prop"] = """

@@ -1970,3 +1970,83 @@ def ann_ndcg(
             .alias("ndcg_ppm"),
         )
     )
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    v0: DataFrame,
+    iterations: int = 2,
+    quant: int = 1000,
+) -> DataFrame:
+    """Principal-direction projection + residual: run the deterministic
+    integer power iteration (:func:`gram_power_iterations`), renormalize
+    its final image into the principal direction p (the same sign-safe
+    floor division), then give every vector its component along p and
+    its off-axis mass — the spectral outlier/denoising signal (a vector
+    whose variance is NOT along the corpus's dominant axis is the
+    curation candidate). Exact end to end: proj = ⟨xq, p⟩ in BIGINT,
+    and the residual is kept in the CROSS-MULTIPLIED Cauchy-Schwarz
+    form ``res_num = |x|²·|p|² − ⟨x,p⟩²`` (≥ 0, zero iff x ∥ p) in
+    DECIMAL(38,0) — no division or square root, so no engine can
+    disagree at the boundary (the zscore/wilson discipline).
+
+    Shape: the iteration's dims-bounded exchanges, then ONE corpus scan
+    with p broadcast — projection adds no shuffle.
+
+    Output (scalar-only): ``(id, proj long, res_num long)``.
+    """
+    g = gram_power_iterations(df, id_col, vec_col, v0, iterations, quant)
+    gmax = g.agg(F.max(F.abs(F.col("gv"))).alias("__gmax"))
+    p = (
+        g.crossJoin(F.broadcast(gmax))
+        .select(
+            "dim",
+            (
+                F.when(F.col("gv") < 0, F.lit(-1)).otherwise(F.lit(1))
+                * F.expr(f"(abs(gv) * {quant}) div __gmax")
+            ).alias("__p"),
+        )
+    )
+    parr = p.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "__p"))),
+            lambda s: s["__p"],
+        ).alias("__parr")
+    )
+    xq = F.transform(
+        as_double(F.col(vec_col)),
+        lambda x: F.round(x * quant, 0).cast("long"),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        df.crossJoin(F.broadcast(parr))
+        .select(
+            F.col(id_col),
+            F.aggregate(
+                F.zip_with(xq, F.col("__parr"), lambda a, b: a * b),
+                zero,
+                lambda acc, z: acc + z,
+            ).alias("__dot"),
+            F.aggregate(
+                F.transform(xq, lambda a: a * a),
+                zero,
+                lambda acc, z: acc + z,
+            ).alias("__x2"),
+            F.aggregate(
+                F.transform(F.col("__parr"), lambda a: a * a),
+                zero,
+                lambda acc, z: acc + z,
+            ).alias("__p2"),
+        )
+        .select(
+            id_col,
+            F.col("__dot").alias("proj"),
+            F.expr(
+                "CAST(CAST(__x2 AS DECIMAL(38,0)) * CAST(__p2 AS DECIMAL(38,0))"
+                " - CAST(__dot AS DECIMAL(38,0)) * CAST(__dot AS DECIMAL(38,0))"
+                " AS BIGINT)"
+            ).alias("res_num"),
+        )
+    )

@@ -943,3 +943,30 @@ class TestZonemapPrune:
         }
         assert out["sorted"] == (1, 8, 875000)
         assert out["scrambled"][0] == 8 and out["scrambled"][2] == 0
+
+
+class TestPCAProject:
+    def test_parallel_vector_zero_residual_orthogonal_zero_proj(self, spark):
+        """A corpus dominated by one axis: vectors along the principal
+        direction get res_num == 0 (Cauchy-Schwarz equality); an
+        orthogonal vector gets proj == 0 and positive residual."""
+        from salesforce_plugin_spark.functions.vector import pca_project
+
+        rows = [
+            (0, [1.0, 0.0]), (1, [2.0, 0.0]), (2, [3.0, 0.0]),
+            (3, [-1.0, 0.0]), (4, [0.0, 1.0]),
+        ]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        v0 = e.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("v0")
+        )
+        out = {
+            r.vec_id: (r.proj, r.res_num)
+            for r in pca_project(e, "vec_id", "embedding", v0).collect()
+        }
+        for vid in (0, 1, 2, 3):
+            assert out[vid][1] == 0
+        assert out[4][0] == 0 and out[4][1] > 0
+        # projections preserve exact ratios along the axis
+        assert out[1][0] == 2 * out[0][0]
+        assert out[3][0] == -out[0][0]
