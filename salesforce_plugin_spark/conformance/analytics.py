@@ -421,6 +421,23 @@ def q_bootstrap(spark, sf_dir):
     return poisson_bootstrap(base, "event_id", "y", replicates=16)
 
 
+def q_changepoint(spark, sf_dir):
+    """Offline changepoint detection (operators/timeseries.py
+    changepoint_binary): per event type, the binary-segmentation split
+    of the daily-count series maximizing the two-mean SSE reduction —
+    the batch companion to q_cusum's online alarm (find WHERE the level
+    shifted, after the fact). Exact-rational gain on the common
+    denominator n·n_L·n_R in DECIMAL(38,0), floor-scaled once; argmax
+    ties break to the earliest split, so the winner replays
+    cross-engine."""
+    from salesforce_plugin_spark.operators.timeseries import (
+        changepoint_binary,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return changepoint_binary(e, ["event_type"], "ts")
+
+
 def q_cusum(spark, sf_dir):
     """Per-user CUSUM drift alarms (operators/timeseries.py
     cusum_alarms): the sequential clamp recursion S_t = max(0, S_{t-1}
@@ -1219,6 +1236,51 @@ ORACLES["q_user_features"] = """
     FROM c
     LEFT JOIN bmx ON c.user_id = bmx.user_id
     LEFT JOIN tr ON c.user_id = tr.user_id
+"""
+
+ORACLES["q_changepoint"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), cur AS (
+        SELECT event_type, d,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY d) AS BIGINT) AS t,
+               CAST(sum(c) OVER (
+                   PARTITION BY event_type ORDER BY d) AS BIGINT) AS sl
+        FROM daily
+    ), tot AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS total
+        FROM daily GROUP BY 1
+    ), cand AS (
+        SELECT c.event_type, c.d, c.t, c.sl, t.n, t.total,
+               CAST(((CAST(t.n AS HUGEINT)
+                       * (CAST(c.sl AS HUGEINT) * c.sl * (t.n - c.t)
+                          + CAST(t.total - c.sl AS HUGEINT)
+                            * (t.total - c.sl) * c.t)
+                     - CAST(t.total AS HUGEINT) * t.total
+                       * c.t * (t.n - c.t)) * 1000)
+                    // (CAST(t.n AS HUGEINT) * c.t * (t.n - c.t))
+                   AS BIGINT) AS gain
+        FROM cur c JOIN tot t USING (event_type)
+        WHERE c.t < t.n
+    ), best AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_type
+                ORDER BY gain DESC, t ASC) AS rn
+            FROM cand) WHERE rn = 1
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS split_day,
+           t AS n_left, n - t AS n_right,
+           CAST(CAST(sl AS HUGEINT) * 1000 // t AS BIGINT)
+               AS mean_left_milli,
+           CAST(CAST(total - sl AS HUGEINT) * 1000 // (n - t) AS BIGINT)
+               AS mean_right_milli,
+           gain AS gain_milli
+    FROM best
 """
 
 ORACLES["q_cusum"] = """

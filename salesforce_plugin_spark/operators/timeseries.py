@@ -604,3 +604,83 @@ def seasonal_anomaly_days(
             ).alias("dip"),
         )
     )
+
+
+def changepoint_binary(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Offline changepoint detection, one binary-segmentation split per
+    key (the first step of Scott-Knott / binary segmentation, the
+    batch companion to :func:`cusum_alarms`' online drift alarm): over
+    each key's daily-count series, find the split that maximizes the
+    between-segment variance reduction
+
+        gain(t) = S_L²/n_L + S_R²/n_R − total²/n
+
+    (the SSE decrease of a two-mean fit — Σx² cancels, so no squares
+    of individual days are needed). The argmax is taken on the
+    EXACT-RATIONAL gain brought to the common denominator n·n_L·n_R
+    and floor-scaled once to milli units (DECIMAL(38,0) throughout:
+    S²·n² ≈ 10³⁰ at 10⁹-events/day × 1000-day scale, far past BIGINT);
+    floor of non-negative operands is truncate==floor cross-engine, so
+    the winner — including ties, broken by earliest split — replays
+    exactly.
+
+    Shape: one daily-count aggregate, one key-partitioned window pass
+    (prefix sums), a key-bounded argmax. Candidate splits are the
+    n−1 day boundaries — work is series-length-bounded per key, never
+    corpus-bounded.
+
+    Output (scalar-only): key cols + ``(split_day string, n_left,
+    n_right, mean_left_milli, mean_right_milli, gain_milli)`` — the
+    split AFTER ``split_day``; keys with a single active day are
+    absent (no candidate split).
+    """
+    from salesforce_plugin_spark.functions.exactmath import dcast, dfloor
+
+    daily = df.groupBy(
+        *key_cols, F.to_date(F.col(ts_col)).alias("__d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    w = Window.partitionBy(*key_cols).orderBy("__d")
+    cur = daily.select(
+        *key_cols,
+        "__d",
+        F.row_number().over(w).cast("long").alias("__t"),
+        F.sum("__c").over(w).cast("long").alias("__sl"),
+    )
+    tot = daily.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__c").cast("long").alias("__total"),
+    )
+    sl = dcast("__sl")
+    sr = f"({dcast('__total')} - {sl})"
+    nl = dcast("__t")
+    nr = f"({dcast('__n')} - {nl})"
+    num = (
+        f"{dcast('__n')} * ({sl} * {sl} * {nr} + {sr} * {sr} * {nl})"
+        f" - {dcast('__total')} * {dcast('__total')} * {nl} * {nr}"
+    )
+    den = f"{dcast('__n')} * {nl} * {nr}"
+    cand = (
+        cur.join(tot, key_cols)
+        .filter(F.col("__t") < F.col("__n"))
+        .withColumn("__gain", F.expr(dfloor(f"({num}) * 1000", den)))
+    )
+    pick = Window.partitionBy(*key_cols).orderBy(
+        F.col("__gain").desc(), F.col("__t").asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *key_cols,
+            F.date_format(F.col("__d"), "yyyy-MM-dd").alias("split_day"),
+            F.col("__t").alias("n_left"),
+            (F.col("__n") - F.col("__t")).alias("n_right"),
+            F.expr(dfloor(f"{sl} * 1000", nl)).alias("mean_left_milli"),
+            F.expr(dfloor(f"{sr} * 1000", nr)).alias("mean_right_milli"),
+            F.col("__gain").alias("gain_milli"),
+        )
+    )

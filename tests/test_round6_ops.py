@@ -970,3 +970,53 @@ class TestPCAProject:
         # projections preserve exact ratios along the axis
         assert out[1][0] == 2 * out[0][0]
         assert out[3][0] == -out[0][0]
+
+
+class TestChangepoint:
+    def test_obvious_level_shift_found_exactly(self, spark):
+        """5 days at 2 events/day then 5 days at 10: the split lands
+        after day 5 with exact segment means."""
+        from salesforce_plugin_spark.operators.timeseries import (
+            changepoint_binary,
+        )
+
+        rows = []
+        for d in range(10):
+            per = 2 if d < 5 else 10
+            for i in range(per):
+                rows.append(("a", f"2024-03-{d + 1:02d} 0{i % 10}:00:00"))
+        df = spark.createDataFrame(rows, "k string, ts string").select(
+            "k", F.col("ts").cast("timestamp").alias("ts")
+        )
+        r = changepoint_binary(df, ["k"], "ts").collect()[0]
+        assert r.split_day == "2024-03-05"
+        assert (r.n_left, r.n_right) == (5, 5)
+        assert r.mean_left_milli == 2000 and r.mean_right_milli == 10000
+        assert r.gain_milli > 0
+
+    def test_flat_series_zero_gain_earliest_tiebreak(self, spark):
+        """A constant series has zero gain everywhere; the earliest
+        split wins the tie deterministically."""
+        from salesforce_plugin_spark.operators.timeseries import (
+            changepoint_binary,
+        )
+
+        rows = [
+            ("a", f"2024-03-{d + 1:02d} 00:00:00") for d in range(4)
+        ]
+        df = spark.createDataFrame(rows, "k string, ts string").select(
+            "k", F.col("ts").cast("timestamp").alias("ts")
+        )
+        r = changepoint_binary(df, ["k"], "ts").collect()[0]
+        assert r.gain_milli == 0
+        assert r.split_day == "2024-03-01"
+
+    def test_single_day_key_absent(self, spark):
+        from salesforce_plugin_spark.operators.timeseries import (
+            changepoint_binary,
+        )
+
+        df = spark.createDataFrame(
+            [("a", "2024-03-01 00:00:00")], "k string, ts string"
+        ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+        assert changepoint_binary(df, ["k"], "ts").count() == 0
