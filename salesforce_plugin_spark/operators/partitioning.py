@@ -181,6 +181,46 @@ def salted_count_distinct(
     )
 
 
+def _global_rank(df: DataFrame, cols, n_parts: int = 32) -> DataFrame:
+    """Exact global rank under a tie-free total order WITHOUT a
+    single-partition window: range-repartition on the sort key,
+    row_number within each (contiguous-range) partition, plus the
+    broadcast cumulative partition offsets — the standard distributed
+    ranking shape. Output = input columns + ``__rank`` (1-based).
+    Correct regardless of where the range boundaries land (AQE
+    coalescing included): partitions hold contiguous key ranges in
+    partition-id order, so offset + in-partition rank IS the global
+    rank; ties are excluded by the caller's total-order contract."""
+    part = df.repartitionByRange(n_parts, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("__pid").orderBy(*cols)
+    # The offsets branch below re-reads this plan: pin ONE evaluation
+    # (range-boundary sampling and AQE coalescing may differ between
+    # re-evaluations, which would desynchronize __pid across the join)
+    tagged = part.withColumn(
+        "__rn", F.row_number().over(w_in)
+    ).localCheckpoint(eager=False)
+    w_off = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        tagged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+        .withColumn(
+            "__off",
+            F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).cast("long"),
+        )
+        .select("__pid", "__off")
+    )
+    return (
+        tagged.join(F.broadcast(offsets), "__pid")
+        .withColumn("__rank", (F.col("__rn") + F.col("__off")).cast("long"))
+        .drop("__pid", "__rn")
+    )
+
+
 def zonemap_prune_eval(
     df: DataFrame,
     order_cols: dict[str, list[Column]],
@@ -211,11 +251,31 @@ def zonemap_prune_eval(
     """
     out = None
     for name, cols in order_cols.items():
-        w = Window.orderBy(*cols)
+        ranked = _global_rank(
+            df.select(*cols, value_col.alias("__v")), cols
+        )
+        n1 = ranked.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+        # Replicate ntile(n_files) from the exact global rank: the
+        # first N % n_files tiles get ⌈N/n_files⌉ rows, the rest
+        # ⌊N/n_files⌋ — identical to the SQL ntile the oracle runs,
+        # but built on the DISTRIBUTED rank (the first cut's global
+        # ntile window forced the whole table through ONE task: 4.2×
+        # at the 10× probe; this shape is a range shuffle + per-
+        # partition windows and probes ~1×).
         files = (
-            df.select(
-                value_col.alias("__v"),
-                F.ntile(n_files).over(w).alias("__f"),
+            ranked.crossJoin(F.broadcast(n1))
+            .withColumn(
+                "__f",
+                F.expr(
+                    f"CASE WHEN __N div {n_files} = 0 THEN __rank"
+                    f" WHEN __rank <= (__N % {n_files})"
+                    f" * (__N div {n_files} + 1)"
+                    f" THEN (__rank - 1) div (__N div {n_files} + 1) + 1"
+                    f" ELSE __N % {n_files}"
+                    f" + ((__rank - 1) - (__N % {n_files})"
+                    f" * (__N div {n_files} + 1))"
+                    f" div (__N div {n_files}) + 1 END"
+                ).cast("int"),
             )
             .groupBy("__f")
             .agg(

@@ -85,6 +85,11 @@ PROBE = [
     "q_pagerank",
     "q_sssp",
     "q_louvain_step",
+    "q_ndcg",
+    "q_pca_project",
+    "q_zonemap_prune",
+    "q_changepoint",
+    "q_stream_zscore",
     "q_tpch_q1",
     "q_zorder",
     "q_session_paths",
