@@ -264,6 +264,26 @@ def q_distribution_drift(spark, sf_dir):
     return histogram_tvd(a, b, "value", lo=0.0, hi=500.0, n_bins=1000)
 
 
+def q_ks_test(spark, sf_dir):
+    """Two-sample drift test (functions/sketch.py ks_statistic): exact
+    Kolmogorov-Smirnov D between click and view value distributions —
+    the unbinned companion to q_distribution_drift's TVD (no bin
+    choice; supremum of the CDF gap over observed values). Cumulative
+    counts ride the distributed prefix sum (operators/partitioning.py
+    global_cumsum), the gap is cross-multiplied |C₁n₂ − C₂n₁|, and the
+    supremum location is one TakeOrderedAndProject."""
+    from salesforce_plugin_spark.functions.sketch import ks_statistic
+
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(
+        (F.col("event_type") == "click") & F.col("value").isNotNull()
+    )
+    b = e.filter(
+        (F.col("event_type") == "view") & F.col("value").isNotNull()
+    )
+    return ks_statistic(a, b, "value", quant=1000)
+
+
 def q_winsorize(spark, sf_dir):
     """Heavy-tail taming (functions/sketch.py winsorize): clamp
     events.value at sketch-learned p05/p95 fences — deterministic
@@ -651,6 +671,43 @@ ORACLES["q_distribution_drift"] = """
            CAST(max(w.bin) AS INT) AS worst_bin,
            max(d.absdiff) AS worst_absdiff
     FROM d CROSS JOIN worst w
+"""
+
+ORACLES["q_ks_test"] = """
+    WITH qa AS (
+        SELECT CAST(round(value * 1000) AS BIGINT) AS qv,
+               1 AS ca, 0 AS cb
+        FROM events WHERE event_type = 'click' AND value IS NOT NULL
+    ), qb AS (
+        SELECT CAST(round(value * 1000) AS BIGINT) AS qv,
+               0 AS ca, 1 AS cb
+        FROM events WHERE event_type = 'view' AND value IS NOT NULL
+    ), g AS (
+        SELECT qv, CAST(sum(ca) AS BIGINT) AS ca,
+               CAST(sum(cb) AS BIGINT) AS cb
+        FROM (SELECT * FROM qa UNION ALL SELECT * FROM qb)
+        GROUP BY qv
+    ), n AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS n1,
+               CAST(sum(cb) AS BIGINT) AS n2
+        FROM g
+    ), cum AS (
+        SELECT qv,
+               CAST(sum(ca) OVER (ORDER BY qv) AS BIGINT) AS c1,
+               CAST(sum(cb) OVER (ORDER BY qv) AS BIGINT) AS c2
+        FROM g
+    ), gap AS (
+        SELECT cum.qv,
+               abs(CAST(cum.c1 AS HUGEINT) * n.n2
+                   - CAST(cum.c2 AS HUGEINT) * n.n1) AS d,
+               n.n1, n.n2
+        FROM cum, n
+    )
+    SELECT n1, n2, CAST(d AS BIGINT) AS d_num,
+           CAST(d * 1000000 // (CAST(n1 AS HUGEINT) * n2) AS BIGINT)
+               AS d_ppm,
+           qv AS at_qv
+    FROM gap ORDER BY d DESC, qv ASC LIMIT 1
 """
 
 ORACLES["q_winsorize"] = """

@@ -1202,3 +1202,66 @@ def quantile_error_eval(
         .cast("long")
         .alias("err_milli"),
     )
+
+
+def ks_statistic(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    quant: int = 1000,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic — the UNBINNED
+    companion to :func:`histogram_tvd` (TVD depends on a bin choice;
+    KS is the supremum of the empirical-CDF gap over the observed
+    values themselves, the standard drift test between a reference and
+    a candidate sample). Fully integer: values quantize to scaled
+    longs, cumulative counts ride the distributed prefix sum
+    (:func:`~salesforce_plugin_spark.operators.partitioning
+    .global_cumsum` — NOT a single-partition window), and the gap is
+    cross-multiplied to ``|C₁·n₂ − C₂·n₁|`` so no engine divides at
+    the argmax. The supremum's location (smallest qv tiebreak) comes
+    from one TakeOrderedAndProject over the distinct-value rows.
+
+    ``d_num`` is exact while n₁·n₂ < 2⁶³ (10⁹-row samples) — past
+    that it fails LOUDLY at the BIGINT cast under ANSI (the modularity
+    q_num contract); ``d_ppm = d_num·10⁶ div (n₁·n₂)`` always fits.
+
+    Output (one row): ``(n1, n2, d_num, d_ppm, at_qv)``.
+    """
+    from salesforce_plugin_spark.operators.partitioning import (
+        global_cumsum,
+    )
+
+    qv = F.round(F.col(value_col) * quant, 0).cast("long").alias("qv")
+    ua = a.select(qv, F.lit(1).alias("ca"), F.lit(0).alias("cb"))
+    ub = b.select(qv, F.lit(0).alias("ca"), F.lit(1).alias("cb"))
+    g = (
+        ua.unionByName(ub)
+        .groupBy("qv")
+        .agg(
+            F.sum("ca").cast("long").alias("ca"),
+            F.sum("cb").cast("long").alias("cb"),
+        )
+    )
+    cum = global_cumsum(g, [F.col("qv")], ["ca", "cb"])
+    n = g.agg(
+        F.sum("ca").cast("long").alias("n1"),
+        F.sum("cb").cast("long").alias("n2"),
+    )
+    gap = cum.crossJoin(F.broadcast(n)).withColumn(
+        "__gap",
+        F.expr(
+            "abs(" + dcast("cum_ca") + " * " + dcast("n2")
+            + " - " + dcast("cum_cb") + " * " + dcast("n1") + ")"
+        ),
+    )
+    top = gap.orderBy(F.col("__gap").desc(), F.col("qv").asc()).limit(1)
+    return top.select(
+        "n1",
+        "n2",
+        F.expr("CAST(__gap AS BIGINT)").alias("d_num"),
+        F.expr(
+            dfloor("__gap * 1000000", dcast("n1") + " * " + dcast("n2"))
+        ).alias("d_ppm"),
+        F.col("qv").alias("at_qv"),
+    )

@@ -313,3 +313,54 @@ def zonemap_prune_eval(
         )
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols,
+    sum_cols: list[str],
+    n_parts: int = 32,
+) -> DataFrame:
+    """Exact running sums under a tie-free total order WITHOUT a
+    single-partition window — :func:`_global_rank`'s shape generalized
+    from ranks to sums: range-repartition on the order key, cumsum
+    within each contiguous-range partition, add the broadcast
+    cumulative per-partition totals. One localCheckpoint pins the
+    range boundaries across the offsets self-join (the zone-map
+    lesson: two evaluations of one repartitionByRange may sample
+    different boundaries). Adds ``cum_<c>`` (BIGINT) per sum column.
+    """
+    part = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("__pid").orderBy(*order_cols)
+    tagged = part
+    for c in sum_cols:
+        tagged = tagged.withColumn(
+            f"__in_{c}", F.sum(c).over(w_in).cast("long")
+        )
+    tagged = tagged.localCheckpoint(eager=False)
+    w_off = (
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = tagged.groupBy("__pid").agg(
+        *[F.sum(c).cast("long").alias(f"__tot_{c}") for c in sum_cols]
+    )
+    for c in sum_cols:
+        offsets = offsets.withColumn(
+            f"__off_{c}",
+            F.coalesce(F.sum(f"__tot_{c}").over(w_off), F.lit(0)).cast(
+                "long"
+            ),
+        )
+    out = tagged.join(
+        F.broadcast(
+            offsets.select("__pid", *[f"__off_{c}" for c in sum_cols])
+        ),
+        "__pid",
+    )
+    for c in sum_cols:
+        out = out.withColumn(
+            f"cum_{c}", (F.col(f"__in_{c}") + F.col(f"__off_{c}")).cast("long")
+        ).drop(f"__in_{c}", f"__off_{c}")
+    return out.drop("__pid")

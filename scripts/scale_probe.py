@@ -90,6 +90,7 @@ PROBE = [
     "q_zonemap_prune",
     "q_changepoint",
     "q_stream_zscore",
+    "q_ks_test",
     "q_tpch_q1",
     "q_zorder",
     "q_session_paths",

@@ -1020,3 +1020,45 @@ class TestChangepoint:
             [("a", "2024-03-01 00:00:00")], "k string, ts string"
         ).select("k", F.col("ts").cast("timestamp").alias("ts"))
         assert changepoint_binary(df, ["k"], "ts").count() == 0
+
+
+class TestKSStatistic:
+    def test_identical_samples_zero_d(self, spark):
+        from salesforce_plugin_spark.functions.sketch import ks_statistic
+
+        a = spark.createDataFrame(
+            [(float(v),) for v in (1, 2, 3, 4)], "value double"
+        )
+        r = ks_statistic(a, a, "value").collect()[0]
+        assert r.d_num == 0 and r.d_ppm == 0
+
+    def test_disjoint_supports_full_separation(self, spark):
+        """a entirely below b: D = 1 (10^6 ppm) at a's maximum."""
+        from salesforce_plugin_spark.functions.sketch import ks_statistic
+
+        a = spark.createDataFrame(
+            [(float(v),) for v in (1, 2)], "value double"
+        )
+        b = spark.createDataFrame(
+            [(float(v),) for v in (10, 20, 30)], "value double"
+        )
+        r = ks_statistic(a, b, "value").collect()[0]
+        assert (r.n1, r.n2) == (2, 3)
+        assert r.d_ppm == 1_000_000
+        assert r.at_qv == 2000          # sup attained at a's max value
+
+    def test_hand_computed_mixed_case(self, spark):
+        """a = {1,2,3}, b = {2,4}: gaps at qv 1000,2000,3000,4000 are
+        |1·2−0| = 2, |2·2−1·3| = 1, |3·2−1·3| = 3, |6−6| = 0 → D = 3/6
+        at qv 3000."""
+        from salesforce_plugin_spark.functions.sketch import ks_statistic
+
+        a = spark.createDataFrame(
+            [(float(v),) for v in (1, 2, 3)], "value double"
+        )
+        b = spark.createDataFrame(
+            [(float(v),) for v in (2, 4)], "value double"
+        )
+        r = ks_statistic(a, b, "value").collect()[0]
+        assert r.d_num == 3 and r.at_qv == 3000
+        assert r.d_ppm == 500_000
