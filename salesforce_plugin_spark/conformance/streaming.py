@@ -1751,3 +1751,70 @@ def q_stream_kanonymity(spark, sf_dir):
         "c_nationkey long, c_mktsegment string, k long, l long,"
         " at_risk boolean",
     )
+
+
+def q_stream_changepoint(spark, sf_dir):
+    """F6 x time series: the changepoint search over LIVE-MAINTAINED
+    daily counts — per-(type, day) counts through the additive fold
+    (daily counts are the canonical additive state), the summed state
+    feeds changepoint_from_daily (the fano_from_daily split applied to
+    operators/timeseries.py changepoint_binary), and the found split
+    must equal the one-shot batch search (q_changepoint's oracle
+    VERBATIM, disjoint slices). 21st equivalence face — the monitor
+    that re-answers "where did the level shift?" after every
+    micro-batch without re-scanning history."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.operators.timeseries import (
+        changepoint_from_daily,
+    )
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_summed_counts,
+        run_stream_additive_counts,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_stream_cp_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [e.filter(F.col("event_id") % 3 == i) for i in range(3)],
+            tmp,
+            None,
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, event_type string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+
+        def prep(b):
+            return b.select(
+                "event_type", F.to_date(F.col("ts")).alias("__d")
+            )
+
+        run_stream_additive_counts(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            group_cols=["event_type", "__d"],
+            prepare=prep,
+        )
+        daily = read_summed_counts(
+            spark, state, ["event_type", "__d"]
+        ).select("event_type", "__d", F.col("n").alias("__c"))
+        rows = changepoint_from_daily(daily, ["event_type"]).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type string, split_day string, n_left long, n_right long,"
+        " mean_left_milli long, mean_right_milli long, gain_milli long",
+    )

@@ -638,11 +638,19 @@ def changepoint_binary(
     split AFTER ``split_day``; keys with a single active day are
     absent (no candidate split).
     """
-    from salesforce_plugin_spark.functions.exactmath import dcast, dfloor
-
     daily = df.groupBy(
         *key_cols, F.to_date(F.col(ts_col)).alias("__d")
     ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    return changepoint_from_daily(daily, key_cols)
+
+
+def changepoint_from_daily(daily: DataFrame, key_cols: list[str]) -> DataFrame:
+    """:func:`changepoint_binary` from a pre-aggregated ``(key…, __d
+    date, __c long)`` daily-count table — the entry point for additive
+    daily-count state (the streaming face folds per-batch counts and
+    feeds the sum here; the fano_from_daily precedent)."""
+    from salesforce_plugin_spark.functions.exactmath import dcast, dfloor
+
     w = Window.partitionBy(*key_cols).orderBy("__d")
     cur = daily.select(
         *key_cols,
