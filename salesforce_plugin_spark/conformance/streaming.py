@@ -1818,3 +1818,74 @@ def q_stream_changepoint(spark, sf_dir):
         "event_type string, split_day string, n_left long, n_right long,"
         " mean_left_milli long, mean_right_milli long, gain_milli long",
     )
+
+
+def q_stream_ks(spark, sf_dir):
+    """F6 x drift monitoring: the exact KS drift test re-answered after
+    every micro-batch — per-value (qv, ca, cb) counts are ADDITIVE, so
+    they ride the additive-sums fold; the summed state feeds
+    ks_from_counts (the changepoint_from_daily split applied to
+    functions/sketch.py ks_statistic) and must equal the one-shot batch
+    test (q_ks_test's oracle VERBATIM, disjoint slices). 22nd
+    equivalence face — the live reference-vs-production distribution
+    monitor that cannot drift from the offline analysis."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.functions.sketch import ks_from_counts
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_summed_sums,
+        run_stream_additive_sums,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_stream_ks_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [e.filter(F.col("event_id") % 3 == i) for i in range(3)],
+            tmp,
+            None,
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+
+        def prep(b):
+            f = b.filter(
+                F.col("event_type").isin("click", "view")
+                & F.col("value").isNotNull()
+            )
+            return f.select(
+                F.round(F.col("value") * 1000, 0).cast("long").alias("qv"),
+                (F.col("event_type") == "click").cast("long").alias("ca"),
+                (F.col("event_type") == "view").cast("long").alias("cb"),
+            )
+
+        run_stream_additive_sums(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            group_cols=["qv"],
+            sum_cols=["ca", "cb"],
+            prepare=prep,
+        )
+        g = read_summed_sums(spark, state, ["qv"], ["ca", "cb"]).select(
+            "qv",
+            F.col("sum_ca").alias("ca"),
+            F.col("sum_cb").alias("cb"),
+        )
+        rows = ks_from_counts(g).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "n1 long, n2 long, d_num long, d_ppm long, at_qv long"
+    )

@@ -1228,10 +1228,6 @@ def ks_statistic(
 
     Output (one row): ``(n1, n2, d_num, d_ppm, at_qv)``.
     """
-    from salesforce_plugin_spark.operators.partitioning import (
-        global_cumsum,
-    )
-
     qv = F.round(F.col(value_col) * quant, 0).cast("long").alias("qv")
     ua = a.select(qv, F.lit(1).alias("ca"), F.lit(0).alias("cb"))
     ub = b.select(qv, F.lit(0).alias("ca"), F.lit(1).alias("cb"))
@@ -1243,6 +1239,18 @@ def ks_statistic(
             F.sum("cb").cast("long").alias("cb"),
         )
     )
+    return ks_from_counts(g)
+
+
+def ks_from_counts(g: DataFrame) -> DataFrame:
+    """:func:`ks_statistic` from a pre-aggregated ``(qv long, ca long,
+    cb long)`` per-value count table — the entry point for additive
+    count state (the streaming drift monitor folds per-batch counts
+    and feeds the sum here; the changepoint_from_daily precedent)."""
+    from salesforce_plugin_spark.operators.partitioning import (
+        global_cumsum,
+    )
+
     cum = global_cumsum(g, [F.col("qv")], ["ca", "cb"])
     n = g.agg(
         F.sum("ca").cast("long").alias("n1"),
