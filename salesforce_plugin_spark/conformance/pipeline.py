@@ -517,6 +517,21 @@ def q_budget_sample(spark, sf_dir):
     return budget_sample(d, ["lang"], "doc_id", "n_chars", budget=20_000)
 
 
+def q_benford(spark, sf_dir):
+    """First-digit Benford audit (operators/validate.py benford_audit):
+    the fabricated-data / unit-mixing smell test over order totals in
+    cents — digit from the INTEGER's decimal string (identical
+    cross-engine formatting; no in-plan log), observed exact ppm vs
+    the pinned log10(1+1/d) table (benford_expected_ppm — the
+    ndcg_discounts pinned-constant discipline), signed deviation. One
+    9-group aggregate over one scan."""
+    from salesforce_plugin_spark.operators.validate import benford_audit
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return benford_audit(o.select(cents.alias("cents")), F.col("cents"))
+
+
 def q_kanonymity(spark, sf_dir):
     """Re-identification risk audit (operators/validate.py
     k_anonymity_audit): per (nation, segment) quasi-identifier class
@@ -1306,6 +1321,31 @@ ORACLES["q_budget_sample"] = """
         FROM documents
     )
     SELECT doc_id, lang, n_chars FROM ordered WHERE cum <= 20000
+"""
+
+# Pinned expected table = round(1e6*log10(1+1/d)), d=1..9 (generated
+# driver-side by validate.benford_expected_ppm; no log in either plan).
+ORACLES["q_benford"] = """
+    WITH pos AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+    ), counts AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n FROM pos GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS t FROM counts
+    ), exp AS (
+        SELECT * FROM (VALUES
+            (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+            (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)
+        ) AS e(digit, exp_ppm)
+    )
+    SELECT c.digit, c.n,
+           CAST(c.n * 1000000 // t.t AS BIGINT) AS obs_ppm,
+           CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+           CAST(c.n * 1000000 // t.t - e.exp_ppm AS BIGINT) AS dev_ppm
+    FROM counts c CROSS JOIN tot t JOIN exp e ON e.digit = c.digit
 """
 
 ORACLES["q_kanonymity"] = """

@@ -345,3 +345,57 @@ def k_anonymity_audit(
     if sensitive_col is None:
         out = out.withColumn("l", F.lit(0).cast("long"))
     return out.withColumn("at_risk", F.col("k") < k_min)
+
+
+def benford_expected_ppm() -> list[int]:
+    """Pinned Benford first-digit distribution: ``round(10⁶ ·
+    log10(1 + 1/d))`` for d = 1..9, computed HERE once in Python
+    (driver-side constants, the ndcg_discounts discipline) so neither
+    engine evaluates a log in-plan. Sums to 1,000,000 − 0/+ rounding."""
+    import math
+
+    return [round(10**6 * math.log10(1 + 1 / d)) for d in range(1, 10)]
+
+
+def benford_audit(df: DataFrame, amount_col) -> DataFrame:
+    """First-digit (Benford) audit of a positive integer amount column
+    — the classic fabricated-data / unit-mixing smell test for money
+    and count columns (organically-grown magnitudes follow
+    log10(1+1/d); flat or spiked digits indicate synthesis, caps, or a
+    unit seam). The first digit comes from the INTEGER's decimal
+    string (identical formatting in every engine — no float log10 /
+    pow roundtrip), observed shares are exact ppm, and the expected
+    distribution is the pinned :func:`benford_expected_ppm` table.
+
+    One map-side-combined 9-group aggregate over a single scan; rows
+    with amount ≤ 0 are excluded (Benford is undefined there — audit
+    them separately).
+
+    Output (scalar-only): ``(digit int, n long, obs_ppm long,
+    exp_ppm long, dev_ppm long)`` with dev = obs − exp (signed).
+    """
+    exp = benford_expected_ppm()
+    pos = df.filter(amount_col > 0).select(
+        F.substring(amount_col.cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    counts = pos.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("__tot"))
+    exp_col = F.element_at(
+        F.array(*[F.lit(e).cast("long") for e in exp]), F.col("digit")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 1000000 div __tot").cast("long").alias("obs_ppm"),
+            exp_col.alias("exp_ppm"),
+            (
+                F.expr("n * 1000000 div __tot").cast("long") - exp_col
+            ).alias("dev_ppm"),
+        )
+    )

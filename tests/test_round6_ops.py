@@ -1062,3 +1062,25 @@ class TestKSStatistic:
         r = ks_statistic(a, b, "value").collect()[0]
         assert r.d_num == 3 and r.at_qv == 3000
         assert r.d_ppm == 500_000
+
+
+class TestBenford:
+    def test_pinned_table_and_exact_shares(self, spark):
+        from salesforce_plugin_spark.operators.validate import (
+            benford_audit,
+            benford_expected_ppm,
+        )
+
+        exp = benford_expected_ppm()
+        assert exp[0] == 301030 and len(exp) == 9 and sum(exp) == 1_000_000
+        df = spark.createDataFrame(
+            [(v,) for v in (100, 150, 199, 20, 9000, -5, 0)], "amt long"
+        )
+        out = {
+            r.digit: (r.n, r.obs_ppm, r.dev_ppm)
+            for r in benford_audit(df, F.col("amt")).collect()
+        }
+        # negatives/zero excluded: total 5 positive rows
+        assert out[1] == (3, 600000, 600000 - 301030)
+        assert out[2][0] == 1 and out[9][0] == 1
+        assert 5 not in out
