@@ -101,6 +101,22 @@ def q_session_paths(spark, sf_dir):
     )
 
 
+def q_itemcf(spark, sf_dir):
+    """Item-item collaborative filtering (operators/analytics.py
+    item_similarity): each part's top-5 co-purchase neighbors by EXACT
+    binary-cosine c_ij/√(c_i·c_j) — support from the q_copurchase pair
+    space, norms are basket counts, the score rides the shared
+    corrected-isqrt cosine (with_exact_cos_ppm), top-k under a total
+    order. The "bought X also bought Y" recommender as pure DataFrame
+    ops."""
+    from salesforce_plugin_spark.operators.analytics import item_similarity
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return item_similarity(
+        li, "l_orderkey", "l_partkey", min_support=2, top_k=5
+    )
+
+
 def q_copurchase(spark, sf_dir):
     """Market-basket mining (operators/analytics.py copurchase_pairs):
     support counts for unordered part pairs co-occurring in an order —
@@ -859,6 +875,54 @@ ORACLES["q_anomaly_zscore"] = """
 """
 
 # Basket self-join support counts, replayed verbatim.
+ORACLES["q_itemcf"] = """
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+    ), counts AS (
+        SELECT it AS item, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1
+    ), p AS (
+        SELECT a.it AS item_a, c.it AS item_b
+        FROM b a JOIN b c USING (bk)
+        WHERE a.it < c.it
+    ), sup AS (
+        SELECT item_a, item_b, CAST(count(*) AS BIGINT) AS support
+        FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+    ), bothdir AS (
+        SELECT item_a AS item, item_b AS neighbor, support FROM sup
+        UNION ALL
+        SELECT item_b, item_a, support FROM sup
+    ), j AS (
+        SELECT bd.item, bd.neighbor, bd.support,
+               CAST(ca.c AS HUGEINT) * cb.c AS p2
+        FROM bothdir bd
+        JOIN counts ca ON ca.item = bd.item
+        JOIN counts cb ON cb.item = bd.neighbor
+    ), seeded AS (
+        SELECT *, CAST(floor(sqrt(CAST(p2 AS DOUBLE))) AS HUGEINT) AS y0
+        FROM j
+    ), rooted AS (
+        SELECT *, CASE WHEN (y0+2)*(y0+2) <= p2 THEN y0+2
+                       WHEN (y0+1)*(y0+1) <= p2 THEN y0+1
+                       WHEN y0*y0 <= p2 THEN y0
+                       WHEN (y0-1)*(y0-1) <= p2 THEN y0-1
+                       ELSE y0-2 END AS y
+        FROM seeded
+    ), scored AS (
+        SELECT item, neighbor, support,
+               CASE WHEN p2 = 0 THEN NULL
+                    ELSE CAST((CAST(support AS HUGEINT) * 1000000) // y
+                              AS BIGINT) END AS cos_ppm
+        FROM rooted
+    ), ranked AS (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY item
+                   ORDER BY cos_ppm DESC, neighbor ASC) AS INT) AS "rank"
+        FROM scored
+    )
+    SELECT item, neighbor, support, cos_ppm, "rank"
+    FROM ranked WHERE "rank" <= 5
+"""
+
 ORACLES["q_copurchase"] = """
     WITH b AS (
         SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem

@@ -1926,3 +1926,78 @@ def calibration_bins(
             "rate_ppm"
         ),
     )
+
+
+def item_similarity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    top_k: int = 5,
+) -> DataFrame:
+    """Item-item collaborative filtering over binary co-occurrence
+    (Sarwar et al. 2001, the classic "customers who bought X also
+    bought Y" recommender): each item's vector over baskets is binary,
+    so ``cos(i, j) = c_ij / √(c_i·c_j)`` with c_ij from
+    :func:`copurchase_pairs` and c_i the item's basket count — and the
+    whole score is EXACT via the shared corrected-isqrt cosine
+    (``vector.with_exact_cos_ppm``: dot = support, squared norms = the
+    basket counts). Each item keeps its ``top_k`` neighbors by
+    (cos_ppm desc, neighbor asc) — the total order that replays
+    cross-engine.
+
+    Shape: the copurchase pair space (basket-bounded, min_support
+    floor) mirrored once for both directions, item counts broadcast,
+    one item-partitioned window for top-k. No stage touches the raw
+    basket×basket space.
+
+    Output (scalar-only): ``(item, neighbor, support long, cos_ppm
+    long, rank int)``.
+    """
+    from salesforce_plugin_spark.functions.vector import with_exact_cos_ppm
+
+    b = df.select(
+        F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it")
+    ).distinct()
+    counts = b.groupBy(F.col("__it").alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pairs = copurchase_pairs(df, basket_col, item_col, min_support)
+    both = pairs.select(
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("neighbor"),
+        "support",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("neighbor"),
+            "support",
+        )
+    )
+    d38 = "decimal(38,0)"
+    joined = (
+        both.join(
+            F.broadcast(counts.withColumnRenamed("c", "__ca")), "item"
+        )
+        .join(
+            F.broadcast(
+                counts.select(
+                    F.col("item").alias("neighbor"),
+                    F.col("c").alias("__cb"),
+                )
+            ),
+            "neighbor",
+        )
+        .withColumn("__dot", F.col("support").cast(d38))
+        .withColumn("__na", F.col("__ca").cast(d38))
+        .withColumn("__nb", F.col("__cb").cast(d38))
+    )
+    scored = with_exact_cos_ppm(joined, "__dot", "__na", "__nb")
+    w = Window.partitionBy("item").orderBy(
+        F.col("cos_ppm").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select("item", "neighbor", "support", "cos_ppm", "rank")
+    )

@@ -91,6 +91,8 @@ PROBE = [
     "q_changepoint",
     "q_stream_zscore",
     "q_ks_test",
+    "q_itemcf",
+    "q_benford",
     "q_tpch_q1",
     "q_zorder",
     "q_session_paths",

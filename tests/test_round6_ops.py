@@ -1084,3 +1084,28 @@ class TestBenford:
         assert out[1] == (3, 600000, 600000 - 301030)
         assert out[2][0] == 1 and out[9][0] == 1
         assert 5 not in out
+
+
+class TestItemCF:
+    def test_exact_binary_cosine_and_topk(self, spark):
+        """Hand case: items 1,2 co-occur in 2 of their baskets
+        (c1 = 3, c2 = 2 → cos = 2/√6); item 3 pairs once with 1 only —
+        below min_support, absent."""
+        from salesforce_plugin_spark.operators.analytics import (
+            item_similarity,
+        )
+
+        rows = [
+            (10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 3),
+            (13, 2),
+        ]
+        # c1 = 3 baskets, c2 = 3, c12 = 2 → wait: item 2 in baskets
+        # 10, 11, 13 → c2 = 3; cos = 2/3 → 666666 ppm (floored)
+        df = spark.createDataFrame(rows, "bk long, it long")
+        out = {
+            (r.item, r.neighbor): (r.support, r.cos_ppm, r.rank)
+            for r in item_similarity(df, "bk", "it", 2, 5).collect()
+        }
+        assert out[(1, 2)] == (2, 666666, 1)
+        assert out[(2, 1)] == (2, 666666, 1)
+        assert (1, 3) not in out and (3, 1) not in out
