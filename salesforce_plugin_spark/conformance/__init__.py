@@ -395,6 +395,7 @@ from salesforce_plugin_spark.conformance.streaming import (  # noqa: F401
     q_stream_kanonymity,
     q_stream_changepoint,
     q_stream_ks,
+    q_stream_benford,
     q_stream_theil_sen,
     q_stream_temperature_mix,
     ORACLES as _ORACLES_streaming,
@@ -739,6 +740,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_stream_kanonymity": q_stream_kanonymity,
     "q_stream_changepoint": q_stream_changepoint,
     "q_stream_ks": q_stream_ks,
+    "q_stream_benford": q_stream_benford,
 }
 
 
@@ -825,5 +827,7 @@ ORACLES["q_stream_kanonymity"] = ORACLES["q_kanonymity"]
 ORACLES["q_stream_changepoint"] = ORACLES["q_changepoint"]
 # Streamed additive per-value (ca, cb) counts -> same KS as the batch test.
 ORACLES["q_stream_ks"] = ORACLES["q_ks_test"]
+# Streamed additive digit counts -> same audit as the batch scan.
+ORACLES["q_stream_benford"] = ORACLES["q_benford"]
 # streamed additive (lang, doc/token) counts == one-shot batch mix
 ORACLES["q_stream_temperature_mix"] = ORACLES["q_temperature_mix"]

@@ -1889,3 +1889,68 @@ def q_stream_ks(spark, sf_dir):
     return spark.createDataFrame(
         rows, "n1 long, n2 long, d_num long, d_ppm long, at_qv long"
     )
+
+
+def q_stream_benford(spark, sf_dir):
+    """F6 x ingestion quality: the Benford first-digit audit maintained
+    live — per-digit counts are the canonical additive state (9-row
+    groups through the additive-count fold), the summed state feeds
+    benford_from_counts, and the audit must equal the one-shot batch
+    q_benford (oracle VERBATIM, disjoint slices). 23rd equivalence
+    face — the fabricated-data monitor a live ingestion pipeline runs
+    per batch without re-scanning history."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.operators.validate import (
+        benford_from_counts,
+    )
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_summed_counts,
+        run_stream_additive_counts,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_stream_benford_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [o.filter(F.col("o_orderkey") % 3 == i) for i in range(3)],
+            tmp,
+            None,
+        )
+        stream = (
+            spark.readStream.schema(
+                "o_orderkey long, o_totalprice double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+
+        def prep(b):
+            cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            return b.filter(cents > 0).select(
+                F.substring(cents.cast("string"), 1, 1)
+                .cast("int")
+                .alias("digit")
+            )
+
+        run_stream_additive_counts(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            group_cols=["digit"],
+            prepare=prep,
+        )
+        counts = read_summed_counts(spark, state, ["digit"])
+        rows = benford_from_counts(counts).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "digit int, n long, obs_ppm long, exp_ppm long, dev_ppm long",
+    )

@@ -374,7 +374,6 @@ def benford_audit(df: DataFrame, amount_col) -> DataFrame:
     Output (scalar-only): ``(digit int, n long, obs_ppm long,
     exp_ppm long, dev_ppm long)`` with dev = obs − exp (signed).
     """
-    exp = benford_expected_ppm()
     pos = df.filter(amount_col > 0).select(
         F.substring(amount_col.cast("string"), 1, 1)
         .cast("int")
@@ -383,6 +382,15 @@ def benford_audit(df: DataFrame, amount_col) -> DataFrame:
     counts = pos.groupBy("digit").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+    return benford_from_counts(counts)
+
+
+def benford_from_counts(counts: DataFrame) -> DataFrame:
+    """:func:`benford_audit` from a pre-aggregated ``(digit int, n
+    long)`` table — the entry point for additive digit-count state
+    (the streaming ingestion monitor folds per-batch counts and feeds
+    the sum here; the ks_from_counts precedent)."""
+    exp = benford_expected_ppm()
     total = counts.agg(F.sum("n").cast("long").alias("__tot"))
     exp_col = F.element_at(
         F.array(*[F.lit(e).cast("long") for e in exp]), F.col("digit")
