@@ -1044,11 +1044,18 @@ def sssp_fixed(
     """
     if rounds < 1:
         raise ValueError("sssp_fixed requires rounds >= 1")
+    w_checked = F.when(
+        F.col(weight_col) < 0,
+        F.raise_error(
+            F.lit("sssp_fixed: negative edge weight (min-plus relaxation"
+                  " requires non-negative weights)")
+        ).cast("long"),
+    ).otherwise(F.col(weight_col).cast("long"))
     e = (
         edges.select(
             F.col(src).alias("a"),
             F.col(dst).alias("b"),
-            F.col(weight_col).cast("long").alias("w"),
+            w_checked.alias("w"),
         )
         .filter(F.col("a") != F.col("b"))
     )
@@ -1190,7 +1197,11 @@ def louvain_step(
             "i",
         )
         .join(F.broadcast(sig.withColumnRenamed("label", "c")), "c")
-        .join(deg.select(F.col("node").alias("i"), "__k"), "i")
+        # left + coalesce 0: a user-supplied assignment may contain
+        # edge-less nodes — they must surface (staying put, score 0),
+        # not silently vanish through an inner degree join
+        .join(deg.select(F.col("node").alias("i"), "__k"), "i", "left")
+        .withColumn("__k", F.coalesce(F.col("__k"), F.lit(0).cast("long")))
         .crossJoin(F.broadcast(m1))
         .withColumn(
             "__sig_adj",

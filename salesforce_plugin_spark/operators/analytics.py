@@ -291,11 +291,18 @@ def zscore_from_stats(
         F.col("__n") * F.col("__q").cast(d38) - F.col("__s")
     )
     var_n2 = F.col("__n") * F.col("__q2") - F.col("__s") * F.col("__s")
+    # left join: a row whose group is MISSING from the injected stats
+    # surfaces with is_anomaly NULL (visibly unscoreable) instead of
+    # silently vanishing through an inner join
     return (
-        tagged.join(F.broadcast(st), group_cols)
+        tagged.join(F.broadcast(st), group_cols, "left")
         .withColumn(
             "is_anomaly",
-            dev * dev > F.lit(k_num * k_num).cast(d38) * var_n2,
+            F.when(
+                F.col("__n").isNull(), F.lit(None).cast("boolean")
+            ).otherwise(
+                dev * dev > F.lit(k_num * k_num).cast(d38) * var_n2
+            ),
         )
         .drop("__q", "__n", "__s", "__q2")
     )

@@ -1109,3 +1109,48 @@ class TestItemCF:
         assert out[(1, 2)] == (2, 666666, 1)
         assert out[(2, 1)] == (2, 666666, 1)
         assert (1, 3) not in out and (3, 1) not in out
+
+
+class TestRobustnessGuards:
+    def test_sssp_negative_weight_raises(self, spark):
+        from salesforce_plugin_spark.functions.graph import sssp_fixed
+
+        edges = spark.createDataFrame(
+            [(1, 2, -3)], "src long, dst long, w long"
+        )
+        seeds = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(Exception, match="negative edge weight"):
+            sssp_fixed(edges, seeds, rounds=1).collect()
+
+    def test_louvain_isolated_node_stays_visible(self, spark):
+        """A node present in the assignment but absent from the edge
+        set must surface (staying put), not vanish."""
+        from salesforce_plugin_spark.functions.graph import louvain_step
+
+        edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+        comm = spark.createDataFrame(
+            [(1, 1), (2, 1), (99, 99)], "id long, label long"
+        )
+        out = {r.node: (r.new_label, r.moved)
+               for r in louvain_step(edges, comm).collect()}
+        assert out[99] == (99, False)
+
+    def test_zscore_missing_group_surfaces_null(self, spark):
+        """A row whose group is absent from injected stats gets
+        is_anomaly NULL, not dropped."""
+        from salesforce_plugin_spark.operators.analytics import (
+            zscore_from_stats,
+        )
+
+        df = spark.createDataFrame(
+            [("known", 1.0), ("unknown", 9.0)], "grp string, value double"
+        )
+        stats = spark.createDataFrame(
+            [("known", 3, 300, 30000)],
+            "grp string, n long, s long, q2 long",
+        )
+        rows = {r.grp: r.is_anomaly for r in zscore_from_stats(
+            df, "value", ["grp"], stats
+        ).collect()}
+        assert "unknown" in rows and rows["unknown"] is None
+        assert rows["known"] is not None
