@@ -396,6 +396,7 @@ from salesforce_plugin_spark.conformance.streaming import (  # noqa: F401
     q_stream_changepoint,
     q_stream_ks,
     q_stream_benford,
+    q_stream_itemcf,
     q_stream_theil_sen,
     q_stream_temperature_mix,
     ORACLES as _ORACLES_streaming,
@@ -741,6 +742,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_stream_changepoint": q_stream_changepoint,
     "q_stream_ks": q_stream_ks,
     "q_stream_benford": q_stream_benford,
+    "q_stream_itemcf": q_stream_itemcf,
 }
 
 
@@ -829,5 +831,7 @@ ORACLES["q_stream_changepoint"] = ORACLES["q_changepoint"]
 ORACLES["q_stream_ks"] = ORACLES["q_ks_test"]
 # Streamed additive digit counts -> same audit as the batch scan.
 ORACLES["q_stream_benford"] = ORACLES["q_benford"]
+# Basket-complete slices: pair supports + item counts fold additively.
+ORACLES["q_stream_itemcf"] = ORACLES["q_itemcf"]
 # streamed additive (lang, doc/token) counts == one-shot batch mix
 ORACLES["q_stream_temperature_mix"] = ORACLES["q_temperature_mix"]

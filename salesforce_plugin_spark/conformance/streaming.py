@@ -1954,3 +1954,88 @@ def q_stream_benford(spark, sf_dir):
         rows,
         "digit int, n long, obs_ppm long, exp_ppm long, dev_ppm long",
     )
+
+
+def q_stream_itemcf(spark, sf_dir):
+    """F6 x recommendation: the co-purchase recommender maintained live
+    — TWO additive folds over BASKET-COMPLETE micro-batches (sliced by
+    l_orderkey, the basket id: a basket split across batches would
+    lose its cross-batch pairs, the slicing-contract nuance this face
+    exists to pin), pair supports and item basket-counts, with the
+    min_support floor applied on MERGED totals at read-out (a 1+1 pair
+    is support 2). item_similarity_from_counts == the one-shot batch
+    q_itemcf (oracle VERBATIM). 24th equivalence face."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.operators.analytics import (
+        copurchase_pairs,
+        item_similarity_from_counts,
+    )
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_summed_counts,
+        read_summed_sums,
+        run_stream_additive_counts,
+        run_stream_additive_sums,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_stream_itemcf_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [li.filter(F.col("l_orderkey") % 3 == i) for i in range(3)],
+            tmp,
+            None,
+        )
+
+        def mkstream():
+            return (
+                spark.readStream.schema("l_orderkey long, l_partkey long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+        pair_state = os.path.join(tmp, "pairs")
+        item_state = os.path.join(tmp, "items")
+        run_stream_additive_sums(
+            mkstream(),
+            pair_state,
+            os.path.join(tmp, "ckpt_p"),
+            group_cols=["item_a", "item_b"],
+            sum_cols=["support"],
+            # min_support=1 INSIDE the batch (the floor applies to
+            # merged totals only); each basket is whole inside one
+            # batch because the slices are keyed on the basket id
+            prepare=lambda b: copurchase_pairs(
+                b, "l_orderkey", "l_partkey", min_support=1
+            ),
+        )
+        run_stream_additive_counts(
+            mkstream(),
+            item_state,
+            os.path.join(tmp, "ckpt_i"),
+            group_cols=["item"],
+            prepare=lambda b: b.select(
+                F.col("l_orderkey").alias("__bk"),
+                F.col("l_partkey").alias("item"),
+            ).distinct(),
+        )
+        pairs = read_summed_sums(
+            spark, pair_state, ["item_a", "item_b"], ["support"]
+        ).select("item_a", "item_b", F.col("sum_support").alias("support"))
+        counts = read_summed_counts(spark, item_state, ["item"]).select(
+            "item", F.col("n").alias("c")
+        )
+        rows = item_similarity_from_counts(
+            pairs, counts, min_support=2, top_k=5
+        ).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "item long, neighbor long, support long, cos_ppm long, rank int",
+    )

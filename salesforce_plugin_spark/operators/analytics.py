@@ -1961,8 +1961,6 @@ def item_similarity(
     Output (scalar-only): ``(item, neighbor, support long, cos_ppm
     long, rank int)``.
     """
-    from salesforce_plugin_spark.functions.vector import with_exact_cos_ppm
-
     b = df.select(
         F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it")
     ).distinct()
@@ -1970,6 +1968,28 @@ def item_similarity(
         F.count(F.lit(1)).cast("long").alias("c")
     )
     pairs = copurchase_pairs(df, basket_col, item_col, min_support)
+    return item_similarity_from_counts(pairs, counts, top_k=top_k)
+
+
+def item_similarity_from_counts(
+    pairs: DataFrame,
+    counts: DataFrame,
+    min_support: int | None = None,
+    top_k: int = 5,
+) -> DataFrame:
+    """:func:`item_similarity` from pre-aggregated ``(item_a, item_b,
+    support)`` pair counts and ``(item, c)`` basket counts — the entry
+    point for additive co-occurrence state. Streaming contract: both
+    inputs are additive ONLY under basket-complete batch slices (a
+    basket split across two batches loses its cross-batch pairs — the
+    slicing key must be the basket id, not arbitrary rows), and the
+    ``min_support`` floor must be applied HERE on merged totals, never
+    per batch (a pair at support 1+1 across two batches is support 2).
+    """
+    from salesforce_plugin_spark.functions.vector import with_exact_cos_ppm
+
+    if min_support is not None:
+        pairs = pairs.filter(F.col("support") >= min_support)
     both = pairs.select(
         F.col("item_a").alias("item"),
         F.col("item_b").alias("neighbor"),
