@@ -884,3 +884,77 @@ def test_exact_isqrt_correction_at_boundaries(spark):
     )
     with _pytest.raises(Exception, match="CAST_OVERFLOW|Arithmetic"):
         with_exact_cos_ppm(df2, "__dot_d", "__na_d", "__nb_d", "x").collect()
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=20), min_size=1,
+               max_size=15),
+    b=st.lists(st.integers(min_value=0, max_value=20), min_size=1,
+               max_size=15),
+)
+def test_ks_matches_pure_python_reference(spark, a, b):
+    """ks_statistic == an independent exact-rational Python KS on any
+    small sample pair (supremum value AND location)."""
+    from salesforce_plugin_spark.functions.sketch import ks_statistic
+
+    da = spark.createDataFrame([(float(v),) for v in a], "value double")
+    db = spark.createDataFrame([(float(v),) for v in b], "value double")
+    r = ks_statistic(da, db, "value", quant=1000).collect()[0]
+
+    vals = sorted(set(a) | set(b))
+    n1, n2 = len(a), len(b)
+    best, at = -1, None
+    for v in vals:
+        c1 = sum(1 for x in a if x <= v)
+        c2 = sum(1 for x in b if x <= v)
+        gap = abs(c1 * n2 - c2 * n1)
+        if gap > best:
+            best, at = gap, v
+    assert (r.n1, r.n2) == (n1, n2)
+    assert r.d_num == best
+    assert r.at_qv == at * 1000
+    assert r.d_ppm == best * 10**6 // (n1 * n2)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=50), min_size=2,
+                    max_size=12),
+)
+def test_changepoint_gain_nonnegative_and_argmax_matches(spark, counts):
+    """changepoint_from_daily: gain is never negative (two means fit at
+    least as well as one) and the chosen split matches a brute-force
+    exact-rational argmax with earliest-split tiebreak."""
+    from fractions import Fraction
+
+    from salesforce_plugin_spark.operators.timeseries import (
+        changepoint_from_daily,
+    )
+
+    rows = [
+        ("k", f"2024-03-{d + 1:02d}", c) for d, c in enumerate(counts)
+    ]
+    daily = spark.createDataFrame(
+        rows, "k string, __d string, __c long"
+    ).select("k", F.col("__d").cast("date").alias("__d"), "__c")
+    r = changepoint_from_daily(daily, ["k"]).collect()[0]
+    assert r.gain_milli >= 0
+
+    n, total = len(counts), sum(counts)
+    best, best_t = None, None
+    for t in range(1, n):
+        sl = sum(counts[:t])
+        sr = total - sl
+        g = (
+            Fraction(sl * sl, t)
+            + Fraction(sr * sr, n - t)
+            - Fraction(total * total, n)
+        )
+        gm = (g * 1000).__floor__()
+        if best is None or gm > best:
+            best, best_t = gm, t
+    assert r.n_left == best_t
+    assert r.gain_milli == best
