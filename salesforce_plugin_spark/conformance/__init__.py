@@ -309,6 +309,7 @@ from salesforce_plugin_spark.conformance.analytics import (  # noqa: F401
     q_bootstrap,
     q_cusum,
     q_changepoint,
+    q_monitoring_capstone,
     q_user_features,
     q_rank_corr,
     q_trend,
@@ -640,6 +641,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_label_prop": q_label_prop,
     "q_cusum": q_cusum,
     "q_changepoint": q_changepoint,
+    "q_monitoring_capstone": q_monitoring_capstone,
     "q_bootstrap": q_bootstrap,
     "q_manifest": q_manifest,
     "q_stream_cusum": q_stream_cusum,
@@ -833,5 +835,19 @@ ORACLES["q_stream_ks"] = ORACLES["q_ks_test"]
 ORACLES["q_stream_benford"] = ORACLES["q_benford"]
 # Basket-complete slices: pair supports + item counts fold additively.
 ORACLES["q_stream_itemcf"] = ORACLES["q_itemcf"]
+# Composition oracle: the monitoring capstone embeds its three stage
+# oracles verbatim as subqueries — it can only pass if each stage would.
+ORACLES["q_monitoring_capstone"] = (
+    "SELECT 'zscore' AS chk, 'n_anomalies' AS metric,"
+    " CAST(count(*) AS BIGINT) AS value"
+    " FROM (" + ORACLES["q_anomaly_zscore"] + ") WHERE is_anomaly"
+    " UNION ALL"
+    " SELECT 'ks' AS chk, 'd_ppm' AS metric, d_ppm AS value"
+    " FROM (" + ORACLES["q_ks_test"] + ")"
+    " UNION ALL"
+    " SELECT 'changepoint' AS chk, 'max_gain_milli' AS metric,"
+    " CAST(max(gain_milli) AS BIGINT) AS value"
+    " FROM (" + ORACLES["q_changepoint"] + ")"
+)
 # streamed additive (lang, doc/token) counts == one-shot batch mix
 ORACLES["q_stream_temperature_mix"] = ORACLES["q_temperature_mix"]

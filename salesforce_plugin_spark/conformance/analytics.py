@@ -2045,3 +2045,44 @@ ORACLES["q_calibration"] = """
                AS rate_ppm
     FROM binned GROUP BY 1
 """
+
+
+def q_monitoring_capstone(spark, sf_dir):
+    """Observability capstone: the production monitoring pass a data
+    platform runs per ingestion cycle, composing three independently
+    gated checks into ONE tall (chk, metric, value) readout — the
+    anomaly count from the exact z-gate (q_anomaly_zscore), the
+    click-vs-view KS drift (q_ks_test), and the strongest level-shift
+    evidence across event types (q_changepoint's max gain). Each stage
+    is oracle-gated on its own elsewhere; the composition is gated
+    here (the oracle textually embeds the three stage oracles as
+    subqueries — one WITH per check, UNION ALL). The capstone
+    discipline of q_curation_capstone applied to the monitoring
+    family."""
+    from salesforce_plugin_spark.conformance import QUERIES
+
+    z = (
+        QUERIES["q_anomaly_zscore"](spark, sf_dir)
+        .filter(F.col("is_anomaly"))
+        .agg(F.count(F.lit(1)).cast("long").alias("value"))
+        .select(
+            F.lit("zscore").alias("chk"),
+            F.lit("n_anomalies").alias("metric"),
+            "value",
+        )
+    )
+    ks = QUERIES["q_ks_test"](spark, sf_dir).select(
+        F.lit("ks").alias("chk"),
+        F.lit("d_ppm").alias("metric"),
+        F.col("d_ppm").alias("value"),
+    )
+    cp = (
+        QUERIES["q_changepoint"](spark, sf_dir)
+        .agg(F.max("gain_milli").cast("long").alias("value"))
+        .select(
+            F.lit("changepoint").alias("chk"),
+            F.lit("max_gain_milli").alias("metric"),
+            "value",
+        )
+    )
+    return z.unionByName(ks).unionByName(cp)
