@@ -398,6 +398,7 @@ from salesforce_plugin_spark.conformance.streaming import (  # noqa: F401
     q_stream_ks,
     q_stream_benford,
     q_stream_itemcf,
+    q_stream_gram_power,
     q_stream_theil_sen,
     q_stream_temperature_mix,
     ORACLES as _ORACLES_streaming,
@@ -745,6 +746,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_stream_ks": q_stream_ks,
     "q_stream_benford": q_stream_benford,
     "q_stream_itemcf": q_stream_itemcf,
+    "q_stream_gram_power": q_stream_gram_power,
 }
 
 
@@ -835,6 +837,8 @@ ORACLES["q_stream_ks"] = ORACLES["q_ks_test"]
 ORACLES["q_stream_benford"] = ORACLES["q_benford"]
 # Basket-complete slices: pair supports + item counts fold additively.
 ORACLES["q_stream_itemcf"] = ORACLES["q_itemcf"]
+# Additive partial Grams: G·v0 from summed state == one-pass X^T(Xv0).
+ORACLES["q_stream_gram_power"] = ORACLES["q_power_step"]
 # Composition oracle: the monitoring capstone embeds its three stage
 # oracles verbatim as subqueries — it can only pass if each stage would.
 ORACLES["q_monitoring_capstone"] = (

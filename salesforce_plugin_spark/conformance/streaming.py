@@ -2039,3 +2039,97 @@ def q_stream_itemcf(spark, sf_dir):
         rows,
         "item long, neighbor long, support long, cos_ppm long, rank int",
     )
+
+
+def q_stream_gram_power(spark, sf_dir):
+    """F6 x distributed linear algebra: the eigensolver's INPUT
+    maintained live — the Gram matrix G = Σᵢ xᵢxᵢᵀ is itself additive
+    state (per-batch partial Grams sum exactly, BIGINT), so the
+    quantized (dim_i, dim_j, Σ xqᵢ·xqⱼ) cells ride the additive-sums
+    fold; the read-out contracts the summed G against the broadcast
+    v0 to g = G·v0 — the IDENTICAL integers q_power_step computes as
+    Xᵀ(Xv0) in one pass over data at rest (oracle VERBATIM). 25th
+    equivalence face: a PCA/spectral service can keep G current per
+    micro-batch and answer power steps without rescanning the corpus.
+    State is dims²-bounded (256 cells at 16 dims) regardless of
+    volume."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_summed_sums,
+        run_stream_additive_sums,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_stream_gram_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [e.filter(F.col("vec_id") % 3 == i) for i in range(3)],
+            tmp,
+            None,
+        )
+        stream = (
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+
+        def prep(b):
+            xq = F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * 1000, 0).cast("long"),
+            )
+            rows = b.select(xq.alias("__xq"))
+            a = rows.select(
+                F.posexplode(F.col("__xq")).alias("__pi", "__xi"),
+                F.col("__xq"),
+            )
+            return a.select(
+                (F.col("__pi") + 1).cast("int").alias("dim_i"),
+                F.posexplode(F.col("__xq")).alias("__pj", "__xj"),
+                F.col("__xi"),
+            ).select(
+                "dim_i",
+                (F.col("__pj") + 1).cast("int").alias("dim_j"),
+                (F.col("__xi") * F.col("__xj")).alias("g"),
+            )
+
+        run_stream_additive_sums(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            group_cols=["dim_i", "dim_j"],
+            sum_cols=["g"],
+            prepare=prep,
+        )
+        gram = read_summed_sums(
+            spark, state, ["dim_i", "dim_j"], ["g"]
+        ).select("dim_i", "dim_j", F.col("sum_g").alias("s"))
+        v0 = e.filter(F.col("vec_id") == 0).select(
+            F.posexplode(
+                F.transform(
+                    F.col("embedding").cast("array<double>"),
+                    lambda x: F.round(x * 1000, 0).cast("long"),
+                )
+            ).alias("__p", "__v")
+        ).select(
+            (F.col("__p") + 1).cast("int").alias("dim_j"),
+            F.col("__v").alias("v"),
+        )
+        rows = (
+            gram.join(F.broadcast(v0), "dim_j")
+            .groupBy(F.col("dim_i").alias("dim"))
+            .agg(F.sum(F.col("s") * F.col("v")).cast("long").alias("gv"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "dim int, gv long")
