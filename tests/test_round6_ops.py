@@ -1154,3 +1154,30 @@ class TestRobustnessGuards:
         ).collect()}
         assert "unknown" in rows and rows["unknown"] is None
         assert rows["known"] is not None
+
+
+class TestGlobalCumsum:
+    def test_matches_single_partition_window(self, spark):
+        """The distributed prefix sum equals the plain window cumsum on
+        a tie-free key, regardless of how ranges were partitioned."""
+        from pyspark.sql import Window
+
+        from salesforce_plugin_spark.operators.partitioning import (
+            global_cumsum,
+        )
+
+        df = spark.createDataFrame(
+            [(k, (k * 13) % 7 + 1) for k in range(200)], "k long, v long"
+        )
+        got = {
+            r.k: r.cum_v
+            for r in global_cumsum(df, [F.col("k")], ["v"], n_parts=8)
+            .collect()
+        }
+        want = {
+            r.k: r.cum
+            for r in df.withColumn(
+                "cum", F.sum("v").over(Window.orderBy("k"))
+            ).collect()
+        }
+        assert got == want
