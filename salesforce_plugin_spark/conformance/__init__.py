@@ -310,6 +310,7 @@ from salesforce_plugin_spark.conformance.analytics import (  # noqa: F401
     q_cusum,
     q_changepoint,
     q_monitoring_capstone,
+    q_autocorr,
     q_user_features,
     q_rank_corr,
     q_trend,
@@ -643,6 +644,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_cusum": q_cusum,
     "q_changepoint": q_changepoint,
     "q_monitoring_capstone": q_monitoring_capstone,
+    "q_autocorr": q_autocorr,
     "q_bootstrap": q_bootstrap,
     "q_manifest": q_manifest,
     "q_stream_cusum": q_stream_cusum,

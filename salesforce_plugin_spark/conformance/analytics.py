@@ -1689,6 +1689,22 @@ ORACLES["q_rank_movers"] = """
     FROM a FULL OUTER JOIN b ON a.key = b.key
 """
 
+ORACLES["q_autocorr"] = """
+    WITH daily AS (
+        SELECT event_type AS t, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), lags(lag) AS (
+        VALUES (0), (1), (2), (3)
+    )
+    SELECT a.t AS event_type, CAST(lag AS INT) AS lag,
+           CAST(sum(a.n * b.n) AS BIGINT) AS dot,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM daily a CROSS JOIN lags
+    JOIN daily b ON b.t = a.t AND a.day + CAST(lag AS INT) = b.day
+    GROUP BY 1, 2
+"""
+
 ORACLES["q_leadlag"] = """
     WITH daily AS (
         SELECT CAST(ts AS DATE) AS day, event_type AS t,
@@ -2045,6 +2061,20 @@ ORACLES["q_calibration"] = """
                AS rate_ppm
     FROM binned GROUP BY 1
 """
+
+
+def q_autocorr(spark, sf_dir):
+    """Per-type persistence/seasonality probe (operators/analytics.py
+    autocorrelation_daily): the exact daily-count self-dot Σ c(d)·c(d+k)
+    for lags 0..3 per event type — q_leadlag's machinery turned inward,
+    with lag 0 the raw energy a reader normalizes against. Everything
+    after the daily collapse is days × types × lags bounded."""
+    from salesforce_plugin_spark.operators.analytics import (
+        autocorrelation_daily,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return autocorrelation_daily(e, "event_type", "ts", max_lag=3)
 
 
 def q_monitoring_capstone(spark, sf_dir):

@@ -2028,3 +2028,59 @@ def item_similarity_from_counts(
         .filter(F.col("rank") <= top_k)
         .select("item", "neighbor", "support", "cos_ppm", "rank")
     )
+
+
+def autocorrelation_daily(
+    df: DataFrame,
+    type_col: str,
+    ts_col: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Per-type daily-count self-association: for every event type and
+    lag k ∈ [0, max_lag], the exact BIGINT dot Σ_d c(d)·c(d+k) and the
+    overlapping-day count — :func:`leadlag_correlation`'s machinery
+    turned inward (does the series persist day over day? does k=7 spike
+    — weekly seasonality?). Lag 0 is the raw energy Σc², the natural
+    normalizer: a reader ranks lags by dot/n_days against it, and that
+    (float) presentation stays outside the gate exactly as in the
+    cross-type operator.
+
+    One daily collapse (day × type bounded), a (max_lag+1)-row spine
+    broadcast, one self-equijoin on (type, day+k) — everything after
+    the collapse is bounded by days × types × lags.
+
+    Output (scalar-only): type col + ``(lag int, dot long, n_days
+    long)``.
+    """
+    if max_lag < 0:
+        raise ValueError("autocorrelation_daily requires max_lag >= 0")
+    daily = df.groupBy(
+        F.col(type_col).alias("__t"),
+        F.to_date(F.col(ts_col)).alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    lags = df.sparkSession.createDataFrame(
+        [(int(k),) for k in range(0, max_lag + 1)], "lag int"
+    )
+    b = daily.select(
+        F.col("__t").alias("__tb"),
+        F.col("day").alias("bday"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        daily.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("__t") == F.col("__tb"))
+            & F.expr("date_add(day, lag) = bday"),
+        )
+        .groupBy(F.col("__t").alias(type_col), "lag")
+        .agg(
+            F.sum(
+                F.col("n").cast("decimal(38,0)")
+                * F.col("nb").cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("dot"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+    )

@@ -1181,3 +1181,27 @@ class TestGlobalCumsum:
             ).collect()
         }
         assert got == want
+
+
+class TestAutocorr:
+    def test_lag0_energy_and_shifted_dot(self, spark):
+        """Counts [2, 3, 4] by day: lag0 = 4+9+16 = 29 over 3 days,
+        lag1 = 2·3+3·4 = 18 over 2 days."""
+        from salesforce_plugin_spark.operators.analytics import (
+            autocorrelation_daily,
+        )
+
+        rows = []
+        for d, c in enumerate([2, 3, 4]):
+            for i in range(c):
+                rows.append(("a", f"2024-03-{d + 1:02d} 0{i}:00:00"))
+        df = spark.createDataFrame(rows, "t string, ts string").select(
+            "t", F.col("ts").cast("timestamp").alias("ts")
+        )
+        out = {
+            (r.t, r.lag): (r.dot, r.n_days)
+            for r in autocorrelation_daily(df, "t", "ts", 2).collect()
+        }
+        assert out[("a", 0)] == (29, 3)
+        assert out[("a", 1)] == (18, 2)
+        assert out[("a", 2)] == (8, 1)
