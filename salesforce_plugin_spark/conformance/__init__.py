@@ -400,6 +400,7 @@ from salesforce_plugin_spark.conformance.streaming import (  # noqa: F401
     q_stream_benford,
     q_stream_itemcf,
     q_stream_gram_power,
+    q_stream_autocorr,
     q_stream_theil_sen,
     q_stream_temperature_mix,
     ORACLES as _ORACLES_streaming,
@@ -749,6 +750,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_stream_benford": q_stream_benford,
     "q_stream_itemcf": q_stream_itemcf,
     "q_stream_gram_power": q_stream_gram_power,
+    "q_stream_autocorr": q_stream_autocorr,
 }
 
 
@@ -841,6 +843,8 @@ ORACLES["q_stream_benford"] = ORACLES["q_benford"]
 ORACLES["q_stream_itemcf"] = ORACLES["q_itemcf"]
 # Additive partial Grams: G·v0 from summed state == one-pass X^T(Xv0).
 ORACLES["q_stream_gram_power"] = ORACLES["q_power_step"]
+# The changepoint face's daily-count state, read out as autocorrelation.
+ORACLES["q_stream_autocorr"] = ORACLES["q_autocorr"]
 # Composition oracle: the monitoring capstone embeds its three stage
 # oracles verbatim as subqueries — it can only pass if each stage would.
 ORACLES["q_monitoring_capstone"] = (

@@ -2133,3 +2133,61 @@ def q_stream_gram_power(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "dim int, gv long")
+
+
+def q_stream_autocorr(spark, sf_dir):
+    """F6 x time series: the persistence probe live — the SAME additive
+    per-(type, day) count state as q_stream_changepoint, read out
+    through autocorr_from_daily; one maintained state serves BOTH
+    monitors (the point of factoring folds from read-outs), and each
+    read-out equals its one-shot batch (q_autocorr's oracle VERBATIM).
+    26th equivalence face."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.operators.analytics import (
+        autocorr_from_daily,
+    )
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_summed_counts,
+        run_stream_additive_counts,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_stream_ac_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [e.filter(F.col("event_id") % 3 == i) for i in range(3)],
+            tmp,
+            None,
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, event_type string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+        run_stream_additive_counts(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            group_cols=["event_type", "day"],
+            prepare=lambda b: b.select(
+                "event_type", F.to_date(F.col("ts")).alias("day")
+            ),
+        )
+        daily = read_summed_counts(
+            spark, state, ["event_type", "day"]
+        ).select(F.col("event_type").alias("__t"), "day", "n")
+        rows = autocorr_from_daily(daily, "event_type", max_lag=3).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, lag int, dot long, n_days long"
+    )

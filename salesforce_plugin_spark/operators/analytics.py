@@ -2058,6 +2058,17 @@ def autocorrelation_daily(
         F.col(type_col).alias("__t"),
         F.to_date(F.col(ts_col)).alias("day"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return autocorr_from_daily(daily, type_col, max_lag)
+
+
+def autocorr_from_daily(
+    daily: DataFrame, type_col: str, max_lag: int = 3
+) -> DataFrame:
+    """:func:`autocorrelation_daily` from a pre-aggregated ``(__t, day,
+    n)`` daily-count table — the additive-daily-state entry point (the
+    changepoint_from_daily precedent; the streaming face feeds the
+    summed fold here)."""
+    df = daily
     lags = df.sparkSession.createDataFrame(
         [(int(k),) for k in range(0, max_lag + 1)], "lag int"
     )
