@@ -1045,10 +1045,12 @@ def sssp_fixed(
     if rounds < 1:
         raise ValueError("sssp_fixed requires rounds >= 1")
     w_checked = F.when(
-        F.col(weight_col) < 0,
+        F.col(weight_col).isNull() | (F.col(weight_col) < 0),
         F.raise_error(
-            F.lit("sssp_fixed: negative edge weight (min-plus relaxation"
-                  " requires non-negative weights)")
+            F.lit("sssp_fixed: NULL or negative edge weight (min-plus"
+                  " relaxation requires non-negative weights; a NULL"
+                  " weight would silently drop the relaxation as"
+                  " dist+NULL=NULL loses every min)")
         ).cast("long"),
     ).otherwise(F.col(weight_col).cast("long"))
     e = (

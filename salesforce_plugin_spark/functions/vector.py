@@ -1919,7 +1919,19 @@ def ann_ndcg(
 
     Output (scalar-only): ``(q_id, dcg long, idcg long, ndcg_ppm
     long)``; a query whose probed lists return nothing surfaces dcg 0.
+
+    k is capped at 36: the per-rank term is (2^rel − 1)·disc with
+    disc ≤ 10⁶, so the BIGINT DCG sum stays exact only while
+    k·2^k·10⁶ < 2^63 — beyond k=36 the shiftleft·discount products
+    would overflow SILENTLY under default (non-ANSI) Spark, so the
+    bound is enforced loudly here instead.
     """
+    if not 1 <= k <= 36:
+        raise ValueError(
+            f"ann_ndcg: k={k} outside [1, 36] — the exact BIGINT DCG "
+            "accumulation (gain 2^rel with rel <= k, ppm discounts) "
+            "overflows silently past k=36"
+        )
     exact, ann = ivf_eval_lists(
         df, id_col, vec_col, seeds_df, query_df, k=k, nprobe=nprobe
     )

@@ -1694,9 +1694,13 @@ def wilson_quality(
     (z and z² enter as pinned ppm constants; the sqrt term
     √((p̂(1−p̂) + z²/4n)/n) becomes isqrt((4s(n−s)·10⁶ + z²ppm·n)·10⁶·n)
     div (2n²·10⁶) — denominator squared by construction), so the bound
-    replays bit-for-bit cross-engine; each floor loses < 1 ppm. Valid
-    while n³·10¹² < 10³⁸ (n ≲ 4·10⁸ rows per group; beyond that,
-    pre-aggregate per shard and combine).
+    replays bit-for-bit cross-engine; each floor loses < 1 ppm. The
+    binding limit is NOT DECIMAL38 capacity but the corrected-isqrt
+    seed (exactmath.isqrt_case): its ±2 CASE pins the double sqrt seed
+    only for arguments < 2^104, i.e. n³·10¹² < 2^104 → n ≤ 2.7·10⁶
+    rows per group — enforced loudly in-plan (mirroring
+    ab_from_counts' documented N·M bound); beyond that, pre-aggregate
+    per shard and combine Wilson inputs, not bounds.
 
     One partial-combined aggregate; everything after is per-group
     scalar arithmetic. Output (scalar-only): ``(*group_cols, n long,
@@ -1719,9 +1723,26 @@ def wilson_from_counts(
     table — the entry point for additive count state (streaming face:
     trial and success counts are additive, so the generic fold
     maintains them and this reduction must equal the one-shot batch
-    bound)."""
+    bound). Enforces the isqrt-seed validity bound n ≤ 2.7·10⁶ per
+    group (the ±2 seed-correction CASE is exact only for arguments
+    < 2^104, and the radicand is ≈ n³·10¹²) — beyond it the
+    bit-exact cross-engine replay guarantee would silently degrade,
+    so it raises instead."""
     from salesforce_plugin_spark.functions.exactmath import isqrt_case
 
+    agg = agg.withColumn(
+        "n",
+        F.when(
+            F.col("n") > 2_700_000,
+            F.raise_error(
+                F.lit(
+                    "wilson_from_counts: n > 2.7e6 exceeds the exact isqrt "
+                    "seed bound (radicand n^3*10^12 >= 2^104); pre-aggregate "
+                    "per shard and combine counts before scoring"
+                )
+            ).cast("long"),
+        ).otherwise(F.col("n").cast("long")),
+    )
     x = (
         f"{dcast('s')} * {dcast('n - s')} * 4000000"
         f" + {dcast(str(z2_ppm))} * {dcast('n')}"

@@ -30,6 +30,51 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
+def write_batch_partials(df: DataFrame, state_dir: str, batch_id: int) -> None:
+    """Idempotent per-batch state write for the partial-state stream
+    faces: each micro-batch's partials land in their own Hive
+    partition ``state_dir/__b=<batch_id>/`` with OVERWRITE, so a
+    ``foreachBatch`` retry of the same batch id rewrites the identical
+    slice instead of appending a duplicate — converting the additive
+    folds from exactly-once-only to at-least-once-safe (the same
+    guarantee the MAX-register face gets from idempotent merge). The
+    readers (`read_summed_counts` / `read_summed_sums` /
+    `read_max_registers`) group by their own columns, so the extra
+    discovered ``__b`` partition column is invisible to them."""
+    import os
+
+    df.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"__b={int(batch_id)}")
+    )
+
+
+def _assert_integral_sum_cols(df: DataFrame, sum_cols: list[str]) -> None:
+    """The additive-sum fold's exactness contract is BIGINT addition;
+    a double column would be silently truncated row-by-row by the
+    ``cast("long")`` before summing. Fail loudly instead."""
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DecimalType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    for c in sum_cols:
+        dt = df.schema[c].dataType
+        ok = isinstance(
+            dt, (BooleanType, ByteType, ShortType, IntegerType, LongType)
+        ) or (isinstance(dt, DecimalType) and dt.scale == 0)
+        if not ok:
+            raise TypeError(
+                f"run_stream_additive_sums: column {c!r} has non-integral "
+                f"type {dt.simpleString()}; the exact BIGINT fold would "
+                "silently truncate it — quantize to an integer column "
+                "(or decimal scale 0) in `prepare` first"
+            )
+
+
 def upsert_batch(
     table_path: str,
     batch: DataFrame,
@@ -647,18 +692,25 @@ def run_stream_additive_counts(
 
     ``prepare`` (optional) maps the raw batch DataFrame to counting
     rows first (e.g. explode tokens, derive a label cell) — it runs
-    INSIDE the fold so the stream carries raw events. Batches must be
-    DISJOINT row slices (counts add; unlike the set-state face, replay
-    or overlap double-counts). State grows by ≤ |groups| rows per
+    INSIDE the fold so the stream carries raw events. DISTINCT batch
+    ids must be disjoint row slices (counts add), but replay of the
+    SAME batch id — what a ``foreachBatch`` retry after a crash
+    produces — is idempotent: each batch's partials overwrite their
+    own ``__b=<id>`` partition (:func:`write_batch_partials`), so the
+    fold is at-least-once-safe. State grows by ≤ |groups| rows per
     batch; read with :func:`read_summed_counts` and compact by
     rewriting the summed table.
     """
 
-    def fold(batch, _id: int) -> None:
+    def fold(batch, batch_id: int) -> None:
         rows = prepare(batch) if prepare is not None else batch
-        rows.groupBy(*group_cols).agg(
-            F.count(F.lit(1)).cast("long").alias("n")
-        ).write.mode("append").parquet(state_dir)
+        write_batch_partials(
+            rows.groupBy(*group_cols).agg(
+                F.count(F.lit(1)).cast("long").alias("n")
+            ),
+            state_dir,
+            batch_id,
+        )
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -692,18 +744,19 @@ def run_stream_max_registers(
     (functions/sketch.hll_registers over the batch); because register
     merge is MAX — idempotent, commutative, associative — the
     max-merged state equals one batch build over everything streamed,
-    and unlike the additive-count faces this holds under REPLAYED or
-    overlapping batches too (at-least-once delivery is safe; the
-    additive fold requires exactly-once disjoint slices). State grows
+    and this holds under REPLAYED or overlapping batches even without
+    the per-batch-partition write (MAX absorbs duplicates); the
+    ``__b=<id>`` overwrite layout (:func:`write_batch_partials`) is
+    still used so retries also cannot GROW the state. State grows
     by ≤ |groups|·64 rows per batch; read with
     :func:`read_max_registers` and compact by rewriting the merged
     table."""
     from salesforce_plugin_spark.functions.sketch import hll_registers
 
-    def fold(batch, _id: int) -> None:
-        hll_registers(batch, group_cols, value_col).write.mode(
-            "append"
-        ).parquet(state_dir)
+    def fold(batch, batch_id: int) -> None:
+        write_batch_partials(
+            hll_registers(batch, group_cols, value_col), state_dir, batch_id
+        )
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -740,20 +793,30 @@ def run_stream_additive_sums(
     equals one batch aggregate over everything streamed (mean/rate
     artifacts — calibration curves, per-bin score masses — reduce
     from it exactly). ``prepare`` maps the raw batch to (group, value)
-    rows first, INSIDE the fold. Disjoint-slice contract as
-    run_stream_additive_counts (sums double-count on replay — use the
-    max-register face's idempotent merge when the state allows it).
+    rows first, INSIDE the fold. Disjoint-slice contract across
+    DISTINCT batch ids as run_stream_additive_counts; replay of the
+    same id is idempotent via the ``__b=<id>`` overwrite
+    (:func:`write_batch_partials`). Sum columns must already be
+    integral (boolean / byte / short / int / long, or decimal with
+    scale 0) — the exact-equivalence contract is BIGINT addition, so
+    a fractional double input is a caller bug and raises loudly
+    instead of being silently truncated by the long cast.
     Read with :func:`read_summed_sums`."""
 
-    def fold(batch, _id: int) -> None:
+    def fold(batch, batch_id: int) -> None:
         rows = prepare(batch) if prepare is not None else batch
-        rows.groupBy(*group_cols).agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            *[
-                F.sum(F.col(c).cast("long")).cast("long").alias(f"sum_{c}")
-                for c in sum_cols
-            ],
-        ).write.mode("append").parquet(state_dir)
+        _assert_integral_sum_cols(rows, sum_cols)
+        write_batch_partials(
+            rows.groupBy(*group_cols).agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                *[
+                    F.sum(F.col(c).cast("long")).cast("long").alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
+            ),
+            state_dir,
+            batch_id,
+        )
 
     q = (
         stream.writeStream.foreachBatch(fold)
