@@ -149,9 +149,11 @@ def _duckdb_baseline(sf_dir: str) -> dict:
         con = duckdb.connect()
         con.execute("SET threads TO " + os.environ.get("SPARK_GRAFT_CPUS", "32"))
         for t in TABLES:
+            path = f"{os.path.join(sf_dir, t)}.parquet"
+            if os.path.isdir(path):  # scaled tiers: table = dir of files
+                path = os.path.join(path, "*.parquet")
             con.sql(
-                f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
             )
         out: dict[str, float] = {}
         for name in HEADLINE:

@@ -83,15 +83,25 @@ class FieldDescriptor:
         # is always loadable and preserves the raw value.
         return SOAP_TO_SPARK.get(self.soap_type, T.StringType())
 
-    def ddl_type(self) -> str:
+    def ddl_type(self, dialect: str = "spark") -> str:
         """Type string for CREATE/ALTER DDL, carrying the reference's varchar
-        sizing semantics (MAX → unbounded STRING in a Spark catalog)."""
+        sizing semantics (MAX → unbounded STRING in a Spark catalog).
+
+        ``dialect="redshift"`` emits the Postgres-protocol warehouse types
+        the reference's dt_conv produced
+        (salesforce_schema_to_redshift_operator.py:41-55): unbounded /
+        over-cap strings become ``VARCHAR(65535)`` (its ``varchar(MAX)``)
+        and doubles become ``FLOAT8`` — the dialect the
+        tests/test_postgres_integration.py drive executes against a real
+        Postgres server."""
         t = self.spark_type()
         if isinstance(t, T.StringType):
             n = FIXED_LENGTHS.get(self.soap_type, self.length)
             if n and n <= VARCHAR_MAX:
                 return f"VARCHAR({n})"
-            return "STRING"
+            return "STRING" if dialect == "spark" else f"VARCHAR({VARCHAR_MAX})"
+        if dialect != "spark" and isinstance(t, T.DoubleType):
+            return "FLOAT8"
         return t.simpleString().upper()
 
     def effective_length(self) -> int | None:
@@ -179,9 +189,16 @@ def to_describe(schema: T.StructType) -> list[dict]:
 # B4-B6: DDL generation + drift detection against the Spark catalog
 # ---------------------------------------------------------------------------
 
-def create_table_ddl(table: str, descs: list[FieldDescriptor]) -> str:
-    """B4 (reference :108-128)."""
-    cols = ", ".join(f"`{d.name}` {d.ddl_type()}" for d in descs)
+def create_table_ddl(
+    table: str, descs: list[FieldDescriptor], dialect: str = "spark"
+) -> str:
+    """B4 (reference :108-128). ``dialect="redshift"`` renders the
+    reference's unquoted-identifier Postgres-protocol form (names are
+    already lowercased by B9, so quoting is unnecessary there)."""
+    if dialect == "spark":
+        cols = ", ".join(f"`{d.name}` {d.ddl_type()}" for d in descs)
+    else:
+        cols = ", ".join(f"{d.name} {d.ddl_type(dialect)}" for d in descs)
     return f"CREATE TABLE IF NOT EXISTS {table} ({cols})"
 
 
@@ -191,9 +208,21 @@ def missing_columns(spark: SparkSession, table: str, descs: list[FieldDescriptor
     return [d for d in descs if d.name not in existing]
 
 
-def alter_table_ddl(table: str, missing: list[FieldDescriptor]) -> list[str]:
-    """B6 (reference :130-151): one ADD COLUMNS statement per missing column."""
-    return [f"ALTER TABLE {table} ADD COLUMNS (`{d.name}` {d.ddl_type()})" for d in missing]
+def alter_table_ddl(
+    table: str, missing: list[FieldDescriptor], dialect: str = "spark"
+) -> list[str]:
+    """B6 (reference :130-151): one ADD statement per missing column —
+    Spark's ``ADD COLUMNS (…)`` or the warehouse's ``ADD COLUMN name type``
+    (reference :140, one ALTER per column)."""
+    if dialect == "spark":
+        return [
+            f"ALTER TABLE {table} ADD COLUMNS (`{d.name}` {d.ddl_type()})"
+            for d in missing
+        ]
+    return [
+        f"ALTER TABLE {table} ADD COLUMN {d.name} {d.ddl_type(dialect)}"
+        for d in missing
+    ]
 
 
 def reconcile_table(spark: SparkSession, table: str, descs: list[FieldDescriptor]) -> list[str]:
@@ -227,8 +256,12 @@ def align_to_destination(df: DataFrame, dest_order: list[str]) -> DataFrame:
     of Redshift COPY skipping unlisted columns."""
     df = lowercase_columns(df)
     src = set(df.columns)
+    # null-filled drift columns are typed (string, the always-loadable
+    # fallback B3 uses for unmapped types) rather than VOID — Spark's file
+    # sinks (CSV among them) reject VOID columns, and a COPY-bound CSV
+    # renders a typed NULL as the same empty cell
     cols = [
-        F.col(c) if c in src else F.lit(None).alias(c)
+        F.col(c) if c in src else F.lit(None).cast("string").alias(c)
         for c in [c.lower() for c in dest_order]
     ]
     return df.select(*cols)
