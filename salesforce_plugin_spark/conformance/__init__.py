@@ -186,6 +186,7 @@ from salesforce_plugin_spark.conformance.text import (  # noqa: F401
     q_fuzzy_link,
     q_hybrid_rrf,
     q_rerank,
+    q_cross_encoder,
     q_collocations,
     q_oov_audit,
     q_golden_records,
@@ -751,6 +752,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_stream_itemcf": q_stream_itemcf,
     "q_stream_gram_power": q_stream_gram_power,
     "q_stream_autocorr": q_stream_autocorr,
+    # --- round 7 ---
+    "q_cross_encoder": q_cross_encoder,
 }
 
 

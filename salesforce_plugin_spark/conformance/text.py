@@ -447,6 +447,39 @@ def q_bpe_apply(spark, sf_dir):
 
 
 
+def q_cross_encoder(spark, sf_dir):
+    """Two-stage retrieval with the SECOND stage running through the
+    Arrow ``mapInPandas`` cross-encoder seam (functions/ir.py
+    rerank_cross_encoder, round 7): BM25 top-20 is the recall stage;
+    each surviving (query, document) pair then crosses the Python
+    boundary in Arrow batches and is scored by the deterministic
+    positional scorer (first-position-weighted term contributions over
+    a 64-token context window) — the exact plumbing a learned
+    cross-encoder uses, with the model call swapped for an
+    oracle-replayable stand-in. Only the ≤ 20 candidate texts reach
+    Python (candidate ids broadcast into the join); the rerank window
+    covers ≤ 20 rows. The oracle replays BM25 + the positional score
+    with list_position over the same truncated token window."""
+    from salesforce_plugin_spark.functions.ir import (
+        bm25_scores,
+        ranked,
+        rerank_cross_encoder,
+    )
+
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    lex = ranked(
+        bm25_scores(d, "doc_id", "text", terms=["key", "row", "table"]),
+        "doc_id",
+        [F.col("score_scaled").desc(), F.col("doc_id")],
+        top_n=20,
+    )
+    ce = rerank_cross_encoder(
+        d, lex, "doc_id", "text",
+        terms=["key", "value", "index", "row"], max_len=64,
+    )
+    return lex.withColumnRenamed("rank", "lex_rank").join(ce, "doc_id")
+
+
 ORACLES: dict[str, str] = {}
 
 ORACLES["q_line_clean"] = r"""
@@ -1234,4 +1267,74 @@ ORACLES["q_surprisal"] = r"""
            CAST((surprisal_bits * 1000000) // n_tokens AS BIGINT)
                AS bits_per_token_ppm
     FROM agg
+"""
+
+ORACLES["q_cross_encoder"] = r"""
+    WITH toked AS (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              x -> lower(x)) AS t
+        FROM documents
+    ), lens AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toked
+    ), corpus AS (
+        SELECT CAST(count(*) AS BIGINT) AS d_docs,
+               CAST(sum(dl) AS BIGINT) AS t_toks
+        FROM lens
+    ), hits AS (
+        SELECT doc_id, tok AS term
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toked)
+        WHERE tok IN ('key', 'row', 'table')
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM hits GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), parts AS (
+        SELECT tf.doc_id,
+               ((2 * c.d_docs - 2 * d.df + 1) * tf.tf * 440000 * 1000000)
+               // ((2 * d.df + 1)
+                   * (200000 * tf.tf + 60000
+                      + 18 * ((l.dl * c.d_docs * 10000) // c.t_toks)))
+                   AS part
+        FROM tf
+        JOIN lens l USING (doc_id)
+        JOIN dfreq d USING (term)
+        CROSS JOIN corpus c
+    ), bm AS (
+        SELECT doc_id, CAST(sum(part) AS BIGINT) AS score_scaled
+        FROM parts GROUP BY doc_id
+    ), lex AS (
+        SELECT doc_id, CAST(rn AS INT) AS lex_rank FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score_scaled DESC, doc_id) AS rn
+            FROM bm
+        ) WHERE rn <= 20
+    ), win AS (
+        SELECT l.doc_id, l.lex_rank, list_slice(t.t, 1, 64) AS w
+        FROM lex l JOIN toked t USING (doc_id)
+    ), pos AS (
+        SELECT doc_id, lex_rank,
+               list_position(w, 'index') AS p1,
+               list_position(w, 'key')   AS p2,
+               list_position(w, 'row')   AS p3,
+               list_position(w, 'value') AS p4
+        FROM win
+    ), scored AS (
+        SELECT doc_id, lex_rank,
+               CAST((CASE WHEN p1 > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN p2 > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN p3 > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN p4 > 0 THEN 1 ELSE 0 END) AS INT) AS n_hit,
+               CAST((CASE WHEN p1 > 0 THEN 65 - p1 ELSE 0 END)
+                  + (CASE WHEN p2 > 0 THEN 65 - p2 ELSE 0 END)
+                  + (CASE WHEN p3 > 0 THEN 65 - p3 ELSE 0 END)
+                  + (CASE WHEN p4 > 0 THEN 65 - p4 ELSE 0 END) AS BIGINT)
+                   AS ce_scaled
+        FROM pos
+    )
+    SELECT doc_id, lex_rank, n_hit, ce_scaled,
+           CAST(row_number() OVER (ORDER BY ce_scaled DESC, doc_id) AS INT)
+               AS ce_rank
+    FROM scored
 """

@@ -308,3 +308,100 @@ def rerank_interaction(
     )
     w = Window.orderBy(F.col("rerank_scaled").desc(), F.col(id_col))
     return out.withColumn("rerank", F.row_number().over(w).cast("int"))
+
+
+def positional_ce_scorer(texts, terms: list[str], max_len: int):
+    """Default pair scorer for :func:`rerank_cross_encoder` — a
+    deterministic stand-in with a real cross-encoder's SHAPE (truncated
+    token window, per-pair score from query-document interaction) but
+    integer, library-free semantics the DuckDB oracle can replay:
+
+    - tokenize like ``functions.text.tokens`` (split trimmed text on
+      ASCII ``\\s+``), lowercase, truncate to the first ``max_len``
+      tokens (the model's context window);
+    - each query term contributes ``max_len − p + 1`` where ``p`` is
+      its first 1-based position inside the window (0 if absent) —
+      early mentions score higher, the positional-attention proxy;
+    - ``ce_scaled`` is the contribution sum, ``n_hit`` the number of
+      matched terms.
+
+    Signature contract for injected replacements (the learned-model
+    seam, same discipline as the multimodal decoder seam): take
+    ``(texts: list[str], terms, max_len)``, return ``(hits, scores)``
+    as equal-length integer lists. A real ONNX/torch cross-encoder
+    slots in by batching ``texts`` through the model instead.
+    """
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)  # Java-regex \s is ASCII-only
+    hits, scores = [], []
+    for text in texts:
+        toks = [
+            t.lower() for t in ws.split((text or "").strip())[:max_len]
+        ]
+        h = s = 0
+        for t in terms:
+            try:
+                p = toks.index(t) + 1
+            except ValueError:
+                continue
+            h += 1
+            s += max_len - p + 1
+        hits.append(h)
+        scores.append(s)
+    return hits, scores
+
+
+def rerank_cross_encoder(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    max_len: int = 64,
+    scorer=None,
+) -> DataFrame:
+    """Second-stage reranking through the Arrow ``mapInPandas`` seam
+    :func:`rerank_interaction` documents — the plumbing a learned
+    cross-encoder needs, exercised for real: candidate-bounded text
+    join (broadcast of the first-stage ids, so only |candidates| texts
+    ever reach Python), Arrow-batched transfer into the scorer, and a
+    ≤ |candidates|-row rerank window. ``scorer`` defaults to
+    :func:`positional_ce_scorer` (deterministic, oracle-replayable);
+    inject the real model scorer in production — the Spark plan is
+    identical either way, which is the point of gating the seam.
+
+    Output (scalar-only): ``(id_col, n_hit int, ce_scaled long,
+    ce_rank int)``; every candidate appears (absent terms score 0),
+    rank by (ce_scaled desc, id asc).
+    """
+    if not terms:
+        raise ValueError("rerank_cross_encoder requires at least one term")
+    if max_len < 1:
+        raise ValueError("rerank_cross_encoder requires max_len >= 1")
+    terms_l = sorted({t.lower() for t in terms})
+    sc = scorer or positional_ce_scorer
+
+    cand_ids = candidates.select(F.col(id_col)).distinct()
+    pairs = df.join(F.broadcast(cand_ids), id_col).select(
+        F.col(id_col), F.col(text_col)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            h, s = sc(pdf[text_col].fillna("").tolist(), terms_l, max_len)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "n_hit": h, "ce_scaled": s}
+            )
+
+    scored = pairs.mapInPandas(
+        run, schema=f"{id_col} long, n_hit int, ce_scaled long"
+    )
+    w = Window.orderBy(F.col("ce_scaled").desc(), F.col(id_col))
+    return scored.select(
+        F.col(id_col),
+        F.col("n_hit").cast("int").alias("n_hit"),
+        F.col("ce_scaled").cast("long").alias("ce_scaled"),
+    ).withColumn("ce_rank", F.row_number().over(w).cast("int"))
