@@ -203,6 +203,8 @@ from salesforce_plugin_spark.conformance.text import (  # noqa: F401
     ORACLES as _ORACLES_text,
 )
 from salesforce_plugin_spark.conformance.vector import (  # noqa: F401
+    q_dbscan_hierarchy,
+    q_dbscan_tree,
     q_embed_topk,
     q_embed_batch_topk,
     q_cosine_pairs,
@@ -754,6 +756,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_stream_autocorr": q_stream_autocorr,
     # --- round 7 ---
     "q_cross_encoder": q_cross_encoder,
+    "q_dbscan_hierarchy": q_dbscan_hierarchy,
+    "q_dbscan_tree": q_dbscan_tree,
 }
 
 

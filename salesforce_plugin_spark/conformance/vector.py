@@ -1083,3 +1083,114 @@ def _dbscan_clusters_oracle(
 
 
 ORACLES["q_dbscan_clusters"] = _dbscan_clusters_oracle()
+
+
+_HIER_LADDER = [260000, 220000, 180000]
+_HIER_MIN_PTS = 3
+
+
+def q_dbscan_hierarchy(spark, sf_dir):
+    """HDBSCAN-style density hierarchy (functions/vector.py
+    dbscan_hierarchy, round 7): the DBSCAN dendrogram sampled at a
+    pinned ε ladder — each level an exact DBSCAN labeling over the
+    SAME materialized ε-close pairs (computed once at the loosest
+    threshold, lineage-cut), with loosening ε only adding edges/cores
+    so tight clusters provably refine loose ones. At the fixture's
+    ladder the three levels carry ~36/52/38 core clusters — a real
+    dendrogram, not a degenerate one. Long output (id, level,
+    eps_ppm, role, cluster); per-level recursive-CTE closure in the
+    oracle."""
+    e = parallelized(load_table(spark, sf_dir, "embeddings"))
+    return V.dbscan_hierarchy(
+        e, "vec_id", "embedding", _HIER_LADDER, min_pts=_HIER_MIN_PTS
+    )
+
+
+def q_dbscan_tree(spark, sf_dir):
+    """The condensed merge tree over q_dbscan_hierarchy's labels
+    (functions/vector.py dbscan_tree): per consecutive-level pair,
+    which tight CORE cluster feeds which looser cluster and with how
+    many core members — HDBSCAN's condensed-tree read-out at ladder
+    resolution. Refinement guarantees each row is a tree edge (no
+    child splits across parents); the oracle recomputes the hierarchy
+    and the same core-side join."""
+    e = parallelized(load_table(spark, sf_dir, "embeddings"))
+    h = V.dbscan_hierarchy(
+        e, "vec_id", "embedding", _HIER_LADDER, min_pts=_HIER_MIN_PTS
+    )
+    return V.dbscan_tree(h, "vec_id")
+
+
+def _dbscan_hierarchy_oracle(
+    ladder: list[int] = tuple(_HIER_LADDER),
+    min_pts: int = _HIER_MIN_PTS,
+    target_bucket: int = 8,
+    sign_bits: int = 16,
+) -> str:
+    """Per-level replication of the q_dbscan_clusters closure over one
+    shared pair stage: head CTEs (qv/pair_base/exact-cos) come from
+    _dbscan_oracle at the loosest ε, then each ladder level gets its
+    own close/flagged/core_edges/reach/cc/border CTE family and the
+    final SELECT unions the per-level labelings."""
+    lad = sorted({int(e) for e in ladder}, reverse=True)
+    base = _dbscan_oracle(lad[-1], min_pts, target_bucket, sign_bits)
+    head = base[: base.index(", close AS (")]
+    head = head.replace("    WITH cnt AS (", "    WITH RECURSIVE cnt AS (")
+    parts, selects = [head], []
+    for lvl, eps in enumerate(lad):
+        parts.append(f""", close{lvl} AS (
+        SELECT ida, idb FROM sc WHERE cos_ppm >= {eps}
+    ), neigh{lvl} AS (
+        SELECT ida AS vec_id, count(*) AS n_eps FROM close{lvl} GROUP BY 1
+    ), flagged{lvl} AS (
+        SELECT v.vec_id,
+               CASE WHEN coalesce(n.n_eps, 0) + 1 >= {min_pts}
+                    THEN 1 ELSE 0 END AS is_core
+        FROM qv v LEFT JOIN neigh{lvl} n USING (vec_id)
+    ), core_edges{lvl} AS (
+        SELECT c.ida AS src, c.idb AS dst
+        FROM close{lvl} c
+        JOIN flagged{lvl} fa ON fa.vec_id = c.ida AND fa.is_core = 1
+        JOIN flagged{lvl} fb ON fb.vec_id = c.idb AND fb.is_core = 1
+    ), reach{lvl} AS (
+        SELECT vec_id AS id, vec_id AS r
+        FROM flagged{lvl} WHERE is_core = 1
+        UNION
+        SELECT reach{lvl}.id, e.dst FROM reach{lvl} JOIN core_edges{lvl} e
+          ON reach{lvl}.r = e.src
+    ), cc{lvl} AS (
+        SELECT id AS core_id, min(r) AS cluster FROM reach{lvl} GROUP BY id
+    ), border{lvl} AS (
+        SELECT c.ida AS vec_id, min(cc{lvl}.cluster) AS border_cluster
+        FROM close{lvl} c JOIN cc{lvl} ON cc{lvl}.core_id = c.idb
+        GROUP BY 1
+    )""")
+        selects.append(f"""
+    SELECT f.vec_id, CAST({lvl} AS INT) AS level,
+           CAST({eps} AS INT) AS eps_ppm,
+           CASE WHEN f.is_core = 1 THEN 'core'
+                WHEN ba.border_cluster IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(CASE WHEN f.is_core = 1 THEN cc{lvl}.cluster
+                     ELSE ba.border_cluster END AS BIGINT) AS cluster
+    FROM flagged{lvl} f
+    LEFT JOIN cc{lvl} ON cc{lvl}.core_id = f.vec_id
+    LEFT JOIN border{lvl} ba ON ba.vec_id = f.vec_id""")
+    return "".join(parts) + " UNION ALL ".join(selects)
+
+
+ORACLES["q_dbscan_hierarchy"] = _dbscan_hierarchy_oracle()
+ORACLES["q_dbscan_tree"] = (
+    "WITH h AS ("
+    + _dbscan_hierarchy_oracle()
+    + """)
+    SELECT CAST(c.level AS INT) AS level,
+           c.cluster AS child_cluster,
+           p.cluster AS parent_cluster,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM h c
+    JOIN h p ON p.vec_id = c.vec_id AND p.level = c.level + 1
+    WHERE c.role = 'core'
+    GROUP BY 1, 2, 3
+"""
+)

@@ -1819,11 +1819,25 @@ def dbscan_clusters(
     corpus — with per-iteration lineage cuts. Output (scalar-only):
     ``(id_col, role string, cluster long — NULL for noise)``.
     """
-    from salesforce_plugin_spark.functions.dedup import connected_components
-
     base, close = _dbscan_close(
         df, id_col, vec_col, eps_ppm, target_bucket, sign_bits, quant
     )
+    return _dbscan_label(base, close, id_col, min_pts, max_iter)
+
+
+def _dbscan_label(
+    base: DataFrame,
+    close: DataFrame,
+    id_col: str,
+    min_pts: int,
+    max_iter: int,
+) -> DataFrame:
+    """Label one density level: (base, ε-close pairs) → (id, role,
+    cluster) — the :func:`dbscan_clusters` completion stage, shared
+    with :func:`dbscan_hierarchy` so every ladder level runs the
+    identical core/CC/border plan."""
+    from salesforce_plugin_spark.functions.dedup import connected_components
+
     neigh = close.groupBy(F.col("__ida").alias("__id")).agg(
         F.count(F.lit(1)).cast("long").alias("__n_eps")
     )
@@ -1876,6 +1890,106 @@ def dbscan_clusters(
             .cast("long")
             .alias("cluster"),
         )
+    )
+
+
+def dbscan_hierarchy(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    eps_ladder_ppm: list[int],
+    min_pts: int = 4,
+    target_bucket: int = 8,
+    sign_bits: int = 16,
+    quant: int = 1000,
+    max_iter: int = 20,
+) -> DataFrame:
+    """HDBSCAN-style density hierarchy over the DBSCAN core graph: the
+    dendrogram sampled at a pinned ε ladder (cos_ppm thresholds,
+    tightest first) instead of HDBSCAN's continuous one — every level
+    is an exact DBSCAN labeling, and because loosening ε only ADDS
+    ε-edges and core flags (degree is monotone in ε), level-k core
+    clusters strictly refine level-k+1 clusters: the per-level labels
+    ARE a tree, read out flat. The continuous-λ part of HDBSCAN
+    (Campello/Moulavi/Sander 2013) needs per-point core distances and
+    an MST — not oracle-replayable in exact integers; the ladder form
+    keeps the bit-exact differential gate while giving curation the
+    decision that matters (which tight clusters merge at looser
+    density, and what stops being noise).
+
+    One pair-generation stage: ε-close pairs are computed ONCE at the
+    loosest threshold (lineage-cut with a lazy localCheckpoint, so the
+    L level labelings reuse the materialized pairs instead of
+    recomputing the blocked self-join), then each level filters
+    ``cos_ppm >= eps_l`` and runs the shared core/CC/border plan on
+    its shrinking subgraph.
+
+    Output (long format, scalar-only): ``(id_col, level int,
+    eps_ppm int, role string, cluster long — NULL for noise)``;
+    level 0 is the tightest ε.
+    """
+    ladder = sorted({int(e) for e in eps_ladder_ppm}, reverse=True)
+    if not ladder:
+        raise ValueError("dbscan_hierarchy requires a non-empty eps ladder")
+    base, close = _dbscan_close(
+        df, id_col, vec_col, ladder[-1], target_bucket, sign_bits, quant
+    )
+    close = close.localCheckpoint(eager=False)
+    out = None
+    for lvl, eps in enumerate(ladder):
+        lab = _dbscan_label(
+            base,
+            close.filter(F.col("cos_ppm") >= eps),
+            id_col,
+            min_pts,
+            max_iter,
+        ).select(
+            F.col(id_col),
+            F.lit(lvl).cast("int").alias("level"),
+            F.lit(eps).cast("int").alias("eps_ppm"),
+            "role",
+            "cluster",
+        )
+        out = lab if out is None else out.unionByName(lab)
+    return out
+
+
+def dbscan_tree(
+    labels: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """The condensed merge tree from :func:`dbscan_hierarchy`'s long
+    labels: for each consecutive level pair, which level-k CORE
+    cluster feeds which level-k+1 cluster, with member counts — the
+    HDBSCAN condensed-tree read-out at ladder resolution (a child
+    cluster splitting across parents is impossible by the refinement
+    property, so each output row is a tree edge; ``n_members`` is the
+    child's core population carried into the parent — the branch
+    stability mass). Core-only on the child side: borders/noise can
+    legitimately re-attach anywhere as ε loosens and are not part of
+    the dendrogram.
+
+    Output: ``(level int, child_cluster long, parent_cluster long,
+    n_members long)`` — ``level`` is the CHILD's level.
+    """
+    child = labels.filter(F.col("role") == "core").select(
+        F.col(id_col).alias("__id"),
+        F.col("level").alias("__lc"),
+        F.col("cluster").alias("child_cluster"),
+    )
+    parent = labels.select(
+        F.col(id_col).alias("__id"),
+        (F.col("level") - 1).alias("__lc"),
+        F.col("cluster").alias("parent_cluster"),
+    )
+    return (
+        child.join(parent, ["__id", "__lc"])
+        .groupBy(
+            F.col("__lc").cast("int").alias("level"),
+            "child_cluster",
+            "parent_cluster",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
     )
 
 

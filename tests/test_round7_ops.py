@@ -107,3 +107,107 @@ def test_rerank_cross_encoder_guards(spark, docs):
         rerank_cross_encoder(docs, cands, "doc_id", "text", [])
     with pytest.raises(ValueError, match="max_len"):
         rerank_cross_encoder(docs, cands, "doc_id", "text", ["k"], max_len=0)
+
+
+# ------------------------------------------------ dbscan hierarchy/tree
+
+
+@pytest.fixture()
+def embedded(spark):
+    # two tight 3-point clumps that merge at loose eps, plus one
+    # far-off noise point; 2-d unit-ish vectors
+    rows = [
+        (1, [1.00, 0.00]), (2, [0.99, 0.05]), (3, [0.98, 0.09]),
+        (4, [0.00, 1.00]), (5, [0.05, 0.99]), (6, [0.09, 0.98]),
+        (7, [-0.9, -0.9]),
+        (8, [0.71, 0.70]),  # bridge between clumps at loose eps
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_dbscan_hierarchy_refinement(spark, embedded):
+    """Tight core clusters must refine loose ones: every id core at
+    level k with a cluster keeps ONE cluster at level k+1."""
+    from salesforce_plugin_spark.functions.vector import (
+        dbscan_hierarchy,
+        dbscan_tree,
+    )
+
+    h = dbscan_hierarchy(
+        embedded, "vec_id", "embedding",
+        [995000, 900000, 500000], min_pts=2, sign_bits=2, target_bucket=100,
+    )
+    rows = h.collect()
+    by = {(r.vec_id, r.level): r for r in rows}
+    assert len(rows) == 8 * 3
+    # level 0 (cos >= 0.995): the two clumps are separate; 7 is noise
+    l0 = {r.vec_id: r.cluster for r in rows if r.level == 0 and r.role == "core"}
+    assert l0, "expected cores at the tightest level"
+    # level 2 (cos >= 0.5): clumps merge through the bridge point
+    l2 = {r.vec_id: r.cluster for r in rows if r.level == 2 and r.role == "core"}
+    assert len(set(l2.values())) < len(set(l0.values())) or len(set(l0.values())) == 1
+    # refinement: members of one tight cluster share the loose cluster
+    for lvl in (0, 1):
+        tight = {}
+        for r in rows:
+            if r.level == lvl and r.role == "core" and r.cluster is not None:
+                tight.setdefault(r.cluster, []).append(r.vec_id)
+        for members in tight.values():
+            parents = {by[(m, lvl + 1)].cluster for m in members}
+            assert len(parents) == 1, f"cluster split across parents: {parents}"
+    # the far-off point stays noise at every level
+    assert all(by[(7, lvl)].role == "noise" for lvl in (0, 1, 2))
+    # tree edges: one parent per child cluster
+    t = dbscan_tree(h, "vec_id").collect()
+    seen = {}
+    for r in t:
+        key = (r.level, r.child_cluster)
+        assert key not in seen, "child cluster with two parents"
+        seen[key] = r.parent_cluster
+        assert r.n_members >= 1
+
+
+def test_dbscan_hierarchy_core_monotone(spark, embedded):
+    """Loosening eps can only add cores (degree is monotone)."""
+    from salesforce_plugin_spark.functions.vector import dbscan_hierarchy
+
+    h = dbscan_hierarchy(
+        embedded, "vec_id", "embedding",
+        [995000, 900000, 500000], min_pts=2, sign_bits=2, target_bucket=100,
+    )
+    cores = {
+        lvl: {r.vec_id for r in h.collect() if r.level == lvl and r.role == "core"}
+        for lvl in (0, 1, 2)
+    }
+    assert cores[0] <= cores[1] <= cores[2]
+
+
+def test_dbscan_hierarchy_empty_ladder_raises(spark, embedded):
+    from salesforce_plugin_spark.functions.vector import dbscan_hierarchy
+
+    with pytest.raises(ValueError, match="non-empty eps ladder"):
+        dbscan_hierarchy(embedded, "vec_id", "embedding", [])
+
+
+def test_dbscan_hierarchy_single_level_matches_clusters(spark, embedded):
+    """A one-rung ladder must equal plain dbscan_clusters."""
+    from salesforce_plugin_spark.functions.vector import (
+        dbscan_clusters,
+        dbscan_hierarchy,
+    )
+
+    flat = {
+        (r.vec_id): (r.role, r.cluster)
+        for r in dbscan_clusters(
+            embedded, "vec_id", "embedding", eps_ppm=900000, min_pts=2,
+            sign_bits=2, target_bucket=100,
+        ).collect()
+    }
+    hier = {
+        r.vec_id: (r.role, r.cluster)
+        for r in dbscan_hierarchy(
+            embedded, "vec_id", "embedding", [900000], min_pts=2,
+            sign_bits=2, target_bucket=100,
+        ).collect()
+    }
+    assert flat == hier
