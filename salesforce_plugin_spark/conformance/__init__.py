@@ -187,6 +187,7 @@ from salesforce_plugin_spark.conformance.text import (  # noqa: F401
     q_hybrid_rrf,
     q_rerank,
     q_cross_encoder,
+    q_kneser_ney,
     q_collocations,
     q_oov_audit,
     q_golden_records,
@@ -758,6 +759,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_cross_encoder": q_cross_encoder,
     "q_dbscan_hierarchy": q_dbscan_hierarchy,
     "q_dbscan_tree": q_dbscan_tree,
+    "q_kneser_ney": q_kneser_ney,
 }
 
 

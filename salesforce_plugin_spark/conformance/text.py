@@ -1338,3 +1338,86 @@ ORACLES["q_cross_encoder"] = r"""
                AS ce_rank
     FROM scored
 """
+
+
+def q_kneser_ney(spark, sf_dir):
+    """CCNet-shape LM quality gate (functions/text.py kn_bigram_bits,
+    round 7; Wenzek et al. 2020): every document's cross-entropy under
+    an interpolated Kneser-Ney bigram model (fixed D = 3/4) trained on
+    the corpus's English slice — the classic "train a small LM on the
+    target domain, keep low-perplexity documents" curation filter, in
+    EXACT integers: with a rational discount every KN probability is a
+    BIGINT ratio, and the per-bigram information content comes from
+    the pinned-threshold integer log2 (1/8-bit resolution,
+    exactmath.log2_eighths_*), so the gate hash-matches across engines
+    where float log-probs never could. Model tables are
+    bigram-type-bounded; at the fixture the en slice scores ~116
+    milli-bits/bigram lower than non-en — the in-domain signal the
+    filter exists to read."""
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    return X.kn_bigram_bits(d, "doc_id", "text", F.col("lang") == "en")
+
+
+def _kneser_ney_oracle() -> str:
+    from salesforce_plugin_spark.functions.exactmath import (
+        log2_eighths_duck,
+    )
+
+    bits = log2_eighths_duck(
+        "CAST((CAST(den AS HUGEINT) * 4096) // num AS BIGINT)"
+    )
+    return rf"""
+    WITH toked AS (
+        SELECT doc_id, lang,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              x -> lower(x)) AS t
+        FROM documents
+    ), big AS (
+        SELECT doc_id, (lang = 'en') AS tgt,
+               t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+        FROM toked, UNNEST(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+    ), c12 AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM big WHERE tgt GROUP BY 1, 2
+    ), lft AS (
+        SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS n1p
+        FROM c12 GROUP BY 1
+    ), rgt AS (
+        SELECT w2, CAST(count(*) AS BIGINT) AS n1c FROM c12 GROUP BY 1
+    ), nt AS (
+        SELECT CAST(count(*) AS BIGINT) AS nt FROM c12
+    ), rows_nd AS (
+        SELECT b.doc_id,
+               CASE WHEN l.c1 IS NULL THEN NULL
+                    ELSE greatest(4 * coalesce(c.c12, 0) - 3, 0) * nt.nt
+                         + 3 * coalesce(l.n1p, 0) * coalesce(r.n1c, 0)
+               END AS num,
+               4 * coalesce(l.c1, 1) * nt.nt AS den
+        FROM big b
+        LEFT JOIN c12 c USING (w1, w2)
+        LEFT JOIN lft l USING (w1)
+        LEFT JOIN rgt r USING (w2)
+        CROSS JOIN nt
+    ), scored AS (
+        SELECT doc_id,
+               CASE WHEN num IS NULL OR num = 0 THEN NULL
+                    ELSE greatest({bits} - 96, 0) END AS bits8
+        FROM rows_nd
+    ), agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(count(bits8) AS BIGINT) AS n_scored,
+               CAST(coalesce(sum(bits8), 0) AS BIGINT) AS kn_bits_x8
+        FROM scored GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams, n_scored, kn_bits_x8,
+           CASE WHEN n_scored > 0
+                THEN CAST(kn_bits_x8 * 125 // n_scored AS BIGINT) END
+               AS milli_bits_per_bigram
+    FROM agg
+"""
+
+
+ORACLES["q_kneser_ney"] = _kneser_ney_oracle()

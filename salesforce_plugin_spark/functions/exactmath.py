@@ -63,3 +63,52 @@ def isqrt_case(p_sql: str, y0_sql: str) -> str:
         f"WHEN ({y0}-1)*({y0}-1) <= {p} THEN {y0}-1 "
         f"ELSE {y0}-2 END"
     )
+
+
+#: floor(2^(j/8) * 4096) for j = 0..7 — pinned integer thresholds for
+#: eighth-of-a-bit log2 resolution (driver-side public math, the
+#: ndcg_discounts pinned-constant discipline: no engine evaluates a
+#: transcendental inside a gated plan).
+LOG2_EIGHTH_THRESHOLDS = [4096, 4466, 4870, 5311, 5792, 6316, 6888, 7512]
+
+
+def _eighth_case(m3_sql: str) -> str:
+    m3 = f"({m3_sql})"
+    arms = " ".join(
+        f"WHEN {m3} >= {t} THEN {j}"
+        for j, t in sorted(
+            enumerate(LOG2_EIGHTH_THRESHOLDS), key=lambda p: -p[1]
+        )
+    )
+    return f"CASE {arms} ELSE 0 END"
+
+
+def log2_eighths_spark(r_sql: str) -> str:
+    """Spark SQL for ``floor(8 · log2(r))`` over BIGINT ``r ≥ 1`` —
+    integer-only: ``k = bitlen(r) − 1`` gives the whole bits, then the
+    normalized mantissa ``m3 = floor(r · 4096 / 2^k) ∈ [4096, 8192)``
+    is binned against the pinned 2^(j/8) thresholds for the eighths.
+    The mantissa floor loses < 1/4096 relative — the only effect is
+    which side of an eighth boundary a value within 0.02% of it lands
+    on, identically in both engines. Needs ``r · 4096 < 2^63``
+    (r < 2^51 — a probability down to 2^-51 per event, far below any
+    LM's floor)."""
+    r = f"({r_sql})"
+    k = f"(length(bin({r})) - 1)"
+    m3 = (
+        f"(CASE WHEN {k} >= 12 THEN shiftright({r}, {k} - 12) "
+        f"ELSE shiftleft({r}, 12 - {k}) END)"
+    )
+    return f"(8 * {k} + {_eighth_case(m3)})"
+
+
+def log2_eighths_duck(r_sql: str) -> str:
+    """DuckDB rendering of :func:`log2_eighths_spark` (same pinned
+    thresholds, ``>>``/``<<`` shifts) for oracle construction."""
+    r = f"({r_sql})"
+    k = f"(length(bin({r})) - 1)"
+    m3 = (
+        f"(CASE WHEN {k} >= 12 THEN {r} >> ({k} - 12) "
+        f"ELSE {r} << (12 - {k}) END)"
+    )
+    return f"(8 * {k} + {_eighth_case(m3)})"

@@ -1453,3 +1453,128 @@ def unigram_surprisal(
             "CAST((surprisal_bits * 1000000) div n_tokens AS BIGINT)"
         ).alias("bits_per_token_ppm"),
     )
+
+
+def kn_bigram_bits(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+) -> DataFrame:
+    """CCNet-shape LM quality gate (Wenzek et al. 2020: train a small
+    LM on the target domain, score every document, low bits-per-token
+    = in-domain): per-document cross-entropy under an interpolated
+    Kneser-Ney bigram model (Kneser/Ney 1995, fixed discount D = 3/4)
+    trained on the ``target`` rows of the SAME frame — in EXACT
+    integers end to end, so the gate replays bit-for-bit cross-engine
+    unlike any float log-prob.
+
+    With D = 3/4 every KN probability is the rational
+
+        P(w2|w1) = [max(4·c12 − 3, 0)·Nt + 3·N1p(w1)·N1c(w2)]
+                   / (4·c1(w1)·Nt)
+
+    (c12 bigram count, c1 left-context mass, N1p/N1c the KN
+    continuation type counts, Nt total bigram types — all from the
+    target slice). The per-bigram information content is then
+    ``floor(8·log2(1/P))`` via the pinned-threshold integer log2
+    (exactmath.log2_eighths_spark, 1/8-bit resolution); the interpolated
+    term can push P marginally past 1 when c12 = c1, so bits clamp at 0.
+    Bigrams whose left context is unseen in the target (or whose num
+    is 0 — both types unseen) are counted, not scored: the honest OOV
+    read-out (CCNet sidesteps OOV with SentencePiece; a fixed token
+    vocab would too).
+
+    Plan shape: one tokenize + zip_with bigram explode each for model
+    and scoring sides; the model tables are bigram-type-bounded (far
+    below corpus row count), joined on w1/w2 — AQE picks broadcast
+    when the target domain is small; Nt is a 1-row broadcast. The
+    per-doc reduce is an exact BIGINT sum. Bounds: needs
+    4·c1·Nt·4096 < 2^63·2^? — computed through DECIMAL(38,0) with the
+    ratio r < 2^51 guard inherited from log2_eighths (P ≥ 2^-51).
+
+    Output (scalar-only): ``(id_col, n_bigrams long, n_scored long,
+    kn_bits_x8 long, milli_bits_per_bigram long — NULL when nothing
+    scored)``; docs with < 2 tokens are absent.
+    """
+    from salesforce_plugin_spark.functions.exactmath import (
+        dcast,
+        dfloor,
+        log2_eighths_spark,
+    )
+
+    t = F.transform(tokens(F.col(text_col)), F.lower)
+    toked = df.select(
+        F.col(id_col), target.alias("__tgt"), t.alias("__t")
+    ).filter(F.size("__t") >= 2)
+    pair = F.zip_with(
+        F.slice(F.col("__t"), 1, F.size("__t") - 1),
+        F.slice(F.col("__t"), 2, F.size("__t") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = toked.select(
+        F.col(id_col), "__tgt", F.explode(pair).alias("__bg")
+    ).select(
+        F.col(id_col), "__tgt",
+        F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"),
+    )
+
+    model = big.filter(F.col("__tgt"))
+    c12 = model.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("__c12")
+    )
+    left = c12.groupBy("w1").agg(
+        F.sum("__c12").cast("long").alias("__c1"),
+        F.count(F.lit(1)).cast("long").alias("__n1p"),
+    )
+    right = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("__n1c")
+    )
+    nt = c12.agg(F.count(F.lit(1)).cast("long").alias("__nt"))
+
+    scored_rows = (
+        big.join(c12, ["w1", "w2"], "left")
+        .join(left, "w1", "left")
+        .join(right, "w2", "left")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            F.col(id_col),
+            F.expr(
+                "CASE WHEN __c1 IS NULL THEN NULL ELSE "
+                + dcast(
+                    "GREATEST(4 * coalesce(__c12, 0) - 3, 0) * __nt"
+                    " + 3 * coalesce(__n1p, 0) * coalesce(__n1c, 0)"
+                )
+                + " END"
+            ).alias("__num"),
+            F.expr(dcast("4 * coalesce(__c1, 1) * __nt")).alias("__den"),
+        )
+        .withColumn(
+            "__bits8",
+            F.expr(
+                "CASE WHEN __num IS NULL OR __num = 0 THEN NULL"
+                " ELSE GREATEST("
+                + log2_eighths_spark(
+                    dfloor(f"__den * 4096", "__num")
+                )
+                + " - 96, 0) END"
+            ).cast("long"),
+        )
+    )
+    return (
+        scored_rows.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.count("__bits8").cast("long").alias("n_scored"),
+            F.coalesce(F.sum("__bits8"), F.lit(0))
+            .cast("long")
+            .alias("kn_bits_x8"),
+        )
+        .withColumn(
+            "milli_bits_per_bigram",
+            F.expr(
+                "CASE WHEN n_scored > 0"
+                " THEN kn_bits_x8 * 125 div n_scored END"
+            ).cast("long"),
+        )
+    )

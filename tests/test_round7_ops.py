@@ -211,3 +211,148 @@ def test_dbscan_hierarchy_single_level_matches_clusters(spark, embedded):
         ).collect()
     }
     assert flat == hier
+
+
+# ------------------------------------------------ kneser-ney LM gate
+
+
+def _py_log2_eighths(r: int) -> int:
+    """Exact Python mirror of exactmath.log2_eighths_* (same mantissa
+    floor, same pinned thresholds)."""
+    from salesforce_plugin_spark.functions.exactmath import (
+        LOG2_EIGHTH_THRESHOLDS,
+    )
+
+    k = r.bit_length() - 1
+    m3 = (r >> (k - 12)) if k >= 12 else (r << (12 - k))
+    j = max((i for i, t in enumerate(LOG2_EIGHTH_THRESHOLDS) if m3 >= t),
+            default=0)
+    return 8 * k + j
+
+
+def _py_kn(docs, target_ids):
+    """Reference KN-bigram scorer (pure Python, exact integers)."""
+    def bigrams(text):
+        import re
+
+        toks = [t.lower() for t in re.split(r"\s+", text.strip(), flags=re.ASCII)]
+        return list(zip(toks, toks[1:]))
+
+    from collections import Counter
+
+    c12 = Counter()
+    for i, tx in docs:
+        if i in target_ids:
+            c12.update(bigrams(tx))
+    c1, n1p, n1c = Counter(), Counter(), Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1p[w1] += 1
+        n1c[w2] += 1
+    nt = len(c12)
+    out = {}
+    for i, tx in docs:
+        bgs = bigrams(tx)
+        if not bgs:
+            continue
+        n_scored = bits8 = 0
+        for w1, w2 in bgs:
+            if w1 not in c1:
+                continue
+            num = max(4 * c12.get((w1, w2), 0) - 3, 0) * nt \
+                + 3 * n1p[w1] * n1c.get(w2, 0)
+            if num == 0:
+                continue
+            den = 4 * c1[w1] * nt
+            n_scored += 1
+            bits8 += max(_py_log2_eighths((den * 4096) // num) - 96, 0)
+        out[i] = (len(bgs), n_scored, bits8,
+                  bits8 * 125 // n_scored if n_scored else None)
+    return out
+
+
+def test_kn_hand_computed(spark):
+    from salesforce_plugin_spark.functions.text import kn_bigram_bits
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a c", True),   # model doc
+            (2, "a b", False),          # P(b|a) = 21/36 -> 6 eighth-bits
+            (3, "z q", False),          # OOV left context: unscored
+            (4, "a", False),            # < 2 tokens: absent
+        ],
+        "doc_id long, text string, tgt boolean",
+    )
+    out = {
+        r.doc_id: r
+        for r in kn_bigram_bits(df, "doc_id", "text", F.col("tgt")).collect()
+    }
+    assert 4 not in out
+    r2 = out[2]
+    # num = max(4*2-3,0)*3 + 3*2*1 = 21; den = 4*3*3 = 36
+    # floor(8*log2(36/21)) = floor(6.22) = 6
+    assert (r2.n_bigrams, r2.n_scored, r2.kn_bits_x8) == (1, 1, 6)
+    assert r2.milli_bits_per_bigram == 750
+    r3 = out[3]
+    assert (r3.n_bigrams, r3.n_scored, r3.kn_bits_x8) == (1, 0, 0)
+    assert r3.milli_bits_per_bigram is None
+
+
+def test_kn_certain_bigram_is_zero_bits(spark):
+    """c12 = c1 (the only continuation): P = 1, bits clamp at 0."""
+    from salesforce_plugin_spark.functions.text import kn_bigram_bits
+
+    df = spark.createDataFrame(
+        [(1, "a a a a", True), (2, "a a", False)],
+        "doc_id long, text string, tgt boolean",
+    )
+    out = {r.doc_id: r for r in
+           kn_bigram_bits(df, "doc_id", "text", F.col("tgt")).collect()}
+    assert out[2].kn_bits_x8 == 0 and out[2].n_scored == 1
+
+
+def test_kn_matches_python_reference(spark):
+    """Seeded random corpus: the Spark plan equals the pure-Python
+    exact-integer reference on every output cell."""
+    import random
+
+    from salesforce_plugin_spark.functions.text import kn_bigram_bits
+
+    rng = random.Random(7)
+    vocab = ["the", "cat", "sat", "on", "mat", "dog", "ran", "far", "qq"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 30))))
+        for i in range(30)
+    ]
+    target_ids = {i for i in range(30) if i % 3 == 0}
+    df = spark.createDataFrame(
+        [(i, tx, i in target_ids) for i, tx in docs],
+        "doc_id long, text string, tgt boolean",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_scored, r.kn_bits_x8,
+                   r.milli_bits_per_bigram)
+        for r in kn_bigram_bits(df, "doc_id", "text", F.col("tgt")).collect()
+    }
+    want = _py_kn(docs, target_ids)
+    assert got == want
+
+
+def test_log2_eighths_spark_matches_python(spark):
+    from salesforce_plugin_spark.functions.exactmath import (
+        log2_eighths_spark,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    vals = [1, 2, 3, 4095, 4096, 4097, 2**50 - 1] + [
+        rng.randint(1, 2**50) for _ in range(50)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "r long")
+    got = [
+        r.b for r in df.select(
+            F.expr(log2_eighths_spark("r")).alias("b")
+        ).collect()
+    ]
+    assert got == [_py_log2_eighths(v) for v in vals]
