@@ -1646,7 +1646,24 @@ def _dbscan_close(
 ):
     """(base ids, ε-close directed pairs) for the DBSCAN family —
     adaptive sign-LSH blocked pair generation shared by
-    :func:`dbscan_roles` and :func:`dbscan_clusters`."""
+    :func:`dbscan_roles` / :func:`dbscan_clusters` /
+    :func:`dbscan_hierarchy`.
+
+    Scale bound (round-7 100× probe finding): the adaptive bucket
+    bits stop growing at ``sign_bits``, so past
+    ``n > target_bucket · 2^sign_bits`` rows (≈ 500k at the 16-bit
+    default) average bucket population — and with it candidate-pair
+    volume — grows LINEARLY in n again, i.e. the blocked self-join
+    drifts quadratic. At that scale raise ``sign_bits`` toward the
+    vector dimension (the pattern reads the first ``sign_bits``
+    coordinate signs; 64-dim vectors support up to 63 bits). Kept a
+    caller knob, not auto-widened: the bucket structure is part of
+    each gated query's pinned contract. Separately, DBSCAN's OUTPUT is
+    inherently quadratic in duplicate multiplicity — on data where
+    every point has k exact twins the ε-graph carries k² edges per
+    original pair no matter how the pairs are blocked; fixed-ε density
+    clustering at growing scale needs ε tightened to match (see
+    SCALE.md round-7)."""
     qz = F.transform(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * float(quant), 0).cast("long"),
