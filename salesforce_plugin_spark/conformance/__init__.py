@@ -405,6 +405,7 @@ from salesforce_plugin_spark.conformance.streaming import (  # noqa: F401
     q_stream_itemcf,
     q_stream_gram_power,
     q_stream_autocorr,
+    q_stream_kneser_ney,
     q_stream_theil_sen,
     q_stream_temperature_mix,
     ORACLES as _ORACLES_streaming,
@@ -760,6 +761,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_dbscan_hierarchy": q_dbscan_hierarchy,
     "q_dbscan_tree": q_dbscan_tree,
     "q_kneser_ney": q_kneser_ney,
+    "q_stream_kneser_ney": q_stream_kneser_ney,
 }
 
 
@@ -870,3 +872,5 @@ ORACLES["q_monitoring_capstone"] = (
 )
 # streamed additive (lang, doc/token) counts == one-shot batch mix
 ORACLES["q_stream_temperature_mix"] = ORACLES["q_temperature_mix"]
+# streamed additive target-slice bigram counts == one-shot batch KN gate
+ORACLES["q_stream_kneser_ney"] = ORACLES["q_kneser_ney"]

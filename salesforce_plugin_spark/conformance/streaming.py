@@ -2191,3 +2191,69 @@ def q_stream_autocorr(spark, sf_dir):
     return spark.createDataFrame(
         rows, "event_type string, lag int, dot long, n_days long"
     )
+
+
+def q_stream_kneser_ney(spark, sf_dir):
+    """F6 × LM curation: the Kneser-Ney perplexity gate's MODEL
+    maintained FROM A STREAM — target-slice bigram counts are
+    additive across disjoint batches, so the generic additive fold
+    (replay-idempotent per-batch partitions) maintains c12 with zero
+    new fold code; the summed state feeds kn_score_from_counts over
+    the batch-loaded corpus and must equal the one-shot q_kneser_ney
+    gate (its oracle VERBATIM). The face the live curation pipeline
+    needs: the in-domain LM keeps absorbing new target documents
+    while the scorer stays a pure reduction of the same state."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.functions.text import (
+        bigram_rows,
+        kn_score_from_counts,
+        tokens,
+    )
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_summed_counts,
+        run_stream_additive_counts,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="conf_stream_kn_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [d.filter(F.col("doc_id") % 3 == i) for i in range(3)],
+            tmp,
+            None,
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, lang string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+        run_stream_additive_counts(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            group_cols=["w1", "w2"],
+            prepare=lambda b: bigram_rows(
+                b.filter(F.col("lang") == "en"), "doc_id", "text"
+            ).select("w1", "w2"),
+        )
+        c12 = read_summed_counts(spark, state, ["w1", "w2"]).select(
+            "w1", "w2", F.col("n").alias("__c12")
+        )
+        big = bigram_rows(
+            d.filter(F.size(tokens(F.col("text"))) >= 2), "doc_id", "text"
+        )
+        rows = kn_score_from_counts(big, c12, "doc_id").collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, n_bigrams long, n_scored long, kn_bits_x8 long,"
+        " milli_bits_per_bigram long",
+    )

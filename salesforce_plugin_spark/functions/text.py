@@ -1497,32 +1497,56 @@ def kn_bigram_bits(
     kn_bits_x8 long, milli_bits_per_bigram long — NULL when nothing
     scored)``; docs with < 2 tokens are absent.
     """
-    from salesforce_plugin_spark.functions.exactmath import (
-        dcast,
-        dfloor,
-        log2_eighths_spark,
+    big = bigram_rows(df.filter(F.size(tokens(F.col(text_col))) >= 2)
+                      .withColumn("__tgt", target),
+                      id_col, text_col, extra=["__tgt"])
+    c12 = big.filter(F.col("__tgt")).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("__c12")
     )
+    return kn_score_from_counts(big.drop("__tgt"), c12, id_col)
 
+
+def bigram_rows(
+    df: DataFrame, id_col: str, text_col: str, extra: list[str] = ()
+) -> DataFrame:
+    """One row per adjacent lowercase token pair:
+    ``(id_col, *extra, w1, w2)`` — shared by :func:`kn_bigram_bits`
+    and the streaming KN face's fold (bigram counts are additive, so
+    the generic additive-count stream fold maintains the KN model
+    from exactly these rows). Docs with < 2 tokens emit nothing."""
     t = F.transform(tokens(F.col(text_col)), F.lower)
     toked = df.select(
-        F.col(id_col), target.alias("__tgt"), t.alias("__t")
+        F.col(id_col), *[F.col(c) for c in extra], t.alias("__t")
     ).filter(F.size("__t") >= 2)
     pair = F.zip_with(
         F.slice(F.col("__t"), 1, F.size("__t") - 1),
         F.slice(F.col("__t"), 2, F.size("__t") - 1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    big = toked.select(
-        F.col(id_col), "__tgt", F.explode(pair).alias("__bg")
+    return toked.select(
+        F.col(id_col), *[F.col(c) for c in extra],
+        F.explode(pair).alias("__bg"),
     ).select(
-        F.col(id_col), "__tgt",
+        F.col(id_col), *[F.col(c) for c in extra],
         F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"),
     )
 
-    model = big.filter(F.col("__tgt"))
-    c12 = model.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("__c12")
+
+def kn_score_from_counts(
+    big: DataFrame, c12: DataFrame, id_col: str
+) -> DataFrame:
+    """:func:`kn_bigram_bits` scoring from a pre-built bigram count
+    table ``c12 (w1, w2, __c12)`` — the entry point for additive
+    count state (streaming face: target-slice bigram counts are
+    additive across disjoint batches, so the generic fold maintains
+    them and this reduction must equal the one-shot batch gate).
+    ``big`` carries the ``(id, w1, w2)`` rows to score."""
+    from salesforce_plugin_spark.functions.exactmath import (
+        dcast,
+        dfloor,
+        log2_eighths_spark,
     )
+
     left = c12.groupBy("w1").agg(
         F.sum("__c12").cast("long").alias("__c1"),
         F.count(F.lit(1)).cast("long").alias("__n1p"),
