@@ -1471,6 +1471,7 @@ def minhash_error_eval(
     num_hashes: int = 8,
     shingle_n: int = 3,
     min_true_ppm: int = 200_000,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash estimator accuracy against EXACT Jaccard — the sketch's
     own evaluation harness (the q_ann_recall discipline applied to F2:
@@ -1480,12 +1481,25 @@ def minhash_error_eval(
     For every pair with exact shingle-Jaccard ≥ ``min_true_ppm`` (the
     verifier form: pairs sharing ≥ 1 shingle — quadratic in the
     hottest shingle bucket, the documented exhaustive-form caveat of
-    :func:`ngram_jaccard_pairs`; at corpus scale feed a bounded
-    candidate set), compares the portable-MinHash estimate
+    :func:`ngram_jaccard_pairs`), compares the portable-MinHash estimate
     ``est_ppm = matches·10⁶ div num_hashes`` (matching signature
     positions — an unbiased estimator of Jaccard with variance
     J(1−J)/num_hashes) to ``true_ppm = inter·10⁶ div union``. Both
     sides exact integers; the error column is their exact difference.
+
+    ``candidates`` (optional, ``(id_a, id_b)`` with id_a < id_b) is
+    the corpus-scale path (round-7 probe finding: with duplicate-heavy
+    data the exhaustive truth side spilled past a 78 GB disk budget at
+    100× — the pair universe, not the plan, is what explodes): when
+    given, BOTH the exact-Jaccard truth side and the signature compare
+    run only over those pairs — the intersection becomes a
+    candidate-anchored two-step join (shingles of id_a ⋈ (pair,
+    shingle) ⋈ shingles of id_b), linear in |candidates|·doc size,
+    and pairs sharing no shingle still surface with true_ppm 0
+    (estimator bias on disjoint pairs is part of what a sampled eval
+    must see). Sample LSH candidate pairs, or seeded random pairs,
+    upstream. ``min_true_ppm`` is not applied in candidate mode — the
+    caller chose the pairs.
 
     Output (scalar-only): ``(id_a, id_b, true_ppm long, est_ppm long,
     err_ppm long)``.
@@ -1493,18 +1507,41 @@ def minhash_error_eval(
     sh = exploded_shingles(df, id_col, text_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    if candidates is not None:
+        cand = candidates.select("id_a", "id_b").distinct()
+        shb = sh.select(
+            F.col(id_col).alias("__idb2"), F.col("shingle").alias("__shb")
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+        hit = (
+            cand.join(
+                sh.select(F.col(id_col).alias("id_a"), F.col("shingle")),
+                "id_a",
+            )
+            .join(
+                shb,
+                (F.col("id_b") == F.col("__idb2"))
+                & (F.col("shingle") == F.col("__shb")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").cast("long").alias("__i"))
         )
-        .agg(F.count("*").cast("long").alias("__i"))
-    )
+        inter = cand.join(hit, ["id_a", "id_b"], "left").select(
+            "id_a", "id_b",
+            F.coalesce(F.col("__i"), F.lit(0).cast("long")).alias("__i"),
+        )
+    else:
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count("*").cast("long").alias("__i"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("__na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("__nb"))
     true_pairs = (
@@ -1515,8 +1552,9 @@ def minhash_error_eval(
             "id_b",
             F.expr("__i * 1000000 div (__na + __nb - __i)").alias("true_ppm"),
         )
-        .filter(F.col("true_ppm") >= min_true_ppm)
     )
+    if candidates is None:
+        true_pairs = true_pairs.filter(F.col("true_ppm") >= min_true_ppm)
     sigs = minhash_signatures_portable(
         df, id_col, text_col, num_hashes, shingle_n
     )

@@ -356,3 +356,37 @@ def test_log2_eighths_spark_matches_python(spark):
         ).collect()
     ]
     assert got == [_py_log2_eighths(v) for v in vals]
+
+
+# --------------------------------------------- minhash candidate mode
+
+
+def test_minhash_error_eval_candidate_mode(spark):
+    """Candidate mode must equal the exhaustive mode on the same
+    pairs, and disjoint pairs surface with true_ppm 0 instead of
+    vanishing."""
+    from salesforce_plugin_spark.functions.dedup import minhash_error_eval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over a lazy dog"),
+            (3, "completely different words entirely here xyz"),
+        ],
+        "doc_id long, text string",
+    )
+    full = {
+        (r.id_a, r.id_b): (r.true_ppm, r.est_ppm, r.err_ppm)
+        for r in minhash_error_eval(docs, min_true_ppm=0).collect()
+    }
+    cand = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    sampled = {
+        (r.id_a, r.id_b): (r.true_ppm, r.est_ppm, r.err_ppm)
+        for r in minhash_error_eval(docs, candidates=cand).collect()
+    }
+    assert set(sampled) == {(1, 2), (1, 3)}
+    assert sampled[(1, 2)] == full[(1, 2)]
+    # (1, 3): no shared 3-gram shingles -> exact 0, estimate whatever
+    # the signatures say, error = est - 0
+    t13, e13, err13 = sampled[(1, 3)]
+    assert t13 == 0 and err13 == e13
