@@ -1544,13 +1544,33 @@ def minhash_error_eval(
         )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("__na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("__nb"))
+    # Candidate mode keeps EVERY caller-chosen pair, including pairs
+    # where a doc yields zero shingles (< shingle_n tokens): sizes and
+    # signatures have no row for such ids, so the joins go LEFT with
+    # coalesce-to-0 sizes, true_ppm defined 0 on an empty union, and
+    # missing signature positions counted as non-matches (est_ppm 0 —
+    # the empty set has no MinHash). Exhaustive mode keeps the inner
+    # joins: its pairs come from shared shingles, so both sides have
+    # rows by construction and the plan stays unchanged.
+    size_how = "inner" if candidates is None else "left"
     true_pairs = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(sa, "id_a", size_how)
+        .join(sb, "id_b", size_how)
         .select(
             "id_a",
             "id_b",
-            F.expr("__i * 1000000 div (__na + __nb - __i)").alias("true_ppm"),
+            F.coalesce(F.col("__na"), F.lit(0).cast("long")).alias("__na"),
+            F.coalesce(F.col("__nb"), F.lit(0).cast("long")).alias("__nb"),
+            "__i",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "CASE WHEN __na + __nb - __i > 0"
+                " THEN __i * 1000000 div (__na + __nb - __i)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("true_ppm"),
         )
     )
     if candidates is None:
@@ -1567,12 +1587,15 @@ def minhash_error_eval(
         *[F.col(f"mh_{i}").alias(f"__b{i}") for i in range(num_hashes)],
     )
     matches = sum(
-        (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("long")
+        F.coalesce(
+            (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("long"),
+            F.lit(0).cast("long"),
+        )
         for i in range(num_hashes)
     )
     return (
-        true_pairs.join(siga, "id_a")
-        .join(sigb, "id_b")
+        true_pairs.join(siga, "id_a", size_how)
+        .join(sigb, "id_b", size_how)
         .select("id_a", "id_b", "true_ppm", matches.alias("__m"))
         .select(
             "id_a",

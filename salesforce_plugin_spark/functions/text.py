@@ -1563,15 +1563,23 @@ def kn_score_from_counts(
         .crossJoin(F.broadcast(nt))
         .select(
             F.col(id_col),
+            # Each operand is cast to DECIMAL(38,0) BEFORE any product
+            # (the exactmath convention): c1·Nt and the discount
+            # numerator approach 2^61·2^61 at large corpora, which
+            # overflows int64 pre-cast — ArithmeticException under
+            # Spark 4's default ANSI mode, silent wrap with ANSI off.
+            # Decimal products stay exact to 10^38 (~2^126).
             F.expr(
                 "CASE WHEN __c1 IS NULL THEN NULL ELSE "
-                + dcast(
-                    "GREATEST(4 * coalesce(__c12, 0) - 3, 0) * __nt"
-                    " + 3 * coalesce(__n1p, 0) * coalesce(__n1c, 0)"
-                )
-                + " END"
+                f"GREATEST(4 * {dcast('coalesce(__c12, 0)')} - 3, 0)"
+                f" * {dcast('__nt')}"
+                f" + 3 * {dcast('coalesce(__n1p, 0)')}"
+                f" * {dcast('coalesce(__n1c, 0)')}"
+                " END"
             ).alias("__num"),
-            F.expr(dcast("4 * coalesce(__c1, 1) * __nt")).alias("__den"),
+            F.expr(
+                f"4 * {dcast('coalesce(__c1, 1)')} * {dcast('__nt')}"
+            ).alias("__den"),
         )
         .withColumn(
             "__bits8",

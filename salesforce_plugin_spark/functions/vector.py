@@ -2054,8 +2054,10 @@ def ann_ndcg(
     k is capped at 36: the per-rank term is (2^rel − 1)·disc with
     disc ≤ 10⁶, so the BIGINT DCG sum stays exact only while
     k·2^k·10⁶ < 2^63 — beyond k=36 the shiftleft·discount products
-    would overflow SILENTLY under default (non-ANSI) Spark, so the
-    bound is enforced loudly here instead.
+    overflow int64: silently with ANSI off, as a job-killing
+    ArithmeticException under Spark 4's default ANSI mode (the
+    exactmath.py overflow model), so the bound is enforced loudly
+    here instead of either failure mode.
     """
     if not 1 <= k <= 36:
         raise ValueError(

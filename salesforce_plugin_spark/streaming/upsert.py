@@ -26,8 +26,122 @@ version column is deterministic given unique (key, version) pairs).
 
 from __future__ import annotations
 
+import json
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+
+# --- __b=<batch_id> partitioned-state housekeeping ---------------------
+#
+# The per-batch-partition layout (write_batch_partials) makes additive
+# folds at-least-once-safe, but a long-lived stream accumulates one Hive
+# partition per micro-batch: state reads degrade to a many-small-files
+# listing problem at 10^4-10^5 batches (the classic small-files failure
+# at the 100 TB posture). compact_batch_partials folds every partition
+# below a batch-id WATERMARK into one base partition __b=-1, via a
+# manifest-logged protocol so a crash at any step recovers without
+# double-counting; the durable watermark makes a replay of a
+# pre-watermark batch id a NO-OP in write_batch_partials (its rows are
+# already inside the base). All filesystem mutation goes through the
+# Hadoop FileSystem API so the same code runs on HDFS/local; the
+# rename step is atomic on HDFS and local FS — on S3 use a
+# rename-atomic layer (HBOSS/S3Guard successor) or a table format for
+# this state dir, as with any rename-based commit protocol.
+
+_COMPACT_MANIFEST = "_compact_manifest.json"   # durable intent record
+_COMPACT_WATERMARK = "_compacted_below.json"   # durable replay fence
+_COMPACT_TMP = ".compact_tmp"                  # hidden from scans ('.')
+
+_legacy_checked: set[str] = set()
+
+
+def _fs(spark, path_str: str):
+    """(Hadoop FileSystem, Path, jvm) for a path string — the
+    FS-portable seam every state mutation below goes through."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p, jvm
+
+
+def _write_json(spark, path_str: str, payload: dict) -> None:
+    fs, p, _ = _fs(spark, path_str)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_json(spark, path_str: str):
+    fs, p, jvm = _fs(spark, path_str)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(txt)
+
+
+def compacted_below(spark, state_dir: str) -> int:
+    """The durable replay fence: every batch id below this has been
+    folded into the ``__b=-1`` base partition (0 when never
+    compacted — Spark batch ids are ≥ 0, so nothing is fenced)."""
+    meta = _read_json(spark, os.path.join(state_dir, _COMPACT_WATERMARK))
+    return int(meta["compacted_below"]) if meta else 0
+
+
+def _recover_compaction(spark, state_dir: str) -> None:
+    """Complete a compaction the process died inside of. The manifest
+    is written only AFTER the merged tmp parquet is fully on disk, so
+    its presence means the fold result is durable and the remaining
+    steps (delete folded partitions, rename tmp → base, persist
+    watermark, drop manifest) are each idempotent — re-running them
+    in order finishes the transaction no matter where it stopped."""
+    manifest_path = os.path.join(state_dir, _COMPACT_MANIFEST)
+    manifest = _read_json(spark, manifest_path)
+    if manifest is None:
+        return
+    fs, _, jvm = _fs(spark, state_dir)
+    hp = jvm.org.apache.hadoop.fs.Path
+    for name in manifest["fold"]:
+        fs.delete(hp(os.path.join(state_dir, name)), True)
+    tmp = hp(os.path.join(state_dir, _COMPACT_TMP))
+    if fs.exists(tmp):
+        fs.rename(tmp, hp(os.path.join(state_dir, "__b=-1")))
+    _write_json(
+        spark,
+        os.path.join(state_dir, _COMPACT_WATERMARK),
+        {"compacted_below": int(manifest["watermark"])},
+    )
+    fs.delete(hp(manifest_path), False)
+
+
+def _assert_no_legacy_flat_files(spark, state_dir: str) -> None:
+    """Pre-partition-layout state dirs hold flat appended parquet
+    files at the top level; mixing them with ``__b=`` partition dirs
+    makes spark.read.parquet mis-discover the partitioning. Fail
+    loudly with the migration step instead (checked once per dir per
+    process — underscore/dot names are Spark-invisible and fine)."""
+    if state_dir in _legacy_checked:
+        return
+    fs, root, _ = _fs(spark, state_dir)
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith(("_", ".")):
+                raise ValueError(
+                    f"state_dir {state_dir!r} holds flat parquet files "
+                    f"(e.g. {name!r}) from the pre-partitioned append "
+                    "layout; the __b=<batch_id> layout cannot coexist "
+                    "with them. Migrate once: read the old state, write "
+                    "it as the base partition (__b=-1) in a fresh dir, "
+                    "and point the stream there — see MIGRATION.md."
+                )
+    _legacy_checked.add(state_dir)
 
 
 def write_batch_partials(df: DataFrame, state_dir: str, batch_id: int) -> None:
@@ -40,11 +154,133 @@ def write_batch_partials(df: DataFrame, state_dir: str, batch_id: int) -> None:
     guarantee the MAX-register face gets from idempotent merge). The
     readers (`read_summed_counts` / `read_summed_sums` /
     `read_max_registers`) group by their own columns, so the extra
-    discovered ``__b`` partition column is invisible to them."""
-    import os
+    discovered ``__b`` partition column is invisible to them.
 
+    Replay fence: a batch id below the compaction watermark
+    (:func:`compact_batch_partials`) is a NO-OP — its rows were folded
+    into the ``__b=-1`` base, so rewriting its partition would
+    double-count. An interrupted compaction is completed first."""
+    spark = df.sparkSession
+    _recover_compaction(spark, state_dir)
+    if int(batch_id) < compacted_below(spark, state_dir):
+        return
+    _assert_no_legacy_flat_files(spark, state_dir)
     df.write.mode("overwrite").parquet(
         os.path.join(state_dir, f"__b={int(batch_id)}")
+    )
+
+
+def compact_batch_partials(
+    spark, state_dir: str, watermark: int, reduce_fn
+) -> int:
+    """Fold every ``__b=<id>`` partition with id < ``watermark``
+    (including the current ``__b=-1`` base) into ONE re-reduced base
+    partition, so state reads stay O(groups), not O(batches). Returns
+    the number of partitions folded (0 = nothing to do).
+
+    ``reduce_fn(df) -> df`` must reduce stacked partial rows to the
+    same schema (sum for counts/sums, max for HLL registers — use the
+    ``compact_summed_counts`` / ``compact_summed_sums`` /
+    ``compact_max_registers`` wrappers). ``watermark`` must not exceed
+    the stream's last COMMITTED batch id + 1: an in-flight batch can
+    still be retried, and folding it would fence a retry carrying
+    rows the crashed attempt never durably wrote.
+
+    Crash safety (the write-ahead order): (1) merged base is written
+    to a dot-hidden tmp dir; (2) a manifest records the watermark and
+    the exact partitions to drop — only after the tmp write returns;
+    (3) folded partitions are deleted; (4) tmp renames to ``__b=-1``;
+    (5) the watermark persists and the manifest drops. A crash before
+    (2) leaves state untouched; from (2) on,
+    :func:`_recover_compaction` — run by every writer/reader — replays
+    (3)-(5), each idempotent. Readers between crash and recovery see
+    the manifest too, so no reader ever sums a half-deleted layout."""
+    _recover_compaction(spark, state_dir)
+    fs, root, jvm = _fs(spark, state_dir)
+    hp = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(root):
+        return 0
+    fold = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("__b="):
+            if int(name[len("__b="):]) < int(watermark):
+                fold.append(name)
+    if not fold or fold == ["__b=-1"]:
+        return 0
+    merged = reduce_fn(
+        spark.read.parquet(*[os.path.join(state_dir, n) for n in fold])
+    )
+    tmp = os.path.join(state_dir, _COMPACT_TMP)
+    # the tmp write MATERIALIZES the fold before any source deletion
+    merged.write.mode("overwrite").parquet(tmp)
+    _write_json(
+        spark,
+        os.path.join(state_dir, _COMPACT_MANIFEST),
+        {"watermark": int(watermark), "fold": sorted(fold)},
+    )
+    for name in fold:
+        fs.delete(hp(os.path.join(state_dir, name)), True)
+    fs.rename(hp(tmp), hp(os.path.join(state_dir, "__b=-1")))
+    _write_json(
+        spark,
+        os.path.join(state_dir, _COMPACT_WATERMARK),
+        {"compacted_below": int(watermark)},
+    )
+    fs.delete(hp(os.path.join(state_dir, _COMPACT_MANIFEST)), False)
+    return len(fold)
+
+
+def compact_summed_counts(
+    spark, state_dir: str, watermark: int, group_cols: list[str]
+) -> int:
+    """:func:`compact_batch_partials` with the additive-count reduce
+    (same merge :func:`read_summed_counts` applies at read time)."""
+    return compact_batch_partials(
+        spark,
+        state_dir,
+        watermark,
+        lambda df: df.groupBy(*group_cols).agg(
+            F.sum("n").cast("long").alias("n")
+        ),
+    )
+
+
+def compact_summed_sums(
+    spark,
+    state_dir: str,
+    watermark: int,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> int:
+    """:func:`compact_batch_partials` with the additive-sums reduce
+    (same merge :func:`read_summed_sums` applies at read time)."""
+    return compact_batch_partials(
+        spark,
+        state_dir,
+        watermark,
+        lambda df: df.groupBy(*group_cols).agg(
+            F.sum("n").cast("long").alias("n"),
+            *[
+                F.sum(f"sum_{c}").cast("long").alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+        ),
+    )
+
+
+def compact_max_registers(
+    spark, state_dir: str, watermark: int, group_cols: list[str]
+) -> int:
+    """:func:`compact_batch_partials` with the MAX-register merge
+    (same merge :func:`read_max_registers` applies at read time)."""
+    return compact_batch_partials(
+        spark,
+        state_dir,
+        watermark,
+        lambda df: df.groupBy(*group_cols, "bucket").agg(
+            F.max("m_j").alias("m_j")
+        ),
     )
 
 
@@ -724,7 +960,10 @@ def run_stream_additive_counts(
 
 def read_summed_counts(spark, state_dir: str, group_cols: list[str]):
     """Sum the accumulated per-batch partial counts to the final
-    per-group totals (exact: BIGINT addition in any order)."""
+    per-group totals (exact: BIGINT addition in any order). An
+    interrupted compaction is completed before reading, so the sum
+    never sees a half-deleted layout."""
+    _recover_compaction(spark, state_dir)
     return (
         spark.read.parquet(state_dir)
         .groupBy(*group_cols)
@@ -770,7 +1009,9 @@ def run_stream_max_registers(
 
 def read_max_registers(spark, state_dir: str, group_cols: list[str]):
     """Max-merge the accumulated per-batch partial registers to the
-    final per-(group, bucket) registers (exact: MAX in any order)."""
+    final per-(group, bucket) registers (exact: MAX in any order).
+    Completes any interrupted compaction first."""
+    _recover_compaction(spark, state_dir)
     return (
         spark.read.parquet(state_dir)
         .groupBy(*group_cols, "bucket")
@@ -832,7 +1073,9 @@ def read_summed_sums(
     spark, state_dir: str, group_cols: list[str], sum_cols: list[str]
 ):
     """Merge the accumulated per-batch partials to final per-group
-    ``(n, sum_c …)`` totals (exact BIGINT addition in any order)."""
+    ``(n, sum_c …)`` totals (exact BIGINT addition in any order).
+    Completes any interrupted compaction first."""
+    _recover_compaction(spark, state_dir)
     return (
         spark.read.parquet(state_dir)
         .groupBy(*group_cols)
