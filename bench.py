@@ -68,6 +68,12 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
+    # External-quietness evidence: sampled BEFORE the session and warm-up
+    # pass, so it measures the host, not the bench itself (loadavg_before
+    # is taken after warm-up and mostly reflects our own warm-up load —
+    # the r7 "quiet" debate was unresolvable because only post-warm-up
+    # load was recorded).
+    load_start = _loadavg()
     spark = get_spark("bench")
     # Warm-up: one full untimed pass over the headline set AT THE MEASURED
     # SCALE. Whole-stage codegen compilation, JIT tiering, Arrow worker
@@ -118,6 +124,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "loadavg_start": load_start,
                 "loadavg_before": load_before,
                 "loadavg_after": _loadavg(),
                 "query_load1": query_load1,
