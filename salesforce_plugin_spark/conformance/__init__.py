@@ -165,6 +165,7 @@ from salesforce_plugin_spark.conformance.dedup import (  # noqa: F401
     q_semantic_dedup,
     q_curation_capstone,
     q_span_dedup,
+    q_repeated_spans,
     q_lcs_dedup,
     q_blocking_recall,
     q_self_lcs,
@@ -412,28 +413,34 @@ from salesforce_plugin_spark.conformance.streaming import (  # noqa: F401
 )
 
 QUERIES: dict[str, QueryFn] = {
-    # --- driver-graded window (first 50): one per §2 family ---
+    # --- driver-graded window (first 50): one per §2 family, ROTATED
+    # each round (VERDICT r7 #5): where a family has multiple oracle-gated
+    # representatives, a never-driver-verified one leads this round so the
+    # official gate accumulates independent coverage over the full registry
+    # (round 8 rotated 24 fresh entries in; displaced entries moved to the
+    # fresh entry's old slot beyond the window — same keys, same oracles,
+    # nothing removed) ---
     # D1-D19: the relational surface the reference forwards to SOQL
     "q_scan_project": q_scan_project,
     "q_filter_compare": q_filter_compare,
     "q_filter_like": q_filter_like,
     "q_filter_in": q_filter_in,
-    "q_semi_join": q_semi_join,
-    "q_anti_join": q_anti_join,
-    "q_parent_lookup_join": q_parent_lookup_join,
+    "q_skew_join": q_skew_join,
+    "q_set_ops": q_set_ops,
+    "q_soql_relationship": q_soql_relationship,
     "q_child_flatten_join": q_child_flatten_join,
-    "q_agg_global": q_agg_global,
+    "q_tpch_q1": q_tpch_q1,
     "q_agg_groupby": q_agg_groupby,
-    "q_agg_count_distinct": q_agg_count_distinct,
-    "q_agg_rollup": q_agg_rollup,
+    "q_unique_keys": q_unique_keys,
+    "q_soql_rollup_having": q_soql_rollup_having,
     "q_agg_cube": q_agg_cube,
-    "q_agg_having": q_agg_having,
-    "q_sort_limit": q_sort_limit,
+    "q_incremental_extract": q_incremental_extract,
+    "q_topk_per_group": q_topk_per_group,
     "q_offset_page": q_offset_page,
-    "q_date_range": q_date_range,
-    "q_date_parts": q_date_parts,
+    "q_soql_date_literal": q_soql_date_literal,
+    "q_soql_date_parts": q_soql_date_parts,
     # D via the SOQL string front door (parser → DataFrame plans)
-    "q_soql_front_door": q_soql_front_door,
+    "q_soql_typeof": q_soql_typeof,
     "q_soql_child_sub": q_soql_child_sub,
     # C: the plugin's own row/column transforms
     "q_coerce_epoch": q_coerce_epoch,
@@ -445,67 +452,67 @@ QUERIES: dict[str, QueryFn] = {
     "q_lowercase_schema_align": q_lowercase_schema_align,
     # A: sink round-trip + semi-structured extraction (csv variant after
     # the window; its C4 scrub is gated by q_newline_scrub here)
-    "q_ndjson_roundtrip": q_ndjson_roundtrip,
+    "q_csv_roundtrip": q_csv_roundtrip,
     "q_json_extract": q_json_extract,
     # F1/F2: exact + near dedup
-    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_fingerprint": q_dedup_fingerprint,
     "q_near_dedup": q_near_dedup,
-    "q_minhash_clusters": q_minhash_clusters,
-    "q_dedup_components": q_dedup_components,
-    "q_jaccard_pairs": q_jaccard_pairs,
+    "q_simhash": q_simhash,
+    "q_dedup_components_star": q_dedup_components_star,
+    "q_winnow_fingerprint": q_winnow_fingerprint,
     # F3: similarity search
     "q_embed_topk": q_embed_topk,
-    "q_embed_batch_topk": q_embed_batch_topk,
+    "q_embed_bucket": q_embed_bucket,
     "q_embed_ivf": q_embed_ivf,
     # F4: multimodal binary pipelines
     "q_multimodal_bytes": q_multimodal_bytes,
-    "q_multimodal_histogram": q_multimodal_histogram,
+    "q_multimodal_frames": q_multimodal_frames,
     # F5: text analysis
-    "q_text_tokens": q_text_tokens,
+    "q_lang_id": q_lang_id,
     "q_contamination": q_contamination,
     # custom operators (SURVEY §4)
     "q_asof_join": q_asof_join,
-    "q_range_join": q_range_join,
+    "q_interval_overlap": q_interval_overlap,
     # F6: event time — batch, true streaming, E5 upsert
-    "q_event_window": q_event_window,
-    "q_stream_window": q_stream_window,
+    "q_event_session": q_event_session,
+    "q_stream_join": q_stream_join,
     "q_stream_dedup": q_stream_dedup,
-    "q_stream_stateful": q_stream_stateful,
+    "q_stream_scd2": q_stream_scd2,
     "q_stream_upsert": q_stream_upsert,
     # training-pipeline capstones
     "q_training_corpus": q_training_corpus,
     "q_training_sequences": q_training_sequences,
-    "q_training_decontaminated": q_training_decontaminated,
+    "q_corpus_mix": q_corpus_mix,
     # --- beyond the graded window: variants and additional forms ---
-    "q_csv_roundtrip": q_csv_roundtrip,
-    "q_stream_join": q_stream_join,
+    "q_ndjson_roundtrip": q_ndjson_roundtrip,
+    "q_stream_window": q_stream_window,
     "q_profile": q_profile,
     "q_partitioned_scan": q_partitioned_scan,
     "q_bucketed_join": q_bucketed_join,
-    "q_incremental_extract": q_incremental_extract,
+    "q_agg_having": q_agg_having,
     "q_object_extract": q_object_extract,
     "q_embed_dedup": q_embed_dedup,
-    "q_dedup_fingerprint": q_dedup_fingerprint,
-    "q_winnow_fingerprint": q_winnow_fingerprint,
-    "q_simhash": q_simhash,
+    "q_dedup_exact": q_dedup_exact,
+    "q_jaccard_pairs": q_jaccard_pairs,
+    "q_minhash_clusters": q_minhash_clusters,
     "q_cosine_pairs": q_cosine_pairs,
-    "q_embed_bucket": q_embed_bucket,
+    "q_embed_batch_topk": q_embed_batch_topk,
     "q_embed_quantize": q_embed_quantize,
     "q_vocab": q_vocab,
     "q_tfidf": q_tfidf,
-    "q_lang_id": q_lang_id,
+    "q_text_tokens": q_text_tokens,
     "q_quality_score": q_quality_score,
     "q_pii_redact": q_pii_redact,
     "q_repetition": q_repetition,
     "q_sample_split": q_sample_split,
-    "q_corpus_mix": q_corpus_mix,
+    "q_training_decontaminated": q_training_decontaminated,
     "q_doc_chunks": q_doc_chunks,
     "q_token_pack": q_token_pack,
-    "q_event_session": q_event_session,
+    "q_event_window": q_event_window,
     "q_event_sliding": q_event_sliding,
-    "q_skew_join": q_skew_join,
-    "q_topk_per_group": q_topk_per_group,
-    "q_set_ops": q_set_ops,
+    "q_semi_join": q_semi_join,
+    "q_sort_limit": q_sort_limit,
+    "q_anti_join": q_anti_join,
     "q_percent_rank": q_percent_rank,
     "q_grouping_sets": q_grouping_sets,
     "q_pivot": q_pivot,
@@ -513,13 +520,13 @@ QUERIES: dict[str, QueryFn] = {
     "q_agg_collect": q_agg_collect,
     "q_agg_percentile": q_agg_percentile,
     "q_data_quality": q_data_quality,
-    "q_unique_keys": q_unique_keys,
-    "q_soql_rollup_having": q_soql_rollup_having,
-    "q_soql_date_parts": q_soql_date_parts,
-    "q_soql_relationship": q_soql_relationship,
-    "q_soql_date_literal": q_soql_date_literal,
+    "q_agg_count_distinct": q_agg_count_distinct,
+    "q_agg_rollup": q_agg_rollup,
+    "q_date_parts": q_date_parts,
+    "q_parent_lookup_join": q_parent_lookup_join,
+    "q_date_range": q_date_range,
     "q_soql_fiscal": q_soql_fiscal,
-    "q_tpch_q1": q_tpch_q1,
+    "q_agg_global": q_agg_global,
     "q_tpch_q3": q_tpch_q3,
     "q_tpch_q5": q_tpch_q5,
     "q_tpch_q10": q_tpch_q10,
@@ -542,11 +549,11 @@ QUERIES: dict[str, QueryFn] = {
     "q_tpch_q2": q_tpch_q2,
     "q_tpch_q9": q_tpch_q9,
     "q_soql_relationship3": q_soql_relationship3,
-    "q_dedup_components_star": q_dedup_components_star,
+    "q_dedup_components": q_dedup_components,
     "q_line_clean": q_line_clean,
     "q_global_line_dedup": q_global_line_dedup,
     "q_quality_classifier": q_quality_classifier,
-    "q_soql_typeof": q_soql_typeof,
+    "q_soql_front_door": q_soql_front_door,
     "q_bigram_fluency": q_bigram_fluency,
     "q_sample_per_group": q_sample_per_group,
     "q_embed_centroids": q_embed_centroids,
@@ -556,9 +563,10 @@ QUERIES: dict[str, QueryFn] = {
     "q_funnel": q_funnel,
     "q_retention": q_retention,
     "q_kmv_distinct": q_kmv_distinct,
-    "q_interval_overlap": q_interval_overlap,
-    "q_multimodal_frames": q_multimodal_frames,
+    "q_range_join": q_range_join,
+    "q_multimodal_histogram": q_multimodal_histogram,
     "q_span_dedup": q_span_dedup,
+    "q_repeated_spans": q_repeated_spans,
     "q_cdc_merge": q_cdc_merge,
     "q_quantile_sketch": q_quantile_sketch,
     "q_bm25": q_bm25,
@@ -577,7 +585,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_scd2_incremental": q_scd2_incremental,
     "q_semantic_dedup": q_semantic_dedup,
     "q_importance_weights": q_importance_weights,
-    "q_stream_scd2": q_stream_scd2,
+    "q_stream_stateful": q_stream_stateful,
     "q_user_growth": q_user_growth,
     "q_anomaly_zscore": q_anomaly_zscore,
     "q_curation_capstone": q_curation_capstone,
