@@ -653,6 +653,20 @@ def q_span_dedup(spark, sf_dir):
     return D.span_dedup(d, "doc_id", "text", span_tokens=8)
 
 
+def q_repeated_spans(spark, sf_dir):
+    """F1/F5 (round 8): variable-length MAXIMAL repeated-span inventory —
+    the suffix-automaton-grade generalization of q_span_dedup's fixed
+    8-token granularity (functions/dedup.py repeated_spans). Consecutive
+    corpus-duplicated anchor shingles merge (gaps-and-islands on the
+    anchor start positions) into one maximal region whose true token
+    length is variable; one row per occurrence of each maximal region
+    with its content md5. One anchor-key exchange + one doc-id exchange
+    over flagged anchors only — no suffix structure, no token-level
+    shuffle."""
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    return D.repeated_spans(d, "doc_id", "text", min_tokens=8)
+
+
 def q_lcs_dedup(spark, sf_dir):
     """EXACT longest-common-substring pairs (functions/dedup.py
     lcs_pairs) — the round-6 generalization of q_span_dedup's fixed
@@ -1338,6 +1352,42 @@ ORACLES["q_span_dedup"] = r"""
            coalesce(string_agg(k.tok, ' ' ORDER BY k.j), '') AS cleaned
     FROM toked d LEFT JOIN kept k USING (doc_id)
     GROUP BY d.doc_id, len(d.t)
+"""
+
+ORACLES["q_repeated_spans"] = r"""
+    WITH toked AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ), occ AS (
+        SELECT doc_id, s AS spos,
+               md5(array_to_string(list_slice(t, s, s + 7), ' ')) AS key
+        FROM (
+            SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS s
+            FROM toked WHERE len(t) >= 8
+        )
+    ), flagged AS (
+        SELECT doc_id, spos FROM (
+            SELECT doc_id, spos,
+                   count(*) OVER (PARTITION BY key) AS cnt
+            FROM occ
+        ) WHERE cnt > 1
+    ), runs AS (
+        SELECT doc_id, min(spos) AS span_start,
+               max(spos) - min(spos) + 8 AS span_tokens
+        FROM (
+            SELECT doc_id, spos,
+                   spos - row_number()
+                       OVER (PARTITION BY doc_id ORDER BY spos) AS grp
+            FROM flagged
+        )
+        GROUP BY doc_id, grp
+    )
+    SELECT r.doc_id, r.span_start, r.span_tokens,
+           md5(array_to_string(
+               list_slice(d.t, r.span_start,
+                          r.span_start + r.span_tokens - 1), ' '
+           )) AS span_md5
+    FROM runs r JOIN toked d USING (doc_id)
 """
 
 ORACLES["q_semantic_dedup"] = _KMEANS_ASSIGN_SCALED_CTES.replace(

@@ -906,6 +906,100 @@ def span_dedup(
     )
 
 
+def repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+) -> DataFrame:
+    """Variable-length maximal repeated-span inventory — the
+    suffix-automaton-grade generalization of :func:`span_dedup`'s fixed
+    granularity (VERDICT r7 #7). Where ``span_dedup`` removes covered
+    tokens, this reports every MAXIMAL corpus-duplicated region per
+    document with its true token length: a repeated region of L >= ``min_
+    tokens`` tokens contains exactly L - min_tokens + 1 duplicated
+    anchor shingles at consecutive start positions, so merging
+    consecutive flagged anchors (gaps-and-islands) recovers the maximal
+    extent — variable length, minimum ``min_tokens`` — without a suffix
+    structure. This is the per-document equivalent of what Lee et al.
+    2022 read off the suffix array as "maximal duplicated substrings",
+    and the distributional input for dup-length-weighted curation
+    policies (remove long verbatim clones, keep short idioms).
+
+    Scale shape (all exchanges bounded, nothing quadratic):
+
+    - anchor explode straight off the once-materialized token array;
+    - ONE exchange on the 32-byte anchor md5 (window count — same stage
+      shape as span_dedup);
+    - flagged anchors (~dup-rate x corpus shingles) exchange ONCE on the
+      doc id for the island merge: ``spos - row_number()`` is constant
+      within a run of consecutive duplicated anchors, so one groupBy
+      recovers (start, maximal length);
+    - the span content hash joins back to the token array by id
+      (broadcast-or-shuffle by AQE; output rows = maximal spans only).
+
+    Returns ``(id, span_start int, span_tokens int, span_md5 string)``;
+    one row per maximal duplicated region (ALL occurrences, including
+    the first — this is an inventory, not a removal; compose with
+    span_dedup for removal).
+    """
+    n = min_tokens
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    starts = F.sequence(F.lit(1), F.size(F.col("__toks")) - (n - 1))
+    occ_structs = F.when(
+        F.size(F.col("__toks")) >= n,
+        F.transform(
+            starts,
+            lambda i: F.struct(
+                i.alias("spos"),
+                F.md5(
+                    F.array_join(F.slice(F.col("__toks"), i, n), " ").cast(
+                        "binary"
+                    )
+                ).alias("__key"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<spos:int,__key:string>>"))
+    occ = toked.select(
+        F.col(id_col), F.explode(occ_structs).alias("__s")
+    ).select(
+        F.col(id_col),
+        F.col("__s.spos").alias("__spos"),
+        F.col("__s.__key").alias("__key"),
+    )
+
+    flagged = occ.withColumn(
+        "__cnt", F.count(F.lit(1)).over(Window.partitionBy("__key"))
+    ).filter(F.col("__cnt") > 1)
+
+    # gaps-and-islands: consecutive flagged start positions share
+    # (spos - row_number) within a doc
+    wd = Window.partitionBy(id_col).orderBy("__spos")
+    runs = (
+        flagged.withColumn("__grp", F.col("__spos") - F.row_number().over(wd))
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min("__spos").alias("span_start"),
+            (F.max("__spos") - F.min("__spos") + n).alias("span_tokens"),
+        )
+        .drop("__grp")
+    )
+
+    return runs.join(toked, id_col).select(
+        F.col(id_col),
+        F.col("span_start"),
+        F.col("span_tokens"),
+        F.md5(
+            F.array_join(
+                F.slice(
+                    F.col("__toks"), F.col("span_start"), F.col("span_tokens")
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("span_md5"),
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,

@@ -240,6 +240,15 @@ PROBE = [
     "q_blocking_recall",
     "q_abtest",
     "q_calibration",
+    # round-7 additions (VERDICT r7 #3: probe the L-level pair-stage reuse
+    # in the DBSCAN hierarchy and the type-bounded KN model join)
+    "q_cross_encoder",
+    "q_dbscan_hierarchy",
+    "q_dbscan_tree",
+    "q_kneser_ney",
+    "q_stream_kneser_ney",
+    # round-8 addition
+    "q_repeated_spans",
 ]
 
 

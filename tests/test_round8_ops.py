@@ -1,0 +1,76 @@
+"""Round-8 operators: variable-length maximal repeated-span inventory."""
+
+from __future__ import annotations
+
+from salesforce_plugin_spark.functions.dedup import repeated_spans, span_dedup
+
+
+def _spans(spark, docs, min_tokens=8):
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    return {
+        (r.doc_id, r.span_start, r.span_tokens, r.span_md5)
+        for r in repeated_spans(
+            df, "doc_id", "text", min_tokens=min_tokens
+        ).collect()
+    }
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_maximal_span_has_true_variable_length(spark):
+    """A 12-token region duplicated across two docs is reported as ONE
+    maximal span of 12 tokens in EACH doc (inventory includes the first
+    occurrence), not as five overlapping 8-token spans."""
+    dup = _words("d", 12)
+    rows = _spans(
+        spark,
+        [(1, dup + " " + _words("x", 9)), (2, _words("y", 9) + " " + dup)],
+    )
+    by_doc = {(d, s, n) for d, s, n, _ in rows}
+    assert by_doc == {(1, 1, 12), (2, 10, 12)}
+    # identical content -> identical span_md5 across occurrences
+    assert len({md5 for *_, md5 in rows}) == 1
+
+
+def test_disjoint_spans_stay_separate(spark):
+    """Two duplicated regions separated by unique tokens produce two rows
+    per doc, each with its own maximal extent."""
+    a, b = _words("a", 8), _words("b", 10)
+    rows = _spans(
+        spark,
+        [
+            (1, a + " " + _words("u", 5) + " " + b),
+            (2, b + " " + _words("v", 5) + " " + a),
+        ],
+    )
+    lens = sorted(n for d, s, n, _ in rows if d == 1)
+    assert lens == [8, 10]
+    assert len(rows) == 4  # two spans x two docs
+
+
+def test_below_min_tokens_not_reported(spark):
+    """A 7-token duplicate is invisible at min_tokens=8."""
+    dup = _words("d", 7)
+    rows = _spans(
+        spark,
+        [(1, dup + " " + _words("x", 9)), (2, _words("y", 9) + " " + dup)],
+    )
+    assert rows == set()
+
+
+def test_consistent_with_span_dedup_removal(spark):
+    """Tokens covered by the inventory in a non-first occurrence are
+    exactly the tokens span_dedup removes (same anchors, same chaining)."""
+    dup = _words("d", 15)
+    docs = [(1, dup + " " + _words("x", 9)), (2, _words("y", 9) + " " + dup)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    removed = {
+        r.doc_id: r.n_removed
+        for r in span_dedup(df, "doc_id", "text", span_tokens=8).collect()
+    }
+    spans = _spans(spark, docs)
+    # doc 2's only span is the 15-token clone; span_dedup removes all 15
+    assert removed == {1: 0, 2: 15}
+    assert (2, 10, 15) in {(d, s, n) for d, s, n, _ in spans}
