@@ -188,6 +188,7 @@ from salesforce_plugin_spark.conformance.text import (  # noqa: F401
     q_hybrid_rrf,
     q_rerank,
     q_cross_encoder,
+    q_distill_quality,
     q_kneser_ney,
     q_collocations,
     q_oov_audit,
@@ -766,6 +767,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_stream_autocorr": q_stream_autocorr,
     # --- round 7 ---
     "q_cross_encoder": q_cross_encoder,
+    "q_distill_quality": q_distill_quality,
     "q_dbscan_hierarchy": q_dbscan_hierarchy,
     "q_dbscan_tree": q_dbscan_tree,
     "q_kneser_ney": q_kneser_ney,

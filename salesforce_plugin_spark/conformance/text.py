@@ -1421,3 +1421,78 @@ def _kneser_ney_oracle() -> str:
 
 
 ORACLES["q_kneser_ney"] = _kneser_ney_oracle()
+
+
+def q_distill_quality(spark, sf_dir):
+    """F5 (round 8): quality-classifier distillation through the
+    cross-encoder Arrow seam (functions/ir.py distill_quality, VERDICT
+    r7 #7): the deterministic teacher (lexical diversity, 10^6-scaled
+    integer) scores only the doc_id % 4 == 0 sample in Python; the
+    2-feature linear student (n_tokens, n_stopwords) is fitted by EXACT
+    normal equations (DECIMAL(38,0) moments, Cramer on exact ints,
+    one int->double conversion per weight) and scores the whole corpus
+    JVM-side as broadcast literals. The oracle replays the teacher, the
+    HUGEINT moments, the same Cramer determinants and the identical
+    double expression tree."""
+    from salesforce_plugin_spark.functions.ir import distill_quality
+
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    return distill_quality(d, "doc_id", "text", sample_mod=4)
+
+
+ORACLES["q_distill_quality"] = r"""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens,
+               CAST(len(regexp_extract_all(lower(text),
+                   '\b(?:the|a|an|and|or|of|to|in|is|it|that|this|for|on|with|as)\b'))
+                   AS BIGINT) AS n_stop
+        FROM documents
+    ), taught AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE (1000000 * len(list_distinct(
+                             regexp_split_to_array(trim(lower(text)), '\s+'))))
+                         // len(regexp_split_to_array(trim(lower(text)), '\s+'))
+               END AS teacher_scaled
+        FROM documents WHERE doc_id % 4 = 0
+    ), m AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(f.n_tokens) AS HUGEINT) AS sx1,
+               CAST(sum(f.n_stop) AS HUGEINT) AS sx2,
+               CAST(sum(t.teacher_scaled) AS HUGEINT) AS sy,
+               CAST(sum(f.n_tokens * f.n_tokens) AS HUGEINT) AS sx1x1,
+               CAST(sum(f.n_stop * f.n_stop) AS HUGEINT) AS sx2x2,
+               CAST(sum(f.n_tokens * f.n_stop) AS HUGEINT) AS sx1x2,
+               CAST(sum(f.n_tokens * t.teacher_scaled) AS HUGEINT) AS sx1y,
+               CAST(sum(f.n_stop * t.teacher_scaled) AS HUGEINT) AS sx2y
+        FROM taught t JOIN feats f USING (doc_id)
+    ), dets AS (
+        SELECT
+            n*(sx1x1*sx2x2 - sx1x2*sx1x2)
+              - sx1*(sx1*sx2x2 - sx1x2*sx2)
+              + sx2*(sx1*sx1x2 - sx1x1*sx2) AS det,
+            sy*(sx1x1*sx2x2 - sx1x2*sx1x2)
+              - sx1*(sx1y*sx2x2 - sx1x2*sx2y)
+              + sx2*(sx1y*sx1x2 - sx1x1*sx2y) AS det0,
+            n*(sx1y*sx2x2 - sx1x2*sx2y)
+              - sy*(sx1*sx2x2 - sx1x2*sx2)
+              + sx2*(sx1*sx2y - sx1y*sx2) AS det1,
+            n*(sx1x1*sx2y - sx1y*sx1x2)
+              - sx1*(sx1*sx2y - sx1y*sx2)
+              + sy*(sx1*sx1x2 - sx1x1*sx2) AS det2
+        FROM m
+    ), w AS (
+        SELECT CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) AS w0,
+               CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS w1,
+               CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS w2
+        FROM dets
+    )
+    SELECT f.doc_id, f.n_tokens, f.n_stop, t.teacher_scaled,
+           round(w.w0 + w.w1 * CAST(f.n_tokens AS DOUBLE)
+                      + w.w2 * CAST(f.n_stop AS DOUBLE), 6) AS student_score
+    FROM feats f
+    CROSS JOIN w
+    LEFT JOIN taught t USING (doc_id)
+"""

@@ -405,3 +405,180 @@ def rerank_cross_encoder(
         F.col("n_hit").cast("int").alias("n_hit"),
         F.col("ce_scaled").cast("long").alias("ce_scaled"),
     ).withColumn("ce_rank", F.row_number().over(w).cast("int"))
+
+
+def default_quality_teacher(texts: list) -> list:
+    """Deterministic stand-in for a learned quality model: lexical
+    diversity as ``floor(10^6 · distinct_tokens / n_tokens)`` over
+    whitespace-lowered tokens (empty text scores 0). Integer-exact, so
+    an oracle can replay it; inject the real model in production — the
+    Spark plan (Arrow batching, sample gating, fit, broadcast scoring)
+    is identical either way, which is what the seam gates."""
+    out = []
+    for text in texts:
+        toks = (text or "").lower().split()
+        out.append(0 if not toks else (10**6 * len(set(toks))) // len(toks))
+    return out
+
+
+def fit_quality_student(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    teacher=None,
+    sample_mod: int = 4,
+) -> dict:
+    """Distill a teacher quality scorer into a 2-feature linear student
+    (VERDICT r7 #7, the distillation half): run the (expensive) teacher
+    on the deterministic sample ``id % sample_mod == 0`` through the
+    Arrow ``mapInPandas`` seam, then fit
+    ``teacher ≈ w0 + w1·n_tokens + w2·n_stopwords`` by exact normal
+    equations: every moment (Σx, Σx², Σxy, …) is a DECIMAL(38,0) sum of
+    per-row products of integer features — exact and associative, so
+    Spark's partial/final aggregation order cannot diverge from a
+    sequential scan — and the 3×3 Cramer solve runs on exact Python
+    ints from the collected 1-row aggregate (same driver-side pattern
+    as operators/validate.py's 1-row collect; the fit state is 9
+    numbers, not data). Weights become plan literals via one
+    int→double conversion per determinant ratio.
+
+    Returns ``{"w0","w1","w2"}`` (floats) plus the exact integer
+    moments under ``"moments"``. Raises on a singular design (constant
+    features on the sample) — loud, not a silent pseudo-inverse.
+
+    Scale: the teacher touches |corpus|/sample_mod rows (raise
+    ``sample_mod`` at scale — the fit needs a statistical sample, not
+    the corpus); everything after the 1-row collect is a broadcast
+    literal. Moment magnitudes are bounded by sample size × feature
+    ranges; DECIMAL(38,0) holds through ~10^12-row samples at 10^3
+    token counts and 10^6-scaled teacher scores — cap the sample far
+    below that.
+    """
+    from salesforce_plugin_spark.functions.text import stopword_count, token_count
+
+    teach = teacher or default_quality_teacher
+    sample = df.filter((F.col(id_col) % sample_mod) == 0).select(
+        F.col(id_col), F.col(text_col)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            y = teach(pdf[text_col].fillna("").tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "__y": y})
+
+    taught = sample.mapInPandas(run, schema=f"{id_col} long, __y long")
+    feats = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("__x1"),
+        stopword_count(F.col(text_col)).cast("long").alias("__x2"),
+    )
+    d38 = "decimal(38,0)"
+    j = taught.join(feats, id_col)
+    x1 = F.col("__x1").cast(d38)
+    x2 = F.col("__x2").cast(d38)
+    y = F.col("__y").cast(d38)
+    row = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("sx1"),
+        F.sum(x2).alias("sx2"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("sx1x1"),
+        F.sum(x2 * x2).alias("sx2x2"),
+        F.sum(x1 * x2).alias("sx1x2"),
+        F.sum(x1 * y).alias("sx1y"),
+        F.sum(x2 * y).alias("sx2y"),
+    ).collect()[0]
+    m = {k: int(row[k]) for k in row.asDict()}
+    n, sx1, sx2, sy = m["n"], m["sx1"], m["sx2"], m["sy"]
+    sx1x1, sx2x2, sx1x2 = m["sx1x1"], m["sx2x2"], m["sx1x2"]
+    sx1y, sx2y = m["sx1y"], m["sx2y"]
+    # normal equations [[n,sx1,sx2],[sx1,sx1x1,sx1x2],[sx2,sx1x2,sx2x2]]
+    # · [w0,w1,w2] = [sy,sx1y,sx2y]; Cramer on exact ints
+    det = (
+        n * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+        - sx1 * (sx1 * sx2x2 - sx1x2 * sx2)
+        + sx2 * (sx1 * sx1x2 - sx1x1 * sx2)
+    )
+    if det == 0:
+        raise ValueError(
+            "fit_quality_student: singular normal equations (constant "
+            "features on the sample) - widen the sample or drop a feature"
+        )
+    det0 = (
+        sy * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+        - sx1 * (sx1y * sx2x2 - sx1x2 * sx2y)
+        + sx2 * (sx1y * sx1x2 - sx1x1 * sx2y)
+    )
+    det1 = (
+        n * (sx1y * sx2x2 - sx1x2 * sx2y)
+        - sy * (sx1 * sx2x2 - sx1x2 * sx2)
+        + sx2 * (sx1 * sx2y - sx1y * sx2)
+    )
+    det2 = (
+        n * (sx1x1 * sx2y - sx1y * sx1x2)
+        - sx1 * (sx1 * sx2y - sx1y * sx2)
+        + sy * (sx1 * sx1x2 - sx1x1 * sx2)
+    )
+    return {
+        "w0": float(det0) / float(det),
+        "w1": float(det1) / float(det),
+        "w2": float(det2) / float(det),
+        "moments": m,
+    }
+
+
+def distill_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    teacher=None,
+    sample_mod: int = 4,
+) -> DataFrame:
+    """Apply the distilled student corpus-wide: fit on the sample (see
+    :func:`fit_quality_student`), then score EVERY document JVM-side
+    with the broadcast literal weights — the teacher's Python cost is
+    paid on 1/sample_mod of the corpus, the student is pure codegen.
+
+    Output (scalar-only): ``(id, n_tokens long, n_stop long,
+    teacher_scaled long|null — sample rows only, student_score double
+    rounded 6dp)``.
+    """
+    from salesforce_plugin_spark.functions.text import stopword_count, token_count
+
+    w = fit_quality_student(df, id_col, text_col, teacher, sample_mod)
+    teach = teacher or default_quality_teacher
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            y = teach(pdf[text_col].fillna("").tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "__y": y})
+
+    taught = (
+        df.filter((F.col(id_col) % sample_mod) == 0)
+        .select(F.col(id_col), F.col(text_col))
+        .mapInPandas(run, schema=f"{id_col} long, __y long")
+    )
+    feats = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        stopword_count(F.col(text_col)).cast("long").alias("n_stop"),
+    )
+    score = (
+        F.lit(w["w0"])
+        + F.lit(w["w1"]) * F.col("n_tokens").cast("double")
+        + F.lit(w["w2"]) * F.col("n_stop").cast("double")
+    )
+    return (
+        feats.join(taught, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.col("n_stop"),
+            F.col("__y").alias("teacher_scaled"),
+            F.round(score, 6).alias("student_score"),
+        )
+    )

@@ -128,6 +128,7 @@ def get_spark(
     app_name: str = "salesforce-plugin-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a session configured for this engine.
 
@@ -149,6 +150,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for key, value in RUNTIME_CONF.items():
+        builder = builder.config(key, value)
+    # static confs (UI, memory) a tool needs at build time — e.g. the
+    # profiler enables the UI for its REST metrics read-out
+    for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

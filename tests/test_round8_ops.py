@@ -74,3 +74,83 @@ def test_consistent_with_span_dedup_removal(spark):
     # doc 2's only span is the 15-token clone; span_dedup removes all 15
     assert removed == {1: 0, 2: 15}
     assert (2, 10, 15) in {(d, s, n) for d, s, n, _ in spans}
+
+
+# --- quality-classifier distillation ---------------------------------------
+
+def test_distill_weights_match_lstsq(spark):
+    """The exact-integer Cramer solve equals numpy's least squares on the
+    same design matrix (to float tolerance)."""
+    import numpy as np
+
+    from salesforce_plugin_spark.functions.ir import (
+        default_quality_teacher,
+        fit_quality_student,
+    )
+    from salesforce_plugin_spark.functions.text import STOPWORDS_RE
+    import re
+
+    docs = [
+        (
+            i,
+            " ".join(f"u{i}{j}" for j in range(3 + i))
+            + " the" * (i % 5)
+            + " of" * ((i * 3) % 7),
+        )
+        for i in range(0, 40)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = fit_quality_student(df, "doc_id", "text", sample_mod=2)
+
+    sample = [(i, t) for i, t in docs if i % 2 == 0]
+    y = default_quality_teacher([t for _, t in sample])
+    X = np.array(
+        [
+            [
+                1.0,
+                len(t.strip().split()),
+                len(re.findall(rf"\b{STOPWORDS_RE}\b", t.lower())),
+            ]
+            for _, t in sample
+        ]
+    )
+    ref, *_ = np.linalg.lstsq(X, np.array(y, dtype=float), rcond=None)
+    assert abs(got["w0"] - ref[0]) < 1e-6 * max(1, abs(ref[0]))
+    assert abs(got["w1"] - ref[1]) < 1e-6 * max(1, abs(ref[1]))
+    assert abs(got["w2"] - ref[2]) < 1e-6 * max(1, abs(ref[2]))
+
+
+def test_distill_singular_design_raises(spark):
+    """Constant features on the sample -> loud raise, no pseudo-inverse."""
+    import pytest
+
+    from salesforce_plugin_spark.functions.ir import fit_quality_student
+
+    df = spark.createDataFrame(
+        [(i, "same text here") for i in range(0, 8)], ["doc_id", "text"]
+    )
+    with pytest.raises(ValueError, match="singular"):
+        fit_quality_student(df, "doc_id", "text", sample_mod=2)
+
+
+def test_distill_scores_whole_corpus(spark):
+    """Every doc gets a student score; teacher_scaled only on the sample."""
+    from salesforce_plugin_spark.functions.ir import distill_quality
+
+    docs = [
+        (
+            i,
+            " ".join(f"w{i}{j}" for j in range(4 + i))
+            + " the" * (i % 3)
+            + " of" * ((i * 2) % 5),
+        )
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {r.doc_id: r for r in distill_quality(
+        df, "doc_id", "text", sample_mod=4
+    ).collect()}
+    assert len(rows) == 12
+    for i, r in rows.items():
+        assert r.student_score is not None
+        assert (r.teacher_scaled is not None) == (i % 4 == 0)
