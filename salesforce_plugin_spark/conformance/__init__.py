@@ -408,6 +408,8 @@ from salesforce_plugin_spark.conformance.streaming import (  # noqa: F401
     q_stream_gram_power,
     q_stream_autocorr,
     q_stream_kneser_ney,
+    q_stream_repeated_spans,
+    q_stream_distill,
     q_stream_theil_sen,
     q_stream_temperature_mix,
     ORACLES as _ORACLES_streaming,
@@ -772,6 +774,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_dbscan_tree": q_dbscan_tree,
     "q_kneser_ney": q_kneser_ney,
     "q_stream_kneser_ney": q_stream_kneser_ney,
+    "q_stream_repeated_spans": q_stream_repeated_spans,
+    "q_stream_distill": q_stream_distill,
 }
 
 
@@ -884,3 +888,6 @@ ORACLES["q_monitoring_capstone"] = (
 ORACLES["q_stream_temperature_mix"] = ORACLES["q_temperature_mix"]
 # streamed additive target-slice bigram counts == one-shot batch KN gate
 ORACLES["q_stream_kneser_ney"] = ORACLES["q_kneser_ney"]
+# round 8: the stream faces replay the batch operators' oracles verbatim
+ORACLES["q_stream_repeated_spans"] = ORACLES["q_repeated_spans"]
+ORACLES["q_stream_distill"] = ORACLES["q_distill_quality"]

@@ -2257,3 +2257,198 @@ def q_stream_kneser_ney(spark, sf_dir):
         "doc_id long, n_bigrams long, n_scored long, kn_bits_x8 long,"
         " milli_bits_per_bigram long",
     )
+
+
+def q_stream_repeated_spans(spark, sf_dir):
+    """F6 × F1 (round 8): the variable-length maximal repeated-span
+    INVENTORY maintained from a stream — anchor-shingle occurrences are
+    a SET (distinct (doc, spos, key)), so the set-union fold (append
+    distinct, dedup on read: associative, commutative AND idempotent —
+    fully replay/overlap safe) accumulates exactly the occ table the
+    batch operator explodes; the read-out replays the batch op's
+    flag → islands → content-hash tail over the summed state and must
+    equal one-shot q_repeated_spans (its oracle VERBATIM)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from salesforce_plugin_spark.functions.text import tokens
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_distinct_set,
+        run_stream_distinct_set,
+    )
+
+    n_anchor = 8
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="conf_stream_spans_")
+    try:
+        src = _slice_to_files(
+            spark,
+            [d.filter(F.col("doc_id") % 3 == i) for i in range(3)],
+            tmp,
+            None,
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+
+        def occ_rows(b):
+            toked = b.select(
+                F.col("doc_id"), tokens(F.col("text")).alias("__toks")
+            )
+            starts = F.sequence(
+                F.lit(1), F.size(F.col("__toks")) - (n_anchor - 1)
+            )
+            occ_structs = F.when(
+                F.size(F.col("__toks")) >= n_anchor,
+                F.transform(
+                    starts,
+                    lambda i: F.struct(
+                        i.alias("spos"),
+                        F.md5(
+                            F.array_join(
+                                F.slice(F.col("__toks"), i, n_anchor), " "
+                            ).cast("binary")
+                        ).alias("key"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<spos:int,key:string>>")
+            )
+            return toked.select(
+                F.col("doc_id"), F.explode(occ_structs).alias("__s")
+            ).select(
+                F.col("doc_id"),
+                F.col("__s.spos").alias("spos"),
+                F.col("__s.key").alias("key"),
+            )
+
+        run_stream_distinct_set(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            cols=["doc_id", "spos", "key"],
+            prepare=occ_rows,
+        )
+        occ = read_distinct_set(spark, state, ["doc_id", "spos", "key"])
+        flagged = occ.withColumn(
+            "__cnt", F.count(F.lit(1)).over(Window.partitionBy("key"))
+        ).filter(F.col("__cnt") > 1)
+        wd = Window.partitionBy("doc_id").orderBy("spos")
+        runs = (
+            flagged.withColumn(
+                "__grp", F.col("spos") - F.row_number().over(wd)
+            )
+            .groupBy("doc_id", "__grp")
+            .agg(
+                F.min("spos").alias("span_start"),
+                (F.max("spos") - F.min("spos") + n_anchor).alias(
+                    "span_tokens"
+                ),
+            )
+            .drop("__grp")
+        )
+        toked = d.select(F.col("doc_id"), tokens(F.col("text")).alias("__toks"))
+        rows = (
+            runs.join(toked, "doc_id")
+            .select(
+                F.col("doc_id"),
+                F.col("span_start"),
+                F.col("span_tokens"),
+                F.md5(
+                    F.array_join(
+                        F.slice(
+                            F.col("__toks"),
+                            F.col("span_start"),
+                            F.col("span_tokens"),
+                        ),
+                        " ",
+                    ).cast("binary")
+                ).alias("span_md5"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, span_start int, span_tokens int, span_md5 string"
+    )
+
+
+def q_stream_distill(spark, sf_dir):
+    """F6 × F5 (round 8): the quality-distillation FIT maintained from a
+    stream — the normal-equation moments are plain integer SUMS of
+    per-sample-row terms (functions/ir.py quality_moment_rows), so the
+    generic additive fold (replay-idempotent ``__b=`` partitions)
+    maintains the fit state across batches with zero new fold code; the
+    read-out solves the same exact-integer Cramer system and scores the
+    batch-loaded corpus with apply_student — the literal plan the batch
+    operator uses — and must equal one-shot q_distill_quality (its
+    oracle VERBATIM). The face a live curation pipeline needs: the
+    student keeps refitting as teacher labels stream in, scoring stays
+    a pure reduction of the summed state."""
+    import os
+    import shutil
+    import tempfile
+
+    from salesforce_plugin_spark.functions.ir import (
+        _solve_student,
+        apply_student,
+        quality_moment_rows,
+    )
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_summed_sums,
+        run_stream_additive_sums,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="conf_stream_distill_")
+    sums = ["x1", "x2", "y", "x1x1", "x2x2", "x1x2", "x1y", "x2y"]
+    try:
+        src = _slice_to_files(
+            spark,
+            [d.filter(F.col("doc_id") % 3 == i) for i in range(3)],
+            tmp,
+            None,
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(tmp, "state")
+        run_stream_additive_sums(
+            stream,
+            state,
+            os.path.join(tmp, "ckpt"),
+            group_cols=["g"],
+            sum_cols=sums,
+            prepare=lambda b: quality_moment_rows(
+                b, "doc_id", "text", sample_mod=4
+            ),
+        )
+        row = read_summed_sums(spark, state, ["g"], sums).collect()[0]
+        m = {"n": int(row["n"])}
+        m.update(
+            {
+                k: int(row[f"sum_{c}"])
+                for c, k in zip(
+                    sums,
+                    ["sx1", "sx2", "sy", "sx1x1", "sx2x2", "sx1x2",
+                     "sx1y", "sx2y"],
+                )
+            }
+        )
+        w = _solve_student(m)
+        rows = apply_student(d, "doc_id", "text", w, sample_mod=4).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, n_tokens long, n_stop long, teacher_scaled long,"
+        " student_score double",
+    )

@@ -491,6 +491,13 @@ def fit_quality_student(
         F.sum(x2 * y).alias("sx2y"),
     ).collect()[0]
     m = {k: int(row[k]) for k in row.asDict()}
+    return _solve_student(m)
+
+
+def _solve_student(m: dict) -> dict:
+    """Cramer's rule on the exact integer moments — shared by the batch
+    fit and the streamed-moments face (the moments are additive, so a
+    replay-idempotent additive fold maintains them exactly)."""
     n, sx1, sx2, sy = m["n"], m["sx1"], m["sx2"], m["sy"]
     sx1x1, sx2x2, sx1x2 = m["sx1x1"], m["sx2x2"], m["sx1x2"]
     sx1y, sx2y = m["sx1y"], m["sx2y"]
@@ -545,9 +552,23 @@ def distill_quality(
     teacher_scaled long|null — sample rows only, student_score double
     rounded 6dp)``.
     """
+    w = fit_quality_student(df, id_col, text_col, teacher, sample_mod)
+    return apply_student(df, id_col, text_col, w, teacher, sample_mod)
+
+
+def apply_student(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: dict,
+    teacher=None,
+    sample_mod: int = 4,
+) -> DataFrame:
+    """Score the corpus with fitted weights (shared by the batch
+    operator and the streamed-moments face, so their outputs are the
+    same plan over the same literals by construction)."""
     from salesforce_plugin_spark.functions.text import stopword_count, token_count
 
-    w = fit_quality_student(df, id_col, text_col, teacher, sample_mod)
     teach = teacher or default_quality_teacher
 
     def run(batches):
@@ -581,4 +602,52 @@ def distill_quality(
             F.col("__y").alias("teacher_scaled"),
             F.round(score, 6).alias("student_score"),
         )
+    )
+
+
+def quality_moment_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    teacher=None,
+    sample_mod: int = 4,
+) -> DataFrame:
+    """Per-sample-row moment terms as LONG columns — the streamed form
+    of :func:`fit_quality_student`'s aggregate: the normal-equation
+    moments are plain sums of these rows, so the generic additive fold
+    (replay-idempotent ``__b=`` partitions) maintains the fit state
+    exactly. Per-row products must fit int64 (|x|·|y| < 2^63 — holds
+    for any real document: 10^6-scaled teacher × 10^12 tokens); the
+    SUMS are what grow with corpus size, and the fold's BIGINT addition
+    bounds them the same way the batch DECIMAL(38,0) path does."""
+    teach = teacher or default_quality_teacher
+    from salesforce_plugin_spark.functions.text import stopword_count, token_count
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            y = teach(pdf[text_col].fillna("").tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "__y": y})
+
+    sample = df.filter((F.col(id_col) % sample_mod) == 0)
+    taught = sample.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        run, schema=f"{id_col} long, __y long"
+    )
+    feats = sample.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("__x1"),
+        stopword_count(F.col(text_col)).cast("long").alias("__x2"),
+    )
+    x1, x2, y = F.col("__x1"), F.col("__x2"), F.col("__y")
+    return taught.join(feats, id_col).select(
+        F.lit(1).alias("g"),
+        x1.alias("x1"),
+        x2.alias("x2"),
+        y.alias("y"),
+        (x1 * x1).alias("x1x1"),
+        (x2 * x2).alias("x2x2"),
+        (x1 * x2).alias("x1x2"),
+        (x1 * y).alias("x1y"),
+        (x2 * y).alias("x2y"),
     )

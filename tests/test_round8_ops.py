@@ -154,3 +154,39 @@ def test_distill_scores_whole_corpus(spark):
     for i, r in rows.items():
         assert r.student_score is not None
         assert (r.teacher_scaled is not None) == (i % 4 == 0)
+
+
+def test_streamed_moments_equal_batch_moments(spark):
+    """Sums of quality_moment_rows (the stream-fold state) equal the
+    batch fit's DECIMAL moments exactly — the invariant that makes
+    q_stream_distill equal q_distill_quality by construction."""
+    import pyspark.sql.functions as F
+
+    from salesforce_plugin_spark.functions.ir import (
+        fit_quality_student,
+        quality_moment_rows,
+    )
+
+    docs = [
+        (
+            i,
+            " ".join(f"u{i}{j}" for j in range(3 + i))
+            + " the" * (i % 5)
+            + " of" * ((i * 3) % 7),
+        )
+        for i in range(0, 32)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    batch = fit_quality_student(df, "doc_id", "text", sample_mod=2)["moments"]
+    mr = quality_moment_rows(df, "doc_id", "text", sample_mod=2)
+    agg = mr.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(c).alias(c) for c in
+          ["x1", "x2", "y", "x1x1", "x2x2", "x1x2", "x1y", "x2y"]],
+    ).collect()[0]
+    assert int(agg["n"]) == batch["n"]
+    for c, k in zip(
+        ["x1", "x2", "y", "x1x1", "x2x2", "x1x2", "x1y", "x2y"],
+        ["sx1", "sx2", "sy", "sx1x1", "sx2x2", "sx1x2", "sx1y", "sx2y"],
+    ):
+        assert int(agg[c]) == batch[k], (c, int(agg[c]), batch[k])
