@@ -756,11 +756,17 @@ def run_stream_active_days(
     """
     import pyspark.sql.functions as F
 
-    def fold(batch, _id: int) -> None:
-        batch.select(
-            F.col(key_col).alias("key"),
-            F.to_date(F.col(ts_col)).alias("day"),
-        ).distinct().write.mode("append").parquet(state_dir)
+    def fold(batch, batch_id: int) -> None:
+        # __b= partition per batch (round 8, parity with the set fold):
+        # storage-idempotent replay + compact_distinct_set eligibility
+        write_batch_partials(
+            batch.select(
+                F.col(key_col).alias("key"),
+                F.to_date(F.col(ts_col)).alias("day"),
+            ).distinct(),
+            state_dir,
+            batch_id,
+        )
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -775,10 +781,12 @@ def run_stream_active_days(
 def read_rolling_distinct(spark, state_dir: str, window_days: int = 7):
     """Trailing-``window_days`` distinct keys per day from the
     accumulated (key, day) set — the same explode/dedup/count plan as
-    the batch operator, over deduped state."""
+    the batch operator, over deduped state. Completes any interrupted
+    compaction first."""
     import pyspark.sql.functions as F
 
-    kd = spark.read.parquet(state_dir).distinct()
+    _recover_compaction(spark, state_dir)
+    kd = spark.read.parquet(state_dir).select("key", "day").distinct()
     exploded = kd.select(
         "key",
         F.explode(
@@ -1104,16 +1112,21 @@ def run_stream_distinct_set(
     :func:`run_stream_active_days` from (key, day) to any column
     tuple: distinct-bearing read-outs (l-diversity counts, vocabulary
     sets, exact distinct keys) reduce from it exactly. ``prepare``
-    maps the raw batch first, inside the fold. State grows by ≤ |set|
-    rows regardless of volume; compact by rewriting the deduped set.
-    Read with :func:`read_distinct_set`.
+    maps the raw batch first, inside the fold. Each batch writes its
+    own ``__b=<id>`` partition (:func:`write_batch_partials`) — round 8
+    moved this fold off flat appends onto the same layout as the
+    additive family, so replays are idempotent at the STORAGE level
+    too (an overlapping replay no longer grows the state by duplicate
+    rows awaiting read-time dedup) and a long-lived stream compacts
+    with :func:`compact_distinct_set` instead of accumulating one file
+    per batch forever. Read with :func:`read_distinct_set`.
     """
     import pyspark.sql.functions as F  # noqa: F401  (parity with siblings)
 
-    def fold(batch, _id: int) -> None:
+    def fold(batch, batch_id: int) -> None:
         rows = prepare(batch) if prepare is not None else batch
-        rows.select(*cols).distinct().write.mode("append").parquet(
-            state_dir
+        write_batch_partials(
+            rows.select(*cols).distinct(), state_dir, batch_id
         )
 
     q = (
@@ -1127,6 +1140,21 @@ def run_stream_distinct_set(
 
 
 def read_distinct_set(spark, state_dir: str, cols: list[str]):
-    """The accumulated set: union of all appended batch projections,
-    deduped (idempotent merge — any replay collapses here)."""
+    """The accumulated set: union of all batch partitions, deduped
+    (idempotent merge — any replay collapses here). Completes any
+    interrupted compaction first."""
+    _recover_compaction(spark, state_dir)
     return spark.read.parquet(state_dir).select(*cols).distinct()
+
+
+def compact_distinct_set(
+    spark, state_dir: str, watermark: int, cols: list[str]
+) -> int:
+    """:func:`compact_batch_partials` with the set-union reduce (the
+    same dedup :func:`read_distinct_set` applies at read time)."""
+    return compact_batch_partials(
+        spark,
+        state_dir,
+        watermark,
+        lambda df: df.select(*cols).distinct(),
+    )

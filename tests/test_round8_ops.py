@@ -190,3 +190,52 @@ def test_streamed_moments_equal_batch_moments(spark):
         ["sx1", "sx2", "sy", "sx1x1", "sx2x2", "sx1x2", "sx1y", "sx2y"],
     ):
         assert int(agg[c]) == batch[k], (c, int(agg[c]), batch[k])
+
+
+def test_distinct_set_fold_partitioned_and_compactable(spark, tmp_path):
+    """Round-8 migration of the set fold onto the __b= layout: per-batch
+    overwrite partitions (storage-idempotent replay), watermark fence,
+    and compact_distinct_set folding everything below the watermark into
+    one deduped base with the set unchanged."""
+    import os
+
+    from salesforce_plugin_spark.streaming.upsert import (
+        compact_distinct_set,
+        read_distinct_set,
+        write_batch_partials,
+    )
+
+    state = str(tmp_path / "state")
+    n_batches = 40
+    for b in range(n_batches):
+        # overlapping sets: batch b carries {b, b+1, b+2} per group
+        rows = spark.createDataFrame(
+            [(g, b + k) for g in ("a", "m") for k in range(3)], ["g", "v"]
+        ).distinct()
+        write_batch_partials(rows, state, b)
+
+    expect = {(g, v) for g in ("a", "m") for v in range(n_batches + 2)}
+    got = {
+        (r.g, r.v)
+        for r in read_distinct_set(spark, state, ["g", "v"]).collect()
+    }
+    assert got == expect
+
+    folded = compact_distinct_set(spark, state, n_batches, ["g", "v"])
+    assert folded == n_batches
+    parts = [d for d in os.listdir(state) if d.startswith("__b=")]
+    assert parts == ["__b=-1"]
+    got2 = {
+        (r.g, r.v)
+        for r in read_distinct_set(spark, state, ["g", "v"]).collect()
+    }
+    assert got2 == expect
+
+    # pre-watermark replay is a no-op (fence), set unchanged
+    replay = spark.createDataFrame([("a", 999_999)], ["g", "v"])
+    write_batch_partials(replay, state, 3)
+    got3 = {
+        (r.g, r.v)
+        for r in read_distinct_set(spark, state, ["g", "v"]).collect()
+    }
+    assert got3 == expect
