@@ -247,8 +247,11 @@ PROBE = [
     "q_dbscan_tree",
     "q_kneser_ney",
     "q_stream_kneser_ney",
-    # round-8 addition
+    # round-8 additions
     "q_repeated_spans",
+    "q_distill_quality",
+    "q_stream_repeated_spans",
+    "q_stream_distill",
 ]
 
 
