@@ -22,7 +22,10 @@ def q_stream_near_dedup(spark, sf_dir):
     import tempfile
     import time as _time
 
-    from salesforce_plugin_spark.streaming.upsert import run_stream_near_dedup
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_near_dedup_assignments,
+        run_stream_near_dedup,
+    )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n = d.agg(F.max("doc_id")).collect()[0][0]
@@ -61,7 +64,7 @@ def q_stream_near_dedup(spark, sf_dir):
             shingle_n=3,
         )
         out = (
-            spark.read.parquet(os.path.join(state, "assign"))
+            read_near_dedup_assignments(spark, state, "doc_id")
             .localCheckpoint(eager=True)  # detach from the tmp path
         )
     finally:

@@ -464,11 +464,20 @@ def run_stream_near_dedup(
     which is what the q_stream_near_dedup gate checks).
 
     State under ``state_dir``: ``bands/`` — the corpus (id, band, bucket)
-    table, APPEND-only (O(bands) rows per document, the only dedup state
-    the pipeline carries); ``assign/`` — the accumulated (id, cluster_id)
-    assignments, also append-only. Per-batch cost is the batch's minhash
-    pipeline plus a touched-bucket semi-join into the bands table —
-    never a corpus rescan.
+    table; ``assign/`` — the accumulated (id, cluster_id) assignments.
+    Both are per-batch ``__b=<id>`` partitions (round 8, parity with the
+    rest of the fold family): a foreachBatch retry OVERWRITES its own
+    slice instead of appending a duplicate, and a replayed batch
+    recomputes the same assignment — the lazily-read corpus may already
+    contain the crashed attempt's band rows, but band rows are a SET and
+    every reduction over them is a MIN, so duplicates cannot change any
+    bucket minimum; prior batches' assignments are immutable under the
+    append-only-id contract either way. Pre-watermark replays are fenced
+    to no-ops. Compact both sides with
+    :func:`compact_distinct_set` (band and assignment rows are sets).
+    Read assignments with :func:`read_near_dedup_assignments`. Per-batch
+    cost is the batch's minhash pipeline plus a touched-bucket semi-join
+    into the bands table — never a corpus rescan.
     """
     import os
 
@@ -484,7 +493,7 @@ def run_stream_near_dedup(
     bands_path = os.path.join(state_dir, "bands")
     assign_path = os.path.join(state_dir, "assign")
 
-    def fold(batch: DataFrame, _id: int) -> None:
+    def fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch_local = batch.localCheckpoint(eager=True)
         new_bands = portable_bands(
@@ -496,7 +505,9 @@ def run_stream_near_dedup(
             bands,
         )
         try:
-            corpus_bands = spark.read.parquet(bands_path)
+            corpus_bands = spark.read.parquet(bands_path).select(
+                id_col, "band", "bucket"
+            )
             exists = True
         except AnalysisException:  # first batch: no state yet — any OTHER
             exists = False          # read failure must raise, not silently
@@ -510,12 +521,15 @@ def run_stream_near_dedup(
             assigned = near_dedup_clusters_portable(
                 batch_local, id_col, text_col, num_hashes, bands, shingle_n
             )
-        # materialize the assignment BEFORE appending the batch's bands:
-        # it reads the pre-append bands table lazily
-        assigned.localCheckpoint(eager=True).write.mode("append").parquet(
-            assign_path
+        # materialize the assignment BEFORE writing the batch's bands:
+        # it reads the pre-write bands table lazily (on a replay the
+        # corpus may already hold this batch's bands — harmless, every
+        # reduction over band rows is a MIN and duplicates can't change
+        # a bucket minimum, but the clean-run order stays deterministic)
+        write_batch_partials(
+            assigned.localCheckpoint(eager=True), assign_path, batch_id
         )
-        new_bands.write.mode("append").parquet(bands_path)
+        write_batch_partials(new_bands, bands_path, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -525,6 +539,22 @@ def run_stream_near_dedup(
     )
     q.awaitTermination()
     return q
+
+
+def read_near_dedup_assignments(spark, state_dir: str, id_col: str):
+    """The accumulated (id, cluster_id) assignments from
+    :func:`run_stream_near_dedup`'s state (projects away the ``__b``
+    partition column; completes any interrupted compaction first).
+    Distinct: a fenced replay can never duplicate a row, but a reader
+    must not depend on that invariant for correctness."""
+    import os
+
+    _recover_compaction(spark, os.path.join(state_dir, "assign"))
+    return (
+        spark.read.parquet(os.path.join(state_dir, "assign"))
+        .select(id_col, "cluster_id")
+        .distinct()
+    )
 
 
 def run_stream_cm(

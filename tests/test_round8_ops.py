@@ -239,3 +239,76 @@ def test_distinct_set_fold_partitioned_and_compactable(spark, tmp_path):
         for r in read_distinct_set(spark, state, ["g", "v"]).collect()
     }
     assert got3 == expect
+
+
+def test_near_dedup_stream_state_replay_idempotent(spark, tmp_path):
+    """Round-8 migration of the near-dedup band/assign state onto __b=
+    partitions: re-folding the last batch (a foreachBatch retry AFTER its
+    state was durably written — the worst replay point) overwrites its
+    own slice and leaves the accumulated assignments byte-identical."""
+    import os
+
+    from salesforce_plugin_spark.functions.dedup import (
+        near_dedup_apply,
+        near_dedup_clusters_portable,
+    )
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_near_dedup_assignments,
+        run_stream_near_dedup,
+        write_batch_partials,
+    )
+
+    b1 = [(1, "alpha beta gamma delta one"), (2, "zeta eta theta iota two")]
+    b2 = [(10, "alpha beta gamma delta one"), (11, "unique text here three")]
+    state = str(tmp_path / "state")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate((b1, b2)):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        part = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(part)
+        pf = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        os.rename(os.path.join(part, pf), os.path.join(src, f"b-{i}.parquet"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_near_dedup(
+        stream, state, str(tmp_path / "ckpt"),
+        id_col="doc_id", text_col="text",
+        num_hashes=8, bands=2, shingle_n=3,
+    )
+    before = sorted(
+        map(tuple,
+            read_near_dedup_assignments(spark, state, "doc_id").collect())
+    )
+
+    # retry of batch 1 (the b2 slice), with its own state already present
+    batch = spark.createDataFrame(b2, "doc_id long, text string")
+    corpus_bands = spark.read.parquet(os.path.join(state, "bands")).select(
+        "doc_id", "band", "bucket"
+    )
+    assigned, new_bands = near_dedup_apply(
+        corpus_bands, batch, "doc_id", "text",
+        num_hashes=8, bands=2, shingle_n=3,
+    )
+    write_batch_partials(assigned, os.path.join(state, "assign"), 1)
+    write_batch_partials(new_bands, os.path.join(state, "bands"), 1)
+
+    after = sorted(
+        map(tuple,
+            read_near_dedup_assignments(spark, state, "doc_id").collect())
+    )
+    assert after == before
+    # and still equal to the from-scratch full run
+    full = near_dedup_clusters_portable(
+        spark.createDataFrame(b1 + b2, "doc_id long, text string"),
+        "doc_id", "text", num_hashes=8, bands=2, shingle_n=3,
+    )
+    assert after == sorted(map(tuple, full.collect()))
+    # per-batch partitions, not flat files
+    assert all(
+        d.startswith("__b=") or d.startswith("_")
+        for d in os.listdir(os.path.join(state, "bands"))
+    )

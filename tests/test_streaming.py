@@ -376,8 +376,12 @@ def test_stream_near_dedup_accumulates_full_equivalence(spark, tmp_path):
         id_col="doc_id", text_col="text",
         num_hashes=8, bands=2, shingle_n=3,
     )
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_near_dedup_assignments,
+    )
+
     got = sorted(
-        map(tuple, spark.read.parquet(os.path.join(state, "assign")).collect())
+        map(tuple, read_near_dedup_assignments(spark, state, "doc_id").collect())
     )
     full = near_dedup_clusters_portable(
         spark.createDataFrame(b1 + b2, "doc_id long, text string"),
