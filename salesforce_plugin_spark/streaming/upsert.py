@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame, Window
 _COMPACT_MANIFEST = "_compact_manifest.json"   # durable intent record
 _COMPACT_WATERMARK = "_compacted_below.json"   # durable replay fence
 _COMPACT_TMP = ".compact_tmp"                  # hidden from scans ('.')
+_CARRY_POINTER = "_carry_current.json"         # fenced-carry commit pointer
 
 _legacy_checked: set[str] = set()
 
@@ -282,6 +283,91 @@ def compact_max_registers(
             F.max("m_j").alias("m_j")
         ),
     )
+
+
+# --- fenced-carry protocol (order-dependent one-row-per-key state) -----
+#
+# The additive/SET folds above are safe under replay because each batch
+# OWNS a state slice (its ``__b=`` partition). The CUSUM and
+# inter-arrival faces cannot use that layout: their state is a single
+# carry row per key that every batch REWRITES, so a ``foreachBatch``
+# retry after a crash between the carry overwrite and the streaming
+# checkpoint commit would fold the same batch into an
+# already-advanced carry — double-counting. The fix is a versioned
+# carry with a durable pointer acting as the replay fence:
+#
+#   1. fold reads the pointer; a batch id ≤ pointer is a NO-OP (its
+#      outputs and carry are already durable);
+#   2. the new carry is written to its own ``__c=<batch_id>`` dir
+#      (overwrite — a retry rewrites the identical content, because
+#      the fold is a deterministic function of (committed carry,
+#      replayed batch));
+#   3. the pointer flips to <batch_id> (the commit point);
+#   4. stale ``__c=`` versions are garbage-collected.
+#
+# A crash at any step leaves either the old pointer (replay recomputes
+# from the old carry and overwrites steps 2-4 idempotently) or the new
+# pointer (replay is fenced at step 1). Any per-batch OUTPUT rows
+# (e.g. CUSUM alarms) must be written via :func:`write_batch_partials`
+# BEFORE step 3, so a fenced replay can skip without losing them.
+
+
+def carry_folded_through(spark, state_dir: str) -> int:
+    """The durable fence: the highest batch id whose fold has been
+    committed into the carry at ``state_dir`` (−1 = never)."""
+    meta = _read_json(spark, os.path.join(state_dir, _CARRY_POINTER))
+    return int(meta["batch_id"]) if meta else -1
+
+
+def read_current_carry(spark, state_dir: str) -> DataFrame | None:
+    """The last COMMITTED carry (None before the first commit). A
+    state dir holding flat top-level files — the pre-fence overwrite
+    layout, or corruption — raises with the migration step instead of
+    silently reinitializing (discarding state)."""
+    fs, root, _ = _fs(spark, state_dir)
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith(("_", ".")):
+                raise ValueError(
+                    f"carry state_dir {state_dir!r} holds flat files "
+                    f"(e.g. {name!r}) from the pre-fence overwrite "
+                    "layout (or is corrupt); the __c=<batch_id> layout "
+                    "cannot coexist with them. Migrate once: read the "
+                    "old carry, commit_carry(df, new_dir, last_batch_id) "
+                    "into a fresh dir — see MIGRATION.md."
+                )
+    last = carry_folded_through(spark, state_dir)
+    if last < 0:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, f"__c={last}"))
+
+
+def commit_carry(carry: DataFrame, state_dir: str, batch_id: int) -> None:
+    """Commit a fold's new carry: write ``__c=<batch_id>`` (overwrite,
+    retry-idempotent), flip the pointer (the commit point), GC stale
+    versions. The caller must have written any per-batch output rows
+    first — after the pointer flips, a replay of this batch id is a
+    no-op."""
+    spark = carry.sparkSession
+    carry.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"__c={int(batch_id)}")
+    )
+    _write_json(
+        spark,
+        os.path.join(state_dir, _CARRY_POINTER),
+        {"batch_id": int(batch_id)},
+    )
+    fs, root, jvm = _fs(spark, state_dir)
+    hp = jvm.org.apache.hadoop.fs.Path
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if (
+            st.isDirectory()
+            and name.startswith("__c=")
+            and int(name[len("__c="):]) != int(batch_id)
+        ):
+            fs.delete(hp(os.path.join(state_dir, name)), True)
 
 
 def _assert_integral_sum_cols(df: DataFrame, sum_cols: list[str]) -> None:
@@ -565,22 +651,27 @@ def run_stream_cm(
     width: int = 256,
     depth: int = 4,
 ):
-    """Streaming count-min maintenance: each micro-batch's sketch grid is
-    APPENDED under ``state_dir``; because a count-min sketch is purely
-    additive (union of sketches = element-wise sum of grids), the summed
-    accumulated state is bit-identical to one batch sketch over
-    everything streamed so far — the equivalence q_stream_heavy_hitters
-    gates. Per-batch cost is one depth×width-bounded aggregate; state
-    grows by ≤ depth·width rows per batch and is re-compacted by the
-    reader's sum (compact by rewriting the summed grid when batch count
-    grows large). Read the current grid with :func:`read_cm_state`.
+    """Streaming count-min maintenance: each micro-batch's sketch grid
+    lands in its own ``__b=<batch_id>`` partition under ``state_dir``
+    (:func:`write_batch_partials` — round 9: off the flat append, so a
+    ``foreachBatch`` retry OVERWRITES its own slice instead of
+    appending a duplicate grid the reader's sum would double-count);
+    because a count-min sketch is purely additive (union of sketches =
+    element-wise sum of grids), the summed accumulated state is
+    bit-identical to one batch sketch over everything streamed so far —
+    the equivalence q_stream_heavy_hitters gates. Per-batch cost is one
+    depth×width-bounded aggregate; state grows by ≤ depth·width rows
+    per batch; compact with :func:`compact_cm_state`. Read the current
+    grid with :func:`read_cm_state`.
     """
     from salesforce_plugin_spark.functions.sketch import cm_sketch
 
-    def fold(batch: DataFrame, _id: int) -> None:
-        cm_sketch(batch, value_col, width=width, depth=depth).write.mode(
-            "append"
-        ).parquet(state_dir)
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        write_batch_partials(
+            cm_sketch(batch, value_col, width=width, depth=depth),
+            state_dir,
+            batch_id,
+        )
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -593,14 +684,30 @@ def run_stream_cm(
 
 
 def read_cm_state(spark, state_dir: str) -> DataFrame:
-    """Sum the appended per-batch count-min grids into the current
-    sketch — ≤ depth·width rows out, partial-combined map-side."""
+    """Sum the accumulated per-batch count-min grids into the current
+    sketch — ≤ depth·width rows out, partial-combined map-side.
+    Completes any interrupted compaction first."""
     import pyspark.sql.functions as F
 
+    _recover_compaction(spark, state_dir)
     return (
         spark.read.parquet(state_dir)
         .groupBy("row", "bucket")
         .agg(F.sum("n").alias("n"))
+    )
+
+
+def compact_cm_state(spark, state_dir: str, watermark: int) -> int:
+    """:func:`compact_batch_partials` with the count-min grid's
+    element-wise-sum reduce (the merge :func:`read_cm_state` applies
+    at read time)."""
+    return compact_batch_partials(
+        spark,
+        state_dir,
+        watermark,
+        lambda df: df.groupBy("row", "bucket").agg(
+            F.sum("n").alias("n")
+        ),
     )
 
 
@@ -614,21 +721,26 @@ def run_stream_histogram(
     n_bins: int = 1024,
 ):
     """Streaming quantile-sketch maintenance: each micro-batch's bounded
-    histogram is APPENDED under ``state_dir``; histograms are purely
-    additive (union = element-wise sum), so the summed state is
-    bit-identical to one batch histogram over everything streamed —
-    the equivalence q_stream_quantiles gates against the batch
-    oracle. Per-batch cost: one ≤ n_bins-row aggregate; state grows
-    ≤ n_bins rows per batch (compact by rewriting the summed counts
-    when batch count grows large). Read with
+    histogram lands in its own ``__b=<batch_id>`` partition
+    (:func:`write_batch_partials` — round 9: off the flat append, so a
+    ``foreachBatch`` retry overwrites its own slice instead of
+    appending a duplicate the reader's sum would double-count);
+    histograms are purely additive (union = element-wise sum), so the
+    summed state is bit-identical to one batch histogram over
+    everything streamed — the equivalence q_stream_quantiles gates
+    against the batch oracle. Per-batch cost: one ≤ n_bins-row
+    aggregate; state grows ≤ n_bins rows per batch; compact with
+    :func:`compact_histogram_state`. Read with
     :func:`read_histogram_state`, elect quantiles with
     ``sketch.quantiles_from_counts``."""
     from salesforce_plugin_spark.functions.sketch import histogram_counts
 
-    def fold(batch: DataFrame, _id: int) -> None:
-        histogram_counts(batch, value_col, lo, hi, n_bins).write.mode(
-            "append"
-        ).parquet(state_dir)
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        write_batch_partials(
+            histogram_counts(batch, value_col, lo, hi, n_bins),
+            state_dir,
+            batch_id,
+        )
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -641,14 +753,28 @@ def run_stream_histogram(
 
 
 def read_histogram_state(spark, state_dir: str) -> DataFrame:
-    """Sum appended per-batch histograms into the current sketch —
-    ≤ n_bins rows out, partial-combined map-side."""
+    """Sum the accumulated per-batch histograms into the current
+    sketch — ≤ n_bins rows out, partial-combined map-side. Completes
+    any interrupted compaction first."""
     import pyspark.sql.functions as F
 
+    _recover_compaction(spark, state_dir)
     return (
         spark.read.parquet(state_dir)
         .groupBy("bin")
         .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def compact_histogram_state(spark, state_dir: str, watermark: int) -> int:
+    """:func:`compact_batch_partials` with the histogram's bin-wise-sum
+    reduce (the merge :func:`read_histogram_state` applies at read
+    time)."""
+    return compact_batch_partials(
+        spark,
+        state_dir,
+        watermark,
+        lambda df: df.groupBy("bin").agg(F.sum("cnt").alias("cnt")),
     )
 
 
@@ -678,20 +804,30 @@ def run_stream_cusum(
 
     REQUIRES batches in per-key observation order (time-sliced files
     with ascending mtimes, the SCD2 stream contract — an out-of-order
-    row would need a rebuild from its timestamp forward). Alarms rows
-    append to ``out_dir``; carry is localCheckpoint'ed before the
-    overwrite because Spark refuses to overwrite a lazily-read path.
+    row would need a rebuild from its timestamp forward).
+
+    Replay safety (round 9): the carry goes through the fenced-carry
+    protocol (:func:`commit_carry`) — a ``foreachBatch`` retry of an
+    already-committed batch id is a no-op instead of folding the batch
+    into an already-advanced carry (double-count); a retry of an
+    UNcommitted batch recomputes deterministically from the committed
+    carry and overwrites its own outputs. Alarm rows land in per-batch
+    ``__b=<batch_id>`` partitions under ``out_dir``
+    (:func:`write_batch_partials`, written BEFORE the carry commits),
+    so a retry overwrites its own alarm slice instead of appending
+    duplicates.
     """
     import pyspark.sql.functions as F
-    from pyspark.errors import AnalysisException
     from pyspark.sql import Window
 
     tiebreaks = tiebreak_cols or []
 
-    def fold(batch, _id: int) -> None:
+    def fold(batch, batch_id: int) -> None:
         if not batch.take(1):
             return
         spark = batch.sparkSession
+        if int(batch_id) <= carry_folded_through(spark, state_dir):
+            return  # fenced replay: alarms + carry already durable
         order = [F.col(ts_col), F.col(value_col)] + [
             F.col(c) for c in tiebreaks
         ]
@@ -708,11 +844,9 @@ def run_stream_cusum(
             *[F.col(c) for c in tiebreaks],
             F.sum(dev).over(w).alias("__lc"),
         ).withColumn("__lm", F.min("__lc").over(w))
-        try:
-            carry = spark.read.parquet(state_dir).localCheckpoint(eager=True)
-        except AnalysisException:  # first batch: no state yet — any OTHER
-            # read failure (corrupt parquet, permissions, transient FS)
-            # must raise, not silently reinitialize and discard state
+        carry = read_current_carry(spark, state_dir)
+        if carry is None:  # first batch; a corrupt/legacy state dir
+            # raises inside read_current_carry, never reinitializes
             carry = spark.createDataFrame(
                 [],
                 local.select(*key_cols).schema.add("__ccum", "long").add(
@@ -732,14 +866,23 @@ def run_stream_cusum(
             cum.alias("__cum"),
             m.alias("__m"),
         )
-        joined.select(
-            *key_cols,
-            ts_col,
-            value_col,
-            *tiebreaks,
-            (F.col("__cum") - F.col("__m")).alias("cusum"),
-            ((F.col("__cum") - F.col("__m")) > threshold).alias("alarm"),
-        ).write.mode("append").parquet(out_dir)
+        # alarms first (idempotent per-batch overwrite), THEN the
+        # carry commit flips the fence — a replay after the flip can
+        # skip safely because both are already durable
+        write_batch_partials(
+            joined.select(
+                *key_cols,
+                ts_col,
+                value_col,
+                *tiebreaks,
+                (F.col("__cum") - F.col("__m")).alias("cusum"),
+                ((F.col("__cum") - F.col("__m")) > threshold).alias(
+                    "alarm"
+                ),
+            ),
+            out_dir,
+            batch_id,
+        )
         new_carry = (
             joined.groupBy(*key_cols)
             .agg(
@@ -752,9 +895,8 @@ def run_stream_cusum(
                 ).alias("__last")
             )
             .select(*key_cols, "__last.__ccum", "__last.__cm")
-            .localCheckpoint(eager=True)
         )
-        new_carry.write.mode("overwrite").parquet(state_dir)
+        commit_carry(new_carry, state_dir, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -852,13 +994,21 @@ def run_stream_interarrival(
     carry's ``last_us``. REQUIRES time-sliced batches in ascending
     order (the SCD2/CUSUM stream contract). State is one row per key
     regardless of stream length.
-    """
-    from pyspark.errors import AnalysisException
 
-    def fold(batch, _id: int) -> None:
+    Replay safety (round 9): the carry goes through the fenced-carry
+    protocol (:func:`commit_carry`) — a ``foreachBatch`` retry of an
+    already-committed batch id is a no-op instead of re-merging the
+    batch's gaps into an already-advanced carry (double-count); a
+    retry of an UNcommitted batch recomputes deterministically from
+    the committed carry.
+    """
+
+    def fold(batch, batch_id: int) -> None:
         if not batch.take(1):
             return
         spark = batch.sparkSession
+        if int(batch_id) <= carry_folded_through(spark, state_dir):
+            return  # fenced replay: carry already durable
         us = F.unix_micros(F.col(ts_col))
         w = Window.partitionBy(*key_cols).orderBy(us)
         gap = us - F.lag(us).over(w)
@@ -876,13 +1026,9 @@ def run_stream_interarrival(
                 F.max("__gap").alias("__mx"),
             )
         )
-        try:
-            carry = spark.read.parquet(state_dir).localCheckpoint(
-                eager=True
-            )
-        except AnalysisException:  # first batch: no state yet — any
-            # OTHER read failure (corrupt parquet, permissions,
-            # transient FS) must raise, not silently reinitialize
+        carry = read_current_carry(spark, state_dir)
+        if carry is None:  # first batch; a corrupt/legacy state dir
+            # raises inside read_current_carry, never reinitializes
             carry = spark.createDataFrame(
                 [],
                 local.select(*key_cols)
@@ -917,8 +1063,8 @@ def run_stream_interarrival(
             F.greatest(F.col("max_us"), F.col("__mx"), boundary).alias(
                 "max_us"
             ),
-        ).localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(state_dir)
+        )
+        commit_carry(merged, state_dir, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -932,8 +1078,15 @@ def run_stream_interarrival(
 
 def read_interarrival_state(spark, state_dir: str) -> DataFrame:
     """Project the accumulated carry into interarrival_stats' output
-    shape (keys with at least one gap)."""
-    s = spark.read.parquet(state_dir).filter(F.col("n_gaps") > 0)
+    shape (keys with at least one gap). Reads the last COMMITTED
+    carry version (the fenced-carry protocol)."""
+    s = read_current_carry(spark, state_dir)
+    if s is None:
+        raise ValueError(
+            f"no committed inter-arrival carry under {state_dir!r} "
+            "(stream never folded a batch)"
+        )
+    s = s.filter(F.col("n_gaps") > 0)
     return s.select(
         *[c for c in s.columns if c not in (
             "last_us", "n_gaps", "sum_us", "min_us", "max_us")],

@@ -1,0 +1,317 @@
+"""Round-9 verdict item 1: the four stream faces that were still
+exactly-once-only are now at-least-once-safe — run_stream_cm and
+run_stream_histogram moved onto the ``__b=`` per-batch-partition
+protocol, run_stream_cusum and run_stream_interarrival onto the
+fenced-carry protocol (versioned ``__c=`` carry + durable pointer).
+Each test folds the same batch ids TWICE (a full fresh-checkpoint
+replay of the stream — the worst-case foreachBatch retry storm) and
+asserts the state and outputs are value-identical to the single run."""
+
+import datetime as dt
+import os
+import time as _time
+
+import pyspark.sql.functions as F
+
+
+def _write_sliced_source(df, src, slices):
+    """Write each slice as one parquet file with ascending mtimes so
+    maxFilesPerTrigger=1 + availableNow yields deterministic batch
+    ids in observation order."""
+    os.makedirs(src, exist_ok=True)
+    now = _time.time()
+    for i, sl in enumerate(slices):
+        part = src + f"_stage{i}"
+        sl.coalesce(1).write.mode("overwrite").parquet(part)
+        pf = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(part, pf), dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+
+def _batch_dirs(state):
+    return sorted(
+        int(n.split("=")[1])
+        for n in os.listdir(state)
+        if n.startswith("__b=")
+    )
+
+
+def _events(spark):
+    rows = [
+        ("k%d" % (i % 3), dt.datetime(2024, 1, 1, 0, 0, i), i, (i * 7) % 13)
+        for i in range(24)
+    ]
+    return spark.createDataFrame(
+        rows, "k string, ts timestamp, id long, v long"
+    )
+
+
+def _stream(spark, src, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def test_stream_cm_replay_idempotent(spark, tmp_path):
+    """A full replay of every batch id (fresh checkpoint, same state
+    dir) leaves the summed count-min grid identical: each retry
+    overwrites its own __b= slice instead of appending a duplicate."""
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_cm_state,
+        run_stream_cm,
+    )
+
+    df = _events(spark)
+    src = str(tmp_path / "src")
+    _write_sliced_source(
+        df, src, [df.filter("id < 8"), df.filter("id >= 8 and id < 16"),
+                  df.filter("id >= 16")]
+    )
+    state = str(tmp_path / "state")
+    schema = "k string, ts timestamp, id long, v long"
+    run_stream_cm(
+        _stream(spark, src, schema), state, str(tmp_path / "ck1"), "k"
+    )
+    once = {
+        (r.row, r.bucket): r.n
+        for r in read_cm_state(spark, state).collect()
+    }
+    layout_once = _batch_dirs(state)
+    # replay: fresh checkpoint re-delivers batch ids 0..2 to the SAME
+    # state dir — the foreachBatch retry storm
+    run_stream_cm(
+        _stream(spark, src, schema), state, str(tmp_path / "ck2"), "k"
+    )
+    twice = {
+        (r.row, r.bucket): r.n
+        for r in read_cm_state(spark, state).collect()
+    }
+    assert twice == once
+    assert _batch_dirs(state) == layout_once == [0, 1, 2]
+
+
+def test_stream_histogram_replay_idempotent(spark, tmp_path):
+    from salesforce_plugin_spark.streaming.upsert import (
+        read_histogram_state,
+        run_stream_histogram,
+    )
+
+    df = _events(spark)
+    src = str(tmp_path / "src")
+    _write_sliced_source(df, src, [df.filter("id < 12"), df.filter("id >= 12")])
+    state = str(tmp_path / "state")
+    schema = "k string, ts timestamp, id long, v long"
+    run_stream_histogram(
+        _stream(spark, src, schema), state, str(tmp_path / "ck1"),
+        "v", lo=0.0, hi=13.0, n_bins=16,
+    )
+    once = {
+        r.bin: r.cnt for r in read_histogram_state(spark, state).collect()
+    }
+    run_stream_histogram(
+        _stream(spark, src, schema), state, str(tmp_path / "ck2"),
+        "v", lo=0.0, hi=13.0, n_bins=16,
+    )
+    twice = {
+        r.bin: r.cnt for r in read_histogram_state(spark, state).collect()
+    }
+    assert twice == once
+    assert sum(twice.values()) == 24  # every event counted exactly once
+    assert _batch_dirs(state) == [0, 1]
+
+
+def test_stream_cusum_replay_fenced(spark, tmp_path):
+    """Replaying all batch ids against the committed carry is a no-op:
+    the pointer fences each id, alarm partitions stay single-copy, and
+    both alarms and carry are value-identical to the single run (which
+    itself equals the one-shot batch oracle — the existing gate)."""
+    from salesforce_plugin_spark.streaming.upsert import (
+        carry_folded_through,
+        run_stream_cusum,
+    )
+
+    df = _events(spark)
+    src = str(tmp_path / "src")
+    _write_sliced_source(
+        df, src, [df.filter("id < 8"), df.filter("id >= 8 and id < 16"),
+                  df.filter("id >= 16")]
+    )
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    schema = "k string, ts timestamp, id long, v long"
+    kwargs = dict(
+        key_cols=["k"], ts_col="ts", value_col="v",
+        target=5, slack=1, threshold=6, tiebreak_cols=["id"],
+    )
+    run_stream_cusum(
+        _stream(spark, src, schema), out, state, str(tmp_path / "ck1"),
+        **kwargs,
+    )
+    alarms_once = sorted(
+        (r.k, r.ts, r.v, r.id, r.cusum, r.alarm)
+        for r in spark.read.parquet(out).collect()
+    )
+    carry_once = sorted(
+        map(tuple, spark.read.parquet(state + "/__c=2").collect())
+    )
+    assert carry_folded_through(spark, state) == 2
+    run_stream_cusum(
+        _stream(spark, src, schema), out, state, str(tmp_path / "ck2"),
+        **kwargs,
+    )
+    alarms_twice = sorted(
+        (r.k, r.ts, r.v, r.id, r.cusum, r.alarm)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert alarms_twice == alarms_once and len(alarms_once) == 24
+    assert sorted(
+        map(tuple, spark.read.parquet(state + "/__c=2").collect())
+    ) == carry_once
+    assert carry_folded_through(spark, state) == 2
+    assert _batch_dirs(out) == [0, 1, 2]
+    # exactly one carry version survives (GC of stale __c= dirs)
+    assert [n for n in os.listdir(state) if n.startswith("__c=")] == [
+        "__c=2"
+    ]
+
+
+def test_stream_interarrival_replay_fenced(spark, tmp_path):
+    from salesforce_plugin_spark.streaming.upsert import (
+        carry_folded_through,
+        read_interarrival_state,
+        run_stream_interarrival,
+    )
+
+    df = _events(spark)
+    src = str(tmp_path / "src")
+    _write_sliced_source(df, src, [df.filter("id < 12"), df.filter("id >= 12")])
+    state = str(tmp_path / "state")
+    schema = "k string, ts timestamp, id long, v long"
+    run_stream_interarrival(
+        _stream(spark, src, schema), state, str(tmp_path / "ck1"),
+        ["k"], "ts",
+    )
+    once = sorted(
+        map(tuple, read_interarrival_state(spark, state).collect())
+    )
+    assert carry_folded_through(spark, state) == 1
+    run_stream_interarrival(
+        _stream(spark, src, schema), state, str(tmp_path / "ck2"),
+        ["k"], "ts",
+    )
+    twice = sorted(
+        map(tuple, read_interarrival_state(spark, state).collect())
+    )
+    assert twice == once and len(once) == 3
+    # 24 events over 3 keys in per-second steps: 7 gaps per key after
+    # the batch-boundary gap closes — double-fold would inflate n_gaps
+    n_gaps = {r[0]: r[1] for r in once}
+    assert n_gaps == {"k0": 7, "k1": 7, "k2": 7}
+
+
+def test_fenced_carry_protocol_crash_points(spark, tmp_path):
+    """The commit_carry write-ahead order recovers from a crash at
+    every step: an uncommitted __c= version (crash between carry
+    write and pointer flip) is invisible to readers and overwritten
+    by the retry; a committed pointer fences; stale versions GC."""
+    from salesforce_plugin_spark.streaming.upsert import (
+        carry_folded_through,
+        commit_carry,
+        read_current_carry,
+    )
+
+    state = str(tmp_path / "carry")
+    assert carry_folded_through(spark, state) == -1
+    assert read_current_carry(spark, state) is None
+
+    c0 = spark.createDataFrame([("k", 10)], "k string, cum long")
+    commit_carry(c0, state, 0)
+    assert carry_folded_through(spark, state) == 0
+
+    # crash point: batch 1's carry written, pointer NOT flipped
+    spark.createDataFrame(
+        [("k", 999)], "k string, cum long"
+    ).write.parquet(state + "/__c=1")
+    got = read_current_carry(spark, state).collect()
+    assert [(r.k, r.cum) for r in got] == [("k", 10)]  # still batch 0's
+
+    # the retry of batch 1 recomputes (here: the correct value) and
+    # commits — overwriting the crashed attempt's version
+    commit_carry(
+        spark.createDataFrame([("k", 25)], "k string, cum long"), state, 1
+    )
+    assert carry_folded_through(spark, state) == 1
+    assert [(r.k, r.cum) for r in read_current_carry(spark, state).collect()] == [
+        ("k", 25)
+    ]
+    # stale __c=0 garbage-collected; only the committed version remains
+    assert [n for n in os.listdir(state) if n.startswith("__c=")] == [
+        "__c=1"
+    ]
+
+
+def test_fenced_carry_legacy_flat_state_raises(spark, tmp_path):
+    """A carry dir holding pre-fence flat parquet files must raise
+    with the migration step, not silently reinitialize (the
+    test_stream_state_read_errors_propagate invariant, preserved
+    across the layout change)."""
+    import pytest
+
+    from salesforce_plugin_spark.streaming.upsert import read_current_carry
+
+    state = tmp_path / "legacy"
+    state.mkdir()
+    (state / "part-000.parquet").write_bytes(b"not parquet")
+    with pytest.raises(ValueError, match="pre-fence overwrite layout"):
+        read_current_carry(spark, str(state))
+
+
+def test_cm_histogram_compaction(spark, tmp_path):
+    """The new compact wrappers fold the grid/histogram partitions
+    below the watermark into __b=-1 with identical read-outs."""
+    from salesforce_plugin_spark.functions.sketch import (
+        cm_sketch,
+        histogram_counts,
+    )
+    from salesforce_plugin_spark.streaming.upsert import (
+        compact_cm_state,
+        compact_histogram_state,
+        read_cm_state,
+        read_histogram_state,
+        write_batch_partials,
+    )
+
+    df = _events(spark)
+    cm_state = str(tmp_path / "cm")
+    for b in range(3):
+        write_batch_partials(
+            cm_sketch(df.filter(f"id % 3 = {b}"), "k"), cm_state, b
+        )
+    before = {
+        (r.row, r.bucket): r.n
+        for r in read_cm_state(spark, cm_state).collect()
+    }
+    assert compact_cm_state(spark, cm_state, 3) == 3
+    after = {
+        (r.row, r.bucket): r.n
+        for r in read_cm_state(spark, cm_state).collect()
+    }
+    assert after == before
+    assert _batch_dirs(cm_state) == [-1]
+
+    h_state = str(tmp_path / "hist")
+    for b in range(3):
+        write_batch_partials(
+            histogram_counts(
+                df.filter(f"id % 3 = {b}"), "v", 0.0, 13.0, 16
+            ),
+            h_state,
+            b,
+        )
+    hb = {r.bin: r.cnt for r in read_histogram_state(spark, h_state).collect()}
+    assert compact_histogram_state(spark, h_state, 3) == 3
+    ha = {r.bin: r.cnt for r in read_histogram_state(spark, h_state).collect()}
+    assert ha == hb and sum(ha.values()) == 24
+    assert _batch_dirs(h_state) == [-1]
