@@ -116,6 +116,10 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # same-box single-node columnar reference point for the BASELINE 2×
+    # criterion; see SCALE.md "Bench vs single-node columnar baseline"
+    # for why the gap is fixed per-query cost
+    duck = _duckdb_baseline(sf_dir)
     print(
         json.dumps(
             {
@@ -128,11 +132,27 @@ def main() -> None:
                 "loadavg_before": load_before,
                 "loadavg_after": _loadavg(),
                 "query_load1": query_load1,
-                # same-box single-node columnar reference point for the
-                # BASELINE 2× criterion; see SCALE.md "Bench vs single-node
-                # columnar baseline" for why the gap is fixed per-query cost
-                "duckdb_oracle": _duckdb_baseline(sf_dir),
+                "duckdb_oracle": duck,
             }
+        )
+    )
+    # The LAST stdout line is a compact contract-only object (metric/
+    # value/unit/queries/sf + the DuckDB total) small enough to survive
+    # the driver's 2,000-char tail capture intact — BENCH_r08.json's
+    # "parsed": null happened because the full diagnostic line above
+    # exceeds the tail and loses its head (including Spark's total).
+    sys.stdout.flush()
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "duckdb_total": duck.get("total"),
+            },
+            separators=(",", ":"),
         )
     )
 
