@@ -1450,13 +1450,20 @@ ORACLES["q_distill_quality"] = r"""
                    AS BIGINT) AS n_stop
         FROM documents
     ), taught AS (
+        -- replicates the Python teacher's text.lower().split() EXACTLY:
+        -- split on \s+ and drop empty tokens, so leading/trailing tabs
+        -- or newlines cannot mint a phantom '' token (DuckDB trim()
+        -- strips spaces only — the round-8 parity gap)
         SELECT doc_id,
-               CASE WHEN trim(text) = '' THEN 0
-                    ELSE (1000000 * len(list_distinct(
-                             regexp_split_to_array(trim(lower(text)), '\s+'))))
-                         // len(regexp_split_to_array(trim(lower(text)), '\s+'))
+               CASE WHEN len(toks) = 0 THEN 0
+                    ELSE (1000000 * len(list_distinct(toks))) // len(toks)
                END AS teacher_scaled
-        FROM documents WHERE doc_id % 4 = 0
+        FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\s+'),
+                               x -> x <> '') AS toks
+            FROM documents WHERE doc_id % 4 = 0
+        )
     ), m AS (
         SELECT CAST(count(*) AS HUGEINT) AS n,
                CAST(sum(f.n_tokens) AS HUGEINT) AS sx1,

@@ -921,10 +921,24 @@ def repeated_spans(
     anchor shingles at consecutive start positions, so merging
     consecutive flagged anchors (gaps-and-islands) recovers the maximal
     extent — variable length, minimum ``min_tokens`` — without a suffix
-    structure. This is the per-document equivalent of what Lee et al.
-    2022 read off the suffix array as "maximal duplicated substrings",
-    and the distributional input for dup-length-weighted curation
-    policies (remove long verbatim clones, keep short idioms).
+    structure. This approximates (from above) what Lee et al. 2022 read
+    off the suffix array as "maximal duplicated substrings", and is the
+    distributional input for dup-length-weighted curation policies
+    (remove long verbatim clones, keep short idioms).
+
+    SEMANTICS CAVEAT (differs from true suffix-array maximal repeats): a
+    span is a maximal run of FLAGGED ANCHORS, not necessarily itself a
+    corpus-repeated substring. When two distinct duplicated regions
+    touch or overlap in one document (e.g. doc holds "A B" where A and B
+    are each duplicated elsewhere but "A B" is not), their anchor runs
+    are adjacent and merge into ONE span whose content — and therefore
+    ``span_md5`` — may occur nowhere else in the corpus; Lee et al.'s
+    suffix-array construction keeps such regions separate. Every token
+    inside a reported span IS covered by some duplicated ``min_tokens``-
+    shingle (the coverage guarantee span-removal policies need); only
+    the one-span-one-repeated-string reading does not hold across
+    merged runs. Split on distinct anchor keys downstream if exact
+    repeat identity matters more than coverage.
 
     Scale shape (all exchanges bounded, nothing quadratic):
 

@@ -490,6 +490,14 @@ def fit_quality_student(
         F.sum(x1 * y).alias("sx1y"),
         F.sum(x2 * y).alias("sx2y"),
     ).collect()[0]
+    if row["n"] == 0:
+        # the sums are all NULL here; int(None) would raise an opaque
+        # TypeError long before the singular-design guard
+        raise ValueError(
+            f"fit_quality_student: empty teacher sample (no rows with "
+            f"{id_col} % {sample_mod} == 0, or empty input) - lower "
+            "sample_mod or check the corpus"
+        )
     m = {k: int(row[k]) for k in row.asDict()}
     return _solve_student(m)
 

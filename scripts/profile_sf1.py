@@ -7,7 +7,7 @@ report:
 
 - wall:         end-to-end wall clock of the noop-sink run
 - task_time:    sum of task executorRunTime across all stages (ms→s)
-- ideal:        task_time / 32 — the compute floor with perfect overlap
+- ideal:        task_time / defaultParallelism — the compute floor with perfect overlap
 - overhead:     wall - ideal — scheduling + stage-barrier + driver cost
 - tasks/stages: task count (the per-task fixed cost multiplier)
 - shuffle MB:   total shuffle write across stages
@@ -72,6 +72,15 @@ def main() -> None:
     probe = names or STRAGGLERS
 
     spark = get_spark("profile-sf1", extra_conf={"spark.ui.enabled": "true"})
+    # getOrCreate silently ignores extra_conf when a session already
+    # exists in this process — then there is no UI to poll and rest()
+    # would die with an opaque AttributeError on uiWebUrl
+    assert spark.sparkContext.uiWebUrl is not None, (
+        "Spark UI is disabled: a pre-existing SparkSession in this "
+        "process swallowed spark.ui.enabled=true - run profile_sf1.py "
+        "in a fresh python process"
+    )
+    n_cores = spark.sparkContext.defaultParallelism
     for k_v in filter(None, os.environ.get("PROFILE_CONF", "").split(",")):
         k, v = k_v.split("=", 1)
         spark.conf.set(k, v)
@@ -109,7 +118,7 @@ def main() -> None:
                 run_ms += s["executorRunTime"]
                 shuffle_b += s["shuffleWriteBytes"]
         task_time = run_ms / 1000.0
-        ideal = task_time / 32.0
+        ideal = task_time / n_cores
         rows.append(
             {
                 "query": name,

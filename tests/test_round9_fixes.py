@@ -315,3 +315,71 @@ def test_cm_histogram_compaction(spark, tmp_path):
     ha = {r.bin: r.cnt for r in read_histogram_state(spark, h_state).collect()}
     assert ha == hb and sum(ha.values()) == 24
     assert _batch_dirs(h_state) == [-1]
+
+
+# --- ADVICE round-8 low findings --------------------------------------
+
+
+def test_distill_teacher_oracle_parity_on_ragged_whitespace(spark):
+    """The q_distill_quality oracle must replay the Python teacher's
+    text.lower().split() EXACTLY on documents with leading/trailing
+    tabs and newlines (DuckDB trim() strips spaces only — the round-8
+    parity gap minted a phantom '' token on such docs, diverging
+    teacher_scaled and the fitted weights)."""
+    import duckdb
+
+    from salesforce_plugin_spark.conformance import ORACLES
+    from salesforce_plugin_spark.functions.ir import distill_quality
+
+    docs = [
+        (0, "alpha beta beta\n"),          # trailing newline
+        (1, "\tgamma delta gamma"),        # leading tab
+        (2, " epsilon zeta "),             # ordinary spaces
+        (3, "\n"),                         # whitespace-only -> 0 tokens
+        (4, "eta theta iota the of\r\n"),  # CRLF tail + stopwords
+        (5, "kappa kappa kappa"),
+        (6, ""),                           # empty
+        (7, "lambda mu the\tnu\nxi"),      # internal tabs/newlines
+        (8, "omicron pi of of rho"),
+        (9, "sigma tau the upsilon"),
+        (10, "phi chi psi omega the of"),
+        (11, "a b c d e f"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: r
+        for r in distill_quality(df, "doc_id", "text", sample_mod=4).collect()
+    }
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        __import__("pandas").DataFrame(docs, columns=["doc_id", "text"]),
+    )
+    want = {
+        r[0]: r for r in con.sql(ORACLES["q_distill_quality"]).fetchall()
+    }
+    assert set(got) == set(want) == set(range(12))
+    for i in range(12):
+        g, w = got[i], want[i]
+        assert g.teacher_scaled == w[3], (i, g.teacher_scaled, w[3])
+        assert g.n_tokens == w[1] and g.n_stop == w[2], (i, g, w)
+        assert abs(g.student_score - w[4]) < 1e-9, (i, g, w)
+
+
+def test_fit_quality_student_empty_sample_raises(spark):
+    """An empty teacher sample raises a meaningful ValueError, not an
+    opaque TypeError from int(None) on the NULL moment sums."""
+    import pytest
+
+    from salesforce_plugin_spark.functions.ir import fit_quality_student
+
+    odd = spark.createDataFrame(
+        [(i, "some text here") for i in (1, 3, 5, 7)], ["doc_id", "text"]
+    )
+    with pytest.raises(ValueError, match="empty teacher sample"):
+        fit_quality_student(odd, "doc_id", "text", sample_mod=2)
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty teacher sample"):
+        fit_quality_student(empty, "doc_id", "text", sample_mod=2)
