@@ -285,6 +285,20 @@ def compact_max_registers(
     )
 
 
+def _maybe_auto_compact(spark, state_dir, batch_id, every, reduce_fn):
+    """Every-N-batches auto-compaction hook for the fold loops: when
+    ``batch_id`` crosses a multiple of ``every``, fold all partitions
+    BELOW it into the base (watermark = batch_id, never beyond — the
+    current batch is still in flight and a retry of it must stay
+    unfenced/overwrite-idempotent, per compact_batch_partials'
+    contract). Keeps a long-lived stream's partition count ≤ every+1
+    without a caller-side maintenance job; ``every=None``/0 disables.
+    Idempotent under replay: a retried trigger batch re-runs the same
+    compaction, which finds nothing left to fold."""
+    if every and int(batch_id) > 0 and int(batch_id) % int(every) == 0:
+        compact_batch_partials(spark, state_dir, int(batch_id), reduce_fn)
+
+
 # --- fenced-carry protocol (order-dependent one-row-per-key state) -----
 #
 # The additive/SET folds above are safe under replay because each batch
@@ -540,6 +554,7 @@ def run_stream_near_dedup(
     num_hashes: int = 8,
     bands: int = 2,
     shingle_n: int = 3,
+    auto_compact_every: int | None = 64,
 ):
     """Streaming near-dedup: each micro-batch of documents gets its
     MinHash/LSH cluster assignment against the corpus streamed SO FAR —
@@ -616,6 +631,14 @@ def run_stream_near_dedup(
             assigned.localCheckpoint(eager=True), assign_path, batch_id
         )
         write_batch_partials(new_bands, bands_path, batch_id)
+        _maybe_auto_compact(
+            spark, assign_path, batch_id, auto_compact_every,
+            lambda d: d.select(id_col, "cluster_id").distinct(),
+        )
+        _maybe_auto_compact(
+            spark, bands_path, batch_id, auto_compact_every,
+            lambda d: d.select(id_col, "band", "bucket").distinct(),
+        )
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -650,6 +673,7 @@ def run_stream_cm(
     value_col: str,
     width: int = 256,
     depth: int = 4,
+    auto_compact_every: int | None = 64,
 ):
     """Streaming count-min maintenance: each micro-batch's sketch grid
     lands in its own ``__b=<batch_id>`` partition under ``state_dir``
@@ -661,8 +685,9 @@ def run_stream_cm(
     bit-identical to one batch sketch over everything streamed so far —
     the equivalence q_stream_heavy_hitters gates. Per-batch cost is one
     depth×width-bounded aggregate; state grows by ≤ depth·width rows
-    per batch; compact with :func:`compact_cm_state`. Read the current
-    grid with :func:`read_cm_state`.
+    per batch, auto-compacted every ``auto_compact_every`` batches
+    (None/0 disables; :func:`compact_cm_state` for manual runs). Read
+    the current grid with :func:`read_cm_state`.
     """
     from salesforce_plugin_spark.functions.sketch import cm_sketch
 
@@ -671,6 +696,10 @@ def run_stream_cm(
             cm_sketch(batch, value_col, width=width, depth=depth),
             state_dir,
             batch_id,
+        )
+        _maybe_auto_compact(
+            batch.sparkSession, state_dir, batch_id, auto_compact_every,
+            lambda d: d.groupBy("row", "bucket").agg(F.sum("n").alias("n")),
         )
 
     q = (
@@ -719,6 +748,7 @@ def run_stream_histogram(
     lo: float,
     hi: float,
     n_bins: int = 1024,
+    auto_compact_every: int | None = 64,
 ):
     """Streaming quantile-sketch maintenance: each micro-batch's bounded
     histogram lands in its own ``__b=<batch_id>`` partition
@@ -729,8 +759,9 @@ def run_stream_histogram(
     summed state is bit-identical to one batch histogram over
     everything streamed — the equivalence q_stream_quantiles gates
     against the batch oracle. Per-batch cost: one ≤ n_bins-row
-    aggregate; state grows ≤ n_bins rows per batch; compact with
-    :func:`compact_histogram_state`. Read with
+    aggregate; state grows ≤ n_bins rows per batch, auto-compacted
+    every ``auto_compact_every`` batches (None/0 disables;
+    :func:`compact_histogram_state` for manual runs). Read with
     :func:`read_histogram_state`, elect quantiles with
     ``sketch.quantiles_from_counts``."""
     from salesforce_plugin_spark.functions.sketch import histogram_counts
@@ -740,6 +771,10 @@ def run_stream_histogram(
             histogram_counts(batch, value_col, lo, hi, n_bins),
             state_dir,
             batch_id,
+        )
+        _maybe_auto_compact(
+            batch.sparkSession, state_dir, batch_id, auto_compact_every,
+            lambda d: d.groupBy("bin").agg(F.sum("cnt").alias("cnt")),
         )
 
     q = (
@@ -914,6 +949,7 @@ def run_stream_active_days(
     checkpoint: str,
     key_col: str,
     ts_col: str,
+    auto_compact_every: int | None = 64,
 ):
     """Streaming state for exact rolling WAU/MAU — the stream face of
     ``analytics.rolling_distinct``: each micro-batch appends its
@@ -938,6 +974,10 @@ def run_stream_active_days(
             ).distinct(),
             state_dir,
             batch_id,
+        )
+        _maybe_auto_compact(
+            batch.sparkSession, state_dir, batch_id, auto_compact_every,
+            lambda d: d.select("key", "day").distinct(),
         )
 
     q = (
@@ -1109,6 +1149,7 @@ def run_stream_additive_counts(
     checkpoint: str,
     group_cols: list[str],
     prepare=None,
+    auto_compact_every: int | None = 64,
 ):
     """Generic additive-count stream face: each micro-batch appends its
     per-group partial row counts; because counting is associative and
@@ -1125,8 +1166,9 @@ def run_stream_additive_counts(
     produces — is idempotent: each batch's partials overwrite their
     own ``__b=<id>`` partition (:func:`write_batch_partials`), so the
     fold is at-least-once-safe. State grows by ≤ |groups| rows per
-    batch; read with :func:`read_summed_counts` and compact by
-    rewriting the summed table.
+    batch, auto-compacted every ``auto_compact_every`` batches
+    (None/0 disables; :func:`compact_summed_counts` for manual runs);
+    read with :func:`read_summed_counts`.
     """
 
     def fold(batch, batch_id: int) -> None:
@@ -1137,6 +1179,12 @@ def run_stream_additive_counts(
             ),
             state_dir,
             batch_id,
+        )
+        _maybe_auto_compact(
+            batch.sparkSession, state_dir, batch_id, auto_compact_every,
+            lambda d: d.groupBy(*group_cols).agg(
+                F.sum("n").cast("long").alias("n")
+            ),
         )
 
     q = (
@@ -1168,6 +1216,7 @@ def run_stream_max_registers(
     checkpoint: str,
     group_cols: list[str],
     value_col: str,
+    auto_compact_every: int | None = 64,
 ):
     """HLL register maintenance from a stream: each micro-batch appends
     its per-(group, bucket) partial max-rank rows
@@ -1186,6 +1235,12 @@ def run_stream_max_registers(
     def fold(batch, batch_id: int) -> None:
         write_batch_partials(
             hll_registers(batch, group_cols, value_col), state_dir, batch_id
+        )
+        _maybe_auto_compact(
+            batch.sparkSession, state_dir, batch_id, auto_compact_every,
+            lambda d: d.groupBy(*group_cols, "bucket").agg(
+                F.max("m_j").alias("m_j")
+            ),
         )
 
     q = (
@@ -1217,6 +1272,7 @@ def run_stream_additive_sums(
     group_cols: list[str],
     sum_cols: list[str],
     prepare=None,
+    auto_compact_every: int | None = 64,
 ):
     """Generic additive-SUM stream face — the additive-count fold
     generalized from row counts to column sums: each micro-batch
@@ -1248,6 +1304,16 @@ def run_stream_additive_sums(
             ),
             state_dir,
             batch_id,
+        )
+        _maybe_auto_compact(
+            batch.sparkSession, state_dir, batch_id, auto_compact_every,
+            lambda d: d.groupBy(*group_cols).agg(
+                F.sum("n").cast("long").alias("n"),
+                *[
+                    F.sum(f"sum_{c}").cast("long").alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
+            ),
         )
 
     q = (
@@ -1286,6 +1352,7 @@ def run_stream_distinct_set(
     checkpoint: str,
     cols: list[str],
     prepare=None,
+    auto_compact_every: int | None = 64,
 ):
     """Generic SET-state stream face: each micro-batch appends its
     DISTINCT projected rows; the reader dedups, so the accumulated
@@ -1310,6 +1377,10 @@ def run_stream_distinct_set(
         rows = prepare(batch) if prepare is not None else batch
         write_batch_partials(
             rows.select(*cols).distinct(), state_dir, batch_id
+        )
+        _maybe_auto_compact(
+            batch.sparkSession, state_dir, batch_id, auto_compact_every,
+            lambda d: d.select(*cols).distinct(),
         )
 
     q = (

@@ -383,3 +383,88 @@ def test_fit_quality_student_empty_sample_raises(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with pytest.raises(ValueError, match="empty teacher sample"):
         fit_quality_student(empty, "doc_id", "text", sample_mod=2)
+
+
+# --- every-N-batches auto-compaction (VERDICT r8 item 6) ----------------
+
+
+def test_auto_compact_bounds_partition_count(spark, tmp_path):
+    """Folding many batches with auto-compact keeps the partition count
+    <= every+1 at all times, totals stay exact through multiple
+    compaction cycles, and pre-watermark replays stay fenced."""
+    from salesforce_plugin_spark.streaming.upsert import (
+        _maybe_auto_compact,
+        compacted_below,
+        read_summed_counts,
+        write_batch_partials,
+    )
+
+    state = str(tmp_path / "counts")
+    every = 8
+    reduce_fn = lambda d: d.groupBy("cell").agg(  # noqa: E731
+        F.sum("n").cast("long").alias("n")
+    )
+    for b in range(40):
+        write_batch_partials(
+            spark.createDataFrame([(str(b % 3), 1)], "cell string, n long"),
+            state,
+            b,
+        )
+        _maybe_auto_compact(spark, state, b, every, reduce_fn)
+        assert len(_batch_dirs(state)) <= every + 1, (b, _batch_dirs(state))
+    assert compacted_below(spark, state) == 32
+    totals = {
+        r.cell: r.n for r in read_summed_counts(spark, state, ["cell"]).collect()
+    }
+    assert totals == {"0": 14, "1": 13, "2": 13}
+
+    # pre-watermark replay: a retry of batch 5 must be a no-op
+    write_batch_partials(
+        spark.createDataFrame([("0", 999)], "cell string, n long"), state, 5
+    )
+    after = {
+        r.cell: r.n for r in read_summed_counts(spark, state, ["cell"]).collect()
+    }
+    assert after == totals
+
+
+def test_auto_compact_streaming_e2e_with_replay(spark, tmp_path):
+    """run_stream_additive_counts with auto_compact_every=2 over six
+    micro-batches compacts inside the fold loop; a full fresh-checkpoint
+    replay leaves the compacted state and totals unchanged (fenced
+    pre-watermark ids, overwrite-idempotent post-watermark ids, re-run
+    compactions find nothing to fold)."""
+    from salesforce_plugin_spark.streaming.upsert import (
+        compacted_below,
+        read_summed_counts,
+        run_stream_additive_counts,
+    )
+
+    df = _events(spark)
+    src = str(tmp_path / "src")
+    _write_sliced_source(
+        df, src, [df.filter(f"id >= {i*4} and id < {i*4+4}") for i in range(6)]
+    )
+    state = str(tmp_path / "state")
+    schema = "k string, ts timestamp, id long, v long"
+    run_stream_additive_counts(
+        _stream(spark, src, schema), state, str(tmp_path / "ck1"),
+        ["k"], auto_compact_every=2,
+    )
+    once = {
+        r.k: r.n for r in read_summed_counts(spark, state, ["k"]).collect()
+    }
+    assert once == {"k0": 8, "k1": 8, "k2": 8}
+    assert compacted_below(spark, state) == 4
+    assert _batch_dirs(state) == [-1, 4, 5]
+
+    run_stream_additive_counts(
+        _stream(spark, src, schema), state, str(tmp_path / "ck2"),
+        ["k"], auto_compact_every=2,
+    )
+    twice = {
+        r.k: r.n for r in read_summed_counts(spark, state, ["k"]).collect()
+    }
+    assert twice == once
+    assert compacted_below(spark, state) == 4
+    assert _batch_dirs(state) == [-1, 4, 5]
