@@ -243,6 +243,9 @@ from salesforce_plugin_spark.conformance.multimodal import (  # noqa: F401
     q_multimodal_channels,
     ORACLES as _ORACLES_multimodal,
     q_multimodal_ahash,
+    q_bmp_histogram,
+    q_wav_channels,
+    q_bmp_ahash,
 )
 from salesforce_plugin_spark.conformance.graph import (  # noqa: F401
     q_pagerank,
@@ -776,6 +779,10 @@ QUERIES: dict[str, QueryFn] = {
     "q_stream_kneser_ney": q_stream_kneser_ney,
     "q_stream_repeated_spans": q_stream_repeated_spans,
     "q_stream_distill": q_stream_distill,
+    # --- round 9: the F4 seam through ACTUAL decode (native BMP/WAV) ---
+    "q_bmp_histogram": q_bmp_histogram,
+    "q_wav_channels": q_wav_channels,
+    "q_bmp_ahash": q_bmp_ahash,
 }
 
 

@@ -335,3 +335,205 @@ def _ahash_oracle(n_segs: int = 16) -> str:
 
 
 ORACLES["q_multimodal_ahash"] = _ahash_oracle()
+
+
+# --- round 9: the F4 seam through ACTUAL decode (native BMP/WAV) -------
+
+
+def _bmp_payloads(spark, sf_dir):
+    """Deterministic real-BMP fixtures: each document's byte prefix
+    (W=4, H=octets//12, truncated) becomes a 24-bit BI_RGB BMP via
+    :func:`~salesforce_plugin_spark.functions.multimodal.encode_bmp`
+    inside an Arrow stage. ``decode(encode(x)) == x`` byte-exactly, so
+    oracles replay pixel statistics straight off the source text bytes
+    — the gate proves the decoder really ran (headers, BGR order,
+    bottom-up rows, and row padding all had to be undone to match)."""
+    d = parallelized(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") >= 12)
+        .select("doc_id", "text")
+    )
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        from salesforce_plugin_spark.functions.multimodal import encode_bmp
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                h = len(b) // 12
+                payloads.append(encode_bmp(b[: h * 12].reshape(h, 4, 3)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return d.mapInPandas(enc, "doc_id long, payload binary")
+
+
+def q_bmp_histogram(spark, sf_dir):
+    """F4 through ACTUAL decode (round 9): per-image PIXEL histogram —
+    documents' byte prefixes encode to real 24-bit BMPs, then
+    functions/multimodal.py image_pixel_histogram decodes each payload
+    through the DEFAULT decode_image seam (native decode_bmp — no
+    injected fake) and bins the RGB bytes. The oracle replays the
+    statistics off the source bytes (hex-pair recovery, prefix-
+    truncated), which only match if decode∘encode is the exact
+    identity: headers stripped, BGR undone, bottom-up row order
+    undone, 4-byte row padding dropped."""
+    from salesforce_plugin_spark.functions.multimodal import (
+        image_pixel_histogram,
+    )
+
+    return image_pixel_histogram(
+        _bmp_payloads(spark, sf_dir), "doc_id", "payload", n_bins=16
+    )
+
+
+def q_wav_channels(spark, sf_dir):
+    """F4 through ACTUAL decode (round 9): per-channel exact sample
+    moments — documents' byte prefixes become interleaved stereo
+    int16 samples in a real 16-bit PCM WAV (16 kHz), then
+    functions/multimodal.py wav_channel_stats decodes through the
+    DEFAULT decode_audio seam (native decode_wav: RIFF chunk walk,
+    fmt parse, little-endian int16 de-interleave) and reduces each
+    channel to int64 (n, Σv, Σv²) inside the Arrow stage. Oracle
+    replays the moments from the source bytes at matching positions
+    (channel = (i-1) mod 2)."""
+    from salesforce_plugin_spark.functions.multimodal import (
+        encode_wav,
+        wav_channel_stats,
+    )
+
+    d = parallelized(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") >= 2)
+        .select("doc_id", "text")
+    )
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(
+                    np.int16
+                )
+                n = (len(b) // 2) * 2
+                payloads.append(encode_wav(16000, b[:n].reshape(-1, 2)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    wavs = d.mapInPandas(enc, "doc_id long, payload binary")
+    return wav_channel_stats(wavs, "doc_id", "payload")
+
+
+def q_bmp_ahash(spark, sf_dir):
+    """F4 through ACTUAL decode (round 9): perceptual average-hash
+    pairs over DECODED PIXELS — the real-decoder tier of
+    q_multimodal_ahash. The downsample stage decodes each BMP through
+    the default seam and segments the flattened RGB bytes; bit
+    derivation and Hamming-≤1 banding are the same shared plan. On
+    BMP payloads raw-byte hashing would see headers/padding/BGR —
+    pixel hashing is framing-invariant, which is the point of
+    decoding first."""
+    from salesforce_plugin_spark.functions.multimodal import image_ahash_pairs
+
+    return image_ahash_pairs(
+        _bmp_payloads(spark, sf_dir), "doc_id", "payload", n_segs=16
+    )
+
+
+ORACLES["q_bmp_histogram"] = """
+    WITH hx AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               (octet_length(encode(text)) // 12) * 12 AS nb
+        FROM documents WHERE octet_length(encode(text)) >= 12
+    ), bytes AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(h, 2 * i - 1, 2)) AS INTEGER) // 16 AS bin
+        FROM hx, unnest(generate_series(1, nb)) AS g(i)
+    ), counts AS (
+        SELECT doc_id, bin, count(*) AS n FROM bytes GROUP BY doc_id, bin
+    ), bins AS (
+        SELECT unnest(generate_series(0, 15)) AS bin
+    )
+    SELECT d.doc_id, CAST(b.bin AS INTEGER) AS bin,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n
+    FROM (SELECT doc_id FROM documents
+          WHERE octet_length(encode(text)) >= 12) d
+    CROSS JOIN bins b
+    LEFT JOIN counts c ON d.doc_id = c.doc_id AND b.bin = c.bin
+"""
+
+ORACLES["q_wav_channels"] = """
+    WITH hx AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               (octet_length(encode(text)) // 2) * 2 AS nb
+        FROM documents WHERE octet_length(encode(text)) >= 2
+    ), pos AS (
+        SELECT doc_id,
+               CAST((g.i - 1) % 2 AS INT) AS channel,
+               CAST(('0x' || substr(h, 2 * i - 1, 2)) AS INTEGER) AS v
+        FROM hx, unnest(generate_series(1, nb)) AS g(i)
+    )
+    SELECT doc_id, channel,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS s,
+           CAST(sum(v * v) AS BIGINT) AS sq
+    FROM pos GROUP BY 1, 2
+"""
+
+
+def _ahash_prefix_oracle(n_segs: int = 16) -> str:
+    """q_bmp_ahash oracle: the _ahash_oracle computation over each
+    document's 12-byte-aligned prefix (= the decoded BMP's pixels,
+    because decode∘encode is the identity)."""
+    variants = ", ".join(["0"] + [str(1 << s) for s in range(n_segs)])
+    return f"""
+    WITH hx AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               (octet_length(encode(text)) // 12) * 12 AS nb
+        FROM documents WHERE octet_length(encode(text)) >= 12
+    ), pos AS (
+        SELECT doc_id, CAST(g.i AS BIGINT) - 1 AS p, nb AS len,
+               CAST(('0x' || substr(h, 2 * i - 1, 2)) AS INTEGER) AS v
+        FROM hx, unnest(generate_series(1, nb)) AS g(i)
+    ), segd AS (
+        SELECT doc_id, CAST((p * {n_segs}) // len AS INT) AS seg, v
+        FROM pos
+    ), segs AS (
+        SELECT doc_id, seg, count(*) AS seg_n, sum(v) AS seg_sum
+        FROM segd GROUP BY 1, 2
+    ), tot AS (
+        SELECT doc_id, sum(seg_n) AS tn, sum(seg_sum) AS ts
+        FROM segs GROUP BY 1
+    ), bits AS (
+        SELECT s.doc_id,
+               CAST(sum(CASE WHEN s.seg_sum * t.tn > t.ts * s.seg_n
+                             THEN 1 << s.seg ELSE 0 END) AS BIGINT) AS ahash
+        FROM segs s JOIN tot t USING (doc_id) GROUP BY 1
+    ), variants AS (
+        SELECT doc_id, ahash, xor(ahash, CAST(u.b AS BIGINT)) AS band
+        FROM bits CROSS JOIN LATERAL (
+            SELECT unnest([{variants}]) AS b
+        ) u
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.ahash AS hash_a, b.ahash AS hash_b
+        FROM variants a
+        JOIN variants b ON a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hash_a, hash_b,
+           CAST(bit_count(xor(hash_a, hash_b)) AS INT) AS hamming
+    FROM pairs WHERE bit_count(xor(hash_a, hash_b)) <= 1
+"""
+
+
+ORACLES["q_bmp_ahash"] = _ahash_prefix_oracle()

@@ -468,3 +468,177 @@ def test_auto_compact_streaming_e2e_with_replay(spark, tmp_path):
     assert twice == once
     assert compacted_below(spark, state) == 4
     assert _batch_dirs(state) == [-1, 4, 5]
+
+
+# --- real BMP/WAV decoders behind the F4 seam (VERDICT r8 item 3) -------
+
+
+def test_bmp_codec_hand_computed():
+    """decode_bmp against hand-laid-out bytes: header fields, BGR
+    order, bottom-up rows, and 4-byte row padding all verified at the
+    byte level, plus round trips across padded and unpadded widths."""
+    import struct
+
+    import numpy as np
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        decode_bmp,
+        decode_image,
+        encode_bmp,
+    )
+
+    # 2x1 image: top pixel pure red, bottom pixel pure green
+    img = np.array([[[255, 0, 0]], [[0, 255, 0]]], dtype=np.uint8)
+    raw = encode_bmp(img)
+    assert raw[:2] == b"BM"
+    assert struct.unpack_from("<I", raw, 10)[0] == 54           # data offset
+    assert struct.unpack_from("<ii", raw, 18) == (1, 2)          # w, h
+    assert struct.unpack_from("<HH", raw, 26) == (1, 24)         # planes, bpp
+    # bottom-up on disk: first stored row = BOTTOM row (green), BGR,
+    # padded from 3 to 4 bytes
+    assert raw[54:58] == bytes([0, 255, 0, 0])
+    assert raw[58:62] == bytes([0, 0, 255, 0])
+    assert (decode_bmp(raw) == img).all()
+    # the default decode_image seam sniffs the magic — no injection
+    assert (decode_image(raw) == img).all()
+
+    for h, w in [(1, 1), (3, 2), (4, 4), (5, 3)]:
+        x = (np.arange(h * w * 3, dtype=np.int64) * 31 % 251).astype(np.uint8)
+        x = x.reshape(h, w, 3)
+        assert (decode_bmp(encode_bmp(x)) == x).all(), (h, w)
+
+
+def test_bmp_decoder_rejects_out_of_subset():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        decode_bmp,
+        decode_image,
+        encode_bmp,
+    )
+
+    ok = encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"XX" + ok[2:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(ok[:-5])
+    # 8-bit BMP -> unsupported bpp
+    bad_bpp = bytearray(ok)
+    struct.pack_into("<H", bad_bpp, 28, 8)
+    with pytest.raises(ValueError, match="only 24-bit"):
+        decode_bmp(bytes(bad_bpp))
+    # compressed (BI_RLE8) -> unsupported
+    bad_comp = bytearray(ok)
+    struct.pack_into("<I", bad_comp, 30, 1)
+    with pytest.raises(ValueError, match="only 24-bit"):
+        decode_bmp(bytes(bad_comp))
+    # non-BMP magic through the seam without an injected decoder
+    with pytest.raises(NotImplementedError, match="inject a decoder"):
+        decode_image(b"\x89PNG" + b"\x00" * 64)
+
+
+def test_wav_codec_hand_computed():
+    """decode_wav against hand-laid-out bytes: RIFF framing, fmt
+    fields, little-endian int16 interleave, and tolerance of an extra
+    chunk before data (real WAV writers emit LIST/INFO chunks)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        decode_audio,
+        decode_wav,
+        encode_wav,
+    )
+
+    stereo = np.array([[1, -1], [300, -300], [32767, -32768]], dtype=np.int16)
+    raw = encode_wav(44100, stereo)
+    assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+    assert raw[12:16] == b"fmt " and struct.unpack_from("<I", raw, 16)[0] == 16
+    fmt_code, n_ch, rate = struct.unpack_from("<HHI", raw, 20)
+    assert (fmt_code, n_ch, rate) == (1, 2, 44100)
+    assert raw[36:40] == b"data"
+    # first frame little-endian: 0x0001, 0xFFFF
+    assert raw[44:48] == bytes([1, 0, 255, 255])
+    r, got = decode_wav(raw)
+    assert r == 44100 and (got == stereo).all()
+    r2, got2 = decode_audio(raw)  # default seam, magic-sniffed
+    assert r2 == 44100 and (got2 == stereo).all()
+
+    # an extra chunk between fmt and data must not break the walk
+    extra = raw[:36] + b"LIST" + struct.pack("<I", 4) + b"INFO" + raw[36:]
+    r3, got3 = decode_wav(extra)
+    assert r3 == 44100 and (got3 == stereo).all()
+
+    # non-PCM (IEEE float = 3) rejected
+    bad = bytearray(raw)
+    struct.pack_into("<H", bad, 20, 3)
+    with pytest.raises(ValueError, match="only 16-bit PCM"):
+        decode_wav(bytes(bad))
+    with pytest.raises(NotImplementedError, match="inject a decoder"):
+        decode_audio(b"ID3\x03" + b"\x00" * 64)
+
+
+def test_real_decode_operators_end_to_end(spark):
+    """image_pixel_histogram / wav_channel_stats / image_ahash_pairs
+    through the DEFAULT seam (no injected decoder): pixel stats equal
+    the pre-encode source arrays, proving decode∘encode is identity
+    through the whole Arrow path."""
+    import numpy as np
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        encode_bmp,
+        encode_wav,
+        image_ahash_pairs,
+        image_pixel_histogram,
+        wav_channel_stats,
+    )
+
+    rng_bytes = [(i * 37 + j * 11) % 256 for i in range(3) for j in range(48)]
+    imgs, wavs, pixels = [], [], {}
+    for i in range(3):
+        arr = np.array(rng_bytes[i * 48 : (i + 1) * 48], dtype=np.uint8)
+        pixels[i] = arr
+        imgs.append((i, bytearray(encode_bmp(arr.reshape(4, 4, 3)))))
+        wavs.append(
+            (i, bytearray(encode_wav(8000, arr.astype(np.int16).reshape(-1, 2))))
+        )
+    img_df = spark.createDataFrame(imgs, "doc_id long, payload binary")
+    hist = image_pixel_histogram(img_df, "doc_id", "payload", n_bins=16)
+    got = {(r.doc_id, r.bin): r.n for r in hist.collect()}
+    for i in range(3):
+        want = np.bincount(pixels[i] // 16, minlength=16)
+        for b in range(16):
+            assert got[(i, b)] == want[b], (i, b)
+
+    stats = {
+        (r.doc_id, r.channel): r for r in wav_channel_stats(
+            spark.createDataFrame(wavs, "doc_id long, payload binary"),
+            "doc_id",
+            "payload",
+        ).collect()
+    }
+    for i in range(3):
+        w = pixels[i].astype(np.int64)
+        for c in (0, 1):
+            sub = w[c::2]
+            r = stats[(i, c)]
+            assert (r.sample_rate, r.n, r.s, r.sq) == (
+                8000, len(sub), int(sub.sum()), int((sub * sub).sum())
+            ), (i, c)
+
+    # identical pixels in different byte framings (extra padding via
+    # different width) must still ahash-pair: encode doc 0's pixels
+    # as 4x4 and as 8x2 — same flattened bytes, different BMP layout
+    a = encode_bmp(pixels[0].reshape(4, 4, 3))
+    b = encode_bmp(pixels[0].reshape(2, 8, 3))
+    assert a != b  # genuinely different payload bytes
+    pair_df = spark.createDataFrame(
+        [(0, bytearray(a)), (1, bytearray(b))], "doc_id long, payload binary"
+    )
+    prs = image_ahash_pairs(pair_df, "doc_id", "payload", n_segs=8).collect()
+    assert len(prs) == 1 and prs[0].hamming == 0
