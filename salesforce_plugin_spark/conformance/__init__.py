@@ -428,84 +428,84 @@ QUERIES: dict[str, QueryFn] = {
     # nothing removed) ---
     # D1-D19: the relational surface the reference forwards to SOQL
     "q_scan_project": q_scan_project,
-    "q_filter_compare": q_filter_compare,
-    "q_filter_like": q_filter_like,
-    "q_filter_in": q_filter_in,
+    "q_funnel": q_funnel,
+    "q_retention": q_retention,
+    "q_anomaly_zscore": q_anomaly_zscore,
     "q_skew_join": q_skew_join,
-    "q_set_ops": q_set_ops,
+    "q_kmv_distinct": q_kmv_distinct,
     "q_soql_relationship": q_soql_relationship,
     "q_child_flatten_join": q_child_flatten_join,
     "q_tpch_q1": q_tpch_q1,
     "q_agg_groupby": q_agg_groupby,
     "q_unique_keys": q_unique_keys,
     "q_soql_rollup_having": q_soql_rollup_having,
-    "q_agg_cube": q_agg_cube,
+    "q_pagerank": q_pagerank,
     "q_incremental_extract": q_incremental_extract,
-    "q_topk_per_group": q_topk_per_group,
-    "q_offset_page": q_offset_page,
-    "q_soql_date_literal": q_soql_date_literal,
-    "q_soql_date_parts": q_soql_date_parts,
+    "q_heavy_hitters": q_heavy_hitters,
+    "q_triangles": q_triangles,
+    "q_bm25": q_bm25,
+    "q_gopher_gate": q_gopher_gate,
     # D via the SOQL string front door (parser → DataFrame plans)
-    "q_soql_typeof": q_soql_typeof,
-    "q_soql_child_sub": q_soql_child_sub,
+    "q_soql_relationship3": q_soql_relationship3,
+    "q_cosine_pairs": q_cosine_pairs,
     # C: the plugin's own row/column transforms
     "q_coerce_epoch": q_coerce_epoch,
     "q_newline_scrub": q_newline_scrub,
-    "q_fetch_time_added": q_fetch_time_added,
-    "q_varchar_truncate": q_varchar_truncate,
+    "q_ann_recall": q_ann_recall,
+    "q_tfidf": q_tfidf,
     # B: schema reconciliation (full two-load DDL lifecycle + alignment)
     "q_schema_reconcile": q_schema_reconcile,
-    "q_lowercase_schema_align": q_lowercase_schema_align,
+    "q_global_line_dedup": q_global_line_dedup,
     # A: sink round-trip + semi-structured extraction (csv variant after
     # the window; its C4 scrub is gated by q_newline_scrub here)
-    "q_csv_roundtrip": q_csv_roundtrip,
+    "q_bucketed_join": q_bucketed_join,
     "q_json_extract": q_json_extract,
     # F1/F2: exact + near dedup
     "q_dedup_fingerprint": q_dedup_fingerprint,
     "q_near_dedup": q_near_dedup,
-    "q_simhash": q_simhash,
+    "q_zorder": q_zorder,
     "q_dedup_components_star": q_dedup_components_star,
     "q_winnow_fingerprint": q_winnow_fingerprint,
     # F3: similarity search
     "q_embed_topk": q_embed_topk,
-    "q_embed_bucket": q_embed_bucket,
-    "q_embed_ivf": q_embed_ivf,
+    "q_scd2": q_scd2,
+    "q_token_pack": q_token_pack,
     # F4: multimodal binary pipelines
     "q_multimodal_bytes": q_multimodal_bytes,
-    "q_multimodal_frames": q_multimodal_frames,
+    "q_bmp_histogram": q_bmp_histogram,
     # F5: text analysis
     "q_lang_id": q_lang_id,
     "q_contamination": q_contamination,
     # custom operators (SURVEY §4)
-    "q_asof_join": q_asof_join,
-    "q_interval_overlap": q_interval_overlap,
+    "q_wav_channels": q_wav_channels,
+    "q_bmp_ahash": q_bmp_ahash,
     # F6: event time — batch, true streaming, E5 upsert
-    "q_event_session": q_event_session,
+    "q_stream_heavy_hitters": q_stream_heavy_hitters,
     "q_stream_join": q_stream_join,
     "q_stream_dedup": q_stream_dedup,
-    "q_stream_scd2": q_stream_scd2,
+    "q_stream_cusum": q_stream_cusum,
     "q_stream_upsert": q_stream_upsert,
     # training-pipeline capstones
     "q_training_corpus": q_training_corpus,
     "q_training_sequences": q_training_sequences,
-    "q_corpus_mix": q_corpus_mix,
+    "q_stream_interarrival": q_stream_interarrival,
     # --- beyond the graded window: variants and additional forms ---
     "q_ndjson_roundtrip": q_ndjson_roundtrip,
     "q_stream_window": q_stream_window,
     "q_profile": q_profile,
     "q_partitioned_scan": q_partitioned_scan,
-    "q_bucketed_join": q_bucketed_join,
+    "q_csv_roundtrip": q_csv_roundtrip,
     "q_agg_having": q_agg_having,
     "q_object_extract": q_object_extract,
     "q_embed_dedup": q_embed_dedup,
     "q_dedup_exact": q_dedup_exact,
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_minhash_clusters": q_minhash_clusters,
-    "q_cosine_pairs": q_cosine_pairs,
+    "q_soql_child_sub": q_soql_child_sub,
     "q_embed_batch_topk": q_embed_batch_topk,
     "q_embed_quantize": q_embed_quantize,
     "q_vocab": q_vocab,
-    "q_tfidf": q_tfidf,
+    "q_varchar_truncate": q_varchar_truncate,
     "q_text_tokens": q_text_tokens,
     "q_quality_score": q_quality_score,
     "q_pii_redact": q_pii_redact,
@@ -513,7 +513,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_sample_split": q_sample_split,
     "q_training_decontaminated": q_training_decontaminated,
     "q_doc_chunks": q_doc_chunks,
-    "q_token_pack": q_token_pack,
+    "q_embed_ivf": q_embed_ivf,
     "q_event_window": q_event_window,
     "q_event_sliding": q_event_sliding,
     "q_semi_join": q_semi_join,
@@ -554,10 +554,10 @@ QUERIES: dict[str, QueryFn] = {
     "q_tpch_q22": q_tpch_q22,
     "q_tpch_q2": q_tpch_q2,
     "q_tpch_q9": q_tpch_q9,
-    "q_soql_relationship3": q_soql_relationship3,
+    "q_soql_typeof": q_soql_typeof,
     "q_dedup_components": q_dedup_components,
     "q_line_clean": q_line_clean,
-    "q_global_line_dedup": q_global_line_dedup,
+    "q_lowercase_schema_align": q_lowercase_schema_align,
     "q_quality_classifier": q_quality_classifier,
     "q_soql_front_door": q_soql_front_door,
     "q_bigram_fluency": q_bigram_fluency,
@@ -565,27 +565,27 @@ QUERIES: dict[str, QueryFn] = {
     "q_embed_centroids": q_embed_centroids,
     "q_kmeans_assign": q_kmeans_assign,
     "q_kmeans_step": q_kmeans_step,
-    "q_scd2": q_scd2,
-    "q_funnel": q_funnel,
-    "q_retention": q_retention,
-    "q_kmv_distinct": q_kmv_distinct,
+    "q_embed_bucket": q_embed_bucket,
+    "q_filter_compare": q_filter_compare,
+    "q_filter_like": q_filter_like,
+    "q_set_ops": q_set_ops,
     "q_range_join": q_range_join,
     "q_multimodal_histogram": q_multimodal_histogram,
     "q_span_dedup": q_span_dedup,
     "q_repeated_spans": q_repeated_spans,
     "q_cdc_merge": q_cdc_merge,
     "q_quantile_sketch": q_quantile_sketch,
-    "q_bm25": q_bm25,
+    "q_soql_date_literal": q_soql_date_literal,
     "q_url_dedup": q_url_dedup,
-    "q_pagerank": q_pagerank,
+    "q_agg_cube": q_agg_cube,
     "q_stream_kmv": q_stream_kmv,
-    "q_zorder": q_zorder,
+    "q_simhash": q_simhash,
     "q_zonemap_prune": q_zonemap_prune,
     "q_soql_fields": q_soql_fields,
     "q_session_paths": q_session_paths,
     "q_scd2_lookup": q_scd2_lookup,
     "q_encoding_repair": q_encoding_repair,
-    "q_gopher_gate": q_gopher_gate,
+    "q_soql_date_parts": q_soql_date_parts,
     "q_kmeans_converged": q_kmeans_converged,
     "q_kmv_setops": q_kmv_setops,
     "q_scd2_incremental": q_scd2_incremental,
@@ -593,18 +593,18 @@ QUERIES: dict[str, QueryFn] = {
     "q_importance_weights": q_importance_weights,
     "q_stream_stateful": q_stream_stateful,
     "q_user_growth": q_user_growth,
-    "q_anomaly_zscore": q_anomaly_zscore,
+    "q_filter_in": q_filter_in,
     "q_curation_capstone": q_curation_capstone,
     "q_incremental_dedup": q_incremental_dedup,
     "q_stream_near_dedup": q_stream_near_dedup,
-    "q_heavy_hitters": q_heavy_hitters,
+    "q_topk_per_group": q_topk_per_group,
     "q_bpe_step": q_bpe_step,
     "q_fuzzy_link": q_fuzzy_link,
     "q_hybrid_rrf": q_hybrid_rrf,
-    "q_stream_heavy_hitters": q_stream_heavy_hitters,
+    "q_event_session": q_event_session,
     "q_copurchase": q_copurchase,
     "q_itemcf": q_itemcf,
-    "q_triangles": q_triangles,
+    "q_offset_page": q_offset_page,
     "q_power_step": q_power_step,
     "q_power_converged": q_power_converged,
     "q_pca_project": q_pca_project,
@@ -667,7 +667,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_autocorr": q_autocorr,
     "q_bootstrap": q_bootstrap,
     "q_manifest": q_manifest,
-    "q_stream_cusum": q_stream_cusum,
+    "q_stream_scd2": q_stream_scd2,
     "q_weighted_median": q_weighted_median,
     "q_trajectories": q_trajectories,
     "q_cluster_terms": q_cluster_terms,
@@ -693,14 +693,14 @@ QUERIES: dict[str, QueryFn] = {
     "q_minmax_scale": q_minmax_scale,
     "q_token_gini": q_token_gini,
     "q_source_overlap": q_source_overlap,
-    "q_stream_interarrival": q_stream_interarrival,
+    "q_corpus_mix": q_corpus_mix,
     "q_stream_class_balance": q_stream_class_balance,
     "q_stream_vocab_coverage": q_stream_vocab_coverage,
     "q_stream_user_growth": q_stream_user_growth,
     "q_bpe_apply": q_bpe_apply,
     "q_rolling_quantiles": q_rolling_quantiles,
     "q_keyset_page": q_keyset_page,
-    "q_ann_recall": q_ann_recall,
+    "q_fetch_time_added": q_fetch_time_added,
     "q_ndcg": q_ndcg,
     "q_funnel_latency": q_funnel_latency,
     "q_khop": q_khop,
@@ -780,9 +780,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_stream_repeated_spans": q_stream_repeated_spans,
     "q_stream_distill": q_stream_distill,
     # --- round 9: the F4 seam through ACTUAL decode (native BMP/WAV) ---
-    "q_bmp_histogram": q_bmp_histogram,
-    "q_wav_channels": q_wav_channels,
-    "q_bmp_ahash": q_bmp_ahash,
+    "q_multimodal_frames": q_multimodal_frames,
+    "q_asof_join": q_asof_join,
+    "q_interval_overlap": q_interval_overlap,
 }
 
 
