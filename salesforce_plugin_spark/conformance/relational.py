@@ -582,20 +582,29 @@ def q_tpch_q11(spark, sf_dir):
 
 
 def q_tpch_q13(spark, sf_dir):
-    """TPC-H Q13 shape: customer order-count distribution — a LEFT outer
-    join that must keep zero-order customers, a per-customer count that
-    skips nulls (COUNT(col) semantics), then a second aggregation over the
-    counts. Two shuffles are inherent (custkey, then count value); the
-    second one moves only #customers rows."""
+    """TPC-H Q13 shape: customer order-count distribution — must keep
+    zero-order customers (COUNT(col) over a LEFT join in the textbook
+    form). Round 9 (VERDICT item 5): the count is pushed BELOW the
+    join — orders pre-aggregate to (custkey, n) first, then LEFT JOIN
+    customer + coalesce(n, 0). Identical semantics (o_orderkey is
+    non-null, so COUNT(o_orderkey) per customer == the pre-agg count,
+    and customers with no orders surface as NULL→0), but the join now
+    moves #customers rows instead of #orders rows and the post-join
+    HashAggregate pair (a full barrier stage over #customers×orders
+    rows) disappears — the q13 straggler at sf1.0 was 1.0 s of
+    stage-barrier overhead over 0.06 s of compute across 6 stages.
+    Two shuffles remain inherent (custkey, then count value); the
+    second moves only #customers rows."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") != "1-URGENT"
-    ).select("o_custkey", "o_orderkey")
-    per_cust = (
-        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    ).select("o_custkey")
+    per_key = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("__n")
     )
+    per_cust = c.join(
+        per_key, c["c_custkey"] == per_key["o_custkey"], "left"
+    ).select(F.coalesce(F.col("__n"), F.lit(0)).alias("c_count"))
     return (
         per_cust.groupBy("c_count")
         .agg(F.count("*").alias("custdist"))
@@ -630,26 +639,41 @@ def q_tpch_q15(spark, sf_dir):
 
 def q_tpch_q17(spark, sf_dir):
     """TPC-H Q17 shape: correlated per-group average decorrelated as a
-    window — lineitems of one brand's parts priced below half their part's
-    mean quantity. The brand filter broadcasts into the fact scan; the
-    correlated AVG becomes sum/count over a partkey window on the already
-    joined rows (exact decimal sum ÷ count, so the threshold is
-    bit-identical across engines and aggregation orders — a raw double
-    AVG could flip rows at the comparison boundary)."""
+    grouped rollup broadcast back onto the fact slice — lineitems of
+    one brand's parts priced below half their part's mean quantity.
+    The brand filter broadcasts into the fact scan; the correlated AVG
+    becomes groupBy(partkey) → (Σqty, n) → broadcast join back (round
+    9, VERDICT item 5: the previous partkey-WINDOW form exchanged AND
+    sorted the whole brand fact slice wide — extendedprice included —
+    where this shape exchanges only the pre-aggregated per-part rows
+    and never sorts; the brand slice is re-scanned, but that is a
+    pruned 3-column broadcast-joined scan, the cheap side of the
+    trade at 100×). Threshold stays bit-identical across engines and
+    aggregation orders: exact decimal sum ÷ count, one double divide
+    of identical operands — a raw double AVG could flip rows at the
+    comparison boundary."""
     p = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#23"
     ).select("p_partkey")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    w = Window.partitionBy("l_partkey")
     joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-    avg_qty = (
-        F.sum(_dec(F.col("l_quantity"))).over(w).cast("double")
-        / F.count("*").over(w)
+    thresholds = (
+        joined.groupBy("l_partkey")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).alias("__s"),
+            F.count("*").alias("__c"),
+        )
+        .select(
+            F.col("l_partkey").alias("__tk"),
+            (F.col("__s").cast("double") / F.col("__c")).alias("__avg_qty"),
+        )
     )
     return (
-        joined.withColumn("__avg_qty", avg_qty)
+        joined.join(
+            F.broadcast(thresholds), F.col("l_partkey") == F.col("__tk")
+        )
         .filter(F.col("l_quantity") < 0.5 * F.col("__avg_qty"))
         .agg(
             (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.lit(7.0)).alias(

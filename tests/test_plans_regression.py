@@ -233,15 +233,21 @@ def test_tpch_q11_reuses_per_part_exchange(spark):
 
 
 @needs_fixtures
-def test_tpch_q17_correlated_avg_is_single_window(spark):
-    """Q17 shape: the correlated per-part AVG lowers to one window over the
-    joined rows — two scans total (part + lineitem), brand side broadcast,
-    no third scan for the subquery."""
+def test_tpch_q17_correlated_avg_is_grouped_broadcast(spark):
+    """Q17 shape (round 9): the correlated per-part AVG lowers to a
+    grouped rollup broadcast back onto the brand slice — NO window and
+    NO sort anywhere (the old single-window form exchanged and sorted
+    the whole brand fact slice wide); the per-part thresholds reach
+    the probe side through a broadcast, and the only wide exchange
+    carries pre-aggregated rows."""
     import re
 
     plan = formatted_plan(QUERIES["q_tpch_q17"](spark, SF))
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
-    assert "Window" in plan and "BroadcastHashJoin" in plan
+    assert "Window" not in plan and "(Inner) Sort" not in plan
+    assert re.search(r"\(\d+\) Sort", plan) is None  # no sort at all
+    assert plan.count("BroadcastHashJoin") >= 2  # brand dim + thresholds
+    # partial aggregation stays map-side ahead of the one wide exchange
+    assert "partial_sum" in plan or "partial_count" in plan
 
 
 @needs_fixtures
