@@ -246,6 +246,7 @@ from salesforce_plugin_spark.conformance.multimodal import (  # noqa: F401
     q_bmp_histogram,
     q_wav_channels,
     q_bmp_ahash,
+    q_bmp_resize,
 )
 from salesforce_plugin_spark.conformance.graph import (  # noqa: F401
     q_pagerank,
@@ -783,6 +784,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_multimodal_frames": q_multimodal_frames,
     "q_asof_join": q_asof_join,
     "q_interval_overlap": q_interval_overlap,
+    "q_bmp_resize": q_bmp_resize,
 }
 
 

@@ -537,3 +537,53 @@ def _ahash_prefix_oracle(n_segs: int = 16) -> str:
 
 
 ORACLES["q_bmp_ahash"] = _ahash_prefix_oracle()
+
+
+def q_bmp_resize(spark, sf_dir):
+    """F4 through ACTUAL decode (round 9): real nearest-neighbor image
+    resize — each document's byte-prefix BMP decodes through the
+    default seam, resamples to 2×3 with the exact integer index map
+    (src_r = (r·H)//3, src_c = (c·4)//2), re-encodes as BMP, and the
+    resized payload decodes AGAIN into long-form pixels. The oracle
+    replays every output pixel as ONE source-byte lookup (position
+    arithmetic over the hex-recovered prefix), so the gate passes only
+    if the full encode→decode→resize→encode→decode chain is exact —
+    the real-decoder form of resize_image_plan's injected seam."""
+    from salesforce_plugin_spark.functions.multimodal import (
+        image_pixels_long,
+        resize_image_nearest,
+    )
+
+    resized = resize_image_nearest(
+        _bmp_payloads(spark, sf_dir), "doc_id", "payload", out_w=2, out_h=3
+    )
+    return image_pixels_long(
+        resized.select("doc_id", F.col("resized").alias("payload")),
+        "doc_id",
+        "payload",
+    )
+
+
+ORACLES["q_bmp_resize"] = """
+    WITH hx AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               (octet_length(encode(text)) // 12) AS src_h
+        FROM documents WHERE octet_length(encode(text)) >= 12
+    ), grid AS (
+        SELECT unnest(generate_series(0, 2)) AS r
+    ), cols AS (
+        SELECT unnest(generate_series(0, 1)) AS c
+    ), chans AS (
+        SELECT unnest(generate_series(0, 2)) AS ch
+    )
+    SELECT hx.doc_id,
+           CAST(g.r AS INT) AS r,
+           CAST(co.c AS INT) AS c,
+           CAST(k.ch AS INT) AS ch,
+           CAST(('0x' || substr(
+               hx.h,
+               2 * (((g.r * hx.src_h) // 3) * 12
+                    + ((co.c * 4) // 2) * 3 + k.ch) + 1,
+               2)) AS INTEGER) AS v
+    FROM hx CROSS JOIN grid g CROSS JOIN cols co CROSS JOIN chans k
+"""

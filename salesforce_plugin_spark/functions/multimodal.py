@@ -773,3 +773,96 @@ def image_ahash_pairs(
         raise ValueError("banding covers max_hamming <= 1")
     segs = pixel_segment_sums(df, id_col, payload_col, n_segs)
     return _ahash_pairs_from_segments(segs, n_segs, max_hamming)
+
+
+def image_pixels_long(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Decoded pixels in exploded long form ``(doc_id, r, c, ch, v)``
+    through the default :func:`decode_image` seam — scalar-only output
+    (the conformance discipline: no array columns), the 1:H·W·3
+    explode vectorized inside the Arrow stage."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("r", T.IntegerType()),
+            T.StructField("c", T.IntegerType()),
+            T.StructField("ch", T.IntegerType()),
+            T.StructField("v", T.IntegerType()),
+        ]
+    )
+
+    def explode_px(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rs, cs, chs, vs = [], [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_image(bytes(payload))
+                h, w = px.shape[:2]
+                n = h * w * 3
+                ids.append(np.full(n, i, dtype=np.int64))
+                rs.append(np.repeat(np.arange(h, dtype=np.int32), w * 3))
+                cs.append(np.tile(np.repeat(np.arange(w, dtype=np.int32), 3), h))
+                chs.append(np.tile(np.arange(3, dtype=np.int32), h * w))
+                vs.append(px.reshape(-1).astype(np.int32))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids) if ids else np.array([], dtype=np.int64),
+                    "r": np.concatenate(rs) if rs else np.array([], dtype=np.int32),
+                    "c": np.concatenate(cs) if cs else np.array([], dtype=np.int32),
+                    "ch": np.concatenate(chs) if chs else np.array([], dtype=np.int32),
+                    "v": np.concatenate(vs) if vs else np.array([], dtype=np.int32),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        explode_px, out_schema
+    )
+
+
+def resize_image_nearest(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    out_w: int,
+    out_h: int,
+) -> DataFrame:
+    """REAL image resize through the default decode seam (round 9):
+    decode (native BMP) → nearest-neighbor resample with the exact
+    integer index map ``src_r = (r·H) // out_h, src_c = (c·W) //
+    out_w`` (floor sampling — deterministic, no float rounding, so an
+    oracle can replay each output pixel as one source-byte lookup) →
+    re-encode as BMP. The real-decoder form of
+    :func:`resize_image_plan`'s injected seam; the whole
+    decode→resize→encode chain runs vectorized per payload inside the
+    Arrow stage, payload bytes never visit the driver. Output:
+    ``(doc_id, resized binary, width, height)``."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError("resize_image_nearest requires out_w, out_h >= 1")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("resized", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                px = decode_image(bytes(payload))
+                h, w = px.shape[:2]
+                ri = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                ci = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                out.append(encode_bmp(px[np.ix_(ri, ci)]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "resized": out,
+                    "width": out_w,
+                    "height": out_h,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        process, out_schema
+    )

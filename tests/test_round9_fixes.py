@@ -642,3 +642,87 @@ def test_real_decode_operators_end_to_end(spark):
     )
     prs = image_ahash_pairs(pair_df, "doc_id", "payload", n_segs=8).collect()
     assert len(prs) == 1 and prs[0].hamming == 0
+
+
+def test_codec_roundtrip_properties():
+    """Property-based round trips: decode∘encode is the identity for
+    every BMP shape (incl. widths needing row padding) and every WAV
+    channel count / sample pattern hypothesis throws at them."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 9),
+        st.integers(1, 9),
+        st.integers(0, 2**32 - 1),
+    )
+    def bmp_prop(h, w, seed):
+        rng = np.random.default_rng(seed)
+        x = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(x)) == x).all()
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(0, 64),
+        st.integers(1, 5),
+        st.integers(1, 192000),
+        st.integers(0, 2**32 - 1),
+    )
+    def wav_prop(n, ch, rate, seed):
+        rng = np.random.default_rng(seed)
+        x = rng.integers(-(2**15), 2**15, size=(n, ch)).astype(np.int16)
+        r, got = decode_wav(encode_wav(rate, x))
+        assert r == rate and got.shape == (n, ch) and (got == x).all()
+
+    bmp_prop()
+    wav_prop()
+
+
+def test_resize_image_nearest_exact(spark):
+    """NN resize through real decode equals the hand-computed integer
+    index map, down- and up-scaling, and the output is itself a valid
+    BMP (decodes back to the sampled pixels)."""
+    import numpy as np
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        image_pixels_long,
+        resize_image_nearest,
+    )
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(src)))], "doc_id long, payload binary"
+    )
+    for out_w, out_h in [(2, 3), (8, 2), (1, 1), (4, 6)]:
+        ri = (np.arange(out_h) * 6) // out_h
+        ci = (np.arange(out_w) * 4) // out_w
+        want = src[np.ix_(ri, ci)]
+        row = resize_image_nearest(
+            df, "doc_id", "payload", out_w, out_h
+        ).collect()[0]
+        assert (row.width, row.height) == (out_w, out_h)
+        assert (decode_bmp(bytes(row.resized)) == want).all(), (out_w, out_h)
+
+    # long-form pixel explode matches the array view
+    px = {
+        (r.r, r.c, r.ch): r.v
+        for r in image_pixels_long(df, "doc_id", "payload").collect()
+    }
+    assert len(px) == 6 * 4 * 3
+    for r in range(6):
+        for c in range(4):
+            for ch in range(3):
+                assert px[(r, c, ch)] == int(src[r, c, ch])
