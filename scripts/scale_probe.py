@@ -252,6 +252,13 @@ PROBE = [
     "q_distill_quality",
     "q_stream_repeated_spans",
     "q_stream_distill",
+    # round-9 additions (real-decode F4: linear Arrow scans; q_bmp_ahash
+    # is pair-producing — verbatim copy twins explode its pair count BY
+    # SEMANTICS at ladder scales, like the density ops)
+    "q_bmp_histogram",
+    "q_wav_channels",
+    "q_bmp_ahash",
+    "q_bmp_resize",
 ]
 
 
