@@ -726,3 +726,54 @@ def test_resize_image_nearest_exact(spark):
         for c in range(4):
             for ch in range(3):
                 assert px[(r, c, ch)] == int(src[r, c, ch])
+
+
+def test_auto_compact_1k_batches(spark, tmp_path):
+    """The verdict's item-6 acceptance shape verbatim: fold 1,000
+    batches with auto-compact on (N=64) — the partition count stays
+    ≤ N+1 after EVERY fold, totals stay exact through all ~15
+    compaction cycles, and a pre-watermark replay is fenced.
+    (Direct fold-loop like the r8 1k-batch compaction test — a real
+    foreachBatch would spend the wall clock on trigger plumbing, and
+    the protocol under test is identical.)"""
+    from salesforce_plugin_spark.streaming.upsert import (
+        _maybe_auto_compact,
+        compacted_below,
+        read_summed_counts,
+        write_batch_partials,
+    )
+
+    state = str(tmp_path / "counts")
+    every = 64
+    reduce_fn = lambda d: d.groupBy("cell").agg(  # noqa: E731
+        F.sum("n").cast("long").alias("n")
+    )
+    one = {}
+    for cell in "abcd":
+        one[cell] = spark.createDataFrame(
+            [(cell, 1)], "cell string, n long"
+        ).localCheckpoint(eager=True)
+    worst = 0
+    for b in range(1000):
+        write_batch_partials(one["abcd"[b % 4]], state, b)
+        _maybe_auto_compact(spark, state, b, every, reduce_fn)
+        worst = max(worst, len(_batch_dirs(state)))
+        assert len(_batch_dirs(state)) <= every + 1, (b, worst)
+    assert compacted_below(spark, state) == 960  # 15 cycles fired
+    totals = {
+        r.cell: r.n
+        for r in read_summed_counts(spark, state, ["cell"]).collect()
+    }
+    assert totals == {"a": 250, "b": 250, "c": 250, "d": 250}
+    # pre-watermark replay of a long-compacted id: fenced no-op
+    write_batch_partials(
+        spark.createDataFrame([("a", 10**6)], "cell string, n long"),
+        state,
+        5,
+    )
+    after = {
+        r.cell: r.n
+        for r in read_summed_counts(spark, state, ["cell"]).collect()
+    }
+    assert after == totals
+    assert worst == every + 1  # the bound is tight, not slack
