@@ -141,6 +141,14 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if pos + 8 + size > len(payload):
+            # a silently-clamped chunk would yield confidently wrong
+            # statistics from a partial sample set — fail like the
+            # BMP decoder does
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {size} bytes, "
+                f"payload ends {pos + 8 + size - len(payload)} short"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = body
@@ -149,6 +157,8 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         pos += 8 + size + (size & 1)  # chunks pad to even offsets
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"truncated WAV fmt chunk: {len(fmt)} bytes < 16")
     audio_fmt, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
     bits = struct.unpack_from("<H", fmt, 14)[0]
     if audio_fmt != 1 or bits != 16:
@@ -249,22 +259,28 @@ def payload_stats(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     )
 
 
-def byte_histogram(
-    df: DataFrame, id_col: str, payload_col: str, n_bins: int = 16
+def _check_n_bins(n_bins: int) -> int:
+    """Bin count must tile the byte range exactly: a non-divisor
+    silently drops the top values via the ``[:n_bins]`` slice, and
+    n_bins > 256 floor-divides by zero (numpy only warns) — both
+    produce confidently wrong histograms instead of errors (round-9
+    review finding)."""
+    if not (1 <= n_bins <= 256 and 256 % n_bins == 0):
+        raise ValueError(
+            f"n_bins must be a divisor of 256 in 1..256, got {n_bins}"
+        )
+    return 256 // n_bins
+
+
+def _byte_histogram_kernel(
+    df: DataFrame, id_col: str, payload_col: str, n_bins: int, to_bytes
 ) -> DataFrame:
-    """Per-payload byte histogram in exploded long form — one row per
-    ``(doc_id, bin)`` carrying the byte count ``n``, with all ``n_bins``
-    rows emitted per payload (zero bins included, so the shape is
-    deterministic). A real feature-extraction stage over opaque binary
-    (the shape of MFCC/embedding extraction once a decoder is injected):
-    numpy over Arrow batches, no shuffle, the 1:n_bins explode happens
-    inside the pandas stage.
-
-    Long form is deliberate: result schemas stay scalar-only (array-typed
-    output columns break pandas-based canonicalizers downstream — the
-    conformance output discipline, same family as the no-DECIMAL rule)."""
-    import numpy as np
-
+    """Shared Arrow-stage binning kernel: ``to_bytes(payload) ->
+    uint8 ndarray`` is the only thing that differs between the raw
+    byte view (:func:`byte_histogram`) and the decoded-pixel view
+    (:func:`image_pixel_histogram`) — one implementation, so fixes to
+    the binning/explode logic cannot diverge between them."""
+    width = _check_n_bins(n_bins)
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -272,7 +288,6 @@ def byte_histogram(
             T.StructField("n", T.LongType()),
         ]
     )
-    width = 256 // n_bins
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bins = np.arange(n_bins, dtype=np.int32)
@@ -282,8 +297,7 @@ def byte_histogram(
                 counts = np.vstack(
                     [
                         np.bincount(
-                            np.frombuffer(bytes(p), dtype=np.uint8) // width,
-                            minlength=n_bins,
+                            to_bytes(bytes(p)) // width, minlength=n_bins
                         )[:n_bins]
                         for p in pdf[payload_col]
                     ]
@@ -300,6 +314,26 @@ def byte_histogram(
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         extract, out_schema
+    )
+
+
+def byte_histogram(
+    df: DataFrame, id_col: str, payload_col: str, n_bins: int = 16
+) -> DataFrame:
+    """Per-payload byte histogram in exploded long form — one row per
+    ``(doc_id, bin)`` carrying the byte count ``n``, with all ``n_bins``
+    rows emitted per payload (zero bins included, so the shape is
+    deterministic). A real feature-extraction stage over opaque binary
+    (the shape of MFCC/embedding extraction once a decoder is injected):
+    numpy over Arrow batches, no shuffle, the 1:n_bins explode happens
+    inside the pandas stage.
+
+    Long form is deliberate: result schemas stay scalar-only (array-typed
+    output columns break pandas-based canonicalizers downstream — the
+    conformance output discipline, same family as the no-DECIMAL rule)."""
+    return _byte_histogram_kernel(
+        df, id_col, payload_col, n_bins,
+        lambda p: np.frombuffer(p, dtype=np.uint8),
     )
 
 
@@ -460,25 +494,21 @@ AHASH_SCHEMA = T.StructType(
 )
 
 
-def payload_segment_sums(
-    df: DataFrame, id_col: str, payload_col: str, n_segs: int = 8
+def _segment_sums_kernel(
+    df: DataFrame, id_col: str, payload_col: str, n_segs: int, to_bytes
 ) -> DataFrame:
-    """Per-payload byte sums over ``n_segs`` contiguous segments — the
-    Arrow-batched 'downsample' stage of the perceptual average-hash
-    (on real images an injected decoder would produce the n_segs×1
-    luminance thumbnail; here the deterministic byte view exercises
-    the same numpy-over-Arrow shape). All ``n_segs`` rows emit per
-    payload (empty segments as n=0), so the downstream bit derivation
-    sees a deterministic shape. No shuffle — the 1:n_segs explode
-    happens inside the pandas stage."""
+    """Shared Arrow-stage segment-sum kernel (the ahash downsample):
+    ``to_bytes`` selects the byte view — raw payload
+    (:func:`payload_segment_sums`) or decoded pixels
+    (:func:`pixel_segment_sums`). All ``n_segs`` rows emit per payload
+    (empty segments as n=0) via the one closed form an engine replays
+    without materializing bounds: byte p -> segment (p*n_segs)//len."""
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, segs, ns, sums = [], [], [], []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
-                b = np.frombuffer(bytes(payload), dtype=np.uint8)
-                # byte p -> segment (p*n_segs)//len: the one closed form
-                # an engine replays without materializing bounds
+                b = to_bytes(bytes(payload))
                 if b.size:
                     seg_of = (
                         np.arange(b.size, dtype=np.int64) * n_segs
@@ -490,11 +520,11 @@ def payload_segment_sums(
                 else:
                     ns_arr = np.zeros(n_segs, dtype=np.int64)
                     sums_arr = np.zeros(n_segs)
-                for s in range(n_segs):
+                for sg in range(n_segs):
                     ids.append(i)
-                    segs.append(s)
-                    ns.append(int(ns_arr[s]))
-                    sums.append(int(sums_arr[s]))
+                    segs.append(sg)
+                    ns.append(int(ns_arr[sg]))
+                    sums.append(int(sums_arr[sg]))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -506,6 +536,21 @@ def payload_segment_sums(
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         compute, AHASH_SCHEMA
+    )
+
+
+def payload_segment_sums(
+    df: DataFrame, id_col: str, payload_col: str, n_segs: int = 8
+) -> DataFrame:
+    """Per-payload byte sums over ``n_segs`` contiguous segments — the
+    Arrow-batched 'downsample' stage of the perceptual average-hash
+    (on real images :func:`pixel_segment_sums` runs the same kernel
+    over DECODED pixels; this raw byte view exercises the identical
+    numpy-over-Arrow shape). No shuffle — the 1:n_segs explode happens
+    inside the pandas stage."""
+    return _segment_sums_kernel(
+        df, id_col, payload_col, n_segs,
+        lambda p: np.frombuffer(p, dtype=np.uint8),
     )
 
 
@@ -618,44 +663,12 @@ def image_pixel_histogram(
     no injected fake), the (H, W, 3) RGB array flattens row-major, and
     all channel bytes bin into ``256 // n_bins``-wide buckets — the
     same exploded ``(doc_id, bin, n)`` long form as
-    :func:`byte_histogram`, every bin emitted per image. Decode +
-    bincount run vectorized inside the Arrow stage; only doc × n_bins
-    rows leave Python; no shuffle."""
-    out_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("bin", T.IntegerType()),
-            T.StructField("n", T.LongType()),
-        ]
-    )
-    width = 256 // n_bins
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bins = np.arange(n_bins, dtype=np.int32)
-        for pdf in batches:
-            ids = pdf[id_col].astype("int64").to_numpy()
-            if len(ids):
-                counts = np.vstack(
-                    [
-                        np.bincount(
-                            decode_image(bytes(p)).reshape(-1) // width,
-                            minlength=n_bins,
-                        )[:n_bins]
-                        for p in pdf[payload_col]
-                    ]
-                )
-            else:
-                counts = np.zeros((0, n_bins), dtype=np.int64)
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.repeat(ids, n_bins),
-                    "bin": np.tile(bins, len(ids)),
-                    "n": counts.reshape(-1).astype("int64"),
-                }
-            )
-
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        extract, out_schema
+    :func:`byte_histogram` (the shared kernel), every bin emitted per
+    image. Decode + bincount run vectorized inside the Arrow stage;
+    only doc × n_bins rows leave Python; no shuffle."""
+    return _byte_histogram_kernel(
+        df, id_col, payload_col, n_bins,
+        lambda p: decode_image(p).reshape(-1),
     )
 
 
@@ -716,42 +729,11 @@ def pixel_segment_sums(
 ) -> DataFrame:
     """:func:`payload_segment_sums` over DECODED pixel bytes: each
     payload decodes through the default :func:`decode_image` seam and
-    the flattened row-major RGB bytes split into ``n_segs`` contiguous
-    segments with exact (count, sum) per segment — the real-decoder
-    downsample stage for :func:`image_ahash_pairs`."""
-
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, segs, ns, sums = [], [], [], []
-            for i, payload in zip(pdf[id_col], pdf[payload_col]):
-                b = decode_image(bytes(payload)).reshape(-1)
-                if b.size:
-                    seg_of = (
-                        np.arange(b.size, dtype=np.int64) * n_segs
-                    ) // b.size
-                    ns_arr = np.bincount(seg_of, minlength=n_segs)
-                    sums_arr = np.bincount(
-                        seg_of, weights=b.astype(np.int64), minlength=n_segs
-                    )
-                else:
-                    ns_arr = np.zeros(n_segs, dtype=np.int64)
-                    sums_arr = np.zeros(n_segs)
-                for s in range(n_segs):
-                    ids.append(i)
-                    segs.append(s)
-                    ns.append(int(ns_arr[s]))
-                    sums.append(int(sums_arr[s]))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "seg": pd.Series(segs, dtype="int32"),
-                    "seg_n": pd.Series(ns, dtype="int64"),
-                    "seg_sum": pd.Series(sums, dtype="int64"),
-                }
-            )
-
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        compute, AHASH_SCHEMA
+    the flattened row-major RGB bytes run the shared segment kernel —
+    the real-decoder downsample stage for :func:`image_ahash_pairs`."""
+    return _segment_sums_kernel(
+        df, id_col, payload_col, n_segs,
+        lambda p: decode_image(p).reshape(-1),
     )
 
 

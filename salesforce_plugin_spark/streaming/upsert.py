@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, Window
 _COMPACT_MANIFEST = "_compact_manifest.json"   # durable intent record
 _COMPACT_WATERMARK = "_compacted_below.json"   # durable replay fence
 _COMPACT_TMP = ".compact_tmp"                  # hidden from scans ('.')
-_CARRY_POINTER = "_carry_current.json"         # fenced-carry commit pointer
+_CARRY_MARKER = "_CARRY_COMMITTED"             # per-version commit marker
 
 _legacy_checked: set[str] = set()
 
@@ -232,18 +232,47 @@ def compact_batch_partials(
     return len(fold)
 
 
+def _counts_reducer(group_cols: list[str]):
+    """The additive-count merge — ONE definition shared by the read
+    path, the manual compact wrapper, and the fold loop's auto-compact
+    (review finding: twin lambdas drift)."""
+    return lambda df: df.groupBy(*group_cols).agg(
+        F.sum("n").cast("long").alias("n")
+    )
+
+
+def _sums_reducer(group_cols: list[str], sum_cols: list[str]):
+    return lambda df: df.groupBy(*group_cols).agg(
+        F.sum("n").cast("long").alias("n"),
+        *[F.sum(f"sum_{c}").cast("long").alias(f"sum_{c}") for c in sum_cols],
+    )
+
+
+def _max_registers_reducer(group_cols: list[str]):
+    return lambda df: df.groupBy(*group_cols, "bucket").agg(
+        F.max("m_j").alias("m_j")
+    )
+
+
+def _cm_reducer():
+    return lambda df: df.groupBy("row", "bucket").agg(F.sum("n").alias("n"))
+
+
+def _histogram_reducer():
+    return lambda df: df.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def _distinct_reducer(cols: list[str]):
+    return lambda df: df.select(*cols).distinct()
+
+
 def compact_summed_counts(
     spark, state_dir: str, watermark: int, group_cols: list[str]
 ) -> int:
     """:func:`compact_batch_partials` with the additive-count reduce
     (same merge :func:`read_summed_counts` applies at read time)."""
     return compact_batch_partials(
-        spark,
-        state_dir,
-        watermark,
-        lambda df: df.groupBy(*group_cols).agg(
-            F.sum("n").cast("long").alias("n")
-        ),
+        spark, state_dir, watermark, _counts_reducer(group_cols)
     )
 
 
@@ -257,16 +286,7 @@ def compact_summed_sums(
     """:func:`compact_batch_partials` with the additive-sums reduce
     (same merge :func:`read_summed_sums` applies at read time)."""
     return compact_batch_partials(
-        spark,
-        state_dir,
-        watermark,
-        lambda df: df.groupBy(*group_cols).agg(
-            F.sum("n").cast("long").alias("n"),
-            *[
-                F.sum(f"sum_{c}").cast("long").alias(f"sum_{c}")
-                for c in sum_cols
-            ],
-        ),
+        spark, state_dir, watermark, _sums_reducer(group_cols, sum_cols)
     )
 
 
@@ -276,12 +296,7 @@ def compact_max_registers(
     """:func:`compact_batch_partials` with the MAX-register merge
     (same merge :func:`read_max_registers` applies at read time)."""
     return compact_batch_partials(
-        spark,
-        state_dir,
-        watermark,
-        lambda df: df.groupBy(*group_cols, "bucket").agg(
-            F.max("m_j").alias("m_j")
-        ),
+        spark, state_dir, watermark, _max_registers_reducer(group_cols)
     )
 
 
@@ -308,29 +323,50 @@ def _maybe_auto_compact(spark, state_dir, batch_id, every, reduce_fn):
 # retry after a crash between the carry overwrite and the streaming
 # checkpoint commit would fold the same batch into an
 # already-advanced carry — double-counting. The fix is a versioned
-# carry with a durable pointer acting as the replay fence:
+# carry with an IMMUTABLE per-version commit marker as the replay
+# fence (no mutable pointer file anywhere: a truncate-in-place
+# pointer update has a crash window that destroys the fence — the
+# round-9 review finding; an existence-only marker has no partial
+# state, it is either there or not):
 #
-#   1. fold reads the pointer; a batch id ≤ pointer is a NO-OP (its
-#      outputs and carry are already durable);
+#   1. fold reads the fence (max ``__c=<id>`` dir holding a
+#      ``_CARRY_COMMITTED`` marker); a batch id ≤ fence is a NO-OP
+#      (its outputs and carry are already durable);
 #   2. the new carry is written to its own ``__c=<batch_id>`` dir
 #      (overwrite — a retry rewrites the identical content, because
 #      the fold is a deterministic function of (committed carry,
 #      replayed batch));
-#   3. the pointer flips to <batch_id> (the commit point);
-#   4. stale ``__c=`` versions are garbage-collected.
+#   3. an empty ``_CARRY_COMMITTED`` file is created inside the new
+#      version dir (the commit point);
+#   4. older ``__c=`` versions are garbage-collected.
 #
-# A crash at any step leaves either the old pointer (replay recomputes
-# from the old carry and overwrites steps 2-4 idempotently) or the new
-# pointer (replay is fenced at step 1). Any per-batch OUTPUT rows
-# (e.g. CUSUM alarms) must be written via :func:`write_batch_partials`
+# A crash at any step leaves either the old fence (replay recomputes
+# from the old carry and overwrites steps 2-4 idempotently — a
+# version dir without its marker is invisible) or the new fence
+# (replay is fenced at step 1). Any per-batch OUTPUT rows (e.g.
+# CUSUM alarms) must be written via :func:`write_batch_partials`
 # BEFORE step 3, so a fenced replay can skip without losing them.
 
 
 def carry_folded_through(spark, state_dir: str) -> int:
-    """The durable fence: the highest batch id whose fold has been
-    committed into the carry at ``state_dir`` (−1 = never)."""
-    meta = _read_json(spark, os.path.join(state_dir, _CARRY_POINTER))
-    return int(meta["batch_id"]) if meta else -1
+    """The durable fence: the highest batch id whose ``__c=<id>``
+    version dir holds a ``_CARRY_COMMITTED`` marker (−1 = never).
+    Marker-based, not pointer-based: commitment is the existence of
+    an immutable file, so no crash can leave a half-written fence."""
+    fs, root, jvm = _fs(spark, state_dir)
+    if not fs.exists(root):
+        return -1
+    hp = jvm.org.apache.hadoop.fs.Path
+    best = -1
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("__c="):
+            cid = int(name[len("__c="):])
+            if cid > best and fs.exists(
+                hp(os.path.join(state_dir, name, _CARRY_MARKER))
+            ):
+                best = cid
+    return best
 
 
 def read_current_carry(spark, state_dir: str) -> DataFrame | None:
@@ -359,27 +395,25 @@ def read_current_carry(spark, state_dir: str) -> DataFrame | None:
 
 def commit_carry(carry: DataFrame, state_dir: str, batch_id: int) -> None:
     """Commit a fold's new carry: write ``__c=<batch_id>`` (overwrite,
-    retry-idempotent), flip the pointer (the commit point), GC stale
+    retry-idempotent), create its empty ``_CARRY_COMMITTED`` marker
+    (the commit point — an immutable existence-only file, so there is
+    no half-written fence state at any crash point), GC OLDER
     versions. The caller must have written any per-batch output rows
-    first — after the pointer flips, a replay of this batch id is a
-    no-op."""
+    first — once the marker exists, a replay of this batch id is a
+    no-op. Markers start with ``_`` so Spark's parquet reader ignores
+    them inside the version dir."""
     spark = carry.sparkSession
-    carry.write.mode("overwrite").parquet(
-        os.path.join(state_dir, f"__c={int(batch_id)}")
-    )
-    _write_json(
-        spark,
-        os.path.join(state_dir, _CARRY_POINTER),
-        {"batch_id": int(batch_id)},
-    )
+    vdir = os.path.join(state_dir, f"__c={int(batch_id)}")
+    carry.write.mode("overwrite").parquet(vdir)
     fs, root, jvm = _fs(spark, state_dir)
     hp = jvm.org.apache.hadoop.fs.Path
+    fs.create(hp(os.path.join(vdir, _CARRY_MARKER)), True).close()
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if (
             st.isDirectory()
             and name.startswith("__c=")
-            and int(name[len("__c="):]) != int(batch_id)
+            and int(name[len("__c="):]) < int(batch_id)
         ):
             fs.delete(hp(os.path.join(state_dir, name)), True)
 
@@ -633,11 +667,11 @@ def run_stream_near_dedup(
         write_batch_partials(new_bands, bands_path, batch_id)
         _maybe_auto_compact(
             spark, assign_path, batch_id, auto_compact_every,
-            lambda d: d.select(id_col, "cluster_id").distinct(),
+            _distinct_reducer([id_col, "cluster_id"]),
         )
         _maybe_auto_compact(
             spark, bands_path, batch_id, auto_compact_every,
-            lambda d: d.select(id_col, "band", "bucket").distinct(),
+            _distinct_reducer([id_col, "band", "bucket"]),
         )
 
     q = (
@@ -699,7 +733,7 @@ def run_stream_cm(
         )
         _maybe_auto_compact(
             batch.sparkSession, state_dir, batch_id, auto_compact_every,
-            lambda d: d.groupBy("row", "bucket").agg(F.sum("n").alias("n")),
+            _cm_reducer(),
         )
 
     q = (
@@ -731,12 +765,7 @@ def compact_cm_state(spark, state_dir: str, watermark: int) -> int:
     element-wise-sum reduce (the merge :func:`read_cm_state` applies
     at read time)."""
     return compact_batch_partials(
-        spark,
-        state_dir,
-        watermark,
-        lambda df: df.groupBy("row", "bucket").agg(
-            F.sum("n").alias("n")
-        ),
+        spark, state_dir, watermark, _cm_reducer()
     )
 
 
@@ -774,7 +803,7 @@ def run_stream_histogram(
         )
         _maybe_auto_compact(
             batch.sparkSession, state_dir, batch_id, auto_compact_every,
-            lambda d: d.groupBy("bin").agg(F.sum("cnt").alias("cnt")),
+            _histogram_reducer(),
         )
 
     q = (
@@ -806,10 +835,7 @@ def compact_histogram_state(spark, state_dir: str, watermark: int) -> int:
     reduce (the merge :func:`read_histogram_state` applies at read
     time)."""
     return compact_batch_partials(
-        spark,
-        state_dir,
-        watermark,
-        lambda df: df.groupBy("bin").agg(F.sum("cnt").alias("cnt")),
+        spark, state_dir, watermark, _histogram_reducer()
     )
 
 
@@ -977,7 +1003,7 @@ def run_stream_active_days(
         )
         _maybe_auto_compact(
             batch.sparkSession, state_dir, batch_id, auto_compact_every,
-            lambda d: d.select("key", "day").distinct(),
+            _distinct_reducer(["key", "day"]),
         )
 
     q = (
@@ -1182,9 +1208,7 @@ def run_stream_additive_counts(
         )
         _maybe_auto_compact(
             batch.sparkSession, state_dir, batch_id, auto_compact_every,
-            lambda d: d.groupBy(*group_cols).agg(
-                F.sum("n").cast("long").alias("n")
-            ),
+            _counts_reducer(group_cols),
         )
 
     q = (
@@ -1238,9 +1262,7 @@ def run_stream_max_registers(
         )
         _maybe_auto_compact(
             batch.sparkSession, state_dir, batch_id, auto_compact_every,
-            lambda d: d.groupBy(*group_cols, "bucket").agg(
-                F.max("m_j").alias("m_j")
-            ),
+            _max_registers_reducer(group_cols),
         )
 
     q = (
@@ -1307,13 +1329,7 @@ def run_stream_additive_sums(
         )
         _maybe_auto_compact(
             batch.sparkSession, state_dir, batch_id, auto_compact_every,
-            lambda d: d.groupBy(*group_cols).agg(
-                F.sum("n").cast("long").alias("n"),
-                *[
-                    F.sum(f"sum_{c}").cast("long").alias(f"sum_{c}")
-                    for c in sum_cols
-                ],
-            ),
+            _sums_reducer(group_cols, sum_cols),
         )
 
     q = (
@@ -1380,7 +1396,7 @@ def run_stream_distinct_set(
         )
         _maybe_auto_compact(
             batch.sparkSession, state_dir, batch_id, auto_compact_every,
-            lambda d: d.select(*cols).distinct(),
+            _distinct_reducer(cols),
         )
 
     q = (
@@ -1407,8 +1423,5 @@ def compact_distinct_set(
     """:func:`compact_batch_partials` with the set-union reduce (the
     same dedup :func:`read_distinct_set` applies at read time)."""
     return compact_batch_partials(
-        spark,
-        state_dir,
-        watermark,
-        lambda df: df.select(*cols).distinct(),
+        spark, state_dir, watermark, _distinct_reducer(cols)
     )

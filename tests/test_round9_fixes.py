@@ -777,3 +777,42 @@ def test_auto_compact_1k_batches(spark, tmp_path):
     }
     assert after == totals
     assert worst == every + 1  # the bound is tight, not slack
+
+
+def test_decoder_guards_from_review():
+    """Round-9 review findings: a WAV chunk that declares more bytes
+    than the payload holds raises (no silently partial statistics), a
+    short fmt chunk raises ValueError (not struct.error), and
+    histogram n_bins values that don't tile the byte range raise
+    instead of silently dropping or zeroing bins."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        _check_n_bins,
+        decode_wav,
+        encode_wav,
+    )
+
+    raw = bytearray(encode_wav(8000, np.array([[1, 2]] * 4, dtype=np.int16)))
+    # inflate the data chunk's declared size beyond the payload
+    struct.pack_into("<I", raw, 40, 10**6)
+    with pytest.raises(ValueError, match="truncated WAV"):
+        decode_wav(bytes(raw))
+
+    # fmt chunk cut to 8 bytes -> ValueError, not struct.error
+    short_fmt = (
+        b"RIFF" + struct.pack("<I", 24) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 8) + b"\x01\x00\x02\x00\x40\x1f\x00\x00"
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="fmt chunk"):
+        decode_wav(short_fmt)
+
+    assert _check_n_bins(16) == 16
+    assert _check_n_bins(256) == 1
+    for bad in (0, 10, 257, 512, -4):
+        with pytest.raises(ValueError, match="divisor of 256"):
+            _check_n_bins(bad)
