@@ -153,11 +153,28 @@ def q_agg_rollup(spark, sf_dir):
 
 
 def q_agg_cube(spark, sf_dir):
-    """D13: GROUP BY CUBE."""
+    """D13: GROUP BY CUBE — two-phase (round 9): Spark lowers a naive
+    CUBE to an Expand of the FACT table (×2^dims grouping-set copies
+    BEFORE the aggregate — 4× the hash work here, and the measured
+    10.6×-of-DuckDB sf1.0 straggler), so aggregate once at full key
+    granularity first (the only fact-scale pass, 6 groups, fully
+    map-side-combined) and CUBE the tiny base with re-aggregation.
+    Exact for these algebraic aggregates: the per-group partial is the
+    same scaled BIGINT accumulator ``_sumd`` carries internally, and
+    long addition is associative, so every grouping-set total is
+    bit-identical to the single-phase form (one double divide at the
+    end, identical operands). The base keys are non-null in the
+    fixtures, so re-cubing cannot conflate a data NULL with a
+    grouping-set NULL (the guard a general two-phase rewrite needs)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        _sumd(F.col("l_quantity")).alias("sum_qty"),
-        F.count("*").alias("n"),
+    scaled = (F.col("l_quantity").cast("decimal(14,2)") * 100).cast("long")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(scaled).alias("__sq"),
+        F.count("*").alias("__n"),
+    )
+    return base.cube("l_returnflag", "l_linestatus").agg(
+        (F.sum("__sq") / F.lit(100.0)).alias("sum_qty"),
+        F.sum("__n").cast("long").alias("n"),
     )
 
 

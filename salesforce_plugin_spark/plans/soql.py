@@ -588,6 +588,31 @@ def _agg_col(e: dict, fsm: int = 1) -> Column:
     )
 
 
+def _agg_sig(e: dict) -> tuple:
+    """Structural signature of an aggregate expression — used to match
+    HAVING / ORDER BY aggregate references to SELECTed aggregates in
+    the two-phase grouping-set lowering."""
+    import json as _json
+
+    return (e["fn"], _json.dumps(e.get("arg"), sort_keys=True))
+
+
+def _agg_refs(e) -> list:
+    """All aggregate expressions referenced inside a boolean tree
+    (HAVING); SOQL grammar puts aggregates only on comparison LHS."""
+    if not e:
+        return []
+    k = e.get("kind")
+    if k in ("and", "or"):
+        return _agg_refs(e["l"]) + _agg_refs(e["r"])
+    if k == "not":
+        return _agg_refs(e["e"])
+    if k in ("cmp", "like", "in"):
+        lhs = e.get("l")
+        return [lhs] if lhs and lhs.get("kind") == "agg" else []
+    return []
+
+
 def _literal_col(e: dict) -> Column:
     if e["kind"] == "lit":
         return F.lit(e["v"])
@@ -1106,7 +1131,102 @@ class _Lowerer:
         fmt = lambda d: d.strftime("%Y-%m-%d %H:%M:%S") if d else None  # noqa: E731
         return (col, fmt(lo), fmt(hi))
 
+    def _two_phase_grouping(self, pre, key_names, q, aggs):
+        """ROLLUP/CUBE over decomposable aggregates, lowered two-phase
+        (round 9): Spark expands the INPUT ×(grouping sets) before a
+        naive multi-set aggregate — on a fact table that is 3-4× the
+        hash work and the measured sf1.0 cube straggler. Aggregating
+        once at full key granularity first (the only fact-scale pass,
+        fully map-side-combined) and re-grouping the tiny base is
+        value-identical when every aggregate is decomposable:
+        COUNT → Σ partial counts (coalesced to 0 for the empty-input
+        global row), SUM over exact types → Σ partial sums (integer /
+        decimal addition is associative; a DOUBLE sum would change
+        low bits, so it falls back), MIN/MAX → min/max of partials.
+        AVG and COUNT_DISTINCT are not decomposable here → fallback.
+        Data-NULL keys stay correct: the base keeps a NULL-key group
+        and re-grouping reproduces exactly the detail and subtotal
+        rows the single-phase form emits.
+
+        HAVING / ORDER BY aggregate references resolve against the
+        FINAL aggregate, where re-deriving ``count(1)`` would count
+        BASE rows — so two-phase only applies when every such
+        reference structurally matches a SELECTed aggregate, and the
+        match map (sig → output alias) is installed for ``_bool`` /
+        the order lowering to resolve through. Returns None when not
+        applicable (caller uses the single-phase form)."""
+        from pyspark.sql import types as _T
+
+        items = aggs or [{"fn": "COUNT", "arg": None, "alias": "count"}]
+        partials, finals, sig_map = [], [], {}
+        for i, it in enumerate(items):
+            fn, arg, alias = it["fn"], it.get("arg"), it["alias"]
+            p = f"__p{i}"
+            if fn == "COUNT":
+                partials.append(
+                    (
+                        F.count(_value_col(arg, self.fsm))
+                        if arg
+                        else F.count(F.lit(1))
+                    ).alias(p)
+                )
+                finals.append(
+                    F.coalesce(F.sum(F.col(p)), F.lit(0))
+                    .cast("long")
+                    .alias(alias)
+                )
+            elif fn in ("MIN", "MAX"):
+                agg_f = F.min if fn == "MIN" else F.max
+                partials.append(agg_f(_value_col(arg, self.fsm)).alias(p))
+                finals.append(agg_f(F.col(p)).alias(alias))
+            elif fn == "SUM":
+                col = _value_col(arg, self.fsm)
+                dt = pre.select(col).schema[0].dataType
+                if not isinstance(
+                    dt,
+                    (
+                        _T.ByteType,
+                        _T.ShortType,
+                        _T.IntegerType,
+                        _T.LongType,
+                        _T.DecimalType,
+                    ),
+                ):
+                    return None
+                partials.append(F.sum(col).alias(p))
+                finals.append(F.sum(F.col(p)).alias(alias))
+            else:  # AVG, COUNT_DISTINCT
+                return None
+            sig_map[_agg_sig(it)] = alias
+        order_aggs = [
+            o["expr"]
+            for o in (q.get("order") or [])
+            if o["expr"]["kind"] == "agg"
+        ]
+        for ref in _agg_refs(q.get("having")) + order_aggs:
+            if _agg_sig(ref) not in sig_map:
+                return None
+        base = pre.groupBy(*key_names).agg(*partials)
+        regrouped = (
+            base.rollup(*key_names)
+            if q["grouping"] == "rollup"
+            else base.cube(*key_names)
+        )
+        self._agg_alias_map = sig_map
+        return regrouped.agg(*finals)
+
+    def _resolve_agg(self, e: dict) -> Column:
+        """Aggregate expression in HAVING/ORDER BY: under the two-phase
+        lowering it must resolve to the FINAL output column (re-deriving
+        the aggregate would aggregate base rows); otherwise the plain
+        lowering applies."""
+        m = getattr(self, "_agg_alias_map", None)
+        if m is not None:
+            return F.col(m[_agg_sig(e)])
+        return _agg_col(e, self.fsm)
+
     def lower(self, q: dict) -> DataFrame:
+        self._agg_alias_map = None  # two-phase map is per-lowering state
         df = self.resolve(q["from"])
         q = self._expand_fields(q, df.columns)
         if self._accepts_ts_range:
@@ -1142,15 +1262,22 @@ class _Lowerer:
                 _value_col(g, self.fsm).alias(default_alias(g))
                 for g in q["group"] if g["kind"] == "datefn"
             ])
-            grouped = {
-                "plain": pre.groupBy(*key_names),
-                "rollup": pre.rollup(*key_names),
-                "cube": pre.cube(*key_names),
-            }[q["grouping"]]
-            agg_cols = [_agg_col(it, self.fsm).alias(it["alias"]) for it in aggs]
-            if not agg_cols:
-                agg_cols = [F.count(F.lit(1)).alias("count")]
-            df = grouped.agg(*agg_cols)
+            self._agg_alias_map = None
+            df = None
+            if q["grouping"] in ("rollup", "cube"):
+                df = self._two_phase_grouping(pre, key_names, q, aggs)
+            if df is None:
+                grouped = {
+                    "plain": pre.groupBy(*key_names),
+                    "rollup": pre.rollup(*key_names),
+                    "cube": pre.cube(*key_names),
+                }[q["grouping"]]
+                agg_cols = [
+                    _agg_col(it, self.fsm).alias(it["alias"]) for it in aggs
+                ]
+                if not agg_cols:
+                    agg_cols = [F.count(F.lit(1)).alias("count")]
+                df = grouped.agg(*agg_cols)
             proj = []
             for it in items:
                 if it["kind"] == "agg":
@@ -1161,6 +1288,9 @@ class _Lowerer:
             if q["having"] is not None:
                 post_agg = post_agg.filter(self._bool(q["having"], agg_ok=True))
             df = post_agg.select(*proj)
+            # ORDER BY below may still reference aggregates; the map (set
+            # only under two-phase) stays active through it and dies with
+            # this lowering call
         elif aggs:
             if any(it["kind"] == "child_sub" for it in items):
                 raise SoqlError(
@@ -1182,7 +1312,7 @@ class _Lowerer:
             cols = []
             for o in q["order"]:
                 c = _value_col(o["expr"], self.fsm) if o["expr"]["kind"] != "agg" \
-                    else _agg_col(o["expr"], self.fsm)
+                    else self._resolve_agg(o["expr"])
                 name = default_alias(o["expr"])
                 if name in df.columns:
                     c = F.col(name)
@@ -1322,7 +1452,7 @@ class _Lowerer:
             if not (agg_ok and e["l"]["kind"] == "agg"):
                 self._check_comparable(e["l"], e["r"], e["op"])
             lhs = (
-                _agg_col(e["l"], self.fsm) if agg_ok and e["l"]["kind"] == "agg"
+                self._resolve_agg(e["l"]) if agg_ok and e["l"]["kind"] == "agg"
                 else _value_col(e["l"], self.fsm)
             )
             if e["r"]["kind"] == "datelit":

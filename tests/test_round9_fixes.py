@@ -816,3 +816,127 @@ def test_decoder_guards_from_review():
     for bad in (0, 10, 257, 512, -4):
         with pytest.raises(ValueError, match="divisor of 256"):
             _check_n_bins(bad)
+
+
+# --- two-phase ROLLUP/CUBE lowering (SOQL planner + q_agg_cube) ---------
+
+
+def _soql(spark, sf_dir, stmt, **kw):
+    from salesforce_plugin_spark.conformance._common import load_table
+    from salesforce_plugin_spark.plans import soql_to_df
+
+    return soql_to_df(
+        spark, stmt, lambda name: load_table(spark, sf_dir, name.lower()), **kw
+    )
+
+
+def test_soql_rollup_two_phase_values_and_plan(spark):
+    """Decomposable ROLLUP lowers two-phase: values identical to the
+    single-phase oracle semantics (incl. data-NULL keys and subtotal
+    rows), and the physical plan expands the BASE aggregate, not the
+    fact scan."""
+    import pyspark.sql.functions as F
+
+    from salesforce_plugin_spark.conformance._common import load_table  # noqa: F401
+    from salesforce_plugin_spark.plans import soql_to_df
+
+    rows = [
+        ("a", "x", 1), ("a", "x", 2), ("a", None, 3),
+        (None, "y", 4), ("b", "y", 5), ("b", "y", 6),
+    ]
+    df = spark.createDataFrame(rows, "k1 string, k2 string, v int")
+
+    got = soql_to_df(
+        spark,
+        "SELECT k1, k2, COUNT() n, SUM(v) s, MAX(v) mx FROM T "
+        "GROUP BY ROLLUP(k1, k2)",
+        lambda name: df,
+    )
+    want = (
+        df.rollup("k1", "k2")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.max("v").alias("mx"),
+        )
+    )
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, want.collect()), key=key
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # Expand consumes the base-aggregate partials, not raw input rows
+    assert "Expand" in plan and "__p0" in plan.split("Expand")[1][:400]
+
+
+def test_soql_rollup_two_phase_having_and_order(spark):
+    """HAVING and ORDER BY aggregate references resolve to the FINAL
+    output columns under two-phase (re-deriving count(1) there would
+    count base groups)."""
+    rows = [("a", i) for i in range(5)] + [("b", i) for i in range(2)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    from salesforce_plugin_spark.plans import soql_to_df
+
+    got = soql_to_df(
+        spark,
+        "SELECT k, COUNT() n FROM T GROUP BY ROLLUP(k) "
+        "HAVING COUNT() > 2 ORDER BY COUNT() DESC",
+        lambda name: df,
+    ).collect()
+    # groups: a=5, b=2, total=7 -> HAVING>2 keeps total(7) and a(5),
+    # ordered desc; a two-phase bug counting BASE rows would emit 2/1/1
+    assert [(r.k, r.n) for r in got] == [(None, 7), ("a", 5)]
+
+
+def test_soql_rollup_falls_back_when_not_decomposable(spark):
+    """COUNT_DISTINCT / AVG / double-SUM force the single-phase form —
+    values must still be correct (fallback, not failure)."""
+    import pyspark.sql.functions as F
+
+    rows = [("a", "x", 1.5), ("a", "y", 2.5), ("b", "x", 3.5)]
+    df = spark.createDataFrame(rows, "k string, t string, d double")
+    from salesforce_plugin_spark.plans import soql_to_df
+
+    got = soql_to_df(
+        spark,
+        "SELECT k, COUNT_DISTINCT(t) nt, AVG(d) ad, SUM(d) sd FROM T "
+        "GROUP BY ROLLUP(k)",
+        lambda name: df,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "__p0" not in plan  # single-phase: no partial columns
+    want = df.rollup("k").agg(
+        F.countDistinct("t").alias("nt"),
+        F.avg("d").alias("ad"),
+        F.sum("d").alias("sd"),
+    )
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, want.collect()), key=key
+    )
+
+
+def test_soql_rollup_two_phase_empty_input_count_zero(spark):
+    """The empty-input global row keeps COUNT = 0 (a naive Σ of zero
+    partials would be NULL)."""
+    df = spark.createDataFrame([], "k string, v int")
+    from salesforce_plugin_spark.plans import soql_to_df
+
+    got = soql_to_df(
+        spark,
+        "SELECT k, COUNT() n, SUM(v) s FROM T GROUP BY ROLLUP(k)",
+        lambda name: df,
+    ).collect()
+    single = df.rollup("k").agg(
+        __import__("pyspark.sql.functions", fromlist=["x"]).count(
+            __import__("pyspark.sql.functions", fromlist=["x"]).lit(1)
+        ).alias("n")
+    ).collect()
+    # whatever the single-phase operator emits on empty input, the
+    # two-phase form must match row-for-row on the count column
+    assert len(got) == len(single)
+    for g, w in zip(
+        sorted((r.k, r.n) for r in got),
+        sorted((r.k, r.n) for r in single),
+    ):
+        assert g == w
