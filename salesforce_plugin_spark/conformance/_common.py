@@ -116,14 +116,14 @@ def _slice_to_files(spark, slices, tmp, schema_cols):
 
     src = os.path.join(tmp, "src")
     os.makedirs(src, exist_ok=True)
-    now = _time.time()
+    now = int(_time.time())
     for i, sl in enumerate(slices):
         part = os.path.join(tmp, f"stage{i}")
         sl.coalesce(1).write.mode("overwrite").parquet(part)
         pf = next(f for f in os.listdir(part) if f.endswith(".parquet"))
         dst = os.path.join(src, f"batch-{i}.parquet")
         shutil.move(os.path.join(part, pf), dst)
-        os.utime(dst, (now + i * 10, now + i * 10))
+        os.utime(dst, (now + i * 60, now + i * 60))
     return src
 
 

@@ -39,14 +39,14 @@ def q_stream_near_dedup(spark, sf_dir):
     src = os.path.join(tmp, "src")
     os.makedirs(src)
     try:
-        now = _time.time()
+        now = int(_time.time())
         for i, sl in enumerate(slices):
             part = os.path.join(tmp, f"stage{i}")
             sl.coalesce(1).write.mode("overwrite").parquet(part)
             pf = next(f for f in os.listdir(part) if f.endswith(".parquet"))
             dst = os.path.join(src, f"batch-{i}.parquet")
             shutil.move(os.path.join(part, pf), dst)
-            os.utime(dst, (now + i * 10, now + i * 10))
+            os.utime(dst, (now + i * 60, now + i * 60))
         stream = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", 1)
@@ -301,7 +301,7 @@ def q_stream_scd2(spark, sf_dir):
         e.filter(F.col("ts") >= F.lit(cuts[1]).cast("timestamp")),
     ]
     try:
-        now = _time.time()
+        now = int(_time.time())
         for i, sl in enumerate(slices):
             part = os.path.join(tmp, f"stage{i}")
             sl.coalesce(1).write.mode("overwrite").parquet(part)
@@ -312,7 +312,7 @@ def q_stream_scd2(spark, sf_dir):
             shutil.move(os.path.join(part, pf), dst)
             # ascending mtimes: the file source processes oldest-first,
             # which IS the per-key observation order (time-sliced files)
-            os.utime(dst, (now + i * 10, now + i * 10))
+            os.utime(dst, (now + i * 60, now + i * 60))
         stream = (
             spark.readStream.schema(
                 "user_id long, event_type string, ts timestamp, event_id long"
@@ -545,7 +545,7 @@ def q_stream_rolling_wau(spark, sf_dir):
         ).select("user_id", "ts"),
     ]
     try:
-        now = _time.time()
+        now = int(_time.time())
         for i, sl in enumerate(slices):
             part = os.path.join(tmp, f"stage{i}")
             sl.coalesce(1).write.mode("overwrite").parquet(part)
@@ -554,7 +554,7 @@ def q_stream_rolling_wau(spark, sf_dir):
             )
             dst = os.path.join(src, f"batch-{i}.parquet")
             shutil.move(os.path.join(part, pf), dst)
-            os.utime(dst, (now + i * 10, now + i * 10))
+            os.utime(dst, (now + i * 60, now + i * 60))
         stream = (
             spark.readStream.schema("user_id long, ts timestamp")
             .option("maxFilesPerTrigger", 1)
@@ -606,7 +606,7 @@ def q_stream_cusum(spark, sf_dir):
         base.filter(F.col("ts") >= F.lit(cuts[1]).cast("timestamp")),
     ]
     try:
-        now = _time.time()
+        now = int(_time.time())
         for i, sl in enumerate(slices):
             part = os.path.join(tmp, f"stage{i}")
             sl.coalesce(1).write.mode("overwrite").parquet(part)
@@ -615,7 +615,7 @@ def q_stream_cusum(spark, sf_dir):
             )
             dst = os.path.join(src, f"batch-{i}.parquet")
             shutil.move(os.path.join(part, pf), dst)
-            os.utime(dst, (now + i * 10, now + i * 10))
+            os.utime(dst, (now + i * 60, now + i * 60))
         stream = (
             spark.readStream.schema(
                 "user_id long, ts timestamp, event_id long, v long"
@@ -680,7 +680,7 @@ def q_stream_interarrival(spark, sf_dir):
         base.filter(F.col("ts") >= F.lit(cuts[1]).cast("timestamp")),
     ]
     try:
-        now = _time.time()
+        now = int(_time.time())
         for i, sl in enumerate(slices):
             part = os.path.join(tmp, f"stage{i}")
             sl.coalesce(1).write.mode("overwrite").parquet(part)
@@ -689,7 +689,7 @@ def q_stream_interarrival(spark, sf_dir):
             )
             dst = os.path.join(src, f"batch-{i}.parquet")
             shutil.move(os.path.join(part, pf), dst)
-            os.utime(dst, (now + i * 10, now + i * 10))
+            os.utime(dst, (now + i * 60, now + i * 60))
         stream = (
             spark.readStream.schema("user_id long, ts timestamp")
             .option("maxFilesPerTrigger", 1)

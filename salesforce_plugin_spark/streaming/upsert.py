@@ -418,6 +418,46 @@ def commit_carry(carry: DataFrame, state_dir: str, batch_id: int) -> None:
             fs.delete(hp(os.path.join(state_dir, name)), True)
 
 
+def _assert_batches_in_order(
+    batch: DataFrame,
+    carry_last_ts: DataFrame,
+    key_cols: list[str],
+    ts_us,
+    batch_id: int,
+    face: str,
+) -> None:
+    """Runtime check of the order-dependent folds' precondition:
+    every row of the batch must carry a timestamp ≥ its key's
+    last-FOLDED timestamp (``carry_last_ts``: key cols + a single
+    ``__cts`` BIGINT column, microseconds; NULL = unknown/legacy —
+    skipped). The round-9 driver window showed why this must be an
+    ERROR and not a silent fold: an out-of-order batch produces
+    rows/schema-matching but value-wrong output (hash mismatch) that
+    nothing downstream can detect. The probe is one inner join on the
+    per-key batch minimum against the one-row-per-key carry —
+    O(batch + keys) — and collects at most ONE violating row."""
+    viol = (
+        batch.groupBy(*key_cols)
+        .agg(F.min(ts_us).alias("__bmin"))
+        .join(carry_last_ts, key_cols, "inner")
+        .filter(F.col("__cts").isNotNull() & (F.col("__bmin") < F.col("__cts")))
+        .limit(1)
+        .collect()
+    )
+    if viol:
+        r = viol[0].asDict()
+        key = {c: r[c] for c in key_cols}
+        raise ValueError(
+            f"{face}: batch {int(batch_id)} violates the per-key "
+            f"observation order precondition — key {key} holds a row at "
+            f"{r['__bmin']} us, older than its last folded timestamp "
+            f"{r['__cts']} us. Out-of-order micro-batches cannot be "
+            "folded through a forward-only carry; fix the source's "
+            "file/offset ordering (ascending mtimes, per-key partition "
+            "order) or rebuild this key's state from the full feed."
+        )
+
+
 def _assert_integral_sum_cols(df: DataFrame, sum_cols: list[str]) -> None:
     """The additive-sum fold's exactness contract is BIGINT addition;
     a double column would be silently truncated row-by-row by the
@@ -532,7 +572,14 @@ def run_stream_scd2(
     must arrive per-key in observation order — true of any time-ordered
     ingest (file mtime order, Kafka per-key partition order). Late rows
     that time-travel before a key's loaded history need a source-feed
-    reprocess, exactly as in the batch incremental path.
+    reprocess, exactly as in the batch incremental path. CHECKED at
+    runtime since round 10: a key slice that STRADDLES the loaded
+    frontier (rows both before and after the key's latest loaded
+    observation) raises instead of silently rebuilding a history whose
+    non-change rows were already compressed away. A slice entirely in
+    the past is presumed a REPLAY and absorbed idempotently — this
+    fold has no batch-id fence, so checkpointless re-folds of old
+    batches are legal and must stay no-ops.
 
     State lives in the parquet table at ``table_path``; each batch reads
     the AFFECTED keys' change rows, re-collapses them with the batch, and
@@ -558,6 +605,46 @@ def run_stream_scd2(
             exists = False         # read failure must raise, not silently
                                    # restart history from scratch
         if exists:
+            us = F.unix_micros(F.col(ts_col))
+            # Order guard (round 10), shaped for the TABLE protocol:
+            # unlike the fenced-carry faces this fold has no batch-id
+            # fence — a full checkpointless replay re-folds old batches
+            # and relies on re-collapse idempotency, and such a batch
+            # sits entirely AT OR BEFORE its keys' loaded frontier. The
+            # dangerous delivery is a key slice that STRADDLES the
+            # frontier (some rows older than the latest loaded
+            # observation, some newer): that is out-of-order ingest,
+            # not replay, and folding it silently rebuilds from a
+            # history whose non-change rows were compressed away. A
+            # slice entirely in the past is presumed a replay and
+            # absorbed idempotently.
+            frontier = current.groupBy(*key_cols).agg(
+                F.max(us).alias("__cts")
+            )
+            viol = (
+                batch.groupBy(*key_cols)
+                .agg(F.min(us).alias("__bmin"), F.max(us).alias("__bmax"))
+                .join(frontier, key_cols, "inner")
+                .filter(
+                    (F.col("__bmin") < F.col("__cts"))
+                    & (F.col("__bmax") > F.col("__cts"))
+                )
+                .limit(1)
+                .collect()
+            )
+            if viol:
+                r = viol[0].asDict()
+                key = {c: r[c] for c in key_cols}
+                raise ValueError(
+                    f"run_stream_scd2: batch {int(_id)} straddles the "
+                    f"loaded SCD2 frontier for key {key} — rows span "
+                    f"[{r['__bmin']}, {r['__bmax']}] us around the "
+                    f"latest loaded observation {r['__cts']} us. "
+                    "Out-of-order ingest cannot be folded into a "
+                    "compressed interval history; reprocess this key "
+                    "from the full source feed (see scd2_apply_changes' "
+                    "contract)."
+                )
             merged = scd2_apply_changes(
                 current, batch, key_cols, attr_cols, ts_col, tiebreak_cols
             )
@@ -630,6 +717,13 @@ def run_stream_near_dedup(
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        # complete any interrupted compaction BEFORE the corpus read:
+        # a crash between the compaction manifest write and the
+        # tmp -> __b=-1 rename leaves a torn layout that the raw read
+        # below would otherwise see as a corpus missing band rows
+        # (wrong cluster assignments, durably written) — ADVICE r9
+        _recover_compaction(spark, bands_path)
+        _recover_compaction(spark, assign_path)
         batch_local = batch.localCheckpoint(eager=True)
         new_bands = portable_bands(
             minhash_signatures_portable(
@@ -865,7 +959,16 @@ def run_stream_cusum(
 
     REQUIRES batches in per-key observation order (time-sliced files
     with ascending mtimes, the SCD2 stream contract — an out-of-order
-    row would need a rebuild from its timestamp forward).
+    row would need a rebuild from its timestamp forward). Round 10:
+    the precondition is now CHECKED — the carry stores each key's
+    last-folded timestamp (``__cts``, microseconds) and a batch
+    holding an older row RAISES instead of silently folding wrong
+    CUSUM values (the round-9 driver hash-mismatch class). Keys
+    absent from a batch keep their carry unchanged (round-10 fix —
+    the previous left join dropped them, restarting their CUSUM at
+    the key's next appearance). A round-9 carry without ``__cts``
+    keeps folding (guard skipped until the first round-10 commit
+    upgrades the schema in place).
 
     Replay safety (round 9): the carry goes through the fenced-carry
     protocol (:func:`commit_carry`) — a ``foreachBatch`` retry of an
@@ -910,10 +1013,22 @@ def run_stream_cusum(
             # raises inside read_current_carry, never reinitializes
             carry = spark.createDataFrame(
                 [],
-                local.select(*key_cols).schema.add("__ccum", "long").add(
-                    "__cm", "long"
-                ),
+                local.select(*key_cols)
+                .schema.add("__ccum", "long")
+                .add("__cm", "long")
+                .add("__cts", "long"),
             )
+        elif "__cts" not in carry.columns:  # round-9 carry: last-folded
+            # ts unknown — guard skipped once, schema upgraded on commit
+            carry = carry.withColumn("__cts", F.lit(None).cast("long"))
+        _assert_batches_in_order(
+            batch,
+            carry.select(*key_cols, "__cts"),
+            key_cols,
+            F.unix_micros(F.col(ts_col)),
+            batch_id,
+            "run_stream_cusum",
+        )
         cum = F.coalesce(F.col("__ccum"), F.lit(0)) + F.col("__lc")
         m = F.least(
             F.coalesce(F.col("__cm"), F.lit(0).cast("long")),
@@ -951,13 +1066,24 @@ def run_stream_cusum(
                     F.struct(
                         F.col("__cum").alias("__ccum"),
                         F.col("__m").alias("__cm"),
+                        F.unix_micros(F.col(ts_col)).alias("__cts"),
                     ),
                     F.struct(*order),
                 ).alias("__last")
             )
-            .select(*key_cols, "__last.__ccum", "__last.__cm")
+            .select(
+                *key_cols, "__last.__ccum", "__last.__cm", "__last.__cts"
+            )
         )
-        commit_carry(new_carry, state_dir, batch_id)
+        # keys ABSENT from this batch keep their carry verbatim — the
+        # anti-join side costs O(carry), one row per key (round-10 fix:
+        # without it a key skipping a batch restarted its CUSUM from 0)
+        carried_over = carry.join(
+            local.select(*key_cols).distinct(), key_cols, "left_anti"
+        ).select(*key_cols, "__ccum", "__cm", "__cts")
+        commit_carry(
+            new_carry.unionByName(carried_over), state_dir, batch_id
+        )
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -1058,8 +1184,10 @@ def run_stream_interarrival(
     one lag window + one aggregate reduce the batch to per-key partial
     stats; the batch's first event closes a BOUNDARY gap against the
     carry's ``last_us``. REQUIRES time-sliced batches in ascending
-    order (the SCD2/CUSUM stream contract). State is one row per key
-    regardless of stream length.
+    order (the SCD2/CUSUM stream contract) — CHECKED at runtime since
+    round 10: a batch holding a row older than its key's ``last_us``
+    raises instead of merging negative/aliased gaps silently.
+    State is one row per key regardless of stream length.
 
     Replay safety (round 9): the carry goes through the fenced-carry
     protocol (:func:`commit_carry`) — a ``foreachBatch`` retry of an
@@ -1104,6 +1232,16 @@ def run_stream_interarrival(
                 .add("min_us", "long")
                 .add("max_us", "long"),
             )
+        # order precondition is CHECKED (round 10): the carry's
+        # last_us doubles as the per-key last-folded timestamp
+        _assert_batches_in_order(
+            batch,
+            carry.select(*key_cols, F.col("last_us").alias("__cts")),
+            key_cols,
+            us,
+            batch_id,
+            "run_stream_interarrival",
+        )
         j = local.join(carry, key_cols, "full_outer")
         boundary = F.when(
             F.col("last_us").isNotNull() & F.col("__first").isNotNull(),

@@ -1,0 +1,350 @@
+"""Round-10 fixes: stream-fold order guards + carry completeness.
+
+The round-9 driver window produced its first hash-mismatch in seven
+rounds (q_stream_cusum: rows/schema match, values wrong). Two defects
+in that fold family are closed here, each pinned by a test written to
+FAIL on the round-9 code:
+
+1. run_stream_cusum's ``local.join(carry, key_cols, "left")`` dropped
+   the carry rows of every key ABSENT from the current batch — a key
+   with events in batches 0 and 2 but not 1 silently restarted its
+   CUSUM from zero (exactly the driver signature).
+2. The documented "batches arrive in per-key observation order"
+   precondition of the cusum / interarrival / SCD2 faces was never
+   checked at runtime, so an order perturbation produced silently
+   wrong values instead of an error. The carry now stores the per-key
+   last-folded timestamp and the fold RAISES on a violating batch.
+"""
+
+import datetime as dt
+import os
+import time as _time
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _write_batches(tmp_path, spark, df, splits, schema):
+    """Write df slices as mtime-ordered single-file batches; return src dir."""
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    now = int(_time.time())
+    for i, sl in enumerate(splits):
+        part = str(tmp_path / f"stage{i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(part)
+        pf = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(part, pf), dst)
+        os.utime(dst, (now + i * 60, now + i * 60))
+    return src
+
+
+def _cusum_stream(spark, src):
+    return (
+        spark.readStream.schema("k string, ts timestamp, id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def _cusum_rows():
+    # key "a": observations only in the first and last time slice;
+    # key "b": observations in every slice.
+    rows = []
+    vals_a = [9, 14, 30, 12]  # ids 0,1 (slice 0) and 6,7 (slice 2)
+    vals_b = [5, 2, 1, 9, 0, 7]  # ids 0..5 spread across all slices
+    for i, v in enumerate(vals_a):
+        day = 1 if i < 2 else 21
+        rows.append(("a", dt.datetime(2024, 1, day, 0, 0, i), i, v))
+    for i, v in enumerate(vals_b):
+        day = 1 if i < 2 else (11 if i < 4 else 21)
+        rows.append(("b", dt.datetime(2024, 1, day, 0, 0, i), i, v))
+    return rows
+
+
+def test_stream_cusum_key_absent_from_middle_batch(spark, tmp_path):
+    """A key missing from an intermediate batch must KEEP its carry:
+    streamed output stays row-identical to the one-shot batch run."""
+    from salesforce_plugin_spark.operators.timeseries import cusum_alarms
+    from salesforce_plugin_spark.streaming.upsert import run_stream_cusum
+
+    df = spark.createDataFrame(
+        _cusum_rows(), "k string, ts timestamp, id long, v long"
+    )
+    splits = [
+        df.filter(F.col("ts") < "2024-01-10"),
+        df.filter((F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-20")),
+        df.filter(F.col("ts") >= "2024-01-20"),
+    ]
+    # precondition of the test itself: "a" absent from the middle slice
+    assert splits[1].filter("k = 'a'").count() == 0
+    assert splits[0].filter("k = 'a'").count() > 0
+    assert splits[2].filter("k = 'a'").count() > 0
+    src = _write_batches(tmp_path, spark, df, splits, None)
+    out_dir = str(tmp_path / "out")
+    run_stream_cusum(
+        _cusum_stream(spark, src), out_dir, str(tmp_path / "state"),
+        str(tmp_path / "ckpt"), ["k"], "ts", "v",
+        target=5, slack=1, threshold=6, tiebreak_cols=["id"],
+    )
+    got = sorted(
+        (r.k, r.ts, r.v, r.id, r.cusum, r.alarm)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    want = sorted(
+        (r.k, r.ts, r.v, r.id, r.cusum, r.alarm)
+        for r in cusum_alarms(
+            df, ["k"], "ts", "v", target=5, slack=1, threshold=6,
+            tiebreak_cols=["id"],
+        ).collect()
+    )
+    assert got == want and len(got) == 10
+
+
+def test_stream_cusum_out_of_order_batch_raises(spark, tmp_path):
+    """A batch holding a row OLDER than its key's last-folded ts is a
+    precondition violation and must raise, never fold wrong values."""
+    from salesforce_plugin_spark.streaming.upsert import run_stream_cusum
+
+    rows = [
+        ("k", dt.datetime(2024, 1, 20, 0, 0, i), i, v)
+        for i, v in enumerate([5, 9, 2, 14])
+    ]
+    # the "late" slice time-travels before everything above
+    rows += [("k", dt.datetime(2024, 1, 1), 99, 7)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long, v long")
+    splits = [df.filter("id < 4"), df.filter("id = 99")]
+    src = _write_batches(tmp_path, spark, df, splits, None)
+    with pytest.raises(Exception, match="observation order"):
+        run_stream_cusum(
+            _cusum_stream(spark, src), str(tmp_path / "out"),
+            str(tmp_path / "state"), str(tmp_path / "ckpt"),
+            ["k"], "ts", "v", target=5, slack=1, threshold=6,
+            tiebreak_cols=["id"],
+        )
+
+
+def test_stream_interarrival_out_of_order_batch_raises(spark, tmp_path):
+    from salesforce_plugin_spark.streaming.upsert import (
+        run_stream_interarrival,
+    )
+
+    rows = [("k", dt.datetime(2024, 1, 20, 0, 0, i)) for i in range(4)]
+    rows += [("k", dt.datetime(2024, 1, 1))]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    splits = [
+        df.filter(F.col("ts") >= "2024-01-10"),
+        df.filter(F.col("ts") < "2024-01-10"),
+    ]
+    src = _write_batches(tmp_path, spark, df, splits, None)
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with pytest.raises(Exception, match="observation order"):
+        run_stream_interarrival(
+            stream, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+            ["k"], "ts",
+        )
+
+
+def test_stream_scd2_out_of_order_batch_raises(spark, tmp_path):
+    from salesforce_plugin_spark.streaming.upsert import run_stream_scd2
+
+    rows = [
+        ("k", "x", dt.datetime(2024, 1, 20), 0),
+        ("k", "y", dt.datetime(2024, 1, 21), 1),
+        # second batch STRADDLES the loaded frontier: one row
+        # time-travels before the history, one genuinely advances it
+        # (an entirely-past slice would be a legal idempotent replay)
+        ("k", "z", dt.datetime(2024, 1, 1), 2),
+        ("k", "w", dt.datetime(2024, 1, 22), 3),
+    ]
+    df = spark.createDataFrame(rows, "k string, attr string, ts timestamp, id long")
+    splits = [df.filter("id < 2"), df.filter("id >= 2")]
+    src = _write_batches(tmp_path, spark, df, splits, None)
+    stream = (
+        spark.readStream.schema(
+            "k string, attr string, ts timestamp, id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with pytest.raises(Exception, match="straddles"):
+        run_stream_scd2(
+            stream, str(tmp_path / "table"), str(tmp_path / "ckpt"),
+            ["k"], ["attr"], "ts", tiebreak_cols=["id"],
+        )
+
+
+def test_stream_scd2_in_order_still_green(spark, tmp_path):
+    """The guard must not fire on a contract-honouring feed."""
+    from salesforce_plugin_spark.operators.scd import scd2_intervals
+    from salesforce_plugin_spark.streaming.upsert import run_stream_scd2
+
+    rows = [
+        ("k", "x", dt.datetime(2024, 1, 1), 0),
+        ("k", "y", dt.datetime(2024, 1, 2), 1),
+        ("k", "y", dt.datetime(2024, 1, 20), 2),
+        ("k", "z", dt.datetime(2024, 1, 21), 3),
+    ]
+    df = spark.createDataFrame(rows, "k string, attr string, ts timestamp, id long")
+    splits = [df.filter("id < 2"), df.filter("id >= 2")]
+    src = _write_batches(tmp_path, spark, df, splits, None)
+    stream = (
+        spark.readStream.schema(
+            "k string, attr string, ts timestamp, id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = str(tmp_path / "table")
+    run_stream_scd2(
+        stream, table, str(tmp_path / "ckpt"),
+        ["k"], ["attr"], "ts", tiebreak_cols=["id"],
+    )
+    cols = ("k", "attr", "__valid_from", "__valid_to", "__is_current")
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(table).collect()
+    )
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in scd2_intervals(df, ["k"], ["attr"], "ts", ["id"]).collect()
+    )
+    assert got == want
+
+
+def test_stream_cusum_legacy_carry_without_ts_still_folds(spark, tmp_path):
+    """A round-9 carry (no ``__cts`` column) must keep folding: the
+    guard is skipped for keys whose last ts is unknown, and the next
+    commit upgrades the carry schema in place."""
+    from salesforce_plugin_spark.streaming.upsert import (
+        commit_carry,
+        read_current_carry,
+        run_stream_cusum,
+    )
+
+    state = str(tmp_path / "state")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [("k", dt.datetime(2024, 2, 1, 0, i), i, v)
+            for i, v in enumerate([9, 14])]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long, v long")
+
+    # run 1: fold the first batch normally (checkpoint advances to id 0)
+    src = _write_batches(tmp_path, spark, df, [df.filter("id = 0")], None)
+    run_stream_cusum(
+        _cusum_stream(spark, src), out_dir, state, ckpt,
+        ["k"], "ts", "v", target=5, slack=1, threshold=6,
+        tiebreak_cols=["id"],
+    )
+    # doctor the committed carry back to the round-9 two-column schema
+    # (what an upgraded deployment finds on disk): __ccum=3, __cm=0
+    old = read_current_carry(spark, state)
+    legacy = spark.createDataFrame(
+        [tuple(r[c] for c in ("k", "__ccum", "__cm"))
+         for r in old.collect()],
+        "k string, __ccum long, __cm long",
+    )
+    commit_carry(legacy, state, 0)
+
+    # run 2 (same checkpoint, batch id 1): must fold on the legacy carry
+    now = int(_time.time()) + 600
+    part = str(tmp_path / "stage_b1")
+    df.filter("id = 1").coalesce(1).write.mode("overwrite").parquet(part)
+    pf = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+    dst = os.path.join(src, "b1.parquet")
+    os.rename(os.path.join(part, pf), dst)
+    os.utime(dst, (now, now))
+    run_stream_cusum(
+        _cusum_stream(spark, src), out_dir, state, ckpt,
+        ["k"], "ts", "v", target=5, slack=1, threshold=6,
+        tiebreak_cols=["id"],
+    )
+    # batch 0: cum=3, m=0 -> 3; batch 1 on legacy carry: cum=3+8=11, m=0
+    out = {r.id: r.cusum for r in spark.read.parquet(out_dir).collect()}
+    assert out == {0: 3, 1: 11}
+    carry = read_current_carry(spark, state)
+    assert "__cts" in carry.columns
+    row = carry.collect()[0]
+    assert row["__ccum"] == 11 and row["__cts"] is not None
+
+
+def test_near_dedup_fold_recovers_torn_compaction(spark, tmp_path):
+    """ADVICE r9 (medium): the near-dedup fold read the bands corpus
+    BEFORE any compaction recovery ran, so a crash between the
+    compaction manifest write and the final rename left a torn layout
+    that the next batch read as a corpus missing band rows. The fold
+    must _recover_compaction both state dirs first."""
+    from salesforce_plugin_spark.streaming import upsert as U
+
+    # build a two-batch stream; between batches, simulate a torn
+    # compaction of the bands dir (manifest written, __b= dirs half
+    # deleted, compacted tmp present but not yet renamed).
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "completely unrelated text about spark accumulators"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    state = str(tmp_path / "state")
+    bands_path = os.path.join(state, "bands")
+
+    src = _write_batches(
+        tmp_path, spark, df, [df.filter("doc_id = 1")], None
+    )
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    U.run_stream_near_dedup(
+        stream, state, ckpt, "doc_id", "text", auto_compact_every=None,
+    )
+
+    # tear the bands dir exactly as an interrupted compact_batch_partials
+    # would: write the compacted tmp + manifest, delete the __b= dirs,
+    # but crash before the tmp -> __b=-1 rename.
+    import json
+    import shutil
+
+    bdirs = [d for d in os.listdir(bands_path) if d.startswith("__b=")]
+    assert bdirs
+    corpus = spark.read.parquet(
+        *[os.path.join(bands_path, d) for d in bdirs]
+    ).select("doc_id", "band", "bucket").distinct()
+    corpus = corpus.localCheckpoint(eager=True)
+    tmpdir = os.path.join(bands_path, ".compact_tmp")
+    corpus.write.mode("overwrite").parquet(tmpdir)
+    with open(os.path.join(bands_path, "_compact_manifest.json"), "w") as fh:
+        json.dump({"watermark": 1, "fold": sorted(bdirs)}, fh)
+    for d in bdirs:
+        shutil.rmtree(os.path.join(bands_path, d))
+
+    # second batch (same source + checkpoint, batch id 1): doc 2 must
+    # still join doc 1's cluster — requires the fold to complete the
+    # compaction before reading the corpus.
+    part = str(tmp_path / "stage_b1")
+    df.filter("doc_id >= 2").coalesce(1).write.mode("overwrite").parquet(part)
+    pf = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+    dst = os.path.join(src, "b1.parquet")
+    os.rename(os.path.join(part, pf), dst)
+    now2 = int(_time.time()) + 600
+    os.utime(dst, (now2, now2))
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    U.run_stream_near_dedup(
+        stream2, state, ckpt, "doc_id", "text", auto_compact_every=None,
+    )
+    assign = {
+        r.doc_id: r.cluster_id
+        for r in U.read_near_dedup_assignments(spark, state, "doc_id").collect()
+    }
+    assert assign[2] == assign[1]
+    assert assign[3] != assign[1]
