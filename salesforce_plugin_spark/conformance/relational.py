@@ -206,19 +206,31 @@ def q_agg_percentile(spark, sf_dir):
 
 def q_grouping_sets(spark, sf_dir):
     """D12/D13 generalized: explicit GROUPING SETS with grouping()
-    indicators distinguishing subtotal nulls from data nulls."""
+    indicators distinguishing subtotal nulls from data nulls —
+    two-phase (round 10, the q_agg_cube discipline): Spark lowers
+    naive GROUPING SETS to an Expand of the FACT table (×3 grouping-
+    set copies before the aggregate), so aggregate once at full key
+    granularity (the only fact-scale pass, map-side-combined, 6
+    groups) and run the grouping sets over the tiny base with Σ of
+    the partial counts — exact because long addition is associative.
+    grouping() indicators stay correct on the regroup: a data-NULL
+    key survives the base as its own group, and grouping()=1 marks
+    only the regroup's OWN subtotal nulls."""
     li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("__n")
+    )
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
                grouping(l_returnflag) AS g_flag,
                grouping(l_linestatus) AS g_status,
-               count(*) AS n
-        FROM {li}
+               cast(sum(__n) AS bigint) AS n
+        FROM {base}
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
                                 (l_returnflag, l_linestatus))
         """,
-        li=li,
+        base=base,
     )
 
 

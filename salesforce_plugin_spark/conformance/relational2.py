@@ -659,18 +659,25 @@ def q_ntile(spark, sf_dir):
 
 def q_pivot_margins(spark, sf_dir):
     """D12+reshaping: pivoted status counts WITH ROLLUP MARGINS — the
-    crosstab-with-totals report: per priority and for the ALL row,
-    conditional counts per status plus the row total (one Expand +
-    partial/final aggregate pair; margins cost one extra grouping
-    set)."""
+    crosstab-with-totals report. Two-phase (round 10, the q_agg_cube
+    discipline): a naive rollup Expands the FACT table ×2 before the
+    aggregate, so the conditional counts are aggregated ONCE per
+    priority (the only fact-scale pass, map-side-combined) and the
+    margin row is a Σ over the 5-row base — exact, long addition."""
     o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_orderpriority").agg(
+        F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("__f"),
+        F.sum((F.col("o_orderstatus") == "O").cast("long")).alias("__o"),
+        F.sum((F.col("o_orderstatus") == "P").cast("long")).alias("__p"),
+        F.count(F.lit(1)).cast("long").alias("__t"),
+    )
     return (
-        o.rollup("o_orderpriority")
+        base.rollup("o_orderpriority")
         .agg(
-            F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("n_f"),
-            F.sum((F.col("o_orderstatus") == "O").cast("long")).alias("n_o"),
-            F.sum((F.col("o_orderstatus") == "P").cast("long")).alias("n_p"),
-            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum("__f").cast("long").alias("n_f"),
+            F.sum("__o").cast("long").alias("n_o"),
+            F.sum("__p").cast("long").alias("n_p"),
+            F.sum("__t").cast("long").alias("n_total"),
         )
         .select(
             F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias(

@@ -678,9 +678,12 @@ def wav_channel_stats(df: DataFrame, id_col: str, payload_col: str) -> DataFrame
     16-bit PCM WAV path), and each channel's int16 samples reduce to
     int64 ``(n, Σv, Σv²)`` inside the Arrow stage — the real-decoder
     form of :func:`channel_stats_plan` (which de-interleaves raw bytes
-    through an injected decoder). Output also carries the decoded
-    ``sample_rate`` and ``n_channels`` so the metadata contract is
-    exercised, not just the samples."""
+    through an injected decoder). Each output row also carries the
+    decoded ``sample_rate`` so the format metadata is exercised, not
+    just the samples (the channel COUNT is implied by the per-channel
+    rows — there is no separate ``n_channels`` column). Channels with
+    zero frames are OMITTED from the output, not emitted as ``n=0``
+    rows."""
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),

@@ -1142,8 +1142,12 @@ class _Lowerer:
         COUNT → Σ partial counts (coalesced to 0 for the empty-input
         global row), SUM over exact types → Σ partial sums (integer /
         decimal addition is associative; a DOUBLE sum would change
-        low bits, so it falls back), MIN/MAX → min/max of partials.
-        AVG and COUNT_DISTINCT are not decomposable here → fallback.
+        low bits, so it falls back; the decimal final re-sum is cast
+        back to the single-phase sum-widened-once result type so the
+        output schema is lowering-path-independent), MIN/MAX →
+        min/max of partials, AVG over integral types → Σ sums / Σ
+        counts (round 10). Decimal/double AVG and COUNT_DISTINCT are
+        not decomposable here → fallback.
         Data-NULL keys stay correct: the base keeps a NULL-key group
         and re-grouping reproduces exactly the detail and subtotal
         rows the single-phase form emits.
@@ -1194,8 +1198,45 @@ class _Lowerer:
                 ):
                     return None
                 partials.append(F.sum(col).alias(p))
-                finals.append(F.sum(F.col(p)).alias(alias))
-            else:  # AVG, COUNT_DISTINCT
+                if isinstance(dt, _T.DecimalType):
+                    # cast back to the SINGLE-phase result type (sum
+                    # widens precision once, +10): without it the
+                    # partial→final double widening leaks a
+                    # decimal(p+20,s) schema that depends on which
+                    # lowering path fired (ADVICE r9)
+                    rt = _T.DecimalType(
+                        min(38, dt.precision + 10), dt.scale
+                    )
+                    finals.append(F.sum(F.col(p)).cast(rt).alias(alias))
+                else:
+                    finals.append(F.sum(F.col(p)).alias(alias))
+            elif fn == "AVG":
+                # decomposable as (Σ partial sums) / (Σ partial counts)
+                # for INTEGRAL inputs only: partial long sums are exact,
+                # so the final double division reproduces single-phase
+                # avg bit-for-bit in the < 2^53 regime. DECIMAL avg has
+                # Catalyst-specific (p+4, s+4) divide-and-round
+                # semantics and DOUBLE sums are order-dependent — both
+                # fall back to single-phase (round 10, VERDICT item 5a).
+                col = _value_col(arg, self.fsm)
+                dt = pre.select(col).schema[0].dataType
+                if not isinstance(
+                    dt,
+                    (
+                        _T.ByteType,
+                        _T.ShortType,
+                        _T.IntegerType,
+                        _T.LongType,
+                    ),
+                ):
+                    return None
+                pc = f"__pc{i}"
+                partials.append(F.sum(col).alias(p))
+                partials.append(F.count(col).alias(pc))
+                finals.append(
+                    (F.sum(F.col(p)) / F.sum(F.col(pc))).alias(alias)
+                )
+            else:  # COUNT_DISTINCT
                 return None
             sig_map[_agg_sig(it)] = alias
         order_aggs = [

@@ -348,3 +348,110 @@ def test_near_dedup_fold_recovers_torn_compaction(spark, tmp_path):
     }
     assert assign[2] == assign[1]
     assert assign[3] != assign[1]
+
+
+# --- two-phase grouping-set extensions (round 10) -----------------------
+
+
+def test_soql_rollup_two_phase_avg_integral(spark):
+    """AVG over an integral column is decomposable as Σsums/Σcounts
+    (exact long partials, one double divide) — two-phase must fire
+    and match the single-phase values, including all-NULL groups."""
+    from salesforce_plugin_spark.plans import soql_to_df
+
+    rows = [
+        ("a", "x", 1), ("a", "x", 2), ("a", None, None),
+        (None, "y", 4), ("b", "y", 5), ("b", "y", 6),
+        ("c", "z", None),  # all-NULL group: AVG must stay NULL
+    ]
+    df = spark.createDataFrame(rows, "k1 string, k2 string, v int")
+    got = soql_to_df(
+        spark,
+        "SELECT k1, AVG(v) a, COUNT() n, SUM(v) s FROM T "
+        "GROUP BY ROLLUP(k1)",
+        lambda name: df,
+    )
+    want = df.rollup("k1").agg(
+        F.avg("v").alias("a"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+    )
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, want.collect()), key=key
+    )
+    assert dict(got.dtypes)["a"] == dict(want.dtypes)["a"] == "double"
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan and "__p0" in plan.split("Expand")[1][:600]
+
+
+def test_soql_rollup_two_phase_decimal_sum_schema(spark):
+    """ADVICE r9: the two-phase decimal SUM must produce the SAME
+    result type as the single-phase lowering (sum precision widened
+    ONCE), not a double-widened decimal(p+20,s)."""
+    from decimal import Decimal
+
+    from salesforce_plugin_spark.plans import soql_to_df
+
+    rows = [("a", Decimal("1.25")), ("a", Decimal("2.50")),
+            ("b", Decimal("3.75"))]
+    df = spark.createDataFrame(rows, "k string, d decimal(12,2)")
+    got = soql_to_df(
+        spark,
+        "SELECT k, SUM(d) s FROM T GROUP BY ROLLUP(k)",
+        lambda name: df,
+    )
+    want = df.rollup("k").agg(F.sum("d").alias("s"))
+    assert dict(got.dtypes)["s"] == dict(want.dtypes)["s"] == "decimal(22,2)"
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "__p0" in plan  # two-phase actually fired
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, want.collect()), key=key
+    )
+
+
+def test_soql_rollup_avg_decimal_falls_back(spark):
+    """Decimal AVG keeps the single-phase form (Catalyst's (p+4,s+4)
+    divide-and-round is not reproduced two-phase) — fallback, correct."""
+    from decimal import Decimal
+
+    from salesforce_plugin_spark.plans import soql_to_df
+
+    rows = [("a", Decimal("1.25")), ("a", Decimal("2.00")),
+            ("b", Decimal("3.10"))]
+    df = spark.createDataFrame(rows, "k string, d decimal(12,2)")
+    got = soql_to_df(
+        spark,
+        "SELECT k, AVG(d) a FROM T GROUP BY ROLLUP(k)",
+        lambda name: df,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "__p0" not in plan  # single-phase
+    want = df.rollup("k").agg(F.avg("d").alias("a"))
+    assert dict(got.dtypes)["a"] == dict(want.dtypes)["a"]
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, want.collect()), key=key
+    )
+
+
+def test_grouping_sets_and_pivot_margins_two_phase_plans(spark):
+    """The q_grouping_sets / q_pivot_margins conformance entries now
+    aggregate the fact ONCE and Expand only the tiny base: the Expand
+    node must sit above a partial aggregate (consuming __n/__f
+    partials), not above the fact scan."""
+    from salesforce_plugin_spark.conformance.relational import (
+        q_grouping_sets,
+    )
+    from salesforce_plugin_spark.conformance.relational2 import (
+        q_pivot_margins,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for fn, marker in ((q_grouping_sets, "__n"), (q_pivot_margins, "__f")):
+        df = fn(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" in plan, fn.__name__
+        below_expand = plan.split("Expand", 1)[1]
+        assert marker in below_expand[:800], (fn.__name__, below_expand[:800])
