@@ -244,6 +244,7 @@ from salesforce_plugin_spark.conformance.multimodal import (  # noqa: F401
     ORACLES as _ORACLES_multimodal,
     q_multimodal_ahash,
     q_bmp_histogram,
+    q_png_histogram,
     q_wav_channels,
     q_bmp_ahash,
     q_bmp_resize,
@@ -474,6 +475,7 @@ QUERIES: dict[str, QueryFn] = {
     # F4: multimodal binary pipelines
     "q_multimodal_bytes": q_multimodal_bytes,
     "q_bmp_histogram": q_bmp_histogram,
+    "q_png_histogram": q_png_histogram,
     # F5: text analysis
     "q_lang_id": q_lang_id,
     "q_contamination": q_contamination,

@@ -373,6 +373,62 @@ def _bmp_payloads(spark, sf_dir):
     return d.mapInPandas(enc, "doc_id long, payload binary")
 
 
+def _png_payloads(spark, sf_dir):
+    """Deterministic real-PNG fixtures (round 10): the SAME byte-prefix
+    pixels as :func:`_bmp_payloads` (W=4, H=octets//12 RGB), but
+    encoded as 8-bit PNGs with the forward filter CYCLING per row
+    (y % 5 → None/Sub/Up/Average/Paeth), so the byte-replay oracles
+    only match if zlib inflate AND all five unfilter paths reproduce
+    the source bytes exactly."""
+    d = parallelized(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") >= 12)
+        .select("doc_id", "text")
+    )
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        from salesforce_plugin_spark.functions.multimodal import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                h = len(b) // 12
+                payloads.append(
+                    encode_png(
+                        b[: h * 12].reshape(h, 4, 3),
+                        row_filters=[y % 5 for y in range(h)],
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return d.mapInPandas(enc, "doc_id long, payload binary")
+
+
+def q_png_histogram(spark, sf_dir):
+    """F4 through ACTUAL decode (round 10): per-image PIXEL histogram
+    over REAL PNGs — documents' byte prefixes encode to 8-bit PNGs
+    whose rows cycle all five scanline filters, then
+    functions/multimodal.py image_pixel_histogram decodes each payload
+    through the DEFAULT decode_image seam (native decode_png: stdlib
+    zlib inflate + numpy unfiltering — 'no media libs' never excused
+    PNG) and bins the RGB bytes. The oracle is q_bmp_histogram's byte
+    replay VERBATIM: it matches only if decode∘encode is the exact
+    identity through deflate and every filter type."""
+    from salesforce_plugin_spark.functions.multimodal import (
+        image_pixel_histogram,
+    )
+
+    return image_pixel_histogram(
+        _png_payloads(spark, sf_dir), "doc_id", "payload", n_bins=16
+    )
+
+
 def q_bmp_histogram(spark, sf_dir):
     """F4 through ACTUAL decode (round 9): per-image PIXEL histogram —
     documents' byte prefixes encode to real 24-bit BMPs, then
@@ -448,6 +504,28 @@ def q_bmp_ahash(spark, sf_dir):
         _bmp_payloads(spark, sf_dir), "doc_id", "payload", n_segs=16
     )
 
+
+ORACLES["q_png_histogram"] = """
+    WITH hx AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               (octet_length(encode(text)) // 12) * 12 AS nb
+        FROM documents WHERE octet_length(encode(text)) >= 12
+    ), bytes AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(h, 2 * i - 1, 2)) AS INTEGER) // 16 AS bin
+        FROM hx, unnest(generate_series(1, nb)) AS g(i)
+    ), counts AS (
+        SELECT doc_id, bin, count(*) AS n FROM bytes GROUP BY doc_id, bin
+    ), bins AS (
+        SELECT unnest(generate_series(0, 15)) AS bin
+    )
+    SELECT d.doc_id, CAST(b.bin AS INTEGER) AS bin,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n
+    FROM (SELECT doc_id FROM documents
+          WHERE octet_length(encode(text)) >= 12) d
+    CROSS JOIN bins b
+    LEFT JOIN counts c ON d.doc_id = c.doc_id AND b.bin = c.bin
+"""
 
 ORACLES["q_bmp_histogram"] = """
     WITH hx AS (

@@ -2,15 +2,17 @@
 opaque ``binary`` columns with typed metadata, processed through
 Arrow-batched ``mapInPandas`` pipelines.
 
-The container ships no media libraries, which blocks COMPRESSED formats
-(JPEG/PNG/MP3): for those, ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless a decoder callable is injected. UNCOMPRESSED
-formats decode for real (round 9): 24-bit BI_RGB BMP and 16-bit PCM WAV have
-pure struct+numpy codecs (:func:`decode_bmp`/:func:`decode_wav`, plus
-encoders for deterministic fixtures) that are the default seam path, sniffed
-by magic bytes, and the real-decode operators
-(:func:`image_pixel_histogram`, :func:`wav_channel_stats`,
-:func:`image_ahash_pairs`) drive them end-to-end under the oracle gate.
+The container ships no media libraries, which blocks entropy-coded formats
+(JPEG/MP3): for those, ``decode_image``/``decode_audio`` raise
+``NotImplementedError`` unless a decoder callable is injected. Formats whose
+only compression is DEFLATE or none decode for real: 24-bit BI_RGB BMP and
+16-bit PCM WAV (round 9, pure struct+numpy) and 8-bit non-interlaced PNG
+(round 10 — stdlib ``zlib`` inflates IDAT, numpy unfilters the scanlines;
+"no media libs" never excused PNG). All three have encoders for
+deterministic fixtures, are the default seam path sniffed by magic bytes,
+and the real-decode operators (:func:`image_pixel_histogram`,
+:func:`wav_channel_stats`, :func:`image_ahash_pairs`) drive them end-to-end
+under the oracle gate.
 Everything around the seam — schema contract, Arrow batch shape, UDF
 signature, partition behavior — is tested either way
 (tests/test_multimodal.py, tests/test_round9_fixes.py).
@@ -205,18 +207,196 @@ def encode_wav(sample_rate: int, samples) -> bytes:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit-depth non-interlaced PNG into an (H, W, C)
+    uint8 array (C per color type: 1 gray / 2 gray+alpha / 3 RGB /
+    4 RGBA) — pure stdlib ``zlib`` + numpy, no media libs: PNG is a
+    chunk stream (length/type/data/CRC), IDAT is zlib-deflated
+    scanlines, and each scanline is one filter byte + filtered pixels
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6). None/Up unfilter
+    vectorized whole-row; Sub is a per-lane cumulative sum (cumsum mod
+    256, vectorized); Average/Paeth carry an intra-row serial
+    dependency and walk pixels. Raises ValueError on anything outside
+    the subset (palette color type 3, bit depths ≠ 8, interlaced,
+    truncated chunks) — a silently-wrong decode is worse than no
+    decode. Round 10; the JPEG seam stays injected-only."""
+    import struct
+    import zlib
+
+    if len(payload) < 8 or bytes(payload[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG: missing signature")
+    pos, ihdr, idat, ended = 8, None, [], False
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        if pos + 12 + length > len(payload):
+            raise ValueError(
+                f"truncated PNG: chunk {ctype!r} declares {length} bytes, "
+                f"payload ends {pos + 12 + length - len(payload)} short"
+            )
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if not ended:  # a stream cut anywhere past the last whole chunk
+        raise ValueError("truncated PNG: missing IEND chunk")
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("PNG missing/short IHDR chunk")
+    if not idat:
+        raise ValueError("PNG missing IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    channels = _PNG_CHANNELS.get(color)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace:
+        raise ValueError(
+            f"only 8-bit non-interlaced gray/RGB/alpha PNG decodes "
+            f"natively (got depth={depth} color_type={color} "
+            f"interlace={interlace}); inject a decoder"
+        )
+    if w < 1 or h < 1:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    try:
+        raw = zlib.decompress(b"".join(bytes(c) for c in idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from None
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"PNG scanline size mismatch: {len(raw)} bytes for "
+            f"{h}x(1+{stride})"
+        )
+    sl = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    ftypes, rows = sl[:, 0], sl[:, 1:].astype(np.int32)
+    bpp = channels
+    out = np.empty((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f, cur = int(ftypes[y]), rows[y]
+        if f == 0:  # None
+            line = cur
+        elif f == 1:  # Sub: per-lane cumulative sum (mod distributes)
+            line = (
+                np.cumsum(cur.reshape(w, bpp), axis=0, dtype=np.int64)
+                .reshape(stride) & 0xFF
+            ).astype(np.int32)
+        elif f == 2:  # Up
+            line = (cur + prev) & 0xFF
+        elif f == 3:  # Average (serial in x through the left term)
+            line = cur.copy()
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth (serial in x through the left term)
+            line = cur.copy()
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f} on row {y}")
+        out[y] = line
+        prev = line
+    return out.astype(np.uint8).reshape(h, w, channels)
+
+
+def encode_png(pixels, row_filters=None) -> bytes:
+    """Encode an (H, W, C) uint8 array (C ∈ {1, 2, 3, 4}; a 2-D array
+    is treated as grayscale) as an 8-bit non-interlaced PNG — the
+    fixture generator; ``decode_png(encode_png(x)) == x`` exactly.
+    ``row_filters`` optionally picks the forward filter per row
+    (0-4, default all 0/None) so fixtures can exercise every
+    unfilter path; forward Sub/Average/Paeth are vectorized (the
+    predictors read ORIGINAL neighbors, no serial dependency)."""
+    import struct
+    import zlib
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 2, 3, 4) or min(arr.shape[:2]) < 1:
+        raise ValueError(f"encode_png expects (H, W, 1|2|3|4) uint8, got {arr.shape}")
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = arr.reshape(h, w * ch).astype(np.int32)
+    if row_filters is None:
+        row_filters = [0] * h
+    if len(row_filters) != h:
+        raise ValueError(f"row_filters needs {h} entries, got {len(row_filters)}")
+    lines, prev = [], np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        f, cur = int(row_filters[y]), flat[y]
+        left = np.zeros_like(cur)
+        left[ch:] = cur[:-ch]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = (cur - left) & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        elif f == 3:
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        elif f == 4:
+            upleft = np.zeros_like(prev)
+            upleft[ch:] = prev[:-ch]
+            p = left + prev - upleft
+            pa, pb, pc = (
+                np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = (cur - pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        lines.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes, decoder: Callable[[bytes], object] | None = None):
-    """Decode an image payload. Default path (round 9): uncompressed
-    24-bit BMP decodes natively via :func:`decode_bmp` (sniffed by the
-    'BM' magic); compressed formats (JPEG/PNG/…) still require an
-    injected ``decoder`` (e.g. PIL.Image.open) — no media libs ship
-    here."""
+    """Decode an image payload. Default paths: uncompressed 24-bit
+    BMP decodes natively via :func:`decode_bmp` (round 9, 'BM' magic)
+    and 8-bit non-interlaced PNG via :func:`decode_png` (round 10,
+    PNG signature — stdlib zlib IS the codec, no media libs needed);
+    JPEG and other compressed formats still require an injected
+    ``decoder`` (e.g. PIL.Image.open)."""
     if decoder is None:
-        if bytes(payload[:2]) == b"BM":
-            return decode_bmp(bytes(payload))
+        p = bytes(payload)
+        if p[:2] == b"BM":
+            return decode_bmp(p)
+        if p[:8] == _PNG_SIG:
+            return decode_png(p)
         raise NotImplementedError(
-            "only uncompressed BMP decodes natively; inject a decoder "
-            "for compressed image formats (no media libs here)"
+            "only uncompressed BMP and 8-bit PNG decode natively; inject "
+            "a decoder for other image formats (no media libs here)"
         )
     return decoder(payload)
 

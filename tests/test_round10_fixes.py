@@ -455,3 +455,139 @@ def test_grouping_sets_and_pivot_margins_two_phase_plans(spark):
         assert "Expand" in plan, fn.__name__
         below_expand = plan.split("Expand", 1)[1]
         assert marker in below_expand[:800], (fn.__name__, below_expand[:800])
+
+
+# --- PNG codec (round 10): stdlib zlib + numpy, no media libs -----------
+
+
+def test_png_roundtrip_all_filters_and_color_types():
+    """decode(encode(x)) == x exactly for every color type and every
+    forward filter type (each unfilter path exercised), over a spread
+    of shapes including 1-pixel edges."""
+    import numpy as np
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(1234)
+    shapes = [(1, 1), (1, 7), (5, 1), (4, 4), (11, 3), (7, 13)]
+    for ch in (1, 2, 3, 4):
+        for h, w in shapes:
+            arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+            # cycle filters so every row filter appears when h >= 5
+            filters = [(y % 5) for y in range(h)]
+            out = decode_png(encode_png(arr, row_filters=filters))
+            assert out.shape == (h, w, ch), (ch, h, w)
+            assert np.array_equal(out, arr), (ch, h, w, filters)
+    # per-filter isolation: a whole image under one filter each
+    arr = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    for f in range(5):
+        got = decode_png(encode_png(arr, row_filters=[f] * 6))
+        assert np.array_equal(got, arr), f
+
+
+def test_png_grayscale_2d_input_and_default_filters():
+    import numpy as np
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    arr = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    out = decode_png(encode_png(arr))
+    assert out.shape == (4, 6, 1)
+    assert np.array_equal(out[:, :, 0], arr)
+
+
+def test_decode_image_sniffs_png_and_bmp():
+    import numpy as np
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_png,
+    )
+
+    rgb = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
+    assert np.array_equal(decode_image(encode_png(rgb)), rgb)
+    assert np.array_equal(decode_image(encode_bmp(rgb)), rgb)
+    with pytest.raises(NotImplementedError, match="inject a decoder"):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+
+
+def test_png_rejects_out_of_subset_and_truncation():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    good = encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(good[:-6])
+
+    def rebuild(depth=8, color=2, interlace=0):
+        sig = good[:8]
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+        ck = lambda t, d: (  # noqa: E731
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+        raw = zlib.compress(bytes(2 * (1 + 2 * 3)))
+        return sig + ck(b"IHDR", ihdr) + ck(b"IDAT", raw) + ck(b"IEND", b"")
+
+    with pytest.raises(ValueError, match="inject a decoder"):
+        decode_png(rebuild(depth=16))
+    with pytest.raises(ValueError, match="inject a decoder"):
+        decode_png(rebuild(color=3))  # palette
+    with pytest.raises(ValueError, match="inject a decoder"):
+        decode_png(rebuild(interlace=1))  # Adam7
+    # scanline size mismatch (valid zlib, wrong length)
+    bad = rebuild()
+    with pytest.raises(ValueError, match="scanline size mismatch"):
+        # rebuild() deflates 2*(1+6)=14 zero bytes but IHDR says 2x2
+        # RGB which needs exactly 14 — so corrupt by one row instead
+        decode_png(
+            bad.replace(
+                zlib.compress(bytes(14)), zlib.compress(bytes(13))
+            )
+        )
+
+
+def test_png_real_decode_through_pixel_histogram(spark):
+    """The PNG path drives the same Arrow-batched operator the BMP
+    tier does: encode known pixels (mixed filters), run
+    image_pixel_histogram through the DEFAULT seam, check exact bin
+    counts."""
+    import numpy as np
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        encode_png,
+        image_pixel_histogram,
+    )
+
+    rng = np.random.default_rng(7)
+    arrs = {i: rng.integers(0, 256, (6, 4, 3), dtype=np.uint8) for i in (1, 2)}
+    rows = [
+        (i, bytearray(encode_png(a, row_filters=[y % 5 for y in range(6)])))
+        for i, a in arrs.items()
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        (r.doc_id, r.bin): r.n
+        for r in image_pixel_histogram(df, "doc_id", "payload", n_bins=16)
+        .collect()
+    }
+    for i, a in arrs.items():
+        want = np.bincount(a.reshape(-1) // 16, minlength=16)
+        for b in range(16):
+            assert got[(i, b)] == int(want[b]), (i, b)
