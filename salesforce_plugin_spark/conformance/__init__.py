@@ -429,39 +429,39 @@ QUERIES: dict[str, QueryFn] = {
     # fresh entry's old slot beyond the window — same keys, same oracles,
     # nothing removed) ---
     # D1-D19: the relational surface the reference forwards to SOQL
-    "q_scan_project": q_scan_project,
-    "q_funnel": q_funnel,
-    "q_retention": q_retention,
-    "q_anomaly_zscore": q_anomaly_zscore,
-    "q_skew_join": q_skew_join,
-    "q_kmv_distinct": q_kmv_distinct,
-    "q_soql_relationship": q_soql_relationship,
-    "q_child_flatten_join": q_child_flatten_join,
-    "q_tpch_q1": q_tpch_q1,
-    "q_agg_groupby": q_agg_groupby,
-    "q_unique_keys": q_unique_keys,
+    "q_soql_fiscal": q_soql_fiscal,
+    "q_soql_fields": q_soql_fields,
+    "q_grouping_sets": q_grouping_sets,
+    "q_pivot_margins": q_pivot_margins,
+    "q_session_paths": q_session_paths,
+    "q_user_growth": q_user_growth,
+    "q_copurchase": q_copurchase,
+    "q_rolling_metrics": q_rolling_metrics,
+    "q_vocab": q_vocab,
+    "q_quality_score": q_quality_score,
+    "q_pii_redact": q_pii_redact,
     "q_soql_rollup_having": q_soql_rollup_having,
-    "q_pagerank": q_pagerank,
-    "q_incremental_extract": q_incremental_extract,
-    "q_heavy_hitters": q_heavy_hitters,
-    "q_triangles": q_triangles,
+    "q_power_step": q_power_step,
+    "q_kcore": q_kcore,
+    "q_quantile_sketch": q_quantile_sketch,
+    "q_label_prop": q_label_prop,
     "q_bm25": q_bm25,
-    "q_gopher_gate": q_gopher_gate,
+    "q_line_clean": q_line_clean,
     # D via the SOQL string front door (parser → DataFrame plans)
     "q_soql_relationship3": q_soql_relationship3,
     "q_cosine_pairs": q_cosine_pairs,
     # C: the plugin's own row/column transforms
     "q_coerce_epoch": q_coerce_epoch,
     "q_newline_scrub": q_newline_scrub,
-    "q_ann_recall": q_ann_recall,
+    "q_kmeans_converged": q_kmeans_converged,
     "q_tfidf": q_tfidf,
     # B: schema reconciliation (full two-load DDL lifecycle + alignment)
     "q_schema_reconcile": q_schema_reconcile,
     "q_global_line_dedup": q_global_line_dedup,
     # A: sink round-trip + semi-structured extraction (csv variant after
     # the window; its C4 scrub is gated by q_newline_scrub here)
-    "q_bucketed_join": q_bucketed_join,
-    "q_json_extract": q_json_extract,
+    "q_doc_chunks": q_doc_chunks,
+    "q_data_quality": q_data_quality,
     # F1/F2: exact + near dedup
     "q_dedup_fingerprint": q_dedup_fingerprint,
     "q_near_dedup": q_near_dedup,
@@ -470,11 +470,11 @@ QUERIES: dict[str, QueryFn] = {
     "q_winnow_fingerprint": q_winnow_fingerprint,
     # F3: similarity search
     "q_embed_topk": q_embed_topk,
-    "q_scd2": q_scd2,
-    "q_token_pack": q_token_pack,
+    "q_scd2_incremental": q_scd2_incremental,
+    "q_cdc_merge": q_cdc_merge,
     # F4: multimodal binary pipelines
-    "q_multimodal_bytes": q_multimodal_bytes,
-    "q_bmp_histogram": q_bmp_histogram,
+    "q_multimodal_ahash": q_multimodal_ahash,
+    "q_bmp_resize": q_bmp_resize,
     "q_png_histogram": q_png_histogram,
     # F5: text analysis
     "q_lang_id": q_lang_id,
@@ -483,9 +483,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_wav_channels": q_wav_channels,
     "q_bmp_ahash": q_bmp_ahash,
     # F6: event time — batch, true streaming, E5 upsert
-    "q_stream_heavy_hitters": q_stream_heavy_hitters,
-    "q_stream_join": q_stream_join,
-    "q_stream_dedup": q_stream_dedup,
+    "q_stream_near_dedup": q_stream_near_dedup,
+    "q_stream_quantiles": q_stream_quantiles,
+    "q_stream_rolling_wau": q_stream_rolling_wau,
     "q_stream_cusum": q_stream_cusum,
     "q_stream_upsert": q_stream_upsert,
     # training-pipeline capstones
@@ -507,15 +507,15 @@ QUERIES: dict[str, QueryFn] = {
     "q_soql_child_sub": q_soql_child_sub,
     "q_embed_batch_topk": q_embed_batch_topk,
     "q_embed_quantize": q_embed_quantize,
-    "q_vocab": q_vocab,
+    "q_tpch_q1": q_tpch_q1,
     "q_varchar_truncate": q_varchar_truncate,
     "q_text_tokens": q_text_tokens,
-    "q_quality_score": q_quality_score,
-    "q_pii_redact": q_pii_redact,
+    "q_agg_groupby": q_agg_groupby,
+    "q_unique_keys": q_unique_keys,
     "q_repetition": q_repetition,
     "q_sample_split": q_sample_split,
     "q_training_decontaminated": q_training_decontaminated,
-    "q_doc_chunks": q_doc_chunks,
+    "q_bucketed_join": q_bucketed_join,
     "q_embed_ivf": q_embed_ivf,
     "q_event_window": q_event_window,
     "q_event_sliding": q_event_sliding,
@@ -523,18 +523,18 @@ QUERIES: dict[str, QueryFn] = {
     "q_sort_limit": q_sort_limit,
     "q_anti_join": q_anti_join,
     "q_percent_rank": q_percent_rank,
-    "q_grouping_sets": q_grouping_sets,
+    "q_retention": q_retention,
     "q_pivot": q_pivot,
     "q_unpivot": q_unpivot,
     "q_agg_collect": q_agg_collect,
     "q_agg_percentile": q_agg_percentile,
-    "q_data_quality": q_data_quality,
+    "q_json_extract": q_json_extract,
     "q_agg_count_distinct": q_agg_count_distinct,
     "q_agg_rollup": q_agg_rollup,
     "q_date_parts": q_date_parts,
     "q_parent_lookup_join": q_parent_lookup_join,
     "q_date_range": q_date_range,
-    "q_soql_fiscal": q_soql_fiscal,
+    "q_scan_project": q_scan_project,
     "q_agg_global": q_agg_global,
     "q_tpch_q3": q_tpch_q3,
     "q_tpch_q5": q_tpch_q5,
@@ -559,7 +559,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_tpch_q9": q_tpch_q9,
     "q_soql_typeof": q_soql_typeof,
     "q_dedup_components": q_dedup_components,
-    "q_line_clean": q_line_clean,
+    "q_gopher_gate": q_gopher_gate,
     "q_lowercase_schema_align": q_lowercase_schema_align,
     "q_quality_classifier": q_quality_classifier,
     "q_soql_front_door": q_soql_front_door,
@@ -576,44 +576,44 @@ QUERIES: dict[str, QueryFn] = {
     "q_multimodal_histogram": q_multimodal_histogram,
     "q_span_dedup": q_span_dedup,
     "q_repeated_spans": q_repeated_spans,
-    "q_cdc_merge": q_cdc_merge,
-    "q_quantile_sketch": q_quantile_sketch,
+    "q_token_pack": q_token_pack,
+    "q_heavy_hitters": q_heavy_hitters,
     "q_soql_date_literal": q_soql_date_literal,
     "q_url_dedup": q_url_dedup,
     "q_agg_cube": q_agg_cube,
     "q_stream_kmv": q_stream_kmv,
     "q_simhash": q_simhash,
     "q_zonemap_prune": q_zonemap_prune,
-    "q_soql_fields": q_soql_fields,
-    "q_session_paths": q_session_paths,
+    "q_funnel": q_funnel,
+    "q_skew_join": q_skew_join,
     "q_scd2_lookup": q_scd2_lookup,
     "q_encoding_repair": q_encoding_repair,
     "q_soql_date_parts": q_soql_date_parts,
-    "q_kmeans_converged": q_kmeans_converged,
+    "q_ann_recall": q_ann_recall,
     "q_kmv_setops": q_kmv_setops,
-    "q_scd2_incremental": q_scd2_incremental,
+    "q_scd2": q_scd2,
     "q_semantic_dedup": q_semantic_dedup,
     "q_importance_weights": q_importance_weights,
     "q_stream_stateful": q_stream_stateful,
-    "q_user_growth": q_user_growth,
+    "q_kmv_distinct": q_kmv_distinct,
     "q_filter_in": q_filter_in,
     "q_curation_capstone": q_curation_capstone,
     "q_incremental_dedup": q_incremental_dedup,
-    "q_stream_near_dedup": q_stream_near_dedup,
+    "q_stream_heavy_hitters": q_stream_heavy_hitters,
     "q_topk_per_group": q_topk_per_group,
     "q_bpe_step": q_bpe_step,
     "q_fuzzy_link": q_fuzzy_link,
     "q_hybrid_rrf": q_hybrid_rrf,
     "q_event_session": q_event_session,
-    "q_copurchase": q_copurchase,
+    "q_soql_relationship": q_soql_relationship,
     "q_itemcf": q_itemcf,
     "q_offset_page": q_offset_page,
-    "q_power_step": q_power_step,
+    "q_pagerank": q_pagerank,
     "q_power_converged": q_power_converged,
     "q_pca_project": q_pca_project,
     "q_join_size_est": q_join_size_est,
     "q_resample_ffill": q_resample_ffill,
-    "q_rolling_metrics": q_rolling_metrics,
+    "q_child_flatten_join": q_child_flatten_join,
     "q_feature_bins": q_feature_bins,
     "q_bloom_prune": q_bloom_prune,
     "q_weighted_sample": q_weighted_sample,
@@ -625,7 +625,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_percentile_normalize": q_percentile_normalize,
     "q_fk_audit": q_fk_audit,
     "q_iqr_outliers": q_iqr_outliers,
-    "q_stream_quantiles": q_stream_quantiles,
+    "q_stream_join": q_stream_join,
     "q_class_balance": q_class_balance,
     "q_budget_sample": q_budget_sample,
     "q_hierarchy": q_hierarchy,
@@ -663,7 +663,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_skipgrams": q_skipgrams,
     "q_rank_corr": q_rank_corr,
     "q_user_features": q_user_features,
-    "q_label_prop": q_label_prop,
+    "q_triangles": q_triangles,
     "q_cusum": q_cusum,
     "q_changepoint": q_changepoint,
     "q_monitoring_capstone": q_monitoring_capstone,
@@ -678,13 +678,13 @@ QUERIES: dict[str, QueryFn] = {
     "q_kmeans_margin": q_kmeans_margin,
     "q_neighbor_agg": q_neighbor_agg,
     "q_decayed_score": q_decayed_score,
-    "q_stream_rolling_wau": q_stream_rolling_wau,
+    "q_stream_dedup": q_stream_dedup,
     "q_kfold": q_kfold,
     "q_target_encoding": q_target_encoding,
     "q_winsorize": q_winsorize,
     "q_rake": q_rake,
     "q_degree_dist": q_degree_dist,
-    "q_kcore": q_kcore,
+    "q_incremental_extract": q_incremental_extract,
     "q_markov": q_markov,
     "q_chat_render": q_chat_render,
     "q_length_buckets": q_length_buckets,
@@ -709,7 +709,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_khop": q_khop,
     "q_stream_rolling_quantiles": q_stream_rolling_quantiles,
     "q_multimodal_channels": q_multimodal_channels,
-    "q_pivot_margins": q_pivot_margins,
+    "q_anomaly_zscore": q_anomaly_zscore,
     "q_ntile": q_ntile,
     "q_hits": q_hits,
     "q_mad_outliers": q_mad_outliers,
@@ -754,7 +754,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_salted_distinct": q_salted_distinct,
     "q_link_predict": q_link_predict,
     "q_knn_confusion": q_knn_confusion,
-    "q_multimodal_ahash": q_multimodal_ahash,
+    "q_multimodal_bytes": q_multimodal_bytes,
     "q_wilson": q_wilson,
     "q_stream_wilson": q_stream_wilson,
     "q_dbscan_roles": q_dbscan_roles,
@@ -786,7 +786,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_multimodal_frames": q_multimodal_frames,
     "q_asof_join": q_asof_join,
     "q_interval_overlap": q_interval_overlap,
-    "q_bmp_resize": q_bmp_resize,
+    "q_bmp_histogram": q_bmp_histogram,
 }
 
 
