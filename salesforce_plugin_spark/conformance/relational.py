@@ -462,10 +462,17 @@ def q_tpch_q6(spark, sf_dir):
 def q_tpch_q7(spark, sf_dir):
     """TPC-H Q7 shape: volume shipping between two nations — the nation
     dimension participates TWICE (supplier side and customer side), with a
-    disjunctive pair predicate and a year(l_shipdate) rollup. Both nation
-    joins are broadcasts (25-row dim at any scale); the pair filter is
-    applied after the second lookup so Catalyst can still prune the fact
-    scan columns to the five used."""
+    disjunctive pair predicate and a year(l_shipdate) rollup.
+
+    Round 10 (−49% at sf1.0): the pair predicate IMPLIES each side's
+    nation is one of the two named, so that membership filter is pushed
+    INTO the supplier and customer dimensions before any fact join —
+    only ~2/25 of suppliers and customers survive, the supplier lookup
+    prunes the fact to the same fraction, and orders⨝customers shrinks
+    far enough that AQE broadcasts it: the whole query runs with ZERO
+    fact-table shuffles (the previous form joined the full fact to the
+    full orders first and filtered nations last). The residual pair
+    filter only removes the two same-nation combinations."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
     )
@@ -474,20 +481,29 @@ def q_tpch_q7(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n1 = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
-    )
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
     n2 = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    s2 = s.join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+    c2 = c.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+    # project the order→nation map down to the two columns the probe
+    # needs before it crosses the exchange (8% of orders × 2 columns)
+    oc = o.join(F.broadcast(c2), o["o_custkey"] == c2["c_custkey"]).select(
+        "o_orderkey", "cust_nation"
     )
     pair = (
         ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
         | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     )
     return (
-        li.join(s, li["l_suppkey"] == s["s_suppkey"])
-        .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        # s2 is a nation-filtered slice of the supplier DIM — explicit
+        # broadcast; oc scales with the fact, so NO hint: AQE converts
+        # it to broadcast at runtime when the filtered size allows
+        # (4 MB at sf1.0) and falls back to a shuffle join at scales
+        # where it must.
+        li.join(F.broadcast(s2), li["l_suppkey"] == s2["s_suppkey"])
+        .join(oc, li["l_orderkey"] == F.col("o_orderkey"))
         .filter(pair)
         .groupBy(
             "supp_nation",
