@@ -26,6 +26,20 @@ def formatted_plan(df) -> str:
     return buf.getvalue()
 
 
+@pytest.fixture(scope="module")
+def registry_plans(spark):
+    """(schema, formatted plan) per registry entry, built ONCE: the two
+    whole-registry sweeps below each cost ~3.5 min when they re-derive
+    all 340+ plans independently (round-10 suite profile: the two
+    slowest tests in the suite, 232 s + 186 s) — sharing one derivation
+    halves that for free."""
+    out = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF)
+        out[name] = (df.schema, formatted_plan(df))
+    return out
+
+
 @needs_fixtures
 def test_filter_pushes_all_predicates(spark):
     plan = formatted_plan(QUERIES["q_filter_compare"](spark, SF))
@@ -75,7 +89,7 @@ def test_event_range_pushes_raw_nanos_bounds(spark):
 
 
 @needs_fixtures
-def test_output_schemas_are_scalar_only(spark):
+def test_output_schemas_are_scalar_only(registry_plans):
     """Driver-canonicalizer safety sweep over the whole registry: no
     DECIMAL (round-2 failure class: Spark DECIMAL(28) vs DuckDB HUGEINT
     canonicalize differently) and no Array/Struct/Map (round-3 failure
@@ -85,20 +99,19 @@ def test_output_schemas_are_scalar_only(spark):
     from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
     banned = (ArrayType, DecimalType, MapType, StructType)
-    for name, fn in QUERIES.items():
-        for f in fn(spark, SF).schema.fields:
+    for name, (schema, _plan) in registry_plans.items():
+        for f in schema.fields:
             assert not isinstance(f.dataType, banned), (
                 f"{name}.{f.name} has non-scalar/decimal type {f.dataType}"
             )
 
 
 @needs_fixtures
-def test_no_cartesian_products_anywhere(spark):
+def test_no_cartesian_products_anywhere(registry_plans):
     """Every registry plan must be free of unintended cross joins (the
     broadcast-query-vector crossJoin in top-k is a 1-row broadcast, which
     Spark plans as BroadcastNestedLoopJoin — bounded, allowed)."""
-    for name, fn in QUERIES.items():
-        plan = formatted_plan(fn(spark, SF))
+    for name, (_schema, plan) in registry_plans.items():
         assert "CartesianProduct" not in plan, name
 
 
