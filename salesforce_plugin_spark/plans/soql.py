@@ -1146,8 +1146,10 @@ class _Lowerer:
         back to the single-phase sum-widened-once result type so the
         output schema is lowering-path-independent), MIN/MAX →
         min/max of partials, AVG over integral types → Σ sums / Σ
-        counts (round 10). Decimal/double AVG and COUNT_DISTINCT are
-        not decomposable here → fallback.
+        counts (round 10), all-COUNT_DISTINCT-over-one-column → Expand
+        over the distinct (keys, value) pair base (round 10).
+        Decimal/double AVG, mixed COUNT_DISTINCT, and COUNT_DISTINCT
+        over differing columns are not decomposable here → fallback.
         Data-NULL keys stay correct: the base keeps a NULL-key group
         and re-grouping reproduces exactly the detail and subtotal
         rows the single-phase form emits.
@@ -1162,6 +1164,46 @@ class _Lowerer:
         from pyspark.sql import types as _T
 
         items = aggs or [{"fn": "COUNT", "arg": None, "alias": "count"}]
+
+        # COUNT_DISTINCT-only form (round 10): when EVERY aggregate is
+        # COUNT_DISTINCT over the SAME column, the base is the distinct
+        # (keys, value) PAIR set — one fact-scale exchange with map-side
+        # dedup — and Expand runs over the deduped pairs instead of the
+        # fact (per-set re-dedup still happens, but over far fewer
+        # rows). Exactly value-preserving: deduping at full key
+        # granularity keeps every per-grouping-set distinct value set
+        # intact, and countDistinct skips NULLs on both paths. Mixed
+        # aggregates keep the single-phase form (a multiplicity-losing
+        # pair base cannot also serve COUNT/SUM partials).
+        if all(it["fn"] == "COUNT_DISTINCT" for it in items):
+            args = {_agg_sig(it)[1:] for it in items}
+            if len(args) != 1:
+                return None  # different columns need different bases
+            sig_map = {}
+            vcol = _value_col(items[0].get("arg"), self.fsm)
+            base = pre.select(
+                *key_names, vcol.alias("__dv")
+            ).distinct()
+            finals = []
+            for it in items:
+                finals.append(F.countDistinct(F.col("__dv")).alias(it["alias"]))
+                sig_map[_agg_sig(it)] = it["alias"]
+            order_aggs = [
+                o["expr"]
+                for o in (q.get("order") or [])
+                if o["expr"]["kind"] == "agg"
+            ]
+            for ref in _agg_refs(q.get("having")) + order_aggs:
+                if _agg_sig(ref) not in sig_map:
+                    return None
+            regrouped = (
+                base.rollup(*key_names)
+                if q["grouping"] == "rollup"
+                else base.cube(*key_names)
+            )
+            self._agg_alias_map = sig_map
+            return regrouped.agg(*finals)
+
         partials, finals, sig_map = [], [], {}
         for i, it in enumerate(items):
             fn, arg, alias = it["fn"], it.get("arg"), it["alias"]

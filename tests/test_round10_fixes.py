@@ -591,3 +591,66 @@ def test_png_real_decode_through_pixel_histogram(spark):
         want = np.bincount(a.reshape(-1) // 16, minlength=16)
         for b in range(16):
             assert got[(i, b)] == int(want[b]), (i, b)
+
+
+def test_soql_rollup_count_distinct_two_phase(spark):
+    """All-COUNT_DISTINCT-over-one-column ROLLUP/CUBE lowers through a
+    distinct (keys, value) pair base: Expand consumes the deduped
+    pairs, not the fact, and values (incl. NULL handling and the
+    global row) match the single-phase operator."""
+    from salesforce_plugin_spark.plans import soql_to_df
+
+    rows = [
+        ("a", "x"), ("a", "x"), ("a", "y"), ("a", None),
+        ("b", "x"), (None, "z"), ("c", None),
+    ]
+    df = spark.createDataFrame(rows, "k string, t string")
+    got = soql_to_df(
+        spark,
+        "SELECT k, COUNT_DISTINCT(t) nt FROM T GROUP BY ROLLUP(k)",
+        lambda name: df,
+    )
+    want = df.rollup("k").agg(F.countDistinct("t").alias("nt"))
+    key = lambda r: tuple((x is None, x) for x in r)  # noqa: E731
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, want.collect()), key=key
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan and "__dv" in plan
+
+
+def test_soql_rollup_count_distinct_mixed_falls_back(spark):
+    """COUNT_DISTINCT mixed with other aggregates (or over differing
+    columns) keeps the single-phase form — correct, no pair base."""
+    from salesforce_plugin_spark.plans import soql_to_df
+
+    rows = [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)]
+    df = spark.createDataFrame(rows, "k string, t string, v int")
+    for stmt in (
+        "SELECT k, COUNT_DISTINCT(t) nt, COUNT() n FROM T GROUP BY ROLLUP(k)",
+        "SELECT k, COUNT_DISTINCT(t) nt, COUNT_DISTINCT(v) nv FROM T "
+        "GROUP BY ROLLUP(k)",
+    ):
+        got = soql_to_df(spark, stmt, lambda name: df)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "__dv" not in plan and "__p0" not in plan, stmt
+        got.collect()  # still runs correctly
+
+
+def test_soql_cube_count_distinct_having_order(spark):
+    """HAVING/ORDER BY references resolve against the pair-base output
+    under the COUNT_DISTINCT two-phase form."""
+    from salesforce_plugin_spark.plans import soql_to_df
+
+    rows = [("a", "x"), ("a", "y"), ("a", "z"), ("b", "x"), ("b", "x")]
+    df = spark.createDataFrame(rows, "k string, t string")
+    got = soql_to_df(
+        spark,
+        "SELECT k, COUNT_DISTINCT(t) nt FROM T GROUP BY CUBE(k) "
+        "HAVING COUNT_DISTINCT(t) > 1 ORDER BY COUNT_DISTINCT(t) DESC",
+        lambda name: df,
+    ).collect()
+    # groups: a->3, b->1, global->3 ; HAVING>1 keeps a and global
+    assert [(r.k, r.nt) for r in got] in (
+        [(None, 3), ("a", 3)], [("a", 3), (None, 3)],
+    )
