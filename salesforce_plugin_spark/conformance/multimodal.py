@@ -642,6 +642,56 @@ def q_bmp_resize(spark, sf_dir):
     )
 
 
+def q_png_resize(spark, sf_dir):
+    """F4 through ACTUAL decode (round 10): the q_bmp_resize chain run
+    PNG-end-to-end — byte-prefix pixels encode to filter-cycling PNGs,
+    decode through the default seam (zlib inflate + unfilter), resample
+    2×3 nearest-neighbor, RE-ENCODE AS PNG (encode_png), and decode
+    AGAIN into long-form pixels. The oracle is q_bmp_resize's byte
+    replay VERBATIM; it matches only if the full
+    encode→decode→resize→encode→decode chain is exact through the PNG
+    codec twice."""
+    from salesforce_plugin_spark.functions.multimodal import (
+        encode_png,
+        image_pixels_long,
+        resize_image_nearest,
+    )
+
+    resized = resize_image_nearest(
+        _png_payloads(spark, sf_dir), "doc_id", "payload",
+        out_w=2, out_h=3, encoder=encode_png,
+    )
+    return image_pixels_long(
+        resized.select("doc_id", F.col("resized").alias("payload")),
+        "doc_id",
+        "payload",
+    )
+
+
+ORACLES["q_png_resize"] = """
+    WITH hx AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               (octet_length(encode(text)) // 12) AS src_h
+        FROM documents WHERE octet_length(encode(text)) >= 12
+    ), grid AS (
+        SELECT unnest(generate_series(0, 2)) AS r
+    ), cols AS (
+        SELECT unnest(generate_series(0, 1)) AS c
+    ), chans AS (
+        SELECT unnest(generate_series(0, 2)) AS ch
+    )
+    SELECT hx.doc_id,
+           CAST(g.r AS INT) AS r,
+           CAST(co.c AS INT) AS c,
+           CAST(k.ch AS INT) AS ch,
+           CAST(('0x' || substr(
+               hx.h,
+               2 * (((g.r * hx.src_h) // 3) * 12
+                    + ((co.c * 4) // 2) * 3 + k.ch) + 1,
+               2)) AS INTEGER) AS v
+    FROM hx CROSS JOIN grid g CROSS JOIN cols co CROSS JOIN chans k
+"""
+
 ORACLES["q_bmp_resize"] = """
     WITH hx AS (
         SELECT doc_id, hex(encode(text)) AS h,

@@ -988,19 +988,23 @@ def resize_image_nearest(
     payload_col: str,
     out_w: int,
     out_h: int,
+    encoder: Callable[[object], bytes] | None = None,
 ) -> DataFrame:
     """REAL image resize through the default decode seam (round 9):
-    decode (native BMP) → nearest-neighbor resample with the exact
-    integer index map ``src_r = (r·H) // out_h, src_c = (c·W) //
-    out_w`` (floor sampling — deterministic, no float rounding, so an
-    oracle can replay each output pixel as one source-byte lookup) →
-    re-encode as BMP. The real-decoder form of
+    decode (native BMP/PNG, sniffed) → nearest-neighbor resample with
+    the exact integer index map ``src_r = (r·H) // out_h, src_c =
+    (c·W) // out_w`` (floor sampling — deterministic, no float
+    rounding, so an oracle can replay each output pixel as one
+    source-byte lookup) → re-encode (``encoder``, default
+    :func:`encode_bmp`; pass :func:`encode_png` to keep a PNG
+    pipeline PNG end-to-end — round 10). The real-decoder form of
     :func:`resize_image_plan`'s injected seam; the whole
     decode→resize→encode chain runs vectorized per payload inside the
     Arrow stage, payload bytes never visit the driver. Output:
     ``(doc_id, resized binary, width, height)``."""
     if out_w < 1 or out_h < 1:
         raise ValueError("resize_image_nearest requires out_w, out_h >= 1")
+    enc = encoder or encode_bmp
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -1018,7 +1022,7 @@ def resize_image_nearest(
                 h, w = px.shape[:2]
                 ri = (np.arange(out_h, dtype=np.int64) * h) // out_h
                 ci = (np.arange(out_w, dtype=np.int64) * w) // out_w
-                out.append(encode_bmp(px[np.ix_(ri, ci)]))
+                out.append(enc(px[np.ix_(ri, ci)]))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
