@@ -245,6 +245,7 @@ from salesforce_plugin_spark.conformance.multimodal import (  # noqa: F401
     q_multimodal_ahash,
     q_bmp_histogram,
     q_png_histogram,
+    q_png_palette_histogram,
     q_png_resize,
     q_wav_channels,
     q_bmp_ahash,
@@ -789,6 +790,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_interval_overlap": q_interval_overlap,
     "q_bmp_histogram": q_bmp_histogram,
     "q_png_resize": q_png_resize,
+    "q_png_palette_histogram": q_png_palette_histogram,
 }
 
 

@@ -429,6 +429,57 @@ def q_png_histogram(spark, sf_dir):
     )
 
 
+def q_png_palette_histogram(spark, sf_dir):
+    """F4 through ACTUAL decode (round 10): the PALETTE tier of the PNG
+    codec — documents' byte prefixes become 8-bit color-type-3 PNGs
+    (one index byte per pixel, W=4, rows cycling all five filters) over
+    an IDENTITY-RAMP palette (entry i = (i, i, i)), so every decoded
+    pixel contributes its source byte three times and the pixel
+    histogram is exactly 3× the source byte histogram. The oracle
+    replays that arithmetic off the source bytes; it matches only if
+    the PLTE lookup (and inflate + unfiltering on 1-byte-per-pixel
+    scanlines) is exact."""
+    from salesforce_plugin_spark.functions.multimodal import (
+        image_pixel_histogram,
+    )
+
+    d = parallelized(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") >= 4)
+        .select("doc_id", "text")
+    )
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        from salesforce_plugin_spark.functions.multimodal import (
+            encode_png_palette,
+        )
+
+        ramp = np.repeat(
+            np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
+        )
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                h = len(b) // 4
+                payloads.append(
+                    encode_png_palette(
+                        b[: h * 4].reshape(h, 4),
+                        ramp,
+                        row_filters=[y % 5 for y in range(h)],
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    pngs = d.mapInPandas(enc, "doc_id long, payload binary")
+    return image_pixel_histogram(pngs, "doc_id", "payload", n_bins=16)
+
+
 def q_bmp_histogram(spark, sf_dir):
     """F4 through ACTUAL decode (round 9): per-image PIXEL histogram —
     documents' byte prefixes encode to real 24-bit BMPs, then
@@ -504,6 +555,28 @@ def q_bmp_ahash(spark, sf_dir):
         _bmp_payloads(spark, sf_dir), "doc_id", "payload", n_segs=16
     )
 
+
+ORACLES["q_png_palette_histogram"] = """
+    WITH hx AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               (octet_length(encode(text)) // 4) * 4 AS nb
+        FROM documents WHERE octet_length(encode(text)) >= 4
+    ), bytes AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(h, 2 * i - 1, 2)) AS INTEGER) // 16 AS bin
+        FROM hx, unnest(generate_series(1, nb)) AS g(i)
+    ), counts AS (
+        SELECT doc_id, bin, count(*) AS n FROM bytes GROUP BY doc_id, bin
+    ), bins AS (
+        SELECT unnest(generate_series(0, 15)) AS bin
+    )
+    SELECT d.doc_id, CAST(b.bin AS INTEGER) AS bin,
+           CAST(3 * coalesce(c.n, 0) AS BIGINT) AS n
+    FROM (SELECT doc_id FROM documents
+          WHERE octet_length(encode(text)) >= 4) d
+    CROSS JOIN bins b
+    LEFT JOIN counts c ON d.doc_id = c.doc_id AND b.bin = c.bin
+"""
 
 ORACLES["q_png_histogram"] = """
     WITH hx AS (

@@ -214,22 +214,25 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode an 8-bit-depth non-interlaced PNG into an (H, W, C)
     uint8 array (C per color type: 1 gray / 2 gray+alpha / 3 RGB /
-    4 RGBA) — pure stdlib ``zlib`` + numpy, no media libs: PNG is a
-    chunk stream (length/type/data/CRC), IDAT is zlib-deflated
-    scanlines, and each scanline is one filter byte + filtered pixels
-    (None/Sub/Up/Average/Paeth, RFC 2083 §6). None/Up unfilter
-    vectorized whole-row; Sub is a per-lane cumulative sum (cumsum mod
-    256, vectorized); Average/Paeth carry an intra-row serial
-    dependency and walk pixels. Raises ValueError on anything outside
-    the subset (palette color type 3, bit depths ≠ 8, interlaced,
-    truncated chunks) — a silently-wrong decode is worse than no
-    decode. Round 10; the JPEG seam stays injected-only."""
+    4 RGBA; palette color type 3 maps through PLTE to RGB, or RGBA
+    when a tRNS chunk is present) — pure stdlib ``zlib`` + numpy, no
+    media libs: PNG is a chunk stream (length/type/data/CRC), IDAT is
+    zlib-deflated scanlines, and each scanline is one filter byte +
+    filtered pixels (None/Sub/Up/Average/Paeth, RFC 2083 §6). None/Up
+    unfilter vectorized whole-row; Sub is a per-lane cumulative sum
+    (cumsum mod 256, vectorized); Average/Paeth carry an intra-row
+    serial dependency and walk pixels. Raises ValueError on anything
+    outside the subset (bit depths ≠ 8, interlaced, out-of-range
+    palette indices, truncated chunks) — a silently-wrong decode is
+    worse than no decode. Round 10; the JPEG seam stays
+    injected-only."""
     import struct
     import zlib
 
     if len(payload) < 8 or bytes(payload[:8]) != _PNG_SIG:
         raise ValueError("not a PNG: missing signature")
     pos, ihdr, idat, ended = 8, None, [], False
+    plte, trns = None, None
     while pos + 8 <= len(payload):
         length, ctype = struct.unpack_from(">I4s", payload, pos)
         if pos + 12 + length > len(payload):
@@ -242,6 +245,10 @@ def decode_png(payload: bytes) -> np.ndarray:
             ihdr = data
         elif ctype == b"IDAT":
             idat.append(data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IEND":
             ended = True
             break
@@ -255,13 +262,19 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr[:13]
     )
-    channels = _PNG_CHANNELS.get(color)
+    # palette images (color type 3, round 10): one index byte per pixel
+    # unfilters like grayscale, then maps through PLTE (RGB) or
+    # PLTE+tRNS (RGBA) at the end
+    channels = 1 if color == 3 else _PNG_CHANNELS.get(color)
     if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace:
         raise ValueError(
-            f"only 8-bit non-interlaced gray/RGB/alpha PNG decodes "
-            f"natively (got depth={depth} color_type={color} "
+            f"only 8-bit non-interlaced gray/RGB/alpha/palette PNG "
+            f"decodes natively (got depth={depth} color_type={color} "
             f"interlace={interlace}); inject a decoder"
         )
+    if color == 3:
+        if plte is None or len(plte) == 0 or len(plte) % 3:
+            raise ValueError("palette PNG missing/malformed PLTE chunk")
     if w < 1 or h < 1:
         raise ValueError(f"bad PNG dimensions {w}x{h}")
     try:
@@ -309,7 +322,23 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {f} on row {y}")
         out[y] = line
         prev = line
-    return out.astype(np.uint8).reshape(h, w, channels)
+    px = out.astype(np.uint8).reshape(h, w, channels)
+    if color == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError(
+                f"palette PNG index {int(idx.max())} out of range "
+                f"(PLTE has {len(pal)} entries)"
+            )
+        rgb = pal[idx]  # (H, W, 3)
+        if trns is None:
+            return rgb.copy()
+        alpha = np.full(len(pal), 255, dtype=np.uint8)
+        t = np.frombuffer(trns, dtype=np.uint8)
+        alpha[: len(t)] = t
+        return np.dstack([rgb, alpha[idx]])
+    return px
 
 
 def encode_png(pixels, row_filters=None) -> bytes:
@@ -376,6 +405,81 @@ def encode_png(pixels, row_filters=None) -> bytes:
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    indices, palette, row_filters=None, transparency=None
+) -> bytes:
+    """Encode an (H, W) uint8 index array + (n, 3) uint8 palette as an
+    8-bit color-type-3 PNG (optional ``transparency``: per-entry alpha
+    for a tRNS chunk) — the palette-tier fixture generator;
+    ``decode_png(encode_png_palette(ix, pal)) == pal[ix]`` exactly.
+    ``row_filters`` as in :func:`encode_png` (index bytes filter like
+    grayscale, bpp = 1)."""
+    import struct
+    import zlib
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or min(idx.shape) < 1:
+        raise ValueError(f"encode_png_palette expects (H, W) indices, got {idx.shape}")
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= len(pal) <= 256:
+        raise ValueError(f"palette must be (1..256, 3) uint8, got {pal.shape}")
+    if idx.max(initial=0) >= len(pal):
+        raise ValueError(
+            f"index {int(idx.max())} out of range for {len(pal)}-entry palette"
+        )
+    h, w = idx.shape
+    if row_filters is None:
+        row_filters = [0] * h
+    flat = idx.astype(np.int32)
+    lines, prev = [], np.zeros(w, dtype=np.int32)
+    for y in range(h):
+        f, cur = int(row_filters[y]), flat[y]
+        left = np.zeros_like(cur)
+        left[1:] = cur[:-1]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = (cur - left) & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        elif f == 3:
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        elif f == 4:
+            upleft = np.zeros_like(prev)
+            upleft[1:] = prev[:-1]
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = (cur - pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        lines.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    out = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal.tobytes())
+    if transparency is not None:
+        t = np.asarray(transparency, dtype=np.uint8)
+        if t.ndim != 1 or len(t) > len(pal):
+            raise ValueError("transparency must be (<=len(palette),) uint8")
+        out += chunk(b"tRNS", t.tobytes())
+    return (
+        out
         + chunk(b"IDAT", zlib.compress(b"".join(lines)))
         + chunk(b"IEND", b"")
     )

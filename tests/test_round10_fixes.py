@@ -547,8 +547,8 @@ def test_png_rejects_out_of_subset_and_truncation():
 
     with pytest.raises(ValueError, match="inject a decoder"):
         decode_png(rebuild(depth=16))
-    with pytest.raises(ValueError, match="inject a decoder"):
-        decode_png(rebuild(color=3))  # palette
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(rebuild(color=3))  # palette without a PLTE chunk
     with pytest.raises(ValueError, match="inject a decoder"):
         decode_png(rebuild(interlace=1))  # Adam7
     # scanline size mismatch (valid zlib, wrong length)
@@ -654,3 +654,62 @@ def test_soql_cube_count_distinct_having_order(spark):
     assert [(r.k, r.nt) for r in got] in (
         [(None, 3), ("a", 3)], [("a", 3), (None, 3)],
     )
+
+
+def test_png_palette_roundtrip_and_trns():
+    """Palette PNGs (color type 3) decode through PLTE lookup:
+    decode(encode_palette(ix, pal)) == pal[ix] exactly over all five
+    row filters; with tRNS the output gains the per-entry alpha."""
+    import numpy as np
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        decode_png,
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(99)
+    pal = rng.integers(0, 256, (37, 3), dtype=np.uint8)
+    idx = rng.integers(0, 37, (7, 5), dtype=np.uint8)
+    filters = [y % 5 for y in range(7)]
+    out = decode_png(encode_png_palette(idx, pal, row_filters=filters))
+    assert out.shape == (7, 5, 3)
+    assert np.array_equal(out, pal[idx])
+    # tRNS: alpha per palette entry, padded with 255
+    trns = np.array([0, 128, 255], dtype=np.uint8)
+    out4 = decode_png(
+        encode_png_palette(idx, pal, row_filters=filters, transparency=trns)
+    )
+    assert out4.shape == (7, 5, 4)
+    assert np.array_equal(out4[:, :, :3], pal[idx])
+    alpha = np.full(37, 255, dtype=np.uint8)
+    alpha[:3] = trns
+    assert np.array_equal(out4[:, :, 3], alpha[idx])
+
+
+def test_png_palette_rejects_out_of_range_index():
+    import numpy as np
+    import struct
+    import zlib
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        decode_png,
+        encode_png_palette,
+    )
+
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="out of range"):
+        encode_png_palette(np.array([[0, 9]], dtype=np.uint8), pal)
+    # hand-build a payload whose index exceeds the PLTE length
+    sig = b"\x89PNG\r\n\x1a\n"
+    ck = lambda t, d: (  # noqa: E731
+        struct.pack(">I", len(d)) + t + d
+        + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+    )
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    raw = zlib.compress(bytes([0, 1, 9]))  # filter 0, indices 1 and 9
+    bad = (
+        sig + ck(b"IHDR", ihdr) + ck(b"PLTE", pal.tobytes())
+        + ck(b"IDAT", raw) + ck(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        decode_png(bad)
