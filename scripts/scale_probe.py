@@ -108,6 +108,10 @@ PROBE = [
     "q_curation_capstone",
     "q_incremental_dedup",
     "q_stream_near_dedup",
+    # round-10 additions: the real-decode PNG tier (documents fact 10x)
+    "q_png_histogram",
+    "q_png_resize",
+    "q_png_palette_histogram",
     "q_heavy_hitters",
     "q_bpe_step",
     "q_fuzzy_link",
