@@ -573,13 +573,20 @@ def run_stream_scd2(
     ingest (file mtime order, Kafka per-key partition order). Late rows
     that time-travel before a key's loaded history need a source-feed
     reprocess, exactly as in the batch incremental path. CHECKED at
-    runtime since round 10: a key slice that STRADDLES the loaded
-    frontier (rows both before and after the key's latest loaded
-    observation) raises instead of silently rebuilding a history whose
-    non-change rows were already compressed away. A slice entirely in
-    the past is presumed a REPLAY and absorbed idempotently — this
-    fold has no batch-id fence, so checkpointless re-folds of old
-    batches are legal and must stay no-ops.
+    runtime since round 10 — refined in round 11 (ADVICE r10 high):
+    the stored table compresses non-change observations away, so its
+    per-key max ts is the last CHANGE, not the last OBSERVATION, and a
+    legitimate replay of a batch whose key had a change followed by
+    later non-change rows looks like a frontier straddle. Raising on
+    the straddle alone therefore wedged legal replays permanently
+    (every redelivery re-raised). The guard now raises only when a
+    straddling slice's re-collapse actually CHANGES the key's stored
+    history — an identical re-collapse is exactly the documented
+    idempotent-replay case and is absorbed; a differing one is
+    out-of-order ingest and still errors. A slice entirely in the past
+    is absorbed without even the compare — this fold has no batch-id
+    fence, so checkpointless re-folds of old batches are legal and
+    must stay no-ops.
 
     State lives in the parquet table at ``table_path``; each batch reads
     the AFFECTED keys' change rows, re-collapses them with the batch, and
@@ -606,22 +613,21 @@ def run_stream_scd2(
                                    # restart history from scratch
         if exists:
             us = F.unix_micros(F.col(ts_col))
-            # Order guard (round 10), shaped for the TABLE protocol:
-            # unlike the fenced-carry faces this fold has no batch-id
-            # fence — a full checkpointless replay re-folds old batches
-            # and relies on re-collapse idempotency, and such a batch
-            # sits entirely AT OR BEFORE its keys' loaded frontier. The
-            # dangerous delivery is a key slice that STRADDLES the
-            # frontier (some rows older than the latest loaded
-            # observation, some newer): that is out-of-order ingest,
-            # not replay, and folding it silently rebuilds from a
-            # history whose non-change rows were compressed away. A
-            # slice entirely in the past is presumed a replay and
-            # absorbed idempotently.
+            # Order guard (round 10, refined round 11): the stored
+            # frontier is the last CHANGE ts (non-change observations
+            # are compressed away), so a frontier straddle alone does
+            # not prove out-of-order ingest — a legal replay of a
+            # change-then-nonchange batch straddles too (ADVICE r10
+            # high: raising unconditionally wedged such replays
+            # forever). Probe for straddling keys first (O(batch +
+            # keys), one row); only if any exist, compare their
+            # re-collapsed history against the stored one and raise
+            # only on an ACTUAL difference. An entirely-past slice is
+            # absorbed without the compare (idempotent replay).
             frontier = current.groupBy(*key_cols).agg(
                 F.max(us).alias("__cts")
             )
-            viol = (
+            strad = (
                 batch.groupBy(*key_cols)
                 .agg(F.min(us).alias("__bmin"), F.max(us).alias("__bmax"))
                 .join(frontier, key_cols, "inner")
@@ -629,25 +635,38 @@ def run_stream_scd2(
                     (F.col("__bmin") < F.col("__cts"))
                     & (F.col("__bmax") > F.col("__cts"))
                 )
-                .limit(1)
-                .collect()
+                .select(*key_cols)
             )
-            if viol:
-                r = viol[0].asDict()
-                key = {c: r[c] for c in key_cols}
-                raise ValueError(
-                    f"run_stream_scd2: batch {int(_id)} straddles the "
-                    f"loaded SCD2 frontier for key {key} — rows span "
-                    f"[{r['__bmin']}, {r['__bmax']}] us around the "
-                    f"latest loaded observation {r['__cts']} us. "
-                    "Out-of-order ingest cannot be folded into a "
-                    "compressed interval history; reprocess this key "
-                    "from the full source feed (see scd2_apply_changes' "
-                    "contract)."
-                )
+            has_straddle = bool(strad.limit(1).collect())
             merged = scd2_apply_changes(
                 current, batch, key_cols, attr_cols, ts_col, tiebreak_cols
             )
+            if has_straddle:
+                cols = list(current.columns)
+                cur_s = current.join(strad, key_cols, "left_semi").select(
+                    *cols
+                )
+                mrg_s = merged.join(strad, key_cols, "left_semi").select(
+                    *cols
+                )
+                diff = (
+                    mrg_s.exceptAll(cur_s)
+                    .unionByName(cur_s.exceptAll(mrg_s))
+                    .limit(3)
+                    .collect()
+                )
+                if diff:
+                    sample = [r.asDict() for r in diff]
+                    raise ValueError(
+                        f"run_stream_scd2: batch {int(_id)} straddles "
+                        "the loaded SCD2 frontier AND its re-collapse "
+                        "changes the stored history — out-of-order "
+                        "ingest, not a replay (an identical re-collapse "
+                        "would have been absorbed idempotently). First "
+                        f"differing interval rows: {sample}. Reprocess "
+                        "the affected keys from the full source feed "
+                        "(see scd2_apply_changes' contract)."
+                    )
         else:
             merged = scd2_intervals(
                 batch, key_cols, attr_cols, ts_col, tiebreak_cols
