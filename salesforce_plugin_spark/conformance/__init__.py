@@ -432,34 +432,34 @@ QUERIES: dict[str, QueryFn] = {
     # nothing removed) ---
     # D1-D19: the relational surface the reference forwards to SOQL
     "q_soql_fiscal": q_soql_fiscal,
-    "q_soql_fields": q_soql_fields,
+    "q_cusum": q_cusum,
     "q_grouping_sets": q_grouping_sets,
-    "q_pivot_margins": q_pivot_margins,
-    "q_session_paths": q_session_paths,
-    "q_user_growth": q_user_growth,
-    "q_copurchase": q_copurchase,
-    "q_rolling_metrics": q_rolling_metrics,
-    "q_vocab": q_vocab,
-    "q_quality_score": q_quality_score,
-    "q_pii_redact": q_pii_redact,
-    "q_soql_rollup_having": q_soql_rollup_having,
-    "q_power_step": q_power_step,
-    "q_kcore": q_kcore,
-    "q_quantile_sketch": q_quantile_sketch,
-    "q_label_prop": q_label_prop,
-    "q_bm25": q_bm25,
-    "q_line_clean": q_line_clean,
+    "q_itemcf": q_itemcf,
+    "q_resample_ffill": q_resample_ffill,
+    "q_key_skew": q_key_skew,
+    "q_date_dimension": q_date_dimension,
+    "q_span_dedup": q_span_dedup,
+    "q_sample_split": q_sample_split,
+    "q_kmeans_assign": q_kmeans_assign,
+    "q_degree_dist": q_degree_dist,
+    "q_khop": q_khop,
+    "q_hits": q_hits,
+    "q_png_resize": q_png_resize,
+    "q_png_palette_histogram": q_png_palette_histogram,
+    "q_profile": q_profile,
+    "q_sample_per_group": q_sample_per_group,
+    "q_snapshot_diff": q_snapshot_diff,
     # D via the SOQL string front door (parser → DataFrame plans)
     "q_soql_relationship3": q_soql_relationship3,
-    "q_cosine_pairs": q_cosine_pairs,
+    "q_partitioned_scan": q_partitioned_scan,
     # C: the plugin's own row/column transforms
     "q_coerce_epoch": q_coerce_epoch,
     "q_newline_scrub": q_newline_scrub,
-    "q_kmeans_converged": q_kmeans_converged,
+    "q_zonemap_prune": q_zonemap_prune,
     "q_tfidf": q_tfidf,
     # B: schema reconciliation (full two-load DDL lifecycle + alignment)
     "q_schema_reconcile": q_schema_reconcile,
-    "q_global_line_dedup": q_global_line_dedup,
+    "q_asof_nearest": q_asof_nearest,
     # A: sink round-trip + semi-structured extraction (csv variant after
     # the window; its C4 scrub is gated by q_newline_scrub here)
     "q_doc_chunks": q_doc_chunks,
@@ -467,38 +467,38 @@ QUERIES: dict[str, QueryFn] = {
     # F1/F2: exact + near dedup
     "q_dedup_fingerprint": q_dedup_fingerprint,
     "q_near_dedup": q_near_dedup,
-    "q_zorder": q_zorder,
-    "q_dedup_components_star": q_dedup_components_star,
-    "q_winnow_fingerprint": q_winnow_fingerprint,
+    "q_bloom_prune": q_bloom_prune,
+    "q_grouped_quantiles": q_grouped_quantiles,
+    "q_stream_kmv": q_stream_kmv,
     # F3: similarity search
     "q_embed_topk": q_embed_topk,
     "q_scd2_incremental": q_scd2_incremental,
-    "q_cdc_merge": q_cdc_merge,
+    "q_stream_dow": q_stream_dow,
     # F4: multimodal binary pipelines
     "q_multimodal_ahash": q_multimodal_ahash,
-    "q_bmp_resize": q_bmp_resize,
+    "q_stream_user_growth": q_stream_user_growth,
     "q_png_histogram": q_png_histogram,
     # F5: text analysis
     "q_lang_id": q_lang_id,
-    "q_contamination": q_contamination,
+    "q_url_dedup": q_url_dedup,
     # custom operators (SURVEY §4)
     "q_wav_channels": q_wav_channels,
-    "q_bmp_ahash": q_bmp_ahash,
+    "q_bpe_step": q_bpe_step,
     # F6: event time — batch, true streaming, E5 upsert
     "q_stream_near_dedup": q_stream_near_dedup,
-    "q_stream_quantiles": q_stream_quantiles,
-    "q_stream_rolling_wau": q_stream_rolling_wau,
+    "q_hybrid_rrf": q_hybrid_rrf,
+    "q_dimension_stats": q_dimension_stats,
     "q_stream_cusum": q_stream_cusum,
     "q_stream_upsert": q_stream_upsert,
     # training-pipeline capstones
     "q_training_corpus": q_training_corpus,
+    "q_ndcg": q_ndcg,
     "q_training_sequences": q_training_sequences,
-    "q_stream_interarrival": q_stream_interarrival,
     # --- beyond the graded window: variants and additional forms ---
     "q_ndjson_roundtrip": q_ndjson_roundtrip,
     "q_stream_window": q_stream_window,
-    "q_profile": q_profile,
-    "q_partitioned_scan": q_partitioned_scan,
+    "q_label_prop": q_label_prop,
+    "q_cosine_pairs": q_cosine_pairs,
     "q_csv_roundtrip": q_csv_roundtrip,
     "q_agg_having": q_agg_having,
     "q_object_extract": q_object_extract,
@@ -515,7 +515,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_agg_groupby": q_agg_groupby,
     "q_unique_keys": q_unique_keys,
     "q_repetition": q_repetition,
-    "q_sample_split": q_sample_split,
+    "q_vocab": q_vocab,
     "q_training_decontaminated": q_training_decontaminated,
     "q_bucketed_join": q_bucketed_join,
     "q_embed_ivf": q_embed_ivf,
@@ -566,9 +566,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_quality_classifier": q_quality_classifier,
     "q_soql_front_door": q_soql_front_door,
     "q_bigram_fluency": q_bigram_fluency,
-    "q_sample_per_group": q_sample_per_group,
+    "q_bm25": q_bm25,
     "q_embed_centroids": q_embed_centroids,
-    "q_kmeans_assign": q_kmeans_assign,
+    "q_quality_score": q_quality_score,
     "q_kmeans_step": q_kmeans_step,
     "q_embed_bucket": q_embed_bucket,
     "q_filter_compare": q_filter_compare,
@@ -576,16 +576,16 @@ QUERIES: dict[str, QueryFn] = {
     "q_set_ops": q_set_ops,
     "q_range_join": q_range_join,
     "q_multimodal_histogram": q_multimodal_histogram,
-    "q_span_dedup": q_span_dedup,
+    "q_rolling_metrics": q_rolling_metrics,
     "q_repeated_spans": q_repeated_spans,
     "q_token_pack": q_token_pack,
     "q_heavy_hitters": q_heavy_hitters,
     "q_soql_date_literal": q_soql_date_literal,
-    "q_url_dedup": q_url_dedup,
+    "q_contamination": q_contamination,
     "q_agg_cube": q_agg_cube,
-    "q_stream_kmv": q_stream_kmv,
+    "q_winnow_fingerprint": q_winnow_fingerprint,
     "q_simhash": q_simhash,
-    "q_zonemap_prune": q_zonemap_prune,
+    "q_kmeans_converged": q_kmeans_converged,
     "q_funnel": q_funnel,
     "q_skew_join": q_skew_join,
     "q_scd2_lookup": q_scd2_lookup,
@@ -603,27 +603,27 @@ QUERIES: dict[str, QueryFn] = {
     "q_incremental_dedup": q_incremental_dedup,
     "q_stream_heavy_hitters": q_stream_heavy_hitters,
     "q_topk_per_group": q_topk_per_group,
-    "q_bpe_step": q_bpe_step,
+    "q_bmp_ahash": q_bmp_ahash,
     "q_fuzzy_link": q_fuzzy_link,
-    "q_hybrid_rrf": q_hybrid_rrf,
+    "q_stream_quantiles": q_stream_quantiles,
     "q_event_session": q_event_session,
     "q_soql_relationship": q_soql_relationship,
-    "q_itemcf": q_itemcf,
+    "q_pivot_margins": q_pivot_margins,
     "q_offset_page": q_offset_page,
     "q_pagerank": q_pagerank,
     "q_power_converged": q_power_converged,
     "q_pca_project": q_pca_project,
     "q_join_size_est": q_join_size_est,
-    "q_resample_ffill": q_resample_ffill,
+    "q_session_paths": q_session_paths,
     "q_child_flatten_join": q_child_flatten_join,
     "q_feature_bins": q_feature_bins,
-    "q_bloom_prune": q_bloom_prune,
+    "q_zorder": q_zorder,
     "q_weighted_sample": q_weighted_sample,
     "q_negative_sampling": q_negative_sampling,
-    "q_grouped_quantiles": q_grouped_quantiles,
-    "q_key_skew": q_key_skew,
+    "q_dedup_components_star": q_dedup_components_star,
+    "q_user_growth": q_user_growth,
     "q_containment": q_containment,
-    "q_snapshot_diff": q_snapshot_diff,
+    "q_line_clean": q_line_clean,
     "q_percentile_normalize": q_percentile_normalize,
     "q_fk_audit": q_fk_audit,
     "q_iqr_outliers": q_iqr_outliers,
@@ -631,20 +631,20 @@ QUERIES: dict[str, QueryFn] = {
     "q_class_balance": q_class_balance,
     "q_budget_sample": q_budget_sample,
     "q_hierarchy": q_hierarchy,
-    "q_dimension_stats": q_dimension_stats,
+    "q_stream_rolling_wau": q_stream_rolling_wau,
     "q_distribution_drift": q_distribution_drift,
     "q_ks_test": q_ks_test,
     "q_fd_audit": q_fd_audit,
     "q_kanonymity": q_kanonymity,
     "q_benford": q_benford,
-    "q_date_dimension": q_date_dimension,
+    "q_copurchase": q_copurchase,
     "q_surrogate_keys": q_surrogate_keys,
     "q_star_load": q_star_load,
     "q_collocations": q_collocations,
     "q_oov_audit": q_oov_audit,
     "q_incremental_rollup": q_incremental_rollup,
     "q_asof_forward": q_asof_forward,
-    "q_asof_nearest": q_asof_nearest,
+    "q_global_line_dedup": q_global_line_dedup,
     "q_debounce": q_debounce,
     "q_throttle": q_throttle,
     "q_novelty": q_novelty,
@@ -666,7 +666,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_rank_corr": q_rank_corr,
     "q_user_features": q_user_features,
     "q_triangles": q_triangles,
-    "q_cusum": q_cusum,
+    "q_soql_fields": q_soql_fields,
     "q_changepoint": q_changepoint,
     "q_monitoring_capstone": q_monitoring_capstone,
     "q_autocorr": q_autocorr,
@@ -685,7 +685,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_target_encoding": q_target_encoding,
     "q_winsorize": q_winsorize,
     "q_rake": q_rake,
-    "q_degree_dist": q_degree_dist,
+    "q_pii_redact": q_pii_redact,
     "q_incremental_extract": q_incremental_extract,
     "q_markov": q_markov,
     "q_chat_render": q_chat_render,
@@ -701,19 +701,19 @@ QUERIES: dict[str, QueryFn] = {
     "q_corpus_mix": q_corpus_mix,
     "q_stream_class_balance": q_stream_class_balance,
     "q_stream_vocab_coverage": q_stream_vocab_coverage,
-    "q_stream_user_growth": q_stream_user_growth,
+    "q_bmp_resize": q_bmp_resize,
     "q_bpe_apply": q_bpe_apply,
     "q_rolling_quantiles": q_rolling_quantiles,
     "q_keyset_page": q_keyset_page,
     "q_fetch_time_added": q_fetch_time_added,
-    "q_ndcg": q_ndcg,
+    "q_stream_interarrival": q_stream_interarrival,
     "q_funnel_latency": q_funnel_latency,
-    "q_khop": q_khop,
+    "q_soql_rollup_having": q_soql_rollup_having,
     "q_stream_rolling_quantiles": q_stream_rolling_quantiles,
     "q_multimodal_channels": q_multimodal_channels,
     "q_anomaly_zscore": q_anomaly_zscore,
     "q_ntile": q_ntile,
-    "q_hits": q_hits,
+    "q_power_step": q_power_step,
     "q_mad_outliers": q_mad_outliers,
     "q_rank_movers": q_rank_movers,
     "q_leadlag": q_leadlag,
@@ -730,7 +730,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_dow_profile": q_dow_profile,
     "q_coverage_gaps": q_coverage_gaps,
     "q_seasonal_anomaly": q_seasonal_anomaly,
-    "q_stream_dow": q_stream_dow,
+    "q_cdc_merge": q_cdc_merge,
     # --- round 6 ---
     "q_lcs_dedup": q_lcs_dedup,
     "q_rerank": q_rerank,
@@ -789,8 +789,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_asof_join": q_asof_join,
     "q_interval_overlap": q_interval_overlap,
     "q_bmp_histogram": q_bmp_histogram,
-    "q_png_resize": q_png_resize,
-    "q_png_palette_histogram": q_png_palette_histogram,
+    "q_kcore": q_kcore,
+    "q_quantile_sketch": q_quantile_sketch,
 }
 
 

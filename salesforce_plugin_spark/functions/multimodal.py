@@ -1099,16 +1099,29 @@ def resize_image_nearest(
     the exact integer index map ``src_r = (r·H) // out_h, src_c =
     (c·W) // out_w`` (floor sampling — deterministic, no float
     rounding, so an oracle can replay each output pixel as one
-    source-byte lookup) → re-encode (``encoder``, default
-    :func:`encode_bmp`; pass :func:`encode_png` to keep a PNG
-    pipeline PNG end-to-end — round 10). The real-decoder form of
+    source-byte lookup) → re-encode. The default encoder is chosen
+    per payload from the DECODED array's channel count (ADVICE r10
+    low: a fixed :func:`encode_bmp` default raised for the
+    grayscale/gray+alpha/RGBA payloads the decode seam accepts):
+    3-channel uint8 arrays keep the BMP default, everything else
+    (1/2/4 channels, 16-bit) re-encodes as PNG. Pass ``encoder``
+    explicitly to force one format end-to-end (e.g.
+    :func:`encode_png` for a PNG pipeline — round 10). The
+    real-decoder form of
     :func:`resize_image_plan`'s injected seam; the whole
     decode→resize→encode chain runs vectorized per payload inside the
     Arrow stage, payload bytes never visit the driver. Output:
     ``(doc_id, resized binary, width, height)``."""
     if out_w < 1 or out_h < 1:
         raise ValueError("resize_image_nearest requires out_w, out_h >= 1")
-    enc = encoder or encode_bmp
+
+    def _auto_encode(px) -> bytes:
+        arr = np.asarray(px)
+        if arr.ndim == 3 and arr.shape[2] == 3 and arr.dtype == np.uint8:
+            return encode_bmp(arr)
+        return encode_png(arr)
+
+    enc = encoder or _auto_encode
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
