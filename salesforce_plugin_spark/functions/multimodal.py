@@ -211,21 +211,80 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
 
 
+_ADAM7 = (  # (x0, y0, dx, dy) per pass — RFC 2083 §2.6 interlace grids
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters over ``h`` scanlines of
+    ``stride`` filtered bytes each (``raw`` must be exactly
+    ``h * (1 + stride)`` bytes; ``bpp`` is the filter's byte offset —
+    bytes per pixel, RFC 2083 §6). None/Up unfilter vectorized
+    whole-row; Sub is a per-lane cumulative sum (cumsum mod 256,
+    vectorized); Average/Paeth carry an intra-row serial dependency
+    and walk bytes. Returns an (h, stride) uint8 array."""
+    sl = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    ftypes, rows = sl[:, 0], sl[:, 1:].astype(np.int32)
+    lanes = stride // bpp
+    out = np.empty((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f, cur = int(ftypes[y]), rows[y]
+        if f == 0:  # None
+            line = cur
+        elif f == 1:  # Sub: per-lane cumulative sum (mod distributes)
+            line = (
+                np.cumsum(cur.reshape(lanes, bpp), axis=0, dtype=np.int64)
+                .reshape(stride) & 0xFF
+            ).astype(np.int32)
+        elif f == 2:  # Up
+            line = (cur + prev) & 0xFF
+        elif f == 3:  # Average (serial in x through the left term)
+            line = cur.copy()
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth (serial in x through the left term)
+            line = cur.copy()
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f} on row {y}")
+        out[y] = line
+        prev = line
+    return out.astype(np.uint8)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode an 8-bit-depth non-interlaced PNG into an (H, W, C)
-    uint8 array (C per color type: 1 gray / 2 gray+alpha / 3 RGB /
-    4 RGBA; palette color type 3 maps through PLTE to RGB, or RGBA
-    when a tRNS chunk is present) — pure stdlib ``zlib`` + numpy, no
-    media libs: PNG is a chunk stream (length/type/data/CRC), IDAT is
-    zlib-deflated scanlines, and each scanline is one filter byte +
-    filtered pixels (None/Sub/Up/Average/Paeth, RFC 2083 §6). None/Up
-    unfilter vectorized whole-row; Sub is a per-lane cumulative sum
-    (cumsum mod 256, vectorized); Average/Paeth carry an intra-row
-    serial dependency and walk pixels. Raises ValueError on anything
-    outside the subset (bit depths ≠ 8, interlaced, out-of-range
+    """Decode an 8- or 16-bit, sequential or Adam7-interlaced PNG into
+    an (H, W, C) array — uint8 for depth 8, uint16 for depth 16 (C per
+    color type: 1 gray / 2 gray+alpha / 3 RGB / 4 RGBA; palette color
+    type 3, 8-bit only, maps through PLTE to RGB, or RGBA when a tRNS
+    chunk is present). A tRNS chunk on a grayscale/RGB image (color
+    types 0/2) expands to an explicit alpha channel: pixels equal to
+    the chunk's transparent color get alpha 0, everything else the
+    depth's max (round 11 — previously silently dropped, ADVICE r10
+    low). Pure stdlib ``zlib`` + numpy, no media libs: PNG is a chunk
+    stream (length/type/data/CRC), IDAT is zlib-deflated scanlines,
+    each scanline one filter byte + filtered BYTES
+    (None/Sub/Up/Average/Paeth operate on bytes with a
+    bytes-per-pixel offset, so depth 16 runs the SAME unfilters over
+    big-endian u16 lanes — RFC 2083 §6). Adam7 (round 11): the
+    deflated stream is seven consecutive sub-images on fixed grids
+    (§2.6), each unfiltered independently and scattered into place.
+    Raises ValueError on anything outside the subset (bit depths 1/2/4,
+    16-bit palette, tRNS on an already-alpha color type, out-of-range
     palette indices, truncated chunks) — a silently-wrong decode is
-    worse than no decode. Round 10; the JPEG seam stays
-    injected-only."""
+    worse than no decode. Round 10, widened round 11; the JPEG seam
+    stays injected-only."""
     import struct
     import zlib
 
@@ -266,63 +325,72 @@ def decode_png(payload: bytes) -> np.ndarray:
     # unfilters like grayscale, then maps through PLTE (RGB) or
     # PLTE+tRNS (RGBA) at the end
     channels = 1 if color == 3 else _PNG_CHANNELS.get(color)
-    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace:
+    if (
+        depth not in (8, 16)
+        or (depth == 16 and color == 3)
+        or channels is None
+        or comp != 0
+        or filt != 0
+        or interlace not in (0, 1)
+    ):
         raise ValueError(
-            f"only 8-bit non-interlaced gray/RGB/alpha/palette PNG "
+            f"only 8/16-bit gray/RGB/alpha (+ 8-bit palette) PNG "
             f"decodes natively (got depth={depth} color_type={color} "
             f"interlace={interlace}); inject a decoder"
         )
     if color == 3:
         if plte is None or len(plte) == 0 or len(plte) % 3:
             raise ValueError("palette PNG missing/malformed PLTE chunk")
+    if trns is not None and color in (4, 6):
+        raise ValueError(
+            f"invalid PNG: tRNS chunk with color type {color} (the "
+            "alpha color types may not carry one, RFC 2083 §4.2.1)"
+        )
     if w < 1 or h < 1:
         raise ValueError(f"bad PNG dimensions {w}x{h}")
     try:
         raw = zlib.decompress(b"".join(bytes(c) for c in idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from None
-    stride = w * channels
-    if len(raw) != h * (1 + stride):
-        raise ValueError(
-            f"PNG scanline size mismatch: {len(raw)} bytes for "
-            f"{h}x(1+{stride})"
-        )
-    sl = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
-    ftypes, rows = sl[:, 0], sl[:, 1:].astype(np.int32)
-    bpp = channels
-    out = np.empty((h, stride), dtype=np.int32)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        f, cur = int(ftypes[y]), rows[y]
-        if f == 0:  # None
-            line = cur
-        elif f == 1:  # Sub: per-lane cumulative sum (mod distributes)
-            line = (
-                np.cumsum(cur.reshape(w, bpp), axis=0, dtype=np.int64)
-                .reshape(stride) & 0xFF
-            ).astype(np.int32)
-        elif f == 2:  # Up
-            line = (cur + prev) & 0xFF
-        elif f == 3:  # Average (serial in x through the left term)
-            line = cur.copy()
-            for x in range(stride):
-                a = line[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth (serial in x through the left term)
-            line = cur.copy()
-            for x in range(stride):
-                a = line[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[x] = (line[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {f} on row {y}")
-        out[y] = line
-        prev = line
-    px = out.astype(np.uint8).reshape(h, w, channels)
+    bpp = channels * (depth // 8)  # filter offset: bytes per pixel
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (1 + stride):
+            raise ValueError(
+                f"PNG scanline size mismatch: {len(raw)} bytes for "
+                f"{h}x(1+{stride})"
+            )
+        img = _png_unfilter(raw, h, stride, bpp).reshape(h, w, bpp)
+    else:  # Adam7: seven consecutive sub-images, fixed grids
+        img = np.zeros((h, w, bpp), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            need = hp * (1 + wp * bpp)
+            if pos + need > len(raw):
+                raise ValueError(
+                    f"PNG Adam7 pass size mismatch: pass at grid "
+                    f"({x0},{y0},{dx},{dy}) needs {need} bytes, "
+                    f"{len(raw) - pos} remain"
+                )
+            sub = _png_unfilter(raw[pos : pos + need], hp, wp * bpp, bpp)
+            img[y0::dy, x0::dx, :] = sub.reshape(hp, wp, bpp)
+            pos += need
+        if pos != len(raw):
+            raise ValueError(
+                f"PNG Adam7 stream size mismatch: {len(raw) - pos} "
+                "trailing bytes after the seventh pass"
+            )
+    if depth == 8:
+        px = img  # (h, w, channels) uint8
+    else:  # big-endian u16 lanes through the same byte filters
+        px = (
+            (img[:, :, 0::2].astype(np.uint16) << 8)
+            | img[:, :, 1::2].astype(np.uint16)
+        )  # (h, w, channels) uint16
     if color == 3:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = px[:, :, 0]
@@ -338,37 +406,40 @@ def decode_png(payload: bytes) -> np.ndarray:
         t = np.frombuffer(trns, dtype=np.uint8)
         alpha[: len(t)] = t
         return np.dstack([rgb, alpha[idx]])
+    if trns is not None and color in (0, 2):
+        # transparent-color semantics (§4.2.1): tRNS holds one 2-byte
+        # sample per channel; only the low `depth` bits are
+        # significant. Expand to an explicit alpha channel.
+        if len(trns) != 2 * channels:
+            raise ValueError(
+                f"malformed tRNS chunk: {len(trns)} bytes for color "
+                f"type {color} (expected {2 * channels})"
+            )
+        mask = (1 << depth) - 1
+        vals = [
+            int.from_bytes(trns[2 * i : 2 * i + 2], "big") & mask
+            for i in range(channels)
+        ]
+        tmatch = np.ones(px.shape[:2], dtype=bool)
+        for i, v in enumerate(vals):
+            tmatch &= px[:, :, i] == v
+        amax = np.array(mask, dtype=px.dtype)
+        alpha = np.where(tmatch, px.dtype.type(0), amax)
+        return np.concatenate([px, alpha[:, :, None]], axis=2)
     return px
 
 
-def encode_png(pixels, row_filters=None) -> bytes:
-    """Encode an (H, W, C) uint8 array (C ∈ {1, 2, 3, 4}; a 2-D array
-    is treated as grayscale) as an 8-bit non-interlaced PNG — the
-    fixture generator; ``decode_png(encode_png(x)) == x`` exactly.
-    ``row_filters`` optionally picks the forward filter per row
-    (0-4, default all 0/None) so fixtures can exercise every
-    unfilter path; forward Sub/Average/Paeth are vectorized (the
-    predictors read ORIGINAL neighbors, no serial dependency)."""
-    import struct
-    import zlib
-
-    arr = np.asarray(pixels, dtype=np.uint8)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    if arr.ndim != 3 or arr.shape[2] not in (1, 2, 3, 4) or min(arr.shape[:2]) < 1:
-        raise ValueError(f"encode_png expects (H, W, 1|2|3|4) uint8, got {arr.shape}")
-    h, w, ch = arr.shape
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    flat = arr.reshape(h, w * ch).astype(np.int32)
-    if row_filters is None:
-        row_filters = [0] * h
-    if len(row_filters) != h:
-        raise ValueError(f"row_filters needs {h} entries, got {len(row_filters)}")
-    lines, prev = [], np.zeros(w * ch, dtype=np.int32)
+def _png_filter_rows(flat: np.ndarray, bpp: int, row_filters) -> list[bytes]:
+    """Forward-filter scanlines: ``flat`` is (h, stride) int32 BYTES,
+    ``bpp`` the byte offset. Forward Sub/Average/Paeth are vectorized
+    (the predictors read ORIGINAL neighbors, no serial dependency).
+    Returns the filter-byte-prefixed scanlines."""
+    h, stride = flat.shape
+    lines, prev = [], np.zeros(stride, dtype=np.int32)
     for y in range(h):
         f, cur = int(row_filters[y]), flat[y]
         left = np.zeros_like(cur)
-        left[ch:] = cur[:-ch]
+        left[bpp:] = cur[:-bpp]
         if f == 0:
             enc = cur
         elif f == 1:
@@ -379,7 +450,7 @@ def encode_png(pixels, row_filters=None) -> bytes:
             enc = (cur - ((left + prev) >> 1)) & 0xFF
         elif f == 4:
             upleft = np.zeros_like(prev)
-            upleft[ch:] = prev[:-ch]
+            upleft[bpp:] = prev[:-bpp]
             p = left + prev - upleft
             pa, pb, pc = (
                 np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
@@ -392,6 +463,88 @@ def encode_png(pixels, row_filters=None) -> bytes:
             raise ValueError(f"bad PNG filter type {f}")
         lines.append(bytes([f]) + enc.astype(np.uint8).tobytes())
         prev = cur
+    return lines
+
+
+def encode_png(
+    pixels, row_filters=None, interlace: bool = False, transparent=None
+) -> bytes:
+    """Encode an (H, W, C) uint8 OR uint16 array (C ∈ {1, 2, 3, 4}; a
+    2-D array is treated as grayscale; uint16 writes bit depth 16 with
+    big-endian samples) as a PNG — the fixture generator;
+    ``decode_png(encode_png(x)) == x`` exactly, at both depths, both
+    interlace modes. ``row_filters`` optionally picks the forward
+    filter per scanline (0-4, default all 0/None) so fixtures can
+    exercise every unfilter path — with ``interlace=True`` (Adam7,
+    round 11) it indexes the SEVEN-PASS scanline stream in order, so
+    its length is the total pass-row count, not H. ``transparent``
+    (gray value, or (r, g, b) tuple — round 11) writes a tRNS chunk
+    for color types 0/2, which :func:`decode_png` expands to an alpha
+    channel."""
+    import struct
+    import zlib
+
+    arr = np.asarray(pixels)
+    if arr.dtype == np.uint16:
+        depth = 16
+    else:
+        arr = arr.astype(np.uint8)
+        depth = 8
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 2, 3, 4) or min(arr.shape[:2]) < 1:
+        raise ValueError(
+            f"encode_png expects (H, W, 1|2|3|4) uint8/uint16, got {arr.shape}"
+        )
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    if transparent is not None and color not in (0, 2):
+        raise ValueError(
+            "transparent= writes a tRNS chunk, valid only for "
+            f"gray/RGB (color types 0/2), not color type {color}"
+        )
+    # byte plane: big-endian sample bytes, shape (h, w, bpp)
+    if depth == 16:
+        hi = (arr >> 8).astype(np.uint8)
+        lo = (arr & 0xFF).astype(np.uint8)
+        planes = np.empty((h, w, ch * 2), dtype=np.uint8)
+        planes[:, :, 0::2] = hi
+        planes[:, :, 1::2] = lo
+    else:
+        planes = arr
+    bpp = ch * (depth // 8)
+
+    if interlace:
+        passes = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = planes[y0::dy, x0::dx, :]
+            if sub.shape[0] and sub.shape[1]:
+                passes.append(sub)
+        total_rows = sum(p.shape[0] for p in passes)
+        if row_filters is None:
+            row_filters = [0] * total_rows
+        if len(row_filters) != total_rows:
+            raise ValueError(
+                f"row_filters needs {total_rows} entries (Adam7 "
+                f"scanline stream), got {len(row_filters)}"
+            )
+        lines, at = [], 0
+        for p in passes:
+            ph, pw = p.shape[:2]
+            flat = p.reshape(ph, pw * bpp).astype(np.int32)
+            lines += _png_filter_rows(
+                flat, bpp, row_filters[at : at + ph]
+            )
+            at += ph
+    else:
+        if row_filters is None:
+            row_filters = [0] * h
+        if len(row_filters) != h:
+            raise ValueError(
+                f"row_filters needs {h} entries, got {len(row_filters)}"
+            )
+        flat = planes.reshape(h, w * bpp).astype(np.int32)
+        lines = _png_filter_rows(flat, bpp, row_filters)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -401,10 +554,22 @@ def encode_png(pixels, row_filters=None) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0
+    )
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if transparent is not None:
+        vals = (
+            [int(transparent)] if color == 0
+            else [int(v) for v in transparent]
+        )
+        if color == 2 and len(vals) != 3:
+            raise ValueError("transparent= for RGB needs an (r, g, b) tuple")
+        out += chunk(
+            b"tRNS", b"".join(struct.pack(">H", v) for v in vals)
+        )
     return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
+        out
         + chunk(b"IDAT", zlib.compress(b"".join(lines)))
         + chunk(b"IEND", b"")
     )

@@ -545,12 +545,20 @@ def test_png_rejects_out_of_subset_and_truncation():
         raw = zlib.compress(bytes(2 * (1 + 2 * 3)))
         return sig + ck(b"IHDR", ihdr) + ck(b"IDAT", raw) + ck(b"IEND", b"")
 
+    # round 11 widened the subset to 16-bit and Adam7 — the reject
+    # pins move to the still-unsupported tiers (sub-byte depths,
+    # 16-bit palette); the former rejects are now size-validated
+    # decodes (positive round-trips live in test_round11_fixes).
     with pytest.raises(ValueError, match="inject a decoder"):
-        decode_png(rebuild(depth=16))
+        decode_png(rebuild(depth=4))
+    with pytest.raises(ValueError, match="inject a decoder"):
+        decode_png(rebuild(depth=16, color=3))  # 16-bit palette
     with pytest.raises(ValueError, match="PLTE"):
         decode_png(rebuild(color=3))  # palette without a PLTE chunk
-    with pytest.raises(ValueError, match="inject a decoder"):
-        decode_png(rebuild(interlace=1))  # Adam7
+    with pytest.raises(ValueError, match="scanline size mismatch"):
+        decode_png(rebuild(depth=16))  # 14 raw bytes, 2x2 RGB16 needs 26
+    with pytest.raises(ValueError, match="Adam7 pass size"):
+        decode_png(rebuild(interlace=1))  # 14 raw bytes, passes need 27
     # scanline size mismatch (valid zlib, wrong length)
     bad = rebuild()
     with pytest.raises(ValueError, match="scanline size mismatch"):

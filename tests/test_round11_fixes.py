@@ -165,3 +165,184 @@ def test_stream_cusum_entry_propagates_fold_error(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(up, "_assert_batches_in_order", tripwire)
     with pytest.raises(Exception, match="observation order"):
         cs.q_stream_cusum(spark, "/root/testdata/sf0.001")
+
+
+# ---- PNG round 11: 16-bit depth, Adam7 interlace, gray/RGB tRNS ----
+
+
+def _rng(seed):
+    import numpy as np
+
+    return np.random.default_rng(seed)
+
+
+def test_png16_roundtrip_all_filters():
+    import numpy as np
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    for ch in (1, 2, 3, 4):
+        arr = _rng(ch).integers(0, 65536, size=(7, 5, ch), dtype=np.uint16)
+        out = decode_png(
+            encode_png(arr, row_filters=[y % 5 for y in range(7)])
+        )
+        assert out.dtype == np.uint16 and out.shape == (7, 5, ch)
+        assert np.array_equal(out, arr)
+
+
+def test_png_adam7_roundtrip_8_and_16():
+    import numpy as np
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    # odd/small/grid-aligned dims hit empty and partial passes
+    for h, w in [(1, 1), (3, 5), (8, 8), (9, 13), (2, 2)]:
+        a8 = _rng(h * 100 + w).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8
+        ).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(a8, interlace=True)), a8)
+        a16 = _rng(h * 107 + w).integers(
+            0, 65536, size=(h, w, 1), dtype=np.uint16
+        )
+        assert np.array_equal(
+            decode_png(encode_png(a16, interlace=True)), a16
+        )
+
+
+def test_png_adam7_filtered_scanline_stream():
+    """Filters cycle across the seven-pass scanline stream — every
+    unfilter path exercised within interlaced sub-images."""
+    import numpy as np
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        _ADAM7,
+        decode_png,
+        encode_png,
+    )
+
+    h, w = 11, 9
+    arr = _rng(3).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    rows = sum(
+        (h - y0 + dy - 1) // dy
+        for x0, y0, dx, dy in _ADAM7
+        if (w - x0 + dx - 1) // dx > 0 and (h - y0 + dy - 1) // dy > 0
+    )
+    enc = encode_png(
+        arr, interlace=True, row_filters=[i % 5 for i in range(rows)]
+    )
+    assert np.array_equal(decode_png(enc), arr)
+
+
+def test_png_trns_gray_and_rgb_expand_alpha():
+    import numpy as np
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    g = np.array([[10, 20], [20, 30]], dtype=np.uint8)
+    out = decode_png(encode_png(g, transparent=20))
+    assert out.shape == (2, 2, 2)
+    assert np.array_equal(out[:, :, 0], g)
+    assert np.array_equal(
+        out[:, :, 1], np.array([[255, 0], [0, 255]], dtype=np.uint8)
+    )
+
+    rgb = np.zeros((2, 2, 3), dtype=np.uint16)
+    rgb[0, 1] = (256, 512, 768)
+    out16 = decode_png(encode_png(rgb, transparent=(256, 512, 768)))
+    assert out16.shape == (2, 2, 4) and out16.dtype == np.uint16
+    want_a = np.full((2, 2), 65535, dtype=np.uint16)
+    want_a[0, 1] = 0
+    assert np.array_equal(out16[:, :, 3], want_a)
+
+
+def test_png_trns_on_alpha_color_type_raises():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    with pytest.raises(ValueError, match="tRNS"):
+        encode_png(np.zeros((2, 2, 4), dtype=np.uint8), transparent=(1, 2, 3))
+
+    # hand-build an RGBA PNG carrying an (invalid) tRNS chunk: the
+    # decoder must reject it, not silently drop the transparency
+    good = encode_png(np.zeros((2, 2, 4), dtype=np.uint8))
+
+    def ck(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    ihdr_end = 8 + 12 + 13
+    bad = good[:ihdr_end] + ck(b"tRNS", b"\0\1") + good[ihdr_end:]
+    with pytest.raises(ValueError, match="tRNS chunk with color type"):
+        decode_png(bad)
+
+
+def test_png_roundtrip_randomized_matrix():
+    """Randomized sweep over (depth, channels, interlace, dims) — the
+    widened subset's round-trip identity, 40 cases."""
+    import numpy as np
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = _rng(1234)
+    for case in range(40):
+        h = int(rng.integers(1, 14))
+        w = int(rng.integers(1, 14))
+        ch = int(rng.integers(1, 5))
+        depth16 = bool(rng.integers(0, 2))
+        inter = bool(rng.integers(0, 2))
+        if depth16:
+            arr = rng.integers(0, 65536, size=(h, w, ch), dtype=np.uint16)
+        else:
+            arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        filters = None
+        if not inter:
+            filters = [int(rng.integers(0, 5)) for _ in range(h)]
+        got = decode_png(encode_png(arr, row_filters=filters, interlace=inter))
+        assert got.dtype == arr.dtype and np.array_equal(got, arr), (
+            case, h, w, ch, depth16, inter,
+        )
+
+
+def test_resize_auto_encoder_by_channel_count(spark):
+    """ADVICE r10 low: the default re-encode must not explode on
+    non-3-channel decodes — gray PNG stays PNG, RGB uint8 stays BMP."""
+    import numpy as np
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        decode_image,
+        encode_png,
+        resize_image_nearest,
+    )
+
+    gray = np.arange(24, dtype=np.uint8).reshape(4, 6, 1)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(gray)))], "doc_id long, payload binary"
+    )
+    out = resize_image_nearest(df, "doc_id", "payload", 3, 2).collect()
+    px = decode_image(bytes(out[0].resized))
+    assert px.shape == (2, 3, 1)
+    ri = [(r * 4) // 2 for r in range(2)]
+    ci = [(c * 6) // 3 for c in range(3)]
+    assert np.array_equal(px, gray[np.ix_(ri, ci)])
