@@ -244,6 +244,8 @@ from salesforce_plugin_spark.conformance.multimodal import (  # noqa: F401
     ORACLES as _ORACLES_multimodal,
     q_multimodal_ahash,
     q_bmp_histogram,
+    q_png16_stats,
+    q_png_adam7_histogram,
     q_png_histogram,
     q_png_palette_histogram,
     q_png_resize,
@@ -446,6 +448,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_hits": q_hits,
     "q_png_resize": q_png_resize,
     "q_png_palette_histogram": q_png_palette_histogram,
+    "q_png16_stats": q_png16_stats,
+    "q_png_adam7_histogram": q_png_adam7_histogram,
     "q_profile": q_profile,
     "q_sample_per_group": q_sample_per_group,
     "q_snapshot_diff": q_snapshot_diff,

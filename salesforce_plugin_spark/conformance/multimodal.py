@@ -480,6 +480,109 @@ def q_png_palette_histogram(spark, sf_dir):
     return image_pixel_histogram(pngs, "doc_id", "payload", n_bins=16)
 
 
+def q_png16_stats(spark, sf_dir):
+    """F4 through ACTUAL decode (round 11): the 16-BIT tier of the PNG
+    codec — documents' byte prefixes become big-endian u16 grayscale
+    samples (W=4, H=octets//8, rows cycling all five filters; the
+    filters run on BYTES with a 2-byte offset, so both lanes of every
+    sample pass through Sub/Up/Average/Paeth), then
+    functions/multimodal.py image_sample_stats decodes each payload
+    through the DEFAULT decode_image seam and reduces the u16 samples
+    to exact int64 (n, Σv, Σv², min, max). The oracle replays the
+    arithmetic off 4-hex-char slices of the source bytes; it matches
+    only if deflate + unfiltering + the u16 lane reassembly are
+    byte-exact."""
+    from salesforce_plugin_spark.functions.multimodal import (
+        image_sample_stats,
+    )
+
+    d = parallelized(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") >= 8)
+        .select("doc_id", "text")
+    )
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        from salesforce_plugin_spark.functions.multimodal import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = t.encode("utf-8")
+                h = len(b) // 8
+                arr = (
+                    np.frombuffer(b[: h * 8], dtype=">u2")
+                    .astype(np.uint16)
+                    .reshape(h, 4, 1)
+                )
+                payloads.append(
+                    encode_png(arr, row_filters=[y % 5 for y in range(h)])
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    pngs = d.mapInPandas(enc, "doc_id long, payload binary")
+    return image_sample_stats(pngs, "doc_id", "payload")
+
+
+def q_png_adam7_histogram(spark, sf_dir):
+    """F4 through ACTUAL decode (round 11): the ADAM7-INTERLACE tier —
+    the SAME byte-prefix RGB pixels as q_png_histogram, but encoded
+    with interlace=1 (seven fixed sub-grids, RFC 2083 §2.6) and the
+    filters cycling across the seven-pass scanline STREAM, then binned
+    by image_pixel_histogram through the default seam. The oracle is
+    q_png_histogram's byte replay VERBATIM: it matches only if every
+    pass unfilters independently and scatters back to the exact
+    source grid."""
+    from salesforce_plugin_spark.functions.multimodal import (
+        image_pixel_histogram,
+    )
+
+    d = parallelized(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") >= 12)
+        .select("doc_id", "text")
+    )
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        from salesforce_plugin_spark.functions.multimodal import (
+            _ADAM7,
+            encode_png,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                h = len(b) // 12
+                rows = sum(
+                    (h - y0 + dy - 1) // dy
+                    for x0, y0, dx, dy in _ADAM7
+                    if (4 - x0 + dx - 1) // dx > 0
+                    and (h - y0 + dy - 1) // dy > 0
+                )
+                payloads.append(
+                    encode_png(
+                        b[: h * 12].reshape(h, 4, 3),
+                        interlace=True,
+                        row_filters=[i % 5 for i in range(rows)],
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    pngs = d.mapInPandas(enc, "doc_id long, payload binary")
+    return image_pixel_histogram(pngs, "doc_id", "payload", n_bins=16)
+
+
 def q_bmp_histogram(spark, sf_dir):
     """F4 through ACTUAL decode (round 9): per-image PIXEL histogram —
     documents' byte prefixes encode to real 24-bit BMPs, then
@@ -599,6 +702,29 @@ ORACLES["q_png_histogram"] = """
     CROSS JOIN bins b
     LEFT JOIN counts c ON d.doc_id = c.doc_id AND b.bin = c.bin
 """
+
+ORACLES["q_png16_stats"] = """
+    WITH hx AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               (octet_length(encode(text)) // 8) * 8 AS nb
+        FROM documents WHERE octet_length(encode(text)) >= 8
+    ), samples AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(h, 4 * i - 3, 4)) AS BIGINT) AS v
+        FROM hx, unnest(generate_series(1, nb // 2)) AS g(i)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS s,
+           CAST(sum(v * v) AS BIGINT) AS sq,
+           CAST(min(v) AS BIGINT) AS vmin,
+           CAST(max(v) AS BIGINT) AS vmax
+    FROM samples GROUP BY doc_id
+"""
+
+# Adam7 re-orders scanlines, not pixel VALUES: the per-image byte
+# histogram is q_png_histogram's replay verbatim.
+ORACLES["q_png_adam7_histogram"] = ORACLES["q_png_histogram"]
 
 ORACLES["q_bmp_histogram"] = """
     WITH hx AS (

@@ -1121,6 +1121,60 @@ def image_pixel_histogram(
     )
 
 
+def image_sample_stats(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """Per-image exact sample moments through ACTUAL decode: each
+    payload decodes via the default :func:`decode_image` seam (BMP,
+    or PNG at either bit depth — the operator that makes the 16-bit
+    tier observable end-to-end: u16 samples overflow a bincount-style
+    256-bin histogram but reduce exactly), and all samples flatten to
+    int64 ``(n, Σv, Σv², min, max)`` inside the Arrow stage — the
+    normalization / exposure-audit precompute (mean/variance per
+    image at 100 TB without a second pass). One row per image leaves
+    Python; no shuffle."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.LongType()),
+            T.StructField("sq", T.LongType()),
+            T.StructField("vmin", T.LongType()),
+            T.StructField("vmax", T.LongType()),
+        ]
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(
+                pdf[id_col].astype("int64"), pdf[payload_col]
+            ):
+                v = decode_image(bytes(payload)).reshape(-1).astype(np.int64)
+                out.append(
+                    (
+                        int(doc_id),
+                        len(v),
+                        int(v.sum()),
+                        int((v * v).sum()),
+                        int(v.min()),
+                        int(v.max()),
+                    )
+                )
+            cols = ["doc_id", "n", "s", "sq", "vmin", "vmax"]
+            yield (
+                pd.DataFrame(out, columns=cols)
+                if out
+                else pd.DataFrame(
+                    {c: pd.Series([], dtype="int64") for c in cols}
+                )
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        stats, out_schema
+    )
+
+
 def wav_channel_stats(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     """Per-channel exact sample moments through ACTUAL decode: each
     payload is decoded by the default :func:`decode_audio` seam (native
