@@ -1256,7 +1256,13 @@ class _Lowerer:
                 # decomposable as (Σ partial sums) / (Σ partial counts)
                 # for INTEGRAL inputs only: partial long sums are exact,
                 # so the final double division reproduces single-phase
-                # avg bit-for-bit in the < 2^53 regime. DECIMAL avg has
+                # avg bit-for-bit in the < 2^53 regime. Beyond int64 the
+                # two paths DIVERGE differently (ADVICE r10 low): the
+                # partial BIGINT sum wraps silently under non-ANSI Spark,
+                # while single-phase Average accumulates in double and
+                # returns an approximately-correct value — a per-group
+                # Σ|v| beyond ±2^63 is outside this lowering's domain
+                # just as > 2^53 is outside its exactness claim. DECIMAL avg has
                 # Catalyst-specific (p+4, s+4) divide-and-round
                 # semantics and DOUBLE sums are order-dependent — both
                 # fall back to single-phase (round 10, VERDICT item 5a).
