@@ -1852,9 +1852,20 @@ def _dbscan_label(
     """Label one density level: (base, ε-close pairs) → (id, role,
     cluster) — the :func:`dbscan_clusters` completion stage, shared
     with :func:`dbscan_hierarchy` so every ladder level runs the
-    identical core/CC/border plan."""
+    identical core/CC/border plan.
+
+    The ε-close pair plan is materialized ONCE up front (round 11):
+    this stage consumes ``close`` from four different joins
+    (neighbor counts, both core-edge sides, border attachment), and
+    without the lineage cut each re-evaluated the full LSH-blocking +
+    exact-cosine pair stage — ~5 recomputes that made the sf0.1
+    bench read 30 s for a 4.5 k-pair graph. The pair set is already
+    the SMALL side (O(ε-neighbourhoods), not O(corpus)); at 100 TB
+    use a reliable checkpoint dir, same note as
+    :func:`~salesforce_plugin_spark.functions.dedup.connected_components`."""
     from salesforce_plugin_spark.functions.dedup import connected_components
 
+    close = close.localCheckpoint()
     neigh = close.groupBy(F.col("__ida").alias("__id")).agg(
         F.count(F.lit(1)).cast("long").alias("__n_eps")
     )
@@ -1865,6 +1876,10 @@ def _dbscan_label(
         .withColumn(
             "__is_core", (F.col("__n_eps") + 1 >= min_pts).cast("int")
         )
+        # one row per vector, consumed by the core filter AND the
+        # final labeling join — cut here too or `base`'s scan+quantize
+        # plan re-runs for each (same round-11 note as `close` above)
+        .localCheckpoint()
     )
     cores = flagged.filter(F.col("__is_core") == 1).select("__id")
     core_edges = (
