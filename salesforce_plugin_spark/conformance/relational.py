@@ -913,17 +913,21 @@ def q_tpch_q9(spark, sf_dir):
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - F.col("p_retailprice") * F.col("l_quantity")
     )
+    # the partial carries _sumd's SCALED LONG (exact; long addition is
+    # associative across the two phases) — dividing per order and
+    # re-summing doubles would reintroduce order-dependent fp error
+    scaled = (amount.cast("decimal(14,4)") * 10**4).cast("long")
     part_sum = (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_orderkey", F.col("n_name").alias("nation"))
-        .agg(_sumd(amount, 4).alias("__partial"))
+        .agg(F.sum(scaled).alias("__partial"))
     )
     return (
         part_sum.join(o, part_sum["l_orderkey"] == o["o_orderkey"])
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.sum("__partial").alias("sum_profit"))
+        .agg((F.sum("__partial") / F.lit(1e4)).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
