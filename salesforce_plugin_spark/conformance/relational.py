@@ -895,7 +895,7 @@ def q_tpch_q9(spark, sf_dir):
     addition is associative, so Σ over the group equals Σ of per-order
     partials — shrinking the orderkey exchange from every surviving
     lineitem row to one row per (order, nation) pair and the post-join
-    aggregate input likewise (1.58 → ~1.1 s at sf1.0; at 100 TB the
+    aggregate input likewise (same-session sf1.0 probe: 2.19 → 1.63 s; at 100 TB the
     map-side combine bounds the fact shuffle by order count, not line
     count). Output is row-identical (probed exceptAll-both-ways at
     sf1.0)."""
