@@ -6,8 +6,9 @@ The container ships no media libraries, which blocks entropy-coded formats
 (JPEG/MP3): for those, ``decode_image``/``decode_audio`` raise
 ``NotImplementedError`` unless a decoder callable is injected. Formats whose
 only compression is DEFLATE or none decode for real: 24-bit BI_RGB BMP and
-16-bit PCM WAV (round 9, pure struct+numpy) and 8-bit non-interlaced PNG
-(round 10 — stdlib ``zlib`` inflates IDAT, numpy unfilters the scanlines;
+16-bit PCM WAV (round 9, pure struct+numpy) and PNG (round 10, widened
+round 11 to 16-bit depth, Adam7 interlace, and gray/RGB tRNS alpha
+expansion — stdlib ``zlib`` inflates IDAT, numpy unfilters the scanlines;
 "no media libs" never excused PNG). All three have encoders for
 deterministic fixtures, are the default seam path sniffed by magic bytes,
 and the real-decode operators (:func:`image_pixel_histogram`,
@@ -653,8 +654,9 @@ def encode_png_palette(
 def decode_image(payload: bytes, decoder: Callable[[bytes], object] | None = None):
     """Decode an image payload. Default paths: uncompressed 24-bit
     BMP decodes natively via :func:`decode_bmp` (round 9, 'BM' magic)
-    and 8-bit non-interlaced PNG via :func:`decode_png` (round 10,
-    PNG signature — stdlib zlib IS the codec, no media libs needed);
+    and 8/16-bit sequential or Adam7-interlaced PNG via
+    :func:`decode_png` (round 10, widened round 11; PNG signature —
+    stdlib zlib IS the codec, no media libs needed);
     JPEG and other compressed formats still require an injected
     ``decoder`` (e.g. PIL.Image.open)."""
     if decoder is None:
