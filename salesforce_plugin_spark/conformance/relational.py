@@ -937,7 +937,19 @@ def q_tpch_q8(spark, sf_dir):
     by one nation, as a ratio of two conditional exact-decimal sums with a
     single double divide at the end (order-insensitive; a running double
     ratio would not hash-match). Nation/region dims broadcast; the
-    customer-side region filter prunes before the fact join."""
+    customer-side region filter prunes before the fact join.
+
+    Round 11 probe, REJECTED: q_tpch_q9's per-order pre-aggregation
+    (sum the scaled-long volumes to l_orderkey before the orders join)
+    was built, proven row-identical (exceptAll both ways), and measured
+    SLOWER here at both tiers — sf1.0 warm 1.28 → 1.58 s, 100×-facts
+    (60M lineitem) 6.48 → 6.83 s. Q9's win came from the part LIKE
+    filter shrinking the fact ~20× before the pre-agg; Q8 keeps every
+    lineitem row, so the mandatory orderkey pre-agg exchange costs more
+    than the ~4-lines-per-order combine saves, while this declarative
+    form lets AQE pick broadcast joins at small scale and SMJ at large —
+    no hard-coded plan to break at 100×. Measured floor; revisit only if
+    a selective fact-side filter enters the shape."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
