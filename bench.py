@@ -62,6 +62,29 @@ HEADLINE = [
     "q_tpch_q9",            # 5-table profit rollup, fact+dim amount expr
 ]
 
+#: Second measured cohort (round 11, VERDICT r10 #5): the headline set
+#: above is FROZEN for round-over-round comparability, but the registry
+#: grew past it — this cohort covers the newest heavy tiers (real PNG
+#: decode incl. 16-bit, DBSCAN hierarchy, Kneser-Ney, distillation,
+#: semantic dedup, IVF ANN, the curation capstone). Same protocol
+#: (shared warm-up pass, interleaved Spark/DuckDB), min-of-2 instead of
+#: min-of-3 to bound added wall time; reported under separate keys so
+#: headline_total stays comparable to BENCH_r01-r10.
+COHORT2 = [
+    "q_png_histogram",      # real PNG decode → pixel histogram (Arrow)
+    "q_png16_stats",        # 16-bit PNG tier: u16 lanes, exact moments
+    "q_dbscan_clusters",    # density clustering over embeddings
+    "q_kneser_ney",         # KN-smoothed LM estimation
+    "q_distill_quality",    # cross-encoder distillation seam
+    "q_semantic_dedup",     # k-means blocking → cosine → CC
+    "q_cusum",              # per-key CUSUM windows (batch face)
+    "q_global_line_dedup",  # corpus-global exact line dedup
+    "q_embed_ivf",          # IVF ANN (centroid route + probe)
+    "q_curation_capstone",  # multi-stage curation pipeline
+    "q_louvain_step",       # modularity-gain graph step
+    "q_bpe_step",           # BPE merge-table step
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -84,7 +107,7 @@ def main() -> None:
     # discipline: warm at the measured workload, then time steady state.
     # The DuckDB baseline below gets the same treatment (min over repeated
     # runs after its own first pass).
-    for wname in HEADLINE:
+    for wname in HEADLINE + COHORT2:
         try:
             QUERIES[wname](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -102,9 +125,9 @@ def main() -> None:
     # both sides of every ratio equally. r8 recorded DuckDB fresh-boot
     # (14.91 s) and r9 recorded it warm (11.5 s) around an unchanged
     # Spark posture — that 30% denominator swing was protocol, not code.
-    duck_con, duck_sqls = _duckdb_connect(sf_dir)
-    for name, sql in duck_sqls.items():  # DuckDB warm-up pass
-        try:
+    duck_con, duck_sqls, duck_sqls2 = _duckdb_connect(sf_dir)
+    for sql in list(duck_sqls.values()) + list(duck_sqls2.values()):
+        try:  # DuckDB warm-up pass (both cohorts)
             duck_con.sql(sql).fetchall()
         except Exception:
             pass
@@ -144,7 +167,38 @@ def main() -> None:
         query_load1[name] = round(_loadavg()[0], 1)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
+    # Cohort-2 timed pass: same interleave, min-of-2 (documented above).
+    c2_timings: dict[str, float] = {}
+    c2_duck: dict[str, float] = {}
+    for name in COHORT2:
+        fn = QUERIES[name]
+        best = float("inf")
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            c2_timings[name] = round(best, 3)
+        except Exception as e:  # cohort2 is additive; never fail the bench
+            print(f"# cohort2 {name} FAILED: {e}", file=sys.stderr)
+            continue
+        sql = duck_sqls2.get(name)
+        if duck_con is not None and sql is not None:
+            dbest = float("inf")
+            try:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    duck_con.sql(sql).fetchall()
+                    dbest = min(dbest, time.perf_counter() - t0)
+                c2_duck[name] = round(dbest, 3)
+            except Exception:
+                pass
+        print(f"# cohort2 {name}: {c2_timings[name]}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
+    c2_total = round(sum(c2_timings.values()), 3)
     duck = {
         "total": round(sum(duck_timings.values()), 3),
         "queries": duck_timings,
@@ -163,6 +217,10 @@ def main() -> None:
                 "loadavg_after": _loadavg(),
                 "query_load1": query_load1,
                 "duckdb_oracle": duck,
+                "cohort2_total": c2_total,
+                "cohort2_queries": c2_timings,
+                "cohort2_duckdb": c2_duck,
+                "cohort2_duckdb_total": round(sum(c2_duck.values()), 3),
             }
         )
     )
@@ -181,6 +239,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "duckdb_total": duck.get("total"),
+                "cohort2_total": c2_total,
+                "cohort2_duckdb_total": round(sum(c2_duck.values()), 3),
             },
             separators=(",", ":"),
         )
@@ -195,9 +255,9 @@ def _loadavg() -> list[float]:
 
 
 def _duckdb_connect(sf_dir: str):
-    """(connection, {headline name: oracle SQL}) for the interleaved
-    baseline — ({}, {}) when DuckDB is unavailable (baseline is
-    informational; never fail the bench)."""
+    """(connection, {headline: SQL}, {cohort2: SQL}) for the
+    interleaved baseline — (None, {}, {}) when DuckDB is unavailable
+    (baseline is informational; never fail the bench)."""
     try:
         import duckdb
 
@@ -215,9 +275,11 @@ def _duckdb_connect(sf_dir: str):
             )
         return con, {
             name: ORACLES[name] for name in HEADLINE if name in ORACLES
+        }, {
+            name: ORACLES[name] for name in COHORT2 if name in ORACLES
         }
     except Exception:
-        return None, {}
+        return None, {}, {}
 
 
 if __name__ == "__main__":
