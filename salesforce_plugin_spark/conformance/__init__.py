@@ -247,6 +247,7 @@ from salesforce_plugin_spark.conformance.multimodal import (  # noqa: F401
     q_png16_stats,
     q_png_adam7_histogram,
     q_png_histogram,
+    q_png_lowdepth_stats,
     q_png_palette_histogram,
     q_png_resize,
     q_wav_channels,
@@ -449,6 +450,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_png_resize": q_png_resize,
     "q_png_palette_histogram": q_png_palette_histogram,
     "q_png16_stats": q_png16_stats,
+    "q_png_lowdepth_stats": q_png_lowdepth_stats,
     "q_png_adam7_histogram": q_png_adam7_histogram,
     "q_profile": q_profile,
     "q_sample_per_group": q_sample_per_group,

@@ -583,6 +583,79 @@ def q_png_adam7_histogram(spark, sf_dir):
     return image_pixel_histogram(pngs, "doc_id", "payload", n_bins=16)
 
 
+def q_png_lowdepth_stats(spark, sf_dir):
+    """F4 through ACTUAL decode (round 11): the SUB-BYTE depth tier of
+    the PNG codec — each document's byte prefix is bit-sliced into raw
+    samples at a per-doc depth (doc_id%3: 0→1-bit, 1→2-bit, 2→4-bit;
+    big-endian within each byte, the packing order RFC 2083 §2.3
+    prescribes), laid out 4 source bytes per scanline (so strides are
+    byte-aligned here; the pad-bit path is pinned by the unit matrix),
+    encoded at that depth with the filters cycling all five types —
+    running over the PACKED bytes with offset 1 — and odd doc_ids
+    additionally Adam7-interlaced. image_sample_stats then decodes
+    through the DEFAULT decode_image seam and reduces the raw samples
+    to exact int64 (n, Σv, Σv², min, max). The oracle bit-slices the
+    same source bytes in SQL ((b >> shift) & mask per depth); it
+    matches only if inflate + packed-byte unfiltering + big-endian bit
+    regrouping (and the Adam7 scatter) are all sample-exact."""
+    from salesforce_plugin_spark.functions.multimodal import (
+        image_sample_stats,
+    )
+
+    d = parallelized(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") >= 4)
+        .select("doc_id", "text")
+    )
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        from salesforce_plugin_spark.functions.multimodal import (
+            _ADAM7,
+            encode_png,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                nb = (len(b) // 4) * 4
+                depth = {0: 1, 1: 2, 2: 4}[int(doc_id) % 3]
+                per = 8 // depth  # samples per byte
+                shifts = np.arange(per - 1, -1, -1) * depth
+                samples = (
+                    (b[:nb, None] >> shifts) & ((1 << depth) - 1)
+                ).astype(np.uint8)
+                h, w = nb // 4, 4 * per
+                img = samples.reshape(h, w)
+                interlace = int(doc_id) % 2 == 1
+                if interlace:
+                    rows = sum(
+                        (h - y0 + dy - 1) // dy
+                        for x0, y0, dx, dy in _ADAM7
+                        if (w - x0 + dx - 1) // dx > 0
+                        and (h - y0 + dy - 1) // dy > 0
+                    )
+                else:
+                    rows = h
+                payloads.append(
+                    encode_png(
+                        img,
+                        depth=depth,
+                        interlace=interlace,
+                        row_filters=[i % 5 for i in range(rows)],
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    pngs = d.mapInPandas(enc, "doc_id long, payload binary")
+    return image_sample_stats(pngs, "doc_id", "payload")
+
+
 def q_bmp_histogram(spark, sf_dir):
     """F4 through ACTUAL decode (round 9): per-image PIXEL histogram —
     documents' byte prefixes encode to real 24-bit BMPs, then
@@ -725,6 +798,33 @@ ORACLES["q_png16_stats"] = """
 # Adam7 re-orders scanlines, not pixel VALUES: the per-image byte
 # histogram is q_png_histogram's replay verbatim.
 ORACLES["q_png_adam7_histogram"] = ORACLES["q_png_histogram"]
+
+ORACLES["q_png_lowdepth_stats"] = """
+    WITH hx AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               (octet_length(encode(text)) // 4) * 4 AS nb,
+               CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END
+                   AS depth
+        FROM documents WHERE octet_length(encode(text)) >= 4
+    ), bytes AS (
+        SELECT doc_id, depth,
+               CAST(('0x' || substr(h, 2 * i - 1, 2)) AS INTEGER) AS b
+        FROM hx, unnest(generate_series(1, nb)) AS g(i)
+    ), samples AS (
+        SELECT doc_id,
+               (b >> ((8 // depth - 1 - j) * depth))
+                   & ((1 << depth) - 1) AS v
+        FROM bytes, unnest(generate_series(0, 7)) AS s(j)
+        WHERE j < 8 // depth
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS s,
+           CAST(sum(v * v) AS BIGINT) AS sq,
+           CAST(min(v) AS BIGINT) AS vmin,
+           CAST(max(v) AS BIGINT) AS vmax
+    FROM samples GROUP BY doc_id
+"""
 
 ORACLES["q_bmp_histogram"] = """
     WITH hx AS (

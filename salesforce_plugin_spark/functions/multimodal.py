@@ -264,6 +264,29 @@ def _png_unfilter(raw, h: int, stride: int, bpp: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+def _png_unpack_rows(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(h, stride) unfiltered PACKED scanline bytes → (h, w) uint8
+    samples for sub-byte depths 1/2/4: bits are big-endian within each
+    byte, ``depth`` bits per sample, trailing pad bits discarded
+    (RFC 2083 §2.3 — packing never crosses a byte boundary at these
+    depths, so a straight bit-slice regroup is exact)."""
+    bits = np.unpackbits(rows.astype(np.uint8), axis=1)[:, : w * depth]
+    grouped = bits.reshape(rows.shape[0], w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (grouped * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8)
+
+
+def _png_pack_rows(samples: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w) uint8 samples (< 2^depth) → (h, ceil(w*depth/8)) packed
+    scanline bytes, big-endian bit order, zero pad bits — the inverse
+    of :func:`_png_unpack_rows`."""
+    h, w = samples.shape
+    bits = (
+        (samples[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).astype(np.uint8).reshape(h, w * depth)
+    return np.packbits(bits, axis=1)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode an 8- or 16-bit, sequential or Adam7-interlaced PNG into
     an (H, W, C) array — uint8 for depth 8, uint16 for depth 16 (C per
@@ -281,11 +304,17 @@ def decode_png(payload: bytes) -> np.ndarray:
     big-endian u16 lanes — RFC 2083 §6). Adam7 (round 11): the
     deflated stream is seven consecutive sub-images on fixed grids
     (§2.6), each unfiltered independently and scattered into place.
-    Raises ValueError on anything outside the subset (bit depths 1/2/4,
-    16-bit palette, tRNS on an already-alpha color type, out-of-range
-    palette indices, truncated chunks) — a silently-wrong decode is
-    worse than no decode. Round 10, widened round 11; the JPEG seam
-    stays injected-only."""
+    Sub-byte depths 1/2/4 (round 11, legal for grayscale and palette
+    only, §2.3): samples are packed big-endian within scanline bytes,
+    the filters still operate on the PACKED bytes with offset 1, and
+    the decoder returns RAW samples in [0, 2^depth-1] — no rescale,
+    matching the raw-u16 contract of the 16-bit path (palette indices
+    map through PLTE as at depth 8). Raises ValueError on anything
+    outside the subset (16-bit palette, sub-byte non-gray/palette,
+    tRNS on an already-alpha color type, out-of-range palette indices,
+    truncated chunks) — a silently-wrong decode is worse than no
+    decode. Round 10, widened round 11; the JPEG seam stays
+    injected-only."""
     import struct
     import zlib
 
@@ -327,16 +356,18 @@ def decode_png(payload: bytes) -> np.ndarray:
     # PLTE+tRNS (RGBA) at the end
     channels = 1 if color == 3 else _PNG_CHANNELS.get(color)
     if (
-        depth not in (8, 16)
+        depth not in (1, 2, 4, 8, 16)
         or (depth == 16 and color == 3)
+        or (depth < 8 and color not in (0, 3))
         or channels is None
         or comp != 0
         or filt != 0
         or interlace not in (0, 1)
     ):
         raise ValueError(
-            f"only 8/16-bit gray/RGB/alpha (+ 8-bit palette) PNG "
-            f"decodes natively (got depth={depth} color_type={color} "
+            f"only 8/16-bit gray/RGB/alpha, 8-bit palette, and "
+            f"1/2/4-bit gray/palette PNG decodes natively (got "
+            f"depth={depth} color_type={color} "
             f"interlace={interlace}); inject a decoder"
         )
     if color == 3:
@@ -353,16 +384,23 @@ def decode_png(payload: bytes) -> np.ndarray:
         raw = zlib.decompress(b"".join(bytes(c) for c in idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from None
-    bpp = channels * (depth // 8)  # filter offset: bytes per pixel
+    # filter offset (bytes per pixel, min 1 — sub-byte pixels filter on
+    # the PACKED bytes with offset 1, RFC 2083 §6)
+    bpp = max(1, (channels * depth) // 8)
     if interlace == 0:
-        stride = w * bpp
+        stride = (w * channels * depth + 7) // 8
         if len(raw) != h * (1 + stride):
             raise ValueError(
                 f"PNG scanline size mismatch: {len(raw)} bytes for "
                 f"{h}x(1+{stride})"
             )
-        img = _png_unfilter(raw, h, stride, bpp).reshape(h, w, bpp)
+        rows = _png_unfilter(raw, h, stride, bpp)
+        if depth < 8:
+            img = _png_unpack_rows(rows, w, depth)[:, :, None]
+        else:
+            img = rows.reshape(h, w, bpp)
     else:  # Adam7: seven consecutive sub-images, fixed grids
+        # byte plane for depth>=8; sample plane (bpp==1) for sub-byte
         img = np.zeros((h, w, bpp), dtype=np.uint8)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
@@ -370,23 +408,27 @@ def decode_png(payload: bytes) -> np.ndarray:
             hp = (h - y0 + dy - 1) // dy
             if wp <= 0 or hp <= 0:
                 continue
-            need = hp * (1 + wp * bpp)
+            stride_p = (wp * channels * depth + 7) // 8
+            need = hp * (1 + stride_p)
             if pos + need > len(raw):
                 raise ValueError(
                     f"PNG Adam7 pass size mismatch: pass at grid "
                     f"({x0},{y0},{dx},{dy}) needs {need} bytes, "
                     f"{len(raw) - pos} remain"
                 )
-            sub = _png_unfilter(raw[pos : pos + need], hp, wp * bpp, bpp)
-            img[y0::dy, x0::dx, :] = sub.reshape(hp, wp, bpp)
+            sub = _png_unfilter(raw[pos : pos + need], hp, stride_p, bpp)
+            if depth < 8:
+                img[y0::dy, x0::dx, 0] = _png_unpack_rows(sub, wp, depth)
+            else:
+                img[y0::dy, x0::dx, :] = sub.reshape(hp, wp, bpp)
             pos += need
         if pos != len(raw):
             raise ValueError(
                 f"PNG Adam7 stream size mismatch: {len(raw) - pos} "
                 "trailing bytes after the seventh pass"
             )
-    if depth == 8:
-        px = img  # (h, w, channels) uint8
+    if depth <= 8:
+        px = img  # (h, w, channels) uint8 — raw samples at sub-byte
     else:  # big-endian u16 lanes through the same byte filters
         px = (
             (img[:, :, 0::2].astype(np.uint16) << 8)
@@ -468,7 +510,11 @@ def _png_filter_rows(flat: np.ndarray, bpp: int, row_filters) -> list[bytes]:
 
 
 def encode_png(
-    pixels, row_filters=None, interlace: bool = False, transparent=None
+    pixels,
+    row_filters=None,
+    interlace: bool = False,
+    transparent=None,
+    depth: int = None,
 ) -> bytes:
     """Encode an (H, W, C) uint8 OR uint16 array (C ∈ {1, 2, 3, 4}; a
     2-D array is treated as grayscale; uint16 writes bit depth 16 with
@@ -481,14 +527,31 @@ def encode_png(
     its length is the total pass-row count, not H. ``transparent``
     (gray value, or (r, g, b) tuple — round 11) writes a tRNS chunk
     for color types 0/2, which :func:`decode_png` expands to an alpha
-    channel."""
+    channel. ``depth`` ∈ {1, 2, 4} (round 11) writes a sub-byte
+    GRAYSCALE PNG from uint8 samples < 2^depth — samples pack
+    big-endian into scanline bytes and the filters run over the packed
+    bytes with offset 1, mirroring :func:`decode_png`'s sub-byte
+    path."""
     import struct
     import zlib
 
     arr = np.asarray(pixels)
-    if arr.dtype == np.uint16:
+    if depth in (1, 2, 4):
+        if arr.dtype == np.uint16:
+            raise ValueError(
+                f"depth={depth} PNGs hold uint8 samples < {1 << depth}, "
+                "not uint16"
+            )
+        arr = arr.astype(np.uint8)
+    elif depth not in (None, 8, 16):
+        raise ValueError(f"unsupported encode depth {depth}")
+    elif arr.dtype == np.uint16:
+        if depth == 8:
+            raise ValueError("depth=8 requested for uint16 samples")
         depth = 16
     else:
+        if depth == 16:
+            raise ValueError("depth=16 requested for uint8 samples")
         arr = arr.astype(np.uint8)
         depth = 8
     if arr.ndim == 2:
@@ -498,6 +561,16 @@ def encode_png(
             f"encode_png expects (H, W, 1|2|3|4) uint8/uint16, got {arr.shape}"
         )
     h, w, ch = arr.shape
+    if depth < 8:
+        if ch != 1:
+            raise ValueError(
+                f"depth={depth} PNG is grayscale-only (got {ch} channels)"
+            )
+        if int(arr.max(initial=0)) >= (1 << depth):
+            raise ValueError(
+                f"depth={depth} samples must be < {1 << depth}, got "
+                f"{int(arr.max())}"
+            )
     color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     if transparent is not None and color not in (0, 2):
         raise ValueError(
@@ -513,7 +586,14 @@ def encode_png(
         planes[:, :, 1::2] = lo
     else:
         planes = arr
-    bpp = ch * (depth // 8)
+    bpp = max(1, ch * (depth // 8))
+
+    def pass_rows(p):
+        """Sub-image (ph, pw, C) → (ph, stride) int32 packed bytes."""
+        ph, pw = p.shape[:2]
+        if depth < 8:
+            return _png_pack_rows(p[:, :, 0], depth).astype(np.int32)
+        return p.reshape(ph, pw * bpp).astype(np.int32)
 
     if interlace:
         passes = []
@@ -531,10 +611,9 @@ def encode_png(
             )
         lines, at = [], 0
         for p in passes:
-            ph, pw = p.shape[:2]
-            flat = p.reshape(ph, pw * bpp).astype(np.int32)
+            ph = p.shape[0]
             lines += _png_filter_rows(
-                flat, bpp, row_filters[at : at + ph]
+                pass_rows(p), bpp, row_filters[at : at + ph]
             )
             at += ph
     else:
@@ -544,8 +623,7 @@ def encode_png(
             raise ValueError(
                 f"row_filters needs {h} entries, got {len(row_filters)}"
             )
-        flat = planes.reshape(h, w * bpp).astype(np.int32)
-        lines = _png_filter_rows(flat, bpp, row_filters)
+        lines = _png_filter_rows(pass_rows(planes), bpp, row_filters)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -566,6 +644,11 @@ def encode_png(
         )
         if color == 2 and len(vals) != 3:
             raise ValueError("transparent= for RGB needs an (r, g, b) tuple")
+        if any(v >= (1 << depth) for v in vals):
+            raise ValueError(
+                f"transparent= sample {vals} out of range for "
+                f"depth={depth} (< {1 << depth})"
+            )
         out += chunk(
             b"tRNS", b"".join(struct.pack(">H", v) for v in vals)
         )
@@ -577,14 +660,16 @@ def encode_png(
 
 
 def encode_png_palette(
-    indices, palette, row_filters=None, transparency=None
+    indices, palette, row_filters=None, transparency=None, depth: int = 8
 ) -> bytes:
-    """Encode an (H, W) uint8 index array + (n, 3) uint8 palette as an
-    8-bit color-type-3 PNG (optional ``transparency``: per-entry alpha
-    for a tRNS chunk) — the palette-tier fixture generator;
+    """Encode an (H, W) uint8 index array + (n, 3) uint8 palette as a
+    color-type-3 PNG (optional ``transparency``: per-entry alpha for a
+    tRNS chunk) — the palette-tier fixture generator;
     ``decode_png(encode_png_palette(ix, pal)) == pal[ix]`` exactly.
     ``row_filters`` as in :func:`encode_png` (index bytes filter like
-    grayscale, bpp = 1)."""
+    grayscale, bpp = 1). ``depth`` ∈ {1, 2, 4, 8} (round 11): sub-byte
+    depths pack indices big-endian into scanline bytes; the palette
+    may then hold at most 2^depth entries."""
     import struct
     import zlib
 
@@ -594,6 +679,13 @@ def encode_png_palette(
         raise ValueError(f"encode_png_palette expects (H, W) indices, got {idx.shape}")
     if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= len(pal) <= 256:
         raise ValueError(f"palette must be (1..256, 3) uint8, got {pal.shape}")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette PNG depth must be 1/2/4/8, got {depth}")
+    if len(pal) > (1 << depth):
+        raise ValueError(
+            f"{len(pal)}-entry palette does not fit depth={depth} "
+            f"(max {1 << depth})"
+        )
     if idx.max(initial=0) >= len(pal):
         raise ValueError(
             f"index {int(idx.max())} out of range for {len(pal)}-entry palette"
@@ -601,8 +693,13 @@ def encode_png_palette(
     h, w = idx.shape
     if row_filters is None:
         row_filters = [0] * h
-    flat = idx.astype(np.int32)
-    lines, prev = [], np.zeros(w, dtype=np.int32)
+    if depth < 8:
+        flat = _png_pack_rows(idx, depth).astype(np.int32)
+        w_packed = flat.shape[1]
+    else:
+        flat = idx.astype(np.int32)
+        w_packed = w
+    lines, prev = [], np.zeros(w_packed, dtype=np.int32)
     for y in range(h):
         f, cur = int(row_filters[y]), flat[y]
         left = np.zeros_like(cur)
@@ -637,7 +734,7 @@ def encode_png_palette(
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
     out = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal.tobytes())
     if transparency is not None:
         t = np.asarray(transparency, dtype=np.uint8)

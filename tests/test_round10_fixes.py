@@ -545,12 +545,15 @@ def test_png_rejects_out_of_subset_and_truncation():
         raw = zlib.compress(bytes(2 * (1 + 2 * 3)))
         return sig + ck(b"IHDR", ihdr) + ck(b"IDAT", raw) + ck(b"IEND", b"")
 
-    # round 11 widened the subset to 16-bit and Adam7 — the reject
-    # pins move to the still-unsupported tiers (sub-byte depths,
-    # 16-bit palette); the former rejects are now size-validated
-    # decodes (positive round-trips live in test_round11_fixes).
+    # round 11 widened the subset to 16-bit, Adam7, and sub-byte
+    # gray/palette — the reject pins move to the still-unsupported
+    # tiers (sub-byte NON-gray/palette, 16-bit palette); the former
+    # rejects are now size-validated decodes (positive round-trips
+    # live in test_round11_fixes).
     with pytest.raises(ValueError, match="inject a decoder"):
-        decode_png(rebuild(depth=4))
+        decode_png(rebuild(depth=4))  # sub-byte RGB stays illegal
+    with pytest.raises(ValueError, match="inject a decoder"):
+        decode_png(rebuild(depth=2, color=4))  # sub-byte gray+alpha
     with pytest.raises(ValueError, match="inject a decoder"):
         decode_png(rebuild(depth=16, color=3))  # 16-bit palette
     with pytest.raises(ValueError, match="PLTE"):

@@ -346,3 +346,105 @@ def test_resize_auto_encoder_by_channel_count(spark):
     ri = [(r * 4) // 2 for r in range(2)]
     ci = [(c * 6) // 3 for c in range(3)]
     assert np.array_equal(px, gray[np.ix_(ri, ci)])
+
+
+def test_png_subbyte_gray_roundtrip_matrix():
+    """Sub-byte tier (round 11): depths 1/2/4 grayscale round-trip
+    exactly across odd widths (pad bits in the packed scanlines), all
+    five filters over the PACKED bytes, and both interlace modes."""
+    import numpy as np
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        _ADAM7,
+        decode_png,
+        encode_png,
+    )
+
+    rng = _rng(77)
+    for depth in (1, 2, 4):
+        for (h, w) in [(1, 1), (3, 5), (8, 8), (9, 17), (7, 31)]:
+            img = rng.integers(0, 1 << depth, size=(h, w)).astype(np.uint8)
+            for inter in (False, True):
+                rows = (
+                    sum(
+                        (h - y0 + dy - 1) // dy
+                        for x0, y0, dx, dy in _ADAM7
+                        if (w - x0 + dx - 1) // dx > 0
+                        and (h - y0 + dy - 1) // dy > 0
+                    )
+                    if inter
+                    else h
+                )
+                got = decode_png(
+                    encode_png(
+                        img,
+                        depth=depth,
+                        interlace=inter,
+                        row_filters=[i % 5 for i in range(rows)],
+                    )
+                )
+                assert got.shape == (h, w, 1)
+                assert np.array_equal(got[:, :, 0], img), (depth, h, w, inter)
+
+
+def test_png_subbyte_palette_and_trns():
+    """Sub-byte palette PNGs map through PLTE (and tRNS → RGBA); a
+    sub-byte gray tRNS expands to alpha with the depth's max."""
+    import numpy as np
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+        encode_png_palette,
+    )
+
+    rng = _rng(78)
+    for depth in (1, 2, 4):
+        npal = 1 << depth
+        pal = rng.integers(0, 256, size=(npal, 3)).astype(np.uint8)
+        idx = rng.integers(0, npal, size=(6, 9)).astype(np.uint8)
+        got = decode_png(
+            encode_png_palette(
+                idx, pal, depth=depth, row_filters=[y % 5 for y in range(6)]
+            )
+        )
+        assert got.shape == (6, 9, 3) and np.array_equal(got, pal[idx])
+        alpha = rng.integers(0, 256, size=(npal,)).astype(np.uint8)
+        got = decode_png(
+            encode_png_palette(idx, pal, depth=depth, transparency=alpha)
+        )
+        assert got.shape == (6, 9, 4)
+        assert np.array_equal(got[:, :, 3], alpha[idx])
+    gray = rng.integers(0, 4, size=(5, 7)).astype(np.uint8)
+    got = decode_png(encode_png(gray, depth=2, transparent=1))
+    assert got.shape == (5, 7, 2)
+    assert np.array_equal(got[:, :, 1] == 0, gray == 1)
+    assert set(np.unique(got[:, :, 1])) <= {0, 3}  # alpha max = 2^2-1
+
+
+def test_png_subbyte_encode_rejects():
+    """The sub-byte encoder rejects what the format can't hold:
+    multi-channel, out-of-range samples, oversized palettes,
+    out-of-range transparent samples."""
+    import numpy as np
+    import pytest
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        encode_png,
+        encode_png_palette,
+    )
+
+    with pytest.raises(ValueError, match="grayscale-only"):
+        encode_png(np.zeros((2, 2, 3), dtype=np.uint8), depth=2)
+    with pytest.raises(ValueError, match="must be <"):
+        encode_png(np.full((2, 2), 4, dtype=np.uint8), depth=2)
+    with pytest.raises(ValueError, match="uint8 samples"):
+        encode_png(np.zeros((2, 2), dtype=np.uint16), depth=4)
+    with pytest.raises(ValueError, match="does not fit"):
+        encode_png_palette(
+            np.zeros((2, 2), dtype=np.uint8),
+            np.zeros((5, 3), dtype=np.uint8),
+            depth=2,
+        )
+    with pytest.raises(ValueError, match="out of range for"):
+        encode_png(np.zeros((2, 2), dtype=np.uint8), depth=2, transparent=4)
