@@ -244,6 +244,7 @@ from salesforce_plugin_spark.conformance.multimodal import (  # noqa: F401
     ORACLES as _ORACLES_multimodal,
     q_multimodal_ahash,
     q_bmp_histogram,
+    q_jpeg_gray_stats,
     q_png16_stats,
     q_png_adam7_histogram,
     q_png_histogram,
@@ -795,6 +796,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_asof_join": q_asof_join,
     "q_interval_overlap": q_interval_overlap,
     "q_bmp_histogram": q_bmp_histogram,
+    "q_jpeg_gray_stats": q_jpeg_gray_stats,
     "q_kcore": q_kcore,
     "q_quantile_sketch": q_quantile_sketch,
 }

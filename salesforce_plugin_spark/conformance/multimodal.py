@@ -656,6 +656,52 @@ def q_png_lowdepth_stats(spark, sf_dir):
     return image_sample_stats(pngs, "doc_id", "payload")
 
 
+def q_jpeg_gray_stats(spark, sf_dir):
+    """F4 through ACTUAL decode (round 11): BASELINE JPEG — each
+    document byte becomes a constant 8×8 block (4 blocks per row) of
+    a grayscale JPEG encoded with the flat quant table, so only the
+    DC coefficient of each block survives and the decode is EXACT
+    (the one tier where JPEG's lossy pipeline is bit-predictable:
+    DC = 8·(v−128) is power-of-two-exact through the float DCT pair).
+    The entropy stream is still the real thing — per-block DC-diff
+    magnitude categories through the standard Huffman table, EOB per
+    block, byte stuffing — decoded via the DEFAULT decode_image seam
+    (FFD8 sniff → decode_jpeg: marker walk, DHT-driven canonical
+    Huffman, dequant, IDCT). image_sample_stats reduces to exact
+    int64; the oracle replays 64 samples per source byte off the hex
+    slices (64·Σ, 64·Σ², min, max)."""
+    from salesforce_plugin_spark.functions.multimodal import (
+        image_sample_stats,
+    )
+
+    d = parallelized(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") >= 4)
+        .select("doc_id", "text")
+    )
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        from salesforce_plugin_spark.functions.multimodal import encode_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                nb = (len(b) // 4) * 4
+                blocks = b[:nb].reshape(-1, 4)  # one byte per 8x8 block
+                img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                payloads.append(encode_jpeg(img))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    jpegs = d.mapInPandas(enc, "doc_id long, payload binary")
+    return image_sample_stats(jpegs, "doc_id", "payload")
+
+
 def q_bmp_histogram(spark, sf_dir):
     """F4 through ACTUAL decode (round 9): per-image PIXEL histogram —
     documents' byte prefixes encode to real 24-bit BMPs, then
@@ -798,6 +844,25 @@ ORACLES["q_png16_stats"] = """
 # Adam7 re-orders scanlines, not pixel VALUES: the per-image byte
 # histogram is q_png_histogram's replay verbatim.
 ORACLES["q_png_adam7_histogram"] = ORACLES["q_png_histogram"]
+
+ORACLES["q_jpeg_gray_stats"] = """
+    WITH hx AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               (octet_length(encode(text)) // 4) * 4 AS nb
+        FROM documents WHERE octet_length(encode(text)) >= 4
+    ), bytes AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(h, 2 * i - 1, 2)) AS BIGINT) AS b
+        FROM hx, unnest(generate_series(1, nb)) AS g(i)
+    )
+    SELECT doc_id,
+           CAST(64 * count(*) AS BIGINT) AS n,
+           CAST(64 * sum(b) AS BIGINT) AS s,
+           CAST(64 * sum(b * b) AS BIGINT) AS sq,
+           CAST(min(b) AS BIGINT) AS vmin,
+           CAST(max(b) AS BIGINT) AS vmax
+    FROM bytes GROUP BY doc_id
+"""
 
 ORACLES["q_png_lowdepth_stats"] = """
     WITH hx AS (

@@ -2,18 +2,21 @@
 opaque ``binary`` columns with typed metadata, processed through
 Arrow-batched ``mapInPandas`` pipelines.
 
-The container ships no media libraries, which blocks entropy-coded formats
-(JPEG/MP3): for those, ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless a decoder callable is injected. Formats whose
-only compression is DEFLATE or none decode for real: 24-bit BI_RGB BMP and
-16-bit PCM WAV (round 9, pure struct+numpy) and PNG (round 10, widened
-round 11 to 16-bit depth, Adam7 interlace, and gray/RGB tRNS alpha
-expansion — stdlib ``zlib`` inflates IDAT, numpy unfilters the scanlines;
-"no media libs" never excused PNG). All three have encoders for
+The container ships no media libraries; the formats whose mechanics are
+pure public spec decode for real anyway: 24-bit BI_RGB BMP and 16-bit PCM
+WAV (round 9, pure struct+numpy), PNG (round 10, widened round 11 to
+16-bit depth, sub-byte depths 1/2/4, Adam7 interlace, and gray/RGB tRNS
+alpha expansion — stdlib ``zlib`` inflates IDAT, numpy unfilters the
+scanlines), and BASELINE sequential JPEG (round 11 — T.81 marker walk,
+stream-carried canonical Huffman tables, numpy dequant + orthonormal
+IDCT, BT.601 YCbCr; exact on the constant-block/flat-quant tier, lossy
+elsewhere as JPEG inherently is). All four have encoders for
 deterministic fixtures, are the default seam path sniffed by magic bytes,
 and the real-decode operators (:func:`image_pixel_histogram`,
-:func:`wav_channel_stats`, :func:`image_ahash_pairs`) drive them end-to-end
-under the oracle gate.
+:func:`wav_channel_stats`, :func:`image_ahash_pairs`) drive them
+end-to-end under the oracle gate. Still injected-seam-only: progressive/
+subsampled JPEG, MP3 (``decode_audio`` raises ``NotImplementedError``
+unless a decoder callable is injected).
 Everything around the seam — schema contract, Arrow batch shape, UDF
 signature, partition behavior — is tested either way
 (tests/test_multimodal.py, tests/test_round9_fixes.py).
@@ -56,13 +59,15 @@ STATS_SCHEMA = T.StructType(
 )
 
 
-# --- real decoders (round 9): uncompressed formats need no media libs --
+# --- real decoders (rounds 9-11): no media libs needed ---------------
 #
-# "No media libraries in the container" blocks JPEG/PNG/MP3, not the
-# UNCOMPRESSED formats: 24-bit BI_RGB BMP and 16-bit PCM WAV decode
-# with stdlib struct + numpy alone. These are the DEFAULT decoders
-# behind decode_image / decode_audio (sniffed by magic bytes);
-# compressed formats still require the injected-decoder seam.
+# "No media libraries in the container" never excused formats whose
+# mechanics are public spec: 24-bit BI_RGB BMP and 16-bit PCM WAV
+# (round 9, struct + numpy), PNG (round 10-11, stdlib zlib + numpy),
+# baseline JPEG (round 11, stream-carried Huffman + numpy IDCT).
+# These are the DEFAULT decoders behind decode_image / decode_audio
+# (sniffed by magic bytes); the remaining formats (progressive JPEG,
+# MP3, ...) still require the injected-decoder seam.
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
@@ -748,23 +753,497 @@ def encode_png_palette(
     )
 
 
+# --- baseline JPEG (round 11): ITU-T T.81 sequential DCT + Huffman --
+#
+# Pure stdlib + numpy, no media libs — like PNG, the format mechanics
+# are public spec: marker segments, canonical Huffman tables carried
+# IN the stream (DHT), zigzag run-length entropy coding, dequant, and
+# the 8x8 type-II DCT pair. Supported subset: baseline (SOF0), 8-bit,
+# 1 component (grayscale) or 3 components 4:4:4 YCbCr (JFIF
+# conversion). Raises loudly on progressive/arithmetic/12-bit/
+# subsampled/restart-interval streams — a silently-wrong decode is
+# worse than no decode. Losslessness caveat: JPEG is lossy in
+# general; decode∘encode is EXACT only where the math makes it so
+# (constant 8x8 blocks under a flat quant table — the oracle tier),
+# and approximate elsewhere (unit tests bound the error).
+
+_JPEG_ZIGZAG = np.array([  # T.81 Figure A.6 — zigzag scan order
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Standard Huffman tables, T.81 Annex K.3 (luminance; the encoder
+# uses them for every component — any valid table is legal since the
+# decoder reads tables from the stream's own DHT segments).
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = tuple(
+    int(h, 16)
+    for h in """
+    01 02 03 00 04 11 05 12 21 31 41 06 13 51 61 07 22 71 14 32 81 91
+    a1 08 23 42 b1 c1 15 52 d1 f0 24 33 62 72 82 09 0a 16 17 18 19 1a
+    25 26 27 28 29 2a 34 35 36 37 38 39 3a 43 44 45 46 47 48 49 4a 53
+    54 55 56 57 58 59 5a 63 64 65 66 67 68 69 6a 73 74 75 76 77 78 79
+    7a 83 84 85 86 87 88 89 8a 92 93 94 95 96 97 98 99 9a a2 a3 a4 a5
+    a6 a7 a8 a9 aa b2 b3 b4 b5 b6 b7 b8 b9 ba c2 c3 c4 c5 c6 c7 c8 c9
+    ca d2 d3 d4 d5 d6 d7 d8 d9 da e1 e2 e3 e4 e5 e6 e7 e8 e9 ea f1 f2
+    f3 f4 f5 f6 f7 f8 f9 fa
+    """.split()
+)
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """The orthonormal 8x8 type-II DCT basis C (C @ s @ C.T transforms
+    a sample block to coefficients; C.T @ S @ C inverts — the pair
+    T.81 Annex A.3.3 specifies up to normalization)."""
+    k = np.arange(8, dtype=np.float64)
+    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2
+    c[0, :] *= 1 / np.sqrt(2)
+    return c
+
+
+def _jpeg_huffman_encoder(bits, vals):
+    """{symbol: (code, length)} for the canonical code T.81 Annex C
+    derives from (BITS, HUFFVAL)."""
+    table, code, i = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[vals[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huffman_decoder(bits, vals):
+    """{(length, code): symbol} plus min/max code per length — the
+    canonical-code decoder tables of T.81 Annex F.2.2.3."""
+    table, code, i = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitWriter:
+    """MSB-first bit stream with T.81 byte stuffing (FF → FF 00)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill, §F.1.2.3
+        return bytes(self.out)
+
+
+class _JpegBitReader:
+    """MSB-first reader over entropy-coded data, undoing byte
+    stuffing; raises on embedded markers (restart/other)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated JPEG entropy stream")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed FF
+                elif 0xD0 <= nxt <= 0xD7:
+                    raise ValueError(
+                        "JPEG restart markers unsupported (DRI=0 only)"
+                    )
+                else:
+                    raise ValueError(
+                        f"unexpected marker FF{nxt:02X} inside "
+                        "entropy-coded data"
+                    )
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill(n)
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_symbol(self, table) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read(1)
+            if (ln, code) in table:
+                return table[(ln, code)]
+        raise ValueError("invalid JPEG Huffman code (16 bits, no match)")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    """T.81 §F.2.2.1 EXTEND: map a SIZE-bit magnitude to its signed
+    value."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """Signed value → (SIZE, SIZE-bit code) per §F.1.2.1 (one's-
+    complement representation of negatives)."""
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1) & ((1 << size) - 1)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a BASELINE sequential JPEG (T.81 SOF0: 8-bit Huffman
+    DCT) into an (H, W, 1) uint8 array for grayscale or (H, W, 3)
+    RGB for 3-component 4:4:4 YCbCr (BT.601 full-range JFIF
+    conversion). Pure stdlib struct-walk + numpy: marker segments →
+    DQT/DHT tables (the decoder is fully table-driven from the
+    stream's own DHT), MCU-interleaved Huffman entropy decode
+    (per-Python-symbol; the IDCT and color conversion are batched
+    numpy over all blocks), dequantize, de-zigzag, orthonormal
+    inverse DCT, +128 level shift, clamp. Raises ValueError on
+    everything outside the subset — progressive (SOF2), arithmetic
+    coding, 12-bit, chroma subsampling, restart intervals (DRI>0),
+    truncation, embedded markers — a silently-wrong decode is worse
+    than no decode."""
+    import struct
+
+    p = bytes(payload)
+    if p[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG: missing SOI marker")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}  # (class, id) -> decoder
+    frame = None
+    while True:
+        if pos + 4 > len(p):
+            raise ValueError("truncated JPEG: ran out of marker segments")
+        if p[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at byte {pos}")
+        marker = p[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("JPEG ended before scan data")
+        (seglen,) = struct.unpack_from(">H", p, pos)
+        if seglen < 2 or pos + seglen > len(p):
+            raise ValueError(f"truncated JPEG segment FF{marker:02X}")
+        body = p[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            at = 0
+            while at < len(body):
+                pq, tq = body[at] >> 4, body[at] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables unsupported")
+                if at + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
+                zz = np.frombuffer(body[at + 1 : at + 65], dtype=np.uint8)
+                q = np.zeros(64, dtype=np.int64)
+                q[_JPEG_ZIGZAG] = zz
+                qtables[tq] = q.reshape(8, 8)
+                at += 65
+        elif marker == 0xC4:  # DHT
+            at = 0
+            while at < len(body):
+                tc, th = body[at] >> 4, body[at] & 0xF
+                bits = tuple(body[at + 1 : at + 17])
+                n = sum(bits)
+                vals = tuple(body[at + 17 : at + 17 + n])
+                if len(vals) < n:
+                    raise ValueError("truncated DHT segment")
+                htables[(tc, th)] = _jpeg_huffman_decoder(bits, vals)
+                at += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"{prec}-bit JPEG unsupported (8 only)")
+            if nc not in (1, 3):
+                raise ValueError(f"{nc}-component JPEG unsupported (1 or 3)")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                if hv != 0x11:
+                    raise ValueError(
+                        "chroma-subsampled JPEG unsupported (4:4:4 only, "
+                        f"got sampling 0x{hv:02X})"
+                    )
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"non-baseline JPEG (SOF marker FF{marker:02X}) "
+                "unsupported: baseline sequential Huffman only"
+            )
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack_from(">H", body, 0)
+            if ri != 0:
+                raise ValueError("JPEG restart intervals unsupported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0 frame header")
+            ns = body[0]
+            h, w, comps = frame
+            if ns != len(comps):
+                raise ValueError("JPEG scan/frame component count mismatch")
+            scan = []
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                td, ta = tt >> 4, tt & 0xF
+                if (0, td) not in htables or (1, ta) not in htables:
+                    raise ValueError(
+                        f"JPEG scan references undefined Huffman table "
+                        f"(DC {td} / AC {ta})"
+                    )
+                cid, tq = comps[i]
+                if cs != cid:
+                    raise ValueError("JPEG scan component order mismatch")
+                if tq not in qtables:
+                    raise ValueError(
+                        f"JPEG component references undefined quant "
+                        f"table {tq}"
+                    )
+                scan.append((qtables[tq], htables[(0, td)], htables[(1, ta)]))
+            ss, se, ahl = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            if ss != 0 or se != 63 or ahl != 0:
+                raise ValueError(
+                    "progressive JPEG scan parameters unsupported"
+                )
+            pos += seglen
+            break
+        # APPn / COM / others: skip
+        pos += seglen
+
+    h, w, comps = frame
+    if h < 1 or w < 1:
+        raise ValueError(f"bad JPEG dimensions {w}x{h}")
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    reader = _JpegBitReader(p, pos)
+    nc = len(comps)
+    coeffs = np.zeros((nc, bh * bw, 64), dtype=np.int64)
+    pred = [0] * nc
+    for mcu in range(bh * bw):
+        for ci in range(nc):
+            qt, dc_tab, ac_tab = scan[ci]
+            blk = coeffs[ci, mcu]
+            size = reader.read_symbol(dc_tab)
+            if size > 11:
+                raise ValueError(f"bad JPEG DC size category {size}")
+            diff = _jpeg_extend(reader.read(size), size) if size else 0
+            pred[ci] += diff
+            blk[0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = reader.read_symbol(ac_tab)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    raise ValueError(f"bad JPEG AC symbol 0x{rs:02X}")
+                k += r
+                if k > 63:
+                    raise ValueError("JPEG AC run past block end")
+                blk[k] = _jpeg_extend(reader.read(s), s)
+                k += 1
+    # trailing EOI expected (after 1-fill padding)
+    tail = p[reader.pos :]
+    if b"\xFF\xD9" not in tail[:4]:
+        raise ValueError("JPEG missing EOI after entropy data")
+
+    c = _jpeg_dct_matrix()
+    planes = np.empty((nc, bh * 8, bw * 8), dtype=np.float64)
+    for ci in range(nc):
+        qt, _, _ = scan[ci]
+        deq = np.zeros((bh * bw, 64), dtype=np.float64)
+        deq[:, _JPEG_ZIGZAG] = coeffs[ci]  # de-zigzag
+        blocks = deq.reshape(-1, 8, 8) * qt[None, :, :]
+        sp = np.einsum("ij,njk,kl->nil", c.T, blocks, c) + 128.0
+        sp = sp.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+        planes[ci] = sp.reshape(bh * 8, bw * 8)
+    planes = planes[:, :h, :w]
+    if nc == 1:
+        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return out[:, :, None]
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg(pixels, qtable=None) -> bytes:
+    """Encode an (H, W) / (H, W, 1) grayscale or (H, W, 3) RGB uint8
+    array as a BASELINE sequential JPEG (SOF0, 4:4:4, standard Annex
+    K.3 luminance Huffman tables for every component — legal, since
+    tables travel in DHT). ``qtable`` is an 8x8 int array (or scalar)
+    of quantization divisors, default 1 (flat): under the flat table
+    a constant 8x8 block round-trips EXACTLY through
+    :func:`decode_jpeg` (only the DC coefficient survives, and it is
+    a power-of-two-exact float) — the property the oracle tier
+    leans on; general content is lossy as JPEG always is. Edges pad
+    by replication to 8-pixel multiples; RGB converts through
+    full-range BT.601 YCbCr."""
+    import struct
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 3) or min(arr.shape[:2]) < 1:
+        raise ValueError(
+            f"encode_jpeg expects (H, W, 1|3) uint8, got {arr.shape}"
+        )
+    h, w, nc = arr.shape
+    q = np.broadcast_to(
+        np.asarray(1 if qtable is None else qtable, dtype=np.int64), (8, 8)
+    )
+    if q.min() < 1 or q.max() > 255:
+        raise ValueError("JPEG quant divisors must be in [1, 255]")
+
+    if nc == 3:
+        r, g, b = (arr[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [arr[:, :, 0].astype(np.float64)]
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    pad_y, pad_x = bh * 8 - h, bw * 8 - w
+
+    c = _jpeg_dct_matrix()
+    comp_coeffs = []
+    for pl in planes:
+        pl = np.pad(pl, ((0, pad_y), (0, pad_x)), mode="edge") - 128.0
+        blocks = (
+            pl.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        co = np.einsum("ij,njk,kl->nil", c, blocks, c.T)
+        zz = np.round(co / q[None, :, :]).astype(np.int64).reshape(-1, 64)[
+            :, _JPEG_ZIGZAG
+        ]
+        comp_coeffs.append(zz)
+
+    dc_enc = _jpeg_huffman_encoder(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc = _jpeg_huffman_encoder(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    wtr = _JpegBitWriter()
+    pred = [0] * nc
+    for mcu in range(bh * bw):
+        for ci in range(nc):
+            blk = comp_coeffs[ci][mcu]
+            diff = int(blk[0]) - pred[ci]
+            pred[ci] = int(blk[0])
+            size, code = _jpeg_magnitude(diff)
+            hc, hl = dc_enc[size]
+            wtr.write(hc, hl)
+            if size:
+                wtr.write(code, size)
+            run = 0
+            for k in range(1, 64):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    hc, hl = ac_enc[0xF0]  # ZRL
+                    wtr.write(hc, hl)
+                    run -= 16
+                size, code = _jpeg_magnitude(v)
+                hc, hl = ac_enc[(run << 4) | size]
+                wtr.write(hc, hl)
+                wtr.write(code, size)
+                run = 0
+            if run:
+                hc, hl = ac_enc[0x00]  # EOB
+                wtr.write(hc, hl)
+    entropy = wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    zzq = np.empty(64, dtype=np.uint8)
+    zzq[np.arange(64)] = q.reshape(64)[_JPEG_ZIGZAG]
+    out = b"\xFF\xD8"  # SOI
+    out += seg(0xDB, bytes([0x00]) + zzq.tobytes())  # DQT: 8-bit, id 0
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += struct.pack(">BBB", ci + 1, 0x11, 0)
+    out += seg(0xC0, sof)
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS),
+    )
+    out += seg(
+        0xC4,
+        bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    return out + entropy + b"\xFF\xD9"
+
+
 def decode_image(payload: bytes, decoder: Callable[[bytes], object] | None = None):
     """Decode an image payload. Default paths: uncompressed 24-bit
-    BMP decodes natively via :func:`decode_bmp` (round 9, 'BM' magic)
-    and 8/16-bit sequential or Adam7-interlaced PNG via
+    BMP decodes natively via :func:`decode_bmp` (round 9, 'BM' magic),
+    8/16-bit and sub-byte sequential or Adam7-interlaced PNG via
     :func:`decode_png` (round 10, widened round 11; PNG signature —
-    stdlib zlib IS the codec, no media libs needed);
-    JPEG and other compressed formats still require an injected
-    ``decoder`` (e.g. PIL.Image.open)."""
+    stdlib zlib IS the codec, no media libs needed), and BASELINE
+    sequential JPEG via :func:`decode_jpeg` (round 11, FFD8 magic:
+    stream-carried Huffman tables + numpy IDCT). Progressive JPEG and
+    other formats still require an injected ``decoder``
+    (e.g. PIL.Image.open)."""
     if decoder is None:
         p = bytes(payload)
         if p[:2] == b"BM":
             return decode_bmp(p)
         if p[:8] == _PNG_SIG:
             return decode_png(p)
+        if p[:2] == b"\xFF\xD8":
+            return decode_jpeg(p)
         raise NotImplementedError(
-            "only uncompressed BMP and 8-bit PNG decode natively; inject "
-            "a decoder for other image formats (no media libs here)"
+            "only uncompressed BMP, PNG, and baseline JPEG decode "
+            "natively; inject a decoder for other image formats "
+            "(no media libs here)"
         )
     return decoder(payload)
 

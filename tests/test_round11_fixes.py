@@ -448,3 +448,135 @@ def test_png_subbyte_encode_rejects():
         )
     with pytest.raises(ValueError, match="out of range for"):
         encode_png(np.zeros((2, 2), dtype=np.uint8), depth=2, transparent=4)
+
+
+def test_jpeg_constant_block_exact_roundtrip():
+    """Baseline JPEG (round 11): under the flat quant table a
+    constant-block grayscale image round-trips EXACTLY — only the DC
+    coefficient survives and it is power-of-two-exact through the
+    float DCT pair. This is the property the oracle tier leans on."""
+    import numpy as np
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = _rng(90)
+    for _ in range(15):
+        bh, bw = int(rng.integers(1, 6)), int(rng.integers(1, 6))
+        vals = rng.integers(0, 256, size=(bh, bw)).astype(np.uint8)
+        img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+        back = decode_jpeg(encode_jpeg(img))
+        assert back.shape == (bh * 8, bw * 8, 1)
+        assert np.array_equal(back[:, :, 0], img)
+
+
+def test_jpeg_general_content_bounded_error():
+    """General content is lossy as JPEG always is — but under the
+    flat quant table the only error is coefficient rounding, bounded
+    to ±1 gray / ±2 RGB (color conversion rounds too). Non-multiple-
+    of-8 dims exercise the edge-replication padding; random content
+    reliably produces 0xFF entropy bytes, exercising byte stuffing."""
+    import numpy as np
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = _rng(91)
+    stuffed = 0
+    for _ in range(10):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        img = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        p = encode_jpeg(img)
+        stuffed += p.count(b"\xFF\x00")
+        back = decode_jpeg(p)
+        assert back.shape == (h, w, 1)
+        assert np.abs(back[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+    assert stuffed > 0  # byte-stuffing path actually exercised
+    img = rng.integers(0, 256, size=(24, 17, 3)).astype(np.uint8)
+    back = decode_jpeg(encode_jpeg(img))
+    assert back.shape == (24, 17, 3)
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_quant_table_lossy_but_smaller():
+    """A coarse quant table compresses harder (smaller payload) and
+    the decoder dequantizes with the stream's own DQT."""
+    import numpy as np
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = _rng(92)
+    img = rng.integers(0, 256, size=(32, 32)).astype(np.uint8)
+    p1 = encode_jpeg(img)
+    p2 = encode_jpeg(img, qtable=np.full((8, 8), 16, dtype=int))
+    assert len(p2) < len(p1)
+    back = decode_jpeg(p2)[:, :, 0].astype(int)
+    # coarse quant is lossy but must stay in the ballpark
+    assert np.abs(back - img.astype(int)).max() <= 8 * 16
+
+
+def test_jpeg_rejects_outside_subset():
+    """decode_jpeg raises loudly on everything outside baseline
+    sequential 4:4:4: progressive SOF2, truncation, restart
+    intervals, subsampling, and non-JPEG payloads."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    good = encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(good[:20])
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(good.replace(b"\xFF\xC0", b"\xFF\xC2", 1))
+    # DRI with nonzero interval, spliced before SOS
+    at = good.index(b"\xFF\xDA")
+    dri = struct.pack(">BBHH", 0xFF, 0xDD, 4, 8)
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(good[:at] + dri + good[at:])
+    # 2x2 subsampling byte in SOF0 (sampling 0x22 instead of 0x11)
+    sof_at = good.index(b"\xFF\xC0")
+    comp_sampling = sof_at + 4 + 6  # marker+len+prec+h+w+nc, comp0 id
+    bad = bytearray(good)
+    bad[comp_sampling + 1] = 0x22
+    with pytest.raises(ValueError, match="subsampled"):
+        decode_jpeg(bytes(bad))
+    with pytest.raises(ValueError, match="missing EOI"):
+        decode_jpeg(good[:-2])
+
+
+def test_jpeg_default_seam_dispatch(spark):
+    """decode_image sniffs FFD8 and routes to decode_jpeg — the F4
+    operators run real JPEG decode end-to-end with no injection."""
+    import numpy as np
+
+    from salesforce_plugin_spark.functions.multimodal import (
+        encode_jpeg,
+        image_sample_stats,
+    )
+
+    vals = np.array([[7, 250], [128, 3]], dtype=np.uint8)
+    img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(img)))], "doc_id long, payload binary"
+    )
+    row = image_sample_stats(df, "doc_id", "payload").collect()[0]
+    b = vals.astype(int)
+    assert row.n == 256
+    assert row.s == 64 * b.sum()
+    assert row.sq == 64 * (b * b).sum()
+    assert (row.vmin, row.vmax) == (3, 250)
