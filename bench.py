@@ -88,6 +88,13 @@ COHORT2 = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # SPARK_GRAFT_COHORT2=0 disables the additive cohort — used by the
+    # sf1.0 quiet-gate runs so the headline warm/warm protocol stays
+    # byte-identical to rounds 8-10 (the gate ratio is headline-only;
+    # cohort2 at sf1.0 is measured separately and documented).
+    cohort2 = [] if os.environ.get(
+        "SPARK_GRAFT_COHORT2", "1"
+    ) == "0" else COHORT2
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
@@ -107,7 +114,7 @@ def main() -> None:
     # discipline: warm at the measured workload, then time steady state.
     # The DuckDB baseline below gets the same treatment (min over repeated
     # runs after its own first pass).
-    for wname in HEADLINE + COHORT2:
+    for wname in HEADLINE + cohort2:
         try:
             QUERIES[wname](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -125,7 +132,7 @@ def main() -> None:
     # both sides of every ratio equally. r8 recorded DuckDB fresh-boot
     # (14.91 s) and r9 recorded it warm (11.5 s) around an unchanged
     # Spark posture — that 30% denominator swing was protocol, not code.
-    duck_con, duck_sqls, duck_sqls2 = _duckdb_connect(sf_dir)
+    duck_con, duck_sqls, duck_sqls2 = _duckdb_connect(sf_dir, cohort2)
     for sql in list(duck_sqls.values()) + list(duck_sqls2.values()):
         try:  # DuckDB warm-up pass (both cohorts)
             duck_con.sql(sql).fetchall()
@@ -170,7 +177,7 @@ def main() -> None:
     # Cohort-2 timed pass: same interleave, min-of-2 (documented above).
     c2_timings: dict[str, float] = {}
     c2_duck: dict[str, float] = {}
-    for name in COHORT2:
+    for name in cohort2:
         fn = QUERIES[name]
         best = float("inf")
         try:
@@ -254,7 +261,7 @@ def _loadavg() -> list[float]:
         return []
 
 
-def _duckdb_connect(sf_dir: str):
+def _duckdb_connect(sf_dir: str, cohort2=()):
     """(connection, {headline: SQL}, {cohort2: SQL}) for the
     interleaved baseline — (None, {}, {}) when DuckDB is unavailable
     (baseline is informational; never fail the bench)."""
@@ -276,7 +283,7 @@ def _duckdb_connect(sf_dir: str):
         return con, {
             name: ORACLES[name] for name in HEADLINE if name in ORACLES
         }, {
-            name: ORACLES[name] for name in COHORT2 if name in ORACLES
+            name: ORACLES[name] for name in cohort2 if name in ORACLES
         }
     except Exception:
         return None, {}, {}
