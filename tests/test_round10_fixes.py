@@ -514,8 +514,13 @@ def test_decode_image_sniffs_png_and_bmp():
     rgb = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
     assert np.array_equal(decode_image(encode_png(rgb)), rgb)
     assert np.array_equal(decode_image(encode_bmp(rgb)), rgb)
-    with pytest.raises(NotImplementedError, match="inject a decoder"):
+    # round 11: FFD8 now routes to the REAL decode_jpeg — a malformed
+    # JPEG is a ValueError from the codec, not a seam refusal; the
+    # injected-decoder pin moves to a genuinely unsupported format
+    with pytest.raises(ValueError, match="truncated JPEG"):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+    with pytest.raises(NotImplementedError, match="inject a decoder"):
+        decode_image(b"GIF87a fake gif bytes")
 
 
 def test_png_rejects_out_of_subset_and_truncation():
