@@ -575,7 +575,7 @@ def q_semantic_dedup(spark, sf_dir):
     recursive-CTE transitive closure."""
     from salesforce_plugin_spark.functions.dedup import semantic_dedup
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = parallelized(load_table(spark, sf_dir, "embeddings"))
     return semantic_dedup(
         e, "vec_id", "embedding", _scaled_semantic_seeds(e),
         threshold=0.3, quant=1000,
@@ -601,8 +601,14 @@ def q_curation_capstone(spark, sf_dir):
         split_assign,
     )
 
+    # embeddings are parallelized (the kmeans-assign/pair stages below are
+    # CPU-bound and the fixture scan is one row group); documents are NOT —
+    # an A/B at sf0.1 measured the d-side repartition SLOWER (8.25 vs
+    # 6.95 s): it re-shuffles the full text payload once per consuming
+    # branch (gq/imp/base join), tripling the bytes moved for pipelines
+    # whose per-row HOF work already spreads over the scan tasks.
     d = load_table(spark, sf_dir, "documents")
-    e = load_table(spark, sf_dir, "embeddings")
+    e = parallelized(load_table(spark, sf_dir, "embeddings"))
     gq = gopher_quality(d, "doc_id", "text", min_tokens=10).select(
         "doc_id", "n_tokens", "passes"
     )

@@ -1715,8 +1715,26 @@ def _dbscan_close(
     def lsum(col):
         return F.aggregate(col, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
-    a = base.select("__bkt", F.col("__id").alias("__ida"), F.col("__q").alias("__qa"))
-    b = base.select("__bkt", F.col("__id").alias("__idb"), F.col("__q").alias("__qb"))
+    # squared norm per VECTOR (n rows), not per PAIR (≈ n·target_bucket
+    # rows, twice): the per-element HOF fold is the pair stage's dominant
+    # cost and the norm is a pure function of the row — exact integer sum,
+    # so factoring it out of the join is bit-identical (guide §2.3's
+    # "project before the exchange" applied to compute).
+    base = base.withColumn(
+        "__n2", lsum(F.transform(F.col("__q"), lambda x: x * x))
+    )
+    a = base.select(
+        "__bkt",
+        F.col("__id").alias("__ida"),
+        F.col("__q").alias("__qa"),
+        F.col("__n2").alias("__na"),
+    )
+    b = base.select(
+        "__bkt",
+        F.col("__id").alias("__idb"),
+        F.col("__q").alias("__qb"),
+        F.col("__n2").alias("__nb"),
+    )
     pairs = (
         a.join(b, "__bkt")
         .filter(F.col("__ida") != F.col("__idb"))
@@ -1726,12 +1744,8 @@ def _dbscan_close(
             lsum(F.zip_with(F.col("__qa"), F.col("__qb"), lambda x, y: x * y))
             .cast(D38)
             .alias("__dot_d"),
-            lsum(F.transform(F.col("__qa"), lambda x: x * x))
-            .cast(D38)
-            .alias("__na_d"),
-            lsum(F.transform(F.col("__qb"), lambda x: x * x))
-            .cast(D38)
-            .alias("__nb_d"),
+            F.col("__na").cast(D38).alias("__na_d"),
+            F.col("__nb").cast(D38).alias("__nb_d"),
         )
     )
     close = with_exact_cos_ppm(
