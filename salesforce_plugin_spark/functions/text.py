@@ -1584,14 +1584,27 @@ def kn_score_from_counts(
                 f"4 * {dcast('coalesce(__c1, 1)')} * {dcast('__nt')}"
             ).alias("__den"),
         )
+        # materialize the BIGINT ratio as its OWN column before the log2
+        # binning: log2_eighths_spark substitutes its argument textually
+        # ~6 times (bit length, both mantissa shifts, threshold CASE), and
+        # Spark's conditional-branch codegen does not common-subexpression
+        # the DECIMAL(38) divide inside them — with the divide inlined the
+        # scoring stage re-ran it per reference (measured 2.55 -> 1.69 s
+        # at sf0.1 with row-identical output).
+        .withColumn(
+            "__r",
+            F.expr(
+                "CASE WHEN __num IS NULL OR __num = 0 THEN NULL ELSE "
+                + dfloor("__den * 4096", "__num")
+                + " END"
+            ),
+        )
         .withColumn(
             "__bits8",
             F.expr(
-                "CASE WHEN __num IS NULL OR __num = 0 THEN NULL"
+                "CASE WHEN __r IS NULL THEN NULL"
                 " ELSE GREATEST("
-                + log2_eighths_spark(
-                    dfloor(f"__den * 4096", "__num")
-                )
+                + log2_eighths_spark("__r")
                 + " - 96, 0) END"
             ).cast("long"),
         )
