@@ -1158,46 +1158,74 @@ def louvain_step(
         F.count(F.lit(1)).cast("long").alias("__k")
     )
     if communities is None:
-        comm = deg.select("node", F.col("node").alias("label"))
+        # Singleton-init specialization (the classic first sweep): with
+        # label(x) = x every community join is an IDENTITY, so the
+        # generic path below would shuffle the edge-sized k_{i,C} table
+        # through a join + two groupBys only to map j → j. Directly:
+        # k_{i,C=j} is exactly 1 because ``bt`` carries each undirected
+        # edge once per orientation (distinct canonical pairs), Σ_C for
+        # C = {j} is j's degree, and i's own community is {i} (so the
+        # own-candidate rows c = i can never collide with the k_ic rows
+        # c = j ≠ i — a plain union needs no max-groupBy). Same score
+        # expression over the same exact integers → bit-identical
+        # argmax; two edge-sized exchanges and two joins fewer.
+        k_ic = bt.select(
+            "i",
+            F.col("j").alias("c"),
+            F.lit(1).cast("long").alias("__kic"),
+        )
+        own = deg.select(
+            F.col("node").alias("i"),
+            F.col("node").alias("c"),
+            F.lit(0).cast("long").alias("__kic"),
+        )
+        cands = k_ic.unionByName(own)
+        sig = deg.select(
+            F.col("node").alias("label"), F.col("__k").alias("__sig")
+        )
+        scored = cands.withColumn("__own", F.col("i"))
     else:
         comm = communities.select(
             F.col(id_col).alias("node"), F.col(label_col).alias("label")
         )
-    sig = (
-        comm.join(deg, "node", "left")
-        .groupBy("label")
-        .agg(
-            F.coalesce(F.sum("__k"), F.lit(0)).cast("long").alias("__sig")
+        sig = (
+            comm.join(deg, "node", "left")
+            .groupBy("label")
+            .agg(
+                F.coalesce(F.sum("__k"), F.lit(0)).cast("long").alias("__sig")
+            )
         )
-    )
-    # k_{i,C}: edges from i into each neighboring community C
-    k_ic = (
-        bt.join(
-            comm.select(F.col("node").alias("j"), F.col("label").alias("c")),
-            "j",
+        # k_{i,C}: edges from i into each neighboring community C
+        k_ic = (
+            bt.join(
+                comm.select(
+                    F.col("node").alias("j"), F.col("label").alias("c")
+                ),
+                "j",
+            )
+            .groupBy("i", "c")
+            .agg(F.count(F.lit(1)).cast("long").alias("__kic"))
         )
-        .groupBy("i", "c")
-        .agg(F.count(F.lit(1)).cast("long").alias("__kic"))
-    )
-    own = comm.select(
-        F.col("node").alias("i"),
-        F.col("label").alias("c"),
-        F.lit(0).cast("long").alias("__kic"),
-    )
-    cands = (
-        k_ic.unionByName(own)
-        .groupBy("i", "c")
-        .agg(F.max("__kic").alias("__kic"))
-    )
-    from salesforce_plugin_spark.functions.exactmath import dcast
-
-    scored = (
-        cands.join(
+        own = comm.select(
+            F.col("node").alias("i"),
+            F.col("label").alias("c"),
+            F.lit(0).cast("long").alias("__kic"),
+        )
+        cands = (
+            k_ic.unionByName(own)
+            .groupBy("i", "c")
+            .agg(F.max("__kic").alias("__kic"))
+        )
+        scored = cands.join(
             comm.select(
                 F.col("node").alias("i"), F.col("label").alias("__own")
             ),
             "i",
         )
+    from salesforce_plugin_spark.functions.exactmath import dcast
+
+    scored = (
+        scored
         .join(F.broadcast(sig.withColumnRenamed("label", "c")), "c")
         # left + coalesce 0: a user-supplied assignment may contain
         # edge-less nodes — they must surface (staying put, score 0),

@@ -596,6 +596,14 @@ def hashed_ngram_importance(
             F.col("is_target"),
             hash_bucket(F.col("__bg"), n_buckets).alias("__bkt"),
         )
+        # consumed TWICE (bucket-model build + per-document scoring
+        # probe) and the subtree is the tokenize→explode→md5 scan —
+        # without a lineage cut each consumer re-runs it. Narrow
+        # (id, bool, int) rows, one per bigram occurrence; at 100 TB
+        # use a reliable checkpoint dir. (The third ``toked`` consumer
+        # — the final left join — column-prunes the token array away,
+        # so only this exploded table is worth cutting.)
+        .localCheckpoint(eager=False)
     )
     model = grams.groupBy("__bkt").agg(
         F.count(F.lit(1)).alias("__c_all"),

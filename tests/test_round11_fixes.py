@@ -580,3 +580,30 @@ def test_jpeg_default_seam_dispatch(spark):
     assert row.s == 64 * b.sum()
     assert row.sq == 64 * (b * b).sum()
     assert (row.vmin, row.vmax) == (3, 250)
+
+
+def test_louvain_singleton_specialization_matches_generic(spark):
+    """Optimization r11: louvain_step's communities=None fast path skips
+    the identity community joins (k_{i,C}=1 per oriented edge, Σ_C =
+    degree, own=self). Feeding the SAME singleton assignment explicitly
+    exercises the generic path — both must agree row-for-row, including
+    the smallest-label tiebreaks on a graph with ties and a bridge."""
+    from salesforce_plugin_spark.functions.graph import louvain_step
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4), (6, 7)],
+        "src long, dst long",
+    )
+    nodes = [1, 2, 3, 4, 5, 6, 7]
+    singletons = spark.createDataFrame(
+        [(n, n) for n in nodes], "id long, label long"
+    )
+    fast = {
+        r.node: (r.old_label, r.new_label, r.moved)
+        for r in louvain_step(edges).collect()
+    }
+    generic = {
+        r.node: (r.old_label, r.new_label, r.moved)
+        for r in louvain_step(edges, singletons).collect()
+    }
+    assert fast == generic
