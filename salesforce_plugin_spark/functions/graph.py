@@ -1164,26 +1164,81 @@ def louvain_step(
         # through a join + two groupBys only to map j → j. Directly:
         # k_{i,C=j} is exactly 1 because ``bt`` carries each undirected
         # edge once per orientation (distinct canonical pairs), Σ_C for
-        # C = {j} is j's degree, and i's own community is {i} (so the
-        # own-candidate rows c = i can never collide with the k_ic rows
-        # c = j ≠ i — a plain union needs no max-groupBy). Same score
+        # C = {j} is j's degree, and i's own community is {i} with
+        # Σ_own\{i} = 0 — so the stay-put candidate scores EXACTLY 0
+        # and needs no union row at all: score each oriented edge, take
+        # the per-node max with the same (score desc, label asc)
+        # comparator as a struct max (map-side partial aggregation, no
+        # edge-sized window sort), and compare the winner against the
+        # (0, i) own candidate in a final projection. Same score
         # expression over the same exact integers → bit-identical
-        # argmax; two edge-sized exchanges and two joins fewer.
-        k_ic = bt.select(
+        # argmax. (In fact the own candidate can never win from
+        # singletons — all k_i·k_j ≥ 2m over i's k_i neighbors would
+        # force Σ_{j∈N(i)} k_j ≥ 2m > 2m − k_i, a contradiction — but
+        # the comparison is kept so the tiebreak semantics are the
+        # generic path's, not a proof's.)
+        from salesforce_plugin_spark.functions.exactmath import dcast
+
+        # Argmax without a window OR a struct-max (struct aggregates
+        # fall back to SortAggregate — measured slower than the window):
+        # for fixed i the score 2m·1 − k_i·k_j is STRICTLY decreasing
+        # in k_j, so (score desc, c asc) ≡ (k_j asc, j asc), which
+        # packs into ONE hash-aggregatable DECIMAL(38,0) key
+        # k_j·2^64 + (j + 2^63). min(pk) and min(k_j) agree on the
+        # winner (k_j is pk's leading field), so the label unpacks by
+        # exact decimal subtraction — no decimal division, no rounding.
+        # Bounds: k_j ≤ |E| and the product k_j·2^64 stays inside
+        # DECIMAL(38,0) for any graph with < 5.4e18 edges.
+        shift = "CAST(18446744073709551616 AS DECIMAL(38,0))"  # 2^64
+        off = "CAST(9223372036854775808 AS DECIMAL(20,0))"  # 2^63
+        packed = bt.join(
+            deg.select(F.col("node").alias("j"), F.col("__k").alias("__kj")),
+            "j",
+        ).select(
             "i",
-            F.col("j").alias("c"),
-            F.lit(1).cast("long").alias("__kic"),
+            F.expr(
+                "CAST(__kj AS DECIMAL(38,0)) * " + shift
+                + " + (CAST(j AS DECIMAL(20,0)) + " + off + ")"
+            ).alias("__pk"),
+            "__kj",
         )
-        own = deg.select(
-            F.col("node").alias("i"),
-            F.col("node").alias("c"),
-            F.lit(0).cast("long").alias("__kic"),
+        best = (
+            packed.groupBy("i")
+            .agg(
+                F.min("__pk").alias("__pk"),
+                F.min("__kj").alias("__sig_adj"),
+            )
+            .join(deg.select(F.col("node").alias("i"), "__k"), "i")
+            .crossJoin(F.broadcast(m1))
+            .withColumn("__kic", F.lit(1).cast("long"))
+            .withColumn(
+                "__score",
+                F.expr(
+                    "2 * " + dcast("__m") + " * " + dcast("__kic")
+                    + " - " + dcast("__k") + " * " + dcast("__sig_adj")
+                ),
+            )
+            .withColumn(
+                "__c",
+                F.expr(
+                    "CAST(__pk - CAST(__sig_adj AS DECIMAL(38,0)) * "
+                    + shift + " - " + off + " AS BIGINT)"
+                ),
+            )
         )
-        cands = k_ic.unionByName(own)
-        sig = deg.select(
-            F.col("node").alias("label"), F.col("__k").alias("__sig")
+        zero = F.lit(0).cast("decimal(38,0)")
+        take = (F.col("__score") > zero) | (
+            (F.col("__score") == zero) & (F.col("__c") < F.col("i"))
         )
-        scored = cands.withColumn("__own", F.col("i"))
+        return best.select(
+            F.col("i").alias("node"),
+            F.col("i").alias("old_label"),
+            F.when(take, F.col("__c")).otherwise(F.col("i")).alias(
+                "new_label"
+            ),
+            # neighbors are never self (a != b), so taking one IS a move
+            take.alias("moved"),
+        )
     else:
         comm = communities.select(
             F.col(id_col).alias("node"), F.col(label_col).alias("label")

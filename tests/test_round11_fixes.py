@@ -607,3 +607,24 @@ def test_louvain_singleton_specialization_matches_generic(spark):
         for r in louvain_step(edges, singletons).collect()
     }
     assert fast == generic
+
+    # negative ids exercise the packed argmin key's 2^63 offset (the
+    # label must round-trip the decimal pack/unpack exactly)
+    neg_edges = edges.select(
+        (F.col("src") - 5).alias("src"), (F.col("dst") - 5).alias("dst")
+    )
+    neg_singletons = spark.createDataFrame(
+        [(n - 5, n - 5) for n in nodes], "id long, label long"
+    )
+    neg_fast = {
+        r.node: (r.old_label, r.new_label, r.moved)
+        for r in louvain_step(neg_edges).collect()
+    }
+    neg_generic = {
+        r.node: (r.old_label, r.new_label, r.moved)
+        for r in louvain_step(neg_edges, neg_singletons).collect()
+    }
+    assert neg_fast == neg_generic
+    assert neg_fast == {
+        k - 5: (a - 5, b - 5, m) for k, (a, b, m) in fast.items()
+    }
