@@ -1511,9 +1511,18 @@ def kn_bigram_bits(
     big = bigram_rows(df.filter(F.size(tokens(F.col(text_col))) >= 2)
                       .withColumn("__tgt", target),
                       id_col, text_col, extra=["__tgt"])
+    # (cutting ``big`` itself was measured SLOWER — 1.92 → 2.25 s at
+    # sf0.1: the occurrence-level materialization barrier costs more
+    # than the one extra tokenize pass it saves)
+    # c12 is bigram-TYPE-bounded (three orders of magnitude below the
+    # occurrence count) yet feeds FOUR consumers downstream (left,
+    # right, nt, and the scoring join) — without a lineage cut each
+    # re-runs the target-slice tokenize→explode→count subtree. The
+    # batch face cuts it here; the streaming face passes a
+    # state-backed c12 whose lineage is already a cheap scan.
     c12 = big.filter(F.col("__tgt")).groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("__c12")
-    )
+    ).localCheckpoint(eager=False)
     return kn_score_from_counts(big.drop("__tgt"), c12, id_col)
 
 
