@@ -421,12 +421,39 @@ def default_quality_teacher(texts: list) -> list:
     return out
 
 
+def _teacher_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    teacher=None,
+    sample_mod: int = 4,
+) -> DataFrame:
+    """``(id, __y)`` teacher scores over the deterministic
+    ``id % sample_mod == 0`` sample through the Arrow ``mapInPandas``
+    seam — factored out so :func:`distill_quality` can run the Python
+    teacher ONCE and feed both the fit and the apply side."""
+    teach = teacher or default_quality_teacher
+    sample = df.filter((F.col(id_col) % sample_mod) == 0).select(
+        F.col(id_col), F.col(text_col)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            y = teach(pdf[text_col].fillna("").tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "__y": y})
+
+    return sample.mapInPandas(run, schema=f"{id_col} long, __y long")
+
+
 def fit_quality_student(
     df: DataFrame,
     id_col: str,
     text_col: str,
     teacher=None,
     sample_mod: int = 4,
+    taught: DataFrame | None = None,
 ) -> dict:
     """Distill a teacher quality scorer into a 2-feature linear student
     (VERDICT r7 #7, the distillation half): run the (expensive) teacher
@@ -456,20 +483,13 @@ def fit_quality_student(
     """
     from salesforce_plugin_spark.functions.text import stopword_count, token_count
 
-    teach = teacher or default_quality_teacher
-    sample = df.filter((F.col(id_col) % sample_mod) == 0).select(
-        F.col(id_col), F.col(text_col)
-    )
-
-    def run(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            y = teach(pdf[text_col].fillna("").tolist())
-            yield pd.DataFrame({id_col: pdf[id_col], "__y": y})
-
-    taught = sample.mapInPandas(run, schema=f"{id_col} long, __y long")
-    feats = df.select(
+    if taught is None:
+        taught = _teacher_rows(df, id_col, text_col, teacher, sample_mod)
+    # the inner join below keeps only the taught (sample) ids, so the
+    # feature regex scan may pre-filter with the SAME deterministic
+    # sample predicate — identical join result, 1/sample_mod of the
+    # regex work
+    feats = df.filter((F.col(id_col) % sample_mod) == 0).select(
         F.col(id_col),
         token_count(F.col(text_col)).alias("__x1"),
         stopword_count(F.col(text_col)).cast("long").alias("__x2"),
@@ -560,8 +580,19 @@ def distill_quality(
     teacher_scaled long|null — sample rows only, student_score double
     rounded 6dp)``.
     """
-    w = fit_quality_student(df, id_col, text_col, teacher, sample_mod)
-    return apply_student(df, id_col, text_col, w, teacher, sample_mod)
+    # run the Python teacher ONCE: the fit's 1-row collect and the
+    # apply-side left join both consume the same (id, __y) sample
+    # table, so without a lineage cut the Arrow teacher boundary paid
+    # twice per run (guide §4/§5 — the rows are two longs each)
+    taught = _teacher_rows(
+        df, id_col, text_col, teacher, sample_mod
+    ).localCheckpoint(eager=False)
+    w = fit_quality_student(
+        df, id_col, text_col, teacher, sample_mod, taught=taught
+    )
+    return apply_student(
+        df, id_col, text_col, w, teacher, sample_mod, taught=taught
+    )
 
 
 def apply_student(
@@ -571,26 +602,15 @@ def apply_student(
     w: dict,
     teacher=None,
     sample_mod: int = 4,
+    taught: DataFrame | None = None,
 ) -> DataFrame:
     """Score the corpus with fitted weights (shared by the batch
     operator and the streamed-moments face, so their outputs are the
     same plan over the same literals by construction)."""
     from salesforce_plugin_spark.functions.text import stopword_count, token_count
 
-    teach = teacher or default_quality_teacher
-
-    def run(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            y = teach(pdf[text_col].fillna("").tolist())
-            yield pd.DataFrame({id_col: pdf[id_col], "__y": y})
-
-    taught = (
-        df.filter((F.col(id_col) % sample_mod) == 0)
-        .select(F.col(id_col), F.col(text_col))
-        .mapInPandas(run, schema=f"{id_col} long, __y long")
-    )
+    if taught is None:
+        taught = _teacher_rows(df, id_col, text_col, teacher, sample_mod)
     feats = df.select(
         F.col(id_col),
         token_count(F.col(text_col)).alias("n_tokens"),
