@@ -422,11 +422,11 @@ def connected_components(
             ).alias("__e")
         )
         .select(F.col("__e.a").alias("a"), F.col("__e.b").alias("b"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for i in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -448,7 +448,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         labels = stepped.select("node", "label")
         # the changed-count is a whole driver job per iteration; testing
