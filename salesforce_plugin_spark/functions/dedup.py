@@ -1091,7 +1091,7 @@ def semantic_dedup(
     # :func:`connected_components`.
     assigned = kmeans_assign(
         df, seeds, id_col=id_col, vec_col=vec_col, quant=quant
-    ).select(id_col, "cluster").localCheckpoint()
+    ).select(id_col, "cluster").localCheckpoint(eager=False)
     blocked = df.select(id_col, vec_col).join(assigned, id_col)
     pairs = embedding_cosine_pairs(
         blocked, id_col, vec_col, threshold=threshold, block_col="cluster"

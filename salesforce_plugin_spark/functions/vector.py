@@ -1879,7 +1879,7 @@ def _dbscan_label(
     :func:`~salesforce_plugin_spark.functions.dedup.connected_components`."""
     from salesforce_plugin_spark.functions.dedup import connected_components
 
-    close = close.localCheckpoint()
+    close = close.localCheckpoint(eager=False)
     neigh = close.groupBy(F.col("__ida").alias("__id")).agg(
         F.count(F.lit(1)).cast("long").alias("__n_eps")
     )
@@ -1893,7 +1893,7 @@ def _dbscan_label(
         # one row per vector, consumed by the core filter AND the
         # final labeling join — cut here too or `base`'s scan+quantize
         # plan re-runs for each (same round-11 note as `close` above)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cores = flagged.filter(F.col("__is_core") == 1).select("__id")
     core_edges = (
