@@ -181,7 +181,9 @@ def q_key_skew(spark, sf_dir):
     from salesforce_plugin_spark.operators.analytics import key_skew
 
     e = load_table(spark, sf_dir, "events")
-    return key_skew(e, "user_id", top_n=10)
+    return oracle_cross_check(
+        key_skew(e, "user_id", top_n=10), "q_key_skew", sf_dir
+    )
 
 
 def q_class_balance(spark, sf_dir):
@@ -471,7 +473,7 @@ def q_cusum(spark, sf_dir):
         "event_id",
         F.round(F.col("value") * 100, 0).cast("long").alias("v"),
     )
-    return cusum_alarms(
+    return oracle_cross_check(cusum_alarms(
         base,
         ["user_id"],
         "ts",
@@ -480,7 +482,7 @@ def q_cusum(spark, sf_dir):
         slack=500,
         threshold=50000,
         tiebreak_cols=["event_id"],
-    )
+    ), "q_cusum", sf_dir)
 
 
 def q_user_features(spark, sf_dir):
@@ -1001,8 +1003,8 @@ ORACLES["q_key_skew"] = """
         FROM counts
     )
     SELECT r.key, r.n, CAST(r.rnk AS INT) AS rnk,
-           r.n * 1000000 // s.total AS share_ppm,
-           r.n * s.nd * 1000 // s.total AS hot_x1000
+           CAST(r.n * 1000000 // s.total AS BIGINT) AS share_ppm,
+           CAST(r.n * s.nd * 1000 // s.total AS BIGINT) AS hot_x1000
     FROM ranked r CROSS JOIN stats s
     WHERE r.rnk <= 10
 """
@@ -1015,9 +1017,9 @@ ORACLES["q_class_balance"] = """
         SELECT sum(n) AS total, sum(n * n) AS sq FROM counts
     )
     SELECT c.label, c.n,
-           c.n * 1000000 // s.total AS share_ppm,
-           (s.total * s.total - s.sq) * 1000000 // (s.total * s.total)
-               AS gini_ppm
+           CAST(c.n * 1000000 // s.total AS BIGINT) AS share_ppm,
+           CAST((s.total * s.total - s.sq) * 1000000
+                // (s.total * s.total) AS BIGINT) AS gini_ppm
     FROM counts c CROSS JOIN stats s
 """
 
@@ -1104,7 +1106,12 @@ ORACLES["q_contribution"] = """
     )
     SELECT s.o_orderpriority, s.m_a, s.m_b, s.m_b - s.m_a AS delta,
            CASE WHEN t.total <> 0
-                THEN (s.m_b - s.m_a) * 1000000 // t.total END AS share_ppm
+                THEN CAST(CASE WHEN ((s.m_b - s.m_a < 0) = (t.total < 0))
+                               THEN abs(s.m_b - s.m_a) * 1000000
+                                    // abs(t.total)
+                               ELSE -(abs(s.m_b - s.m_a) * 1000000
+                                      // abs(t.total)) END
+                          AS BIGINT) END AS share_ppm
     FROM seg s CROSS JOIN tot t
 """
 
@@ -1216,11 +1223,15 @@ ORACLES["q_trend"] = """
         FROM events WHERE value IS NOT NULL
     )
     SELECT user_id,
-           count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-           sum(x * x) AS sxx, sum(x * y) AS sxy,
-           count(*) * sum(x * y) - sum(x) * sum(y) AS slope_num,
-           sum(y) * sum(x * x) - sum(x) * sum(x * y) AS icept_num,
-           count(*) * sum(x * x) - sum(x) * sum(x) AS den
+           count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+               AS slope_num,
+           CAST(sum(y) * sum(x * x) - sum(x) * sum(x * y) AS BIGINT)
+               AS icept_num,
+           CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS den
     FROM b GROUP BY user_id
 """
 
@@ -1247,9 +1258,9 @@ ORACLES["q_rank_corr"] = """
         FROM r GROUP BY user_id
     )
     SELECT user_id, n,
-           n * sxy - sx * sy AS num,
-           n * sxx - sx * sx AS dx,
-           n * syy - sy * sy AS dy,
+           CAST(n * sxy - sx * sy AS BIGINT) AS num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS dx,
+           CAST(n * syy - sy * sy AS BIGINT) AS dy,
            CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
                 THEN round(CAST(n * sxy - sx * sy AS DOUBLE) /
                            sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
@@ -1284,8 +1295,10 @@ ORACLES["q_user_features"] = """
         FROM events WHERE value IS NOT NULL
     ), tr AS (
         SELECT user_id,
-               count(*) * sum(x * y) - sum(x) * sum(y) AS slope_num,
-               count(*) * sum(x * x) - sum(x) * sum(x) AS den
+               CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+                   AS slope_num,
+               CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+                   AS den
         FROM tb GROUP BY user_id
     ), c AS (
         SELECT user_id, count(*) AS n_events,
@@ -1367,7 +1380,8 @@ ORACLES["q_cusum"] = """
                )) AS cusum
         FROM c
     )
-    SELECT user_id, ts, v, event_id, cusum, cusum > 50000 AS alarm FROM s
+    SELECT user_id, ts, v, event_id, CAST(cusum AS BIGINT) AS cusum,
+           cusum > 50000 AS alarm FROM s
 """
 
 ORACLES["q_bootstrap"] = """
@@ -1817,7 +1831,10 @@ ORACLES["q_theil_sen"] = """
         FROM events GROUP BY 1, 2
     ), pairs AS (
         SELECT a.k, a.d AS da, b.d AS db,
-               ((b.c - a.c) * 1000000) // (b.d - a.d) AS s
+               CASE WHEN b.c >= a.c
+                    THEN ((b.c - a.c) * 1000000) // (b.d - a.d)
+                    ELSE -(((a.c - b.c) * 1000000) // (b.d - a.d))
+               END AS s
         FROM daily a JOIN daily b ON a.k = b.k AND a.d < b.d
     ), ranked AS (
         SELECT k, s,

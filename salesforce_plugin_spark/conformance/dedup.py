@@ -1572,8 +1572,8 @@ ORACLES["q_novelty"] = r"""
            count(*) AS n_shingles,
            CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_novel,
-           sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
-               AS novelty_ppm
+           CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS novelty_ppm
     FROM sh s JOIN dfreq d USING (shingle)
     GROUP BY s.doc_id
 """

@@ -1302,7 +1302,7 @@ ORACLES["q_fk_audit"] = """
         GROUP BY o_custkey
     )
     SELECT relationship,
-           sum(rws) AS n_child_rows,
+           CAST(sum(rws) AS BIGINT) AS n_child_rows,
            count(*) AS n_child_keys,
            CAST(sum(CASE WHEN orphan = 1 THEN rws ELSE 0 END) AS BIGINT)
                AS n_orphan_rows,
@@ -1420,7 +1420,7 @@ ORACLES["q_star_load"] = """
                AS fiscal_qtr,
            dim.c_mktsegment,
            count(*) AS n_orders,
-           sum(f.cents) AS revenue_cents,
+           CAST(sum(f.cents) AS BIGINT) AS revenue_cents,
            min(dim.sk) AS sk_min,
            max(dim.sk) AS sk_max
     FROM f JOIN dim USING (c_custkey)
@@ -1435,8 +1435,8 @@ ORACLES["q_incremental_rollup"] = """
     )
     SELECT day, event_type,
            count(*) AS n,
-           sum(vq) AS sum_vq,
-           sum(vq * vq) AS sumsq_vq
+           CAST(sum(vq) AS BIGINT) AS sum_vq,
+           CAST(sum(vq * vq) AS BIGINT) AS sumsq_vq
     FROM q GROUP BY day, event_type
 """
 

@@ -599,9 +599,9 @@ ORACLES["q_percentile_normalize"] = """
         SELECT bin, count(*) AS cnt FROM binned GROUP BY bin
     ), hist AS (
         SELECT bin,
-               1000000 * sum(cnt) OVER (ORDER BY bin
+               CAST(1000000 * sum(cnt) OVER (ORDER BY bin
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               // (sum(cnt) OVER ()) AS pct_ppm
+               // (sum(cnt) OVER ()) AS BIGINT) AS pct_ppm
         FROM counts
     )
     SELECT b.event_id, b.value, h.pct_ppm
@@ -665,11 +665,13 @@ ORACLES["q_distribution_drift"] = """
     ), worst AS (
         SELECT bin FROM d ORDER BY absdiff DESC, bin ASC LIMIT 1
     )
-    SELECT max(d.na) AS n_a, max(d.nb) AS n_b,
-           sum(d.absdiff) AS sum_absdiff,
-           sum(d.absdiff) * 500000 // (max(d.na) * max(d.nb)) AS tvd_ppm,
+    SELECT CAST(max(d.na) AS BIGINT) AS n_a,
+           CAST(max(d.nb) AS BIGINT) AS n_b,
+           CAST(sum(d.absdiff) AS BIGINT) AS sum_absdiff,
+           CAST(sum(d.absdiff) * 500000 // (max(d.na) * max(d.nb))
+                AS BIGINT) AS tvd_ppm,
            CAST(max(w.bin) AS INT) AS worst_bin,
-           max(d.absdiff) AS worst_absdiff
+           CAST(max(d.absdiff) AS BIGINT) AS worst_absdiff
     FROM d CROSS JOIN worst w
 """
 

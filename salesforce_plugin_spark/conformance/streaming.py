@@ -709,7 +709,7 @@ def q_stream_cusum(spark, sf_dir):
         assert_stream_matches_batch(out, twin, "q_stream_cusum", ctx)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    return oracle_cross_check(out, "q_stream_cusum", sf_dir)
 
 
 def q_stream_interarrival(spark, sf_dir):

@@ -829,7 +829,9 @@ ORACLES["q_collocations"] = r"""
         JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot t
         WHERE p.n_ab >= 5
     )
-    SELECT w1, w2, n_ab, n_a, n_b, lift_ppm,
+    SELECT w1, w2, n_ab,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(lift_ppm AS BIGINT) AS lift_ppm,
            CAST(row_number() OVER (ORDER BY lift_ppm DESC, w1, w2) AS INT)
                AS rank
     FROM scored
@@ -854,8 +856,8 @@ ORACLES["q_oov_audit"] = r"""
            count(*) AS n_tokens,
            CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_oov,
-           sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000
-               // count(*) AS oov_ppm
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS oov_ppm
     FROM ex2 e LEFT JOIN vocab v ON e.tok = v.tok
     GROUP BY e.doc_id
 """

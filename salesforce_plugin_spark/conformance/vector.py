@@ -111,7 +111,11 @@ def q_dimension_stats(spark, sf_dir):
     from salesforce_plugin_spark.functions.vector import dimension_stats
 
     e = load_table(spark, sf_dir, "embeddings")
-    return dimension_stats(e, "embedding", quant=1_000_000)
+    return oracle_cross_check(
+        dimension_stats(e, "embedding", quant=1_000_000),
+        "q_dimension_stats",
+        sf_dir,
+    )
 
 
 def q_kmeans_margin(spark, sf_dir):
@@ -395,10 +399,12 @@ ORACLES["q_dimension_stats"] = """
     )
     SELECT dim,
            count(*) AS n,
-           sum(q) AS sum_q,
-           sum(q * q) AS sumsq_q,
-           sum(q) // count(*) AS mean_q,
-           count(*) * sum(q * q) - sum(q) * sum(q) AS var_num
+           CAST(sum(q) AS BIGINT) AS sum_q,
+           CAST(sum(q * q) AS BIGINT) AS sumsq_q,
+           CAST(CASE WHEN sum(q) >= 0 THEN sum(q) // count(*)
+                     ELSE -((-sum(q)) // count(*)) END AS BIGINT) AS mean_q,
+           CAST(count(*) * sum(q * q) - sum(q) * sum(q) AS BIGINT)
+               AS var_num
     FROM ex GROUP BY dim
 """
 
@@ -419,8 +425,8 @@ ORACLES["q_gram_matrix"] = """
     ), t AS (
         SELECT d, sum(q) AS tq FROM ex GROUP BY d
     )
-    SELECT g.i, g.j, g.n, g.s,
-           g.n * g.s - ti.tq * tj.tq AS cov_num
+    SELECT g.i, g.j, g.n, CAST(g.s AS BIGINT) AS s,
+           CAST(g.n * g.s - ti.tq * tj.tq AS BIGINT) AS cov_num
     FROM g
     JOIN t ti ON g.i = ti.d
     JOIN t tj ON g.j = tj.d

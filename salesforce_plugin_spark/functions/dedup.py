@@ -388,8 +388,10 @@ def connected_components(
     where propagation would need diameter-many shuffles.
 
     Distribution: each iteration is one shuffle join + a groupBy min; the
-    driver reads only a 1-row changed-count per iteration (no data
-    collect). Lineage is truncated per iteration with ``localCheckpoint``
+    driver reads only a 1-row changed-count every SECOND iteration (and
+    at max_iter) — an extra min-propagation round past the fixpoint is
+    idempotent, so halving the count actions halves the driver barriers
+    without changing the labels (no data collect). Lineage is truncated per iteration with ``localCheckpoint``
     — at 100 TB use a reliable ``checkpoint`` dir instead.
 
     Returns one row per node: (``id_col``, component_id), component_id =

@@ -469,6 +469,16 @@ def fit_quality_student(
     numbers, not data). Weights become plan literals via one
     int→double conversion per determinant ratio.
 
+    ``taught`` may carry a precomputed teacher-row table (the r11
+    optimization: distill_quality runs the teacher once and shares it
+    between fit and apply). CONTRACT (ADVICE r11): it must have been
+    built with the SAME ``sample_mod`` predicate, i.e. ``taught`` ⊆
+    ``{id % sample_mod == 0}`` — the feature scan below pre-filters
+    with that predicate before the inner join, so taught rows with ids
+    outside it are silently dropped from the fit. Callers passing a
+    custom ``taught`` from a different sample must pass the matching
+    ``sample_mod``.
+
     Returns ``{"w0","w1","w2"}`` (floats) plus the exact integer
     moments under ``"moments"``. Raises on a singular design (constant
     features on the sample) — loud, not a silent pseudo-inverse.
