@@ -83,6 +83,9 @@ COHORT2 = [
     "q_curation_capstone",  # multi-stage curation pipeline
     "q_louvain_step",       # modularity-gain graph step
     "q_bpe_step",           # BPE merge-table step
+    # r12 addition (VERDICT r11 #6): the star-CC face was in no bench
+    # cohort; added so the driver measures its single-job fixpoint loop.
+    "q_dedup_components_star",
 ]
 
 

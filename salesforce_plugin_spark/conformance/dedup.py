@@ -599,6 +599,7 @@ def q_curation_capstone(spark, sf_dir):
         gopher_quality,
         hashed_ngram_importance,
         split_assign,
+        tokens,
     )
 
     # embeddings are parallelized (the kmeans-assign/pair stages below are
@@ -609,18 +610,32 @@ def q_curation_capstone(spark, sf_dir):
     # whose per-row HOF work already spreads over the scan tasks.
     d = load_table(spark, sf_dir, "documents")
     e = parallelized(load_table(spark, sf_dir, "embeddings"))
-    gq = gopher_quality(d, "doc_id", "text", min_tokens=10).select(
-        "doc_id", "n_tokens", "passes"
-    )
+    # r12 (VERDICT r11 #3): the gopher and importance branches used to
+    # re-scan and re-tokenize the same corpus (13.1 + 11.1 s executor
+    # time at sf0.1). Tokenize ONCE, cut lineage so both consumers read
+    # the shared split instead of re-running scan+split per branch, and
+    # pass it through the operators' toks_col parameter (declared
+    # outputs unchanged — toks_col IS tokens(text)). The cut is lazy:
+    # the capstone's single job consumes every partition on first use
+    # (the eager=False discipline from r11). At 100 TB use a reliable
+    # checkpoint dir.
+    dt = d.select(
+        "doc_id", "lang", "source", "text",
+        tokens(F.col("text")).alias("__shared_toks"),
+    ).localCheckpoint(eager=False)
+    gq = gopher_quality(
+        dt, "doc_id", "text", min_tokens=10, toks_col="__shared_toks"
+    ).select("doc_id", "n_tokens", "passes")
     imp = hashed_ngram_importance(
-        d, "doc_id", "text", F.col("lang") == "en", n_buckets=4096
+        dt, "doc_id", "text", F.col("lang") == "en", n_buckets=4096,
+        toks_col="__shared_toks",
     ).select("doc_id", "n_bigrams", "score_scaled", "importance")
     sd = semantic_dedup(
         e, "vec_id", "embedding", _scaled_semantic_seeds(e),
         threshold=0.3, quant=1000,
     ).select(F.col("vec_id").alias("doc_id"), "dup_group", "keep")
     return (
-        d.select("doc_id", "lang", "source")
+        dt.select("doc_id", "lang", "source")
         .join(gq, "doc_id")
         .join(imp, "doc_id")
         .join(sd, "doc_id")

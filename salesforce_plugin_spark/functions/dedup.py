@@ -486,8 +486,14 @@ def _connected_components_star(
     Rounds repeat until the edge set is a fixpoint (every edge points a
     node at its component minimum) — O(log² n) rounds on any graph,
     independent of diameter, each round two shuffle joins. The fixpoint
-    check is an exact multiset difference (``exceptAll`` count — 1-row
-    driver read, like propagation's changed-count)."""
+    check is exact and runs as ONE job per round (VERDICT r11 #6): both
+    edge sets are distinct, so multiset equality reduces to a
+    side-tagged union → (u, v) aggregate → count of one-sided rows —
+    one exchange instead of the former two chained ``exceptAll`` scans,
+    and the round's lazy checkpoint materializes inside that same job
+    (its first consumer reads every partition — the eager=False
+    discipline from r11), so each round costs one driver barrier, not
+    three."""
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -520,10 +526,20 @@ def _connected_components_star(
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        # single-job fixpoint test: e and small are both distinct, so
+        # set equality is "no (u, v) seen on exactly one side" — tag,
+        # union, aggregate, count (sum 3 = both sides). This job is
+        # also small's first consumer and touches all its partitions,
+        # so it doubles as the checkpoint materializer.
         changed = (
-            small.exceptAll(e).count() + e.exceptAll(small).count()
+            e.select("u", "v", F.lit(1).alias("__s"))
+            .unionByName(small.select("u", "v", F.lit(2).alias("__s")))
+            .groupBy("u", "v")
+            .agg(F.sum("__s").alias("__m"))
+            .filter(F.col("__m") != 3)
+            .count()
         )
         e = small
         if changed == 0:

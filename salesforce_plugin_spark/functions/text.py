@@ -472,6 +472,7 @@ def gopher_quality(
     max_tokens: int = 100_000,
     mean_len_lo: int = 3,
     mean_len_hi: int = 10,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Gopher-style document quality gate (Rae et al. 2021's rule family)
     as ONE map-side projection emitting a violation BITMASK — the
@@ -491,11 +492,21 @@ def gopher_quality(
     Output: ``(id, n_tokens long, flags int, passes boolean)``. Defaults
     are Gopher's published thresholds; fixture-scale gates pass smaller
     ``min_tokens``.
+
+    ``toks_col`` (optional, r12 capstone fusion): name of a column on
+    ``df`` already holding ``tokens(text_col)`` — callers composing
+    several tokenizing operators over the same corpus (the curation
+    capstone) project the whitespace split ONCE and pass it here, so
+    the corpus is not re-tokenized per operator. Must be exactly
+    ``tokens(text_col)`` for the declared semantics to hold; default
+    ``None`` computes it as before.
     """
     toked = df.select(
         F.col(id_col),
         F.col(text_col).alias("__t"),
-        tokens(F.col(text_col)).alias("__toks"),
+        (F.col(toks_col) if toks_col else tokens(F.col(text_col))).alias(
+            "__toks"
+        ),
     )
     n_tokens = F.size(F.col("__toks")).cast("long")
     sum_len = F.aggregate(
@@ -536,6 +547,7 @@ def hashed_ngram_importance(
     target_flag,
     n_buckets: int = 4096,
     scale: int = 1_000_000,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """DSIR-shape domain-importance scoring (Xie et al. 2023, "Data
     Selection for Language Models via Importance Resampling"): hash every
@@ -570,10 +582,14 @@ def hashed_ngram_importance(
     Returns ``(id, is_target boolean, n_bigrams long, score_scaled long,
     importance double)``; documents with < 2 tokens score NULL.
     """
+    # toks_col (r12 capstone fusion): optional column already holding
+    # tokens(text_col) — lets a composed pipeline tokenize once and
+    # share the split across operators; default recomputes as before.
+    base_toks = F.col(toks_col) if toks_col else tokens(F.col(text_col))
     toked = df.select(
         F.col(id_col),
         target_flag.alias("is_target"),
-        F.transform(tokens(F.col(text_col)), F.lower).alias("__toks"),
+        F.transform(base_toks, F.lower).alias("__toks"),
     )
     grams = (
         toked.filter(F.size("__toks") >= 2)

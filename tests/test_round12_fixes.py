@@ -156,3 +156,41 @@ def test_oracle_cross_check_noop_under_bench_flag(spark, monkeypatch):
     monkeypatch.setitem(ORACLES, "q_key_skew", "SELECT syntactically !!")
     df = spark.range(3)
     assert oracle_cross_check(df, "q_key_skew", SF_DIR) is df
+
+
+def test_gopher_and_importance_toks_col_matches_default(spark):
+    """r12 capstone fusion (VERDICT r11 #3): passing a precomputed
+    tokens(text) column through toks_col must reproduce the default
+    path row-for-row for both operators."""
+    from salesforce_plugin_spark.functions.text import (
+        gopher_quality,
+        hashed_ngram_importance,
+        tokens,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, "en", "the quick brown fox jumps over the lazy dog"),
+        (2, "de", "Der schnelle braune Fuchs   springt"),
+        (3, "en", "a b"),
+        (4, "en", ""),
+        (5, "fr", "punctuation, heavy!!! ... ;;; ###"),
+        (6, "en", "one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    dt = df.withColumn("__pre", tokens(F.col("text")))
+
+    g_def = gopher_quality(df, "doc_id", "text", min_tokens=2).collect()
+    g_pre = gopher_quality(
+        dt, "doc_id", "text", min_tokens=2, toks_col="__pre"
+    ).collect()
+    assert sorted(map(tuple, g_def)) == sorted(map(tuple, g_pre))
+
+    i_def = hashed_ngram_importance(
+        df, "doc_id", "text", F.col("lang") == "en", n_buckets=64
+    ).collect()
+    i_pre = hashed_ngram_importance(
+        dt, "doc_id", "text", F.col("lang") == "en", n_buckets=64,
+        toks_col="__pre",
+    ).collect()
+    assert sorted(map(tuple, i_def)) == sorted(map(tuple, i_pre))
