@@ -612,31 +612,39 @@ def q_curation_capstone(spark, sf_dir):
     e = parallelized(load_table(spark, sf_dir, "embeddings"))
     # r12 (VERDICT r11 #3): the gopher and importance branches used to
     # re-scan and re-tokenize the same corpus (13.1 + 11.1 s executor
-    # time at sf0.1). Tokenize ONCE, cut lineage so both consumers read
-    # the shared split instead of re-running scan+split per branch, and
-    # pass it through the operators' toks_col parameter (declared
-    # outputs unchanged — toks_col IS tokens(text)). The cut is lazy:
-    # the capstone's single job consumes every partition on first use
-    # (the eager=False discipline from r11). At 100 TB use a reliable
-    # checkpoint dir.
+    # time at sf0.1), then hash-join their outputs. Fused LINEARLY:
+    # gopher_quality keeps text+tokens flowing (keep_cols) and
+    # hashed_ngram_importance rides the gate's n_tokens/passes through
+    # its exploded bigram table (carry_cols), so ONE scan+split feeds
+    # every text stage and the gq⋈imp exchange disappears. A
+    # checkpointed shared-tokens variant was measured SLOWER (7.73 →
+    # 12.96 s lazy / 7.98 s eager at sf0.1): materializing text + token
+    # arrays costs more than the one split it saves — the narrow
+    # exploded-grams cut inside the importance operator remains the
+    # only materialization. Declared outputs unchanged: rows with
+    # NULL carries (< 2 tokens, never scored) fail the importance
+    # filter exactly as they failed the old inner joins.
     dt = d.select(
         "doc_id", "lang", "source", "text",
-        tokens(F.col("text")).alias("__shared_toks"),
-    ).localCheckpoint(eager=False)
-    gq = gopher_quality(
-        dt, "doc_id", "text", min_tokens=10, toks_col="__shared_toks"
-    ).select("doc_id", "n_tokens", "passes")
+        tokens(F.col("text")).alias("__sht"),
+    )
+    dg = gopher_quality(
+        dt, "doc_id", "text", min_tokens=10, toks_col="__sht",
+        keep_cols=("lang", "__sht"),
+    )
     imp = hashed_ngram_importance(
-        dt, "doc_id", "text", F.col("lang") == "en", n_buckets=4096,
-        toks_col="__shared_toks",
-    ).select("doc_id", "n_bigrams", "score_scaled", "importance")
+        dg, "doc_id", "text", F.col("lang") == "en", n_buckets=4096,
+        toks_col="__sht", carry_cols=("n_tokens", "passes"),
+    ).select(
+        "doc_id", "n_bigrams", "score_scaled", "importance",
+        "n_tokens", "passes",
+    )
     sd = semantic_dedup(
         e, "vec_id", "embedding", _scaled_semantic_seeds(e),
         threshold=0.3, quant=1000,
     ).select(F.col("vec_id").alias("doc_id"), "dup_group", "keep")
     return (
-        dt.select("doc_id", "lang", "source")
-        .join(gq, "doc_id")
+        d.select("doc_id", "lang", "source")
         .join(imp, "doc_id")
         .join(sd, "doc_id")
         .filter(

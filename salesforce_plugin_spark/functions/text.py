@@ -473,6 +473,7 @@ def gopher_quality(
     mean_len_lo: int = 3,
     mean_len_hi: int = 10,
     toks_col: str | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style document quality gate (Rae et al. 2021's rule family)
     as ONE map-side projection emitting a violation BITMASK — the
@@ -499,7 +500,12 @@ def gopher_quality(
     capstone) project the whitespace split ONCE and pass it here, so
     the corpus is not re-tokenized per operator. Must be exactly
     ``tokens(text_col)`` for the declared semantics to hold; default
-    ``None`` computes it as before.
+    ``None`` computes it as before. ``keep_cols`` names input columns
+    (including ``toks_col`` itself) passed through to the output — the
+    gate is a pure map-side projection, so passthrough lets the next
+    operator in a fused pipeline (hashed_ngram_importance in the
+    capstone) consume the SAME single scan instead of re-reading and
+    re-splitting the corpus.
     """
     toked = df.select(
         F.col(id_col),
@@ -507,6 +513,7 @@ def gopher_quality(
         (F.col(toks_col) if toks_col else tokens(F.col(text_col))).alias(
             "__toks"
         ),
+        *[F.col(c) for c in keep_cols if c != toks_col],
     )
     n_tokens = F.size(F.col("__toks")).cast("long")
     sum_len = F.aggregate(
@@ -537,6 +544,12 @@ def gopher_quality(
         n_tokens.alias("n_tokens"),
         flags.alias("flags"),
         (flags == 0).alias("passes"),
+        *(
+            [F.col("__toks").alias(toks_col)]
+            if toks_col and toks_col in keep_cols
+            else []
+        ),
+        *[F.col(c) for c in keep_cols if c != toks_col],
     )
 
 
@@ -548,6 +561,7 @@ def hashed_ngram_importance(
     n_buckets: int = 4096,
     scale: int = 1_000_000,
     toks_col: str | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """DSIR-shape domain-importance scoring (Xie et al. 2023, "Data
     Selection for Language Models via Importance Resampling"): hash every
@@ -585,31 +599,48 @@ def hashed_ngram_importance(
     # toks_col (r12 capstone fusion): optional column already holding
     # tokens(text_col) — lets a composed pipeline tokenize once and
     # share the split across operators; default recomputes as before.
+    # carry_cols: per-document SCALAR input columns (e.g. the gopher
+    # gate's n_tokens/passes) carried through the exploded bigram table
+    # and re-emitted on the scored output via first() — this is how the
+    # capstone rides the quality gate on THIS operator's single scan
+    # instead of joining a second tokenizing branch. Carried values for
+    # documents with < 2 tokens (never scored) come back NULL.
     base_toks = F.col(toks_col) if toks_col else tokens(F.col(text_col))
     toked = df.select(
         F.col(id_col),
         target_flag.alias("is_target"),
         F.transform(base_toks, F.lower).alias("__toks"),
+        *[F.col(c) for c in carry_cols],
     )
+    # the < 2-token guard is a WHEN over the materialized array, NOT a
+    # Filter: a ``filter(size(__toks) >= 2)`` gets pushed into the scan
+    # as a DataFilter by textual substitution and re-evaluates the
+    # whole split+lower subtree once more per row (seen as a second
+    # ``split(trim(text))`` under FileScan in the r12 plan audit —
+    # the span_dedup when-guard discipline). ``explode`` of the empty
+    # array emits nothing, so the row set is identical.
+    bigrams = F.when(
+        F.size("__toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("__toks", i),
+                F.element_at("__toks", i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     grams = (
-        toked.filter(F.size("__toks") >= 2)
-        .select(
+        toked.select(
             F.col(id_col),
             F.col("is_target"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("__toks") - 1),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at("__toks", i),
-                        F.element_at("__toks", i + 1),
-                    ),
-                )
-            ).alias("__bg"),
+            *[F.col(c) for c in carry_cols],
+            F.explode(bigrams).alias("__bg"),
         )
         .select(
             F.col(id_col),
             F.col("is_target"),
+            *[F.col(c) for c in carry_cols],
             hash_bucket(F.col("__bg"), n_buckets).alias("__bkt"),
         )
         # consumed TWICE (bucket-model build + per-document scoring
@@ -634,6 +665,7 @@ def hashed_ngram_importance(
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.sum("__term").alias("score_scaled"),
+            *[F.first(c).alias(c) for c in carry_cols],
         )
     )
     return (
@@ -649,6 +681,7 @@ def hashed_ngram_importance(
             F.round(
                 F.col("score_scaled") / (float(scale) * F.col("n_bigrams")), 6
             ).alias("importance"),
+            *[F.col(c) for c in carry_cols],
         )
     )
 
