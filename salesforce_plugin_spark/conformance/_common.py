@@ -633,9 +633,17 @@ _KMEANS_ASSIGN_CTES = """
         FROM embeddings WHERE vec_id < 8
     ), comp AS (
         SELECT e.vec_id, s.cluster,
-               CAST(round((CAST(e.embedding[g.i] AS DOUBLE)
-                           - CAST(s.centroid[g.i] AS DOUBLE)) * 1000)
-                    AS BIGINT) AS p
+               CAST(CASE WHEN ((CAST(e.embedding[g.i] AS DOUBLE)
+                                - CAST(s.centroid[g.i] AS DOUBLE))
+                               * 1000) >= 0
+                         THEN floor((CAST(e.embedding[g.i] AS DOUBLE)
+                                     - CAST(s.centroid[g.i] AS DOUBLE))
+                                    * 1000 + 0.5)
+                         ELSE -floor(0.5 - (CAST(e.embedding[g.i]
+                                                 AS DOUBLE)
+                                            - CAST(s.centroid[g.i]
+                                                   AS DOUBLE)) * 1000)
+                    END AS BIGINT) AS p
         FROM embeddings e
         CROSS JOIN seeds s
         CROSS JOIN LATERAL (

@@ -365,8 +365,14 @@ ORACLES["q_kmeans_converged"] = _KMEANS_ASSIGN_CTES + """
         FROM ex GROUP BY cluster, dim
     ), comp2 AS (
         SELECT e.vec_id, c.cluster,
-               CAST(round((CAST(e.embedding[c.dim + 1] AS DOUBLE) - c.c)
-                          * 1000) AS BIGINT) AS p
+               CAST(CASE WHEN ((CAST(e.embedding[c.dim + 1] AS DOUBLE)
+                                - c.c) * 1000) >= 0
+                         THEN floor((CAST(e.embedding[c.dim + 1]
+                                          AS DOUBLE) - c.c) * 1000 + 0.5)
+                         ELSE -floor(0.5 - (CAST(e.embedding[c.dim + 1]
+                                                 AS DOUBLE) - c.c)
+                                     * 1000)
+                    END AS BIGINT) AS p
         FROM embeddings e CROSS JOIN cent1 c
     ), dists2 AS (
         SELECT vec_id, cluster, sum(p * p) AS dist2

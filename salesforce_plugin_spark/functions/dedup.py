@@ -841,9 +841,22 @@ def embedding_cosine_pairs(
         joined = a.join(b, (F.col("blk_a") == F.col("blk_b")) & cond)
     else:
         joined = a.join(b, cond)
-    sim = F.round(
+    sim_val = F.round(
         dot(F.col("v_a"), F.col("v_b")) / (F.col("__na") * F.col("__nb")), 6
     )
+    # The similarity must NOT ride in the join condition: Catalyst pushes
+    # the post-join ``sim >= threshold`` predicate (and therefore the
+    # whole HOF dot) into the SortMergeJoin/BNLJ condition, where it is
+    # evaluated per candidate pair by an Interpreted predicate — the r12
+    # sf1.0 drill measured that at ~55 µs/pair, 74% of semantic-dedup's
+    # executor time, vs ~0.4 µs/pair for the same HOF in a projection.
+    # The non-deterministic WHEN wrapper with sim_val in BOTH branches
+    # pins sim to a post-join Project the filter cannot be pushed
+    # through: the value is bit-identical for every rand() draw and
+    # retry-safe, and the optimizer cannot eliminate it (an always-true
+    # comparison like rand() >= -1 gets bound-folded away — measured;
+    # a genuinely varying condition with identical branches survives).
+    sim = F.when(F.rand(7) >= F.lit(0.5), sim_val).otherwise(sim_val)
     return (
         joined.select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)

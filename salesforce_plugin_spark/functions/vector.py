@@ -322,11 +322,19 @@ def kmeans_assign(
         F.col(cluster_col).alias("__cl"),
         as_double(centroid_col).alias("__cv"),
     )
-    diff = F.zip_with(
-        as_double(vec_col),
-        F.col("__cv"),
-        lambda x, y: F.round((x - y) * quant, 0).cast("long"),
-    )
+    # round-half-away-from-zero spelled as sign-split floor (r12): the
+    # BigDecimal path inside F.round() cost ~0.9 us PER ELEMENT and was
+    # 2/3 of semantic-dedup's sf1.0 executor time (n*k*dims calls); the
+    # floor form is the same rounding rule in pure IEEE ops (engine-
+    # version-proof, VERDICT r11 #1 discipline), mirrored verbatim in
+    # the kmeans oracle CTEs.
+    def _q(x, y):
+        d = (x - y) * quant
+        return F.when(d >= 0, F.floor(d + F.lit(0.5))).otherwise(
+            -F.floor(F.lit(0.5) - d)
+        )
+
+    diff = F.zip_with(as_double(vec_col), F.col("__cv"), _q)
     dist2 = F.aggregate(diff, F.lit(0).cast("long"), lambda acc, z: acc + z * z)
     return (
         df.crossJoin(F.broadcast(sel))
@@ -676,11 +684,19 @@ def kmeans_margin(
         F.col(cluster_col).alias("__cl"),
         as_double(centroid_col).alias("__cv"),
     )
-    diff = F.zip_with(
-        as_double(vec_col),
-        F.col("__cv"),
-        lambda x, y: F.round((x - y) * quant, 0).cast("long"),
-    )
+    # round-half-away-from-zero spelled as sign-split floor (r12): the
+    # BigDecimal path inside F.round() cost ~0.9 us PER ELEMENT and was
+    # 2/3 of semantic-dedup's sf1.0 executor time (n*k*dims calls); the
+    # floor form is the same rounding rule in pure IEEE ops (engine-
+    # version-proof, VERDICT r11 #1 discipline), mirrored verbatim in
+    # the kmeans oracle CTEs.
+    def _q(x, y):
+        d = (x - y) * quant
+        return F.when(d >= 0, F.floor(d + F.lit(0.5))).otherwise(
+            -F.floor(F.lit(0.5) - d)
+        )
+
+    diff = F.zip_with(as_double(vec_col), F.col("__cv"), _q)
     dist2 = F.aggregate(diff, F.lit(0).cast("long"), lambda acc, z: acc + z * z)
     scored = df.crossJoin(F.broadcast(sel)).select(
         F.col(id_col), F.col("__cl"), dist2.alias("__d2")

@@ -194,3 +194,50 @@ def test_gopher_and_importance_toks_col_matches_default(spark):
         toks_col="__pre",
     ).collect()
     assert sorted(map(tuple, i_def)) == sorted(map(tuple, i_pre))
+
+
+def test_kmeans_floor_quantization_matches_round_rule(spark):
+    """r12: kmeans_assign's diff quantization moved from F.round (a
+    ~0.9 us/element BigDecimal path, 2/3 of semantic-dedup's sf1.0
+    executor time) to the sign-split floor form. Pin the equivalence on
+    a value grid including exact .5 ties of both signs."""
+    import pyspark.sql.functions as F
+
+    vals = [2.5, -2.5, 0.5, -0.5, 1.4999, -1.4999, 0.0, 3.49, -3.51]
+    df = spark.createDataFrame([(v,) for v in vals], "d double")
+    got = df.select(
+        F.when(F.col("d") >= 0, F.floor(F.col("d") + F.lit(0.5)))
+        .otherwise(-F.floor(F.lit(0.5) - F.col("d")))
+        .alias("q"),
+        F.round(F.col("d"), 0).cast("long").alias("r"),
+    ).collect()
+    for row in got:
+        assert row.q == row.r, (row.q, row.r)
+
+
+def test_cosine_pair_sim_stays_out_of_join_condition(spark):
+    """r12 plan guard: the rounded-cosine similarity must be evaluated
+    in a post-join Project, not inside the join condition (where
+    Catalyst's predicate pushdown had placed it — an Interpreted
+    per-candidate-pair evaluation measured at ~55 us/pair vs ~0.4 us in
+    a projection). The both-branches rand() wrapper holds it out; this
+    pins the plan property so an optimizer or refactor regression is
+    caught."""
+    import pyspark.sql.functions as F
+
+    from salesforce_plugin_spark.functions.dedup import (
+        embedding_cosine_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3, [float(i % 5), float(i % 7)]) for i in range(30)],
+        "vec_id long, blk long, embedding array<double>",
+    )
+    pairs = embedding_cosine_pairs(
+        df, "vec_id", "embedding", threshold=0.1, block_col="blk"
+    )
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    join_lines = [l for l in plan.splitlines() if "Join Inner" in l]
+    assert join_lines, plan
+    for l in join_lines:
+        assert "aggregate(" not in l, f"sim pushed into join: {l[:200]}"
