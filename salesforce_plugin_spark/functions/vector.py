@@ -1764,9 +1764,23 @@ def _dbscan_close(
             F.col("__nb").cast(D38).alias("__nb_d"),
         )
     )
-    close = with_exact_cos_ppm(
+    # keep the exact-cosine computation OUT of the join condition: the
+    # pushed eps filter otherwise drags the whole DECIMAL cos_ppm (incl.
+    # the HOF dot and isqrt CASE — a ~9.7 KB condition string) into the
+    # bucket join, evaluated per candidate pair by an Interpreted
+    # predicate (the embedding_cosine_pairs finding, r12). The
+    # both-branches rand() wrapper is bit-identical for every draw and
+    # pins cos_ppm to a post-join Project.
+    scored = with_exact_cos_ppm(
         pairs, "__dot_d", "__na_d", "__nb_d", "cos_ppm"
-    ).filter(F.col("cos_ppm") >= eps_ppm)
+    )
+    scored = scored.withColumn(
+        "cos_ppm",
+        F.when(F.rand(11) >= F.lit(0.5), F.col("cos_ppm")).otherwise(
+            F.col("cos_ppm")
+        ),
+    )
+    close = scored.filter(F.col("cos_ppm") >= eps_ppm)
     return base, close
 
 
