@@ -802,6 +802,49 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 
+#: r12 driver-window rotation (VERDICT r11 #9). The driver grades the
+#: FIRST 50 registry entries each round; this explicit list IS the r12
+#: window, applied as an order-preserving reindex below (every displaced
+#: entry keeps its key, builder, and oracle — nothing is removed).
+#: Composition: the four formerly hash-red entries stay in place so the
+#: driver proves the r12 oracle-class fix (HUGEINT finals → BIGINT,
+#: sign-explicit //); 30 never-driver-graded entries rotate in —
+#: including the 15 casted HUGEINT-class oracles, the two sign-fixed
+#: theil-sen faces, the kmeans floor-form family, and this round's
+#: perf-touched heavy operators — plus 16 previously-green anchors.
+_R12_WINDOW = [
+    # formerly hash-red, fixed this round — must re-grade
+    "q_cusum", "q_stream_cusum", "q_key_skew", "q_dimension_stats",
+    # never graded: the casted HUGEINT-class oracles
+    "q_class_balance", "q_contribution", "q_trend", "q_rank_corr",
+    "q_user_features", "q_collocations", "q_distribution_drift",
+    "q_fk_audit", "q_gram_matrix", "q_incremental_rollup", "q_novelty",
+    "q_oov_audit", "q_percentile_normalize", "q_star_load",
+    "q_stream_class_balance",
+    # never graded: sign-explicit floor-division fixes
+    "q_theil_sen", "q_stream_theil_sen",
+    # never graded: r12 perf-touched operators (capstone fusion, kmeans
+    # floor form, cosine/eps predicate barriers, KN/distill/louvain)
+    "q_curation_capstone", "q_semantic_dedup", "q_importance_weights",
+    "q_dbscan_clusters", "q_louvain_step", "q_kneser_ney",
+    "q_distill_quality", "q_cluster_terms", "q_kmeans_margin",
+    "q_cluster_cohesion", "q_kmeans_step", "q_stream_kneser_ney",
+    "q_stream_distill",
+    # previously-green anchors
+    "q_soql_fiscal", "q_grouping_sets", "q_itemcf", "q_resample_ffill",
+    "q_date_dimension", "q_tfidf", "q_near_dedup", "q_embed_topk",
+    "q_png_histogram", "q_doc_chunks", "q_data_quality",
+    "q_schema_reconcile", "q_scd2_incremental", "q_stream_near_dedup",
+    "q_multimodal_ahash", "q_wav_channels",
+]
+assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
+assert all(k in QUERIES for k in _R12_WINDOW)
+QUERIES = {
+    **{k: QUERIES[k] for k in _R12_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in _R12_WINDOW},
+}
+
+
 QUERIES = {name: _flatten_decimal_outputs(fn) for name, fn in QUERIES.items()}
 
 ORACLES: dict[str, str] = {}
