@@ -364,16 +364,14 @@ ORACLES["q_kmeans_converged"] = _KMEANS_ASSIGN_CTES + """
                round(sum(q) / (1000000.0 * count(*)), 6) AS c
         FROM ex GROUP BY cluster, dim
     ), comp2 AS (
-        SELECT e.vec_id, c.cluster,
-               CAST(CASE WHEN ((CAST(e.embedding[c.dim + 1] AS DOUBLE)
-                                - c.c) * 1000) >= 0
-                         THEN floor((CAST(e.embedding[c.dim + 1]
-                                          AS DOUBLE) - c.c) * 1000 + 0.5)
-                         ELSE -floor(0.5 - (CAST(e.embedding[c.dim + 1]
-                                                 AS DOUBLE) - c.c)
-                                     * 1000)
-                    END AS BIGINT) AS p
-        FROM embeddings e CROSS JOIN cent1 c
+        SELECT vec_id, cluster,
+               CAST(round(dv) AS BIGINT) AS p
+        FROM (
+            SELECT e.vec_id, c.cluster,
+                   (CAST(e.embedding[c.dim + 1] AS DOUBLE) - c.c)
+                       * 1000 AS dv
+            FROM embeddings e CROSS JOIN cent1 c
+        )
     ), dists2 AS (
         SELECT vec_id, cluster, sum(p * p) AS dist2
         FROM comp2 GROUP BY vec_id, cluster
