@@ -26,18 +26,41 @@ def formatted_plan(df) -> str:
     return buf.getvalue()
 
 
+def _plan_string(df) -> str:
+    """``explain("formatted")`` WITHOUT stdout redirection — the JVM-side
+    explainString is what explain() prints; fetching it directly is
+    thread-safe (redirect_stdout swaps the process-global sys.stdout,
+    which races when plans are derived from a thread pool)."""
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
 @pytest.fixture(scope="module")
 def registry_plans(spark):
-    """(schema, formatted plan) per registry entry, built ONCE: the two
-    whole-registry sweeps below each cost ~3.5 min when they re-derive
-    all 340+ plans independently (round-10 suite profile: the two
-    slowest tests in the suite, 232 s + 186 s) — sharing one derivation
-    halves that for free."""
-    out = {}
-    for name, fn in QUERIES.items():
+    """(schema, formatted plan) per registry entry, built ONCE and IN
+    PARALLEL: the two whole-registry sweeps below each cost ~3.5 min
+    when they re-derive all 340+ plans independently (round-10 suite
+    profile: the two slowest tests in the suite, 232 s + 186 s); r11
+    shared one serial derivation, which was still the suite's slowest
+    item (575 s in the r12 resume profile) because iterative operators
+    (CC/louvain/kmeans fixpoints) run real driver-barrier jobs during
+    DataFrame CONSTRUCTION and analysis is one py4j round trip per
+    entry. Entries are independent, so a small driver thread pool
+    overlaps those barriers (optimization guide §2.6 — the scheduler
+    happily runs concurrent jobs; plans and schemas are unchanged,
+    only the derivation overlaps)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build(item):
+        name, fn = item
         df = fn(spark, SF)
-        out[name] = (df.schema, formatted_plan(df))
-    return out
+        return name, (df.schema, _plan_string(df))
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        return dict(pool.map(build, QUERIES.items()))
 
 
 @needs_fixtures

@@ -505,18 +505,40 @@ def _run_one(spark, duck, soql, sql, fsm=1, relationships=None):
     return "match"
 
 
+def _run_many(sdf, duck, cases):
+    """Run independent differential cases from a small driver thread
+    pool (optimization guide §2.6): each case is a tiny Spark collect +
+    a DuckDB replay, wholly independent, and serial execution just
+    stacks ~0.2 s driver barriers. Queries are pre-generated serially
+    so the rng draw sequence (and thus the corpus) is byte-identical
+    to the old loop; each thread replays SQL on its own ``duck.cursor()``
+    (DuckDB connections are not safe for concurrent queries, cursors
+    are separate connections over the same database)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(case):
+        soql, sql, fsm, relationships = case
+        return _run_one(
+            sdf, duck.cursor(), soql, sql, fsm, relationships=relationships
+        )
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        return list(pool.map(one, cases))
+
+
 def test_differential_plain_and_grouped(sdf, duck):
     n = N_SAMPLES or 60
     rng = random.Random(20240307)
-    matched = rejected = 0
+    cases = []
     for i in range(n):
         if rng.random() < 0.6:
             soql, sql, fsm = gen_plain(rng)
         else:
             soql, sql, fsm = gen_grouped(rng)
-        out = _run_one(sdf, duck, soql, sql, fsm)
-        matched += out == "match"
-        rejected += out == "rejected"
+        cases.append((soql, sql, fsm, None))
+    outs = _run_many(sdf, duck, cases)
+    matched = sum(o == "match" for o in outs)
+    rejected = sum(o == "rejected" for o in outs)
     # the generator only emits well-typed queries: rejections should be
     # rare (none expected), and matches must dominate — a fuzzer that
     # rejects everything would be vacuous
@@ -526,9 +548,9 @@ def test_differential_plain_and_grouped(sdf, duck):
 def test_differential_relationship_paths(sdf, duck):
     n = N_SAMPLES or 40
     rng = random.Random(77)
-    for i in range(n):
-        soql, sql = gen_relationship(rng)
-        assert _run_one(sdf, duck, soql, sql, relationships=REG) == "match"
+    cases = [(*gen_relationship(rng), 1, REG) for _ in range(n)]
+    outs = _run_many(sdf, duck, cases)
+    assert outs == ["match"] * n
 
 
 def test_typeof_fields_child_sub_robustness(sdf):
