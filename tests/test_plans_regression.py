@@ -59,7 +59,7 @@ def registry_plans(spark):
         df = fn(spark, SF)
         return name, (df.schema, _plan_string(df))
 
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    with ThreadPoolExecutor(max_workers=16) as pool:
         return dict(pool.map(build, QUERIES.items()))
 
 
